@@ -1,0 +1,522 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** The relational extension surface (SURVEY.md §2 rows 11-17, §7.3):
+  * joins (broadcast/shuffle/semi/anti/outer), aggregations (hash agg,
+  * distinct, rollup/cube/grouping sets, having), window functions
+  * (ranking/running/lag), sort/top-k/limit-offset, set operations and
+  * scalar string/math/date functions — each expressed as a declarative
+  * DataFrame plan so Catalyst handles pushdown, pruning, join selection
+  * and whole-stage codegen (SURVEY.md §4).
+  *
+  * Oracle-parity conventions (driver compares against DuckDB by hash):
+  *   - every query ends in a deterministic total ORDER BY;
+  *   - aggregates over doubles go through DECIMAL(18,4) so the sum is
+  *     exact and order-independent, then cast back to double — bit-exact
+  *     in both engines regardless of parallelism;
+  *   - derived ints are cast so Spark and DuckDB output types line up.
+  *
+  * Scale notes (100 TB design): dimension joins (region/nation) are
+  * explicitly broadcast; fact-fact joins shuffle on their keys and rely
+  * on AQE for skew; aggregations are partial (map-side combine) by
+  * construction since these are all `functions._` aggregates.
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** Exact money arithmetic: DECIMAL(18,4) survives reordering. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private val one = lit(1).cast(DecimalType(18, 4))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core surface over parquet (scan/project/filter) ----
+    "q_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_filter_gt" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_filter_eq" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- aggregation ----
+    "q1_agg" -> ((s, d) => {
+      // TPC-H Q1 shape: partial agg map-side, one shuffle on the 2 keys
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_agg_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+    "q_having" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+        .filter(col("n_lines") >= 35)
+        .orderBy("l_partkey")
+    }),
+    "q_rollup" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_customers"))
+        .orderBy("region", "nation")
+    }),
+    "q_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy("status", "priority")
+    }),
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |       coalesce(l_linestatus, 'ALL') AS ls,
+          |       count(*) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+    }),
+    "q_approx_distinct" -> ((s, d) => {
+      // HLL sketch — no SQL oracle (approximate); rows-only check
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- joins ----
+    "q_join_broadcast" -> ((s, d) => {
+      // small dims are broadcast: no shuffle of the customer fact side
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+        .orderBy("r_name")
+    }),
+    "q3_top_orders" -> ((s, d) => {
+      // TPC-H Q3 shape: selective dim filter, two shuffles on join keys,
+      // AQE free to pick broadcast for the filtered customer side
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "q_join_semi" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val big = t(s, d, "lineitem").filter(col("l_quantity") > 49)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_join_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("min_custkey"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_join_outer" -> ((s, d) => {
+      // order-count distribution per customer, 0 included via left join
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")
+    }),
+
+    // ---- window functions ----
+    "q_window_rank" -> ((s, d) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+    "q_window_running" -> ((s, d) => {
+      val w = Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy("event_id")
+    }),
+
+    // ---- sort / top-k / limit-offset ----
+    "q_topk" -> ((s, d) => {
+      // Catalyst rewrites orderBy+limit to TakeOrderedAndProject:
+      // per-partition top-k, no full sort — the 100 TB-safe plan
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    }),
+    "q_limit_offset" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(10)
+        .limit(20)
+    }),
+
+    // ---- set operations ----
+    "q_set_intersect" -> ((s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.intersect(sn).orderBy("nationkey")
+    }),
+    "q_set_except" -> ((s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.except(sn).orderBy("nationkey")
+    }),
+    "q_set_union" -> ((s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.union(sn).distinct().orderBy("nationkey")
+    }),
+    "q_union_all_counts" -> ((s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.union(sn).groupBy("nationkey").agg(count(lit(1)).as("n")).orderBy("nationkey")
+    }),
+    "q_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- scalar functions ----
+    "q_scalar_string" -> ((s, d) => {
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        substring(col("p_name"), 1, 5).as("pre5"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("underscored"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"))
+        .orderBy("p_partkey")
+    }),
+    "q_scalar_math" -> ((s, d) => {
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_disc"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        (col("l_tax") * col("l_tax")).as("tax_sq"),
+        round(dec(col("l_extendedprice")), 2).cast("double").as("rounded"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_scalar_date" -> ((s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"))
+        .orderBy("o_orderkey")
+    }),
+    "q_case_when" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(
+          when(col("o_totalprice") < 100000, "low")
+            .when(col("o_totalprice") < 300000, "mid")
+            .otherwise("high").as("band"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("band")
+    }),
+    "q_predicates" -> ((s, d) => {
+      t(s, d, "part")
+        .filter(
+          col("p_type").isin("ECONOMY", "SMALL") &&
+            col("p_name").like("%r%") &&
+            col("p_retailprice").between(910, 990) &&
+            col("p_size") >= 10)
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+    "q_null_handling" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("ndisc", nullif(col("l_discount"), lit(0.0)))
+      li.groupBy("l_returnflag")
+        .agg(
+          sum(when(col("ndisc").isNull, 1).otherwise(0)).as("n_zero_disc"),
+          count(col("ndisc")).as("n_nonzero_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- array / nested ----
+    "q_array_ops" -> ((s, d) => {
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        col("label"))
+        .orderBy("vec_id")
+    }),
+    "q_explode" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"), explode(col("embedding")).as("val"))
+        .select(col("vec_id"), col("val").cast("double").as("val"))
+        .orderBy("vec_id", "val")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_gt" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_eq" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_having" ->
+      """SELECT l_partkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 35
+        |ORDER BY l_partkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |  COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_join_semi" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers, MIN(c_custkey) AS min_custkey
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_outer" ->
+      """SELECT n_orders, COUNT(*) AS n_customers FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        |  value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q_set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q_union_all_counts" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_scalar_string" ->
+      """SELECT p_partkey, UPPER(p_name) AS up_name, LOWER(p_brand) AS lo_brand,
+        |  SUBSTRING(p_name, 1, 5) AS pre5,
+        |  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+        |  CONCAT(p_brand, '-', p_type) AS brand_type,
+        |  REPLACE(p_name, ' ', '_') AS underscored,
+        |  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ABS(l_discount - 0.05) AS abs_disc,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+        |  CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  SQRT(l_quantity) AS sqrt_qty,
+        |  l_tax * l_tax AS tax_sq,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS rounded,
+        |  GREATEST(l_tax, l_discount) AS max_rate,
+        |  LEAST(l_tax, l_discount) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(DAY(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr,
+        |  DATE_TRUNC('month', o_orderdate) AS month_start,
+        |  CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+        |  WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS band,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin,
+    "q_predicates" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_type IN ('ECONOMY', 'SMALL') AND p_name LIKE '%r%'
+        |  AND p_retailprice BETWEEN 910 AND 990 AND p_size >= 10
+        |ORDER BY p_partkey""".stripMargin,
+    "q_null_handling" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
+        |  COUNT(NULLIF(l_discount, 0.0)) AS n_nonzero_disc,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_array_ops" ->
+      """SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_val, label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_explode" ->
+      """SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val
+        |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id, val""".stripMargin
+  )
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query result
+dumped by graft.Verify, run the matching oracle SQL in DuckDB over the same
+parquet tables and compare (column names sorted, rows sorted, exact values).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    failures = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')"
+            ).df()
+        except Exception as e:
+            failures.append((name, f"spark result unreadable: {e}"))
+            continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            failures.append((name, f"oracle SQL failed: {e}"))
+            continue
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            failures.append(
+                (name, f"columns differ: spark={list(g.columns)} duckdb={list(w.columns)}"))
+            continue
+        if len(g) != len(w):
+            failures.append((name, f"row count differs: spark={len(g)} duckdb={len(w)}"))
+            continue
+        mismatch = None
+        for col in g.columns:
+            gv, wv = g[col].tolist(), w[col].tolist()
+            for i, (a, b) in enumerate(zip(gv, wv)):
+                if not values_equal(a, b):
+                    mismatch = f"col {col} row {i}: spark={a!r} duckdb={b!r}"
+                    break
+            if mismatch:
+                break
+        if mismatch:
+            failures.append((name, mismatch))
+        else:
+            print(f"OK    {name} ({len(g)} rows)")
+    for name, why in failures:
+        print(f"FAIL  {name}: {why}")
+    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
