@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Cosine similarity between two float vectors as a native Catalyst
+  * expression with whole-stage codegen (`doGenCode`), so the ANN /
+  * near-dup hot loops stay inside Tungsten-generated code instead of
+  * falling back to interpreted higher-order functions (Spark's
+  * `aggregate`/`zip_with` are CodegenFallback) or a boxed Scala UDF.
+  *
+  * The reference has no vector ops at all (SURVEY.md §2 — the whole type
+  * surface is Integer|Text, /root/reference/src/value.rs:4-8); this is
+  * part of the training-data-pipeline extension surface.
+  *
+  * Accumulation is sequential in index order with double precision —
+  * deterministic for a given input regardless of partitioning.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |  ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object VectorFunctions {
+
+  /** Column-DSL entry point for [[CosineSimilarity]]. */
+  def cosineSim(a: Column, b: Column): Column =
+    GraftShims.toColumn(
+      CosineSimilarity(GraftShims.toExpression(a), GraftShims.toExpression(b)))
+
+  /** SQL registration: `SELECT cosine_sim(a, b)`. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+
+  /** Reference implementation using only built-in higher-order functions
+    * (CodegenFallback path) — kept for cross-checking the custom
+    * expression in tests and as the no-custom-code fallback.
+    */
+  def cosineSimBuiltin(a: Column, b: Column): Column = {
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / sqrt(na * nb))
+  }
+
+  /** Signed-random-projection (hyperplane LSH) bit signature of a float
+    * vector: bit p = sign(v · h_p). Hyperplanes are deterministic
+    * (seeded) literals compiled into the plan, so executors need no
+    * side data and the signature is reproducible across runs/clusters.
+    */
+  def srpSignature(v: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, p) =>
+      val planeLit = typedlit(plane)
+      val dot = aggregate(
+        zip_with(v, planeLit, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Deterministic hyperplanes for [[srpSignature]] (fixed seed). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two access paths, mirroring how a 100 TB ANN system is layered:
+  *   - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast
+  *     (it's small by construction), the corpus streams through the
+  *     codegen'd [[graft.functions.CosineSimilarity]] expression, and
+  *     per-query top-k is a window rank — no corpus shuffle at all until
+  *     the final k·|queries| rows.
+  *   - [[srpBucketedTopK]]: signed-random-projection LSH. Corpus and
+  *     queries are bucketed by hyperplane bit signature; only same-bucket
+  *     (band-matching) pairs are scored. Sub-linear candidate generation;
+  *     recall traded via bands/bits.
+  *   - [[ivfTopK]]: IVF-style coarse quantization — vectors are assigned
+  *     to their nearest centroid once; a query scores only the vectors in
+  *     its nProbe nearest cells.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * Excludes self-matches (same id).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosineSim(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH candidate top-k: b bands of `bitsPerBand`-bit SRP signatures;
+    * a corpus vector is a candidate for a query if any band matches.
+    */
+  def srpBucketedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      bands: Int = 8,
+      bitsPerBand: Int = 6,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+
+    val planes = hyperplanes(bands * bitsPerBand, dim)
+    def banded(df: DataFrame, id: String, vec: String) = {
+      val withSig = (0 until bands).foldLeft(
+        df.select(col(idCol).as(id), col(vecCol).as(vec))) { (acc, b) =>
+        val bandPlanes = planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)
+        acc.withColumn(s"band_$b", srpSignature(col(vec), bandPlanes))
+      }
+      withSig.select(
+        col(id), col(vec),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"band_$b").as("bkey"))): _*)).as("lsh"))
+        .select(col(id), col(vec), col("lsh.band"), col("lsh.bkey"))
+    }
+
+    val c = banded(corpus, "neighbor_id", "cvec")
+    val q = banded(queries, "query_id", "qvec")
+    // rename band cols before the self-ish join to avoid name ambiguity
+    val cc = c.withColumnRenamed("band", "c_band").withColumnRenamed("bkey", "c_bkey")
+    val qq = q.withColumnRenamed("band", "q_band").withColumnRenamed("bkey", "q_bkey")
+    val cand = cc
+      .join(broadcast(qq),
+        col("c_band") === col("q_band") && col("c_bkey") === col("q_bkey") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
+      .distinct()
+
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosineSim(col("qvec"), col("cvec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * centroid (one broadcast join against the tiny centroid set), then
+    * answer queries by scanning only the `nProbe` closest cells.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int = 10,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+
+    val cents = centroids.select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+
+    def assign(df: DataFrame, id: String, vec: String, n: Int, out: String) = {
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell"))
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .join(broadcast(cents))
+        .select(col(id), col(vec), col("cell"),
+          cosineSim(col(vec), col("centroid")).as("csim"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .select(col(id), col(vec), col("cell").as(out))
+    }
+
+    val assigned = assign(corpus, "neighbor_id", "cvec", 1, "cell")
+    val probed = assign(queries, "query_id", "qvec", nProbe, "cell")
+
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned
+      .join(probed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosineSim(col("qvec"), col("cvec")).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine >= threshold), LSH
+    * bucketed so the self-join never goes all-pairs.
+    */
+  def embeddingNearDupPairs(
+      vectors: DataFrame,
+      threshold: Double = 0.95,
+      bands: Int = 4,
+      bitsPerBand: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+
+    val planes = hyperplanes(bands * bitsPerBand, dim)
+    val withBands = vectors
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn(
+        "lsh",
+        explode(array((0 until bands).map { b =>
+          val bandPlanes = planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)
+          struct(lit(b).as("band"), srpSignature(col("vec"), bandPlanes).as("bkey"))
+        }: _*)))
+      .select(col("id"), col("vec"), col("lsh.band").as("band"), col("lsh.bkey").as("bkey"))
+
+    val l = withBands.select(col("id").as("id_a"), col("vec").as("vec_a"), col("band"), col("bkey"))
+    val r = withBands.select(col("id").as("id_b"), col("vec").as("vec_b"), col("band"), col("bkey"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSim(col("vec_a"), col("vec_b")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

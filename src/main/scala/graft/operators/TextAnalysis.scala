@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analytics for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting. All pure
+  * `functions._` column expressions — no UDFs, fully distributed,
+  * no shuffle (per-row narrow transforms).
+  */
+object TextAnalysis {
+
+  /** Whitespace word count via length arithmetic (oracle-friendly:
+    * identical semantics in any SQL engine, no regex dialect risk).
+    * Assumes single-space-separated text (true of the corpus).
+    */
+  def wordCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** BPE-ish subword token estimate: alphabetic runs + digit runs +
+    * non-space punctuation each count as one token.
+    */
+  def tokenEstimate(text: Column): Column =
+    (size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))) +
+      size(regexp_extract_all(text, lit("[0-9]+"), lit(0))) +
+      size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0)))).cast("long")
+
+  /** Stopword lists for the 5 corpus languages — tiny, compiled into the
+    * plan as array literals (no side data to ship to executors).
+    */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "del", "para"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"))
+
+  /** N-gram/stopword-heuristic language ID: the language whose stopword
+    * list overlaps the token set most wins; ties break lexicographically;
+    * no hits → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val ts = Dedup.tokens(text)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(ts, typedlit(words))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*) // struct compare: hits first, lang tiebreak
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1]: length sweet-spot, word-length
+    * plausibility and punctuation moderation. Deterministic double
+    * arithmetic (oracle-expressible).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nWords = wordCount(text).cast("double")
+    val avgWordLen = (nChars - (nWords - 1)) / nWords
+    val lengthScore = least(nWords / lit(50.0), lit(1.0))
+    val wordLenScore =
+      when(avgWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctCount = size(regexp_extract_all(text, lit("[.!?,;:]"), lit(0))).cast("double")
+    val punctScore = when(punctCount / nWords <= 0.2, 1.0).otherwise(0.6)
+    (lengthScore * 0.5 + wordLenScore * 0.3 + punctScore * 0.2)
+  }
+
+  /** Content-defined document fingerprint: min of the xxhash64 values of
+    * the character 5-gram shingles (a 1-hash MinHash — stable under small
+    * edits at the tail, winnowing-lite). Plus use md5 for exact identity.
+    */
+  def fingerprint(text: Column): Column =
+    array_min(transform(Dedup.charShingles(text, 5), g => xxhash64(g)))
+
+  /** Full per-document text-analysis profile. */
+  def profile(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      wordCount(col(textCol)).as("n_words"),
+      tokenEstimate(col(textCol)).as("n_tokens"),
+      langId(col(textCol)).as("lang_pred"),
+      qualityScore(col(textCol)).as("quality"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+  private val nearDup = base.replace("tonight", "today") // 1-word edit
+  private val unrelated =
+    "completely different content about query engines shuffles partitions and broadcast joins in spark"
+
+  private lazy val docs = Seq(
+    (1L, base, "en"),
+    (2L, base, "en"),          // exact dup of 1
+    (3L, nearDup, "en"),       // near dup of 1
+    (4L, unrelated, "en"),
+    (5L, "tiny", "en")
+  ).toDF("doc_id", "text", "lang").cache()
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exact(docs).collect()
+    assert(groups.length == 4) // 5 docs, one exact pair
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup always collides
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash jaccard values are sane") {
+    val sim = Dedup.minhashPairs(docs, threshold = 0.5)
+      .filter($"id_a" === 1 && $"id_b" === 2)
+      .head().getAs[Double]("jaccard_sim")
+    assert(sim == 1.0) // identical shingle sets
+  }
+
+  test("simhash finds near duplicates within hamming distance") {
+    val pairs = Dedup.simhashPairs(docs)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => (p._1 == 4L || p._2 == 4L) && p._1 != p._2))
+  }
+
+  test("blocked ngram jaccard finds near duplicates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.6)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("word shingles handle short documents") {
+    val sh = docs.filter($"doc_id" === 5)
+      .select(Dedup.wordShingles($"text", 3).as("s"))
+      .head().getSeq[String](0)
+    assert(sh == Seq("tiny"))
+  }
+
+  test("minhash signature length and determinism") {
+    val sig = docs
+      .withColumn("h", transform(Dedup.wordShingles($"text", 3), s => xxhash64(s)))
+      .select(Dedup.minhashSignature($"h", 64).as("sig"))
+      .head().getSeq[Long](0)
+    assert(sig.length == 64)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("word count and token estimate on known strings") {
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "one two three four five"),
+      (3L, "a1 b2, c3!")
+    ).toDF("doc_id", "text")
+    val rows = df.select(
+      $"doc_id",
+      TextAnalysis.wordCount($"text").as("w"),
+      TextAnalysis.tokenEstimate($"text").as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == ((2L, 2L)))
+    assert(rows(2L) == ((5L, 5L)))
+    // "a1 b2, c3!": letters a,b,c (3) + digits 1,2,3 (3) + punct , ! (2) = 8
+    assert(rows(3L) == ((3L, 8L)))
+  }
+
+  test("language id picks the dominant stopword language") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is happy"),
+      (2L, "der hund ist ein guter freund und die katze"),
+      (3L, "le chat est un animal et la maison du village"),
+      (4L, "el perro es un animal y la casa del pueblo"),
+      (5L, "zzz qqq xxx www")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "fr")
+    assert(got(4L) == "es")
+    assert(got(5L) == "und")
+  }
+
+  test("quality score is in [0,1] and favors normal text") {
+    val df = Seq(
+      (1L, ("word " * 60).trim),                 // long, normal words
+      (2L, "x"),                                  // degenerate
+      (3L, "!!!! ???? ;;;; ::::")                 // punctuation soup
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
+    assert(got(1L) > got(2L))
+    assert(got(1L) > got(3L))
+  }
+
+  test("fingerprint is deterministic and edit-sensitive") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely different document about spark plans")
+    ).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextAnalysis.fingerprint($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("profile runs end-to-end on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prof = TextAnalysis.profile(docs)
+    assert(prof.count() == docs.count())
+    assert(prof.columns.toSet ==
+      Set("doc_id", "n_words", "n_tokens", "lang_pred", "quality", "fingerprint"))
+  }
+}
