@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.core.CoreQueries
 import graft.operators.{PipelineQueries, RelationalQueries}
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries ++
+      StreamingQueries.queries ++ CoreQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ PipelineQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles ++
+      StreamingQueries.oracles ++ CoreQueries.oracles
 }

@@ -22,10 +22,15 @@ object FilterOp {
   */
 object QueryParser {
 
-  /** query.rs:11-19: whitespace tokenize, parse, reject trailing tokens. */
+  /** query.rs:11-19: whitespace tokenize, parse, reject trailing tokens.
+    * The reference's `split_whitespace` splits on Rust `char::is_whitespace`
+    * = the Unicode White_Space property — in Java regex that is
+    * `\p{IsWhite_Space}` (NOT `\s`, which is ASCII-only, and not
+    * `\p{javaWhitespace}`, which excludes U+00A0 NBSP).
+    */
   def parse(input: String): Either[String, Query] = {
     val tokens: Vector[String] =
-      input.split("\\s+").iterator.filter(_.nonEmpty).toVector
+      input.split("[\\p{IsWhite_Space}]+").iterator.filter(_.nonEmpty).toVector
     for {
       proj <- parseProjection(tokens, 0)
       (columnNames, afterProjection) = proj

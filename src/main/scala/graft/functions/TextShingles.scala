@@ -1,0 +1,86 @@
+package graft.functions
+
+import java.util.LinkedHashSet
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel shared by interpreted eval and generated code. */
+object NgramHelper {
+
+  /** Distinct character n-grams (by code point, first-occurrence order —
+    * the same result as `array_distinct(transform(sequence(...), i =>
+    * substr(i, n)))`, including the short-document rule: a document
+    * shorter than n code points yields its whole text as the single
+    * shingle).
+    */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val cps = s.codePoints().toArray()
+    val m = cps.length
+    if (m < n) {
+      new GenericArrayData(Array[Any](text.copy()))
+    } else {
+      val seen = new LinkedHashSet[String]()
+      var i = 0
+      while (i <= m - n) {
+        seen.add(new String(cps, i, n))
+        i += 1
+      }
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) {
+        out(j) = UTF8String.fromString(it.next())
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** Distinct character n-gram shingles of a string as a codegen'd Catalyst
+  * expression — one pass per document instead of the interpreted
+  * `transform(sequence(...), i => substr(...))` higher-order chain
+  * (CodegenFallback, re-evaluated per branch), which dominated the n-gram
+  * dedup runtime. Equivalence with the HOF formulation is pinned in
+  * HashFunctionsSpec.
+  */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHelper.charNgrams(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.NgramHelper.charNgrams($s, $n);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextShingles {
+  def charNgrams(text: Column, n: Int): Column =
+    GraftShims.toColumn(CharNgrams(GraftShims.toExpression(text), n))
+}

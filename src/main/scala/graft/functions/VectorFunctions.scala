@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity between two float vectors as a native Catalyst
   * expression with whole-stage codegen (`doGenCode`), so the ANN /
@@ -26,6 +27,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
+
+  // The element reads below are getFloat — 4 bytes of the slot — so any
+  // non-float element type (easy to feed via the SQL-registered
+  // `cosine_sim`) would silently return garbage. Reject it at analysis
+  // time instead. (AbstractDataType/ExpectsInputTypes is private[sql],
+  // hence checkInputDataTypes rather than inputTypes.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, array<float>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
 
 /** Deduplication operators for large-scale text corpora — the
   * training-data-pipeline extension surface (absent from the reference,
@@ -11,8 +12,12 @@ import org.apache.spark.sql.functions._
   *   - exact: one hash-groupBy on a 128-bit digest (map-side partial agg);
   *   - MinHash/SimHash/SRP: candidate generation via LSH banding — the
   *     self-join shuffles on compact band keys, never on full documents or
-  *     all-pairs. At 100 TB the only O(n²) work left is within tiny
-  *     buckets, and verification joins carry doc ids + signatures only.
+  *     all-pairs; the exact-Jaccard verification step then joins the
+  *     candidate id pairs back to the per-doc shingle sets (bounded by the
+  *     candidate count, not the corpus size);
+  *   - exact n-gram Jaccard: prefix filtering (AllPairs/PPJoin-style) —
+  *     candidates must share a gram in their rarest-first prefixes, so the
+  *     self-join keys on individual rare grams, never on unbounded blocks.
   */
 object Dedup {
 
@@ -36,8 +41,17 @@ object Dedup {
       .otherwise(array(array_join(ts, " ")))
   }
 
-  /** Distinct character n-gram shingles. */
+  /** Distinct character n-gram shingles — codegen'd single pass
+    * ([[graft.functions.CharNgrams]]); the HOF formulation is kept below
+    * for equivalence testing.
+    */
   def charShingles(text: Column, n: Int = 5): Column =
+    graft.functions.TextShingles.charNgrams(text, n)
+
+  /** Built-in-functions-only formulation of [[charShingles]] (interpreted
+    * CodegenFallback; test oracle for the codegen'd expression).
+    */
+  def charShinglesBuiltin(text: Column, n: Int = 5): Column =
     array_distinct(
       transform(
         sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
@@ -93,7 +107,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
 
-    val withShingles = docs
+    val withShingles = Corpus.spread(docs)
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWords).as("shingles"))
     val withSig = withShingles
       .withColumn("hashes", transform(col("shingles"), s => xxhash64(s)))
@@ -138,27 +152,13 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is
     * the sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
+    * Computed by the codegen'd [[graft.functions.SimHash64]] expression —
+    * one pass over the token array inside whole-stage codegen (the
+    * higher-order-function formulation re-walks the array 64 times through
+    * interpreted lambdas; equivalence is pinned in HashFunctionsSpec).
     */
-  def simhash(text: Column): Column = {
-    // functions.shiftleft/shiftright only accept literal shift amounts;
-    // with a Column shift we go through the SQL functions by name.
-    def shr(v: Column, bits: Column): Column =
-      call_function("shiftright", v, bits.cast("int"))
-    def shl(v: Column, bits: Column): Column =
-      call_function("shiftleft", v, bits.cast("int"))
-    val hs = transform(tokens(text), t => xxhash64(t))
-    val bits = transform(
-      sequence(lit(0), lit(63)),
-      b => {
-        val vote = aggregate(
-          hs,
-          lit(0L),
-          (acc, h) =>
-            acc + when(shr(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        when(vote > 0, shl(lit(1L), b)).otherwise(lit(0L))
-      })
-    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(text: Column): Column =
+    HashFunctions.simhash64(tokens(text))
 
   /** Near-duplicate pairs with SimHash Hamming distance <= maxHamming.
     * Banding by pigeonhole: split the 64-bit fingerprint into
@@ -176,7 +176,8 @@ object Dedup {
     val bitsPerChunk = 64 / chunks
     val mask = (1L << bitsPerChunk) - 1
 
-    val withSim = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val withSim = Corpus.spread(docs)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val banded = withSim.select(
       col("id"), col("sh"),
       explode(
@@ -202,36 +203,152 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  // ---------- blocked exact n-gram Jaccard ----------
+  // ---------- exact n-gram Jaccard: prefix-filter candidates + O(1) verify ----------
 
-  /** Exact character-n-gram Jaccard pairs within cheap blocks
-    * (language × length bucket). Exact but O(block²) — the LSH variants
-    * above are the 100 TB path; this is the high-precision small-block
-    * tool and the oracle for them.
+  /** ALL exact character-n-gram Jaccard pairs with similarity >= threshold,
+    * found without an all-pairs (or unbounded-block) self-join and without
+    * ever shuffling gram arrays to candidate pairs.
+    *
+    * Candidate generation is prefix filtering (the AllPairs/PPJoin
+    * family): under any global total order on grams, two sets with
+    * Jaccard >= t must share at least one gram among their first
+    * `|g| - ceil(t*|g|) + 1` grams. Grams are ordered rarest-first (by
+    * corpus document frequency), plus the size filter
+    * t <= |A|/|B| <= 1/t implied by Jaccard >= t.
+    *
+    * Verification is O(1) per candidate instead of an
+    * `array_intersect` over multi-KB arrays (which would shuffle
+    * GBs on corpora with dense vocabularies where prefixes prune little):
+    * the exact overlap decomposes as
+    *   |A ∩ B| = sharedCommon(A,B) + sharedRare(A,B)
+    * where "common" grams (document frequency > rareDf) form a BOUNDED
+    * dictionary — at most totalGramOccurrences / rareDf entries by
+    * pigeonhole — so per-doc common-membership packs into a bitset
+    * ([[graft.functions.BitsetFromPositions]]) and sharedCommon is a
+    * word-AND popcount ([[graft.functions.BitsetIntersectCount]]);
+    * sharedRare comes from a self-join restricted to rare grams, whose
+    * fan-out per gram is capped at rareDf². Jaccard then follows from
+    * counts alone: |A ∪ B| = |A| + |B| - |A ∩ B|.
+    *
+    * At 100 TB: the candidate join fans out per gram by document
+    * frequency with common grams confined to suffixes (natural zipfian
+    * vocabularies prune hard); the doc-signature table (id, size, bitset)
+    * joins candidates as a normal equi-join (broadcast when small); no
+    * stage carries per-doc gram arrays across a shuffle.
+    *
+    * Note: building the common dictionary runs one small driver-side job
+    * (collect of at most totalGramOccurrences/rareDf grams) — the same
+    * data-dependent planning AQE does.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       ngram: Int = 5,
-      lengthBucket: Int = 50,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      rareDf: Int = 64,
+      broadcastSignatures: Boolean = true): DataFrame = {
 
-    val prepared = docs.select(
-      col(idCol).as("id"),
-      col("lang"),
-      (length(col(textCol)) / lengthBucket).cast("int").as("lbucket"),
-      charShingles(col(textCol), ngram).as("grams"))
+    import graft.functions.BitsetFunctions._
+    val spark = docs.sparkSession
 
-    val l = prepared.alias("l")
-    val r = prepared.alias("r")
-    l.join(r,
-        col("l.lang") === col("r.lang") &&
-          col("l.lbucket") === col("r.lbucket") &&
-          col("l.id") < col("r.id"))
+    val grams = Corpus.spread(docs).select(
+      col(idCol).as("id"), charShingles(col(textCol), ngram).as("grams"))
+    // the shingle table feeds four branches (frequencies, prefixes, rare
+    // join, signatures) — materialize it once instead of re-shingling the
+    // corpus per branch
+    val exploded = grams
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .persist()
+    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
+
+    // ---- candidates: rarest-first prefix filtering ----
+    val prefixLen =
+      (size(col("sgrams")) - ceil(lit(threshold) * size(col("sgrams"))) + 1)
+        .cast("int")
+    // persisted: the candidate self-join reads it twice (build + probe)
+    val prefixes = exploded
+      .join(freq, "gram")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("sorted"))
       .select(
-        col("l.id").as("id_a"), col("r.id").as("id_b"),
-        jaccard(col("l.grams"), col("r.grams")).as("jaccard_sim"))
+        col("id"),
+        transform(col("sorted"), s => s.getField("gram")).as("sgrams"))
+      .select(
+        col("id"),
+        size(col("sgrams")).as("sz"),
+        posexplode(slice(col("sgrams"), lit(1), prefixLen)).as(Seq("pos", "gram")))
+      .persist()
+
+    // size filter (t <= |A|/|B| <= 1/t) plus the PPJoin positional filter:
+    // a match at sorted positions (i, j) can contribute at most
+    // 1 + min(|A|-i, |B|-j) overlap, which must reach the equivalent
+    // overlap bound ceil(t/(1+t) * (|A|+|B|)) — prunes most raw matches.
+    // Candidate pairs are NOT deduplicated here: verification is O(1) per
+    // row, so checking duplicates is cheaper than a pre-shuffle distinct
+    // over the raw match stream; the (tiny) verified output dedups at the
+    // end instead.
+    val overlapBound =
+      ceil(lit(threshold / (1 + threshold)) * (col("l.sz") + col("r.sz")))
+    val candidates = prefixes.alias("l")
+      .join(prefixes.alias("r"),
+        col("l.gram") === col("r.gram") &&
+          col("l.id") < col("r.id") &&
+          col("r.sz") * threshold <= col("l.sz") &&
+          col("l.sz") * threshold <= col("r.sz") &&
+          lit(1) + least(
+            col("l.sz") - col("l.pos") - 1,
+            col("r.sz") - col("r.pos") - 1) >= overlapBound)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+
+    // ---- shared-rare counts: bounded fan-out self-join on rare grams ----
+    val rare = exploded.join(freq.filter(col("df") <= rareDf), "gram")
+      .select(col("id"), col("gram"))
+    val rareCounts = rare.alias("l")
+      .join(rare.alias("r"),
+        col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("rare_shared"))
+
+    // ---- common dictionary (bounded: <= totalGramOccurrences / rareDf) ----
+    val commonGrams = freq.filter(col("df") > rareDf)
+      .select("gram").orderBy("gram").collect().map(_.getString(0))
+    val numBits = commonGrams.length
+    val dict = spark.createDataFrame(
+      commonGrams.toIndexedSeq.zipWithIndex.map { case (g, i) => (g, i) })
+      .toDF("gram", "pos")
+
+    // ---- per-doc signature: size + common-membership bitset ----
+    val positions = exploded.join(dict, "gram")
+      .groupBy("id").agg(collect_list(col("pos")).as("positions"))
+    val sig = grams
+      .select(col("id"), size(col("grams")).as("sz"))
+      .join(positions, Seq("id"), "left")
+      .select(
+        col("id"), col("sz"),
+        bitsetFromPositions(
+          coalesce(col("positions"), typedlit(Array.empty[Int])),
+          math.max(numBits, 1)).as("bm"))
+
+    // ---- O(1) verification from counts alone ----
+    // signature/rare-count sides are broadcast when they fit (their size
+    // is O(docs), far below the candidate pair count; at corpus sizes
+    // where they no longer fit, drop the hint and these become plain
+    // equi-joins — candidates never need to move either way)
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastSignatures) broadcast(df) else df
+    val overlap =
+      bitsetIntersectCount(col("bm_a"), col("bm_b")) +
+        coalesce(col("rare_shared"), lit(0L))
+    candidates
+      .join(hinted(sig.select(col("id").as("id_a"), col("sz").as("sz_a"), col("bm").as("bm_a"))), "id_a")
+      .join(hinted(sig.select(col("id").as("id_b"), col("sz").as("sz_b"), col("bm").as("bm_b"))), "id_b")
+      .join(hinted(rareCounts), Seq("id_a", "id_b"), "left")
+      .select(
+        col("id_a"), col("id_b"),
+        (overlap.cast("double") /
+          (col("sz_a") + col("sz_b") - overlap).cast("double")).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= threshold)
+      .distinct() // candidates arrive once per shared prefix gram
   }
 }

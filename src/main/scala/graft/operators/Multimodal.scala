@@ -1,52 +1,93 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Extracted media metadata row (the output schema of the decode stage). */
 case class MediaMeta(
     doc_id: Long,
-    n_bytes: Int,
-    width: Int,
-    height: Int,
+    n_bytes: Long,
+    width: Long,
+    height: Long,
     format: String,
-    frame_count: Int)
+    frame_count: Long)
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata; decode / feature-extraction runs
   * per-partition so one task initializes its (native) decoder once and
   * streams a batch of payloads through it.
   *
-  * The decode step itself is STUBBED — the container has no image/audio
-  * codecs — with a deterministic fake that derives plausible dimensions
-  * from the payload bytes. Everything around it is real and tested: the
-  * binary schema, the repartitioning for parallel decode, the typed
-  * Dataset output, and the batch-shaped per-partition iteration, so a
-  * real decoder drops into [[stubDecode]] without touching the plan.
+  * The container ships no image/audio codecs, so the payloads are a
+  * SELF-DESCRIBING synthetic format: a PNM-style ASCII header (magic,
+  * `# frames=` comment, width/height, maxval — the real PPM/PGM header
+  * layout) followed by the body bytes. [[decodePnm]] does real byte-level
+  * parsing of that header — magic dispatch, comment skipping, dimension
+  * parse — exactly the work a PNM decoder performs, so the stage
+  * exercises genuine decode work and its output is checked against the
+  * embedded ground truth (MultimodalSpec + the driver's SQL oracle).
+  * A production codec drops into [[decodePnm]] without touching the plan.
   */
 object Multimodal {
 
-  /** STUB: stands in for e.g. an image decoder returning (w, h, format).
-    * Deterministic in the payload bytes.
+  /** Ground-truth metadata formulas, derived deterministically from
+    * doc_id — used by [[withPayload]] to build headers and by the SQL
+    * oracle to recompute them independently.
     */
-  private def stubDecode(id: Long, payload: Array[Byte]): MediaMeta = {
-    val h = java.util.Arrays.hashCode(payload)
-    MediaMeta(
-      doc_id = id,
-      n_bytes = payload.length,
-      width = 64 + math.abs(h % 1857),
-      height = 64 + math.abs((h >> 8) % 1017),
-      format = if ((h & 1) == 0) "png" else "jpeg",
-      frame_count = 1 + math.abs((h >> 16) % 64))
+  object Truth {
+    def width(id: Column): Column = lit(64L) + id % 1857
+    def height(id: Column): Column = lit(64L) + (id * 7919) % 1017
+    def frames(id: Column): Column = lit(1L) + (id * 104729) % 64
+    def magic(id: Column): Column = when(id % 2 === 0, "P6").otherwise("P5")
+    def format(id: Column): Column = when(id % 2 === 0, "ppm").otherwise("pgm")
   }
 
-  /** Attach a binary payload column (here synthesized from text, since the
-    * corpus ships no real media; in production this IS the stored bytes).
+  /** Attach a binary payload column: a PNM-style header encoding the
+    * ground-truth metadata, then the document text as the body (the corpus
+    * ships no real media; in production this IS the stored bytes).
     */
-  def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(
-      col("doc_id"),
-      encode(col(textCol), "utf-8").as("payload"))
+  def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val id = col("doc_id")
+    val header = concat(
+      Truth.magic(id), lit("\n# frames="), Truth.frames(id).cast("string"),
+      lit("\n"), Truth.width(id).cast("string"), lit(" "),
+      Truth.height(id).cast("string"), lit("\n255\n"))
+    docs.select(id, encode(concat(header, col(textCol)), "UTF-8").as("payload"))
+  }
+
+  /** Byte-level PNM-style header parse: magic line, `#` comment lines
+    * (frame count rides in one), `width height` line, maxval line.
+    */
+  private[operators] def decodePnm(id: Long, payload: Array[Byte]): MediaMeta = {
+    var pos = 0
+    def readLine(): String = {
+      val start = pos
+      while (pos < payload.length && payload(pos) != '\n') pos += 1
+      val line = new String(payload, start, pos - start, UTF_8)
+      pos += 1 // consume the newline
+      line
+    }
+    val format = readLine() match {
+      case "P6" => "ppm"
+      case "P5" => "pgm"
+      case other => s"unknown($other)"
+    }
+    var frames = 1L
+    var line = readLine()
+    while (line.startsWith("#")) {
+      if (line.startsWith("# frames=")) frames = line.substring(9).trim.toLong
+      line = readLine()
+    }
+    val dims = line.split(" ")
+    MediaMeta(
+      doc_id = id,
+      n_bytes = payload.length.toLong,
+      width = dims(0).toLong,
+      height = dims(1).toLong,
+      format = format,
+      frame_count = frames)
+  }
 
   /** Decode/feature-extract stage: binary column in, typed metadata out.
     * `mapPartitions` (not per-row UDF) so decoder init is amortized per
@@ -62,12 +103,12 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // real decoder would be initialized HERE, once per partition
-        batch.map { case (id, payload) => stubDecode(id, payload) }
+        // a real decoder would be initialized HERE, once per partition
+        batch.map { case (id, payload) => decodePnm(id, payload) }
       }
   }
 
-  /** End-to-end stub pipeline over the documents table: payload → decode →
+  /** End-to-end pipeline over the documents table: payload → decode →
     * per-format size stats. The aggregate shape (small group-by after a
     * wide decode stage) is the canonical multimodal-ingest plan.
     */
@@ -77,7 +118,7 @@ object Multimodal {
       .groupBy(col("format"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        sum(col("n_bytes")).as("total_bytes"),
         max(col("width")).as("max_width"),
         max(col("height")).as("max_height"))
       .orderBy("format")

@@ -37,10 +37,15 @@ object PipelineQueries {
     }),
 
     // ---- similarity search ----
+    // oracle-checked entries round cosine to 6 decimals BEFORE ranking:
+    // coarse enough that cross-engine last-ulp accumulation noise cannot
+    // flip a rounded value, and rounded ties break by neighbor id
+    // identically on both sides
     "ann_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity
-        .bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
+          roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
     "ann_srp_topk" -> ((s, d) => {
@@ -53,31 +58,33 @@ object PipelineQueries {
       val emb = t(s, d, "embeddings")
       Similarity
         .ivfTopK(emb, emb.filter(col("vec_id") < 10),
-          centroids = emb.filter(col("vec_id") % 100 === 7), k = 10, nProbe = 2)
+          centroids = emb.filter(col("vec_id") % 100 === 7), k = 10, nProbe = 2,
+          roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
 
     // ---- text analysis ----
+    // Corpus.spread: per-row regex/hash work parallelizes past the
+    // single-row-group scan (no-op when the input arrives well-split)
     "text_tokens" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      docs.select(
+      Corpus.spread(t(s, d, "documents")).select(
         col("doc_id"),
         TextAnalysis.wordCount(col("text")).as("n_words"),
         TextAnalysis.tokenEstimate(col("text")).as("n_tokens"))
         .orderBy("doc_id")
     }),
     "text_quality" -> ((s, d) => {
-      t(s, d, "documents")
+      Corpus.spread(t(s, d, "documents"))
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
     "text_langid" -> ((s, d) => {
-      t(s, d, "documents")
+      Corpus.spread(t(s, d, "documents"))
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
     "text_fingerprint" -> ((s, d) => {
-      t(s, d, "documents")
+      Corpus.spread(t(s, d, "documents"))
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
@@ -92,6 +99,123 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    // exact all-pairs semantics (prefix filtering changes the plan, not
+    // the result set); the size predicate is implied by jaccard >= 0.6,
+    // added only to prune the oracle's quadratic join
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([substring(text, i, 5)
+        |                   for i in generate_series(1, greatest(length(text) - 4, 1))]) AS grams
+        |  FROM documents),
+        |cand AS (
+        |  SELECT l.id AS id_a, r.id AS id_b,
+        |    CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(l.grams, r.grams))) AS DOUBLE) AS jaccard_sim
+        |  FROM g l JOIN g r ON l.id < r.id
+        |    AND len(r.grams) >= 0.6 * len(l.grams)
+        |    AND len(l.grams) >= 0.6 * len(r.grams))
+        |SELECT id_a, id_b, jaccard_sim FROM cand
+        |WHERE jaccard_sim >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_dot_product(qv, cv)
+        |      / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 6) AS cosine
+        |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS INT) AS "rank"
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 100 = 7),
+        |ascore AS (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    round(list_dot_product(e.v, cents.cv)
+        |      / sqrt(list_dot_product(e.v, e.v) * list_dot_product(cents.cv, cents.cv)), 6) AS csim
+        |  FROM e CROSS JOIN cents),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, v AS cvec, cell FROM (
+        |    SELECT vec_id, v, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        |    FROM ascore) s WHERE rn = 1),
+        |probed AS (
+        |  SELECT vec_id AS query_id, v AS qvec, cell FROM (
+        |    SELECT vec_id, v, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        |    FROM ascore WHERE vec_id < 10) s WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    round(list_dot_product(p.qvec, a.cvec)
+        |      / sqrt(list_dot_product(p.qvec, p.qvec) * list_dot_product(a.cvec, a.cvec)), 6) AS cosine
+        |  FROM assigned a JOIN probed p USING (cell)
+        |  WHERE p.query_id <> a.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS INT) AS "rank"
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    "text_langid" ->
+      """WITH sw(lang, words) AS (VALUES
+        |  ('de', ['der','die','das','und','ist','ein','eine','zu','den','mit']),
+        |  ('en', ['the','a','of','and','to','in','is','it','that','for']),
+        |  ('es', ['el','la','los','y','es','un','una','de','del','para']),
+        |  ('fr', ['le','la','les','et','est','un','une','de','du','pour']),
+        |  ('zh', ['的','是','了','在','和','有','我','不','这','人'])),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, len(list_intersect(ts, words)) AS hits
+        |  FROM toks CROSS JOIN sw),
+        |ranked AS (
+        |  SELECT doc_id, lang, hits,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY hits DESC, lang DESC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_aggregate(
+        |    [md5(g) for g in
+        |      list_distinct([substring(text, i, 5)
+        |                     for i in generate_series(1, greatest(length(text) - 4, 1))])],
+        |    'min') AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // recomputes the PNM-header ground truth (Multimodal.Truth) from
+    // first principles and aggregates it the same way mediaProfile does
+    "multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'pgm' END AS format,
+        |    64 + doc_id % 1857 AS width,
+        |    64 + (doc_id * 7919) % 1017 AS height,
+        |    octet_length(encode(
+        |      (CASE WHEN doc_id % 2 = 0 THEN 'P6' ELSE 'P5' END)
+        |      || chr(10) || '# frames=' || CAST(1 + (doc_id * 104729) % 64 AS VARCHAR)
+        |      || chr(10) || CAST(64 + doc_id % 1857 AS VARCHAR)
+        |      || ' ' || CAST(64 + (doc_id * 7919) % 1017 AS VARCHAR)
+        |      || chr(10) || '255' || chr(10) || text)) AS n_bytes
+        |  FROM documents)
+        |SELECT format, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(width) AS BIGINT) AS max_width,
+        |  CAST(MAX(height) AS BIGINT) AS max_height
+        |FROM m GROUP BY format ORDER BY format""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_words,

@@ -1,27 +1,54 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TopKAggregator
 import graft.functions.VectorFunctions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two access paths, mirroring how a 100 TB ANN system is layered:
+  * Three access paths, mirroring how a 100 TB ANN system is layered:
   *   - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast
   *     (it's small by construction), the corpus streams through the
   *     codegen'd [[graft.functions.CosineSimilarity]] expression, and
-  *     per-query top-k is a window rank — no corpus shuffle at all until
-  *     the final k·|queries| rows.
+  *     per-query top-k runs as a two-phase bounded-heap aggregation
+  *     ([[graft.functions.TopKAggregator]]): partial top-k per partition,
+  *     shuffle of at most k rows per partition per query, final merge —
+  *     the scored corpus is never funneled into one task.
   *   - [[srpBucketedTopK]]: signed-random-projection LSH. Corpus and
   *     queries are bucketed by hyperplane bit signature; only same-bucket
   *     (band-matching) pairs are scored. Sub-linear candidate generation;
   *     recall traded via bands/bits.
   *   - [[ivfTopK]]: IVF-style coarse quantization — vectors are assigned
-  *     to their nearest centroid once; a query scores only the vectors in
-  *     its nProbe nearest cells.
+  *     to their nearest centroid once (a map-side `max_by` aggregation,
+  *     no sort, no window); a query scores only the vectors in its
+  *     nProbe nearest cells.
+  *
+  * `roundDecimals`: when >= 0, cosine scores are rounded before ranking.
+  * Entries verified against an external SQL oracle use 6 — coarse enough
+  * that last-ulp accumulation differences between engines can't flip a
+  * rounded value, with ties broken deterministically by id on both sides.
   */
 object Similarity {
+
+  private def maybeRound(c: Column, decimals: Int): Column =
+    if (decimals >= 0) round(c, decimals) else c
+
+  /** Two-phase per-query top-k over (query_id, neighbor_id, cosine) rows:
+    * partial k-bounded heaps map-side, tiny shuffle, ranked explode.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = TopKAggregator.topK(k)
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cosine")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(
+        col("query_id"),
+        col("s.id").as("neighbor_id"),
+        col("s.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** Exact cosine top-k neighbors for each query vector.
     * Excludes self-matches (same id).
@@ -31,21 +58,19 @@ object Similarity {
       queries: DataFrame,
       k: Int = 10,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): DataFrame = {
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val c = Corpus.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
-        cosineSim(col("qvec"), col("cvec")).as("cosine"))
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+        maybeRound(cosineSim(col("qvec"), col("cvec")), roundDecimals)
+          .as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** LSH candidate top-k: b bands of `bitsPerBand`-bit SRP signatures;
@@ -75,7 +100,7 @@ object Similarity {
         .select(col(id), col(vec), col("lsh.band"), col("lsh.bkey"))
     }
 
-    val c = banded(corpus, "neighbor_id", "cvec")
+    val c = banded(Corpus.spread(corpus), "neighbor_id", "cvec")
     val q = banded(queries, "query_id", "qvec")
     // rename band cols before the self-ish join to avoid name ambiguity
     val cc = c.withColumnRenamed("band", "c_band").withColumnRenamed("bkey", "c_bkey")
@@ -87,20 +112,16 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
       .distinct()
 
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand
-      .select(
-        col("query_id"), col("neighbor_id"),
-        cosineSim(col("qvec"), col("cvec")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val scored = cand.select(
+      col("query_id"), col("neighbor_id"),
+      cosineSim(col("qvec"), col("cvec")).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest
-    * centroid (one broadcast join against the tiny centroid set), then
-    * answer queries by scanning only the `nProbe` closest cells.
+    * centroid (one broadcast join against the tiny centroid set, reduced
+    * with `max_by` — a shuffle-free partial aggregation, no global sort),
+    * then answer queries by scanning only the `nProbe` closest cells.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -109,36 +130,40 @@ object Similarity {
       k: Int = 10,
       nProbe: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): DataFrame = {
 
     val cents = centroids.select(col(idCol).as("cell"), col(vecCol).as("centroid"))
 
-    def assign(df: DataFrame, id: String, vec: String, n: Int, out: String) = {
-      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell"))
+    def scoredCells(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec))
         .join(broadcast(cents))
         .select(col(id), col(vec), col("cell"),
-          cosineSim(col(vec), col("centroid")).as("csim"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .select(col(id), col(vec), col("cell").as(out))
-    }
+          maybeRound(cosineSim(col(vec), col("centroid")), roundDecimals)
+            .as("csim"))
 
-    val assigned = assign(corpus, "neighbor_id", "cvec", 1, "cell")
-    val probed = assign(queries, "query_id", "qvec", nProbe, "cell")
+    // nearest cell per corpus vector: max by (csim, -cell) = best score,
+    // smallest cell id on ties — aggregation, not a window sort
+    val assigned = scoredCells(Corpus.spread(corpus), "neighbor_id", "cvec")
+      .groupBy(col("neighbor_id"), col("cvec"))
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"))
 
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    assigned
+    // nProbe nearest cells per query via the same bounded top-k aggregator
+    val probeK = TopKAggregator.topK(nProbe)
+    val probed = scoredCells(queries, "query_id", "qvec")
+      .groupBy(col("query_id"), col("qvec"))
+      .agg(probeK(col("cell"), col("csim")).as("cells"))
+      .select(col("query_id"), col("qvec"),
+        explode(transform(col("cells"), s => s.getField("id"))).as("cell"))
+
+    val scored = assigned
       .join(probed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
-        cosineSim(col("qvec"), col("cvec")).as("cosine"))
-      .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+        maybeRound(cosineSim(col("qvec"), col("cvec")), roundDecimals)
+          .as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine >= threshold), LSH
@@ -154,7 +179,7 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
 
     val planes = hyperplanes(bands * bitsPerBand, dim)
-    val withBands = vectors
+    val withBands = Corpus.spread(vectors)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn(
         "lsh",

@@ -66,12 +66,15 @@ object TextAnalysis {
     (lengthScore * 0.5 + wordLenScore * 0.3 + punctScore * 0.2)
   }
 
-  /** Content-defined document fingerprint: min of the xxhash64 values of
-    * the character 5-gram shingles (a 1-hash MinHash — stable under small
-    * edits at the tail, winnowing-lite). Plus use md5 for exact identity.
+  /** Content-defined document fingerprint: min of the md5 digests of the
+    * character 5-gram shingles (a 1-hash MinHash — stable under small
+    * edits elsewhere in the document, winnowing-lite). md5 rather than
+    * xxhash64 so the fingerprint is reproducible in any SQL engine
+    * (lexicographic min over hex digests is a uniform min-hash), which
+    * makes the entry oracle-checkable.
     */
   def fingerprint(text: Column): Column =
-    array_min(transform(Dedup.charShingles(text, 5), g => xxhash64(g)))
+    array_min(transform(Dedup.charShingles(text, 5), g => md5(encode(g, "UTF-8"))))
 
   /** Full per-document text-analysis profile. */
   def profile(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface over the `events` table (SURVEY.md §2
+  * row 18, §7.3). The reference is batch-only — one-shot CSV load,
+  * /root/reference/src/main.rs:19-63 — so this is pure extension surface,
+  * built entirely from Spark's built-in stateful operators (watermark +
+  * window/session_window; no custom state store, per SURVEY §7.4.5).
+  *
+  * Every transform here takes a DataFrame and works UNCHANGED on both a
+  * `readStream` source and a batch table: on a streaming child the
+  * watermark bounds state and drops late rows; on a batch child Catalyst
+  * eliminates the watermark node (EliminateEventTimeWatermark) and the
+  * same aggregation runs as a plain group-by. That symmetry is the test
+  * and oracle strategy: StreamingSpec drives the streaming path through
+  * MemoryStream, and the driver's DuckDB gate checks the batch path of
+  * the identical plan (`q_stream_window_batch` / `q_stream_session_batch`).
+  *
+  * At scale: windowed counts shuffle on (window, key) — bounded
+  * cardinality, map-side partial aggregation; state per key·window is a
+  * counter, evicted at watermark, so state size is
+  * O(active windows × keys), independent of event volume.
+  */
+object Streaming {
+
+  /** Tumbling-window counts per event_type with a watermark.
+    * Output: window_start (timestamp), event_type, n_events, total_value.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding-window counts (windowLen window every slide). */
+  def slidingCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** Session windows per user: a session closes after `gap` of
+    * inactivity. Output: user_id, session_start, n_events.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("session_start"),
+        col("n_events"))
+}

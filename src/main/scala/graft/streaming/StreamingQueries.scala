@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Oracle-checked BATCH entries for the streaming transforms: the same
+  * [[Streaming]] plans run over the batch `events` table (Catalyst drops
+  * the watermark on a batch child), so the driver's DuckDB gate verifies
+  * the aggregation semantics that StreamingSpec drives through
+  * MemoryStream.
+  *
+  * Output normalization for cross-engine hashing: window/session starts
+  * are emitted as epoch SECONDS (BIGINT — timestamp encodings differ
+  * between engines), and double sums are rounded to 3 decimals (summation
+  * order differs, last-ulp noise must not flip the hash).
+  */
+object StreamingQueries {
+
+  private def t(s: SparkSession, d: String): DataFrame = Tables(s, d, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_window_batch" -> ((s, d) => {
+      Streaming.windowedCounts(t(s, d))
+        .select(
+          col("window_start").cast("long").as("window_start"),
+          col("event_type"), col("n_events"),
+          round(col("total_value"), 3).as("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+    "q_stream_sliding_batch" -> ((s, d) => {
+      Streaming.slidingCounts(t(s, d))
+        .select(
+          col("window_start").cast("long").as("window_start"),
+          col("event_type"), col("n_events"))
+        .orderBy("window_start", "event_type")
+    }),
+    "q_stream_session_batch" -> ((s, d) => {
+      Streaming.sessionCounts(t(s, d))
+        .select(
+          col("user_id"),
+          col("session_start").cast("long").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // tumbling 1h windows align to epoch hours = date_trunc('hour')
+    "q_stream_window_batch" ->
+      """SELECT CAST(epoch_ns(date_trunc('hour', ts)) // 1000000000 AS BIGINT) AS window_start,
+        |  event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  round(SUM(value), 3) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 1h windows sliding every 30min: each event lands in exactly the
+    // two windows starting at trunc30(ts) and trunc30(ts) - 30min
+    "q_stream_sliding_batch" ->
+      """WITH es AS (
+        |  SELECT epoch_ns(ts) // 1000000000 AS sec, event_type FROM events),
+        |hits AS (
+        |  SELECT (sec // 1800) * 1800 AS wstart, event_type FROM es
+        |  UNION ALL
+        |  SELECT (sec // 1800) * 1800 - 1800 AS wstart, event_type FROM es)
+        |SELECT CAST(wstart AS BIGINT) AS window_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM hits GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session windows with a 10-minute gap, gaps-and-islands formulation;
+    // Spark's session end is exclusive, so a gap of EXACTLY 10 minutes
+    // starts a new session (>=, not >)
+    "q_stream_session_batch" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  CAST(epoch_ns(MIN(ts)) // 1000000000 AS BIGINT) AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+  )
+}

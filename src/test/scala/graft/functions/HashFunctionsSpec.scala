@@ -1,0 +1,104 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class HashFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("codegen'd simhash64 is bit-identical to the HOF formulation") {
+    // the HOF version is the independently-derived spec; the corpus gives
+    // 500 real multi-language documents
+    val mismatches = docs
+      .select(
+        HashFunctions.simhash64(Dedup.tokens(col("text"))).as("fast"),
+        HashFunctions.simhash64Builtin(Dedup.tokens(col("text"))).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("simhash64 of near-duplicates is close in hamming distance") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs away tonight",
+      "the quick brown fox jumps over the lazy dog and runs away today",
+      "completely unrelated text about catalyst expression code generation"
+    ).toDF("text")
+      .select(HashFunctions.simhash64(Dedup.tokens(col("text"))).as("h"))
+    val Array(a, b, c) = df.collect().map(_.getLong(0))
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(a, b) < hamming(a, c))
+    assert(hamming(a, b) <= 8)
+  }
+
+  test("simhash64 is registered for SQL and matches the DSL") {
+    HashFunctions.register(spark)
+    val viaSql = spark
+      .sql("SELECT simhash64(array('a', 'b', 'c')) AS h")
+      .head().getLong(0)
+    val viaDsl = spark.range(1)
+      .select(HashFunctions.simhash64(typedlit(Seq("a", "b", "c"))).as("h"))
+      .head().getLong(0)
+    assert(viaSql == viaDsl)
+  }
+
+  test("simhash64 rejects non-array<string> input at analysis time") {
+    val err = intercept[Exception] {
+      spark.range(3).select(HashFunctions.simhash64(col("id"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
+
+  test("cosine_sim rejects non-float arrays at analysis time") {
+    val err = intercept[Exception] {
+      spark.range(3)
+        .select(typedlit(Seq(1.0, 2.0)).as("v"))
+        .select(VectorFunctions.cosineSim(col("v"), col("v")))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("float"))
+  }
+
+  test("codegen'd char_ngrams equals the HOF formulation on real docs") {
+    // unordered-set equality per doc (first-occurrence order is also
+    // preserved, but only the set matters to every consumer)
+    val mismatches = docs
+      .select(
+        array_sort(Dedup.charShingles(col("text"), 5)).as("fast"),
+        array_sort(Dedup.charShinglesBuiltin(col("text"), 5)).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("char_ngrams edge cases: short text, empty text, unicode") {
+    val rows = Seq(
+      (1L, "ab"),       // shorter than n -> whole text
+      (2L, ""),         // empty -> [""]
+      (3L, "这是一个中文句子") // unicode code points
+    ).toDF("id", "t")
+      .select(col("id"), Dedup.charShingles(col("t"), 5).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) == Seq("ab"))
+    assert(rows(2L) == Seq(""))
+    assert(rows(3L).head == "这是一个中")
+    assert(rows(3L).length == 4)
+  }
+
+  test("null and empty token arrays") {
+    val rows = Seq(
+      (1L, Some(Seq("x"))),
+      (2L, Some(Seq.empty[String])),
+      (3L, None)
+    ).toDF("id", "toks")
+      .select(col("id"), HashFunctions.simhash64(col("toks")).as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(2L) == Some(0L)) // no votes -> all bits zero
+    assert(rows(3L).isEmpty)     // null in -> null out
+    assert(rows(1L).nonEmpty)
+  }
+}

@@ -49,11 +49,49 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => (p._1 == 4L || p._2 == 4L) && p._1 != p._2))
   }
 
-  test("blocked ngram jaccard finds near duplicates") {
+  test("prefix-filtered ngram jaccard finds near duplicates") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.6)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)))
+  }
+
+  test("prefix filtering is exact: equals naive all-pairs on real documents") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard_sim"))
+    val fast = Dedup.ngramJaccardPairs(corpus).collect().map(key).toSet
+
+    val g = corpus.select(
+      col("doc_id").as("id"), Dedup.charShingles(col("text"), 5).as("grams"))
+    val naive = g.alias("l").join(g.alias("r"), col("l.id") < col("r.id"))
+      .select(
+        col("l.id").as("id_a"), col("r.id").as("id_b"),
+        Dedup.jaccard(col("l.grams"), col("r.grams")).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= 0.6)
+      .collect().map(key).toSet
+    assert(fast == naive)
+  }
+
+  test("self-oracle: minhash candidates cover all high-Jaccard pairs (sf0.001)") {
+    // deterministic recall check: every pair whose TRUE word-shingle
+    // Jaccard is >= 0.8 must be found by the LSH path at threshold 0.7
+    // (banding collision probability at s=0.8 is 1-(1-s^4)^16 ≈ 0.9998,
+    // and xxhash64 is fixed-seed, so the outcome is reproducible)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = corpus.select(
+      col("doc_id").as("id"), Dedup.wordShingles(col("text"), 3).as("s"))
+    val exact = sh.alias("l").join(sh.alias("r"), col("l.id") < col("r.id"))
+      .select(
+        col("l.id").as("id_a"), col("r.id").as("id_b"),
+        Dedup.jaccard(col("l.s"), col("r.s")).as("j"))
+      .filter(col("j") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lsh = Dedup.minhashPairs(corpus, threshold = 0.7)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact.nonEmpty, "fixture should contain at least one near-dup pair")
+    assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
   }
 
   test("word shingles handle short documents") {

@@ -26,6 +26,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two-phase aggregator top-k equals window-rank top-k") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.expressions.Window
+    // independent formulation: the round-1 window ranking
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val ref = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val got = brute.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    assert(got == ref)
+  }
+
   test("srp LSH recall against brute force is reasonable") {
     val lsh = Similarity.srpBucketedTopK(emb, queries, k = 10).collect()
     val bruteSet = brute.collect()

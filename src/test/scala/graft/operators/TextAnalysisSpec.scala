@@ -60,7 +60,7 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "an entirely different document about spark plans")
     ).toDF("doc_id", "text")
     val fps = df.select($"doc_id", TextAnalysis.fingerprint($"text").as("f"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Drives the [[Streaming]] transforms through MemoryStream: windowed
+  * counts emit on watermark passage, late rows are dropped, session
+  * windows merge and split on the gap. The batch side of the identical
+  * plans is oracle-checked by the driver (StreamingQueries).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def runUntilIdle(q: StreamingQuery): Unit = q.processAllAvailable()
+
+  test("tumbling window counts with watermark; late data is dropped") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = Streaming
+      .windowedCounts(df, windowLen = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      // two events inside the 10:00-11:00 window
+      input.addData((ts("2024-01-01 10:00:00"), "click", 1.0))
+      input.addData((ts("2024-01-01 10:30:00"), "click", 2.0))
+      runUntilIdle(query)
+      // append mode: window not closed yet -> nothing emitted
+      assert(spark.table("win_agg").count() == 0)
+
+      // an event far past the window advances the watermark beyond
+      // 11:00 + 30min -> the 10:00 window closes and emits
+      input.addData((ts("2024-01-01 13:00:00"), "view", 1.0))
+      runUntilIdle(query)
+      val closed = spark.table("win_agg")
+        .filter(col("event_type") === "click").collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Long]("n_events") == 2L)
+      assert(closed.head.getAs[Double]("total_value") == 3.0)
+      assert(closed.head.getAs[Timestamp]("window_start") ==
+        ts("2024-01-01 10:00:00"))
+
+      // a LATE click for the already-closed window must be dropped
+      input.addData((ts("2024-01-01 10:45:00"), "click", 100.0))
+      runUntilIdle(query)
+      val after = spark.table("win_agg")
+        .filter(col("event_type") === "click").collect()
+      assert(after.length == 1)
+      assert(after.head.getAs[Long]("n_events") == 2L) // unchanged
+    } finally query.stop()
+  }
+
+  test("session windows merge within gap and split after it") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+
+    val query = Streaming
+      .sessionCounts(df, gap = "10 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("sess_agg")
+      .outputMode("append").start()
+    try {
+      // user 1: three events, gaps 5min (merge) then 20min (split)
+      input.addData(
+        (ts("2024-01-01 09:00:00"), 1L),
+        (ts("2024-01-01 09:05:00"), 1L),
+        (ts("2024-01-01 09:25:00"), 1L))
+      // advance watermark far enough to close both sessions
+      input.addData((ts("2024-01-01 12:00:00"), 2L))
+      runUntilIdle(query)
+
+      val sessions = spark.table("sess_agg")
+        .filter(col("user_id") === 1L)
+        .orderBy("session_start").collect()
+      assert(sessions.length == 2)
+      assert(sessions(0).getAs[Timestamp]("session_start") == ts("2024-01-01 09:00:00"))
+      assert(sessions(0).getAs[Long]("n_events") == 2L)
+      assert(sessions(1).getAs[Timestamp]("session_start") == ts("2024-01-01 09:25:00"))
+      assert(sessions(1).getAs[Long]("n_events") == 1L)
+    } finally query.stop()
+  }
+
+  test("sliding windows assign each event to two 1h/30min windows") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+
+    val query = Streaming
+      .slidingCounts(df, windowLen = "1 hour", slide = "30 minutes",
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("slide_agg")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:40:00"), "click"))
+      input.addData((ts("2024-01-01 14:00:00"), "view")) // advance watermark
+      runUntilIdle(query)
+      val wins = spark.table("slide_agg")
+        .filter(col("event_type") === "click")
+        .orderBy("window_start").collect()
+      assert(wins.map(_.getAs[Timestamp]("window_start")).toSeq ==
+        Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
+      assert(wins.forall(_.getAs[Long]("n_events") == 1L))
+    } finally query.stop()
+  }
+
+  test("batch and streaming paths agree on the same data") {
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), "a", 1.0),
+      (ts("2024-01-01 10:55:00"), "a", 2.0),
+      (ts("2024-01-01 11:05:00"), "b", 3.0),
+      (ts("2024-01-01 15:00:00"), "c", 0.0)) // watermark pusher
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val streaming = Streaming.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"))
+    val query = streaming.writeStream.format("memory").queryName("par_agg")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      runUntilIdle(query)
+      val streamed = spark.table("par_agg")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(_.toSeq).toSet
+
+      val batch = Streaming.windowedCounts(
+        rows.toDF("ts", "event_type", "value"))
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(_.toSeq).toSet
+
+      // streaming (append) emitted only watermark-closed windows; every
+      // emitted row must match the batch result exactly
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch))
+    } finally query.stop()
+  }
+}
