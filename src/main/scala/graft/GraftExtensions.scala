@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CharNgrams, CosineSimilarity, MinHashSignature, SimHash64}
+
+/** Cluster-wide registration of the library's Catalyst expressions via
+  * `SparkSessionExtensions` — the deployment path for SQL users:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * makes `cosine_sim`, `simhash64`, `char_ngrams`, `minhash_signature`
+  * resolve in every session (including thriftserver/SQL-only clients)
+  * without per-session `functionRegistry` calls. The per-session
+  * `register(spark)` helpers on the companion objects remain for
+  * programmatic use.
+  *
+  * Literal-int parameters (`n`, `k`) are required to be foldable — they
+  * parameterize generated code, so a per-row value cannot work.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def litInt(e: Expression, fn: String, param: String): Int = {
+    require(e.foldable, s"$fn: $param must be a literal integer")
+    e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: $param must be an integer literal, got $other")
+    }
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      info("char_ngrams", "char_ngrams(text, n) - distinct character n-grams"),
+      (exprs: Seq[Expression]) =>
+        CharNgrams(exprs(0), litInt(exprs(1), "char_ngrams", "n"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(shingles, k) - k-permutation MinHash signature"),
+      (exprs: Seq[Expression]) =>
+        MinHashSignature(exprs(0), litInt(exprs(1), "minhash_signature", "k"))))
+  }
+}

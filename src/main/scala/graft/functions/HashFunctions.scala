@@ -106,11 +106,117 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(newChild)
 }
 
+/** K-permutation MinHash signature of a shingle array as a single-pass
+  * codegen'd expression: `array<string>` in, `array<long>` (length k) out.
+  *
+  * Hash family — bit-identical to the built-in-functions formulation in
+  * [[HashFunctions.minhashSignatureBuiltin]] (pinned in HashFunctionsSpec):
+  * the k-th permutation value of shingle s is
+  * `xxhash64(xxhash64(s), k)` in Spark-builtin terms, i.e.
+  * `XXH64.hashInt(k, XXH64.hashLong(XXH64.hashUTF8String(s, 42), 42))` —
+  * the inner per-shingle part is hoisted out of the k-loop, so one array
+  * pass does n·(1 hashUTF8String + 1 hashLong + k hashInt) cheap hashes.
+  * The HOF version instead re-walks the array k times through interpreted
+  * `CodegenFallback` lambdas (array_min ∘ transform per permutation).
+  *
+  * Semantic edges: a null shingle hashes like the builtin (identity =
+  * seed 42); an EMPTY array yields Long.MaxValue per slot (the builtin
+  * yields nulls) — callers shingle via [[graft.operators.Dedup]], which
+  * never emits an empty array.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  private val Seed = 42L
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val base =
+        if (arr.isNullAt(i)) Seed
+        else XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+      val inner = XXH64.hashLong(base, Seed)
+      var ki = 0
+      while (ki < k) {
+        val v = XXH64.hashInt(ki, inner)
+        if (v < mins(ki)) mins(ki) = v
+        ki += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.addMutableState(
+        "long[]", "minhashMins", v => s"$v = new long[$k];")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val ki = ctx.freshName("ki")
+      val base = ctx.freshName("base")
+      val inner = ctx.freshName("inner")
+      val v = ctx.freshName("v")
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      s"""
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $base = $arr.isNullAt($i) ? ${Seed}L
+         |    : $xxh.hashUTF8String($arr.getUTF8String($i), ${Seed}L);
+         |  long $inner = $xxh.hashLong($base, ${Seed}L);
+         |  for (int $ki = 0; $ki < $k; $ki++) {
+         |    long $v = $xxh.hashInt($ki, $inner);
+         |    if ($v < $mins[$ki]) $mins[$ki] = $v;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    java.util.Arrays.copyOf($mins, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
 
   /** Column-DSL entry point for [[SimHash64]]. */
   def simhash64(tokens: Column): Column =
     GraftShims.toColumn(SimHash64(GraftShims.toExpression(tokens)))
+
+  /** Column-DSL entry point for [[MinHashSignature]]. */
+  def minhashSignature(shingles: Column, k: Int = 64): Column =
+    GraftShims.toColumn(
+      MinHashSignature(GraftShims.toExpression(shingles), k))
+
+  /** Built-in-functions-only formulation of [[MinHashSignature]] — k
+    * interpreted passes over the shingle array; kept as the test oracle
+    * for the codegen'd expression, never used in query entries.
+    */
+  def minhashSignatureBuiltin(shingles: Column, k: Int = 64): Column = {
+    val baseHashes = transform(shingles, s => xxhash64(s))
+    array((0 until k).map { ki =>
+      array_min(transform(baseHashes, h => xxhash64(h, lit(ki))))
+    }: _*)
+  }
 
   /** SQL registration: `SELECT simhash64(tokens)`. Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Cosine similarity between two float vectors as a native Catalyst
   * expression with whole-stage codegen (`doGenCode`), so the ANN /
@@ -89,6 +89,93 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Full signed-random-projection bit signature — ALL hyperplanes in one
+  * codegen'd pass: `array<float>` in, one long out with bit p set iff
+  * v · plane_p >= 0.
+  *
+  * Bit-identical to per-plane [[VectorFunctions.srpSignatureBuiltin]]
+  * (pinned in VectorFunctionsSpec): same double accumulation in index
+  * order per plane, same `>= 0` sign rule. The HOF version runs an
+  * interpreted `zip_with` + `aggregate` pair PER PLANE per row (32-48
+  * interpreted array walks for the LSH operators); this expression keeps
+  * the whole signature inside whole-stage codegen. Band keys then extract
+  * bitwise: `(sig >>> band*bitsPerBand) & mask` — no per-band recompute.
+  *
+  * The plane matrix (max 64 planes) is baked into the expression as a
+  * flattened row-major array and shipped in the serialized plan — the
+  * same "literal side data" strategy as [[VectorFunctions.srpSignature]],
+  * so executors need no external state.
+  */
+case class SrpSignature(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length <= 64,
+    s"need 1..64 hyperplanes, got ${planes.length}")
+  require(planes.forall(_.length == planes.head.length),
+    "all hyperplanes must have the same dimension")
+
+  private val nPlanes = planes.length
+  private val dim = planes.head.length
+  @transient private lazy val flat: Array[Double] = planes.flatten
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "srp_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val off = p * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += v.getFloat(i).toDouble * flat(off + i)
+        i += 1
+      }
+      if (dot >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val planesRef = ctx.addReferenceObj("srpPlanes", flat, "double[]")
+      val sig = ctx.freshName("sig")
+      val dot = ctx.freshName("dot")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val off = ctx.freshName("off")
+      s"""
+         |long $sig = 0L;
+         |int $n = java.lang.Math.min($arr.numElements(), $dim);
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  int $off = $p * $dim;
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $arr.getFloat($i) * $planesRef[$off + $i];
+         |  }
+         |  if ($dot >= 0) $sig |= 1L << $p;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column-DSL entry point for [[CosineSimilarity]]. */
@@ -117,11 +204,19 @@ object VectorFunctions {
   }
 
   /** Signed-random-projection (hyperplane LSH) bit signature of a float
-    * vector: bit p = sign(v · h_p). Hyperplanes are deterministic
-    * (seeded) literals compiled into the plan, so executors need no
-    * side data and the signature is reproducible across runs/clusters.
+    * vector: bit p = sign(v · h_p) — the codegen'd [[SrpSignature]]
+    * expression. Hyperplanes are deterministic (seeded) data baked into
+    * the plan, so executors need no side data and the signature is
+    * reproducible across runs/clusters.
     */
-  def srpSignature(v: Column, planes: Array[Array[Double]]): Column = {
+  def srpSignature(v: Column, planes: Array[Array[Double]]): Column =
+    GraftShims.toColumn(SrpSignature(GraftShims.toExpression(v), planes))
+
+  /** Built-in-functions-only formulation of [[srpSignature]] (one
+    * interpreted zip_with+aggregate pair per plane) — the test oracle for
+    * the codegen'd expression, never used in query entries.
+    */
+  def srpSignatureBuiltin(v: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, p) =>
       val planeLit = typedlit(plane)
       val dot = aggregate(

@@ -80,9 +80,12 @@ object Dedup {
   /** K minhash values from a column of per-shingle base hashes: the k-th
     * permutation is `min over shingles of xxhash64(baseHash, k)` — a
     * re-hash rather than the classic affine `(a·h+b) mod p`, which would
-    * overflow-throw under Spark 4's default ANSI arithmetic. Callers
-    * materialize the base-hash array once (`transform(shingles, xxhash64)`)
-    * so the shingle hashing isn't repeated K times.
+    * overflow-throw under Spark 4's default ANSI arithmetic.
+    *
+    * This built-in-functions formulation walks the array k times through
+    * interpreted lambdas; [[minhashPairs]] uses the bit-identical
+    * single-pass codegen'd [[graft.functions.MinHashSignature]] instead
+    * (equivalence pinned in HashFunctionsSpec). Kept as the test oracle.
     */
   def minhashSignature(baseHashes: Column, k: Int = 64): Column =
     array((0 until k).map { ki =>
@@ -110,8 +113,8 @@ object Dedup {
     val withShingles = Corpus.spread(docs)
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWords).as("shingles"))
     val withSig = withShingles
-      .withColumn("hashes", transform(col("shingles"), s => xxhash64(s)))
-      .withColumn("sig", minhashSignature(col("hashes"), bands * rowsPerBand))
+      .withColumn("sig",
+        HashFunctions.minhashSignature(col("shingles"), bands * rowsPerBand))
 
     // band key: hash of the band's signature slice — compact shuffle key
     val banded = withSig
@@ -260,7 +263,9 @@ object Dedup {
     val exploded = grams
       .select(col("id"), explode(col("grams")).as("gram"))
       .persist()
-    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
+    // freq feeds three consumers (prefix ordering, rare join, common
+    // dictionary) — persist or the 1-shuffle group-by reruns per consumer
+    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("df")).persist()
 
     // ---- candidates: rarest-first prefix filtering ----
     val prefixLen =
@@ -340,7 +345,7 @@ object Dedup {
     val overlap =
       bitsetIntersectCount(col("bm_a"), col("bm_b")) +
         coalesce(col("rare_shared"), lit(0L))
-    candidates
+    val pairs = candidates
       .join(hinted(sig.select(col("id").as("id_a"), col("sz").as("sz_a"), col("bm").as("bm_a"))), "id_a")
       .join(hinted(sig.select(col("id").as("id_b"), col("sz").as("sz_b"), col("bm").as("bm_b"))), "id_b")
       .join(hinted(rareCounts), Seq("id_a", "id_b"), "left")
@@ -350,5 +355,18 @@ object Dedup {
           (col("sz_a") + col("sz_b") - overlap).cast("double")).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= threshold)
       .distinct() // candidates arrive once per shared prefix gram
+
+    // Scope the intermediate caches to this call: materialize the (tiny —
+    // O(near-dup pairs)) result, then release the corpus-sized
+    // intermediates rather than leaking them into the session for the
+    // lifetime of the returned plan. The operator is already eager (the
+    // common-gram dictionary collect above runs a job), so forcing here
+    // adds no extra synchronization point.
+    val out = pairs.persist()
+    out.foreach(_ => ())
+    exploded.unpersist()
+    freq.unpersist()
+    prefixes.unpersist()
+    out
   }
 }

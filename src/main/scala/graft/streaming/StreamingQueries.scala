@@ -42,6 +42,16 @@ object StreamingQueries {
           col("session_start").cast("long").as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    }),
+    // the flatMapGroupsWithState path must produce the exact same
+    // sessions as session_window — same oracle SQL as the entry above
+    "q_stream_session_state" -> ((s, d) => {
+      Sessionize.closedSessions(t(s, d)).toDF()
+        .select(
+          col("user_id"),
+          col("session_start").cast("long").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
     })
   )
 
@@ -69,6 +79,26 @@ object StreamingQueries {
     // Spark's session end is exclusive, so a gap of EXACTLY 10 minutes
     // starts a new session (>=, not >)
     "q_stream_session_batch" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  CAST(epoch_ns(MIN(ts)) // 1000000000 AS BIGINT) AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // identical sessionization semantics through custom state
+    "q_stream_session_state" ->
       """WITH o AS (
         |  SELECT user_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts

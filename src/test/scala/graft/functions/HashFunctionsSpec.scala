@@ -89,6 +89,39 @@ class HashFunctionsSpec extends SparkSpec {
     assert(rows(3L).length == 4)
   }
 
+  test("codegen'd minhash_signature is bit-identical to the HOF formulation") {
+    val mismatches = docs
+      .select(
+        HashFunctions.minhashSignature(
+          Dedup.wordShingles(col("text"), 3), 64).as("fast"),
+        HashFunctions.minhashSignatureBuiltin(
+          Dedup.wordShingles(col("text"), 3), 64).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("minhash_signature agrees with Dedup.minhashSignature on base hashes") {
+    // the Dedup formulation takes pre-hashed shingles; same family
+    val mismatches = docs
+      .select(Dedup.wordShingles(col("text"), 3).as("sh"))
+      .select(
+        HashFunctions.minhashSignature(col("sh"), 16).as("fast"),
+        Dedup.minhashSignature(
+          transform(col("sh"), s => xxhash64(s)), 16).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("minhash_signature rejects non-array<string> at analysis time") {
+    val err = intercept[Exception] {
+      spark.range(3)
+        .select(HashFunctions.minhashSignature(col("id"), 8)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
+
   test("null and empty token arrays") {
     val rows = Seq(
       (1L, Some(Seq("x"))),

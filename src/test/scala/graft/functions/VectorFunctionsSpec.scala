@@ -60,6 +60,18 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("codegen'd srp_signature is bit-identical to the HOF formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = VectorFunctions.hyperplanes(48, 64)
+    val mismatches = emb
+      .select(
+        VectorFunctions.srpSignature($"embedding", planes).as("fast"),
+        VectorFunctions.srpSignatureBuiltin($"embedding", planes).as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("srp signature is deterministic and within bit range") {
     val planes = VectorFunctions.hyperplanes(8, 4)
     val df = vecDf(1L -> Seq(1f, 2f, 3f, 4f), 2L -> Seq(-1f, -2f, -3f, -4f))
