@@ -8,11 +8,14 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
-/** One event on a user's timeline — event time in epoch MICROSECONDS
-  * (Spark's native timestamp resolution; `java.sql.Timestamp.getTime`
-  * would truncate to millis and mis-split sessions on sub-ms data).
+/** One event on a user's timeline. `ts` is the watermarked event-time
+  * column — it must survive into the stateful operator's input or
+  * Spark rejects `EventTimeTimeout` at query start ("Watermark must be
+  * specified"); `us` is the same instant in epoch MICROSECONDS (Spark's
+  * native timestamp resolution; `java.sql.Timestamp.getTime` would
+  * truncate to millis and mis-split sessions on sub-ms data).
   */
-case class SessionEvent(user_id: Long, us: Long)
+case class SessionEvent(user_id: Long, ts: Timestamp, us: Long)
 
 /** Mutable per-key state: the currently open session (epoch micros). */
 case class OpenSession(start: Long, last: Long, n: Long)
@@ -63,10 +66,14 @@ object Sessionize {
     val gapUs = gapMinutes * 60000000L
     val isStreaming = events.isStreaming
 
+    // keep the watermarked `ts` attribute in the projection: dropping it
+    // (selecting only derived columns) would strip the event-time
+    // watermark from the child plan and EventTimeTimeout fails at start
     val typed = (if (isStreaming) events.withWatermark("ts", watermark)
                  else events)
       .select(
         col("user_id").cast("long").as("user_id"),
+        col("ts"),
         unix_micros(col("ts")).as("us"))
       .as[SessionEvent]
 

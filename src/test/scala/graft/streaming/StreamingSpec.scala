@@ -111,6 +111,62 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("Sessionize streaming path: sessions close by in-key gap and by event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+
+    val query = Sessionize
+      .closedSessions(df, gapMinutes = 10, watermark = "30 minutes")
+      .toDF()
+      .writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: 09:00 + 09:05 merge (5min gap); 09:25 starts a new
+      // session, which PROVES the first closed (in-key gap evidence)
+      input.addData(
+        (ts("2024-01-01 09:00:00"), 1L),
+        (ts("2024-01-01 09:05:00"), 1L),
+        (ts("2024-01-01 09:25:00"), 1L))
+      runUntilIdle(query)
+      val afterGap = spark.table("fmgws_sessions").collect()
+      assert(afterGap.length == 1)
+      assert(afterGap.head.getAs[Timestamp]("session_start") == ts("2024-01-01 09:00:00"))
+      assert(afterGap.head.getAs[Long]("n_events") == 2L)
+
+      // user 2 at 12:00 advances the watermark to 11:30 — past user 1's
+      // 09:25 + 10min gap, so that session closes by TIMEOUT
+      input.addData((ts("2024-01-01 12:00:00"), 2L))
+      runUntilIdle(query)
+      val u1 = spark.table("fmgws_sessions")
+        .filter(col("user_id") === 1L).orderBy("session_start").collect()
+      assert(u1.length == 2)
+      assert(u1(1).getAs[Timestamp]("session_start") == ts("2024-01-01 09:25:00"))
+      assert(u1(1).getAs[Long]("n_events") == 1L)
+
+      // 13:00 pushes the watermark to 12:30 > 12:10 — user 2 times out too
+      input.addData((ts("2024-01-01 13:00:00"), 3L))
+      runUntilIdle(query)
+      val u2 = spark.table("fmgws_sessions").filter(col("user_id") === 2L).collect()
+      assert(u2.length == 1)
+      assert(u2.head.getAs[Timestamp]("session_start") == ts("2024-01-01 12:00:00"))
+      assert(u2.head.getAs[Long]("n_events") == 1L)
+
+      // every emitted session must match the batch path on the same data
+      val batch = Sessionize.closedSessions(Seq(
+        (ts("2024-01-01 09:00:00"), 1L),
+        (ts("2024-01-01 09:05:00"), 1L),
+        (ts("2024-01-01 09:25:00"), 1L),
+        (ts("2024-01-01 12:00:00"), 2L),
+        (ts("2024-01-01 13:00:00"), 3L)).toDF("ts", "user_id"))
+        .collect().map(s => (s.user_id, s.session_start, s.n_events)).toSet
+      val streamed = spark.table("fmgws_sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events"))).toSet
+      assert(streamed.subsetOf(batch))
+    } finally query.stop()
+  }
+
   test("batch and streaming paths agree on the same data") {
     implicit val ctx = spark.sqlContext
     val rows = Seq(
