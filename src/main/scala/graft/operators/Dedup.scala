@@ -206,42 +206,67 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  // ---------- exact n-gram Jaccard: prefix-filter candidates + O(1) verify ----------
+  // ---------- exact n-gram Jaccard: prefix-filter + bitset bound + exact verify ----------
 
   /** ALL exact character-n-gram Jaccard pairs with similarity >= threshold,
-    * found without an all-pairs (or unbounded-block) self-join and without
-    * ever shuffling gram arrays to candidate pairs.
+    * found without an all-pairs (or unbounded-block) self-join, with no
+    * driver-side state, and with gram arrays shuffled only for pairs that
+    * already passed a provable similarity upper bound.
     *
-    * Candidate generation is prefix filtering (the AllPairs/PPJoin
-    * family): under any global total order on grams, two sets with
-    * Jaccard >= t must share at least one gram among their first
-    * `|g| - ceil(t*|g|) + 1` grams. Grams are ordered rarest-first (by
-    * corpus document frequency), plus the size filter
-    * t <= |A|/|B| <= 1/t implied by Jaccard >= t.
+    * Three stages, each with bounded per-doc state:
     *
-    * Verification is O(1) per candidate instead of an
-    * `array_intersect` over multi-KB arrays (which would shuffle
-    * GBs on corpora with dense vocabularies where prefixes prune little):
-    * the exact overlap decomposes as
-    *   |A ∩ B| = sharedCommon(A,B) + sharedRare(A,B)
-    * where "common" grams (document frequency > rareDf) form a BOUNDED
-    * dictionary — at most totalGramOccurrences / rareDf entries by
-    * pigeonhole — so per-doc common-membership packs into a bitset
-    * ([[graft.functions.BitsetFromPositions]]) and sharedCommon is a
-    * word-AND popcount ([[graft.functions.BitsetIntersectCount]]);
-    * sharedRare comes from a self-join restricted to rare grams, whose
-    * fan-out per gram is capped at rareDf². Jaccard then follows from
-    * counts alone: |A ∪ B| = |A| + |B| - |A ∩ B|.
+    * 1. CANDIDATES — prefix filtering (the AllPairs/PPJoin family): under
+    *    any global total order on grams, two sets with Jaccard >= t must
+    *    share at least one gram among their first
+    *    `|g| - ceil(t*|g|) + 1` grams. Grams are ordered rarest-first (by
+    *    corpus document frequency — computed distributively, never
+    *    collected), plus the size filter t <= |A|/|B| <= 1/t and the
+    *    PPJoin positional filter.
     *
-    * At 100 TB: the candidate join fans out per gram by document
-    * frequency with common grams confined to suffixes (natural zipfian
-    * vocabularies prune hard); the doc-signature table (id, size, bitset)
-    * joins candidates as a normal equi-join (broadcast when small); no
-    * stage carries per-doc gram arrays across a shuffle.
+    * 2. UPPER-BOUND FILTER — each doc carries a FIXED-width signature
+    *    (`sigBits` bits, default 2^16 = 8 KB) : every gram hashes to one
+    *    bit. Width is a constant of the operator, independent of corpus
+    *    vocabulary — unlike a dictionary-indexed bitset, this survives a
+    *    10^9-gram vocabulary unchanged. Because distinct shared grams can
+    *    collide into one bit, the bit-intersection is NOT a bound on the
+    *    overlap; the UNION is: the bitset image of A ∪ B cannot exceed
+    *    |A ∪ B|, so
+    *      |A ∩ B| <= sz_a + sz_b - |bits(A) ∪ bits(B)|
+    *               =  sz_a + sz_b - pc_a - pc_b + |bits(A) ∩ bits(B)|
+    *    with per-doc popcounts pc precomputed (popcount = self-intersect
+    *    of the codegen'd [[graft.functions.BitsetIntersectCount]]).
+    *    Jaccard is monotone in overlap at fixed sizes, so pairs whose
+    *    bounded Jaccard misses the threshold are discarded exactly.
     *
-    * Note: building the common dictionary runs one small driver-side job
-    * (collect of at most totalGramOccurrences/rareDf grams) — the same
-    * data-dependent planning AQE does.
+    * 3. EXACT VERIFY — only surviving pairs (true positives + the small
+    *    collision tail) are joined back to the gram arrays for an exact
+    *    `array_intersect`/`array_union` Jaccard. The survivors side is
+    *    tiny, so Spark broadcasts it and the corpus gram table never
+    *    shuffles.
+    *
+    * At 100 TB: per-doc state is size + a `sigBits/8`-byte signature; the
+    * candidate join fans out per gram by document frequency with common
+    * grams confined to suffixes (zipfian vocabularies prune hard); the
+    * signature table joins candidates as a broadcast or plain equi-join;
+    * nothing — no dictionary, no collect, no bitset width — grows with
+    * corpus vocabulary. The gram-frequency join is left unhinted: AQE
+    * broadcasts the frequency table when the vocabulary is small and
+    * falls back to a shuffle join when it is not (it is vocabulary-sized,
+    * so a static broadcast hint would be a scale bug).
+    *
+    * `sigBits` trades filter sharpness for per-candidate cost: the bound's
+    * slack is ~sz²/sigBits bits of collision per doc, so the default 2^13
+    * (1 KB/doc, 128-word AND per candidate) keeps slack under ~3% of
+    * typical 200–2000-gram documents; raise it for very large documents.
+    *
+    * `eager = true` (default) runs the pipeline inside the call, persists
+    * only the (tiny, O(near-dup pairs)) result, and releases the
+    * corpus-sized per-doc signature cache before returning — the same
+    * data-dependent execution AQE does, and the only way to both reuse
+    * the signature table across its four consumers and not leak a
+    * corpus-sized cache into the session. `eager = false` returns a fully
+    * lazy, composable plan instead, recomputing the signature subtree per
+    * consumer (~4× the shingling work).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -249,30 +274,21 @@ object Dedup {
       idCol: String = "doc_id",
       ngram: Int = 5,
       threshold: Double = 0.6,
-      rareDf: Int = 64,
-      broadcastSignatures: Boolean = true): DataFrame = {
+      sigBits: Int = 1 << 13,
+      broadcastSignatures: Boolean = true,
+      eager: Boolean = true): DataFrame = {
 
     import graft.functions.BitsetFunctions._
-    val spark = docs.sparkSession
 
     val grams = Corpus.spread(docs).select(
       col(idCol).as("id"), charShingles(col(textCol), ngram).as("grams"))
-    // the shingle table feeds four branches (frequencies, prefixes, rare
-    // join, signatures) — materialize it once instead of re-shingling the
-    // corpus per branch
-    val exploded = grams
-      .select(col("id"), explode(col("grams")).as("gram"))
-      .persist()
-    // freq feeds three consumers (prefix ordering, rare join, common
-    // dictionary) — persist or the 1-shuffle group-by reruns per consumer
-    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("df")).persist()
+    val exploded = grams.select(col("id"), explode(col("grams")).as("gram"))
+    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
 
-    // ---- candidates: rarest-first prefix filtering ----
-    val prefixLen =
-      (size(col("sgrams")) - ceil(lit(threshold) * size(col("sgrams"))) + 1)
-        .cast("int")
-    // persisted: the candidate self-join reads it twice (build + probe)
-    val prefixes = exploded
+    // one per-doc signature row feeds every later stage: grams sorted
+    // rarest-first (the global prefix order), size, fixed-width hashed
+    // bitset, and its popcount
+    val docsig = exploded
       .join(freq, "gram")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("sorted"))
@@ -280,93 +296,78 @@ object Dedup {
         col("id"),
         transform(col("sorted"), s => s.getField("gram")).as("sgrams"))
       .select(
-        col("id"),
-        size(col("sgrams")).as("sz"),
-        posexplode(slice(col("sgrams"), lit(1), prefixLen)).as(Seq("pos", "gram")))
-      .persist()
-
-    // size filter (t <= |A|/|B| <= 1/t) plus the PPJoin positional filter:
-    // a match at sorted positions (i, j) can contribute at most
-    // 1 + min(|A|-i, |B|-j) overlap, which must reach the equivalent
-    // overlap bound ceil(t/(1+t) * (|A|+|B|)) — prunes most raw matches.
-    // Candidate pairs are NOT deduplicated here: verification is O(1) per
-    // row, so checking duplicates is cheaper than a pre-shuffle distinct
-    // over the raw match stream; the (tiny) verified output dedups at the
-    // end instead.
-    val overlapBound =
-      ceil(lit(threshold / (1 + threshold)) * (col("l.sz") + col("r.sz")))
-    val candidates = prefixes.alias("l")
-      .join(prefixes.alias("r"),
-        col("l.gram") === col("r.gram") &&
-          col("l.id") < col("r.id") &&
-          col("r.sz") * threshold <= col("l.sz") &&
-          col("l.sz") * threshold <= col("r.sz") &&
-          lit(1) + least(
-            col("l.sz") - col("l.pos") - 1,
-            col("r.sz") - col("r.pos") - 1) >= overlapBound)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-
-    // ---- shared-rare counts: bounded fan-out self-join on rare grams ----
-    val rare = exploded.join(freq.filter(col("df") <= rareDf), "gram")
-      .select(col("id"), col("gram"))
-    val rareCounts = rare.alias("l")
-      .join(rare.alias("r"),
-        col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("rare_shared"))
-
-    // ---- common dictionary (bounded: <= totalGramOccurrences / rareDf) ----
-    val commonGrams = freq.filter(col("df") > rareDf)
-      .select("gram").orderBy("gram").collect().map(_.getString(0))
-    val numBits = commonGrams.length
-    val dict = spark.createDataFrame(
-      commonGrams.toIndexedSeq.zipWithIndex.map { case (g, i) => (g, i) })
-      .toDF("gram", "pos")
-
-    // ---- per-doc signature: size + common-membership bitset ----
-    val positions = exploded.join(dict, "gram")
-      .groupBy("id").agg(collect_list(col("pos")).as("positions"))
-    val sig = grams
-      .select(col("id"), size(col("grams")).as("sz"))
-      .join(positions, Seq("id"), "left")
-      .select(
-        col("id"), col("sz"),
+        col("id"), col("sgrams"), size(col("sgrams")).as("sz"),
         bitsetFromPositions(
-          coalesce(col("positions"), typedlit(Array.empty[Int])),
-          math.max(numBits, 1)).as("bm"))
+          transform(col("sgrams"), g => pmod(xxhash64(g), lit(sigBits)).cast("int")),
+          sigBits).as("bm"))
+      .withColumn("pc", bitsetIntersectCount(col("bm"), col("bm")))
 
-    // ---- O(1) verification from counts alone ----
-    // signature/rare-count sides are broadcast when they fit (their size
-    // is O(docs), far below the candidate pair count; at corpus sizes
-    // where they no longer fit, drop the hint and these become plain
-    // equi-joins — candidates never need to move either way)
-    def hinted(df: DataFrame): DataFrame =
-      if (broadcastSignatures) broadcast(df) else df
-    val overlap =
-      bitsetIntersectCount(col("bm_a"), col("bm_b")) +
-        coalesce(col("rare_shared"), lit(0L))
-    val pairs = candidates
-      .join(hinted(sig.select(col("id").as("id_a"), col("sz").as("sz_a"), col("bm").as("bm_a"))), "id_a")
-      .join(hinted(sig.select(col("id").as("id_b"), col("sz").as("sz_b"), col("bm").as("bm_b"))), "id_b")
-      .join(hinted(rareCounts), Seq("id_a", "id_b"), "left")
-      .select(
-        col("id_a"), col("id_b"),
-        (overlap.cast("double") /
-          (col("sz_a") + col("sz_b") - overlap).cast("double")).as("jaccard_sim"))
-      .filter(col("jaccard_sim") >= threshold)
-      .distinct() // candidates arrive once per shared prefix gram
+    def pipeline(ds: DataFrame): DataFrame = {
+      // ---- stage 1: rarest-first prefix filtering ----
+      val prefixLen =
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+      val prefixes = ds.select(
+        col("id"), col("sz"),
+        posexplode(slice(col("sgrams"), lit(1), prefixLen)).as(Seq("pos", "gram")))
 
-    // Scope the intermediate caches to this call: materialize the (tiny —
-    // O(near-dup pairs)) result, then release the corpus-sized
-    // intermediates rather than leaking them into the session for the
-    // lifetime of the returned plan. The operator is already eager (the
-    // common-gram dictionary collect above runs a job), so forcing here
-    // adds no extra synchronization point.
-    val out = pairs.persist()
-    out.foreach(_ => ())
-    exploded.unpersist()
-    freq.unpersist()
-    prefixes.unpersist()
-    out
+      // size filter (t <= |A|/|B| <= 1/t) plus the PPJoin positional
+      // filter: a match at sorted positions (i, j) can contribute at most
+      // 1 + min(|A|-i, |B|-j) overlap, which must reach the equivalent
+      // overlap bound ceil(t/(1+t) * (|A|+|B|)) — prunes most raw
+      // matches. Candidate pairs are NOT deduplicated here: the bound
+      // check is O(sigBits/64) per row, so re-checking duplicates beats a
+      // pre-shuffle distinct over the raw match stream; survivors dedup
+      // before the (per-row expensive) exact verify instead.
+      val overlapBound =
+        ceil(lit(threshold / (1 + threshold)) * (col("l.sz") + col("r.sz")))
+      val candidates = prefixes.alias("l")
+        .join(prefixes.alias("r"),
+          col("l.gram") === col("r.gram") &&
+            col("l.id") < col("r.id") &&
+            col("r.sz") * threshold <= col("l.sz") &&
+            col("l.sz") * threshold <= col("r.sz") &&
+            lit(1) + least(
+              col("l.sz") - col("l.pos") - 1,
+              col("r.sz") - col("r.pos") - 1) >= overlapBound)
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+
+      // ---- stage 2: fixed-width hashed-bitset upper bound ----
+      // signature sides are broadcast when they fit (O(docs) rows of
+      // sigBits/8 bytes + 2 longs; at corpus sizes where they no longer
+      // fit, drop the hint and these become plain equi-joins — the
+      // candidate stream never moves either way)
+      def hinted(df: DataFrame): DataFrame =
+        if (broadcastSignatures) broadcast(df) else df
+      val ubOverlap =
+        col("sz_a") + col("sz_b") - col("pc_a") - col("pc_b") +
+          bitsetIntersectCount(col("bm_a"), col("bm_b"))
+      val survivors = candidates
+        .join(hinted(ds.select(col("id").as("id_a"), col("sz").as("sz_a"),
+          col("bm").as("bm_a"), col("pc").as("pc_a"))), "id_a")
+        .join(hinted(ds.select(col("id").as("id_b"), col("sz").as("sz_b"),
+          col("bm").as("bm_b"), col("pc").as("pc_b"))), "id_b")
+        .filter(
+          ubOverlap.cast("double") >=
+            lit(threshold) * (col("sz_a") + col("sz_b") - ubOverlap).cast("double"))
+        .select(col("id_a"), col("id_b"))
+        .distinct() // candidates arrive once per shared prefix gram
+
+      // ---- stage 3: exact re-verification of the surviving pairs ----
+      survivors
+        .join(hinted(ds.select(col("id").as("id_a"), col("sgrams").as("g_a"))), "id_a")
+        .join(hinted(ds.select(col("id").as("id_b"), col("sgrams").as("g_b"))), "id_b")
+        .select(
+          col("id_a"), col("id_b"),
+          jaccard(col("g_a"), col("g_b")).as("jaccard_sim"))
+        .filter(col("jaccard_sim") >= threshold)
+    }
+
+    if (eager) {
+      val cached = docsig.persist()
+      val out = pipeline(cached).persist()
+      out.foreach(_ => ())
+      cached.unpersist()
+      out
+    } else pipeline(docsig)
   }
 }
