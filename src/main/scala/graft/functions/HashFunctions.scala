@@ -106,6 +106,86 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(newChild)
 }
 
+/** SimHash fingerprint over PRE-COMPUTED token hashes: `array<long>` in,
+  * one `long` fingerprint over the low `bits` bit positions out. The
+  * sign-vote loop is the same single codegen'd pass as [[SimHash64]]; the
+  * hash family is the caller's choice — which is the point: feeding
+  * md5-derived hashes (built-ins: `conv(substring(md5(t),1,15),16,10)`)
+  * yields a fingerprint an external SQL engine can recompute exactly,
+  * turning the SimHash dedup path from "trust the unit tests" into a
+  * DuckDB-oracle-checkable entry. A null hash votes as 0 on every bit
+  * (all-zero bits), mirroring how Spark's hash functions treat null as
+  * identity.
+  */
+case class SimHashFromHashes(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 64, s"bits must be in 1..64, got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_from_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counters = new Array[Int](bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = if (arr.isNullAt(i)) 0L else arr.getLong(i)
+      var b = 0
+      while (b < bits) {
+        counters(b) += (((h >>> b) & 1L).toInt << 1) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      if (counters(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counters = ctx.addMutableState(
+        "int[]", "simhashFhCounters", v => s"$v = new int[$bits];")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |java.util.Arrays.fill($counters, 0);
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.isNullAt($i) ? 0L : $arr.getLong($i);
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    $counters[$b] += ((int) (($h >>> $b) & 1L) << 1) - 1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if ($counters[$b] > 0) $fp |= (1L << $b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** K-permutation MinHash signature of a shingle array as a single-pass
   * codegen'd expression: `array<string>` in, `array<long>` (length k) out.
   *
@@ -201,6 +281,11 @@ object HashFunctions {
   /** Column-DSL entry point for [[SimHash64]]. */
   def simhash64(tokens: Column): Column =
     GraftShims.toColumn(SimHash64(GraftShims.toExpression(tokens)))
+
+  /** Column-DSL entry point for [[SimHashFromHashes]]. */
+  def simhashFromHashes(hashes: Column, bits: Int): Column =
+    GraftShims.toColumn(
+      SimHashFromHashes(GraftShims.toExpression(hashes), bits))
 
   /** Column-DSL entry point for [[MinHashSignature]]. */
   def minhashSignature(shingles: Column, k: Int = 64): Column =

@@ -163,8 +163,24 @@ object Dedup {
   def simhash(text: Column): Column =
     HashFunctions.simhash64(tokens(text))
 
+  /** md5-derived SimHash fingerprint over the low `bits` positions: each
+    * token hashes to the first 15 hex chars of its md5 (60 bits, exactly
+    * recomputable by any SQL engine with md5 + hex casts — DuckDB:
+    * `('0x' || substring(md5(t),1,15))::BIGINT`), then the same
+    * single-pass codegen'd sign-vote as [[simhash]]
+    * ([[graft.functions.SimHashFromHashes]]). The xxhash64 path is the
+    * production default (one cheap hash per token, fully codegen'd); this
+    * variant exists so the SimHash dedup entry is verifiable against an
+    * external oracle, not just unit-pinned.
+    */
+  def simhashMd5(text: Column, bits: Int = 60): Column =
+    HashFunctions.simhashFromHashes(
+      transform(tokens(text),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")),
+      bits)
+
   /** Near-duplicate pairs with SimHash Hamming distance <= maxHamming.
-    * Banding by pigeonhole: split the 64-bit fingerprint into
+    * Banding by pigeonhole: split the `bits`-bit fingerprint into
     * (maxHamming+1) chunks — any pair within the distance budget must
     * agree exactly on at least one chunk, so the self-join key is
     * (chunk index, chunk value), never all-pairs.
@@ -173,14 +189,34 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsOf(docs, simhash(col(textCol)), 64, idCol, maxHamming)
+
+  /** [[simhashPairs]] over the md5-derived 60-bit fingerprint — identical
+    * banding and output shape, externally oracle-checkable.
+    */
+  def simhashPairsMd5(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsOf(docs, simhashMd5(col(textCol)), 60, idCol, maxHamming)
+
+  private def simhashPairsOf(
+      docs: DataFrame,
+      fingerprint: Column,
+      bits: Int,
+      idCol: String,
+      maxHamming: Int): DataFrame = {
 
     val chunks = maxHamming + 1
-    val bitsPerChunk = 64 / chunks
+    require(bits % chunks == 0,
+      s"fingerprint width $bits must divide into ${chunks} pigeonhole chunks")
+    val bitsPerChunk = bits / chunks
     val mask = (1L << bitsPerChunk) - 1
 
     val withSim = Corpus.spread(docs)
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"), fingerprint.as("sh"))
     val banded = withSim.select(
       col("id"), col("sh"),
       explode(

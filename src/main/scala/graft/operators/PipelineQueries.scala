@@ -23,16 +23,32 @@ object PipelineQueries {
     "dedup_minhash" -> ((s, d) => {
       Dedup.minhashPairs(t(s, d, "documents")).orderBy("id_a", "id_b")
     }),
+    // md5-derived 60-bit fingerprint: bit-identical recomputable by the
+    // DuckDB oracle; the xxhash64 production path stays pinned by
+    // DedupSpec + HashFunctionsSpec equivalence tests
     "dedup_simhash" -> ((s, d) => {
-      Dedup.simhashPairs(t(s, d, "documents")).orderBy("id_a", "id_b")
+      Dedup.simhashPairsMd5(t(s, d, "documents")).orderBy("id_a", "id_b")
     }),
     "dedup_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(t(s, d, "documents")).orderBy("id_a", "id_b")
     }),
+    // corpus embeddings are near-orthogonal (max pairwise cosine ≈0.51),
+    // so the demo threshold is 0.4; production near-dup would use ≥0.95.
+    // The named entry is the EXACT path (DuckDB all-pairs oracle, cosine
+    // rounded to 6 before ranking/filtering on both sides); the
+    // approximate SRP path is the *_srp entry, recall-pinned in
+    // SimilaritySpec (no SQL oracle can express LSH recall).
     "dedup_embedding" -> ((s, d) => {
-      // corpus embeddings are near-orthogonal (max pairwise cosine ≈0.49),
-      // so the demo threshold is 0.4; production near-dup would use ≥0.95
-      Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), threshold = 0.4)
+      Similarity.embeddingNearDupPairsExact(
+        t(s, d, "embeddings"), threshold = 0.4, roundDecimals = 6)
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_embedding_srp" -> ((s, d) => {
+      // bands=16 x 4 bits: expected recall ~0.94 at cosine 0.4
+      // (1-(1-0.6314^4)^16); 4-bit buckets are demo-sized — at large N,
+      // bitsPerBand grows ~log N and bands with it to hold recall
+      Similarity.embeddingNearDupPairs(t(s, d, "embeddings"),
+        threshold = 0.4, bands = 16, bitsPerBand = 4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -124,6 +140,34 @@ object PipelineQueries {
         |  FROM sh l JOIN sh r ON l.id < r.id)
         |SELECT id_a, id_b, jaccard_sim FROM cand
         |WHERE jaccard_sim >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+    // exact semantics despite LSH banding: pigeonhole over maxHamming+1=4
+    // chunks has recall 1 (any pair with hamming <= 3 agrees exactly on
+    // >= 1 chunk), so the banded result EQUALS the all-pairs result and
+    // the quadratic oracle below is exact, not approximate. Fingerprint
+    // recomputed from first principles: per-token 60-bit md5 hash,
+    // sign-vote per bit, then pairwise xor popcount.
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN generate_series(0, 59) AS g(b)
+        |  GROUP BY doc_id, b),
+        |fp AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS f
+        |  FROM votes GROUP BY doc_id)
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |  CAST(bit_count(xor(l.f, r.f)) AS INTEGER) AS hamming
+        |FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.f, r.f)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // exact all-pairs semantics (prefix filtering changes the plan, not
     // the result set); the size predicate is implied by jaccard >= 0.6,
     // added only to prune the oracle's quadratic join
@@ -142,6 +186,16 @@ object PipelineQueries {
         |    AND len(l.grams) >= 0.6 * len(r.grams))
         |SELECT id_a, id_b, jaccard_sim FROM cand
         |WHERE jaccard_sim >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+        |    round(list_dot_product(l.v, r.v)
+        |      / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)), 6) AS cosine
+        |  FROM e l JOIN e r ON l.vec_id < r.vec_id)
+        |SELECT id_a, id_b, cosine FROM p
+        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "ann_brute_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

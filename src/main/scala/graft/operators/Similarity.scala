@@ -166,8 +166,44 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** EXACT embedding-cosine near-duplicate pairs (cosine >= threshold).
+    *
+    * Deliberately quadratic: one side is broadcast and every ordered pair
+    * is scored through the codegen'd cosine — there is no exact
+    * sub-quadratic algorithm for low-threshold cosine pairs (a 0.4-similar
+    * pair agrees with a random hyperplane only 63% of the time vs 50% for
+    * an orthogonal pair, so any LSH sharp enough to prune is also sharp
+    * enough to miss true pairs; measured SRP recall at this corpus's 0.4
+    * demo threshold is ~0.1 with the production banding). Use this path
+    * when exactness is the contract and N is bounded (dedup review sets,
+    * eval corpora); use [[embeddingNearDupPairs]] — approximate,
+    * sub-quadratic at HIGH thresholds — as the 100 TB path.
+    */
+  def embeddingNearDupPairsExact(
+      vectors: DataFrame,
+      threshold: Double = 0.95,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): DataFrame = {
+    val v = Corpus.spread(vectors)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val l = v.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = v.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        maybeRound(cosineSim(col("vec_a"), col("vec_b")), roundDecimals)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine >= threshold), LSH
-    * bucketed so the self-join never goes all-pairs.
+    * bucketed so the self-join never goes all-pairs. Approximate: recall
+    * per pair at cosine c is 1-(1-p^bitsPerBand)^bands with
+    * p = 1 - acos(c)/pi; size bands/bitsPerBand to the target threshold
+    * (and bitsPerBand ~ log N for sub-quadratic candidates). Recall at
+    * the demo corpus threshold is pinned by SimilaritySpec against
+    * [[embeddingNearDupPairsExact]].
     */
   def embeddingNearDupPairs(
       vectors: DataFrame,

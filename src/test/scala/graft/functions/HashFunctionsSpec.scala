@@ -89,6 +89,39 @@ class HashFunctionsSpec extends SparkSpec {
     assert(rows(3L).length == 4)
   }
 
+  test("simhash_from_hashes matches an independent HOF sign-vote on real docs") {
+    // HOF spec over the SAME md5-derived hashes: 60 interpreted passes
+    def shr(v: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("shiftright", v, b.cast("int"))
+    def shl(v: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("shiftleft", v, b.cast("int"))
+    val hs = transform(Dedup.tokens(col("text")),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val slow = aggregate(
+      transform(sequence(lit(0), lit(59)), b => {
+        val vote = aggregate(hs, lit(0L),
+          (acc, h) => acc + when(shr(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        when(vote > 0, shl(lit(1L), b)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val mismatches = docs
+      .select(Dedup.simhashMd5(col("text")).as("fast"), slow.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("md5-derived token hash equals the external hex formulation") {
+    // Spark conv(substring(md5,1,15),16,10) must equal the value DuckDB
+    // computes as ('0x' || substring(md5,1,15))::BIGINT — pin one known
+    // vector: md5('hello') = 5d41402abc4b2a76..., 0x5d41402abc4b2a7
+    val v = spark.range(1)
+      .select(conv(substring(md5(lit("hello")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .head().getLong(0)
+    assert(v == 419982666956583591L)
+  }
+
   test("codegen'd minhash_signature is bit-identical to the HOF formulation") {
     val mismatches = docs
       .select(

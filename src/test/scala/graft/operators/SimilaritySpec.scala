@@ -61,6 +61,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("measured guarantee: srp ann recall@10 on sf0.01 meets its floor") {
+    // the hyperplanes are seeded, so this is a deterministic measurement,
+    // not a flaky statistical bound: recall@10 of the SRP entry's exact
+    // configuration against exact brute force, on the oracle-gate corpus
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q01 = emb01.filter(col("vec_id") < 10)
+    val bruteSet = Similarity.bruteForceTopK(emb01, q01, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lshSet = Similarity.srpBucketedTopK(emb01, q01, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bruteSet & lshSet).size.toDouble / bruteSet.size
+    info(f"srp ann recall@10 at sf0.01 = $recall%.3f")
+    assert(recall >= 0.30, s"recall=$recall below documented floor")
+  }
+
+  test("measured guarantee: srp near-dup recall vs exact pairs on sf0.01") {
+    // same parameters as the dedup_embedding_srp entry (bands=16 x 4 bits,
+    // threshold 0.4); expected recall 1-(1-p^4)^16 ~ 0.94 at the weakest
+    // exact pair (cosine 0.4007, p = 1 - acos(0.4007)/pi = 0.6314)
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity
+      .embeddingNearDupPairsExact(emb01, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val srp = Similarity
+      .embeddingNearDupPairs(emb01, threshold = 0.4, bands = 16, bitsPerBand = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val recall = (exact & srp).size.toDouble / exact.size
+    info(f"srp near-dup recall at sf0.01 = $recall%.3f (${exact.size} exact pairs)")
+    assert(exact.nonEmpty)
+    assert(srp.subsetOf(exact)) // candidates are exactly verified: no FPs
+    assert(recall >= 0.85, s"recall=$recall below documented floor")
+  }
+
   test("ivf probes nearest cells and returns ranked results") {
     val cents = emb.filter(col("vec_id") % 100 === 7)
     val res = Similarity.ivfTopK(emb, queries, cents, k = 10, nProbe = 2).collect()
