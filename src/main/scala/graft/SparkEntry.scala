@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.core.CoreQueries
 import graft.operators.{PipelineQueries, RelationalQueries}
+import graft.sources.Sinks
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,11 +20,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ PipelineQueries.queries ++
-      StreamingQueries.queries ++ CoreQueries.queries
+      StreamingQueries.queries ++ CoreQueries.queries ++ Sinks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
-      StreamingQueries.oracles ++ CoreQueries.oracles
+      StreamingQueries.oracles ++ CoreQueries.oracles ++ Sinks.oracles
 }

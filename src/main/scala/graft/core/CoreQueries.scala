@@ -19,8 +19,17 @@ import graft.sources.{CsvSource, Tables}
   */
 object CoreQueries {
 
+  /** Fixed per-session scratch dir, overwritten in place per call —
+    * repeated bench/verify invocations must not leak temp directories.
+    */
+  private lazy val csvScratch: String = {
+    val p = Files.createTempDirectory("graft-core-csv")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
   private def runCore(s: SparkSession, d: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-core-csv").toString
+    val tmp = csvScratch
     Tables(s, d, "nation")
       .select("n_nationkey", "n_name", "n_regionkey")
       .coalesce(1)

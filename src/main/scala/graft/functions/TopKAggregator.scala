@@ -27,8 +27,14 @@ class TopKAggregator(k: Int)
     extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
   require(k > 0, s"k must be positive, got $k")
 
-  private def beats(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // java.lang.Double.compare gives a total order (NaN greatest, matching
+  // Spark SQL's ordering) — raw > / == would treat a NaN score (e.g.
+  // cosine of a zero-norm vector) inconsistently between the buffer-full
+  // and buffer-filling paths
+  private def beats(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def insert(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
     if (buf.lengthCompare(k) >= 0 && !beats(x, buf.last)) buf

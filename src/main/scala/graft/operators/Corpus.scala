@@ -19,7 +19,17 @@ import org.apache.spark.sql.DataFrame
 object Corpus {
 
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // streaming frames have no static partition count (and micro-batches
+    // arrive pre-split); pass them through untouched
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sessionState.conf.numShufflePartitions
+      // queryExecution.toRdd is the plan's own lazy val — one physical
+      // planning pass per Dataset, no extra row-deserializing RDD layered
+      // on top (df.rdd would build and discard one per call)
+      if (df.queryExecution.toRdd.getNumPartitions < target)
+        df.repartition(target)
+      else df
+    }
   }
 }

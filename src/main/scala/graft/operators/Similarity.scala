@@ -142,11 +142,13 @@ object Similarity {
           maybeRound(cosineSim(col(vec), col("centroid")), roundDecimals)
             .as("csim"))
 
-    // nearest cell per corpus vector: max by (csim, -cell) = best score,
-    // smallest cell id on ties — aggregation, not a window sort
+    // nearest cell per corpus vector: min by (-csim, cell) = best score,
+    // smallest cell id on ties — an aggregation, not a window sort, and
+    // type-agnostic in the cell id (negating csim instead of the cell
+    // keeps string/struct centroid ids working)
     val assigned = scoredCells(Corpus.spread(corpus), "neighbor_id", "cvec")
       .groupBy(col("neighbor_id"), col("cvec"))
-      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"))
+      .agg(min_by(col("cell"), struct(-col("csim"), col("cell"))).as("cell"))
 
     // nProbe nearest cells per query via the same bounded top-k aggregator
     val probeK = TopKAggregator.topK(nProbe)
