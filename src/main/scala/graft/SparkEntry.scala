@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.core.CoreQueries
-import graft.operators.{PipelineQueries, RelationalQueries}
+import graft.operators.{PipelineQueries, RelationalQueries, TemporalJoins}
 import graft.sources.Sinks
 import graft.streaming.StreamingQueries
 
@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ PipelineQueries.queries ++
-      StreamingQueries.queries ++ CoreQueries.queries ++ Sinks.queries
+      StreamingQueries.queries ++ CoreQueries.queries ++ Sinks.queries ++
+      TemporalJoins.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
-      StreamingQueries.oracles ++ CoreQueries.oracles ++ Sinks.oracles
+      StreamingQueries.oracles ++ CoreQueries.oracles ++ Sinks.oracles ++
+      TemporalJoins.oracles
 }

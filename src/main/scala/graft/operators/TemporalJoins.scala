@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Temporal join operators Spark lacks as built-ins — composed from
+  * existing operators per the preference order in the build brief
+  * (compose > custom Expression > custom plan node): an as-of join and a
+  * tolerance (band/interval) join. The reference is single-table
+  * (/root/reference/src/query.rs:4-8 — no join surface at all), so these
+  * are extension operators; both are shaped for 100 TB:
+  *
+  *   - [[asofJoin]] never builds a range product: both inputs union into
+  *     one stream, shuffle ONCE on the key, and a per-key ordered window
+  *     carries the latest right-side row forward — O(n log n) within each
+  *     key partition, state = one carried struct, no matter how far back
+  *     the match lies.
+  *   - [[toleranceJoin]] turns the range predicate into an equi-join on
+  *     (key, time bucket) with bucket width = tolerance: the left side
+  *     fans out to its 3 adjacent buckets, the right side stays single,
+  *     and the exact |Δt| <= tolerance residual filters after the
+  *     equi-match — a bounded 3x expansion instead of the nested-loop
+  *     plan Spark would otherwise pick for a BETWEEN join condition.
+  */
+object TemporalJoins {
+
+  /** For every left row, attach the latest right row of the same key with
+    * `right.ts <= left.ts` (inclusive; left-outer: null struct when no
+    * prior right row exists). Payload structs keep the two schemas apart.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      leftPayload: Seq[Column],
+      rightPayload: Seq[Column]): DataFrame = {
+
+    val lStruct = struct(leftPayload: _*)
+    val rStruct = struct(rightPayload: _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+
+    val lu = left.select(
+      col(keyCol).as("_k"), col(tsCol).as("_t"),
+      lStruct.as("_lp"), lit(null).cast(rType).as("_rp"), lit(1).as("_side"))
+    val ru = right.select(
+      col(keyCol).as("_k"), col(tsCol).as("_t"),
+      lit(null).cast(lType).as("_lp"), rStruct.as("_rp"), lit(0).as("_side"))
+
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
+    // same-instant right row is visible to the left row — the inclusive
+    // <= of as-of semantics
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lu.union(ru)
+      .withColumn("_m", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(
+        col("_k").as(keyCol), col("_t").as(tsCol),
+        col("_lp").as("left"), col("_m").as("asof"))
+  }
+
+  /** All (left, right) pairs of the same key with
+    * |right.ts - left.ts| <= tolerance. Bucketed equi-join: no range
+    * nested loop; each pair matches exactly once (the right row's bucket
+    * is unique and appears at most once among the left row's three).
+    */
+  def toleranceJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      toleranceSeconds: Long,
+      leftPayload: Seq[Column],
+      rightPayload: Seq[Column]): DataFrame = {
+
+    val tolUs = toleranceSeconds * 1000000L
+    def bucket(ts: Column): Column = floor(unix_micros(ts) / tolUs)
+
+    val lu = left.select(
+      col(keyCol).as("_k"), col(tsCol).as("_lt"),
+      struct(leftPayload: _*).as("left"),
+      explode(array(bucket(col(tsCol)) - 1, bucket(col(tsCol)),
+        bucket(col(tsCol)) + 1)).as("_b"))
+    val ru = right.select(
+      col(keyCol).as("_k"), col(tsCol).as("_rt"),
+      struct(rightPayload: _*).as("right"),
+      bucket(col(tsCol)).as("_b"))
+
+    lu.join(ru, Seq("_k", "_b"))
+      .filter(abs(unix_micros(col("_rt")) - unix_micros(col("_lt"))) <= tolUs)
+      .select(col("_k").as(keyCol), col("_lt"), col("_rt"),
+        col("left"), col("right"))
+  }
+
+  // ---------- named entries over the events table ----------
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // last click at-or-before each purchase, per user (attribution shape)
+    "q_join_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      TemporalJoins
+        .asofJoin(purchases, clicks, "user_id", "ts",
+          leftPayload = Seq(col("event_id"), col("value")),
+          rightPayload = Seq(col("ts").as("click_ts")))
+        .select(
+          col("left.event_id").as("event_id"), col("user_id"), col("ts"),
+          col("left.value").as("value"),
+          // no-prior-click rows are genuine LEFT-OUTER nulls from the
+          // operator; the gate entry pins them to a sentinel instant so
+          // the cross-engine hash compare never depends on either
+          // engine's null-timestamp encoding
+          coalesce(col("asof.click_ts"),
+            lit("1900-01-01 00:00:00").cast("timestamp")).as("click_ts"))
+        .orderBy("event_id")
+    }),
+    // errors within +-1h of each purchase, per user (incident correlation)
+    "q_join_range" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val errors = ev.filter(col("event_type") === "error")
+      val pairs = TemporalJoins.toleranceJoin(
+        purchases, errors, "user_id", "ts", 3600L,
+        leftPayload = Seq(col("event_id")),
+        rightPayload = Seq(col("event_id").as("error_id")))
+      purchases.select(col("event_id"))
+        .join(pairs.select(col("left.event_id").as("event_id"),
+          col("right.error_id").as("error_id")), Seq("event_id"), "left")
+        .groupBy("event_id")
+        .agg(count(col("error_id")).as("n_errors"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_asof" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  COALESCE(c.ts, TIMESTAMP '1900-01-01') AS click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_range" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'error')
+        |SELECT p.event_id, count(e.event_id) AS n_errors
+        |FROM p LEFT JOIN e ON e.user_id = p.user_id
+        |  AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+  )
+}

@@ -22,8 +22,14 @@ def norm(df):
 
 
 def values_equal(a, b):
-    if a is None and b is None:
-        return True
+    try:
+        import pandas as pd
+        # covers None, float NaN, and pandas NaT uniformly; isna on
+        # non-scalar (list) values raises/returns arrays -> fall through
+        if pd.isna(a) is True and pd.isna(b) is True:
+            return True
+    except (TypeError, ValueError):
+        pass
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
