@@ -361,6 +361,59 @@ object RelationalQueries {
         .select(col("vec_id"), explode(col("embedding")).as("val"))
         .select(col("vec_id"), col("val").cast("double").as("val"))
         .orderBy("vec_id", "val")
+    }),
+
+    // ---- percentiles / pivot / json / fuzzy match ----
+    "q_percentiles" -> ((s, d) => {
+      // EXACT percentiles (sort-based, linear interpolation), not the
+      // approx sketch — rounded to 6 so cross-engine interpolation
+      // last-ulp noise cannot flip the hash
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"),
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("qty_median"))
+        .orderBy("l_returnflag")
+    }),
+    "q_pivot" -> ((s, d) => {
+      // pivot with EXPLICIT values: no extra distinct-values job, fixed
+      // output schema (the form that scales — value discovery on a
+      // high-cardinality column is the anti-pattern)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(
+          col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"))
+        .orderBy("l_returnflag")
+    }),
+    "q_json_extract" -> ((s, d) => {
+      // events.props is a JSON document column
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+    "q_fuzzy_match" -> ((s, d) => {
+      // function-surface demo over a bounded table; a corpus-scale fuzzy
+      // join would prefix-filter candidates first (see Dedup.ngramJaccardPairs)
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+      val l = sup.select(col("id").as("id_a"), col("name").as("name_a"))
+      val r = sup.select(col("id").as("id_b"), col("name").as("name_b"))
+      l.join(r, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -531,6 +584,29 @@ object RelationalQueries {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_explode" ->
       """SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val
-        |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id, val""".stripMargin
+        |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id, val""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_median
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  COUNT(CAST(props->>'k' AS BIGINT)) AS n,
+        |  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_fuzzy_match" ->
+      """SELECT l.s_suppkey AS id_a, r.s_suppkey AS id_b,
+        |  CAST(levenshtein(l.s_name, r.s_name) AS INTEGER) AS dist
+        |FROM supplier l JOIN supplier r ON l.s_suppkey < r.s_suppkey
+        |WHERE levenshtein(l.s_name, r.s_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
