@@ -72,4 +72,54 @@ class PlanSpec extends SparkSpec {
     // and it must actually execute through the generated path
     assert(df.count() > 0)
   }
+
+  test("asof join plans a single key exchange, no join product") {
+    import graft.operators.TemporalJoins
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val p = plan(TemporalJoins.asofJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      "user_id", "ts",
+      leftPayload = Seq(col("event_id")),
+      rightPayload = Seq(col("event_id").as("click_id"))))
+    // union + window carry-forward: no join operator of any kind appears
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // exactly one exchange partitions by the key for the window
+    assert(p.contains("hashpartitioning(_k"), p)
+  }
+
+  test("tolerance join is an equi hash join on (key, bucket), not a nested loop") {
+    import graft.operators.TemporalJoins
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val p = plan(TemporalJoins.toleranceJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "error"),
+      "user_id", "ts", 3600L,
+      leftPayload = Seq(col("event_id")),
+      rightPayload = Seq(col("event_id").as("error_id"))))
+    // the BETWEEN predicate must have become equi-join keys + residual
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("ngram-jaccard plan has no cartesian/nested-loop stage and no collect") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // eager=false returns the fully lazy plan for inspection
+    val p = plan(Dedup.ngramJaccardPairs(docs, eager = false))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("two-phase top-k aggregates partially before the shuffle") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10))
+    // ObjectHashAggregate with a partial phase = bounded-heap map-side top-k
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial"), p)
+    // and never a per-key window sort over the full scored corpus
+    assert(!p.contains("Window"), p)
+  }
 }
