@@ -56,6 +56,36 @@ object Streaming {
         col("w.start").as("window_start"),
         col("event_type"), col("n_events"))
 
+  /** Stream-stream interval join: purchases attributed to a prior click
+    * by the same user within `attributionWindow`. Both sides carry
+    * watermarks and the join condition bounds event time on both ends, so
+    * Spark can evict join state (clicks older than watermark + window,
+    * purchases older than watermark) — the canonical bounded-state
+    * stream-stream join. On batch children the same plan is a plain
+    * range-condition join (oracle-checked as `q_stream_join_batch`).
+    *
+    * At scale: state per side is bounded by (watermark + window) of
+    * per-user traffic; the join shuffles both streams on user_id once.
+    */
+  def clickAttributedPurchases(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      attributionWindow: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value"))
+    c.join(
+        p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attributionWindow"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Session windows per user: a session closes after `gap` of
     * inactivity. Output: user_id, session_start, n_events.
     */

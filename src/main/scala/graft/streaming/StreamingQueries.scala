@@ -43,6 +43,19 @@ object StreamingQueries {
           col("n_events"))
         .orderBy("user_id", "session_start")
     }),
+    // stream-stream interval join on its batch child
+    "q_stream_join_batch" -> ((s, d) => {
+      val ev = t(s, d)
+      Streaming.clickAttributedPurchases(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .select(
+          col("user_id"),
+          col("click_ts").cast("long").as("click_s"),
+          col("purchase_ts").cast("long").as("purchase_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy("user_id", "click_s", "purchase_s")
+    }),
     // the flatMapGroupsWithState path must produce the exact same
     // sessions as session_window — same oracle SQL as the entry above
     "q_stream_session_state" -> ((s, d) => {
@@ -97,6 +110,24 @@ object StreamingQueries {
         |  CAST(epoch_ns(MIN(ts)) // 1000000000 AS BIGINT) AS session_start,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // purchases within [click, click + 1h] per user; timestamps compared
+    // at micro precision, emitted as epoch seconds (micros are
+    // second-aligned in the generated data)
+    "q_stream_join_batch" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS click_ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts AS purchase_ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.user_id,
+        |  CAST(epoch_ns(c.click_ts) // 1000000000 AS BIGINT) AS click_s,
+        |  CAST(epoch_ns(p.purchase_ts) // 1000000000 AS BIGINT) AS purchase_s,
+        |  round(p.value, 3) AS value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.purchase_ts >= c.click_ts
+        |  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_s, purchase_s""".stripMargin,
     // identical sessionization semantics through custom state
     "q_stream_session_state" ->
       """WITH o AS (

@@ -111,6 +111,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+
+    val joined = Streaming.clickAttributedPurchases(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id", "value"))
+    val query = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 10:00:00"), 1L))
+      purchases.addData(
+        (ts("2024-01-01 10:30:00"), 1L, 9.99), // in window -> match
+        (ts("2024-01-01 11:30:00"), 1L, 5.00), // past 1h   -> no match
+        (ts("2024-01-01 10:15:00"), 2L, 3.00)) // no click  -> no match
+      runUntilIdle(query)
+      val rows = spark.table("ss_join").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("click_ts"),
+          r.getAs[Timestamp]("purchase_ts"), r.getAs[Double]("value")))
+      assert(rows.toSeq == Seq(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), 9.99)))
+
+      // a second click opens a new attribution window; the same purchase
+      // does NOT rematch (it is outside the new click's window)
+      clicks.addData((ts("2024-01-01 11:20:00"), 1L))
+      runUntilIdle(query)
+      val after = spark.table("ss_join").collect()
+      // 11:30 purchase is within [11:20, 12:20] -> one new match
+      assert(after.length == 2)
+    } finally query.stop()
+  }
+
   test("Sessionize streaming path: sessions close by in-key gap and by event-time timeout") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
