@@ -5,9 +5,12 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** File-sink surface (SURVEY.md §2 row 3 extension): the reference's only
-  * sink is stdout pretty-print (/root/reference/src/main.rs:46-51); a
-  * 100 TB pipeline instead terminates in partitioned columnar writes.
+/** File source/sink surface (SURVEY.md §2 rows 2-3 extension): the
+  * reference reads exactly one CSV (/root/reference/src/table.rs:87-109)
+  * and its only sink is stdout pretty-print (main.rs:46-51); a 100 TB
+  * pipeline instead terminates in partitioned columnar writes and reads
+  * whatever formats upstream systems emit — each format here is gated by
+  * a full write -> read round trip against the DuckDB oracle.
   * The entry writes per-document features partitioned by language —
   * `partitionBy` on a LOW-cardinality column, one directory per value,
   * which at scale gives partition-pruned reads for per-language
@@ -21,14 +24,17 @@ object Sinks {
     * repeated Verify/Bench invocations must not leak temp directories
     * (a deleteOnExit hook covers JVM exit).
     */
-  private lazy val roundTripDir: String = {
-    val p = Paths.get(
-      sys.props("java.io.tmpdir"), "graft-write-roundtrip")
+  private def scratch(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), name)
     val f = p.toFile
     f.mkdirs()
     f.deleteOnExit()
     p.toString
   }
+
+  private lazy val roundTripDir: String = scratch("graft-write-roundtrip")
+  private lazy val jsonDir: String = scratch("graft-write-json")
+  private lazy val orcDir: String = scratch("graft-write-orc")
 
   private def writeRoundTrip(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
@@ -48,8 +54,29 @@ object Sinks {
       .orderBy("doc_id")
   }
 
+  /** JSON-lines round trip: schema survives via explicit read schema
+    * (JSON has no embedded types; inferring would widen longs/doubles
+    * differently than the writer).
+    */
+  private def jsonRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val out = Tables(s, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    out.write.mode("overwrite").json(jsonDir)
+    s.read.schema(out.schema).json(jsonDir).orderBy("n_nationkey")
+  }
+
+  /** ORC round trip — columnar like parquet, types self-describing. */
+  private def orcRoundTrip(s: SparkSession, d: String): DataFrame = {
+    Tables(s, d, "region")
+      .select("r_regionkey", "r_name")
+      .write.mode("overwrite").orc(orcDir)
+    s.read.orc(orcDir).orderBy("r_regionkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_write_partitioned" -> (writeRoundTrip _)
+    "q_write_partitioned" -> (writeRoundTrip _),
+    "q_source_json" -> (jsonRoundTrip _),
+    "q_source_orc" -> (orcRoundTrip _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -57,6 +84,12 @@ object Sinks {
       """SELECT doc_id, lang,
         |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_words,
         |  n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_source_json" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_source_orc" ->
+      """SELECT r_regionkey, r_name FROM region
+        |ORDER BY r_regionkey""".stripMargin
   )
 }
