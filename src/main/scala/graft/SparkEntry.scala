@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.core.CoreQueries
-import graft.operators.{PipelineQueries, RelationalQueries, TemporalJoins}
+import graft.operators.{PipelineQueries, RelationalQueries, Skew, TemporalJoins}
 import graft.sources.Sinks
 import graft.streaming.StreamingQueries
 
@@ -21,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ PipelineQueries.queries ++
       StreamingQueries.queries ++ CoreQueries.queries ++ Sinks.queries ++
-      TemporalJoins.queries
+      TemporalJoins.queries ++ Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
       StreamingQueries.oracles ++ CoreQueries.oracles ++ Sinks.oracles ++
-      TemporalJoins.oracles
+      TemporalJoins.oracles ++ Skew.oracles
 }

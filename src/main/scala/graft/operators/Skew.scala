@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Skew mitigation for shuffle joins (SURVEY.md §4 / the 100 TB brief:
+  * "salting for skew, AQE for runtime re-plan").
+  *
+  * Spark's first line of defense is AQE's skew-join splitting
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default), which
+  * re-plans oversized sort-merge partitions at runtime. Salting is the
+  * explicit fallback for the cases AQE cannot fix — a hash join whose
+  * single hot key exceeds one task's memory, or a key so hot that
+  * splitting its partition still leaves one straggler: the skewed side
+  * spreads each key over `buckets` sub-partitions via a deterministic
+  * salt, the other side replicates each row `buckets` times, and the
+  * join key becomes (key, salt) — hot keys now occupy `buckets` tasks.
+  * Inner joins only (outer semantics would need null-salt alignment);
+  * replication multiplies the build side, so size `buckets` to the skew
+  * factor, not higher.
+  */
+object Skew {
+
+  /** Inner equi-join with the LEFT side salted and the RIGHT side
+    * replicated. `keys` pairs (leftCol, rightCol); `saltBy` must be a
+    * deterministic expression over left columns (the salt value never
+    * affects the result set, only the partition spread).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      buckets: Int = 8,
+      saltBy: Column): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val l = left
+      .withColumn("_salt", pmod(saltBy, lit(buckets)).cast("int"))
+      .alias("_sl")
+    val r = right
+      .withColumn("_salt",
+        explode(array((0 until buckets).map(lit): _*)))
+      .alias("_sr")
+    val cond = (keys.map { case (lk, rk) => col(s"_sl.$lk") === col(s"_sr.$rk") } :+
+      (col("_sl._salt") === col("_sr._salt"))).reduce(_ && _)
+    l.join(r, cond).drop("_salt")
+  }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // fact-fact join (neither side broadcastable at scale) through the
+    // salted path; result must equal the plain join, which the oracle is
+    "q_join_salted" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+      Skew.saltedJoin(
+          li, ord, Seq("l_orderkey" -> "o_orderkey"), buckets = 8,
+          saltBy = xxhash64(col("l_linenumber")))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("total_qty"))
+        .orderBy("o_orderpriority")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_salted" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}
