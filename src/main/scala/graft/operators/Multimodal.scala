@@ -108,6 +108,24 @@ object Multimodal {
       }
   }
 
+  /** Frame-sampling stage (video-pipeline shape): every `step`-th frame
+    * index of each payload, from frame 0 — the decode of the sampled
+    * frame itself is the stubbed part (no codecs in this container); the
+    * Spark-side plumbing is real and is what matters at scale: the
+    * explode fans out ≤ frame_count/step rows per doc (bounded), sampled
+    * frame indices are computed from decoded metadata, and downstream
+    * stages see one row per (doc, frame) ready for a per-frame featurizer.
+    */
+  def sampleFrames(
+      spark: SparkSession, docs: DataFrame, step: Int = 8): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    extractMetadata(spark, withPayload(docs))
+      .select(col("doc_id"), col("format"), col("frame_count"))
+      .withColumn(
+        "frame_idx",
+        explode(sequence(lit(0L), col("frame_count") - 1, lit(step.toLong))))
+  }
+
   /** End-to-end pipeline over the documents table: payload → decode →
     * per-format size stats. The aggregate shape (small group-by after a
     * wide decode stage) is the canonical multimodal-ingest plan.

@@ -108,6 +108,14 @@ object PipelineQueries {
     // ---- multimodal (stubbed decode, real plumbing) ----
     "multimodal_meta" -> ((s, d) => {
       Multimodal.mediaProfile(s, t(s, d, "documents"))
+    }),
+    "multimodal_frames" -> ((s, d) => {
+      Multimodal.sampleFrames(s, t(s, d, "documents"), step = 8)
+        .groupBy("format")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_frames"))
+        .orderBy("format")
     })
   )
 
@@ -294,6 +302,18 @@ object PipelineQueries {
         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(MAX(width) AS BIGINT) AS max_width,
         |  CAST(MAX(height) AS BIGINT) AS max_height
+        |FROM m GROUP BY format ORDER BY format""".stripMargin,
+    // frame counts recomputed from the Truth formula; sampling every 8th
+    // frame from 0 yields floor((frames-1)/8)+1 frames per doc
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'pgm' END AS format,
+        |    1 + (doc_id * 104729) % 64 AS frames
+        |  FROM documents)
+        |SELECT format,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM((frames - 1) // 8 + 1) AS BIGINT) AS n_frames
         |FROM m GROUP BY format ORDER BY format""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
