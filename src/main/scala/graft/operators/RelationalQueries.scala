@@ -403,11 +403,18 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
     "q_fuzzy_match" -> ((s, d) => {
-      // function-surface demo over a bounded table; a corpus-scale fuzzy
-      // join would prefix-filter candidates first (see Dedup.ngramJaccardPairs)
+      // function-surface demo on a FIXED slice (suppkey < 200): all-pairs
+      // levenshtein is quadratic and each call allocates a DP matrix, so
+      // the demo bounds its input instead of growing with SF; a
+      // corpus-scale fuzzy join would prefix-filter candidates first
+      // (see Dedup.ngramJaccardPairs)
       val sup = t(s, d, "supplier")
+        .filter(col("s_suppkey") < 200)
         .select(col("s_suppkey").as("id"), col("s_name").as("name"))
-      val l = sup.select(col("id").as("id_a"), col("name").as("name_a"))
+      // spread the streamed side: the single-file scan would otherwise run
+      // the whole pair loop in ONE task of the nested-loop join
+      val l = Corpus.spread(sup)
+        .select(col("id").as("id_a"), col("name").as("name_a"))
       val r = sup.select(col("id").as("id_b"), col("name").as("name_b"))
       l.join(r, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
@@ -606,7 +613,8 @@ object RelationalQueries {
       """SELECT l.s_suppkey AS id_a, r.s_suppkey AS id_b,
         |  CAST(levenshtein(l.s_name, r.s_name) AS INTEGER) AS dist
         |FROM supplier l JOIN supplier r ON l.s_suppkey < r.s_suppkey
-        |WHERE levenshtein(l.s_name, r.s_name) <= 2
+        |WHERE l.s_suppkey < 200 AND r.s_suppkey < 200
+        |  AND levenshtein(l.s_name, r.s_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin
   )
 }
