@@ -339,19 +339,36 @@ object Dedup {
       .withColumn("pc", bitsetIntersectCount(col("bm"), col("bm")))
 
     def pipeline(ds: DataFrame): DataFrame = {
-      // ---- stage 1: rarest-first prefix filtering ----
-      val prefixLen =
+      // ---- stage 1: rarest-first ASYMMETRIC prefix filtering ----
+      // Orient every pair by (sz, id) lexicographic order: the smaller
+      // side PROBES with the short prefix, the larger side is INDEXED
+      // with the long one. For the smaller doc A of a qualifying pair,
+      // the required overlap alpha = ceil(t/(1+t)*(|A|+|B|)) is at least
+      // ceil(2t/(1+t)*|A|) (since |B| >= |A|), so A only needs its first
+      // |A| - ceil(2t/(1+t)*|A|) + 1 grams; the larger doc B needs
+      // |B| - ceil(t*|B|) + 1 (alpha >= ceil(t*|B|) given the size
+      // filter). The standard prefix lemma then guarantees the smallest
+      // shared gram of any qualifying pair lands in BOTH prefixes — same
+      // recall as the symmetric scheme at ~60% of the probe rows.
+      val indexLen =
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
       val prefixes = ds.select(
         col("id"), col("sz"),
-        posexplode(slice(col("sgrams"), lit(1), prefixLen)).as(Seq("pos", "gram")))
+        posexplode(slice(col("sgrams"), lit(1), indexLen)).as(Seq("pos", "gram")))
+      // the probe restriction is a cheap predicate on the SAME stream
+      // (0-based pos within the short prefix), not a second explode
+      def probeBound(side: String) =
+        col(s"$side.pos") <
+          (col(s"$side.sz") -
+            ceil(lit(2 * threshold / (1 + threshold)) * col(s"$side.sz")) + 1)
 
-      // size filter (t <= |A|/|B| <= 1/t) plus the PPJoin positional
-      // filter: a match at sorted positions (i, j) can contribute at most
-      // 1 + min(|A|-i, |B|-j) overlap, which must reach the equivalent
-      // overlap bound ceil(t/(1+t) * (|A|+|B|)) — prunes most raw
-      // matches. Candidate pairs are NOT deduplicated here: the bound
-      // check is O(sigBits/64) per row, so re-checking duplicates beats a
+      // size filter (probe is the smaller side: t*|B| <= |A|) plus the
+      // PPJoin positional filter: the match at sorted positions (i, j)
+      // can contribute at most 1 + min(|A|-i-1, |B|-j-1) overlap, which
+      // must reach alpha — prunes most raw matches (valid for the
+      // smallest shared gram, which the lemma puts in both prefixes).
+      // Candidate pairs are NOT deduplicated here: the bound check is
+      // O(sigBits/64) per row, so re-checking duplicates beats a
       // pre-shuffle distinct over the raw match stream; survivors dedup
       // before the (per-row expensive) exact verify instead.
       val overlapBound =
@@ -359,13 +376,16 @@ object Dedup {
       val candidates = prefixes.alias("l")
         .join(prefixes.alias("r"),
           col("l.gram") === col("r.gram") &&
-            col("l.id") < col("r.id") &&
+            probeBound("l") &&
+            (col("l.sz") < col("r.sz") ||
+              (col("l.sz") === col("r.sz") && col("l.id") < col("r.id"))) &&
             col("r.sz") * threshold <= col("l.sz") &&
-            col("l.sz") * threshold <= col("r.sz") &&
             lit(1) + least(
               col("l.sz") - col("l.pos") - 1,
               col("r.sz") - col("r.pos") - 1) >= overlapBound)
-        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .select(
+          least(col("l.id"), col("r.id")).as("id_a"),
+          greatest(col("l.id"), col("r.id")).as("id_b"))
 
       // ---- stage 2: fixed-width hashed-bitset upper bound ----
       // signature sides are broadcast when they fit (O(docs) rows of
