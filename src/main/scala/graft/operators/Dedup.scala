@@ -108,47 +108,59 @@ object Dedup {
       shingleWords: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      eager: Boolean = true): DataFrame = {
 
-    val withShingles = Corpus.spread(docs)
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWords).as("shingles"))
-    val withSig = withShingles
+    // one per-doc row (shingles + band keys) feeds the banding self-join
+    // AND both sides of the exact-Jaccard verify — same persist/release
+    // discipline as [[ngramJaccardPairs]]: eager=true shares it across
+    // the three consumers and releases it before returning, eager=false
+    // stays fully lazy and re-shingles per consumer
+    val withSig = Corpus.spread(docs)
+      .select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleWords).as("shingles"))
       .withColumn("sig",
         HashFunctions.minhashSignature(col("shingles"), bands * rowsPerBand))
+      .select(col("id"), col("shingles"),
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(
+            array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "_")))
+          .as("bkeys"))
 
-    // band key: hash of the band's signature slice — compact shuffle key
-    val banded = withSig
-      .select(
-        col("id"),
-        explode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b =>
-              struct(
-                b.as("band"),
-                xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "_"))
-                  .as("bkey")))).as("lsh"))
-      .select(col("id"), col("lsh.band"), col("lsh.bkey"))
+    def pipeline(ds: DataFrame): DataFrame = {
+      // band key: hash of the band's signature slice — compact shuffle key
+      val banded = ds
+        .select(col("id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
 
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    val candidates = l
-      .join(r,
-        col("l.band") === col("r.band") &&
-          col("l.bkey") === col("r.bkey") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+      val l = banded.alias("l")
+      val r = banded.alias("r")
+      val candidates = l
+        .join(r,
+          col("l.band") === col("r.band") &&
+            col("l.bkey") === col("r.bkey") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
 
-    val sa = withShingles.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val sb = withShingles.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    candidates
-      .join(sa, "id_a")
-      .join(sb, "id_b")
-      .select(
-        col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard_sim"))
-      .filter(col("jaccard_sim") >= threshold)
+      val sa = ds.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+      val sb = ds.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+      candidates
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+          col("id_a"), col("id_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard_sim"))
+        .filter(col("jaccard_sim") >= threshold)
+    }
+
+    if (eager) {
+      val cached = withSig.persist()
+      val out = pipeline(cached).persist()
+      out.foreach(_ => ())
+      cached.unpersist()
+      out
+    } else pipeline(withSig)
   }
 
   // ---------- SimHash ----------
