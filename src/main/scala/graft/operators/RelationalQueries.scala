@@ -402,6 +402,20 @@ object RelationalQueries {
           max(col("k")).as("max_k"))
         .orderBy("event_type")
     }),
+    "q_subquery_scalar" -> ((s, d) => {
+      // scalar + correlated subqueries: Catalyst decorrelates the EXISTS
+      // into a left-semi join and the scalar subquery into a cross join
+      // of a 1-row aggregate — no per-row re-execution anywhere
+      t(s, d, "orders").createOrReplaceTempView("orders_sq")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_sq")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice
+          |FROM orders_sq
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders_sq)
+          |  AND EXISTS (SELECT 1 FROM lineitem_sq
+          |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
     "q_fuzzy_match" -> ((s, d) => {
       // function-surface demo on a FIXED slice (suppkey < 200): all-pairs
       // levenshtein is quadratic and each call allocates a DP matrix, so
@@ -609,6 +623,13 @@ object RelationalQueries {
         |  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
         |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_fuzzy_match" ->
       """SELECT l.s_suppkey AS id_a, r.s_suppkey AS id_b,
         |  CAST(levenshtein(l.s_name, r.s_name) AS INTEGER) AS dist
