@@ -200,6 +200,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup within watermark drops replayed events, bounded state") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "event_id")
+
+    // state per key is evicted once the watermark passes its event time —
+    // the streaming analogue of Dedup.exact with bounded memory
+    val query = df
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:00:05"), 1L), // replay within watermark -> dropped
+        (ts("2024-01-01 10:01:00"), 2L))
+      runUntilIdle(query)
+      input.addData((ts("2024-01-01 10:02:00"), 1L)) // still within -> dropped
+      runUntilIdle(query)
+      val ids = spark.table("stream_dedup").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.sameElements(Array(1L, 2L)))
+    } finally query.stop()
+  }
+
   test("batch and streaming paths agree on the same data") {
     implicit val ctx = spark.sqlContext
     val rows = Seq(
