@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, CosineSimilarity, MinHashSignature, SimHash64}
+import graft.functions.{BitsetFromPositions, BitsetIntersectCount, CharNgrams, CosineSimilarity, MinHashSignature, SimHash64, SimHashFromHashes}
 
 /** Cluster-wide registration of the library's Catalyst expressions via
   * `SparkSessionExtensions` — the deployment path for SQL users:
@@ -61,5 +61,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_signature(shingles, k) - k-permutation MinHash signature"),
       (exprs: Seq[Expression]) =>
         MinHashSignature(exprs(0), litInt(exprs(1), "minhash_signature", "k"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash_from_hashes"),
+      info("simhash_from_hashes",
+        "simhash_from_hashes(hashes, bits) - SimHash sign-vote over precomputed token hashes"),
+      (exprs: Seq[Expression]) =>
+        SimHashFromHashes(exprs(0), litInt(exprs(1), "simhash_from_hashes", "bits"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("bitset_from_positions"),
+      info("bitset_from_positions",
+        "bitset_from_positions(positions, numBits) - fixed-width bitset from int positions"),
+      (exprs: Seq[Expression]) =>
+        BitsetFromPositions(exprs(0), litInt(exprs(1), "bitset_from_positions", "numBits"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("bitset_intersect_count"),
+      info("bitset_intersect_count",
+        "bitset_intersect_count(a, b) - popcount of the word-wise AND of two bitsets"),
+      (exprs: Seq[Expression]) => BitsetIntersectCount(exprs(0), exprs(1))))
   }
 }

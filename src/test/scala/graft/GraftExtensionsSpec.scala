@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Drives the cluster-wide SQL registration path: a session built with
+  * `withExtensions(new GraftExtensions)` (sharing the suite's
+  * SparkContext) must resolve every injected function from plain SQL —
+  * the exact surface a thriftserver/SQL-only client sees with
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("all injected functions resolve and evaluate via SQL") {
+    // touch the shared session first so the SparkContext exists
+    spark.sparkContext
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // getOrCreate reuses the JVM's SparkContext but builds a NEW session
+    // with the extensions applied (do NOT stop it — shared context)
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = s.sql(
+        """SELECT
+          |  cosine_sim(cast(array(1.0, 0.0) as array<float>),
+          |             cast(array(1.0, 0.0) as array<float>)) AS cs,
+          |  simhash64(array('a', 'b')) AS sh,
+          |  size(char_ngrams('hello', 3)) AS ng,
+          |  size(minhash_signature(array('x'), 4)) AS mh,
+          |  simhash_from_hashes(array(5L), 3) AS sfh,
+          |  bitset_from_positions(array(1, 65), 128) AS bm,
+          |  bitset_intersect_count(bitset_from_positions(array(1, 65), 128),
+          |                         bitset_from_positions(array(1, 7), 128)) AS bic
+          |""".stripMargin).head()
+      assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-9)
+      assert(row.getAs[Int]("ng") == 3) // hel, ell, llo
+      assert(row.getAs[Int]("mh") == 4)
+      // one hash 5 = 0b101: bits 0 and 2 vote +1, bit 1 votes -1 -> fp 0b101
+      assert(row.getAs[Long]("sfh") == 5L)
+      assert(row.getSeq[Long](row.fieldIndex("bm")).toSeq == Seq(2L, 2L)) // bits 1 and 65
+      assert(row.getAs[Long]("bic") == 1L) // only bit 1 shared
+      // literal-parameter misuse fails analysis, not execution
+      val err = intercept[Exception] {
+        s.sql("SELECT char_ngrams('x', id) FROM range(1)").collect()
+      }
+      assert(err.getMessage.toLowerCase.contains("literal"))
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
