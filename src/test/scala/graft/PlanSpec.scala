@@ -112,6 +112,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("partition pruning reaches the scan of a partitionBy output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val f = spark.read.parquet(dir)
+      .filter(col("lang") === "en")
+      .select("doc_id", "n_chars")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the lang predicate must prune DIRECTORIES, not filter rows
+    val pf = f.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("lang"), pf)
+    assert(!f.contains("Filter ("), f) // no residual row-level filter
+  }
+
   test("two-phase top-k aggregates partially before the shuffle") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
