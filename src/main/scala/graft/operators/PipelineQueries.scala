@@ -99,6 +99,13 @@ object PipelineQueries {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
+    "text_stopword_ratio" -> ((s, d) => {
+      Corpus.spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          round(TextAnalysis.stopwordRatio(col("text"), "en"), 6)
+            .as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
     "text_fingerprint" -> ((s, d) => {
       Corpus.spread(t(s, d, "documents"))
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -275,6 +282,16 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // counts occurrences via list_filter (array_intersect would dedup)
+    "text_stopword_ratio" ->
+      """WITH sw AS (SELECT ['the','a','of','and','to','in','is','it','that','for'] AS words),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(CAST(len(list_filter(ts, t -> list_contains(words, t))) AS DOUBLE)
+        |    / CAST(len(ts) AS DOUBLE), 6) AS stop_ratio
+        |FROM toks, sw ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_aggregate(

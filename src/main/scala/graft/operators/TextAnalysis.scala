@@ -50,6 +50,19 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Fraction of token OCCURRENCES (not distinct tokens) that are
+    * stopwords of the given language — a natural-language-likeness
+    * signal: real prose sits well above machine-generated or boilerplate
+    * text. `filter` keeps duplicate hits, unlike `array_intersect`.
+    */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val words = stopwords.getOrElse(lang,
+      throw new IllegalArgumentException(s"no stopword list for '$lang'"))
+    val ts = Dedup.tokens(text)
+    size(filter(ts, t => array_contains(typedlit(words), t))).cast("double") /
+      size(ts).cast("double")
+  }
+
   /** Heuristic quality score in [0,1]: length sweet-spot, word-length
     * plausibility and punctuation moderation. Deterministic double
     * arithmetic (oracle-expressible).
