@@ -224,6 +224,26 @@ object RelationalQueries {
           sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
+    "q_window_range_frame" -> ((s, d) => {
+      // RANGE frame over a VALUE interval (30 preceding days), not a row
+      // count — the frame capability rowsBetween can't express; keyed on
+      // epoch days so the range arithmetic is integral in both engines
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("d"))
+        .rangeBetween(-30, Window.currentRow)
+      t(s, d, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("d"),
+          dec(col("o_totalprice")).as("p"))
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("d"),
+          count(lit(1)).over(w).as("n_last30d"),
+          sum(col("p")).over(w).cast("double").as("spend_last30d"))
+        .select("o_custkey", "o_orderkey", "n_last30d", "spend_last30d")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "q_window_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, d, "events")
@@ -528,6 +548,19 @@ object RelationalQueries {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_window_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  COUNT(*) OVER w AS n_last30d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS spend_last30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_lag" ->
       """SELECT event_id, user_id,
         |  value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input insurance for the pipeline operators: every dedup /
+  * similarity / text / temporal operator must handle an EMPTY corpus and
+  * a single-document corpus without crashing (no div-by-zero, no empty
+  * reduce, no bitset of width 0) and return the trivially correct result.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType))))
+
+  private lazy val oneDoc = Seq((1L, "a single document", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  private lazy val emptyVecs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+
+  test("dedup operators on empty and single-doc corpora") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.minhashPairs(emptyDocs).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+    assert(Dedup.simhashPairsMd5(emptyDocs).count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs).count() == 0)
+
+    assert(Dedup.exact(oneDoc).count() == 1) // one group, itself
+    assert(Dedup.minhashPairs(oneDoc).count() == 0) // no pair with itself
+    assert(Dedup.simhashPairs(oneDoc).count() == 0)
+    assert(Dedup.ngramJaccardPairs(oneDoc).count() == 0)
+  }
+
+  test("similarity operators on empty corpora") {
+    val q = Seq((1L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(emptyVecs, q).count() == 0)
+    assert(Similarity.srpBucketedTopK(emptyVecs, q).count() == 0)
+    assert(Similarity.embeddingNearDupPairsExact(emptyVecs).count() == 0)
+    assert(Similarity.embeddingNearDupPairs(emptyVecs).count() == 0)
+  }
+
+  test("text analysis on empty text") {
+    val df = Seq((1L, "")).toDF("doc_id", "text")
+    val row = df.select(
+      TextAnalysis.wordCount(col("text")).as("w"),
+      TextAnalysis.langId(col("text")).as("l"),
+      TextAnalysis.stopwordRatio(col("text")).as("sr"),
+      TextAnalysis.qualityScore(col("text")).as("q")).head()
+    assert(row.getAs[Long]("w") == 1L) // "" tokenizes to [""], like the oracle
+    assert(row.getAs[String]("l") == "und")
+    assert(row.getAs[Double]("sr") == 0.0)
+    assert(!row.isNullAt(row.fieldIndex("q")))
+  }
+
+  test("temporal joins on empty sides") {
+    val ev = Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+      .toDF("ts", "user_id")
+    val none = ev.filter(lit(false))
+    assert(TemporalJoins.asofJoin(ev, none, "user_id", "ts",
+      Seq(col("user_id").as("u")), Seq(col("user_id").as("v"))).count() == 1)
+    assert(TemporalJoins.asofJoin(none, ev, "user_id", "ts",
+      Seq(col("user_id").as("u")), Seq(col("user_id").as("v"))).count() == 0)
+    assert(TemporalJoins.toleranceJoin(ev, none, "user_id", "ts", 60L,
+      Seq(col("user_id").as("u")), Seq(col("user_id").as("v"))).count() == 0)
+  }
+}
