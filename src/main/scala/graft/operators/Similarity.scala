@@ -118,10 +118,70 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Lloyd's k-means over an embedding column, DataFrame-only — trains
+    * the IVF coarse quantizer instead of sampling centroids. Each
+    * iteration: assign every vector to its nearest centroid (broadcast
+    * join + `min_by` aggregation, no window), then recompute centroids as
+    * the element-wise mean (posexplode to (cell, dim) → avg → reassemble
+    * via sorted collect). Deterministic: seeded by the `initEvery`-th
+    * vectors; empty cells keep their previous centroid (standard Lloyd's
+    * degenerate-cell handling).
+    *
+    * At scale each iteration is one broadcast join + two shuffles keyed
+    * on (cell, dim) — dims bounded, cells = k, so the reduce side is
+    * k·dim rows regardless of corpus size. Returns (cell, centroid).
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      k: Int = 16,
+      iterations: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iterations >= 0, s"bad k=$k/iterations=$iterations")
+    val vecs = Corpus.spread(corpus)
+      .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+
+    // deterministic seed: the k lowest-id vectors (TakeOrderedAndProject,
+    // no global sort materialization); k-means++ would sharpen spread but
+    // costs k sequential passes — unnecessary for a coarse quantizer
+    var centroids = vecs
+      .orderBy("vid").limit(k)
+      .select(col("vid").as("cell"), col("v").as("centroid"))
+
+    (1 to iterations).foreach { _ =>
+      val assigned = vecs
+        .join(broadcast(centroids))
+        .select(col("vid"), col("v"), col("cell"),
+          cosineSim(col("v").cast("array<float>"),
+            col("centroid").cast("array<float>")).as("csim"))
+        .groupBy(col("vid"), col("v"))
+        .agg(min_by(col("cell"), struct(-col("csim"), col("cell"))).as("cell"))
+
+      val updated = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"),
+          transform(col("dm"), s => s.getField("m")).as("centroid"))
+
+      // empty cells fall back to their previous centroid
+      centroids = centroids.alias("old")
+        .join(updated.alias("new"), Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("new.centroid"), col("old.centroid")).as("centroid"))
+    }
+    centroids.select(col("cell"), col("centroid").cast("array<float>").as(vecCol))
+      .withColumnRenamed("cell", idCol)
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (one broadcast join against the tiny centroid set, reduced
-    * with `max_by` — a shuffle-free partial aggregation, no global sort),
+    * with `min_by` — a shuffle-free partial aggregation, no global sort),
     * then answer queries by scanning only the `nProbe` closest cells.
+    * Pass [[kmeansCentroids]] output as `centroids` for a trained
+    * quantizer; any (id, vector) frame works.
     */
   def ivfTopK(
       corpus: DataFrame,

@@ -57,7 +57,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("prefix filtering is exact: equals naive all-pairs on real documents") {
-    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // sf0.01 = 500 docs -> the naive oracle evaluates all 124,750 pairs;
+    // exercises the asymmetric prefixes + bitset bound on a corpus big
+    // enough for both to prune
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard_sim"))
     val fast = Dedup.ngramJaccardPairs(corpus).collect().map(key).toSet

@@ -105,6 +105,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans centroids improve the coarse quantizer monotonically") {
+    import graft.functions.VectorFunctions
+    // mean best-centroid cosine over the corpus = the (cosine) analogue
+    // of negative inertia; must not decrease with training
+    def fit(centroids: org.apache.spark.sql.DataFrame): Double =
+      emb.select(col("vec_id"), col("embedding").as("v"))
+        .join(broadcast(centroids.select(col("vec_id").as("cell"),
+          col("embedding").as("c"))))
+        .select(col("vec_id"),
+          VectorFunctions.cosineSim(col("v"), col("c")).as("csim"))
+        .groupBy("vec_id").agg(max(col("csim")).as("best"))
+        .agg(avg("best")).head().getDouble(0)
+
+    val untrained = Similarity.kmeansCentroids(emb, k = 8, iterations = 0)
+    val trained = Similarity.kmeansCentroids(emb, k = 8, iterations = 3)
+    val f0 = fit(untrained)
+    val f3 = fit(trained)
+    info(f"quantizer fit: untrained $f0%.4f -> trained $f3%.4f")
+    assert(f3 >= f0 - 1e-9)
+    assert(trained.count() == 8)
+    // trained centroids drop into the IVF path unchanged
+    val res = Similarity.ivfTopK(emb, queries, trained, k = 5, nProbe = 2)
+    assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
+  }
+
   test("embedding near-dup pairs are symmetric-free and thresholded") {
     val pairs = Similarity.embeddingNearDupPairs(emb, threshold = 0.4).collect()
     pairs.foreach { r =>
