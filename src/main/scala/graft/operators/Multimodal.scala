@@ -126,6 +126,30 @@ object Multimodal {
         explode(sequence(lit(0L), col("frame_count") - 1, lit(step.toLong))))
   }
 
+  /** Resize planning stage: from decoded metadata, compute the
+    * aspect-preserving scale into a `maxSide`-bounded box and the exact
+    * output payload size (PNM body = w·h·channels). The pixel resample
+    * itself is the stubbed part (no codecs here); everything a scheduler
+    * or cost model needs — target dims, output bytes, shrink ratio — is
+    * real, per-row, codegen'd arithmetic.
+    */
+  def resizePlan(
+      spark: SparkSession, docs: DataFrame, maxSide: Int = 256): DataFrame = {
+    val meta = extractMetadata(spark, withPayload(docs))
+    val scale = least(
+      lit(maxSide.toDouble) / col("width"),
+      lit(maxSide.toDouble) / col("height"),
+      lit(1.0)) // never upscale
+    val channels = when(col("format") === "ppm", 3L).otherwise(1L)
+    meta
+      .withColumn("out_w", greatest(floor(col("width") * scale), lit(1L)))
+      .withColumn("out_h", greatest(floor(col("height") * scale), lit(1L)))
+      .select(
+        col("doc_id"), col("format"),
+        col("out_w"), col("out_h"),
+        (col("out_w") * col("out_h") * channels).as("out_bytes"))
+  }
+
   /** End-to-end pipeline over the documents table: payload → decode →
     * per-format size stats. The aggregate shape (small group-by after a
     * wide decode stage) is the canonical multimodal-ingest plan.

@@ -116,6 +116,10 @@ object PipelineQueries {
     "multimodal_meta" -> ((s, d) => {
       Multimodal.mediaProfile(s, t(s, d, "documents"))
     }),
+    "multimodal_resize" -> ((s, d) => {
+      Multimodal.resizePlan(s, t(s, d, "documents"), maxSide = 256)
+        .orderBy("doc_id")
+    }),
     "multimodal_frames" -> ((s, d) => {
       Multimodal.sampleFrames(s, t(s, d, "documents"), step = 8)
         .groupBy("format")
@@ -320,6 +324,27 @@ object PipelineQueries {
         |  CAST(MAX(width) AS BIGINT) AS max_width,
         |  CAST(MAX(height) AS BIGINT) AS max_height
         |FROM m GROUP BY format ORDER BY format""".stripMargin,
+    // resize plan recomputed from the Truth dimension formulas:
+    // aspect-preserving scale into a 256-box, floor dims (min 1), exact
+    // PNM output bytes (w*h*channels)
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'pgm' END AS format,
+        |    64 + doc_id % 1857 AS w,
+        |    64 + (doc_id * 7919) % 1017 AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, format, w, h,
+        |    LEAST(256.0 / w, 256.0 / h, 1.0) AS sc
+        |  FROM m)
+        |SELECT doc_id, format,
+        |  GREATEST(CAST(FLOOR(w * sc) AS BIGINT), 1) AS out_w,
+        |  GREATEST(CAST(FLOOR(h * sc) AS BIGINT), 1) AS out_h,
+        |  GREATEST(CAST(FLOOR(w * sc) AS BIGINT), 1)
+        |    * GREATEST(CAST(FLOOR(h * sc) AS BIGINT), 1)
+        |    * (CASE WHEN format = 'ppm' THEN 3 ELSE 1 END) AS out_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
     // frame counts recomputed from the Truth formula; sampling every 8th
     // frame from 0 yields floor((frames-1)/8)+1 frames per doc
     "multimodal_frames" ->
