@@ -30,6 +30,17 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    // Untimed warmup: the first timed entries would otherwise absorb all
+    // one-time session cost (JIT, codegen compiler, parquet reader init,
+    // shuffle machinery) — measured at several seconds on the first line.
+    // Uses cheap entries that touch scan+shuffle+window+join paths; the
+    // eager-persist operators (ngram/minhash) are NOT warmed: rerunning
+    // them would hit their persisted caches and under-report real work.
+    for (w <- Seq("q_topk", "q_predicates", "q_join_broadcast"))
+      SparkEntry.queries.get(w).foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -44,10 +55,16 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the line compact: the driver captures only a
+    // bounded output tail, and r03's full-precision 66-entry line got its
+    // head truncated past the capture window -> unparseable bench.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

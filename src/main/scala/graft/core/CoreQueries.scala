@@ -24,7 +24,12 @@ object CoreQueries {
     */
   private lazy val csvScratch: String = {
     val p = Files.createTempDirectory("graft-core-csv")
-    p.toFile.deleteOnExit()
+    // deleteOnExit silently skips non-empty dirs; recurse at shutdown
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
     p.toString
   }
 

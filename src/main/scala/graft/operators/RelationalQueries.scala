@@ -653,7 +653,7 @@ object RelationalQueries {
     "q_json_extract" ->
       """SELECT event_type,
         |  COUNT(CAST(props->>'k' AS BIGINT)) AS n,
-        |  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_subquery_scalar" ->
