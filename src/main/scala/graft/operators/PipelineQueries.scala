@@ -112,6 +112,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus composition ----
+    "corpus_mix_sample" -> ((s, d) => {
+      // Deterministic per-source-weighted downsampling — the pretraining
+      // mixture op. Membership = md5(doc_id) mod 1000 under a per-language
+      // rate, so the sample is (a) reproducible across retries, executors
+      // and engine versions (no RNG, no seed-plus-partitioning coupling),
+      // (b) a pure narrow filter — one scan, no shuffle, pushdown-friendly
+      // — and (c) consistent: a document keeps/loses membership stably as
+      // the corpus grows, unlike rand()-based sampling.
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      t(s, d, "documents")
+        .filter(pmod(h, lit(1000)) <
+          when(col("lang") === "en", lit(800)).otherwise(lit(300)))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal (stubbed decode, real plumbing) ----
     "multimodal_meta" -> ((s, d) => {
       Multimodal.mediaProfile(s, t(s, d, "documents"))
@@ -377,6 +395,13 @@ object PipelineQueries {
         |          THEN 1.0 ELSE 0.5 END) * 0.3
         |  + (CASE WHEN n_punct / n_words <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2
         |  AS quality
-        |FROM stats ORDER BY doc_id""".stripMargin
+        |FROM stats ORDER BY doc_id""".stripMargin,
+    // md5-membership recomputed bit-identically (same trick as
+    // text_fingerprint / dedup_simhash: 60-bit hex prefix -> BIGINT)
+    "corpus_mix_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 < CASE WHEN lang = 'en' THEN 800 ELSE 300 END
+        |ORDER BY doc_id""".stripMargin
   )
 }

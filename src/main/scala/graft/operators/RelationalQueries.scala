@@ -455,6 +455,56 @@ object RelationalQueries {
           levenshtein(col("name_a"), col("name_b")).as("dist"))
         .filter(col("dist") <= 2)
         .orderBy("id_a", "id_b")
+    }),
+    "q_unpivot" -> ((s, d) => {
+      // wide->long reshape: narrow scan (4 columns), no shuffle until the
+      // output sort — unpivot is a per-row flatMap, parallelism preserved
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+    "q_corr_stats" -> ((s, d) => {
+      // multi-moment statistics in ONE pass: corr/covar/stddev are all
+      // partial-aggregatable co-moments, so this is a single map-side
+      // combine + one 3-group shuffle regardless of input size
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3)
+            .as("qty_price_covar"),
+          round(stddev_samp(col("l_extendedprice")), 3).as("price_stddev"),
+          round(avg(col("l_quantity")), 6).as("qty_mean"))
+        .orderBy("l_returnflag")
+    }),
+    "q_regex_extract" -> ((s, d) => {
+      // codegen'd regex over a pruned 3-column scan; patterns chosen to
+      // mean the same thing in Java regex and DuckDB's RE2
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          regexp_replace(col("p_type"), "[AEIOU]", "").as("type_consonants"),
+          size(split(col("p_name"), " ")).cast("long").as("n_words"))
+        .orderBy("p_partkey")
+    }),
+    "q_listagg" -> ((s, d) => {
+      // deterministic string aggregation: sort_array(collect_list) makes
+      // the concatenation order independent of partitioning/merge order —
+      // the form that hash-matches across any parallelism; bounded groups
+      // (nations per region) keep per-group state small
+      t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+          array_join(sort_array(collect_list(col("n_name"))), ",")
+            .as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
     })
   )
 
@@ -669,6 +719,31 @@ object RelationalQueries {
         |FROM supplier l JOIN supplier r ON l.s_suppkey < r.s_suppkey
         |WHERE l.s_suppkey < 200 AND r.s_suppkey < 200
         |  AND levenshtein(l.s_name, r.s_name) <= 2
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
+        |  l_extendedprice AS val FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 3) AS qty_price_covar,
+        |  round(stddev_samp(l_extendedprice), 3) AS price_stddev,
+        |  round(avg(l_quantity), 6) AS qty_mean
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_consonants,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_listagg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
   )
 }
