@@ -35,6 +35,7 @@ object Sinks {
   private lazy val roundTripDir: String = scratch("graft-write-roundtrip")
   private lazy val jsonDir: String = scratch("graft-write-json")
   private lazy val orcDir: String = scratch("graft-write-orc")
+  private lazy val sortedDir: String = scratch("graft-write-sorted")
 
   private def writeRoundTrip(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
@@ -65,6 +66,29 @@ object Sinks {
     s.read.schema(out.schema).json(jsonDir).orderBy("n_nationkey")
   }
 
+  /** Range-clustered layout for scan pruning: repartitionByRange +
+    * sortWithinPartitions clusters rows by key, so every output file (and
+    * every parquet row group inside it) covers a narrow disjoint key
+    * range. A later key-range read then prunes at THREE levels — files by
+    * footer min/max, row groups by statistics, pages by column index —
+    * turning a full-table scan into an O(selectivity) read. This layout
+    * pass is the batch cousin of partitionBy: partitionBy suits
+    * low-cardinality columns (one dir per value); range-clustering suits
+    * high-cardinality keys where per-value dirs would be a small-files
+    * disaster. The oracle gates the round trip: range-read of the
+    * clustered copy == plain filter on the original.
+    */
+  private def sortedRoundTrip(s: SparkSession, d: String): DataFrame = {
+    Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(sortedDir)
+    s.read.parquet(sortedDir)
+      .filter(col("l_orderkey").between(10000, 12000))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** ORC round trip — columnar like parquet, types self-describing. */
   private def orcRoundTrip(s: SparkSession, d: String): DataFrame = {
     Tables(s, d, "region")
@@ -75,6 +99,7 @@ object Sinks {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_write_partitioned" -> (writeRoundTrip _),
+    "q_write_sorted" -> (sortedRoundTrip _),
     "q_source_json" -> (jsonRoundTrip _),
     "q_source_orc" -> (orcRoundTrip _)
   )
@@ -85,6 +110,10 @@ object Sinks {
         |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_words,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_write_sorted" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey BETWEEN 10000 AND 12000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_source_json" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,

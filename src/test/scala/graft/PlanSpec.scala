@@ -128,6 +128,25 @@ class PlanSpec extends SparkSpec {
     assert(!f.contains("Filter ("), f) // no residual row-level filter
   }
 
+  test("range filter is pushed to the scan of a range-clustered layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(dir)
+    val f = spark.read.parquet(dir)
+      .filter(col("l_orderkey").between(100, 200))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the range predicate must reach the parquet reader, where the
+    // clustered layout's narrow per-file/row-group min-max stats make it
+    // prune instead of scan
+    val pf = f.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pf.contains("GreaterThanOrEqual(l_orderkey,100"), pf)
+    assert(pf.contains("LessThanOrEqual(l_orderkey,200"), pf)
+  }
+
   test("two-phase top-k aggregates partially before the shuffle") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
