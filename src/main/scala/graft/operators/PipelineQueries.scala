@@ -113,6 +113,44 @@ object PipelineQueries {
     }),
 
     // ---- corpus composition ----
+    "dedup_incremental" -> ((s, d) => {
+      // Dedup a NEW batch against an existing corpus — the steady-state
+      // form of exact dedup in a growing pipeline: the corpus is never
+      // re-deduplicated, only the arrivals are (1) collapsed internally
+      // (min-id per digest, map-side partial agg) and (2) anti-joined
+      // against the corpus digest set. Both sides shuffle only 128-bit
+      // digests, never text; at 100 TB the corpus digest set is far too
+      // big to broadcast, and the shuffled LeftAnti hash join on the
+      // digest key is exactly the plan that scales (AQE may still choose
+      // broadcast when a small corpus fits).
+      val docs = t(s, d, "documents")
+      val corpusDigests = docs.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("text_hash"))
+      val batch = docs.filter(col("doc_id") >= 250)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      batch.join(corpusDigests, Seq("text_hash"), "left_anti")
+        .select(col("doc_id"), col("text_hash"))
+        .orderBy("doc_id")
+    }),
+    "text_quality_filter" -> ((s, d) => {
+      // Per-language relative quality gate: drop each language's bottom
+      // quality quartile (>= p25 survives; scores are heavily tied at the
+      // top, so a strict >-median gate would degenerate to zero rows).
+      // The per-group threshold is a 5-row aggregate joined back by
+      // broadcast — two scans, one tiny shuffle; no window over the
+      // corpus (a per-row percentile window would sort every partition
+      // for a 5-value table).
+      val docs = t(s, d, "documents")
+      val scored = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val thresholds = scored.groupBy("lang")
+        .agg(percentile(col("quality"), lit(0.25)).as("p25"))
+      scored.join(broadcast(thresholds), "lang")
+        .filter(round(col("quality"), 6) >= round(col("p25"), 6))
+        .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
     "corpus_mix_sample" -> ((s, d) => {
       // Deterministic per-source-weighted downsampling — the pretraining
       // mixture op. Membership = md5(doc_id) mod 1000 under a per-language
@@ -396,6 +434,38 @@ object PipelineQueries {
         |  + (CASE WHEN n_punct / n_words <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2
         |  AS quality
         |FROM stats ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT md5(text) AS text_hash FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
+        |  FROM documents WHERE doc_id >= 250 GROUP BY md5(text))
+        |SELECT doc_id, text_hash FROM batch
+        |WHERE text_hash NOT IN (SELECT text_hash FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
+    // same score formula as the text_quality oracle, then a per-language
+    // median gate (quantile_cont == Spark's exact interpolating percentile)
+    "text_quality_filter" ->
+      """WITH stats AS (
+        |  SELECT doc_id, lang,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE) AS n_words,
+        |    CAST(LEN(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    LEAST(n_words / 50.0, 1.0) * 0.5
+        |    + (CASE WHEN (n_chars - (n_words - 1)) / n_words BETWEEN 3.0 AND 10.0
+        |            THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (CASE WHEN n_punct / n_words <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2
+        |    AS quality
+        |  FROM stats),
+        |th AS (
+        |  SELECT lang, quantile_cont(quality, 0.25) AS p25 FROM scored GROUP BY lang)
+        |SELECT s.doc_id, s.lang, round(s.quality, 6) AS quality
+        |FROM scored s JOIN th USING (lang)
+        |WHERE round(s.quality, 6) >= round(th.p25, 6)
+        |ORDER BY s.doc_id""".stripMargin,
     // md5-membership recomputed bit-identically (same trick as
     // text_fingerprint / dedup_simhash: 60-bit hex prefix -> BIGINT)
     "corpus_mix_sample" ->
