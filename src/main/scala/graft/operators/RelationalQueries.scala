@@ -252,6 +252,16 @@ object RelationalQueries {
           (col("value") - lag(col("value"), 1).over(w)).as("delta"))
         .orderBy("event_id")
     }),
+    "q_window_ntile" -> ((s, d) => {
+      // equi-depth bucketing per segment; the (acctbal, custkey) order
+      // key is unique so bucket assignment is deterministic
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("c_custkey")
+    }),
 
     // ---- sort / top-k / limit-offset ----
     "q_topk" -> ((s, d) => {
@@ -275,6 +285,19 @@ object RelationalQueries {
       val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
       val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
       cn.intersect(sn).orderBy("nationkey")
+    }),
+    "q_set_intersect_all" -> ((s, d) => {
+      // bag semantics (min of per-side multiplicities): one shuffle on
+      // the value, per-key counters — no row-pair blowup
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.intersectAll(sn).orderBy("nationkey")
+    }),
+    "q_set_except_all" -> ((s, d) => {
+      // bag difference (count_left - count_right per value, floored at 0)
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.exceptAll(sn).orderBy("nationkey")
     }),
     "q_set_except" -> ((s, d) => {
       val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
@@ -611,6 +634,11 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
         |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |                      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_window_lag" ->
       """SELECT event_id, user_id,
         |  value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
@@ -627,6 +655,14 @@ object RelationalQueries {
     "q_set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q_set_intersect_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_set_except_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT ALL SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
     "q_set_union" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,

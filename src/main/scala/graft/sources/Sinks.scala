@@ -36,6 +36,32 @@ object Sinks {
   private lazy val jsonDir: String = scratch("graft-write-json")
   private lazy val orcDir: String = scratch("graft-write-orc")
   private lazy val sortedDir: String = scratch("graft-write-sorted")
+  private lazy val smallFilesDir: String = scratch("graft-write-smallfiles")
+  private lazy val compactedDir: String = scratch("graft-write-compacted")
+
+  /** Compact a directory of small parquet files into ~`targetFileBytes`
+    * outputs: size the file count from the ACTUAL on-disk bytes, not a
+    * row-count guess, and rewrite to a NEW directory (in-place overwrite
+    * of a live dataset is a correctness bug at scale — the swap belongs
+    * to a catalog/manifest layer, not the engine). The rewrite is one
+    * round-robin shuffle; with AQE coalescing alone (no repartition) the
+    * read-side partitioning would leak through and keep the small-file
+    * layout. Small files are a 100 TB killer: every file costs a
+    * footer read + task schedule + (on object stores) a request round
+    * trip, and 10^7 undersized files can make listing alone the
+    * bottleneck.
+    */
+  def compact(
+      s: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetFileBytes: Long = 128L << 20): DataFrame = {
+    val bytes = org.apache.hadoop.fs.FileUtil.getDU(new java.io.File(inDir))
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    s.read.parquet(inDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    s.read.parquet(outDir)
+  }
 
   private def writeRoundTrip(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
@@ -89,6 +115,21 @@ object Sinks {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Small-files compaction round trip: scatter the table into one file
+    * per shuffle partition (the pathological layout every long-running
+    * ingest converges to), compact by on-disk size, read back. The
+    * oracle hash gates data fidelity; CompactionSpec gates the file
+    * count actually shrinking.
+    */
+  private def compactRoundTrip(s: SparkSession, d: String): DataFrame = {
+    Tables(s, d, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+      .repartition(32) // simulate an ingest's accumulated small files
+      .write.mode("overwrite").parquet(smallFilesDir)
+    compact(s, smallFilesDir, compactedDir)
+      .orderBy("doc_id")
+  }
+
   /** ORC round trip — columnar like parquet, types self-describing. */
   private def orcRoundTrip(s: SparkSession, d: String): DataFrame = {
     Tables(s, d, "region")
@@ -100,6 +141,7 @@ object Sinks {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_write_partitioned" -> (writeRoundTrip _),
     "q_write_sorted" -> (sortedRoundTrip _),
+    "q_write_compacted" -> (compactRoundTrip _),
     "q_source_json" -> (jsonRoundTrip _),
     "q_source_orc" -> (orcRoundTrip _)
   )
@@ -114,6 +156,9 @@ object Sinks {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey BETWEEN 10000 AND 12000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_write_compacted" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_source_json" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
