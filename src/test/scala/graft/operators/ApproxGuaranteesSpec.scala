@@ -30,4 +30,22 @@ class ApproxGuaranteesSpec extends SparkSpec {
       assert(relErr <= 0.05, s"relative error $relErr exceeds 5%")
     }
   }
+
+  test("measured guarantee: approx_percentile within its rank-error contract") {
+    // approx_percentile(accuracy=A) guarantees a value whose RANK is
+    // within N/A of the requested rank (Greenwald-Khanna contract);
+    // verify that, not value closeness — on skewed data a tiny rank slip
+    // can move the value a lot, so rank is the honest metric
+    val accuracy = 10000
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val n = li.count()
+    val approx = li
+      .agg(expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)"))
+      .head().getDouble(0)
+    val rank = li.filter(col("l_extendedprice") <= approx).count()
+    val rankErr = math.abs(rank - 0.5 * n) / n
+    info(f"n=$n approxP50=$approx%.2f rank=$rank rankErr=$rankErr%.6f")
+    assert(rankErr <= 1.0 / accuracy + 1e-9,
+      s"rank error $rankErr exceeds 1/accuracy=${1.0 / accuracy}")
+  }
 }
