@@ -20,6 +20,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Verify: bench the plans the deployed engine would run
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated query-name filter for focused profiling

@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // windowed row_number top-k -> two-phase bounded-heap aggregation
+    // (opt out: spark.graft.topkRewrite.enabled=false)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRule)
+
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),

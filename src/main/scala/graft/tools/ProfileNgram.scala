@@ -104,8 +104,10 @@ object ProfileNgram {
       .filter(col("jaccard_sim") >= threshold)
     time("exact verify")(println("  pairs: " + out.count()))
 
-    time("end-to-end operator")(
-      println("  pairs: " + Dedup.ngramJaccardPairs(docs).count()))
+    // optional sigBits A/B: SPARK_GRAFT_SIGBITS=4096 etc
+    val sb = sys.env.get("SPARK_GRAFT_SIGBITS").map(_.toInt).getOrElse(1 << 13)
+    time(s"end-to-end operator sig=$sb")(
+      println("  pairs: " + Dedup.ngramJaccardPairs(docs, sigBits = sb).count()))
     spark.stop()
   }
 }
