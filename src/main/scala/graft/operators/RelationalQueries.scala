@@ -410,7 +410,12 @@ object RelationalQueries {
     "q_percentiles" -> ((s, d) => {
       // EXACT percentiles (sort-based, linear interpolation), not the
       // approx sketch — rounded to 6 so cross-engine interpolation
-      // last-ulp noise cannot flip the hash
+      // last-ulp noise cannot flip the hash.
+      // Scale boundary: Spark's exact percentile buffers every (value,
+      // count) of a group in one task with no spill, so it is only safe
+      // when per-group cardinality fits an executor (here: 3 groups of
+      // ~200k). Past that, use approx_percentile(col, p, accuracy) —
+      // its rank-error contract is measured in ApproxGuaranteesSpec
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(

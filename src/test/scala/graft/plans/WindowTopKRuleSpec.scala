@@ -99,6 +99,32 @@ class WindowTopKRuleSpec extends SparkSpec {
     assert(huge.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("property: rewrite equals window on random tables (unique sort keys)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // unique sort keys per group make row_number deterministic, so the
+    // two plans must agree EXACTLY, not just up to tie reshuffling
+    val tableGen: Gen[(List[(Int, Int)], Int)] = for {
+      n <- Gen.chooseNum(0, 120)
+      keys <- Gen.listOfN(n, Gen.chooseNum(0, 7))
+      k <- Gen.chooseNum(1, 10)
+    } yield (keys.zipWithIndex, k) // (group, unique id) pairs
+    val prop = Prop.forAll(tableGen) { case (rows, k) =>
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      def run(s: SparkSession) = {
+        import s.implicits._
+        rows.toDF("g", "id")
+          .withColumn("v", pmod(col("id") * 2654435761L, lit(1000003L)))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      }
+      val got = run(ext)
+      val fired = rows.isEmpty || // empty plans may constant-fold away
+        !got.queryExecution.executedPlan.toString.contains("WindowExec")
+      fired && sortedRows(got) == sortedRows(run(spark))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("opt-out conf disables the rewrite") {
     ext.conf.set("spark.graft.topkRewrite.enabled", "false")
     try {
