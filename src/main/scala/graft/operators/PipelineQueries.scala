@@ -168,6 +168,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "pipeline_end_to_end" -> ((s, d) => {
+      // The operators composed as the actual training-data pipeline:
+      // per-language quality gate -> deterministic mixture sampling ->
+      // exact dedup (keep min id per digest). Every stage is the same
+      // code path as its standalone oracle-gated entry; the composition
+      // stays one declarative plan — two scans of documents (score +
+      // threshold), one broadcast, one digest shuffle, no
+      // materialization between stages.
+      val docs = t(s, d, "documents")
+      val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val thresholds = scored.groupBy("lang")
+        .agg(percentile(col("quality"), lit(0.25)).as("p25"))
+      val qualityGated = scored.join(broadcast(thresholds), "lang")
+        .filter(round(col("quality"), 6) >= round(col("p25"), 6))
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val sampled = qualityGated.filter(pmod(h, lit(1000)) <
+        when(col("lang") === "en", lit(800)).otherwise(lit(300)))
+      sampled
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "text_hash", "n_copies")
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal (stubbed decode, real plumbing) ----
     "multimodal_meta" -> ((s, d) => {
       Multimodal.mediaProfile(s, t(s, d, "documents"))
@@ -466,6 +492,35 @@ object PipelineQueries {
         |FROM scored s JOIN th USING (lang)
         |WHERE round(s.quality, 6) >= round(th.p25, 6)
         |ORDER BY s.doc_id""".stripMargin,
+    // the three stage formulas verbatim from their standalone oracles,
+    // composed in CTEs
+    "pipeline_end_to_end" ->
+      """WITH stats AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE) AS n_words,
+        |    CAST(LEN(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, text,
+        |    LEAST(n_words / 50.0, 1.0) * 0.5
+        |    + (CASE WHEN (n_chars - (n_words - 1)) / n_words BETWEEN 3.0 AND 10.0
+        |            THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (CASE WHEN n_punct / n_words <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2
+        |    AS quality
+        |  FROM stats),
+        |th AS (
+        |  SELECT lang, quantile_cont(quality, 0.25) AS p25 FROM scored GROUP BY lang),
+        |gated AS (
+        |  SELECT s.doc_id, s.lang, s.text FROM scored s JOIN th USING (lang)
+        |  WHERE round(s.quality, 6) >= round(th.p25, 6)),
+        |sampled AS (
+        |  SELECT doc_id, text FROM gated
+        |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000 < CASE WHEN lang = 'en' THEN 800 ELSE 300 END)
+        |SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash,
+        |  COUNT(*) AS n_copies
+        |FROM sampled GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     // md5-membership recomputed bit-identically (same trick as
     // text_fingerprint / dedup_simhash: 60-bit hex prefix -> BIGINT)
     "corpus_mix_sample" ->
