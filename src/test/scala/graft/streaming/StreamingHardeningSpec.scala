@@ -92,6 +92,62 @@ class StreamingHardeningSpec extends SparkSpec {
     }
   }
 
+  test("AvailableNow file-source ingestion: drain-all, stop, incremental catch-up") {
+    // the batch-ingest deployment shape: a directory of files arrives,
+    // the query drains EVERYTHING available, commits, and stops; a later
+    // run picks up only the new files from the checkpoint
+    val in = Files.createTempDirectory("graft-avnow-in").toString
+    val ckpt = Files.createTempDirectory("graft-avnow-ckpt").toString
+    val out = Files.createTempDirectory("graft-avnow-out").toString
+
+    val batch1 = Seq(
+      (ts("2024-01-01 10:00:00"), "click", 1.0),
+      (ts("2024-01-01 10:30:00"), "click", 2.0),
+      (ts("2024-01-01 13:00:00"), "view", 1.0))
+    batch1.toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(in)
+
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("ts timestamp, event_type string, value double")
+        .parquet(in)
+      val q = Streaming.windowedCounts(stream)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive) // AvailableNow stops by itself when drained
+    }
+
+    drain()
+    val first = spark.read.parquet(out).collect()
+    // only the 10:00 window is past the watermark after batch 1
+    assert(first.length == 1)
+
+    // new files land while no query is running; the next drain reads
+    // ONLY them (checkpointed file index), closing the 13:00 windows
+    Seq((ts("2024-01-01 13:15:00"), "click", 5.0),
+        (ts("2024-01-01 16:00:00"), "view", 1.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(in)
+    drain()
+
+    val rows = spark.read.parquet(out)
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getString(1),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+    assert(rows.contains((ts("2024-01-01 13:00:00"), "click", 1L, 5.0)))
+    assert(rows.contains((ts("2024-01-01 13:00:00"), "view", 1L, 1.0)))
+    val keys = rows.map(r => (r._1, r._2))
+    assert(keys.distinct.length == keys.length) // exactly-once across drains
+  }
+
   test("foreachBatch sink: windowed counts land in parquet via custom writer") {
     implicit val ctx = spark.sqlContext
     val out = Files.createTempDirectory("graft-feb").toString
