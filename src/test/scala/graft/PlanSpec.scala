@@ -147,6 +147,18 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("LessThanOrEqual(l_orderkey,200"), pf)
   }
 
+  test("composite pipeline: broadcast threshold join, bounded exchanges, no cartesian") {
+    import graft.operators.PipelineQueries
+    val p = plan(PipelineQueries.queries("pipeline_end_to_end")(spark, sf))
+    // the per-language threshold joins back as a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exchanges stay bounded: threshold agg, digest agg, final sort
+    // (+1 AQE may insert); a stage-per-operator plan would have many more
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 5, s"$exchanges exchanges in:\n$p")
+  }
+
   test("two-phase top-k aggregates partially before the shuffle") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
