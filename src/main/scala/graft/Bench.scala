@@ -26,12 +26,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated query-name filter for focused profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     var failed = List.empty[String]
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
-      case None => SparkEntry.queries
-    }
+    val selected = SparkEntry.selected(only)
     // Untimed warmup: the first timed entries would otherwise absorb all
     // one-time session cost (JIT, codegen compiler, parquet reader init,
     // shuffle machinery) — measured at several seconds on the first line.

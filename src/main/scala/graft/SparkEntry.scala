@@ -23,6 +23,16 @@ object SparkEntry {
       StreamingQueries.queries ++ CoreQueries.queries ++ Sinks.queries ++
       TemporalJoins.queries ++ Skew.queries
 
+  /** Entries selected by an optional comma-separated name filter (the
+    * `SPARK_GRAFT_ONLY` env var shared by Verify and Bench). `None` and
+    * blank values select everything; unknown names select nothing.
+    */
+  def selected(only: Option[String]): Map[String, (SparkSession, String) => DataFrame] =
+    only.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+      case Some(names) if names.nonEmpty => queries.filter(q => names(q._1))
+      case _ => queries
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

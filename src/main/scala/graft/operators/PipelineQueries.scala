@@ -15,6 +15,40 @@ object PipelineQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
+  // ---- shared pipeline stage builders ----
+  // One definition per stage, used by BOTH the standalone oracle-gated
+  // entries and the pipeline_end_to_end composite — the composite cannot
+  // silently drift from the entries its oracle formulas were copied from.
+
+  /** Per-language relative quality gate: score every doc, drop each
+    * language's bottom quality quartile (>= p25 survives; scores tie
+    * heavily at 1.0, so a strict >-median gate would degenerate to zero
+    * rows). The per-group threshold is a 5-row aggregate joined back by
+    * broadcast — two scans, one tiny shuffle; no window over the corpus.
+    * Output: doc_id, lang, text, quality (unrounded), p25.
+    */
+  private def qualityGated(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val thresholds = scored.groupBy("lang")
+      .agg(percentile(col("quality"), lit(0.25)).as("p25"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter(round(col("quality"), 6) >= round(col("p25"), 6))
+  }
+
+  /** Deterministic per-language-weighted membership — the reproducible
+    * pretraining-mixture condition: md5(doc_id) mod 1000 under a
+    * per-language rate. No RNG, no seed-plus-partitioning coupling; a
+    * pure narrow predicate, and a document keeps/loses membership stably
+    * as the corpus grows (unlike rand()-based sampling).
+    */
+  private def mixMembership: org.apache.spark.sql.Column = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    pmod(h, lit(1000)) <
+      when(col("lang") === "en", lit(800)).otherwise(lit(300))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => {
@@ -134,36 +168,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
     "text_quality_filter" -> ((s, d) => {
-      // Per-language relative quality gate: drop each language's bottom
-      // quality quartile (>= p25 survives; scores are heavily tied at the
-      // top, so a strict >-median gate would degenerate to zero rows).
-      // The per-group threshold is a 5-row aggregate joined back by
-      // broadcast — two scans, one tiny shuffle; no window over the
-      // corpus (a per-row percentile window would sort every partition
-      // for a 5-value table).
-      val docs = t(s, d, "documents")
-      val scored = docs.select(col("doc_id"), col("lang"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
-      val thresholds = scored.groupBy("lang")
-        .agg(percentile(col("quality"), lit(0.25)).as("p25"))
-      scored.join(broadcast(thresholds), "lang")
-        .filter(round(col("quality"), 6) >= round(col("p25"), 6))
+      // the [[qualityGated]] stage standalone (see builder scaladoc)
+      qualityGated(t(s, d, "documents"))
         .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
         .orderBy("doc_id")
     }),
     "corpus_mix_sample" -> ((s, d) => {
-      // Deterministic per-source-weighted downsampling — the pretraining
-      // mixture op. Membership = md5(doc_id) mod 1000 under a per-language
-      // rate, so the sample is (a) reproducible across retries, executors
-      // and engine versions (no RNG, no seed-plus-partitioning coupling),
-      // (b) a pure narrow filter — one scan, no shuffle, pushdown-friendly
-      // — and (c) consistent: a document keeps/loses membership stably as
-      // the corpus grows, unlike rand()-based sampling.
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
+      // the [[mixMembership]] stage standalone (see builder scaladoc)
       t(s, d, "documents")
-        .filter(pmod(h, lit(1000)) <
-          when(col("lang") === "en", lit(800)).otherwise(lit(300)))
+        .filter(mixMembership)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
@@ -171,23 +184,14 @@ object PipelineQueries {
     "pipeline_end_to_end" -> ((s, d) => {
       // The operators composed as the actual training-data pipeline:
       // per-language quality gate -> deterministic mixture sampling ->
-      // exact dedup (keep min id per digest). Every stage is the same
-      // code path as its standalone oracle-gated entry; the composition
+      // exact dedup (keep min id per digest). The first two stages ARE
+      // the shared builders behind text_quality_filter /
+      // corpus_mix_sample (one definition, no drift); the composition
       // stays one declarative plan — two scans of documents (score +
       // threshold), one broadcast, one digest shuffle, no
       // materialization between stages.
-      val docs = t(s, d, "documents")
-      val scored = docs.select(col("doc_id"), col("lang"), col("text"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
-      val thresholds = scored.groupBy("lang")
-        .agg(percentile(col("quality"), lit(0.25)).as("p25"))
-      val qualityGated = scored.join(broadcast(thresholds), "lang")
-        .filter(round(col("quality"), 6) >= round(col("p25"), 6))
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-      val sampled = qualityGated.filter(pmod(h, lit(1000)) <
-        when(col("lang") === "en", lit(800)).otherwise(lit(300)))
-      sampled
+      qualityGated(t(s, d, "documents"))
+        .filter(mixMembership)
         .groupBy(md5(col("text").cast("binary")).as("text_hash"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select("doc_id", "text_hash", "n_copies")
@@ -460,14 +464,16 @@ object PipelineQueries {
         |  + (CASE WHEN n_punct / n_words <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2
         |  AS quality
         |FROM stats ORDER BY doc_id""".stripMargin,
+    // NOT EXISTS, not NOT IN: a single NULL digest in the corpus would
+    // turn NOT IN into zero rows while Spark's left_anti keeps matching
     "dedup_incremental" ->
       """WITH corpus AS (
         |  SELECT md5(text) AS text_hash FROM documents WHERE doc_id < 250),
         |batch AS (
         |  SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
         |  FROM documents WHERE doc_id >= 250 GROUP BY md5(text))
-        |SELECT doc_id, text_hash FROM batch
-        |WHERE text_hash NOT IN (SELECT text_hash FROM corpus)
+        |SELECT doc_id, text_hash FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text_hash = b.text_hash)
         |ORDER BY doc_id""".stripMargin,
     // same score formula as the text_quality oracle, then a per-language
     // median gate (quantile_cont == Spark's exact interpolating percentile)

@@ -56,7 +56,12 @@ object Sinks {
       inDir: String,
       outDir: String,
       targetFileBytes: Long = 128L << 20): DataFrame = {
-    val bytes = org.apache.hadoop.fs.FileUtil.getDU(new java.io.File(inDir))
+    // size via the Hadoop FileSystem API, NOT java.io.File — an
+    // hdfs:///s3a:// path is not a local directory and a local-FS probe
+    // would read 0 bytes and silently compact 100 TB into one task
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     s.read.parquet(inDir).repartition(nFiles)
       .write.mode("overwrite").parquet(outDir)

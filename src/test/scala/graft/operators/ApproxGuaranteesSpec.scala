@@ -42,10 +42,20 @@ class ApproxGuaranteesSpec extends SparkSpec {
     val approx = li
       .agg(expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)"))
       .head().getDouble(0)
-    val rank = li.filter(col("l_extendedprice") <= approx).count()
-    val rankErr = math.abs(rank - 0.5 * n) / n
-    info(f"n=$n approxP50=$approx%.2f rank=$rank rankErr=$rankErr%.6f")
-    assert(rankErr <= 1.0 / accuracy + 1e-9,
-      s"rank error $rankErr exceeds 1/accuracy=${1.0 / accuracy}")
+    // GK guarantees SOME rank of the returned value is within n/accuracy
+    // of the target; with duplicated values the ranks form an interval
+    // [minRank, maxRank], so assert the INTERVAL touches the allowed band
+    // rather than pinning one endpoint to the exact bound
+    val minRank = li.filter(col("l_extendedprice") < approx).count() + 1
+    val maxRank = li.filter(col("l_extendedprice") <= approx).count()
+    val target = 0.5 * n
+    val slack = n.toDouble / accuracy
+    val dist =
+      if (target < minRank) minRank - target
+      else if (target > maxRank) target - maxRank
+      else 0.0
+    info(f"n=$n approxP50=$approx%.2f ranks=[$minRank,$maxRank] dist=$dist%.1f slack=$slack%.1f")
+    assert(dist <= slack + 1e-9,
+      s"value's rank interval [$minRank,$maxRank] misses target $target by $dist > $slack")
   }
 }

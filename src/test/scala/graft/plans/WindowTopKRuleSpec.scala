@@ -9,16 +9,38 @@ import org.apache.spark.sql.functions._
   * leaves every other window alone, and produces row_number-identical
   * results through a partial (two-phase) aggregation with no WindowExec.
   */
-class WindowTopKRuleSpec extends SparkSpec {
+class WindowTopKRuleSpec extends SparkSpec
+  with org.scalatest.BeforeAndAfterAll {
+
+  // built eagerly in the constructor is too early for afterAll cleanup;
+  // capture the JVM default/active sessions so later suites that call
+  // getOrCreate() are NOT silently handed the rewrite-enabled session
+  // (same restore discipline as GraftExtensionsSpec)
+  private var prevDefault: Option[SparkSession] = None
+  private var prevActive: Option[SparkSession] = None
+  private var extBuilt = false
 
   private lazy val ext: SparkSession = {
     spark.sparkContext // shared context must exist first
+    prevDefault = SparkSession.getDefaultSession
+    prevActive = SparkSession.getActiveSession
+    extBuilt = true
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     SparkSession.builder()
       .master("local[4]")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    if (extBuilt) {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+    super.afterAll()
   }
 
   private def orders(s: SparkSession): DataFrame =

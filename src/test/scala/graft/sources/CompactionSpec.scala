@@ -36,7 +36,10 @@ class CompactionSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft-compact-out2").toString
     spark.read.parquet(s"$sf/lineitem.parquet")
       .repartition(8).write.mode("overwrite").parquet(in)
-    val bytes = org.apache.hadoop.fs.FileUtil.getDU(new java.io.File(in))
+    // same FS-agnostic probe as the implementation
+    val p = new org.apache.hadoop.fs.Path(in)
+    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
     // pick a target that forces >1 output file for this input
     val target = math.max(1L, bytes / 3)
     Sinks.compact(spark, in, out, targetFileBytes = target)
