@@ -30,6 +30,16 @@ import graft.functions.BoundedTopKRows
   * subtree — the emitted rank attribute reuses the original exprId, so
   * every downstream reference keeps resolving.
   *
+  * Measured (tools/ProfileTopK, 20M rows, 90% on 4 hot keys, k=10,
+  * local[32]): with realistic ~130-byte rows the rewrite runs ~2×
+  * faster (2.3–5.7 s vs 5.2–8.9 s) because the window plan shuffles
+  * every row body while the heap reduces map-side; on narrow all-int
+  * rows the window's codegen'd sort is ~2× faster than the heap's
+  * interpreted per-row eval — locally. At cluster scale the trade tilts
+  * further toward the rewrite: shuffle volume is network, and the hot
+  * key's single sorted task becomes a straggler/OOM that the bounded
+  * heap structurally cannot have.
+  *
   * Session-wide activation: `spark.sql.extensions=graft.GraftExtensions`;
   * opt out with `spark.graft.topkRewrite.enabled=false`.
   */
