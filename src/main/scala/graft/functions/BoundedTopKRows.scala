@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
@@ -50,6 +50,16 @@ case class BoundedTopKRows(
       TypeUtils.getInterpretedOrdering(dt).asInstanceOf[Ordering[Any]])
   private lazy val project = UnsafeProjection.create(structType)
 
+  // Fast path: when the child is the rule-built CreateNamedStruct,
+  // project its FIELD expressions with one codegen'd UnsafeProjection
+  // straight off the input row — no interpreted struct eval, no
+  // intermediate GenericInternalRow. (Lazy vals initialize on first
+  // update, after the exec has bound the expression tree.)
+  private lazy val fastProj: UnsafeProjection = child match {
+    case s: CreateNamedStruct => UnsafeProjection.create(s.valExprs)
+    case _ => null
+  }
+
   /** The window's ORDER BY as a total preorder over stored rows. */
   private def compareRows(a: InternalRow, b: InternalRow): Int = {
     var i = 0
@@ -74,9 +84,13 @@ case class BoundedTopKRows(
   override def createAggregationBuffer(): ArrayBuffer[InternalRow] =
     ArrayBuffer.empty
 
-  /** Keep `buf` sorted best-first; O(1) reject once full. */
+  /** Keep `buf` sorted best-first; O(1) reject once full. `row` may be
+    * the projection's REUSED output — it is only copied on insertion,
+    * so the (common) rejected row costs one compare and no allocation.
+    */
   private def insert(
-      buf: ArrayBuffer[InternalRow], row: InternalRow): ArrayBuffer[InternalRow] = {
+      buf: ArrayBuffer[InternalRow], row: InternalRow,
+      needCopy: Boolean): ArrayBuffer[InternalRow] = {
     if (buf.length >= k && compareRows(row, buf.last) >= 0) return buf
     var lo = 0
     var hi = buf.length
@@ -84,22 +98,26 @@ case class BoundedTopKRows(
       val mid = (lo + hi) >>> 1
       if (compareRows(buf(mid), row) <= 0) lo = mid + 1 else hi = mid
     }
-    buf.insert(lo, row)
+    buf.insert(lo, if (needCopy) row.copy() else row)
     if (buf.length > k) buf.remove(k, buf.length - k)
     buf
   }
 
   override def update(
       buf: ArrayBuffer[InternalRow], input: InternalRow): ArrayBuffer[InternalRow] = {
-    val v = child.eval(input)
-    if (v == null) buf
-    else insert(buf, project(v.asInstanceOf[InternalRow]).copy())
+    if (fastProj != null) insert(buf, fastProj(input), needCopy = true)
+    else {
+      val v = child.eval(input)
+      if (v == null) buf
+      else insert(buf, project(v.asInstanceOf[InternalRow]), needCopy = true)
+    }
   }
 
   override def merge(
       buf: ArrayBuffer[InternalRow],
       other: ArrayBuffer[InternalRow]): ArrayBuffer[InternalRow] = {
-    other.foreach(insert(buf, _))
+    // rows in `other` are owned (deserialized or previously copied)
+    other.foreach(insert(buf, _, needCopy = false))
     buf
   }
 

@@ -30,15 +30,18 @@ import graft.functions.BoundedTopKRows
   * subtree — the emitted rank attribute reuses the original exprId, so
   * every downstream reference keeps resolving.
   *
-  * Measured (tools/ProfileTopK, 20M rows, 90% on 4 hot keys, k=10,
-  * local[32]): with realistic ~130-byte rows the rewrite runs ~2×
-  * faster (2.3–5.7 s vs 5.2–8.9 s) because the window plan shuffles
-  * every row body while the heap reduces map-side; on narrow all-int
-  * rows the window's codegen'd sort is ~2× faster than the heap's
-  * interpreted per-row eval — locally. At cluster scale the trade tilts
-  * further toward the rewrite: shuffle volume is network, and the hot
-  * key's single sorted task becomes a straggler/OOM that the bounded
-  * heap structurally cannot have.
+  * Measured honestly (tools/ProfileTopK, 20M rows, 90% on 4 hot keys,
+  * k=10, ~130-byte rows, local[32], fresh JVM per mode): steady-state
+  * the raw window is ~2× FASTER single-node (≈1.0–1.2 s vs ≈1.9–3.0 s)
+  * — a local "shuffle" is an in-memory/disk copy and the window's sort
+  * is whole-stage-codegen'd, while the heap pays a per-row projection
+  * call. The rewrite's case is structural and appears only at cluster
+  * scale: the window moves EVERY row body over the network and sorts a
+  * hot key's entire data in ONE task (straggler; OOM once a key
+  * outgrows an executor), while the rewrite ships ≤ k rows per key per
+  * map task and holds ≤ k rows of state per key anywhere. This is a
+  * scale-survivability trade, not a single-node throughput win — hence
+  * the conf opt-out for deployments that never see skewed volume.
   *
   * Session-wide activation: `spark.sql.extensions=graft.GraftExtensions`;
   * opt out with `spark.graft.topkRewrite.enabled=false`.
