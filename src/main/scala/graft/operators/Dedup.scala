@@ -254,6 +254,70 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---------- duplicate clustering (connected components) ----------
+
+  /** Collapse a near-duplicate PAIR graph into duplicate CLUSTERS — the
+    * step every real dedup pipeline runs after pair generation, since
+    * near-duplication is transitive in effect (A~B, B~C ⇒ keep one of
+    * {A,B,C}): each document that appears in any pair is labeled with
+    * the smallest reachable doc id (its cluster representative).
+    *
+    * Distributed min-label propagation: `label(v) ← min(label(v),
+    * min over neighbors u of label(u))` iterated to fixpoint — the
+    * Pregel/GraphX connected-components algorithm expressed as plain
+    * DataFrame joins. Each iteration is ONE |E|-bounded shuffle (edges
+    * join labels, map-side partial min per dst); iterations needed =
+    * graph diameter, which for near-dup clusters (dense, clique-like)
+    * is small. For adversarial million-hop chains, switch to
+    * pointer-jumping (label(v) ← label(label(v)), O(log n) rounds) —
+    * not needed for duplicate graphs.
+    *
+    * The convergence probe (`limit(1)` existence check per round) and
+    * the bounded iteration count make this a driver-coordinated loop
+    * like IVF's Lloyd iterations — the accepted pattern for fixpoint
+    * graph algorithms on Spark; per-round state is persisted and the
+    * previous round's cache released, so memory is O(|V| + |E|).
+    *
+    * Returns (doc_id, cluster_id); singleton documents (no pair) are
+    * not emitted — their cluster is trivially themselves.
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIterations: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), "node")
+        .filter(col("n.label") < col("o.label"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ---------- exact n-gram Jaccard: prefix-filter + bitset bound + exact verify ----------
 
   /** ALL exact character-n-gram Jaccard pairs with similarity >= threshold,

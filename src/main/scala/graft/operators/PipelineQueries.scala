@@ -66,6 +66,13 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(t(s, d, "documents")).orderBy("id_a", "id_b")
     }),
+    "dedup_clusters" -> ((s, d) => {
+      // pair graph -> duplicate clusters (min-reachable-id labels); the
+      // oracle recomputes components with a recursive min-label closure
+      // over the same exact pair set minhashPairs is proven against
+      Dedup.duplicateClusters(Dedup.minhashPairs(t(s, d, "documents")))
+        .orderBy("doc_id")
+    }),
     // corpus embeddings are near-orthogonal (max pairwise cosine ≈0.51),
     // so the demo threshold is 0.4; production near-dup would use ≥0.95.
     // The named entry is the EXACT path (DuckDB all-pairs oracle, cosine
@@ -245,6 +252,35 @@ object PipelineQueries {
         |  FROM sh l JOIN sh r ON l.id < r.id)
         |SELECT id_a, id_b, jaccard_sim FROM cand
         |WHERE jaccard_sim >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+    // same exact pair CTEs as dedup_minhash, then connected components
+    // via recursive min-label transitive closure (terminates: UNION
+    // dedups, the reachable-label set is finite)
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(ts) >= 3
+        |    THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                        for i in generate_series(1, len(ts) - 2)])
+        |    ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM toks),
+        |p AS (
+        |  SELECT l.id AS id_a, r.id AS id_b
+        |  FROM sh l JOIN sh r ON l.id < r.id
+        |  WHERE CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(l.shingles, r.shingles))) AS DOUBLE)
+        |      >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |walk(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src)
+        |SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
     // exact semantics despite LSH banding: pigeonhole over maxHamming+1=4
     // chunks has recall 1 (any pair with hamming <= 3 agrees exactly on
     // >= 1 chunk), so the banded result EQUALS the all-pairs result and

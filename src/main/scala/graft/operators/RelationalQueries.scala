@@ -521,6 +521,29 @@ object RelationalQueries {
           size(split(col("p_name"), " ")).cast("long").as("n_words"))
         .orderBy("p_partkey")
     }),
+    "q_gapfill" -> ((s, d) => {
+      // time-series resample with zero-fill: an hourly spine generated
+      // from the data's own bounds (a 2-row aggregate -> sequence ->
+      // explode; thousands of rows however big the fact table is) left
+      // joins the distributively-aggregated hourly counts — the spine
+      // side is trivially broadcast, no shuffle grows with history
+      // length. Hours emitted as epoch seconds (timestamp values
+      // hash-compare poorly across engines; epoch longs are exact).
+      val ev = t(s, d, "events")
+      val spine = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(explode(
+          sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+      val counts = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      spine.join(counts, Seq("hour"), "left")
+        .select(
+          unix_timestamp(col("hour")).as("hour_epoch"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("hour_epoch")
+    }),
     "q_listagg" -> ((s, d) => {
       // deterministic string aggregation: sort_array(collect_list) makes
       // the concatenation order independent of partitioning/merge order —
@@ -781,6 +804,20 @@ object RelationalQueries {
         |  regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_consonants,
         |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_gapfill" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS h0,
+        |         date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds),
+        |counts AS (
+        |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(epoch(s.hour) AS BIGINT) AS hour_epoch,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        |FROM spine s LEFT JOIN counts c USING (hour)
+        |ORDER BY hour_epoch""".stripMargin,
     "q_listagg" ->
       """SELECT n_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations,

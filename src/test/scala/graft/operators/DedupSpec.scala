@@ -104,6 +104,21 @@ class DedupSpec extends SparkSpec {
     assert(sh == Seq("tiny"))
   }
 
+  test("duplicateClusters: transitive chains, cliques, and pairs collapse to min-id labels") {
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3), clique {10,11,12}, pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, // transitivity: 3 reaches 1 via 2
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("minhash signature length and determinism") {
     val sig = docs
       .withColumn("h", transform(Dedup.wordShingles($"text", 3), s => xxhash64(s)))
