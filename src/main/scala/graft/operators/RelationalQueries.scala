@@ -521,6 +521,26 @@ object RelationalQueries {
           size(split(col("p_name"), " ")).cast("long").as("n_words"))
         .orderBy("p_partkey")
     }),
+    "q_funnel" -> ((s, d) => {
+      // conversion funnel: users whose FIRST click is followed by a
+      // purchase within 1 hour. Two pruned scans of the same fact, a
+      // per-user first-touch aggregate (map-side partial), then a
+      // left-semi band join on (user, time-window) — the semi join
+      // shuffles on user_id and short-circuits per match, never
+      // materializing the pair fan-out
+      val ev = t(s, d, "events")
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pt"))
+      firstClick.join(purchases,
+          purchases("user_id") === firstClick("user_id") &&
+            col("pt") > col("t0") &&
+            col("pt") <= col("t0") + expr("interval 1 hour"),
+          "left_semi")
+        .select(col("user_id"), unix_timestamp(col("t0")).as("first_click_epoch"))
+        .orderBy("user_id")
+    }),
     "q_gapfill" -> ((s, d) => {
       // time-series resample with zero-fill: an hourly spine generated
       // from the data's own bounds (a 2-row aggregate -> sequence ->
@@ -804,6 +824,18 @@ object RelationalQueries {
         |  regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_consonants,
         |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_funnel" ->
+      """WITH c AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT c.user_id,
+        |  CAST(epoch_ns(c.t0) // 1000000000 AS BIGINT) AS first_click_epoch
+        |FROM c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+        |    AND e.ts > c.t0 AND e.ts <= c.t0 + INTERVAL 1 HOUR)
+        |ORDER BY c.user_id""".stripMargin,
     "q_gapfill" ->
       """WITH bounds AS (
         |  SELECT date_trunc('hour', MIN(ts)) AS h0,

@@ -1,0 +1,37 @@
+package graft
+
+/** Structural sweep over EVERY registered entry: no plan may contain a
+  * cartesian product, and nested-loop joins are allowed only where the
+  * operator declares one on a bounded slice. A new entry that
+  * accidentally plans an unbounded row-pair blowup fails here before it
+  * ever reaches the bench.
+  */
+class PlanSweepSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // Entries whose operators DECLARE a bounded non-equi join — each one's
+  // nested loop is broadcast-bounded by contract, not an accident:
+  //  - q_fuzzy_match: all-pairs levenshtein demo on a FIXED <200-key slice
+  //  - ann_brute_topk: the exact baseline scores corpus × broadcast(10 queries)
+  //  - ann_ivf_topk: centroid assignment scores corpus × broadcast(centroids)
+  //  - dedup_embedding: exact all-pairs cosine, quadratic by contract
+  //    (the scalable path is the SRP-bucketed dedup_embedding_srp)
+  private val nljAllowed =
+    Set("q_fuzzy_match", "ann_brute_topk", "ann_ivf_topk", "dedup_embedding")
+
+  test("no entry plans a CartesianProduct; nested-loop only where declared") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"ENTRY FAILED TO PLAN: $e" }
+      val cart = plan.contains("CartesianProduct")
+      val nlj = plan.contains("BroadcastNestedLoopJoin") && !nljAllowed(name)
+      val broke = plan.startsWith("ENTRY FAILED")
+      if (cart || nlj || broke)
+        Some(s"$name: ${if (broke) plan else if (cart) "CartesianProduct" else "BroadcastNestedLoopJoin"}")
+      else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
