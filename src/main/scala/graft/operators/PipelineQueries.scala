@@ -188,6 +188,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "text_pii_scrub" -> ((s, d) => {
+      // training-corpus redaction: mask email-shaped tokens and long
+      // digit runs before anything downstream sees the text. Pure
+      // narrow projection (codegen'd regex, no shuffle); patterns are
+      // chosen to mean the same thing in Java regex and DuckDB's RE2.
+      // The synthetic corpus contains no PII, so the entry INJECTS a
+      // deterministic fake email + id number per document (identical
+      // expression in the oracle) — the gate then proves redaction
+      // actually fires on every row, not that an identity map agrees
+      // with itself. Emits the scrubbed digest + redacted-char count
+      // rather than shipping full text through the compare.
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example ref "), (col("doc_id") * 7919).cast("string"))
+      val scrubbed = regexp_replace(
+        regexp_replace(withPii,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "[0-9]{4,}", "<NUM>")
+      Corpus.spread(t(s, d, "documents")).select(
+        col("doc_id"),
+        md5(scrubbed.cast("binary")).as("scrubbed_hash"),
+        (length(withPii) - length(scrubbed)).cast("long").as("chars_redacted"))
+        .orderBy("doc_id")
+    }),
     "pipeline_end_to_end" -> ((s, d) => {
       // The operators composed as the actual training-data pipeline:
       // per-language quality gate -> deterministic mixture sampling ->
@@ -534,6 +558,23 @@ object PipelineQueries {
         |FROM scored s JOIN th USING (lang)
         |WHERE round(s.quality, 6) >= round(th.p25, 6)
         |ORDER BY s.doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail.example ref '
+        |         || CAST(doc_id * 7919 AS VARCHAR) AS with_pii
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, with_pii,
+        |    regexp_replace(
+        |      regexp_replace(with_pii,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+        |  FROM p)
+        |SELECT doc_id, md5(scrubbed) AS scrubbed_hash,
+        |  CAST(LENGTH(with_pii) - LENGTH(scrubbed) AS BIGINT) AS chars_redacted
+        |FROM s ORDER BY doc_id""".stripMargin,
     // the three stage formulas verbatim from their standalone oracles,
     // composed in CTEs
     "pipeline_end_to_end" ->

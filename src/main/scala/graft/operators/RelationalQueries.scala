@@ -521,6 +521,26 @@ object RelationalQueries {
           size(split(col("p_name"), " ")).cast("long").as("n_words"))
         .orderBy("p_partkey")
     }),
+    "q_upsert" -> ((s, d) => {
+      // MERGE/upsert without a table format: full-outer join base with
+      // the update batch, COALESCE updates-first — one shuffle on the
+      // key (or none, if both sides are bucketed on it; a lakehouse
+      // MERGE does the same join under the hood). Updates win, inserts
+      // (update-only keys) appear, unmatched base rows carry through.
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val updates = t(s, d, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + 100.0).as("u_acctbal"),
+          lit("UPDATED").as("u_seg"))
+      base.join(updates, Seq("c_custkey"), "full_outer")
+        .select(
+          col("c_custkey"),
+          coalesce(col("u_acctbal"), col("c_acctbal")).as("acctbal"),
+          coalesce(col("u_seg"), col("c_mktsegment")).as("mktsegment"))
+        .orderBy("c_custkey")
+    }),
     "q_funnel" -> ((s, d) => {
       // conversion funnel: users whose FIRST click is followed by a
       // purchase within 1 hour. Two pruned scans of the same fact, a
@@ -824,6 +844,18 @@ object RelationalQueries {
         |  regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_consonants,
         |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_acctbal + 100.0 AS u_acctbal,
+        |    'UPDATED' AS u_seg
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+        |  COALESCE(u.u_acctbal, b.c_acctbal) AS acctbal,
+        |  COALESCE(u.u_seg, b.c_mktsegment) AS mktsegment
+        |FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q_funnel" ->
       """WITH c AS (
         |  SELECT user_id, MIN(ts) AS t0 FROM events
