@@ -275,8 +275,17 @@ object Dedup {
     * The convergence probe (`limit(1)` existence check per round) and
     * the bounded iteration count make this a driver-coordinated loop
     * like IVF's Lloyd iterations — the accepted pattern for fixpoint
-    * graph algorithms on Spark; per-round state is persisted and the
-    * previous round's cache released, so memory is O(|V| + |E|).
+    * graph algorithms on Spark. Per-round state is persisted and the
+    * previous round's cache released; the FINAL labels frame (small —
+    * one row per paired document) stays cached so the returned plan
+    * does not replay the whole loop per action — the same
+    * one-small-result-cache-per-call tradeoff ngramJaccardPairs
+    * documents.
+    *
+    * If the loop hits `maxIterations` before the fixpoint, the labels
+    * would be silently WRONG (a long chain reported as several
+    * clusters), so the operator throws instead — raise `maxIterations`
+    * (or switch to pointer-jumping) for graphs with diameter beyond it.
     *
     * Returns (doc_id, cluster_id); singleton documents (no pair) are
     * not emitted — their cluster is trivially themselves.
@@ -315,6 +324,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxIterations rounds — " +
+          "the pair graph's diameter exceeds the iteration budget; raise " +
+          "maxIterations (labels would be silently split otherwise)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -529,11 +529,19 @@ object RelationalQueries {
       // (update-only keys) appear, unmatched base rows carry through.
       val base = t(s, d, "customer")
         .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
-      val updates = t(s, d, "customer")
-        .filter(col("c_custkey") % 10 === 0)
+      // update batch = changed existing rows PLUS genuinely new keys
+      // (shifted by 1M, beyond any real custkey) — without the new keys
+      // the full-outer insert branch would be dead and a broken MERGE
+      // insert path could pass the gate undetected
+      val existing = t(s, d, "customer").filter(col("c_custkey") % 10 === 0)
+      val updates = existing
         .select(col("c_custkey"),
           (col("c_acctbal") + 100.0).as("u_acctbal"),
           lit("UPDATED").as("u_seg"))
+        .union(existing.select(
+          (col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_acctbal").as("u_acctbal"),
+          lit("INSERTED").as("u_seg")))
       base.join(updates, Seq("c_custkey"), "full_outer")
         .select(
           col("c_custkey"),
@@ -850,6 +858,9 @@ object RelationalQueries {
         |upd AS (
         |  SELECT c_custkey, c_acctbal + 100.0 AS u_acctbal,
         |    'UPDATED' AS u_seg
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal, 'INSERTED'
         |  FROM customer WHERE c_custkey % 10 = 0)
         |SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
         |  COALESCE(u.u_acctbal, b.c_acctbal) AS acctbal,

@@ -6,13 +6,20 @@ import org.apache.spark.sql.functions._
 
 /** Throwaway: measure WindowTopKRule's rewrite against the raw window
   * plan on skewed data (one key holding most rows — the shape where the
-  * window form funnels everything into one task). Usage:
-  * ProfileTopK [nRows] [nHotKeys]
+  * window form funnels everything into one task).
+  *
+  * Usage: ProfileTopK [nRows] [nHotKeys] [mode]
+  * mode ∈ both | rewrite | window. For the documented fresh-JVM-per-mode
+  * methodology run the tool TWICE, once with `rewrite` and once with
+  * `window` — in `both` mode the second mode runs on a warmed session
+  * and the first absorbs startup/codegen cost (bench lines are
+  * warmup-dominated).
   */
 object ProfileTopK {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 5000000L
     val hot = if (args.length > 1) args(1).toInt else 4
+    val mode = if (args.length > 2) args(2) else "both"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -46,12 +53,16 @@ object ProfileTopK {
     def run(): Unit =
       query().write.format("noop").mode("overwrite").save()
 
-    spark.conf.set("spark.graft.topkRewrite.enabled", "true")
-    println("rewritten plan uses Window: " +
-      query().queryExecution.executedPlan.toString.contains("Window"))
-    time("bounded-heap rewrite")(run())
-    spark.conf.set("spark.graft.topkRewrite.enabled", "false")
-    time("raw window")(run())
+    if (mode == "both" || mode == "rewrite") {
+      spark.conf.set("spark.graft.topkRewrite.enabled", "true")
+      println("rewritten plan uses Window: " +
+        query().queryExecution.executedPlan.toString.contains("Window"))
+      time("bounded-heap rewrite")(run())
+    }
+    if (mode == "both" || mode == "window") {
+      spark.conf.set("spark.graft.topkRewrite.enabled", "false")
+      time("raw window")(run())
+    }
     spark.stop()
   }
 }

@@ -1,10 +1,16 @@
 package graft
 
-/** Structural sweep over EVERY registered entry: no plan may contain a
-  * cartesian product, and nested-loop joins are allowed only where the
-  * operator declares one on a bounded slice. A new entry that
-  * accidentally plans an unbounded row-pair blowup fails here before it
-  * ever reaches the bench.
+/** Structural sweep over EVERY registered entry's FINAL plan: no plan
+  * may contain a cartesian product, and nested-loop joins are allowed
+  * only where the operator declares one on a bounded slice.
+  *
+  * Scope note: entries that run driver-coordinated jobs during
+  * construction (the eager ngram persist, dedup_clusters' fixpoint
+  * rounds, IVF's k-means training) execute those INTERMEDIATE jobs
+  * before this spec reads a plan string, so their inner stages are
+  * covered by their dedicated PlanSpec assertions, not this sweep —
+  * this guard catches accidental blowups in the declared final plan of
+  * every entry, including ones nothing else inspects.
   */
 class PlanSweepSpec extends SparkSpec {
 
