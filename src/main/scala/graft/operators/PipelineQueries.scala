@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -210,6 +211,27 @@ object PipelineQueries {
         col("doc_id"),
         md5(scrubbed.cast("binary")).as("scrubbed_hash"),
         (length(withPii) - length(scrubbed)).cast("long").as("chars_redacted"))
+        .orderBy("doc_id")
+    }),
+    "corpus_pack" -> ((s, d) => {
+      // Sequence packing — pretraining's concat-and-chunk: documents
+      // are concatenated in a deterministic order and cut into
+      // fixed-token-budget sequences; each doc reports which sequences
+      // it lands in. Sharded by md5(doc_id) so the prefix sum is a
+      // per-shard window (bounded partitions, embarrassingly parallel
+      // across shards) — never one global cumsum over the corpus.
+      val budget = 512
+      val shard = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(8))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      Corpus.spread(t(s, d, "documents"))
+        .select(col("doc_id"), shard.as("shard"),
+          TextAnalysis.tokenEstimate(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"),
+          floor((col("cum") - col("n_tokens")) / budget).cast("long").as("start_seq"),
+          floor((col("cum") - 1) / budget).cast("long").as("end_seq"))
         .orderBy("doc_id")
     }),
     "pipeline_end_to_end" -> ((s, d) => {
@@ -558,6 +580,25 @@ object PipelineQueries {
         |FROM scored s JOIN th USING (lang)
         |WHERE round(s.quality, 6) >= round(th.p25, 6)
         |ORDER BY s.doc_id""".stripMargin,
+    "corpus_pack" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 8 AS shard,
+        |    CAST(LEN(regexp_extract_all(text, '[A-Za-z]+'))
+        |       + LEN(regexp_extract_all(text, '[0-9]+'))
+        |       + LEN(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tk)
+        |SELECT doc_id, shard,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS start_seq,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS end_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_pii_scrub" ->
       """WITH p AS (
         |  SELECT doc_id,
