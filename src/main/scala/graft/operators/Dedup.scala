@@ -299,8 +299,11 @@ object Dedup {
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // round 0 for free: every node starts at min(self, direct neighbors)
+    // — cliques converge immediately, chains save one propagation round
+    var labels = edges
+      .groupBy(col("src").as("node"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
       .persist()
     var converged = false
     var i = 0
@@ -309,16 +312,19 @@ object Dedup {
         .join(labels.select(col("node").as("src"), col("label")), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels
-        .join(neighborMin, Seq("node"), "left")
+      // one persisted join feeds BOTH the convergence probe and the next
+      // labels — one round = one |E| shuffle + two reads of this frame
+      val joined = labels.join(neighborMin, Seq("node"), "left").persist()
+      val changed = joined
+        .filter(col("nmin") < col("label"))
+        .limit(1).count() > 0
+      val next = joined
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist()
-      val changed = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.label") < col("o.label"))
-        .limit(1).count() > 0
+      next.foreach(_ => ()) // materialize before dropping parent caches
       labels.unpersist()
+      joined.unpersist()
       labels = next
       converged = !changed
       i += 1
