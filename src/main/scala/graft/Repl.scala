@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import graft.core.{Executor, QueryParser}
 import graft.sources.CsvSource
 
-/** Interactive REPL over one CSV-loaded table — the reference's CLI
+/** Interactive REPL over one loaded table — the reference's CLI
   * (/root/reference/src/main.rs:19-63): `> ` prompt, `exit|quit|q` to
   * leave, parse → execute → print, errors to stderr without exiting.
   *
@@ -12,6 +12,10 @@ import graft.sources.CsvSource
   * header line (requested column names comma-joined), a dash separator of
   * the header's length, then one comma-joined line per row with values
   * rendered bare.
+  *
+  * Extension past the reference: a `.parquet` path (file or directory)
+  * loads through the columnar reader with its real schema — the CSV
+  * path keeps the reference's all-digits → Long promotion exactly.
   */
 object Repl {
 
@@ -19,8 +23,8 @@ object Repl {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 1) {
-      System.err.println("Error: missing the CSV file path argument.")
-      System.err.println("Usage: graft.Repl <path_to_csv>")
+      System.err.println("Error: missing the table file path argument.")
+      System.err.println("Usage: graft.Repl <path_to_csv_or_parquet>")
       sys.exit(1)
     }
     val spark = SparkSession
@@ -33,7 +37,10 @@ object Repl {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // cache() mirrors the reference's in-memory residency (table.rs:13-16)
-    val table = CsvSource.load(spark, args(0)).cache()
+    val loaded =
+      if (args(0).endsWith(".parquet")) spark.read.parquet(args(0))
+      else CsvSource.load(spark, args(0))
+    val table = loaded.cache()
     table.count() // materialize once, like the reference's eager load
     runLoop(table)
     spark.stop()
