@@ -37,14 +37,18 @@ object Repl {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // cache() mirrors the reference's in-memory residency (table.rs:13-16)
-    val loaded =
-      if (args(0).endsWith(".parquet")) spark.read.parquet(args(0))
-      else CsvSource.load(spark, args(0))
-    val table = loaded.cache()
+    val table = loadTable(spark, args(0)).cache()
     table.count() // materialize once, like the reference's eager load
     runLoop(table)
     spark.stop()
   }
+
+  /** Route by extension: parquet keeps its real schema, CSV goes
+    * through the reference's all-digits → Long promotion.
+    */
+  private[graft] def loadTable(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".parquet")) spark.read.parquet(path)
+    else CsvSource.load(spark, path)
 
   private[graft] def runLoop(
       table: DataFrame,

@@ -46,6 +46,31 @@ object Skew {
     l.join(r, cond).drop("_salt")
   }
 
+  /** Two-phase salted AGGREGATION for hot grouping keys. Spark's hash
+    * aggregate already does map-side partial aggregation, which handles
+    * most skew — but a non-algebraic aggregate (exact distinct, large
+    * collect) concentrates a hot key's whole state in one reduce task.
+    * Salting splits phase 1 over (key, salt): each sub-aggregate is
+    * bounded, and phase 2 re-aggregates `buckets` rows per key. The
+    * aggregate must be decomposable into (partial, merge) — here
+    * count/sum (merge = sum) and distinct-count via phase-1 distinct
+    * sets kept bucket-local.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      key: String,
+      saltBy: Column,
+      buckets: Int = 8)(
+      partial: Seq[Column],
+      merge: Seq[Column]): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.withColumn("_salt", pmod(saltBy, lit(buckets)).cast("int"))
+      .groupBy(col(key), col("_salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(key))
+      .agg(merge.head, merge.tail: _*)
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
@@ -64,8 +89,25 @@ object Skew {
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
             .as("total_qty"))
         .orderBy("o_orderpriority")
+    }),
+    // hot-key aggregation through the salted two-phase path; the oracle
+    // is the plain GROUP BY it must equal
+    "q_agg_salted" -> ((s, d) => {
+      Skew.saltedAgg(
+          t(s, d, "lineitem"), "l_returnflag",
+          saltBy = xxhash64(col("l_orderkey")), buckets = 8)(
+          partial = Seq(
+            count(lit(1)).as("pn"),
+            sum(dec(col("l_extendedprice"))).as("pp")),
+          merge = Seq(
+            sum(col("pn")).as("n_rows"),
+            sum(col("pp")).cast("double").as("total_price")))
+        .orderBy("l_returnflag")
     })
   )
+
+  private def dec(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(18, 4))
 
   val oracles: Map[String, String] = Map(
     "q_join_salted" ->
@@ -73,6 +115,13 @@ object Skew {
         |  COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -55,6 +55,22 @@ class ReplSpec extends SparkSpec {
       "Query execution error: Cannot find column nope, it does not exist in the table, existing columns city, population"))
   }
 
+  test("parquet tables load with their real schema and query end-to-end") {
+    val dir = Files.createTempDirectory("graft-repl-pq")
+    import spark.implicits._
+    Seq(("Berlin", 3755251L), ("Vaduz", 5696L))
+      .toDF("city", "population")
+      .write.mode("overwrite").parquet(dir.resolve("t.parquet").toString)
+    val pq = Repl.loadTable(spark, dir.resolve("t.parquet").toString)
+    val in = Iterator("PROJECT city FILTER population > 1000000", "q")
+    val outs = mutable.Buffer[String]()
+    Repl.runLoop(pq,
+      in = () => if (in.hasNext) in.next() else null,
+      out = outs += _, err = _ => ())
+    assert(outs.filterNot(_ == "> ").mkString.contains("Berlin"))
+    assert(!outs.mkString.contains("Vaduz"))
+  }
+
   test("all three exit commands work") {
     for (cmd <- Seq("exit", "quit", "q")) {
       val (outs, _) = session(cmd)
