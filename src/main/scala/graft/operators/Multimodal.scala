@@ -150,6 +150,22 @@ object Multimodal {
         (col("out_w") * col("out_h") * channels).as("out_bytes"))
   }
 
+  /** Per-document feature vector from DECODED metadata — the
+    * feature-extract stage as row-level output (the aggregate profile is
+    * [[mediaProfile]]): aspect ratio, megapixels, frame count, payload
+    * size. Everything derives from the real byte-level header parse;
+    * a pixel-content featurizer would extend the same mapPartitions
+    * stage (codecs stubbed in this container).
+    */
+  def featureVector(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractMetadata(spark, withPayload(docs))
+      .select(
+        col("doc_id"), col("format"),
+        round(col("width").cast("double") / col("height"), 6).as("aspect"),
+        round(col("width") * col("height") / lit(1000000.0), 6)
+          .as("megapixels"),
+        col("frame_count"), col("n_bytes"))
+
   /** End-to-end pipeline over the documents table: payload → decode →
     * per-format size stats. The aggregate shape (small group-by after a
     * wide decode stage) is the canonical multimodal-ingest plan.

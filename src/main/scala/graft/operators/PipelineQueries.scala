@@ -255,6 +255,9 @@ object PipelineQueries {
     "multimodal_meta" -> ((s, d) => {
       Multimodal.mediaProfile(s, t(s, d, "documents"))
     }),
+    "multimodal_features" -> ((s, d) => {
+      Multimodal.featureVector(s, t(s, d, "documents")).orderBy("doc_id")
+    }),
     "multimodal_resize" -> ((s, d) => {
       Multimodal.resizePlan(s, t(s, d, "documents"), maxSide = 256)
         .orderBy("doc_id")
@@ -492,6 +495,27 @@ object PipelineQueries {
         |  CAST(MAX(width) AS BIGINT) AS max_width,
         |  CAST(MAX(height) AS BIGINT) AS max_height
         |FROM m GROUP BY format ORDER BY format""".stripMargin,
+    // per-doc features recomputed from the Truth header formulas
+    "multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'pgm' END AS format,
+        |    64 + doc_id % 1857 AS width,
+        |    64 + (doc_id * 7919) % 1017 AS height,
+        |    1 + (doc_id * 104729) % 64 AS frame_count,
+        |    octet_length(encode(
+        |      (CASE WHEN doc_id % 2 = 0 THEN 'P6' ELSE 'P5' END)
+        |      || chr(10) || '# frames=' || CAST(1 + (doc_id * 104729) % 64 AS VARCHAR)
+        |      || chr(10) || CAST(64 + doc_id % 1857 AS VARCHAR)
+        |      || ' ' || CAST(64 + (doc_id * 7919) % 1017 AS VARCHAR)
+        |      || chr(10) || '255' || chr(10) || text)) AS n_bytes
+        |  FROM documents)
+        |SELECT doc_id, format,
+        |  round(CAST(width AS DOUBLE) / height, 6) AS aspect,
+        |  round(width * height / 1000000.0, 6) AS megapixels,
+        |  CAST(frame_count AS BIGINT) AS frame_count,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM m ORDER BY doc_id""".stripMargin,
     // resize plan recomputed from the Truth dimension formulas:
     // aspect-preserving scale into a 256-box, floor dims (min 1), exact
     // PNM output bytes (w*h*channels)
