@@ -521,6 +521,40 @@ object RelationalQueries {
           size(split(col("p_name"), " ")).cast("long").as("n_words"))
         .orderBy("p_partkey")
     }),
+    "q_data_quality" -> ((s, d) => {
+      // Deequ-shaped expectation report: each rule is a conditional
+      // count folded into ONE aggregation pass over the fact table,
+      // plus a referential-integrity anti-join — the report costs one
+      // scan + one broadcast/shuffle anti-join however many rules run
+      val li = t(s, d, "lineitem")
+      val scalarRules = li.agg(
+        sum(when(col("l_quantity").isNull, 1).otherwise(0))
+          .cast("long").as("null_quantity"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)
+          .otherwise(0)).cast("long").as("quantity_out_of_range"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)
+          .otherwise(0)).cast("long").as("discount_out_of_range"))
+      val orphans = li.join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      scalarRules.crossJoin(orphans.select(col("n").as("orphan_lineitems")))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("null_quantity"), col("quantity_out_of_range"),
+            col("discount_out_of_range"), col("orphan_lineitems")),
+          "rule", "n_violations")
+        .orderBy("rule")
+    }),
+    "q_histogram" -> ((s, d) => {
+      // equi-width histogram: bucket = floor((x - lo) / width), clamped
+      // — pure map-side arithmetic + one tiny shuffle on bucket ids
+      val lo = 900.0
+      val width = 10000.0
+      t(s, d, "lineitem")
+        .select(least(floor((col("l_extendedprice") - lo) / width), lit(9L))
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
     "q_upsert" -> ((s, d) => {
       // MERGE/upsert without a table format: full-outer join base with
       // the update batch, COALESCE updates-first — one shuffle on the
@@ -852,6 +886,29 @@ object RelationalQueries {
         |  regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_consonants,
         |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_data_quality" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_quantity,
+        |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS quantity_out_of_range,
+        |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discount_out_of_range
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS orphan_lineitems FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey))
+        |SELECT 'null_quantity' AS rule, null_quantity AS n_violations FROM s
+        |UNION ALL SELECT 'quantity_out_of_range', quantity_out_of_range FROM s
+        |UNION ALL SELECT 'discount_out_of_range', discount_out_of_range FROM s
+        |UNION ALL SELECT 'orphan_lineitems', orphan_lineitems FROM o
+        |ORDER BY rule""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(LEAST(FLOOR((l_extendedprice - 900.0) / 10000.0), 9) AS BIGINT)
+        |    AS bucket,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_upsert" ->
       """WITH base AS (
         |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
