@@ -229,9 +229,14 @@ object PipelineQueries {
         .select(col("doc_id"), shard.as("shard"),
           TextAnalysis.tokenEstimate(col("text")).as("n_tokens"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
+        // greatest(cum-1, cum-n): zero-token docs get the empty range
+        // start==end at their position instead of end = start - 1, and
+        // both numerators stay non-negative so floor and DuckDB's
+        // truncating // agree
         .select(col("doc_id"), col("shard"),
           floor((col("cum") - col("n_tokens")) / budget).cast("long").as("start_seq"),
-          floor((col("cum") - 1) / budget).cast("long").as("end_seq"))
+          floor(greatest(col("cum") - 1, col("cum") - col("n_tokens")) / budget)
+            .cast("long").as("end_seq"))
         .orderBy("doc_id")
     }),
     "pipeline_end_to_end" -> ((s, d) => {
@@ -621,7 +626,7 @@ object PipelineQueries {
         |  FROM tk)
         |SELECT doc_id, shard,
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS start_seq,
-        |  CAST((cum - 1) // 512 AS BIGINT) AS end_seq
+        |  CAST(GREATEST(cum - 1, cum - n_tokens) // 512 AS BIGINT) AS end_seq
         |FROM c ORDER BY doc_id""".stripMargin,
     "text_pii_scrub" ->
       """WITH p AS (

@@ -526,18 +526,24 @@ object RelationalQueries {
       // count folded into ONE aggregation pass over the fact table,
       // plus a referential-integrity anti-join — the report costs one
       // scan + one broadcast/shuffle anti-join however many rules run
+      // referential check as a LEFT join + null-probe conditional count,
+      // so ALL four rules fold into ONE aggregation over one joined scan
+      // (orders' o_orderkey is unique, so the join never duplicates
+      // lineitem rows; a 1x1 crossJoin of separate aggregates would
+      // plan the nested loop PlanSweepSpec forbids)
       val li = t(s, d, "lineitem")
-      val scalarRules = li.agg(
-        sum(when(col("l_quantity").isNull, 1).otherwise(0))
-          .cast("long").as("null_quantity"),
-        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)
-          .otherwise(0)).cast("long").as("quantity_out_of_range"),
-        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)
-          .otherwise(0)).cast("long").as("discount_out_of_range"))
-      val orphans = li.join(t(s, d, "orders"),
-          col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("n"))
-      scalarRules.crossJoin(orphans.select(col("n").as("orphan_lineitems")))
+      val matched = li.join(
+        t(s, d, "orders").select(col("o_orderkey"), lit(1).as("_m")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      matched.agg(
+          sum(when(col("l_quantity").isNull, 1).otherwise(0))
+            .cast("long").as("null_quantity"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)
+            .otherwise(0)).cast("long").as("quantity_out_of_range"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)
+            .otherwise(0)).cast("long").as("discount_out_of_range"),
+          sum(when(col("_m").isNull, 1).otherwise(0))
+            .cast("long").as("orphan_lineitems"))
         .unpivot(Array.empty[org.apache.spark.sql.Column],
           Array(col("null_quantity"), col("quantity_out_of_range"),
             col("discount_out_of_range"), col("orphan_lineitems")),
@@ -546,11 +552,14 @@ object RelationalQueries {
     }),
     "q_histogram" -> ((s, d) => {
       // equi-width histogram: bucket = floor((x - lo) / width), clamped
-      // — pure map-side arithmetic + one tiny shuffle on bucket ids
+      // on BOTH ends (under/overflow land in buckets 0 and 9) — pure
+      // map-side arithmetic + one tiny shuffle on bucket ids
       val lo = 900.0
       val width = 10000.0
       t(s, d, "lineitem")
-        .select(least(floor((col("l_extendedprice") - lo) / width), lit(9L))
+        .select(greatest(
+            least(floor((col("l_extendedprice") - lo) / width), lit(9L)),
+            lit(0L))
           .cast("long").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")
@@ -905,7 +914,8 @@ object RelationalQueries {
         |UNION ALL SELECT 'orphan_lineitems', orphan_lineitems FROM o
         |ORDER BY rule""".stripMargin,
     "q_histogram" ->
-      """SELECT CAST(LEAST(FLOOR((l_extendedprice - 900.0) / 10000.0), 9) AS BIGINT)
+      """SELECT CAST(GREATEST(
+        |    LEAST(FLOOR((l_extendedprice - 900.0) / 10000.0), 9), 0) AS BIGINT)
         |    AS bucket,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,

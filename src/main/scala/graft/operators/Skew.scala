@@ -86,8 +86,7 @@ object Skew {
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n_lines"),
-          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
-            .as("total_qty"))
+          sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
         .orderBy("o_orderpriority")
     }),
     // hot-key aggregation through the salted two-phase path; the oracle
