@@ -1,0 +1,39 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Edge semantics the driver fixtures cannot exercise: corpus_pack on
+  * zero-token documents (empty / whitespace-only text), which the gate
+  * corpus happens not to contain. Pins the defined behavior: an empty
+  * range start_seq == end_seq at the document's position, never the
+  * nonsensical end = start - 1.
+  */
+class PipelineEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus_pack: zero-token docs get an empty range, ranges stay ordered") {
+    val dir = Files.createTempDirectory("graft-pack-edge").toString
+    Seq(
+      (1L, "alpha beta gamma " * 200, "en", "s0", 0L),
+      (2L, "", "en", "s0", 0L),          // empty text -> 0 tokens
+      (3L, "     ", "en", "s0", 0L),     // whitespace-only -> 0 tokens
+      (4L, "delta epsilon " * 300, "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = SparkEntry.queries("corpus_pack")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // id, start, end
+    assert(rows.length == 4)
+    rows.foreach { case (id, start, end) =>
+      assert(start <= end, s"doc $id: start $start > end $end")
+    }
+    val zeroTok = rows.filter(r => Set(2L, 3L)(r._1))
+    assert(zeroTok.length == 2)
+    zeroTok.foreach { case (id, start, end) =>
+      assert(start == end, s"zero-token doc $id should have empty range, got [$start,$end]")
+    }
+  }
+}
