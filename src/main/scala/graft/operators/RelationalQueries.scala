@@ -635,6 +635,35 @@ object RelationalQueries {
           coalesce(col("n_events"), lit(0L)).as("n_events"))
         .orderBy("hour_epoch")
     }),
+    "q_gapfill_locf" -> ((s, d) => {
+      // gap-fill with last-observation-carried-forward: empty hours take
+      // the previous hour's average value. The carry uses the portable
+      // count-partition trick — grp = running count of present values,
+      // so each grp holds one observation followed by its gap rows, and
+      // a per-grp max fills them — identical semantics in Spark and
+      // DuckDB without relying on IGNORE NULLS window support. Spine
+      // and hourly aggregates are both tiny; windows run over the
+      // hours axis, never the raw events.
+      val ev = t(s, d, "events")
+      val spine = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(explode(
+          sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val ordered = Window.orderBy(col("hour"))
+      spine.join(hourly, Seq("hour"), "left")
+        .withColumn("grp", count(col("v")).over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("filled",
+          max(col("v")).over(Window.partitionBy(col("grp"))))
+        .select(
+          unix_timestamp(col("hour")).as("hour_epoch"),
+          coalesce(col("filled"), lit(0.0)).as("value_locf"))
+        .orderBy("hour_epoch")
+    }),
     "q_listagg" -> ((s, d) => {
       // deterministic string aggregation: sort_array(collect_list) makes
       // the concatenation order independent of partitioning/merge order —
@@ -960,6 +989,24 @@ object RelationalQueries {
         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
         |FROM spine s LEFT JOIN counts c USING (hour)
         |ORDER BY hour_epoch""".stripMargin,
+    "q_gapfill_locf" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS h0,
+        |         date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds),
+        |hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, round(AVG(value), 6) AS v
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT s.hour, h.v,
+        |    COUNT(h.v) OVER (ORDER BY s.hour
+        |                     ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM spine s LEFT JOIN hourly h USING (hour))
+        |SELECT CAST(epoch_ns(hour) // 1000000000 AS BIGINT) AS hour_epoch,
+        |  COALESCE(MAX(v) OVER (PARTITION BY grp), 0.0) AS value_locf
+        |FROM g ORDER BY hour_epoch""".stripMargin,
     "q_listagg" ->
       """SELECT n_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
