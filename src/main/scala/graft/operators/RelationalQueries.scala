@@ -416,12 +416,20 @@ object RelationalQueries {
       // when per-group cardinality fits an executor (here: 3 groups of
       // ~200k). Past that, use approx_percentile(col, p, accuracy) —
       // its rank-error contract is measured in ApproxGuaranteesSpec
+      // both price percentiles come from ONE percentile(…, array(…))
+      // aggregate, so the per-group value buffer is built once, not
+      // twice (measured ~2.2 s steady with separate aggs)
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"),
+          percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)))
+            .as("ps"),
           round(percentile(col("l_quantity"), lit(0.5)), 6).as("qty_median"))
+        .select(
+          col("l_returnflag"),
+          round(col("ps").getItem(0), 6).as("p50"),
+          round(col("ps").getItem(1), 6).as("p95"),
+          col("qty_median"))
         .orderBy("l_returnflag")
     }),
     "q_pivot" -> ((s, d) => {
@@ -478,10 +486,15 @@ object RelationalQueries {
       val l = Corpus.spread(sup)
         .select(col("id").as("id_a"), col("name").as("name_a"))
       val r = sup.select(col("id").as("id_b"), col("name").as("name_b"))
+      // thresholded levenshtein: banded DP with early abandon — each
+      // comparison costs O(threshold·len) instead of O(len²), and pairs
+      // beyond the threshold return -1 (dropped by the filter anyway);
+      // for surviving pairs the value IS the true distance, so the
+      // full-DP DuckDB oracle is unchanged
       l.join(r, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          levenshtein(col("name_a"), col("name_b")).as("dist"))
-        .filter(col("dist") <= 2)
+          levenshtein(col("name_a"), col("name_b"), 2).as("dist"))
+        .filter(col("dist") >= 0 && col("dist") <= 2)
         .orderBy("id_a", "id_b")
     }),
     "q_unpivot" -> ((s, d) => {
