@@ -5,29 +5,51 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Extracted media metadata row (the output schema of the decode stage). */
+/** Extracted media metadata row (the output schema of the decode stage).
+  *
+  * Besides the header fields, carries exact integer SUFFICIENT STATISTICS
+  * of the decoded raster (per-channel sum / sum-of-squares, pixel count,
+  * 4-bin luminance histogram) rather than floating means: integer sums are
+  * exactly mergeable across partitions and let downstream derive mean/std
+  * as codegen'd column arithmetic, so the expensive per-pixel pass runs
+  * exactly once per payload inside the decode task.
+  */
 case class MediaMeta(
     doc_id: Long,
     n_bytes: Long,
     width: Long,
     height: Long,
     format: String,
-    frame_count: Long)
+    frame_count: Long,
+    n_px: Long,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long,
+    sq_r: Long,
+    sq_g: Long,
+    sq_b: Long,
+    lum_h0: Long,
+    lum_h1: Long,
+    lum_h2: Long,
+    lum_h3: Long)
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata; decode / feature-extraction runs
   * per-partition so one task initializes its (native) decoder once and
   * streams a batch of payloads through it.
   *
-  * The container ships no image/audio codecs, so the payloads are a
-  * SELF-DESCRIBING synthetic format: a PNM-style ASCII header (magic,
-  * `# frames=` comment, width/height, maxval — the real PPM/PGM header
-  * layout) followed by the body bytes. [[decodePnm]] does real byte-level
-  * parsing of that header — magic dispatch, comment skipping, dimension
-  * parse — exactly the work a PNM decoder performs, so the stage
-  * exercises genuine decode work and its output is checked against the
-  * embedded ground truth (MultimodalSpec + the driver's SQL oracle).
-  * A production codec drops into [[decodePnm]] without touching the plan.
+  * The container ships no image/audio codec libraries, so the payloads
+  * use the codec-free PNM family: a PNM ASCII header (magic, `# frames=`
+  * comment, width/height, maxval — the real PPM/PGM header layout)
+  * followed by the RAW raster bytes (P5 = one gray byte per pixel, P6 =
+  * interleaved RGB triplets — the actual P5/P6 wire format, which needs
+  * no library to decode). [[decodePnm]] performs the FULL decode: magic
+  * dispatch, comment skipping, dimension parse, then a per-pixel pass
+  * over the raster producing per-channel sum/sum-of-squares and a
+  * luminance histogram. Output is checked against embedded ground truth
+  * (MultimodalSpec) and the driver's SQL oracle recomputes the pixel
+  * statistics independently from the body bytes. A production codec for
+  * compressed formats drops into [[decodePnm]] without touching the plan.
   */
 object Multimodal {
 
@@ -43,9 +65,12 @@ object Multimodal {
     def format(id: Column): Column = when(id % 2 === 0, "ppm").otherwise("pgm")
   }
 
-  /** Attach a binary payload column: a PNM-style header encoding the
-    * ground-truth metadata, then the document text as the body (the corpus
-    * ships no real media; in production this IS the stored bytes).
+  /** Attach a binary payload column: a PNM header encoding the
+    * ground-truth metadata, then the document's UTF-8 bytes as the raw
+    * raster body (the corpus ships no real media; in production this IS
+    * the stored bytes). The body is shorter than width·height·channels,
+    * i.e. a TRUNCATED raster — deliberately, so the decoder's
+    * complete-pixels-only contract is exercised on every row.
     */
   def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val id = col("doc_id")
@@ -80,13 +105,43 @@ object Multimodal {
       line = readLine()
     }
     val dims = line.split(" ")
+    readLine() // maxval line — always 255 in this corpus
+    // Raster decode: after the maxval line the PNM body is RAW pixel
+    // bytes — P5 one gray byte per pixel, P6 interleaved RGB triplets.
+    // The synthetic corpus stores fewer body bytes than width·height·c,
+    // so (like any robust decoder facing a truncated file) the contract
+    // is: decode every COMPLETE pixel present in the body — all bytes
+    // for P5, full triplets for P6, trailing partial triplet dropped.
+    val isRgb = format == "ppm"
+    val stride = if (isRgb) 3 else 1
+    val nPx = (payload.length - pos) / stride
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var qr = 0L; var qg = 0L; var qb = 0L
+    val hist = new Array[Long](4)
+    var p = pos
+    var k = 0
+    while (k < nPx) {
+      val r = payload(p) & 0xff
+      val g = if (isRgb) payload(p + 1) & 0xff else r
+      val b = if (isRgb) payload(p + 2) & 0xff else r
+      sr += r; sg += g; sb += b
+      qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
+      // integer luminance (channel mean) into 4 equal 64-value bins
+      hist((r + g + b) / 3 / 64) += 1
+      p += stride
+      k += 1
+    }
     MediaMeta(
       doc_id = id,
       n_bytes = payload.length.toLong,
       width = dims(0).toLong,
       height = dims(1).toLong,
       format = format,
-      frame_count = frames)
+      frame_count = frames,
+      n_px = nPx.toLong,
+      sum_r = sr, sum_g = sg, sum_b = sb,
+      sq_r = qr, sq_g = qg, sq_b = qb,
+      lum_h0 = hist(0), lum_h1 = hist(1), lum_h2 = hist(2), lum_h3 = hist(3))
   }
 
   /** Decode/feature-extract stage: binary column in, typed metadata out.
@@ -103,7 +158,8 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // a real decoder would be initialized HERE, once per partition
+        // per-partition stage: any buffer/codec state for compressed
+        // formats initializes HERE once; PNM needs none
         batch.map { case (id, payload) => decodePnm(id, payload) }
       }
   }
@@ -150,21 +206,42 @@ object Multimodal {
         (col("out_w") * col("out_h") * channels).as("out_bytes"))
   }
 
-  /** Per-document feature vector from DECODED metadata — the
+  /** Per-document feature vector from the DECODED payload — the
     * feature-extract stage as row-level output (the aggregate profile is
-    * [[mediaProfile]]): aspect ratio, megapixels, frame count, payload
-    * size. Everything derives from the real byte-level header parse;
-    * a pixel-content featurizer would extend the same mapPartitions
-    * stage (codecs stubbed in this container).
+    * [[mediaProfile]]): header-derived shape features (aspect ratio,
+    * megapixels, frame count, payload size) plus PER-PIXEL content
+    * features computed from the raster bytes by [[decodePnm]] —
+    * per-channel mean and population std and a 4-bin luminance
+    * histogram. The decode task emits exact integer sufficient
+    * statistics; the float math here is codegen'd column arithmetic
+    * (for a gray P5 raster the three channels coincide by definition).
     */
-  def featureVector(spark: SparkSession, docs: DataFrame): DataFrame =
+  def featureVector(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val n = col("n_px").cast("double")
+    def mean(s: String): Column =
+      when(col("n_px") > 0, round(col(s).cast("double") / n, 6))
+    // population std from exact integer sums: sqrt(E[x²] − E[x]²),
+    // clamped at 0 against floating cancellation on constant channels
+    def std(q: String, s: String): Column =
+      when(col("n_px") > 0, round(sqrt(greatest(
+        col(q).cast("double") / n
+          - (col(s).cast("double") / n) * (col(s).cast("double") / n),
+        lit(0.0))), 6))
     extractMetadata(spark, withPayload(docs))
       .select(
         col("doc_id"), col("format"),
         round(col("width").cast("double") / col("height"), 6).as("aspect"),
         round(col("width") * col("height") / lit(1000000.0), 6)
           .as("megapixels"),
-        col("frame_count"), col("n_bytes"))
+        col("frame_count"), col("n_bytes"), col("n_px"),
+        mean("sum_r").as("mean_r"),
+        mean("sum_g").as("mean_g"),
+        mean("sum_b").as("mean_b"),
+        std("sq_r", "sum_r").as("std_r"),
+        std("sq_g", "sum_g").as("std_g"),
+        std("sq_b", "sum_b").as("std_b"),
+        col("lum_h0"), col("lum_h1"), col("lum_h2"), col("lum_h3"))
+  }
 
   /** End-to-end pipeline over the documents table: payload → decode →
     * per-format size stats. The aggregate shape (small group-by after a

@@ -500,9 +500,38 @@ object PipelineQueries {
         |  CAST(MAX(width) AS BIGINT) AS max_width,
         |  CAST(MAX(height) AS BIGINT) AS max_height
         |FROM m GROUP BY format ORDER BY format""".stripMargin,
-    // per-doc features recomputed from the Truth header formulas
+    // per-doc features recomputed from first principles: header fields
+    // from the Truth formulas, PIXEL statistics by re-decoding the raster
+    // body (= the document's ASCII bytes, so ord(substring) IS the byte)
+    // with DuckDB arithmetic — P5 every byte is a gray pixel, P6 bytes
+    // pivot into RGB triplets with the trailing partial triplet dropped,
+    // exactly the decoder's complete-pixels-only contract
     "multimodal_features" ->
-      """WITH m AS (
+      """WITH idx AS (
+        |  SELECT doc_id, length(text) AS len, text,
+        |    unnest(generate_series(1, length(text))) AS i
+        |  FROM documents),
+        |byt AS (
+        |  SELECT doc_id, len, i, ord(substring(text, i, 1)) AS v FROM idx),
+        |px AS (
+        |  SELECT doc_id, v AS r, v AS g, v AS b FROM byt WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN (i - 1) % 3 = 0 THEN v END) AS r,
+        |    SUM(CASE WHEN (i - 1) % 3 = 1 THEN v END) AS g,
+        |    SUM(CASE WHEN (i - 1) % 3 = 2 THEN v END) AS b
+        |  FROM byt WHERE doc_id % 2 = 0 AND i <= len - len % 3
+        |  GROUP BY doc_id, (i - 1) // 3),
+        |st AS (
+        |  SELECT doc_id, COUNT(*) AS n_px,
+        |    SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb,
+        |    SUM(r * r) AS qr, SUM(g * g) AS qg, SUM(b * b) AS qb,
+        |    SUM(CASE WHEN (r + g + b) // 3 < 64 THEN 1 ELSE 0 END) AS h0,
+        |    SUM(CASE WHEN (r + g + b) // 3 BETWEEN 64 AND 127 THEN 1 ELSE 0 END) AS h1,
+        |    SUM(CASE WHEN (r + g + b) // 3 BETWEEN 128 AND 191 THEN 1 ELSE 0 END) AS h2,
+        |    SUM(CASE WHEN (r + g + b) // 3 >= 192 THEN 1 ELSE 0 END) AS h3
+        |  FROM px GROUP BY doc_id),
+        |m AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'pgm' END AS format,
         |    64 + doc_id % 1857 AS width,
@@ -515,12 +544,33 @@ object PipelineQueries {
         |      || ' ' || CAST(64 + (doc_id * 7919) % 1017 AS VARCHAR)
         |      || chr(10) || '255' || chr(10) || text)) AS n_bytes
         |  FROM documents)
-        |SELECT doc_id, format,
+        |SELECT m.doc_id, format,
         |  round(CAST(width AS DOUBLE) / height, 6) AS aspect,
         |  round(width * height / 1000000.0, 6) AS megapixels,
         |  CAST(frame_count AS BIGINT) AS frame_count,
-        |  CAST(n_bytes AS BIGINT) AS n_bytes
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(COALESCE(st.n_px, 0) AS BIGINT) AS n_px,
+        |  CASE WHEN st.n_px > 0 THEN round(CAST(sr AS DOUBLE) / st.n_px, 6) END AS mean_r,
+        |  CASE WHEN st.n_px > 0 THEN round(CAST(sg AS DOUBLE) / st.n_px, 6) END AS mean_g,
+        |  CASE WHEN st.n_px > 0 THEN round(CAST(sb AS DOUBLE) / st.n_px, 6) END AS mean_b,
+        |  CASE WHEN st.n_px > 0 THEN round(sqrt(greatest(
+        |    CAST(qr AS DOUBLE) / st.n_px
+        |      - (CAST(sr AS DOUBLE) / st.n_px) * (CAST(sr AS DOUBLE) / st.n_px),
+        |    0.0)), 6) END AS std_r,
+        |  CASE WHEN st.n_px > 0 THEN round(sqrt(greatest(
+        |    CAST(qg AS DOUBLE) / st.n_px
+        |      - (CAST(sg AS DOUBLE) / st.n_px) * (CAST(sg AS DOUBLE) / st.n_px),
+        |    0.0)), 6) END AS std_g,
+        |  CASE WHEN st.n_px > 0 THEN round(sqrt(greatest(
+        |    CAST(qb AS DOUBLE) / st.n_px
+        |      - (CAST(sb AS DOUBLE) / st.n_px) * (CAST(sb AS DOUBLE) / st.n_px),
+        |    0.0)), 6) END AS std_b,
+        |  CAST(COALESCE(h0, 0) AS BIGINT) AS lum_h0,
+        |  CAST(COALESCE(h1, 0) AS BIGINT) AS lum_h1,
+        |  CAST(COALESCE(h2, 0) AS BIGINT) AS lum_h2,
+        |  CAST(COALESCE(h3, 0) AS BIGINT) AS lum_h3
+        |FROM m LEFT JOIN st ON m.doc_id = st.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
     // resize plan recomputed from the Truth dimension formulas:
     // aspect-preserving scale into a 256-box, floor dims (min 1), exact
     // PNM output bytes (w*h*channels)

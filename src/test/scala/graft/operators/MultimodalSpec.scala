@@ -48,11 +48,61 @@ class MultimodalSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
-  test("decodePnm parses a hand-built header byte-exactly") {
+  test("decodePnm parses a hand-built header and raster byte-exactly") {
     val payload = "P5\n# frames=7\n# другой комментарий\n320 200\n255\nBODY"
       .getBytes("UTF-8")
     val m = Multimodal.decodePnm(42L, payload)
-    assert(m == MediaMeta(42L, payload.length.toLong, 320L, 200L, "pgm", 7L))
+    // body "BODY" = bytes 66 79 68 89: four gray pixels; sums/squares by
+    // hand, every luminance lands in bin 1 (64..127)
+    assert(m == MediaMeta(42L, payload.length.toLong, 320L, 200L, "pgm", 7L,
+      n_px = 4L,
+      sum_r = 302L, sum_g = 302L, sum_b = 302L,
+      sq_r = 23142L, sq_g = 23142L, sq_b = 23142L,
+      lum_h0 = 0L, lum_h1 = 4L, lum_h2 = 0L, lum_h3 = 0L))
+  }
+
+  test("decodePnm decodes P6 RGB triplets, full byte range, drops a partial trailing triplet") {
+    val header = "P6\n2 2\n255\n".getBytes("UTF-8")
+    // 3 complete pixels + 2 trailing bytes that MUST be ignored:
+    // (255,255,255) lum 255 → bin 3; (0,0,0) lum 0 → bin 0;
+    // (200,10,90) lum (300/3)=100 → bin 1
+    val body = Array(255, 255, 255, 0, 0, 0, 200, 10, 90, 1, 2)
+      .map(_.toByte)
+    val m = Multimodal.decodePnm(7L, header ++ body)
+    assert(m == MediaMeta(7L, (header.length + body.length).toLong,
+      2L, 2L, "ppm", 1L,
+      n_px = 3L,
+      sum_r = 455L, sum_g = 265L, sum_b = 345L,
+      sq_r = 105025L, sq_g = 65125L, sq_b = 73125L,
+      lum_h0 = 1L, lum_h1 = 1L, lum_h2 = 0L, lum_h3 = 1L))
+  }
+
+  test("featureVector per-pixel stats match an independent recomputation") {
+    import org.apache.spark.sql.Row
+    val fv = Multimodal.featureVector(spark, docs)
+    // recompute gray-channel stats for pgm docs (odd ids) straight from
+    // the text bytes with column functions — a fully independent path
+    // from the decoder's imperative loop
+    val expected = docs
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        aggregate(
+          transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("e_sum"),
+        octet_length(col("text")).cast("long").as("e_n"))
+    val joined = fv.join(expected, "doc_id")
+    assert(joined.count() > 0)
+    val bad = joined.filter(
+      col("n_px") =!= col("e_n") ||
+        col("mean_r") =!= round(col("e_sum").cast("double") / col("e_n"), 6) ||
+        col("mean_r") =!= col("mean_g") || col("mean_g") =!= col("mean_b"))
+      .count()
+    assert(bad == 0)
+    // histogram bins partition the pixels
+    val histBad = fv.filter(
+      col("lum_h0") + col("lum_h1") + col("lum_h2") + col("lum_h3") =!= col("n_px"))
+      .count()
+    assert(histBad == 0)
   }
 
   test("media profile aggregates per format") {
