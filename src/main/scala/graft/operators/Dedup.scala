@@ -262,30 +262,36 @@ object Dedup {
     * {A,B,C}): each document that appears in any pair is labeled with
     * the smallest reachable doc id (its cluster representative).
     *
-    * Distributed min-label propagation: `label(v) ← min(label(v),
-    * min over neighbors u of label(u))` iterated to fixpoint — the
-    * Pregel/GraphX connected-components algorithm expressed as plain
-    * DataFrame joins. Each iteration is ONE |E|-bounded shuffle (edges
-    * join labels, map-side partial min per dst); iterations needed =
-    * graph diameter, which for near-dup clusters (dense, clique-like)
-    * is small. For adversarial million-hop chains, switch to
-    * pointer-jumping (label(v) ← label(label(v)), O(log n) rounds) —
-    * not needed for duplicate graphs.
+    * Distributed min-label propagation WITH POINTER JUMPING: each round
+    * first takes `label(v) ← min(label(v), min over neighbors u of
+    * label(u))` (one |E|-bounded shuffle: edges join labels, map-side
+    * partial min per dst), then shortcuts `label(v) ← label(label(v))`
+    * (one |V|-bounded self-join — sound because every label value is a
+    * node id in the same component and labels only decrease, so the
+    * composed label is still a reachable id). Propagation alone needs
+    * diameter rounds; the jump halves every label-chain each round, so
+    * convergence is O(log diameter) — a 1M-hop adversarial chain
+    * converges in ~20 rounds instead of 1M. Near-dup graphs (dense,
+    * clique-like) still converge in 1-2 rounds and pay one cheap extra
+    * join.
     *
     * The convergence probe (`limit(1)` existence check per round) and
     * the bounded iteration count make this a driver-coordinated loop
     * like IVF's Lloyd iterations — the accepted pattern for fixpoint
-    * graph algorithms on Spark. Per-round state is persisted and the
-    * previous round's cache released; the FINAL labels frame (small —
-    * one row per paired document) stays cached so the returned plan
-    * does not replay the whole loop per action — the same
-    * one-small-result-cache-per-call tradeoff ngramJaccardPairs
+    * graph algorithms on Spark. Per-round state is eagerly
+    * local-checkpointed (materialize + lineage truncation — see the
+    * round-0 note) and superseded rounds are released; the FINAL labels
+    * frame (small — one row per paired document) stays materialized so
+    * the returned plan does not replay the whole loop per action — the
+    * same one-small-result-cache-per-call tradeoff ngramJaccardPairs
     * documents.
     *
     * If the loop hits `maxIterations` before the fixpoint, the labels
     * would be silently WRONG (a long chain reported as several
-    * clusters), so the operator throws instead — raise `maxIterations`
-    * (or switch to pointer-jumping) for graphs with diameter beyond it.
+    * clusters), so the operator throws instead — kept as a defensive
+    * backstop, but with pointer jumping the default budget of 20
+    * rounds covers any graph a duplicate pipeline can produce
+    * (diameter up to ~2^20 hops).
     *
     * Returns (doc_id, cluster_id); singleton documents (no pair) are
     * not emitted — their cluster is trivially themselves.
@@ -300,11 +306,18 @@ object Dedup {
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     // round 0 for free: every node starts at min(self, direct neighbors)
-    // — cliques converge immediately, chains save one propagation round
+    // — cliques converge immediately, chains save one propagation round.
+    // Each round's labels are EAGERLY LOCAL-CHECKPOINTED, not just
+    // persisted: the jump join references the round's frame twice, so
+    // without lineage truncation the logical plan doubles per round
+    // (exponential analysis cost and a stack-overflowing tree). The
+    // checkpoint materializes the tiny (|paired docs| × 2 longs) frame
+    // and replaces its plan with a leaf; superseded rounds' blocks are
+    // released by the context cleaner once unreferenced.
     var labels = edges
       .groupBy(col("src").as("node"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -313,20 +326,35 @@ object Dedup {
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("nmin"))
       // one persisted join feeds BOTH the convergence probe and the next
-      // labels — one round = one |E| shuffle + two reads of this frame
+      // labels — one round = one |E| shuffle + two reads of this frame.
+      // Converged ⇔ no neighbor min beats any label ⇔ labels constant
+      // per component ⇔ the jump below would be a no-op too, so the
+      // nmin probe remains a sound fixpoint test with jumping enabled.
       val joined = labels.join(neighborMin, Seq("node"), "left").persist()
       val changed = joined
         .filter(col("nmin") < col("label"))
         .limit(1).count() > 0
-      val next = joined
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
-      next.foreach(_ => ()) // materialize before dropping parent caches
-      labels.unpersist()
-      joined.unpersist()
-      labels = next
-      converged = !changed
+      if (!changed) {
+        joined.unpersist()
+        converged = true
+      } else {
+        val propagated = joined
+          .select(col("node"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        // pointer jump: label(v) ← label(label(v)). Left join (not
+        // inner): every label IS some node's id, but stay total anyway.
+        // The eager checkpoint materializes before the parent cache is
+        // dropped and truncates the doubled plan (see round-0 note).
+        val next = propagated
+          .join(
+            propagated.select(col("node").as("jnode"), col("label").as("jlabel")),
+            col("label") === col("jnode"), "left")
+          .select(col("node"),
+            coalesce(col("jlabel"), col("label")).as("label"))
+          .localCheckpoint(true)
+        joined.unpersist()
+        labels = next
+      }
       i += 1
     }
     edges.unpersist()

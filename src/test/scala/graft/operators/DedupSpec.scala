@@ -119,6 +119,16 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("duplicateClusters: a 30-hop chain converges inside the default round budget") {
+    // diameter 30 > default maxIterations (20): pure propagation would
+    // throw; pointer jumping converges in O(log d) rounds
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 31)
+    assert(got.values.forall(_ == 0L))
+  }
+
   test("minhash signature length and determinism") {
     val sig = docs
       .withColumn("h", transform(Dedup.wordShingles($"text", 3), s => xxhash64(s)))
