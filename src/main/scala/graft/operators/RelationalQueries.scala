@@ -35,6 +35,62 @@ object RelationalQueries {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
   private val one = lit(1).cast(DecimalType(18, 4))
 
+  /** EXACT per-group percentiles (quantile_cont linear interpolation)
+    * with NO whole-group task buffer — the scale-safe replacement for
+    * Spark's `percentile()` aggregate, whose in-memory (value, count)
+    * buffer cannot spill and OOMs once one group outgrows an executor.
+    *
+    * Plan shape: per-group spillable window sort assigns each value its
+    * rank and group size; only the ≤2 rows flanking each requested
+    * percentile rank survive the filter (0-based rank p·(n−1), its
+    * floor and ceil); a final ≤2·|ps|-rows-per-group aggregate
+    * interpolates. Every stage is bounded: the sort spills through
+    * UnsafeExternalSorter, the post-filter state is a handful of rows
+    * per group, and nothing ever materializes a group in memory.
+    *
+    * `ps` maps output column name → percentile in [0, 1]; nulls are
+    * excluded like the built-in aggregate; results round to 6 decimals
+    * (cross-engine interpolation noise sits in the last ulp).
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      s"percentiles must lie in [0,1]: $ps")
+    val byGroup = Window.partitionBy(groupCol)
+    val ranked = df
+      .select(col(groupCol), col(valCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .withColumn("_rn0",
+        row_number().over(byGroup.orderBy(col("_v"))).cast("long") - 1L)
+      .withColumn("_n", count(lit(1)).over(byGroup))
+    // 0-based continuous rank of percentile p in a group of _n values
+    def idx(p: Double): Column = lit(p) * (col("_n") - 1L).cast("double")
+    val needed = ps.map { case (_, p) =>
+      col("_rn0") === floor(idx(p)).cast("long") ||
+        col("_rn0") === ceil(idx(p)).cast("long")
+    }.reduce(_ || _)
+    val flanks = ps.flatMap { case (name, p) =>
+      Seq(
+        max(when(col("_rn0") === floor(idx(p)).cast("long"), col("_v")))
+          .as(s"_lo_$name"),
+        max(when(col("_rn0") === ceil(idx(p)).cast("long"), col("_v")))
+          .as(s"_hi_$name"))
+    }
+    val agg = ranked.filter(needed)
+      .groupBy(col(groupCol))
+      .agg(max(col("_n")).as("_n"), flanks: _*)
+    agg.select(
+      col(groupCol) +: ps.map { case (name, p) =>
+        val i = idx(p)
+        round(
+          col(s"_lo_$name") + (i - floor(i)) * (col(s"_hi_$name") - col(s"_lo_$name")),
+          6).as(name)
+      }: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core surface over parquet (scan/project/filter) ----
     "q_project" -> ((s, d) => {
@@ -408,29 +464,21 @@ object RelationalQueries {
 
     // ---- percentiles / pivot / json / fuzzy match ----
     "q_percentiles" -> ((s, d) => {
-      // EXACT percentiles (sort-based, linear interpolation), not the
-      // approx sketch — rounded to 6 so cross-engine interpolation
-      // last-ulp noise cannot flip the hash.
-      // Scale boundary: Spark's exact percentile buffers every (value,
-      // count) of a group in one task with no spill, so it is only safe
-      // when per-group cardinality fits an executor (here: 3 groups of
-      // ~200k). Past that, use approx_percentile(col, p, accuracy) —
-      // its rank-error contract is measured in ApproxGuaranteesSpec
-      // both price percentiles come from ONE percentile(…, array(…))
-      // aggregate, so the per-group value buffer is built once, not
-      // twice (measured ~2.2 s steady with separate aggs)
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)))
-            .as("ps"),
-          round(percentile(col("l_quantity"), lit(0.5)), 6).as("qty_median"))
-        .select(
-          col("l_returnflag"),
-          round(col("ps").getItem(0), 6).as("p50"),
-          round(col("ps").getItem(1), 6).as("p95"),
-          col("qty_median"))
-        .orderBy("l_returnflag")
+      // EXACT percentiles (linear interpolation, quantile_cont
+      // semantics) computed DISTRIBUTED — see [[exactPercentiles]]: a
+      // spillable per-group window sort + rank selection, never
+      // Spark's percentile() aggregate, whose whole-group in-task
+      // value buffer cannot spill and OOMs once a single group
+      // outgrows an executor. Rounded to 6 so cross-engine
+      // interpolation last-ulp noise cannot flip the hash. Two value
+      // columns need two sort orders, so two scans joined on the
+      // 3-row group key (broadcast-sized by construction).
+      val li = t(s, d, "lineitem")
+      val price = exactPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+      val qty = exactPercentiles(li, "l_returnflag", "l_quantity",
+        Seq("qty_median" -> 0.5))
+      price.join(qty, "l_returnflag").orderBy("l_returnflag")
     }),
     "q_pivot" -> ((s, d) => {
       // pivot with EXPLICIT values: no extra distinct-values job, fixed

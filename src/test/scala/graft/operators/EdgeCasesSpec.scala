@@ -62,6 +62,37 @@ class EdgeCasesSpec extends SparkSpec {
     assert(!row.isNullAt(row.fieldIndex("q")))
   }
 
+  test("exactPercentiles matches the built-in percentile aggregate") {
+    // 3 groups of uneven sizes incl. a 1-value and a 2-value group (the
+    // interpolation edge cases) and duplicated values; seeds fixed
+    val rows = Seq(
+      ("a", 5.0), ("a", 1.0), ("a", 9.0), ("a", 1.0), ("a", 7.5),
+      ("b", 2.0), ("b", 4.0),
+      ("c", 3.25)) ++ (0 until 97).map(i => ("a", (i * 37 % 100).toDouble))
+    val df = rows.toDF("g", "v")
+    val got = RelationalQueries
+      .exactPercentiles(df, "g", "v", Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
+      .orderBy("g")
+    val want = df.groupBy("g")
+      .agg(
+        round(percentile(col("v"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("v"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("v"), lit(0.95)), 6).as("p95"))
+      .orderBy("g")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // the scale contract: the plan contains NO percentile aggregate
+    // (whole-group buffer) — only window + bounded aggregates
+    assert(!got.queryExecution.executedPlan.toString.contains("percentile"))
+  }
+
+  test("exactPercentiles excludes nulls like the built-in") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("g", "v")
+    val got = RelationalQueries.exactPercentiles(df, "g", "v", Seq("p50" -> 0.5))
+      .head()
+    assert(got.getAs[Double]("p50") == 2.0)
+  }
+
   test("temporal joins on empty sides") {
     val ev = Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
       .toDF("ts", "user_id")
