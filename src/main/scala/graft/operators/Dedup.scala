@@ -400,9 +400,15 @@ object Dedup {
     *
     * 3. EXACT VERIFY — only surviving pairs (true positives + the small
     *    collision tail) are joined back to the gram arrays for an exact
-    *    `array_intersect`/`array_union` Jaccard. The survivors side is
-    *    tiny, so Spark broadcasts it and the corpus gram table never
-    *    shuffles.
+    *    `array_intersect`/`array_union` Jaccard.
+    *
+    * Broadcast decisions are SIZE-ADAPTIVE, never static: on the eager
+    * path one aggregate over the already-materialized signature cache
+    * measures row count and gram volume, and the signature/gram frames
+    * get a broadcast hint only if their bytes estimate fits the
+    * session's autoBroadcastJoinThreshold; otherwise (and always on the
+    * lazy path) the joins are left unhinted and AQE picks broadcast vs
+    * shuffle from runtime sizes.
     *
     * At 100 TB: per-doc state is size + a `sigBits/8`-byte signature; the
     * candidate join fans out per gram by document frequency with common
@@ -435,7 +441,6 @@ object Dedup {
       ngram: Int = 5,
       threshold: Double = 0.6,
       sigBits: Int = 1 << 13,
-      broadcastSignatures: Boolean = true,
       eager: Boolean = true): DataFrame = {
 
     import graft.functions.BitsetFunctions._
@@ -462,7 +467,7 @@ object Dedup {
           sigBits).as("bm"))
       .withColumn("pc", bitsetIntersectCount(col("bm"), col("bm")))
 
-    def pipeline(ds: DataFrame): DataFrame = {
+    def pipeline(ds: DataFrame, hintSig: Boolean, hintGrams: Boolean): DataFrame = {
       // ---- stage 1: rarest-first ASYMMETRIC prefix filtering ----
       // Orient every pair by (sz, id) lexicographic order: the smaller
       // side PROBES with the short prefix, the larger side is INDEXED
@@ -512,20 +517,21 @@ object Dedup {
           greatest(col("l.id"), col("r.id")).as("id_b"))
 
       // ---- stage 2: fixed-width hashed-bitset upper bound ----
-      // signature sides are broadcast when they fit (O(docs) rows of
-      // sigBits/8 bytes + 2 longs; at corpus sizes where they no longer
-      // fit, drop the hint and these become plain equi-joins — the
-      // candidate stream never moves either way)
-      def hinted(df: DataFrame): DataFrame =
-        if (broadcastSignatures) broadcast(df) else df
+      // signature sides are broadcast ONLY when a measured bytes
+      // estimate fits the session's autoBroadcastJoinThreshold (eager
+      // path; see below) — never a static hint on a corpus-sized
+      // table. Unhinted, these are plain equi-joins that AQE upgrades
+      // to broadcast at runtime when the built side is actually small.
+      def hinted(df: DataFrame, hint: Boolean): DataFrame =
+        if (hint) broadcast(df) else df
       val ubOverlap =
         col("sz_a") + col("sz_b") - col("pc_a") - col("pc_b") +
           bitsetIntersectCount(col("bm_a"), col("bm_b"))
       val survivors = candidates
         .join(hinted(ds.select(col("id").as("id_a"), col("sz").as("sz_a"),
-          col("bm").as("bm_a"), col("pc").as("pc_a"))), "id_a")
+          col("bm").as("bm_a"), col("pc").as("pc_a")), hintSig), "id_a")
         .join(hinted(ds.select(col("id").as("id_b"), col("sz").as("sz_b"),
-          col("bm").as("bm_b"), col("pc").as("pc_b"))), "id_b")
+          col("bm").as("bm_b"), col("pc").as("pc_b")), hintSig), "id_b")
         .filter(
           ubOverlap.cast("double") >=
             lit(threshold) * (col("sz_a") + col("sz_b") - ubOverlap).cast("double"))
@@ -534,8 +540,10 @@ object Dedup {
 
       // ---- stage 3: exact re-verification of the surviving pairs ----
       survivors
-        .join(hinted(ds.select(col("id").as("id_a"), col("sgrams").as("g_a"))), "id_a")
-        .join(hinted(ds.select(col("id").as("id_b"), col("sgrams").as("g_b"))), "id_b")
+        .join(hinted(ds.select(col("id").as("id_a"), col("sgrams").as("g_a")),
+          hintGrams), "id_a")
+        .join(hinted(ds.select(col("id").as("id_b"), col("sgrams").as("g_b")),
+          hintGrams), "id_b")
         .select(
           col("id_a"), col("id_b"),
           jaccard(col("g_a"), col("g_b")).as("jaccard_sim"))
@@ -543,11 +551,33 @@ object Dedup {
     }
 
     if (eager) {
+      // SIZE-ADAPTIVE broadcast decision: the signature/gram frames are
+      // O(docs) rows, so a static hint is a latent OOM at corpus scale.
+      // The cache is materialized anyway, so one cheap aggregate over it
+      // measures the real row count and gram volume; each frame gets the
+      // hint only if its (conservative) bytes estimate fits the
+      // session's autoBroadcastJoinThreshold. Past that the joins stay
+      // unhinted and AQE picks the strategy from runtime sizes.
       val cached = docsig.persist()
-      val out = pipeline(cached).persist()
+      val m = cached.agg(
+        count(lit(1)).as("n"), coalesce(sum(col("sz")), lit(0L)).as("tg")).head()
+      val (nDocs, totalGrams) = (m.getLong(0), m.getLong(1))
+      val autoThreshold =
+        docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      // per-row: bitset words + id/sz/pc longs + row overhead
+      val sigBytes = nDocs * (sigBits / 8L + 64L)
+      // per-gram: ~2 bytes/char UTF-16 + array-element overhead
+      val gramBytes = totalGrams * (2L * ngram + 24L) + nDocs * 64L
+      val out = pipeline(cached,
+        hintSig = autoThreshold > 0 && sigBytes <= autoThreshold,
+        hintGrams = autoThreshold > 0 && gramBytes <= autoThreshold).persist()
       out.foreach(_ => ())
       cached.unpersist()
       out
-    } else pipeline(docsig)
+    } else {
+      // lazy path: no job may run at plan-build time, so no static
+      // hints — AQE decides from runtime shuffle statistics
+      pipeline(docsig, hintSig = false, hintGrams = false)
+    }
   }
 }
