@@ -121,6 +121,52 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- approximation contracts as DRIVER-GATED entries ----
+    // The SRP paths are approximate by design, so their raw output has
+    // no SQL oracle; these entries make the approximation CONTRACT
+    // itself oracle-checkable: Spark measures recall against the exact
+    // reference in one plan and emits the gate verdict plus reference
+    // counts the oracle recomputes independently — a hash match certifies
+    // the recall floor held on the gate corpus, driver-visible.
+    "ann_srp_recall" -> ((s, d) => {
+      // recall@10 of ann_srp_topk's exact configuration vs exact brute
+      // force; floor 0.30 — this corpus is near-orthogonal random
+      // vectors, SRP-LSH's worst case (same floor SimilaritySpec pins)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val ref = Similarity.bruteForceTopK(emb, q, k = 10, roundDecimals = 6)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = Similarity.srpBucketedTopK(emb, q, k = 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      ref.join(got, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_ref"), count(col("hit")).as("n_hit"))
+        .select(
+          col("n_ref"),
+          when(col("n_hit").cast("double") / col("n_ref") >= 0.30, lit(1L))
+            .otherwise(lit(0L)).as("ok"))
+    }),
+    "dedup_srp_recall" -> ((s, d) => {
+      // dedup_embedding_srp's configuration vs the exact pair set:
+      // no false positives ever (candidates are exactly verified) and
+      // recall >= 0.85 (expected ~0.94 at the weakest exact pair)
+      val emb = t(s, d, "embeddings")
+      val exact = Similarity
+        .embeddingNearDupPairsExact(emb, threshold = 0.4, roundDecimals = 6)
+        .select(col("id_a"), col("id_b"), lit(1).as("ex"))
+      val srp = Similarity
+        .embeddingNearDupPairs(emb, threshold = 0.4, bands = 16, bitsPerBand = 4)
+        .select(col("id_a"), col("id_b"), lit(1).as("sp"))
+      exact.join(srp, Seq("id_a", "id_b"), "full")
+        .agg(
+          count(col("ex")).as("n_exact"),
+          count(when(col("ex").isNotNull && col("sp").isNotNull, 1)).as("n_hit"),
+          count(when(col("ex").isNull, 1)).as("n_fp"))
+        .select(
+          col("n_exact"), col("n_fp"),
+          when(col("n_hit").cast("double") / col("n_exact") >= 0.85, lit(1L))
+            .otherwise(lit(0L)).as("ok"))
+    }),
+
     // ---- text analysis ----
     // Corpus.spread: per-row regex/hash work parallelizes past the
     // single-row-group scan (no-op when the input arrives well-split)
@@ -442,6 +488,27 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    // recall-gate oracles: the oracle recomputes the EXACT reference
+    // count from the data and pins the gate verdict — the hash matches
+    // only if Spark's measured recall cleared the floor (and, for the
+    // dedup gate, produced zero false positives)
+    "ann_srp_recall" ->
+      """SELECT
+        |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    "dedup_srp_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+        |    round(list_dot_product(l.v, r.v)
+        |      / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)), 6) AS cosine
+        |  FROM e l JOIN e r ON l.vec_id < r.vec_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(0 AS BIGINT) AS n_fp,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM p WHERE cosine >= 0.4""".stripMargin,
     "text_langid" ->
       """WITH sw(lang, words) AS (VALUES
         |  ('de', ['der','die','das','und','ist','ein','eine','zu','den','mit']),

@@ -23,8 +23,11 @@ class PlanSweepSpec extends SparkSpec {
   //  - ann_ivf_topk: centroid assignment scores corpus × broadcast(centroids)
   //  - dedup_embedding: exact all-pairs cosine, quadratic by contract
   //    (the scalable path is the SRP-bucketed dedup_embedding_srp)
+  //  - ann_srp_recall / dedup_srp_recall: recall gates that embed the
+  //    two declared-bounded exact baselines above as their reference
   private val nljAllowed =
-    Set("q_fuzzy_match", "ann_brute_topk", "ann_ivf_topk", "dedup_embedding")
+    Set("q_fuzzy_match", "ann_brute_topk", "ann_ivf_topk", "dedup_embedding",
+      "ann_srp_recall", "dedup_srp_recall")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
