@@ -31,15 +31,28 @@ object Bench {
     // Untimed warmup: the first timed entries would otherwise absorb all
     // one-time session cost (JIT, codegen compiler, parquet reader init,
     // shuffle machinery) — measured at several seconds on the first line.
-    // Uses cheap entries that touch scan+shuffle+window+join paths; the
-    // eager-persist operators (ngram/minhash) are NOT warmed: rerunning
-    // them would hit their persisted caches and under-report real work.
+    // Uses cheap entries that touch scan+shuffle+window+join paths PLUS
+    // one text entry and one shingle/hash entry, so the heavy
+    // text-codegen paths compile before timing (r4's driver line charged
+    // text_langid 10.9 s for a 0.78 s steady-state query because the
+    // warmup set was all-relational). The eager-persist operators
+    // (ngram/minhash) are NOT warmed: rerunning them would hit their
+    // persisted caches and under-report real work; simhash/stopword are
+    // fully lazy, so their timed runs still do all their work.
     // (skipped under SPARK_GRAFT_ONLY: that env is the focused COLD-run
     // profiling path — see tools/ProfileEntry for steady-state numbers)
-    for (w <- Seq("q_topk", "q_predicates", "q_join_broadcast") if only.isEmpty)
+    val warmup = Seq("q_topk", "q_predicates", "q_join_broadcast",
+      "text_stopword_ratio", "dedup_simhash")
+    for (w <- warmup if only.isEmpty)
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          // NonFatal only: a dying JVM (OOM etc.) must stay loud, and a
+          // broken warmup entry is named instead of silently reabsorbed
+          // into the first timed lines
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warmup $w FAILED: $e")
+        }
       }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -43,12 +43,23 @@ object Repl {
     spark.stop()
   }
 
-  /** Route by extension: parquet keeps its real schema, CSV goes
-    * through the reference's all-digits → Long promotion.
+  /** Route by format: parquet keeps its real schema, CSV goes through
+    * the reference's all-digits → Long promotion. A `.parquet` suffix
+    * routes directly; so does a directory containing parquet part files
+    * or a `_SUCCESS` marker (the standard parquet output layout, whose
+    * directory name usually carries no extension).
     */
   private[graft] def loadTable(spark: SparkSession, path: String): DataFrame =
-    if (path.endsWith(".parquet")) spark.read.parquet(path)
+    if (path.endsWith(".parquet") || isParquetDir(path)) spark.read.parquet(path)
     else CsvSource.load(spark, path)
+
+  private def isParquetDir(path: String): Boolean = {
+    val f = new java.io.File(path)
+    f.isDirectory && {
+      val names = Option(f.list()).map(_.toSeq).getOrElse(Seq.empty)
+      names.contains("_SUCCESS") || names.exists(_.endsWith(".parquet"))
+    }
+  }
 
   private[graft] def runLoop(
       table: DataFrame,

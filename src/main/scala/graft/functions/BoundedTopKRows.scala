@@ -41,6 +41,13 @@ case class BoundedTopKRows(
 
   require(k > 0, s"k must be positive, got $k")
   require(ascending.length == nullsFirst.length)
+  // The generic update path skips a null struct value outright. That is
+  // unreachable from WindowTopKRule (CreateNamedStruct is never null),
+  // and for any other caller silently dropping rows would diverge from
+  // row_number() null-ordering semantics — so refuse nullable children.
+  require(!child.nullable,
+    "BoundedTopKRows requires a non-nullable struct child; a null struct " +
+      "has no row_number() ranking to preserve")
 
   private lazy val structType = child.dataType.asInstanceOf[StructType]
   private lazy val keyTypes: Array[DataType] =

@@ -34,6 +34,10 @@ object Skew {
       buckets: Int = 8,
       saltBy: Column): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // withColumn would silently REPLACE a pre-existing _salt column and
+    // change the join result; refuse instead of corrupting
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "input already has a _salt column - rename it before salting")
     val l = left
       .withColumn("_salt", pmod(saltBy, lit(buckets)).cast("int"))
       .alias("_sl")
@@ -64,6 +68,8 @@ object Skew {
       partial: Seq[Column],
       merge: Seq[Column]): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(!df.columns.contains("_salt"),
+      "input already has a _salt column - rename it before salting")
     df.withColumn("_salt", pmod(saltBy, lit(buckets)).cast("int"))
       .groupBy(col(key), col("_salt"))
       .agg(partial.head, partial.tail: _*)

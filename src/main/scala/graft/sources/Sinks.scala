@@ -58,10 +58,17 @@ object Sinks {
       targetFileBytes: Long = 128L << 20): DataFrame = {
     // size via the Hadoop FileSystem API, NOT java.io.File — an
     // hdfs:///s3a:// path is not a local directory and a local-FS probe
-    // would read 0 bytes and silently compact 100 TB into one task
+    // would read 0 bytes and silently compact 100 TB into one task.
+    // Sum DATA files only: _SUCCESS/.crc and other side files would
+    // inflate the size-derived count.
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(path).getLength
+    var bytes = 0L
+    val files = fs.listFiles(path, true) // recursive: partitioned layouts
+    while (files.hasNext) {
+      val st = files.next()
+      if (st.getPath.getName.endsWith(".parquet")) bytes += st.getLen
+    }
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     s.read.parquet(inDir).repartition(nFiles)
       .write.mode("overwrite").parquet(outDir)

@@ -71,6 +71,17 @@ class ReplSpec extends SparkSpec {
     assert(!outs.mkString.contains("Vaduz"))
   }
 
+  test("a parquet directory with no .parquet suffix routes to the parquet reader") {
+    val dir = Files.createTempDirectory("graft-repl-pqdir")
+    import spark.implicits._
+    // the common layout: directory named without extension, part files inside
+    Seq(("Berlin", 3755251L)).toDF("city", "population")
+      .write.mode("overwrite").parquet(dir.resolve("cities").toString)
+    val pq = Repl.loadTable(spark, dir.resolve("cities").toString)
+    assert(pq.schema.fieldNames.toSeq == Seq("city", "population"))
+    assert(pq.count() == 1)
+  }
+
   test("all three exit commands work") {
     for (cmd <- Seq("exit", "quit", "q")) {
       val (outs, _) = session(cmd)
