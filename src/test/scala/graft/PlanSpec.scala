@@ -112,6 +112,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("eager=false paths build and explain with ZERO jobs, then compose") {
+    // the documented escape hatch: eager=true runs jobs inside the call
+    // (persist + materialize + release), eager=false must return a fully
+    // lazy, composable plan — guard it with a job-count listener so the
+    // contract can't rot into a hidden count()/persist()
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val lazyNgram = Dedup.ngramJaccardPairs(docs, eager = false)
+      val lazyMinhash = Dedup.minhashPairs(docs, eager = false)
+      // composition: the lazy pair stream feeds the clustering input
+      // shape in ONE plan (duplicateClusters would consume exactly this)
+      val composed = lazyNgram.select(col("id_a"), col("id_b"))
+        .union(lazyMinhash.select(col("id_a"), col("id_b")))
+      val p = composed.queryExecution.executedPlan.toString
+      assert(p.nonEmpty && !p.contains("CartesianProduct"), p)
+      Thread.sleep(1000) // listener events post asynchronously
+      assert(jobs.get() == 0,
+        s"lazy-path plan build/explain submitted ${jobs.get()} Spark jobs")
+      // and the composed lazy plan EXECUTES correctly downstream:
+      // clustering over the lazy ngram pairs equals the eager path
+      val viaLazy = Dedup.duplicateClusters(lazyNgram)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaEager = Dedup.duplicateClusters(Dedup.ngramJaccardPairs(docs))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaLazy == viaEager && viaLazy.nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("partition pruning reaches the scan of a partitionBy output") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
