@@ -81,10 +81,17 @@ object Multimodal {
     docs.select(id, encode(concat(header, col(textCol)), "UTF-8").as("payload"))
   }
 
-  /** Byte-level PNM-style header parse: magic line, `#` comment lines
-    * (frame count rides in one), `width height` line, maxval line.
+  /** Parsed PNM header: the four metadata fields plus the byte offset
+    * where the raw raster body starts.
     */
-  private[operators] def decodePnm(id: Long, payload: Array[Byte]): MediaMeta = {
+  private[operators] final case class PnmHeader(
+      format: String, width: Long, height: Long, frames: Long, bodyStart: Int)
+
+  /** Byte-level PNM header parse: magic line, `#` comment lines (frame
+    * count rides in one), `width height` line, maxval line — shared by
+    * the whole-raster decoder and the per-frame featurizer.
+    */
+  private[operators] def parseHeader(payload: Array[Byte]): PnmHeader = {
     var pos = 0
     def readLine(): String = {
       val start = pos
@@ -106,6 +113,14 @@ object Multimodal {
     }
     val dims = line.split(" ")
     readLine() // maxval line — always 255 in this corpus
+    PnmHeader(format, dims(0).toLong, dims(1).toLong, frames, pos)
+  }
+
+  private[operators] def decodePnm(id: Long, payload: Array[Byte]): MediaMeta = {
+    val h = parseHeader(payload)
+    val format = h.format
+    val pos = h.bodyStart
+    val frames = h.frames
     // Raster decode: after the maxval line the PNM body is RAW pixel
     // bytes — P5 one gray byte per pixel, P6 interleaved RGB triplets.
     // The synthetic corpus stores fewer body bytes than width·height·c,
@@ -134,8 +149,8 @@ object Multimodal {
     MediaMeta(
       doc_id = id,
       n_bytes = payload.length.toLong,
-      width = dims(0).toLong,
-      height = dims(1).toLong,
+      width = h.width,
+      height = h.height,
       format = format,
       frame_count = frames,
       n_px = nPx.toLong,
@@ -165,12 +180,11 @@ object Multimodal {
   }
 
   /** Frame-sampling stage (video-pipeline shape): every `step`-th frame
-    * index of each payload, from frame 0 — the decode of the sampled
-    * frame itself is the stubbed part (no codecs in this container); the
-    * Spark-side plumbing is real and is what matters at scale: the
-    * explode fans out ≤ frame_count/step rows per doc (bounded), sampled
-    * frame indices are computed from decoded metadata, and downstream
-    * stages see one row per (doc, frame) ready for a per-frame featurizer.
+    * index of each payload, from frame 0. The explode fans out
+    * ≤ frame_count/step rows per doc (bounded), sampled frame indices
+    * are computed from decoded metadata, and downstream stages see one
+    * row per (doc, frame); [[frameFeatures]] is the per-frame featurizer
+    * that decodes those sampled frames' byte slices.
     */
   def sampleFrames(
       spark: SparkSession, docs: DataFrame, step: Int = 8): DataFrame = {
@@ -180,6 +194,56 @@ object Multimodal {
       .withColumn(
         "frame_idx",
         explode(sequence(lit(0L), col("frame_count") - 1, lit(step.toLong))))
+  }
+
+  /** Per-sampled-frame decode output: exact integer byte statistics of
+    * one frame's slice of the raster body.
+    */
+  private[operators] final case class FrameStat(
+      doc_id: Long, frame_idx: Long, n_bytes: Long, sum_b: Long)
+
+  /** Decode the SAMPLED FRAMES of each payload: the multi-frame body
+    * (bodyLen bytes, frame_count frames) segments into equal byte
+    * ranges — frame f spans [f·len/fc, (f+1)·len/fc) in integer
+    * arithmetic, the standard fixed-rate container layout — and every
+    * `step`-th frame is decoded to its byte count and sum.
+    */
+  private[operators] def decodeFrames(
+      id: Long, payload: Array[Byte], step: Int): Iterator[FrameStat] = {
+    val h = parseHeader(payload)
+    val bodyLen = (payload.length - h.bodyStart).toLong
+    (0L until h.frames by step.toLong).iterator.map { f =>
+      val start = h.bodyStart + ((f * bodyLen) / h.frames).toInt
+      val end = h.bodyStart + (((f + 1) * bodyLen) / h.frames).toInt
+      var s = 0L
+      var p = start
+      while (p < end) { s += payload(p) & 0xff; p += 1 }
+      FrameStat(id, f, (end - start).toLong, s)
+    }
+  }
+
+  /** Per-frame feature extraction over sampled frames — the video-shaped
+    * pipeline stage [[sampleFrames]] plans, now doing the per-frame
+    * work: each sampled frame's byte slice is decoded to its size and
+    * mean level inside the partition-amortized decode stage. Output:
+    * doc_id, frame_idx, n_bytes, mean_b (null for an empty slice).
+    */
+  def frameFeatures(
+      spark: SparkSession, docs: DataFrame, step: Int = 8): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    withPayload(docs)
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeFrames(id, payload, step)
+      })
+      .select(
+        col("doc_id"), col("frame_idx"), col("n_bytes"),
+        when(col("n_bytes") > 0,
+          round(col("sum_b").cast("double") / col("n_bytes"), 6)).as("mean_b"))
   }
 
   /** Resize planning stage: from decoded metadata, compute the

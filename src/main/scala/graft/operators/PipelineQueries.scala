@@ -320,6 +320,10 @@ object PipelineQueries {
           countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_frames"))
         .orderBy("format")
+    }),
+    "multimodal_frame_features" -> ((s, d) => {
+      Multimodal.frameFeatures(s, t(s, d, "documents"), step = 8)
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -671,6 +675,38 @@ object PipelineQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM((frames - 1) // 8 + 1) AS BIGINT) AS n_frames
         |FROM m GROUP BY format ORDER BY format""".stripMargin,
+    // per-frame stats recomputed from first principles: frame f of a
+    // doc with frame_count fc spans text bytes [f*len/fc, (f+1)*len/fc)
+    // (integer arithmetic), sampled every 8th frame from 0; byte values
+    // via ord(substring) as in multimodal_features
+    "multimodal_frame_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    1 + (doc_id * 104729) % 64 AS fc
+        |  FROM documents),
+        |sampled AS (
+        |  SELECT doc_id, text, len, fc,
+        |    unnest(generate_series(0, CAST(fc - 1 AS BIGINT), 8)) AS f
+        |  FROM m),
+        |bounds AS (
+        |  SELECT doc_id, text, f,
+        |    (f * len) // fc AS start0,
+        |    ((f + 1) * len) // fc - (f * len) // fc AS flen
+        |  FROM sampled),
+        |off AS (
+        |  SELECT doc_id, f, text, start0,
+        |    unnest(generate_series(1, CAST(flen AS BIGINT))) AS i
+        |  FROM bounds),
+        |sums AS (
+        |  SELECT doc_id, f,
+        |    SUM(ord(substring(text, CAST(start0 + i AS INT), 1))) AS s
+        |  FROM off GROUP BY doc_id, f)
+        |SELECT b.doc_id, CAST(b.f AS BIGINT) AS frame_idx,
+        |  CAST(b.flen AS BIGINT) AS n_bytes,
+        |  CASE WHEN b.flen > 0
+        |       THEN round(CAST(s.s AS DOUBLE) / b.flen, 6) END AS mean_b
+        |FROM bounds b LEFT JOIN sums s ON b.doc_id = s.doc_id AND b.f = s.f
+        |ORDER BY b.doc_id, frame_idx""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_words,

@@ -105,6 +105,30 @@ class MultimodalSpec extends SparkSpec {
     assert(histBad == 0)
   }
 
+  test("decodeFrames segments the body into equal frame slices and samples them") {
+    // 10 body bytes over 5 frames = 2 bytes/frame; step 2 samples 0,2,4
+    val payload = "P5\n# frames=5\n2 5\n255\nABCDEFGHIJ".getBytes("UTF-8")
+    val got = Multimodal.decodeFrames(9L, payload, step = 2).toSeq
+    assert(got == Seq(
+      Multimodal.FrameStat(9L, 0L, 2L, ('A' + 'B').toLong),
+      Multimodal.FrameStat(9L, 2L, 2L, ('E' + 'F').toLong),
+      Multimodal.FrameStat(9L, 4L, 2L, ('I' + 'J').toLong)))
+  }
+
+  test("frameFeatures covers every doc and means stay within byte range") {
+    val ff = Multimodal.frameFeatures(spark, docs, step = 8)
+    assert(ff.select("doc_id").distinct().count() == docs.count())
+    assert(ff.filter(col("mean_b") < 0 || col("mean_b") > 255).count() == 0)
+    // frame byte slices partition the body: per-doc sum of n_bytes over
+    // ALL frames (step=1) equals the body length
+    val all = Multimodal.frameFeatures(spark, docs, step = 1)
+      .groupBy("doc_id").agg(sum("n_bytes").as("total"))
+    val bodies = docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("len"))
+    assert(all.join(bodies, "doc_id")
+      .filter(col("total") =!= col("len")).count() == 0)
+  }
+
   test("media profile aggregates per format") {
     val prof = Multimodal.mediaProfile(spark, docs).collect()
     assert(prof.map(_.getAs[String]("format")).toSet.subsetOf(Set("ppm", "pgm")))
