@@ -246,6 +246,64 @@ object Multimodal {
           round(col("sum_b").cast("double") / col("n_bytes"), 6)).as("mean_b"))
   }
 
+  /** Resample decode output: exact integer statistics of the
+    * nearest-neighbor-resampled body.
+    */
+  private[operators] final case class ResampleStat(
+      doc_id: Long, n_in: Long, n_out: Long, sum_s: Long, sq_s: Long)
+
+  /** REAL nearest-neighbor resample of the 1-D raster body to at most
+    * `target` samples — the downsample kernel of the audio pipeline and
+    * the 1-D analog of image resize (the 2-D case is vacuous on this
+    * corpus: every body is a truncated first raster row, see
+    * [[withPayload]]). Output sample i (0-based, of n_out =
+    * min(bodyLen, target)) reads source byte floor(i·bodyLen/n_out) —
+    * the standard nearest-neighbor index map — and the decode stage
+    * emits exact integer sum/sum-of-squares of the resampled signal.
+    */
+  private[operators] def decodeResampled(
+      id: Long, payload: Array[Byte], target: Int): ResampleStat = {
+    val h = parseHeader(payload)
+    val bodyLen = (payload.length - h.bodyStart).toLong
+    val nOut = math.min(bodyLen, target.toLong)
+    var s = 0L
+    var q = 0L
+    var i = 0L
+    while (i < nOut) {
+      val v = payload(h.bodyStart + ((i * bodyLen) / nOut).toInt) & 0xff
+      s += v
+      q += v.toLong * v
+      i += 1
+    }
+    ResampleStat(id, bodyLen, nOut, s, q)
+  }
+
+  /** Resample stage over the corpus: per-doc downsampled-signal size,
+    * mean and RMS (audio-feature shape), decoded per-partition like
+    * every other payload stage. Output: doc_id, n_in, n_out, mean_s,
+    * rms_s (rounded to 6; null when the body is empty).
+    */
+  def resampled(
+      spark: SparkSession, docs: DataFrame, target: Int = 64): DataFrame = {
+    require(target > 0, s"target must be positive, got $target")
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val n = col("n_out").cast("double")
+    withPayload(docs)
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodeResampled(id, payload, target)
+      })
+      .select(
+        col("doc_id"), col("n_in"), col("n_out"),
+        when(col("n_out") > 0,
+          round(col("sum_s").cast("double") / n, 6)).as("mean_s"),
+        when(col("n_out") > 0,
+          round(sqrt(col("sq_s").cast("double") / n), 6)).as("rms_s"))
+  }
+
   /** Resize planning stage: from decoded metadata, compute the
     * aspect-preserving scale into a `maxSide`-bounded box and the exact
     * output payload size (PNM body = w·h·channels). The pixel resample

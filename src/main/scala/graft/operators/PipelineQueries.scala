@@ -324,6 +324,10 @@ object PipelineQueries {
     "multimodal_frame_features" -> ((s, d) => {
       Multimodal.frameFeatures(s, t(s, d, "documents"), step = 8)
         .orderBy("doc_id", "frame_idx")
+    }),
+    "multimodal_resample" -> ((s, d) => {
+      Multimodal.resampled(s, t(s, d, "documents"), target = 64)
+        .orderBy("doc_id")
     })
   )
 
@@ -707,6 +711,34 @@ object PipelineQueries {
         |       THEN round(CAST(s.s AS DOUBLE) / b.flen, 6) END AS mean_b
         |FROM bounds b LEFT JOIN sums s ON b.doc_id = s.doc_id AND b.f = s.f
         |ORDER BY b.doc_id, frame_idx""".stripMargin,
+    // 1-D nearest-neighbor resample recomputed independently: output
+    // sample i of n_out = least(len, 64) reads source byte
+    // (i*len)//n_out (0-based); mean/rms from exact integer sums
+    "multimodal_resample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    least(length(text), 64) AS n_out
+        |  FROM documents),
+        |samp AS (
+        |  SELECT doc_id, text, len, n_out,
+        |    unnest(generate_series(0, CAST(n_out - 1 AS BIGINT))) AS i
+        |  FROM m WHERE n_out > 0),
+        |v AS (
+        |  SELECT doc_id,
+        |    ord(substring(text, CAST((i * len) // n_out + 1 AS INT), 1)) AS b
+        |  FROM samp),
+        |st AS (
+        |  SELECT doc_id, COUNT(*) AS n, SUM(b) AS s, SUM(b * b) AS q
+        |  FROM v GROUP BY doc_id)
+        |SELECT m.doc_id,
+        |  CAST(m.len AS BIGINT) AS n_in,
+        |  CAST(m.n_out AS BIGINT) AS n_out,
+        |  CASE WHEN m.n_out > 0
+        |       THEN round(CAST(s AS DOUBLE) / m.n_out, 6) END AS mean_s,
+        |  CASE WHEN m.n_out > 0
+        |       THEN round(sqrt(CAST(q AS DOUBLE) / m.n_out), 6) END AS rms_s
+        |FROM m LEFT JOIN st ON m.doc_id = st.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_words,

@@ -129,6 +129,18 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("total") =!= col("len")).count() == 0)
   }
 
+  test("decodeResampled applies the nearest-neighbor index map exactly") {
+    // body "ABCDEFGH" (8 bytes) to 4 samples: indices (i*8)/4 = 0,2,4,6
+    // -> 'A','C','E','G' = 65,67,69,71
+    val payload = "P5\n4 2\n255\nABCDEFGH".getBytes("UTF-8")
+    val got = Multimodal.decodeResampled(3L, payload, target = 4)
+    assert(got == Multimodal.ResampleStat(3L, 8L, 4L,
+      65L + 67 + 69 + 71, 65L * 65 + 67 * 67 + 69 * 69 + 71 * 71))
+    // identity when target >= body: every byte sampled once
+    val all = Multimodal.decodeResampled(3L, payload, target = 100)
+    assert(all.n_out == 8L && all.sum_s == "ABCDEFGH".map(_.toLong).sum)
+  }
+
   test("media profile aggregates per format") {
     val prof = Multimodal.mediaProfile(spark, docs).collect()
     assert(prof.map(_.getAs[String]("format")).toSet.subsetOf(Set("ppm", "pgm")))
