@@ -306,10 +306,13 @@ object Multimodal {
 
   /** Resize planning stage: from decoded metadata, compute the
     * aspect-preserving scale into a `maxSide`-bounded box and the exact
-    * output payload size (PNM body = w·h·channels). The pixel resample
-    * itself is the stubbed part (no codecs here); everything a scheduler
-    * or cost model needs — target dims, output bytes, shrink ratio — is
-    * real, per-row, codegen'd arithmetic.
+    * output payload size (PNM body = w·h·channels) — everything a
+    * scheduler or cost model needs, as per-row codegen'd arithmetic.
+    * The 2-D pixel resample itself is deliberately not materialized:
+    * every synthetic body is a truncated first raster row (see
+    * [[withPayload]]), so a 2-D index map has no source pixels to read;
+    * [[resampled]] is the REAL resample kernel over the 1-D signal the
+    * corpus does carry.
     */
   def resizePlan(
       spark: SparkSession, docs: DataFrame, maxSide: Int = 256): DataFrame = {

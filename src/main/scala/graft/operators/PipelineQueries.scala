@@ -328,6 +328,11 @@ object PipelineQueries {
     "multimodal_resample" -> ((s, d) => {
       Multimodal.resampled(s, t(s, d, "documents"), target = 64)
         .orderBy("doc_id")
+    }),
+
+    // ---- embedding storage prep ----
+    "embedding_quantize" -> ((s, d) => {
+      Similarity.quantizeInt8(t(s, d, "embeddings")).orderBy("vec_id")
     })
   )
 
@@ -739,6 +744,23 @@ object PipelineQueries {
         |       THEN round(sqrt(CAST(q AS DOUBLE) / m.n_out), 6) END AS rms_s
         |FROM m LEFT JOIN st ON m.doc_id = st.doc_id
         |ORDER BY m.doc_id""".stripMargin,
+    // affine int8 quantization recomputed over the same doubles:
+    // q_i = floor((v_i - min)/scale) clamped to 255, scale = (max-min)/255
+    "embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax,
+        |    (list_max(v) - list_min(v)) / 255.0 AS sc
+        |  FROM e)
+        |SELECT vec_id,
+        |  CAST(len(v) AS INT) AS n_dims,
+        |  round(vmin, 6) AS v_min,
+        |  round(vmax, 6) AS v_max,
+        |  CAST(list_sum(list_transform(v, x -> CASE WHEN sc > 0
+        |    THEN CAST(least(floor((x - vmin) / sc), 255.0) AS BIGINT)
+        |    ELSE 0 END)) AS BIGINT) AS q_sum
+        |FROM s ORDER BY vec_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_words,

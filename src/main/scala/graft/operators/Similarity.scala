@@ -296,4 +296,38 @@ object Similarity {
       .distinct()
       .filter(col("cosine") >= threshold)
   }
+
+  /** Per-vector INT8 quantization summary — the storage/serving prep
+    * step of an embedding pipeline (4× smaller vectors for ANN serving).
+    * Affine scheme: q_i = floor((v_i − min) / scale) clamped to [0, 255]
+    * with scale = (max − min)/255. `floor`, not `round`: floor of an
+    * IEEE double is exact and engine-independent, so the quantized
+    * checksum is externally verifiable (half-up vs half-even rounding
+    * is not). Pure codegen'd column arithmetic — one narrow pass, no
+    * shuffle, no UDF.
+    *
+    * Output per vector: n_dims, v_min/v_max (rounded 6), q_sum (the
+    * checksum of all quantized values; 0 for a constant vector where
+    * scale degenerates to 0).
+    */
+  def quantizeInt8(
+      vectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // float → double widening first: both engines score the same doubles
+    val v = col(vecCol).cast("array<double>")
+    val vmin = array_min(v)
+    val vmax = array_max(v)
+    val scale = (vmax - vmin) / lit(255.0)
+    val q = transform(v, x =>
+      when(scale > 0,
+        least(floor((x - vmin) / scale), lit(255.0)).cast("long"))
+        .otherwise(lit(0L)))
+    Corpus.spread(vectors).select(
+      col(idCol),
+      size(v).as("n_dims"),
+      round(vmin, 6).as("v_min"),
+      round(vmax, 6).as("v_max"),
+      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"))
+  }
 }

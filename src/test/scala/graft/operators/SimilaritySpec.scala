@@ -137,4 +137,32 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") >= 0.4)
     }
   }
+
+  test("int8 quantization matches a driver-side recomputation and handles a constant vector") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(-1.0f, 0.0f, 1.0f, 0.5f)),
+      (2L, Array(3.0f, 3.0f, 3.0f))) // constant: scale degenerates to 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs).orderBy("vec_id").collect()
+    // reference: same affine floor-quantization in plain Scala doubles
+    def ref(v: Array[Float]): Long = {
+      val d = v.map(_.toDouble)
+      val (mn, mx) = (d.min, d.max)
+      val sc = (mx - mn) / 255.0
+      if (sc <= 0) 0L
+      else d.map(x => math.min(math.floor((x - mn) / sc), 255.0).toLong).sum
+    }
+    assert(got(0).getAs[Long]("q_sum") == ref(Array(-1.0f, 0.0f, 1.0f, 0.5f)))
+    assert(got(0).getAs[Int]("n_dims") == 4)
+    assert(got(1).getAs[Long]("q_sum") == 0L)
+    assert(got(1).getAs[Double]("v_min") == 3.0 &&
+      got(1).getAs[Double]("v_max") == 3.0)
+    // real corpus: every quantized checksum is within the representable
+    // range n_dims * 255
+    val bad = Similarity.quantizeInt8(emb)
+      .filter(col("q_sum") < 0 || col("q_sum") > col("n_dims") * 255)
+      .count()
+    assert(bad == 0)
+  }
 }
