@@ -195,10 +195,29 @@ object RelationalQueries {
           |ORDER BY rf, ls""".stripMargin)
     }),
     "q_approx_distinct" -> ((s, d) => {
-      // HLL sketch — no SQL oracle (approximate); rows-only check
+      // HLL sketch — no SQL oracle (approximate); rows-only check. The
+      // error CONTRACT is driver-gated by q_approx_distinct_gate below.
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }),
+    "q_approx_distinct_gate" -> ((s, d) => {
+      // the approximation contract as an oracle-checkable verdict (same
+      // pattern as the SRP recall gates): ONE plan computes the sketch
+      // and the exact distinct per group, and emits the exact counts
+      // (which DuckDB recomputes) plus a gate bit asserting the sketch
+      // landed within HLL's documented ±5% for every group
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          when(
+            abs(col("approx") - col("n_exact")).cast("double")
+              / col("n_exact") <= 0.05, lit(1L))
+            .otherwise(lit(0L)).as("ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -939,6 +958,14 @@ object RelationalQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_median
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the oracle recomputes the exact distinct counts and pins ok=1:
+    // a hash match certifies the HLL estimate stayed within ±5% of the
+    // true cardinality for every group
+    "q_approx_distinct_gate" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,

@@ -56,6 +56,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("ngram pairs are identical when broadcast is disabled (size-adaptive hints)") {
+    // the eager path hints only when a bytes estimate fits the session's
+    // autoBroadcastJoinThreshold; with broadcast disabled entirely the
+    // same pairs must come out of the shuffle-join plans
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard_sim"))
+    val hinted = Dedup.ngramJaccardPairs(docs).collect().map(key).toSet
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val unhinted = Dedup.ngramJaccardPairs(docs).collect().map(key).toSet
+      assert(unhinted == hinted && hinted.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("prefix filtering is exact: equals naive all-pairs on real documents") {
     // sf0.01 = 500 docs -> the naive oracle evaluates all 124,750 pairs;
     // exercises the asymmetric prefixes + bitset bound on a corpus big
