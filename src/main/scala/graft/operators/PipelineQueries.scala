@@ -333,6 +333,12 @@ object PipelineQueries {
     // ---- embedding storage prep ----
     "embedding_quantize" -> ((s, d) => {
       Similarity.quantizeInt8(t(s, d, "embeddings")).orderBy("vec_id")
+    }),
+
+    // ---- keyword extraction ----
+    "text_tfidf_top3" -> ((s, d) => {
+      TextAnalysis.tfidfTopTerms(t(s, d, "documents"), k = 3)
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -761,6 +767,33 @@ object PipelineQueries {
         |    THEN CAST(least(floor((x - vmin) / sc), 255.0) AS BIGINT)
         |    ELSE 0 END)) AS BIGINT) AS q_sum
         |FROM s ORDER BY vec_id""".stripMargin,
+    // tf-idf recomputed from scratch: same tokenization as text_langid,
+    // smoothed idf ln((N+1)/(df+1))+1, score rounded to 6 BEFORE the
+    // rank so cross-engine ln ulps cannot flip an order; ties by term
+    "text_tfidf_top3" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+        |  WHERE term <> '' GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+        |      AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS INT) AS "rank"
+        |  FROM scored)
+        |SELECT doc_id, "rank", term, tfidf FROM ranked
+        |WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_words,

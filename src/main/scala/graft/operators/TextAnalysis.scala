@@ -98,4 +98,47 @@ object TextAnalysis {
       langId(col(textCol)).as("lang_pred"),
       qualityScore(col(textCol)).as("quality"),
       fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Per-document top-k terms by TF-IDF — the keyword-extraction stage
+    * of a text pipeline. Terms are lowercase whitespace tokens; score =
+    * tf · (ln((N+1)/(df+1)) + 1) (the smoothed idf, never negative),
+    * rounded to 6 BEFORE ranking so the rank order is reproducible in
+    * any engine (raw ln can differ in the last ulp across libm
+    * implementations); ties break by term.
+    *
+    * Plan shape at scale: one explode + two hash aggregations ((doc,
+    * term) tf and term df), a broadcast-or-shuffle join on term, and a
+    * per-doc top-k window that [[graft.plans.WindowTopKRule]] rewrites
+    * into the bounded-heap two-phase aggregate — no stage holds a
+    * document's full vocabulary beyond the aggregation itself.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      k: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = Corpus.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // N as a literal, not a 1-row cross join (which plans a nested
+    // loop): one count job at build time — a parquet-metadata count,
+    // the same driver-coordinated pattern as the eager dedup paths
+    val nDocs = docs.count()
+    val scored = tf.join(df, "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") *
+          (log(lit(nDocs + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tfidf")
+  }
 }

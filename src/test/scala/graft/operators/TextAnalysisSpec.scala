@@ -72,4 +72,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(prof.columns.toSet ==
       Set("doc_id", "n_words", "n_tokens", "lang_pred", "quality", "fingerprint"))
   }
+
+  test("tfidf top terms rank by smoothed tf-idf with deterministic ties") {
+    // N=2: doc 1 "a a b" (tf a=2, b=1), doc 2 "b c". df: a=1, b=2, c=1.
+    // score(1,a) = 2*(ln(3/2)+1) ≈ 2.811 beats score(1,b) = 1*(ln(1)+1)=1
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, k = 2).orderBy("doc_id", "rank")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"),
+        r.getAs[String]("term"), r.getAs[Double]("tfidf")))
+    assert(got.length == 4)
+    assert(got(0)._3 == "a" && got(0)._4 ==
+      math.rint(2 * (math.log(3.0 / 2.0) + 1) * 1e6) / 1e6)
+    assert(got(1) == (1L, 2, "b", 1.0))
+    // doc 2: b and c both tf=1; c idf ln(3/2)+1 > b idf 1 → c ranks first
+    assert(got(2)._3 == "c" && got(3)._3 == "b")
+  }
+
+  test("tfidf respects k and covers every document") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val top = TextAnalysis.tfidfTopTerms(docs, k = 3)
+    assert(top.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)
+    assert(top.select("doc_id").distinct().count() == docs.count())
+  }
 }
