@@ -335,10 +335,14 @@ object PipelineQueries {
       Similarity.quantizeInt8(t(s, d, "embeddings")).orderBy("vec_id")
     }),
 
-    // ---- keyword extraction ----
+    // ---- keyword extraction / vocabulary stats ----
     "text_tfidf_top3" -> ((s, d) => {
       TextAnalysis.tfidfTopTerms(t(s, d, "documents"), k = 3)
         .orderBy("doc_id", "rank")
+    }),
+    "corpus_vocab_coverage" -> ((s, d) => {
+      TextAnalysis.vocabCoverage(t(s, d, "documents"), v = 100)
+        .orderBy("rank")
     })
   )
 
@@ -794,6 +798,25 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT doc_id, "rank", term, tfidf FROM ranked
         |WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
+    // top-100 vocabulary with cumulative token share, ties by term
+    "corpus_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |counts AS (
+        |  SELECT term, COUNT(*) AS n FROM toks
+        |  WHERE term <> '' GROUP BY term),
+        |total AS (SELECT COUNT(*) AS t FROM toks WHERE term <> ''),
+        |ranked AS (
+        |  SELECT term, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS "rank",
+        |    SUM(n) OVER (ORDER BY n DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM counts)
+        |SELECT "rank", term, CAST(n AS BIGINT) AS n,
+        |  round(CAST(cum AS DOUBLE) / total.t, 6) AS cum_frac
+        |FROM ranked CROSS JOIN total
+        |WHERE "rank" <= 100 ORDER BY "rank"""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_words,

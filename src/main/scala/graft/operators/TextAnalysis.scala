@@ -112,6 +112,40 @@ object TextAnalysis {
     * into the bounded-heap two-phase aggregate — no stage holds a
     * document's full vocabulary beyond the aggregation itself.
     */
+  /** Corpus vocabulary coverage: the top `v` terms by frequency with
+    * their cumulative share of all tokens — the statistic that sizes a
+    * tokenizer vocabulary budget. Scale shape: term counts are one hash
+    * aggregation; the top-v selection is orderBy+limit (planned as
+    * TakeOrderedAndProject — per-partition heaps, never a global sort);
+    * only then does the cumulative window run, over v rows — the
+    * single-task global window is applied to a bounded frame only.
+    * Total token count is a build-time literal (one count job, same
+    * driver-coordinated pattern as [[tfidfTopTerms]]'s N).
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      v: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    require(v > 0, s"v must be positive, got $v")
+    import org.apache.spark.sql.expressions.Window
+    val toks = Corpus.spread(docs)
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("n"))
+    val total = toks.count()
+    counts
+      .orderBy(col("n").desc, col("term"))
+      .limit(v)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("int"))
+      .withColumn("cum_frac",
+        round(
+          sum(col("n")).over(Window.orderBy(col("n").desc, col("term"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / total, 6))
+      .select("rank", "term", "n", "cum_frac")
+  }
+
   def tfidfTopTerms(
       docs: DataFrame,
       k: Int = 3,

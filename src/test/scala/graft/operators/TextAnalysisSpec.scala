@@ -89,6 +89,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2)._3 == "c" && got(3)._3 == "b")
   }
 
+  test("vocab coverage is monotone, bounded by v, and ends at its token share") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a d")).toDF("doc_id", "text")
+    // counts: a=4, b=2, c=1, d=1 over 8 tokens
+    val got = TextAnalysis.vocabCoverage(docs, v = 3).orderBy("rank").collect()
+    assert(got.map(_.getAs[String]("term")).toSeq == Seq("a", "b", "c"))
+    assert(got.map(_.getAs[Long]("n")).toSeq == Seq(4L, 2L, 1L))
+    assert(got.map(_.getAs[Double]("cum_frac")).toSeq ==
+      Seq(0.5, 0.75, 0.875))
+  }
+
   test("tfidf respects k and covers every document") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val top = TextAnalysis.tfidfTopTerms(docs, k = 3)
