@@ -202,6 +202,35 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")
     }),
+    "q_approx_percentile_gate" -> ((s, d) => {
+      // approx_percentile's CONTRACT is a rank-error bound: the returned
+      // value (always an actual element) must occupy a rank within
+      // ±n/accuracy of the target. One plan computes the sketch, joins
+      // it back (3-row broadcast), counts the element's exact rank
+      // interval [n_lt+1, n_le], and gates it against the bound; the
+      // oracle recomputes the exact group sizes and pins ok=1.
+      val li = t(s, d, "lineitem")
+      val accuracy = 1000.0
+      val approx = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("ap"))
+      li.join(broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_extendedprice") <= col("ap"), 1L).otherwise(0L))
+            .as("n_le"),
+          sum(when(col("l_extendedprice") < col("ap"), 1L).otherwise(0L))
+            .as("n_lt"))
+        .select(col("l_returnflag"), col("n_rows"),
+          when(
+            (col("n_lt") + 1).cast("double")
+              <= (lit(0.5) + lit(1.0 / accuracy)) * col("n_rows") &&
+              col("n_le").cast("double")
+                >= (lit(0.5) - lit(1.0 / accuracy)) * col("n_rows"),
+            lit(1L)).otherwise(lit(0L)).as("ok"))
+        .orderBy("l_returnflag")
+    }),
     "q_approx_distinct_gate" -> ((s, d) => {
       // the approximation contract as an oracle-checkable verdict (same
       // pattern as the SRP recall gates): ONE plan computes the sketch
@@ -965,6 +994,11 @@ object RelationalQueries {
     "q_approx_distinct_gate" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_approx_percentile_gate" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(1 AS BIGINT) AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
