@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Parallelism repair for heavy per-row pipeline stages.
   *
@@ -31,5 +32,36 @@ object Corpus {
         df.repartition(target)
       else df
     }
+  }
+
+  /** Deterministic stratified sample: exactly `n` rows per stratum (or
+    * all of a smaller stratum), selected by ranking each stratum on a
+    * cryptographic hash of the id — a uniform, reproducible draw with
+    * none of rand()'s seed-vs-partitioning coupling, and re-runnable to
+    * the same rows on any cluster layout. The md5-prefix ranking is the
+    * same SQL-portable construction `corpus_mix_sample` uses, so the
+    * draw is externally oracle-checkable.
+    *
+    * Scale shape: one hash + one per-stratum top-n. The row_number
+    * window is exactly the shape [[graft.plans.WindowTopKRule]] rewrites
+    * into a bounded-heap partial aggregate, so at scale each map task
+    * forwards at most n rows per stratum — no stratum-wide sort.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      n: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val hk: Column =
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    df.withColumn("_hk", hk)
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy(strataCol)
+          .orderBy(col("_hk"), col(idCol))).cast("int"))
+      .filter(col("sample_rank") <= n)
+      .drop("_hk")
   }
 }

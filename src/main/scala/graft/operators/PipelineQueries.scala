@@ -343,6 +343,11 @@ object PipelineQueries {
     "corpus_vocab_coverage" -> ((s, d) => {
       TextAnalysis.vocabCoverage(t(s, d, "documents"), v = 100)
         .orderBy("rank")
+    }),
+    "corpus_stratified_sample" -> ((s, d) => {
+      Corpus.stratifiedSample(t(s, d, "documents"), "lang", n = 50)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")
     })
   )
 
@@ -798,6 +803,21 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT doc_id, "rank", term, tfidf FROM ranked
         |WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
+    // the same md5-prefix draw, recomputed: DuckDB ranks each stratum
+    // by ('0x'||substring(md5(id),1,15))::BIGINT exactly like Spark's
+    // conv(substring(md5(id),1,15),16,10)
+    "corpus_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY hk, doc_id) AS INT) AS sample_rank
+        |  FROM h)
+        |SELECT lang, sample_rank, doc_id FROM r
+        |WHERE sample_rank <= 50 ORDER BY lang, sample_rank""".stripMargin,
     // top-100 vocabulary with cumulative token share, ties by term
     "corpus_vocab_coverage" ->
       """WITH toks AS (

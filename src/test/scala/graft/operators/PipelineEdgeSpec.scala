@@ -36,4 +36,22 @@ class PipelineEdgeSpec extends SparkSpec {
       assert(start == end, s"zero-token doc $id should have empty range, got [$start,$end]")
     }
   }
+
+  test("stratifiedSample: exact per-stratum n, small strata whole, layout-independent") {
+    val docs = (0L until 40L).map(i => (i, if (i % 4 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val sample = Corpus.stratifiedSample(docs, "lang", n = 5)
+    val byLang = sample.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("de" -> 5L, "en" -> 5L))
+    // a stratum smaller than n is returned whole
+    val tiny = Corpus.stratifiedSample(docs.filter($"lang" === "de"), "lang", n = 100)
+    assert(tiny.count() == 10)
+    // the draw is a function of ids only, not the physical layout
+    val a = Corpus.stratifiedSample(docs.repartition(7), "lang", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.stratifiedSample(docs.coalesce(1), "lang", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
