@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitsetFromPositions, BitsetIntersectCount, CharNgrams, CosineSimilarity, MinHashSignature, SimHash64, SimHashFromHashes}
+import graft.functions.{BitsetFromPositions, BitsetIntersectCount, CharNgrams, CosineSimilarity, MinHashSignature, SimHash64, SimHashFromHashes, ZOrder2}
 
 /** Cluster-wide registration of the library's Catalyst expressions via
   * `SparkSessionExtensions` — the deployment path for SQL users:
@@ -85,5 +85,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bitset_intersect_count",
         "bitset_intersect_count(a, b) - popcount of the word-wise AND of two bitsets"),
       (exprs: Seq[Expression]) => BitsetIntersectCount(exprs(0), exprs(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      info("zorder2",
+        "zorder2(a, b) - Morton interleave of two bigints (Z-order clustering key)"),
+      (exprs: Seq[Expression]) => ZOrder2(exprs(0), exprs(1))))
   }
 }

@@ -202,6 +202,17 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")
     }),
+    "q_zorder_key" -> ((s, d) => {
+      // Morton clustering key as a codegen'd expression; at scale this
+      // column feeds repartitionByRange + sortWithinPartitions so file
+      // min/max stats prune on BOTH dimensions (ZOrder2 scaladoc)
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          graft.functions.ZOrder2
+            .zorder2(col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "q_approx_percentile_gate" -> ((s, d) => {
       // approx_percentile's CONTRACT is a rank-error bound: the returned
       // value (always an actual element) must occupy a rank within
@@ -1001,6 +1012,17 @@ object RelationalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(1 AS BIGINT) AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the Morton interleave written out bit by bit: input bit i lands at
+    // output bit 2i (partkey) / 2i+1 (suppkey); the term list is
+    // generated, not hand-typed, so it provably covers all 32 bits
+    "q_zorder_key" -> {
+      val terms = (0 until 32).flatMap(i => Seq(
+        s"(((l_partkey >> $i) & 1) << ${2 * i})",
+        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "q_pivot" ->
       """SELECT l_returnflag,
         |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,

@@ -34,7 +34,8 @@ class GraftExtensionsSpec extends SparkSpec {
           |  simhash_from_hashes(array(5L), 3) AS sfh,
           |  bitset_from_positions(array(1, 65), 128) AS bm,
           |  bitset_intersect_count(bitset_from_positions(array(1, 65), 128),
-          |                         bitset_from_positions(array(1, 7), 128)) AS bic
+          |                         bitset_from_positions(array(1, 7), 128)) AS bic,
+          |  zorder2(3L, 5L) AS zk
           |""".stripMargin).head()
       assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-9)
       assert(row.getAs[Int]("ng") == 3) // hel, ell, llo
@@ -43,6 +44,8 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(row.getAs[Long]("sfh") == 5L)
       assert(row.getSeq[Long](row.fieldIndex("bm")).toSeq == Seq(2L, 2L)) // bits 1 and 65
       assert(row.getAs[Long]("bic") == 1L) // only bit 1 shared
+      // 3=0b11 -> even bits 0b101; 5=0b101 -> odd bits 0b100010; or = 39
+      assert(row.getAs[Long]("zk") == 39L)
       // literal-parameter misuse fails analysis, not execution
       val err = intercept[Exception] {
         s.sql("SELECT char_ngrams('x', id) FROM range(1)").collect()
