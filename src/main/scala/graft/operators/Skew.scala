@@ -22,18 +22,29 @@ import graft.sources.Tables
   */
 object Skew {
 
-  /** Inner equi-join with the LEFT side salted and the RIGHT side
-    * replicated. `keys` pairs (leftCol, rightCol); `saltBy` must be a
-    * deterministic expression over left columns (the salt value never
-    * affects the result set, only the partition spread).
+  /** Equi-join with the LEFT side salted and the RIGHT side replicated.
+    * `keys` pairs (leftCol, rightCol); `saltBy` must be a deterministic
+    * expression over left columns (the salt value never affects the
+    * result set, only the partition spread).
+    *
+    * `joinType`: "inner" or "left". LEFT OUTER is sound under this
+    * scheme because every left row lives in exactly ONE (key, salt)
+    * bucket and that bucket holds ALL right rows of its key — matches
+    * are complete and an unmatched left row null-extends exactly once.
+    * Right/full outer are refused: the replicated right side would emit
+    * one unmatched row PER BUCKET.
     */
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[(String, String)],
       buckets: Int = 8,
-      saltBy: Column): DataFrame = {
+      saltBy: Column,
+      joinType: String = "inner"): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner|left, got $joinType (right/full outer " +
+        "would duplicate unmatched right rows once per bucket)")
     // withColumn would silently REPLACE a pre-existing _salt column and
     // change the join result; refuse instead of corrupting
     require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
@@ -47,7 +58,7 @@ object Skew {
       .alias("_sr")
     val cond = (keys.map { case (lk, rk) => col(s"_sl.$lk") === col(s"_sr.$rk") } :+
       (col("_sl._salt") === col("_sr._salt"))).reduce(_ && _)
-    l.join(r, cond).drop("_salt")
+    l.join(r, cond, joinType).drop("_salt")
   }
 
   /** Two-phase salted AGGREGATION for hot grouping keys. Spark's hash
@@ -95,6 +106,23 @@ object Skew {
           sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
         .orderBy("o_orderpriority")
     }),
+    // LEFT OUTER through the salted path: the right side is filtered so
+    // most left rows are unmatched, exercising the null-extend-once
+    // contract; the oracle is the plain left join it must equal
+    "q_join_salted_left" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      Skew.saltedJoin(
+          li, urgent, Seq("l_orderkey" -> "o_orderkey"), buckets = 8,
+          saltBy = xxhash64(col("l_linenumber")), joinType = "left")
+        .groupBy(
+          coalesce(col("o_orderpriority"), lit("UNMATCHED")).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+        .orderBy("bucket")
+    }),
     // hot-key aggregation through the salted two-phase path; the oracle
     // is the plain GROUP BY it must equal
     "q_agg_salted" -> ((s, d) => {
@@ -121,6 +149,14 @@ object Skew {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_salted_left" ->
+      """SELECT COALESCE(o_orderpriority, 'UNMATCHED') AS bucket,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |FROM lineitem LEFT JOIN (
+        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag,
         |  COUNT(*) AS n_rows,

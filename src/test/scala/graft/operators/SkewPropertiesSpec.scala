@@ -42,6 +42,27 @@ class SkewPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: saltedJoin LEFT equals the plain left join (null-extend once)") {
+    check(Prop.forAll(tableGen, tableGen) { (ls, rs) =>
+      val l = ls.toDF("k", "v")
+      val r = rs.toDF("k", "w").withColumnRenamed("k", "rk")
+      val plain = l.join(r, col("k") === col("rk"), "left")
+        .select("k", "v", "w").collect().map(_.toSeq).sortBy(_.toString())
+      val salted = Skew.saltedJoin(l, r, Seq("k" -> "rk"), buckets = 4,
+          saltBy = xxhash64(col("v")), joinType = "left")
+        .select("k", "v", "w").collect().map(_.toSeq).sortBy(_.toString())
+      plain.toSeq == salted.toSeq
+    })
+  }
+
+  test("saltedJoin refuses right/full outer (per-bucket duplication)") {
+    val df = Seq((1L, 2L)).toDF("k", "v")
+    val r = Seq((1L, 3L)).toDF("rk", "w")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, r, Seq("k" -> "rk"), 4, xxhash64(col("v")), "full")
+    }
+  }
+
   test("property: saltedAgg equals the plain aggregation on skewed tables") {
     check(Prop.forAll(tableGen) { rows =>
       val df = rows.toDF("k", "v")
