@@ -38,6 +38,7 @@ object Sinks {
   private lazy val sortedDir: String = scratch("graft-write-sorted")
   private lazy val smallFilesDir: String = scratch("graft-write-smallfiles")
   private lazy val compactedDir: String = scratch("graft-write-compacted")
+  private lazy val evolutionDir: String = scratch("graft-write-evolution")
 
   /** Compact a directory of small parquet files into ~`targetFileBytes`
     * outputs: size the file count from the ACTUAL on-disk bytes, not a
@@ -150,12 +151,40 @@ object Sinks {
     s.read.orc(orcDir).orderBy("r_regionkey")
   }
 
+  /** Schema-evolution round trip: a long-lived dataset accretes columns
+    * over time, so new batches carry a WIDER schema than old files.
+    * Batch 1 (even ids) writes (doc_id, lang); batch 2 (odd ids) appends
+    * (doc_id, lang, n_chars) into the same directory; a `mergeSchema`
+    * read reassembles the union schema with nulls for the missing
+    * column in old files — the evolution contract every lakehouse
+    * formalizes, demonstrated at the raw-parquet layer the formats sit
+    * on. The aggregate separates per-batch behavior (count vs
+    * count(n_chars)) so the oracle catches a wrong null-fill.
+    */
+  private def evolutionRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "lang")
+      .write.mode("overwrite").parquet(evolutionDir)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode("append").parquet(evolutionDir)
+    s.read.option("mergeSchema", "true").parquet(evolutionDir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_write_partitioned" -> (writeRoundTrip _),
     "q_write_sorted" -> (sortedRoundTrip _),
     "q_write_compacted" -> (compactRoundTrip _),
     "q_source_json" -> (jsonRoundTrip _),
-    "q_source_orc" -> (orcRoundTrip _)
+    "q_source_orc" -> (orcRoundTrip _),
+    "q_schema_evolution" -> (evolutionRoundTrip _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -176,6 +205,19 @@ object Sinks {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_source_orc" ->
       """SELECT r_regionkey, r_name FROM region
-        |ORDER BY r_regionkey""".stripMargin
+        |ORDER BY r_regionkey""".stripMargin,
+    // replay the two-batch history: even ids predate the n_chars column
+    "q_schema_evolution" ->
+      """WITH merged AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
