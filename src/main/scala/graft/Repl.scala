@@ -46,8 +46,10 @@ object Repl {
   /** Route by format: parquet keeps its real schema, CSV goes through
     * the reference's all-digits → Long promotion. A `.parquet` suffix
     * routes directly; so does a directory containing parquet part files
-    * or a `_SUCCESS` marker (the standard parquet output layout, whose
-    * directory name usually carries no extension).
+    * (the standard output layout, whose directory name usually carries
+    * no extension). The probe looks for `*.parquet` children
+    * specifically — a `_SUCCESS` marker alone doesn't discriminate,
+    * since csv/json/orc writers leave one too.
     */
   private[graft] def loadTable(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".parquet") || isParquetDir(path)) spark.read.parquet(path)
@@ -55,10 +57,7 @@ object Repl {
 
   private def isParquetDir(path: String): Boolean = {
     val f = new java.io.File(path)
-    f.isDirectory && {
-      val names = Option(f.list()).map(_.toSeq).getOrElse(Seq.empty)
-      names.contains("_SUCCESS") || names.exists(_.endsWith(".parquet"))
-    }
+    f.isDirectory && Option(f.list()).exists(_.exists(_.endsWith(".parquet")))
   }
 
   private[graft] def runLoop(

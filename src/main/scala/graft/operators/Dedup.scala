@@ -278,9 +278,10 @@ object Dedup {
     * The convergence probe (`limit(1)` existence check per round) and
     * the bounded iteration count make this a driver-coordinated loop
     * like IVF's Lloyd iterations — the accepted pattern for fixpoint
-    * graph algorithms on Spark. Per-round state is eagerly
-    * local-checkpointed (materialize + lineage truncation — see the
-    * round-0 note) and superseded rounds are released; the FINAL labels
+    * graph algorithms on Spark. Per-round state is materialized once
+    * with its LOGICAL plan truncated to a leaf while RDD lineage stays
+    * intact (see the round-discipline note in the body), and the
+    * superseded round's cache is released explicitly; the FINAL labels
     * frame (small — one row per paired document) stays materialized so
     * the returned plan does not replay the whole loop per action — the
     * same one-small-result-cache-per-call tradeoff ngramJaccardPairs
@@ -305,19 +306,30 @@ object Dedup {
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
+    val spark = pairs.sparkSession
+    // Round discipline — three needs, one mechanism per need:
+    //  1. MATERIALIZE each round once (persist + foreach) so later reads
+    //     hit cache, with the superseded round's blocks unpersisted
+    //     EXPLICITLY (deterministic release, not GC-dependent);
+    //  2. TRUNCATE the LOGICAL plan each round: the jump join references
+    //     the round's frame twice, so without truncation the plan
+    //     doubles per round (exponential analysis cost and a
+    //     stack-overflowing tree). createDataFrame over the cached
+    //     frame's row RDD replaces the plan with a leaf;
+    //  3. KEEP RDD lineage intact (unlike localCheckpoint) so a lost
+    //     executor recomputes evicted blocks through the cached chain
+    //     back to `edges` instead of failing the job.
+    def materialize(df: DataFrame): (DataFrame, DataFrame) = {
+      val cached = df.persist()
+      cached.foreach(_ => ())
+      (spark.createDataFrame(cached.rdd, cached.schema), cached)
+    }
     // round 0 for free: every node starts at min(self, direct neighbors)
-    // — cliques converge immediately, chains save one propagation round.
-    // Each round's labels are EAGERLY LOCAL-CHECKPOINTED, not just
-    // persisted: the jump join references the round's frame twice, so
-    // without lineage truncation the logical plan doubles per round
-    // (exponential analysis cost and a stack-overflowing tree). The
-    // checkpoint materializes the tiny (|paired docs| × 2 longs) frame
-    // and replaces its plan with a leaf; superseded rounds' blocks are
-    // released by the context cleaner once unreferenced.
-    var labels = edges
-      .groupBy(col("src").as("node"))
-      .agg(least(min(col("dst")), first(col("src"))).as("label"))
-      .localCheckpoint(true)
+    // — cliques converge immediately, chains save one propagation round
+    var (labels, labelsCache) = materialize(
+      edges
+        .groupBy(col("src").as("node"))
+        .agg(least(min(col("dst")), first(col("src"))).as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -343,17 +355,19 @@ object Dedup {
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         // pointer jump: label(v) ← label(label(v)). Left join (not
         // inner): every label IS some node's id, but stay total anyway.
-        // The eager checkpoint materializes before the parent cache is
-        // dropped and truncates the doubled plan (see round-0 note).
-        val next = propagated
-          .join(
-            propagated.select(col("node").as("jnode"), col("label").as("jlabel")),
-            col("label") === col("jnode"), "left")
-          .select(col("node"),
-            coalesce(col("jlabel"), col("label")).as("label"))
-          .localCheckpoint(true)
+        // materialize() runs before the parent caches drop and replaces
+        // the doubled plan with a leaf (see the round-discipline note).
+        val (next, nextCache) = materialize(
+          propagated
+            .join(
+              propagated.select(col("node").as("jnode"), col("label").as("jlabel")),
+              col("label") === col("jnode"), "left")
+            .select(col("node"),
+              coalesce(col("jlabel"), col("label")).as("label")))
         joined.unpersist()
+        labelsCache.unpersist()
         labels = next
+        labelsCache = nextCache
       }
       i += 1
     }

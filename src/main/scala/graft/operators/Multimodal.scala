@@ -129,7 +129,9 @@ object Multimodal {
     // for P5, full triplets for P6, trailing partial triplet dropped.
     val isRgb = format == "ppm"
     val stride = if (isRgb) 3 else 1
-    val nPx = (payload.length - pos) / stride
+    // clamp: a header-only payload missing its trailing newline parses
+    // to bodyStart just past the array — an empty raster, never negative
+    val nPx = math.max(0, (payload.length - pos) / stride)
     var sr = 0L; var sg = 0L; var sb = 0L
     var qr = 0L; var qg = 0L; var qb = 0L
     val hist = new Array[Long](4)
@@ -159,12 +161,14 @@ object Multimodal {
       lum_h0 = hist(0), lum_h1 = hist(1), lum_h2 = hist(2), lum_h3 = hist(3))
   }
 
-  /** Decode/feature-extract stage: binary column in, typed metadata out.
-    * `mapPartitions` (not per-row UDF) so decoder init is amortized per
-    * task; repartition by id first so decode parallelism is independent
-    * of the upstream file layout.
+  /** Shared decode-stage input: (id, payload) pairs repartitioned by id
+    * so decode parallelism is independent of the upstream file layout —
+    * the one prelude every payload decoder below runs.
     */
-  def extractMetadata(spark: SparkSession, withBinary: DataFrame, partitions: Int = 0): Dataset[MediaMeta] = {
+  private def payloadPairs(
+      spark: SparkSession,
+      withBinary: DataFrame,
+      partitions: Int = 0): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
@@ -172,6 +176,15 @@ object Multimodal {
       .repartition(parts, col("doc_id"))
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
+  }
+
+  /** Decode/feature-extract stage: binary column in, typed metadata out.
+    * `mapPartitions` (not per-row UDF) so decoder init is amortized per
+    * task.
+    */
+  def extractMetadata(spark: SparkSession, withBinary: DataFrame, partitions: Int = 0): Dataset[MediaMeta] = {
+    import spark.implicits._
+    payloadPairs(spark, withBinary, partitions)
       .mapPartitions { batch =>
         // per-partition stage: any buffer/codec state for compressed
         // formats initializes HERE once; PNM needs none
@@ -211,7 +224,7 @@ object Multimodal {
   private[operators] def decodeFrames(
       id: Long, payload: Array[Byte], step: Int): Iterator[FrameStat] = {
     val h = parseHeader(payload)
-    val bodyLen = (payload.length - h.bodyStart).toLong
+    val bodyLen = math.max(0L, (payload.length - h.bodyStart).toLong)
     (0L until h.frames by step.toLong).iterator.map { f =>
       val start = h.bodyStart + ((f * bodyLen) / h.frames).toInt
       val end = h.bodyStart + (((f + 1) * bodyLen) / h.frames).toInt
@@ -232,11 +245,7 @@ object Multimodal {
       spark: SparkSession, docs: DataFrame, step: Int = 8): DataFrame = {
     require(step > 0, s"step must be positive, got $step")
     import spark.implicits._
-    val parts = spark.sessionState.conf.numShufflePartitions
-    withPayload(docs)
-      .repartition(parts, col("doc_id"))
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+    payloadPairs(spark, withPayload(docs))
       .mapPartitions(_.flatMap { case (id, payload) =>
         decodeFrames(id, payload, step)
       })
@@ -264,7 +273,7 @@ object Multimodal {
   private[operators] def decodeResampled(
       id: Long, payload: Array[Byte], target: Int): ResampleStat = {
     val h = parseHeader(payload)
-    val bodyLen = (payload.length - h.bodyStart).toLong
+    val bodyLen = math.max(0L, (payload.length - h.bodyStart).toLong)
     val nOut = math.min(bodyLen, target.toLong)
     var s = 0L
     var q = 0L
@@ -287,12 +296,8 @@ object Multimodal {
       spark: SparkSession, docs: DataFrame, target: Int = 64): DataFrame = {
     require(target > 0, s"target must be positive, got $target")
     import spark.implicits._
-    val parts = spark.sessionState.conf.numShufflePartitions
     val n = col("n_out").cast("double")
-    withPayload(docs)
-      .repartition(parts, col("doc_id"))
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+    payloadPairs(spark, withPayload(docs))
       .mapPartitions(_.map { case (id, payload) =>
         decodeResampled(id, payload, target)
       })

@@ -82,7 +82,12 @@ object RelationalQueries {
     val agg = ranked.filter(needed)
       .groupBy(col(groupCol))
       .agg(max(col("_n")).as("_n"), flanks: _*)
-    agg.select(
+    // a group whose values are ALL null has no ranked rows, but the
+    // built-in percentile aggregate still emits it (with a null result)
+    // — restore such groups via the distinct-group left join so this
+    // operator is a drop-in replacement, not a silent group filter
+    val allGroups = df.select(col(groupCol)).distinct()
+    allGroups.join(agg, Seq(groupCol), "left").select(
       col(groupCol) +: ps.map { case (name, p) =>
         val i = idx(p)
         round(
@@ -1014,11 +1019,21 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the Morton interleave written out bit by bit: input bit i lands at
     // output bit 2i (partkey) / 2i+1 (suppkey); the term list is
-    // generated, not hand-typed, so it provably covers all 32 bits
+    // generated, not hand-typed, so it provably covers all 32 bits.
+    // Output bit 63 (suppkey bit 31) is the long sign bit: `1 << 63`
+    // would overflow DuckDB's checked shift, so that one term adds
+    // Long.MinValue directly — the exact two's-complement value Spark's
+    // wrap produces (the sum rides HUGEINT, the final cast is exact)
     "q_zorder_key" -> {
-      val terms = (0 until 32).flatMap(i => Seq(
-        s"(((l_partkey >> $i) & 1) << ${2 * i})",
-        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"))
+      val terms = (0 until 32).flatMap { i =>
+        val even = s"(((l_partkey >> $i) & 1) << ${2 * i})"
+        val odd =
+          if (i == 31)
+            "(CASE WHEN ((l_suppkey >> 31) & 1) = 1" +
+              " THEN -9223372036854775808 ELSE 0 END)"
+          else s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"
+        Seq(even, odd)
+      }
       s"""SELECT l_orderkey, l_linenumber,
          |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin

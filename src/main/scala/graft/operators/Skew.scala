@@ -49,8 +49,13 @@ object Skew {
     // change the join result; refuse instead of corrupting
     require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
       "input already has a _salt column - rename it before salting")
+    // a NULL saltBy value would make the salt equality never match and
+    // silently drop (inner) or null-extend (left) rows that DO have key
+    // matches — park null-salted rows in bucket 0 instead, where the
+    // replicated right side still joins them correctly
     val l = left
-      .withColumn("_salt", pmod(saltBy, lit(buckets)).cast("int"))
+      .withColumn("_salt",
+        coalesce(pmod(saltBy, lit(buckets)).cast("int"), lit(0)))
       .alias("_sl")
     val r = right
       .withColumn("_salt",
@@ -81,7 +86,11 @@ object Skew {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(!df.columns.contains("_salt"),
       "input already has a _salt column - rename it before salting")
-    df.withColumn("_salt", pmod(saltBy, lit(buckets)).cast("int"))
+    // null salts are harmless here (their rows form one extra sub-group
+    // that phase 2 re-merges) but bucket-0 them for symmetry with
+    // saltedJoin and a bounded group count
+    df.withColumn("_salt",
+        coalesce(pmod(saltBy, lit(buckets)).cast("int"), lit(0)))
       .groupBy(col(key), col("_salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))

@@ -131,19 +131,28 @@ object TextAnalysis {
     val toks = Corpus.spread(docs)
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-    val counts = toks.groupBy("term").agg(count(lit(1)).as("n"))
-    val total = toks.count()
-    counts
+    // ONE corpus pass: the vocab-sized counts frame is cached, the
+    // total-token denominator is a cheap aggregate OVER IT (identical
+    // value to re-counting the corpus), and the cache is released after
+    // the tiny v-row result materializes — the same eager
+    // persist-release discipline as the dedup operators
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("n")).persist()
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val result = counts
       .orderBy(col("n").desc, col("term"))
       .limit(v)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("int"))
       .withColumn("cum_frac",
-        round(
+        when(lit(total) > 0, round(
           sum(col("n")).over(Window.orderBy(col("n").desc, col("term"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("double") / total, 6))
+            .cast("double") / total, 6)))
       .select("rank", "term", "n", "cum_frac")
+      .persist()
+    result.foreach(_ => ())
+    counts.unpersist()
+    result
   }
 
   def tfidfTopTerms(

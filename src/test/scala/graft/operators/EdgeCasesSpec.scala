@@ -85,12 +85,16 @@ class EdgeCasesSpec extends SparkSpec {
     assert(!got.queryExecution.executedPlan.toString.contains("percentile"))
   }
 
-  test("exactPercentiles excludes nulls like the built-in") {
-    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+  test("exactPercentiles excludes nulls and keeps all-null groups like the built-in") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None), ("b", None)) // all-null group must still appear
       .toDF("g", "v")
     val got = RelationalQueries.exactPercentiles(df, "g", "v", Seq("p50" -> 0.5))
-      .head()
-    assert(got.getAs[Double]("p50") == 2.0)
+      .orderBy("g").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Double]("p50") == 2.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("p50")))
   }
 
   test("temporal joins on empty sides") {
