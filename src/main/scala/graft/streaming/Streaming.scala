@@ -71,18 +71,27 @@ object Streaming {
       clicks: DataFrame,
       purchases: DataFrame,
       attributionWindow: String = "1 hour",
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "leftOuter",
+      s"stream-stream attribution supports inner|leftOuter, got $joinType")
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id"), col("ts").as("click_ts"))
     val p = purchases.withWatermark("ts", watermark)
       .select(
         col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
         col("value"))
+    // leftOuter: a click with NO purchase in its window is emitted
+    // null-extended — but only once the watermark passes the end of its
+    // window, when absence is final (Spark's outer stream-stream join
+    // contract; both sides watermarked, both event times bounded, so
+    // state remains evictable exactly as in the inner case)
     c.join(
         p,
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attributionWindow"))
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attributionWindow"),
+        joinType)
       .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
   }
 

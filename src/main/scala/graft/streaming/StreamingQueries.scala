@@ -56,6 +56,22 @@ object StreamingQueries {
           round(col("value"), 3).as("value"))
         .orderBy("user_id", "click_s", "purchase_s")
     }),
+    // LEFT OUTER stream-stream join on its batch child: clicks with no
+    // purchase in the attribution window appear null-extended (epoch -1
+    // sentinel so the hash compare never meets a null timestamp)
+    "q_stream_join_left_batch" -> ((s, d) => {
+      val ev = t(s, d)
+      Streaming.clickAttributedPurchases(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          joinType = "leftOuter")
+        .select(
+          col("user_id"),
+          col("click_ts").cast("long").as("click_s"),
+          coalesce(col("purchase_ts").cast("long"), lit(-1L)).as("purchase_s"),
+          coalesce(round(col("value"), 3), lit(0.0)).as("value"))
+        .orderBy("user_id", "click_s", "purchase_s")
+    }),
     // the flatMapGroupsWithState path must produce the exact same
     // sessions as session_window — same oracle SQL as the entry above
     "q_stream_session_state" -> ((s, d) => {
@@ -125,6 +141,22 @@ object StreamingQueries {
         |  CAST(epoch_ns(p.purchase_ts) // 1000000000 AS BIGINT) AS purchase_s,
         |  round(p.value, 3) AS value
         |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.purchase_ts >= c.click_ts
+        |  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_s, purchase_s""".stripMargin,
+    "q_stream_join_left_batch" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS click_ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts AS purchase_ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.user_id,
+        |  CAST(epoch_ns(c.click_ts) // 1000000000 AS BIGINT) AS click_s,
+        |  COALESCE(CAST(epoch_ns(p.purchase_ts) // 1000000000 AS BIGINT), -1)
+        |    AS purchase_s,
+        |  COALESCE(round(p.value, 3), 0.0) AS value
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
         |  AND p.purchase_ts >= c.click_ts
         |  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
         |ORDER BY c.user_id, click_s, purchase_s""".stripMargin,

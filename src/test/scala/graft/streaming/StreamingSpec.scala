@@ -111,6 +111,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks after the watermark") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val joined = Streaming.clickAttributedPurchases(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id", "value"),
+      joinType = "leftOuter")
+    val query = joined.writeStream.format("memory").queryName("ss_join_left")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (ts("2024-01-01 10:00:00"), 1L), // will match
+        (ts("2024-01-01 10:00:00"), 2L)) // never matches
+      purchases.addData((ts("2024-01-01 10:30:00"), 1L, 9.99))
+      runUntilIdle(query)
+      // the match can emit immediately; user 2's absence is not final
+      // yet, so no null-extended row may exist
+      val early = spark.table("ss_join_left").collect()
+      assert(early.map(_.getAs[Long]("user_id")).toSet == Set(1L))
+
+      // watermark (30 min) must clear click_ts + 1h window end: events
+      // at 13:00 push it far past 11:00 -> absence is final
+      clicks.addData((ts("2024-01-01 13:00:00"), 9L))
+      purchases.addData((ts("2024-01-01 13:00:00"), 9L, 1.0))
+      runUntilIdle(query)
+      val rows = spark.table("ss_join_left").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.isNullAt(r.fieldIndex("purchase_ts"))))
+      assert(rows.contains((2L, true)), s"missing null-extended click: ${rows.toSeq}")
+      assert(rows.count(_._1 == 2L) == 1)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join attributes purchases to in-window clicks") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long)]
