@@ -737,6 +737,24 @@ object RelationalQueries {
         .select(col("user_id"), unix_timestamp(col("t0")).as("first_click_epoch"))
         .orderBy("user_id")
     }),
+    "q_retention_cohorts" -> ((s, d) => {
+      // cohort-retention matrix: users cohorted by first-seen day, then
+      // distinct active users per (cohort, day offset). Two hash
+      // aggregations and one equi-join on user_id — the join reuses the
+      // user_id partitioning the first aggregate produced, so the
+      // cohort attach adds no extra shuffle of the fact side. Dates
+      // travel as strings/ints (oracle-gate pitfall: raw DATE values
+      // hash-compare unreliably across engines).
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      ev.join(cohorts, "user_id")
+        .groupBy(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).cast("long").as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    }),
     "q_gapfill" -> ((s, d) => {
       // time-series resample with zero-fill: an hourly spine generated
       // from the data's own bounds (a 2-row aggregate -> sequence ->
@@ -1134,6 +1152,16 @@ object RelationalQueries {
         |  WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
         |    AND e.ts > c.t0 AND e.ts <= c.t0 + INTERVAL 1 HOUR)
         |ORDER BY c.user_id""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (
+        |  SELECT user_id, MIN(day) AS cohort FROM e GROUP BY user_id)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(e.day - f.cohort AS BIGINT) AS offset_days,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_gapfill" ->
       """WITH bounds AS (
         |  SELECT date_trunc('hour', MIN(ts)) AS h0,
