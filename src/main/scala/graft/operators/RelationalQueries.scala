@@ -219,14 +219,16 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
     "q_approx_percentile_gate" -> ((s, d) => {
-      // approx_percentile's CONTRACT is a rank-error bound: the returned
-      // value (always an actual element) must occupy a rank within
-      // ±n/accuracy of the target. One plan computes the sketch, joins
-      // it back (3-row broadcast), counts the element's exact rank
-      // interval [n_lt+1, n_le], and gates it against the bound; the
-      // oracle recomputes the exact group sizes and pins ok=1.
+      // approx_percentile's CONTRACT (its scaladoc, verbatim) is the
+      // rank bound floor((p-err)·N) <= rank(x) <= ceil((p+err)·N) with
+      // err = 1/accuracy — the floor/ceil matter: at sf0.001 the sketch
+      // legitimately returns rank 979 of 1962 where (p-err)·N = 979.04.
+      // One plan computes the sketch, joins it back (3-row broadcast),
+      // counts the element's exact rank interval [n_lt+1, n_le], and
+      // gates it against that bound; the oracle recomputes the exact
+      // group sizes and pins ok=1.
       val li = t(s, d, "lineitem")
-      val accuracy = 1000.0
+      val err = 1.0 / 1000
       val approx = li.groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("ap"))
@@ -241,9 +243,9 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("n_rows"),
           when(
             (col("n_lt") + 1).cast("double")
-              <= (lit(0.5) + lit(1.0 / accuracy)) * col("n_rows") &&
+              <= ceil((lit(0.5) + err) * col("n_rows")) &&
               col("n_le").cast("double")
-                >= (lit(0.5) - lit(1.0 / accuracy)) * col("n_rows"),
+                >= floor((lit(0.5) - err) * col("n_rows")),
             lit(1L)).otherwise(lit(0L)).as("ok"))
         .orderBy("l_returnflag")
     }),
