@@ -56,40 +56,63 @@ object RelationalQueries {
       df: DataFrame,
       groupCol: String,
       valCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
-    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
-      s"percentiles must lie in [0,1]: $ps")
+      ps: Seq[(String, Double)]): DataFrame =
+    exactPercentilesMulti(df, groupCol, Seq(valCol -> ps))
+
+  /** [[exactPercentiles]] over SEVERAL value columns in ONE pass: one
+    * scan, one hash exchange on the group key, one in-partition
+    * (spillable) sort per distinct value column — where per-column
+    * calls would rescan and reshuffle per column and join the results.
+    * Per-column rank/count windows share the exchange; a column's null
+    * rows sort last, get ranks at or past its non-null count, and so
+    * can never be selected as a percentile flank (the target ranks are
+    * strictly below it).
+    */
+  def exactPercentilesMulti(
+      df: DataFrame,
+      groupCol: String,
+      specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "empty percentile spec")
+    require(specs.forall(_._2.forall { case (_, p) => p >= 0 && p <= 1 }),
+      s"percentiles must lie in [0,1]: $specs")
     val byGroup = Window.partitionBy(groupCol)
-    val ranked = df
-      .select(col(groupCol), col(valCol).cast("double").as("_v"))
-      .filter(col("_v").isNotNull)
-      .withColumn("_rn0",
-        row_number().over(byGroup.orderBy(col("_v"))).cast("long") - 1L)
-      .withColumn("_n", count(lit(1)).over(byGroup))
-    // 0-based continuous rank of percentile p in a group of _n values
-    def idx(p: Double): Column = lit(p) * (col("_n") - 1L).cast("double")
-    val needed = ps.map { case (_, p) =>
-      col("_rn0") === floor(idx(p)).cast("long") ||
-        col("_rn0") === ceil(idx(p)).cast("long")
-    }.reduce(_ || _)
-    val flanks = ps.flatMap { case (name, p) =>
+    val base = df.select(
+      col(groupCol) +: specs.zipWithIndex.map { case ((vc, _), k) =>
+        col(vc).cast("double").as(s"_v$k")
+      }: _*)
+    val ranked = specs.indices.foldLeft(base) { (acc, k) =>
+      acc
+        .withColumn(s"_rn$k",
+          row_number().over(byGroup.orderBy(col(s"_v$k").asc_nulls_last))
+            .cast("long") - 1L)
+        .withColumn(s"_n$k", count(col(s"_v$k")).over(byGroup))
+    }
+    // 0-based continuous rank of percentile p among column k's non-nulls
+    def idx(k: Int, p: Double): Column =
+      lit(p) * (col(s"_n$k") - 1L).cast("double")
+    val targets = specs.zipWithIndex.flatMap { case ((_, ps), k) =>
+      ps.map { case (name, p) => (k, name, p) }
+    }
+    val flanks = targets.flatMap { case (k, name, p) =>
       Seq(
-        max(when(col("_rn0") === floor(idx(p)).cast("long"), col("_v")))
+        max(when(col(s"_rn$k") === floor(idx(k, p)).cast("long"), col(s"_v$k")))
           .as(s"_lo_$name"),
-        max(when(col("_rn0") === ceil(idx(p)).cast("long"), col("_v")))
+        max(when(col(s"_rn$k") === ceil(idx(k, p)).cast("long"), col(s"_v$k")))
           .as(s"_hi_$name"))
     }
-    val agg = ranked.filter(needed)
+    val counts = specs.indices.map(k => max(col(s"_n$k")).as(s"_n$k"))
+    // aggregate the FULL ranked stream (no pre-filter): the window's
+    // exchange already hash-partitioned on the group key, so this agg
+    // adds no shuffle, the when()-guarded flanks cost O(1) per row, and
+    // every group — including one whose values are all null — emits its
+    // row naturally, matching the built-in aggregate (null percentiles
+    // for an empty non-null domain, since its target ranks match no row)
+    val agg = ranked
       .groupBy(col(groupCol))
-      .agg(max(col("_n")).as("_n"), flanks: _*)
-    // a group whose values are ALL null has no ranked rows, but the
-    // built-in percentile aggregate still emits it (with a null result)
-    // — restore such groups via the distinct-group left join so this
-    // operator is a drop-in replacement, not a silent group filter
-    val allGroups = df.select(col(groupCol)).distinct()
-    allGroups.join(agg, Seq(groupCol), "left").select(
-      col(groupCol) +: ps.map { case (name, p) =>
-        val i = idx(p)
+      .agg(counts.head, (counts.tail ++ flanks): _*)
+    agg.select(
+      col(groupCol) +: targets.map { case (k, name, p) =>
+        val i = idx(k, p)
         round(
           col(s"_lo_$name") + (i - floor(i)) * (col(s"_hi_$name") - col(s"_lo_$name")),
           6).as(name)
@@ -531,20 +554,18 @@ object RelationalQueries {
     // ---- percentiles / pivot / json / fuzzy match ----
     "q_percentiles" -> ((s, d) => {
       // EXACT percentiles (linear interpolation, quantile_cont
-      // semantics) computed DISTRIBUTED — see [[exactPercentiles]]: a
-      // spillable per-group window sort + rank selection, never
+      // semantics) computed DISTRIBUTED — see [[exactPercentilesMulti]]:
+      // ONE scan, ONE exchange on the group key, one spillable
+      // in-partition sort per value column + rank selection, never
       // Spark's percentile() aggregate, whose whole-group in-task
       // value buffer cannot spill and OOMs once a single group
       // outgrows an executor. Rounded to 6 so cross-engine
-      // interpolation last-ulp noise cannot flip the hash. Two value
-      // columns need two sort orders, so two scans joined on the
-      // 3-row group key (broadcast-sized by construction).
-      val li = t(s, d, "lineitem")
-      val price = exactPercentiles(li, "l_returnflag", "l_extendedprice",
-        Seq("p50" -> 0.5, "p95" -> 0.95))
-      val qty = exactPercentiles(li, "l_returnflag", "l_quantity",
-        Seq("qty_median" -> 0.5))
-      price.join(qty, "l_returnflag").orderBy("l_returnflag")
+      // interpolation last-ulp noise cannot flip the hash.
+      exactPercentilesMulti(t(s, d, "lineitem"), "l_returnflag",
+        Seq(
+          "l_extendedprice" -> Seq("p50" -> 0.5, "p95" -> 0.95),
+          "l_quantity" -> Seq("qty_median" -> 0.5)))
+        .orderBy("l_returnflag")
     }),
     "q_pivot" -> ((s, d) => {
       // pivot with EXPLICIT values: no extra distinct-values job, fixed
