@@ -75,6 +75,11 @@ object RelationalQueries {
     require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "empty percentile spec")
     require(specs.forall(_._2.forall { case (_, p) => p >= 0 && p <= 1 }),
       s"percentiles must lie in [0,1]: $specs")
+    // duplicate output names would alias two _lo_/_hi_ aggregates the
+    // same way and die later as an ambiguous reference — fail up front
+    val outNames = specs.flatMap(_._2.map(_._1))
+    require(outNames.distinct.length == outNames.length,
+      s"duplicate percentile output names: $outNames")
     val byGroup = Window.partitionBy(groupCol)
     val base = df.select(
       col(groupCol) +: specs.zipWithIndex.map { case ((vc, _), k) =>
@@ -762,16 +767,17 @@ object RelationalQueries {
     }),
     "q_retention_cohorts" -> ((s, d) => {
       // cohort-retention matrix: users cohorted by first-seen day, then
-      // distinct active users per (cohort, day offset). Two hash
-      // aggregations and one equi-join on user_id — the join reuses the
-      // user_id partitioning the first aggregate produced, so the
-      // cohort attach adds no extra shuffle of the fact side. Dates
-      // travel as strings/ints (oracle-gate pitfall: raw DATE values
-      // hash-compare unreliably across engines).
-      val ev = t(s, d, "events")
+      // distinct active users per (cohort, day offset). The cohort
+      // attaches via min() OVER (PARTITION BY user_id) — ONE scan of
+      // the fact and one user_id exchange, where a groupBy+self-join
+      // formulation scans events twice and reshuffles the fact side for
+      // the join. Dates travel as strings/ints (oracle-gate pitfall:
+      // raw DATE values hash-compare unreliably across engines).
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
-      val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
-      ev.join(cohorts, "user_id")
+        .withColumn("cohort",
+          min(col("day")).over(Window.partitionBy("user_id")))
         .groupBy(
           date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
           datediff(col("day"), col("cohort")).cast("long").as("offset_days"))

@@ -85,6 +85,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(!got.queryExecution.executedPlan.toString.contains("percentile"))
   }
 
+  test("exactPercentilesMulti: per-column nulls and a mixed all-null column in one group") {
+    // group "a": col x fully populated, col y ALL null — y's percentiles
+    // must be null while x's are exact; group "b": y populated, x has a
+    // null that must not perturb x's ranks
+    val df = Seq(
+      ("a", Some(1.0), None: Option[Double]),
+      ("a", Some(3.0), None),
+      ("a", Some(5.0), None),
+      ("b", Some(10.0), Some(7.0)),
+      ("b", None, Some(9.0)))
+      .toDF("g", "x", "y")
+    val got = RelationalQueries.exactPercentilesMulti(df, "g",
+      Seq("x" -> Seq("x50" -> 0.5), "y" -> Seq("y50" -> 0.5)))
+      .orderBy("g").collect()
+    assert(got(0).getAs[Double]("x50") == 3.0)
+    assert(got(0).isNullAt(got(0).fieldIndex("y50")))
+    assert(got(1).getAs[Double]("x50") == 10.0) // null row excluded from ranks
+    assert(got(1).getAs[Double]("y50") == 8.0)
+    // duplicate output names fail fast, not as an analysis ambiguity
+    intercept[IllegalArgumentException] {
+      RelationalQueries.exactPercentilesMulti(df, "g",
+        Seq("x" -> Seq("p50" -> 0.5), "y" -> Seq("p50" -> 0.5)))
+    }
+  }
+
   test("exactPercentiles excludes nulls and keeps all-null groups like the built-in") {
     val df = Seq(
       ("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
