@@ -235,6 +235,36 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")
     }),
+    "q_bloom_prefilter_gate" -> ((s, d) => {
+      // explicit bloom pre-filter (graft.functions.BloomFunctions): the
+      // dim-side sketch is built by one small job and shipped as a
+      // literal — what a runtime filter broadcasts — then probed on the
+      // fact side. The gate certifies the bloom CONTRACT in one plan:
+      // every true match passes (n_pass >= n_exact, no false
+      // negatives) and the filter is a filter (n_pass <= n_rows); the
+      // oracle recomputes n_exact and pins ok=1.
+      import graft.functions.BloomFunctions
+      val li = t(s, d, "lineitem")
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val sketch = urgent
+        .agg(BloomFunctions.bloomAgg(col("o_orderkey"), 10000L, 512L * 1024)
+          .as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val dimKeys = urgent.select(col("o_orderkey")).distinct()
+      li.join(dimKeys, li("l_orderkey") === dimKeys("o_orderkey"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(dimKeys("o_orderkey")).as("n_match"),
+          sum(when(
+            BloomFunctions.mightContain(sketch, col("l_orderkey")), 1L)
+            .otherwise(0L)).as("n_pass"))
+        .select(
+          col("n_match").as("n_exact"),
+          when(col("n_pass") >= col("n_match") &&
+            col("n_pass") <= col("n_rows"), lit(1L))
+            .otherwise(lit(0L)).as("ok"))
+    }),
     "q_zorder_key" -> ((s, d) => {
       // Morton clustering key as a codegen'd expression; at scale this
       // column feeds repartitionByRange + sortWithinPartitions so file
@@ -1064,6 +1094,11 @@ object RelationalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(1 AS BIGINT) AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_bloom_prefilter_gate" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     // the Morton interleave written out bit by bit: input bit i lands at
     // output bit 2i (partkey) / 2i+1 (suppkey); the term list is
     // generated, not hand-typed, so it provably covers all 32 bits.
