@@ -26,9 +26,13 @@ import graft.sources.Tables
   */
 object TemporalJoins {
 
-  /** For every left row, attach the latest right row of the same key with
-    * `right.ts <= left.ts` (inclusive; left-outer: null struct when no
-    * prior right row exists). Payload structs keep the two schemas apart.
+  /** For every left row, attach the matching right row of the same key:
+    * `direction = "backward"` (default) takes the LATEST right row with
+    * `right.ts <= left.ts`, `"forward"` the EARLIEST with
+    * `right.ts >= left.ts` (both inclusive; left-outer: null struct
+    * when no such right row exists). Payload structs keep the two
+    * schemas apart. Same plan either way: one union, ONE key shuffle,
+    * one ordered window carrying the right payload toward the left row.
     */
   def asofJoin(
       left: DataFrame,
@@ -36,27 +40,39 @@ object TemporalJoins {
       keyCol: String,
       tsCol: String,
       leftPayload: Seq[Column],
-      rightPayload: Seq[Column]): DataFrame = {
+      rightPayload: Seq[Column],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
 
     val lStruct = struct(leftPayload: _*)
     val rStruct = struct(rightPayload: _*)
     val lType = left.select(lStruct.as("s")).schema("s").dataType
     val rType = right.select(rStruct.as("s")).schema("s").dataType
 
+    // at equal ts the right row must be VISIBLE to the left row (the
+    // inclusive bound): backward looks into the preceding frame, so
+    // right sorts before left (side 0 < 1); forward looks into the
+    // following frame, so right sorts after left (side 2 > 1)
+    val rSide = if (backward) 0 else 2
     val lu = left.select(
       col(keyCol).as("_k"), col(tsCol).as("_t"),
       lStruct.as("_lp"), lit(null).cast(rType).as("_rp"), lit(1).as("_side"))
     val ru = right.select(
       col(keyCol).as("_k"), col(tsCol).as("_t"),
-      lit(null).cast(lType).as("_lp"), rStruct.as("_rp"), lit(0).as("_side"))
+      lit(null).cast(lType).as("_lp"), rStruct.as("_rp"), lit(rSide).as("_side"))
 
-    // right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
-    // same-instant right row is visible to the left row — the inclusive
-    // <= of as-of semantics
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordered = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+    val carry =
+      if (backward)
+        last(col("_rp"), ignoreNulls = true)
+          .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        first(col("_rp"), ignoreNulls = true)
+          .over(ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing))
     lu.union(ru)
-      .withColumn("_m", last(col("_rp"), ignoreNulls = true).over(w))
+      .withColumn("_m", carry)
       .filter(col("_side") === 1)
       .select(
         col("_k").as(keyCol), col("_t").as(tsCol),
@@ -122,6 +138,24 @@ object TemporalJoins {
             lit("1900-01-01 00:00:00").cast("timestamp")).as("click_ts"))
         .orderBy("event_id")
     }),
+    // FIRST click at-or-after each purchase (post-purchase engagement):
+    // the forward as-of direction through the same one-shuffle plan
+    "q_join_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      TemporalJoins
+        .asofJoin(purchases, clicks, "user_id", "ts",
+          leftPayload = Seq(col("event_id"), col("value")),
+          rightPayload = Seq(col("ts").as("click_ts")),
+          direction = "forward")
+        .select(
+          col("left.event_id").as("event_id"), col("user_id"), col("ts"),
+          col("left.value").as("value"),
+          coalesce(col("asof.click_ts"),
+            lit("1900-01-01 00:00:00").cast("timestamp")).as("next_click_ts"))
+        .orderBy("event_id")
+    }),
     // errors within +-1h of each purchase, per user (incident correlation)
     "q_join_range" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -151,6 +185,19 @@ object TemporalJoins {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    // forward as-of: the earliest qualifying click IS min(ts), so a
+    // decorrelated scalar MIN expresses it exactly
+    "q_join_asof_forward" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  COALESCE(
+        |    (SELECT MIN(c.ts) FROM c
+        |     WHERE c.user_id = p.user_id AND c.ts >= p.ts),
+        |    TIMESTAMP '1900-01-01') AS next_click_ts
+        |FROM p ORDER BY p.event_id""".stripMargin,
     "q_join_range" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events

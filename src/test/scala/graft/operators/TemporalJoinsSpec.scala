@@ -37,6 +37,20 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(103L) == None)       // key absent on right side
   }
 
+  test("forward asof join: inclusive same-instant match, earliest-following, outer nulls") {
+    val out = TemporalJoins
+      .asofJoin(lefts, rights, "user_id", "ts",
+        leftPayload = Seq(col("lid")),
+        rightPayload = Seq(col("rid")),
+        direction = "forward")
+      .select(col("left.lid").as("lid"), col("asof.rid").as("rid"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(100L) == Some(201L)) // same-ts right row IS visible (>=)
+    assert(out(101L) == None)       // nothing follows 12:00 for key 1
+    assert(out(102L) == Some(203L)) // earliest following, key 2
+    assert(out(103L) == None)       // key absent on right side
+  }
+
   test("tolerance join equals the naive range join on real events") {
     // events.parquet is TIMESTAMP(NANOS) — load via Tables' nanos shim
     val ev = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
