@@ -247,11 +247,18 @@ object RelationalQueries {
       val li = t(s, d, "lineitem")
       val urgent = t(s, d, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
+      val dimKeys = urgent.select(col("o_orderkey")).distinct()
+      // calibrate the sketch to the REAL dim cardinality: the hash-
+      // function count k is derived from bits/expectedItems, and a
+      // hardcoded guess 3x under the truth triples per-row probe
+      // hashing and inflates the false-positive rate ~40x. The count
+      // is one job over the (small) dim side — exactly what a runtime
+      // filter's planning pass pays.
+      val nDim = math.max(1L, dimKeys.count())
       val sketch = urgent
-        .agg(BloomFunctions.bloomAgg(col("o_orderkey"), 10000L, 512L * 1024)
+        .agg(BloomFunctions.bloomAgg(col("o_orderkey"), nDim, 512L * 1024)
           .as("bf"))
         .head().getAs[Array[Byte]]("bf")
-      val dimKeys = urgent.select(col("o_orderkey")).distinct()
       li.join(dimKeys, li("l_orderkey") === dimKeys("o_orderkey"), "left")
         .agg(
           count(lit(1)).as("n_rows"),

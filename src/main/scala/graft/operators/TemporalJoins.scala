@@ -63,14 +63,19 @@ object TemporalJoins {
       col(keyCol).as("_k"), col(tsCol).as("_t"),
       lit(null).cast(lType).as("_lp"), rStruct.as("_rp"), lit(rSide).as("_side"))
 
-    val ordered = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
-    val carry =
-      if (backward)
-        last(col("_rp"), ignoreNulls = true)
-          .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      else
-        first(col("_rp"), ignoreNulls = true)
-          .over(ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    // Both directions run the INCREMENTAL running frame
+    // (unboundedPreceding -> currentRow), which Spark evaluates in O(n)
+    // per key partition. The forward direction sorts DESCENDING instead
+    // of flipping the frame: a currentRow -> unboundedFollowing frame
+    // executes as UnboundedFollowingWindowFunctionFrame, re-aggregating
+    // the whole suffix for every row — O(n^2) on a hot key. Descending
+    // by (_t, _side) keeps side 2 (right) ahead of side 1 (left) at
+    // equal ts, so the inclusive bound still sees same-instant rows.
+    val ordered =
+      if (backward) Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+      else Window.partitionBy("_k").orderBy(col("_t").desc, col("_side").desc)
+    val carry = last(col("_rp"), ignoreNulls = true)
+      .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     lu.union(ru)
       .withColumn("_m", carry)
       .filter(col("_side") === 1)
