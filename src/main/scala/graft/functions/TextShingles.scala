@@ -42,6 +42,46 @@ object NgramHelper {
       new GenericArrayData(out)
     }
   }
+
+  /** Distinct word n-gram shingles, replicating EXACTLY
+    * `array_distinct(transform(sequence(0, size(ts)-n), i =>
+    * array_join(slice(ts, i+1, n), " ")))` over
+    * `ts = split(lower(trim(text)), "\s+")`, including the
+    * short-document rule (fewer than n words → the whole token list
+    * joined as one shingle). One pass per document: the HOF chain
+    * re-evaluates the captured tokenize expression per lambda element
+    * — O(words²) re-splits per row (measured seconds over sf0.1 where
+    * this kernel is noise). Uses the same UTF8String trim/toLowerCase
+    * as Spark's StringTrim/Lower and `split(regex, -1)` to match
+    * StringSplit's default limit.
+    */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val ws = text.trim().toLowerCase().toString.split("\\s+", -1)
+    if (ws.length < n) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(ws.mkString(" "))))
+    } else {
+      val seen = new LinkedHashSet[String]()
+      var i = 0
+      while (i <= ws.length - n) {
+        val sb = new java.lang.StringBuilder(ws(i))
+        var j = i + 1
+        while (j < i + n) {
+          sb.append(' ').append(ws(j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) {
+        out(j) = UTF8String.fromString(it.next())
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 /** Distinct character n-gram shingles of a string as a codegen'd Catalyst
@@ -80,7 +120,44 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles (tokenize + slide + join) as a codegen'd
+  * expression — same motivation and contract as [[CharNgrams]]; the
+  * equivalent HOF formulation lives on as `Dedup.wordShinglesBuiltin`,
+  * equivalence pinned in HashFunctionsSpec.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHelper.wordNgrams(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.NgramHelper.wordNgrams($s, $n);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextShingles {
   def charNgrams(text: Column, n: Int): Column =
     GraftShims.toColumn(CharNgrams(GraftShims.toExpression(text), n))
+
+  def wordNgrams(text: Column, n: Int): Column =
+    GraftShims.toColumn(WordNgrams(GraftShims.toExpression(text), n))
 }

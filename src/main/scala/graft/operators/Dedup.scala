@@ -28,9 +28,18 @@ object Dedup {
     split(lower(trim(text)), "\\s+")
 
   /** Distinct word n-gram shingles; a document shorter than n words
-    * becomes its single whole-text shingle.
+    * becomes its single whole-text shingle. Codegen'd one-pass kernel —
+    * see [[graft.functions.WordNgrams]] and [[wordShinglesBuiltin]].
     */
-  def wordShingles(text: Column, n: Int = 3): Column = {
+  def wordShingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextShingles.wordNgrams(text, n)
+
+  /** Built-in-functions-only formulation of [[wordShingles]] (equivalence
+    * oracle for the codegen'd expression). NOT for production paths: the
+    * lambda captures `ts`, so the tokenize re-evaluates per element —
+    * O(words²) re-splits per row.
+    */
+  def wordShinglesBuiltin(text: Column, n: Int = 3): Column = {
     val ts = tokens(text)
     when(
       size(ts) >= n,
@@ -593,5 +602,46 @@ object Dedup {
       // hints — AQE decides from runtime shuffle statistics
       pipeline(docsig, hintSig = false, hintGrams = false)
     }
+  }
+
+  /** Benchmark-contamination scan (train/eval decontamination — the
+    * exact-n-gram-overlap family used to scrub eval sets out of
+    * pretraining corpora): flag every corpus document that shares at
+    * least `minHits` distinct word n-grams with ANY eval document.
+    *
+    * Asymmetry is the scale story: benchmarks are megabytes where the
+    * corpus is terabytes, so the eval side collapses to DISTINCT grams
+    * and broadcasts into a LEFT SEMI probe against the exploded corpus
+    * grams — the corpus shuffles only (doc_id) hit rows through one
+    * partially-aggregated count, never its text, and no gram-on-gram
+    * shuffle join materializes. Long n (default 8) keeps accidental
+    * collisions near zero so a hit means shared provenance.
+    *
+    * Output, one row per corpus doc: `doc_id`, `n_grams` (distinct),
+    * `n_hits` (distinct grams also present in the eval set),
+    * `contaminated`.
+    */
+  def contamination(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 8,
+      minHits: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val c = Corpus.spread(corpus).select(
+      col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("grams"))
+    val evalGrams = evalDocs
+      .select(explode(wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val hits = c.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    c.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 }

@@ -348,6 +348,43 @@ object PipelineQueries {
       Corpus.stratifiedSample(t(s, d, "documents"), "lang", n = 50)
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")
+    }),
+    // train/eval decontamination: src0 plays the benchmark set, the
+    // remaining 19 sources the corpus; a hit = a shared distinct word
+    // 8-gram (long enough that collisions mean shared provenance)
+    "dedup_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+        .withColumn("contaminated", col("contaminated").cast("long"))
+        .orderBy("doc_id")
+    }),
+    // SemDeDup over the near-orthogonal demo embeddings: same 0.4/6
+    // threshold-and-rounding convention as dedup_embedding; orthant
+    // sign-bit cells are deterministic so the oracle replays the whole
+    // algorithm (cells -> within-cell pairs -> min-label closure)
+    "dedup_semantic" -> ((s, d) => {
+      Similarity.semanticDedup(t(s, d, "embeddings"),
+        threshold = 0.4, signDims = 3, roundDecimals = 6)
+        .withColumn("keep", col("keep").cast("long"))
+        .orderBy("vec_id")
+    }),
+    "text_repetition" -> ((s, d) => {
+      // explode(array(struct)) is a deliberate once-per-row barrier:
+      // extracting 3 fields from the struct in one Project would
+      // re-evaluate the whole tokenize+sort+zip pipeline per field
+      // (CollapseProject inlines the alias), measured 3× the work; a
+      // Generate boundary materializes the struct exactly once
+      val r = TextAnalysis.repetitionSignals(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(array(r)).as("r"))
+        .select(
+          col("doc_id"),
+          round(col("r.dup_word_frac"), 6).as("dup_word_frac"),
+          round(col("r.top_word_frac"), 6).as("top_word_frac"),
+          round(col("r.dup_bigram_frac"), 6).as("dup_bigram_frac"))
+        .orderBy("doc_id")
     })
   )
 
@@ -963,6 +1000,89 @@ object PipelineQueries {
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      % 1000 < CASE WHEN lang = 'en' THEN 800 ELSE 300 END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // same tokenize + distinct word-8-gram shingles as the Spark side;
+    // hits counted over DISTINCT grams per doc (the Spark side explodes
+    // an already-distinct gram array)
+    "dedup_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, CASE WHEN len(ts) >= 8
+        |    THEN list_distinct([array_to_string(ts[i:i+7], ' ')
+        |                        for i in generate_series(1, len(ts) - 7)])
+        |    ELSE [array_to_string(ts, ' ')] END AS grams
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+        |       WHERE source = 'src0'),
+        |corp AS (SELECT doc_id, grams FROM g WHERE source <> 'src0'),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM corp) cg
+        |  JOIN ev USING (gram) GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(h.n_hits, 0) >= 1 AS BIGINT) AS contaminated
+        |FROM corp c LEFT JOIN hits h USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
+    // full SemDeDup replay: orthant sign-bit cells over the first 3
+    // dims (float -> double widening is exact, so the sign tests agree
+    // bit-for-bit), within-cell cosine pairs at the dedup_embedding
+    // 0.4/round-6 convention, then the same recursive min-label closure
+    // as the dedup_clusters oracle; singletons keep themselves
+    "dedup_semantic" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) AS cell
+        |  FROM e),
+        |p AS (
+        |  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+        |  FROM c l JOIN c r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        |  WHERE round(list_dot_product(l.v, r.v)
+        |    / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)),
+        |    6) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |walk(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, w.label FROM walk w JOIN edges e2 ON w.node = e2.src),
+        |cl AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node)
+        |SELECT e.vec_id,
+        |  CAST(COALESCE(cl.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+        |  CAST(e.vec_id = COALESCE(cl.cluster_id, e.vec_id) AS BIGINT) AS keep
+        |FROM e LEFT JOIN cl ON e.vec_id = cl.node
+        |ORDER BY e.vec_id""".stripMargin,
+    // integer-count ratios in double arithmetic: exact division inputs
+    // on both engines, positive values, so round-6 agrees (both round
+    // half away from zero for positives)
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len(ts) AS nw,
+        |    len(ts) - len(list_distinct(ts)) AS dupw,
+        |    list_max(list_transform(list_distinct(ts),
+        |      w -> len(list_filter(ts, x -> x = w)))) AS topc,
+        |    CASE WHEN len(ts) >= 2
+        |      THEN [array_to_string(ts[i:i+1], ' ')
+        |            for i in generate_series(1, len(ts) - 1)]
+        |      ELSE [] END AS bis
+        |  FROM toks)
+        |SELECT doc_id,
+        |  round(CAST(dupw AS DOUBLE) / nw, 6) AS dup_word_frac,
+        |  round(CAST(topc AS DOUBLE) / nw, 6) AS top_word_frac,
+        |  round(CASE WHEN len(bis) >= 2
+        |    THEN CAST(len(bis) - len(list_distinct(bis)) AS DOUBLE) / len(bis)
+        |    ELSE 0.0 END, 6) AS dup_bigram_frac
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

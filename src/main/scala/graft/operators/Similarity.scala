@@ -297,6 +297,57 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication: partition the embedding
+    * space into deterministic coarse cells, find within-cell pairs with
+    * cosine >= threshold, connect them into duplicate clusters
+    * ([[Dedup.duplicateClusters]]), and keep the min-id representative
+    * of each cluster. The quadratic pair search runs only WITHIN a cell
+    * — the published algorithm's contract (cross-cell near-dups are
+    * missed by design; cells bound the block size) — so no all-pairs
+    * join ever materializes and the cell column is the only join key
+    * shuffled with the vectors.
+    *
+    * Cells here are the orthant sign bits of the leading `signDims`
+    * dimensions: deterministic, data-independent, and exactly
+    * recomputable by an external oracle. A trained k-means coarse
+    * quantizer (see [[ivfTopK]]'s trainer) slots into the same cell
+    * column when data-adaptive cells are wanted; cell count should grow
+    * with corpus size to hold the within-cell block bounded.
+    *
+    * Output, one row per input vector: `vec_id`, `cluster_id` (min
+    * reachable id; own id for singletons), `keep`.
+    */
+  def semanticDedup(
+      vectors: DataFrame,
+      threshold: Double = 0.95,
+      signDims: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): DataFrame = {
+    require(signDims >= 1 && signDims <= 30, s"signDims out of range: $signDims")
+    val v = Corpus.spread(vectors)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", (0 until signDims)
+        .map(i => when(element_at(col("vec"), i + 1) >= 0, lit(1 << i))
+          .otherwise(lit(0)))
+        .reduce(_ + _))
+    val l = v.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = v.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        maybeRound(cosineSim(col("vec_a"), col("vec_b")), roundDecimals)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val clusters = Dedup.duplicateClusters(pairs)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    v.select(col("id"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
+
   /** Per-vector INT8 quantization summary — the storage/serving prep
     * step of an embedding pipeline (4× smaller vectors for ANN serving).
     * Affine scheme: q_i = floor((v_i − min) / scale) clamped to [0, 255]

@@ -79,6 +79,80 @@ object TextAnalysis {
     (lengthScore * 0.5 + wordLenScore * 0.3 + punctScore * 0.2)
   }
 
+  /** Gopher-style repetition signals — the filters that catch looping
+    * generators and boilerplate which length/punctuation scores miss:
+    *
+    *   - `dup_word_frac`: fraction of word OCCURRENCES that are repeats
+    *     of an earlier word (1 − distinct/total),
+    *   - `top_word_frac`: share of occurrences held by the single most
+    *     frequent word,
+    *   - `dup_bigram_frac`: repeat fraction over word bigrams (0 when
+    *     fewer than 2 bigrams exist).
+    *
+    * Production path: the codegen'd one-pass
+    * [[graft.functions.RepetitionStats]] counts, with the ratios
+    * derived in exact integer→double arithmetic (externally
+    * oracle-reproducible). The HOF formulation survives as
+    * [[repetitionSignalsBuiltin]], the equivalence oracle.
+    */
+  def repetitionSignals(text: Column): Column = {
+    val s = graft.functions.TextStats.repetitionStats(text)
+    val nW = s.getField("n_words").cast("double")
+    val nB = s.getField("n_bigrams")
+    struct(
+      ((s.getField("n_words") - s.getField("n_distinct_words")).cast("double")
+        / nW).as("dup_word_frac"),
+      (s.getField("top_count").cast("double") / nW).as("top_word_frac"),
+      when(nB >= 2,
+        (nB - s.getField("n_distinct_bigrams")).cast("double")
+          / nB.cast("double"))
+        .otherwise(lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  /** Built-in-functions-only formulation of [[repetitionSignals]]
+    * (equivalence oracle for the codegen'd counts). NOT for production
+    * paths: higher-order lambdas evaluate interpreted, and the three
+    * struct fields each re-evaluate the token pipeline. Two past
+    * pitfalls are deliberately preserved in comments below — both
+    * measured in whole seconds over sf0.1's 5 000 docs where the
+    * codegen'd kernel is noise.
+    */
+  def repetitionSignalsBuiltin(text: Column): Column = {
+    val ts = Dedup.tokens(text)
+    val nW = size(ts).cast("double")
+    // longest run of equal adjacent words in the sorted array = the
+    // most frequent word's occurrence count; single left-to-right pass
+    val topCount = aggregate(
+      array_sort(ts),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    // adjacent pairs via zip_with(ts, shift(ts)) — NOT
+    // transform(sequence(...), i => element_at(ts, ...)): a lambda that
+    // CAPTURES ts re-evaluates the whole tokenize per element (O(n²)
+    // re-splits per row; measured 12 s over sf0.1 vs 0.2 s for this
+    // form). zip_with pads the shifted side with one trailing null;
+    // the outer slice drops that element.
+    val bigrams = when(size(ts) >= 2,
+      slice(
+        zip_with(ts, slice(ts, lit(2), size(ts) - 1),
+          (a, b) => concat_ws(" ", a, b)),
+        lit(1), size(ts) - 1))
+      .otherwise(array().cast("array<string>"))
+    val nB = size(bigrams).cast("double")
+    struct(
+      ((nW - size(array_distinct(ts)).cast("double")) / nW).as("dup_word_frac"),
+      (topCount.cast("double") / nW).as("top_word_frac"),
+      when(size(bigrams) >= 2,
+        (nB - size(array_distinct(bigrams)).cast("double")) / nB)
+        .otherwise(lit(0.0)).as("dup_bigram_frac"))
+  }
+
   /** Content-defined document fingerprint: min of the md5 digests of the
     * character 5-gram shingles (a 1-hash MinHash — stable under small
     * edits elsewhere in the document, winnowing-lite). md5 rather than

@@ -89,6 +89,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(_k"), p)
   }
 
+  test("forward asof runs the incremental running frame, not a suffix re-aggregation") {
+    import graft.operators.TemporalJoins
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val p = plan(TemporalJoins.asofJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      "user_id", "ts",
+      leftPayload = Seq(col("event_id")),
+      rightPayload = Seq(col("event_id").as("click_id")),
+      direction = "forward"))
+    // the forward direction must sort DESCENDING and keep the O(n)
+    // running frame; a currentRow -> unboundedFollowing frame executes
+    // as a per-row suffix re-aggregation — O(n^2) on a hot key
+    assert(p.contains("unboundedpreceding$(), currentrow$()"), p)
+    assert(!p.toLowerCase.contains("unboundedfollowing"), p)
+    assert("_t#\\d+ DESC".r.findFirstIn(p).isDefined, p)
+  }
+
   test("tolerance join is an equi hash join on (key, bucket), not a nested loop") {
     import graft.operators.TemporalJoins
     val ev = graft.sources.Tables(spark, sf, "events")

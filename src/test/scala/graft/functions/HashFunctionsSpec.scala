@@ -89,6 +89,33 @@ class HashFunctionsSpec extends SparkSpec {
     assert(rows(3L).length == 4)
   }
 
+  test("codegen'd word_ngrams equals the HOF formulation on real docs") {
+    for (n <- Seq(2, 3, 8)) {
+      val mismatches = docs
+        .select(
+          array_sort(Dedup.wordShingles(col("text"), n)).as("fast"),
+          array_sort(Dedup.wordShinglesBuiltin(col("text"), n)).as("slow"))
+        .filter(col("fast") =!= col("slow"))
+        .count()
+      assert(mismatches == 0, s"n=$n")
+    }
+  }
+
+  test("word_ngrams edge cases: short text, empty, mixed whitespace/case") {
+    val rows = Seq(
+      (1L, "one two"),            // shorter than n -> whole token join
+      (2L, ""),                   // empty -> [""]
+      (3L, "  A\tb  C  d "),      // trim + \s+ split + lowercase
+      (4L, "x y x y x")           // repeats dedup to distinct grams
+    ).toDF("id", "t")
+      .select(col("id"), Dedup.wordShingles(col("t"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) == Seq("one two"))
+    assert(rows(2L) == Seq(""))
+    assert(rows(3L) == Seq("a b c", "b c d"))
+    assert(rows(4L) == Seq("x y x", "y x y"))
+  }
+
   test("simhash_from_hashes matches an independent HOF sign-vote on real docs") {
     // HOF spec over the SAME md5-derived hashes: 60 interpreted passes
     def shr(v: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

@@ -144,6 +144,37 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(_ == 0L))
   }
 
+  test("contamination flags corpus docs sharing word 8-grams with the eval set") {
+    // base has 18 words -> 11 distinct 8-grams; nearDup edits only the
+    // last word, so the 10 grams not covering position 18 still collide
+    val evalSet = Seq((100L, base, "en")).toDF("doc_id", "text", "lang")
+    val corpus = Seq(
+      (1L, base, "en"),      // verbatim benchmark leak: all 11 grams hit
+      (2L, nearDup, "en"),   // near-dup leak: 10 of 11 grams hit
+      (3L, unrelated, "en"), // clean
+      (4L, "tiny", "en")     // shorter than n: whole-text shingle, clean
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.contamination(corpus, evalSet)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hits"),
+          r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(got == Map(
+      1L -> ((11L, 11L, true)),
+      2L -> ((11L, 10L, true)),
+      3L -> ((6L, 0L, false)),
+      4L -> ((1L, 0L, false))))
+  }
+
+  test("contamination with an empty eval set reports every doc clean") {
+    val evalSet = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val got = Dedup.contamination(docs, evalSet).collect()
+    assert(got.length == 5)
+    assert(got.forall(r => r.getAs[Long]("n_hits") == 0L &&
+      !r.getAs[Boolean]("contaminated")))
+  }
+
   test("minhash signature length and determinism") {
     val sig = docs
       .withColumn("h", transform(Dedup.wordShingles($"text", 3), s => xxhash64(s)))

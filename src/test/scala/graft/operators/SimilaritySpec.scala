@@ -138,6 +138,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup clusters within-cell near-dups and keeps one representative") {
+    import spark.implicits._
+    // all-positive orthant (cell 7): 1~2 and 2~5 chain (cosine > 0.99),
+    // 3 and 4 sit in other orthants — never compared against the chain
+    // even though cells are the ONLY thing separating them
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f, 0.9f)),
+      (5L, Array(0.9f, 1.0f, 1.0f)),
+      (3L, Array(-1.0f, 1.0f, 1.0f)),
+      (4L, Array(1.0f, -1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, threshold = 0.95)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 5L -> ((1L, false)),
+      3L -> ((3L, true)), 4L -> ((4L, true))))
+  }
+
+  test("semanticDedup with no near-dup pairs keeps every vector") {
+    import spark.implicits._
+    // same cell, but near-orthogonal: the pair search finds nothing
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f, 0.01f)),
+      (2L, Array(0.01f, 1.0f, 0.01f)),
+      (3L, Array(0.01f, 0.01f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, threshold = 0.95)
+      .orderBy("vec_id").collect()
+    assert(got.map(_.getAs[Long]("cluster_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(got.forall(_.getAs[Boolean]("keep")))
+  }
+
   test("int8 quantization matches a driver-side recomputation and handles a constant vector") {
     import spark.implicits._
     val vecs = Seq(

@@ -23,6 +23,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L) == ((3L, 8L)))
   }
 
+  test("repetition signals on hand-checked strings") {
+    val df = Seq(
+      (1L, "a a b"),     // dup 1/3, top 2/3, bigrams {a a, a b} distinct -> 0
+      (2L, "a a a a"),   // dup 3/4, top 1, bigrams a-a x3 -> 2/3
+      (3L, "x y z"),     // no repetition at all
+      (4L, "solo")       // 1 word: dup 0, top 1, <2 bigrams -> 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals($"text")
+    val rows = df.select(
+      $"doc_id",
+      r.getField("dup_word_frac").as("dw"),
+      r.getField("top_word_frac").as("tw"),
+      r.getField("dup_bigram_frac").as("db"))
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2), x.getDouble(3))))
+      .toMap
+    assert(rows(1L) == ((1.0 / 3, 2.0 / 3, 0.0)))
+    assert(rows(2L) == ((0.75, 1.0, 2.0 / 3)))
+    assert(rows(3L) == ((0.0, 1.0 / 3, 0.0)))
+    assert(rows(4L) == ((0.0, 1.0, 0.0)))
+  }
+
+  test("codegen'd repetition signals equal the HOF formulation on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = TextAnalysis.repetitionSignals($"text")
+    val slow = TextAnalysis.repetitionSignalsBuiltin($"text")
+    val mismatches = docs
+      .select(fast.as("f"), slow.as("s"))
+      .filter($"f" =!= $"s")
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("language id picks the dominant stopword language") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is happy"),
