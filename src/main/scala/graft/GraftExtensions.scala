@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitsetFromPositions, BitsetIntersectCount, CharNgrams, CosineSimilarity, MinHashSignature, SimHash64, SimHashFromHashes, ZOrder2}
+import graft.functions.{BitsetFromPositions, BitsetIntersectCount, CharNgrams, CosineSimilarity, MinHashSignature, RepetitionStats, SimHash64, SimHashFromHashes, WordNgrams, ZOrder2}
 
 /** Cluster-wide registration of the library's Catalyst expressions via
   * `SparkSessionExtensions` — the deployment path for SQL users:
@@ -91,5 +91,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("zorder2",
         "zorder2(a, b) - Morton interleave of two bigints (Z-order clustering key)"),
       (exprs: Seq[Expression]) => ZOrder2(exprs(0), exprs(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(text, n) - distinct word n-gram shingles (tokenized, lowercased)"),
+      (exprs: Seq[Expression]) =>
+        WordNgrams(exprs(0), litInt(exprs(1), "word_ngrams", "n"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(text) - word/bigram repetition counts " +
+          "(n_words, n_distinct_words, top_count, n_bigrams, n_distinct_bigrams)"),
+      (exprs: Seq[Expression]) => RepetitionStats(exprs.head)))
   }
 }

@@ -35,7 +35,9 @@ class GraftExtensionsSpec extends SparkSpec {
           |  bitset_from_positions(array(1, 65), 128) AS bm,
           |  bitset_intersect_count(bitset_from_positions(array(1, 65), 128),
           |                         bitset_from_positions(array(1, 7), 128)) AS bic,
-          |  zorder2(3L, 5L) AS zk
+          |  zorder2(3L, 5L) AS zk,
+          |  word_ngrams('A a b', 2) AS wn,
+          |  repetition_stats('a a b') AS rs
           |""".stripMargin).head()
       assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-9)
       assert(row.getAs[Int]("ng") == 3) // hel, ell, llo
@@ -46,6 +48,11 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(row.getAs[Long]("bic") == 1L) // only bit 1 shared
       // 3=0b11 -> even bits 0b101; 5=0b101 -> odd bits 0b100010; or = 39
       assert(row.getAs[Long]("zk") == 39L)
+      // 'A a b' lowercases to tokens [a,a,b] -> bigrams {a a, a b}
+      assert(row.getSeq[String](row.fieldIndex("wn")).toSeq == Seq("a a", "a b"))
+      val rs = row.getStruct(row.fieldIndex("rs"))
+      assert((rs.getLong(0), rs.getLong(1), rs.getLong(2), rs.getLong(3),
+        rs.getLong(4)) == ((3L, 2L, 2L, 2L, 2L)))
       // literal-parameter misuse fails analysis, not execution
       val err = intercept[Exception] {
         s.sql("SELECT char_ngrams('x', id) FROM range(1)").collect()
