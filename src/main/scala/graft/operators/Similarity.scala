@@ -176,6 +176,27 @@ object Similarity {
       .withColumnRenamed("cell", idCol)
   }
 
+  /** Nearest-centroid cell assignment — the coarse-quantization step of
+    * [[ivfTopK]] as a standalone (idCol, cell) frame, e.g. to feed
+    * [[semanticDedup]]'s `cells` parameter. One broadcast join against
+    * the tiny centroid set, reduced with `min_by` (best cosine, smallest
+    * cell id on ties) — a shuffle-free partial aggregation.
+    */
+  def assignCells(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+    Corpus.spread(corpus)
+      .select(col(idCol), col(vecCol).as("_v"))
+      .join(broadcast(cents))
+      .select(col(idCol), col("cell"),
+        cosineSim(col("_v"), col("centroid")).as("csim"))
+      .groupBy(col(idCol))
+      .agg(min_by(col("cell"), struct(-col("csim"), col("cell"))).as("cell"))
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (one broadcast join against the tiny centroid set, reduced
     * with `min_by` — a shuffle-free partial aggregation, no global sort),
@@ -307,12 +328,12 @@ object Similarity {
     * join ever materializes and the cell column is the only join key
     * shuffled with the vectors.
     *
-    * Cells here are the orthant sign bits of the leading `signDims`
+    * Default cells are the orthant sign bits of the leading `signDims`
     * dimensions: deterministic, data-independent, and exactly
-    * recomputable by an external oracle. A trained k-means coarse
-    * quantizer (see [[ivfTopK]]'s trainer) slots into the same cell
-    * column when data-adaptive cells are wanted; cell count should grow
-    * with corpus size to hold the within-cell block bounded.
+    * recomputable by an external oracle. Pass `cells` (an
+    * (idCol, cell) frame — e.g. [[assignCells]] over
+    * [[kmeansCentroids]]) for a data-adaptive quantizer; cell count
+    * should grow with corpus size to hold the within-cell block bounded.
     *
     * Output, one row per input vector: `vec_id`, `cluster_id` (min
     * reachable id; own id for singletons), `keep`.
@@ -323,14 +344,19 @@ object Similarity {
       signDims: Int = 3,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      roundDecimals: Int = -1): DataFrame = {
+      roundDecimals: Int = -1,
+      cells: Option[DataFrame] = None): DataFrame = {
     require(signDims >= 1 && signDims <= 30, s"signDims out of range: $signDims")
-    val v = Corpus.spread(vectors)
+    val base = Corpus.spread(vectors)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("cell", (0 until signDims)
+    val v = cells match {
+      case Some(c) => base.join(
+        c.select(col(idCol).as("id"), col("cell")), Seq("id"))
+      case None => base.withColumn("cell", (0 until signDims)
         .map(i => when(element_at(col("vec"), i + 1) >= 0, lit(1 << i))
           .otherwise(lit(0)))
         .reduce(_ + _))
+    }
     val l = v.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
     val r = v.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
     val pairs = l.join(r, Seq("cell"))

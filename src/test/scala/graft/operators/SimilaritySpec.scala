@@ -160,6 +160,30 @@ class SimilaritySpec extends SparkSpec {
       3L -> ((3L, true)), 4L -> ((4L, true))))
   }
 
+  test("semanticDedup with trained k-means cells finds the same chain") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f, 0.9f)),
+      (5L, Array(0.9f, 1.0f, 1.0f)),
+      (3L, Array(-1.0f, 1.0f, 1.0f)),
+      (4L, Array(1.0f, -1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // data-adaptive quantizer: 3 k-means cells; the near-identical chain
+    // {1,2,5} lands in one cell, so the clusters match the sign-bit run
+    val cents = Similarity.kmeansCentroids(vecs, k = 3, iterations = 2)
+    val cells = Similarity.assignCells(vecs, cents)
+    val got = Similarity.semanticDedup(vecs, threshold = 0.95,
+      cells = Some(cells))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 5L -> ((1L, false)),
+      3L -> ((3L, true)), 4L -> ((4L, true))))
+  }
+
   test("semanticDedup with no near-dup pairs keeps every vector") {
     import spark.implicits._
     // same cell, but near-orthogonal: the pair search finds nothing
