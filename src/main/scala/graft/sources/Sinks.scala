@@ -39,6 +39,8 @@ object Sinks {
   private lazy val smallFilesDir: String = scratch("graft-write-smallfiles")
   private lazy val compactedDir: String = scratch("graft-write-compacted")
   private lazy val evolutionDir: String = scratch("graft-write-evolution")
+  private lazy val bucketLiDir: String = scratch("graft-bucketed-lineitem")
+  private lazy val bucketOrdDir: String = scratch("graft-bucketed-orders")
 
   /** Compact a directory of small parquet files into ~`targetFileBytes`
     * outputs: size the file count from the ACTUAL on-disk bytes, not a
@@ -178,7 +180,62 @@ object Sinks {
       .orderBy("lang")
   }
 
+  /** Write `lineitem` and `orders` as BUCKETED tables on their join key
+    * and return the two catalog frames. Bucketing pre-shuffles ONCE at
+    * write time: both tables land in `nBuckets` files hash-partitioned by
+    * key (Murmur3 — the same hash a join exchange would use), so every
+    * subsequent join/aggregation on that key reads co-located buckets and
+    * plans ZERO exchanges. At 100 TB this is the difference between
+    * re-shuffling the fact table on every query and paying the shuffle
+    * once at ingest — the batch analogue of a co-partitioned MPP layout.
+    * The `repartition(nBuckets, key)` before each write matters: it
+    * aligns writer tasks with buckets, so each bucket is ONE file and the
+    * `sortBy` metadata stays usable (many files per bucket would force a
+    * re-sort on read).
+    */
+  def bucketedTables(s: SparkSession, d: String, nBuckets: Int = 8): (DataFrame, DataFrame) = {
+    s.sql("DROP TABLE IF EXISTS graft_lineitem_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_orders_bucketed")
+    Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .repartition(nBuckets, col("l_orderkey"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", bucketLiDir)
+      .bucketBy(nBuckets, "l_orderkey")
+      .sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_bucketed")
+    Tables(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .repartition(nBuckets, col("o_orderkey"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", bucketOrdDir)
+      .bucketBy(nBuckets, "o_orderkey")
+      .sortBy("o_orderkey")
+      .saveAsTable("graft_orders_bucketed")
+    (s.table("graft_lineitem_bucketed"), s.table("graft_orders_bucketed"))
+  }
+
+  /** Co-located join over the bucketed layout: both sides `hint("merge")`
+    * (a broadcast would hide the point — the demo IS the shuffle-free
+    * sort-merge join), then a per-priority aggregate. PlanSpec asserts
+    * the join subtree has no Exchange; the oracle gates the values
+    * through the full bucketed-write -> co-located-read -> join path.
+    */
+  private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (li, ord) = bucketedTables(s, d)
+    li.hint("merge")
+      .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bucketed" -> (bucketedJoin _),
     "q_write_partitioned" -> (writeRoundTrip _),
     "q_write_sorted" -> (sortedRoundTrip _),
     "q_write_compacted" -> (compactRoundTrip _),
@@ -188,6 +245,13 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_write_partitioned" ->
       """SELECT doc_id, lang,
         |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_words,

@@ -95,6 +95,33 @@ object Streaming {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Exactly-once ingest dedup: at-least-once sources (replayed source
+    * batches, retried producers) deliver the same event twice, and a
+    * pipeline that counts or bills on duplicates is wrong at any scale.
+    * Streaming path: `dropDuplicatesWithinWatermark` keeps the FIRST
+    * arrival per `event_id` and holds each seen id in state only until
+    * the watermark passes its event time — state is O(ids per watermark
+    * interval), not O(all ids ever), which is what makes id-dedup
+    * feasible on an unbounded stream. Batch path: Spark rejects the
+    * watermark-scoped operator on batch children (UnsupportedOperation),
+    * so the same call degenerates to `dropDuplicates(keys)` — identical
+    * first-arrival-wins semantics with the retention question moot, a
+    * branch the operator takes on `isStreaming` exactly as Catalyst
+    * itself degenerates watermarks on batch plans.
+    *
+    * Duplicates are exact replays (same payload per id), so which copy
+    * survives is observationally irrelevant — the contract that makes
+    * the batch/streaming parity testable.
+    */
+  def dedupedEvents(
+      events: DataFrame,
+      keys: Seq[String] = Seq("event_id"),
+      watermark: String = "30 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else events.dropDuplicates(keys)
+
   /** Session windows per user: a session closes after `gap` of
     * inactivity. Output: user_id, session_start, n_events.
     */

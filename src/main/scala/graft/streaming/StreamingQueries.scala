@@ -72,6 +72,18 @@ object StreamingQueries {
           coalesce(round(col("value"), 3), lit(0.0)).as("value"))
         .orderBy("user_id", "click_s", "purchase_s")
     }),
+    // at-least-once replay dedup on its batch child: the doubled events
+    // table (every event delivered exactly twice) must dedup back to the
+    // original per-type counts — the oracle never sees the duplication
+    "q_stream_dedup_batch" -> ((s, d) => {
+      val ev = t(s, d)
+      Streaming.dedupedEvents(ev.unionAll(ev))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 3).as("total_value"))
+        .orderBy("event_type")
+    }),
     // the flatMapGroupsWithState path must produce the exact same
     // sessions as session_window — same oracle SQL as the entry above
     "q_stream_session_state" -> ((s, d) => {
@@ -160,6 +172,12 @@ object StreamingQueries {
         |  AND p.purchase_ts >= c.click_ts
         |  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
         |ORDER BY c.user_id, click_s, purchase_s""".stripMargin,
+    // dedup of the doubled table = the original table's aggregates
+    "q_stream_dedup_batch" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  round(SUM(value), 3) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // identical sessionization semantics through custom state
     "q_stream_session_state" ->
       """WITH o AS (

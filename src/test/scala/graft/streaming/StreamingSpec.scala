@@ -289,4 +289,45 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.subsetOf(batch))
     } finally query.stop()
   }
+
+  test("watermark-scoped dedup keeps the first arrival per event id") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type")
+
+    val query = Streaming
+      .dedupedEvents(df, keys = Seq("event_id"), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode("append").start()
+    try {
+      // id 1 delivered twice across micro-batches (an at-least-once
+      // replay), id 2 once; dedup emits first arrivals immediately
+      input.addData((1L, ts("2024-01-01 10:00:00"), "click"))
+      runUntilIdle(query)
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "click"),
+        (2L, ts("2024-01-01 10:05:00"), "view"))
+      runUntilIdle(query)
+      val rows = spark.table("dedup_ev").collect()
+      assert(rows.length == 2, rows.mkString(","))
+      assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(1L, 2L))
+
+      // replay id 1 again while its event time is still within the
+      // watermark interval -> still suppressed
+      input.addData((1L, ts("2024-01-01 10:00:00"), "click"))
+      runUntilIdle(query)
+      assert(spark.table("dedup_ev").count() == 2)
+    } finally query.stop()
+  }
+
+  test("batch child of dedupedEvents collapses exact replays") {
+    val rows = Seq(
+      (10L, ts("2024-01-01 10:00:00"), "click", 1.5),
+      (11L, ts("2024-01-01 10:01:00"), "view", 2.5))
+      .toDF("event_id", "ts", "event_type", "value")
+    val doubled = rows.unionAll(rows)
+    val out = Streaming.dedupedEvents(doubled)
+    assert(out.count() == 2)
+    assert(out.agg(sum("value")).head.getDouble(0) == 4.0)
+  }
 }
