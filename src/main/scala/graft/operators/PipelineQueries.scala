@@ -370,6 +370,21 @@ object PipelineQueries {
         .withColumn("keep", col("keep").cast("long"))
         .orderBy("vec_id")
     }),
+    // single-term BM25 retrieval over three mid-frequency corpus terms;
+    // rank order pinned by round-6-then-rank with doc_id tiebreak
+    "text_bm25_topk" -> ((s, d) => {
+      TextAnalysis.bm25TopK(t(s, d, "documents"),
+        queryTerms = Seq("data", "query", "table"), k = 5)
+        .orderBy("term", "rank")
+    }),
+    "text_unigram_logprob" -> ((s, d) => {
+      TextAnalysis.unigramLogProb(t(s, d, "documents"))
+        .orderBy("doc_id")
+    }),
+    "text_common_spans" -> ((s, d) => {
+      TextAnalysis.commonSpans(t(s, d, "documents"), n = 8, k = 20)
+        .orderBy("rank")
+    }),
     "text_repetition" -> ((s, d) => {
       // explode(array(struct)) is a deliberate once-per-row barrier:
       // extracting 3 fields from the struct in one Project would
@@ -1060,6 +1075,81 @@ object PipelineQueries {
         |  CAST(e.vec_id = COALESCE(cl.cluster_id, e.vec_id) AS BIGINT) AS keep
         |FROM e LEFT JOIN cl ON e.vec_id = cl.node
         |ORDER BY e.vec_id""".stripMargin,
+    // same k1=1.2 b=0.75 Okapi constants and round-6-before-rank rule
+    // as the Spark plan; DuckDB's list_filter counts tf per term
+    "text_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    AVG(CAST(len(ts) AS DOUBLE)) AS avgdl
+        |  FROM toks),
+        |q(term) AS (VALUES ('data'), ('query'), ('table')),
+        |tf AS (
+        |  SELECT t.doc_id, q.term,
+        |    CAST(len(list_filter(t.ts, x -> x = q.term)) AS DOUBLE) AS tf,
+        |    CAST(len(t.ts) AS DOUBLE) AS dl
+        |  FROM toks t CROSS JOIN q),
+        |tfpos AS (SELECT * FROM tf WHERE tf > 0),
+        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+        |       FROM tfpos GROUP BY term),
+        |scored AS (
+        |  SELECT f.term, f.doc_id,
+        |    round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |      * f.tf * 2.2
+        |      / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * f.dl / s.avgdl)), 6)
+        |      AS bm25
+        |  FROM tfpos f
+        |  JOIN df d ON f.term = d.term
+        |  CROSS JOIN stats s),
+        |ranked AS (
+        |  SELECT term, doc_id, bm25,
+        |    CAST(row_number() OVER (PARTITION BY term
+        |      ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT term, rank, doc_id, bm25 FROM ranked
+        |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
+    // ln(total) - ln(n), NOT ln(n/total): mirrors the Spark plan's
+    // formulation so both engines run the same float operations
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+        |total AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM counts)
+        |SELECT k.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  round(AVG(ln(t.tot) - ln(CAST(c.n AS DOUBLE))), 6)
+        |    AS avg_neg_logprob
+        |FROM toks k
+        |JOIN counts c ON k.term = c.term
+        |CROSS JOIN total t
+        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
+    // distinct word-8-grams per doc (same CTE family as
+    // dedup_contamination), then the top-20 by containing-doc count
+    "text_common_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(ts) >= 8
+        |    THEN list_distinct([array_to_string(ts[i:i+7], ' ')
+        |                        for i in generate_series(1, len(ts) - 7)])
+        |    ELSE [array_to_string(ts, ' ')] END AS grams
+        |  FROM toks),
+        |spans AS (
+        |  SELECT unnest(grams) AS span, doc_id FROM g),
+        |counted AS (
+        |  SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM spans GROUP BY span)
+        |SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, span) AS INT)
+        |    AS rank,
+        |  span, n_docs
+        |FROM counted ORDER BY n_docs DESC, span LIMIT 20""".stripMargin,
     // integer-count ratios in double arithmetic: exact division inputs
     // on both engines, positive values, so round-6 agrees (both round
     // half away from zero for positives)

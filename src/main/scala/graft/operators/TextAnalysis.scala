@@ -229,6 +229,128 @@ object TextAnalysis {
     result
   }
 
+  /** BM25 retrieval for a set of single-term queries: the ranking
+    * function of every keyword-search / data-curation retrieval stage
+    * (Robertson/Sparck Jones; the k1/b defaults are the standard Okapi
+    * values). Scores are rounded to 6 BEFORE ranking and ties break by
+    * doc_id, so the rank order is reproducible in any engine.
+    *
+    * Plan shape at scale: one explode with the term filter applied
+    * DIRECTLY on the generator output (only query-term postings survive
+    * into the aggregation — the corpus-sized token stream never
+    * shuffles), one (doc, term) hash aggregation, a per-term df
+    * aggregate (|queryTerms| rows, broadcast back), and a per-term top-k
+    * window that WindowTopKRule rewrites into the bounded-heap
+    * aggregate. Corpus stats (N, avgdl) are one tiny agg job at build
+    * time — the same driver-coordinated literal pattern as
+    * [[tfidfTopTerms]]'s N.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = Corpus.spread(docs).select(
+      col(idCol).as("doc_id"),
+      split(lower(trim(col(textCol))), "\\s+").as("ts"))
+    val stats = base
+      .agg(count(lit(1)).as("n"), avg(size(col("ts"))).as("avgdl")).head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+    val postings = base
+      .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
+        explode(col("ts")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = postings.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val scored = tf.join(broadcast(df), "term")
+      .select(col("term"), col("doc_id"),
+        round(idf * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)), 6)
+          .as("bm25"))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("term")
+          .orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select("term", "rank", "doc_id", "bm25")
+  }
+
+  /** Per-document average negative log-likelihood under the corpus's own
+    * unigram language model — the cheap perplexity-style quality signal:
+    * documents full of corpus-rare words score high, formulaic documents
+    * score low. p(w) = corpus_count(w) / total_tokens, score =
+    * avg(-ln p(w)) over the document's token occurrences, rounded to 6.
+    *
+    * Plan shape at scale: token counts are one hash aggregation (the
+    * model); the probe joins the exploded corpus to the model on term —
+    * vocabulary is zipfian-bounded, so the model side is orders of
+    * magnitude smaller than the corpus and AQE picks broadcast vs
+    * shuffle by measured size (no static hint); then one per-doc
+    * aggregation. The count frame is persisted for the duration of the
+    * two consumers (total + probe) and released after materialization —
+    * the same eager discipline as [[vocabCoverage]].
+    */
+  def unigramLogProb(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = Corpus.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("n")).persist()
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val result = toks.join(counts, "term")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        round(avg(-(log(col("n").cast("double")) - math.log(total.toDouble))), 6)
+          .as("avg_neg_logprob"))
+      .persist()
+    result.foreach(_ => ())
+    counts.unpersist()
+    result
+  }
+
+  /** Corpus-level boilerplate detection: the `k` word `n`-grams shared
+    * by the most documents (distinct grams per doc via the codegen'd
+    * [[graft.functions.TextShingles.wordNgrams]], so a doc repeating a
+    * span internally counts once). Repeated long spans across documents
+    * are headers/footers/licence blocks — the removal targets of a
+    * C4-style cleanup pass. Plan shape: one explode + one hash
+    * aggregation + TakeOrderedAndProject top-k (per-partition heaps, no
+    * global sort); rank ties break by span text.
+    */
+  def commonSpans(
+      docs: DataFrame,
+      n: Int = 8,
+      k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    Corpus.spread(docs)
+      .select(explode(
+        graft.functions.TextShingles.wordNgrams(col(textCol), n)).as("span"))
+      .groupBy("span").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("span"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_docs").desc, col("span")))
+          .cast("int"))
+      .select("rank", "span", "n_docs")
+  }
+
   def tfidfTopTerms(
       docs: DataFrame,
       k: Int = 3,

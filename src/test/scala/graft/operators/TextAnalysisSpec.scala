@@ -138,4 +138,64 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)
     assert(top.select("doc_id").distinct().count() == docs.count())
   }
+
+  test("bm25 ranks the higher-tf doc first on a hand-built corpus") {
+    // 4 docs, query term "cat": doc 1 tf=3/dl=4, doc 2 tf=1/dl=4,
+    // docs 3-4 no hit; same dl cancels the length norm, so tf decides
+    val docs = Seq(
+      (1L, "cat cat cat dog"),
+      (2L, "cat dog dog dog"),
+      (3L, "dog dog dog dog"),
+      (4L, "bird bird bird bird")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq("cat"), k = 10)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+    // N=4, df=2 -> idf = ln(1 + 2.5/2.5) = ln 2; dl=avgdl -> norm term
+    // is k1; score(tf) = ln2 * tf*2.2/(tf+1.2)
+    val ln2 = math.log(2.0)
+    def score(tf: Double) = BigDecimal(ln2 * tf * 2.2 / (tf + 1.2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_.getAs[Double]("bm25")).toSeq ==
+      Seq(score(3.0), score(1.0)))
+  }
+
+  test("unigram logprob separates rare-word docs from common-word docs") {
+    // corpus: "the" x6, "rare" x1, "word" x1 over 8 tokens
+    val docs = Seq(
+      (1L, "the the the"),
+      (2L, "the the the"),
+      (3L, "rare word")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // p(the)=6/8 -> -ln = ln(8)-ln(6); p(rare)=p(word)=1/8 -> ln 8
+    assert(got(1L) == ((3L, r6(math.log(8) - math.log(6)))))
+    assert(got(1L) == got(2L))
+    assert(got(3L) == ((2L, r6(math.log(8.0)))))
+    assert(got(3L)._2 > got(1L)._2) // rare words score higher
+  }
+
+  test("common spans surface the cross-document boilerplate n-gram") {
+    val boiler = "this content is provided as is without any warranty"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, s"unrelated text entirely here now yes truly original")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.commonSpans(docs, n = 8, k = 3)
+      .orderBy("rank").collect()
+    // the 9-word boilerplate yields two 8-gram shingles, each in 2 docs;
+    // every other span is unique (n_docs = 1)
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("n_docs") == 2L)
+    assert(got(1).getAs[Long]("n_docs") == 2L)
+    assert(got(0).getAs[String]("span").split(" ").length == 8)
+    assert(boiler.contains(got(0).getAs[String]("span").split(" ").head) ||
+      got(0).getAs[String]("span").startsWith("content"))
+    assert(got(2).getAs[Long]("n_docs") == 1L)
+  }
 }
