@@ -47,6 +47,46 @@ object Corpus {
     * into a bounded-heap partial aggregate, so at scale each map task
     * forwards at most n rows per stratum — no stratum-wide sort.
     */
+  /** Deterministic weighted sample without replacement (Efraimidis–
+    * Spirakis A-ES): each row gets key = −ln(u) / w with u a
+    * cryptographic-hash uniform in (0, 1] derived from the id, and the
+    * `n` SMALLEST keys win — inclusion probability proportional to
+    * weight, with the same reproducibility contract as
+    * [[stratifiedSample]] (no rand(), no seed-vs-partitioning coupling;
+    * the same rows win on any cluster layout, and the draw is externally
+    * oracle-checkable because every operation is plain IEEE arithmetic
+    * on an md5 prefix). Keys round to 6 BEFORE ranking (ties break by
+    * id) so cross-engine libm noise in ln cannot flip the rank order.
+    *
+    * Rows with NULL or non-positive weight are excluded — a zero weight
+    * has no well-defined exponential race time.
+    *
+    * Scale shape: one narrow per-row projection, then orderBy+limit —
+    * planned as TakeOrderedAndProject (per-partition bounded heaps, at
+    * most n rows shuffle); the rank window runs over n rows only.
+    */
+  def weightedSample(
+      df: DataFrame,
+      weightCol: String,
+      n: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val h: Column =
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    // (h+1)/2^60 ∈ (0,1]: 60 hash bits, +1.0 AFTER the double cast so
+    // the oracle can replay the identical rounding sequence
+    val u = (h.cast("double") + lit(1.0)) / lit(1.152921504606846976e18)
+    val key = round(-log(u) / col(weightCol).cast("double"), 6)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key", key)
+      .orderBy(col("es_key"), col(idCol))
+      .limit(n)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("es_key"), col(idCol))).cast("int"))
+  }
+
   def stratifiedSample(
       df: DataFrame,
       strataCol: String,

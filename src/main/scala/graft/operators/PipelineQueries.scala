@@ -349,6 +349,14 @@ object PipelineQueries {
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")
     }),
+    // A-ES weighted draw: longer documents proportionally more likely;
+    // the es_key column is part of the contract (the oracle recomputes
+    // the full exponential race, not just the winning set)
+    "corpus_weighted_sample" -> ((s, d) => {
+      Corpus.weightedSample(t(s, d, "documents"), "n_chars", n = 50)
+        .select("sample_rank", "doc_id", "n_chars", "es_key")
+        .orderBy("sample_rank")
+    }),
     // train/eval decontamination: src0 plays the benchmark set, the
     // remaining 19 sources the corpus; a hit = a shared distinct word
     // 8-gram (long enough that collisions mean shared provenance)
@@ -870,6 +878,27 @@ object PipelineQueries {
         |  FROM h)
         |SELECT lang, sample_rank, doc_id FROM r
         |WHERE sample_rank <= 50 ORDER BY lang, sample_rank""".stripMargin,
+    // identical IEEE sequence: (CAST + 1.0) / 2^60, -ln, / weight,
+    // round 6, rank ascending with doc_id ties
+    "corpus_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS hk
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |k AS (
+        |  SELECT doc_id, n_chars,
+        |    round(-ln((CAST(hk AS DOUBLE) + 1.0) / 1152921504606846976.0)
+        |          / CAST(n_chars AS DOUBLE), 6) AS es_key
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, n_chars, es_key,
+        |    CAST(row_number() OVER (ORDER BY es_key, doc_id) AS INT)
+        |      AS sample_rank
+        |  FROM k)
+        |SELECT sample_rank, doc_id, n_chars, es_key FROM r
+        |WHERE sample_rank <= 50 ORDER BY sample_rank""".stripMargin,
     // top-100 vocabulary with cumulative token share, ties by term
     "corpus_vocab_coverage" ->
       """WITH toks AS (

@@ -41,6 +41,9 @@ object Sinks {
   private lazy val evolutionDir: String = scratch("graft-write-evolution")
   private lazy val bucketLiDir: String = scratch("graft-bucketed-lineitem")
   private lazy val bucketOrdDir: String = scratch("graft-bucketed-orders")
+  private lazy val rollupStateDir: String = scratch("graft-rollup-state")
+  private lazy val sketchDir: String = scratch("graft-sketch-state")
+  private lazy val snapshotDir: String = scratch("graft-snapshots")
 
   /** Compact a directory of small parquet files into ~`targetFileBytes`
     * outputs: size the file count from the ACTUAL on-disk bytes, not a
@@ -234,8 +237,100 @@ object Sinks {
       .orderBy("o_orderpriority")
   }
 
+  /** Incremental rollup maintenance: a 100 TB pipeline never re-scans
+    * history to refresh an aggregate — it stores DECOMPOSABLE partial
+    * state (count, decimal sum) and folds each new batch in. Day 1's
+    * aggregate is written to parquet; day 2 arrives, aggregates alone,
+    * and merges with the STORED state by re-aggregation — the derived
+    * average exists only in the final projection (an avg column in the
+    * state would not merge). The oracle recomputes from the full table:
+    * a hash match proves state + delta = full-history truth.
+    */
+  private def incrementalRollup(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables(s, d, "orders")
+    def dailyAgg(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_price"))
+    dailyAgg(orders.filter(col("o_orderkey") % 3 =!= 0))
+      .write.mode("overwrite").parquet(rollupStateDir)
+    val state = s.read.parquet(rollupStateDir)
+    val delta = dailyAgg(orders.filter(col("o_orderkey") % 3 === 0))
+    state.unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("sum_price")).as("merged_price"))
+      .select(
+        col("o_orderpriority"),
+        col("n_orders"),
+        col("merged_price").cast("double").as("sum_price"),
+        round(col("merged_price").cast("double") / col("n_orders"), 6)
+          .as("avg_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Mergeable-sketch state: HLL sketches are the distinct-count
+    * analogue of [[incrementalRollup]]'s sum/count — per-batch sketches
+    * persist as BYTES and union later without rescanning history (exact
+    * distinct state would be the full value set). Fine-grained
+    * (l_returnflag, l_linestatus) sketches round-trip through parquet,
+    * then merge up to per-returnflag estimates; the gate bit asserts
+    * every merged estimate landed within HLL's documented ±5% of the
+    * exact distinct the oracle recomputes.
+    */
+  private def sketchUnionRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val li = Tables(s, d, "lineitem")
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .write.mode("overwrite").parquet(sketchDir)
+    val merged = s.read.parquet(sketchDir)
+      .groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    merged.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"),
+        when(
+          abs(col("approx") - col("n_exact")).cast("double")
+            / col("n_exact") <= 0.05, lit(1L))
+          .otherwise(lit(0L)).as("ok"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Snapshot commits + time travel over [[Snapshots]]: v1 publishes the
+    * even-id half, v2 publishes everything; the entry reads BOTH
+    * versions back (v1 via time travel, v2 via the pointer) and emits
+    * per-version per-language counts. The oracle recomputes both
+    * versions from the source table — a hash match proves the pointer
+    * flip published v2 without disturbing v1's immutable files.
+    */
+  private def snapshotTimeTravel(s: SparkSession, d: String): DataFrame = {
+    // fresh table per call: scratch() reuses the directory across
+    // Verify/Bench runs, so clear any previous pointer + snapshots
+    val dir = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang")
+    Snapshots.commit(s, docs.filter(col("doc_id") % 2 === 0), snapshotDir)
+    Snapshots.commit(s, docs, snapshotDir)
+    val v1 = Snapshots.readVersion(s, snapshotDir, 1L)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("version", lit(1L))
+    val latest = Snapshots.read(s, snapshotDir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("version", lit(2L))
+    v1.unionByName(latest)
+      .select("version", "lang", "n_docs")
+      .orderBy("version", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> (bucketedJoin _),
+    "q_incremental_rollup" -> (incrementalRollup _),
+    "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
+    "q_snapshot_timetravel" -> (snapshotTimeTravel _),
     "q_write_partitioned" -> (writeRoundTrip _),
     "q_write_sorted" -> (sortedRoundTrip _),
     "q_write_compacted" -> (compactRoundTrip _),
@@ -245,6 +340,36 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_incremental_rollup" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |        / COUNT(*), 6) AS avg_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the oracle recomputes the exact distincts and pins ok=1: a hash
+    // match certifies every parquet-round-tripped, union-merged sketch
+    // estimate stayed within ±5% of truth
+    "q_sketch_union_gate" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // both committed versions replayed from the source table
+    "q_snapshot_timetravel" ->
+      """WITH v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+        |v2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang)
+        |SELECT version, lang, n_docs FROM v1
+        |UNION ALL
+        |SELECT version, lang, n_docs FROM v2
+        |ORDER BY version, lang""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_items,

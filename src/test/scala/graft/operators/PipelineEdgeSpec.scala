@@ -54,4 +54,38 @@ class PipelineEdgeSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("weightedSample: weight-proportional, deterministic, excludes nonpositive") {
+    // 200 light rows (w=1) + one overwhelming row (w=1e9): the heavy
+    // row's race key is ~1e9 times smaller than any light key, so it
+    // must win a 10-row draw (deterministic: keys are md5-derived)
+    val rows = (0L until 200L).map(i => (i, 1L)) :+ (999L, 1000000000L)
+    val docs = rows.toDF("doc_id", "w")
+    val sample = Corpus.weightedSample(docs, "w", n = 10)
+    val ids = sample.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 10)
+    assert(ids.contains(999L))
+
+    // layout independence: the same rows win on any partitioning
+    val a = Corpus.weightedSample(docs.repartition(7), "w", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == ids)
+
+    // null / zero / negative weights never race
+    val dirty = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)))
+      .toDF("doc_id", "w")
+    val clean = Corpus.weightedSample(dirty, "w", n = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(1L))
+
+    // inclusion frequency tracks weight: over a 1:10 weight split, the
+    // heavy half must dominate a half-size draw (A-ES property; exact
+    // counts are hash-determined, the margin is wide)
+    val mixed = (0L until 100L).map(i => (i, if (i < 50) 1L else 10L))
+      .toDF("doc_id", "w")
+    val draw = Corpus.weightedSample(mixed, "w", n = 50)
+      .select("doc_id").collect().map(_.getLong(0))
+    val heavy = draw.count(_ >= 50L)
+    assert(heavy > 30, s"heavy-weight rows won only $heavy of 50")
+  }
 }

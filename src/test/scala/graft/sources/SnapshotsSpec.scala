@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The snapshot-isolation contract of [[Snapshots]]: published versions
+  * are immutable, the pointer flip is all-or-nothing, and time travel
+  * reads exactly what each commit published.
+  */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("commits version, time-travels, and isolates readers from later commits") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    assert(Snapshots.version(spark, dir) == 0L)
+    intercept[IllegalArgumentException](Snapshots.read(spark, dir))
+
+    val v1 = Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    assert(v1 == 1L && Snapshots.version(spark, dir) == 1L)
+
+    // a reader resolves v1 BEFORE the next commit...
+    val readerOnV1 = Snapshots.read(spark, dir)
+
+    val v2 = Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v"), dir)
+    assert(v2 == 2L && Snapshots.version(spark, dir) == 2L)
+
+    // ...and still sees v1's rows after v2 published (immutable files)
+    assert(readerOnV1.count() == 2L)
+    assert(readerOnV1.filter($"v" === "B").count() == 0L)
+
+    // the pointer now resolves v2; v1 stays reachable by time travel
+    assert(Snapshots.read(spark, dir).count() == 3L)
+    val old = Snapshots.readVersion(spark, dir, 1L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(old.toSeq == Seq((1L, "a"), (2L, "b")))
+
+    // no half-committed state left behind: every tmp pointer is gone
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("_latest.tmp"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("a commit that fails before the pointer flip leaves the table on the old version") {
+    val dir = Files.createTempDirectory("graft-snap-crash").toString
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    // simulate the crash window: snapshot directory written, pointer not
+    // flipped — exactly the state a failed commit(…) leaves behind
+    Seq((9L, "z")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/snap-2")
+    assert(Snapshots.version(spark, dir) == 1L)
+    assert(Snapshots.read(spark, dir).count() == 1L)
+    // the next successful commit claims version 2 for ITSELF — the
+    // orphan data is overwritten, never half-visible
+    val v = Snapshots.commit(spark, Seq((2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    assert(v == 2L)
+    assert(Snapshots.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+}
