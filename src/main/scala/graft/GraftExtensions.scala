@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitsetFromPositions, BitsetIntersectCount, CharNgrams, CosineSimilarity, MinHashSignature, RepetitionStats, SimHash64, SimHashFromHashes, WordNgrams, ZOrder2}
+import graft.functions.{BitsetFromPositions, BitsetIntersectCount, CharNgrams, CosineSimilarity, MinHashSignature, RepetitionStats, SimHash64, SimHashFromHashes, WordNgrams, WordNgramsAll, ZOrder2}
 
 /** Cluster-wide registration of the library's Catalyst expressions via
   * `SparkSessionExtensions` — the deployment path for SQL users:
@@ -98,6 +98,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_ngrams(text, n) - distinct word n-gram shingles (tokenized, lowercased)"),
       (exprs: Seq[Expression]) =>
         WordNgrams(exprs(0), litInt(exprs(1), "word_ngrams", "n"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams_all"),
+      info("word_ngrams_all",
+        "word_ngrams_all(text, n) - every word n-gram occurrence in order " +
+          "(non-distinct; empty for texts shorter than n words)"),
+      (exprs: Seq[Expression]) =>
+        WordNgramsAll(exprs(0), litInt(exprs(1), "word_ngrams_all", "n"))))
 
     ext.injectFunction((
       FunctionIdentifier("repetition_stats"),

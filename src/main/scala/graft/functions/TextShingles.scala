@@ -82,6 +82,33 @@ object NgramHelper {
       new GenericArrayData(out)
     }
   }
+
+  /** ALL word n-gram occurrences in order (non-distinct) — the
+    * occurrence-statistics sibling of [[wordNgrams]]: frequency counting
+    * (BPE pair merges, occurrence-weighted boilerplate) needs every
+    * occurrence, where dedup shingling wants the distinct set. No
+    * short-document whole-text fallback: a document with fewer than n
+    * words simply has no n-gram occurrences (empty array).
+    */
+  def wordNgramsAll(text: UTF8String, n: Int): ArrayData = {
+    val ws = text.trim().toLowerCase().toString.split("\\s+", -1)
+    if (ws.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](ws.length - n + 1)
+      var i = 0
+      while (i <= ws.length - n) {
+        val sb = new java.lang.StringBuilder(ws(i))
+        var j = i + 1
+        while (j < i + n) {
+          sb.append(' ').append(ws(j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 /** Distinct character n-gram shingles of a string as a codegen'd Catalyst
@@ -154,10 +181,45 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Every word n-gram occurrence (non-distinct, in order) — see
+  * [[NgramHelper.wordNgramsAll]]. Codegen'd like its siblings.
+  */
+case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams_all"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHelper.wordNgramsAll(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.NgramHelper.wordNgramsAll($s, $n);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextShingles {
   def charNgrams(text: Column, n: Int): Column =
     GraftShims.toColumn(CharNgrams(GraftShims.toExpression(text), n))
 
   def wordNgrams(text: Column, n: Int): Column =
     GraftShims.toColumn(WordNgrams(GraftShims.toExpression(text), n))
+
+  def wordNgramsAll(text: Column, n: Int): Column =
+    GraftShims.toColumn(WordNgramsAll(GraftShims.toExpression(text), n))
 }

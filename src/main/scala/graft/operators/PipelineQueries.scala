@@ -393,6 +393,10 @@ object PipelineQueries {
       TextAnalysis.commonSpans(t(s, d, "documents"), n = 8, k = 20)
         .orderBy("rank")
     }),
+    "corpus_pair_merges" -> ((s, d) => {
+      TextAnalysis.pairMergeCandidates(t(s, d, "documents"), k = 20)
+        .orderBy("rank")
+    }),
     "text_repetition" -> ((s, d) => {
       // explode(array(struct)) is a deliberate once-per-row barrier:
       // extracting 3 fields from the struct in one Project would
@@ -1179,6 +1183,24 @@ object PipelineQueries {
         |    AS rank,
         |  span, n_docs
         |FROM counted ORDER BY n_docs DESC, span LIMIT 20""".stripMargin,
+    // every adjacent-pair OCCURRENCE (no distinct), top-20 by count
+    "corpus_pair_merges" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(CASE WHEN len(ts) >= 2
+        |    THEN [array_to_string(ts[i:i+1], ' ')
+        |          for i in generate_series(1, len(ts) - 1)]
+        |    ELSE []::VARCHAR[] END) AS pair
+        |  FROM toks),
+        |counted AS (
+        |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |  FROM pairs GROUP BY pair)
+        |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+        |    AS INT) AS rank,
+        |  pair, n_occurrences
+        |FROM counted ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
     // integer-count ratios in double arithmetic: exact division inputs
     // on both engines, positive values, so round-6 agrees (both round
     // half away from zero for positives)

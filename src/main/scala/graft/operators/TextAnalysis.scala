@@ -351,6 +351,32 @@ object TextAnalysis {
       .select("rank", "span", "n_docs")
   }
 
+  /** BPE-style pair-merge candidates: the `k` adjacent word pairs with
+    * the most OCCURRENCES corpus-wide — the statistic a pair-merge
+    * tokenizer trainer maximizes at each step (occurrence-counted,
+    * where [[commonSpans]] counts containing documents). Plan shape:
+    * one explode of the codegen'd occurrence kernel
+    * ([[graft.functions.TextShingles.wordNgramsAll]]) + one hash
+    * aggregation + TakeOrderedAndProject; rank ties break by pair text.
+    */
+  def pairMergeCandidates(
+      docs: DataFrame,
+      k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    Corpus.spread(docs)
+      .select(explode(
+        graft.functions.TextShingles.wordNgramsAll(col(textCol), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col("pair")))
+          .cast("int"))
+      .select("rank", "pair", "n_occurrences")
+  }
+
   def tfidfTopTerms(
       docs: DataFrame,
       k: Int = 3,

@@ -37,6 +37,7 @@ class GraftExtensionsSpec extends SparkSpec {
           |                         bitset_from_positions(array(1, 7), 128)) AS bic,
           |  zorder2(3L, 5L) AS zk,
           |  word_ngrams('A a b', 2) AS wn,
+          |  word_ngrams_all('A a b', 2) AS wna,
           |  repetition_stats('a a b') AS rs
           |""".stripMargin).head()
       assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-9)
@@ -50,6 +51,7 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(row.getAs[Long]("zk") == 39L)
       // 'A a b' lowercases to tokens [a,a,b] -> bigrams {a a, a b}
       assert(row.getSeq[String](row.fieldIndex("wn")).toSeq == Seq("a a", "a b"))
+      assert(row.getSeq[String](row.fieldIndex("wna")).toSeq == Seq("a a", "a b"))
       val rs = row.getStruct(row.fieldIndex("rs"))
       assert((rs.getLong(0), rs.getLong(1), rs.getLong(2), rs.getLong(3),
         rs.getLong(4)) == ((3L, 2L, 2L, 2L, 2L)))

@@ -116,6 +116,31 @@ class HashFunctionsSpec extends SparkSpec {
     assert(rows(4L) == Seq("x y x", "y x y"))
   }
 
+  test("word_ngrams_all keeps every occurrence in order; empty below n") {
+    import graft.functions.TextShingles
+    val rows = Seq(
+      (1L, "x y x y x"),   // all 4 bigram occurrences, duplicates kept
+      (2L, "solo"),        // shorter than n -> EMPTY (no whole-text rule)
+      (3L, "  A\tb  C  ")  // trim + \s+ split + lowercase
+    ).toDF("id", "t")
+      .select(col("id"), TextShingles.wordNgramsAll(col("t"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) == Seq("x y", "y x", "x y", "y x"))
+    assert(rows(2L) == Seq())
+    assert(rows(3L) == Seq("a b", "b c"))
+
+    // occurrence list distinct-ed == the distinct shingle kernel (for
+    // texts at or above n words, where the fallback rules differ)
+    val mismatches = docs.filter(size(split(trim(col("text")), "\\s+")) >= 2)
+      .select(
+        array_sort(array_distinct(
+          TextShingles.wordNgramsAll(col("text"), 2))).as("all_d"),
+        array_sort(Dedup.wordShingles(col("text"), 2)).as("dist"))
+      .filter(col("all_d") =!= col("dist"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("simhash_from_hashes matches an independent HOF sign-vote on real docs") {
     // HOF spec over the SAME md5-derived hashes: 60 interpreted passes
     def shr(v: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

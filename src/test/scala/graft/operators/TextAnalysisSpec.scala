@@ -179,6 +179,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L)._2 > got(1L)._2) // rare words score higher
   }
 
+  test("pair-merge candidates count occurrences, not documents") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // 'a b' x3, 'b a' x2
+      (2L, "a b c"),       // 'a b' x1, 'b c' x1
+      (3L, "z")            // no pairs
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.pairMergeCandidates(docs, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("pair"),
+        r.getAs[Long]("n_occurrences")))
+    assert(got.toSeq == Seq((1, "a b", 4L), (2, "b a", 2L)))
+  }
+
   test("common spans surface the cross-document boilerplate n-gram") {
     val boiler = "this content is provided as is without any warranty"
     val docs = Seq(
