@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val loadAtStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -77,7 +79,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ambient host load is the one variable that has repeatedly inflated
+    // cross-run totals 3-4x (BASELINE.md caveats, rounds 4-5); report it
+    // in-band so a hot-machine run is self-explaining (-1 = unavailable)
+    val loadAtEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val load = s""""load_avg_start":${fmt(loadAtStart)},"load_avg_end":${fmt(loadAtEnd)}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$load,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

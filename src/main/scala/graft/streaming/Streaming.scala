@@ -95,6 +95,26 @@ object Streaming {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Stream-static dimension enrichment: the canonical "join the fact
+    * stream to a reference table" shape. The static side is re-planned
+    * per micro-batch (a dimension update is picked up on the next
+    * trigger) and broadcasts when small — NO streaming state at all,
+    * unlike a stream-stream join: the static side is complete by
+    * definition, so no watermark, no state store, no eviction question.
+    * At scale this is the cheapest join a stream can run; the mistake it
+    * exists to prevent is watermarking a reference table into a
+    * stream-stream join and paying state for a side that never changes
+    * mid-batch. Batch parity: the identical plan on a batch child is a
+    * plain (broadcast) join — which is how the oracle verifies it.
+    */
+  def enrichedEvents(
+      events: DataFrame,
+      dims: DataFrame,
+      eventKey: String = "user_id",
+      dimKey: String = "c_custkey"): DataFrame =
+    events.join(broadcast(dims), col(eventKey) === col(dimKey))
+      .drop(dimKey)
+
   /** Exactly-once ingest dedup: at-least-once sources (replayed source
     * batches, retried producers) deliver the same event twice, and a
     * pipeline that counts or bills on duplicates is wrong at any scale.

@@ -72,6 +72,17 @@ object StreamingQueries {
           coalesce(round(col("value"), 3), lit(0.0)).as("value"))
         .orderBy("user_id", "click_s", "purchase_s")
     }),
+    // stream-static enrichment on its batch child: every event picks up
+    // its user's market segment from the static customer dimension
+    "q_stream_enrich_batch" -> ((s, d) => {
+      Streaming.enrichedEvents(t(s, d), Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        .groupBy("event_type", "c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 3).as("total_value"))
+        .orderBy("event_type", "c_mktsegment")
+    }),
     // at-least-once replay dedup on its batch child: the doubled events
     // table (every event delivered exactly twice) must dedup back to the
     // original per-type counts — the oracle never sees the duplication
@@ -172,6 +183,13 @@ object StreamingQueries {
         |  AND p.purchase_ts >= c.click_ts
         |  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
         |ORDER BY c.user_id, click_s, purchase_s""".stripMargin,
+    "q_stream_enrich_batch" ->
+      """SELECT event_type, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  round(SUM(value), 3) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY event_type, c_mktsegment
+        |ORDER BY event_type, c_mktsegment""".stripMargin,
     // dedup of the doubled table = the original table's aggregates
     "q_stream_dedup_batch" ->
       """SELECT event_type,

@@ -320,6 +320,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch to the dimension, stateless") {
+    implicit val ctx = spark.sqlContext
+    val dims = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[(Long, Double)]
+    val df = input.toDF().toDF("user_id", "value")
+
+    val query = Streaming.enrichedEvents(df, dims)
+      .writeStream.format("memory").queryName("enrich_ev")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0), (7L, 99.0)) // 7 has no dim row
+      runUntilIdle(query)
+      input.addData((1L, 5.0)) // second micro-batch re-resolves the dim
+      runUntilIdle(query)
+      val rows = spark.table("enrich_ev")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Double]("value"), r.getAs[String]("c_mktsegment"))).toSet
+      assert(rows == Set(
+        (1L, 10.0, "BUILDING"), (2L, 20.0, "MACHINERY"), (1L, 5.0, "BUILDING")))
+      // stateless: the progress log must report no state store rows
+      val progress = query.lastProgress
+      assert(progress == null || progress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("batch child of dedupedEvents collapses exact replays") {
     val rows = Seq(
       (10L, ts("2024-01-01 10:00:00"), "click", 1.5),
