@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative numeric graph computation, complementing
+  * [[Dedup.duplicateClusters]]' label propagation: PageRank-style
+  * centrality over an edge list. On a duplicate-pair graph this ranks
+  * the most-connected document inside each near-dup cluster — a
+  * canonical-representative signal (keep the hub, drop the satellites).
+  *
+  * Spark shape: the driver-coordinated fixpoint loop that Spark's own
+  * graph libraries use — each round is one join (ranks onto edges) +
+  * one aggregation (contributions per destination), with
+  * `localCheckpoint` truncating lineage so round N's plan does not
+  * re-derive rounds 1..N-1 (the classic iterative-job OOM). Work per
+  * round is O(|E|) shuffled once; the loop is `iterations` rounds flat
+  * — no convergence test, so the job count is known at submit time.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over a DIRECTED edge list (`src`, `dst`
+    * long columns). Formulation: r₀ = 1/N;
+    * r(v) = (1−d)/N + d · Σ_{u→v} r(u)/outdeg(u); dangling mass is not
+    * redistributed (nodes with no out-edges absorb rank — the simple
+    * variant, mirrored exactly by the SQL oracle). Ranks round to 6
+    * only at the END; every iteration is plain IEEE double arithmetic
+    * reproducible in any engine.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct().persist()
+    val n = nodes.count()
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(outDeg, "src")
+      .select("src", "dst", "deg").persist()
+    withDeg.foreach(_ => ())
+    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("in_c"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("in_c"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    val out = ranks.select(col("id"), round(col("r"), 6).as("pagerank"))
+    nodes.unpersist()
+    withDeg.unpersist()
+    out
+  }
+
+  /** The symmetric (both-directions) edge list of an undirected pair
+    * frame (`id_a`, `id_b`).
+    */
+  def symmetricEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+}

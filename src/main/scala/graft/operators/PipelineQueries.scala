@@ -74,6 +74,18 @@ object PipelineQueries {
       Dedup.duplicateClusters(Dedup.minhashPairs(t(s, d, "documents")))
         .orderBy("doc_id")
     }),
+    // PageRank centrality over the SAME near-dup pair graph: the
+    // highest-ranked doc in each cluster is its canonical
+    // representative; 10 fixed power iterations, one |E|-join+agg each,
+    // lineage truncated per round. The oracle UNROLLS the iterations as
+    // a CTE chain (it0..it10) over the proven exact-Jaccard pair set —
+    // same IEEE formulation, rounded to 6 only at the end.
+    "graph_pagerank" -> ((s, d) => {
+      Graph.pageRank(Graph.symmetricEdges(
+          Dedup.minhashPairs(t(s, d, "documents")).select("id_a", "id_b")))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // corpus embeddings are near-orthogonal (max pairwise cosine ≈0.51),
     // so the demo threshold is 0.4; production near-dup would use ≥0.95.
     // The named entry is the EXACT path (DuckDB all-pairs oracle, cosine
@@ -415,7 +427,56 @@ object PipelineQueries {
     })
   )
 
+  /** Unrolled PageRank oracle: the same exact-Jaccard pair CTEs as
+    * `dedup_minhash`/`dedup_clusters`, then `iters` power iterations as
+    * an explicit CTE chain (standard SQL forbids aggregation in a
+    * recursive term, so the fixed iteration count is written out — the
+    * loop the Spark side runs, made literal). Every arithmetic step
+    * mirrors Graph.pageRank's IEEE sequence.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val base =
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(ts) >= 3
+        |    THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                        for i in generate_series(1, len(ts) - 2)])
+        |    ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM toks),
+        |p AS (
+        |  SELECT l.id AS id_a, r.id AS id_b
+        |  FROM sh l JOIN sh r ON l.id < r.id
+        |  WHERE CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(l.shingles, r.shingles))) AS DOUBLE)
+        |      >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM p),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |it0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT nd.id,
+         |    (1.0 - 0.85) / (SELECT n FROM nn)
+         |      + 0.85 * COALESCE(SUM(pr.r / deg.deg), 0.0) AS r
+         |  FROM nodes nd
+         |  LEFT JOIN edges ON edges.dst = nd.id
+         |  LEFT JOIN it${i - 1} pr ON pr.id = edges.src
+         |  LEFT JOIN deg ON deg.src = edges.src
+         |  GROUP BY nd.id)""".stripMargin
+    }
+    (base +: its).mkString(",\n") +
+      s"\nSELECT id AS doc_id, round(r, 6) AS pagerank FROM it$iters ORDER BY doc_id"
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankOracle(10),
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
