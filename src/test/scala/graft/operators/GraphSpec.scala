@@ -29,6 +29,16 @@ class GraphSpec extends SparkSpec {
     assert(ranks == Map(1L -> 0.5, 2L -> 0.5))
   }
 
+  test("everyNodeReceives fast path equals the general path on a symmetric graph") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val edges = Graph.symmetricEdges(pairs)
+    val general = Graph.pageRank(edges, iterations = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fast = Graph.pageRank(edges, iterations = 7, everyNodeReceives = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast == general && fast.size == 5)
+  }
+
   test("symmetricEdges emits both directions") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val got = Graph.symmetricEdges(pairs)
