@@ -844,6 +844,55 @@ object RelationalQueries {
           coalesce(col("n_events"), lit(0L)).as("n_events"))
         .orderBy("hour_epoch")
     }),
+    "q_ohlc_bars" -> ((s, d) => {
+      // OHLC downsample (the financial candlestick resample): per
+      // (event_type, hour), open/close are the values of the earliest/
+      // latest event — min_by/max_by over a composite (epoch, event_id)
+      // key so same-second ties break identically in any engine — and
+      // high/low are plain min/max. ONE hash aggregation over the fact
+      // stream; values pass through untouched (no float arithmetic to
+      // reconcile). At scale this is the canonical bar-building plan:
+      // map-side partial min_by/max_by, one shuffle on (type, hour).
+      val ev = t(s, d, "events")
+      val key = col("ts").cast("long") * 10000000L + col("event_id")
+      ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          min_by(col("value"), key).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), key).as("close"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("hour").cast("long").as("hour_s"),
+          col("open"), col("high"), col("low"), col("close"), col("n_events"))
+        .orderBy("event_type", "hour_s")
+    }),
+    "q_time_weighted_avg" -> ((s, d) => {
+      // time-weighted average per user: each value is weighted by how
+      // long it REMAINED current (duration to the next event); the last
+      // observation carries no interval and drops out. The correct mean
+      // for irregularly-sampled state (a plain avg over-weights bursts).
+      // One window (lead over the user timeline, event_id tie-break) +
+      // one aggregation; durations in whole seconds (the data is
+      // second-aligned), ratio rounded to 6.
+      val ev = t(s, d, "events")
+      // epoch-seconds ordering is equivalent to timestamp ordering (the
+      // cast is monotone); event_id breaks same-second ties
+      val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+      ev.select(col("user_id"), col("value"), col("event_id"),
+          col("ts").cast("long").as("ts_s"))
+        .withColumn("dur",
+          lead(col("ts_s"), 1).over(w) - col("ts_s"))
+        .filter(col("dur").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("value") * col("dur")).as("vd"),
+          sum(col("dur")).as("d"))
+        .filter(col("d") > 0)
+        .select(col("user_id"), col("n_intervals"),
+          round(col("vd") / col("d"), 6).as("twa"))
+        .orderBy("user_id")
+    }),
     "q_gapfill_locf" -> ((s, d) => {
       // gap-fill with last-observation-carried-forward: empty hours take
       // the previous hour's average value. The carry uses the portable
@@ -1247,6 +1296,35 @@ object RelationalQueries {
         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
         |FROM spine s LEFT JOIN counts c USING (hour)
         |ORDER BY hour_epoch""".stripMargin,
+    "q_ohlc_bars" ->
+      """SELECT event_type,
+        |  CAST(epoch_ns(date_trunc('hour', ts)) // 1000000000 AS BIGINT)
+        |    AS hour_s,
+        |  arg_min(value, epoch_ns(ts) // 1000000000 * 10000000 + event_id)
+        |    AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  arg_max(value, epoch_ns(ts) // 1000000000 * 10000000 + event_id)
+        |    AS close,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same formulation: value * seconds-to-next summed, divided, round 6
+    "q_time_weighted_avg" ->
+      """WITH o AS (
+        |  SELECT user_id, value,
+        |    epoch_ns(ts) // 1000000000 AS ts_s,
+        |    lead(epoch_ns(ts) // 1000000000) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS next_s
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, value, next_s - ts_s AS dur FROM o
+        |  WHERE next_s IS NOT NULL)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  round(SUM(value * dur) / SUM(dur), 6) AS twa
+        |FROM iv GROUP BY user_id
+        |HAVING SUM(dur) > 0
+        |ORDER BY user_id""".stripMargin,
     "q_gapfill_locf" ->
       """WITH bounds AS (
         |  SELECT date_trunc('hour', MIN(ts)) AS h0,
