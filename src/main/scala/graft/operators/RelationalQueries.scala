@@ -844,6 +844,44 @@ object RelationalQueries {
           coalesce(col("n_events"), lit(0L)).as("n_events"))
         .orderBy("hour_epoch")
     }),
+    "q_freq_items_gate" -> ((s, d) => {
+      // heavy-hitter sketch gate: stat.freqItems (Karp/Misra-Gries
+      // counter sketch — single pass, fixed 1/support counters per
+      // partition, mergeable) guarantees a SUPERSET of the items above
+      // the support threshold; the gate asserts no true heavy hitter
+      // was missed. Exact counts ride along for the oracle; the sketch
+      // result is a 1-row driver literal, the same gate pattern as
+      // q_approx_distinct_gate.
+      val li = t(s, d, "lineitem")
+      val support = 0.2
+      val freq = li.stat.freqItems(Seq("l_returnflag"), support)
+        .head.getSeq[String](0).toSet
+      val total = li.count()
+      li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+        .filter(col("n_rows").cast("double") / total >= support)
+        .select(col("l_returnflag"), col("n_rows"),
+          when(col("l_returnflag").isin(freq.toSeq: _*), lit(1L))
+            .otherwise(lit(0L)).as("ok"))
+        .orderBy("l_returnflag")
+    }),
+    "q_outliers_zscore" -> ((s, d) => {
+      // per-group z-score outlier flagging: the data-quality screen that
+      // catches a bad sensor/feed without fixed thresholds. Group
+      // moments are a 5-row aggregate broadcast back onto the stream —
+      // one scan + one tiny join, no window over the corpus. z rounds
+      // to 6 BEFORE the cut so the flagged set is engine-reproducible
+      // (sample stddev, the default in both engines).
+      val ev = t(s, d, "events")
+      val moments = ev.groupBy("event_type")
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sigma"))
+      ev.join(broadcast(moments), "event_type")
+        .filter(col("sigma") > 0)
+        .select(col("event_type"), col("event_id"),
+          round((col("value") - col("mu")) / col("sigma"), 6).as("z"))
+        .filter(abs(col("z")) > 3.0)
+        .orderBy("event_type", "event_id")
+    }),
     "q_ohlc_bars" -> ((s, d) => {
       // OHLC downsample (the financial candlestick resample): per
       // (event_type, hour), open/close are the values of the earliest/
@@ -1296,6 +1334,28 @@ object RelationalQueries {
         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
         |FROM spine s LEFT JOIN counts c USING (hour)
         |ORDER BY hour_epoch""".stripMargin,
+    // the oracle recomputes the exact heavy hitters and pins ok=1: a
+    // hash match certifies the sketch surfaced every one of them
+    "q_freq_items_gate" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM lineitem CROSS JOIN t
+        |GROUP BY l_returnflag, t.total
+        |HAVING CAST(COUNT(*) AS DOUBLE) / t.total >= 0.2
+        |ORDER BY l_returnflag""".stripMargin,
+    // identical float sequence: (value - mu) / sigma, round 6, cut at 3
+    "q_outliers_zscore" ->
+      """WITH m AS (
+        |  SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.event_id,
+        |  round((e.value - m.mu) / m.sigma, 6) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE m.sigma > 0
+        |  AND abs(round((e.value - m.mu) / m.sigma, 6)) > 3.0
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
     "q_ohlc_bars" ->
       """SELECT event_type,
         |  CAST(epoch_ns(date_trunc('hour', ts)) // 1000000000 AS BIGINT)
