@@ -352,6 +352,23 @@ object PipelineQueries {
     "embedding_quantize" -> ((s, d) => {
       Similarity.quantizeInt8(t(s, d, "embeddings")).orderBy("vec_id")
     }),
+    // per-dimension corpus moments — the drift/normalization statistics
+    // a serving stack monitors per feature: posexplode + ONE hash
+    // aggregation on dim (64 output rows however many vectors exist);
+    // map-side partial moments, stddev in sample form, all rounded 6
+    "embedding_dim_stats" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"), col("x").cast("double").as("x"))
+        .groupBy("dim")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("x")), 6).as("mu"),
+          round(stddev_samp(col("x")), 6).as("sigma"),
+          round(min(col("x")), 6).as("v_min"),
+          round(max(col("x")), 6).as("v_max"))
+        .orderBy("dim")
+    }),
 
     // ---- keyword extraction / vocabulary stats ----
     "text_tfidf_top3" -> ((s, d) => {
@@ -414,6 +431,10 @@ object PipelineQueries {
     "corpus_pair_merges" -> ((s, d) => {
       TextAnalysis.pairMergeCandidates(t(s, d, "documents"), k = 20)
         .orderBy("rank")
+    }),
+    "text_char_entropy" -> ((s, d) => {
+      TextAnalysis.charEntropy(t(s, d, "documents"))
+        .orderBy("doc_id")
     }),
     "text_repetition" -> ((s, d) => {
       // explode(array(struct)) is a deliberate once-per-row barrier:
@@ -890,6 +911,21 @@ object PipelineQueries {
         |       THEN round(sqrt(CAST(q AS DOUBLE) / m.n_out), 6) END AS rms_s
         |FROM m LEFT JOIN st ON m.doc_id = st.doc_id
         |ORDER BY m.doc_id""".stripMargin,
+    // parallel unnests zip in DuckDB: value with its 0-based dim index
+    "embedding_dim_stats" ->
+      """WITH e AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (
+        |  SELECT unnest(generate_series(0, len(v) - 1)) AS dim,
+        |    unnest(v) AS x
+        |  FROM e)
+        |SELECT CAST(dim AS INT) AS dim,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(AVG(x), 6) AS mu,
+        |  round(stddev_samp(x), 6) AS sigma,
+        |  round(MIN(x), 6) AS v_min,
+        |  round(MAX(x), 6) AS v_max
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
     // affine int8 quantization recomputed over the same doubles:
     // q_i = floor((v_i - min)/scale) clamped to 255, scale = (max-min)/255
     "embedding_quantize" ->
@@ -1250,6 +1286,23 @@ object PipelineQueries {
         |    AS rank,
         |  span, n_docs
         |FROM counted ORDER BY n_docs DESC, span LIMIT 20""".stripMargin,
+    // same −Σ p·ln p fold; SUM(n) cast to DOUBLE so the division is
+    // float on both engines (DuckDB's BIGINT SUM widens to HUGEINT)
+    "text_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM chars GROUP BY doc_id, c),
+        |tot AS (
+        |  SELECT doc_id, CAST(SUM(n) AS DOUBLE) AS tot
+        |  FROM counts GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+        |  round(-SUM((c.n / t.tot) * ln(c.n / t.tot)), 6) AS char_entropy
+        |FROM counts c JOIN tot t USING (doc_id)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // every adjacent-pair OCCURRENCE (no distinct), top-20 by count
     "corpus_pair_merges" ->
       """WITH toks AS (

@@ -351,6 +351,32 @@ object TextAnalysis {
       .select("rank", "span", "n_docs")
   }
 
+  /** Shannon character entropy per document (nats): the gibberish
+    * detector orthogonal to the word-level signals — random byte soup
+    * maxes it, looping boilerplate minimizes it, natural text sits in a
+    * stable band. Plan shape: one explode of single characters
+    * (regexp '.', identical in Java regex and RE2), a (doc, char) hash
+    * aggregation, a per-doc total, and the −Σ p·ln p fold — the
+    * per-doc character alphabet is tiny, so the second aggregation is
+    * cheap however long documents get. Rounded to 6.
+    */
+  def charEntropy(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val chars = Corpus.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit("."), lit(0))).as("c"))
+    val counts = chars.groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("doc_id").agg(sum(col("n")).as("tot"))
+    counts.join(totals, "doc_id")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct_chars"),
+        round(-sum((col("n") / col("tot")) * log(col("n") / col("tot"))), 6)
+          .as("char_entropy"))
+  }
+
   /** BPE-style pair-merge candidates: the `k` adjacent word pairs with
     * the most OCCURRENCES corpus-wide — the statistic a pair-merge
     * tokenizer trainer maximizes at each step (occurrence-counted,

@@ -179,6 +179,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L)._2 > got(1L)._2) // rare words score higher
   }
 
+  test("char entropy: zero for constant text, ln k for uniform alphabets") {
+    val docs = Seq(
+      (1L, "aaaa"),   // single symbol -> 0
+      (2L, "aabb"),   // two equiprobable -> ln 2
+      (3L, "abcd")    // four equiprobable -> ln 4
+    ).toDF("doc_id", "text")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.charEntropy(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((1L, 0.0)))
+    assert(got(2L) == ((2L, r6(math.log(2)))))
+    assert(got(3L) == ((4L, r6(math.log(4)))))
+  }
+
   test("pair-merge candidates count occurrences, not documents") {
     val docs = Seq(
       (1L, "a b a b a b"), // 'a b' x3, 'b a' x2
