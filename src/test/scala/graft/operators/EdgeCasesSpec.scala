@@ -122,6 +122,39 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got(1).isNullAt(got(1).fieldIndex("p50")))
   }
 
+  test("round-5 text/sampling operators on degenerate inputs") {
+    // bm25: a query term absent from the corpus simply yields no rows
+    // for that term (df-join drops it); present terms are unaffected
+    val docs = Seq((1L, "cat dog"), (2L, "dog bird")).toDF("doc_id", "text")
+    val bm = TextAnalysis.bm25TopK(docs, Seq("cat", "unseen"), k = 5)
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(bm == Set("cat"))
+
+    // weightedSample: n beyond the population returns every positive-
+    // weight row, rank still dense from 1
+    val small = Seq((1L, 2L), (2L, 3L)).toDF("doc_id", "w")
+    val all = Corpus.weightedSample(small, "w", n = 100)
+      .orderBy("sample_rank").collect()
+    assert(all.map(_.getAs[Int]("sample_rank")).toSeq == Seq(1, 2))
+
+    // commonSpans/pairMerges on a corpus with no document reaching n
+    // words: spans fall back to whole-text shingles (dedup convention),
+    // pair occurrences are simply absent (no fallback by design)
+    val shorts = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    assert(TextAnalysis.commonSpans(shorts, n = 8, k = 10).count() == 2)
+    assert(TextAnalysis.pairMergeCandidates(shorts, k = 10).count() == 0)
+
+    // entropy on the empty corpus: no rows, no div-by-zero
+    assert(TextAnalysis.charEntropy(emptyDocs).count() == 0)
+
+    // pagerank on an empty edge list: empty result, no 1/0 blowup
+    val noEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType))))
+    assert(Graph.pageRank(noEdges, iterations = 2).count() == 0)
+  }
+
   test("temporal joins on empty sides") {
     val ev = Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
       .toDF("ts", "user_id")
