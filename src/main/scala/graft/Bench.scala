@@ -84,7 +84,17 @@ object Bench {
     // in-band so a hot-machine run is self-explaining (-1 = unavailable)
     val loadAtEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val load = s""""load_avg_start":${fmt(loadAtStart)},"load_avg_end":${fmt(loadAtEnd)}"""
+    // process CPU seconds: external starvation (noisy-neighbor bursts,
+    // hypervisor steal) shows as wall-total FAR above any past run while
+    // cpu stays proportional to the actual work — r5 saw a single
+    // mid-run stall window charge 10 contiguous entries ~350 s of wall
+    val procCpuSec = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+    val load = s""""load_avg_start":${fmt(loadAtStart)},"load_avg_end":${fmt(loadAtEnd)},"proc_cpu_sec":${fmt(procCpuSec)}"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$load,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
