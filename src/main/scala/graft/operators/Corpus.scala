@@ -47,6 +47,43 @@ object Corpus {
     * into a bounded-heap partial aggregate, so at scale each map task
     * forwards at most n rows per stratum — no stratum-wide sort.
     */
+  /** Fixed-window overlapping chunking — the RAG/embedding-prep stage:
+    * each document becomes ⌈(n−W)/S⌉+1 chunks of `window` words at
+    * `stride` offsets (stride < window ⇒ overlap, so no retrieval-unit
+    * boundary splits a fact). The tail chunk clamps to the document
+    * end; a short document is one whole chunk. Original casing is
+    * preserved (chunks feed an embedder, not a matcher).
+    *
+    * Plan shape: tokenize once per document in a narrow projection, a
+    * Generate (explode of the chunk-start sequence) materializes the
+    * token array ONCE per document — the per-chunk slice then reads a
+    * bound column, never re-tokenizes (the lambda-capture trap,
+    * BASELINE.md round-5) — and the output is a pure narrow transform:
+    * no shuffle at any size.
+    */
+  def chunk(
+      df: DataFrame,
+      window: Int = 20,
+      stride: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    df.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("ts"))
+      .withColumn("n_chunks",
+        when(size(col("ts")) <= window, lit(1))
+          .otherwise(ceil((size(col("ts")) - window)
+            .cast("double") / stride).cast("int") + 1))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        array_join(
+          slice(col("ts"), col("chunk_id") * stride + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
   /** Deterministic weighted sample without replacement (Efraimidis–
     * Spirakis A-ES): each row gets key = −ln(u) / w with u a
     * cryptographic-hash uniform in (0, 1] derived from the id, and the

@@ -379,6 +379,10 @@ object PipelineQueries {
       TextAnalysis.vocabCoverage(t(s, d, "documents"), v = 100)
         .orderBy("rank")
     }),
+    "corpus_chunk" -> ((s, d) => {
+      Corpus.chunk(t(s, d, "documents"), window = 20, stride = 10)
+        .orderBy("doc_id", "chunk_id")
+    }),
     "corpus_stratified_sample" -> ((s, d) => {
       Corpus.stratifiedSample(t(s, d, "documents"), "lang", n = 50)
         .select("lang", "sample_rank", "doc_id")
@@ -985,6 +989,30 @@ object PipelineQueries {
         |  FROM h)
         |SELECT lang, sample_rank, doc_id FROM r
         |WHERE sample_rank <= 50 ORDER BY lang, sample_rank""".stripMargin,
+    // lateral generate_series per doc; 1-based inclusive list slice
+    // [i*S+1 : i*S+W] == Spark's slice(start = i*S+1, length = W),
+    // both clamping at the document end
+    "corpus_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ts,
+        |    CASE WHEN len(ts) <= 20 THEN 1
+        |         ELSE CAST(ceil((len(ts) - 20) / 10.0) AS INT) + 1 END
+        |      AS n_chunks
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest([{'chunk_id': i,
+        |             'chunk_text': array_to_string(
+        |               ts[i * 10 + 1 : i * 10 + 20], ' ')}
+        |            for i in generate_series(0, n_chunks - 1)]) AS u
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(u.chunk_id AS INT) AS chunk_id,
+        |  u.chunk_text
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     // identical IEEE sequence: (CAST + 1.0) / 2^60, -ln, / weight,
     // round 6, rank ascending with doc_id ties
     "corpus_weighted_sample" ->

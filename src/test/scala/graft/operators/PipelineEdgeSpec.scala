@@ -55,6 +55,25 @@ class PipelineEdgeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("chunk: overlapping windows cover the document, tail clamps, case kept") {
+    // 5 words, window 3, stride 2 -> chunks at 0 and 2: full coverage
+    // with 1-word overlap; 2-word doc -> one whole chunk; casing kept
+    val docs = Seq(
+      (1L, "One two three four five"),
+      (2L, "short Doc")
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunk(docs, window = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, 0, "One two three"),
+      (1L, 1, "three four five"),
+      (2L, 0, "short Doc")))
+    // every word occurs in at least one chunk (coverage law)
+    val words = got.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(words == Set("One", "two", "three", "four", "five"))
+  }
+
   test("weightedSample: weight-proportional, deterministic, excludes nonpositive") {
     // 200 light rows (w=1) + one overwhelming row (w=1e9): the heavy
     // row's race key is ~1e9 times smaller than any light key, so it
