@@ -844,6 +844,26 @@ object RelationalQueries {
           coalesce(col("n_events"), lit(0L)).as("n_events"))
         .orderBy("hour_epoch")
     }),
+    "q_max_streak" -> ((s, d) => {
+      // longest consecutive-active-days run per user — gaps-and-islands
+      // by the date-minus-rank trick: within a user, consecutive days
+      // share (day − row_number) as an island key. Distinct days first
+      // (one shuffle), then the per-user window, then two cheap
+      // aggregations; nothing holds more than a user's day list.
+      val ev = t(s, d, "events")
+      val days = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      days
+        .withColumn("grp", expr("date_sub(day, row_number() OVER " +
+          "(PARTITION BY user_id ORDER BY day))"))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("streak"))
+        .groupBy("user_id")
+        .agg(
+          sum(col("streak")).as("n_active_days"),
+          max(col("streak")).as("max_streak"))
+        .orderBy("user_id")
+    }),
     "q_freq_items_gate" -> ((s, d) => {
       // heavy-hitter sketch gate: stat.freqItems (Karp/Misra-Gries
       // counter sketch — single pass, fixed 1/support counters per
@@ -1334,6 +1354,22 @@ object RelationalQueries {
         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
         |FROM spine s LEFT JOIN counts c USING (hour)
         |ORDER BY hour_epoch""".stripMargin,
+    // same islands construction: day minus per-user rank
+    "q_max_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (
+        |      PARTITION BY user_id ORDER BY day) AS INT) AS grp
+        |  FROM days),
+        |s AS (
+        |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id,
+        |  CAST(SUM(streak) AS BIGINT) AS n_active_days,
+        |  CAST(MAX(streak) AS BIGINT) AS max_streak
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the oracle recomputes the exact heavy hitters and pins ok=1: a
     // hash match certifies the sketch surfaced every one of them
     "q_freq_items_gate" ->
