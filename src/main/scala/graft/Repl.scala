@@ -46,18 +46,26 @@ object Repl {
   /** Route by format: parquet keeps its real schema, CSV goes through
     * the reference's all-digits → Long promotion. A `.parquet` suffix
     * routes directly; so does a directory containing parquet part files
-    * (the standard output layout, whose directory name usually carries
-    * no extension). The probe looks for `*.parquet` children
+    * — including hive-partitioned layouts, where the data files sit two
+    * levels down under `key=value/` subdirectories (the layout
+    * `partitionBy` writes). The probe looks for `*.parquet` descendants
     * specifically — a `_SUCCESS` marker alone doesn't discriminate,
-    * since csv/json/orc writers leave one too.
+    * since csv/json/orc writers leave one too. The REPL is a local
+    * tool: remote URIs (hdfs://, s3a://) route as CSV; use the library
+    * API for those.
     */
   private[graft] def loadTable(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".parquet") || isParquetDir(path)) spark.read.parquet(path)
     else CsvSource.load(spark, path)
 
   private def isParquetDir(path: String): Boolean = {
+    def hasParquet(d: java.io.File, depth: Int): Boolean =
+      Option(d.listFiles()).exists(_.exists { c =>
+        (c.isFile && c.getName.endsWith(".parquet")) ||
+          (depth > 0 && c.isDirectory && hasParquet(c, depth - 1))
+      })
     val f = new java.io.File(path)
-    f.isDirectory && Option(f.list()).exists(_.exists(_.endsWith(".parquet")))
+    f.isDirectory && hasParquet(f, 2)
   }
 
   private[graft] def runLoop(

@@ -611,11 +611,13 @@ object Dedup {
     *
     * Asymmetry is the scale story: benchmarks are megabytes where the
     * corpus is terabytes, so the eval side collapses to DISTINCT grams
-    * and broadcasts into a LEFT SEMI probe against the exploded corpus
-    * grams — the corpus shuffles only (doc_id) hit rows through one
-    * partially-aggregated count, never its text, and no gram-on-gram
-    * shuffle join materializes. Long n (default 8) keeps accidental
-    * collisions near zero so a hit means shared provenance.
+    * and broadcasts as a hit marker onto the exploded corpus grams —
+    * ONE tokenize+shingle pass over the corpus produces both the gram
+    * count and the hit count in a single partially-aggregated
+    * (doc_id) aggregation (map tasks emit one row per doc, never the
+    * text), and no gram-on-gram shuffle join materializes. Long n
+    * (default 8) keeps accidental collisions near zero so a hit means
+    * shared provenance.
     *
     * Output, one row per corpus doc: `doc_id`, `n_grams` (distinct),
     * `n_hits` (distinct grams also present in the eval set),
@@ -628,20 +630,22 @@ object Dedup {
       minHits: Int = 1,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val c = Corpus.spread(corpus).select(
-      col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("grams"))
     val evalGrams = evalDocs
       .select(explode(wordShingles(col(textCol), n)).as("gram"))
       .distinct()
-    val hits = c.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .withColumn("_hit", lit(1))
+    // wordShingles always emits >= 1 gram (whole-text fallback), so
+    // every corpus doc survives the explode into the aggregation
+    Corpus.spread(corpus)
+      .select(col(idCol).as("doc_id"),
+        explode(wordShingles(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"))
-    c.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("_hit")).as("n_hits"))
       .select(
-        col("doc_id"), col("n_grams"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+        col("doc_id"), col("n_grams"), col("n_hits"),
+        (col("n_hits") >= minHits).as("contaminated"))
   }
 }

@@ -26,21 +26,23 @@ object Graph {
     * variant, mirrored exactly by the SQL oracle). Ranks round to 6
     * only at the END; every iteration is plain IEEE double arithmetic
     * reproducible in any engine.
-    */
-  /** @param checkpointInterval truncate lineage every this many rounds.
-    * Rounds in between stay LAZY — chained join+agg stages in one
-    * Spark job — because an eager checkpoint per round pays a full
-    * job-submission + AQE-stage round trip each iteration (measured
-    * ~1 s/round of pure scheduling at sf0.1, data-independent); lineage
-    * only needs cutting before the nested plan gets deep enough to slow
-    * analysis or blow recovery, every few rounds, not every round.
-    */
-  /** @param everyNodeReceives set true when every node is known to have
-    * at least one in-edge (always true of a symmetric edge list):
-    * contributions then cover every node and the per-round left join
-    * back onto the node set — half the round's shuffles — is skipped.
-    * Leave false for arbitrary directed graphs, where a node with no
-    * in-edges must still surface with rank (1−d)/N.
+    *
+    * @param checkpointInterval truncate lineage every this many rounds.
+    *   Rounds in between stay LAZY — chained join+agg stages in one
+    *   Spark job — because an eager checkpoint per round pays a full
+    *   job-submission + AQE-stage round trip each iteration (measured
+    *   ~1 s/round of pure scheduling at sf0.1, data-independent);
+    *   lineage only needs cutting before the nested plan gets deep
+    *   enough to slow analysis or blow recovery, every few rounds, not
+    *   every round.
+    * @param everyNodeReceives set true when every node has at least one
+    *   in-edge (always true of a symmetric edge list): contributions
+    *   then cover every node and the per-round left join back onto the
+    *   node set — half the round's shuffles — is skipped. VALIDATED at
+    *   setup with one O(|E|) distinct-count (a node outside the
+    *   receiver set would otherwise silently drop from round 2 on and
+    *   corrupt every downstream rank). Leave false for arbitrary
+    *   directed graphs.
     */
   def pageRank(
       edges: DataFrame,
@@ -56,6 +58,13 @@ object Graph {
       .union(edges.select(col("dst").as("id")))
       .distinct().persist()
     val n = nodes.count()
+    if (everyNodeReceives) {
+      val receivers = edges.select(col("dst").as("id")).distinct().count()
+      require(receivers == n,
+        s"everyNodeReceives=true but only $receivers of $n nodes have an " +
+          "in-edge — the fast path would silently drop the others from " +
+          "round 2 on; pass everyNodeReceives=false for this graph")
+    }
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(outDeg, "src")
       .select("src", "dst", "deg").persist()

@@ -1277,11 +1277,14 @@ object PipelineQueries {
         |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
     // ln(total) - ln(n), NOT ln(n/total): mirrors the Spark plan's
     // formulation so both engines run the same float operations
+    // the term <> '' filter mirrors the Spark side's empty-token drop
+    // (a blank document tokenizes to [''] in both engines)
     "text_unigram_logprob" ->
-      """WITH toks AS (
+      """WITH toks0 AS (
         |  SELECT doc_id,
         |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
         |  FROM documents),
+        |toks AS (SELECT doc_id, term FROM toks0 WHERE term <> ''),
         |counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
         |total AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM counts)
         |SELECT k.doc_id,
@@ -1318,7 +1321,7 @@ object PipelineQueries {
     // float on both engines (DuckDB's BIGINT SUM widens to HUGEINT)
     "text_char_entropy" ->
       """WITH chars AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^\n]')) AS c
         |  FROM documents),
         |counts AS (
         |  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n

@@ -912,7 +912,11 @@ object RelationalQueries {
       // reconcile). At scale this is the canonical bar-building plan:
       // map-side partial min_by/max_by, one shuffle on (type, hour).
       val ev = t(s, d, "events")
-      val key = col("ts").cast("long") * 10000000L + col("event_id")
+      // epoch_s * 1e9 + id: the id field holds 10^9 ids per second
+      // without a carry into the seconds field, and the product stays
+      // inside Long until year 2262 — a narrower multiplier would let a
+      // large id outrank a later second and silently pick wrong bars
+      val key = col("ts").cast("long") * 1000000000L + col("event_id")
       ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
         .agg(
           min_by(col("value"), key).as("open"),
@@ -1396,11 +1400,11 @@ object RelationalQueries {
       """SELECT event_type,
         |  CAST(epoch_ns(date_trunc('hour', ts)) // 1000000000 AS BIGINT)
         |    AS hour_s,
-        |  arg_min(value, epoch_ns(ts) // 1000000000 * 10000000 + event_id)
+        |  arg_min(value, epoch_ns(ts) // 1000000000 * 1000000000 + event_id)
         |    AS open,
         |  MAX(value) AS high,
         |  MIN(value) AS low,
-        |  arg_max(value, epoch_ns(ts) // 1000000000 * 10000000 + event_id)
+        |  arg_max(value, epoch_ns(ts) // 1000000000 * 1000000000 + event_id)
         |    AS close,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

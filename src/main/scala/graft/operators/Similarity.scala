@@ -350,8 +350,12 @@ object Similarity {
     val base = Corpus.spread(vectors)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     val v = cells match {
+      // LEFT join: a vector missing from the cells frame (stale
+      // quantizer snapshot) must not vanish from the one-row-per-input
+      // contract — its null cell never equi-joins, so it stays a
+      // singleton instead of silently dropping out of the corpus
       case Some(c) => base.join(
-        c.select(col(idCol).as("id"), col("cell")), Seq("id"))
+        c.select(col(idCol).as("id"), col("cell")), Seq("id"), "left")
       case None => base.withColumn("cell", (0 until signDims)
         .map(i => when(element_at(col("vec"), i + 1) >= 0, lit(1 << i))
           .otherwise(lit(0)))

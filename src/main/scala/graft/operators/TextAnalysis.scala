@@ -173,19 +173,6 @@ object TextAnalysis {
       qualityScore(col(textCol)).as("quality"),
       fingerprint(col(textCol)).as("fingerprint"))
 
-  /** Per-document top-k terms by TF-IDF — the keyword-extraction stage
-    * of a text pipeline. Terms are lowercase whitespace tokens; score =
-    * tf · (ln((N+1)/(df+1)) + 1) (the smoothed idf, never negative),
-    * rounded to 6 BEFORE ranking so the rank order is reproducible in
-    * any engine (raw ln can differ in the last ulp across libm
-    * implementations); ties break by term.
-    *
-    * Plan shape at scale: one explode + two hash aggregations ((doc,
-    * term) tf and term df), a broadcast-or-shuffle join on term, and a
-    * per-doc top-k window that [[graft.plans.WindowTopKRule]] rewrites
-    * into the bounded-heap two-phase aggregate — no stage holds a
-    * document's full vocabulary beyond the aggregation itself.
-    */
   /** Corpus vocabulary coverage: the top `v` terms by frequency with
     * their cumulative share of all tokens — the statistic that sizes a
     * tokenizer vocabulary budget. Scale shape: term counts are one hash
@@ -262,6 +249,12 @@ object TextAnalysis {
     val stats = base
       .agg(count(lit(1)).as("n"), avg(size(col("ts"))).as("avgdl")).head()
     val nDocs = stats.getLong(0)
+    // empty corpus: avg() is null — return the empty result rather than
+    // NPE on getDouble (every operator must survive an empty input)
+    if (nDocs == 0L)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit("").as("term"), lit(0).as("rank"),
+          lit(0L).as("doc_id"), lit(0.0).as("bm25"))
     val avgdl = stats.getDouble(1)
     val postings = base
       .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
@@ -355,7 +348,9 @@ object TextAnalysis {
     * detector orthogonal to the word-level signals — random byte soup
     * maxes it, looping boilerplate minimizes it, natural text sits in a
     * stable band. Plan shape: one explode of single characters
-    * (regexp '.', identical in Java regex and RE2), a (doc, char) hash
+    * (regexp `[^\n]` — Java's `.` also excludes \r and Unicode line
+    * separators while RE2's excludes only \n, so the explicit class is
+    * the portable spelling), a (doc, char) hash
     * aggregation, a per-doc total, and the −Σ p·ln p fold — the
     * per-doc character alphabet is tiny, so the second aggregation is
     * cheap however long documents get. Rounded to 6.
@@ -366,7 +361,7 @@ object TextAnalysis {
       idCol: String = "doc_id"): DataFrame = {
     val chars = Corpus.spread(docs)
       .select(col(idCol).as("doc_id"),
-        explode(regexp_extract_all(col(textCol), lit("."), lit(0))).as("c"))
+        explode(regexp_extract_all(col(textCol), lit("[^\n]"), lit(0))).as("c"))
     val counts = chars.groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
     val totals = counts.groupBy("doc_id").agg(sum(col("n")).as("tot"))
     counts.join(totals, "doc_id")
@@ -403,6 +398,19 @@ object TextAnalysis {
       .select("rank", "pair", "n_occurrences")
   }
 
+  /** Per-document top-k terms by TF-IDF — the keyword-extraction stage
+    * of a text pipeline. Terms are lowercase whitespace tokens; score =
+    * tf · (ln((N+1)/(df+1)) + 1) (the smoothed idf, never negative),
+    * rounded to 6 BEFORE ranking so the rank order is reproducible in
+    * any engine (raw ln can differ in the last ulp across libm
+    * implementations); ties break by term.
+    *
+    * Plan shape at scale: one explode + two hash aggregations ((doc,
+    * term) tf and term df), a broadcast-or-shuffle join on term, and a
+    * per-doc top-k window that [[graft.plans.WindowTopKRule]] rewrites
+    * into the bounded-heap two-phase aggregate — no stage holds a
+    * document's full vocabulary beyond the aggregation itself.
+    */
   def tfidfTopTerms(
       docs: DataFrame,
       k: Int = 3,

@@ -129,6 +129,8 @@ class EdgeCasesSpec extends SparkSpec {
     val bm = TextAnalysis.bm25TopK(docs, Seq("cat", "unseen"), k = 5)
       .select("term").distinct().collect().map(_.getString(0)).toSet
     assert(bm == Set("cat"))
+    // empty corpus: empty result, not an NPE on the null avgdl
+    assert(TextAnalysis.bm25TopK(emptyDocs, Seq("cat"), k = 5).count() == 0)
 
     // weightedSample: n beyond the population returns every positive-
     // weight row, rank still dense from 1
