@@ -844,6 +844,32 @@ object RelationalQueries {
           coalesce(col("n_events"), lit(0L)).as("n_events"))
         .orderBy("hour_epoch")
     }),
+    "q_winsorize" -> ((s, d) => {
+      // robust-stats companion to the z-score screen: clip the value
+      // stream at per-type exact p05/p95 and report the winsorized
+      // mean — the location estimate heavy tails cannot drag. Bounds
+      // come from the distributed exact percentile (5-row frame,
+      // broadcast back); the clip itself is a narrow transform. Clip
+      // decisions are engine-stable: at integral ranks the interpolated
+      // bound IS a data value exactly in both engines, and elsewhere a
+      // last-ulp bound difference sits strictly between adjacent data
+      // values where no comparison can flip.
+      val ev = t(s, d, "events")
+      val bounds = exactPercentiles(ev, "event_type", "value",
+        Seq("p05" -> 0.05, "p95" -> 0.95))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_type"),
+          when(col("value") < col("p05"), 1L).otherwise(0L).as("clip_lo"),
+          when(col("value") > col("p95"), 1L).otherwise(0L).as("clip_hi"),
+          least(greatest(col("value"), col("p05")), col("p95")).as("wv"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("clip_lo")).as("n_clip_lo"),
+          sum(col("clip_hi")).as("n_clip_hi"),
+          round(avg(col("wv")), 6).as("winsorized_mean"))
+        .orderBy("event_type")
+    }),
     "q_max_streak" -> ((s, d) => {
       // longest consecutive-active-days run per user — gaps-and-islands
       // by the date-minus-rank trick: within a user, consecutive days
@@ -1358,6 +1384,24 @@ object RelationalQueries {
         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
         |FROM spine s LEFT JOIN counts c USING (hour)
         |ORDER BY hour_epoch""".stripMargin,
+    // quantile_cont bounds (the interpolation exactPercentiles is
+    // proven against), identical clip and mean
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  round(AVG(LEAST(GREATEST(e.value, b.p05), b.p95)), 6)
+        |    AS winsorized_mean
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     // same islands construction: day minus per-user rank
     "q_max_streak" ->
       """WITH days AS (
