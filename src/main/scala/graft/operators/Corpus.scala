@@ -47,6 +47,38 @@ object Corpus {
     * into a bounded-heap partial aggregate, so at scale each map task
     * forwards at most n rows per stratum — no stratum-wide sort.
     */
+  /** Leakage-free train/validation split: a near-duplicate of a
+    * validation document inside the training set is silent eval
+    * contamination, so the split unit is the duplicate CLUSTER, not the
+    * document — every doc in a cluster follows its cluster id through
+    * the same deterministic md5 draw ([[PipelineQueries]]'
+    * mix-membership construction), and unclustered docs draw on their
+    * own id. `group_key` rides along in the output so the
+    * nothing-straddles invariant is directly checkable.
+    *
+    * Scale shape: one left join of ids onto the (pairs-only) cluster
+    * frame plus a narrow hash projection — the clustering itself is the
+    * expensive part and composes in from [[Dedup.duplicateClusters]].
+    */
+  def leakFreeSplit(
+      docs: DataFrame,
+      clusters: DataFrame,
+      trainPerMille: Int = 800,
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainPerMille >= 0 && trainPerMille <= 1000,
+      s"trainPerMille must be in [0,1000], got $trainPerMille")
+    val keyed = docs.select(col(idCol).as("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_key"))
+    val h = conv(substring(md5(col("group_key").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    keyed.select(col("doc_id"), col("group_key"),
+      when(pmod(h, lit(1000)) < trainPerMille, lit("train"))
+        .otherwise(lit("val")).as("split"))
+  }
+
   /** Fixed-window overlapping chunking — the RAG/embedding-prep stage:
     * each document becomes ⌈(n−W)/S⌉+1 chunks of `window` words at
     * `stride` offsets (stride < window ⇒ overlap, so no retrieval-unit

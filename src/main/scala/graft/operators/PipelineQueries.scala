@@ -379,6 +379,14 @@ object PipelineQueries {
       TextAnalysis.vocabCoverage(t(s, d, "documents"), v = 100)
         .orderBy("rank")
     }),
+    // whole near-dup clusters land on one side of the 80/20 split —
+    // the leakage-free eval split; oracle replays clusters + md5 draw
+    "corpus_split_leakfree" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Corpus.leakFreeSplit(docs,
+          Dedup.duplicateClusters(Dedup.minhashPairs(docs)))
+        .orderBy("doc_id")
+    }),
     "corpus_chunk" -> ((s, d) => {
       Corpus.chunk(t(s, d, "documents"), window = 20, stride = 10)
         .orderBy("doc_id", "chunk_id")
@@ -989,6 +997,44 @@ object PipelineQueries {
         |  FROM h)
         |SELECT lang, sample_rank, doc_id FROM r
         |WHERE sample_rank <= 50 ORDER BY lang, sample_rank""".stripMargin,
+    // the proven min-label closure, left-joined onto all docs, then
+    // the corpus_mix_sample md5 rule on the group key
+    "corpus_split_leakfree" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(ts) >= 3
+        |    THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                        for i in generate_series(1, len(ts) - 2)])
+        |    ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM toks),
+        |p AS (
+        |  SELECT l.id AS id_a, r.id AS id_b
+        |  FROM sh l JOIN sh r ON l.id < r.id
+        |  WHERE CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(l.shingles, r.shingles))) AS DOUBLE)
+        |      >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |walk(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src),
+        |cl AS (
+        |  SELECT node AS doc_id, MIN(label) AS cluster_id
+        |  FROM walk GROUP BY node),
+        |keyed AS (
+        |  SELECT d.doc_id,
+        |    CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS group_key
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        |SELECT doc_id, group_key,
+        |  CASE WHEN ('0x' || substring(md5(CAST(group_key AS VARCHAR)), 1, 15))::BIGINT
+        |            % 1000 < 800
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM keyed ORDER BY doc_id""".stripMargin,
     // lateral generate_series per doc; 1-based inclusive list slice
     // [i*S+1 : i*S+W] == Spark's slice(start = i*S+1, length = W),
     // both clamping at the document end

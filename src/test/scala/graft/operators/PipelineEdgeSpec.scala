@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.Files
 
 import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions.countDistinct
 
 /** Edge semantics the driver fixtures cannot exercise: corpus_pack on
   * zero-token documents (empty / whitespace-only text), which the gate
@@ -53,6 +54,28 @@ class PipelineEdgeSpec extends SparkSpec {
     val b = Corpus.stratifiedSample(docs.coalesce(1), "lang", 5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
+  }
+
+  test("leakFreeSplit: clusters never straddle the split, singletons draw alone") {
+    val docs = (0L until 100L).map(i => Tuple1(i)).toDF("doc_id")
+    // clusters: {0,1,2} share cluster 0; {10,11} share cluster 10
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val split = Corpus.leakFreeSplit(docs, clusters)
+    assert(split.count() == 100)
+    // invariant: one distinct split value per group key
+    val straddlers = split.groupBy("group_key")
+      .agg(countDistinct("split").as("n"))
+      .filter($"n" > 1).count()
+    assert(straddlers == 0)
+    // the clustered docs co-travel
+    val byId = split.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId(0L) == byId(1L) && byId(1L) == byId(2L))
+    assert(byId(10L) == byId(11L))
+    // both sides are populated at 80/20 over 100 draws
+    val train = byId.values.count(_ == "train")
+    assert(train > 60 && train < 95, s"train=$train")
   }
 
   test("chunk: overlapping windows cover the document, tail clamps, case kept") {
