@@ -96,6 +96,13 @@ object Bench {
     }
     val load = s""""load_avg_start":${fmt(loadAtStart)},"load_avg_end":${fmt(loadAtEnd)},"proc_cpu_sec":${fmt(procCpuSec)}"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$load,"queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures a bounded output TAIL: with 130+ entries the
+    // per-query map can overflow the window and truncate the line's HEAD,
+    // losing the total and the starvation detector first (r5's artifact
+    // parsed as null for exactly this reason). Emit a second, compact
+    // summary line AFTER the map so the most important numbers are the
+    // last bytes printed and survive any head truncation.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$load,"n_entries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

@@ -630,15 +630,20 @@ object Dedup {
       minHits: Int = 1,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // NULL-text eval docs contribute no grams (nothing to leak); the
+    // explode's null-intolerance is exactly the wanted semantics here
     val evalGrams = evalDocs
       .select(explode(wordShingles(col(textCol), n)).as("gram"))
       .distinct()
       .withColumn("_hit", lit(1))
-    // wordShingles always emits >= 1 gram (whole-text fallback), so
-    // every corpus doc survives the explode into the aggregation
+    // wordShingles always emits >= 1 gram (whole-text fallback) but is
+    // null-intolerant (NULL text -> NULL array -> explode drops the
+    // row); coalescing to "" preserves the one-row-per-corpus-doc
+    // contract for NULL-text docs (they surface with n_hits governed by
+    // the empty-string gram, never silently vanish)
     Corpus.spread(corpus)
       .select(col(idCol).as("doc_id"),
-        explode(wordShingles(col(textCol), n)).as("gram"))
+        explode(wordShingles(coalesce(col(textCol), lit("")), n)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(

@@ -71,6 +71,13 @@ object Graph {
     withDeg.foreach(_ => ())
     var ranks = nodes.withColumn("r", lit(1.0 / n))
     for (i <- 1 to iterations) {
+      // NOTE: sum(c) is a floating-point aggregation whose addend order
+      // follows partition layout and can differ from the oracle's sum
+      // order; the final round-to-6 absorbs that in practice, but a
+      // high-in-degree node sitting exactly on a rounding boundary
+      // could in principle flip the last digit (GraphSpec's layout
+      // invariance covers exact-fixed-point graphs only). Accepted
+      // under the repo's round-6 oracle convention.
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))

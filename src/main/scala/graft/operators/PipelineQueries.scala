@@ -76,9 +76,9 @@ object PipelineQueries {
     }),
     // PageRank centrality over the SAME near-dup pair graph: the
     // highest-ranked doc in each cluster is its canonical
-    // representative; 10 fixed power iterations, one |E|-join+agg each,
+    // representative; 5 fixed power iterations, one |E|-join+agg each,
     // lineage truncated per round. The oracle UNROLLS the iterations as
-    // a CTE chain (it0..it10) over the proven exact-Jaccard pair set —
+    // a CTE chain (it0..it5) over the proven exact-Jaccard pair set —
     // same IEEE formulation, rounded to 6 only at the end.
     "graph_pagerank" -> ((s, d) => {
       // symmetric edge list -> every node receives; skip the per-round

@@ -903,8 +903,11 @@ object RelationalQueries {
       val freq = li.stat.freqItems(Seq("l_returnflag"), support)
         .head.getSeq[String](0).toSet
       val total = li.count()
+      // strict >: freqItems only guarantees items with frequency
+      // STRICTLY above support appear in the sketch, so a group landing
+      // exactly on the threshold must not be demanded of it
       li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
-        .filter(col("n_rows").cast("double") / total >= support)
+        .filter(col("n_rows").cast("double") / total > support)
         .select(col("l_returnflag"), col("n_rows"),
           when(col("l_returnflag").isin(freq.toSeq: _*), lit(1L))
             .otherwise(lit(0L)).as("ok"))
@@ -963,10 +966,13 @@ object RelationalQueries {
       // one aggregation; durations in whole seconds (the data is
       // second-aligned), ratio rounded to 6.
       val ev = t(s, d, "events")
-      // epoch-seconds ordering is equivalent to timestamp ordering (the
-      // cast is monotone); event_id breaks same-second ties
-      val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
-      ev.select(col("user_id"), col("value"), col("event_id"),
+      // order by the RAW timestamp (not second-truncated ts_s) so the
+      // lead() pairing matches the oracle's ORDER BY ts even if the
+      // fixture ever carries sub-second-distinct timestamps inside one
+      // second; event_id breaks exact-timestamp ties. Durations stay in
+      // whole seconds (the published contract of the entry).
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.select(col("user_id"), col("value"), col("event_id"), col("ts"),
           col("ts").cast("long").as("ts_s"))
         .withColumn("dur",
           lead(col("ts_s"), 1).over(w) - col("ts_s"))
@@ -1427,7 +1433,7 @@ object RelationalQueries {
         |  CAST(1 AS BIGINT) AS ok
         |FROM lineitem CROSS JOIN t
         |GROUP BY l_returnflag, t.total
-        |HAVING CAST(COUNT(*) AS DOUBLE) / t.total >= 0.2
+        |HAVING CAST(COUNT(*) AS DOUBLE) / t.total > 0.2
         |ORDER BY l_returnflag""".stripMargin,
     // identical float sequence: (value - mu) / sigma, round 6, cut at 3
     "q_outliers_zscore" ->
