@@ -377,6 +377,50 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("min_custkey"))
         .orderBy("c_mktsegment")
     }),
+    "q_join_deep" -> ((s, d) => {
+      // TPC-H Q5 at full 6-table depth (region-nation-customer-orders-
+      // lineitem-supplier): revenue from local suppliers (customer and
+      // supplier in the SAME nation) in one region-year. The 100 TB
+      // plan shape this entry pins down:
+      //  - region⋈nation collapses to a broadcast dim of ASIA nations;
+      //    customer and supplier are narrowed by broadcast joins — the
+      //    region selectivity (1/5) reaches both without any shuffle.
+      //  - supplier (with nation name) broadcasts onto the fact spine:
+      //    TPC-H suppliers are ~1/10,000 of lineitem rows, tens of MB
+      //    even at 100 TB scale — if a corpus outgrew that, AQE falls
+      //    back to a suppkey SMJ and the entry still computes.
+      //  - the FACT SPINE shuffles exactly twice: orders⋈customer on
+      //    custkey, then ⋈lineitem on orderkey; the n_name final agg
+      //    is 5 rows after map-side partial aggregation. PlanSpec
+      //    asserts the broadcasts and the spine exchange budget.
+      val asianNations = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = t(s, d, "customer")
+        .join(broadcast(asianNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(asianNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val o = t(s, d, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = t(s, d, "lineitem")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(sup),
+          l("l_suppkey") === sup("s_suppkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
     "q_join_outer" -> ((s, d) => {
       // order-count distribution per customer, 0 included via left join
       val c = t(s, d, "customer")
@@ -1091,6 +1135,23 @@ object RelationalQueries {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    // local-supplier constraint (c_nationkey = s_nationkey) mirrored;
+    // same decimal(18,4) revenue formulation as q3
+    "q_join_deep" ->
+      """SELECT n_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |    AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_join_semi" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

@@ -213,6 +213,28 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 5, s"$exchanges exchanges in:\n$p")
   }
 
+  test("deep 6-table join: dims broadcast, fact spine shuffles at most twice") {
+    val df = RelationalQueries.queries("q_join_deep")(spark, sf)
+    val p = plan(df)
+    // region⋈nation, customer-narrowing, supplier-narrowing, and the
+    // supplier-onto-fact join must ALL be broadcasts
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 4, s"$bhj BroadcastHashJoin in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // shuffle budget (\bExchange excludes BroadcastExchange): custkey
+    // join (2 sides) + orderkey join + the 5-row final agg + sort;
+    // beyond 5 means a dim stopped broadcasting or the fact spine
+    // shuffled a 3rd time. (At this SF even the one-year orders slice
+    // broadcasts, leaving just agg+sort = 2.)
+    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+    assert(exchanges <= 5, s"$exchanges shuffle exchanges in:\n$p")
+    // the one-year predicate must reach the orders parquet scan
+    val f = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pushed = f.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("o_orderdate"), f)
+  }
+
   test("two-phase top-k aggregates partially before the shuffle") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
