@@ -227,14 +227,11 @@ object RelationalQueries {
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY rf, ls""".stripMargin)
     }),
-    "q_approx_distinct" -> ((s, d) => {
-      // HLL sketch — no SQL oracle (approximate); rows-only check. The
-      // error CONTRACT is driver-gated by q_approx_distinct_gate below.
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
-        .orderBy("l_returnflag")
-    }),
+    // (the raw HLL output entry q_approx_distinct was folded into
+    // q_approx_distinct_gate in round 6: the sketch value is inherently
+    // no_oracle while the gate computes the SAME sketch alongside the
+    // exact counts and carries its ±5% contract — the raw entry added a
+    // weaker rows-only check with zero capability not already gated)
     "q_bloom_prefilter_gate" -> ((s, d) => {
       // explicit bloom pre-filter (graft.functions.BloomFunctions): the
       // dim-side sketch is built by one small job and shipped as a
@@ -443,6 +440,22 @@ object RelationalQueries {
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
+    }),
+    "q_window_rank_eq" -> ((s, d) => {
+      // rn = 3 EXACTLY (the 3rd-largest order per customer): drives
+      // WindowTopKRule's residual-filter branch end-to-end — the rule
+      // bounds the per-key heap at 3 and KEEPS the equality as a
+      // residual filter over the heap's output (WindowTopKRule rnBound:
+      // an equality consumes the bound but survives as a predicate).
+      // Customers with fewer than 3 orders contribute nothing.
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey")
     }),
     "q_window_running" -> ((s, d) => {
       val w = Window
@@ -1175,6 +1188,13 @@ object RelationalQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_rank_eq" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn = 3 ORDER BY o_custkey""".stripMargin,
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (

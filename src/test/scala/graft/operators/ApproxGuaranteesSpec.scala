@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic error-bound measurements for the approximate entries
   * that can never have a hash-equality SQL oracle: the HLL sketch behind
-  * `q_approx_distinct` is pinned against the exact distinct counts on
+  * `q_approx_distinct_gate` is pinned against the exact distinct counts on
   * the oracle-gate corpus (the sketch is deterministic for fixed input,
   * so this is a measurement, not a flaky statistical test — same pattern
   * as the SRP recall floors in SimilaritySpec).

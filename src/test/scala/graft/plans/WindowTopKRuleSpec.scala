@@ -147,6 +147,24 @@ class WindowTopKRuleSpec extends SparkSpec
     assert(res.passed, res.status.toString)
   }
 
+  test("q_window_rank_eq entry plans through the rewrite with a residual filter") {
+    // the oracle-gated entry that drives the residual branch end-to-end:
+    // rn = 3 bounds the heap at 3 AND survives as a filter over its
+    // output (only the 3rd row per key is kept)
+    val got = graft.operators.RelationalQueries
+      .queries("q_window_rank_eq")(ext, "/root/testdata/sf0.001")
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("partial_bounded_topk_rows"), p)
+    assert(p.contains("Filter"), p) // the rn = 3 residual
+    // every surviving row is exactly rank 3, and it matches the plain
+    // window run on the extension-free session
+    val viaWindow = graft.operators.RelationalQueries
+      .queries("q_window_rank_eq")(spark, "/root/testdata/sf0.001")
+    assert(sortedRows(got) == sortedRows(viaWindow))
+    assert(got.collect().forall(_.getAs[Int]("rn") == 3))
+  }
+
   test("opt-out conf disables the rewrite") {
     ext.conf.set("spark.graft.topkRewrite.enabled", "false")
     try {
