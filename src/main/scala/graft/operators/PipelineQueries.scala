@@ -138,6 +138,22 @@ object PipelineQueries {
           roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf_trained" -> ((s, d) => {
+      // the FULL IVF path: train the coarse quantizer with Lloyd's
+      // k-means (seeded by the k lowest-id vectors, 2 iterations,
+      // assignment cosine rounded to 6 so the oracle can replay the
+      // boundary decisions), then probe through the trained centroids.
+      // The oracle unrolls the SAME Lloyd iterations as a CTE chain the
+      // way graph_pagerank unrolls power iterations — a hash match
+      // certifies train AND probe end-to-end.
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.kmeansCentroids(
+        emb, k = 8, iterations = 2, roundDecimals = 6)
+      Similarity
+        .ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          centroids = cents, k = 10, nProbe = 2, roundDecimals = 6)
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- approximation contracts as DRIVER-GATED entries ----
     // The SRP paths are approximate by design, so their raw output has
@@ -514,8 +530,88 @@ object PipelineQueries {
       s"\nSELECT id AS doc_id, round(r, 6) AS pagerank FROM it$iters ORDER BY doc_id"
   }
 
+  /** DuckDB replay of `ann_ivf_trained`: unrolls kmeansCentroids'
+    * Lloyd iterations as a CTE chain (seed = k lowest-id vectors, one
+    * assign+means round per iteration, empty cells keep their previous
+    * centroid), then mirrors the ivfTopK probe — the same
+    * unrolled-fixpoint oracle pattern as [[pageRankOracle]]. Centroids
+    * are float-quantized (`CAST(... AS FLOAT[])`) exactly where the
+    * Spark side casts to array<float>, and every cosine rounds to 6
+    * before any ordering decision, so engine-level FP noise (avg sum
+    * order, dot-product accumulation) cannot flip an assignment.
+    */
+  private def ivfTrainedOracle(
+      k: Int, iters: Int, nProbe: Int, topK: Int): String = {
+    def fcent(c: String) = s"CAST(CAST($c AS FLOAT[]) AS DOUBLE[])"
+    def csim(v: String, c: String) =
+      s"""round(list_dot_product($v, ${fcent(c)})
+         |      / sqrt(list_dot_product($v, $v)
+         |             * list_dot_product(${fcent(c)}, ${fcent(c)})), 6)""".stripMargin
+    val base =
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cell, v AS centroid
+         |  FROM e ORDER BY vec_id LIMIT $k)""".stripMargin
+    val its = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT e.vec_id, e.v, c.cell, ${csim("e.v", "c.centroid")} AS csim
+         |  FROM e CROSS JOIN $prev c),
+         |asg$i AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT vec_id, v, cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY csim DESC, cell) AS rn
+         |    FROM a$i) s WHERE rn = 1),
+         |m$i AS (
+         |  SELECT cell, ord, AVG(x) AS m FROM (
+         |    SELECT cell, unnest(v) AS x,
+         |      unnest(generate_series(1, len(v))) AS ord FROM asg$i)
+         |  GROUP BY cell, ord),
+         |cm$i AS (
+         |  SELECT cell, list(m ORDER BY ord) AS centroid FROM m$i GROUP BY cell),
+         |c$i AS (
+         |  SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
+         |  FROM $prev p LEFT JOIN cm$i n USING (cell))""".stripMargin
+    }
+    val tail =
+      s"""ascore AS (
+         |  SELECT e.vec_id, e.v, c.cell, ${csim("e.v", "c.centroid")} AS csim
+         |  FROM e CROSS JOIN c$iters c),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, v AS cvec, cell FROM (
+         |    SELECT vec_id, v, cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY csim DESC, cell) AS rn
+         |    FROM ascore) s WHERE rn = 1),
+         |probed AS (
+         |  SELECT vec_id AS query_id, v AS qvec, cell FROM (
+         |    SELECT vec_id, v, cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY csim DESC, cell) AS rn
+         |    FROM ascore WHERE vec_id < 10) s WHERE rn <= $nProbe),
+         |scored AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    round(list_dot_product(p.qvec, a.cvec)
+         |      / sqrt(list_dot_product(p.qvec, p.qvec)
+         |             * list_dot_product(a.cvec, a.cvec)), 6) AS cosine
+         |  FROM assigned a JOIN probed p USING (cell)
+         |  WHERE p.query_id <> a.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS INT)
+         |      AS "rank"
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
+         |WHERE "rank" <= $topK ORDER BY query_id, "rank"""".stripMargin
+    (base +: its :+ tail).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5),
+    "ann_ivf_trained" -> ivfTrainedOracle(8, 2, 2, 10),
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

@@ -136,7 +136,8 @@ object Similarity {
       k: Int = 16,
       iterations: Int = 3,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): DataFrame = {
     require(k > 0 && iterations >= 0, s"bad k=$k/iterations=$iterations")
     val vecs = Corpus.spread(corpus)
       .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
@@ -149,11 +150,14 @@ object Similarity {
       .select(col("vid").as("cell"), col("v").as("centroid"))
 
     (1 to iterations).foreach { _ =>
+      // roundDecimals >= 0 rounds the assignment similarity (same
+      // convention as the gated ANN entries) so an oracle recomputing
+      // the iterations cannot flip an assignment on last-ulp noise
       val assigned = vecs
         .join(broadcast(centroids))
         .select(col("vid"), col("v"), col("cell"),
-          cosineSim(col("v").cast("array<float>"),
-            col("centroid").cast("array<float>")).as("csim"))
+          maybeRound(cosineSim(col("v").cast("array<float>"),
+            col("centroid").cast("array<float>")), roundDecimals).as("csim"))
         .groupBy(col("vid"), col("v"))
         .agg(min_by(col("cell"), struct(-col("csim"), col("cell"))).as("cell"))
 
