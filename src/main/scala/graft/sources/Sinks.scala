@@ -44,6 +44,7 @@ object Sinks {
   private lazy val rollupStateDir: String = scratch("graft-rollup-state")
   private lazy val sketchDir: String = scratch("graft-sketch-state")
   private lazy val snapshotDir: String = scratch("graft-snapshots")
+  private lazy val snapshotPrunedDir: String = scratch("graft-snapshot-pruned")
 
   /** Compact a directory of small parquet files into ~`targetFileBytes`
     * outputs: size the file count from the ACTUAL on-disk bytes, not a
@@ -326,11 +327,36 @@ object Sinks {
       .orderBy("version", "lang")
   }
 
+  /** Statistics-manifest data skipping (SURVEY §8.5's missing half,
+    * closed in round 6): commit lineitem range-clustered on l_orderkey
+    * with per-file min/max stats in the snapshot manifest, then answer
+    * a selective range query through [[Snapshots.readRange]] — the
+    * manifest prunes non-intersecting files BEFORE the scan (the
+    * mechanism behind Iceberg/Delta data skipping; SnapshotsSpec
+    * asserts the file-count reduction, this entry gates the results).
+    * The residual filter keeps row-level exactness, so the oracle is
+    * the plain predicate over the source table.
+    */
+  private def snapshotPrunedRead(s: SparkSession, d: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(snapshotPrunedDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    val li = Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+    Snapshots.commit(s, li, snapshotPrunedDir,
+      statsColumns = Seq("l_orderkey"))
+    Snapshots.readRange(s, snapshotPrunedDir, "l_orderkey", 5000L, 7000L)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> (bucketedJoin _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
+    "q_snapshot_pruned_read" -> (snapshotPrunedRead _),
     "q_write_partitioned" -> (writeRoundTrip _),
     "q_write_sorted" -> (sortedRoundTrip _),
     "q_write_compacted" -> (compactRoundTrip _),
@@ -370,6 +396,12 @@ object Sinks {
         |UNION ALL
         |SELECT version, lang, n_docs FROM v2
         |ORDER BY version, lang""".stripMargin,
+    // residual filter keeps the pruned read row-exact, so the oracle is
+    // the plain range predicate over the source table
+    "q_snapshot_pruned_read" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 7000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_items,
