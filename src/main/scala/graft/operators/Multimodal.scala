@@ -38,8 +38,10 @@ case class MediaMeta(
   * per-partition so one task initializes its (native) decoder once and
   * streams a batch of payloads through it.
   *
-  * The container ships no image/audio codec libraries, so the payloads
-  * use the codec-free PNM family: a PNM ASCII header (magic, `# frames=`
+  * Two codec tiers, both real: the JDK's built-in `javax.imageio`
+  * readers handle compressed PNG/JPEG ([[pngFeatures]]/[[decodeImage]] —
+  * no external library needed), and the codec-free PNM family covers the
+  * uncompressed path: a PNM ASCII header (magic, `# frames=`
   * comment, width/height, maxval — the real PPM/PGM header layout)
   * followed by the RAW raster bytes (P5 = one gray byte per pixel, P6 =
   * interleaved RGB triplets — the actual P5/P6 wire format, which needs
@@ -346,6 +348,138 @@ object Multimodal {
     * statistics; the float math here is codegen'd column arithmetic
     * (for a gray P5 raster the three channels coincide by definition).
     */
+  // ---------- compressed codecs via the JDK's built-in ImageIO ----------
+
+  /** Encode each doc's text bytes as a REAL compressed PNG: a w×h
+    * grayscale raster (complete rows only, capped at `maxRows`) written
+    * through `javax.imageio` — the PNG/JPEG/BMP/GIF codecs that ship
+    * INSIDE the JDK, so "no codec libraries in this container" stops at
+    * uncompressed formats only. PNG is lossless, which is what makes
+    * the round trip oracle-checkable: the decoded samples are exactly
+    * the source bytes, so SQL recomputes the statistics from the text
+    * independently (a JPEG fixture would decode to codec-defined
+    * approximations — exercised in MultimodalSpec, not oracle-gated).
+    * Docs shorter than one raster row are excluded (no 0-row images).
+    */
+  def withPngPayload(
+      spark: SparkSession,
+      docs: DataFrame,
+      w: Int = 32,
+      maxRows: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[(Long, Array[Byte])] = {
+    require(w > 0 && maxRows > 0, s"bad raster bounds w=$w maxRows=$maxRows")
+    import spark.implicits._
+    docs
+      .filter(length(col(textCol)) >= w)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes(UTF_8)
+        val h = math.min(bytes.length / w, maxRows)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, bytes(i) & 0xff)
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      })
+  }
+
+  /** Decode one compressed payload through a REUSED ImageReader (the
+    * per-partition amortization `mapPartitions` exists for: codec
+    * lookup happens once per task, `setInput` per image). Statistics
+    * read RAW raster samples (`raster.getSample`), never `getRGB` —
+    * getRGB routes gray through an sRGB color-space conversion that
+    * silently remaps every value (the classic ImageIO trap), while raw
+    * samples are the decoded bytes themselves. Single-band images
+    * replicate gray into r/g/b exactly like the P5 path.
+    */
+  private[operators] def decodeImage(
+      reader: javax.imageio.ImageReader,
+      id: Long,
+      payload: Array[Byte]): MediaMeta = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis)
+      val img = reader.read(0)
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val bands = raster.getNumBands
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var qr = 0L; var qg = 0L; var qb = 0L
+      val hist = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = raster.getSample(x, y, 0)
+          val g = if (bands >= 3) raster.getSample(x, y, 1) else r
+          val b = if (bands >= 3) raster.getSample(x, y, 2) else r
+          sr += r; sg += g; sb += b
+          qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
+          hist((r + g + b) / 3 / 64) += 1
+          x += 1
+        }
+        y += 1
+      }
+      MediaMeta(
+        doc_id = id, n_bytes = payload.length.toLong,
+        width = w.toLong, height = h.toLong,
+        format = reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
+        frame_count = 1L, n_px = w.toLong * h,
+        sum_r = sr, sum_g = sg, sum_b = sb,
+        sq_r = qr, sq_g = qg, sq_b = qb,
+        lum_h0 = hist(0), lum_h1 = hist(1),
+        lum_h2 = hist(2), lum_h3 = hist(3))
+    } finally iis.close()
+  }
+
+  /** PNG round trip over the corpus: text-byte raster → ImageIO PNG
+    * encode → ImageIO decode (reader reused per partition) → per-doc
+    * pixel statistics as codegen'd arithmetic over the exact integer
+    * sums. `n_bytes` (the compressed size) is deliberately NOT in the
+    * output: it is encoder-implementation-defined, while everything
+    * emitted is recomputable from the source text by the SQL oracle.
+    */
+  def pngFeatures(
+      spark: SparkSession,
+      docs: DataFrame,
+      w: Int = 32,
+      maxRows: Int = 64): DataFrame = {
+    import spark.implicits._
+    val n = col("n_px").cast("double")
+    withPngPayload(spark, docs, w, maxRows)
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        it.map { case (id, payload) => decodeImage(reader, id, payload) }
+      }
+      .select(
+        col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_px"),
+        when(col("n_px") > 0, round(col("sum_g").cast("double") / n, 6))
+          .as("mean_px"),
+        when(col("n_px") > 0, round(sqrt(greatest(
+          col("sq_g").cast("double") / n
+            - (col("sum_g").cast("double") / n)
+              * (col("sum_g").cast("double") / n),
+          lit(0.0))), 6)).as("std_px"),
+        col("lum_h0"), col("lum_h1"), col("lum_h2"), col("lum_h3"))
+  }
+
   def featureVector(spark: SparkSession, docs: DataFrame): DataFrame = {
     val n = col("n_px").cast("double")
     def mean(s: String): Column =

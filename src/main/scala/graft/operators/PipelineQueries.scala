@@ -343,6 +343,14 @@ object PipelineQueries {
     "multimodal_features" -> ((s, d) => {
       Multimodal.featureVector(s, t(s, d, "documents")).orderBy("doc_id")
     }),
+    "multimodal_png_features" -> ((s, d) => {
+      // REAL compressed-codec round trip (JDK ImageIO, no external
+      // library): text-byte raster -> PNG encode -> PNG decode with a
+      // per-partition-reused reader -> pixel stats. Lossless, so the
+      // oracle recomputes every emitted value from the text directly.
+      Multimodal.pngFeatures(s, t(s, d, "documents"), w = 32, maxRows = 64)
+        .orderBy("doc_id")
+    }),
     "multimodal_resize" -> ((s, d) => {
       Multimodal.resizePlan(s, t(s, d, "documents"), maxSide = 256)
         .orderBy("doc_id")
@@ -861,6 +869,38 @@ object PipelineQueries {
     // with DuckDB arithmetic — P5 every byte is a gray pixel, P6 bytes
     // pivot into RGB triplets with the trailing partial triplet dropped,
     // exactly the decoder's complete-pixels-only contract
+    // PNG is lossless, so every decoded sample equals its source text
+    // byte: the oracle rebuilds the 32-wide complete-rows raster from
+    // the text and recomputes all emitted statistics
+    "multimodal_png_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id, text, least(length(text) // 32, 64) AS h
+        |  FROM documents WHERE length(text) >= 32),
+        |idx AS (
+        |  SELECT doc_id, h, text,
+        |    unnest(generate_series(1, 32 * h)) AS i
+        |  FROM dims),
+        |px AS (
+        |  SELECT doc_id, h, ord(substring(text, i, 1)) AS v FROM idx),
+        |st AS (
+        |  SELECT doc_id, h, COUNT(*) AS n_px,
+        |    SUM(v) AS s, SUM(v * v) AS q,
+        |    SUM(CASE WHEN v < 64 THEN 1 ELSE 0 END) AS h0,
+        |    SUM(CASE WHEN v BETWEEN 64 AND 127 THEN 1 ELSE 0 END) AS h1,
+        |    SUM(CASE WHEN v BETWEEN 128 AND 191 THEN 1 ELSE 0 END) AS h2,
+        |    SUM(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS h3
+        |  FROM px GROUP BY doc_id, h)
+        |SELECT doc_id, 'png' AS format,
+        |  CAST(32 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(n_px AS BIGINT) AS n_px,
+        |  round(CAST(s AS DOUBLE) / n_px, 6) AS mean_px,
+        |  round(sqrt(greatest(
+        |    CAST(q AS DOUBLE) / n_px
+        |      - (CAST(s AS DOUBLE) / n_px) * (CAST(s AS DOUBLE) / n_px),
+        |    0.0)), 6) AS std_px,
+        |  CAST(h0 AS BIGINT) AS lum_h0, CAST(h1 AS BIGINT) AS lum_h1,
+        |  CAST(h2 AS BIGINT) AS lum_h2, CAST(h3 AS BIGINT) AS lum_h3
+        |FROM st ORDER BY doc_id""".stripMargin,
     "multimodal_features" ->
       """WITH idx AS (
         |  SELECT doc_id, length(text) AS len, text,

@@ -141,6 +141,55 @@ class MultimodalSpec extends SparkSpec {
     assert(all.n_out == 8L && all.sum_s == "ABCDEFGH".map(_.toLong).sum)
   }
 
+  test("PNG round trip through ImageIO is lossless and byte-exact") {
+    // known raster: bytes 'A'..'p' (65..112) as a 4x12 grayscale image;
+    // pngFeatures must recover the exact source-byte statistics
+    import spark.implicits._
+    val text = (65 until 113).map(_.toChar).mkString // 48 ASCII chars
+    val one = Seq((7L, text)).toDF("doc_id", "text")
+    val row = Multimodal.pngFeatures(spark, one, w = 4, maxRows = 64)
+      .collect().head
+    val vals = text.map(_.toInt)
+    assert(row.getAs[String]("format") == "png")
+    assert(row.getAs[Long]("width") == 4L && row.getAs[Long]("height") == 12L)
+    assert(row.getAs[Long]("n_px") == 48L)
+    val mean = vals.sum.toDouble / 48
+    assert(math.abs(row.getAs[Double]("mean_px") - math.rint(mean * 1e6) / 1e6) < 1e-9)
+    assert(row.getAs[Long]("lum_h1") == vals.count(v => v >= 64 && v < 128))
+  }
+
+  test("png features run over the corpus with a reused reader per partition") {
+    val out = Multimodal.pngFeatures(spark, docs, w = 32, maxRows = 64)
+    val rows = out.collect()
+    // every doc with >= one complete raster row decodes to >= 1 pixel
+    assert(rows.length == docs.filter(length(col("text")) >= 32).count())
+    assert(rows.forall(_.getAs[Long]("n_px") > 0))
+    // lossless: histogram bins sum to the pixel count on every row
+    assert(rows.forall(r =>
+      r.getAs[Long]("lum_h0") + r.getAs[Long]("lum_h1") +
+        r.getAs[Long]("lum_h2") + r.getAs[Long]("lum_h3") ==
+        r.getAs[Long]("n_px")))
+  }
+
+  test("JPEG decodes through the same reader seam (lossy: dims exact, values approximate)") {
+    // the decode stage is codec-agnostic: write a JPEG with ImageIO and
+    // decode it with a jpeg reader through the SAME decodeImage path
+    val w = 8; val h = 6
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, 100 + (x + y) % 16)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("jpeg").next()
+    val meta = Multimodal.decodeImage(reader, 1L, out.toByteArray)
+    assert(meta.width == w && meta.height == h && meta.n_px == w.toLong * h)
+    // lossy codec: the mean survives within a coarse tolerance
+    val mean = meta.sum_g.toDouble / meta.n_px
+    assert(math.abs(mean - 107.5) < 8.0, s"jpeg mean drifted to $mean")
+  }
+
   test("media profile aggregates per format") {
     val prof = Multimodal.mediaProfile(spark, docs).collect()
     assert(prof.map(_.getAs[String]("format")).toSet.subsetOf(Set("ppm", "pgm")))
