@@ -45,6 +45,7 @@ object Sinks {
   private lazy val sketchDir: String = scratch("graft-sketch-state")
   private lazy val snapshotDir: String = scratch("graft-snapshots")
   private lazy val snapshotPrunedDir: String = scratch("graft-snapshot-pruned")
+  private lazy val snapshotRaceDir: String = scratch("graft-snapshot-race")
 
   /** Compact a directory of small parquet files into ~`targetFileBytes`
     * outputs: size the file count from the ACTUAL on-disk bytes, not a
@@ -351,8 +352,46 @@ object Sinks {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Concurrent-writer arbitration end-to-end (the optimistic-
+    * concurrency half of the snapshot layer): four writers race to
+    * commit disjoint quarters of `documents` at the SAME time, each
+    * landing on its own version through the atomic no-overwrite claim
+    * rename. Which writer wins which version is nondeterministic, so
+    * the entry aggregates over the UNION of all four claimed versions
+    * — every document must appear exactly once, whatever the claim
+    * order — and the oracle recomputes the per-writer counts straight
+    * from the source table. A hash match certifies no commit was lost,
+    * duplicated, or half-published under contention; SnapshotsSpec
+    * separately pins the version-uniqueness and isolation invariants.
+    */
+  private def snapshotConcurrent(s: SparkSession, d: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = new org.apache.hadoop.fs.Path(snapshotRaceDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 4).as("writer"))
+    val races = (0L until 4L).map { w =>
+      Future(Snapshots.commit(s, docs.filter(col("writer") === w), snapshotRaceDir))
+    }
+    val versions = Await.result(Future.sequence(races), 10.minutes)
+    require(versions.sorted == (1L to 4L) &&
+      Snapshots.version(s, snapshotRaceDir) == 4L,
+      s"claim arbitration failed: versions $versions")
+    versions
+      .map(v => Snapshots.readVersion(s, snapshotRaceDir, v))
+      .reduce(_ unionByName _)
+      .groupBy("writer")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("writer")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> (bucketedJoin _),
+    "q_snapshot_concurrent" -> (snapshotConcurrent _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -396,6 +435,13 @@ object Sinks {
         |UNION ALL
         |SELECT version, lang, n_docs FROM v2
         |ORDER BY version, lang""".stripMargin,
+    // the union of all four racing writers' snapshots must equal the
+    // source table exactly — per-writer counts replayed from source
+    "q_snapshot_concurrent" ->
+      """SELECT doc_id % 4 AS writer,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // residual filter keeps the pruned read row-exact, so the oracle is
     // the plain range predicate over the source table
     "q_snapshot_pruned_read" ->

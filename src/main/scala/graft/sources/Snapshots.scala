@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,30 +11,47 @@ import org.apache.spark.sql.functions._
   * formats sit on (no Delta/Iceberg jars in this container — SURVEY
   * §8.5).
   *
-  * Layout: `tableDir/snap-<v>/` holds snapshot v's parquet (immutable
-  * once published); `tableDir/_latest` holds the current version number.
-  * A commit writes the NEW snapshot directory first, then flips the
-  * pointer with an atomic rename — readers resolve the pointer once and
-  * then read an immutable directory, so a reader mid-scan of v1 is
-  * undisturbed by the v2 commit (snapshot isolation), and a crash
-  * between data write and pointer flip leaves the table on v1 with an
-  * orphan directory a janitor can collect — never a half-visible
-  * snapshot.
+  * Layout: `tableDir/snap-<v>/` holds snapshot v's parquet plus its
+  * `_manifest` statistics (immutable once published); `tableDir/_latest`
+  * caches the current version number.
   *
-  * The pointer flip uses `FileContext.rename(OVERWRITE)` — the
-  * portable atomic-overwrite API (atomic on HDFS and POSIX; on S3 a
-  * real deployment swaps a catalog entry instead, which is exactly
-  * where the formats put their commit too). Concurrent WRITERS are out
-  * of scope: last pointer flip wins, as in a catalog-less lakehouse.
+  * Commit protocol (stage → claim → refresh):
+  *  1. The writer materializes data AND manifest into a private staging
+  *     directory `_stage-<uuid>` — invisible to every reader.
+  *  2. It CLAIMS a version with an atomic no-overwrite rename of the
+  *     staging directory to `snap-<v>`; the rename throws
+  *     `FileAlreadyExistsException` if another writer claimed `v`
+  *     first, and the loser simply retries at the next free version.
+  *     The successful rename IS the commit point: `snap-<v>` either
+  *     doesn't exist or is a complete snapshot, and version numbers are
+  *     unique under CONCURRENT writers with no lock service — the same
+  *     optimistic-concurrency shape as Delta's `_delta_log/<v>.json`
+  *     put-if-absent or an Iceberg catalog CAS, expressed with the one
+  *     atomic primitive a filesystem gives you. (On HDFS the namenode
+  *     makes check+rename atomic; on a local FS the narrow check/act
+  *     race is closed by `rename(2)` itself, which refuses to rename
+  *     onto a non-empty directory — and a claimed snapshot directory is
+  *     never empty. On S3 a real deployment swaps a catalog entry
+  *     instead, which is exactly where the formats put their commit
+  *     too.)
+  *  3. It refreshes the `_latest` pointer cache, monotonically.
+  *
+  * Readers resolve a version once and then read an immutable directory,
+  * so a reader mid-scan of v1 is undisturbed by the v2 commit (snapshot
+  * isolation). A crash anywhere before the claim leaves only an
+  * invisible `_stage-*` orphan for [[vacuum]] — never a half-visible
+  * snapshot; a crash after the claim but before the pointer refresh is
+  * already durable, because [[version]] reconciles the pointer against
+  * the claimed directories.
   */
 object Snapshots {
 
   private def fc(spark: SparkSession): FileContext =
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
 
-  /** Current committed version, or 0 if the table has no snapshot yet. */
-  def version(spark: SparkSession, tableDir: String): Long = {
-    val ctx = fc(spark)
+  private val SnapName = "snap-(\\d+)".r
+
+  private def pointerValue(ctx: FileContext, tableDir: String): Long = {
     val pointer = new Path(tableDir, "_latest")
     if (!ctx.util().exists(pointer)) 0L
     else {
@@ -44,28 +61,58 @@ object Snapshots {
     }
   }
 
+  /** Highest claimed `snap-<v>` in the table directory (0 if none). One
+    * directory listing — the claim rename publishes complete snapshots
+    * only, so every listed version is readable.
+    */
+  private def claimedVersion(ctx: FileContext, tableDir: String): Long = {
+    val dir = new Path(tableDir)
+    if (!ctx.util().exists(dir)) 0L
+    else
+      ctx.util().listStatus(dir).iterator.map(_.getPath.getName).collect {
+        case SnapName(v) => v.toLong
+      }.foldLeft(0L)(math.max)
+  }
+
+  /** Current committed version, or 0 if the table has no snapshot yet.
+    *
+    * The pointer file is only a CACHE: the claim rename is the commit
+    * point, so the listing is authoritative and the max of the two
+    * covers a writer that crashed (or lost a refresh race) between
+    * claim and pointer refresh.
+    */
+  def version(spark: SparkSession, tableDir: String): Long = {
+    val ctx = fc(spark)
+    math.max(pointerValue(ctx, tableDir), claimedVersion(ctx, tableDir))
+  }
+
   /** Manifest location inside a snapshot directory. The leading
     * underscore keeps it out of data scans (Spark's hidden-file
-    * filter), and living INSIDE `snap-<v>/` means it is written before
-    * the pointer flip and shares the snapshot's immutability — the
-    * statistics can never disagree with the files they describe.
+    * filter), and living INSIDE the staged directory means it is
+    * published by the same atomic claim as the data and shares the
+    * snapshot's immutability — the statistics can never disagree with
+    * the files they describe.
     */
-  private def manifestDir(tableDir: String, v: Long): String =
-    s"$tableDir/snap-$v/_manifest"
+  private def manifestDir(snapDir: String): String = s"$snapDir/_manifest"
 
-  /** Publish `df` as the next snapshot; returns the new version.
+  /** Publish `df` as the next snapshot; returns the claimed version.
+    * Safe to call from concurrent writers: each lands on its own
+    * version (see the protocol above).
     *
     * `statsColumns` opts into the statistics half of a lakehouse
     * manifest: one manifest row per data file with its row count and
     * per-column min/max (native types, stored as parquet so no stats
     * parser exists anywhere). [[readRange]] then prunes files whose
     * range cannot intersect a predicate BEFORE the scan — the
-    * mechanism behind Iceberg/Delta data skipping. Stats are collected
-    * with one distributed pass over the freshly written files
-    * (`input_file_name()` groupBy); a production writer lifts the same
-    * numbers from write-task results or parquet footers instead of
-    * re-reading, but the manifest contract — immutable per-file
-    * min/max published atomically with the snapshot — is identical.
+    * mechanism behind Iceberg/Delta data skipping. File names are
+    * stored RELATIVE to the snapshot directory (the staging directory
+    * is renamed at claim time, and relative names are what make a
+    * snapshot relocatable). Stats are collected with one distributed
+    * pass over the freshly staged files (`input_file_name()` groupBy);
+    * a production writer lifts the same numbers from write-task
+    * results or parquet footers instead of re-reading, but the
+    * manifest contract — immutable per-file min/max published
+    * atomically with the snapshot — is identical.
     */
   def commit(
       spark: SparkSession,
@@ -73,30 +120,53 @@ object Snapshots {
       tableDir: String,
       statsColumns: Seq[String] = Nil): Long = {
     val ctx = fc(spark)
-    val next = version(spark, tableDir) + 1
-    df.write.mode("overwrite").parquet(s"$tableDir/snap-$next")
+    // 1. stage: private directory, invisible to readers and other writers
+    val stageDir = s"$tableDir/_stage-${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(stageDir)
     if (statsColumns.nonEmpty) {
-      val data = spark.read.parquet(s"$tableDir/snap-$next")
+      val data = spark.read.parquet(stageDir)
       val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
         statsColumns.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      data.groupBy(input_file_name().as("file"))
+      data
+        .groupBy(
+          element_at(split(input_file_name(), "/"), -1).as("file"))
         .agg(aggs.head, aggs.tail: _*)
         .coalesce(1) // manifests are file-count-sized: one small file
-        .write.mode("overwrite").parquet(manifestDir(tableDir, next))
+        .write.mode("overwrite").parquet(manifestDir(stageDir))
     }
-    // data is durable; now flip the pointer: write-temp + atomic rename
-    val tmp = new Path(tableDir, s"_latest.tmp-$next")
-    val out = ctx.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    ctx.rename(tmp, new Path(tableDir, "_latest"), Options.Rename.OVERWRITE)
-    next
+    // 2. claim: atomic no-overwrite rename — the commit point
+    val stage = new Path(stageDir)
+    var v = version(spark, tableDir) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        ctx.rename(stage, new Path(tableDir, s"snap-$v"), Options.Rename.NONE)
+        claimed = true
+      } catch {
+        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+          // another writer took v between our version() read and the
+          // rename — move past everything claimed by now and retry
+          v = math.max(v + 1, claimedVersion(ctx, tableDir) + 1)
+      }
+    }
+    // 3. refresh the pointer cache, monotonically. Two concurrent
+    // refreshes can still land out of order (read-check-write is not
+    // atomic); that only ever leaves the CACHE stale, and version()
+    // reconciles against the claimed directories.
+    if (pointerValue(ctx, tableDir) < v) {
+      val tmp = new Path(tableDir, s"_latest.tmp-$v")
+      val out = ctx.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      ctx.rename(tmp, new Path(tableDir, "_latest"), Options.Rename.OVERWRITE)
+    }
+    v
   }
 
-  /** Read the current snapshot (resolves the pointer once — the frame
+  /** Read the current snapshot (resolves the version once — the frame
     * keeps reading that snapshot's immutable files even if a newer
     * version commits while the scan runs).
     */
@@ -124,12 +194,13 @@ object Snapshots {
       colName: String,
       lower: Any,
       upper: Any): (Seq[String], Long) = {
-    val m = spark.read.parquet(manifestDir(tableDir, v))
+    val snapDir = s"$tableDir/snap-$v"
+    val m = spark.read.parquet(manifestDir(snapDir))
     val total = m.count()
     val sel = m
       .filter(col(s"max_$colName") >= lit(lower) &&
         col(s"min_$colName") <= lit(upper))
-      .select("file").collect().map(_.getString(0)).toSeq
+      .select("file").collect().map(r => s"$snapDir/${r.getString(0)}").toSeq
     (sel, total)
   }
 
@@ -152,12 +223,40 @@ object Snapshots {
     require(ver >= 1, s"no committed snapshot in $tableDir")
     val snapDir = s"$tableDir/snap-$ver"
     val residual = col(colName).between(lit(lower), lit(upper))
-    if (!fc(spark).util().exists(new Path(manifestDir(tableDir, ver))))
+    if (!fc(spark).util().exists(new Path(manifestDir(snapDir))))
       spark.read.parquet(snapDir).filter(residual)
     else {
       val (files, _) = selectFiles(spark, tableDir, ver, colName, lower, upper)
       if (files.isEmpty) spark.read.parquet(snapDir).filter(lit(false))
       else spark.read.parquet(files: _*).filter(residual)
+    }
+  }
+
+  /** Janitor: delete staging orphans (writers that crashed before their
+    * claim) and leftover pointer temp files. `olderThanMs` guards
+    * IN-FLIGHT writers — an orphan is collected only once its directory
+    * has been unmodified for that long (default 1h, the usual lakehouse
+    * retention posture of "vacuum nothing a live writer could still
+    * own"). Committed snapshots are never touched: the claim rename
+    * moved them OUT of the staging namespace. Returns the number of
+    * paths deleted.
+    */
+  def vacuum(
+      spark: SparkSession,
+      tableDir: String,
+      olderThanMs: Long = 60L * 60 * 1000): Int = {
+    val ctx = fc(spark)
+    val dir = new Path(tableDir)
+    if (!ctx.util().exists(dir)) 0
+    else {
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val stale = ctx.util().listStatus(dir).iterator.filter { st =>
+        val n = st.getPath.getName
+        (n.startsWith("_stage-") || n.startsWith("_latest.tmp-")) &&
+          st.getModificationTime < cutoff
+      }.toSeq
+      stale.foreach(st => ctx.delete(st.getPath, true))
+      stale.size
     }
   }
 }

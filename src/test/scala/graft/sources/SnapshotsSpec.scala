@@ -80,20 +80,74 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readRange(spark, dir2, "id", 150L, 250L).count() == 101L)
   }
 
-  test("a commit that fails before the pointer flip leaves the table on the old version") {
+  test("a commit that fails before the claim leaves only an invisible staging orphan") {
     val dir = Files.createTempDirectory("graft-snap-crash").toString
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
-    // simulate the crash window: snapshot directory written, pointer not
-    // flipped — exactly the state a failed commit(…) leaves behind
+    // simulate the crash window: data staged, claim rename never ran —
+    // exactly the state a failed commit(…) leaves behind
     Seq((9L, "z")).toDF("id", "v")
-      .write.mode("overwrite").parquet(s"$dir/snap-2")
+      .write.mode("overwrite").parquet(s"$dir/_stage-dead-writer")
     assert(Snapshots.version(spark, dir) == 1L)
     assert(Snapshots.read(spark, dir).count() == 1L)
-    // the next successful commit claims version 2 for ITSELF — the
-    // orphan data is overwritten, never half-visible
+    // the next successful commit claims version 2; the orphan stays
+    // invisible in the staging namespace until the janitor collects it
     val v = Snapshots.commit(spark, Seq((2L, "b"), (3L, "c")).toDF("id", "v"), dir)
     assert(v == 2L)
     assert(Snapshots.read(spark, dir).orderBy("id").collect()
       .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // a fresh orphan is protected by the age guard; an old one is swept
+    assert(Snapshots.vacuum(spark, dir) == 0)
+    assert(Snapshots.vacuum(spark, dir, olderThanMs = -1L) == 1)
+    assert(!new java.io.File(s"$dir/_stage-dead-writer").exists())
+    assert(Snapshots.version(spark, dir) == 2L)
+    assert(Snapshots.read(spark, dir).count() == 2L)
+  }
+
+  test("a claimed snapshot is durable even if the pointer refresh never ran") {
+    val dir = Files.createTempDirectory("graft-snap-ptr").toString
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    // simulate a writer that died between claim and pointer refresh:
+    // snap-2 exists (claim rename is atomic → always complete), the
+    // _latest cache still says 1
+    Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/snap-2")
+    // the claim is the commit point — version() reconciles the stale cache
+    assert(Snapshots.version(spark, dir) == 2L)
+    assert(Snapshots.read(spark, dir).count() == 2L)
+    // and the NEXT commit claims 3, never clobbering the durable 2
+    val v = Snapshots.commit(spark, Seq((4L, "d")).toDF("id", "v"), dir)
+    assert(v == 3L)
+    assert(Snapshots.readVersion(spark, dir, 2L).count() == 2L)
+  }
+
+  test("concurrent writers each claim a unique version; nothing is lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft-snap-concurrent").toString
+    val writers = 8
+    // all 8 commit at once, racing for versions — each must land on its
+    // own snap-<v> (the no-overwrite claim arbitrates; losers retry)
+    val futures = (0 until writers).map { w =>
+      Future {
+        val df = (0 until 10).map(i => (w.toLong, w * 100L + i)).toDF("writer", "x")
+        w.toLong -> Snapshots.commit(spark, df, dir)
+      }
+    }
+    val claims = Await.result(Future.sequence(futures), 5.minutes)
+    // versions are exactly 1..8, no duplicates, no gaps
+    assert(claims.map(_._2).sorted == (1L to writers.toLong))
+    assert(Snapshots.version(spark, dir) == writers.toLong)
+    // every writer's snapshot holds precisely that writer's rows —
+    // no commit overwrote another's claim
+    claims.foreach { case (w, v) =>
+      val snap = Snapshots.readVersion(spark, dir, v)
+      assert(snap.count() == 10L)
+      assert(snap.select("writer").distinct().collect().map(_.getLong(0)).toSeq == Seq(w))
+    }
+    // no staging orphans remain after a fully successful race
+    val stages = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("_stage-"))
+    assert(stages.isEmpty, stages.mkString(","))
   }
 }
