@@ -46,6 +46,14 @@ object Sinks {
   private lazy val snapshotDir: String = scratch("graft-snapshots")
   private lazy val snapshotPrunedDir: String = scratch("graft-snapshot-pruned")
   private lazy val snapshotRaceDir: String = scratch("graft-snapshot-race")
+  private lazy val snapshotMergeDir: String = scratch("graft-snapshot-merge")
+  private lazy val snapshotCdfDir: String = scratch("graft-snapshot-cdf")
+
+  private def clearDir(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 
   /** Compact a directory of small parquet files into ~`targetFileBytes`
     * outputs: size the file count from the ACTUAL on-disk bytes, not a
@@ -389,9 +397,50 @@ object Sinks {
       .orderBy("writer")
   }
 
+  /** Copy-on-write MERGE INTO over the snapshot layer: v1 holds the
+    * first 400 documents, then one [[Snapshots.merge]] replaces docs
+    * 200–399 (matched → updated n_chars) and inserts docs 400–599
+    * (unmatched → appended), committing v2. The entry reads the merged
+    * snapshot back; the oracle replays the same upsert arithmetic
+    * straight from the source table, so a hash match certifies both
+    * MERGE arms — replace and insert — landed exactly once.
+    */
+  private def snapshotMerge(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotMergeDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), snapshotMergeDir)
+    val updates = docs.filter(col("doc_id").between(200, 599))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    Snapshots.merge(s, snapshotMergeDir, updates, Seq("doc_id"))
+    Snapshots.read(s, snapshotMergeDir).orderBy("doc_id")
+  }
+
+  /** Change data feed across the full write path: v1 = docs < 400,
+    * v2 = MERGE (update 200–399, insert 400–599), v3 = DELETE of every
+    * doc_id ≡ 7 (mod 10). [[Snapshots.changes]] diffs v1 → v3 and must
+    * emit exactly the inserts that survived the delete, the updates
+    * that survived, and a delete row (pre-image) for every v1 doc the
+    * predicate removed — rows both inserted and deleted inside the
+    * window correctly vanish. The oracle rebuilds both endpoint states
+    * from the source table and takes the same keyed diff.
+    */
+  private def snapshotCdf(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotCdfDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), snapshotCdfDir)
+    val updates = docs.filter(col("doc_id").between(200, 599))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    Snapshots.merge(s, snapshotCdfDir, updates, Seq("doc_id"))
+    Snapshots.delete(s, snapshotCdfDir, col("doc_id") % 10 === 7)
+    Snapshots.changes(s, snapshotCdfDir, 1L, 3L, Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> (bucketedJoin _),
     "q_snapshot_concurrent" -> (snapshotConcurrent _),
+    "q_snapshot_merge" -> (snapshotMerge _),
+    "q_snapshot_cdf" -> (snapshotCdf _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -442,6 +491,31 @@ object Sinks {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the upsert replayed from source: docs <400 kept, 200-599 carry the
+    // updated n_chars (matched rows replaced, unmatched inserted)
+    "q_snapshot_merge" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id >= 200 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id < 600 ORDER BY doc_id""".stripMargin,
+    // both endpoint states rebuilt from source, then the same keyed diff:
+    // pre = v1 (docs < 400), post = v3 (merged minus doc_id % 10 = 7)
+    "q_snapshot_cdf" ->
+      """WITH pre AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 400),
+        |post AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id >= 200 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id < 600 AND doc_id % 10 <> 7)
+        |SELECT COALESCE(post.doc_id, pre.doc_id) AS doc_id,
+        |  CASE WHEN pre.doc_id IS NULL THEN 'insert'
+        |       WHEN post.doc_id IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  COALESCE(post.lang, pre.lang) AS lang,
+        |  COALESCE(post.n_chars, pre.n_chars) AS n_chars
+        |FROM pre FULL OUTER JOIN post ON pre.doc_id = post.doc_id
+        |WHERE pre.doc_id IS NULL OR post.doc_id IS NULL
+        |   OR pre.n_chars <> post.n_chars OR pre.lang <> post.lang
+        |ORDER BY doc_id""".stripMargin,
     // residual filter keeps the pruned read row-exact, so the oracle is
     // the plain range predicate over the source table
     "q_snapshot_pruned_read" ->

@@ -150,18 +150,28 @@ object Snapshots {
           v = math.max(v + 1, claimedVersion(ctx, tableDir) + 1)
       }
     }
-    // 3. refresh the pointer cache, monotonically. Two concurrent
-    // refreshes can still land out of order (read-check-write is not
-    // atomic); that only ever leaves the CACHE stale, and version()
-    // reconciles against the claimed directories.
-    if (pointerValue(ctx, tableDir) < v) {
+    // 3. refresh the pointer cache, monotonically and BEST-EFFORT: the
+    // claim above already committed, so a failed or lost refresh only
+    // leaves the CACHE stale and version() reconciles against the
+    // claimed directories. The synchronized block serializes refreshes
+    // within one JVM; a cross-process race (or the local filesystem's
+    // non-atomic .crc sidecar rename) surfaces as an IOException that
+    // is deliberately swallowed for the same only-a-cache reason.
+    Snapshots.synchronized {
       val tmp = new Path(tableDir, s"_latest.tmp-$v")
-      val out = ctx.create(tmp,
-        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      ctx.rename(tmp, new Path(tableDir, "_latest"), Options.Rename.OVERWRITE)
+      try {
+        if (pointerValue(ctx, tableDir) < v) {
+          val out = ctx.create(tmp,
+            java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+              org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+          try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          ctx.rename(tmp, new Path(tableDir, "_latest"), Options.Rename.OVERWRITE)
+        }
+      } catch {
+        case _: java.io.IOException =>
+          try ctx.delete(tmp, false) catch { case _: java.io.IOException => () }
+      }
     }
     v
   }
@@ -230,6 +240,83 @@ object Snapshots {
       if (files.isEmpty) spark.read.parquet(snapDir).filter(lit(false))
       else spark.read.parquet(files: _*).filter(residual)
     }
+  }
+
+  /** Copy-on-write MERGE (the upsert half of `MERGE INTO`): rows of the
+    * latest snapshot whose `key` matches a row in `updates` are
+    * REPLACED by that row, unmatched update rows are INSERTED, and the
+    * result commits as a new version — the current snapshot is never
+    * mutated, so readers mid-scan and time travel are untouched.
+    *
+    * Cost model: one anti-join of the table against the updates on
+    * `key` (Spark broadcasts the update side automatically when it is
+    * small — the common CDC-batch case) plus a full rewrite of the
+    * surviving rows. That rewrite is the documented copy-on-write
+    * trade every format makes before deletion vectors / merge-on-read;
+    * at 100 TB the fix is partition- or file-level: manifest stats
+    * scope the rewrite to the files the update keys can touch, and
+    * untouched files would be carried into the new snapshot by
+    * reference (a manifest facility this layer keeps honest about not
+    * having — data files here are copied, not referenced).
+    */
+  def merge(
+      spark: SparkSession,
+      tableDir: String,
+      updates: DataFrame,
+      key: Seq[String],
+      statsColumns: Seq[String] = Nil): Long = {
+    val cur = read(spark, tableDir)
+    val merged = cur.join(updates, key, "left_anti").unionByName(updates)
+    commit(spark, merged, tableDir, statsColumns)
+  }
+
+  /** Copy-on-write DELETE: rows where `predicate` is TRUE are dropped;
+    * rows where it is FALSE **or NULL** are kept (SQL `DELETE WHERE`
+    * semantics — a NULL predicate never deletes). Commits the survivors
+    * as a new version; same copy-on-write cost note as [[merge]].
+    */
+  def delete(
+      spark: SparkSession,
+      tableDir: String,
+      predicate: Column,
+      statsColumns: Seq[String] = Nil): Long =
+    commit(spark, read(spark, tableDir).filter(!coalesce(predicate, lit(false))),
+      tableDir, statsColumns)
+
+  /** Change data feed: the row-level diff between two committed
+    * versions, keyed by `key` — one output row per inserted, deleted,
+    * or updated key, with the post-image for inserts/updates and the
+    * pre-image for deletes:
+    *
+    * {{{ key…, change_type ∈ {insert,delete,update}, value… }}}
+    *
+    * Both versions shuffle once on `key` into a full-outer join of
+    * their (key, value-struct) projections; unchanged rows (null-safe
+    * struct equality, so all-null values compare equal) are dropped.
+    * This is the READ-side diff — O(|v_from| + |v_to|) whatever
+    * changed; the write-side alternative (Delta CDF) has [[merge]]
+    * record its own changes at commit time and pays only O(changes) to
+    * read, the right trade when diffs are consumed often.
+    */
+  def changes(
+      spark: SparkSession,
+      tableDir: String,
+      fromV: Long,
+      toV: Long,
+      key: Seq[String]): DataFrame = {
+    val pre = readVersion(spark, tableDir, fromV)
+    val valueCols = pre.columns.filterNot(key.contains).toSeq
+    def imaged(df: DataFrame, img: String) =
+      df.select(key.map(col) :+ struct(valueCols.map(col): _*).as(img): _*)
+    val post = imaged(readVersion(spark, tableDir, toV), "_post")
+    imaged(pre, "_pre").join(post, key, "full_outer")
+      .withColumn("change_type",
+        when(col("_pre").isNull, lit("insert"))
+          .when(col("_post").isNull, lit("delete"))
+          .when(!(col("_pre") <=> col("_post")), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(key.map(col) ++ (col("change_type") +:
+        valueCols.map(c => coalesce(col(s"_post.$c"), col(s"_pre.$c")).as(c))): _*)
   }
 
   /** Janitor: delete staging orphans (writers that crashed before their

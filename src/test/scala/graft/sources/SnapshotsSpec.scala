@@ -120,6 +120,51 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir, 2L).count() == 2L)
   }
 
+  test("merge replaces matched keys, inserts unmatched; delete keeps NULL-predicate rows") {
+    val dir = Files.createTempDirectory("graft-snap-merge").toString
+    Snapshots.commit(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "v", "n"), dir)
+    // matched id=2 replaced, unmatched id=4 inserted — as ONE new version
+    val v2 = Snapshots.merge(spark,
+      dir, Seq((2L, "B", 99L), (4L, "d", 40L)).toDF("id", "v", "n"), Seq("id"))
+    assert(v2 == 2L)
+    assert(Snapshots.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 10L), (2L, "B", 99L), (3L, "c", 30L), (4L, "d", 40L)))
+    // v1 is untouched (copy-on-write): time travel still sees the original
+    assert(Snapshots.readVersion(spark, dir, 1L).orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+
+    // DELETE WHERE n > 25: a NULL predicate must KEEP the row (SQL
+    // semantics), so make one n null via a merge first
+    Snapshots.merge(spark, dir,
+      Seq((5L, "e")).toDF("id", "v").selectExpr("id", "v", "CAST(NULL AS BIGINT) AS n"),
+      Seq("id"))
+    val v4 = Snapshots.delete(spark, dir, col("n") > 25)
+    assert(v4 == 4L)
+    // n>25 deletes ids 2 (99), 3 (30), 4 (40); id 1 (10) stays and the
+    // NULL-n id 5 must stay too — a NULL predicate never deletes
+    assert(Snapshots.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 5L))
+  }
+
+  test("changes() emits exactly the keyed diff between two versions") {
+    val dir = Files.createTempDirectory("graft-snap-cdf").toString
+    Snapshots.commit(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "v", "n"), dir)
+    Snapshots.merge(spark, dir,
+      Seq((2L, "B", 20L), (4L, "d", 40L)).toDF("id", "v", "n"), Seq("id"))
+    Snapshots.delete(spark, dir, col("id") === 3L)
+    val diff = Snapshots.changes(spark, dir, 1L, 3L, Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // id=1 unchanged → absent; id=2 updated (post-image); id=3 deleted
+    // (pre-image); id=4 inserted (post-image)
+    assert(diff == Seq((2L, "update", "B"), (3L, "delete", "c"), (4L, "insert", "d")))
+    // identical endpoints diff to nothing
+    assert(Snapshots.changes(spark, dir, 2L, 2L, Seq("id")).isEmpty)
+  }
+
   test("concurrent writers each claim a unique version; nothing is lost") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
