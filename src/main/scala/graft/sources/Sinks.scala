@@ -48,6 +48,7 @@ object Sinks {
   private lazy val snapshotRaceDir: String = scratch("graft-snapshot-race")
   private lazy val snapshotMergeDir: String = scratch("graft-snapshot-merge")
   private lazy val snapshotCdfDir: String = scratch("graft-snapshot-cdf")
+  private lazy val snapshotFeedDir: String = scratch("graft-snapshot-feed")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -436,11 +437,36 @@ object Sinks {
       .orderBy("doc_id")
   }
 
+  /** Write-time CDF (the Delta-CDF trade, vs q_snapshot_cdf's read-side
+    * net diff): the same commit → MERGE → DELETE walk, but with
+    * `recordChanges = true` so each transaction publishes its own
+    * change rows inside its snapshot by the same atomic claim, and the
+    * feed read back over (v1, v3] costs O(|changes|) with no diff
+    * computation. Unlike the net diff, intermediate writes survive:
+    * docs both inserted at v2 AND deleted at v3 appear twice here. The
+    * oracle rebuilds both per-version feeds from the source table.
+    */
+  private def snapshotCdfFeed(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotFeedDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), snapshotFeedDir)
+    val updates = docs.filter(col("doc_id").between(200, 599))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    Snapshots.merge(s, snapshotFeedDir, updates, Seq("doc_id"),
+      recordChanges = true)
+    Snapshots.delete(s, snapshotFeedDir, col("doc_id") % 10 === 7,
+      recordChanges = true)
+    Snapshots.changesFeed(s, snapshotFeedDir, 1L, 3L)
+      .select("version", "doc_id", "change_type", "lang", "n_chars")
+      .orderBy("version", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> (bucketedJoin _),
     "q_snapshot_concurrent" -> (snapshotConcurrent _),
     "q_snapshot_merge" -> (snapshotMerge _),
     "q_snapshot_cdf" -> (snapshotCdf _),
+    "q_snapshot_cdf_feed" -> (snapshotCdfFeed _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -516,6 +542,24 @@ object Sinks {
         |WHERE pre.doc_id IS NULL OR post.doc_id IS NULL
         |   OR pre.n_chars <> post.n_chars OR pre.lang <> post.lang
         |ORDER BY doc_id""".stripMargin,
+    // both per-version feeds rebuilt from source: v2 = the MERGE's
+    // writes (update if the key predated, else insert), v3 = the
+    // DELETE's pre-images from the post-merge state
+    "q_snapshot_cdf_feed" ->
+      """WITH v2feed AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, doc_id,
+        |    CASE WHEN doc_id < 400 THEN 'update' ELSE 'insert' END AS change_type,
+        |    lang, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id BETWEEN 200 AND 599),
+        |v3feed AS (
+        |  SELECT CAST(3 AS BIGINT) AS version, doc_id, 'delete' AS change_type,
+        |    lang,
+        |    CASE WHEN doc_id >= 200 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id < 600 AND doc_id % 10 = 7)
+        |SELECT version, doc_id, change_type, lang, n_chars FROM v2feed
+        |UNION ALL
+        |SELECT version, doc_id, change_type, lang, n_chars FROM v3feed
+        |ORDER BY version, doc_id""".stripMargin,
     // residual filter keeps the pruned read row-exact, so the oracle is
     // the plain range predicate over the source table
     "q_snapshot_pruned_read" ->

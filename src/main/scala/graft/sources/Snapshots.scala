@@ -114,13 +114,16 @@ object Snapshots {
     * manifest contract — immutable per-file min/max published
     * atomically with the snapshot — is identical.
     */
-  def commit(
+  /** Stage data (+ optional stats manifest and change feed) into a
+    * private `_stage-<uuid>` directory, invisible to readers and other
+    * writers until the claim rename publishes it.
+    */
+  private def stage(
       spark: SparkSession,
       df: DataFrame,
       tableDir: String,
-      statsColumns: Seq[String] = Nil): Long = {
-    val ctx = fc(spark)
-    // 1. stage: private directory, invisible to readers and other writers
+      statsColumns: Seq[String],
+      changes: Option[DataFrame]): Path = {
     val stageDir = s"$tableDir/_stage-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(stageDir)
     if (statsColumns.nonEmpty) {
@@ -135,28 +138,23 @@ object Snapshots {
         .coalesce(1) // manifests are file-count-sized: one small file
         .write.mode("overwrite").parquet(manifestDir(stageDir))
     }
-    // 2. claim: atomic no-overwrite rename — the commit point
-    val stage = new Path(stageDir)
-    var v = version(spark, tableDir) + 1
-    var claimed = false
-    while (!claimed) {
-      try {
-        ctx.rename(stage, new Path(tableDir, s"snap-$v"), Options.Rename.NONE)
-        claimed = true
-      } catch {
-        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-          // another writer took v between our version() read and the
-          // rename — move past everything claimed by now and retry
-          v = math.max(v + 1, claimedVersion(ctx, tableDir) + 1)
-      }
-    }
-    // 3. refresh the pointer cache, monotonically and BEST-EFFORT: the
-    // claim above already committed, so a failed or lost refresh only
-    // leaves the CACHE stale and version() reconciles against the
-    // claimed directories. The synchronized block serializes refreshes
-    // within one JVM; a cross-process race (or the local filesystem's
-    // non-atomic .crc sidecar rename) surfaces as an IOException that
-    // is deliberately swallowed for the same only-a-cache reason.
+    // write-time CDF: the change rows this commit applies, published by
+    // the same atomic claim as the data (underscore dir → hidden from
+    // data scans), so feed and snapshot can never disagree
+    changes.foreach(_.write.mode("overwrite").parquet(s"$stageDir/_changes"))
+    new Path(stageDir)
+  }
+
+  /** Refresh the `_latest` pointer cache, monotonically and
+    * BEST-EFFORT: the claim already committed, so a failed or lost
+    * refresh only leaves the CACHE stale and [[version]] reconciles
+    * against the claimed directories. The synchronized block
+    * serializes refreshes within one JVM; a cross-process race (or the
+    * local filesystem's non-atomic .crc sidecar rename) surfaces as an
+    * IOException that is deliberately swallowed for the same
+    * only-a-cache reason.
+    */
+  private def refreshPointer(ctx: FileContext, tableDir: String, v: Long): Unit =
     Snapshots.synchronized {
       val tmp = new Path(tableDir, s"_latest.tmp-$v")
       try {
@@ -173,7 +171,97 @@ object Snapshots {
           try ctx.delete(tmp, false) catch { case _: java.io.IOException => () }
       }
     }
+
+  def commit(
+      spark: SparkSession,
+      df: DataFrame,
+      tableDir: String,
+      statsColumns: Seq[String] = Nil): Long = {
+    val ctx = fc(spark)
+    val staged = stage(spark, df, tableDir, statsColumns, None)
+    // claim: atomic no-overwrite rename — the commit point. Plain
+    // commit publishes a FULL table state, so any free version is
+    // acceptable and losers simply move to the next one; use
+    // [[commitIfVersion]]/[[transact]] when the new state was DERIVED
+    // from a read of the old one.
+    var v = version(spark, tableDir) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        ctx.rename(staged, new Path(tableDir, s"snap-$v"), Options.Rename.NONE)
+        claimed = true
+      } catch {
+        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+          // another writer took v between our version() read and the
+          // rename — move past everything claimed by now and retry
+          v = math.max(v + 1, claimedVersion(ctx, tableDir) + 1)
+      }
+    }
+    refreshPointer(ctx, tableDir, v)
     v
+  }
+
+  /** Conditional commit (the compare-and-swap half of optimistic
+    * concurrency): claim exactly version `expectedBase + 1`, or give
+    * up. Returns `Some(version)` on success; `None` — with the staged
+    * data cleaned up — when another writer claimed that version first,
+    * which means the state this write was derived from is no longer
+    * the table tip and the caller must re-derive (see [[transact]]).
+    * This is the filesystem spelling of Delta's "try to write
+    * `<v+1>.json`, abort the transaction if it exists".
+    */
+  def commitIfVersion(
+      spark: SparkSession,
+      df: DataFrame,
+      tableDir: String,
+      expectedBase: Long,
+      statsColumns: Seq[String] = Nil,
+      changes: Option[DataFrame] = None): Option[Long] = {
+    val ctx = fc(spark)
+    val staged = stage(spark, df, tableDir, statsColumns, changes)
+    val v = expectedBase + 1
+    try {
+      ctx.rename(staged, new Path(tableDir, s"snap-$v"), Options.Rename.NONE)
+      refreshPointer(ctx, tableDir, v)
+      Some(v)
+    } catch {
+      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+        ctx.delete(staged, true)
+        None
+    }
+  }
+
+  /** Serializable read-modify-write: run `fn` on the current snapshot
+    * and commit its result iff the table hasn't moved — otherwise
+    * re-read the NEW tip and re-derive, up to `maxRetries` times. Every
+    * committed version is therefore `fn` applied to its immediate
+    * predecessor (no lost updates under concurrent transactions): the
+    * optimistic-concurrency loop of every lakehouse format. [[merge]]
+    * and [[delete]] are specializations of this loop.
+    */
+  def transact(
+      spark: SparkSession,
+      tableDir: String,
+      maxRetries: Int = 10)(fn: DataFrame => DataFrame): Long =
+    occLoop(spark, tableDir, Nil, maxRetries)(cur => (fn(cur), None))
+
+  private def occLoop(
+      spark: SparkSession,
+      tableDir: String,
+      statsColumns: Seq[String],
+      maxRetries: Int)(
+      fn: DataFrame => (DataFrame, Option[DataFrame])): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = version(spark, tableDir)
+      val (next, feed) = fn(readVersion(spark, tableDir, base))
+      commitIfVersion(spark, next, tableDir, base, statsColumns, feed) match {
+        case Some(v) => return v
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"transaction on $tableDir lost $maxRetries optimistic races; giving up")
   }
 
   /** Read the current snapshot (resolves the version once — the frame
@@ -264,11 +352,22 @@ object Snapshots {
       tableDir: String,
       updates: DataFrame,
       key: Seq[String],
-      statsColumns: Seq[String] = Nil): Long = {
-    val cur = read(spark, tableDir)
-    val merged = cur.join(updates, key, "left_anti").unionByName(updates)
-    commit(spark, merged, tableDir, statsColumns)
-  }
+      statsColumns: Seq[String] = Nil,
+      recordChanges: Boolean = false,
+      maxRetries: Int = 10): Long =
+    occLoop(spark, tableDir, statsColumns, maxRetries) { cur =>
+      val merged = cur.join(updates, key, "left_anti").unionByName(updates)
+      val feed = if (!recordChanges) None else Some {
+        // what this MERGE writes, classified by whether the key existed:
+        // one left join of the updates against the base's key projection
+        val marked = cur.select(key.map(col): _*).withColumn("_graft_matched", lit(1))
+        updates.join(marked, key, "left")
+          .withColumn("change_type",
+            when(col("_graft_matched").isNull, lit("insert")).otherwise(lit("update")))
+          .select(col("change_type") +: updates.columns.toSeq.map(col): _*)
+      }
+      (merged, feed)
+    }
 
   /** Copy-on-write DELETE: rows where `predicate` is TRUE are dropped;
     * rows where it is FALSE **or NULL** are kept (SQL `DELETE WHERE`
@@ -279,9 +378,16 @@ object Snapshots {
       spark: SparkSession,
       tableDir: String,
       predicate: Column,
-      statsColumns: Seq[String] = Nil): Long =
-    commit(spark, read(spark, tableDir).filter(!coalesce(predicate, lit(false))),
-      tableDir, statsColumns)
+      statsColumns: Seq[String] = Nil,
+      recordChanges: Boolean = false,
+      maxRetries: Int = 10): Long =
+    occLoop(spark, tableDir, statsColumns, maxRetries) { cur =>
+      val hit = coalesce(predicate, lit(false))
+      val feed = if (!recordChanges) None else Some(
+        cur.filter(hit).select(
+          lit("delete").as("change_type") +: cur.columns.toSeq.map(col): _*))
+      (cur.filter(!hit), feed)
+    }
 
   /** Change data feed: the row-level diff between two committed
     * versions, keyed by `key` — one output row per inserted, deleted,
@@ -294,9 +400,12 @@ object Snapshots {
     * their (key, value-struct) projections; unchanged rows (null-safe
     * struct equality, so all-null values compare equal) are dropped.
     * This is the READ-side diff — O(|v_from| + |v_to|) whatever
-    * changed; the write-side alternative (Delta CDF) has [[merge]]
-    * record its own changes at commit time and pays only O(changes) to
-    * read, the right trade when diffs are consumed often.
+    * changed, but it needs nothing recorded in advance and yields the
+    * NET change per key across the window. The write-side alternative
+    * is [[changesFeed]]: commits record their own changes
+    * (`recordChanges = true`), reading costs only O(|changes|), and
+    * every intermediate write is preserved — the right trade when
+    * diffs are consumed often.
     */
   def changes(
       spark: SparkSession,
@@ -317,6 +426,38 @@ object Snapshots {
       .filter(col("change_type").isNotNull)
       .select(key.map(col) ++ (col("change_type") +:
         valueCols.map(c => coalesce(col(s"_post.$c"), col(s"_pre.$c")).as(c))): _*)
+  }
+
+  /** Write-time change data feed over `(fromV, toV]`: the concatenation
+    * of the change rows each commit in the window RECORDED at write
+    * time (`recordChanges = true` on [[merge]]/[[delete]], published
+    * inside `snap-<v>/_changes` by the same atomic claim as the data),
+    * stamped with the committing version:
+    *
+    * {{{ change_type ∈ {insert,delete,update}, value…, version }}}
+    *
+    * Reading costs O(|changes|) — no diff computation, the trade Delta
+    * CDF makes — and unlike the net diff of [[changes]] it preserves
+    * every intermediate write (a key updated twice appears twice, at
+    * two versions). Throws if a version in the window recorded no feed
+    * (e.g. a plain full-state [[commit]]): a silent gap would make the
+    * feed lie about the window it claims to cover.
+    */
+  def changesFeed(
+      spark: SparkSession,
+      tableDir: String,
+      fromV: Long,
+      toV: Long): DataFrame = {
+    require(0 <= fromV && fromV < toV && toV <= version(spark, tableDir),
+      s"invalid change window ($fromV, $toV] for $tableDir")
+    val ctx = fc(spark)
+    ((fromV + 1) to toV).map { v =>
+      val p = s"$tableDir/snap-$v/_changes"
+      require(ctx.util().exists(new Path(p)),
+        s"version $v of $tableDir recorded no change feed " +
+          "(committed without recordChanges); the window is not reconstructible")
+      spark.read.parquet(p).withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
   }
 
   /** Janitor: delete staging orphans (writers that crashed before their

@@ -165,6 +165,54 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.changes(spark, dir, 2L, 2L, Seq("id")).isEmpty)
   }
 
+  test("write-time feed records each transaction's changes; gaps throw") {
+    val dir = Files.createTempDirectory("graft-snap-feed").toString
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Snapshots.merge(spark, dir,
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"), recordChanges = true)
+    Snapshots.delete(spark, dir, col("id") === 3L, recordChanges = true)
+    val feed = Snapshots.changesFeed(spark, dir, 1L, 3L)
+      .orderBy("version", "id").collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[Long]("id"),
+        r.getAs[String]("change_type"), r.getAs[String]("v"))).toSeq
+    // unlike the net diff, the inserted-then-deleted id=3 appears TWICE
+    assert(feed == Seq(
+      (2L, 2L, "update", "B"), (2L, 3L, "insert", "c"),
+      (3L, 3L, "delete", "c")))
+    // v1 was a plain commit with no recorded feed: a window crossing it
+    // must refuse rather than silently under-report
+    intercept[IllegalArgumentException](
+      Snapshots.changesFeed(spark, dir, 0L, 3L))
+  }
+
+  test("transact serializes concurrent read-modify-writes (no lost updates)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft-snap-occ").toString
+    Snapshots.commit(spark, Seq((1L, 0L)).toDF("id", "n"), dir)
+    // 4 concurrent transactions, 3 increments each: every increment is
+    // fn(predecessor), so losing even one to a stale read would show in
+    // the final count — the lost-update anomaly OCC must prevent
+    val threads = 4
+    val perThread = 3
+    val futures = (1 to threads).map { _ =>
+      Future {
+        (1 to perThread).foreach { _ =>
+          Snapshots.transact(spark, dir, maxRetries = 100)(cur =>
+            cur.withColumn("n", col("n") + 1))
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 10.minutes)
+    assert(Snapshots.version(spark, dir) == (threads * perThread + 1).toLong)
+    assert(Snapshots.read(spark, dir).collect().map(_.getLong(1)).toSeq ==
+      Seq((threads * perThread).toLong))
+    // the lineage really is fn-chained: each version holds its index - 1
+    assert(Snapshots.readVersion(spark, dir, 5L).collect().head.getLong(1) == 4L)
+  }
+
   test("concurrent writers each claim a unique version; nothing is lost") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
