@@ -129,7 +129,14 @@ object Similarity {
     *
     * At scale each iteration is one broadcast join + two shuffles keyed
     * on (cell, dim) — dims bounded, cells = k, so the reduce side is
-    * k·dim rows regardless of corpus size. Returns (cell, centroid).
+    * k·dim rows regardless of corpus size. Each iteration's result is
+    * materialized to a k-row LocalRelation (k·dim driver data by
+    * construction — the same O(1)-scalars pattern as the repo's
+    * broadcast-threshold probes): that keeps the Lloyd lineage LINEAR
+    * in the iteration count instead of each iteration re-executing its
+    * predecessors inside its broadcast, and it means however many
+    * times a consumer probes the returned quantizer, training ran
+    * exactly once. Returns (cell, centroid).
     */
   def kmeansCentroids(
       corpus: DataFrame,
@@ -139,15 +146,21 @@ object Similarity {
       vecCol: String = "embedding",
       roundDecimals: Int = -1): DataFrame = {
     require(k > 0 && iterations >= 0, s"bad k=$k/iterations=$iterations")
+    val spark = corpus.sparkSession
     val vecs = Corpus.spread(corpus)
       .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+
+    // k rows to the driver, back as a LocalRelation (see scaladoc)
+    def localized(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
 
     // deterministic seed: the k lowest-id vectors (TakeOrderedAndProject,
     // no global sort materialization); k-means++ would sharpen spread but
     // costs k sequential passes — unnecessary for a coarse quantizer
-    var centroids = vecs
+    var centroids = localized(vecs
       .orderBy("vid").limit(k)
-      .select(col("vid").as("cell"), col("v").as("centroid"))
+      .select(col("vid").as("cell"), col("v").as("centroid")))
 
     (1 to iterations).foreach { _ =>
       // roundDecimals >= 0 rounds the assignment similarity (same
@@ -171,10 +184,10 @@ object Similarity {
           transform(col("dm"), s => s.getField("m")).as("centroid"))
 
       // empty cells fall back to their previous centroid
-      centroids = centroids.alias("old")
+      centroids = localized(centroids.alias("old")
         .join(updated.alias("new"), Seq("cell"), "left")
         .select(col("cell"),
-          coalesce(col("new.centroid"), col("old.centroid")).as("centroid"))
+          coalesce(col("new.centroid"), col("old.centroid")).as("centroid")))
     }
     centroids.select(col("cell"), col("centroid").cast("array<float>").as(vecCol))
       .withColumnRenamed("cell", idCol)
