@@ -49,6 +49,7 @@ object Sinks {
   private lazy val snapshotMergeDir: String = scratch("graft-snapshot-merge")
   private lazy val snapshotCdfDir: String = scratch("graft-snapshot-cdf")
   private lazy val snapshotFeedDir: String = scratch("graft-snapshot-feed")
+  private lazy val snapshotCompactDir: String = scratch("graft-snapshot-compact")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -461,12 +462,34 @@ object Sinks {
       .orderBy("version", "doc_id")
   }
 
+  /** Transactional compaction: v1 commits lineitem deliberately
+    * scattered (64 undersized files), [[Snapshots.compact]] rewrites it
+    * range-clustered on l_orderkey as v2 with a refreshed stats
+    * manifest, and the entry answers a selective range query through
+    * the COMPACTED layout's manifest pruning. The oracle is the plain
+    * range predicate — a hash match certifies the rewrite changed the
+    * physical layout without touching a row; SnapshotsSpec asserts the
+    * file-count collapse, the post-compaction pruning, and that time
+    * travel still reads the scattered v1.
+    */
+  private def snapshotCompact(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotCompactDir)
+    val li = Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    Snapshots.commit(s, li.repartition(64), snapshotCompactDir)
+    Snapshots.compact(s, snapshotCompactDir, sortCols = Seq("l_orderkey"),
+      targetFileBytes = 4L * 1024 * 1024, statsColumns = Seq("l_orderkey"))
+    Snapshots.readRange(s, snapshotCompactDir, "l_orderkey", 5000L, 7000L)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> (bucketedJoin _),
     "q_snapshot_concurrent" -> (snapshotConcurrent _),
     "q_snapshot_merge" -> (snapshotMerge _),
     "q_snapshot_cdf" -> (snapshotCdf _),
     "q_snapshot_cdf_feed" -> (snapshotCdfFeed _),
+    "q_snapshot_compact" -> (snapshotCompact _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -560,6 +583,11 @@ object Sinks {
         |UNION ALL
         |SELECT version, doc_id, change_type, lang, n_chars FROM v3feed
         |ORDER BY version, doc_id""".stripMargin,
+    // the compacted layout must answer the range exactly like the source
+    "q_snapshot_compact" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 7000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // residual filter keeps the pruned read row-exact, so the oracle is
     // the plain range predicate over the source table
     "q_snapshot_pruned_read" ->

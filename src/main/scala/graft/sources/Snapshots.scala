@@ -428,6 +428,47 @@ object Snapshots {
         valueCols.map(c => coalesce(col(s"_post.$c"), col(s"_pre.$c")).as(c))): _*)
   }
 
+  /** Compact the current snapshot's layout into ~`targetFileBytes`
+    * files and commit the rewrite as a NEW version through the
+    * optimistic loop — logically a no-op (row set unchanged, which is
+    * what makes racing it against concurrent merges safe: if a merge
+    * claims first, the compaction re-reads and re-compacts the new
+    * tip), physically fewer/larger files with a refreshed stats
+    * manifest so data skipping keeps working on the compacted layout.
+    * The file count derives from the snapshot's ACTUAL on-disk bytes
+    * (never a row-count guess), and `sortCols` range-clusters the
+    * rewrite so per-file min/max ranges stay disjoint — compaction
+    * that destroys clustering quietly destroys pruning. Time travel
+    * still reads the pre-compaction layout. Small files are the 100 TB
+    * killer (footer reads, task schedule, object-store round trips);
+    * a snapshotted table needs compaction as a TRANSACTION, not the
+    * bare directory rewrite of [[Sinks.compact]], or readers observe a
+    * half-rewritten layout.
+    */
+  def compact(
+      spark: SparkSession,
+      tableDir: String,
+      sortCols: Seq[String] = Nil,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      statsColumns: Seq[String] = Nil,
+      maxRetries: Int = 10): Long = {
+    require(targetFileBytes > 0, s"bad targetFileBytes=$targetFileBytes")
+    val ctx = fc(spark)
+    occLoop(spark, tableDir, statsColumns, maxRetries) { cur =>
+      // the frame being compacted already knows its own data files —
+      // no directory re-listing that could race the OCC base version
+      val bytes = cur.inputFiles.iterator
+        .map(f => ctx.getFileStatus(new Path(f)).getLen).sum
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val laidOut =
+        if (sortCols.nonEmpty)
+          cur.repartitionByRange(nFiles, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+        else cur.repartition(nFiles)
+      (laidOut, None)
+    }
+  }
+
   /** Write-time change data feed over `(fromV, toV]`: the concatenation
     * of the change rows each commit in the window RECORDED at write
     * time (`recordChanges = true` on [[merge]]/[[delete]], published

@@ -165,6 +165,26 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.changes(spark, dir, 2L, 2L, Seq("id")).isEmpty)
   }
 
+  test("compact collapses a scattered layout transactionally; pruning survives") {
+    val dir = Files.createTempDirectory("graft-snap-compact").toString
+    val data = spark.range(0, 4000).toDF("id").withColumn("v", col("id") * 3)
+    Snapshots.commit(spark, data.repartition(32), dir)
+    val before = Snapshots.read(spark, dir).inputFiles.length
+    assert(before == 32)
+    val v2 = Snapshots.compact(spark, dir, sortCols = Seq("id"),
+      targetFileBytes = 16L * 1024, statsColumns = Seq("id"))
+    assert(v2 == 2L)
+    val after = Snapshots.read(spark, dir).inputFiles.length
+    assert(after < before, s"$after files after compacting $before")
+    // not a row touched, clustering restored, manifest prunes again
+    assert(Snapshots.read(spark, dir).count() == 4000L)
+    val (files, total) = Snapshots.selectFiles(spark, dir, v2, "id", 100L, 200L)
+    assert(files.nonEmpty && files.size < total)
+    assert(Snapshots.readRange(spark, dir, "id", 100L, 200L).count() == 101L)
+    // time travel still reads the scattered physical history
+    assert(Snapshots.readVersion(spark, dir, 1L).inputFiles.length == 32)
+  }
+
   test("write-time feed records each transaction's changes; gaps throw") {
     val dir = Files.createTempDirectory("graft-snap-feed").toString
     Snapshots.commit(spark,
