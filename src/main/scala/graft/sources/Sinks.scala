@@ -50,6 +50,7 @@ object Sinks {
   private lazy val snapshotCdfDir: String = scratch("graft-snapshot-cdf")
   private lazy val snapshotFeedDir: String = scratch("graft-snapshot-feed")
   private lazy val snapshotCompactDir: String = scratch("graft-snapshot-compact")
+  private lazy val snapshotScopedDir: String = scratch("graft-snapshot-scoped")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -483,6 +484,29 @@ object Sinks {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** File-scoped MERGE (the O(touched files) cost model): the base
+    * commits range-clustered on doc_id with manifest stats, so the
+    * update envelope [200, 599] bounds which files the merge can touch
+    * — those are rewritten, every lower band is carried into v2 by
+    * REFERENCE with its manifest row intact. Same logical semantics as
+    * q_snapshot_merge (identical oracle), different physical cost; the
+    * SnapshotsSpec sibling asserts the reuse/rewrite split and that
+    * pruning still works across carried manifest rows.
+    */
+  private def snapshotMergeScoped(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotScopedDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s,
+      docs.filter(col("doc_id") < 400)
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+      snapshotScopedDir, statsColumns = Seq("doc_id"))
+    val updates = docs.filter(col("doc_id").between(200, 599))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    Snapshots.merge(s, snapshotScopedDir, updates, Seq("doc_id"),
+      statsColumns = Seq("doc_id"), scoped = true)
+    Snapshots.read(s, snapshotScopedDir).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> (bucketedJoin _),
     "q_snapshot_concurrent" -> (snapshotConcurrent _),
@@ -490,6 +514,7 @@ object Sinks {
     "q_snapshot_cdf" -> (snapshotCdf _),
     "q_snapshot_cdf_feed" -> (snapshotCdfFeed _),
     "q_snapshot_compact" -> (snapshotCompact _),
+    "q_snapshot_merge_scoped" -> (snapshotMergeScoped _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -583,6 +608,12 @@ object Sinks {
         |UNION ALL
         |SELECT version, doc_id, change_type, lang, n_chars FROM v3feed
         |ORDER BY version, doc_id""".stripMargin,
+    // physically scoped, logically identical: same oracle as the full
+    // copy-on-write merge
+    "q_snapshot_merge_scoped" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id >= 200 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id < 600 ORDER BY doc_id""".stripMargin,
     // the compacted layout must answer the range exactly like the source
     "q_snapshot_compact" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

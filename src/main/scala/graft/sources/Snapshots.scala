@@ -95,35 +95,47 @@ object Snapshots {
     */
   private def manifestDir(snapDir: String): String = s"$snapDir/_manifest"
 
-  /** Publish `df` as the next snapshot; returns the claimed version.
-    * Safe to call from concurrent writers: each lands on its own
-    * version (see the protocol above).
+  /** Sidecars a transaction can publish along with its data, all
+    * landing by the same atomic claim:
+    *  - `changes`: write-time CDF rows → `_changes`
+    *  - `refs`: table-root-relative paths of data files this snapshot
+    *    REUSES from earlier snapshots (never copied — the file-level
+    *    sharing under every real format's manifests) → `_refs`
+    *  - `carriedManifest`: the stats rows of those reused files, taken
+    *    from the predecessor's manifest with their paths rebased to
+    *    table-root-relative form, so skipping keeps covering them
+    */
+  private case class Sidecars(
+      changes: Option[DataFrame] = None,
+      refs: Seq[String] = Nil,
+      carriedManifest: Option[DataFrame] = None)
+
+  /** Stage data (+ optional stats manifest and sidecars) into a
+    * private `_stage-<uuid>` directory, invisible to readers and other
+    * writers until the claim rename publishes it.
     *
     * `statsColumns` opts into the statistics half of a lakehouse
     * manifest: one manifest row per data file with its row count and
     * per-column min/max (native types, stored as parquet so no stats
     * parser exists anywhere). [[readRange]] then prunes files whose
     * range cannot intersect a predicate BEFORE the scan — the
-    * mechanism behind Iceberg/Delta data skipping. File names are
-    * stored RELATIVE to the snapshot directory (the staging directory
-    * is renamed at claim time, and relative names are what make a
-    * snapshot relocatable). Stats are collected with one distributed
-    * pass over the freshly staged files (`input_file_name()` groupBy);
-    * a production writer lifts the same numbers from write-task
-    * results or parquet footers instead of re-reading, but the
-    * manifest contract — immutable per-file min/max published
-    * atomically with the snapshot — is identical.
-    */
-  /** Stage data (+ optional stats manifest and change feed) into a
-    * private `_stage-<uuid>` directory, invisible to readers and other
-    * writers until the claim rename publishes it.
+    * mechanism behind Iceberg/Delta data skipping. A snapshot's OWN
+    * files are recorded by bare name (relative to the snapshot
+    * directory — names must survive the claim rename, and relative
+    * names make a snapshot relocatable); REUSED files appear as
+    * `snap-<v>/name` paths relative to the table root. Stats are
+    * collected with one distributed pass over the freshly staged files
+    * (`input_file_name()` groupBy); a production writer lifts the same
+    * numbers from write-task results or parquet footers instead of
+    * re-reading, but the manifest contract — immutable per-file
+    * min/max published atomically with the snapshot — is identical.
     */
   private def stage(
       spark: SparkSession,
       df: DataFrame,
       tableDir: String,
       statsColumns: Seq[String],
-      changes: Option[DataFrame]): Path = {
+      sidecars: Sidecars): Path = {
     val stageDir = s"$tableDir/_stage-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(stageDir)
     if (statsColumns.nonEmpty) {
@@ -131,17 +143,24 @@ object Snapshots {
       val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
         statsColumns.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      data
+      val own = data
         .groupBy(
           element_at(split(input_file_name(), "/"), -1).as("file"))
         .agg(aggs.head, aggs.tail: _*)
+      sidecars.carriedManifest.fold(own)(c => own.unionByName(c))
         .coalesce(1) // manifests are file-count-sized: one small file
         .write.mode("overwrite").parquet(manifestDir(stageDir))
     }
     // write-time CDF: the change rows this commit applies, published by
     // the same atomic claim as the data (underscore dir → hidden from
     // data scans), so feed and snapshot can never disagree
-    changes.foreach(_.write.mode("overwrite").parquet(s"$stageDir/_changes"))
+    sidecars.changes.foreach(
+      _.write.mode("overwrite").parquet(s"$stageDir/_changes"))
+    if (sidecars.refs.nonEmpty) {
+      import spark.implicits._
+      sidecars.refs.toDF("path").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stageDir/_refs")
+    }
     new Path(stageDir)
   }
 
@@ -178,7 +197,7 @@ object Snapshots {
       tableDir: String,
       statsColumns: Seq[String] = Nil): Long = {
     val ctx = fc(spark)
-    val staged = stage(spark, df, tableDir, statsColumns, None)
+    val staged = stage(spark, df, tableDir, statsColumns, Sidecars())
     // claim: atomic no-overwrite rename — the commit point. Plain
     // commit publishes a FULL table state, so any free version is
     // acceptable and losers simply move to the next one; use
@@ -216,9 +235,19 @@ object Snapshots {
       tableDir: String,
       expectedBase: Long,
       statsColumns: Seq[String] = Nil,
-      changes: Option[DataFrame] = None): Option[Long] = {
+      changes: Option[DataFrame] = None): Option[Long] =
+    commitIfVersionWith(spark, df, tableDir, expectedBase, statsColumns,
+      Sidecars(changes = changes))
+
+  private def commitIfVersionWith(
+      spark: SparkSession,
+      df: DataFrame,
+      tableDir: String,
+      expectedBase: Long,
+      statsColumns: Seq[String],
+      sidecars: Sidecars): Option[Long] = {
     val ctx = fc(spark)
-    val staged = stage(spark, df, tableDir, statsColumns, changes)
+    val staged = stage(spark, df, tableDir, statsColumns, sidecars)
     val v = expectedBase + 1
     try {
       ctx.rename(staged, new Path(tableDir, s"snap-$v"), Options.Rename.NONE)
@@ -243,19 +272,20 @@ object Snapshots {
       spark: SparkSession,
       tableDir: String,
       maxRetries: Int = 10)(fn: DataFrame => DataFrame): Long =
-    occLoop(spark, tableDir, Nil, maxRetries)(cur => (fn(cur), None))
+    occLoop(spark, tableDir, Nil, maxRetries)((_, cur) => (fn(cur), Sidecars()))
 
   private def occLoop(
       spark: SparkSession,
       tableDir: String,
       statsColumns: Seq[String],
       maxRetries: Int)(
-      fn: DataFrame => (DataFrame, Option[DataFrame])): Long = {
+      fn: (Long, DataFrame) => (DataFrame, Sidecars)): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = version(spark, tableDir)
-      val (next, feed) = fn(readVersion(spark, tableDir, base))
-      commitIfVersion(spark, next, tableDir, base, statsColumns, feed) match {
+      val (next, sidecars) = fn(base, readVersion(spark, tableDir, base))
+      commitIfVersionWith(
+        spark, next, tableDir, base, statsColumns, sidecars) match {
         case Some(v) => return v
         case None => attempt += 1
       }
@@ -271,10 +301,28 @@ object Snapshots {
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir, version(spark, tableDir))
 
-  /** Time travel: read a specific committed version. */
+  /** Time travel: read a specific committed version — the snapshot's
+    * own data files plus any files it REUSES from earlier snapshots
+    * (`_refs`, written by a scoped [[merge]]). Resolving the ref list
+    * costs one file-count-sized parquet read at planning time, the
+    * manifest-resolution cost every real format pays.
+    */
   def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
     require(v >= 1, s"no committed snapshot (version $v) in $tableDir")
-    spark.read.parquet(s"$tableDir/snap-$v")
+    val snapDir = s"$tableDir/snap-$v"
+    val ctx = fc(spark)
+    if (!ctx.util().exists(new Path(s"$snapDir/_refs")))
+      spark.read.parquet(snapDir)
+    else {
+      val own = ctx.util().listStatus(new Path(snapDir)).iterator
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.getPath.toString).toSeq
+      val reused = spark.read.parquet(s"$snapDir/_refs")
+        .collect().map(r => s"$tableDir/${r.getString(0)}").toSeq
+      spark.read.parquet(own ++ reused: _*)
+    }
   }
 
   /** Manifest-driven file selection for `colName` ∈ [lower, upper]:
@@ -298,7 +346,12 @@ object Snapshots {
     val sel = m
       .filter(col(s"max_$colName") >= lit(lower) &&
         col(s"min_$colName") <= lit(upper))
-      .select("file").collect().map(r => s"$snapDir/${r.getString(0)}").toSeq
+      .select("file").collect().map { r =>
+        val f = r.getString(0)
+        // bare names are the snapshot's own files; slashed paths are
+        // table-root-relative references into earlier snapshots
+        if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
+      }.toSeq
     (sel, total)
   }
 
@@ -322,10 +375,10 @@ object Snapshots {
     val snapDir = s"$tableDir/snap-$ver"
     val residual = col(colName).between(lit(lower), lit(upper))
     if (!fc(spark).util().exists(new Path(manifestDir(snapDir))))
-      spark.read.parquet(snapDir).filter(residual)
+      readVersion(spark, tableDir, ver).filter(residual)
     else {
       val (files, _) = selectFiles(spark, tableDir, ver, colName, lower, upper)
-      if (files.isEmpty) spark.read.parquet(snapDir).filter(lit(false))
+      if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
       else spark.read.parquet(files: _*).filter(residual)
     }
   }
@@ -338,14 +391,20 @@ object Snapshots {
     *
     * Cost model: one anti-join of the table against the updates on
     * `key` (Spark broadcasts the update side automatically when it is
-    * small — the common CDC-batch case) plus a full rewrite of the
-    * surviving rows. That rewrite is the documented copy-on-write
-    * trade every format makes before deletion vectors / merge-on-read;
-    * at 100 TB the fix is partition- or file-level: manifest stats
-    * scope the rewrite to the files the update keys can touch, and
-    * untouched files would be carried into the new snapshot by
-    * reference (a manifest facility this layer keeps honest about not
-    * having — data files here are copied, not referenced).
+    * small — the common CDC-batch case) plus a rewrite of the
+    * surviving rows — FULL by default (the copy-on-write trade every
+    * format makes before deletion vectors / merge-on-read), or
+    * FILE-SCOPED with `scoped = true`: the base manifest's min/max on
+    * the (single-column) key bounds which files the update-key
+    * envelope can touch, ONLY those are rewritten, and every untouched
+    * file is carried into the new snapshot BY REFERENCE (`_refs`) with
+    * its manifest row intact — the file-level sharing that makes a
+    * 100 TB merge cost O(touched files), not O(table). The envelope is
+    * tight for clustered updates (the common recent-partition CDC
+    * batch) and degrades to a full rewrite, never to a wrong answer,
+    * when update keys span the table. Scoped mode requires the base to
+    * have been committed with `statsColumns` covering the key, and
+    * keeps publishing stats for the same columns.
     */
   def merge(
       spark: SparkSession,
@@ -354,9 +413,12 @@ object Snapshots {
       key: Seq[String],
       statsColumns: Seq[String] = Nil,
       recordChanges: Boolean = false,
-      maxRetries: Int = 10): Long =
-    occLoop(spark, tableDir, statsColumns, maxRetries) { cur =>
-      val merged = cur.join(updates, key, "left_anti").unionByName(updates)
+      scoped: Boolean = false,
+      maxRetries: Int = 10): Long = {
+    require(!scoped || (key.size == 1 && statsColumns.contains(key.head)),
+      s"scoped merge needs a single-column key present in statsColumns " +
+        s"(key=$key, statsColumns=$statsColumns)")
+    occLoop(spark, tableDir, statsColumns, maxRetries) { (base, cur) =>
       val feed = if (!recordChanges) None else Some {
         // what this MERGE writes, classified by whether the key existed:
         // one left join of the updates against the base's key projection
@@ -366,8 +428,57 @@ object Snapshots {
             when(col("_graft_matched").isNull, lit("insert")).otherwise(lit("update")))
           .select(col("change_type") +: updates.columns.toSeq.map(col): _*)
       }
-      (merged, feed)
+      if (!scoped) {
+        val merged = cur.join(updates, key, "left_anti").unionByName(updates)
+        (merged, Sidecars(changes = feed))
+      } else {
+        val k = key.head
+        val snapDir = s"$tableDir/snap-$base"
+        require(fc(spark).util().exists(new Path(manifestDir(snapDir))),
+          s"scoped merge needs a stats manifest on $k in version $base")
+        val manifest = spark.read.parquet(manifestDir(snapDir))
+        // the update-key envelope: two scalars to the driver
+        val env = updates.agg(min(col(k)), max(col(k))).head()
+        val (lo, hi) = (env.get(0), env.get(1))
+        val files = manifest.collect()
+        val (touched, untouched) =
+          if (lo == null) (Array.empty[org.apache.spark.sql.Row], files)
+          else files.partition { r =>
+            val mn = r.getAs[Any](s"min_$k")
+            val mx = r.getAs[Any](s"max_$k")
+            // NULL stats (all-null key in that file) can never match an
+            // equi-key update → safe to carry untouched
+            mn != null && mx != null &&
+              ordering(mx).compareTo(lo) >= 0 && ordering(mn).compareTo(hi) <= 0
+          }
+        def rebase(f: String): String =
+          if (f.contains("/")) f else s"snap-$base/$f"
+        val touchedPaths = touched.map(r => s"$tableDir/${rebase(r.getAs[String]("file"))}")
+        val touchedRows =
+          if (touchedPaths.isEmpty) cur.limit(0)
+          else spark.read.parquet(touchedPaths.toIndexedSeq: _*)
+        val merged = touchedRows.join(updates, key, "left_anti").unionByName(updates)
+        val refs = untouched.map(r => rebase(r.getAs[String]("file"))).toIndexedSeq
+        val fileIdx = manifest.columns.indexOf("file")
+        val carried =
+          if (untouched.isEmpty) None
+          else Some(spark.createDataFrame(
+            java.util.Arrays.asList(untouched.map(r =>
+              org.apache.spark.sql.Row.fromSeq(
+                r.toSeq.updated(fileIdx, rebase(r.getString(fileIdx))))): _*),
+            manifest.schema))
+        (merged, Sidecars(changes = feed, refs = refs, carriedManifest = carried))
+      }
     }
+  }
+
+  /** Compare manifest stat values of the (few) native orderable types
+    * a stats column can hold — the same comparison the range filter in
+    * [[selectFiles]] does, but driver-side for the scoped-merge file
+    * partition.
+    */
+  private def ordering(x: Any): Comparable[Any] =
+    x.asInstanceOf[Comparable[Any]]
 
   /** Copy-on-write DELETE: rows where `predicate` is TRUE are dropped;
     * rows where it is FALSE **or NULL** are kept (SQL `DELETE WHERE`
@@ -381,12 +492,12 @@ object Snapshots {
       statsColumns: Seq[String] = Nil,
       recordChanges: Boolean = false,
       maxRetries: Int = 10): Long =
-    occLoop(spark, tableDir, statsColumns, maxRetries) { cur =>
+    occLoop(spark, tableDir, statsColumns, maxRetries) { (_, cur) =>
       val hit = coalesce(predicate, lit(false))
       val feed = if (!recordChanges) None else Some(
         cur.filter(hit).select(
           lit("delete").as("change_type") +: cur.columns.toSeq.map(col): _*))
-      (cur.filter(!hit), feed)
+      (cur.filter(!hit), Sidecars(changes = feed))
     }
 
   /** Change data feed: the row-level diff between two committed
@@ -454,7 +565,7 @@ object Snapshots {
       maxRetries: Int = 10): Long = {
     require(targetFileBytes > 0, s"bad targetFileBytes=$targetFileBytes")
     val ctx = fc(spark)
-    occLoop(spark, tableDir, statsColumns, maxRetries) { cur =>
+    occLoop(spark, tableDir, statsColumns, maxRetries) { (_, cur) =>
       // the frame being compacted already knows its own data files —
       // no directory re-listing that could race the OCC base version
       val bytes = cur.inputFiles.iterator
@@ -465,7 +576,7 @@ object Snapshots {
           cur.repartitionByRange(nFiles, sortCols.map(col): _*)
             .sortWithinPartitions(sortCols.map(col): _*)
         else cur.repartition(nFiles)
-      (laidOut, None)
+      (laidOut, Sidecars())
     }
   }
 

@@ -165,6 +165,52 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.changes(spark, dir, 2L, 2L, Seq("id")).isEmpty)
   }
 
+  test("scoped merge rewrites only touched files and references the rest") {
+    val dir = Files.createTempDirectory("graft-snap-scoped").toString
+    // 8 range-clustered files over id 0..799 (~100-id bands), stats on id
+    val data = spark.range(0, 800).toDF("id").withColumn("v", col("id") * 3)
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    Snapshots.commit(spark, data, dir, statsColumns = Seq("id"))
+    val baseFiles = Snapshots.read(spark, dir).inputFiles.toSet
+    assert(baseFiles.size == 8)
+
+    // update envelope [650, 820]: touches the top band(s) only — the
+    // low bands must be carried by reference, not rewritten
+    val updates = spark.range(650, 821).toDF("id").withColumn("v", lit(-1L))
+    val v2 = Snapshots.merge(spark, dir, updates, Seq("id"),
+      statsColumns = Seq("id"), scoped = true)
+    assert(v2 == 2L)
+
+    val v2Files = Snapshots.read(spark, dir).inputFiles.toSet
+    val reused = v2Files.filter(_.contains("/snap-1/"))
+    val rewritten = v2Files.filterNot(_.contains("/snap-1/"))
+    assert(reused.nonEmpty, "no file-level reuse happened")
+    assert(reused.subsetOf(baseFiles))
+    assert(rewritten.size < baseFiles.size,
+      s"${rewritten.size} new files — the rewrite was not scoped")
+
+    // content is exactly the unscoped MERGE semantics
+    val got = Snapshots.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 821)
+    assert(got.forall { case (id, v) => if (id >= 650) v == -1L else v == id * 3 })
+
+    // the carried manifest still prunes: a low-band range resolves to
+    // reused snap-1 paths only, and the pruned read stays exact
+    val (files, total) = Snapshots.selectFiles(spark, dir, v2, "id", 100L, 150L)
+    assert(files.nonEmpty && files.size < total)
+    assert(files.forall(_.contains("/snap-1/")), files.mkString(","))
+    assert(Snapshots.readRange(spark, dir, "id", 100L, 150L).count() == 51L)
+    // and an updated-band range reads the new values through the manifest
+    assert(Snapshots.readRange(spark, dir, "id", 700L, 710L)
+      .collect().forall(_.getLong(1) == -1L))
+
+    // time travel: v1 is untouched by the partial rewrite
+    assert(Snapshots.readVersion(spark, dir, 1L).count() == 800L)
+    assert(Snapshots.readVersion(spark, dir, 1L)
+      .filter(col("v") === -1L).count() == 0L)
+  }
+
   test("compact collapses a scattered layout transactionally; pruning survives") {
     val dir = Files.createTempDirectory("graft-snap-compact").toString
     val data = spark.range(0, 4000).toDF("id").withColumn("v", col("id") * 3)
