@@ -27,13 +27,12 @@ import org.apache.spark.sql.functions._
   *     unique under CONCURRENT writers with no lock service — the same
   *     optimistic-concurrency shape as Delta's `_delta_log/<v>.json`
   *     put-if-absent or an Iceberg catalog CAS, expressed with the one
-  *     atomic primitive a filesystem gives you. (On HDFS the namenode
-  *     makes check+rename atomic; on a local FS the narrow check/act
-  *     race is closed by `rename(2)` itself, which refuses to rename
-  *     onto a non-empty directory — and a claimed snapshot directory is
-  *     never empty. On S3 a real deployment swaps a catalog entry
-  *     instead, which is exactly where the formats put their commit
-  *     too.)
+  *     atomic primitive a filesystem gives you (see [[tryClaim]] for
+  *     how: the HDFS namenode makes check+rename one op; local paths
+  *     use raw `rename(2)` via NIO ATOMIC_MOVE because the Hadoop
+  *     local adapter's copy fallback would break claim exclusivity.
+  *     On S3 a real deployment swaps a catalog entry instead, which is
+  *     exactly where the formats put their commit too).
   *  3. It refreshes the `_latest` pointer cache, monotonically.
   *
   * Readers resolve a version once and then read an immutable directory,
@@ -164,6 +163,48 @@ object Snapshots {
     new Path(stageDir)
   }
 
+  /** The claim primitive: atomically rename `src` onto a destination
+    * that must not exist; returns false iff another writer holds the
+    * destination. `FileContext.rename(NONE)` is atomic where the
+    * filesystem's own rename is (HDFS: one namenode op under its lock)
+    * — but the LOCAL adapter (`RawLocalFileSystem.rename`) falls back
+    * to a FULL COPY when `rename(2)` fails, so a claim-race loser
+    * would silently copy its staging directory into the winner's
+    * published snapshot instead of failing (caught intermittently by
+    * the 8-writer race spec). On `file:` URIs we therefore go straight
+    * to NIO `ATOMIC_MOVE` — raw `rename(2)`, no fallback, refuses an
+    * existing destination (EEXIST/ENOTEMPTY; a claimed snapshot
+    * directory is never empty, so the empty-dir replacement corner of
+    * `rename(2)` cannot arise).
+    */
+  private def tryClaim(ctx: FileContext, src: Path, dst: Path): Boolean = {
+    val qSrc = ctx.makeQualified(src)
+    if (qSrc.toUri.getScheme == "file") {
+      val dstNio = java.nio.file.Paths.get(ctx.makeQualified(dst).toUri.getPath)
+      try {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(qSrc.toUri.getPath), dstNio,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.nio.file.FileSystemException =>
+          // the JDK surfaces rename(2)'s ENOTEMPTY as this general
+          // type; it means "lost the claim" ONLY if the destination
+          // really exists — anything else is a genuine IO failure
+          if (java.nio.file.Files.exists(dstNio)) false else throw e
+      }
+    } else {
+      try {
+        ctx.rename(src, dst, Options.Rename.NONE)
+        true
+      } catch {
+        case _: FileAlreadyExistsException
+            | _: org.apache.hadoop.fs.PathExistsException => false
+      }
+    }
+  }
+
   /** Refresh the `_latest` pointer cache, monotonically and
     * BEST-EFFORT: the claim already committed, so a failed or lost
     * refresh only leaves the CACHE stale and [[version]] reconciles
@@ -204,17 +245,10 @@ object Snapshots {
     // [[commitIfVersion]]/[[transact]] when the new state was DERIVED
     // from a read of the old one.
     var v = version(spark, tableDir) + 1
-    var claimed = false
-    while (!claimed) {
-      try {
-        ctx.rename(staged, new Path(tableDir, s"snap-$v"), Options.Rename.NONE)
-        claimed = true
-      } catch {
-        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-          // another writer took v between our version() read and the
-          // rename — move past everything claimed by now and retry
-          v = math.max(v + 1, claimedVersion(ctx, tableDir) + 1)
-      }
+    while (!tryClaim(ctx, staged, new Path(tableDir, s"snap-$v"))) {
+      // another writer took v between our version() read and the
+      // rename — move past everything claimed by now and retry
+      v = math.max(v + 1, claimedVersion(ctx, tableDir) + 1)
     }
     refreshPointer(ctx, tableDir, v)
     v
@@ -249,14 +283,12 @@ object Snapshots {
     val ctx = fc(spark)
     val staged = stage(spark, df, tableDir, statsColumns, sidecars)
     val v = expectedBase + 1
-    try {
-      ctx.rename(staged, new Path(tableDir, s"snap-$v"), Options.Rename.NONE)
+    if (tryClaim(ctx, staged, new Path(tableDir, s"snap-$v"))) {
       refreshPointer(ctx, tableDir, v)
       Some(v)
-    } catch {
-      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-        ctx.delete(staged, true)
-        None
+    } else {
+      ctx.delete(staged, true)
+      None
     }
   }
 
@@ -610,6 +642,48 @@ object Snapshots {
           "(committed without recordChanges); the window is not reconstructible")
       spark.read.parquet(p).withColumn("version", lit(v))
     }.reduce(_ unionByName _)
+  }
+
+  /** Retention GC: expire committed versions older than the last
+    * `keepLast`, RESPECTING file-level reuse — an old snapshot
+    * directory survives as long as ANY retained version's `_refs`
+    * still points into it (a scoped [[merge]] shares files across
+    * versions, so blind age-based deletion would corrupt the current
+    * table, the classic lakehouse GC bug real formats guard against
+    * with manifest reachability walks). Reference lists are direct
+    * file paths — reachability is one pass over the retained versions'
+    * `_refs`, no transitive walk. Time travel to an expired version
+    * fails afterwards, by design; the tip and every retained version
+    * read exactly as before. Returns the versions whose directories
+    * were deleted.
+    *
+    * Run this only when no reader is mid-scan of an expiring version —
+    * the same "readers within the retention window" contract every
+    * format's VACUUM documents.
+    */
+  def expire(
+      spark: SparkSession,
+      tableDir: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"must keep at least the tip (keepLast=$keepLast)")
+    val ctx = fc(spark)
+    val tip = version(spark, tableDir)
+    val all = ctx.util().listStatus(new Path(tableDir)).iterator
+      .map(_.getPath.getName).collect { case SnapName(v) => v.toLong }
+      .toSeq.sorted
+    val retained = all.filter(_ > tip - keepLast)
+    // dirs still needed: every retained dir + every dir a retained
+    // version's refs reach into ("snap-<v>/file" → snap-<v>)
+    val needed = retained.map(v => s"snap-$v").toSet ++
+      retained.flatMap { v =>
+        val refs = new Path(s"$tableDir/snap-$v/_refs")
+        if (!ctx.util().exists(refs)) Nil
+        else spark.read.parquet(refs.toString).collect()
+          .map(r => r.getString(0).split("/").head).toSeq
+      }
+    val expired = all.filter(v => !needed(s"snap-$v"))
+    expired.foreach(v => ctx.delete(new Path(s"$tableDir/snap-$v"), true))
+    expired
   }
 
   /** Janitor: delete staging orphans (writers that crashed before their

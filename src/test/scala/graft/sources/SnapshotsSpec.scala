@@ -231,6 +231,34 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir, 1L).inputFiles.length == 32)
   }
 
+  test("expire respects file-level references; unreferenced history is deleted") {
+    val dir = Files.createTempDirectory("graft-snap-expire").toString
+    // v1: clustered base with stats; v2: scoped merge that REFERENCES
+    // v1's low bands; v3/v4: full rewrites referencing nothing
+    val data = spark.range(0, 800).toDF("id").withColumn("v", col("id") * 3)
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    Snapshots.commit(spark, data, dir, statsColumns = Seq("id"))
+    Snapshots.merge(spark, dir,
+      spark.range(700, 800).toDF("id").withColumn("v", lit(-1L)),
+      Seq("id"), statsColumns = Seq("id"), scoped = true)
+    Snapshots.commit(spark, Seq((1L, 1L)).toDF("id", "v"), dir)
+    Snapshots.commit(spark, Seq((2L, 2L)).toDF("id", "v"), dir)
+
+    // keeping the last 3 (v2..v4): v1 is OLD but v2's refs reach into it
+    assert(Snapshots.expire(spark, dir, keepLast = 3) == Seq.empty)
+    assert(Snapshots.readVersion(spark, dir, 2L).count() == 800L)
+
+    // keeping the last 2 (v3, v4): nothing references v1/v2 → both go
+    assert(Snapshots.expire(spark, dir, keepLast = 2) == Seq(1L, 2L))
+    assert(!new java.io.File(s"$dir/snap-1").exists())
+    assert(!new java.io.File(s"$dir/snap-2").exists())
+    intercept[Exception](Snapshots.readVersion(spark, dir, 2L).count())
+    // the retained window reads exactly as before
+    assert(Snapshots.readVersion(spark, dir, 3L).count() == 1L)
+    assert(Snapshots.read(spark, dir).count() == 1L)
+    assert(Snapshots.version(spark, dir) == 4L)
+  }
+
   test("write-time feed records each transaction's changes; gaps throw") {
     val dir = Files.createTempDirectory("graft-snap-feed").toString
     Snapshots.commit(spark,
