@@ -33,4 +33,16 @@ object BloomFunctions {
     GraftShims.toColumn(
       BloomFilterMightContain(
         Literal(sketch, BinaryType), GraftShims.toExpression(c)))
+
+  /** Driver-side probe of a serialized sketch (the [[bloomAgg]] binary,
+    * which is `org.apache.spark.util.sketch.BloomFilter.writeTo`
+    * format) against one already-hashed LONG. `might_contain` the
+    * EXPRESSION requires a constant sketch — per-row sketches (a
+    * manifest's one-bloom-per-file column) are probed here instead,
+    * on the coordinator, where file pruning happens anyway.
+    */
+  def mightContainSerialized(sketch: Array[Byte], hashed: Long): Boolean =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(sketch))
+      .mightContainLong(hashed)
 }

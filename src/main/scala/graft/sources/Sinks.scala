@@ -51,6 +51,7 @@ object Sinks {
   private lazy val snapshotFeedDir: String = scratch("graft-snapshot-feed")
   private lazy val snapshotCompactDir: String = scratch("graft-snapshot-compact")
   private lazy val snapshotScopedDir: String = scratch("graft-snapshot-scoped")
+  private lazy val snapshotBloomDir: String = scratch("graft-snapshot-bloom")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -507,6 +508,28 @@ object Sinks {
     Snapshots.read(s, snapshotScopedDir).orderBy("doc_id")
   }
 
+  /** Bloom-manifest point lookup (the skipping complement to range
+    * stats): documents commit in a deliberately RANDOM 16-file layout —
+    * every file's doc_id min/max spans the whole table, so range stats
+    * prune nothing — with a per-file bloom sketch on doc_id. The entry
+    * answers equality lookups through [[Snapshots.readPoint]], which
+    * prunes files whose sketch rules the value out before scanning;
+    * the oracle is the plain equality predicate (bloom false positives
+    * only cost a read, the residual filter keeps rows exact, false
+    * negatives are impossible by the bloom contract). SnapshotsSpec
+    * asserts the file-count reduction on the same layout shape.
+    */
+  private def snapshotBloomRead(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotBloomDir)
+    val docs = Tables(s, d, "documents")
+      .select("doc_id", "lang", "n_chars").repartition(16)
+    Snapshots.commit(s, docs, snapshotBloomDir, bloomColumns = Seq("doc_id"))
+    Seq(37L, 137L, 420L)
+      .map(id => Snapshots.readPoint(s, snapshotBloomDir, "doc_id", id))
+      .reduce(_ unionByName _)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> (bucketedJoin _),
     "q_snapshot_concurrent" -> (snapshotConcurrent _),
@@ -515,6 +538,7 @@ object Sinks {
     "q_snapshot_cdf_feed" -> (snapshotCdfFeed _),
     "q_snapshot_compact" -> (snapshotCompact _),
     "q_snapshot_merge_scoped" -> (snapshotMergeScoped _),
+    "q_snapshot_bloom_read" -> (snapshotBloomRead _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -614,6 +638,11 @@ object Sinks {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id >= 200 THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |FROM documents WHERE doc_id < 600 ORDER BY doc_id""".stripMargin,
+    // three point lookups through the bloom manifest = the plain
+    // equality predicate over the source
+    "q_snapshot_bloom_read" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (37, 137, 420) ORDER BY doc_id""".stripMargin,
     // the compacted layout must answer the range exactly like the source
     "q_snapshot_compact" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

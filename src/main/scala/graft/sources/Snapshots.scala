@@ -109,6 +109,16 @@ object Snapshots {
       refs: Seq[String] = Nil,
       carriedManifest: Option[DataFrame] = None)
 
+  /** Per-file bloom sizing: 64 Kibit (8 KiB) per sketch, expecting up
+    * to ~100k hashed values per file — at a healthy 128 MB file size
+    * that keeps the false-positive rate low single-digit percent, and
+    * a manifest row stays KB-sized. Spurious files only cost a read
+    * (the residual filter discards their rows); misses are impossible
+    * by the bloom contract.
+    */
+  private val BloomBits = 64L * 1024
+  private val BloomExpectedItems = 100L * 1000
+
   /** Stage data (+ optional stats manifest and sidecars) into a
     * private `_stage-<uuid>` directory, invisible to readers and other
     * writers until the claim rename publishes it.
@@ -118,8 +128,11 @@ object Snapshots {
     * per-column min/max (native types, stored as parquet so no stats
     * parser exists anywhere). [[readRange]] then prunes files whose
     * range cannot intersect a predicate BEFORE the scan — the
-    * mechanism behind Iceberg/Delta data skipping. A snapshot's OWN
-    * files are recorded by bare name (relative to the snapshot
+    * mechanism behind Iceberg/Delta data skipping. `bloomColumns` adds
+    * a per-file membership sketch per column (`bloom_<c>`), the
+    * point-lookup complement for high-cardinality UNCLUSTERED columns
+    * where min/max spans prune nothing ([[readPoint]]). A snapshot's
+    * OWN files are recorded by bare name (relative to the snapshot
     * directory — names must survive the claim rename, and relative
     * names make a snapshot relocatable); REUSED files appear as
     * `snap-<v>/name` paths relative to the table root. Stats are
@@ -134,19 +147,30 @@ object Snapshots {
       df: DataFrame,
       tableDir: String,
       statsColumns: Seq[String],
+      bloomColumns: Seq[String],
       sidecars: Sidecars): Path = {
     val stageDir = s"$tableDir/_stage-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(stageDir)
-    if (statsColumns.nonEmpty) {
+    if (statsColumns.nonEmpty || bloomColumns.nonEmpty) {
       val data = spark.read.parquet(stageDir)
-      val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+      val aggs: Seq[Column] = (count(lit(1)).as("n_rows") +:
         statsColumns.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
+        // per-file membership sketches: any column type, hashed to LONG
+        // with the same xxhash64 the point probe applies to its literal
+        bloomColumns.map(c =>
+          graft.functions.BloomFunctions
+            .bloomAgg(xxhash64(col(c)), BloomExpectedItems, BloomBits)
+            .as(s"bloom_$c"))
       val own = data
         .groupBy(
           element_at(split(input_file_name(), "/"), -1).as("file"))
         .agg(aggs.head, aggs.tail: _*)
-      sidecars.carriedManifest.fold(own)(c => own.unionByName(c))
+      // carried rows (scoped merge) align to the OWN manifest's columns:
+      // stats configs must agree across the chain, surplus base columns
+      // (e.g. blooms the new write didn't build) are dropped with it
+      sidecars.carriedManifest
+        .fold(own)(c => own.unionByName(c.select(own.columns.map(col): _*)))
         .coalesce(1) // manifests are file-count-sized: one small file
         .write.mode("overwrite").parquet(manifestDir(stageDir))
     }
@@ -236,9 +260,10 @@ object Snapshots {
       spark: SparkSession,
       df: DataFrame,
       tableDir: String,
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
     val ctx = fc(spark)
-    val staged = stage(spark, df, tableDir, statsColumns, Sidecars())
+    val staged = stage(spark, df, tableDir, statsColumns, bloomColumns, Sidecars())
     // claim: atomic no-overwrite rename — the commit point. Plain
     // commit publishes a FULL table state, so any free version is
     // acceptable and losers simply move to the next one; use
@@ -269,9 +294,10 @@ object Snapshots {
       tableDir: String,
       expectedBase: Long,
       statsColumns: Seq[String] = Nil,
-      changes: Option[DataFrame] = None): Option[Long] =
+      changes: Option[DataFrame] = None,
+      bloomColumns: Seq[String] = Nil): Option[Long] =
     commitIfVersionWith(spark, df, tableDir, expectedBase, statsColumns,
-      Sidecars(changes = changes))
+      bloomColumns, Sidecars(changes = changes))
 
   private def commitIfVersionWith(
       spark: SparkSession,
@@ -279,9 +305,10 @@ object Snapshots {
       tableDir: String,
       expectedBase: Long,
       statsColumns: Seq[String],
+      bloomColumns: Seq[String],
       sidecars: Sidecars): Option[Long] = {
     val ctx = fc(spark)
-    val staged = stage(spark, df, tableDir, statsColumns, sidecars)
+    val staged = stage(spark, df, tableDir, statsColumns, bloomColumns, sidecars)
     val v = expectedBase + 1
     if (tryClaim(ctx, staged, new Path(tableDir, s"snap-$v"))) {
       refreshPointer(ctx, tableDir, v)
@@ -304,12 +331,13 @@ object Snapshots {
       spark: SparkSession,
       tableDir: String,
       maxRetries: Int = 10)(fn: DataFrame => DataFrame): Long =
-    occLoop(spark, tableDir, Nil, maxRetries)((_, cur) => (fn(cur), Sidecars()))
+    occLoop(spark, tableDir, Nil, Nil, maxRetries)((_, cur) => (fn(cur), Sidecars()))
 
   private def occLoop(
       spark: SparkSession,
       tableDir: String,
       statsColumns: Seq[String],
+      bloomColumns: Seq[String],
       maxRetries: Int)(
       fn: (Long, DataFrame) => (DataFrame, Sidecars)): Long = {
     var attempt = 0
@@ -317,7 +345,7 @@ object Snapshots {
       val base = version(spark, tableDir)
       val (next, sidecars) = fn(base, readVersion(spark, tableDir, base))
       commitIfVersionWith(
-        spark, next, tableDir, base, statsColumns, sidecars) match {
+        spark, next, tableDir, base, statsColumns, bloomColumns, sidecars) match {
         case Some(v) => return v
         case None => attempt += 1
       }
@@ -415,6 +443,74 @@ object Snapshots {
     }
   }
 
+  /** Point-lookup file selection via the per-file bloom sketches:
+    * (surviving file paths, total files). A file survives iff its
+    * sketch MAY contain `value` — no false negatives by the bloom
+    * contract, so the selection is always a superset of the files
+    * holding the value; false positives only cost a spurious read.
+    * This is the skipping complement to [[selectFiles]]: min/max spans
+    * prune RANGES on clustered columns, blooms prune EQUALITY on
+    * high-cardinality columns in any layout.
+    */
+  def selectFilesPoint(
+      spark: SparkSession,
+      tableDir: String,
+      v: Long,
+      colName: String,
+      value: Any): (Seq[String], Long) = {
+    val snapDir = s"$tableDir/snap-$v"
+    val m = spark.read.parquet(manifestDir(snapDir))
+    require(m.columns.contains(s"bloom_$colName"),
+      s"version $v of $tableDir has no bloom sketch for $colName")
+    val total = m.count()
+    // xxhash64 is TYPE-sensitive: the probe literal must hash as the
+    // same type the sketch was built over, or every lookup would be a
+    // silent false negative — cast to the column's actual type first
+    val colType = readVersion(spark, tableDir, v).schema(colName).dataType
+    val hashed = spark.range(1)
+      .select(xxhash64(lit(value).cast(colType))).head().getLong(0)
+    // per-row sketches are probed on the coordinator (the expression
+    // form needs a constant sketch); the manifest is file-count-sized,
+    // so this is the same planning cost selectFiles already pays
+    val sel = m.select("file", s"bloom_$colName").collect().iterator
+      .filter { r =>
+        val sketch = r.getAs[Array[Byte]](1)
+        // a null sketch means a zero-row file: nothing to contain
+        sketch != null &&
+          graft.functions.BloomFunctions.mightContainSerialized(sketch, hashed)
+      }
+      .map { r =>
+        val f = r.getString(0)
+        if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
+      }.toSeq
+    (sel, total)
+  }
+
+  /** Equality read through the bloom manifest: prune files whose
+    * sketch rules the value out, then apply the exact equality to the
+    * survivors. Falls back to a plain filtered scan when the snapshot
+    * has no bloom for the column. `v = 0` reads the latest version.
+    */
+  def readPoint(
+      spark: SparkSession,
+      tableDir: String,
+      colName: String,
+      value: Any,
+      v: Long = 0L): DataFrame = {
+    val ver = if (v >= 1) v else version(spark, tableDir)
+    require(ver >= 1, s"no committed snapshot in $tableDir")
+    val residual = col(colName) === lit(value)
+    val manifest = new Path(manifestDir(s"$tableDir/snap-$ver"))
+    val hasBloom = fc(spark).util().exists(manifest) &&
+      spark.read.parquet(manifest.toString).columns.contains(s"bloom_$colName")
+    if (!hasBloom) readVersion(spark, tableDir, ver).filter(residual)
+    else {
+      val (files, _) = selectFilesPoint(spark, tableDir, ver, colName, value)
+      if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
+      else spark.read.parquet(files: _*).filter(residual)
+    }
+  }
+
   /** Copy-on-write MERGE (the upsert half of `MERGE INTO`): rows of the
     * latest snapshot whose `key` matches a row in `updates` are
     * REPLACED by that row, unmatched update rows are INSERTED, and the
@@ -444,13 +540,14 @@ object Snapshots {
       updates: DataFrame,
       key: Seq[String],
       statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
       recordChanges: Boolean = false,
       scoped: Boolean = false,
       maxRetries: Int = 10): Long = {
     require(!scoped || (key.size == 1 && statsColumns.contains(key.head)),
       s"scoped merge needs a single-column key present in statsColumns " +
         s"(key=$key, statsColumns=$statsColumns)")
-    occLoop(spark, tableDir, statsColumns, maxRetries) { (base, cur) =>
+    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) { (base, cur) =>
       val feed = if (!recordChanges) None else Some {
         // what this MERGE writes, classified by whether the key existed:
         // one left join of the updates against the base's key projection
@@ -522,9 +619,10 @@ object Snapshots {
       tableDir: String,
       predicate: Column,
       statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
       recordChanges: Boolean = false,
       maxRetries: Int = 10): Long =
-    occLoop(spark, tableDir, statsColumns, maxRetries) { (_, cur) =>
+    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) { (_, cur) =>
       val hit = coalesce(predicate, lit(false))
       val feed = if (!recordChanges) None else Some(
         cur.filter(hit).select(
@@ -594,10 +692,11 @@ object Snapshots {
       sortCols: Seq[String] = Nil,
       targetFileBytes: Long = 128L * 1024 * 1024,
       statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
       maxRetries: Int = 10): Long = {
     require(targetFileBytes > 0, s"bad targetFileBytes=$targetFileBytes")
     val ctx = fc(spark)
-    occLoop(spark, tableDir, statsColumns, maxRetries) { (_, cur) =>
+    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) { (_, cur) =>
       // the frame being compacted already knows its own data files —
       // no directory re-listing that could race the OCC base version
       val bytes = cur.inputFiles.iterator

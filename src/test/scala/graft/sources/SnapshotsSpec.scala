@@ -165,6 +165,33 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.changes(spark, dir, 2L, 2L, Seq("id")).isEmpty)
   }
 
+  test("bloom manifest prunes point lookups on an unclustered column") {
+    val dir = Files.createTempDirectory("graft-snap-bloom").toString
+    // random layout: ids scattered across 16 files, so min/max spans
+    // overlap everywhere and range stats could prune nothing
+    val data = spark.range(0, 4000).toDF("id")
+      .withColumn("v", col("id") * 7).repartition(16)
+    val v = Snapshots.commit(spark, data, dir,
+      statsColumns = Seq("id"), bloomColumns = Seq("id"))
+
+    // range stats are useless on this layout (sanity of the setup)...
+    val (rangeSel, total) = Snapshots.selectFiles(spark, dir, v, "id", 137L, 137L)
+    assert(total == 16L && rangeSel.size == 16)
+    // ...but the bloom prunes to (almost) only the file holding the id
+    val (sel, _) = Snapshots.selectFilesPoint(spark, dir, v, "id", 137L)
+    assert(sel.nonEmpty && sel.size < 16, s"${sel.size} of 16 selected")
+
+    // no false negative: the lookup is exact through the pruned read
+    val hit = Snapshots.readPoint(spark, dir, "id", 137L).collect()
+    assert(hit.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((137L, 959L)))
+    // absent values read empty (bloom may pass a file; equality cleans up)
+    assert(Snapshots.readPoint(spark, dir, "id", 99999L).isEmpty)
+    // a bloom-less snapshot answers through the fallback
+    val dir2 = Files.createTempDirectory("graft-snap-nobloom").toString
+    Snapshots.commit(spark, data, dir2, statsColumns = Seq("id"))
+    assert(Snapshots.readPoint(spark, dir2, "id", 137L).count() == 1L)
+  }
+
   test("scoped merge rewrites only touched files and references the rest") {
     val dir = Files.createTempDirectory("graft-snap-scoped").toString
     // 8 range-clustered files over id 0..799 (~100-id bands), stats on id
