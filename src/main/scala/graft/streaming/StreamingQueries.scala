@@ -1,8 +1,11 @@
 package graft.streaming
 
+import java.nio.file.Paths
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.{Snapshots, Tables}
 
 /** Oracle-checked BATCH entries for the streaming transforms: the same
   * [[Streaming]] plans run over the batch `events` table (Catalyst drops
@@ -19,7 +22,80 @@ object StreamingQueries {
 
   private def t(s: SparkSession, d: String): DataFrame = Tables(s, d, "events")
 
+  private def scratch(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), name)
+    val f = p.toFile
+    f.mkdirs()
+    f.deleteOnExit()
+    p.toString
+  }
+
+  private lazy val streamSnapDir: String = scratch("graft-stream-snapshot")
+  private lazy val streamCkptDir: String = scratch("graft-stream-snapshot-ckpt")
+  private lazy val streamInDir: String = scratch("graft-stream-snapshot-in")
+
+  /** The ONLY entry that runs a REAL Structured Streaming query inside
+    * the correctness gate (the others verify the transforms on their
+    * batch children; the streaming specs drive MemoryStream/RocksDB/
+    * restart): a file-source stream over the events parquet drains
+    * under AvailableNow through the watermarked windowed aggregation
+    * into [[SnapshotSink]] in complete mode — every micro-batch
+    * publishes the full aggregate as a table snapshot via the atomic
+    * claim protocol — and the entry reads the FINAL snapshot back. The
+    * oracle is the same batch replay as q_stream_window_batch: a hash
+    * match certifies stream execution, sink exactly-once bookkeeping,
+    * and snapshot commit end-to-end. Checkpoint and table scratch dirs
+    * reset per call so replays re-execute rather than skip.
+    */
+  private def streamSnapshotSink(s: SparkSession, d: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(streamSnapDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(streamSnapDir, streamCkptDir, streamInDir).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    // the file source ingests a DIRECTORY (files arriving over time);
+    // the testdata table is a single parquet file — stage it as the
+    // first arrival
+    new java.io.File(streamInDir).mkdirs()
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$d/events.parquet"),
+      fs, new org.apache.hadoop.fs.Path(s"$streamInDir/events-0.parquet"),
+      false, s.sparkContext.hadoopConfiguration)
+    // events.ts is parquet TIMESTAMP(NANOS) — same nanosAsLong dance as
+    // the batch loader (Tables), held across the whole drain because
+    // micro-batches read footers during execution
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(streamInDir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val q = Streaming.windowedCounts(stream)
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", streamCkptDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(SnapshotSink.into(streamSnapDir))
+        .start()
+      q.awaitTermination()
+    } finally {
+      prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }
+    Snapshots.read(s, streamSnapDir)
+      .select(
+        col("window_start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"),
+        round(col("total_value"), 3).as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_snapshot_sink" -> (streamSnapshotSink _),
     "q_stream_window_batch" -> ((s, d) => {
       Streaming.windowedCounts(t(s, d))
         .select(
@@ -108,6 +184,14 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the real stream drained through SnapshotSink must equal the
+    // batch replay of the same windowed aggregation
+    "q_stream_snapshot_sink" ->
+      """SELECT CAST(epoch_ns(date_trunc('hour', ts)) // 1000000000 AS BIGINT) AS window_start,
+        |  event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  round(SUM(value), 3) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // tumbling 1h windows align to epoch hours = date_trunc('hour')
     "q_stream_window_batch" ->
       """SELECT CAST(epoch_ns(date_trunc('hour', ts)) // 1000000000 AS BIGINT) AS window_start,
