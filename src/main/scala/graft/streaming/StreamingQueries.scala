@@ -64,10 +64,19 @@ object StreamingQueries {
       false, s.sparkContext.hadoopConfiguration)
     // events.ts is parquet TIMESTAMP(NANOS) — same nanosAsLong dance as
     // the batch loader (Tables), held across the whole drain because
-    // micro-batches read footers during execution
+    // micro-batches read footers during execution. Shuffle partitions
+    // are sized to the STATE volume for the drain: a streaming agg
+    // opens one state store per shuffle partition and pays its
+    // init/commit/checkpoint per micro-batch, so 32 stores for a
+    // few-thousand-group aggregate is pure overhead (the partition
+    // count is pinned into the checkpoint at first run — a real
+    // deployment sizes it for peak state, once).
     val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val shuffleKey = "spark.sql.shuffle.partitions"
     val prior = s.conf.getOption(key)
+    val priorShuffle = s.conf.getOption(shuffleKey)
     s.conf.set(key, "true")
+    s.conf.set(shuffleKey, "8")
     try {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(schema).parquet(streamInDir)
@@ -84,6 +93,10 @@ object StreamingQueries {
       prior match {
         case Some(v) => s.conf.set(key, v)
         case None    => s.conf.unset(key)
+      }
+      priorShuffle match {
+        case Some(v) => s.conf.set(shuffleKey, v)
+        case None    => s.conf.unset(shuffleKey)
       }
     }
     Snapshots.read(s, streamSnapDir)
