@@ -49,6 +49,11 @@ object Sinks {
   private lazy val snapshotMergeDir: String = scratch("graft-snapshot-merge")
   private lazy val snapshotCdfDir: String = scratch("graft-snapshot-cdf")
   private lazy val snapshotFeedDir: String = scratch("graft-snapshot-feed")
+  private lazy val snapshotEvoDir: String = scratch("graft-snapshot-evo")
+  private lazy val snapshotExpectDir: String = scratch("graft-snapshot-expect")
+  private lazy val snapshotStreamDir: String = scratch("graft-snapshot-stream")
+  private lazy val snapshotStreamCkpt: String = scratch("graft-snapshot-stream-ckpt")
+  private lazy val snapshotStreamOut: String = scratch("graft-snapshot-stream-out")
   private lazy val snapshotCompactDir: String = scratch("graft-snapshot-compact")
   private lazy val snapshotScopedDir: String = scratch("graft-snapshot-scoped")
   private lazy val snapshotBloomDir: String = scratch("graft-snapshot-bloom")
@@ -508,6 +513,110 @@ object Sinks {
     Snapshots.read(s, snapshotScopedDir).orderBy("doc_id")
   }
 
+  /** Schema evolution through MERGE (the Delta `mergeSchema` trade):
+    * v1 commits documents WITHOUT n_chars, then a merge whose source
+    * carries the new column evolves the table — the committed schema
+    * becomes the union, pre-evolution rows read NULL for the new
+    * column, and the merge's update/insert arms still apply by key.
+    * The oracle rebuilds the evolved state from the source table with
+    * the same NULL-fill rule, so a hash match certifies both the
+    * evolution and that no pre-existing row was disturbed by it.
+    * Default stays strict (SnapshotsSpec proves column drift throws
+    * without the opt-in — a typo'd producer cannot fork the schema).
+    */
+  private def snapshotSchemaEvo(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotEvoDir)
+    val docs = Tables(s, d, "documents")
+    Snapshots.commit(s,
+      docs.select("doc_id", "lang").filter(col("doc_id") < 300), snapshotEvoDir)
+    val updates = docs.select("doc_id", "lang", "n_chars")
+      .filter(col("doc_id").between(200, 499))
+    Snapshots.merge(s, snapshotEvoDir, updates, Seq("doc_id"),
+      evolveSchema = true)
+    Snapshots.read(s, snapshotEvoDir).orderBy("doc_id")
+  }
+
+  /** Commit-time expectations (the Delta CHECK-constraint analog): v1
+    * declares two invariants which then live INSIDE the snapshot chain
+    * and are enforced by every subsequent write path. A valid merge
+    * passes (v2); a merge that would null out `lang` is REJECTED
+    * atomically — the exception carries per-expectation violation
+    * counts, the table tip stays at v2, and no staging residue
+    * survives. The entry pins the rejection outcome (`rejected_held`)
+    * alongside the surviving state; the oracle rebuilds that state from
+    * the source, so a hash match certifies the bad write left no trace.
+    */
+  private def snapshotExpectations(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotExpectDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), snapshotExpectDir,
+      addExpectations = Seq(
+        "doc_id_nonneg" -> "doc_id >= 0",
+        "lang_present" -> "lang IS NOT NULL"))
+    Snapshots.merge(s, snapshotExpectDir,
+      docs.filter(col("doc_id").between(400, 499)), Seq("doc_id"))
+    val rejected =
+      try {
+        Snapshots.merge(s, snapshotExpectDir,
+          docs.filter(col("doc_id") < 50)
+            .withColumn("lang", lit(null).cast("string")),
+          Seq("doc_id"))
+        0L
+      } catch {
+        case e: Snapshots.CommitRejectedException =>
+          // exactly the 50 nulled rows violate, and only lang_present
+          if (e.violations == Seq("lang_present" -> 50L)) 1L else 0L
+      }
+    val held =
+      if (rejected == 1L && Snapshots.version(s, snapshotExpectDir) == 2L) 1L
+      else 0L
+    Snapshots.read(s, snapshotExpectDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .withColumn("rejected_held", lit(held))
+      .orderBy("lang")
+  }
+
+  /** Streaming consumption of the write-time change feed: the same
+    * commit → MERGE → DELETE walk as q_snapshot_cdf_feed, but the feed
+    * is drained through [[Snapshots.changesStream]] — a checkpointed
+    * file-source stream globbing every version's `_changes` directory
+    * whose discovery unit is
+    * the atomic claim — under `Trigger.AvailableNow`. Same oracle as
+    * the batch feed read: a hash match certifies the streaming path
+    * delivers exactly the recorded changes, no loss, no duplication.
+    * SnapshotsSpec additionally proves the INCREMENTAL contract (a
+    * second drain on the same checkpoint sees only commits made after
+    * the first).
+    */
+  private def snapshotCdfStream(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotStreamDir)
+    clearDir(s, snapshotStreamCkpt)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), snapshotStreamDir)
+    val updates = docs.filter(col("doc_id").between(200, 599))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    Snapshots.merge(s, snapshotStreamDir, updates, Seq("doc_id"),
+      recordChanges = true)
+    Snapshots.delete(s, snapshotStreamDir, col("doc_id") % 10 === 7,
+      recordChanges = true)
+    // fault-tolerant file sink (exactly-once with the checkpoint, and
+    // unlike the memory sink it supports resuming — the contract the
+    // incremental spec exercises)
+    clearDir(s, snapshotStreamOut)
+    val q = Snapshots.changesStream(s, snapshotStreamDir)
+      .writeStream.format("parquet")
+      .option("path", snapshotStreamOut)
+      .option("checkpointLocation", snapshotStreamCkpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(snapshotStreamOut)
+      .select("version", "doc_id", "change_type", "lang", "n_chars")
+      .orderBy("version", "doc_id")
+  }
+
   /** Bloom-manifest point lookup (the skipping complement to range
     * stats): documents commit in a deliberately RANDOM 16-file layout —
     * every file's doc_id min/max spans the whole table, so range stats
@@ -539,6 +648,9 @@ object Sinks {
     "q_snapshot_compact" -> (snapshotCompact _),
     "q_snapshot_merge_scoped" -> (snapshotMergeScoped _),
     "q_snapshot_bloom_read" -> (snapshotBloomRead _),
+    "q_snapshot_schema_evo" -> (snapshotSchemaEvo _),
+    "q_snapshot_expectations" -> (snapshotExpectations _),
+    "q_snapshot_cdf_stream" -> (snapshotCdfStream _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -638,6 +750,38 @@ object Sinks {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id >= 200 THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |FROM documents WHERE doc_id < 600 ORDER BY doc_id""".stripMargin,
+    // the evolved state replayed from source: docs < 300 kept (NULL
+    // n_chars unless the merge updated them), 300-499 inserted with the
+    // new column populated
+    "q_snapshot_schema_evo" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id >= 200 THEN n_chars ELSE NULL END AS n_chars
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+    // the surviving state is exactly docs < 500 (the rejected write
+    // left no trace); rejected_held pins that the violating merge threw
+    // with the exact violation count and the version did not advance
+    "q_snapshot_expectations" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS rejected_held
+        |FROM documents WHERE doc_id < 500 GROUP BY lang ORDER BY lang""".stripMargin,
+    // the streamed drain must equal the recorded write-time feed — the
+    // same oracle as q_snapshot_cdf_feed
+    "q_snapshot_cdf_stream" ->
+      """WITH v2feed AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, doc_id,
+        |    CASE WHEN doc_id < 400 THEN 'update' ELSE 'insert' END AS change_type,
+        |    lang, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id BETWEEN 200 AND 599),
+        |v3feed AS (
+        |  SELECT CAST(3 AS BIGINT) AS version, doc_id, 'delete' AS change_type,
+        |    lang,
+        |    CASE WHEN doc_id >= 200 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id < 600 AND doc_id % 10 = 7)
+        |SELECT version, doc_id, change_type, lang, n_chars FROM v2feed
+        |UNION ALL
+        |SELECT version, doc_id, change_type, lang, n_chars FROM v3feed
+        |ORDER BY version, doc_id""".stripMargin,
     // three point lookups through the bloom manifest = the plain
     // equality predicate over the source
     "q_snapshot_bloom_read" ->

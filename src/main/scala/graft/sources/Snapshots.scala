@@ -109,6 +109,35 @@ object Snapshots {
       refs: Seq[String] = Nil,
       carriedManifest: Option[DataFrame] = None)
 
+  /** A write whose staged rows violate a table expectation. The staging
+    * directory is already cleaned up when this reaches the caller — a
+    * rejected commit leaves no trace and the table tip is unchanged.
+    */
+  final class CommitRejectedException(
+      val violations: Seq[(String, Long)], table: String)
+    extends RuntimeException(
+      s"commit to $table rejected by expectations: " +
+        violations.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+
+  /** The expectations in force for the CURRENT version of the table
+    * (name → boolean SQL expression). Empty when none were declared.
+    */
+  def expectations(spark: SparkSession, tableDir: String): Seq[(String, String)] = {
+    val ctx = fc(spark)
+    loadExpectations(spark, ctx, tableDir, version(spark, tableDir))
+  }
+
+  private def loadExpectations(
+      spark: SparkSession,
+      ctx: FileContext,
+      tableDir: String,
+      v: Long): Seq[(String, String)] = {
+    val p = new Path(s"$tableDir/snap-$v/_expectations")
+    if (v < 1 || !ctx.util().exists(p)) Nil
+    else spark.read.parquet(p.toString).orderBy("name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
   /** Per-file bloom sizing: 64 Kibit (8 KiB) per sketch, expecting up
     * to ~100k hashed values per file — at a healthy 128 MB file size
     * that keeps the false-positive rate low single-digit percent, and
@@ -148,9 +177,37 @@ object Snapshots {
       tableDir: String,
       statsColumns: Seq[String],
       bloomColumns: Seq[String],
-      sidecars: Sidecars): Path = {
+      sidecars: Sidecars,
+      expectations: Seq[(String, String)] = Nil): Path = {
     val stageDir = s"$tableDir/_stage-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(stageDir)
+    if (expectations.nonEmpty) {
+      // Table expectations (the Delta CHECK-constraint analog): every
+      // write path enforces the table's declared invariants on the rows
+      // it is about to publish, and the declarations ride inside the
+      // snapshot (`_expectations` sidecar) so they are versioned,
+      // atomic with the data, and carried forward by every commit.
+      // CHECK semantics: a row violates only when the predicate is
+      // FALSE — NULL passes, exactly like SQL CHECK. The staged files
+      // are re-read for the check (one cheap scan of freshly written
+      // local data); a production writer folds the same predicates into
+      // the write tasks themselves (Delta's per-row invariant check)
+      // and keeps this commit-point gate as the backstop.
+      import spark.implicits._
+      expectations.toDF("name", "expr").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stageDir/_expectations")
+      val checks = expectations.map { case (n, e) =>
+        sum(when(coalesce(expr(e), lit(true)) === false, 1L).otherwise(0L)).as(n)
+      }
+      val row = spark.read.parquet(stageDir).agg(checks.head, checks.tail: _*).head()
+      val failed = expectations.indices.map { i =>
+        expectations(i)._1 -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+      }.filter(_._2 > 0)
+      if (failed.nonEmpty) {
+        fc(spark).delete(new Path(stageDir), true)
+        throw new CommitRejectedException(failed, tableDir)
+      }
+    }
     if (statsColumns.nonEmpty || bloomColumns.nonEmpty) {
       val data = spark.read.parquet(stageDir)
       val aggs: Seq[Column] = (count(lit(1)).as("n_rows") +:
@@ -261,9 +318,18 @@ object Snapshots {
       df: DataFrame,
       tableDir: String,
       statsColumns: Seq[String] = Nil,
-      bloomColumns: Seq[String] = Nil): Long = {
+      bloomColumns: Seq[String] = Nil,
+      addExpectations: Seq[(String, String)] = Nil): Long = {
     val ctx = fc(spark)
-    val staged = stage(spark, df, tableDir, statsColumns, bloomColumns, Sidecars())
+    // effective expectations = the current table's, with same-named new
+    // declarations replacing old ones and fresh names appended; the
+    // staged snapshot both ENFORCES and RE-PUBLISHES the list, so the
+    // invariants follow the table through every subsequent commit
+    val inherited = loadExpectations(spark, ctx, tableDir, version(spark, tableDir))
+    val eff = inherited.filterNot(e =>
+      addExpectations.exists(_._1 == e._1)) ++ addExpectations
+    val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
+      Sidecars(), eff)
     // claim: atomic no-overwrite rename — the commit point. Plain
     // commit publishes a FULL table state, so any free version is
     // acceptable and losers simply move to the next one; use
@@ -308,7 +374,12 @@ object Snapshots {
       bloomColumns: Seq[String],
       sidecars: Sidecars): Option[Long] = {
     val ctx = fc(spark)
-    val staged = stage(spark, df, tableDir, statsColumns, bloomColumns, sidecars)
+    // OCC writes enforce and carry forward the BASE version's
+    // expectations — the base is pinned, so the list cannot drift
+    // between check and claim (a lost claim re-derives from the new
+    // base and re-checks against ITS expectations)
+    val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
+      sidecars, loadExpectations(spark, ctx, tableDir, expectedBase))
     val v = expectedBase + 1
     if (tryClaim(ctx, staged, new Path(tableDir, s"snap-$v"))) {
       refreshPointer(ctx, tableDir, v)
@@ -543,22 +614,52 @@ object Snapshots {
       bloomColumns: Seq[String] = Nil,
       recordChanges: Boolean = false,
       scoped: Boolean = false,
+      evolveSchema: Boolean = false,
       maxRetries: Int = 10): Long = {
     require(!scoped || (key.size == 1 && statsColumns.contains(key.head)),
       s"scoped merge needs a single-column key present in statsColumns " +
         s"(key=$key, statsColumns=$statsColumns)")
-    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) { (base, cur) =>
+    require(!(scoped && evolveSchema),
+      "schema evolution needs a full rewrite: scoped merge shares data " +
+        "files with the previous version, and a shared file cannot hold " +
+        "two schemas — run an unscoped merge to evolve, then re-cluster")
+    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) { (base, cur0) =>
+      // schema evolution (opt-in, the Delta `mergeSchema` trade): the
+      // committed schema becomes the UNION of target and source columns,
+      // each side null-filled where the other introduced a column. Types
+      // of shared columns must agree — silent widening hides bugs; a
+      // caller who means it casts explicitly. Default stays STRICT:
+      // unionByName throws on any column drift, so a typo'd producer
+      // cannot quietly fork the table schema.
+      val (cur, ups) =
+        if (!evolveSchema) (cur0, updates)
+        else {
+          val curT = cur0.schema.map(f => f.name -> f.dataType).toMap
+          val updT = updates.schema.map(f => f.name -> f.dataType).toMap
+          val clash = cur0.columns.filter(c =>
+            updT.contains(c) && updT(c) != curT(c))
+          require(clash.isEmpty,
+            s"schema evolution cannot change column types: ${clash.mkString(", ")}")
+          require(key.forall(k => curT.contains(k) && updT.contains(k)),
+            s"merge key $key must exist on both sides")
+          val outCols = cur0.columns ++ updates.columns.filterNot(curT.contains)
+          def widen(df: DataFrame, own: Map[String, org.apache.spark.sql.types.DataType]) =
+            df.select(outCols.map(c =>
+              if (own.contains(c)) col(c)
+              else lit(null).cast((curT ++ updT)(c)).as(c)).toIndexedSeq: _*)
+          (widen(cur0, curT), widen(updates, updT))
+        }
       val feed = if (!recordChanges) None else Some {
         // what this MERGE writes, classified by whether the key existed:
         // one left join of the updates against the base's key projection
         val marked = cur.select(key.map(col): _*).withColumn("_graft_matched", lit(1))
-        updates.join(marked, key, "left")
+        ups.join(marked, key, "left")
           .withColumn("change_type",
             when(col("_graft_matched").isNull, lit("insert")).otherwise(lit("update")))
-          .select(col("change_type") +: updates.columns.toSeq.map(col): _*)
+          .select(col("change_type") +: ups.columns.toSeq.map(col): _*)
       }
       if (!scoped) {
-        val merged = cur.join(updates, key, "left_anti").unionByName(updates)
+        val merged = cur.join(ups, key, "left_anti").unionByName(ups)
         (merged, Sidecars(changes = feed))
       } else {
         val k = key.head
@@ -741,6 +842,38 @@ object Snapshots {
           "(committed without recordChanges); the window is not reconstructible")
       spark.read.parquet(p).withColumn("version", lit(v))
     }.reduce(_ unionByName _)
+  }
+
+  /** Structured-streaming consumer of the write-time change feed: a
+    * file source globbing every version's `_changes` directory (the
+    * code below) whose discovery unit is the
+    * atomic claim itself — a snapshot's feed files appear all at once
+    * when the claim rename publishes the directory, never partially —
+    * with the committing version recovered from the file path. The
+    * checkpoint makes consumption INCREMENTAL and exactly-once: a
+    * restarted stream resumes at the first unseen commit, which is how
+    * a 100 TB pipeline processes only the rows that changed since its
+    * last run instead of re-scanning the table (pair with
+    * `Trigger.AvailableNow` for the batch-cadence variant).
+    *
+    * The feed schema is pinned from the table tip at stream START
+    * (change_type + the table's columns); like any file source the
+    * stream does not follow later schema evolution — restart it to pick
+    * up an evolved schema. Only sound on tables whose data-changing
+    * commits all set `recordChanges = true`: a feedless commit has no
+    * `_changes` directory and the glob silently skips it (the batch
+    * [[changesFeed]] throws on such gaps — use it when auditability
+    * beats liveness).
+    */
+  def changesStream(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val feedSchema = StructType(
+      StructField("change_type", StringType) +:
+        read(spark, tableDir).schema.fields)
+    spark.readStream.schema(feedSchema)
+      .parquet(s"$tableDir/snap-*/_changes")
+      .withColumn("version",
+        regexp_extract(input_file_name(), "snap-(\\d+)/_changes", 1).cast("long"))
   }
 
   /** Retention GC: expire committed versions older than the last

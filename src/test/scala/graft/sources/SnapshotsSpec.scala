@@ -364,4 +364,106 @@ class SnapshotsSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("_stage-"))
     assert(stages.isEmpty, stages.mkString(","))
   }
+
+  test("merge evolves the schema on opt-in and stays strict by default") {
+    val dir = Files.createTempDirectory("graft-snap-evo").toString
+    Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val widened = Seq((2L, "B", 20L), (3L, "c", 30L)).toDF("id", "v", "n")
+
+    // strict default: column drift must throw, not fork the schema
+    intercept[org.apache.spark.sql.AnalysisException](
+      Snapshots.merge(spark, dir, widened, Seq("id")))
+    assert(Snapshots.version(spark, dir) == 1L)
+
+    // opt-in: schema becomes the union, pre-evolution rows read NULL
+    Snapshots.merge(spark, dir, widened, Seq("id"), evolveSchema = true)
+    val rows = Snapshots.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", -1L), (2L, "B", 20L), (3L, "c", 30L)))
+
+    // the reverse direction also evolves: a NARROW source is null-filled
+    Snapshots.merge(spark, dir, Seq((4L, "d")).toDF("id", "v"), Seq("id"),
+      evolveSchema = true)
+    assert(Snapshots.read(spark, dir).filter($"id" === 4L && $"n".isNull)
+      .count() == 1L)
+
+    // type clashes and scoped evolution are rejected up front
+    intercept[IllegalArgumentException](Snapshots.merge(spark, dir,
+      Seq((5L, "e", "not-a-long")).toDF("id", "v", "n"), Seq("id"),
+      evolveSchema = true))
+    intercept[IllegalArgumentException](Snapshots.merge(spark, dir,
+      widened, Seq("id"), statsColumns = Seq("id"), scoped = true,
+      evolveSchema = true))
+  }
+
+  test("expectations gate every write path and ride the snapshot chain") {
+    val dir = Files.createTempDirectory("graft-snap-expect").toString
+    Snapshots.commit(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), dir,
+      addExpectations = Seq("x_positive" -> "x > 0"))
+    assert(Snapshots.expectations(spark, dir) == Seq("x_positive" -> "x > 0"))
+
+    // a violating COMMIT is rejected with per-expectation counts and
+    // leaves no staging residue; the tip does not move
+    val e = intercept[Snapshots.CommitRejectedException](
+      Snapshots.commit(spark, Seq((3L, -5L), (4L, 0L)).toDF("id", "x"), dir))
+    assert(e.violations == Seq("x_positive" -> 2L))
+    assert(Snapshots.version(spark, dir) == 1L)
+    assert(!new java.io.File(dir).listFiles().map(_.getName)
+      .exists(_.startsWith("_stage-")))
+
+    // CHECK semantics: NULL passes; the invariant is inherited by a
+    // MERGE that never re-declared it
+    Snapshots.merge(spark, dir,
+      Seq((3L, Option.empty[Long])).toDF("id", "x"), Seq("id"))
+    assert(Snapshots.version(spark, dir) == 2L)
+    intercept[Snapshots.CommitRejectedException](Snapshots.merge(spark, dir,
+      Seq((4L, Option(-1L))).toDF("id", "x"), Seq("id")))
+
+    // transact enforces too, and a same-named re-declaration REPLACES
+    intercept[Snapshots.CommitRejectedException](
+      Snapshots.transact(spark, dir)(_.withColumn("x", -abs($"x"))))
+    Snapshots.commit(spark, Seq((9L, 100L)).toDF("id", "x"), dir,
+      addExpectations = Seq("x_positive" -> "x > 50"))
+    assert(Snapshots.expectations(spark, dir) == Seq("x_positive" -> "x > 50"))
+    intercept[Snapshots.CommitRejectedException](
+      Snapshots.commit(spark, Seq((10L, 49L)).toDF("id", "x"), dir))
+  }
+
+  test("changesStream drains the feed incrementally across restarts") {
+    val dir = Files.createTempDirectory("graft-snap-stream").toString
+    val ckpt = Files.createTempDirectory("graft-snap-stream-ckpt").toString
+    val out = Files.createTempDirectory("graft-snap-stream-out").toString
+    Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Snapshots.merge(spark, dir, Seq((2L, "B"), (3L, "c")).toDF("id", "v"),
+      Seq("id"), recordChanges = true)
+    Snapshots.delete(spark, dir, $"id" === 1L, recordChanges = true)
+
+    // file sink + checkpoint = the resumable exactly-once pair; each
+    // drain APPENDS only what the checkpoint has not yet seen
+    def drain(): Seq[(Long, Long, String, String)] = {
+      val q = Snapshots.changesStream(spark, dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("version"), r.getAs[Long]("id"),
+          r.getAs[String]("change_type"), r.getAs[String]("v")))
+        .toSeq.sorted
+    }
+
+    // first drain sees exactly the recorded feed, batch-identical
+    assert(drain() == Seq((2L, 2L, "update", "B"), (2L, 3L, "insert", "c"),
+      (3L, 1L, "delete", "a")))
+
+    // later commits are picked up INCREMENTALLY by the same checkpoint:
+    // re-draining after a new commit adds exactly that commit's rows —
+    // nothing is reprocessed, nothing is missed
+    Snapshots.merge(spark, dir, Seq((4L, "d")).toDF("id", "v"), Seq("id"),
+      recordChanges = true)
+    assert(drain() == Seq((2L, 2L, "update", "B"), (2L, 3L, "insert", "c"),
+      (3L, 1L, "delete", "a"), (4L, 4L, "insert", "d")))
+  }
 }
