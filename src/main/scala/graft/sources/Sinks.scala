@@ -54,6 +54,7 @@ object Sinks {
   private lazy val snapshotStreamDir: String = scratch("graft-snapshot-stream")
   private lazy val snapshotStreamCkpt: String = scratch("graft-snapshot-stream-ckpt")
   private lazy val snapshotStreamOut: String = scratch("graft-snapshot-stream-out")
+  private lazy val snapshotZorderDir: String = scratch("graft-snapshot-zorder")
   private lazy val snapshotCompactDir: String = scratch("graft-snapshot-compact")
   private lazy val snapshotScopedDir: String = scratch("graft-snapshot-scoped")
   private lazy val snapshotBloomDir: String = scratch("graft-snapshot-bloom")
@@ -617,6 +618,38 @@ object Sinks {
       .orderBy("version", "doc_id")
   }
 
+  /** Z-order-clustered transactional compaction (the OPTIMIZE ZORDER
+    * BY of the real formats): lineitem commits scattered, then one
+    * [[Snapshots.compact]] rewrite clusters the layout on the Morton
+    * interleave of (l_orderkey, l_partkey) — each file now covers a
+    * compact rectangle in that 2-D space, so the SAME min/max manifest
+    * prunes range reads on EITHER column (a 1-D sort would prune only
+    * its leading column; at 100 TB the second dimension's full scan is
+    * what this buys back). The entry answers one range per dimension
+    * through the pruned path; the oracle is the plain pair of range
+    * predicates, so a hash match certifies the multi-dim rewrite moved
+    * files, not rows. SnapshotsSpec asserts both dimensions actually
+    * prune below the total file count.
+    */
+  private def snapshotZorder(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotZorderDir)
+    val li = Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    Snapshots.commit(s, li.repartition(64), snapshotZorderDir)
+    Snapshots.compact(s, snapshotZorderDir,
+      zorderCols = Seq("l_orderkey", "l_partkey"),
+      targetFileBytes = 512L * 1024,
+      statsColumns = Seq("l_orderkey", "l_partkey"))
+    val byOrder = Snapshots
+      .readRange(s, snapshotZorderDir, "l_orderkey", 5000L, 7000L)
+      .withColumn("dim", lit("orderkey"))
+    val byPart = Snapshots
+      .readRange(s, snapshotZorderDir, "l_partkey", 100L, 300L)
+      .withColumn("dim", lit("partkey"))
+    byOrder.unionByName(byPart)
+      .orderBy("dim", "l_orderkey", "l_linenumber")
+  }
+
   /** Bloom-manifest point lookup (the skipping complement to range
     * stats): documents commit in a deliberately RANDOM 16-file layout —
     * every file's doc_id min/max spans the whole table, so range stats
@@ -651,6 +684,7 @@ object Sinks {
     "q_snapshot_schema_evo" -> (snapshotSchemaEvo _),
     "q_snapshot_expectations" -> (snapshotExpectations _),
     "q_snapshot_cdf_stream" -> (snapshotCdfStream _),
+    "q_snapshot_zorder" -> (snapshotZorder _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -782,6 +816,17 @@ object Sinks {
         |UNION ALL
         |SELECT version, doc_id, change_type, lang, n_chars FROM v3feed
         |ORDER BY version, doc_id""".stripMargin,
+    // one range per z-ordered dimension, both row-exact via the
+    // residual filter — the plain pair of range predicates
+    "q_snapshot_zorder" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+        |  'orderkey' AS dim
+        |FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 7000
+        |UNION ALL
+        |SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+        |  'partkey' AS dim
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+        |ORDER BY dim, l_orderkey, l_linenumber""".stripMargin,
     // three point lookups through the bloom manifest = the plain
     // equality predicate over the source
     "q_snapshot_bloom_read" ->

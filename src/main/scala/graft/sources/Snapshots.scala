@@ -794,8 +794,13 @@ object Snapshots {
       targetFileBytes: Long = 128L * 1024 * 1024,
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil,
       maxRetries: Int = 10): Long = {
     require(targetFileBytes > 0, s"bad targetFileBytes=$targetFileBytes")
+    require(zorderCols.isEmpty || zorderCols.size == 2,
+      s"zorderCols interleaves exactly two dimensions, got $zorderCols")
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "sortCols and zorderCols are alternative clustering strategies")
     val ctx = fc(spark)
     occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) { (_, cur) =>
       // the frame being compacted already knows its own data files —
@@ -804,7 +809,18 @@ object Snapshots {
         .map(f => ctx.getFileStatus(new Path(f)).getLen).sum
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       val laidOut =
-        if (sortCols.nonEmpty)
+        if (zorderCols.nonEmpty) {
+          // multi-dimensional clustering: range-partition and sort by
+          // the Morton interleave of BOTH columns, so each file covers
+          // a compact rectangle in (a, b) space and the SAME min/max
+          // manifest prunes range reads on EITHER dimension — the
+          // OPTIMIZE ZORDER BY of the real formats. A 1-D sort prunes
+          // only its leading column; at 100 TB the second dimension's
+          // full-scan cost is what this buys back.
+          val zk = graft.functions.ZOrder2.zorder2(
+            col(zorderCols(0)), col(zorderCols(1)))
+          cur.repartitionByRange(nFiles, zk).sortWithinPartitions(zk)
+        } else if (sortCols.nonEmpty)
           cur.repartitionByRange(nFiles, sortCols.map(col): _*)
             .sortWithinPartitions(sortCols.map(col): _*)
         else cur.repartition(nFiles)

@@ -365,6 +365,30 @@ class SnapshotsSpec extends SparkSpec {
     assert(stages.isEmpty, stages.mkString(","))
   }
 
+  test("zorder compaction prunes range reads on both dimensions") {
+    val dir = Files.createTempDirectory("graft-snap-zorder").toString
+    // two independent uniform dimensions over a 64x64 grid: a 1-D sort
+    // on `a` would leave every file spanning all of `b`
+    val grid = (0 until 4096).map(i => (i / 64L, i % 64L, i.toLong))
+      .toDF("a", "b", "payload")
+    Snapshots.commit(spark, grid.repartition(16), dir)
+    Snapshots.compact(spark, dir, zorderCols = Seq("a", "b"),
+      targetFileBytes = 8L * 1024, statsColumns = Seq("a", "b"))
+    val v = Snapshots.version(spark, dir)
+
+    val (filesA, totalA) = Snapshots.selectFiles(spark, dir, v, "a", 3L, 6L)
+    val (filesB, totalB) = Snapshots.selectFiles(spark, dir, v, "b", 3L, 6L)
+    assert(totalA > 4, s"compaction produced too few files ($totalA) to prove pruning")
+    // the z-curve keeps BOTH per-file ranges tight: each narrow slice
+    // must skip files (a 1-D sort would pass only the first assert)
+    assert(filesA.size < totalA, s"a-dim did not prune: ${filesA.size}/$totalA")
+    assert(filesB.size < totalB, s"b-dim did not prune: ${filesB.size}/$totalB")
+
+    // pruned reads stay row-exact on both dimensions
+    assert(Snapshots.readRange(spark, dir, "a", 3L, 6L).count() == 4 * 64L)
+    assert(Snapshots.readRange(spark, dir, "b", 3L, 6L).count() == 4 * 64L)
+  }
+
   test("merge evolves the schema on opt-in and stays strict by default") {
     val dir = Files.createTempDirectory("graft-snap-evo").toString
     Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
