@@ -178,9 +178,23 @@ object Snapshots {
       statsColumns: Seq[String],
       bloomColumns: Seq[String],
       sidecars: Sidecars,
-      expectations: Seq[(String, String)] = Nil): Path = {
+      expectations: Seq[(String, String)] = Nil,
+      commitMillis: Option[Long] = None): Path = {
     val stageDir = s"$tableDir/_stage-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(stageDir)
+    // commit timestamp, published by the same atomic claim as the data
+    // (timestamp time travel resolves against THIS, not file mtimes —
+    // mtimes don't survive a directory copy/restore, the sidecar does).
+    // Injectable for deterministic tests; wall clock in production.
+    locally {
+      val ctx = fc(spark)
+      val out = ctx.create(new Path(stageDir, "_commit_ts"),
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(commitMillis.getOrElse(System.currentTimeMillis())
+        .toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     if (expectations.nonEmpty) {
       // Table expectations (the Delta CHECK-constraint analog): every
       // write path enforces the table's declared invariants on the rows
@@ -319,7 +333,8 @@ object Snapshots {
       tableDir: String,
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
-      addExpectations: Seq[(String, String)] = Nil): Long = {
+      addExpectations: Seq[(String, String)] = Nil,
+      commitMillis: Option[Long] = None): Long = {
     val ctx = fc(spark)
     // effective expectations = the current table's, with same-named new
     // declarations replacing old ones and fresh names appended; the
@@ -329,7 +344,7 @@ object Snapshots {
     val eff = inherited.filterNot(e =>
       addExpectations.exists(_._1 == e._1)) ++ addExpectations
     val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
-      Sidecars(), eff)
+      Sidecars(), eff, commitMillis)
     // claim: atomic no-overwrite rename — the commit point. Plain
     // commit publishes a FULL table state, so any free version is
     // acceptable and losers simply move to the next one; use
@@ -455,6 +470,43 @@ object Snapshots {
       spark.read.parquet(own ++ reused: _*)
     }
   }
+
+  /** Timestamp time travel (the `TIMESTAMP AS OF` half, complementing
+    * [[readVersion]]'s `VERSION AS OF`): the highest committed version
+    * whose recorded commit timestamp is ≤ `tsMillis`. Resolution walks
+    * the claimed versions' `_commit_ts` sidecars — O(versions) tiny
+    * reads at planning time, the history-walk cost every format pays
+    * for a timestamp lookup. Versions without a sidecar (committed
+    * before the feature) are skipped. Under concurrent writers commit
+    * timestamps can interleave across versions (two clocks, one claim
+    * order); the contract is the same as the real formats': the answer
+    * is the LATEST version not after the instant, with version order
+    * breaking timestamp ties. Throws when the instant predates every
+    * commit — "the table did not exist yet" must not read as v1.
+    */
+  def versionAt(spark: SparkSession, tableDir: String, tsMillis: Long): Long = {
+    val ctx = fc(spark)
+    val hit = (1L to version(spark, tableDir)).foldLeft(0L) { (best, v) =>
+      val p = new Path(s"$tableDir/snap-$v/_commit_ts")
+      if (!ctx.util().exists(p)) best
+      else {
+        val in = ctx.open(p)
+        val ts =
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        if (ts <= tsMillis) v else best
+      }
+    }
+    require(hit >= 1,
+      s"no snapshot of $tableDir had committed at t=$tsMillis")
+    hit
+  }
+
+  /** Read the snapshot that was current at `tsMillis` (see
+    * [[versionAt]] for the resolution contract).
+    */
+  def readAsOf(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame =
+    readVersion(spark, tableDir, versionAt(spark, tableDir, tsMillis))
 
   /** Manifest-driven file selection for `colName` ∈ [lower, upper]:
     * (surviving file paths, total files in the snapshot). A file

@@ -365,6 +365,33 @@ class SnapshotsSpec extends SparkSpec {
     assert(stages.isEmpty, stages.mkString(","))
   }
 
+  test("timestamp time travel resolves the version current at an instant") {
+    val dir = Files.createTempDirectory("graft-snap-asof").toString
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir,
+      commitMillis = Some(1000L))
+    Snapshots.commit(spark, Seq((1L, "b")).toDF("id", "v"), dir,
+      commitMillis = Some(2000L))
+    Snapshots.commit(spark, Seq((1L, "c")).toDF("id", "v"), dir,
+      commitMillis = Some(3000L))
+
+    // between v2 and v3 the current table was v2; the boundary is
+    // inclusive (a commit AT the instant is visible)
+    assert(Snapshots.versionAt(spark, dir, 2500L) == 2L)
+    assert(Snapshots.readAsOf(spark, dir, 2500L)
+      .collect().head.getString(1) == "b")
+    assert(Snapshots.versionAt(spark, dir, 2000L) == 2L)
+    assert(Snapshots.versionAt(spark, dir, Long.MaxValue) == 3L)
+
+    // before the first commit the table did not exist — must throw,
+    // not silently read v1
+    intercept[IllegalArgumentException](Snapshots.versionAt(spark, dir, 500L))
+
+    // OCC writes stamp the wall clock: a fresh merge resolves at "now"
+    Snapshots.merge(spark, dir, Seq((2L, "d")).toDF("id", "v"), Seq("id"))
+    assert(Snapshots.versionAt(spark, dir,
+      System.currentTimeMillis() + 60_000L) == 4L)
+  }
+
   test("zorder compaction prunes range reads on both dimensions") {
     val dir = Files.createTempDirectory("graft-snap-zorder").toString
     // two independent uniform dimensions over a 64x64 grid: a 1-D sort
