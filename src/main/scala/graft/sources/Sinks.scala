@@ -55,6 +55,9 @@ object Sinks {
   private lazy val snapshotStreamCkpt: String = scratch("graft-snapshot-stream-ckpt")
   private lazy val snapshotStreamOut: String = scratch("graft-snapshot-stream-out")
   private lazy val snapshotZorderDir: String = scratch("graft-snapshot-zorder")
+  private lazy val snapshotAsOfDir: String = scratch("graft-snapshot-asof")
+  private lazy val snapshotIncrSrcDir: String = scratch("graft-snapshot-incr-src")
+  private lazy val snapshotIncrDerDir: String = scratch("graft-snapshot-incr-der")
   private lazy val snapshotCompactDir: String = scratch("graft-snapshot-compact")
   private lazy val snapshotScopedDir: String = scratch("graft-snapshot-scoped")
   private lazy val snapshotBloomDir: String = scratch("graft-snapshot-bloom")
@@ -650,6 +653,67 @@ object Sinks {
       .orderBy("dim", "l_orderkey", "l_linenumber")
   }
 
+  /** Timestamp time travel, oracle-gated end-to-end: three commits at
+    * INJECTED timestamps (the determinism seam [[Snapshots.commit]]
+    * exposes for exactly this; production stamps the wall clock), then
+    * two `readAsOf` reads at instants BETWEEN commits — each must
+    * resolve to the version that was current then, inclusive at the
+    * boundary. The oracle rebuilds both expected states from the
+    * source table, so a hash match certifies the resolution rule, not
+    * just "some snapshot was read".
+    */
+  private def snapshotAsOf(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotAsOfDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 100), snapshotAsOfDir,
+      commitMillis = Some(1000L))
+    Snapshots.commit(s, docs.filter(col("doc_id") < 200), snapshotAsOfDir,
+      commitMillis = Some(2000L))
+    Snapshots.commit(s, docs.filter(col("doc_id") < 300), snapshotAsOfDir,
+      commitMillis = Some(3000L))
+    val atV1 = Snapshots.readAsOf(s, snapshotAsOfDir, 1500L)
+      .withColumn("as_of", lit(1500L))
+    val atV2 = Snapshots.readAsOf(s, snapshotAsOfDir, 2000L) // inclusive
+      .withColumn("as_of", lit(2000L))
+    atV1.unionByName(atV2).orderBy("as_of", "doc_id")
+  }
+
+  /** Incremental derived table maintained from the change feed — the
+    * composition the CDF machinery exists FOR: a derived (featurized)
+    * snapshot table is bootstrapped from the source's v1, the source
+    * then takes a MERGE with `recordChanges = true`, and the derived
+    * table is brought current by processing ONLY the 250 recorded
+    * change rows and upserting them — never re-reading the other 350
+    * source docs. At 100 TB this O(|changes|) maintenance loop is the
+    * difference between an affordable hourly refresh and a full
+    * recompute; the oracle rebuilds the final derived state from
+    * scratch, so a hash match certifies the incremental path converged
+    * to exactly the full-recompute answer.
+    */
+  private def snapshotIncrPipeline(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotIncrSrcDir)
+    clearDir(s, snapshotIncrDerDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    def featurize(df: DataFrame): DataFrame =
+      df.withColumn("quality_bucket",
+        when(col("n_chars") >= 1000, lit("long")).otherwise(lit("short")))
+    // source v1 and the derived bootstrap from it
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), snapshotIncrSrcDir)
+    Snapshots.commit(s, featurize(Snapshots.read(s, snapshotIncrSrcDir)),
+      snapshotIncrDerDir)
+    // source moves: 50 updates + 200 inserts, changes recorded
+    val updates = docs.filter(col("doc_id").between(350, 599))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    Snapshots.merge(s, snapshotIncrSrcDir, updates, Seq("doc_id"),
+      recordChanges = true)
+    // derived catches up from the feed alone
+    val changed = Snapshots.changesFeed(s, snapshotIncrSrcDir, 1L, 2L)
+      .filter(col("change_type") =!= "delete")
+      .select("doc_id", "lang", "n_chars")
+    Snapshots.merge(s, snapshotIncrDerDir, featurize(changed), Seq("doc_id"))
+    Snapshots.read(s, snapshotIncrDerDir).orderBy("doc_id")
+  }
+
   /** Bloom-manifest point lookup (the skipping complement to range
     * stats): documents commit in a deliberately RANDOM 16-file layout —
     * every file's doc_id min/max spans the whole table, so range stats
@@ -685,6 +749,8 @@ object Sinks {
     "q_snapshot_expectations" -> (snapshotExpectations _),
     "q_snapshot_cdf_stream" -> (snapshotCdfStream _),
     "q_snapshot_zorder" -> (snapshotZorder _),
+    "q_snapshot_asof" -> (snapshotAsOf _),
+    "q_snapshot_incr_pipeline" -> (snapshotIncrPipeline _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -816,6 +882,25 @@ object Sinks {
         |UNION ALL
         |SELECT version, doc_id, change_type, lang, n_chars FROM v3feed
         |ORDER BY version, doc_id""".stripMargin,
+    // the incrementally maintained derived table must equal the full
+    // recompute: docs < 600, updated n_chars for 350+, re-bucketed
+    "q_snapshot_incr_pipeline" ->
+      """WITH cur AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id >= 350 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id < 600)
+        |SELECT doc_id, lang, n_chars,
+        |  CASE WHEN n_chars >= 1000 THEN 'long' ELSE 'short' END AS quality_bucket
+        |FROM cur ORDER BY doc_id""".stripMargin,
+    // both as-of states replayed from source: t=1500 resolves v1
+    // (docs < 100), t=2000 resolves v2 inclusively (docs < 200)
+    "q_snapshot_asof" ->
+      """SELECT doc_id, lang, n_chars, CAST(1500 AS BIGINT) AS as_of
+        |FROM documents WHERE doc_id < 100
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, CAST(2000 AS BIGINT) AS as_of
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY as_of, doc_id""".stripMargin,
     // one range per z-ordered dimension, both row-exact via the
     // residual filter — the plain pair of range predicates
     "q_snapshot_zorder" ->
