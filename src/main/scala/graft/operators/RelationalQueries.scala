@@ -418,6 +418,40 @@ object RelationalQueries {
             .cast("double").as("revenue"))
         .orderBy("n_name")
     }),
+    "q_join_deep_profit" -> ((s, d) => {
+      // TPC-H Q9 shape (part-lineitem-supplier-orders-nation, 5 tables):
+      // per-nation per-year margin on one product family. Complements
+      // q_join_deep with the OTHER deep-join spine: there the dims
+      // narrow the fact through orders⋈customer; here BOTH selective
+      // dims (filtered part, supplier+nation) land directly on lineitem
+      // as broadcasts, so the fact spine shuffles exactly ONCE —
+      // lineitem⋈orders on orderkey — before the 2-level agg. The
+      // margin expression pulls columns from three different source
+      // tables through the join, which is what makes Q9 a join-order
+      // stress: a bad order materializes lineitem×part early. part
+      // filtered is ~13% of a dim already ~1/30 of lineitem; supplier
+      // is ~1/10k of lineitem — both stay broadcast-sized at any SF
+      // (AQE falls back to SMJ past the threshold and the entry still
+      // computes). PlanSpec pins the two fact-side broadcasts.
+      val p = t(s, d, "part").filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), l("l_suppkey") === col("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+            - dec(col("p_retailprice")) * dec(col("l_quantity")))
+            .cast("double").as("profit"))
+        .orderBy("n_name", "o_year")
+    }),
     "q_join_outer" -> ((s, d) => {
       // order-count distribution per customer, 0 included via left join
       val c = t(s, d, "customer")
@@ -1165,6 +1199,22 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // Q9-shape margin: the same DECIMAL(18,4) exact-arithmetic walk
+    // through all three source tables' columns, year cast to INT to
+    // match Spark's year()
+    "q_join_deep_profit" ->
+      """SELECT n_name,
+        |  CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, o_year ORDER BY n_name, o_year""".stripMargin,
     "q_join_semi" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

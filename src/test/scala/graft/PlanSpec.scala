@@ -235,6 +235,25 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("o_orderdate"), f)
   }
 
+  test("Q9-shape join: both fact-side dims broadcast, one spine shuffle") {
+    val df = RelationalQueries.queries("q_join_deep_profit")(spark, sf)
+    val p = plan(df)
+    // filtered part, supplier⋈nation, and nation itself all broadcast
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"$bhj BroadcastHashJoin in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // shuffle budget: lineitem⋈orders on orderkey (2 sides) + the
+    // nation×year agg + sort; a 5th means a dim fell off broadcast
+    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+    assert(exchanges <= 4, s"$exchanges shuffle exchanges in:\n$p")
+    // the p_name filter must not reach lineitem as a post-join filter
+    // on the whole fact — part is filtered before its broadcast
+    val f = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pushed = f.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("p_name"), f)
+  }
+
   test("two-phase top-k aggregates partially before the shuffle") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
