@@ -56,6 +56,7 @@ object Sinks {
   private lazy val snapshotStreamOut: String = scratch("graft-snapshot-stream-out")
   private lazy val snapshotZorderDir: String = scratch("graft-snapshot-zorder")
   private lazy val snapshotAsOfDir: String = scratch("graft-snapshot-asof")
+  private lazy val snapshotHiddenDir: String = scratch("graft-snapshot-hidden")
   private lazy val snapshotIncrSrcDir: String = scratch("graft-snapshot-incr-src")
   private lazy val snapshotIncrDerDir: String = scratch("graft-snapshot-incr-der")
   private lazy val snapshotCompactDir: String = scratch("graft-snapshot-compact")
@@ -714,6 +715,48 @@ object Sinks {
     Snapshots.read(s, snapshotIncrDerDir).orderBy("doc_id")
   }
 
+  /** Hidden partitioning end-to-end: events commit through a partition
+    * spec — `day(ts)` and `bucket(8, user_id)` — so the write clusters
+    * by the transform tuple and the manifest records each file's
+    * transform envelope; NO partition column exists in the data and
+    * the probes below name only raw columns. Two reads exercise both
+    * transform families: a day+user point probe (both transforms
+    * prune, then exact residuals keep rows precise) and a day-level
+    * probe through [[Snapshots.scanPartitioned]] (the caller's
+    * predicate lives at the transform level). At 100 TB this is the
+    * difference between scanning ~1/(30·8) of the table and scanning
+    * all of it — and because pruning happens on manifest rows (one per
+    * file) the planning cost is coordinator-sized, not data-sized.
+    * The oracle recomputes both probes as plain filters over the
+    * source table; SnapshotsSpec asserts the file-count reduction and
+    * the subset/superset contracts on the same layout.
+    */
+  private def snapshotHiddenPartition(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotHiddenDir)
+    val ev = Tables(s, d, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    Snapshots.commit(s, ev, snapshotHiddenDir,
+      partitionSpec = Seq(
+        Snapshots.Transform.Day("ts"),
+        Snapshots.Transform.Bucket("user_id", 8)))
+    val day = java.sql.Date.valueOf("2024-01-05")
+    val witness = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
+    // point probe: user 7 on Jan 5 — day prunes via the witness
+    // instant, bucket prunes via the raw user id, residuals keep exact
+    val point = Snapshots
+      .scanPartitioned(s, snapshotHiddenDir,
+        Seq("ts" -> witness, "user_id" -> 7L))
+      .filter(to_date(col("ts")) === day && col("user_id") === 7L)
+      .withColumn("probe", lit("point"))
+    // day probe: everything on Jan 12 regardless of user
+    val witness12 = java.sql.Timestamp.valueOf("2024-01-12 00:30:00")
+    val dayScan = Snapshots
+      .scanPartitioned(s, snapshotHiddenDir, Seq("ts" -> witness12))
+      .filter(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-12")))
+      .withColumn("probe", lit("day"))
+    point.unionByName(dayScan).orderBy("probe", "event_id")
+  }
+
   /** Bloom-manifest point lookup (the skipping complement to range
     * stats): documents commit in a deliberately RANDOM 16-file layout —
     * every file's doc_id min/max spans the whole table, so range stats
@@ -751,6 +794,7 @@ object Sinks {
     "q_snapshot_zorder" -> (snapshotZorder _),
     "q_snapshot_asof" -> (snapshotAsOf _),
     "q_snapshot_incr_pipeline" -> (snapshotIncrPipeline _),
+    "q_snapshot_hidden_partition" -> (snapshotHiddenPartition _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -892,6 +936,17 @@ object Sinks {
         |SELECT doc_id, lang, n_chars,
         |  CASE WHEN n_chars >= 1000 THEN 'long' ELSE 'short' END AS quality_bucket
         |FROM cur ORDER BY doc_id""".stripMargin,
+    // both hidden-partition probes replayed as plain filters on the
+    // raw columns — the probes' transform pruning must be invisible
+    // in the result
+    "q_snapshot_hidden_partition" ->
+      """SELECT event_id, ts, user_id, event_type, value, 'point' AS probe
+        |FROM events
+        |WHERE user_id = 7 AND CAST(ts AS DATE) = DATE '2024-01-05'
+        |UNION ALL
+        |SELECT event_id, ts, user_id, event_type, value, 'day' AS probe
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-12'
+        |ORDER BY probe, event_id""".stripMargin,
     // both as-of states replayed from source: t=1500 resolves v1
     // (docs < 100), t=2000 resolves v2 inclusively (docs < 200)
     "q_snapshot_asof" ->

@@ -45,6 +45,86 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
+  /** Iceberg-style partition transforms — the "hidden partitioning"
+    * half of a table format. A transform maps a SOURCE column to a
+    * partition value; the SAME function is applied to data at write
+    * time (clustering + per-file partition-value stats in the
+    * manifest) and to probe literals at read time (predicate
+    * rewriting), so users query raw columns (`user_id = 7`,
+    * `ts` on a given day) and pruning happens on the transform —
+    * they never see, name, or maintain a partition column. That is
+    * the contract Hive-style `dt=` path partitioning breaks (users
+    * must know the layout and filter the derived column themselves)
+    * and Iceberg's partition specs restore.
+    *
+    * The spec is persisted as a `_partition_spec` sidecar inside the
+    * snapshot (published by the same atomic claim), so readers
+    * resolve it from the table — a probe names only raw columns.
+    * Transforms must be engine-stable: `bucket` uses xxhash64 (the
+    * same hash the bloom manifest probes with), `day`/`truncate` are
+    * plain SQL functions.
+    */
+  sealed trait Transform {
+    def column: String
+    /** manifest stat key: per-file min/max land as `min_pt_<…>` */
+    def name: String
+    def apply(c: Column): Column
+    /** (kind, param) for the `_partition_spec` sidecar */
+    def spec: (String, Int)
+  }
+  object Transform {
+    /** stable hash-bucket: `pmod(xxhash64(col), n)` */
+    final case class Bucket(column: String, n: Int) extends Transform {
+      require(n > 0, s"bucket count must be positive: $n")
+      val name = s"pt_bucket${n}_$column"
+      def apply(c: Column): Column = pmod(xxhash64(c), lit(n.toLong))
+      def spec: (String, Int) = ("bucket", n)
+    }
+    /** calendar-day of a timestamp column */
+    final case class Day(column: String) extends Transform {
+      val name = s"pt_day_$column"
+      def apply(c: Column): Column = to_date(c)
+      def spec: (String, Int) = ("day", 0)
+    }
+    /** leading `width` characters of a string column */
+    final case class Truncate(column: String, width: Int) extends Transform {
+      require(width > 0, s"truncate width must be positive: $width")
+      val name = s"pt_trunc${width}_$column"
+      def apply(c: Column): Column = substring(c, 1, width)
+      def spec: (String, Int) = ("truncate", width)
+    }
+    /** the raw column itself (Iceberg's identity transform) */
+    final case class Identity(column: String) extends Transform {
+      val name = s"pt_id_$column"
+      def apply(c: Column): Column = c
+      def spec: (String, Int) = ("identity", 0)
+    }
+
+    private[Snapshots] def fromSpec(kind: String, column: String, param: Int): Transform =
+      kind match {
+        case "bucket"   => Bucket(column, param)
+        case "day"      => Day(column)
+        case "truncate" => Truncate(column, param)
+        case "identity" => Identity(column)
+        case other => throw new IllegalArgumentException(
+          s"unknown partition transform kind '$other' in _partition_spec")
+      }
+  }
+
+  /** The partition spec in force for version `v` of the table (empty
+    * when the snapshot was not committed through a spec). `v = 0`
+    * resolves the latest version.
+    */
+  def partitionSpec(
+      spark: SparkSession, tableDir: String, v: Long = 0L): Seq[Transform] = {
+    val ver = if (v >= 1) v else version(spark, tableDir)
+    val p = new Path(s"$tableDir/snap-$ver/_partition_spec")
+    if (ver < 1 || !fc(spark).util().exists(p)) Nil
+    else spark.read.parquet(p.toString).orderBy("pos").collect().toSeq
+      .map(r => Transform.fromSpec(
+        r.getAs[String]("kind"), r.getAs[String]("column"), r.getAs[Int]("param")))
+  }
+
   private def fc(spark: SparkSession): FileContext =
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
 
@@ -179,9 +259,32 @@ object Snapshots {
       bloomColumns: Seq[String],
       sidecars: Sidecars,
       expectations: Seq[(String, String)] = Nil,
-      commitMillis: Option[Long] = None): Path = {
+      commitMillis: Option[Long] = None,
+      partitionSpec: Seq[Transform] = Nil): Path = {
     val stageDir = s"$tableDir/_stage-${java.util.UUID.randomUUID()}"
-    df.write.mode("overwrite").parquet(stageDir)
+    // hidden partitioning: cluster the write by the transform tuple so
+    // each file holds (at most a few) partition values — the manifest's
+    // per-file transform min/max then prunes sharply. Hash clustering,
+    // not partitionBy subdirs: file layout stays flat and relocatable,
+    // and a file mixing two tuples only WEAKENS pruning, never breaks
+    // it (min/max stays a correct envelope). The partition count is
+    // pinned to the session's shuffle parallelism: letting AQE coalesce
+    // a small commit into one file would silently defeat pruning — file
+    // granularity IS the product here, not an execution detail.
+    val clustered =
+      if (partitionSpec.isEmpty) df
+      else df.repartition(
+        spark.sessionState.conf.numShufflePartitions,
+        partitionSpec.map(t => t(col(t.column))): _*)
+    clustered.write.mode("overwrite").parquet(stageDir)
+    if (partitionSpec.nonEmpty) {
+      import spark.implicits._
+      partitionSpec.zipWithIndex.map { case (t, i) =>
+        val (kind, param) = t.spec
+        (i, kind, t.column, param)
+      }.toDF("pos", "kind", "column", "param").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stageDir/_partition_spec")
+    }
     // commit timestamp, published by the same atomic claim as the data
     // (timestamp time travel resolves against THIS, not file mtimes —
     // mtimes don't survive a directory copy/restore, the sidecar does).
@@ -222,11 +325,16 @@ object Snapshots {
         throw new CommitRejectedException(failed, tableDir)
       }
     }
-    if (statsColumns.nonEmpty || bloomColumns.nonEmpty) {
+    if (statsColumns.nonEmpty || bloomColumns.nonEmpty || partitionSpec.nonEmpty) {
       val data = spark.read.parquet(stageDir)
       val aggs: Seq[Column] = (count(lit(1)).as("n_rows") +:
-        statsColumns.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
+        (statsColumns.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+          // per-file partition-value envelope: the transform evaluated
+          // over the file's rows — no partition column is stored in data
+          partitionSpec.flatMap(t => Seq(
+            min(t(col(t.column))).as(s"min_${t.name}"),
+            max(t(col(t.column))).as(s"max_${t.name}"))))) ++
         // per-file membership sketches: any column type, hashed to LONG
         // with the same xxhash64 the point probe applies to its literal
         bloomColumns.map(c =>
@@ -334,7 +442,8 @@ object Snapshots {
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
       addExpectations: Seq[(String, String)] = Nil,
-      commitMillis: Option[Long] = None): Long = {
+      commitMillis: Option[Long] = None,
+      partitionSpec: Seq[Transform] = Nil): Long = {
     val ctx = fc(spark)
     // effective expectations = the current table's, with same-named new
     // declarations replacing old ones and fresh names appended; the
@@ -344,7 +453,7 @@ object Snapshots {
     val eff = inherited.filterNot(e =>
       addExpectations.exists(_._1 == e._1)) ++ addExpectations
     val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
-      Sidecars(), eff, commitMillis)
+      Sidecars(), eff, commitMillis, partitionSpec)
     // claim: atomic no-overwrite rename — the commit point. Plain
     // commit publishes a FULL table state, so any free version is
     // acceptable and losers simply move to the next one; use
@@ -632,6 +741,89 @@ object Snapshots {
       if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
       else spark.read.parquet(files: _*).filter(residual)
     }
+  }
+
+  /** Partition-pruned file selection for equality probes on RAW
+    * columns: (surviving files, total). For each `(column, value)`
+    * probe, every spec transform over that column is applied to the
+    * literal and files whose manifest transform-envelope cannot
+    * contain the transformed value are dropped — the reader never
+    * names a partition column, which is the "hidden" contract.
+    * Transformed literals are evaluated by Catalyst itself (a 1-row
+    * local plan), so write side and probe side cannot diverge on
+    * hash/date semantics. Probes on columns the spec doesn't cover
+    * simply don't prune (correct superset, like an unindexed
+    * predicate anywhere else).
+    */
+  def selectFilesPartitioned(
+      spark: SparkSession,
+      tableDir: String,
+      v: Long,
+      probes: Seq[(String, Any)]): (Seq[String], Long) = {
+    val snapDir = s"$tableDir/snap-$v"
+    val spec = partitionSpec(spark, tableDir, v)
+    val m = spark.read.parquet(manifestDir(snapDir))
+    val total = m.count()
+    val schema = readVersion(spark, tableDir, v).schema
+    val conds = for {
+      (c, value) <- probes
+      t <- spec if t.column == c
+    } yield {
+      // evaluate transform(literal) with the column's exact type — a
+      // LONG user_id probed as INT would xxhash64 differently and
+      // silently prune the wrong files
+      val lit0 = lit(value).cast(schema(c).dataType)
+      val tv = spark.range(1).select(t(lit0)).head().get(0)
+      col(s"min_${t.name}") <= lit(tv) && col(s"max_${t.name}") >= lit(tv)
+    }
+    val sel = conds.foldLeft(m)(_ filter _)
+      .select("file").collect().map { r =>
+        val f = r.getString(0)
+        if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
+      }.toSeq
+    (sel, total)
+  }
+
+  /** Partition-pruned scan WITHOUT a residual: the returned frame is a
+    * guaranteed SUPERSET of the rows whose transform values match the
+    * probes' (pruning only ever drops files that cannot match). Use
+    * this when the caller's real predicate lives at the transform
+    * level — e.g. probe `("ts", anyInstantOfTheDay)` to prune to one
+    * day's files, then filter `to_date(ts) = day` — and
+    * [[readPartitioned]] when the predicate IS raw-column equality.
+    * Falls back to the full snapshot when the version has no spec or
+    * no manifest.
+    */
+  def scanPartitioned(
+      spark: SparkSession,
+      tableDir: String,
+      probes: Seq[(String, Any)],
+      v: Long = 0L): DataFrame = {
+    val ver = if (v >= 1) v else version(spark, tableDir)
+    require(ver >= 1, s"no committed snapshot in $tableDir")
+    val snapDir = s"$tableDir/snap-$ver"
+    val prunable = fc(spark).util().exists(new Path(manifestDir(snapDir))) &&
+      partitionSpec(spark, tableDir, ver).nonEmpty
+    if (!prunable) readVersion(spark, tableDir, ver)
+    else {
+      val (files, _) = selectFilesPartitioned(spark, tableDir, ver, probes)
+      if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    }
+  }
+
+  /** Equality read through hidden partitioning: prune files via the
+    * spec's transforms, then apply the exact raw-column equalities to
+    * the survivors. `v = 0` reads the latest.
+    */
+  def readPartitioned(
+      spark: SparkSession,
+      tableDir: String,
+      probes: Seq[(String, Any)],
+      v: Long = 0L): DataFrame = {
+    val residual = probes.map { case (c, x) => col(c) === lit(x) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    scanPartitioned(spark, tableDir, probes, v).filter(residual)
   }
 
   /** Copy-on-write MERGE (the upsert half of `MERGE INTO`): rows of the

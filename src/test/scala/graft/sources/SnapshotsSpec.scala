@@ -80,6 +80,69 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readRange(spark, dir2, "id", 150L, 250L).count() == 101L)
   }
 
+  test("hidden partitioning prunes by transforms of raw columns; results stay exact") {
+    val dir = Files.createTempDirectory("graft-snap-hidden").toString
+    // 30 days × 64 users; the spec clusters the write by (day, bucket)
+    val data = spark.range(0, 6000).toDF("i")
+      .select(
+        col("i").as("event_id"),
+        // days 2024-01-01 .. 2024-01-30
+        expr("timestamp '2024-01-01 06:00:00' + make_interval(0,0,0, CAST(i % 30 AS INT),0,0,0)").as("ts"),
+        // decoupled from the day cycle so every (day, user) pair occurs
+        ((col("i") / 30).cast("long") % 64).as("user_id"))
+    // commit at a 32-way layout: the write pins file granularity to the
+    // session's shuffle parallelism (see stage()), and pruning is only
+    // observable when files outnumber the probe's partition tuples
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    val v =
+      try Snapshots.commit(spark, data, dir,
+        partitionSpec = Seq(
+          Snapshots.Transform.Day("ts"),
+          Snapshots.Transform.Bucket("user_id", 8)))
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    // the spec rides the snapshot: readers resolve it from the table
+    val spec = Snapshots.partitionSpec(spark, dir)
+    assert(spec == Seq(
+      Snapshots.Transform.Day("ts"),
+      Snapshots.Transform.Bucket("user_id", 8)), spec)
+
+    // a two-transform point probe keeps strictly fewer files than the
+    // snapshot holds, and never fewer than the day probe alone
+    val witness = java.sql.Timestamp.valueOf("2024-01-05 23:59:59")
+    val (both, total) = Snapshots.selectFilesPartitioned(
+      spark, dir, v, Seq("ts" -> witness, "user_id" -> 7L))
+    val (dayOnly, _) = Snapshots.selectFilesPartitioned(
+      spark, dir, v, Seq("ts" -> witness))
+    assert(total > 4, s"layout too coarse to test pruning: $total files")
+    assert(both.size < total, s"${both.size} of $total files survived")
+    assert(both.size <= dayOnly.size && dayOnly.size < total,
+      s"day=${dayOnly.size} both=${both.size} total=$total")
+
+    // exactness: the pruned equality read equals the full-scan filter
+    val got = Snapshots.readPartitioned(spark, dir,
+      Seq("user_id" -> 7L, "ts" -> witness))
+    // witness equality matches nothing (no event at 23:59:59) — the
+    // residual keeps the read exact even when pruning said "maybe"
+    assert(got.count() == 0L)
+    val day5 = Snapshots
+      .scanPartitioned(spark, dir, Seq("ts" -> witness, "user_id" -> 7L))
+      .filter(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-05"))
+        && col("user_id") === 7L)
+    val expected = Snapshots.read(spark, dir)
+      .filter(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-05"))
+        && col("user_id") === 7L)
+    assert(day5.orderBy("event_id").collect().toSeq ==
+      expected.orderBy("event_id").collect().toSeq)
+    assert(day5.count() > 0, "probe day/user combination is empty — bad fixture")
+
+    // a probe on an un-specced column prunes nothing but stays correct
+    val (noSpec, t2) = Snapshots.selectFilesPartitioned(
+      spark, dir, v, Seq("event_id" -> 5L))
+    assert(noSpec.size == t2.toInt)
+  }
+
   test("a commit that fails before the claim leaves only an invisible staging orphan") {
     val dir = Files.createTempDirectory("graft-snap-crash").toString
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
