@@ -16,6 +16,23 @@ object PipelineQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
+  /** Fixed per-session scratch dir (same contract as Sinks.scratch):
+    * overwritten in place every call, deleted on JVM exit.
+    */
+  private def scratch(name: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), name)
+    val f = p.toFile
+    f.mkdirs()
+    f.deleteOnExit()
+    p.toString
+  }
+
+  private def clearDir(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   // ---- shared pipeline stage builders ----
   // One definition per stage, used by BOTH the standalone oracle-gated
   // entries and the pipeline_end_to_end composite — the composite cannot
@@ -136,6 +153,26 @@ object PipelineQueries {
         .ivfTopK(emb, emb.filter(col("vec_id") < 10),
           centroids = emb.filter(col("vec_id") % 100 === 7), k = 10, nProbe = 2,
           roundDecimals = 6)
+        .orderBy("query_id", "rank")
+    }),
+    "ann_ivf_persisted" -> ((s, d) => {
+      // IVF as a PERSISTED index: train + assign ONCE, commit centroids
+      // and cell-clustered postings through the snapshot layer, then
+      // answer the query batch by reading back ONLY the probed cells'
+      // posting files (manifest transform-envelope pruning) — index
+      // build and index serve are separate jobs the way a real vector
+      // index separates ingestion from serving. Same quantizer
+      // parameters as ann_ivf_trained, and the SAME oracle: the
+      // roundtrip through the persisted index must not change a single
+      // neighbor. SimilaritySpec additionally asserts the probe read
+      // touches fewer posting files than the index holds.
+      val emb = t(s, d, "embeddings")
+      val dir = scratch("graft-ivf-index")
+      clearDir(s, dir)
+      Similarity.buildIvfIndex(s, emb, dir, k = 8, iterations = 2,
+        roundDecimals = 6)
+      Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
+          k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
     "ann_ivf_trained" -> ((s, d) => {
@@ -620,6 +657,10 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5),
     "ann_ivf_trained" -> ivfTrainedOracle(8, 2, 2, 10),
+    // identical replay: the persisted-index entry uses the same quantizer
+    // parameters, so a hash match proves the commit→prune→read roundtrip
+    // preserved the trained result bit-for-bit
+    "ann_ivf_persisted" -> ivfTrainedOracle(8, 2, 2, 10),
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

@@ -233,30 +233,69 @@ object Similarity {
 
     val cents = centroids.select(col(idCol).as("cell"), col(vecCol).as("centroid"))
 
-    def scoredCells(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .join(broadcast(cents))
-        .select(col(id), col(vec), col("cell"),
-          maybeRound(cosineSim(col(vec), col("centroid")), roundDecimals)
-            .as("csim"))
-
     // nearest cell per corpus vector: min by (-csim, cell) = best score,
     // smallest cell id on ties — an aggregation, not a window sort, and
     // type-agnostic in the cell id (negating csim instead of the cell
     // keeps string/struct centroid ids working)
-    val assigned = scoredCells(Corpus.spread(corpus), "neighbor_id", "cvec")
+    val assigned = scoredAgainstCells(
+        cents, Corpus.spread(corpus), "neighbor_id", "cvec",
+        idCol, vecCol, roundDecimals)
       .groupBy(col("neighbor_id"), col("cvec"))
       .agg(min_by(col("cell"), struct(-col("csim"), col("cell"))).as("cell"))
 
-    // nProbe nearest cells per query via the same bounded top-k aggregator
+    probePostings(assigned,
+      probeCells(cents, queries, nProbe, idCol, vecCol, roundDecimals),
+      k, roundDecimals)
+  }
+
+  /** Every (row, cell) pair scored against the (tiny, broadcast) centroid
+    * table — the shared coarse-quantization primitive of [[ivfTopK]] and
+    * [[buildIvfIndex]]. Output: (idAs, vecAs, cell, csim).
+    */
+  private def scoredAgainstCells(
+      cents: DataFrame,
+      df: DataFrame,
+      idAs: String,
+      vecAs: String,
+      idCol: String,
+      vecCol: String,
+      roundDecimals: Int): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+      .join(broadcast(cents))
+      .select(col(idAs), col(vecAs), col("cell"),
+        maybeRound(cosineSim(col(vecAs), col("centroid")), roundDecimals)
+          .as("csim"))
+
+  /** Each query's `nProbe` nearest cells via the bounded top-k
+    * aggregator, exploded to (query_id, qvec, cell) probe rows.
+    */
+  private def probeCells(
+      cents: DataFrame,
+      queries: DataFrame,
+      nProbe: Int,
+      idCol: String,
+      vecCol: String,
+      roundDecimals: Int): DataFrame = {
     val probeK = TopKAggregator.topK(nProbe)
-    val probed = scoredCells(queries, "query_id", "qvec")
+    scoredAgainstCells(
+        cents, queries, "query_id", "qvec", idCol, vecCol, roundDecimals)
       .groupBy(col("query_id"), col("qvec"))
       .agg(probeK(col("cell"), col("csim")).as("cells"))
       .select(col("query_id"), col("qvec"),
         explode(transform(col("cells"), s => s.getField("id"))).as("cell"))
+  }
 
-    val scored = assigned
+  /** Probe half of IVF: score each probe row against ONLY its cell's
+    * postings `(cell, neighbor_id, cvec)` and return ranked top-k.
+    * Shared by [[ivfTopK]] (postings computed in-plan) and
+    * [[ivfTopKPersisted]] (postings read back from a committed index).
+    */
+  private def probePostings(
+      postings: DataFrame,
+      probed: DataFrame,
+      k: Int,
+      roundDecimals: Int): DataFrame = {
+    val scored = postings
       .join(probed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
@@ -264,6 +303,79 @@ object Similarity {
         maybeRound(cosineSim(col("qvec"), col("cvec")), roundDecimals)
           .as("cosine"))
     rankTopK(scored, k)
+  }
+
+  /** Build a PERSISTED IVF index under `indexDir`: train the coarse
+    * quantizer ([[kmeansCentroids]]), assign every corpus vector to its
+    * nearest cell, and commit BOTH halves through the snapshot layer —
+    * `indexDir/centroids` (k rows) and `indexDir/postings`
+    * (cell, neighbor_id, cvec), the latter hidden-partitioned on `cell`
+    * so each parquet file holds few cells and the manifest's transform
+    * envelope prunes reads to the probed lists. This is the
+    * ingestion/serving split of a real vector index: training and
+    * assignment run ONCE at write time (the expensive half — one
+    * broadcast join over the corpus), and every subsequent query batch
+    * pays only a pruned posting read + nProbe cell scans, never a
+    * re-assignment. Postings store the vector inline (as IVF posting
+    * lists do) so the probe never joins back to the corpus table.
+    * Returns the committed postings version.
+    */
+  def buildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      indexDir: String,
+      k: Int = 16,
+      iterations: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): Long = {
+    import graft.sources.Snapshots
+    val cents = kmeansCentroids(corpus, k, iterations, idCol, vecCol,
+        roundDecimals)
+      .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+    val postings = scoredAgainstCells(
+        cents, Corpus.spread(corpus), "neighbor_id", "cvec",
+        idCol, vecCol, roundDecimals)
+      .groupBy(col("neighbor_id"), col("cvec"))
+      .agg(min_by(col("cell"), struct(-col("csim"), col("cell"))).as("cell"))
+      .select("cell", "neighbor_id", "cvec")
+    Snapshots.commit(spark, cents, s"$indexDir/centroids")
+    Snapshots.commit(spark, postings, s"$indexDir/postings",
+      statsColumns = Seq("cell"),
+      partitionSpec = Seq(Snapshots.Transform.Identity("cell")))
+  }
+
+  /** Serve top-k queries from a [[buildIvfIndex]] index WITHOUT touching
+    * the corpus table: read the k-row centroid snapshot, rank each
+    * query's nProbe cells, then read ONLY those cells' posting files —
+    * the probed cell ids come to the driver (bounded by the centroid
+    * count, the same O(1)-scalars budget as the repo's broadcast-
+    * threshold probes) so [[graft.sources.Snapshots.readPartitioned]]
+    * can prune at the manifest before any scan task launches. At 100 TB
+    * this is the IVF payoff: a query batch reads nProbe/k of the
+    * postings, not the table.
+    */
+  def ivfTopKPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int = 10,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): DataFrame = {
+    import graft.sources.Snapshots
+    val cents = Snapshots.read(spark, s"$indexDir/centroids")
+    val probed = probeCells(cents, queries, nProbe, idCol, vecCol,
+      roundDecimals)
+    // list selection: distinct probed cells, driver-side (≤ centroid count)
+    val cells = probed.select("cell").distinct().collect().map(_.get(0))
+    require(cells.nonEmpty, "no probe cells — empty query set?")
+    val postings = cells.map(c =>
+        Snapshots.readPartitioned(spark, s"$indexDir/postings",
+          Seq("cell" -> c)))
+      .reduce(_ unionByName _)
+    probePostings(postings, probed, k, roundDecimals)
   }
 
   /** EXACT embedding-cosine near-duplicate pairs (cosine >= threshold).

@@ -20,15 +20,19 @@ class PlanSweepSpec extends SparkSpec {
   // nested loop is broadcast-bounded by contract, not an accident:
   //  - q_fuzzy_match: all-pairs levenshtein demo on a FIXED <200-key slice
   //  - ann_brute_topk: the exact baseline scores corpus × broadcast(10 queries)
-  //  - ann_ivf_topk / ann_ivf_trained: centroid assignment scores
-  //    corpus × broadcast(centroids) — 100 and 8 centroids respectively
+  //  - ann_ivf_topk / ann_ivf_trained / ann_ivf_persisted: centroid
+  //    assignment and probe score rows × broadcast(centroids) — 100 and
+  //    8 centroids respectively (the persisted entry's final plan joins
+  //    pruned postings against the query probe through the same
+  //    broadcast(8-row centroid) scoring)
   //  - dedup_embedding: exact all-pairs cosine, quadratic by contract
   //    (the scalable path is the SRP-bucketed dedup_embedding_srp)
   //  - ann_srp_recall / dedup_srp_recall: recall gates that embed the
   //    two declared-bounded exact baselines above as their reference
   private val nljAllowed =
     Set("q_fuzzy_match", "ann_brute_topk", "ann_ivf_topk", "ann_ivf_trained",
-      "dedup_embedding", "ann_srp_recall", "dedup_srp_recall")
+      "ann_ivf_persisted", "dedup_embedding", "ann_srp_recall",
+      "dedup_srp_recall")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -105,6 +105,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted ivf index serves the exact trained result and prunes posting files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    Similarity.buildIvfIndex(spark, emb, dir, k = 8, iterations = 2,
+      roundDecimals = 6)
+
+    // identity contract: serving from the committed index == the in-plan
+    // trained path with the same quantizer parameters
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val trained = Similarity.ivfTopK(emb, queries,
+      Similarity.kmeansCentroids(emb, k = 8, iterations = 2, roundDecimals = 6),
+      k = 10, nProbe = 2, roundDecimals = 6)
+    val persisted = Similarity.ivfTopKPersisted(spark, dir, queries,
+      k = 10, nProbe = 2, roundDecimals = 6)
+    assert(rows(persisted) == rows(trained))
+
+    // pruning contract: a single-cell probe reads fewer posting files
+    // than the snapshot holds (the manifest's identity-transform
+    // envelope does the pruning, no partition column in the data)
+    import graft.sources.Snapshots
+    val postingsDir = s"$dir/postings"
+    val v = Snapshots.version(spark, postingsDir)
+    val oneCell = Snapshots.read(spark, postingsDir)
+      .select("cell").distinct().head().get(0)
+    val (files, total) =
+      Snapshots.selectFilesPartitioned(spark, postingsDir, v,
+        Seq("cell" -> oneCell))
+    info(s"single-cell probe reads ${files.length} of $total posting files")
+    assert(files.nonEmpty && files.length < total)
+  }
+
   test("kmeans centroids improve the coarse quantizer monotonically") {
     import graft.functions.VectorFunctions
     // mean best-centroid cosine over the corpus = the (cosine) analogue
