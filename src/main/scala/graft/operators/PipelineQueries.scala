@@ -505,6 +505,23 @@ object PipelineQueries {
       TextAnalysis.pairMergeCandidates(t(s, d, "documents"), k = 20)
         .orderBy("rank")
     }),
+    "corpus_bpe_encode" -> ((s, d) => {
+      // the tokenizer's SERVING half: learn the top-8 pair merges (the
+      // corpus_pair_merges vocabulary, rank = count desc / pair asc),
+      // then encode every document by applying them in rank order. The
+      // merge table is 8 driver-side strings (O(1)-scalars budget); the
+      // encode itself is one narrow codegen'd projection — see
+      // TextAnalysis.bpeEncode. The oracle replays learn AND encode.
+      // (tokens render joined by '|' — the gate hashes scalars, and no
+      // gated entry emits a raw array column)
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.pairMergeCandidates(docs, k = 8)
+        .orderBy("rank").collect().map(_.getAs[String]("pair")).toSeq
+      TextAnalysis.bpeEncode(docs, merges)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("tokens"), "|").as("encoded"))
+        .orderBy("doc_id")
+    }),
     "text_char_entropy" -> ((s, d) => {
       TextAnalysis.charEntropy(t(s, d, "documents"))
         .orderBy("doc_id")
@@ -654,8 +671,67 @@ object PipelineQueries {
     (base +: its :+ tail).mkString(",\n")
   }
 
+  /** DuckDB replay of `corpus_bpe_encode`: learn the top-`n` pair merges
+    * with the exact corpus_pair_merges ranking (over the RAW
+    * tokenization, mirroring pairMergeCandidates), then unroll the
+    * rank-ordered greedy merge applications as a CTE chain — one
+    * `replace` per rank over the same `␟a␟␟b␟ → ␟a b␟` separator-string
+    * representation the Spark side uses (chr(31) = the  unit
+    * separator, stripped from the input on both engines). SQL `replace`
+    * scans left-to-right non-overlapping exactly like Spark's, so the
+    * two encoders agree merge-for-merge.
+    */
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    val sep = "chr(31)"
+    def pat(part: Int) =
+      s"$sep || split_part(pair, ' ', $part)"
+    val base =
+      s"""WITH rawt AS (
+         |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS ts
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT unnest(CASE WHEN len(ts) >= 2
+         |    THEN [array_to_string(ts[i:i+1], ' ')
+         |          for i in generate_series(1, len(ts) - 1)]
+         |    ELSE []::VARCHAR[] END) AS pair
+         |  FROM rawt),
+         |merges AS (
+         |  SELECT pair,
+         |    CAST(row_number() OVER (ORDER BY COUNT(*) DESC, pair) AS INT) AS r
+         |  FROM pairs GROUP BY pair
+         |  ORDER BY COUNT(*) DESC, pair LIMIT $nMerges),
+         |toks AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(replace(text, chr(31), ' '))),
+         |                       '\\s+') AS ts
+         |  FROM documents),
+         |s0 AS (
+         |  SELECT doc_id,
+         |    $sep || array_to_string(ts, $sep || $sep) || $sep AS s
+         |  FROM toks)""".stripMargin
+    val steps = (1 to nMerges).map { r =>
+      s"""s$r AS (
+         |  SELECT doc_id, replace(s,
+         |    COALESCE((SELECT ${pat(1)} || $sep || ${pat(2)} || $sep
+         |              FROM merges WHERE r = $r),
+         |             $sep || $sep || $sep),
+         |    COALESCE((SELECT $sep || pair || $sep FROM merges WHERE r = $r),
+         |             '')) AS s
+         |  FROM s${r - 1})""".stripMargin
+    }
+    val tail =
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(trim(s, $sep), $sep || $sep)) AS BIGINT)
+         |    AS n_tokens,
+         |  array_to_string(string_split(trim(s, $sep), $sep || $sep), '|')
+         |    AS encoded
+         |FROM s$nMerges ORDER BY doc_id""".stripMargin
+    ((base +: steps).mkString(",\n")) + "\n" + tail
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5),
+    "corpus_bpe_encode" -> bpeEncodeOracle(8),
     "ann_ivf_trained" -> ivfTrainedOracle(8, 2, 2, 10),
     // identical replay: the persisted-index entry uses the same quantizer
     // parameters, so a hash match proves the commit→prune→read roundtrip

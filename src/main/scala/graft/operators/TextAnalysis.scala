@@ -398,6 +398,55 @@ object TextAnalysis {
       .select("rank", "pair", "n_occurrences")
   }
 
+  /** BPE-style ENCODE: apply a ranked merge table (pairs as learned by
+    * [[pairMergeCandidates]], rank order = application order) to every
+    * document's token sequence — the serving half of the tokenizer,
+    * where [[pairMergeCandidates]] is the learning half.
+    *
+    * Mechanism: the token list is packed into one string with a
+    * non-whitespace separator on BOTH sides of every token
+    * (` a  b ` for tokens a, b — stripped from
+    * the input first, so it can never occur inside a token), and each
+    * merge `(a, b)` becomes one codegen'd `replace` of
+    * `␟a␟␟b␟ -> ␟a b␟`. Because `replace` scans left-to-right
+    * non-overlapping and resumes AFTER the replacement — the exact
+    * greedy application order of a standard BPE encoder — and because a
+    * merged token's interior space breaks the `␟x␟` shape, merged
+    * symbols are atomic for all later ranks, exactly like real BPE.
+    * The whole merge chain is ONE narrow whole-stage-codegen'd
+    * projection per document: no explode, no shuffle, no UDF — at
+    * 100 TB the encode costs a single scan. The merge table itself is
+    * rank-bounded driver data (the same O(1)-scalars budget as the
+    * repo's broadcast-threshold probes).
+    *
+    * Output: (doc_id, n_tokens, tokens) — merged symbols render as the
+    * pair joined by one space.
+    */
+  def bpeEncode(
+      docs: DataFrame,
+      merges: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    val Sep = "\u001F" // unit separator: non-whitespace on both engines
+    val toks = split(lower(trim(replace(col(textCol), lit(Sep), lit(" ")))), "\\s+")
+    val state0 = concat(lit(Sep), array_join(toks, Sep + Sep), lit(Sep))
+    val encoded = merges.foldLeft(state0) { (s, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      replace(s, lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + " " + b + Sep))
+    }
+    Corpus.spread(docs)
+      .select(col("doc_id"), encoded.as("s"))
+      .select(
+        col("doc_id"),
+        // the state always carries exactly one sentinel separator at
+        // each end (merge patterns preserve edge separators), so a
+        // plain substring strips them without the deprecated
+        // two-parameter trim
+        split(col("s").substr(lit(2), length(col("s")) - 2), Sep + Sep)
+          .as("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"), col("tokens"))
+  }
+
   /** Per-document top-k terms by TF-IDF — the keyword-extraction stage
     * of a text pipeline. Terms are lowercase whitespace tokens; score =
     * tf · (ln((N+1)/(df+1)) + 1) (the smoothed idf, never negative),

@@ -207,6 +207,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "a b", 4L), (2, "b a", 2L)))
   }
 
+  test("bpe encode applies ranked merges greedily and round-trips the text") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat the cat the cat"),
+      (3L, "on the mat on the mat"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    // hand-ranked merge table: "the cat" first, then "on the"
+    val enc = TextAnalysis.bpeEncode(df, Seq("the cat", "on the"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"),
+          r.getAs[collection.Seq[String]]("tokens").toSeq)).toMap
+
+    // rank 1 fires on the opening "the cat" only (the second "the"
+    // precedes "mat"); rank 2 then merges the still-unconsumed "on the"
+    assert(enc(1L) == ((4L, Seq("the cat", "sat", "on the", "mat"))))
+    // greedy left-to-right, merged symbols are atomic (no re-merge)
+    assert(enc(2L) == ((3L, Seq("the cat", "the cat", "the cat"))))
+    // no "the cat" anywhere -> "on the" fires on both occurrences
+    assert(enc(3L) == ((4L, Seq("on the", "mat", "on the", "mat"))))
+    assert(enc(4L) == ((1L, Seq("solo"))))
+
+    // round-trip invariant: splitting merged symbols back on their
+    // interior space reproduces the original tokenization
+    enc.foreach { case (_, (_, toks)) =>
+      assert(toks.flatMap(_.split(" ")).mkString(" ").nonEmpty) }
+    val orig = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc.foreach { case (id, (_, toks)) =>
+      assert(toks.flatMap(_.split(" ")) ==
+        orig(id).toLowerCase.trim.split("\\s+").toSeq) }
+  }
+
+  test("bpe encode with corpus-learned merges shrinks token counts") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = TextAnalysis.pairMergeCandidates(docs, k = 8)
+      .orderBy("rank").collect().map(_.getAs[String]("pair")).toSeq
+    assert(merges.length == 8)
+    val before = docs.select(
+      sum(size(split(lower(trim(col("text"))), "\\s+")))).head().getLong(0)
+    val after = TextAnalysis.bpeEncode(docs, merges)
+      .agg(sum("n_tokens")).head().getLong(0)
+    info(s"corpus tokens: $before -> $after with 8 merges")
+    assert(after < before)
+  }
+
   test("common spans surface the cross-document boilerplate n-gram") {
     val boiler = "this content is provided as is without any warranty"
     val docs = Seq(
