@@ -175,6 +175,24 @@ object PipelineQueries {
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf_incremental" -> ((s, d) => {
+      // index MAINTENANCE: build on the first 300 vectors, then add the
+      // rest against the existing quantizer via snapshot MERGE (no
+      // retrain, no rewrite of untouched lists' rows, partition spec
+      // inherited so probe pruning survives), then serve. The oracle
+      // replays train-on-slice + assign-all, so a hash match certifies
+      // the add path assigns exactly like the build path.
+      val emb = t(s, d, "embeddings")
+      val dir = scratch("graft-ivf-incr")
+      clearDir(s, dir)
+      Similarity.buildIvfIndex(s, emb.filter(col("vec_id") < 300), dir,
+        k = 8, iterations = 2, roundDecimals = 6)
+      Similarity.addToIvfIndex(s, emb.filter(col("vec_id") >= 300), dir,
+        roundDecimals = 6)
+      Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
+          k = 10, nProbe = 2, roundDecimals = 6)
+        .orderBy("query_id", "rank")
+    }),
     "ann_ivf_trained" -> ((s, d) => {
       // the FULL IVF path: train the coarse quantizer with Lloyd's
       // k-means (seeded by the k lowest-id vectors, 2 iterations,
@@ -603,23 +621,31 @@ object PipelineQueries {
     * order, dot-product accumulation) cannot flip an assignment.
     */
   private def ivfTrainedOracle(
-      k: Int, iters: Int, nProbe: Int, topK: Int): String = {
+      k: Int, iters: Int, nProbe: Int, topK: Int,
+      trainWhere: String = "TRUE"): String = {
     def fcent(c: String) = s"CAST(CAST($c AS FLOAT[]) AS DOUBLE[])"
     def csim(v: String, c: String) =
       s"""round(list_dot_product($v, ${fcent(c)})
          |      / sqrt(list_dot_product($v, $v)
          |             * list_dot_product(${fcent(c)}, ${fcent(c)})), 6)""".stripMargin
+    // `et` is the TRAINING slice (seed + Lloyd iterations); the final
+    // assignment and probe (`ascore` below) always cover ALL of `e` —
+    // with trainWhere = TRUE the two coincide and this is the plain
+    // trained replay, with a narrower slice it replays build-then-add
+    // incremental maintenance (ann_ivf_incremental)
     val base =
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |et AS (
+         |  SELECT * FROM e WHERE $trainWhere),
          |c0 AS (
          |  SELECT vec_id AS cell, v AS centroid
-         |  FROM e ORDER BY vec_id LIMIT $k)""".stripMargin
+         |  FROM et ORDER BY vec_id LIMIT $k)""".stripMargin
     val its = (1 to iters).map { i =>
       val prev = s"c${i - 1}"
       s"""a$i AS (
          |  SELECT e.vec_id, e.v, c.cell, ${csim("e.v", "c.centroid")} AS csim
-         |  FROM e CROSS JOIN $prev c),
+         |  FROM et e CROSS JOIN $prev c),
          |asg$i AS (
          |  SELECT vec_id, v, cell FROM (
          |    SELECT vec_id, v, cell,
@@ -737,6 +763,8 @@ object PipelineQueries {
     // parameters, so a hash match proves the commit→prune→read roundtrip
     // preserved the trained result bit-for-bit
     "ann_ivf_persisted" -> ivfTrainedOracle(8, 2, 2, 10),
+    "ann_ivf_incremental" ->
+      ivfTrainedOracle(8, 2, 2, 10, trainWhere = "vec_id < 300"),
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

@@ -333,16 +333,57 @@ object Similarity {
     val cents = kmeansCentroids(corpus, k, iterations, idCol, vecCol,
         roundDecimals)
       .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
-    val postings = scoredAgainstCells(
-        cents, Corpus.spread(corpus), "neighbor_id", "cvec",
+    Snapshots.commit(spark, cents, s"$indexDir/centroids")
+    Snapshots.commit(spark,
+      postingsFor(cents, corpus, idCol, vecCol, roundDecimals),
+      s"$indexDir/postings",
+      statsColumns = Seq("cell"),
+      partitionSpec = Seq(Snapshots.Transform.Identity("cell")))
+  }
+
+  /** `(cell, neighbor_id, cvec)` posting rows: every vector of `vectors`
+    * assigned to its nearest centroid (same rounding and tie rules as
+    * [[ivfTopK]]'s in-plan assignment).
+    */
+  private def postingsFor(
+      cents: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      roundDecimals: Int): DataFrame =
+    scoredAgainstCells(
+        cents, Corpus.spread(vectors), "neighbor_id", "cvec",
         idCol, vecCol, roundDecimals)
       .groupBy(col("neighbor_id"), col("cvec"))
       .agg(min_by(col("cell"), struct(-col("csim"), col("cell"))).as("cell"))
       .select("cell", "neighbor_id", "cvec")
-    Snapshots.commit(spark, cents, s"$indexDir/centroids")
-    Snapshots.commit(spark, postings, s"$indexDir/postings",
-      statsColumns = Seq("cell"),
-      partitionSpec = Seq(Snapshots.Transform.Identity("cell")))
+
+  /** Incremental index maintenance: assign `newVectors` against the
+    * index's EXISTING centroids and MERGE them into the postings
+    * snapshot (key = vector id, so re-adding a vector re-assigns it) —
+    * ingestion keeps up with a growing corpus WITHOUT retraining the
+    * quantizer or rewriting the untouched lists' rows, the add-on-top
+    * maintenance path every serving-side IVF index needs. The merge
+    * inherits the postings table's hidden partition spec, so the
+    * re-clustered commit keeps probe-time file pruning intact. Cost:
+    * one broadcast join over the NEW vectors plus the copy-on-write
+    * merge; the quantizer is never touched. Retrain (rebuild) when
+    * drift accumulates — the centroids snapshot records what the cells
+    * were trained on.
+    */
+  def addToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newVectors: DataFrame,
+      indexDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): Long = {
+    import graft.sources.Snapshots
+    val cents = Snapshots.read(spark, s"$indexDir/centroids")
+    Snapshots.merge(spark, s"$indexDir/postings",
+      postingsFor(cents, newVectors, idCol, vecCol, roundDecimals),
+      key = Seq("neighbor_id"),
+      statsColumns = Seq("cell"))
   }
 
   /** Serve top-k queries from a [[buildIvfIndex]] index WITHOUT touching

@@ -496,14 +496,16 @@ object Snapshots {
       expectedBase: Long,
       statsColumns: Seq[String],
       bloomColumns: Seq[String],
-      sidecars: Sidecars): Option[Long] = {
+      sidecars: Sidecars,
+      spec: Seq[Transform] = Nil): Option[Long] = {
     val ctx = fc(spark)
     // OCC writes enforce and carry forward the BASE version's
     // expectations — the base is pinned, so the list cannot drift
     // between check and claim (a lost claim re-derives from the new
     // base and re-checks against ITS expectations)
     val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
-      sidecars, loadExpectations(spark, ctx, tableDir, expectedBase))
+      sidecars, loadExpectations(spark, ctx, tableDir, expectedBase),
+      partitionSpec = spec)
     val v = expectedBase + 1
     if (tryClaim(ctx, staged, new Path(tableDir, s"snap-$v"))) {
       refreshPointer(ctx, tableDir, v)
@@ -533,14 +535,24 @@ object Snapshots {
       tableDir: String,
       statsColumns: Seq[String],
       bloomColumns: Seq[String],
-      maxRetries: Int)(
+      maxRetries: Int,
+      inheritSpec: Boolean = true)(
       fn: (Long, DataFrame) => (DataFrame, Sidecars)): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = version(spark, tableDir)
+      // the partition spec is TABLE metadata: a derived commit keeps the
+      // base version's spec (re-clustering its rewrite and re-publishing
+      // `_partition_spec` + the manifest's transform envelope), so
+      // hidden-partition pruning survives MERGE/DELETE/transact instead
+      // of silently degrading to full scans after the first update.
+      // [[compact]] opts out — its explicit file layout is the point.
+      val spec =
+        if (inheritSpec) partitionSpec(spark, tableDir, base) else Nil
       val (next, sidecars) = fn(base, readVersion(spark, tableDir, base))
       commitIfVersionWith(
-        spark, next, tableDir, base, statsColumns, bloomColumns, sidecars) match {
+        spark, next, tableDir, base, statsColumns, bloomColumns, sidecars,
+        spec) match {
         case Some(v) => return v
         case None => attempt += 1
       }
@@ -1046,7 +1058,14 @@ object Snapshots {
     require(sortCols.isEmpty || zorderCols.isEmpty,
       "sortCols and zorderCols are alternative clustering strategies")
     val ctx = fc(spark)
-    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) { (_, cur) =>
+    // inheritSpec = false: compaction's explicit layout (file count,
+    // range/Z-order clustering) is the authority; re-clustering by an
+    // inherited partition spec would undo it. Compacting a
+    // hidden-partitioned table therefore trades its transform pruning
+    // for the compacted layout's — use sortCols/zorderCols on the same
+    // columns to keep skipping effective.
+    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries,
+      inheritSpec = false) { (_, cur) =>
       // the frame being compacted already knows its own data files —
       // no directory re-listing that could race the OCC base version
       val bytes = cur.inputFiles.iterator

@@ -137,6 +137,32 @@ class SimilaritySpec extends SparkSpec {
     assert(files.nonEmpty && files.length < total)
   }
 
+  test("incremental index adds assign exactly like a from-scratch build") {
+    // build on the first half, add the second half, serve — must equal
+    // the in-plan path with the SAME subset-trained quantizer over the
+    // full corpus (the add path may not drift from the build path)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-incr-spec").toString
+    val head = emb.filter(col("vec_id") < 50)
+    val tail = emb.filter(col("vec_id") >= 50)
+    Similarity.buildIvfIndex(spark, head, dir, k = 8, iterations = 2,
+      roundDecimals = 6)
+    Similarity.addToIvfIndex(spark, tail, dir, roundDecimals = 6)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val got = Similarity.ivfTopKPersisted(spark, dir, queries,
+      k = 10, nProbe = 2, roundDecimals = 6)
+    val want = Similarity.ivfTopK(emb, queries,
+      Similarity.kmeansCentroids(head, k = 8, iterations = 2, roundDecimals = 6),
+      k = 10, nProbe = 2, roundDecimals = 6)
+    assert(rows(got) == rows(want))
+    // the merged postings version keeps the hidden partition spec
+    import graft.sources.Snapshots
+    assert(Snapshots.version(spark, s"$dir/postings") == 2L)
+    assert(Snapshots.partitionSpec(spark, s"$dir/postings") ==
+      Seq(Snapshots.Transform.Identity("cell")))
+  }
+
   test("kmeans centroids improve the coarse quantizer monotonically") {
     import graft.functions.VectorFunctions
     // mean best-centroid cosine over the corpus = the (cosine) analogue

@@ -143,6 +143,47 @@ class SnapshotsSpec extends SparkSpec {
     assert(noSpec.size == t2.toInt)
   }
 
+  test("merge inherits the hidden partition spec; pruning survives the update") {
+    val dir = Files.createTempDirectory("graft-snap-spec-merge").toString
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val data = spark.range(0, 4000).toDF("i")
+        .select(col("i").as("id"), (col("i") % 10).as("cat"),
+          (col("i") * 2).as("v"))
+      Snapshots.commit(spark, data, dir,
+        statsColumns = Seq("cat"),
+        partitionSpec = Seq(Snapshots.Transform.Identity("cat")))
+      // an update batch: 100 upserted rows + 50 fresh inserts
+      val ups = spark.range(3950, 4100).toDF("i")
+        .select(col("i").as("id"), (col("i") % 10).as("cat"),
+          (col("i") * 3).as("v"))
+      val v2 = Snapshots.merge(spark, dir, ups, Seq("id"),
+        statsColumns = Seq("cat"))
+
+      // the spec is TABLE metadata: the merged version re-publishes it
+      assert(Snapshots.partitionSpec(spark, dir, v2) ==
+        Seq(Snapshots.Transform.Identity("cat")))
+      // and the merged layout still prunes a single-category probe
+      val (files, total) = Snapshots.selectFilesPartitioned(
+        spark, dir, v2, Seq("cat" -> 3L))
+      assert(total > 4, s"layout too coarse to test pruning: $total files")
+      assert(files.nonEmpty && files.size < total,
+        s"${files.size} of $total files survived")
+      // exactness across the merge: pruned read == plain filter
+      val got = Snapshots.readPartitioned(spark, dir, Seq("cat" -> 3L))
+        .orderBy("id").collect().toSeq
+      val want = Snapshots.read(spark, dir).filter(col("cat") === 3L)
+        .orderBy("id").collect().toSeq
+      assert(got == want && got.nonEmpty)
+      // merge semantics themselves are untouched by the re-clustering:
+      // 4000 base rows + 100 inserts (ids 4000-4099), 50 in-place updates
+      assert(Snapshots.read(spark, dir).count() == 4100)
+      assert(Snapshots.read(spark, dir).filter(col("id") === 3960L)
+        .head().getAs[Long]("v") == 3960L * 3)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("a commit that fails before the claim leaves only an invisible staging orphan") {
     val dir = Files.createTempDirectory("graft-snap-crash").toString
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
