@@ -409,13 +409,12 @@ object Similarity {
     val cents = Snapshots.read(spark, s"$indexDir/centroids")
     val probed = probeCells(cents, queries, nProbe, idCol, vecCol,
       roundDecimals)
-    // list selection: distinct probed cells, driver-side (≤ centroid count)
-    val cells = probed.select("cell").distinct().collect().map(_.get(0))
+    // list selection: distinct probed cells, driver-side (≤ centroid
+    // count), then ONE manifest-pruned IN-list read over all of them
+    val cells = probed.select("cell").distinct().collect().map(_.get(0)).toSeq
     require(cells.nonEmpty, "no probe cells — empty query set?")
-    val postings = cells.map(c =>
-        Snapshots.readPartitioned(spark, s"$indexDir/postings",
-          Seq("cell" -> c)))
-      .reduce(_ unionByName _)
+    val postings =
+      Snapshots.readPartitionedIn(spark, s"$indexDir/postings", "cell", cells)
     probePostings(postings, probed, k, roundDecimals)
   }
 

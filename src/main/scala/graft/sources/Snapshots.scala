@@ -796,6 +796,56 @@ object Snapshots {
     (sel, total)
   }
 
+  /** IN-list equality read through hidden partitioning: ONE manifest
+    * pass selects every file whose transform envelope admits ANY of the
+    * probe values, then the exact `column IN (values)` residual keeps
+    * rows precise. Equivalent to unioning [[readPartitioned]] over the
+    * values but with planning cost independent of the list size — the
+    * shape a multi-point serving read (e.g. an IVF probe over nProbe
+    * cells) wants: one manifest read, one pruned scan, not one of each
+    * per value. Falls back to a residual-filtered full read when the
+    * version has no spec or manifest.
+    */
+  def readPartitionedIn(
+      spark: SparkSession,
+      tableDir: String,
+      column: String,
+      values: Seq[Any],
+      v: Long = 0L): DataFrame = {
+    require(values.nonEmpty, s"empty IN-list probe on $column")
+    val ver = if (v >= 1) v else version(spark, tableDir)
+    require(ver >= 1, s"no committed snapshot in $tableDir")
+    val snapDir = s"$tableDir/snap-$ver"
+    val residual = col(column).isin(values: _*)
+    val spec = partitionSpec(spark, tableDir, ver).filter(_.column == column)
+    val full = readVersion(spark, tableDir, ver)
+    if (!fc(spark).util().exists(new Path(manifestDir(snapDir))) ||
+        spec.isEmpty) full.filter(residual)
+    else {
+      val m = spark.read.parquet(manifestDir(snapDir))
+      val colType = full.schema(column).dataType
+      // transform(value) literals evaluated with the column's exact type
+      // (the same type discipline as the point read); bounded driver
+      // work — one tiny local projection per probe value per transform
+      val tvs = values.map { value =>
+        spec.map { t =>
+          val lit0 = lit(value).cast(colType)
+          t.name -> spark.range(1).select(t(lit0)).head().get(0)
+        }
+      }
+      // a file survives when SOME value fits ALL of its envelopes
+      val keep = tvs.map(_.map { case (n, tv) =>
+          col(s"min_$n") <= lit(tv) && col(s"max_$n") >= lit(tv)
+        }.reduce(_ && _)).reduce(_ || _)
+      val files = m.filter(keep).select("file").collect().map { r =>
+        val f = r.getString(0)
+        if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
+      }.toSeq
+      if (files.isEmpty) full.filter(lit(false))
+      else spark.read.parquet(files: _*).filter(residual)
+    }
+  }
+
   /** Partition-pruned scan WITHOUT a residual: the returned frame is a
     * guaranteed SUPERSET of the rows whose transform values match the
     * probes' (pruning only ever drops files that cannot match). Use

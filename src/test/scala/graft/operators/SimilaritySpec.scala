@@ -161,6 +161,17 @@ class SimilaritySpec extends SparkSpec {
     assert(Snapshots.version(spark, s"$dir/postings") == 2L)
     assert(Snapshots.partitionSpec(spark, s"$dir/postings") ==
       Seq(Snapshots.Transform.Identity("cell")))
+
+    // replay idempotence: re-adding the same batch (a crashed ingestion
+    // job re-run, a streaming microbatch replay) bumps the version but
+    // cannot change the served result — the keyed MERGE makes index
+    // maintenance effectively-once without any sink-side dedup state
+    Similarity.addToIvfIndex(spark, tail, dir, roundDecimals = 6)
+    assert(Snapshots.version(spark, s"$dir/postings") == 3L)
+    assert(Snapshots.read(spark, s"$dir/postings").count() == emb.count())
+    val replayed = Similarity.ivfTopKPersisted(spark, dir, queries,
+      k = 10, nProbe = 2, roundDecimals = 6)
+    assert(rows(replayed) == rows(want))
   }
 
   test("kmeans centroids improve the coarse quantizer monotonically") {
