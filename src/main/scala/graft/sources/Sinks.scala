@@ -62,6 +62,7 @@ object Sinks {
   private lazy val snapshotCompactDir: String = scratch("graft-snapshot-compact")
   private lazy val snapshotScopedDir: String = scratch("graft-snapshot-scoped")
   private lazy val snapshotBloomDir: String = scratch("graft-snapshot-bloom")
+  private lazy val snapshotInReadDir: String = scratch("graft-snapshot-inread")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -757,6 +758,28 @@ object Sinks {
     point.unionByName(dayScan).orderBy("probe", "event_id")
   }
 
+  /** IN-list read through hidden partitioning: the multi-point serving
+    * shape (fetch THESE keys) over the same bucket-transformed layout
+    * as q_snapshot_hidden_partition — one manifest pass prunes to the
+    * files whose bucket envelope admits ANY of the probed users, the
+    * exact IN residual keeps rows precise. At 100 TB an n-key fetch
+    * costs one coordinator-sized manifest scan + ~n buckets of data,
+    * not n separate plans or a full scan. The oracle is the plain IN
+    * filter; SimilaritySpec/SnapshotsSpec assert the file-count
+    * reduction on this API's other users (the IVF probe path).
+    */
+  private def snapshotInRead(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotInReadDir)
+    val ev = Tables(s, d, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    Snapshots.commit(s, ev, snapshotInReadDir,
+      partitionSpec = Seq(Snapshots.Transform.Bucket("user_id", 16)))
+    Snapshots
+      .readPartitionedIn(s, snapshotInReadDir, "user_id",
+        Seq(3L, 17L, 42L, 99L))
+      .orderBy("event_id")
+  }
+
   /** Bloom-manifest point lookup (the skipping complement to range
     * stats): documents commit in a deliberately RANDOM 16-file layout —
     * every file's doc_id min/max spans the whole table, so range stats
@@ -795,6 +818,7 @@ object Sinks {
     "q_snapshot_asof" -> (snapshotAsOf _),
     "q_snapshot_incr_pipeline" -> (snapshotIncrPipeline _),
     "q_snapshot_hidden_partition" -> (snapshotHiddenPartition _),
+    "q_snapshot_in_read" -> (snapshotInRead _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -939,6 +963,10 @@ object Sinks {
     // both hidden-partition probes replayed as plain filters on the
     // raw columns — the probes' transform pruning must be invisible
     // in the result
+    "q_snapshot_in_read" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events WHERE user_id IN (3, 17, 42, 99)
+        |ORDER BY event_id""".stripMargin,
     "q_snapshot_hidden_partition" ->
       """SELECT event_id, ts, user_id, event_type, value, 'point' AS probe
         |FROM events
