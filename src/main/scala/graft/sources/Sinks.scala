@@ -63,6 +63,7 @@ object Sinks {
   private lazy val snapshotScopedDir: String = scratch("graft-snapshot-scoped")
   private lazy val snapshotBloomDir: String = scratch("graft-snapshot-bloom")
   private lazy val snapshotInReadDir: String = scratch("graft-snapshot-inread")
+  private lazy val snapshotMorDir: String = scratch("graft-snapshot-mor")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -758,6 +759,29 @@ object Sinks {
     point.unionByName(dayScan).orderBy("probe", "event_id")
   }
 
+  /** Merge-on-read delete end-to-end: two MoR deletes commit only
+    * delete-KEY sidecars (every data file rides by reference — the
+    * deletion-vector trade: O(matched keys) write, one anti-join read),
+    * then the live view is served through the reader that applies the
+    * accumulated set. The oracle is the plain complement filter, so a
+    * hash match certifies no deleted row survives and no kept row is
+    * lost across sidecar accumulation. SnapshotsSpec additionally
+    * asserts zero data-file rewrites, pruned-reader correctness,
+    * time-travel to the pre-delete state, and compaction folding.
+    */
+  private def snapshotMorDelete(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotMorDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs, snapshotMorDir, statsColumns = Seq("doc_id"))
+    Snapshots.deleteMergeOnRead(s, snapshotMorDir,
+      col("lang") === "de", key = Seq("doc_id"),
+      statsColumns = Seq("doc_id"))
+    Snapshots.deleteMergeOnRead(s, snapshotMorDir,
+      col("doc_id") < 50, key = Seq("doc_id"),
+      statsColumns = Seq("doc_id"))
+    Snapshots.read(s, snapshotMorDir).orderBy("doc_id")
+  }
+
   /** IN-list read through hidden partitioning: the multi-point serving
     * shape (fetch THESE keys) over the same bucket-transformed layout
     * as q_snapshot_hidden_partition — one manifest pass prunes to the
@@ -819,6 +843,7 @@ object Sinks {
     "q_snapshot_incr_pipeline" -> (snapshotIncrPipeline _),
     "q_snapshot_hidden_partition" -> (snapshotHiddenPartition _),
     "q_snapshot_in_read" -> (snapshotInRead _),
+    "q_snapshot_mor_delete" -> (snapshotMorDelete _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -963,6 +988,10 @@ object Sinks {
     // both hidden-partition probes replayed as plain filters on the
     // raw columns — the probes' transform pruning must be invisible
     // in the result
+    "q_snapshot_mor_delete" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang <> 'de' AND doc_id >= 50
+        |ORDER BY doc_id""".stripMargin,
     "q_snapshot_in_read" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events WHERE user_id IN (3, 17, 42, 99)

@@ -187,7 +187,8 @@ object Snapshots {
   private case class Sidecars(
       changes: Option[DataFrame] = None,
       refs: Seq[String] = Nil,
-      carriedManifest: Option[DataFrame] = None)
+      carriedManifest: Option[DataFrame] = None,
+      morDeletes: Option[DataFrame] = None)
 
   /** A write whose staged rows violate a table expectation. The staging
     * directory is already cleaned up when this reaches the caller — a
@@ -352,12 +353,20 @@ object Snapshots {
         .fold(own)(c => own.unionByName(c.select(own.columns.map(col): _*)))
         .coalesce(1) // manifests are file-count-sized: one small file
         .write.mode("overwrite").parquet(manifestDir(stageDir))
-    }
+    } else sidecars.carriedManifest.foreach(
+      // a pure-reference commit (merge-on-read delete) with no manifest
+      // config of its own still re-publishes the carried stats verbatim
+      _.coalesce(1).write.mode("overwrite").parquet(manifestDir(stageDir)))
     // write-time CDF: the change rows this commit applies, published by
     // the same atomic claim as the data (underscore dir → hidden from
     // data scans), so feed and snapshot can never disagree
     sidecars.changes.foreach(
       _.write.mode("overwrite").parquet(s"$stageDir/_changes"))
+    // merge-on-read delete set: key rows readers must anti-join away.
+    // Deliberately NOT coalesced — a 100 TB table's delete batch can be
+    // executor-sized even when the commit writes no data files.
+    sidecars.morDeletes.foreach(
+      _.write.mode("overwrite").parquet(s"$stageDir/_mor_deletes"))
     if (sidecars.refs.nonEmpty) {
       import spark.implicits._
       sidecars.refs.toDF("path").coalesce(1)
@@ -578,17 +587,40 @@ object Snapshots {
     require(v >= 1, s"no committed snapshot (version $v) in $tableDir")
     val snapDir = s"$tableDir/snap-$v"
     val ctx = fc(spark)
-    if (!ctx.util().exists(new Path(s"$snapDir/_refs")))
-      spark.read.parquet(snapDir)
+    val base =
+      if (!ctx.util().exists(new Path(s"$snapDir/_refs")))
+        spark.read.parquet(snapDir)
+      else {
+        val own = ctx.util().listStatus(new Path(snapDir)).iterator
+          .filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }.map(_.getPath.toString).toSeq
+        val reused = spark.read.parquet(s"$snapDir/_refs")
+          .collect().map(r => s"$tableDir/${r.getString(0)}").toSeq
+        spark.read.parquet(own ++ reused: _*)
+      }
+    // merge-on-read: a snapshot may carry a delete-key sidecar instead
+    // of rewritten data files; every reader applies it as an anti-join
+    // (the read-side half of deletion vectors — O(deletes) at write
+    // time, one hash anti-join at read time, folded away by the next
+    // full rewrite or compaction)
+    applyMorDeletes(spark, snapDir, base)
+  }
+
+  /** Apply a snapshot's pending merge-on-read delete set (if any) to a
+    * frame assembled from its raw data files. Every read path that
+    * bypasses [[readVersion]]'s assembly (the manifest-pruned readers)
+    * MUST route its result through this, or pruning would resurrect
+    * deleted rows.
+    */
+  private def applyMorDeletes(
+      spark: SparkSession, snapDir: String, df: DataFrame): DataFrame = {
+    val p = new Path(s"$snapDir/_mor_deletes")
+    if (!fc(spark).util().exists(p)) df
     else {
-      val own = ctx.util().listStatus(new Path(snapDir)).iterator
-        .filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }.map(_.getPath.toString).toSeq
-      val reused = spark.read.parquet(s"$snapDir/_refs")
-        .collect().map(r => s"$tableDir/${r.getString(0)}").toSeq
-      spark.read.parquet(own ++ reused: _*)
+      val dels = spark.read.parquet(p.toString)
+      df.join(dels, dels.columns.toSeq, "left_anti")
     }
   }
 
@@ -683,7 +715,8 @@ object Snapshots {
     else {
       val (files, _) = selectFiles(spark, tableDir, ver, colName, lower, upper)
       if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
-      else spark.read.parquet(files: _*).filter(residual)
+      else applyMorDeletes(spark, snapDir,
+        spark.read.parquet(files: _*)).filter(residual)
     }
   }
 
@@ -751,7 +784,8 @@ object Snapshots {
     else {
       val (files, _) = selectFilesPoint(spark, tableDir, ver, colName, value)
       if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
-      else spark.read.parquet(files: _*).filter(residual)
+      else applyMorDeletes(spark, s"$tableDir/snap-$ver",
+        spark.read.parquet(files: _*)).filter(residual)
     }
   }
 
@@ -842,7 +876,8 @@ object Snapshots {
         if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
       }.toSeq
       if (files.isEmpty) full.filter(lit(false))
-      else spark.read.parquet(files: _*).filter(residual)
+      else applyMorDeletes(spark, snapDir,
+        spark.read.parquet(files: _*)).filter(residual)
     }
   }
 
@@ -870,7 +905,7 @@ object Snapshots {
     else {
       val (files, _) = selectFilesPartitioned(spark, tableDir, ver, probes)
       if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
-      else spark.read.parquet(files: _*)
+      else applyMorDeletes(spark, snapDir, spark.read.parquet(files: _*))
     }
   }
 
@@ -972,6 +1007,12 @@ object Snapshots {
         val snapDir = s"$tableDir/snap-$base"
         require(fc(spark).util().exists(new Path(manifestDir(snapDir))),
           s"scoped merge needs a stats manifest on $k in version $base")
+        // a scoped merge reuses base files RAW (no readVersion in the
+        // touched-row path), so a pending merge-on-read delete set would
+        // resurrect deleted rows — fold it first with a full rewrite
+        require(!fc(spark).util().exists(new Path(s"$snapDir/_mor_deletes")),
+          s"scoped merge on $tableDir with a pending merge-on-read " +
+            "delete set: fold it first (compact or an unscoped write)")
         val manifest = spark.read.parquet(manifestDir(snapDir))
         // the update-key envelope: two scalars to the driver
         val env = updates.agg(min(col(k)), max(col(k))).head()
@@ -1036,6 +1077,84 @@ object Snapshots {
           lit("delete").as("change_type") +: cur.columns.toSeq.map(col): _*))
       (cur.filter(!hit), Sidecars(changes = feed))
     }
+
+  /** MERGE-ON-READ delete (the deletion-vector trade, vs [[delete]]'s
+    * copy-on-write): rows matching `predicate` are recorded as a
+    * delete-KEY sidecar (`_mor_deletes`, the projection of the matched
+    * rows onto `key`), every data file of the base version is carried
+    * into the new snapshot BY REFERENCE, and readers anti-join the
+    * sidecar at scan time. Write cost is O(matched keys) — no data
+    * file is rewritten, the trade that makes a small delete on a
+    * 100 TB table a metadata-sized commit. Read cost is one hash
+    * anti-join until a full rewrite ([[merge]], [[delete]],
+    * [[compact]]) folds the set away — exactly the write-amplification
+    * / read-amplification dial real formats expose. Repeated MoR
+    * deletes ACCUMULATE (the sidecar unions, distinct on key); the
+    * predicate evaluates against the LIVE view, so re-deleting
+    * already-deleted rows is a no-op. `key` must uniquely identify
+    * rows for the anti-join to delete exactly the matched rows.
+    * Scoped merges refuse a table with a pending delete set (fold
+    * first — their raw-file row reuse would resurrect deleted rows);
+    * stats/bloom manifests are carried forward untouched, so file
+    * skipping keeps working over the referenced layout.
+    */
+  def deleteMergeOnRead(
+      spark: SparkSession,
+      tableDir: String,
+      predicate: Column,
+      key: Seq[String],
+      statsColumns: Seq[String] = Nil,
+      recordChanges: Boolean = false,
+      maxRetries: Int = 10): Long = {
+    require(key.nonEmpty, "merge-on-read delete needs delete keys")
+    val ctx = fc(spark)
+    // statsColumns follows the merge/compact convention: pass the same
+    // columns the base writes so the (empty) own manifest's columns align
+    // with the carried rows and nothing is projected away
+    occLoop(spark, tableDir, statsColumns, Nil, maxRetries) { (base, cur) =>
+      val snapDir = s"$tableDir/snap-$base"
+      val feed = if (!recordChanges) None else Some(
+        cur.filter(predicate).select(
+          lit("delete").as("change_type") +: cur.columns.toSeq.map(col): _*))
+      // delete keys from the LIVE view (existing sidecar already applied
+      // by readVersion), unioned with the pending set, distinct per key
+      val fresh = cur.filter(predicate).select(key.map(col): _*)
+      val pendingP = new Path(s"$snapDir/_mor_deletes")
+      val dels =
+        (if (!ctx.util().exists(pendingP)) fresh
+         else fresh.unionByName(
+           spark.read.parquet(pendingP.toString).select(key.map(col): _*)))
+          .distinct()
+      // every base data file rides by reference: own files by bare name
+      // rebased to the table root, inherited refs verbatim
+      val own = ctx.util().listStatus(new Path(snapDir)).iterator
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.map(st => s"snap-$base/${st.getPath.getName}").toSeq
+      val inherited =
+        if (!ctx.util().exists(new Path(s"$snapDir/_refs"))) Nil
+        else spark.read.parquet(s"$snapDir/_refs")
+          .collect().map(_.getString(0)).toSeq
+      // stats continuity: the base manifest (paths rebased) keeps
+      // covering the referenced files, same as a scoped merge's carry
+      val carried =
+        if (!ctx.util().exists(new Path(manifestDir(snapDir)))) None
+        else {
+          val m = spark.read.parquet(manifestDir(snapDir))
+          val fileIdx = m.columns.indexOf("file")
+          Some(spark.createDataFrame(
+            java.util.Arrays.asList(m.collect().map { r =>
+              val f = r.getString(fileIdx)
+              val rebased = if (f.contains("/")) f else s"snap-$base/$f"
+              org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(fileIdx, rebased))
+            }: _*), m.schema))
+        }
+      (cur.limit(0),
+        Sidecars(changes = feed, refs = own ++ inherited,
+          carriedManifest = carried, morDeletes = Some(dels)))
+    }
+  }
 
   /** Change data feed: the row-level diff between two committed
     * versions, keyed by `key` — one output row per inserted, deleted,

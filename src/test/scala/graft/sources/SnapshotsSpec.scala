@@ -184,6 +184,64 @@ class SnapshotsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("merge-on-read delete rewrites nothing, reads exactly, and folds away") {
+    val dir = Files.createTempDirectory("graft-snap-mor").toString
+    val data = spark.range(0, 1000).toDF("i")
+      .select(col("i").as("id"), (col("i") % 7).as("grp"), (col("i") * 2).as("v"))
+    Snapshots.commit(spark, data, dir, statsColumns = Seq("id"))
+    val v1Files = Snapshots.read(spark, dir).inputFiles.toSet
+
+    // delete ~1/7 of the table: only a key sidecar commits
+    val v2 = Snapshots.deleteMergeOnRead(spark, dir, col("grp") === 3L,
+      key = Seq("id"), statsColumns = Seq("id"))
+    assert(v2 == 2L)
+    val live = Snapshots.read(spark, dir)
+    assert(live.filter(col("grp") === 3L).count() == 0)
+    assert(live.count() == 1000 - data.filter(col("grp") === 3L).count())
+    // no data rewrite: every v1 data file is still what the read scans
+    assert(v1Files.subsetOf(live.inputFiles.toSet))
+
+    // accumulation: a second MoR delete unions the pending set
+    Snapshots.deleteMergeOnRead(spark, dir, col("id") < 10, Seq("id"),
+      statsColumns = Seq("id"))
+    val live3 = Snapshots.read(spark, dir)
+    assert(live3.count() ==
+      1000 - data.filter(col("grp") === 3L || col("id") < 10).count())
+
+    // pruned readers apply the delete set too (readRange bypasses
+    // readVersion's assembly — a resurrected row here is the bug)
+    val ranged = Snapshots.readRange(spark, dir, "id", 0L, 49L)
+    assert(ranged.filter(col("grp") === 3L || col("id") < 10).count() == 0)
+    assert(ranged.count() ==
+      data.filter(col("id") <= 49 && !(col("grp") === 3L || col("id") < 10))
+        .count())
+
+    // time travel still sees the pre-delete state
+    assert(Snapshots.readVersion(spark, dir, 1L).count() == 1000)
+
+    // a full rewrite folds the set: no sidecar survives, counts agree
+    val v4 = Snapshots.compact(spark, dir, statsColumns = Seq("id"))
+    val folded = s"$dir/snap-$v4/_mor_deletes"
+    assert(!new java.io.File(folded).exists())
+    assert(Snapshots.read(spark, dir).count() == live3.count())
+
+    // scoped merge refuses a pending delete set (raw file reuse would
+    // resurrect rows); after folding it proceeds
+    Snapshots.deleteMergeOnRead(spark, dir, col("id") === 500L, Seq("id"),
+      statsColumns = Seq("id"))
+    val ups = Seq((501L, 1L, -1L)).toDF("id", "grp", "v")
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, dir, ups, Seq("id"),
+        statsColumns = Seq("id"), scoped = true)
+    }
+    Snapshots.compact(spark, dir, statsColumns = Seq("id"))
+    Snapshots.merge(spark, dir, ups, Seq("id"),
+      statsColumns = Seq("id"), scoped = true)
+    assert(Snapshots.read(spark, dir).filter(col("id") === 501L)
+      .head().getAs[Long]("v") == -1L)
+    assert(Snapshots.read(spark, dir).filter(col("id") === 500L).count() == 0)
+  }
+
   test("a commit that fails before the claim leaves only an invisible staging orphan") {
     val dir = Files.createTempDirectory("graft-snap-crash").toString
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
