@@ -64,6 +64,7 @@ object Sinks {
   private lazy val snapshotBloomDir: String = scratch("graft-snapshot-bloom")
   private lazy val snapshotInReadDir: String = scratch("graft-snapshot-inread")
   private lazy val snapshotMorDir: String = scratch("graft-snapshot-mor")
+  private lazy val snapshotMorUpsertDir: String = scratch("graft-snapshot-mor-upsert")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -782,6 +783,29 @@ object Sinks {
     Snapshots.read(s, snapshotMorDir).orderBy("doc_id")
   }
 
+  /** Merge-on-read MERGE (positional deletion vectors): the same upsert
+    * as q_snapshot_merge — update docs 200-399, insert 400-599 — but
+    * committed via [[Snapshots.mergeOnRead]]: update rows land as the
+    * commit's own files, matched base rows are superseded by
+    * (file, row_index) coordinates, and every base file rides by
+    * reference. IDENTICAL oracle to q_snapshot_merge: both MERGE
+    * physical strategies must produce the same logical table, which is
+    * exactly the copy-on-write / merge-on-read equivalence contract
+    * real formats promise. SnapshotsSpec pins the physical claims
+    * (zero base rewrites, accumulation across generations, folding).
+    */
+  private def snapshotMorUpsert(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotMorUpsertDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), snapshotMorUpsertDir,
+      statsColumns = Seq("doc_id"))
+    val updates = docs.filter(col("doc_id").between(200, 599))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    Snapshots.mergeOnRead(s, snapshotMorUpsertDir, updates, Seq("doc_id"),
+      statsColumns = Seq("doc_id"))
+    Snapshots.read(s, snapshotMorUpsertDir).orderBy("doc_id")
+  }
+
   /** IN-list read through hidden partitioning: the multi-point serving
     * shape (fetch THESE keys) over the same bucket-transformed layout
     * as q_snapshot_hidden_partition — one manifest pass prunes to the
@@ -844,6 +868,7 @@ object Sinks {
     "q_snapshot_hidden_partition" -> (snapshotHiddenPartition _),
     "q_snapshot_in_read" -> (snapshotInRead _),
     "q_snapshot_mor_delete" -> (snapshotMorDelete _),
+    "q_snapshot_mor_upsert" -> (snapshotMorUpsert _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -988,6 +1013,12 @@ object Sinks {
     // both hidden-partition probes replayed as plain filters on the
     // raw columns — the probes' transform pruning must be invisible
     // in the result
+    // same oracle as q_snapshot_merge: copy-on-write and merge-on-read
+    // MERGE must be logically indistinguishable
+    "q_snapshot_mor_upsert" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id >= 200 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id < 600 ORDER BY doc_id""".stripMargin,
     "q_snapshot_mor_delete" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang <> 'de' AND doc_id >= 50

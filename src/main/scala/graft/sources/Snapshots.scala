@@ -188,7 +188,8 @@ object Snapshots {
       changes: Option[DataFrame] = None,
       refs: Seq[String] = Nil,
       carriedManifest: Option[DataFrame] = None,
-      morDeletes: Option[DataFrame] = None)
+      morDeletes: Option[DataFrame] = None,
+      posDeletes: Option[DataFrame] = None)
 
   /** A write whose staged rows violate a table expectation. The staging
     * directory is already cleaned up when this reaches the caller — a
@@ -367,6 +368,11 @@ object Snapshots {
     // executor-sized even when the commit writes no data files.
     sidecars.morDeletes.foreach(
       _.write.mode("overwrite").parquet(s"$stageDir/_mor_deletes"))
+    // positional delete set: (file, idx) coordinates of superseded base
+    // rows — the deletion-vector form that stays correct under
+    // accumulation because positions are scoped to a single immutable file
+    sidecars.posDeletes.foreach(
+      _.write.mode("overwrite").parquet(s"$stageDir/_pos_deletes"))
     if (sidecars.refs.nonEmpty) {
       import spark.implicits._
       sidecars.refs.toDF("path").coalesce(1)
@@ -590,38 +596,74 @@ object Snapshots {
     val base =
       if (!ctx.util().exists(new Path(s"$snapDir/_refs")))
         spark.read.parquet(snapDir)
-      else {
-        val own = ctx.util().listStatus(new Path(snapDir)).iterator
-          .filter { st =>
-            val n = st.getPath.getName
-            st.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }.map(_.getPath.toString).toSeq
-        val reused = spark.read.parquet(s"$snapDir/_refs")
-          .collect().map(r => s"$tableDir/${r.getString(0)}").toSeq
-        spark.read.parquet(own ++ reused: _*)
-      }
-    // merge-on-read: a snapshot may carry a delete-key sidecar instead
-    // of rewritten data files; every reader applies it as an anti-join
-    // (the read-side half of deletion vectors — O(deletes) at write
-    // time, one hash anti-join at read time, folded away by the next
-    // full rewrite or compaction)
-    applyMorDeletes(spark, snapDir, base)
+      else spark.read.parquet(dataFiles(spark, tableDir, v): _*)
+    // merge-on-read: a snapshot may carry delete sidecars instead of
+    // rewritten data files; every reader applies them (positional
+    // first — it needs the raw scan's _metadata — then keyed)
+    applyDeleteSidecars(spark, snapDir, base)
   }
 
-  /** Apply a snapshot's pending merge-on-read delete set (if any) to a
-    * frame assembled from its raw data files. Every read path that
+  /** A version's raw data file list: own files plus `_refs`. */
+  private def dataFiles(
+      spark: SparkSession, tableDir: String, v: Long): Seq[String] = {
+    val snapDir = s"$tableDir/snap-$v"
+    val ctx = fc(spark)
+    val own = ctx.util().listStatus(new Path(snapDir)).iterator
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath.toString).toSeq
+    val reused =
+      if (!ctx.util().exists(new Path(s"$snapDir/_refs"))) Nil
+      else spark.read.parquet(s"$snapDir/_refs")
+        .collect().map(r => s"$tableDir/${r.getString(0)}").toSeq
+    own ++ reused
+  }
+
+  /** Bare filename of the scanned file. Positional sidecars address
+    * files by NAME: part files carry their write job's UUID, so names
+    * are unique across a table's history, and name-scoped addressing
+    * survives a table relocation where absolute URIs would not.
+    */
+  private def scanFileName: Column =
+    element_at(split(col("_metadata.file_path"), "/"), -1)
+
+  /** Apply a snapshot's pending merge-on-read delete sidecars (if any)
+    * to a frame assembled from its raw data files. Every read path that
     * bypasses [[readVersion]]'s assembly (the manifest-pruned readers)
     * MUST route its result through this, or pruning would resurrect
-    * deleted rows.
+    * deleted rows. The input must be a raw file scan — the positional
+    * half resolves `_metadata` against it.
     */
-  private def applyMorDeletes(
-      spark: SparkSession, snapDir: String, df: DataFrame): DataFrame = {
-    val p = new Path(s"$snapDir/_mor_deletes")
-    if (!fc(spark).util().exists(p)) df
+  private def applyDeleteSidecars(
+      spark: SparkSession, snapDir: String, raw: DataFrame): DataFrame = {
+    val keyedP = new Path(s"$snapDir/_mor_deletes")
+    val posP = new Path(s"$snapDir/_pos_deletes")
+    val ctx = fc(spark)
+    val afterPos =
+      if (!ctx.util().exists(posP)) raw
+      else applyPosDeletes(spark, snapDir,
+          raw.withColumn("_graft_f", scanFileName)
+            .withColumn("_graft_i", col("_metadata.row_index")))
+        .drop("_graft_f", "_graft_i")
+    if (!ctx.util().exists(keyedP)) afterPos
     else {
-      val dels = spark.read.parquet(p.toString)
-      df.join(dels, dels.columns.toSeq, "left_anti")
+      val dels = spark.read.parquet(keyedP.toString)
+      afterPos.join(dels, dels.columns.toSeq, "left_anti")
     }
+  }
+
+  /** Positional-delete anti-join over a frame that already carries
+    * `_graft_f`/`_graft_i` provenance columns (kept in the output).
+    */
+  private def applyPosDeletes(
+      spark: SparkSession, snapDir: String, withProv: DataFrame): DataFrame = {
+    val p = new Path(s"$snapDir/_pos_deletes")
+    if (!fc(spark).util().exists(p)) withProv
+    else withProv.join(
+      spark.read.parquet(p.toString)
+        .select(col("file").as("_graft_f"), col("idx").as("_graft_i")),
+      Seq("_graft_f", "_graft_i"), "left_anti")
   }
 
   /** Timestamp time travel (the `TIMESTAMP AS OF` half, complementing
@@ -715,7 +757,7 @@ object Snapshots {
     else {
       val (files, _) = selectFiles(spark, tableDir, ver, colName, lower, upper)
       if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
-      else applyMorDeletes(spark, snapDir,
+      else applyDeleteSidecars(spark, snapDir,
         spark.read.parquet(files: _*)).filter(residual)
     }
   }
@@ -784,7 +826,7 @@ object Snapshots {
     else {
       val (files, _) = selectFilesPoint(spark, tableDir, ver, colName, value)
       if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
-      else applyMorDeletes(spark, s"$tableDir/snap-$ver",
+      else applyDeleteSidecars(spark, s"$tableDir/snap-$ver",
         spark.read.parquet(files: _*)).filter(residual)
     }
   }
@@ -876,7 +918,7 @@ object Snapshots {
         if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
       }.toSeq
       if (files.isEmpty) full.filter(lit(false))
-      else applyMorDeletes(spark, snapDir,
+      else applyDeleteSidecars(spark, snapDir,
         spark.read.parquet(files: _*)).filter(residual)
     }
   }
@@ -905,7 +947,7 @@ object Snapshots {
     else {
       val (files, _) = selectFilesPartitioned(spark, tableDir, ver, probes)
       if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
-      else applyMorDeletes(spark, snapDir, spark.read.parquet(files: _*))
+      else applyDeleteSidecars(spark, snapDir, spark.read.parquet(files: _*))
     }
   }
 
@@ -1008,11 +1050,15 @@ object Snapshots {
         require(fc(spark).util().exists(new Path(manifestDir(snapDir))),
           s"scoped merge needs a stats manifest on $k in version $base")
         // a scoped merge reuses base files RAW (no readVersion in the
-        // touched-row path), so a pending merge-on-read delete set would
-        // resurrect deleted rows — fold it first with a full rewrite
+        // touched-row path), so a pending merge-on-read delete set —
+        // keyed or positional — would resurrect deleted rows; fold it
+        // first with a full rewrite
         require(!fc(spark).util().exists(new Path(s"$snapDir/_mor_deletes")),
           s"scoped merge on $tableDir with a pending merge-on-read " +
             "delete set: fold it first (compact or an unscoped write)")
+        require(!fc(spark).util().exists(new Path(s"$snapDir/_pos_deletes")),
+          s"scoped merge on $tableDir with pending positional delete " +
+            "vectors: fold them first (compact or an unscoped write)")
         val manifest = spark.read.parquet(manifestDir(snapDir))
         // the update-key envelope: two scalars to the driver
         val env = updates.agg(min(col(k)), max(col(k))).head()
@@ -1125,34 +1171,109 @@ object Snapshots {
          else fresh.unionByName(
            spark.read.parquet(pendingP.toString).select(key.map(col): _*)))
           .distinct()
-      // every base data file rides by reference: own files by bare name
-      // rebased to the table root, inherited refs verbatim
-      val own = ctx.util().listStatus(new Path(snapDir)).iterator
-        .filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }.map(st => s"snap-$base/${st.getPath.getName}").toSeq
-      val inherited =
-        if (!ctx.util().exists(new Path(s"$snapDir/_refs"))) Nil
-        else spark.read.parquet(s"$snapDir/_refs")
-          .collect().map(_.getString(0)).toSeq
-      // stats continuity: the base manifest (paths rebased) keeps
-      // covering the referenced files, same as a scoped merge's carry
-      val carried =
-        if (!ctx.util().exists(new Path(manifestDir(snapDir)))) None
-        else {
-          val m = spark.read.parquet(manifestDir(snapDir))
-          val fileIdx = m.columns.indexOf("file")
-          Some(spark.createDataFrame(
-            java.util.Arrays.asList(m.collect().map { r =>
-              val f = r.getString(fileIdx)
-              val rebased = if (f.contains("/")) f else s"snap-$base/$f"
-              org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(fileIdx, rebased))
-            }: _*), m.schema))
-        }
+      // a pending POSITIONAL sidecar must ride along — this commit
+      // re-references the same files, so dropping it would resurrect
+      // positionally-deleted rows
+      val pendingPos = new Path(s"$snapDir/_pos_deletes")
+      val posCarry =
+        if (!ctx.util().exists(pendingPos)) None
+        else Some(spark.read.parquet(pendingPos.toString))
       (cur.limit(0),
-        Sidecars(changes = feed, refs = own ++ inherited,
-          carriedManifest = carried, morDeletes = Some(dels)))
+        Sidecars(changes = feed, refs = rootRelativeFiles(spark, tableDir, base),
+          carriedManifest = carriedManifestOf(spark, tableDir, base),
+          morDeletes = Some(dels), posDeletes = posCarry))
+    }
+  }
+
+  /** A version's data files as table-root-relative reference paths:
+    * own files rebased under their snapshot dir, inherited refs verbatim.
+    */
+  private def rootRelativeFiles(
+      spark: SparkSession, tableDir: String, v: Long): Seq[String] = {
+    val snapDir = s"$tableDir/snap-$v"
+    val ctx = fc(spark)
+    val own = ctx.util().listStatus(new Path(snapDir)).iterator
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(st => s"snap-$v/${st.getPath.getName}").toSeq
+    val inherited =
+      if (!ctx.util().exists(new Path(s"$snapDir/_refs"))) Nil
+      else spark.read.parquet(s"$snapDir/_refs")
+        .collect().map(_.getString(0)).toSeq
+    own ++ inherited
+  }
+
+  /** A version's stats manifest with its file paths rebased to
+    * table-root-relative form — the carry every pure-reference commit
+    * republishes so file skipping keeps covering the shared layout.
+    */
+  private def carriedManifestOf(
+      spark: SparkSession, tableDir: String, v: Long): Option[DataFrame] = {
+    val snapDir = s"$tableDir/snap-$v"
+    if (!fc(spark).util().exists(new Path(manifestDir(snapDir)))) None
+    else {
+      val m = spark.read.parquet(manifestDir(snapDir))
+      val fileIdx = m.columns.indexOf("file")
+      Some(spark.createDataFrame(
+        java.util.Arrays.asList(m.collect().map { r =>
+          val f = r.getString(fileIdx)
+          val rebased = if (f.contains("/")) f else s"snap-$v/$f"
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(fileIdx, rebased))
+        }: _*), m.schema))
+    }
+  }
+
+  /** MERGE-ON-READ upsert (the positional-deletion-vector MERGE of the
+    * v2 table formats, complementing [[deleteMergeOnRead]]'s keyed
+    * deletes): update rows land as this commit's OWN data files,
+    * matched base rows are superseded by `(file, row_index)`
+    * coordinates appended to the `_pos_deletes` sidecar, and every
+    * base data file rides by reference. Write cost is O(updates +
+    * matched coordinates) — a CDC batch against a 100 TB table commits
+    * in seconds where copy-on-write rewrites files. Positional (not
+    * keyed) addressing is what keeps ACCUMULATION correct: a key
+    * updated again later supersedes the PREVIOUS update's row by its
+    * file coordinates, never its own newest row, because part-file
+    * names are write-job-unique. Readers pay one anti-join until
+    * [[compact]] (or any full rewrite) folds the vectors away — the
+    * standard read-amplification dial. Refuses a pending KEYED delete
+    * set (its key-wide anti-join would also delete this commit's new
+    * rows — fold first); [[merge]]'s scoped mode refuses pending
+    * vectors for the mirror reason.
+    */
+  def mergeOnRead(
+      spark: SparkSession,
+      tableDir: String,
+      updates: DataFrame,
+      key: Seq[String],
+      statsColumns: Seq[String] = Nil,
+      maxRetries: Int = 10): Long = {
+    require(key.nonEmpty, "merge-on-read upsert needs merge keys")
+    val ctx = fc(spark)
+    occLoop(spark, tableDir, statsColumns, Nil, maxRetries) { (base, _) =>
+      val snapDir = s"$tableDir/snap-$base"
+      require(!ctx.util().exists(new Path(s"$snapDir/_mor_deletes")),
+        s"merge-on-read upsert on $tableDir with a pending keyed delete " +
+          "set: fold it first (compact or an unscoped write)")
+      // live base rows WITH file coordinates: raw scan + provenance
+      // columns, pending positional deletes applied on those columns
+      val live = applyPosDeletes(spark, snapDir,
+        spark.read.parquet(dataFiles(spark, tableDir, base): _*)
+          .withColumn("_graft_f", scanFileName)
+          .withColumn("_graft_i", col("_metadata.row_index")))
+      val matched = live
+        .join(updates.select(key.map(col): _*), key, "left_semi")
+        .select(col("_graft_f").as("file"), col("_graft_i").as("idx"))
+      val pendingP = new Path(s"$snapDir/_pos_deletes")
+      val dels =
+        (if (!ctx.util().exists(pendingP)) matched
+         else matched.unionByName(spark.read.parquet(pendingP.toString)))
+          .distinct()
+      (updates,
+        Sidecars(refs = rootRelativeFiles(spark, tableDir, base),
+          carriedManifest = carriedManifestOf(spark, tableDir, base),
+          posDeletes = Some(dels)))
     }
   }
 

@@ -242,6 +242,53 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).filter(col("id") === 500L).count() == 0)
   }
 
+  test("merge-on-read upsert supersedes by file position and accumulates correctly") {
+    val dir = Files.createTempDirectory("graft-snap-mor-upsert").toString
+    val data = spark.range(0, 1000).toDF("i")
+      .select(col("i").as("id"), (col("i") * 2).as("v"))
+    Snapshots.commit(spark, data, dir, statsColumns = Seq("id"))
+    val v1Files = Snapshots.read(spark, dir).inputFiles.toSet
+
+    // upsert 1: update ids 900-999, insert 1000-1099 — base files shared
+    val ups1 = spark.range(900, 1100).toDF("i")
+      .select(col("i").as("id"), lit(-1L).as("v"))
+    Snapshots.mergeOnRead(spark, dir, ups1, Seq("id"),
+      statsColumns = Seq("id"))
+    val live2 = Snapshots.read(spark, dir)
+    assert(live2.count() == 1100)
+    assert(live2.filter(col("id") === 950L).head().getAs[Long]("v") == -1L)
+    assert(live2.filter(col("id") === 100L).head().getAs[Long]("v") == 200L)
+    assert(v1Files.subsetOf(live2.inputFiles.toSet), "base files rewritten")
+
+    // upsert 2 hits keys from BOTH v1 files and upsert 1's own files —
+    // positional scoping must supersede each key's PREVIOUS row only
+    val ups2 = spark.range(950, 1050).toDF("i")
+      .select(col("i").as("id"), lit(-2L).as("v"))
+    Snapshots.mergeOnRead(spark, dir, ups2, Seq("id"),
+      statsColumns = Seq("id"))
+    val live3 = Snapshots.read(spark, dir)
+    assert(live3.count() == 1100)
+    assert(live3.filter(col("id") === 960L).head().getAs[Long]("v") == -2L)
+    assert(live3.filter(col("id") === 940L).head().getAs[Long]("v") == -1L)
+    assert(live3.filter(col("id") === 1070L).head().getAs[Long]("v") == -1L)
+    // exactly one row per key despite three generations of files
+    assert(live3.groupBy("id").count().filter(col("count") > 1).count() == 0)
+
+    // a keyed MoR delete rides on top and carries the vectors forward
+    Snapshots.deleteMergeOnRead(spark, dir, col("id") < 10, Seq("id"),
+      statsColumns = Seq("id"))
+    val live4 = Snapshots.read(spark, dir)
+    assert(live4.count() == 1090)
+    assert(live4.filter(col("id") === 960L).head().getAs[Long]("v") == -2L)
+
+    // compaction folds everything; counts and values survive
+    Snapshots.compact(spark, dir, statsColumns = Seq("id"))
+    val folded = Snapshots.read(spark, dir)
+    assert(folded.count() == 1090)
+    assert(folded.filter(col("id") === 960L).head().getAs[Long]("v") == -2L)
+    assert(folded.filter(col("id") === 940L).head().getAs[Long]("v") == -1L)
+  }
+
   test("a commit that fails before the claim leaves only an invisible staging orphan") {
     val dir = Files.createTempDirectory("graft-snap-crash").toString
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
