@@ -65,6 +65,7 @@ object Sinks {
   private lazy val snapshotInReadDir: String = scratch("graft-snapshot-inread")
   private lazy val snapshotMorDir: String = scratch("graft-snapshot-mor")
   private lazy val snapshotMorUpsertDir: String = scratch("graft-snapshot-mor-upsert")
+  private lazy val snapshotRestoreDir: String = scratch("graft-snapshot-restore")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -806,6 +807,27 @@ object Sinks {
     Snapshots.read(s, snapshotMorUpsertDir).orderBy("doc_id")
   }
 
+  /** RESTORE TO VERSION end-to-end: v1 holds docs < 300, a merge
+    * "damages" the table (v2), and [[Snapshots.restore]] publishes v1's
+    * state back as v3 — a metadata-only commit whose files are v1's by
+    * reference. The oracle is v1's defining filter straight from the
+    * source table, so a hash match certifies the rollback restored the
+    * EXACT pre-damage state; SnapshotsSpec pins the physical claims
+    * (file sharing, history forensics, carried manifest/sidecars).
+    */
+  private def snapshotRestore(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotRestoreDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 300), snapshotRestoreDir,
+      statsColumns = Seq("doc_id"))
+    Snapshots.merge(s, snapshotRestoreDir,
+      docs.filter(col("doc_id").between(100, 499))
+        .withColumn("n_chars", col("n_chars") + 1000),
+      Seq("doc_id"), statsColumns = Seq("doc_id"))
+    Snapshots.restore(s, snapshotRestoreDir, 1L)
+    Snapshots.read(s, snapshotRestoreDir).orderBy("doc_id")
+  }
+
   /** IN-list read through hidden partitioning: the multi-point serving
     * shape (fetch THESE keys) over the same bucket-transformed layout
     * as q_snapshot_hidden_partition — one manifest pass prunes to the
@@ -869,6 +891,7 @@ object Sinks {
     "q_snapshot_in_read" -> (snapshotInRead _),
     "q_snapshot_mor_delete" -> (snapshotMorDelete _),
     "q_snapshot_mor_upsert" -> (snapshotMorUpsert _),
+    "q_snapshot_restore" -> (snapshotRestore _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -1013,6 +1036,9 @@ object Sinks {
     // both hidden-partition probes replayed as plain filters on the
     // raw columns — the probes' transform pruning must be invisible
     // in the result
+    "q_snapshot_restore" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
     // same oracle as q_snapshot_merge: copy-on-write and merge-on-read
     // MERGE must be logically indistinguishable
     "q_snapshot_mor_upsert" ->

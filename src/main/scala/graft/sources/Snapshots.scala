@@ -551,7 +551,8 @@ object Snapshots {
       statsColumns: Seq[String],
       bloomColumns: Seq[String],
       maxRetries: Int,
-      inheritSpec: Boolean = true)(
+      inheritSpec: Boolean = true,
+      specOverride: Seq[Transform] = Nil)(
       fn: (Long, DataFrame) => (DataFrame, Sidecars)): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
@@ -561,9 +562,11 @@ object Snapshots {
       // `_partition_spec` + the manifest's transform envelope), so
       // hidden-partition pruning survives MERGE/DELETE/transact instead
       // of silently degrading to full scans after the first update.
-      // [[compact]] opts out — its explicit file layout is the point.
+      // [[compact]] opts out — its explicit file layout is the point;
+      // [[restore]] overrides with the TARGET version's spec.
       val spec =
-        if (inheritSpec) partitionSpec(spark, tableDir, base) else Nil
+        if (inheritSpec) partitionSpec(spark, tableDir, base)
+        else specOverride
       val (next, sidecars) = fn(base, readVersion(spark, tableDir, base))
       commitIfVersionWith(
         spark, next, tableDir, base, statsColumns, bloomColumns, sidecars,
@@ -1274,6 +1277,43 @@ object Snapshots {
         Sidecars(refs = rootRelativeFiles(spark, tableDir, base),
           carriedManifest = carriedManifestOf(spark, tableDir, base),
           posDeletes = Some(dels)))
+    }
+  }
+
+  /** RESTORE TO VERSION (Delta `RESTORE`, Iceberg rollback): publish
+    * version `toVersion`'s logical state as a NEW commit that
+    * REFERENCES its files — history stays intact (the bad versions
+    * remain time-travelable for forensics), the rollback costs
+    * O(metadata) regardless of table size, and concurrent writers are
+    * arbitrated by the same optimistic claim as every other commit.
+    * The restored commit carries the target's manifest, delete
+    * sidecars, and partition spec, so skipping, merge-on-read
+    * semantics, and hidden-partition pruning all behave exactly as
+    * they did at `toVersion`; reference-aware retention GC keeps the
+    * shared files alive for as long as the restore is retained.
+    */
+  def restore(
+      spark: SparkSession,
+      tableDir: String,
+      toVersion: Long,
+      maxRetries: Int = 10): Long = {
+    val cap = version(spark, tableDir)
+    require(toVersion >= 1 && toVersion <= cap,
+      s"cannot restore $tableDir to version $toVersion (latest: $cap)")
+    val ctx = fc(spark)
+    val snapDir = s"$tableDir/snap-$toVersion"
+    def sidecar(name: String): Option[DataFrame] = {
+      val p = new Path(s"$snapDir/$name")
+      if (!ctx.util().exists(p)) None else Some(spark.read.parquet(p.toString))
+    }
+    occLoop(spark, tableDir, Nil, Nil, maxRetries, inheritSpec = false,
+      specOverride = partitionSpec(spark, tableDir, toVersion)) { (_, _) =>
+      (readVersion(spark, tableDir, toVersion).limit(0),
+        Sidecars(
+          refs = rootRelativeFiles(spark, tableDir, toVersion),
+          carriedManifest = carriedManifestOf(spark, tableDir, toVersion),
+          morDeletes = sidecar("_mor_deletes"),
+          posDeletes = sidecar("_pos_deletes")))
     }
   }
 

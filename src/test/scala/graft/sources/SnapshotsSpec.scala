@@ -289,6 +289,49 @@ class SnapshotsSpec extends SparkSpec {
     assert(folded.filter(col("id") === 940L).head().getAs[Long]("v") == -1L)
   }
 
+  test("restore publishes an old version's state as a new metadata-only commit") {
+    val dir = Files.createTempDirectory("graft-snap-restore").toString
+    val v1Data = spark.range(0, 500).toDF("i")
+      .select(col("i").as("id"), (col("i") * 2).as("v"))
+    Snapshots.commit(spark, v1Data, dir, statsColumns = Seq("id"))
+    val v1Files = Snapshots.read(spark, dir).inputFiles.toSet
+
+    // damage the table: a bad merge (v2) and a bad delete (v3)
+    Snapshots.merge(spark, dir,
+      Seq((10L, -999L)).toDF("id", "v"), Seq("id"), statsColumns = Seq("id"))
+    Snapshots.delete(spark, dir, col("id") >= 400, statsColumns = Seq("id"))
+    assert(Snapshots.read(spark, dir).count() == 400)
+
+    // rollback: v4 = v1's logical state, files SHARED not copied
+    val v4 = Snapshots.restore(spark, dir, 1L)
+    assert(v4 == 4L)
+    val restored = Snapshots.read(spark, dir)
+    assert(restored.count() == 500)
+    assert(restored.filter(col("id") === 10L).head().getAs[Long]("v") == 20L)
+    assert(v1Files.subsetOf(restored.inputFiles.toSet), "restore copied data")
+
+    // forensics intact: the bad versions still time-travel
+    assert(Snapshots.readVersion(spark, dir, 3L).count() == 400)
+    assert(Snapshots.readVersion(spark, dir, 2L)
+      .filter(col("id") === 10L).head().getAs[Long]("v") == -999L)
+
+    // the carried manifest keeps range skipping working on the restore
+    val (files, total) = Snapshots.selectFiles(spark, dir, v4, "id", 0L, 0L)
+    assert(files.nonEmpty && files.size < total.toInt || total == 1,
+      s"${files.size} of $total")
+
+    // restoring a MoR version carries its delete sidecar
+    Snapshots.deleteMergeOnRead(spark, dir, col("id") < 5, Seq("id"),
+      statsColumns = Seq("id"))
+    val v5 = Snapshots.version(spark, dir)
+    Snapshots.merge(spark, dir, Seq((7L, 0L)).toDF("id", "v"), Seq("id"),
+      statsColumns = Seq("id"))
+    Snapshots.restore(spark, dir, v5)
+    assert(Snapshots.read(spark, dir).count() == 495)
+    assert(Snapshots.read(spark, dir).filter(col("id") === 7L)
+      .head().getAs[Long]("v") == 14L)
+  }
+
   test("a commit that fails before the claim leaves only an invisible staging orphan") {
     val dir = Files.createTempDirectory("graft-snap-crash").toString
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
