@@ -1251,14 +1251,27 @@ object Snapshots {
       updates: DataFrame,
       key: Seq[String],
       statsColumns: Seq[String] = Nil,
+      recordChanges: Boolean = false,
       maxRetries: Int = 10): Long = {
     require(key.nonEmpty, "merge-on-read upsert needs merge keys")
     val ctx = fc(spark)
-    occLoop(spark, tableDir, statsColumns, Nil, maxRetries) { (base, _) =>
+    occLoop(spark, tableDir, statsColumns, Nil, maxRetries) { (base, cur) =>
       val snapDir = s"$tableDir/snap-$base"
       require(!ctx.util().exists(new Path(s"$snapDir/_mor_deletes")),
         s"merge-on-read upsert on $tableDir with a pending keyed delete " +
           "set: fold it first (compact or an unscoped write)")
+      // write-time CDF, same classification as the copy-on-write merge:
+      // a mergeOnRead inside a recorded window must not tear a hole in
+      // the feed ([[changesFeed]] refuses gapped windows by design)
+      val feed = if (!recordChanges) None else Some {
+        val marked = cur.select(key.map(col): _*)
+          .withColumn("_graft_matched", lit(1))
+        updates.join(marked, key, "left")
+          .withColumn("change_type",
+            when(col("_graft_matched").isNull, lit("insert"))
+              .otherwise(lit("update")))
+          .select(col("change_type") +: updates.columns.toSeq.map(col): _*)
+      }
       // live base rows WITH file coordinates: raw scan + provenance
       // columns, pending positional deletes applied on those columns
       val live = applyPosDeletes(spark, snapDir,
@@ -1274,7 +1287,8 @@ object Snapshots {
          else matched.unionByName(spark.read.parquet(pendingP.toString)))
           .distinct()
       (updates,
-        Sidecars(refs = rootRelativeFiles(spark, tableDir, base),
+        Sidecars(changes = feed,
+          refs = rootRelativeFiles(spark, tableDir, base),
           carriedManifest = carriedManifestOf(spark, tableDir, base),
           posDeletes = Some(dels)))
     }

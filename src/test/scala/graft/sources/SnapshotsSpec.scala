@@ -287,6 +287,23 @@ class SnapshotsSpec extends SparkSpec {
     assert(folded.count() == 1090)
     assert(folded.filter(col("id") === 960L).head().getAs[Long]("v") == -2L)
     assert(folded.filter(col("id") === 940L).head().getAs[Long]("v") == -1L)
+
+    // write-time feed continuity: a recorded mergeOnRead fills its slot
+    // in the window — changesFeed refuses gaps, so this would throw if
+    // the MoR commit recorded nothing
+    val vBefore = Snapshots.version(spark, dir)
+    // id 100 is live; id 0 was MoR-deleted above, so re-upserting it is
+    // an INSERT against the live view — the classification the feed
+    // must report
+    val ups3 = Seq((100L, 7L), (0L, 7L)).toDF("id", "v")
+    Snapshots.mergeOnRead(spark, dir, ups3, Seq("id"),
+      statsColumns = Seq("id"), recordChanges = true)
+    val feed = Snapshots.changesFeed(spark, dir, vBefore, vBefore + 1)
+      .collect().map(r => (r.getAs[String]("change_type"), r.getAs[Long]("id")))
+      .toSet
+    assert(feed == Set(("update", 100L), ("insert", 0L)), feed)
+    assert(Snapshots.read(spark, dir).filter(col("id") === 0L)
+      .head().getAs[Long]("v") == 7L)
   }
 
   test("restore publishes an old version's state as a new metadata-only commit") {
