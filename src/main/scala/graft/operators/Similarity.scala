@@ -334,10 +334,13 @@ object Similarity {
         roundDecimals)
       .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
     Snapshots.commit(spark, cents, s"$indexDir/centroids")
+    // stats on BOTH dimensions: `cell` (with the identity transform
+    // envelope) prunes probe reads; `neighbor_id` lets the incremental
+    // add run as a FILE-SCOPED merge (see addToIvfIndex)
     Snapshots.commit(spark,
       postingsFor(cents, corpus, idCol, vecCol, roundDecimals),
       s"$indexDir/postings",
-      statsColumns = Seq("cell"),
+      statsColumns = Seq("cell", "neighbor_id"),
       partitionSpec = Seq(Snapshots.Transform.Identity("cell")))
   }
 
@@ -362,14 +365,15 @@ object Similarity {
     * index's EXISTING centroids and MERGE them into the postings
     * snapshot (key = vector id, so re-adding a vector re-assigns it) —
     * ingestion keeps up with a growing corpus WITHOUT retraining the
-    * quantizer or rewriting the untouched lists' rows, the add-on-top
-    * maintenance path every serving-side IVF index needs. The merge
-    * inherits the postings table's hidden partition spec, so the
-    * re-clustered commit keeps probe-time file pruning intact. Cost:
-    * one broadcast join over the NEW vectors plus the copy-on-write
-    * merge; the quantizer is never touched. Retrain (rebuild) when
-    * drift accumulates — the centroids snapshot records what the cells
-    * were trained on.
+    * quantizer, the add-on-top maintenance path every serving-side IVF
+    * index needs. The merge is FILE-SCOPED on the vector-id envelope:
+    * a batch of NEW ids (the append case) intersects no existing
+    * posting file, so every base file is carried by reference and the
+    * commit costs O(new vectors); re-assignments rewrite only the
+    * files their id range touches. The rewrite inherits the postings
+    * table's hidden partition spec, so probe-time cell pruning stays
+    * intact across adds. The quantizer is never touched — retrain
+    * (rebuild) when drift accumulates.
     */
   def addToIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -383,7 +387,8 @@ object Similarity {
     Snapshots.merge(spark, s"$indexDir/postings",
       postingsFor(cents, newVectors, idCol, vecCol, roundDecimals),
       key = Seq("neighbor_id"),
-      statsColumns = Seq("cell"))
+      statsColumns = Seq("cell", "neighbor_id"),
+      scoped = true)
   }
 
   /** Serve top-k queries from a [[buildIvfIndex]] index WITHOUT touching

@@ -146,7 +146,14 @@ class SimilaritySpec extends SparkSpec {
     val tail = emb.filter(col("vec_id") >= 50)
     Similarity.buildIvfIndex(spark, head, dir, k = 8, iterations = 2,
       roundDecimals = 6)
+    import graft.sources.Snapshots
+    val baseFiles = Snapshots.read(spark, s"$dir/postings").inputFiles.toSet
     Similarity.addToIvfIndex(spark, tail, dir, roundDecimals = 6)
+    // append-only adds are FILE-SCOPED: new ids intersect no base file's
+    // neighbor_id envelope, so every base posting file is shared by
+    // reference, never rewritten
+    assert(baseFiles.subsetOf(
+      Snapshots.read(spark, s"$dir/postings").inputFiles.toSet))
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
         r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
@@ -157,7 +164,6 @@ class SimilaritySpec extends SparkSpec {
       k = 10, nProbe = 2, roundDecimals = 6)
     assert(rows(got) == rows(want))
     // the merged postings version keeps the hidden partition spec
-    import graft.sources.Snapshots
     assert(Snapshots.version(spark, s"$dir/postings") == 2L)
     assert(Snapshots.partitionSpec(spark, s"$dir/postings") ==
       Seq(Snapshots.Transform.Identity("cell")))
