@@ -396,10 +396,11 @@ object Similarity {
     * query's nProbe cells, then read ONLY those cells' posting files —
     * the probed cell ids come to the driver (bounded by the centroid
     * count, the same O(1)-scalars budget as the repo's broadcast-
-    * threshold probes) so [[graft.sources.Snapshots.readPartitioned]]
-    * can prune at the manifest before any scan task launches. At 100 TB
-    * this is the IVF payoff: a query batch reads nProbe/k of the
-    * postings, not the table.
+    * threshold probes) so [[graft.sources.Snapshots.readPartitionedIn]]
+    * can prune at the manifest in ONE pass before any scan task
+    * launches. At 100 TB this is the IVF payoff: a query batch reads
+    * nProbe/k of the postings, not the table, and plans one pruned
+    * scan regardless of how many cells it probes.
     */
   def ivfTopKPersisted(
       spark: org.apache.spark.sql.SparkSession,
