@@ -175,6 +175,20 @@ object PipelineQueries {
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf_q8_rerank" -> ((s, d) => {
+      // two-stage quantized serving: INT8-coded postings generate the
+      // candidate shortlist, full-precision cosine reranks it — the
+      // IVF-PQ memory/recall trade with scalar quantization. The
+      // oracle replays quantize, dequantized scoring, shortlist, and
+      // rerank; shortlist=30 absorbs quantization reordering at the
+      // boundary while the top-10 is exact over the shortlist.
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.kmeansCentroids(
+        emb, k = 8, iterations = 2, roundDecimals = 6)
+      Similarity.ivfTopKQuantized(emb, emb.filter(col("vec_id") < 10),
+          cents, k = 10, nProbe = 2, shortlist = 30, roundDecimals = 6)
+        .orderBy("query_id", "rank")
+    }),
     "ann_ivf_incremental" -> ((s, d) => {
       // index MAINTENANCE: build on the first 300 vectors, then add the
       // rest against the existing quantizer via snapshot MERGE (no
@@ -620,19 +634,19 @@ object PipelineQueries {
     * before any ordering decision, so engine-level FP noise (avg sum
     * order, dot-product accumulation) cannot flip an assignment.
     */
-  private def ivfTrainedOracle(
-      k: Int, iters: Int, nProbe: Int, topK: Int,
-      trainWhere: String = "TRUE"): String = {
-    def fcent(c: String) = s"CAST(CAST($c AS FLOAT[]) AS DOUBLE[])"
-    def csim(v: String, c: String) =
-      s"""round(list_dot_product($v, ${fcent(c)})
-         |      / sqrt(list_dot_product($v, $v)
-         |             * list_dot_product(${fcent(c)}, ${fcent(c)})), 6)""".stripMargin
-    // `et` is the TRAINING slice (seed + Lloyd iterations); the final
-    // assignment and probe (`ascore` below) always cover ALL of `e` —
-    // with trainWhere = TRUE the two coincide and this is the plain
-    // trained replay, with a narrower slice it replays build-then-add
-    // incremental maintenance (ann_ivf_incremental)
+  private def ivfFcent(c: String) = s"CAST(CAST($c AS FLOAT[]) AS DOUBLE[])"
+  private def ivfCsim(v: String, c: String) =
+    s"""round(list_dot_product($v, ${ivfFcent(c)})
+       |      / sqrt(list_dot_product($v, $v)
+       |             * list_dot_product(${ivfFcent(c)}, ${ivfFcent(c)})), 6)""".stripMargin
+
+  /** The shared train-then-assign CTE prefix of every IVF oracle: Lloyd
+    * iterations over the `trainWhere` slice (`et`), then `ascore` /
+    * `assigned` / `probed` over ALL of `e` against the final centroids
+    * `c<iters>` — with trainWhere = TRUE train and assignment coincide.
+    */
+  private def ivfTrainCTEs(
+      k: Int, iters: Int, nProbe: Int, trainWhere: String): Seq[String] = {
     val base =
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -644,7 +658,7 @@ object PipelineQueries {
     val its = (1 to iters).map { i =>
       val prev = s"c${i - 1}"
       s"""a$i AS (
-         |  SELECT e.vec_id, e.v, c.cell, ${csim("e.v", "c.centroid")} AS csim
+         |  SELECT e.vec_id, e.v, c.cell, ${ivfCsim("e.v", "c.centroid")} AS csim
          |  FROM et e CROSS JOIN $prev c),
          |asg$i AS (
          |  SELECT vec_id, v, cell FROM (
@@ -663,9 +677,9 @@ object PipelineQueries {
          |  SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
          |  FROM $prev p LEFT JOIN cm$i n USING (cell))""".stripMargin
     }
-    val tail =
+    val assignProbe =
       s"""ascore AS (
-         |  SELECT e.vec_id, e.v, c.cell, ${csim("e.v", "c.centroid")} AS csim
+         |  SELECT e.vec_id, e.v, c.cell, ${ivfCsim("e.v", "c.centroid")} AS csim
          |  FROM e CROSS JOIN c$iters c),
          |assigned AS (
          |  SELECT vec_id AS neighbor_id, v AS cvec, cell FROM (
@@ -678,8 +692,15 @@ object PipelineQueries {
          |    SELECT vec_id, v, cell,
          |      row_number() OVER (PARTITION BY vec_id
          |                         ORDER BY csim DESC, cell) AS rn
-         |    FROM ascore WHERE vec_id < 10) s WHERE rn <= $nProbe),
-         |scored AS (
+         |    FROM ascore WHERE vec_id < 10) s WHERE rn <= $nProbe)""".stripMargin
+    (base +: its) :+ assignProbe
+  }
+
+  private def ivfTrainedOracle(
+      k: Int, iters: Int, nProbe: Int, topK: Int,
+      trainWhere: String = "TRUE"): String = {
+    val tail =
+      s"""scored AS (
          |  SELECT p.query_id, a.neighbor_id,
          |    round(list_dot_product(p.qvec, a.cvec)
          |      / sqrt(list_dot_product(p.qvec, p.qvec)
@@ -694,7 +715,63 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
          |WHERE "rank" <= $topK ORDER BY query_id, "rank"""".stripMargin
-    (base +: its :+ tail).mkString(",\n")
+    (ivfTrainCTEs(k, iters, nProbe, trainWhere) :+ tail).mkString(",\n")
+  }
+
+  /** DuckDB replay of `ann_ivf_q8_rerank`: the shared train/assign
+    * prefix, then the quantize → dequantized candidate scoring →
+    * shortlist → full-precision rerank pipeline. The dequantized code
+    * is float-quantized (`CAST(... AS FLOAT[])`) exactly where the
+    * Spark side casts the dequantized array to array<float> for the
+    * codegen'd cosine, and every score rounds to 6 before any ordering
+    * decision — the same determinism discipline as the other IVF
+    * oracles.
+    */
+  private def ivfQuantizedOracle(
+      k: Int, iters: Int, nProbe: Int, shortC: Int, topK: Int): String = {
+    val tail =
+      s"""q8 AS (
+         |  SELECT neighbor_id, cell, cvec,
+         |    list_min(cvec) AS qmin,
+         |    (list_max(cvec) - list_min(cvec)) / 255.0 AS qsc
+         |  FROM assigned),
+         |dq AS (
+         |  SELECT neighbor_id, cell,
+         |    ${ivfFcent("""CASE WHEN qsc > 0
+         |      THEN list_transform(cvec, x ->
+         |        qmin + CAST(least(floor((x - qmin) / qsc), 255.0) AS BIGINT) * qsc)
+         |      ELSE list_transform(cvec, x -> qmin) END""".stripMargin)} AS dqv
+         |  FROM q8),
+         |qcand AS (
+         |  SELECT p.query_id, d.neighbor_id,
+         |    round(list_dot_product(p.qvec, d.dqv)
+         |      / sqrt(list_dot_product(p.qvec, p.qvec)
+         |             * list_dot_product(d.dqv, d.dqv)), 6) AS qcos
+         |  FROM dq d JOIN probed p USING (cell)
+         |  WHERE p.query_id <> d.neighbor_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY qcos DESC, neighbor_id) AS rn
+         |    FROM qcand) s WHERE rn <= $shortC),
+         |rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    round(list_dot_product(q.v, n.v)
+         |      / sqrt(list_dot_product(q.v, q.v)
+         |             * list_dot_product(n.v, n.v)), 6) AS cosine
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.query_id
+         |  JOIN e n ON n.vec_id = s.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS INT)
+         |      AS "rank"
+         |  FROM rr)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
+         |WHERE "rank" <= $topK ORDER BY query_id, "rank"""".stripMargin
+    (ivfTrainCTEs(k, iters, nProbe, "TRUE") :+ tail).mkString(",\n")
   }
 
   /** DuckDB replay of `corpus_bpe_encode`: learn the top-`n` pair merges
@@ -765,6 +842,7 @@ object PipelineQueries {
     "ann_ivf_persisted" -> ivfTrainedOracle(8, 2, 2, 10),
     "ann_ivf_incremental" ->
       ivfTrainedOracle(8, 2, 2, 10, trainWhere = "vec_id < 300"),
+    "ann_ivf_q8_rerank" -> ivfQuantizedOracle(8, 2, 2, 30, 10),
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

@@ -424,6 +424,79 @@ object Similarity {
     probePostings(postings, probed, k, roundDecimals)
   }
 
+  /** Quantized-candidate IVF serving: postings carry an INT8-quantized
+    * payload (per-vector min/scale affine code, 4× smaller than float32
+    * — the memory trade that lets a serving tier keep its lists hot),
+    * candidate generation scores queries against the DEQUANTIZED codes
+    * inside the probed cells, and only the per-query `shortlist` best
+    * candidates are reranked at full precision against the corpus
+    * vectors — the two-stage quantize-then-rerank shape of IVF-PQ
+    * serving systems, here with scalar (per-dimension affine)
+    * quantization. The rerank side broadcasts the (queries × shortlist)
+    * candidate set into the corpus join, so the full-precision pass
+    * reads O(candidates), never rescans cells. Quantization error can
+    * reorder the shortlist BOUNDARY (documented recall trade, shortlist
+    * >> k absorbs it); everything inside the shortlist is reranked
+    * exactly.
+    */
+  def ivfTopKQuantized(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int = 10,
+      nProbe: Int = 2,
+      shortlist: Int = 30,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val cents = centroids.select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+    val assigned = scoredAgainstCells(
+        cents, Corpus.spread(corpus), "neighbor_id", "cvec",
+        idCol, vecCol, roundDecimals)
+      .groupBy(col("neighbor_id"), col("cvec"))
+      .agg(min_by(col("cell"), struct(-col("csim"), col("cell"))).as("cell"))
+
+    // quantize the posting payload, then dequantize for scoring — the
+    // affine params land as ATTRIBUTES first (a lambda capturing the
+    // raw array_min expression would re-evaluate it per element, the
+    // repo's measured O(d²) capture trap)
+    val v = col("cvec").cast("array<double>")
+    val posted = assigned
+      .select(col("cell"), col("neighbor_id"), v.as("dv"))
+      .select(col("cell"), col("neighbor_id"), col("dv"),
+        array_min(col("dv")).as("q_min"),
+        ((array_max(col("dv")) - array_min(col("dv"))) / lit(255.0)).as("q_sc"))
+      .select(col("cell"), col("neighbor_id"),
+        transform(col("dv"), x =>
+          when(col("q_sc") > 0,
+            col("q_min") +
+              least(floor((x - col("q_min")) / col("q_sc")), lit(255.0))
+                .cast("long").cast("double") * col("q_sc"))
+            .otherwise(col("q_min")))
+          .cast("array<float>").as("dq"))
+
+    val probed = probeCells(cents, queries, nProbe, idCol, vecCol,
+      roundDecimals)
+    val qcand = posted.join(probed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        maybeRound(cosineSim(col("qvec"), col("dq")), roundDecimals)
+          .as("cosine"))
+    val cand = rankTopK(qcand, shortlist).select("query_id", "neighbor_id")
+
+    // full-precision rerank: broadcast the bounded candidate set into
+    // the corpus, never the reverse
+    val qside = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv2"))
+    val rerank = Corpus.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .join(broadcast(cand.join(qside, "query_id")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        maybeRound(cosineSim(col("qv2"), col("nvec")), roundDecimals)
+          .as("cosine"))
+    rankTopK(rerank, k)
+  }
+
   /** EXACT embedding-cosine near-duplicate pairs (cosine >= threshold).
     *
     * Deliberately quadratic: one side is broadcast and every ordered pair

@@ -31,8 +31,8 @@ class PlanSweepSpec extends SparkSpec {
   //    two declared-bounded exact baselines above as their reference
   private val nljAllowed =
     Set("q_fuzzy_match", "ann_brute_topk", "ann_ivf_topk", "ann_ivf_trained",
-      "ann_ivf_persisted", "ann_ivf_incremental", "dedup_embedding",
-      "ann_srp_recall", "dedup_srp_recall")
+      "ann_ivf_persisted", "ann_ivf_incremental", "ann_ivf_q8_rerank",
+      "dedup_embedding", "ann_srp_recall", "dedup_srp_recall")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

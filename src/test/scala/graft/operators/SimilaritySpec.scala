@@ -180,6 +180,33 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(replayed) == rows(want))
   }
 
+  test("quantized-candidate rerank recovers the unquantized IVF result") {
+    val cents = Similarity.kmeansCentroids(emb, k = 8, iterations = 2,
+      roundDecimals = 6)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.ivfTopK(emb, queries, cents,
+      k = 10, nProbe = 2, roundDecimals = 6))
+    val quant = pairs(Similarity.ivfTopKQuantized(emb, queries, cents,
+      k = 10, nProbe = 2, shortlist = 30, roundDecimals = 6))
+    // same cells, same k — the shortlist absorbs INT8 reordering, so
+    // recall vs the unquantized path should be high on this corpus
+    val recall = (exact & quant).size.toDouble / exact.size
+    info(f"quantized-rerank recall vs unquantized IVF: $recall%.2f")
+    assert(recall >= 0.9, s"recall $recall")
+    // reranked scores are FULL precision: every common pair agrees
+    // on its cosine with the unquantized path (both round-6)
+    val exactScores = Similarity.ivfTopK(emb, queries, cents,
+        k = 10, nProbe = 2, roundDecimals = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.ivfTopKQuantized(emb, queries, cents,
+        k = 10, nProbe = 2, shortlist = 30, roundDecimals = 6).collect()
+      .foreach { r =>
+        exactScores.get((r.getLong(0), r.getLong(1)))
+          .foreach(c => assert(c == r.getDouble(2)))
+      }
+  }
+
   test("kmeans centroids improve the coarse quantizer monotonically") {
     import graft.functions.VectorFunctions
     // mean best-centroid cosine over the corpus = the (cosine) analogue
