@@ -405,7 +405,7 @@ object TextAnalysis {
     *
     * Mechanism: the token list is packed into one string with a
     * non-whitespace separator on BOTH sides of every token
-    * (` a  b ` for tokens a, b — stripped from
+    * (`␟a␟␟b␟` for tokens a, b; the separator is stripped from
     * the input first, so it can never occur inside a token), and each
     * merge `(a, b)` becomes one codegen'd `replace` of
     * `␟a␟␟b␟ -> ␟a b␟`. Because `replace` scans left-to-right
