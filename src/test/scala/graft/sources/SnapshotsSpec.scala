@@ -349,6 +349,34 @@ class SnapshotsSpec extends SparkSpec {
       .head().getAs[Long]("v") == 14L)
   }
 
+  test("restore of a hidden-partitioned version keeps its spec and pruning") {
+    val dir = Files.createTempDirectory("graft-snap-restore-spec").toString
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val data = spark.range(0, 4000).toDF("i")
+        .select(col("i").as("id"), (col("i") % 10).as("cat"), col("i").as("v"))
+      Snapshots.commit(spark, data, dir,
+        statsColumns = Seq("cat"),
+        partitionSpec = Seq(Snapshots.Transform.Identity("cat")))
+      // damage: an unpartitioned full overwrite drops the spec
+      Snapshots.commit(spark, data.filter(col("cat") =!= 3L), dir)
+      assert(Snapshots.partitionSpec(spark, dir).isEmpty)
+
+      val v3 = Snapshots.restore(spark, dir, 1L)
+      // the restore re-publishes the TARGET's spec, not the base's
+      assert(Snapshots.partitionSpec(spark, dir, v3) ==
+        Seq(Snapshots.Transform.Identity("cat")))
+      assert(Snapshots.read(spark, dir).count() == 4000)
+      val (files, total) = Snapshots.selectFilesPartitioned(
+        spark, dir, v3, Seq("cat" -> 3L))
+      assert(total > 4 && files.nonEmpty && files.size < total,
+        s"${files.size} of $total")
+      val got = Snapshots.readPartitioned(spark, dir, Seq("cat" -> 3L))
+      assert(got.count() == 400)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("a commit that fails before the claim leaves only an invisible staging orphan") {
     val dir = Files.createTempDirectory("graft-snap-crash").toString
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
