@@ -554,6 +554,17 @@ object PipelineQueries {
           array_join(col("tokens"), "|").as("encoded"))
         .orderBy("doc_id")
     }),
+    "text_normalize" -> ((s, d) => {
+      // canonicalization stage: the output feeds every downstream
+      // dedup/tokenize stage one spelling per document; n_raw/n_norm
+      // expose how much boilerplate whitespace the corpus carried
+      Corpus.spread(t(s, d, "documents")).select(
+        col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("text_norm"),
+        length(col("text")).cast("long").as("n_raw"),
+        length(TextAnalysis.normalize(col("text"))).cast("long").as("n_norm"))
+        .orderBy("doc_id")
+    }),
     "text_char_entropy" -> ((s, d) => {
       TextAnalysis.charEntropy(t(s, d, "documents"))
         .orderBy("doc_id")
@@ -1724,6 +1735,16 @@ object PipelineQueries {
         |FROM counted ORDER BY n_docs DESC, span LIMIT 20""".stripMargin,
     // same −Σ p·ln p fold; SUM(n) cast to DOUBLE so the division is
     // float on both engines (DuckDB's BIGINT SUM widens to HUGEINT)
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |    '[[:cntrl:]]', '', 'g') AS text_norm,
+        |  CAST(length(text) AS BIGINT) AS n_raw,
+        |  CAST(length(regexp_replace(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |    '[[:cntrl:]]', '', 'g')) AS BIGINT) AS n_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_char_entropy" ->
       """WITH chars AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '[^\n]')) AS c

@@ -153,6 +153,21 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** Canonical text normalization — the first stage of every corpus
+    * pipeline, so downstream dedup/quality/tokenize stages see one
+    * spelling of each document: case-fold, collapse every whitespace
+    * run to a single space (tabs/newlines included), trim, then strip
+    * any remaining control characters (those outside `\s`, e.g.
+    * vertical tab, NUL — collapsed-first so real line breaks become
+    * word boundaries, not silent joins). Pure narrow codegen'd regex
+    * ops, no shuffle; both regex classes mean the same byte sets in
+    * Java and RE2, which is what makes the entry oracle-checkable.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(
+      trim(regexp_replace(lower(text), "\\s+", " ")),
+      "\\p{Cntrl}", "")
+
   /** Content-defined document fingerprint: min of the md5 digests of the
     * character 5-gram shingles (a 1-hash MinHash — stable under small
     * edits elsewhere in the document, winnowing-lite). md5 rather than
