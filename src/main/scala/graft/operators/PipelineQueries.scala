@@ -554,6 +554,8 @@ object PipelineQueries {
           array_join(col("tokens"), "|").as("encoded"))
         .orderBy("doc_id")
     }),
+    // explicit whitespace class, not \s: Java and RE2 disagree on
+    // vertical tab (see TextAnalysis.normalize)
     "text_normalize" -> ((s, d) => {
       // canonicalization stage: the output feeds every downstream
       // dedup/tokenize stage one spelling per document; n_raw/n_norm
@@ -828,16 +830,22 @@ object PipelineQueries {
          |  SELECT doc_id, replace(s,
          |    COALESCE((SELECT ${pat(1)} || $sep || ${pat(2)} || $sep
          |              FROM merges WHERE r = $r),
-         |             $sep || $sep || $sep),
+         |             repeat($sep, 4)),
          |    COALESCE((SELECT $sep || pair || $sep FROM merges WHERE r = $r),
          |             '')) AS s
          |  FROM s${r - 1})""".stripMargin
     }
+    // edge strip mirrors the Spark substr EXACTLY (drop one sentinel per
+    // end, never trim-all): a doc tokenizing to a leading/trailing EMPTY
+    // token (text starting with a tab) legitimately packs a double
+    // separator at the edge, and trim(s, chr(31)) would eat the empty
+    // token on this side only. Same reason the missing-rank fallback is
+    // a 4-separator pattern — runs of at most 3 can occur in a state.
     val tail =
       s"""SELECT doc_id,
-         |  CAST(len(string_split(trim(s, $sep), $sep || $sep)) AS BIGINT)
+         |  CAST(len(string_split(s[2:length(s)-1], $sep || $sep)) AS BIGINT)
          |    AS n_tokens,
-         |  array_to_string(string_split(trim(s, $sep), $sep || $sep), '|')
+         |  array_to_string(string_split(s[2:length(s)-1], $sep || $sep), '|')
          |    AS encoded
          |FROM s$nMerges ORDER BY doc_id""".stripMargin
     ((base +: steps).mkString(",\n")) + "\n" + tail
@@ -1738,11 +1746,11 @@ object PipelineQueries {
     "text_normalize" ->
       """SELECT doc_id,
         |  regexp_replace(
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |    trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')),
         |    '[[:cntrl:]]', '', 'g') AS text_norm,
         |  CAST(length(text) AS BIGINT) AS n_raw,
         |  CAST(length(regexp_replace(
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |    trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')),
         |    '[[:cntrl:]]', '', 'g')) AS BIGINT) AS n_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_char_entropy" ->

@@ -160,12 +160,17 @@ object TextAnalysis {
     * any remaining control characters (those outside `\s`, e.g.
     * vertical tab, NUL — collapsed-first so real line breaks become
     * word boundaries, not silent joins). Pure narrow codegen'd regex
-    * ops, no shuffle; both regex classes mean the same byte sets in
-    * Java and RE2, which is what makes the entry oracle-checkable.
+    * ops, no shuffle. The whitespace class is EXPLICIT (space, tab,
+    * newline, CR, FF) rather than `\s` because Java and RE2 disagree
+    * on vertical tab (Java's `\s` includes U+000B, RE2's excludes it)
+    * — with the explicit class both engines collapse the same bytes
+    * and VT falls through to the control strip on both, which is what
+    * makes the entry oracle-checkable byte-for-byte. `[[:cntrl:]]` and
+    * `\p{Cntrl}` both mean [\x00-\x1F\x7F].
     */
   def normalize(text: Column): Column =
     regexp_replace(
-      trim(regexp_replace(lower(text), "\\s+", " ")),
+      trim(regexp_replace(lower(text), "[ \\t\\n\\r\\f]+", " ")),
       "\\p{Cntrl}", "")
 
   /** Content-defined document fingerprint: min of the md5 digests of the

@@ -189,7 +189,15 @@ object Snapshots {
       refs: Seq[String] = Nil,
       carriedManifest: Option[DataFrame] = None,
       morDeletes: Option[DataFrame] = None,
-      posDeletes: Option[DataFrame] = None)
+      posDeletes: Option[DataFrame] = None,
+      // a commit that publishes NO data rows of its own (MoR delete,
+      // restore): the staged frame is empty by construction, so stage()
+      // writes the carried manifest VERBATIM (every stats/bloom/envelope
+      // column survives — aligning it to an own-manifest built over zero
+      // rows would project carried columns away) and skips the
+      // spec-clustering repartition (which would fan an empty frame into
+      // shuffle-partition-count empty files, one per task)
+      pureReference: Boolean = false)
 
   /** A write whose staged rows violate a table expectation. The staging
     * directory is already cleaned up when this reaches the caller — a
@@ -274,7 +282,8 @@ object Snapshots {
     // a small commit into one file would silently defeat pruning — file
     // granularity IS the product here, not an execution detail.
     val clustered =
-      if (partitionSpec.isEmpty) df
+      if (sidecars.pureReference) df.coalesce(1)
+      else if (partitionSpec.isEmpty) df
       else df.repartition(
         spark.sessionState.conf.numShufflePartitions,
         partitionSpec.map(t => t(col(t.column))): _*)
@@ -327,7 +336,13 @@ object Snapshots {
         throw new CommitRejectedException(failed, tableDir)
       }
     }
-    if (statsColumns.nonEmpty || bloomColumns.nonEmpty || partitionSpec.nonEmpty) {
+    if (sidecars.pureReference)
+      // no own data rows: the predecessor's manifest IS this version's —
+      // re-publish it verbatim so stats, blooms, and transform envelopes
+      // all survive regardless of this commit's (empty) manifest config
+      sidecars.carriedManifest.foreach(
+        _.coalesce(1).write.mode("overwrite").parquet(manifestDir(stageDir)))
+    else if (statsColumns.nonEmpty || bloomColumns.nonEmpty || partitionSpec.nonEmpty) {
       val data = spark.read.parquet(stageDir)
       val aggs: Seq[Column] = (count(lit(1)).as("n_rows") +:
         (statsColumns.flatMap(c =>
@@ -651,8 +666,17 @@ object Snapshots {
         .drop("_graft_f", "_graft_i")
     if (!ctx.util().exists(keyedP)) afterPos
     else {
+      // NULL-SAFE anti-join: a plain USING-columns anti-join never
+      // matches NULL = NULL, so a predicate-matched row with a NULL key
+      // would land in the sidecar (and the change feed) yet stay
+      // visible forever — the keyed delete must drop exactly the rows
+      // whose key tuple null-safely equals a sidecar row's
       val dels = spark.read.parquet(keyedP.toString)
-      afterPos.join(dels, dels.columns.toSeq, "left_anti")
+      val renamed = dels.columns.foldLeft(dels)((d, c) =>
+        d.withColumnRenamed(c, s"_graft_d_$c"))
+      val cond = dels.columns.map(c =>
+        afterPos(c) <=> renamed(s"_graft_d_$c")).reduce(_ && _)
+      afterPos.join(renamed, cond, "left_anti")
     }
   }
 
@@ -1184,7 +1208,8 @@ object Snapshots {
       (cur.limit(0),
         Sidecars(changes = feed, refs = rootRelativeFiles(spark, tableDir, base),
           carriedManifest = carriedManifestOf(spark, tableDir, base),
-          morDeletes = Some(dels), posDeletes = posCarry))
+          morDeletes = Some(dels), posDeletes = posCarry,
+          pureReference = true))
     }
   }
 
@@ -1251,26 +1276,39 @@ object Snapshots {
       updates: DataFrame,
       key: Seq[String],
       statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
       recordChanges: Boolean = false,
       maxRetries: Int = 10): Long = {
     require(key.nonEmpty, "merge-on-read upsert needs merge keys")
     val ctx = fc(spark)
-    occLoop(spark, tableDir, statsColumns, Nil, maxRetries) { (base, cur) =>
+    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) { (base, cur0) =>
       val snapDir = s"$tableDir/snap-$base"
       require(!ctx.util().exists(new Path(s"$snapDir/_mor_deletes")),
         s"merge-on-read upsert on $tableDir with a pending keyed delete " +
           "set: fold it first (compact or an unscoped write)")
+      // strict schema contract, same as copy-on-write merge's unionByName:
+      // update files land NEXT TO referenced base files, so a silently
+      // divergent schema would corrupt every later mixed-footer read
+      val curT = cur0.schema.map(f => f.name -> f.dataType).toMap
+      val updT = updates.schema.map(f => f.name -> f.dataType).toMap
+      require(curT.keySet == updT.keySet &&
+          curT.forall { case (c, t) => updT(c) == t },
+        s"merge-on-read upsert schema mismatch on $tableDir: table has " +
+          s"${cur0.schema.simpleString}, updates have " +
+          s"${updates.schema.simpleString}")
+      // stage the updates in the TABLE's column order
+      val ups = updates.select(cur0.columns.map(col).toIndexedSeq: _*)
       // write-time CDF, same classification as the copy-on-write merge:
       // a mergeOnRead inside a recorded window must not tear a hole in
       // the feed ([[changesFeed]] refuses gapped windows by design)
       val feed = if (!recordChanges) None else Some {
-        val marked = cur.select(key.map(col): _*)
+        val marked = cur0.select(key.map(col): _*)
           .withColumn("_graft_matched", lit(1))
-        updates.join(marked, key, "left")
+        ups.join(marked, key, "left")
           .withColumn("change_type",
             when(col("_graft_matched").isNull, lit("insert"))
               .otherwise(lit("update")))
-          .select(col("change_type") +: updates.columns.toSeq.map(col): _*)
+          .select(col("change_type") +: ups.columns.toSeq.map(col): _*)
       }
       // live base rows WITH file coordinates: raw scan + provenance
       // columns, pending positional deletes applied on those columns
@@ -1279,14 +1317,14 @@ object Snapshots {
           .withColumn("_graft_f", scanFileName)
           .withColumn("_graft_i", col("_metadata.row_index")))
       val matched = live
-        .join(updates.select(key.map(col): _*), key, "left_semi")
+        .join(ups.select(key.map(col): _*), key, "left_semi")
         .select(col("_graft_f").as("file"), col("_graft_i").as("idx"))
       val pendingP = new Path(s"$snapDir/_pos_deletes")
       val dels =
         (if (!ctx.util().exists(pendingP)) matched
          else matched.unionByName(spark.read.parquet(pendingP.toString)))
           .distinct()
-      (updates,
+      (ups,
         Sidecars(changes = feed,
           refs = rootRelativeFiles(spark, tableDir, base),
           carriedManifest = carriedManifestOf(spark, tableDir, base),
@@ -1327,7 +1365,8 @@ object Snapshots {
           refs = rootRelativeFiles(spark, tableDir, toVersion),
           carriedManifest = carriedManifestOf(spark, tableDir, toVersion),
           morDeletes = sidecar("_mor_deletes"),
-          posDeletes = sidecar("_pos_deletes")))
+          posDeletes = sidecar("_pos_deletes"),
+          pureReference = true))
     }
   }
 

@@ -377,6 +377,58 @@ class SnapshotsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("merge-on-read hardening: stats/bloom carry, null keys, schema guard, empty-file bound") {
+    val dir = Files.createTempDirectory("graft-snap-mor-hard").toString
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val data = spark.range(0, 2000).toDF("i")
+        .select(col("i").as("id"), (col("i") % 8).as("cat"), col("i").as("v"))
+      Snapshots.commit(spark, data, dir,
+        statsColumns = Seq("id"), bloomColumns = Seq("id"),
+        partitionSpec = Seq(Snapshots.Transform.Identity("cat")))
+
+      // a MoR delete is a pure-reference commit: the carried manifest
+      // must keep stats AND blooms verbatim, and the empty own data
+      // must not fan out into shuffle-partition-count empty files
+      val v2 = Snapshots.deleteMergeOnRead(spark, dir, col("id") < 100,
+        Seq("id"))
+      val snap2 = new java.io.File(s"$dir/snap-$v2")
+      val ownData = snap2.listFiles.filter(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(ownData.length <= 1, s"${ownData.length} empty data files")
+      // bloom point read still prunes and still applies the delete set
+      assert(Snapshots.readPoint(spark, dir, "id", 50L).count() == 0)
+      assert(Snapshots.readPoint(spark, dir, "id", 150L).count() == 1)
+      // range stats survived the carry too
+      assert(Snapshots.readRange(spark, dir, "id", 140L, 160L).count() == 21)
+      // and so did the partition-spec envelope
+      val got = Snapshots.readPartitioned(spark, dir, Seq("cat" -> 3L))
+      assert(got.count() == data.filter(col("cat") === 3L && col("id") >= 100)
+        .count())
+
+      // restore of the stats+bloom+spec version keeps all three
+      val v3 = Snapshots.restore(spark, dir, 1L)
+      assert(Snapshots.readPoint(spark, dir, "id", 50L, v3).count() == 1)
+      assert(Snapshots.readRange(spark, dir, "id", 0L, 9L, v3).count() == 10)
+
+      // a NULL-keyed row must be deletable (null-safe anti-join)
+      val withNull = data.select(
+        when(col("id") === 1500L, lit(null).cast("long")).otherwise(col("id"))
+          .as("id"), col("cat"), col("v"))
+      Snapshots.commit(spark, withNull, dir, statsColumns = Seq("id"))
+      Snapshots.deleteMergeOnRead(spark, dir, col("v") === 1500L, Seq("id"))
+      assert(Snapshots.read(spark, dir).filter(col("v") === 1500L).count() == 0)
+      assert(Snapshots.read(spark, dir).count() == 1999)
+
+      // merge-on-read upsert refuses schema drift instead of corrupting
+      intercept[IllegalArgumentException] {
+        Snapshots.mergeOnRead(spark, dir,
+          Seq((1L, 1L)).toDF("id", "wrong"), Seq("id"))
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("a commit that fails before the claim leaves only an invisible staging orphan") {
     val dir = Files.createTempDirectory("graft-snap-crash").toString
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
