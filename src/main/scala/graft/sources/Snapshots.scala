@@ -1555,6 +1555,64 @@ object Snapshots {
     * the same "readers within the retention window" contract every
     * format's VACUUM documents.
     */
+  /** Pin a human-readable NAME to a committed version (Iceberg tags /
+    * Delta named snapshots): `_tag-<name>` lands by a create-only write
+    * — the same no-overwrite claim discipline as the snapshot commit,
+    * so concurrent taggers race safely and a tag is IMMUTABLE once
+    * placed ([[dropTag]] + re-tag to move it). Tagged versions are
+    * retention ROOTS: [[expire]] keeps them (and every file they
+    * reference) alive regardless of `keepLast`, which is the actual
+    * point of a tag — "this exact state is someone's reproducibility
+    * contract (a training-run input, an audit snapshot), don't GC it."
+    * `v = 0` tags the current version. Returns the tagged version.
+    */
+  def tag(
+      spark: SparkSession,
+      tableDir: String,
+      name: String,
+      v: Long = 0L): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name '$name' (allowed: letters, digits, dot, underscore, dash)")
+    val ctx = fc(spark)
+    val ver = if (v >= 1) v else version(spark, tableDir)
+    require(ver >= 1 && ctx.util().exists(new Path(s"$tableDir/snap-$ver")),
+      s"cannot tag $tableDir version $ver: no such committed snapshot")
+    val out = ctx.create(new Path(tableDir, s"_tag-$name"),
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE))
+    try out.write(ver.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    ver
+  }
+
+  /** All tags of the table: name → version. */
+  def tags(spark: SparkSession, tableDir: String): Map[String, Long] = {
+    val ctx = fc(spark)
+    if (!ctx.util().exists(new Path(tableDir))) Map.empty
+    else ctx.util().listStatus(new Path(tableDir)).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("_tag-") => n.stripPrefix("_tag-") }
+      .map { name =>
+        val in = ctx.open(new Path(tableDir, s"_tag-$name"))
+        val ver =
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        name -> ver
+      }.toMap
+  }
+
+  /** Read the snapshot a tag pins. */
+  def readTag(spark: SparkSession, tableDir: String, name: String): DataFrame = {
+    val ver = tags(spark, tableDir).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on $tableDir"))
+    readVersion(spark, tableDir, ver)
+  }
+
+  /** Remove a tag (the version becomes expirable again). Returns
+    * whether the tag existed.
+    */
+  def dropTag(spark: SparkSession, tableDir: String, name: String): Boolean =
+    fc(spark).delete(new Path(tableDir, s"_tag-$name"), false)
+
   def expire(
       spark: SparkSession,
       tableDir: String,
@@ -1565,7 +1623,9 @@ object Snapshots {
     val all = ctx.util().listStatus(new Path(tableDir)).iterator
       .map(_.getPath.getName).collect { case SnapName(v) => v.toLong }
       .toSeq.sorted
-    val retained = all.filter(_ > tip - keepLast)
+    // tags are named retention roots alongside the recency window
+    val tagged = tags(spark, tableDir).values.toSet
+    val retained = all.filter(v => v > tip - keepLast || tagged(v))
     // dirs still needed: every retained dir + every dir a retained
     // version's refs reach into ("snap-<v>/file" → snap-<v>)
     val needed = retained.map(v => s"snap-$v").toSet ++

@@ -429,6 +429,29 @@ class SnapshotsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("tags pin versions by name, survive expiry as retention roots, and are immutable") {
+    val dir = Files.createTempDirectory("graft-snap-tags").toString
+    Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Snapshots.tag(spark, dir, "train-run-1")
+    // the table moves on: three more versions, then aggressive expiry
+    Snapshots.commit(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+    Snapshots.commit(spark, Seq((4L, "d")).toDF("id", "v"), dir)
+    Snapshots.commit(spark, Seq((5L, "e")).toDF("id", "v"), dir)
+    val expired = Snapshots.expire(spark, dir, keepLast = 1)
+    // v1 survives BY NAME, the untagged middle history is gone
+    assert(expired.toSet == Set(2L, 3L))
+    assert(Snapshots.readTag(spark, dir, "train-run-1")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(Snapshots.tags(spark, dir) == Map("train-run-1" -> 1L))
+    // immutability: re-tagging the same name is a refused overwrite
+    intercept[Exception] { Snapshots.tag(spark, dir, "train-run-1", 4L) }
+    // drop + expire collects the now-unprotected version
+    assert(Snapshots.dropTag(spark, dir, "train-run-1"))
+    assert(Snapshots.expire(spark, dir, keepLast = 1).toSet == Set(1L))
+    assert(Snapshots.read(spark, dir).collect().map(_.getLong(0)).toSet
+      == Set(5L))
+  }
+
   test("a commit that fails before the claim leaves only an invisible staging orphan") {
     val dir = Files.createTempDirectory("graft-snap-crash").toString
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
