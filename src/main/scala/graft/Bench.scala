@@ -101,8 +101,10 @@ object Bench {
     // losing the total and the starvation detector first (r5's artifact
     // parsed as null for exactly this reason). Emit a second, compact
     // summary line AFTER the map so the most important numbers are the
-    // last bytes printed and survive any head truncation.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$load,"n_entries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    // last bytes printed and survive any head truncation. Distinct
+    // metric name: a consumer selecting or summing by "total" must
+    // never double-count the two lines.
+    println(s"""{"metric":"total_summary","value":${fmt(total)},"unit":"sec",$load,"n_entries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

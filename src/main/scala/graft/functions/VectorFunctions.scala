@@ -89,6 +89,64 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Raw dot product between two float vectors — the codegen'd building
+  * block of the IVF-PQ lookup tables ([[graft.operators.Similarity]]
+  * `ivfTopKPQ`): ADC scoring needs PARTIAL dot products per subspace
+  * (query-subvector · codebook-entry) that are summed relationally, so
+  * the normalizing division of [[CosineSimilarity]] must not happen per
+  * part. Same sequential double accumulation in index order, same
+  * analysis-time type check, same whole-stage codegen.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, array<float>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |double $dot = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 /** Full signed-random-projection bit signature — ALL hyperplanes in one
   * codegen'd pass: `array<float>` in, one long out with bit p set iff
   * v · plane_p >= 0.
@@ -183,12 +241,24 @@ object VectorFunctions {
     GraftShims.toColumn(
       CosineSimilarity(GraftShims.toExpression(a), GraftShims.toExpression(b)))
 
-  /** SQL registration: `SELECT cosine_sim(a, b)`. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Column-DSL entry point for [[DotProduct]]. */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftShims.toColumn(
+      DotProduct(GraftShims.toExpression(a), GraftShims.toExpression(b)))
+
+  /** SQL registration: `SELECT cosine_sim(a, b)` / `dot_product(a, b)`.
+    * Idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)),
+      "built-in")
+  }
 
   /** Reference implementation using only built-in higher-order functions
     * (CodegenFallback path) — kept for cross-checking the custom

@@ -359,7 +359,12 @@ object Multimodal {
     * the source bytes, so SQL recomputes the statistics from the text
     * independently (a JPEG fixture would decode to codec-defined
     * approximations — exercised in MultimodalSpec, not oracle-gated).
-    * Docs shorter than one raster row are excluded (no 0-row images).
+    * Docs shorter than one raster row are excluded (no 0-row images),
+    * and so are docs where UTF-8 byte length differs from character
+    * length (non-ASCII): the raster is built from BYTES while the SQL
+    * oracle reads per-CHARACTER code points, so restricting both sides
+    * to byte==char docs keeps the contract exact on any corpus instead
+    * of silently assuming an ASCII fixture.
     */
   def withPngPayload(
       spark: SparkSession,
@@ -371,7 +376,8 @@ object Multimodal {
     require(w > 0 && maxRows > 0, s"bad raster bounds w=$w maxRows=$maxRows")
     import spark.implicits._
     docs
-      .filter(length(col(textCol)) >= w)
+      .filter(length(col(textCol)) >= w &&
+        octet_length(col(textCol)) === length(col(textCol)))
       .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
       .select(col(idCol), col(textCol)).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>

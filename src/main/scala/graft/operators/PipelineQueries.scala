@@ -207,6 +207,24 @@ object PipelineQueries {
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf_pq" -> ((s, d) => {
+      // IVF-PQ: per-subspace codebooks trained with the SAME seeded
+      // Lloyd as the coarse quantizer (4 subspaces × 8 codes × 2
+      // iterations), postings reduced to m-byte codes, candidates
+      // scored via per-query ADC lookup tables (partial dot products
+      // summed relationally — no dequantized vector in the hot path),
+      // then the shortlist reranked at full precision. The oracle
+      // unrolls BOTH quantizer trainings (coarse + every subspace) as
+      // CTE chains and replays encode → LUT → ADC → rerank, so a hash
+      // match certifies the whole serving pipeline end-to-end.
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.kmeansCentroids(
+        emb, k = 8, iterations = 2, roundDecimals = 6)
+      Similarity.ivfTopKPQ(emb, emb.filter(col("vec_id") < 10), cents,
+          k = 10, nProbe = 2, m = 4, ksub = 8, pqIterations = 2,
+          shortlist = 30, roundDecimals = 6)
+        .orderBy("query_id", "rank")
+    }),
     "ann_ivf_trained" -> ((s, d) => {
       // the FULL IVF path: train the coarse quantizer with Lloyd's
       // k-means (seeded by the k lowest-id vectors, 2 iterations,
@@ -240,6 +258,30 @@ object PipelineQueries {
       val ref = Similarity.bruteForceTopK(emb, q, k = 10, roundDecimals = 6)
         .select(col("query_id"), col("neighbor_id"))
       val got = Similarity.srpBucketedTopK(emb, q, k = 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      ref.join(got, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_ref"), count(col("hit")).as("n_hit"))
+        .select(
+          col("n_ref"),
+          when(col("n_hit").cast("double") / col("n_ref") >= 0.30, lit(1L))
+            .otherwise(lit(0L)).as("ok"))
+    }),
+    "ann_pq_recall" -> ((s, d) => {
+      // recall@10 of ann_ivf_pq's exact configuration vs exact brute
+      // force. The ceiling is the coarse probe (nProbe=2 of 8 cells on
+      // near-orthogonal random vectors — the same worst case as the SRP
+      // gate); PQ distortion inside the probed cells is mostly absorbed
+      // by the 3× shortlist + exact rerank. Floor 0.30, measured ~2×
+      // clear on the gate corpus.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.kmeansCentroids(
+        emb, k = 8, iterations = 2, roundDecimals = 6)
+      val ref = Similarity.bruteForceTopK(emb, q, k = 10, roundDecimals = 6)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = Similarity.ivfTopKPQ(emb, q, cents,
+          k = 10, nProbe = 2, m = 4, ksub = 8, pqIterations = 2,
+          shortlist = 30, roundDecimals = 6)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       ref.join(got, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_ref"), count(col("hit")).as("n_hit"))
@@ -787,6 +829,116 @@ object PipelineQueries {
     (ivfTrainCTEs(k, iters, nProbe, "TRUE") :+ tail).mkString(",\n")
   }
 
+  /** DuckDB replay of `ann_ivf_pq`: the shared coarse train/assign
+    * prefix ([[ivfTrainCTEs]]), then the per-subspace Lloyd trainings
+    * unrolled the same way — all `m` subspaces ride ONE grouped CTE
+    * chain because [[graft.operators.Similarity.pqCodebooks]] seeds
+    * every subspace with the same ksub lowest-id vectors — followed by
+    * the encode → per-query LUT → ADC summation → shortlist →
+    * full-precision rerank replay. Subspace centroids are
+    * float-quantized exactly where Spark casts to array<float>, every
+    * ordering decision rounds to 6 first, and the ADC normalization
+    * divides summed LUT partials identically on both engines.
+    */
+  private def ivfPqOracle(
+      k: Int, iters: Int, nProbe: Int,
+      m: Int, sd: Int, ksub: Int, pqIters: Int,
+      shortC: Int, topK: Int): String = {
+    def sl(v: String) = s"list_slice($v, s.sub * $sd + 1, s.sub * $sd + $sd)"
+    val pqBase =
+      s"""subsidx AS (
+         |  SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+         |psub AS (
+         |  SELECT e.vec_id, s.sub, ${sl("e.v")} AS sv
+         |  FROM e CROSS JOIN subsidx s),
+         |pc0 AS (
+         |  SELECT sub, vec_id AS code, sv AS cent FROM psub
+         |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $ksub))""".stripMargin
+    val pqIts = (1 to pqIters).map { i =>
+      val prev = s"pc${i - 1}"
+      s"""pqa$i AS (
+         |  SELECT p.vec_id, p.sub, p.sv, c.code, ${ivfCsim("p.sv", "c.cent")} AS csim
+         |  FROM psub p JOIN $prev c USING (sub)),
+         |pqg$i AS (
+         |  SELECT vec_id, sub, sv, code FROM (
+         |    SELECT vec_id, sub, sv, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY csim DESC, code) AS rn
+         |    FROM pqa$i) s WHERE rn = 1),
+         |pqm$i AS (
+         |  SELECT sub, code, ord, AVG(x) AS mu FROM (
+         |    SELECT sub, code, unnest(sv) AS x,
+         |      unnest(generate_series(1, len(sv))) AS ord FROM pqg$i)
+         |  GROUP BY sub, code, ord),
+         |pqc$i AS (
+         |  SELECT sub, code, list(mu ORDER BY ord) AS cent
+         |  FROM pqm$i GROUP BY sub, code),
+         |pc$i AS (
+         |  SELECT p.sub, p.code, COALESCE(n.cent, p.cent) AS cent
+         |  FROM $prev p LEFT JOIN pqc$i n USING (sub, code))""".stripMargin
+    }
+    val books = s"pc$pqIters"
+    val tail =
+      s"""esub AS (
+         |  SELECT a.neighbor_id, a.cell, s.sub, ${sl("a.cvec")} AS sv
+         |  FROM assigned a CROSS JOIN subsidx s),
+         |easc AS (
+         |  SELECT t.neighbor_id, t.cell, t.sub, c.code,
+         |    ${ivfCsim("t.sv", "c.cent")} AS csim
+         |  FROM esub t JOIN $books c USING (sub)),
+         |ecode AS (
+         |  SELECT neighbor_id, cell, sub, code FROM (
+         |    SELECT neighbor_id, cell, sub, code,
+         |      row_number() OVER (PARTITION BY neighbor_id, sub
+         |                         ORDER BY csim DESC, code) AS rn
+         |    FROM easc) s WHERE rn = 1),
+         |qlut AS (
+         |  SELECT q.vec_id AS query_id, s.sub, s.code,
+         |    list_dot_product(
+         |      list_slice(q.v, s.sub * $sd + 1, s.sub * $sd + $sd),
+         |      ${ivfFcent("s.cent")}) AS pdot,
+         |    list_dot_product(${ivfFcent("s.cent")}, ${ivfFcent("s.cent")})
+         |      AS pnorm
+         |  FROM e q CROSS JOIN $books s WHERE q.vec_id < 10),
+         |qn AS (
+         |  SELECT vec_id AS query_id, list_dot_product(v, v) AS qq
+         |  FROM e WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT p.query_id, c.neighbor_id,
+         |    round(SUM(l.pdot) / sqrt(n.qq * SUM(l.pnorm)), 6) AS qcos
+         |  FROM ecode c
+         |  JOIN probed p USING (cell)
+         |  JOIN qlut l ON l.query_id = p.query_id
+         |    AND l.sub = c.sub AND l.code = c.code
+         |  JOIN qn n ON n.query_id = p.query_id
+         |  WHERE p.query_id <> c.neighbor_id
+         |  GROUP BY p.query_id, c.neighbor_id, n.qq),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY qcos DESC, neighbor_id) AS rn
+         |    FROM adc) s WHERE rn <= $shortC),
+         |rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    round(list_dot_product(q.v, n.v)
+         |      / sqrt(list_dot_product(q.v, q.v)
+         |             * list_dot_product(n.v, n.v)), 6) AS cosine
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.query_id
+         |  JOIN e n ON n.vec_id = s.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS INT)
+         |      AS "rank"
+         |  FROM rr)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
+         |WHERE "rank" <= $topK ORDER BY query_id, "rank"""".stripMargin
+    (ivfTrainCTEs(k, iters, nProbe, "TRUE") ++ (pqBase +: pqIts) :+ tail)
+      .mkString(",\n")
+  }
+
   /** DuckDB replay of `corpus_bpe_encode`: learn the top-`n` pair merges
     * with the exact corpus_pair_merges ranking (over the RAW
     * tokenization, mirroring pairMergeCandidates), then unroll the
@@ -862,6 +1014,7 @@ object PipelineQueries {
     "ann_ivf_incremental" ->
       ivfTrainedOracle(8, 2, 2, 10, trainWhere = "vec_id < 300"),
     "ann_ivf_q8_rerank" -> ivfQuantizedOracle(8, 2, 2, 30, 10),
+    "ann_ivf_pq" -> ivfPqOracle(8, 2, 2, 4, 16, 8, 2, 30, 10),
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
@@ -1035,6 +1188,11 @@ object PipelineQueries {
         |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
         |    AS n_ref,
         |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    "ann_pq_recall" ->
+      """SELECT
+        |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(1 AS BIGINT) AS ok""".stripMargin,
     "dedup_srp_recall" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1117,7 +1275,10 @@ object PipelineQueries {
     "multimodal_png_features" ->
       """WITH dims AS (
         |  SELECT doc_id, text, least(length(text) // 32, 64) AS h
-        |  FROM documents WHERE length(text) >= 32),
+        |  -- strlen = UTF-8 bytes, length = characters: both sides drop
+        |  -- non-ASCII docs so byte raster and char oracle stay aligned
+        |  FROM documents
+        |  WHERE length(text) >= 32 AND strlen(text) = length(text)),
         |idx AS (
         |  SELECT doc_id, h, text,
         |    unnest(generate_series(1, 32 * h)) AS i
