@@ -66,6 +66,8 @@ object Sinks {
   private lazy val snapshotMorDir: String = scratch("graft-snapshot-mor")
   private lazy val snapshotMorUpsertDir: String = scratch("graft-snapshot-mor-upsert")
   private lazy val snapshotRestoreDir: String = scratch("graft-snapshot-restore")
+  private lazy val snapshotSpecEvoDir: String = scratch("graft-snapshot-specevo")
+  private lazy val snapshotBranchDir: String = scratch("graft-snapshot-branch")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -828,6 +830,81 @@ object Sinks {
     Snapshots.read(s, snapshotRestoreDir).orderBy("doc_id")
   }
 
+  /** BRANCHES end-to-end: main commits docs < 400, `dev` branches at v1
+    * (O(metadata) — pure references, no file copied), branch work
+    * updates docs 200-399 and inserts 400-599 through TWO branch
+    * commits while main stays untouched, then the branch tip merges
+    * back as a standard snapshot MERGE. The output unions main's final
+    * state with the PRE-merge main state (read via time travel), so a
+    * hash match certifies BOTH that the merge landed the branch's rows
+    * exactly and that branch commits never leaked into main's history.
+    * SnapshotsSpec pins the claim-isolation physics (8 writers racing
+    * across two branches, per-branch namespaces, GC roots).
+    */
+  private def snapshotBranch(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotBranchDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), snapshotBranchDir,
+      statsColumns = Seq("doc_id"))
+    Snapshots.createBranch(s, snapshotBranchDir, "dev")
+    // branch commit 1: update docs 200-399
+    Snapshots.commitToBranch(s,
+      Snapshots.readBranch(s, snapshotBranchDir, "dev")
+        .withColumn("n_chars",
+          when(col("doc_id") >= 200, col("n_chars") + 1000)
+            .otherwise(col("n_chars"))),
+      snapshotBranchDir, "dev")
+    // branch commit 2: insert docs 400-599 (also +1000, matching the
+    // oracle's uniform rule for the updated range)
+    Snapshots.commitToBranch(s,
+      Snapshots.readBranch(s, snapshotBranchDir, "dev").unionByName(
+        docs.filter(col("doc_id").between(400, 599))
+          .withColumn("n_chars", col("n_chars") + 1000)),
+      snapshotBranchDir, "dev")
+    Snapshots.mergeBranch(s, snapshotBranchDir, "dev", key = Seq("doc_id"),
+      statsColumns = Seq("doc_id"))
+    val after = Snapshots.read(s, snapshotBranchDir)
+      .withColumn("state", lit("merged"))
+    val mainBefore = Snapshots.readVersion(s, snapshotBranchDir, 1L)
+      .withColumn("state", lit("pre_merge"))
+    after.unionByName(mainBefore).orderBy("state", "doc_id")
+  }
+
+  /** PARTITION-SPEC EVOLUTION end-to-end (Iceberg's spec-id-per-file
+    * model): events before Jan 8 commit under spec A (day(ts)); the
+    * rest APPEND through [[Snapshots.evolvePartitionSpec]] under spec B
+    * (bucket(user_id, 8)) without rewriting a single spec-A file — the
+    * layout change costs O(new rows), the whole point at 100 TB. The
+    * entry then reads through BOTH layouts: a day probe (covered only
+    * by spec A) prunes A's files by their day envelope and keeps every
+    * B file; a user probe (covered only by spec B) prunes B's files by
+    * bucket and keeps every A file — per-spec pruned selections
+    * unioned, residual filters keeping rows exact. Oracle = the plain
+    * filters over the source; SnapshotsSpec pins the physical claims
+    * (zero spec-A rewrites, per-spec file-count reductions under each
+    * probe).
+    */
+  private def snapshotSpecEvolution(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotSpecEvoDir)
+    val ev = Tables(s, d, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val cut = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    Snapshots.commit(s, ev.filter(col("ts") < cut), snapshotSpecEvoDir,
+      partitionSpec = Seq(Snapshots.Transform.Day("ts")))
+    Snapshots.evolvePartitionSpec(s, snapshotSpecEvoDir,
+      ev.filter(col("ts") >= cut),
+      newSpec = Seq(Snapshots.Transform.Bucket("user_id", 8)))
+    val witness = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
+    val day = Snapshots
+      .scanPartitioned(s, snapshotSpecEvoDir, Seq("ts" -> witness))
+      .filter(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-05")))
+      .withColumn("probe", lit("day"))
+    val user = Snapshots
+      .readPartitioned(s, snapshotSpecEvoDir, Seq("user_id" -> 7L))
+      .withColumn("probe", lit("user"))
+    day.unionByName(user).orderBy("probe", "event_id")
+  }
+
   /** IN-list read through hidden partitioning: the multi-point serving
     * shape (fetch THESE keys) over the same bucket-transformed layout
     * as q_snapshot_hidden_partition — one manifest pass prunes to the
@@ -889,6 +966,8 @@ object Sinks {
     "q_snapshot_incr_pipeline" -> (snapshotIncrPipeline _),
     "q_snapshot_hidden_partition" -> (snapshotHiddenPartition _),
     "q_snapshot_in_read" -> (snapshotInRead _),
+    "q_snapshot_spec_evolution" -> (snapshotSpecEvolution _),
+    "q_snapshot_branch" -> (snapshotBranch _),
     "q_snapshot_mor_delete" -> (snapshotMorDelete _),
     "q_snapshot_mor_upsert" -> (snapshotMorUpsert _),
     "q_snapshot_restore" -> (snapshotRestore _),
@@ -1060,6 +1139,27 @@ object Sinks {
         |UNION ALL
         |SELECT event_id, ts, user_id, event_type, value, 'day' AS probe
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-12'
+        |ORDER BY probe, event_id""".stripMargin,
+    // merged = docs < 600 with +1000 on 200-599; pre_merge = v1's plain
+    // docs < 400 — replayed straight from the source table
+    "q_snapshot_branch" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id >= 200 THEN n_chars + 1000 ELSE n_chars END
+        |    AS n_chars,
+        |  'merged' AS state
+        |FROM documents WHERE doc_id < 600
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'pre_merge' AS state
+        |FROM documents WHERE doc_id < 400
+        |ORDER BY state, doc_id""".stripMargin,
+    // per-spec pruning keeps both reads row-exact via the residuals, so
+    // the oracle is the pair of plain filters over the source table
+    "q_snapshot_spec_evolution" ->
+      """SELECT event_id, ts, user_id, event_type, value, 'day' AS probe
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |UNION ALL
+        |SELECT event_id, ts, user_id, event_type, value, 'user' AS probe
+        |FROM events WHERE user_id = 7
         |ORDER BY probe, event_id""".stripMargin,
     // both as-of states replayed from source: t=1500 resolves v1
     // (docs < 100), t=2000 resolves v2 inclusively (docs < 200)

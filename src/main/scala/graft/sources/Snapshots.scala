@@ -112,17 +112,54 @@ object Snapshots {
   }
 
   /** The partition spec in force for version `v` of the table (empty
-    * when the snapshot was not committed through a spec). `v = 0`
-    * resolves the latest version.
+    * when the snapshot was not committed through a spec) — the DEFAULT
+    * spec, the one new data files are clustered under. `v = 0` resolves
+    * the latest version. Older files may live under earlier specs after
+    * an [[evolvePartitionSpec]]; [[partitionSpecs]] lists them all.
     */
   def partitionSpec(
       spark: SparkSession, tableDir: String, v: Long = 0L): Seq[Transform] = {
+    val (specs, defaultId) = partitionSpecs(spark, tableDir, v)
+    specs.find(_._1 == defaultId).map(_._2).getOrElse(Nil)
+  }
+
+  /** ALL partition specs known to version `v`, as (specId, transforms)
+    * plus the DEFAULT spec id — the Iceberg spec-evolution model: a
+    * spec change ([[evolvePartitionSpec]]) registers a new spec for NEW
+    * files while existing files keep the layout (and manifest envelope)
+    * of the spec they were written under, each manifest row tagged with
+    * its `spec_id`. Readers prune each file against ITS OWN spec and
+    * union the per-spec selections. Legacy single-spec sidecars (no
+    * `spec_id` column) read as spec 0.
+    */
+  def partitionSpecs(
+      spark: SparkSession,
+      tableDir: String,
+      v: Long = 0L): (Seq[(Int, Seq[Transform])], Int) = {
     val ver = if (v >= 1) v else version(spark, tableDir)
     val p = new Path(s"$tableDir/snap-$ver/_partition_spec")
-    if (ver < 1 || !fc(spark).util().exists(p)) Nil
-    else spark.read.parquet(p.toString).orderBy("pos").collect().toSeq
-      .map(r => Transform.fromSpec(
-        r.getAs[String]("kind"), r.getAs[String]("column"), r.getAs[Int]("param")))
+    if (ver < 1 || !fc(spark).util().exists(p)) (Nil, 0)
+    else {
+      val df = spark.read.parquet(p.toString)
+      if (!df.columns.contains("spec_id")) {
+        val ts = df.orderBy("pos").collect().toSeq.map(r =>
+          Transform.fromSpec(r.getAs[String]("kind"),
+            r.getAs[String]("column"), r.getAs[Int]("param")))
+        (Seq(0 -> ts), 0)
+      } else {
+        val rows = df.orderBy("spec_id", "pos").collect().toSeq
+        val specs = rows.groupBy(_.getAs[Int]("spec_id")).toSeq.sortBy(_._1)
+          .map { case (id, rs) =>
+            id -> rs.sortBy(_.getAs[Int]("pos")).map(r =>
+              Transform.fromSpec(r.getAs[String]("kind"),
+                r.getAs[String]("column"), r.getAs[Int]("param")))
+          }
+        val defaultId = rows.find(_.getAs[Boolean]("is_default"))
+          .map(_.getAs[Int]("spec_id"))
+          .getOrElse(specs.map(_._1).max)
+        (specs, defaultId)
+      }
+    }
   }
 
   private def fc(spark: SparkSession): FileContext =
@@ -270,7 +307,16 @@ object Snapshots {
       sidecars: Sidecars,
       expectations: Seq[(String, String)] = Nil,
       commitMillis: Option[Long] = None,
-      partitionSpec: Seq[Transform] = Nil): Path = {
+      partitionSpec: Seq[Transform] = Nil,
+      allSpecs: Seq[(Int, Seq[Transform])] = Nil,
+      currentSpecId: Int = 0): Path = {
+    // the spec set this version publishes: every spec any carried file
+    // was written under plus the current one ([[evolvePartitionSpec]]);
+    // the common single-spec case derives it from `partitionSpec`
+    val specSet =
+      if (allSpecs.nonEmpty) allSpecs
+      else if (partitionSpec.nonEmpty) Seq(currentSpecId -> partitionSpec)
+      else Nil
     val stageDir = s"$tableDir/_stage-${java.util.UUID.randomUUID()}"
     // hidden partitioning: cluster the write by the transform tuple so
     // each file holds (at most a few) partition values — the manifest's
@@ -288,12 +334,15 @@ object Snapshots {
         spark.sessionState.conf.numShufflePartitions,
         partitionSpec.map(t => t(col(t.column))): _*)
     clustered.write.mode("overwrite").parquet(stageDir)
-    if (partitionSpec.nonEmpty) {
+    if (specSet.nonEmpty) {
       import spark.implicits._
-      partitionSpec.zipWithIndex.map { case (t, i) =>
-        val (kind, param) = t.spec
-        (i, kind, t.column, param)
-      }.toDF("pos", "kind", "column", "param").coalesce(1)
+      specSet.flatMap { case (id, ts) =>
+        ts.zipWithIndex.map { case (t, i) =>
+          val (kind, param) = t.spec
+          (id, i, kind, t.column, param, id == currentSpecId)
+        }
+      }.toDF("spec_id", "pos", "kind", "column", "param", "is_default")
+        .coalesce(1)
         .write.mode("overwrite").parquet(s"$stageDir/_partition_spec")
     }
     // commit timestamp, published by the same atomic claim as the data
@@ -358,21 +407,63 @@ object Snapshots {
           graft.functions.BloomFunctions
             .bloomAgg(xxhash64(col(c)), BloomExpectedItems, BloomBits)
             .as(s"bloom_$c"))
-      val own = data
+      val own0 = data
         .groupBy(
           element_at(split(input_file_name(), "/"), -1).as("file"))
         .agg(aggs.head, aggs.tail: _*)
-      // carried rows (scoped merge) align to the OWN manifest's columns:
-      // stats configs must agree across the chain, surplus base columns
-      // (e.g. blooms the new write didn't build) are dropped with it
+      // per-file spec id (the Iceberg spec-evolution contract): own
+      // files were clustered under the CURRENT spec; carried files keep
+      // whatever spec id their manifest row already records
+      val own =
+        if (specSet.isEmpty) own0
+        else own0.withColumn("spec_id", lit(currentSpecId))
+      // carried rows (scoped merge / spec evolution) align to the OWN
+      // manifest's columns for everything SPEC-INDEPENDENT: stats/bloom
+      // configs must agree across the chain (loud error otherwise),
+      // surplus base columns (e.g. blooms the new write didn't build)
+      // are dropped. Transform-envelope columns (`min_pt_*`/`max_pt_*`)
+      // and `spec_id` legitimately DIFFER across specs, so they union
+      // by name with null fill — each row is only ever pruned against
+      // its own spec's columns, never a null of another spec's.
+      def isSpecCol(n: String) = n == "spec_id" ||
+        n.startsWith("min_pt_") || n.startsWith("max_pt_")
       sidecars.carriedManifest
-        .fold(own)(c => own.unionByName(c.select(own.columns.map(col): _*)))
+        .fold(own) { c =>
+          val ownData = own.columns.filterNot(isSpecCol)
+          val cData = c.columns.filterNot(isSpecCol).toSet
+          require(ownData.forall(cData),
+            s"carried manifest on $tableDir lacks stats columns the new " +
+              s"write declares (${ownData.filterNot(cData).mkString(", ")}) " +
+              "— stats configs must agree across the commit chain")
+          val aligned = c.select(
+            (ownData ++ c.columns.filter(isSpecCol)).map(col).toIndexedSeq: _*)
+          val u = own.unionByName(aligned, allowMissingColumns = true)
+          // legacy carried rows predate per-row spec ids: they can only
+          // come from a single-spec chain, which partitionSpecs reads
+          // back as spec 0
+          if (u.columns.contains("spec_id"))
+            u.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
+          else u
+        }
         .coalesce(1) // manifests are file-count-sized: one small file
         .write.mode("overwrite").parquet(manifestDir(stageDir))
-    } else sidecars.carriedManifest.foreach(
+    } else sidecars.carriedManifest.foreach { c =>
       // a pure-reference commit (merge-on-read delete) with no manifest
-      // config of its own still re-publishes the carried stats verbatim
-      _.coalesce(1).write.mode("overwrite").parquet(manifestDir(stageDir)))
+      // config of its own still re-publishes the carried stats verbatim.
+      // A commit that writes its OWN data files must not take this path:
+      // the carried manifest would list only the base's files, and every
+      // manifest-pruned reader (readRange/readPoint/readPartitionedIn/
+      // scanPartitioned) selects files FROM the manifest — the new rows
+      // would silently vanish from pruned reads. Refuse loudly instead;
+      // the caller passes the base's stats config (the merge/compact
+      // convention) so own-file rows land in the carried columns.
+      require(sidecars.pureReference,
+        s"commit on $tableDir carries a stats manifest but declares no " +
+          "stats/bloom/partition config for its own data files — pruned " +
+          "reads would silently skip the new rows; pass the base's " +
+          s"statsColumns (carried manifest columns: ${c.columns.mkString(", ")})")
+      c.coalesce(1).write.mode("overwrite").parquet(manifestDir(stageDir))
+    }
     // write-time CDF: the change rows this commit applies, published by
     // the same atomic claim as the data (underscore dir → hidden from
     // data scans), so feed and snapshot can never disagree
@@ -527,7 +618,9 @@ object Snapshots {
       statsColumns: Seq[String],
       bloomColumns: Seq[String],
       sidecars: Sidecars,
-      spec: Seq[Transform] = Nil): Option[Long] = {
+      spec: Seq[Transform] = Nil,
+      allSpecs: Seq[(Int, Seq[Transform])] = Nil,
+      currentSpecId: Int = 0): Option[Long] = {
     val ctx = fc(spark)
     // OCC writes enforce and carry forward the BASE version's
     // expectations — the base is pinned, so the list cannot drift
@@ -535,7 +628,7 @@ object Snapshots {
     // base and re-checks against ITS expectations)
     val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
       sidecars, loadExpectations(spark, ctx, tableDir, expectedBase),
-      partitionSpec = spec)
+      partitionSpec = spec, allSpecs = allSpecs, currentSpecId = currentSpecId)
     val v = expectedBase + 1
     if (tryClaim(ctx, staged, new Path(tableDir, s"snap-$v"))) {
       refreshPointer(ctx, tableDir, v)
@@ -567,25 +660,28 @@ object Snapshots {
       bloomColumns: Seq[String],
       maxRetries: Int,
       inheritSpec: Boolean = true,
-      specOverride: Seq[Transform] = Nil)(
+      specOverride: Long => (Seq[(Int, Seq[Transform])], Int) =
+        _ => (Nil, 0))(
       fn: (Long, DataFrame) => (DataFrame, Sidecars)): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = version(spark, tableDir)
       // the partition spec is TABLE metadata: a derived commit keeps the
-      // base version's spec (re-clustering its rewrite and re-publishing
-      // `_partition_spec` + the manifest's transform envelope), so
-      // hidden-partition pruning survives MERGE/DELETE/transact instead
-      // of silently degrading to full scans after the first update.
-      // [[compact]] opts out — its explicit file layout is the point;
-      // [[restore]] overrides with the TARGET version's spec.
-      val spec =
-        if (inheritSpec) partitionSpec(spark, tableDir, base)
-        else specOverride
+      // base version's FULL spec set — every spec id a carried file may
+      // still be tagged with, plus the default the rewrite re-clusters
+      // under — so hidden-partition pruning survives MERGE/DELETE/
+      // transact instead of silently degrading to full scans after the
+      // first update. [[compact]] opts out — its explicit file layout is
+      // the point; [[restore]] overrides with the TARGET version's
+      // specs; [[evolvePartitionSpec]] overrides with base + new.
+      val (specsAll, curId) =
+        if (inheritSpec) partitionSpecs(spark, tableDir, base)
+        else specOverride(base)
+      val spec = specsAll.find(_._1 == curId).map(_._2).getOrElse(Nil)
       val (next, sidecars) = fn(base, readVersion(spark, tableDir, base))
       commitIfVersionWith(
         spark, next, tableDir, base, statsColumns, bloomColumns, sidecars,
-        spec) match {
+        spec, allSpecs = specsAll, currentSpecId = curId) match {
         case Some(v) => return v
         case None => attempt += 1
       }
@@ -623,8 +719,16 @@ object Snapshots {
 
   /** A version's raw data file list: own files plus `_refs`. */
   private def dataFiles(
-      spark: SparkSession, tableDir: String, v: Long): Seq[String] = {
-    val snapDir = s"$tableDir/snap-$v"
+      spark: SparkSession, tableDir: String, v: Long): Seq[String] =
+    dataFilesAt(spark, tableDir, s"$tableDir/snap-$v")
+
+  /** Raw data files of an arbitrary snapshot directory (main version or
+    * branch claim): own non-hidden files plus `_refs` resolved against
+    * the TABLE root — reference paths are table-root-relative whichever
+    * namespace the referencing snapshot lives in.
+    */
+  private def dataFilesAt(
+      spark: SparkSession, tableDir: String, snapDir: String): Seq[String] = {
     val ctx = fc(spark)
     val own = ctx.util().listStatus(new Path(snapDir)).iterator
       .filter { st =>
@@ -876,28 +980,57 @@ object Snapshots {
       v: Long,
       probes: Seq[(String, Any)]): (Seq[String], Long) = {
     val snapDir = s"$tableDir/snap-$v"
-    val spec = partitionSpec(spark, tableDir, v)
+    val (specs, _) = partitionSpecs(spark, tableDir, v)
     val m = spark.read.parquet(manifestDir(snapDir))
     val total = m.count()
     val schema = readVersion(spark, tableDir, v).schema
-    val conds = for {
-      (c, value) <- probes
-      t <- spec if t.column == c
-    } yield {
-      // evaluate transform(literal) with the column's exact type — a
-      // LONG user_id probed as INT would xxhash64 differently and
-      // silently prune the wrong files
-      val lit0 = lit(value).cast(schema(c).dataType)
-      val tv = spark.range(1).select(t(lit0)).head().get(0)
-      col(s"min_${t.name}") <= lit(tv) && col(s"max_${t.name}") >= lit(tv)
+    // per-SPEC pruning (spec evolution): each file is judged against the
+    // spec it was written under — a probe a spec doesn't cover keeps that
+    // spec's files (correct superset), and a spec_id the sidecar doesn't
+    // list (legacy pre-spec files carried across an evolution) is never
+    // pruned at all: you must not prune what you cannot interpret
+    val keep = specKeepCondition(m.columns.toSet, specs) { ts =>
+      (for {
+        (c, value) <- probes
+        t <- ts if t.column == c && m.columns.contains(s"min_${t.name}")
+      } yield {
+        // evaluate transform(literal) with the column's exact type — a
+        // LONG user_id probed as INT would xxhash64 differently and
+        // silently prune the wrong files
+        val lit0 = lit(value).cast(schema(c).dataType)
+        val tv = spark.range(1).select(t(lit0)).head().get(0)
+        col(s"min_${t.name}") <= lit(tv) && col(s"max_${t.name}") >= lit(tv)
+      }).reduceOption(_ && _).getOrElse(lit(true))
     }
-    val sel = conds.foldLeft(m)(_ filter _)
+    val sel = m.filter(keep)
       .select("file").collect().map { r =>
         val f = r.getString(0)
         if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
       }.toSeq
     (sel, total)
   }
+
+  /** Assemble a manifest keep-predicate from per-spec conditions: rows
+    * tagged with a spec id satisfy THAT spec's condition; rows whose id
+    * the spec list doesn't name — legacy rows read back as spec 0, or
+    * files older than the sidecar's knowledge — are always kept.
+    * Manifests without a `spec_id` column are single-spec by
+    * construction: the sole spec's condition applies to every row.
+    */
+  private def specKeepCondition(
+      manifestCols: Set[String],
+      specs: Seq[(Int, Seq[Transform])])(
+      condFor: Seq[Transform] => Column): Column =
+    if (!manifestCols.contains("spec_id"))
+      // untagged rows are only interpretable under a single-spec table;
+      // a multi-spec sidecar over an untagged manifest cannot prune
+      if (specs.size == 1) condFor(specs.head._2) else lit(true)
+    else {
+      val sid = coalesce(col("spec_id"), lit(0))
+      val known = specs.map { case (id, ts) => (sid === id) && condFor(ts) }
+      val unknown = !sid.isin(specs.map(_._1): _*)
+      (known :+ unknown).reduce(_ || _)
+    }
 
   /** IN-list equality read through hidden partitioning: ONE manifest
     * pass selects every file whose transform envelope admits ANY of the
@@ -920,26 +1053,31 @@ object Snapshots {
     require(ver >= 1, s"no committed snapshot in $tableDir")
     val snapDir = s"$tableDir/snap-$ver"
     val residual = col(column).isin(values: _*)
-    val spec = partitionSpec(spark, tableDir, ver).filter(_.column == column)
+    val (specs, _) = partitionSpecs(spark, tableDir, ver)
+    val covering = specs.filter(_._2.exists(_.column == column))
     val full = readVersion(spark, tableDir, ver)
     if (!fc(spark).util().exists(new Path(manifestDir(snapDir))) ||
-        spec.isEmpty) full.filter(residual)
+        covering.isEmpty) full.filter(residual)
     else {
       val m = spark.read.parquet(manifestDir(snapDir))
       val colType = full.schema(column).dataType
-      // transform(value) literals evaluated with the column's exact type
-      // (the same type discipline as the point read); bounded driver
-      // work — one tiny local projection per probe value per transform
-      val tvs = values.map { value =>
-        spec.map { t =>
-          val lit0 = lit(value).cast(colType)
-          t.name -> spark.range(1).select(t(lit0)).head().get(0)
-        }
+      // per-spec conditions (spec evolution): a file survives when SOME
+      // probe value fits ALL the envelopes of ITS OWN spec's transforms
+      // over the column; a spec with no transform on the column keeps
+      // its files (correct superset). transform(value) literals are
+      // evaluated with the column's exact type (the same type
+      // discipline as the point read); bounded driver work — one tiny
+      // local projection per probe value per transform per spec
+      val keep = specKeepCondition(m.columns.toSet, specs) { ts =>
+        val covered = ts.filter(t =>
+          t.column == column && m.columns.contains(s"min_${t.name}"))
+        if (covered.isEmpty) lit(true)
+        else values.map(value => covered.map { t =>
+            val lit0 = lit(value).cast(colType)
+            val tv = spark.range(1).select(t(lit0)).head().get(0)
+            col(s"min_${t.name}") <= lit(tv) && col(s"max_${t.name}") >= lit(tv)
+          }.reduce(_ && _)).reduce(_ || _)
       }
-      // a file survives when SOME value fits ALL of its envelopes
-      val keep = tvs.map(_.map { case (n, tv) =>
-          col(s"min_$n") <= lit(tv) && col(s"max_$n") >= lit(tv)
-        }.reduce(_ && _)).reduce(_ || _)
       val files = m.filter(keep).select("file").collect().map { r =>
         val f = r.getString(0)
         if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
@@ -969,7 +1107,7 @@ object Snapshots {
     require(ver >= 1, s"no committed snapshot in $tableDir")
     val snapDir = s"$tableDir/snap-$ver"
     val prunable = fc(spark).util().exists(new Path(manifestDir(snapDir))) &&
-      partitionSpec(spark, tableDir, ver).nonEmpty
+      partitionSpecs(spark, tableDir, ver)._1.exists(_._2.nonEmpty)
     if (!prunable) readVersion(spark, tableDir, ver)
     else {
       val (files, _) = selectFilesPartitioned(spark, tableDir, ver, probes)
@@ -1359,7 +1497,7 @@ object Snapshots {
       if (!ctx.util().exists(p)) None else Some(spark.read.parquet(p.toString))
     }
     occLoop(spark, tableDir, Nil, Nil, maxRetries, inheritSpec = false,
-      specOverride = partitionSpec(spark, tableDir, toVersion)) { (_, _) =>
+      specOverride = _ => partitionSpecs(spark, tableDir, toVersion)) { (_, _) =>
       (readVersion(spark, tableDir, toVersion).limit(0),
         Sidecars(
           refs = rootRelativeFiles(spark, tableDir, toVersion),
@@ -1367,6 +1505,76 @@ object Snapshots {
           morDeletes = sidecar("_mor_deletes"),
           posDeletes = sidecar("_pos_deletes"),
           pureReference = true))
+    }
+  }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's spec-id-per-file model): append
+    * `rows` clustered under `newSpec` while every existing data file is
+    * carried BY REFERENCE in the layout — and with the manifest
+    * envelope — of the spec it was originally written under. No file is
+    * rewritten: the commit costs O(new rows), which is the entire point
+    * of spec evolution on a 100 TB table (a layout change that forced a
+    * rewrite would never be run). The new spec is registered with a
+    * fresh spec id and becomes the table DEFAULT — subsequent commits
+    * (OCC rewrites inherit the full spec set) cluster under it, while
+    * pruned readers ([[selectFilesPartitioned]], [[readPartitionedIn]],
+    * [[scanPartitioned]]) judge each file against ITS OWN spec via the
+    * manifest's per-row `spec_id` and union the per-spec selections.
+    * Files whose spec doesn't cover a probed column are kept (correct
+    * superset) — old-layout data never silently vanishes from pruned
+    * reads, it just prunes on its own spec's terms.
+    *
+    * `statsColumns` follows the merge/compact convention: pass the same
+    * columns the base writes so new-file manifest rows align with the
+    * carried rows.
+    */
+  def evolvePartitionSpec(
+      spark: SparkSession,
+      tableDir: String,
+      rows: DataFrame,
+      newSpec: Seq[Transform],
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      maxRetries: Int = 10): Long = {
+    require(newSpec.nonEmpty, "evolvePartitionSpec needs a non-empty spec")
+    val ctx = fc(spark)
+    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries,
+      inheritSpec = false,
+      specOverride = base => {
+        val (specs, _) = partitionSpecs(spark, tableDir, base)
+        // fresh id ABOVE every known spec; pre-spec files read back as
+        // spec 0, so id 0 is never reused for a real spec
+        val newId = specs.map(_._1).foldLeft(0)(math.max) + 1
+        (specs :+ (newId -> newSpec), newId)
+      }) { (base, cur0) =>
+      val snapDir = s"$tableDir/snap-$base"
+      // appended files land NEXT TO referenced base files: same strict
+      // schema contract as merge-on-read
+      val curT = cur0.schema.map(f => f.name -> f.dataType).toMap
+      val rowT = rows.schema.map(f => f.name -> f.dataType).toMap
+      require(curT == rowT,
+        s"spec evolution schema mismatch on $tableDir: table has " +
+          s"${cur0.schema.simpleString}, new rows have ${rows.schema.simpleString}")
+      // every manifest-pruned reader selects files FROM the manifest, so
+      // the carried files must have rows to carry
+      val carried = carriedManifestOf(spark, tableDir, base)
+      require(carried.nonEmpty,
+        s"spec evolution on $tableDir needs a stats manifest on the base " +
+          "version (commit with statsColumns or a partition spec first)")
+      // pending merge-on-read sidecars ride along — this commit
+      // re-references the same files, so dropping them would resurrect
+      // deleted rows (same carry as deleteMergeOnRead)
+      def sidecar(name: String): Option[DataFrame] = {
+        val p = new Path(s"$snapDir/$name")
+        if (!ctx.util().exists(p)) None
+        else Some(spark.read.parquet(p.toString))
+      }
+      (rows.select(cur0.columns.map(col).toIndexedSeq: _*),
+        Sidecars(
+          refs = rootRelativeFiles(spark, tableDir, base),
+          carriedManifest = carried,
+          morDeletes = sidecar("_mor_deletes"),
+          posDeletes = sidecar("_pos_deletes")))
     }
   }
 
@@ -1577,10 +1785,48 @@ object Snapshots {
     val ver = if (v >= 1) v else version(spark, tableDir)
     require(ver >= 1 && ctx.util().exists(new Path(s"$tableDir/snap-$ver")),
       s"cannot tag $tableDir version $ver: no such committed snapshot")
-    val out = ctx.create(new Path(tableDir, s"_tag-$name"),
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE))
-    try out.write(ver.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    // write-then-claim, NOT create-then-write: FileContext.create(CREATE)
+    // on the local filesystem is check-then-create, and the version bytes
+    // land after the create — a concurrent reader could observe an empty
+    // or torn _tag- file. The complete bytes are staged first and the
+    // name is claimed atomically. The claim primitive differs from
+    // [[tryClaim]] because the target is a FILE: rename(2)/ATOMIC_MOVE
+    // silently REPLACES an existing file (the directory no-overwrite
+    // trick relies on ENOTEMPTY), so the local path claims via link(2)
+    // (`Files.createLink` — atomic, EEXIST if the tag exists); the HDFS
+    // path keeps the namenode-atomic no-overwrite rename, which does
+    // refuse existing file destinations. The temp name uses the
+    // `_stage-` prefix so a crashed tagger's orphan is collected by
+    // [[vacuum]] like any other staging leftover.
+    val tagPath = new Path(tableDir, s"_tag-$name")
+    def refuse() = throw new FileAlreadyExistsException(
+      s"tag '$name' already exists on $tableDir (tags are immutable; " +
+        "dropTag + re-tag to move it)")
+    val qTag = ctx.makeQualified(tagPath)
+    if (qTag.toUri.getScheme == "file") {
+      val dstNio = java.nio.file.Paths.get(qTag.toUri.getPath)
+      val tmpNio = dstNio.resolveSibling(
+        s"_stage-tag-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmpNio,
+        ver.toString.getBytes(StandardCharsets.UTF_8))
+      try java.nio.file.Files.createLink(dstNio, tmpNio)
+      catch { case _: java.nio.file.FileAlreadyExistsException => refuse() }
+      finally java.nio.file.Files.deleteIfExists(tmpNio)
+    } else {
+      val tmp = new Path(tableDir, s"_stage-tag-${java.util.UUID.randomUUID()}")
+      val out = ctx.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(ver.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      try ctx.rename(tmp, tagPath, Options.Rename.NONE)
+      catch {
+        case _: FileAlreadyExistsException
+            | _: org.apache.hadoop.fs.PathExistsException =>
+          try ctx.delete(tmp, false) catch { case _: java.io.IOException => () }
+          refuse()
+      }
+    }
     ver
   }
 
@@ -1591,12 +1837,15 @@ object Snapshots {
     else ctx.util().listStatus(new Path(tableDir)).iterator
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("_tag-") => n.stripPrefix("_tag-") }
-      .map { name =>
+      .flatMap { name =>
         val in = ctx.open(new Path(tableDir, s"_tag-$name"))
-        val ver =
-          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+        val bytes =
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
           finally in.close()
-        name -> ver
+        // published tags are complete by the claim rename, but a file
+        // some other process damaged must degrade to "tag unreadable",
+        // not poison every tags()/expire() call with NumberFormatException
+        bytes.toLongOption.map(name -> _)
       }.toMap
   }
 
@@ -1613,6 +1862,180 @@ object Snapshots {
   def dropTag(spark: SparkSession, tableDir: String, name: String): Boolean =
     fc(spark).delete(new Path(tableDir, s"_tag-$name"), false)
 
+  // ---------------------------- branches ----------------------------
+  //
+  // A branch is an independent line of snapshots over the same table
+  // (Iceberg branches / Delta's branch-by-clone): created FROM a main
+  // version by reference (O(metadata) — no file is copied), advanced by
+  // its own commits, merged back as a standard snapshot MERGE. The
+  // claim NAMESPACE is what isolates branches: branch commits claim
+  // `snap-<branch>-<v>` with the same atomic no-overwrite rename CAS as
+  // main commits, and main's version listing (`snap-(\d+)`, full-match)
+  // can never parse a branch claim — so concurrent writers on main and
+  // any number of branches race only within their own namespace, with
+  // no lock service anywhere. Branch history is invisible to main
+  // readers and vice versa; [[expire]] treats every branch's references
+  // as retention roots so main GC cannot corrupt a branch. Partition
+  // specs and table expectations are main-line contracts (a branch
+  // commit publishes neither); merging back re-enters main's OCC loop,
+  // which enforces both.
+
+  private def branchSnapName(branch: String, v: Long) = s"snap-$branch-$v"
+
+  private def requireBranchName(branch: String): Unit =
+    require(branch.matches("[A-Za-z0-9._-]*[A-Za-z._-][A-Za-z0-9._-]*"),
+      s"branch name '$branch' (letters, digits, dot, underscore, dash; " +
+        "not all digits — all-digit names would shadow main's claims)")
+
+  /** Current committed version of `branch`, 0 if the branch does not
+    * exist. Listing-only: the claim rename is the commit point and the
+    * listing is authoritative (main's `_latest` is just a seek cache).
+    */
+  def branchVersion(spark: SparkSession, tableDir: String, branch: String): Long = {
+    requireBranchName(branch)
+    val ctx = fc(spark)
+    val dir = new Path(tableDir)
+    if (!ctx.util().exists(dir)) 0L
+    else {
+      val pat = ("snap-" + java.util.regex.Pattern.quote(branch) + "-(\\d+)").r
+      ctx.util().listStatus(dir).iterator.map(_.getPath.getName).collect {
+        case pat(v) => v.toLong
+      }.foldLeft(0L)(math.max)
+    }
+  }
+
+  /** Create `branch` at main version `fromV` (default: current): a
+    * pure-reference claim of `snap-<branch>-1` whose `_refs` point at
+    * the source version's files, carrying its manifest and any pending
+    * merge-on-read delete sidecars — dropping those would resurrect
+    * deleted rows on the branch. Creation is atomic and refused if the
+    * branch exists.
+    */
+  def createBranch(
+      spark: SparkSession,
+      tableDir: String,
+      branch: String,
+      fromV: Long = 0L): Long = {
+    requireBranchName(branch)
+    val ctx = fc(spark)
+    val src = if (fromV >= 1) fromV else version(spark, tableDir)
+    require(src >= 1 && ctx.util().exists(new Path(s"$tableDir/snap-$src")),
+      s"cannot branch $tableDir at version $src: no such committed snapshot")
+    val srcDir = s"$tableDir/snap-$src"
+    def sidecar(name: String): Option[DataFrame] = {
+      val p = new Path(s"$srcDir/$name")
+      if (!ctx.util().exists(p)) None else Some(spark.read.parquet(p.toString))
+    }
+    val staged = stage(spark,
+      readVersion(spark, tableDir, src).limit(0), tableDir, Nil, Nil,
+      Sidecars(
+        refs = rootRelativeFiles(spark, tableDir, src),
+        carriedManifest = carriedManifestOf(spark, tableDir, src),
+        morDeletes = sidecar("_mor_deletes"),
+        posDeletes = sidecar("_pos_deletes"),
+        pureReference = true))
+    if (!tryClaim(ctx, staged, new Path(tableDir, branchSnapName(branch, 1L)))) {
+      ctx.delete(staged, true)
+      throw new FileAlreadyExistsException(
+        s"branch '$branch' already exists on $tableDir")
+    }
+    1L
+  }
+
+  /** Read version `v` of a branch (`v = 0`: the branch tip) — own files
+    * plus references into main history, pending delete sidecars applied,
+    * exactly like a main-version read.
+    */
+  def readBranch(
+      spark: SparkSession,
+      tableDir: String,
+      branch: String,
+      v: Long = 0L): DataFrame = {
+    val ver = if (v >= 1) v else branchVersion(spark, tableDir, branch)
+    require(ver >= 1, s"no branch '$branch' on $tableDir")
+    val snapDir = s"$tableDir/${branchSnapName(branch, ver)}"
+    applyDeleteSidecars(spark, snapDir,
+      spark.read.parquet(dataFilesAt(spark, tableDir, snapDir): _*))
+  }
+
+  /** Commit a FULL branch state: stage privately, claim the branch's
+    * next version with the same no-overwrite rename as a main commit —
+    * concurrent branch writers land on unique branch versions, and
+    * writers on OTHER branches or main are not even in the same
+    * namespace. Returns the claimed branch version.
+    */
+  def commitToBranch(
+      spark: SparkSession,
+      df: DataFrame,
+      tableDir: String,
+      branch: String,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
+    val ctx = fc(spark)
+    require(branchVersion(spark, tableDir, branch) >= 1,
+      s"no branch '$branch' on $tableDir — createBranch first")
+    val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
+      Sidecars())
+    var v = branchVersion(spark, tableDir, branch) + 1
+    while (!tryClaim(ctx, staged,
+        new Path(tableDir, branchSnapName(branch, v)))) {
+      v = math.max(v + 1, branchVersion(spark, tableDir, branch) + 1)
+    }
+    v
+  }
+
+  /** Merge the branch TIP back into main — literally a snapshot MERGE
+    * ([[merge]]) whose update set is the branch's current state, so it
+    * inherits main's OCC arbitration, expectations enforcement, spec
+    * inheritance, and optional change capture. The branch itself is
+    * untouched (drop it separately once merged).
+    */
+  def mergeBranch(
+      spark: SparkSession,
+      tableDir: String,
+      branch: String,
+      key: Seq[String],
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      recordChanges: Boolean = false,
+      maxRetries: Int = 10): Long =
+    merge(spark, tableDir, readBranch(spark, tableDir, branch), key,
+      statsColumns, bloomColumns, recordChanges, maxRetries = maxRetries)
+
+  /** All branches of the table: name → tip version. Claim names parse
+    * greedily (`snap-<branch>-<v>`, version = the trailing digit run),
+    * so a dash inside a branch name cannot split another branch's tip.
+    */
+  def branches(spark: SparkSession, tableDir: String): Map[String, Long] = {
+    val ctx = fc(spark)
+    if (!ctx.util().exists(new Path(tableDir))) Map.empty
+    else {
+      val pat = "snap-(.+)-(\\d+)".r
+      ctx.util().listStatus(new Path(tableDir)).iterator
+        .map(_.getPath.getName)
+        .collect { case pat(name, v) => name -> v.toLong }
+        .toSeq.groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).max }
+    }
+  }
+
+  /** Delete a branch: every `snap-<branch>-<v>` claim directory. Files
+    * the branch merely REFERENCED live in main snapshots and are
+    * untouched. Returns the number of branch versions removed.
+    */
+  def dropBranch(spark: SparkSession, tableDir: String, branch: String): Int = {
+    requireBranchName(branch)
+    val ctx = fc(spark)
+    if (!ctx.util().exists(new Path(tableDir))) 0
+    else {
+      val pat = ("snap-" + java.util.regex.Pattern.quote(branch) + "-(\\d+)").r
+      val dirs = ctx.util().listStatus(new Path(tableDir)).iterator
+        .filter(st => pat.pattern.matcher(st.getPath.getName).matches())
+        .map(_.getPath).toSeq
+      dirs.foreach(p => ctx.delete(p, true))
+      dirs.size
+    }
+  }
+
   def expire(
       spark: SparkSession,
       tableDir: String,
@@ -1626,11 +2049,20 @@ object Snapshots {
     // tags are named retention roots alongside the recency window
     val tagged = tags(spark, tableDir).values.toSet
     val retained = all.filter(v => v > tip - keepLast || tagged(v))
+    // every BRANCH claim is a retention root too: its refs reach into
+    // main snapshots, and age-based main GC must not break a live
+    // branch (the same file-sharing hazard as scoped-merge refs). The
+    // claim dirs themselves never parse as main versions, so they are
+    // never expired here — dropBranch removes them.
+    val branchPat = "snap-(.+)-(\\d+)".r
+    val branchDirs = ctx.util().listStatus(new Path(tableDir)).iterator
+      .map(_.getPath.getName)
+      .filter(n => branchPat.pattern.matcher(n).matches()).toSeq
     // dirs still needed: every retained dir + every dir a retained
-    // version's refs reach into ("snap-<v>/file" → snap-<v>)
+    // version's (or branch's) refs reach into ("snap-<v>/file" → snap-<v>)
     val needed = retained.map(v => s"snap-$v").toSet ++
-      retained.flatMap { v =>
-        val refs = new Path(s"$tableDir/snap-$v/_refs")
+      (retained.map(v => s"snap-$v") ++ branchDirs).flatMap { d =>
+        val refs = new Path(s"$tableDir/$d/_refs")
         if (!ctx.util().exists(refs)) Nil
         else spark.read.parquet(refs.toString).collect()
           .map(r => r.getString(0).split("/").head).toSeq

@@ -184,6 +184,94 @@ class SnapshotsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("partition-spec evolution prunes each file by its own spec without rewrites") {
+    val dir = Files.createTempDirectory("graft-snap-specevo").toString
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      // era A: days 2024-01-01..10, clustered by day(ts)
+      def era(lo: Int, hi: Int) = spark.range(lo, hi).toDF("i")
+        .select(
+          col("i").as("event_id"),
+          expr("timestamp '2024-01-01 06:00:00' + " +
+            s"make_interval(0,0,0, CAST(i % ${hi / 300} AS INT),0,0,0)").as("ts"),
+          (col("i") % 64).as("user_id"))
+      val v1 = Snapshots.commit(spark, era(0, 3000), dir,
+        partitionSpec = Seq(Snapshots.Transform.Day("ts")))
+      val snap1 = new java.io.File(s"$dir/snap-$v1")
+      def dataFileNames(d: java.io.File) = d.listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+      val filesA = dataFileNames(snap1)
+
+      // era B appends under bucket(user_id): NO spec-A file is rewritten
+      val v2 = Snapshots.evolvePartitionSpec(spark, dir, era(3000, 6000),
+        newSpec = Seq(Snapshots.Transform.Bucket("user_id", 8)))
+      assert(dataFileNames(snap1) == filesA, "spec evolution rewrote base files")
+
+      // the sidecar now lists BOTH specs; the new one is the default
+      val (specs, cur) = Snapshots.partitionSpecs(spark, dir)
+      assert(specs == Seq(
+        0 -> Seq(Snapshots.Transform.Day("ts")),
+        1 -> Seq(Snapshots.Transform.Bucket("user_id", 8))), specs)
+      assert(cur == 1)
+      assert(Snapshots.partitionSpec(spark, dir) ==
+        Seq(Snapshots.Transform.Bucket("user_id", 8)))
+
+      // every manifest row carries the spec id of its file's layout
+      val m = spark.read.parquet(s"$dir/snap-$v2/_manifest").cache()
+      val nA = m.filter(col("spec_id") === 0).count()
+      val nB = m.filter(col("spec_id") === 1).count()
+      val total = m.count()
+      assert(nA > 2 && nB > 2 && nA + nB == total, s"A=$nA B=$nB total=$total")
+
+      // a day probe prunes spec-A files by their day envelope and keeps
+      // every spec-B file (B doesn't cover ts — correct superset)
+      val witness = java.sql.Timestamp.valueOf("2024-01-03 12:00:00")
+      val (dayFiles, t1) = Snapshots.selectFilesPartitioned(
+        spark, dir, v2, Seq("ts" -> witness))
+      assert(t1 == total)
+      assert(dayFiles.size < total && dayFiles.size >= nB,
+        s"day probe kept ${dayFiles.size} of $total (B=$nB)")
+      assert(dayFiles.size - nB < nA, "day probe pruned no spec-A file")
+
+      // a user probe prunes spec-B files by bucket and keeps every
+      // spec-A file
+      val (userFiles, _) = Snapshots.selectFilesPartitioned(
+        spark, dir, v2, Seq("user_id" -> 7L))
+      assert(userFiles.size < total && userFiles.size >= nA,
+        s"user probe kept ${userFiles.size} of $total (A=$nA)")
+      assert(userFiles.size - nA < nB, "user probe pruned no spec-B file")
+
+      // exactness under both layouts
+      val full = Snapshots.read(spark, dir)
+      val gotUser = Snapshots.readPartitioned(spark, dir, Seq("user_id" -> 7L))
+      assert(gotUser.orderBy("event_id").collect().toSeq ==
+        full.filter(col("user_id") === 7L).orderBy("event_id").collect().toSeq)
+      val day3 = lit(java.sql.Date.valueOf("2024-01-03"))
+      val gotDay = Snapshots.scanPartitioned(spark, dir, Seq("ts" -> witness))
+        .filter(to_date(col("ts")) === day3)
+      assert(gotDay.count() ==
+        full.filter(to_date(col("ts")) === day3).count())
+      assert(gotDay.count() > 0, "day probe empty — bad fixture")
+
+      // a later OCC rewrite inherits the FULL spec set (both ids, same
+      // default) so older readers' spec ids keep resolving
+      Snapshots.merge(spark, dir,
+        full.filter(col("event_id") < 10).withColumn("user_id", lit(63L)),
+        key = Seq("event_id"))
+      val (specs3, cur3) = Snapshots.partitionSpecs(spark, dir)
+      assert(specs3 == specs && cur3 == cur)
+      // the rewrite re-clustered everything under the default spec: the
+      // user probe still prunes on the fresh manifest
+      val v3 = Snapshots.version(spark, dir)
+      val (after, t3) = Snapshots.selectFilesPartitioned(
+        spark, dir, v3, Seq("user_id" -> 7L))
+      assert(after.size < t3, s"${after.size} of $t3 after rewrite")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("merge-on-read delete rewrites nothing, reads exactly, and folds away") {
     val dir = Files.createTempDirectory("graft-snap-mor").toString
     val data = spark.range(0, 1000).toDF("i")
@@ -732,6 +820,94 @@ class SnapshotsSpec extends SparkSpec {
       assert(snap.select("writer").distinct().collect().map(_.getLong(0)).toSeq == Seq(w))
     }
     // no staging orphans remain after a fully successful race
+    val stages = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("_stage-"))
+    assert(stages.isEmpty, stages.mkString(","))
+  }
+
+  test("branches isolate their history from main and merge back as a MERGE") {
+    val dir = Files.createTempDirectory("graft-snap-branch").toString
+    val docs = spark.range(0, 400).toDF("id")
+      .withColumn("v", col("id") * 2)
+    Snapshots.commit(spark, docs, dir, statsColumns = Seq("id"))
+    // branch at v1: O(metadata) — no data file is copied
+    assert(Snapshots.createBranch(spark, dir, "dev") == 1L)
+    assert(Snapshots.branches(spark, dir) == Map("dev" -> 1L))
+    assert(Snapshots.readBranch(spark, dir, "dev").count() == 400L)
+    // re-creating an existing branch is refused atomically
+    intercept[Exception] { Snapshots.createBranch(spark, dir, "dev") }
+
+    // branch work: update a range, add new rows — main must not move
+    val branched = Snapshots.readBranch(spark, dir, "dev")
+      .withColumn("v", when(col("id") >= 200, col("v") + 1000).otherwise(col("v")))
+      .unionByName(spark.range(400, 500).toDF("id")
+        .withColumn("v", col("id") * 2 + 1000))
+    Snapshots.commitToBranch(spark, branched, dir, "dev")
+    assert(Snapshots.branchVersion(spark, dir, "dev") == 2L)
+    assert(Snapshots.version(spark, dir) == 1L,
+      "a branch commit moved MAIN's version")
+    assert(Snapshots.read(spark, dir).filter(col("v") >= 1000).count() == 0L,
+      "branch rows leaked into main")
+    // main keeps committing without seeing the branch
+    Snapshots.commit(spark, docs.filter(col("id") < 300), dir,
+      statsColumns = Seq("id"))
+    assert(Snapshots.version(spark, dir) == 2L)
+    assert(Snapshots.readBranch(spark, dir, "dev").count() == 500L)
+
+    // main GC cannot break the branch: v1 (the branch's ref target)
+    // survives expire because branch refs are retention roots
+    assert(!Snapshots.expire(spark, dir, keepLast = 1).contains(1L))
+    assert(Snapshots.readBranch(spark, dir, "dev", 1L).count() == 400L)
+
+    // merge-back IS a snapshot MERGE into main's OCC loop
+    Snapshots.mergeBranch(spark, dir, "dev", key = Seq("id"),
+      statsColumns = Seq("id"))
+    val merged = Snapshots.read(spark, dir)
+    assert(merged.count() == 500L)
+    assert(merged.filter(col("id") >= 200 && col("id") < 400)
+      .filter(col("v") =!= col("id") * 2 + 1000).count() == 0L)
+    // branch is untouched by the merge; drop removes its claims only
+    assert(Snapshots.branchVersion(spark, dir, "dev") == 2L)
+    assert(Snapshots.dropBranch(spark, dir, "dev") == 2)
+    assert(Snapshots.branches(spark, dir).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 500L)
+  }
+
+  test("8 writers across two branches: claims stay isolated per branch") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft-snap-branch-race").toString
+    Snapshots.commit(spark, Seq((0L, 0L)).toDF("id", "v"), dir)
+    Snapshots.createBranch(spark, dir, "red")
+    Snapshots.createBranch(spark, dir, "blue")
+    // 4 writers per branch, all racing at once: the no-overwrite claim
+    // arbitrates WITHIN each branch namespace; the other branch (and
+    // main) are never even contended
+    val futures = (0 until 8).map { w =>
+      val branch = if (w % 2 == 0) "red" else "blue"
+      Future {
+        val df = Seq((w.toLong, w * 100L)).toDF("id", "v")
+        (branch, w.toLong,
+          Snapshots.commitToBranch(spark, df, dir, branch))
+      }
+    }
+    val claims = Await.result(Future.sequence(futures), 5.minutes)
+    // each branch advanced 2..5 with no duplicates and no gaps
+    Seq("red", "blue").foreach { b =>
+      val vs = claims.filter(_._1 == b).map(_._3).sorted
+      assert(vs == Seq(2L, 3L, 4L, 5L), s"$b claimed $vs")
+      assert(Snapshots.branchVersion(spark, dir, b) == 5L)
+    }
+    // every claimed branch snapshot holds exactly its writer's row —
+    // nothing overwrote anything across 8 concurrent claims
+    claims.foreach { case (b, w, v) =>
+      val rows = Snapshots.readBranch(spark, dir, b, v).collect()
+      assert(rows.length == 1 && rows.head.getLong(0) == w, s"$b v$v")
+    }
+    // main never moved and holds its own row only
+    assert(Snapshots.version(spark, dir) == 1L)
+    assert(Snapshots.read(spark, dir).count() == 1L)
     val stages = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.startsWith("_stage-"))
     assert(stages.isEmpty, stages.mkString(","))
