@@ -579,19 +579,33 @@ object PipelineQueries {
       TextAnalysis.pairMergeCandidates(t(s, d, "documents"), k = 20)
         .orderBy("rank")
     }),
+    "corpus_bpe_train" -> ((s, d) => {
+      // TRUE iterative BPE training: after each merge the pair counts
+      // are RE-COUNTED over the partially merged corpus — merge r sees
+      // the state merges 1..r−1 created, which is what separates a real
+      // trainer from the single-shot corpus_pair_merges ranking. The
+      // oracle replays all 8 rounds as chained CTEs (count → argmax →
+      // replace), so a hash match certifies every round's argmax AND
+      // the re-counted frequencies.
+      import s.implicits._
+      TextAnalysis.bpeTrain(t(s, d, "documents"), k = 8).zipWithIndex
+        .map { case ((l, r, n), i) => (i + 1, l, r, n) }
+        .toDF("rank", "left_sym", "right_sym", "n_occurrences")
+        .orderBy("rank")
+    }),
     "corpus_bpe_encode" -> ((s, d) => {
-      // the tokenizer's SERVING half: learn the top-8 pair merges (the
-      // corpus_pair_merges vocabulary, rank = count desc / pair asc),
-      // then encode every document by applying them in rank order. The
-      // merge table is 8 driver-side strings (O(1)-scalars budget); the
+      // the tokenizer's SERVING half, now fed by the TRAINED merge
+      // table (bpeTrain's 8 iterative rounds — the single-shot ranking
+      // survives as corpus_pair_merges, a standalone statistic): encode
+      // every document by applying the trained merges in order. The
+      // merge table is 8 driver-side pairs (O(1)-scalars budget); the
       // encode itself is one narrow codegen'd projection — see
-      // TextAnalysis.bpeEncode. The oracle replays learn AND encode.
-      // (tokens render joined by '|' — the gate hashes scalars, and no
-      // gated entry emits a raw array column)
+      // TextAnalysis.bpeEncodeTrained. The oracle replays train AND
+      // encode. (tokens render joined by '|' — the gate hashes scalars,
+      // and no gated entry emits a raw array column)
       val docs = t(s, d, "documents")
-      val merges = TextAnalysis.pairMergeCandidates(docs, k = 8)
-        .orderBy("rank").collect().map(_.getAs[String]("pair")).toSeq
-      TextAnalysis.bpeEncode(docs, merges)
+      val merges = TextAnalysis.bpeTrain(docs, k = 8).map(m => (m._1, m._2))
+      TextAnalysis.bpeEncodeTrained(docs, merges)
         .select(col("doc_id"), col("n_tokens"),
           array_join(col("tokens"), "|").as("encoded"))
         .orderBy("doc_id")
@@ -939,73 +953,100 @@ object PipelineQueries {
       .mkString(",\n")
   }
 
-  /** DuckDB replay of `corpus_bpe_encode`: learn the top-`n` pair merges
-    * with the exact corpus_pair_merges ranking (over the RAW
-    * tokenization, mirroring pairMergeCandidates), then unroll the
-    * rank-ordered greedy merge applications as a CTE chain — one
-    * `replace` per rank over the same `␟a␟␟b␟ → ␟a b␟` separator-string
-    * representation the Spark side uses (chr(31) = the  unit
-    * separator, stripped from the input on both engines). SQL `replace`
-    * scans left-to-right non-overlapping exactly like Spark's, so the
-    * two encoders agree merge-for-merge.
+  /** DuckDB replay of the ITERATIVE BPE trainer ([[TextAnalysis
+    * .bpeTrain]]): round r's CTEs split the round-(r-1) state back into
+    * symbols, count adjacent pairs (joined on chr(30), the same binary
+    * tie-break key Spark orders by), take the argmax, and apply the
+    * merge with one `replace` over the same separator-string
+    * representation the Spark side uses (chr(31) = the unit separator;
+    * BOTH control separators stripped from the input on each engine).
+    * SQL `replace` scans left-to-right non-overlapping exactly like
+    * Spark's, so state and counts agree round for round. Shared prefix
+    * of the train oracle (outputs the merge table) and the encode
+    * oracle (outputs the round-n state split back into tokens).
+    *
+    * Edge notes carried from the single-shot encoder this replaces: the
+    * final strip drops exactly one sentinel separator per end (never
+    * trim-all - a doc tokenizing to a leading empty token legitimately
+    * packs a double separator at the edge), and an exhausted-corpus
+    * round COALESCEs its pattern to a 4-separator string no state can
+    * contain (runs of at most 3 occur), mirroring Spark's early stop.
+    *
+    * Every chained CTE is `AS MATERIALIZED`: DuckDB inlines CTEs by
+    * default, and st(r-1) is referenced by pp_r AND st_r (and m_r three
+    * times from st_r and the output) — inlined, each round multiplies
+    * the re-evaluated tree, measured 274 s at 8 rounds vs 0.13 s
+    * materialized. The single-reference linear chains of the other
+    * iterative oracles (pagerank, IVF, PQ) don't hit this.
     */
-  private def bpeEncodeOracle(nMerges: Int): String = {
+  private def bpeTrainCTEs(nMerges: Int): Seq[String] = {
     val sep = "chr(31)"
-    def pat(part: Int) =
-      s"$sep || split_part(pair, ' ', $part)"
+    val rs = "chr(30)"
+    def mSel(r: Int, e: String) = s"(SELECT $e FROM m$r)"
     val base =
-      s"""WITH rawt AS (
-         |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS ts
-         |  FROM documents),
-         |pairs AS (
-         |  SELECT unnest(CASE WHEN len(ts) >= 2
-         |    THEN [array_to_string(ts[i:i+1], ' ')
-         |          for i in generate_series(1, len(ts) - 1)]
-         |    ELSE []::VARCHAR[] END) AS pair
-         |  FROM rawt),
-         |merges AS (
-         |  SELECT pair,
-         |    CAST(row_number() OVER (ORDER BY COUNT(*) DESC, pair) AS INT) AS r
-         |  FROM pairs GROUP BY pair
-         |  ORDER BY COUNT(*) DESC, pair LIMIT $nMerges),
-         |toks AS (
+      s"""WITH toks AS MATERIALIZED (
          |  SELECT doc_id,
-         |    string_split_regex(lower(trim(replace(text, chr(31), ' '))),
-         |                       '\\s+') AS ts
+         |    string_split_regex(
+         |      lower(trim(replace(replace(text, chr(31), ' '), chr(30), ' '))),
+         |      '\\s+') AS ts
          |  FROM documents),
-         |s0 AS (
+         |st0 AS MATERIALIZED (
          |  SELECT doc_id,
          |    $sep || array_to_string(ts, $sep || $sep) || $sep AS s
          |  FROM toks)""".stripMargin
-    val steps = (1 to nMerges).map { r =>
-      s"""s$r AS (
+    val rounds = (1 to nMerges).map { r =>
+      val pat = mSel(r, s"$sep || split_part(pair, $rs, 1) || $sep || " +
+        s"$sep || split_part(pair, $rs, 2) || $sep")
+      val rep = mSel(r, s"$sep || replace(pair, $rs, ' ') || $sep")
+      s"""pp$r AS MATERIALIZED (
+         |  SELECT unnest(CASE WHEN len(ts) >= 2
+         |    THEN [ts[i] || $rs || ts[i+1] for i in generate_series(1, len(ts) - 1)]
+         |    ELSE []::VARCHAR[] END) AS pair
+         |  FROM (SELECT string_split(s[2:length(s)-1], $sep || $sep) AS ts
+         |        FROM st${r - 1})),
+         |m$r AS MATERIALIZED (
+         |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pp$r
+         |  GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 1),
+         |st$r AS MATERIALIZED (
          |  SELECT doc_id, replace(s,
-         |    COALESCE((SELECT ${pat(1)} || $sep || ${pat(2)} || $sep
-         |              FROM merges WHERE r = $r),
-         |             repeat($sep, 4)),
-         |    COALESCE((SELECT $sep || pair || $sep FROM merges WHERE r = $r),
-         |             '')) AS s
-         |  FROM s${r - 1})""".stripMargin
+         |    COALESCE($pat, repeat($sep, 4)),
+         |    COALESCE($rep, '')) AS s
+         |  FROM st${r - 1})""".stripMargin
     }
-    // edge strip mirrors the Spark substr EXACTLY (drop one sentinel per
-    // end, never trim-all): a doc tokenizing to a leading/trailing EMPTY
-    // token (text starting with a tab) legitimately packs a double
-    // separator at the edge, and trim(s, chr(31)) would eat the empty
-    // token on this side only. Same reason the missing-rank fallback is
-    // a 4-separator pattern — runs of at most 3 can occur in a state.
+    base +: rounds
+  }
+
+  private def bpeTrainOracle(nMerges: Int): String = {
+    val rs = "chr(30)"
+    val union = (1 to nMerges).map(r =>
+      s"""SELECT CAST($r AS INT) AS "rank", pair, n FROM m$r""")
+      .mkString("\nUNION ALL\n")
+    val tail =
+      s"""SELECT "rank",
+         |  split_part(pair, $rs, 1) AS left_sym,
+         |  split_part(pair, $rs, 2) AS right_sym,
+         |  n AS n_occurrences
+         |FROM ($union)
+         |ORDER BY "rank"""".stripMargin
+    bpeTrainCTEs(nMerges).mkString(",\n") + "\n" + tail
+  }
+
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    val sep = "chr(31)"
     val tail =
       s"""SELECT doc_id,
          |  CAST(len(string_split(s[2:length(s)-1], $sep || $sep)) AS BIGINT)
          |    AS n_tokens,
          |  array_to_string(string_split(s[2:length(s)-1], $sep || $sep), '|')
          |    AS encoded
-         |FROM s$nMerges ORDER BY doc_id""".stripMargin
-    ((base +: steps).mkString(",\n")) + "\n" + tail
+         |FROM st$nMerges ORDER BY doc_id""".stripMargin
+    bpeTrainCTEs(nMerges).mkString(",\n") + "\n" + tail
   }
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5),
     "corpus_bpe_encode" -> bpeEncodeOracle(8),
+    "corpus_bpe_train" -> bpeTrainOracle(8),
     "ann_ivf_trained" -> ivfTrainedOracle(8, 2, 2, 10),
     // identical replay: the persisted-index entry uses the same quantizer
     // parameters, so a hash match proves the commit→prune→read roundtrip

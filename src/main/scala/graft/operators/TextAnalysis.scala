@@ -467,6 +467,96 @@ object TextAnalysis {
         size(col("tokens")).cast("long").as("n_tokens"), col("tokens"))
   }
 
+  /** TRUE iterative BPE training — the re-counting loop a real
+    * tokenizer trainer runs, closing the "BPE-style" asterisk on the
+    * single-shot [[pairMergeCandidates]] ranking (which scores all
+    * pairs ONCE over the raw tokenization and can pick merges a real
+    * trainer never would, because merge r changes the counts merge r+1
+    * sees). Each round: build the corpus state with the merges learned
+    * so far (the same codegen'd separator-string replace chain as
+    * [[bpeEncode]] — the state is never materialized, round r's plan is
+    * state0 + r−1 replaces), count ADJACENT SYMBOL pairs of the current
+    * state, take the argmax (count desc, then binary string order of
+    * the `left␞right` key — identical collation on both engines), and
+    * append it to the merge table. One row comes to the driver per
+    * round — the same bounded-scalars loop shape as the Lloyd trainer.
+    * Training is k full corpus passes by definition of BPE; the
+    * adjacent-pair zip is a higher-order function, acceptable here
+    * because this is the train-time path, not serving (serving is the
+    * narrow [[bpeEncodeTrained]] projection).
+    *
+    * Returns (left, right, n_occurrences) in application order. Stops
+    * early if the corpus runs out of adjacent pairs.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      k: Int = 8,
+      textCol: String = "text"): Seq[(String, String, Long)] = {
+    require(k > 0, s"k must be positive, got $k")
+    val spread = Corpus.spread(docs)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (learned.size < k && !exhausted) {
+      val st = bpeState(col(textCol), learned.toSeq.map(m => (m._1, m._2)))
+      val syms = split(st.substr(lit(2), length(st) - 2), BpeSep + BpeSep)
+      val n1 = greatest(size(syms) - 1, lit(0))
+      val pairs = zip_with(
+        slice(syms, lit(1), n1), slice(syms, lit(2), n1),
+        (a, b) => concat(a, lit(BpePairSep), b))
+      val best = spread.select(explode(pairs).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val Array(l, r) = best.head.getString(0).split(BpePairSep, 2)
+        learned += ((l, r, best.head.getLong(1)))
+      }
+    }
+    learned.toSeq
+  }
+
+  /** Encode with a TRAINED merge table ([[bpeTrain]] output): the same
+    * single narrow codegen'd replace-chain projection as [[bpeEncode]],
+    * but merges arrive as (left, right) tuples — a trained left symbol
+    * contains spaces once merges compound, so the string form's
+    * split-on-space cannot address it.
+    */
+  def bpeEncodeTrained(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val s = bpeState(col(textCol), merges)
+    Corpus.spread(docs)
+      .select(col("doc_id"), s.as("s"))
+      .select(
+        col("doc_id"),
+        split(col("s").substr(lit(2), length(col("s")) - 2), BpeSep + BpeSep)
+          .as("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"), col("tokens"))
+  }
+
+  private val BpeSep = "\u001F" // unit separator: non-whitespace on both engines
+  private val BpePairSep = "\u001E" // record separator: joins (left, right) keys
+
+  /** The separator-string corpus state after applying `merges` in
+    * order: `␟a␟␟b␟` packing (see [[bpeEncode]]'s mechanism note), both
+    * control separators stripped from the input first so neither can
+    * occur inside a token.
+    */
+  private def bpeState(text: Column, merges: Seq[(String, String)]): Column = {
+    val cleaned = replace(replace(text, lit(BpeSep), lit(" ")),
+      lit(BpePairSep), lit(" "))
+    val toks = split(lower(trim(cleaned)), "\\s+")
+    val s0 = concat(lit(BpeSep), array_join(toks, BpeSep + BpeSep), lit(BpeSep))
+    merges.foldLeft(s0) { case (s, (a, b)) =>
+      replace(s,
+        lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep),
+        lit(BpeSep + a + " " + b + BpeSep))
+    }
+  }
+
   /** Per-document top-k terms by TF-IDF — the keyword-extraction stage
     * of a text pipeline. Terms are lowercase whitespace tokens; score =
     * tf · (ln((N+1)/(df+1)) + 1) (the smoothed idf, never negative),

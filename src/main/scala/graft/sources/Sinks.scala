@@ -61,6 +61,7 @@ object Sinks {
   private lazy val snapshotIncrDerDir: String = scratch("graft-snapshot-incr-der")
   private lazy val snapshotCompactDir: String = scratch("graft-snapshot-compact")
   private lazy val snapshotScopedDir: String = scratch("graft-snapshot-scoped")
+  private lazy val snapshotScoped2Dir: String = scratch("graft-snapshot-scoped2")
   private lazy val snapshotBloomDir: String = scratch("graft-snapshot-bloom")
   private lazy val snapshotInReadDir: String = scratch("graft-snapshot-inread")
   private lazy val snapshotMorDir: String = scratch("graft-snapshot-mor")
@@ -524,6 +525,32 @@ object Sinks {
     Snapshots.read(s, snapshotScopedDir).orderBy("doc_id")
   }
 
+  /** File-scoped MERGE on a COMPOSITE key: the base commits clustered
+    * by (lang, doc_id) with per-file stats on both, and the update
+    * batch is confined on both dimensions (one lang AND a doc_id
+    * band). The file partition intersects the update envelope on EVERY
+    * key column, so only files matching BOTH bounds are rewritten — a
+    * lang-only envelope would rewrite the whole 'en' band, a
+    * doc_id-only envelope one band per lang; the intersection touches
+    * their overlap. Logical semantics stay exactly the unscoped
+    * two-column MERGE (the oracle replays it); the SnapshotsSpec
+    * sibling asserts the reuse/rewrite split on a composite key.
+    */
+  private def snapshotMergeScopedComposite(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotScoped2Dir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s,
+      docs.repartitionByRange(8, col("lang"), col("doc_id"))
+        .sortWithinPartitions("lang", "doc_id"),
+      snapshotScoped2Dir, statsColumns = Seq("lang", "doc_id"))
+    val updates = docs
+      .filter(col("lang") === "en" && col("doc_id").between(100, 299))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    Snapshots.merge(s, snapshotScoped2Dir, updates, Seq("lang", "doc_id"),
+      statsColumns = Seq("lang", "doc_id"), scoped = true)
+    Snapshots.read(s, snapshotScoped2Dir).orderBy("doc_id")
+  }
+
   /** Schema evolution through MERGE (the Delta `mergeSchema` trade):
     * v1 commits documents WITHOUT n_chars, then a merge whose source
     * carries the new column evolves the table — the committed schema
@@ -957,6 +984,7 @@ object Sinks {
     "q_snapshot_cdf_feed" -> (snapshotCdfFeed _),
     "q_snapshot_compact" -> (snapshotCompact _),
     "q_snapshot_merge_scoped" -> (snapshotMergeScoped _),
+    "q_snapshot_merge_scoped_composite" -> (snapshotMergeScopedComposite _),
     "q_snapshot_bloom_read" -> (snapshotBloomRead _),
     "q_snapshot_schema_evo" -> (snapshotSchemaEvo _),
     "q_snapshot_expectations" -> (snapshotExpectations _),
@@ -1070,6 +1098,13 @@ object Sinks {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id >= 200 THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |FROM documents WHERE doc_id < 600 ORDER BY doc_id""".stripMargin,
+    // composite key, same logical semantics as an unscoped two-column
+    // MERGE: only (lang='en', doc_id in [100,299]) rows change
+    "q_snapshot_merge_scoped_composite" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en' AND doc_id BETWEEN 100 AND 299
+        |    THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the evolved state replayed from source: docs < 300 kept (NULL
     // n_chars unless the merge updated them), 300-499 inserted with the
     // new column populated

@@ -1142,15 +1142,22 @@ object Snapshots {
     * surviving rows — FULL by default (the copy-on-write trade every
     * format makes before deletion vectors / merge-on-read), or
     * FILE-SCOPED with `scoped = true`: the base manifest's min/max on
-    * the (single-column) key bounds which files the update-key
-    * envelope can touch, ONLY those are rewritten, and every untouched
-    * file is carried into the new snapshot BY REFERENCE (`_refs`) with
-    * its manifest row intact — the file-level sharing that makes a
-    * 100 TB merge cost O(touched files), not O(table). The envelope is
-    * tight for clustered updates (the common recent-partition CDC
-    * batch) and degrades to a full rewrite, never to a wrong answer,
-    * when update keys span the table. Scoped mode requires the base to
-    * have been committed with `statsColumns` covering the key, and
+    * EVERY key column bounds which files the update-key envelope can
+    * touch — a file is rewritten only when its per-file interval
+    * intersects the update envelope on ALL key columns (so a
+    * composite (tenant, day) merge rewrites only files matching BOTH
+    * bounds, not every file of the tenant OR the day) — and every
+    * untouched file is carried into the new snapshot BY REFERENCE
+    * (`_refs`) with its manifest row intact — the file-level sharing
+    * that makes a 100 TB merge cost O(touched files), not O(table).
+    * The intersection is a correct superset of the matching files: an
+    * equi-match on the full key puts each of its column values inside
+    * that column's update envelope, so a file failing ANY column's
+    * test can hold no matching row. The envelope is tight for
+    * clustered updates (the common recent-partition CDC batch) and
+    * degrades to a full rewrite, never to a wrong answer, when update
+    * keys span the table. Scoped mode requires the base to have been
+    * committed with `statsColumns` covering every key column, and
     * keeps publishing stats for the same columns.
     */
   def merge(
@@ -1164,8 +1171,8 @@ object Snapshots {
       scoped: Boolean = false,
       evolveSchema: Boolean = false,
       maxRetries: Int = 10): Long = {
-    require(!scoped || (key.size == 1 && statsColumns.contains(key.head)),
-      s"scoped merge needs a single-column key present in statsColumns " +
+    require(!scoped || (key.nonEmpty && key.forall(statsColumns.contains)),
+      s"scoped merge needs every key column present in statsColumns " +
         s"(key=$key, statsColumns=$statsColumns)")
     require(!(scoped && evolveSchema),
       "schema evolution needs a full rewrite: scoped merge shares data " +
@@ -1210,10 +1217,10 @@ object Snapshots {
         val merged = cur.join(ups, key, "left_anti").unionByName(ups)
         (merged, Sidecars(changes = feed))
       } else {
-        val k = key.head
         val snapDir = s"$tableDir/snap-$base"
         require(fc(spark).util().exists(new Path(manifestDir(snapDir))),
-          s"scoped merge needs a stats manifest on $k in version $base")
+          s"scoped merge needs a stats manifest on ${key.mkString(", ")} " +
+            s"in version $base")
         // a scoped merge reuses base files RAW (no readVersion in the
         // touched-row path), so a pending merge-on-read delete set —
         // keyed or positional — would resurrect deleted rows; fold it
@@ -1225,19 +1232,28 @@ object Snapshots {
           s"scoped merge on $tableDir with pending positional delete " +
             "vectors: fold them first (compact or an unscoped write)")
         val manifest = spark.read.parquet(manifestDir(snapDir))
-        // the update-key envelope: two scalars to the driver
-        val env = updates.agg(min(col(k)), max(col(k))).head()
-        val (lo, hi) = (env.get(0), env.get(1))
+        // the update-key envelope: 2·|key| scalars to the driver
+        val envAggs = key.flatMap(k => Seq(min(col(k)), max(col(k))))
+        val env = updates.agg(envAggs.head, envAggs.tail: _*).head()
+        val bounds = key.indices.map(i => (env.get(2 * i), env.get(2 * i + 1)))
         val files = manifest.collect()
+        // composite intersection: touched iff EVERY key column's file
+        // interval intersects that column's update envelope. A column
+        // whose update envelope is all-NULL means no update row carries
+        // a complete key (equi-join on the full key can match nothing)
+        // → every file is carried untouched.
         val (touched, untouched) =
-          if (lo == null) (Array.empty[org.apache.spark.sql.Row], files)
+          if (bounds.exists(_._1 == null))
+            (Array.empty[org.apache.spark.sql.Row], files)
           else files.partition { r =>
-            val mn = r.getAs[Any](s"min_$k")
-            val mx = r.getAs[Any](s"max_$k")
-            // NULL stats (all-null key in that file) can never match an
-            // equi-key update → safe to carry untouched
-            mn != null && mx != null &&
-              ordering(mx).compareTo(lo) >= 0 && ordering(mn).compareTo(hi) <= 0
+            key.zip(bounds).forall { case (k, (lo, hi)) =>
+              val mn = r.getAs[Any](s"min_$k")
+              val mx = r.getAs[Any](s"max_$k")
+              // NULL stats (all-null key in that file) can never match
+              // an equi-key update → safe to carry untouched
+              mn != null && mx != null &&
+                ordering(mx).compareTo(lo) >= 0 && ordering(mn).compareTo(hi) <= 0
+            }
           }
         def rebase(f: String): String =
           if (f.contains("/")) f else s"snap-$base/$f"

@@ -698,6 +698,58 @@ class SnapshotsSpec extends SparkSpec {
       .filter(col("v") === -1L).count() == 0L)
   }
 
+  test("scoped merge on a composite key intersects per-column envelopes") {
+    val dir = Files.createTempDirectory("graft-snap-scoped2").toString
+    // 4 tenants × 100 days, range-clustered (tenant, day) → 16 files of
+    // ~25 rows: tenant t spans ~4 files, each a ~25-day band
+    val data = spark.range(0, 400).toDF("i")
+      .select((col("i") / 100).cast("long").as("tenant"),
+        (col("i") % 100).as("day"), (col("i") * 3).as("v"))
+      .repartitionByRange(16, col("tenant"), col("day"))
+      .sortWithinPartitions("tenant", "day")
+    Snapshots.commit(spark, data, dir, statsColumns = Seq("tenant", "day"))
+    val baseFiles = Snapshots.read(spark, dir).inputFiles.toSet
+    assert(baseFiles.size == 16)
+
+    // update envelope (tenant=2) × (day 80..99): a tenant-only envelope
+    // would rewrite all ~4 tenant-2 files, a day-only envelope one file
+    // per tenant — the intersection must touch only their overlap
+    val updates = spark.range(280, 300).toDF("i")
+      .select((col("i") / 100).cast("long").as("tenant"),
+        (col("i") % 100).as("day"), lit(-1L).as("v"))
+    val v2 = Snapshots.merge(spark, dir, updates, Seq("tenant", "day"),
+      statsColumns = Seq("tenant", "day"), scoped = true)
+    assert(v2 == 2L)
+
+    val v2Files = Snapshots.read(spark, dir).inputFiles.toSet
+    val reused = v2Files.filter(_.contains("/snap-1/"))
+    assert(reused.subsetOf(baseFiles))
+    // touched = base files NOT carried. The overlap is ~1 band (+2 for
+    // range-split straddles); 4+ touched means the partition
+    // degenerated to a single-column envelope (all of tenant 2, or one
+    // band per tenant)
+    val touched = baseFiles.size - reused.size
+    assert(touched <= 3 && touched >= 1,
+      s"touched $touched of 16 base files (reused ${reused.size})")
+
+    // content is exactly the unscoped composite-key MERGE semantics
+    val got = Snapshots.read(spark, dir).orderBy("tenant", "day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 400)
+    assert(got.forall { case (t, dy, v) =>
+      if (t == 2L && dy >= 80L) v == -1L else v == (t * 100 + dy) * 3 })
+
+    // pruning still works across carried rows on BOTH key columns
+    val (sel, total) = Snapshots.selectFiles(spark, dir, v2, "day", 10L, 20L)
+    assert(sel.nonEmpty && sel.size < total)
+
+    // a key column missing from statsColumns refuses loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, dir, updates, Seq("tenant", "day"),
+        statsColumns = Seq("tenant"), scoped = true)
+    }
+  }
+
   test("compact collapses a scattered layout transactionally; pruning survives") {
     val dir = Files.createTempDirectory("graft-snap-compact").toString
     val data = spark.range(0, 4000).toDF("id").withColumn("v", col("id") * 3)
