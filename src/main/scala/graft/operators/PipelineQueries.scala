@@ -579,6 +579,12 @@ object PipelineQueries {
       TextAnalysis.pairMergeCandidates(t(s, d, "documents"), k = 20)
         .orderBy("rank")
     }),
+    "corpus_span_scrub" -> ((s, d) => {
+      // the REMOVAL half of the boilerplate pipeline (commonSpans is
+      // detection): word-granularity exact-substring dedup — delete
+      // every word covered by an 8-gram shared by >= 2 documents
+      TextAnalysis.spanScrub(t(s, d, "documents"), n = 8, minDocs = 2)
+    }),
     "corpus_bpe_train" -> ((s, d) => {
       // TRUE iterative BPE training: after each merge the pair counts
       // are RE-COUNTED over the partially merged corpus — merge r sees
@@ -1943,6 +1949,38 @@ object PipelineQueries {
         |    AS rank,
         |  span, n_docs
         |FROM counted ORDER BY n_docs DESC, span LIMIT 20""".stripMargin,
+    // occurrence-level 8-grams with 0-based start positions (struct
+    // comprehension + recursive unnest); frequent = >= 2 DISTINCT docs;
+    // a word at 0-based position p-1 survives iff no frequent-gram
+    // start st satisfies st <= p-1 <= st+7 — the same index-aware
+    // filter the Spark side runs as a HOF over the token array
+    "corpus_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |occ0 AS (
+        |  SELECT doc_id,
+        |    [{'s': i - 1, 'g': array_to_string(ts[i:i+7], ' ')}
+        |     for i in generate_series(1, len(ts) - 7)] AS occs
+        |  FROM toks),
+        |occ AS (
+        |  SELECT doc_id, unnest(occs, recursive := true) FROM occ0),
+        |freq AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ)
+        |  GROUP BY g HAVING COUNT(*) >= 2),
+        |covered AS (
+        |  SELECT doc_id, list(DISTINCT s) AS starts
+        |  FROM occ JOIN freq USING (g) GROUP BY doc_id),
+        |scrub AS (
+        |  SELECT t.doc_id, len(t.ts) AS n_words,
+        |    [t.ts[p] for p in generate_series(1, len(t.ts))
+        |      if len(list_filter(coalesce(c.starts, []::BIGINT[]),
+        |            st -> st <= p - 1 AND p - 1 <= st + 7)) = 0] AS kept
+        |  FROM toks t LEFT JOIN covered c USING (doc_id))
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_words - len(kept) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(kept, ' '), '') AS text_scrubbed
+        |FROM scrub ORDER BY doc_id""".stripMargin,
     // same −Σ p·ln p fold; SUM(n) cast to DOUBLE so the division is
     // float on both engines (DuckDB's BIGINT SUM widens to HUGEINT)
     "text_normalize" ->

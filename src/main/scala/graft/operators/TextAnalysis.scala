@@ -599,4 +599,63 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select("doc_id", "rank", "term", "tfidf")
   }
+
+  /** Cross-document repeated-span SCRUB — the removal half of the
+    * boilerplate pipeline whose detection half is [[commonSpans]]: every
+    * word covered by any `n`-gram that occurs in at least `minDocs`
+    * DISTINCT documents is deleted from every document carrying it
+    * (word-granularity exact-substring dedup, the cleanup C4 applies at
+    * line level and Lee et al. 2022 at suffix level; repeated spans are
+    * licences, headers, templated chrome — memorization bait a
+    * training corpus should not repeat hundreds of times).
+    *
+    * Mechanism: occurrence-level `n`-grams WITH start positions (one
+    * codegen'd [[graft.functions.TextShingles.wordNgramsAll]] pass, the
+    * array index of `posexplode` IS the 0-based start), the frequent set
+    * by distinct-doc count, covered starts per doc, then one
+    * index-aware `filter` HOF keeps exactly the words no frequent span
+    * covers — reassembly is per-row array work, never a positions×spans
+    * range join. Plan shape: two hash aggregations (doc-distinct grams →
+    * gram counts; covered starts per doc), one equi-join on gram (the
+    * frequent side is HAVING-bounded — AQE broadcasts it when small),
+    * one left join back to the corpus on doc_id. Every stage keys on
+    * gram or doc_id — co-partitioned at any scale, no all-pairs
+    * anywhere; 100 TB cost is two corpus scans plus shuffles of gram
+    * occurrences (the same volume the span DETECTOR already shuffles).
+    *
+    * Output: (doc_id, n_words, n_removed, text_scrubbed), one row per
+    * input document — n_removed = 0 and text_scrubbed = the normalized
+    * text for documents no frequent span touches.
+    */
+  def spanScrub(
+      docs: DataFrame,
+      n: Int = 8,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val occ = Corpus.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextShingles.wordNgramsAll(col(textCol), n))
+          .as(Seq("start", "gram")))
+    val frequent = occ.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gram")
+    val covered = occ.join(frequent, "gram")
+      .groupBy("doc_id").agg(collect_set(col("start")).as("starts"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+", -1).as("ts"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_words"),
+        filter(col("ts"), (_, p) =>
+          !exists(coalesce(col("starts"), array().cast("array<int>")),
+            s => s <= p && p <= s + (n - 1))).as("kept"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text_scrubbed"))
+      .orderBy("doc_id")
+  }
 }

@@ -272,4 +272,36 @@ class TextAnalysisSpec extends SparkSpec {
       got(0).getAs[String]("span").startsWith("content"))
     assert(got(2).getAs[Long]("n_docs") == 1L)
   }
+
+  test("span scrub removes exactly the cross-document boilerplate words") {
+    val boiler = "this content is provided as is without any warranty"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, "unrelated text entirely here now yes truly original")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.spanScrub(docs, n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the 9-word boilerplate is covered end-to-end by its two shared
+    // 8-grams; everything outside it survives untouched
+    assert(got(1L) == ((12L, 9L, "alpha beta gamma")))
+    assert(got(2L) == ((11L, 9L, "delta epsilon")))
+    assert(got(3L) == ((8L, 0L,
+      "unrelated text entirely here now yes truly original")))
+  }
+
+  test("span scrub keeps a doc intact when spans repeat only WITHIN it") {
+    // the same 8-gram twice in ONE doc is internal repetition, not
+    // cross-document boilerplate: distinct-doc count stays 1
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$span filler $span"),
+      (2L, "totally different words appear in this second document here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.spanScrub(docs, n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 0L)
+    assert(got(2L) == 0L)
+  }
 }
