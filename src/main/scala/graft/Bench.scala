@@ -105,6 +105,18 @@ object Bench {
     // metric name: a consumer selecting or summing by "total" must
     // never double-count the two lines.
     println(s"""{"metric":"total_summary","value":${fmt(total)},"unit":"sec",$load,"n_entries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    // Also persist the full line to a FILE: the driver's stdout-tail
+    // capture has truncated the per-query map before (r7's artifact has
+    // "parsed": null with the map recoverable only from raw tail text) —
+    // a durable sidecar makes every run's map machine-readable regardless
+    // of how much stdout survives.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$load,"n_entries":${results.size},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""" + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] sidecar write failed: $e")
+    }
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

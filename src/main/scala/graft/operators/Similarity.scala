@@ -556,6 +556,14 @@ object Similarity {
     * candidate pass reads codes only (m bytes/vector); the single
     * full-width pass is bounded by queries × shortlist. Recall vs the
     * exact reference is gated by `ann_pq_recall`.
+    *
+    * `books` takes a pre-trained [[pqCodebooks]] frame so serve-side
+    * callers (and the recall gate, which replays this exact
+    * configuration) don't re-run the m Lloyd trainings per call —
+    * training is the build half of the index, amortized in production,
+    * and re-deriving it inside every serve was the dominant cost of the
+    * r7 PQ bench lines. None keeps the self-contained train-and-serve
+    * behavior.
     */
   def ivfTopKPQ(
       corpus: DataFrame,
@@ -570,7 +578,8 @@ object Similarity {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      roundDecimals: Int = -1): DataFrame = {
+      roundDecimals: Int = -1,
+      books: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val sd = dim / m
@@ -583,15 +592,16 @@ object Similarity {
       .groupBy(col("neighbor_id"), col("cvec"))
       .agg(min_by(col("cell"), struct(-col("csim"), col("cell"))).as("cell"))
 
-    val books = pqCodebooks(corpus, m, ksub, pqIterations, dim,
-      idCol, vecCol, roundDecimals)
+    val theBooks = books.getOrElse(
+      pqCodebooks(corpus, m, ksub, pqIterations, dim,
+        idCol, vecCol, roundDecimals))
 
     // encode: nearest codebook entry per (vector, subspace). The books
     // frame is m·ksub rows — broadcast — and the subvector slice bounds
     // come off the joined `sub` column, so one join covers all subspaces
     val subv = slice(col("cvec"), col("sub") * sd + 1, lit(sd))
     val coded = assigned
-      .join(broadcast(books))
+      .join(broadcast(theBooks))
       .select(col("neighbor_id"), col("cell"), col("sub"), col("code"),
         maybeRound(cosineSim(subv, col("cent")), roundDecimals).as("csim"))
       .groupBy(col("neighbor_id"), col("cell"), col("sub"))
@@ -599,7 +609,7 @@ object Similarity {
 
     // per-query ADC lookup table + query norm (broadcast-sized)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val lut = q.join(broadcast(books))
+    val lut = q.join(broadcast(theBooks))
       .select(col("query_id"), col("sub"), col("code"),
         dotProduct(slice(col("qvec"), col("sub") * sd + 1, lit(sd)),
           col("cent")).as("pdot"),

@@ -612,10 +612,17 @@ object TextAnalysis {
     * Mechanism: occurrence-level `n`-grams WITH start positions (one
     * codegen'd [[graft.functions.TextShingles.wordNgramsAll]] pass, the
     * array index of `posexplode` IS the 0-based start), the frequent set
-    * by distinct-doc count, covered starts per doc, then one
-    * index-aware `filter` HOF keeps exactly the words no frequent span
-    * covers — reassembly is per-row array work, never a positions×spans
-    * range join. Plan shape: two hash aggregations (doc-distinct grams →
+    * by distinct-doc count, covered starts per doc, then a hash-based
+    * positional set-difference keeps exactly the words no frequent span
+    * covers: expand each start to its covered positions (`n` is a small
+    * constant, so O(starts·n) elements), and `array_except(all
+    * positions, covered)` — whose right side is a HASH set, not a
+    * per-element scan — yields kept positions in order. That is
+    * O(words + starts·n) per document, replacing the r7 per-token
+    * `exists` HOF that went O(words × starts) on boilerplate-heavy
+    * documents (the r5 interpreted-HOF lesson, again). Reassembly is
+    * per-row array work, never a positions×spans range join. Plan
+    * shape: two hash aggregations (doc-distinct grams →
     * gram counts; covered starts per doc), one equi-join on gram (the
     * frequent side is HAVING-bounded — AQE broadcasts it when small),
     * one left join back to the corpus on doc_id. Every stage keys on
@@ -649,10 +656,17 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         split(lower(trim(col(textCol))), "\\s+", -1).as("ts"))
       .join(covered, Seq("doc_id"), "left")
+      // positions past the last word in a span's tail are harmless in the
+      // except-set; sequence() is guarded against W=0 (split never returns
+      // an empty array, but the guard keeps the expression total)
       .select(col("doc_id"), size(col("ts")).cast("long").as("n_words"),
-        filter(col("ts"), (_, p) =>
-          !exists(coalesce(col("starts"), array().cast("array<int>")),
-            s => s <= p && p <= s + (n - 1))).as("kept"))
+        transform(
+          array_except(
+            sequence(lit(0), greatest(size(col("ts")) - 1, lit(0))),
+            flatten(transform(
+              coalesce(col("starts"), array().cast("array<int>")),
+              s => sequence(s, s + (n - 1))))),
+          p => element_at(col("ts"), p + 1)).as("kept"))
       .select(col("doc_id"), col("n_words"),
         (col("n_words") - size(col("kept"))).cast("long").as("n_removed"),
         array_join(col("kept"), " ").as("text_scrubbed"))

@@ -919,17 +919,20 @@ object Snapshots {
     val colType = readVersion(spark, tableDir, v).schema(colName).dataType
     val hashed = spark.range(1)
       .select(xxhash64(lit(value).cast(colType))).head().getLong(0)
-    // per-row sketches are probed on the coordinator (the expression
-    // form needs a constant sketch); the manifest is file-count-sized,
-    // so this is the same planning cost selectFiles already pays
-    val sel = m.select("file", s"bloom_$colName").collect().iterator
-      .filter { r =>
-        val sketch = r.getAs[Array[Byte]](1)
-        // a null sketch means a zero-row file: nothing to contain
-        sketch != null &&
-          graft.functions.BloomFunctions.mightContainSerialized(sketch, hashed)
-      }
-      .map { r =>
+    // per-row sketches can't use the BloomFilterMightContain EXPRESSION
+    // (it requires a constant sketch), so probe them with a deserialize
+    // UDF on the EXECUTORS and collect only the survivors: the driver
+    // cost is O(selected paths) instead of O(total files × sketch
+    // bytes) — at 10⁶ files × KB sketches the old coordinator-side
+    // probe was a GB-scale collect. The UDF is interpreted, but it runs
+    // over manifest rows (one per file), never data rows.
+    val probe = udf((sketch: Array[Byte]) =>
+      // a null sketch means a zero-row file: nothing to contain
+      sketch != null &&
+        graft.functions.BloomFunctions.mightContainSerialized(sketch, hashed))
+    val sel = m
+      .filter(probe(col(s"bloom_$colName")))
+      .select("file").collect().map { r =>
         val f = r.getString(0)
         if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
       }.toSeq

@@ -62,9 +62,11 @@ object StreamingQueries {
       fs, new org.apache.hadoop.fs.Path(s"$d/events.parquet"),
       fs, new org.apache.hadoop.fs.Path(s"$streamInDir/events-0.parquet"),
       false, s.sparkContext.hadoopConfiguration)
-    // events.ts is parquet TIMESTAMP(NANOS) — same nanosAsLong dance as
-    // the batch loader (Tables), held across the whole drain because
-    // micro-batches read footers during execution. Shuffle partitions
+    // events.ts physical type varies by testdata generation — same
+    // schema-driven branch as the batch loader (Tables), with nanosAsLong
+    // held across the whole drain because micro-batches read footers
+    // during execution (a no-op for the MICROS generation). Shuffle
+    // partitions
     // are sized to the STATE volume for the drain: a streaming agg
     // opens one state store per shuffle partition and pays its
     // init/commit/checkpoint per micro-batch, so 32 stores for a
@@ -79,8 +81,14 @@ object StreamingQueries {
     s.conf.set(shuffleKey, "8")
     try {
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(streamInDir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val raw = s.readStream.schema(schema).parquet(streamInDir)
+      val stream = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as Long
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType => // TIMESTAMP(MICROS)
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
       val q = Streaming.windowedCounts(stream)
         .writeStream
         .outputMode("complete")
