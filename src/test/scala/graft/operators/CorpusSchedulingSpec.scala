@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{SparkEntry, SparkSpec}
+
+/** The two batch-scheduling entries: the sharded deterministic epoch
+  * shuffle (reproducible pretraining data order) and length-bucketed
+  * batching stats. Pins the properties the oracle hash can't see in
+  * isolation: the shuffle is a layout-independent PERMUTATION (every doc
+  * exactly once, per-shard positions contiguous from 1), and the bucket
+  * stats are internally consistent (docs partition across buckets,
+  * efficiency is a (0, 1] fraction, max never exceeds its bucket).
+  */
+class CorpusSchedulingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(texts: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft-sched").toString
+    texts.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("corpus_epoch_shuffle: permutation, contiguous shard positions, layout-independent") {
+    val dir = docsDir((0L until 200L).map(i => (i, s"doc $i text")))
+    val rows = SparkEntry.queries("corpus_epoch_shuffle")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+
+    // every document appears exactly once
+    assert(rows.map(_._3).toSet == (0L until 200L).toSet)
+    assert(rows.length == 200)
+    // positions within each shard are 1..n with no gaps
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val ps = rs.map(_._2).sorted
+      assert(ps.toSeq == (1 to rs.length).toSeq,
+        s"shard $shard positions not contiguous: ${ps.take(5).toSeq}...")
+    }
+    // the order is a function of ids only — rewriting the table with a
+    // different physical layout must reproduce the identical schedule
+    val dir2 = Files.createTempDirectory("graft-sched2").toString
+    spark.read.parquet(s"$dir/documents.parquet").repartition(7)
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val again = SparkEntry.queries("corpus_epoch_shuffle")(spark, dir2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
+  test("corpus_length_buckets: boundary assignment and consistent stats") {
+    // one doc per boundary edge: 64 words, 65, 128, 512, 513
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> words(64), 2L -> words(65), 3L -> words(128),
+      4L -> words(512), 5L -> words(513)))
+    val rows = SparkEntry.queries("corpus_length_buckets")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+
+    val byBucket = rows.map(r => r._1 -> r).toMap
+    // 64 stays in the 64 bucket; 65 spills to 128 alongside the 128-doc
+    assert(byBucket(64)._2 == 1L)
+    assert(byBucket(128)._2 == 2L)
+    assert(byBucket(512)._2 == 1L)
+    assert(byBucket(1024)._2 == 1L)
+    // counts partition the corpus; max fits its bucket; efficiency (0,1]
+    assert(rows.map(_._2).sum == 5L)
+    rows.foreach { case (bucket, n, total, max, eff) =>
+      if (bucket < 1024) assert(max <= bucket)
+      assert(eff > 0.0 && eff <= 1.0, s"bucket $bucket efficiency $eff")
+      assert(total <= n * bucket || bucket == 1024)
+    }
+  }
+}
