@@ -642,9 +642,12 @@ object PipelineQueries {
       // funnel the corpus through one task, the known anti-pattern.
       // Same draw as corpus_mix_sample: no RNG, no seed-partitioning
       // coupling; membership and order are stable under any layout.
+      // no Corpus.spread here: the shard hash-exchange below already
+      // redistributes every row, so a prior round-robin repartition
+      // would be a second full shuffle buying nothing
       val h = conv(substring(md5(concat(lit("epoch1:"),
         col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
-      Corpus.spread(t(s, d, "documents"))
+      t(s, d, "documents")
         .select(col("doc_id"), h.as("hk"))
         .withColumn("shard", pmod(col("hk"), lit(16)).cast("int"))
         .withColumn("position", row_number()
