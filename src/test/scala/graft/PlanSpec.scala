@@ -264,4 +264,25 @@ class PlanSpec extends SparkSpec {
     // and never a per-key window sort over the full scored corpus
     assert(!p.contains("Window"), p)
   }
+
+  test("epoch shuffle windows by shard, never a global single-partition window") {
+    val p = plan(SparkEntry.queries("corpus_epoch_shuffle")(spark, sf))
+    // the rank window must be hash-partitioned on the shard key; a
+    // window with an empty partition spec plans Exchange SinglePartition
+    // and funnels the corpus through one task
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("length buckets aggregate partially with a pruned single-column scan") {
+    val df = SparkEntry.queries("corpus_length_buckets")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial"), p) // map-side combine on bucket
+    val f = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("text") && !readSchema.contains("doc_id"),
+      readSchema) // only the scored column is read
+  }
 }
