@@ -47,6 +47,35 @@ class CorpusSchedulingSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("corpus_cdc_chunk: boundaries re-align after an insertion (the CDC property)") {
+    // the same 120-word body, once bare and once with a 5-word prefix
+    // insertion: fixed windows would shift every chunk, but CDC
+    // boundaries depend only on local 4-gram content, so the two
+    // versions must share their post-first-boundary chunk hashes
+    val body = (1 to 120).map(i => s"tok${i * 7 % 31}x$i").mkString(" ")
+    val dir = docsDir(Seq(1L -> body, 2L -> s"aa bb cc dd ee $body"))
+    val chunks = SparkEntry.queries("corpus_cdc_chunk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(4)))
+    val bare = chunks.filter(_._1 == 1L).map(_._2)
+    val shifted = chunks.filter(_._1 == 2L).map(_._2)
+    val shared = bare.toSet.intersect(shifted.toSet)
+    // everything after the first re-aligned boundary is identical; only
+    // the head chunk(s) absorbing the insertion may differ
+    assert(shared.size >= bare.length - 2,
+      s"only ${shared.size} of ${bare.length} chunks re-aligned")
+    // chunks tile each document exactly: contiguous, gap-free ranges
+    val ranges = SparkEntry.queries("corpus_cdc_chunk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    ranges.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._3 == 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._4 + 1, s"gap between $a and $b")
+        case _ =>
+      }
+    }
+  }
+
   test("corpus_length_buckets: boundary assignment and consistent stats") {
     // one doc per boundary edge: 64 words, 65, 128, 512, 513
     def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
