@@ -85,6 +85,61 @@ object PipelineQueries {
     bpeTrainedMemo.computeIfAbsent((s, d),
       _ => TextAnalysis.bpeTrain(t(s, d, "documents"), k = 8))
 
+  /** CONTENT-DEFINED chunking — the dedup-stable complement to
+    * corpus_chunk's fixed windows: a chunk boundary falls after word e
+    * whenever the hash of the 4-gram ENDING at e lands in 1/8 of the
+    * hash space (FastCDC's gear-hash rule at word granularity, with the
+    * repo's cross-engine md5-prefix draw as the hash). Because
+    * boundaries depend only on LOCAL content, an insertion early in a
+    * document shifts every fixed window but re-aligns CDC chunks after
+    * the next boundary — so chunk_hash joins dedupe shared passages
+    * across revisions (`dedup_cdc_passages` is exactly that
+    * composition). One narrow codegen'd pass per document (the grams
+    * come from the WordNgramsAll kernel, the boundary filter and chunk
+    * assembly are per-row array ops); the only shuffle is the output
+    * sort.
+    */
+  private def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    val w = 4
+    val div = 8
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val grams = graft.functions.TextShingles.wordNgramsAll(col("text"), w)
+    Corpus.spread(t(s, d, "documents"))
+      .select(col("doc_id"), toks.as("ts"), grams.as("grams"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"),
+        // 1-based END word of each boundary gram: 0-based gram j covers
+        // words j+1..j+w, so its end is j+w; zip the grams against
+        // exactly those end positions and keep the hits
+        when(size(col("grams")) === 0, array().cast("array<int>"))
+          .otherwise(filter(
+            zip_with(col("grams"),
+              sequence(lit(w), size(col("grams")) + lit(w) - 1),
+              (g, e) => when(
+                pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+                  lit(div)) === 0, e).otherwise(lit(null).cast("int"))),
+            x => x.isNotNull)).as("ends0"))
+      .select(col("doc_id"), col("ts"),
+        // the tail is always a chunk: append n unless a boundary
+        // already ends the document
+        when(size(col("ends0")) === 0 ||
+            element_at(col("ends0"), size(col("ends0"))) =!= col("n"),
+          concat(col("ends0"), array(col("n").cast("int"))))
+          .otherwise(col("ends0")).as("ends"))
+      .select(col("doc_id"), col("ts"), col("ends"),
+        posexplode(col("ends")).as(Seq("idx0", "end_word")))
+      .select(col("doc_id"),
+        (col("idx0") + 1).cast("int").as("chunk_idx"),
+        when(col("idx0") === 0, lit(1))
+          .otherwise(element_at(col("ends"), col("idx0")) + 1)
+          .cast("int").as("start_word"),
+        col("end_word").cast("int").as("end_word"), col("ts"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_word"),
+        col("end_word"),
+        md5(array_join(slice(col("ts"), col("start_word"),
+          col("end_word") - col("start_word") + 1), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---- shared pipeline stage builders ----
   // One definition per stage, used by BOTH the standalone oracle-gated
   // entries and the pipeline_end_to_end composite — the composite cannot
@@ -633,57 +688,28 @@ object PipelineQueries {
       // every word covered by an 8-gram shared by >= 2 documents
       TextAnalysis.spanScrub(t(s, d, "documents"), n = 8, minDocs = 2)
     }),
-    "corpus_cdc_chunk" -> ((s, d) => {
-      // CONTENT-DEFINED chunking — the dedup-stable complement to
-      // corpus_chunk's fixed windows: a chunk boundary falls after word
-      // e whenever the hash of the 4-gram ENDING at e lands in 1/8 of
-      // the hash space (FastCDC's gear-hash rule at word granularity,
-      // with the repo's cross-engine md5-prefix draw as the hash).
-      // Because boundaries depend only on LOCAL content, an insertion
-      // early in a document shifts every fixed window but re-aligns CDC
-      // chunks after the next boundary — so chunk_hash joins dedupe
-      // shared passages across revisions. One narrow codegen'd pass per
-      // document (the grams come from the WordNgramsAll kernel, the
-      // boundary filter and chunk assembly are per-row array ops);
-      // the only shuffle is the output sort.
-      val w = 4
-      val div = 8
-      val toks = split(lower(trim(col("text"))), "\\s+")
-      val grams = graft.functions.TextShingles.wordNgramsAll(col("text"), w)
-      Corpus.spread(t(s, d, "documents"))
-        .select(col("doc_id"), toks.as("ts"), grams.as("grams"))
-        .select(col("doc_id"), col("ts"), size(col("ts")).as("n"),
-          // 1-based END word of each boundary gram: 0-based gram j
-          // covers words j+1..j+w, so its end is j+w; zip the grams
-          // against exactly those end positions and keep the hits
-          when(size(col("grams")) === 0, array().cast("array<int>"))
-            .otherwise(filter(
-              zip_with(col("grams"),
-                sequence(lit(w), size(col("grams")) + lit(w) - 1),
-                (g, e) => when(
-                  pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
-                    lit(div)) === 0, e).otherwise(lit(null).cast("int"))),
-              x => x.isNotNull)).as("ends0"))
-        .select(col("doc_id"), col("ts"),
-          // the tail is always a chunk: append n unless a boundary
-          // already ends the document
-          when(size(col("ends0")) === 0 ||
-              element_at(col("ends0"), size(col("ends0"))) =!= col("n"),
-            concat(col("ends0"), array(col("n").cast("int"))))
-            .otherwise(col("ends0")).as("ends"))
-        .select(col("doc_id"), col("ts"), col("ends"),
-          posexplode(col("ends")).as(Seq("idx0", "end_word")))
-        .select(col("doc_id"),
-          (col("idx0") + 1).cast("int").as("chunk_idx"),
-          when(col("idx0") === 0, lit(1))
-            .otherwise(element_at(col("ends"), col("idx0")) + 1)
-            .cast("int").as("start_word"),
-          col("end_word").cast("int").as("end_word"), col("ts"))
-        .select(col("doc_id"), col("chunk_idx"), col("start_word"),
-          col("end_word"),
-          md5(array_join(slice(col("ts"), col("start_word"),
-            col("end_word") - col("start_word") + 1), " ")).as("chunk_hash"))
-        .orderBy("doc_id", "chunk_idx")
+    "corpus_cdc_chunk" -> ((s, d) => cdcChunks(s, d)),
+    "dedup_cdc_passages" -> ((s, d) => {
+      // The CDC use case end-to-end: chunk every document with the
+      // content-defined rule, then group by chunk_hash to find
+      // passages shared across documents — the passage-granular dedup
+      // signal that survives document revisions (a copied paragraph
+      // with different surroundings still produces the same chunks,
+      // which fixed windows would miss). Plan: the per-row CDC pass,
+      // one hash aggregation on chunk_hash (map-side partial), HAVING
+      // over distinct-doc counts — co-partitioned at any scale, no
+      // all-pairs. Output: each shared passage with its spread and
+      // length, ordered for the gate.
+      cdcChunks(s, d)
+        .groupBy("chunk_hash")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("end_word") - col("start_word") + 1).cast("long")
+            .as("n_words"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("chunk_hash")
     }),
     "corpus_epoch_shuffle" -> ((s, d) => {
       // Reproducible epoch ordering — the pretraining data-order
@@ -1226,6 +1252,37 @@ object PipelineQueries {
         |  CAST(ends[i] AS INT) AS end_word,
         |  md5(array_to_string(ts[(CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END):ends[i]], ' ')) AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the corpus_cdc_chunk CTE chain re-aggregated by chunk hash
+    "dedup_cdc_passages" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, ts, len(ts) AS n,
+        |    [i + 3 for i in generate_series(1, len(ts) - 3)
+        |       if ('0x' || substring(md5(array_to_string(ts[i:i+3], ' ')), 1, 15))::BIGINT % 8 = 0] AS ends0
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, ts, n,
+        |    CASE WHEN len(ends0) = 0 OR ends0[len(ends0)] != n
+        |         THEN list_append(ends0, n) ELSE ends0 END AS ends
+        |  FROM g),
+        |c AS (
+        |  SELECT doc_id, ts, ends, unnest(generate_series(1, len(ends))) AS i
+        |  FROM e),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END AS start_word,
+        |    ends[i] AS end_word,
+        |    md5(array_to_string(ts[(CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END):ends[i]], ' ')) AS chunk_hash
+        |  FROM c)
+        |SELECT chunk_hash,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_occurrences,
+        |  MIN(doc_id) AS first_doc,
+        |  CAST(MAX(end_word - start_word + 1) AS BIGINT) AS n_words
+        |FROM ch GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
     // the corpus_stratified_sample md5 draw with an epoch-seed prefix;
     // hk is 15 hex digits (< 2^60, non-negative) so % == pmod
     "corpus_epoch_shuffle" ->
