@@ -35,6 +35,7 @@ object Sinks {
   private lazy val roundTripDir: String = scratch("graft-write-roundtrip")
   private lazy val jsonDir: String = scratch("graft-write-json")
   private lazy val orcDir: String = scratch("graft-write-orc")
+  private lazy val textDir: String = scratch("graft-write-text")
   private lazy val sortedDir: String = scratch("graft-write-sorted")
   private lazy val smallFilesDir: String = scratch("graft-write-smallfiles")
   private lazy val compactedDir: String = scratch("graft-write-compacted")
@@ -139,6 +140,29 @@ object Sinks {
       .select("n_nationkey", "n_name", "n_regionkey")
     out.write.mode("overwrite").json(jsonDir)
     s.read.schema(out.schema).json(jsonDir).orderBy("n_nationkey")
+  }
+
+  /** Raw text-shard round trip — the ingest format pretraining corpora
+    * actually arrive in (one document per line, no schema, no ids):
+    * write the corpus as text shards, read it back with the core `text`
+    * source, and reduce to an ORDER-INDEPENDENT content certificate
+    * (line count, distinct count, and a modular sum of per-line
+    * md5-prefix draws) — text shards carry no row identity or order, so
+    * the gate must hash CONTENT, not position. The mod keeps the sum
+    * far from BIGINT overflow at any gate scale. The oracle recomputes
+    * the same certificate from the documents table the shards were cut
+    * from: a match proves byte-exact line round-trip through the text
+    * sink and source.
+    */
+  private def textRoundTrip(s: SparkSession, d: String): DataFrame = {
+    Tables(s, d, "documents").select(col("text"))
+      .write.mode("overwrite").text(textDir)
+    s.read.text(textDir)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("value")).as("n_distinct"),
+        sum(pmod(conv(substring(md5(col("value")), 1, 15), 16, 10)
+          .cast("long"), lit(1000000007L))).cast("long").as("content_sum"))
   }
 
   /** Range-clustered layout for scan pruning: repartitionByRange +
@@ -1008,6 +1032,7 @@ object Sinks {
     "q_write_compacted" -> (compactRoundTrip _),
     "q_source_json" -> (jsonRoundTrip _),
     "q_source_orc" -> (orcRoundTrip _),
+    "q_source_text" -> (textRoundTrip _),
     "q_schema_evolution" -> (evolutionRoundTrip _)
   )
 
@@ -1257,6 +1282,12 @@ object Sinks {
     "q_source_orc" ->
       """SELECT r_regionkey, r_name FROM region
         |ORDER BY r_regionkey""".stripMargin,
+    "q_source_text" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  COUNT(DISTINCT text) AS n_distinct,
+        |  CAST(SUM(('0x' || substring(md5(text), 1, 15))::BIGINT % 1000000007)
+        |    AS BIGINT) AS content_sum
+        |FROM documents""".stripMargin,
     // replay the two-batch history: even ids predate the n_chars column
     "q_schema_evolution" ->
       """WITH merged AS (
