@@ -109,10 +109,14 @@ object Bench {
     // capture has truncated the per-query map before (r7's artifact has
     // "parsed": null with the map recoverable only from raw tail text) —
     // a durable sidecar makes every run's map machine-readable regardless
-    // of how much stdout survives.
+    // of how much stdout survives. Default lives in the working
+    // directory (the repo when the driver runs the bench), NOT a fixed
+    // name in world-writable /tmp: concurrent runs there clobber each
+    // other and a pre-planted symlink would redirect the write
+    // (Files.writeString follows symlinks). Env override unchanged.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")),
+        "SPARK_GRAFT_BENCH_OUT", "graft_bench_last.json")),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$load,"n_entries":${results.size},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""" + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] sidecar write failed: $e")

@@ -12,4 +12,15 @@ object GraftShims {
     classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a hand-assembled logical plan (Spark 4 made
+    * `Dataset.ofRows` private[sql]). Needed by the manifest-pruned scan,
+    * which plans a file source over a custom
+    * [[org.apache.spark.sql.execution.datasources.FileIndex]] instead of
+    * round-tripping a selected-path list through `spark.read.parquet`.
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

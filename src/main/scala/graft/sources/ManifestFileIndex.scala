@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{
+  FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** A [[FileIndex]] over an already-pruned snapshot file selection: the
+  * manifest filter (min/max range, bloom probe, or transform-envelope
+  * keep condition) ran IN SPARK, and only the survivors — path plus the
+  * manifest's committed `size_bytes` — reach the driver, as the
+  * `FileStatus` list Spark's scan planner needs anyway. This replaces
+  * `spark.read.parquet(paths: _*)` on the pruned read paths, which at
+  * 10⁶⁺ files pays twice: the path Seq itself, then `InMemoryFileIndex`
+  * re-listing every path against the filesystem (one RPC per file) and
+  * re-inferring what the manifest already committed. Here `listFiles`
+  * hands the planner the pruned [[PartitionDirectory]] directly:
+  * O(selected) driver bytes, zero per-file filesystem calls.
+  *
+  * Partitioning stays flat (`partitionSchema` empty) by design — the
+  * snapshot layer's hidden partitioning prunes via the manifest BEFORE
+  * this index exists, so Spark-side partition values would be dead
+  * weight. Filters passed to `listFiles` are ignored for the same
+  * reason: the selection is the pruning.
+  */
+final class ManifestFileIndex(
+    statuses: Seq[FileStatus],
+    val partitionSchema: StructType = new StructType())
+  extends FileIndex {
+
+  override def rootPaths: Seq[Path] = statuses.map(_.getPath)
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
+
+  override def inputFiles: Array[String] =
+    statuses.map(_.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+}
+
+object ManifestFileIndex {
+
+  /** Plan a parquet scan over pre-selected files. The data schema is
+    * read from the FIRST file's footer — the same single-footer
+    * inference `spark.read.parquet` does with schema merging off, and
+    * correct here because a snapshot version's data files share one
+    * schema by the commit contract (schema evolution rewrites; it never
+    * mixes schemas inside a version).
+    */
+  def scan(spark: SparkSession, statuses: Seq[FileStatus]): DataFrame = {
+    require(statuses.nonEmpty, "empty file selection has no schema to scan")
+    val dataSchema = spark.read.parquet(statuses.head.getPath.toString).schema
+    val relation = HadoopFsRelation(
+      location = new ManifestFileIndex(statuses),
+      partitionSchema = new StructType(),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty[String, String])(spark)
+    GraftShims.ofRows(spark, LogicalRelation(relation, isStreaming = false))
+  }
+}

@@ -155,8 +155,19 @@ object Sinks {
     * sink and source.
     */
   private def textRoundTrip(s: SparkSession, d: String): DataFrame = {
-    Tables(s, d, "documents").select(col("text"))
-      .write.mode("overwrite").text(textDir)
+    val docs = Tables(s, d, "documents").select(col("text"))
+    // one-document-per-line is only a round trip when no document
+    // CONTAINS a newline — an embedded \n reads back as two lines and
+    // the certificate diverges from the oracle as an opaque hash
+    // mismatch. Assert the invariant here (ADVICE r8) so a testdata
+    // regeneration with multi-line docs fails LOUDLY at the entry; the
+    // multi-line ingest shape is the multimodal text-shard path's
+    // concern, not this source's contract.
+    val embedded = docs.filter(col("text").contains("\n")).count()
+    require(embedded == 0L,
+      s"q_source_text needs newline-free documents ($embedded docs embed " +
+        "\\n; one-doc-per-line text shards cannot round-trip them)")
+    docs.write.mode("overwrite").text(textDir)
     s.read.text(textDir)
       .agg(
         count(lit(1)).as("n_lines"),

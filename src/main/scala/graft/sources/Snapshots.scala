@@ -211,6 +211,151 @@ object Snapshots {
     */
   private def manifestDir(snapDir: String): String = s"$snapDir/_manifest"
 
+  /** Session conf naming how many manifest rows land in one leaf
+    * manifest file (default 4096). At production file counts this makes
+    * the manifest a PARTITIONED structure — Iceberg's two-level layout —
+    * and the root list below prunes whole leaves before any leaf row is
+    * read; tests lower it to exercise multi-leaf layouts at toy scale.
+    */
+  private[sources] val ManifestRowsPerLeafConf =
+    "graft.snapshots.manifestRowsPerLeaf"
+  private val ManifestRowsPerLeafDefault = 4096
+
+  /** Publish a snapshot's manifest as range-clustered LEAF files plus a
+    * `_root` manifest list (manifest-of-manifests): one row per leaf
+    * carrying `n_files` and, for every `min_x`/`max_x` stats pair, the
+    * leaf's envelope `lo_x`/`hi_x`. Range reads prune at MANIFEST
+    * granularity against the root (O(leaves) driver rows) before any
+    * leaf is opened — at 10⁶ files with 4096-row leaves that is ~250
+    * root rows gating which of the ~250 leaf parquet files are read at
+    * all. Leaves are clustered by the first stats column's `min_` (the
+    * table's declared pruning key), so leaf envelopes stay tight
+    * exactly when the data is clustered — the same precondition file-
+    * level pruning itself has. Costs two extra manifest-sized jobs per
+    * commit (read-back + root aggregation), never a data-sized one.
+    */
+  private def writeManifest(
+      spark: SparkSession, m: DataFrame, stageDir: String): Unit = {
+    val ctx = fc(spark)
+    val dir = manifestDir(stageDir)
+    val build = s"$stageDir/_manifest_build"
+    m.coalesce(1).write.mode("overwrite").parquet(build)
+    val back = spark.read.parquet(build)
+    val perLeaf = spark.conf.getOption(ManifestRowsPerLeafConf)
+      .map(_.toInt).getOrElse(ManifestRowsPerLeafDefault)
+    val n = back.count()
+    val leaves = math.max(1L, (n + perLeaf - 1) / perLeaf).toInt
+    val orderCol = back.columns.find(_.startsWith("min_"))
+    if (leaves == 1 || orderCol.isEmpty)
+      // single leaf (or nothing to cluster by — bloom-only manifests,
+      // which root envelopes cannot prune anyway): adopt the build dir
+      ctx.rename(new Path(build), new Path(dir), Options.Rename.NONE)
+    else {
+      back.repartitionByRange(leaves, col(orderCol.get))
+        .write.mode("overwrite").parquet(dir)
+      ctx.delete(new Path(build), true)
+    }
+    val leafRows = spark.read.parquet(dir)
+      .withColumn("mfile", element_at(split(input_file_name(), "/"), -1))
+    val envelopes = leafRows.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_"))
+      .filter(c => leafRows.columns.contains(s"max_$c"))
+    val aggs = count(lit(1)).as("n_files") +: envelopes.toSeq.flatMap(c =>
+      Seq(min(col(s"min_$c")).as(s"lo_$c"), max(col(s"max_$c")).as(s"hi_$c")))
+    leafRows.groupBy(col("mfile")).agg(aggs.head, aggs.tail: _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_root")
+  }
+
+  /** The snapshot's leaf-manifest rows, pruned at manifest granularity
+    * first: `rootKeep` inspects the root list's schema and returns the
+    * envelope condition a leaf must satisfy to possibly hold a
+    * surviving row (None → no root-level pruning, every leaf is read —
+    * always a correct superset). Surviving-leaf names are the only
+    * driver-side list here, and it is O(manifest files), not O(data
+    * files).
+    */
+  private[sources] def manifestLeaves(
+      spark: SparkSession,
+      snapDir: String,
+      rootKeep: DataFrame => Option[Column]): DataFrame = {
+    val dir = manifestDir(snapDir)
+    val rootP = new Path(s"$dir/_root")
+    val pruned =
+      if (!fc(spark).util().exists(rootP)) None
+      else {
+        val root = spark.read.parquet(rootP.toString)
+        rootKeep(root).map { keep =>
+          val surviving = root.filter(keep).select("mfile").collect()
+            .map(r => s"$dir/${r.getString(0)}")
+          if (surviving.isEmpty) spark.read.parquet(dir).limit(0)
+          else spark.read.parquet(surviving.toIndexedSeq: _*)
+        }
+      }
+    pruned.getOrElse(spark.read.parquet(dir))
+  }
+
+  /** Total files in a snapshot, from the root list when present (one
+    * tiny read) instead of counting every leaf row.
+    */
+  private def manifestTotal(spark: SparkSession, snapDir: String): Long = {
+    val rootP = new Path(s"${manifestDir(snapDir)}/_root")
+    if (fc(spark).util().exists(rootP))
+      spark.read.parquet(rootP.toString).agg(sum("n_files")).head().getLong(0)
+    else spark.read.parquet(manifestDir(snapDir)).count()
+  }
+
+  /** Root-list envelope condition for a range probe, when the root
+    * carries the column's envelope (older or bloom-only manifests may
+    * not — then every leaf is read, still a correct superset).
+    */
+  private def rangeRootKeep(colName: String, lower: Any, upper: Any)(
+      root: DataFrame): Option[Column] =
+    if (root.columns.contains(s"lo_$colName") &&
+        root.columns.contains(s"hi_$colName"))
+      Some(col(s"hi_$colName") >= lit(lower) && col(s"lo_$colName") <= lit(upper))
+    else None
+
+  /** Resolve a manifest `file` entry to a full path: bare names are the
+    * snapshot's own files, slashed paths are table-root-relative
+    * references into earlier snapshots.
+    */
+  private def resolveDataPath(
+      tableDir: String, snapDir: String, f: String): String =
+    if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
+
+  /** Plan a scan over exactly the files a manifest selection kept: the
+    * survivors — path plus committed `size_bytes` — are collected into
+    * the `FileStatus` list Spark's planner needs and handed to a
+    * [[ManifestFileIndex]], so the driver never holds the UNPRUNED file
+    * list and never re-lists the filesystem per file (the cost
+    * `spark.read.parquet(paths: _*)` would pay twice at 10⁶ files).
+    * Returns None when nothing survives — the caller supplies its
+    * empty-but-schema'd frame.
+    */
+  private def prunedScan(
+      spark: SparkSession,
+      tableDir: String,
+      snapDir: String,
+      selected: DataFrame): Option[DataFrame] = {
+    val ctx = fc(spark)
+    val projected =
+      if (selected.columns.contains("size_bytes"))
+        selected.select(col("file"), col("size_bytes"))
+      else selected.select(col("file"), lit(null).cast("long").as("size_bytes"))
+    val statuses = projected.collect().map { r =>
+      val p = ctx.makeQualified(
+        new Path(resolveDataPath(tableDir, snapDir, r.getString(0))))
+      // carried rows from a pre-size manifest chain fall back to one
+      // getFileStatus — O(selected), never O(total)
+      val len =
+        if (!r.isNullAt(1)) r.getLong(1)
+        else ctx.getFileStatus(p).getLen
+      new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L, p)
+    }
+    if (statuses.isEmpty) None
+    else Some(ManifestFileIndex.scan(spark, statuses.toIndexedSeq))
+  }
+
   /** Sidecars a transaction can publish along with its data, all
     * landing by the same atomic claim:
     *  - `changes`: write-time CDF rows → `_changes`
@@ -389,8 +534,7 @@ object Snapshots {
       // no own data rows: the predecessor's manifest IS this version's —
       // re-publish it verbatim so stats, blooms, and transform envelopes
       // all survive regardless of this commit's (empty) manifest config
-      sidecars.carriedManifest.foreach(
-        _.coalesce(1).write.mode("overwrite").parquet(manifestDir(stageDir)))
+      sidecars.carriedManifest.foreach(writeManifest(spark, _, stageDir))
     else if (statsColumns.nonEmpty || bloomColumns.nonEmpty || partitionSpec.nonEmpty) {
       val data = spark.read.parquet(stageDir)
       val aggs: Seq[Column] = (count(lit(1)).as("n_rows") +:
@@ -407,10 +551,26 @@ object Snapshots {
           graft.functions.BloomFunctions
             .bloomAgg(xxhash64(col(c)), BloomExpectedItems, BloomBits)
             .as(s"bloom_$c"))
-      val own0 = data
+      val ownStats = data
         .groupBy(
           element_at(split(input_file_name(), "/"), -1).as("file"))
         .agg(aggs.head, aggs.tail: _*)
+      // per-file byte size, lifted from the freshly written staging
+      // listing (one directory RPC) — the manifest carries it so the
+      // pruned-scan planner never issues a per-file getFileStatus; at
+      // 10⁶ selected files that is the difference between zero and 10⁶
+      // namenode calls at planning time (Iceberg stores file sizes in
+      // its manifests for the same reason)
+      val own0 = {
+        import spark.implicits._
+        val sizes = fc(spark).util().listStatus(new Path(stageDir)).iterator
+          .filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }.map(st => (st.getPath.getName, st.getLen)).toSeq
+        ownStats.join(
+          broadcast(sizes.toDF("file", "size_bytes")), Seq("file"), "left")
+      }
       // per-file spec id (the Iceberg spec-evolution contract): own
       // files were clustered under the CURRENT spec; carried files keep
       // whatever spec id their manifest row already records
@@ -427,7 +587,7 @@ object Snapshots {
       // its own spec's columns, never a null of another spec's.
       def isSpecCol(n: String) = n == "spec_id" ||
         n.startsWith("min_pt_") || n.startsWith("max_pt_")
-      sidecars.carriedManifest
+      val full = sidecars.carriedManifest
         .fold(own) { c =>
           val ownData = own.columns.filterNot(isSpecCol)
           val cData = c.columns.filterNot(isSpecCol).toSet
@@ -445,8 +605,7 @@ object Snapshots {
             u.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
           else u
         }
-        .coalesce(1) // manifests are file-count-sized: one small file
-        .write.mode("overwrite").parquet(manifestDir(stageDir))
+      writeManifest(spark, full, stageDir)
     } else sidecars.carriedManifest.foreach { c =>
       // a pure-reference commit (merge-on-read delete) with no manifest
       // config of its own still re-publishes the carried stats verbatim.
@@ -462,7 +621,7 @@ object Snapshots {
           "stats/bloom/partition config for its own data files — pruned " +
           "reads would silently skip the new rows; pass the base's " +
           s"statsColumns (carried manifest columns: ${c.columns.mkString(", ")})")
-      c.coalesce(1).write.mode("overwrite").parquet(manifestDir(stageDir))
+      writeManifest(spark, c, stageDir)
     }
     // write-time CDF: the change rows this commit applies, published by
     // the same atomic claim as the data (underscore dir → hidden from
@@ -850,19 +1009,26 @@ object Snapshots {
       lower: Any,
       upper: Any): (Seq[String], Long) = {
     val snapDir = s"$tableDir/snap-$v"
-    val m = spark.read.parquet(manifestDir(snapDir))
-    val total = m.count()
-    val sel = m
-      .filter(col(s"max_$colName") >= lit(lower) &&
-        col(s"min_$colName") <= lit(upper))
-      .select("file").collect().map { r =>
-        val f = r.getString(0)
-        // bare names are the snapshot's own files; slashed paths are
-        // table-root-relative references into earlier snapshots
-        if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
-      }.toSeq
+    val total = manifestTotal(spark, snapDir)
+    val sel = rangeSelection(spark, snapDir, colName, lower, upper)
+      .select("file").collect()
+      .map(r => resolveDataPath(tableDir, snapDir, r.getString(0))).toSeq
     (sel, total)
   }
+
+  /** The manifest rows surviving a range probe: root-list pruning
+    * first (whole leaves whose envelope misses the range are never
+    * read), then the per-file min/max filter — both in Spark.
+    */
+  private def rangeSelection(
+      spark: SparkSession,
+      snapDir: String,
+      colName: String,
+      lower: Any,
+      upper: Any): DataFrame =
+    manifestLeaves(spark, snapDir, rangeRootKeep(colName, lower, upper))
+      .filter(col(s"max_$colName") >= lit(lower) &&
+        col(s"min_$colName") <= lit(upper))
 
   /** Range read through the statistics manifest: prune data files by
     * their committed min/max BEFORE the scan, then apply the residual
@@ -885,12 +1051,10 @@ object Snapshots {
     val residual = col(colName).between(lit(lower), lit(upper))
     if (!fc(spark).util().exists(new Path(manifestDir(snapDir))))
       readVersion(spark, tableDir, ver).filter(residual)
-    else {
-      val (files, _) = selectFiles(spark, tableDir, ver, colName, lower, upper)
-      if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
-      else applyDeleteSidecars(spark, snapDir,
-        spark.read.parquet(files: _*)).filter(residual)
-    }
+    else prunedScan(spark, tableDir, snapDir,
+        rangeSelection(spark, snapDir, colName, lower, upper))
+      .map(raw => applyDeleteSidecars(spark, snapDir, raw).filter(residual))
+      .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
   }
 
   /** Point-lookup file selection via the per-file bloom sketches:
@@ -909,10 +1073,28 @@ object Snapshots {
       colName: String,
       value: Any): (Seq[String], Long) = {
     val snapDir = s"$tableDir/snap-$v"
-    val m = spark.read.parquet(manifestDir(snapDir))
+    val total = manifestTotal(spark, snapDir)
+    val sel = pointSelection(spark, tableDir, v, colName, value)
+      .select("file").collect()
+      .map(r => resolveDataPath(tableDir, snapDir, r.getString(0))).toSeq
+    (sel, total)
+  }
+
+  /** The manifest rows surviving a bloom point probe. Root-list
+    * envelopes cannot prune membership sketches (a bloom has no
+    * ordering), so every leaf row is probed — but the probe itself runs
+    * on the EXECUTORS and only survivors reach the driver.
+    */
+  private def pointSelection(
+      spark: SparkSession,
+      tableDir: String,
+      v: Long,
+      colName: String,
+      value: Any): DataFrame = {
+    val snapDir = s"$tableDir/snap-$v"
+    val m = manifestLeaves(spark, snapDir, _ => None)
     require(m.columns.contains(s"bloom_$colName"),
       s"version $v of $tableDir has no bloom sketch for $colName")
-    val total = m.count()
     // xxhash64 is TYPE-sensitive: the probe literal must hash as the
     // same type the sketch was built over, or every lookup would be a
     // silent false negative — cast to the column's actual type first
@@ -930,13 +1112,7 @@ object Snapshots {
       // a null sketch means a zero-row file: nothing to contain
       sketch != null &&
         graft.functions.BloomFunctions.mightContainSerialized(sketch, hashed))
-    val sel = m
-      .filter(probe(col(s"bloom_$colName")))
-      .select("file").collect().map { r =>
-        val f = r.getString(0)
-        if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
-      }.toSeq
-    (sel, total)
+    m.filter(probe(col(s"bloom_$colName")))
   }
 
   /** Equality read through the bloom manifest: prune files whose
@@ -957,12 +1133,11 @@ object Snapshots {
     val hasBloom = fc(spark).util().exists(manifest) &&
       spark.read.parquet(manifest.toString).columns.contains(s"bloom_$colName")
     if (!hasBloom) readVersion(spark, tableDir, ver).filter(residual)
-    else {
-      val (files, _) = selectFilesPoint(spark, tableDir, ver, colName, value)
-      if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
-      else applyDeleteSidecars(spark, s"$tableDir/snap-$ver",
-        spark.read.parquet(files: _*)).filter(residual)
-    }
+    else prunedScan(spark, tableDir, s"$tableDir/snap-$ver",
+        pointSelection(spark, tableDir, ver, colName, value))
+      .map(raw => applyDeleteSidecars(spark, s"$tableDir/snap-$ver", raw)
+        .filter(residual))
+      .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
   }
 
   /** Partition-pruned file selection for equality probes on RAW
@@ -983,9 +1158,27 @@ object Snapshots {
       v: Long,
       probes: Seq[(String, Any)]): (Seq[String], Long) = {
     val snapDir = s"$tableDir/snap-$v"
+    val total = manifestTotal(spark, snapDir)
+    val sel = partitionedSelection(spark, tableDir, v, probes)
+      .select("file").collect()
+      .map(r => resolveDataPath(tableDir, snapDir, r.getString(0))).toSeq
+    (sel, total)
+  }
+
+  /** The manifest rows surviving a hidden-partitioning probe (shared by
+    * [[selectFilesPartitioned]] and [[scanPartitioned]]). Root-level
+    * pruning is not attempted here: transform envelopes are judged
+    * per-SPEC, and a root row aggregates leaves that may mix specs —
+    * reading every leaf is the correct superset.
+    */
+  private def partitionedSelection(
+      spark: SparkSession,
+      tableDir: String,
+      v: Long,
+      probes: Seq[(String, Any)]): DataFrame = {
+    val snapDir = s"$tableDir/snap-$v"
     val (specs, _) = partitionSpecs(spark, tableDir, v)
-    val m = spark.read.parquet(manifestDir(snapDir))
-    val total = m.count()
+    val m = manifestLeaves(spark, snapDir, _ => None)
     val schema = readVersion(spark, tableDir, v).schema
     // per-SPEC pruning (spec evolution): each file is judged against the
     // spec it was written under — a probe a spec doesn't cover keeps that
@@ -1005,12 +1198,7 @@ object Snapshots {
         col(s"min_${t.name}") <= lit(tv) && col(s"max_${t.name}") >= lit(tv)
       }).reduceOption(_ && _).getOrElse(lit(true))
     }
-    val sel = m.filter(keep)
-      .select("file").collect().map { r =>
-        val f = r.getString(0)
-        if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
-      }.toSeq
-    (sel, total)
+    m.filter(keep)
   }
 
   /** Assemble a manifest keep-predicate from per-spec conditions: rows
@@ -1062,7 +1250,7 @@ object Snapshots {
     if (!fc(spark).util().exists(new Path(manifestDir(snapDir))) ||
         covering.isEmpty) full.filter(residual)
     else {
-      val m = spark.read.parquet(manifestDir(snapDir))
+      val m = manifestLeaves(spark, snapDir, _ => None)
       val colType = full.schema(column).dataType
       // per-spec conditions (spec evolution): a file survives when SOME
       // probe value fits ALL the envelopes of ITS OWN spec's transforms
@@ -1081,13 +1269,9 @@ object Snapshots {
             col(s"min_${t.name}") <= lit(tv) && col(s"max_${t.name}") >= lit(tv)
           }.reduce(_ && _)).reduce(_ || _)
       }
-      val files = m.filter(keep).select("file").collect().map { r =>
-        val f = r.getString(0)
-        if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
-      }.toSeq
-      if (files.isEmpty) full.filter(lit(false))
-      else applyDeleteSidecars(spark, snapDir,
-        spark.read.parquet(files: _*)).filter(residual)
+      prunedScan(spark, tableDir, snapDir, m.filter(keep))
+        .map(raw => applyDeleteSidecars(spark, snapDir, raw).filter(residual))
+        .getOrElse(full.filter(lit(false)))
     }
   }
 
@@ -1112,11 +1296,10 @@ object Snapshots {
     val prunable = fc(spark).util().exists(new Path(manifestDir(snapDir))) &&
       partitionSpecs(spark, tableDir, ver)._1.exists(_._2.nonEmpty)
     if (!prunable) readVersion(spark, tableDir, ver)
-    else {
-      val (files, _) = selectFilesPartitioned(spark, tableDir, ver, probes)
-      if (files.isEmpty) readVersion(spark, tableDir, ver).filter(lit(false))
-      else applyDeleteSidecars(spark, snapDir, spark.read.parquet(files: _*))
-    }
+    else prunedScan(spark, tableDir, snapDir,
+        partitionedSelection(spark, tableDir, ver, probes))
+      .map(raw => applyDeleteSidecars(spark, snapDir, raw))
+      .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
   }
 
   /** Equality read through hidden partitioning: prune files via the

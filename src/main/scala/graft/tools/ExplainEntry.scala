@@ -12,6 +12,10 @@ object ExplainEntry {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // match the engine sessions (Bench/Verify/Repl): explaining a
+      // timestamp-dependent entry under a different zone can resolve
+      // different casts and a different plan than the one shipped
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

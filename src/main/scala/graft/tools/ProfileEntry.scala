@@ -12,6 +12,9 @@ object ProfileEntry {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // match the engine sessions (Bench/Verify/Repl) — a profile under
+      // a different zone can run a different plan than the one shipped
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -52,9 +52,18 @@ class CdcPropertiesSpec extends SparkSpec {
       } yield ws.mkString(" "))
     } yield docs
 
+  // ONE scratch dir for the whole suite, overwritten per sample and
+  // reaped on JVM exit — per-sample createTempDirectory left a dir
+  // behind for every ScalaCheck run (ADVICE r8)
+  private val scratch = {
+    val d = Files.createTempDirectory("graft-cdc-prop")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
   test("cdc chunks tile every document and break exactly at the rule's boundaries") {
     check(Prop.forAll(corpusGen) { docs =>
-      val dir = Files.createTempDirectory("graft-cdc-prop").toString
+      val dir = scratch
       docs.zipWithIndex
         .map { case (t, i) => (i.toLong, t, "en", "s0", t.length.toLong) }
         .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -72,16 +81,20 @@ class CdcPropertiesSpec extends SparkSpec {
         val expectedEnds =
           if (bs.isEmpty || bs.last != n) bs :+ n else bs
         val got = rows.filter(_._1 == id.toLong).sortBy(_._2)
-        val tile = got.head._3 == 1 && got.last._4 == n &&
-          got.sliding(2).forall {
-            case Array(a, b) => b._3 == a._4 + 1
-            case _ => true
+        // guard before head/last: an engine bug dropping every row for a
+        // doc must report as a property failure, not NoSuchElement
+        got.nonEmpty && {
+          val tile = got.head._3 == 1 && got.last._4 == n &&
+            got.sliding(2).forall {
+              case Array(a, b) => b._3 == a._4 + 1
+              case _ => true
+            }
+          val ends = got.map(_._4).toSeq == expectedEnds
+          val hashes = got.forall { case (_, _, s, e, h) =>
+            h == md5hex(words.slice(s - 1, e).mkString(" "))
           }
-        val ends = got.map(_._4).toSeq == expectedEnds
-        val hashes = got.forall { case (_, _, s, e, h) =>
-          h == md5hex(words.slice(s - 1, e).mkString(" "))
+          tile && ends && hashes
         }
-        tile && ends && hashes
       }
     })
   }

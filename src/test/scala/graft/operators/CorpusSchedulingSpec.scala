@@ -16,11 +16,12 @@ class CorpusSchedulingSpec extends SparkSpec {
   import spark.implicits._
 
   private def docsDir(texts: Seq[(Long, String)]): String = {
-    val dir = Files.createTempDirectory("graft-sched").toString
+    val dir = Files.createTempDirectory("graft-sched")
+    dir.toFile.deleteOnExit() // reap suite scratch on JVM exit (ADVICE r8)
     texts.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    dir
+    dir.toString
   }
 
   test("corpus_epoch_shuffle: permutation, contiguous shard positions, layout-independent") {
@@ -40,6 +41,7 @@ class CorpusSchedulingSpec extends SparkSpec {
     // the order is a function of ids only — rewriting the table with a
     // different physical layout must reproduce the identical schedule
     val dir2 = Files.createTempDirectory("graft-sched2").toString
+    new java.io.File(dir2).deleteOnExit()
     spark.read.parquet(s"$dir/documents.parquet").repartition(7)
       .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
     val again = SparkEntry.queries("corpus_epoch_shuffle")(spark, dir2)

@@ -253,6 +253,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(after < before)
   }
 
+  test("batched bpe training equals the sequential trainer at batchCap=1 " +
+      "and reaches 64 merges in far fewer corpus passes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // batchCap=1 degenerates to the sequential argmax loop: candidate
+    // rank 1 is always accepted, so each round learns exactly the global
+    // best pair — the two trainers must produce the same table
+    val sequential = TextAnalysis.bpeTrain(docs, k = 6)
+    val (capOne, r1) = TextAnalysis.bpeTrainBatched(docs,
+      k = 6, batchCap = 1, candWindow = 8, maxRounds = 6)
+    assert(capOne == sequential && r1 == 6)
+
+    // realistic merge count: 64 merges, batches of ≤8 non-conflicting
+    // pairs — driver round-trips scale with ROUNDS, not merges
+    val (merges, rounds) = TextAnalysis.bpeTrainBatched(docs,
+      k = 64, batchCap = 8, candWindow = 24, maxRounds = 16)
+    assert(merges.size == 64, s"learned ${merges.size} of 64")
+    assert(rounds < 32, s"$rounds corpus passes for 64 merges")
+    info(s"64 merges in $rounds corpus passes (sequential would take 64)")
+    // a merged pair can never re-form (merges never delete symbols), so
+    // the table must be duplicate-free
+    assert(merges.map(m => (m._1, m._2)).distinct.size == 64)
+    // within-round batches are symbol-disjoint by the acceptance rule;
+    // the encode therefore applies them in any order with one result —
+    // spot-check the serving half round-trips the corpus tokenization
+    val enc = TextAnalysis.bpeEncodeTrained(docs, merges.map(m => (m._1, m._2)))
+    val before = docs.select(
+      sum(size(split(lower(trim(col("text"))), "\\s+")))).head().getLong(0)
+    val after = enc.agg(sum("n_tokens")).head().getLong(0)
+    assert(after < before)
+  }
+
   test("common spans surface the cross-document boilerplate n-gram") {
     val boiler = "this content is provided as is without any warranty"
     val docs = Seq(

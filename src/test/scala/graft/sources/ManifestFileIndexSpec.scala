@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.functions._
+
+/** The two-level manifest layout and the [[ManifestFileIndex]] scan
+  * path: a snapshot's manifest splits into range-clustered leaf files
+  * with a `_root` manifest list, range reads prune whole LEAVES against
+  * the root before any leaf row is read, and the planned scan holds
+  * exactly the surviving data files — O(selected) driver state, with
+  * file sizes served from the manifest instead of per-file filesystem
+  * calls. Exercised on a synthetic many-file layout (64 data files, 8
+  * manifest rows per leaf) standing in for the 10⁶-file case.
+  */
+class ManifestFileIndexSpec extends SparkSpec {
+
+  test("root manifest list prunes whole leaves; scan plans only survivors") {
+    val dir = Files.createTempDirectory("graft-mfi").toString
+    spark.conf.set(Snapshots.ManifestRowsPerLeafConf, "8")
+    try {
+      // 64 range-clustered files over id 0..6399 — each covers a ~100-id band
+      val data = spark.range(0, 6400).toDF("id")
+        .withColumn("v", col("id") * 2)
+        .repartitionByRange(64, col("id"))
+        .sortWithinPartitions("id")
+      val v = Snapshots.commit(spark, data, dir, statsColumns = Seq("id"))
+      val snapDir = s"$dir/snap-$v"
+
+      // two-level layout on disk: 8 leaf manifest files + a root list
+      // whose per-leaf envelopes tile the id domain and whose n_files
+      // sum to the data file count
+      val leafFiles = new java.io.File(s"$snapDir/_manifest").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(leafFiles.length == 8, s"${leafFiles.length} leaf manifests")
+      val root = spark.read.parquet(s"$snapDir/_manifest/_root")
+      assert(root.count() == 8L)
+      assert(root.agg(sum("n_files")).head().getLong(0) == 64L)
+
+      // manifest-granularity pruning: a ~100-id range survives at most
+      // 2 of the 8 leaves (it can straddle one leaf boundary)
+      val survivingLeaves = Snapshots
+        .manifestLeaves(spark, snapDir,
+          _ => Some(col("hi_id") >= lit(700L) && col("lo_id") <= lit(800L)))
+        .select(input_file_name()).distinct().count()
+      assert(survivingLeaves >= 1 && survivingLeaves <= 2,
+        s"$survivingLeaves of 8 leaves read for a one-band range")
+
+      // the planned scan holds ONLY the surviving data files, through a
+      // ManifestFileIndex (no InMemoryFileIndex re-listing), with sizes
+      // taken from the manifest's committed size_bytes
+      val pruned = Snapshots.readRange(spark, dir, "id", 700L, 800L)
+      val location = pruned.queryExecution.optimizedPlan.collectFirst {
+        case LogicalRelation(HadoopFsRelation(loc: ManifestFileIndex, _, _, _, _, _), _, _, _, _) => loc
+      }
+      assert(location.isDefined, "pruned read did not plan a ManifestFileIndex")
+      assert(location.get.inputFiles.length == 2,
+        s"${location.get.inputFiles.length} files planned for a 2-file range")
+      val manifest = spark.read.parquet(s"$snapDir/_manifest")
+      assert(manifest.columns.contains("size_bytes"))
+      val bySize = manifest.select("file", "size_bytes").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      location.get.inputFiles.foreach { f =>
+        val name = f.split('/').last
+        val actual = new java.io.File(new java.net.URI(f)).length()
+        assert(bySize(name) == actual,
+          s"manifest size_bytes ${bySize(name)} != on-disk $actual for $name")
+      }
+      assert(location.get.sizeInBytes == location.get.inputFiles
+        .map(f => new java.io.File(new java.net.URI(f)).length()).sum)
+
+      // results stay exact vs the full filtered scan
+      val got = pruned.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = Snapshots.read(spark, dir)
+        .filter(col("id").between(700L, 800L))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == want.toSeq && got.length == 101)
+
+      // a range beyond every envelope selects zero leaves and zero files
+      assert(Snapshots.readRange(spark, dir, "id", 100000L, 200000L).count() == 0L)
+      assert(Snapshots.selectFiles(spark, dir, v, "id", 100000L, 200000L)
+        ._1.isEmpty)
+    } finally spark.conf.unset(Snapshots.ManifestRowsPerLeafConf)
+  }
+
+  test("single-leaf tables keep the flat layout and root totals agree") {
+    val dir = Files.createTempDirectory("graft-mfi-flat").toString
+    val data = spark.range(0, 800).toDF("id")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    val v = Snapshots.commit(spark, data, dir, statsColumns = Seq("id"))
+    val snapDir = s"$dir/snap-$v"
+    val leafFiles = new java.io.File(s"$snapDir/_manifest").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(leafFiles.length == 1, s"${leafFiles.length} leaves for 8 files")
+    val root = spark.read.parquet(s"$snapDir/_manifest/_root")
+    assert(root.count() == 1L &&
+      root.agg(sum("n_files")).head().getLong(0) == 8L)
+    // root envelope equals the table's id span
+    val env = root.select("lo_id", "hi_id").head()
+    assert(env.getLong(0) == 0L && env.getLong(1) == 799L)
+    assert(Snapshots.readRange(spark, dir, "id", 150L, 250L).count() == 101L)
+  }
+}

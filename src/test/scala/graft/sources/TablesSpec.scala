@@ -73,10 +73,59 @@ class TablesSpec extends SparkSpec {
       "label" -> IntegerType))
   }
 
-  test("events loader restores the nanosAsLong conf it scopes") {
+  test("events loader restores the nanosAsLong conf on a MICROS generation") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(key)
     Tables(spark, sf, "events").schema
     assert(spark.conf.getOption(key) === prior)
+  }
+
+  test("a TIMESTAMP(NANOS) generation executes end-to-end after the loader returns") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types => PTypes}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+    // synthesize the nanos footer Spark itself cannot write: an INT64 ts
+    // annotated TIMESTAMP(NANOS, isAdjustedToUTC=false), microsecond-
+    // aligned values like the real generation
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos-gen").toString
+    val schema = PTypes.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .named("events")
+    val microsBase = 1704067200000000L // 2024-01-01T00:00:00Z
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    try (0L until 10L).foreach { i =>
+      writer.write(gf.newGroup()
+        .append("event_id", i)
+        .append("ts", (microsBase + i * 1000000L) * 1000L))
+    } finally writer.close()
+
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    try {
+      val events = Tables(spark, dir, "events")
+      // the loader has RETURNED; this action is where a restored conf
+      // would break the vectorized reader on the nanos footer (Spark
+      // re-resolves the conf from the session at plan time) — the
+      // sticky-conf contract keeps it executable
+      assert(spark.conf.getOption(key).contains("true"),
+        "nanos detection must leave nanosAsLong set for the session")
+      assert(events.schema("ts").dataType === TimestampType)
+      val got = events.selectExpr("event_id", "unix_micros(ts)")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(got.toSeq ===
+        (0L until 10L).map(i => (i, microsBase + i * 1000000L)))
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 }
