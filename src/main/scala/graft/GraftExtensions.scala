@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitsetFromPositions, BitsetIntersectCount, CharNgrams, CosineSimilarity, MinHashSignature, RepetitionStats, SimHash64, SimHashFromHashes, WordNgrams, WordNgramsAll, ZOrder2}
+import graft.functions.{BitsetFromPositions, BitsetIntersectCount, CharNgrams, CosineSimilarity, MinHashSignature, RepetitionStats, SimHash64, SimHashFromHashes, WordNgrams, WordNgramsAll, ZOrder2, ZOrderK}
 
 /** Cluster-wide registration of the library's Catalyst expressions via
   * `SparkSessionExtensions` — the deployment path for SQL users:
@@ -91,6 +91,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("zorder2",
         "zorder2(a, b) - Morton interleave of two bigints (Z-order clustering key)"),
       (exprs: Seq[Expression]) => ZOrder2(exprs(0), exprs(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("zorderk"),
+      info("zorderk",
+        "zorderk(a, b, ...) - Morton interleave of 2-8 bigints, 64/k bits " +
+          "each (k-dimensional Z-order clustering key)"),
+      (exprs: Seq[Expression]) => ZOrderK(exprs)))
 
     ext.injectFunction((
       FunctionIdentifier("word_ngrams"),

@@ -56,6 +56,7 @@ object Sinks {
   private lazy val snapshotStreamCkpt: String = scratch("graft-snapshot-stream-ckpt")
   private lazy val snapshotStreamOut: String = scratch("graft-snapshot-stream-out")
   private lazy val snapshotZorderDir: String = scratch("graft-snapshot-zorder")
+  private lazy val snapshotZorder3Dir: String = scratch("graft-snapshot-zorder3")
   private lazy val snapshotAsOfDir: String = scratch("graft-snapshot-asof")
   private lazy val snapshotHiddenDir: String = scratch("graft-snapshot-hidden")
   private lazy val snapshotIncrSrcDir: String = scratch("graft-snapshot-incr-src")
@@ -722,6 +723,41 @@ object Sinks {
       .orderBy("dim", "l_orderkey", "l_linenumber")
   }
 
+  /** THREE-dimensional Z-order (VERDICT r8 #5): same transactional
+    * rewrite as q_snapshot_zorder, clustering on the k-dim Morton
+    * interleave ([[graft.functions.ZOrderK]], 21 bits per dimension at
+    * k=3) of (l_orderkey, l_partkey, l_suppkey) — and the proof burden
+    * is the THIRD dimension: a 1-D sort prunes its leading column, a
+    * 2-D interleave covers two, but a range read on l_suppkey would
+    * full-scan both of those layouts. The entry answers one range per
+    * dimension through the pruned path; the oracle is the plain range
+    * predicates (layout-independent), so a hash match certifies the
+    * 3-D rewrite moved files, not rows. SnapshotsSpec asserts all
+    * three dimensions prune below the total file count.
+    */
+  private def snapshotZorder3(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotZorder3Dir)
+    val li = Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity")
+    Snapshots.commit(s, li.repartition(64), snapshotZorder3Dir)
+    Snapshots.compact(s, snapshotZorder3Dir,
+      zorderCols = Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      targetFileBytes = 512L * 1024,
+      statsColumns = Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    val byOrder = Snapshots
+      .readRange(s, snapshotZorder3Dir, "l_orderkey", 5000L, 7000L)
+      .withColumn("dim", lit("orderkey"))
+    val byPart = Snapshots
+      .readRange(s, snapshotZorder3Dir, "l_partkey", 100L, 300L)
+      .withColumn("dim", lit("partkey"))
+    val bySupp = Snapshots
+      .readRange(s, snapshotZorder3Dir, "l_suppkey", 10L, 40L)
+      .withColumn("dim", lit("suppkey"))
+    byOrder.unionByName(byPart).unionByName(bySupp)
+      .orderBy("dim", "l_orderkey", "l_linenumber")
+  }
+
   /** Timestamp time travel, oracle-gated end-to-end: three commits at
     * INJECTED timestamps (the determinism seam [[Snapshots.commit]]
     * exposes for exactly this; production stamps the wall clock), then
@@ -1025,6 +1061,7 @@ object Sinks {
     "q_snapshot_expectations" -> (snapshotExpectations _),
     "q_snapshot_cdf_stream" -> (snapshotCdfStream _),
     "q_snapshot_zorder" -> (snapshotZorder _),
+    "q_snapshot_zorder3" -> (snapshotZorder3 _),
     "q_snapshot_asof" -> (snapshotAsOf _),
     "q_snapshot_incr_pipeline" -> (snapshotIncrPipeline _),
     "q_snapshot_hidden_partition" -> (snapshotHiddenPartition _),
@@ -1251,6 +1288,21 @@ object Sinks {
         |SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
         |  'partkey' AS dim
         |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+        |ORDER BY dim, l_orderkey, l_linenumber""".stripMargin,
+    // one range per 3-D z-ordered dimension, all row-exact via the
+    // residual filter — the plain range predicates, layout-independent
+    "q_snapshot_zorder3" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |  l_quantity, 'orderkey' AS dim
+        |FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 7000
+        |UNION ALL
+        |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |  l_quantity, 'partkey' AS dim
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+        |UNION ALL
+        |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |  l_quantity, 'suppkey' AS dim
+        |FROM lineitem WHERE l_suppkey BETWEEN 10 AND 40
         |ORDER BY dim, l_orderkey, l_linenumber""".stripMargin,
     // three point lookups through the bloom manifest = the plain
     // equality predicate over the source

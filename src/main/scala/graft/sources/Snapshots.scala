@@ -1846,8 +1846,8 @@ object Snapshots {
       zorderCols: Seq[String] = Nil,
       maxRetries: Int = 10): Long = {
     require(targetFileBytes > 0, s"bad targetFileBytes=$targetFileBytes")
-    require(zorderCols.isEmpty || zorderCols.size == 2,
-      s"zorderCols interleaves exactly two dimensions, got $zorderCols")
+    require(zorderCols.isEmpty || (zorderCols.size >= 2 && zorderCols.size <= 8),
+      s"zorderCols interleaves 2 to 8 dimensions, got $zorderCols")
     require(sortCols.isEmpty || zorderCols.isEmpty,
       "sortCols and zorderCols are alternative clustering strategies")
     val ctx = fc(spark)
@@ -1867,14 +1867,21 @@ object Snapshots {
       val laidOut =
         if (zorderCols.nonEmpty) {
           // multi-dimensional clustering: range-partition and sort by
-          // the Morton interleave of BOTH columns, so each file covers
-          // a compact rectangle in (a, b) space and the SAME min/max
-          // manifest prunes range reads on EITHER dimension — the
-          // OPTIMIZE ZORDER BY of the real formats. A 1-D sort prunes
-          // only its leading column; at 100 TB the second dimension's
-          // full-scan cost is what this buys back.
-          val zk = graft.functions.ZOrder2.zorder2(
-            col(zorderCols(0)), col(zorderCols(1)))
+          // the Morton interleave of ALL the named columns, so each
+          // file covers a compact hyper-rectangle in that space and the
+          // SAME min/max manifest prunes range reads on ANY dimension —
+          // the OPTIMIZE ZORDER BY of the real formats. A 1-D sort
+          // prunes only its leading column; at 100 TB the other
+          // dimensions' full-scan cost is what this buys back. The 2-D
+          // case keeps the mask-spread [[graft.functions.ZOrder2]] fast
+          // path (identical bit layout to ZOrderK at k=2); 3+ columns
+          // interleave through [[graft.functions.ZOrderK]], each
+          // contributing its low 64/k bits.
+          val zk =
+            if (zorderCols.size == 2)
+              graft.functions.ZOrder2.zorder2(
+                col(zorderCols(0)), col(zorderCols(1)))
+            else graft.functions.ZOrderK.zorderK(zorderCols.map(col): _*)
           cur.repartitionByRange(nFiles, zk).sortWithinPartitions(zk)
         } else if (sortCols.nonEmpty)
           cur.repartitionByRange(nFiles, sortCols.map(col): _*)
