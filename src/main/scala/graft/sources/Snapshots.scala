@@ -315,6 +315,40 @@ object Snapshots {
       Some(col(s"hi_$colName") >= lit(lower) && col(s"lo_$colName") <= lit(upper))
     else None
 
+  /** Root-list envelope condition for hidden-partitioning probes,
+    * SINGLE-spec tables only: a leaf can hold a matching file only if
+    * some probe value's transformed literal lands inside the leaf's
+    * `lo_`/`hi_` envelope for every covering transform (AND over
+    * transforms of OR over values — implied by the row-level OR-of-ANDs,
+    * so always a correct superset). Multi-spec manifests skip root
+    * pruning entirely: a root row aggregates leaves that may mix specs,
+    * and per-spec conditions cannot be judged against a blended
+    * envelope. Null envelopes (a leaf whose files carry only null
+    * values for the column) fail the condition exactly like the
+    * row-level filter drops those files — an equality probe never
+    * matches null.
+    */
+  private[sources] def partitionedRootKeep(
+      spark: SparkSession,
+      specs: Seq[(Int, Seq[Transform])],
+      schema: org.apache.spark.sql.types.StructType,
+      probes: Seq[(String, Seq[Any])])(root: DataFrame): Option[Column] =
+    if (specs.size != 1) None
+    else {
+      val ts = specs.head._2
+      val conds = for {
+        (c, values) <- probes
+        t <- ts if t.column == c &&
+          root.columns.contains(s"lo_${t.name}") &&
+          root.columns.contains(s"hi_${t.name}")
+      } yield values.map { v =>
+        val tv = spark.range(1)
+          .select(t(lit(v).cast(schema(c).dataType))).head().get(0)
+        col(s"lo_${t.name}") <= lit(tv) && col(s"hi_${t.name}") >= lit(tv)
+      }.reduce(_ || _)
+      conds.reduceOption(_ && _)
+    }
+
   /** Resolve a manifest `file` entry to a full path: bare names are the
     * snapshot's own files, slashed paths are table-root-relative
     * references into earlier snapshots.
@@ -1178,8 +1212,10 @@ object Snapshots {
       probes: Seq[(String, Any)]): DataFrame = {
     val snapDir = s"$tableDir/snap-$v"
     val (specs, _) = partitionSpecs(spark, tableDir, v)
-    val m = manifestLeaves(spark, snapDir, _ => None)
     val schema = readVersion(spark, tableDir, v).schema
+    val m = manifestLeaves(spark, snapDir,
+      partitionedRootKeep(spark, specs, schema,
+        probes.map { case (c, value) => (c, Seq(value)) }))
     // per-SPEC pruning (spec evolution): each file is judged against the
     // spec it was written under — a probe a spec doesn't cover keeps that
     // spec's files (correct superset), and a spec_id the sidecar doesn't
@@ -1250,7 +1286,8 @@ object Snapshots {
     if (!fc(spark).util().exists(new Path(manifestDir(snapDir))) ||
         covering.isEmpty) full.filter(residual)
     else {
-      val m = manifestLeaves(spark, snapDir, _ => None)
+      val m = manifestLeaves(spark, snapDir,
+        partitionedRootKeep(spark, specs, full.schema, Seq(column -> values)))
       val colType = full.schema(column).dataType
       // per-spec conditions (spec evolution): a file survives when SOME
       // probe value fits ALL the envelopes of ITS OWN spec's transforms

@@ -86,6 +86,62 @@ class ManifestFileIndexSpec extends SparkSpec {
     } finally spark.conf.unset(Snapshots.ManifestRowsPerLeafConf)
   }
 
+  test("root pruning covers single-spec transform probes (the IVF probe shape)") {
+    val dir = Files.createTempDirectory("graft-mfi-part").toString
+    spark.conf.set(Snapshots.ManifestRowsPerLeafConf, "8")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      // 64 bucket-clustered files over 64 cells — a cell-partitioned
+      // posting layout; 8 manifest rows per leaf → 8 leaves, each
+      // leaf's pt-envelope covering a band of bucket values
+      val data = spark.range(0, 12800).toDF("i")
+        .select((col("i") % 64L).as("cell"), col("i").as("payload"))
+      val v = Snapshots.commit(spark, data, dir,
+        partitionSpec = Seq(Snapshots.Transform.Identity("cell")))
+      val snapDir = s"$dir/snap-$v"
+      // empty hash partitions write no file, so the data file count is
+      // the NONEMPTY bucket count (< 64); leaves follow from it
+      val nFiles = spark.read.parquet(s"$snapDir/_manifest").count()
+      val leafFiles = new java.io.File(s"$snapDir/_manifest").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(leafFiles == ((nFiles + 7) / 8).toInt && leafFiles >= 4,
+        s"$leafFiles leaf manifests for $nFiles files")
+
+      // a 2-cell IN probe reads a strict SUBSET of the leaves: the
+      // spec-clustering write hashes cells across files, so file
+      // envelopes are value-bands with overlap — root pruning is the
+      // correct-superset kind here (tight banding is the range path's
+      // property, proven above), but whole leaves whose envelope band
+      // misses both cells must be skipped
+      val (specs, _) = Snapshots.partitionSpecs(spark, dir, v)
+      val schema = Snapshots.read(spark, dir).schema
+      val surviving = Snapshots.manifestLeaves(spark, snapDir,
+          Snapshots.partitionedRootKeep(spark, specs, schema,
+            Seq("cell" -> Seq(3L, 17L))))
+        .select(input_file_name()).distinct().count()
+      assert(surviving >= 1 && surviving < leafFiles,
+        s"$surviving of $leafFiles leaves read for a 2-cell probe — no root pruning")
+
+      // end-to-end: the pruned IN read matches the plain filter and
+      // plans well under the full file count
+      val pruned = Snapshots.readPartitionedIn(spark, dir, "cell", Seq(3L, 17L))
+      val planned = pruned.queryExecution.optimizedPlan.collectFirst {
+        case LogicalRelation(HadoopFsRelation(loc: ManifestFileIndex, _, _, _, _, _), _, _, _, _) => loc
+      }
+      assert(planned.isDefined && planned.get.inputFiles.length < nFiles / 2,
+        s"${planned.map(_.inputFiles.length)} of $nFiles files planned for 2 cells")
+      val got = pruned.orderBy("payload").collect().map(_.getLong(1))
+      val want = Snapshots.read(spark, dir)
+        .filter(col("cell").isin(3L, 17L))
+        .orderBy("payload").collect().map(_.getLong(1))
+      assert(got.toSeq == want.toSeq && got.nonEmpty)
+    } finally {
+      spark.conf.unset(Snapshots.ManifestRowsPerLeafConf)
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
+
   test("single-leaf tables keep the flat layout and root totals agree") {
     val dir = Files.createTempDirectory("graft-mfi-flat").toString
     val data = spark.range(0, 800).toDF("id")
