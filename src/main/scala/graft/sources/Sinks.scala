@@ -57,6 +57,8 @@ object Sinks {
   private lazy val snapshotStreamOut: String = scratch("graft-snapshot-stream-out")
   private lazy val snapshotZorderDir: String = scratch("graft-snapshot-zorder")
   private lazy val snapshotZorder3Dir: String = scratch("graft-snapshot-zorder3")
+  private lazy val snapshotRangeAndDir: String = scratch("graft-snapshot-rangeand")
+  private lazy val snapshotStatsDir: String = scratch("graft-snapshot-statsmeta")
   private lazy val snapshotAsOfDir: String = scratch("graft-snapshot-asof")
   private lazy val snapshotHiddenDir: String = scratch("graft-snapshot-hidden")
   private lazy val snapshotIncrSrcDir: String = scratch("graft-snapshot-incr-src")
@@ -758,6 +760,47 @@ object Sinks {
       .orderBy("dim", "l_orderkey", "l_linenumber")
   }
 
+  /** Compound AND-of-ranges read through the manifest: one pass prunes
+    * on BOTH columns' envelopes simultaneously ([[Snapshots.readRanges]])
+    * — the multi-predicate serving shape a clustered 100 TB table
+    * answers with the intersection rectangle, not the union of two
+    * single-column selections. The oracle is the conjunction of the
+    * plain range predicates; SnapshotsSpec asserts the intersection
+    * selects no more files than either single-column probe.
+    */
+  private def snapshotRangeAnd(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotRangeAndDir)
+    val li = Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+    Snapshots.commit(s, li, snapshotRangeAndDir,
+      statsColumns = Seq("l_orderkey", "l_partkey"))
+    Snapshots.readRanges(s, snapshotRangeAndDir,
+      Seq(("l_orderkey", 5000L, 7000L), ("l_partkey", 100L, 300L)))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Metadata-only statistics ([[Snapshots.tableStats]]): COUNT(*) and
+    * per-column MIN/MAX answered from the manifest — O(root list) reads
+    * where a scan would be O(table), the `SELECT COUNT(*)` every real
+    * format serves from its log. The oracle recomputes the same
+    * aggregates over the source table, so a hash match certifies the
+    * committed per-file counts and envelopes are EXACT, not estimates;
+    * SnapshotsSpec pins the merge-on-read fallback (pending deletes →
+    * scan-side answer, still exact).
+    */
+  private def snapshotStatsMeta(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotStatsDir)
+    val li = Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .repartitionByRange(8, col("l_orderkey"))
+    Snapshots.commit(s, li, snapshotStatsDir,
+      statsColumns = Seq("l_orderkey", "l_extendedprice"))
+    Snapshots.tableStats(s, snapshotStatsDir,
+      Seq("l_orderkey", "l_extendedprice"))
+  }
+
   /** Timestamp time travel, oracle-gated end-to-end: three commits at
     * INJECTED timestamps (the determinism seam [[Snapshots.commit]]
     * exposes for exactly this; production stamps the wall clock), then
@@ -1062,6 +1105,8 @@ object Sinks {
     "q_snapshot_cdf_stream" -> (snapshotCdfStream _),
     "q_snapshot_zorder" -> (snapshotZorder _),
     "q_snapshot_zorder3" -> (snapshotZorder3 _),
+    "q_snapshot_range_and" -> (snapshotRangeAnd _),
+    "q_snapshot_stats_meta" -> (snapshotStatsMeta _),
     "q_snapshot_asof" -> (snapshotAsOf _),
     "q_snapshot_incr_pipeline" -> (snapshotIncrPipeline _),
     "q_snapshot_hidden_partition" -> (snapshotHiddenPartition _),
@@ -1304,6 +1349,21 @@ object Sinks {
         |  l_quantity, 'suppkey' AS dim
         |FROM lineitem WHERE l_suppkey BETWEEN 10 AND 40
         |ORDER BY dim, l_orderkey, l_linenumber""".stripMargin,
+    // conjunction of plain range predicates, layout-independent
+    "q_snapshot_range_and" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 5000 AND 7000
+        |  AND l_partkey BETWEEN 100 AND 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the manifest-served aggregates must equal the scan-side truth
+    "q_snapshot_stats_meta" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS min_l_orderkey,
+        |  MAX(l_orderkey) AS max_l_orderkey,
+        |  MIN(l_extendedprice) AS min_l_extendedprice,
+        |  MAX(l_extendedprice) AS max_l_extendedprice
+        |FROM lineitem""".stripMargin,
     // three point lookups through the bloom manifest = the plain
     // equality predicate over the source
     "q_snapshot_bloom_read" ->

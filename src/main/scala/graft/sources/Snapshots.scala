@@ -260,8 +260,15 @@ object Snapshots {
     val envelopes = leafRows.columns.filter(_.startsWith("min_"))
       .map(_.stripPrefix("min_"))
       .filter(c => leafRows.columns.contains(s"max_$c"))
-    val aggs = count(lit(1)).as("n_files") +: envelopes.toSeq.flatMap(c =>
-      Seq(min(col(s"min_$c")).as(s"lo_$c"), max(col(s"max_$c")).as(s"hi_$c")))
+    // per-leaf row-count sum rides the root so metadata-only stats
+    // ([[tableStats]]) can answer COUNT(*) from O(leaves) rows
+    val rowSum =
+      if (leafRows.columns.contains("n_rows"))
+        Seq(sum(col("n_rows")).as("n_rows"))
+      else Nil
+    val aggs = (count(lit(1)).as("n_files") +: rowSum) ++
+      envelopes.toSeq.flatMap(c =>
+        Seq(min(col(s"min_$c")).as(s"lo_$c"), max(col(s"max_$c")).as(s"hi_$c")))
     leafRows.groupBy(col("mfile")).agg(aggs.head, aggs.tail: _*)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_root")
   }
@@ -1089,6 +1096,106 @@ object Snapshots {
         rangeSelection(spark, snapDir, colName, lower, upper))
       .map(raw => applyDeleteSidecars(spark, snapDir, raw).filter(residual))
       .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
+  }
+
+  /** Compound range read: AND of `[lower, upper]` predicates over
+    * several stats columns, pruned in ONE manifest pass (a file
+    * survives only when EVERY column's envelope can intersect its
+    * range — on a z-ordered layout that intersection is the
+    * multi-dimensional rectangle the curve exists to serve, far
+    * sharper than either range alone). Root-list envelopes prune whole
+    * leaves first for every column the root covers; the conjunction of
+    * residuals keeps rows exact. Falls back to a plain filtered scan
+    * when the snapshot has no manifest. `v = 0` reads the latest.
+    */
+  def readRanges(
+      spark: SparkSession,
+      tableDir: String,
+      ranges: Seq[(String, Any, Any)],
+      v: Long = 0L): DataFrame = {
+    require(ranges.nonEmpty, "readRanges needs at least one range")
+    val ver = if (v >= 1) v else version(spark, tableDir)
+    require(ver >= 1, s"no committed snapshot in $tableDir")
+    val snapDir = s"$tableDir/snap-$ver"
+    val residual = ranges
+      .map { case (c, lo, hi) => col(c).between(lit(lo), lit(hi)) }
+      .reduce(_ && _)
+    if (!fc(spark).util().exists(new Path(manifestDir(snapDir))))
+      readVersion(spark, tableDir, ver).filter(residual)
+    else {
+      val rootKeep = (root: DataFrame) => ranges.flatMap {
+        case (c, lo, hi) => rangeRootKeep(c, lo, hi)(root)
+      }.reduceOption(_ && _)
+      val rowKeep = ranges.map { case (c, lo, hi) =>
+        col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+      }.reduce(_ && _)
+      prunedScan(spark, tableDir, snapDir,
+        manifestLeaves(spark, snapDir, rootKeep).filter(rowKeep))
+        .map(raw => applyDeleteSidecars(spark, snapDir, raw).filter(residual))
+        .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
+    }
+  }
+
+  /** Metadata-only table statistics: `(n_rows, min_c, max_c, ...)` for
+    * the requested stats columns, answered from the MANIFEST — O(root
+    * list) when the two-level layout is present, O(manifest rows)
+    * otherwise, never O(data). This is the `SELECT COUNT(*)/MIN/MAX`
+    * a real format serves from its log or manifests: per-file row
+    * counts and envelopes were computed exactly at commit time, and
+    * MIN/MAX over envelopes equals MIN/MAX over rows because both
+    * ignore nulls. Falls back to a full scan aggregation — same
+    * answer, data-sized cost — when the snapshot carries merge-on-read
+    * delete sidecars (manifest counts don't see pending deletes), has
+    * no manifest, or lacks a requested column's stats. `v = 0` reads
+    * the latest version.
+    */
+  def tableStats(
+      spark: SparkSession,
+      tableDir: String,
+      cols: Seq[String],
+      v: Long = 0L): DataFrame = {
+    val ver = if (v >= 1) v else version(spark, tableDir)
+    require(ver >= 1, s"no committed snapshot in $tableDir")
+    val snapDir = s"$tableDir/snap-$ver"
+    val ctx = fc(spark)
+    def scanAgg(): DataFrame = {
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      readVersion(spark, tableDir, ver).agg(aggs.head, aggs.tail: _*)
+    }
+    val hasDeletes =
+      ctx.util().exists(new Path(s"$snapDir/_mor_deletes")) ||
+        ctx.util().exists(new Path(s"$snapDir/_pos_deletes"))
+    if (hasDeletes || !ctx.util().exists(new Path(manifestDir(snapDir))))
+      scanAgg()
+    else {
+      val rootP = new Path(s"${manifestDir(snapDir)}/_root")
+      val root =
+        if (!ctx.util().exists(rootP)) None
+        else Some(spark.read.parquet(rootP.toString))
+      val fromRoot = root.filter(r =>
+        r.columns.contains("n_rows") &&
+          cols.forall(c => r.columns.contains(s"lo_$c") &&
+            r.columns.contains(s"hi_$c")))
+        .map { r =>
+          val aggs = sum("n_rows").as("n_rows") +: cols.flatMap(c =>
+            Seq(min(col(s"lo_$c")).as(s"min_$c"),
+              max(col(s"hi_$c")).as(s"max_$c")))
+          r.agg(aggs.head, aggs.tail: _*)
+        }
+      fromRoot.getOrElse {
+        val m = spark.read.parquet(manifestDir(snapDir))
+        if (!cols.forall(c => m.columns.contains(s"min_$c") &&
+            m.columns.contains(s"max_$c")))
+          scanAgg()
+        else {
+          val aggs = sum("n_rows").as("n_rows") +: cols.flatMap(c =>
+            Seq(min(col(s"min_$c")).as(s"min_$c"),
+              max(col(s"max_$c")).as(s"max_$c")))
+          m.agg(aggs.head, aggs.tail: _*)
+        }
+      }
+    }
   }
 
   /** Point-lookup file selection via the per-file bloom sketches:

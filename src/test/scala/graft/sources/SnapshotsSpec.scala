@@ -1014,6 +1014,47 @@ class SnapshotsSpec extends SparkSpec {
     // pruned reads stay row-exact on both dimensions
     assert(Snapshots.readRange(spark, dir, "a", 3L, 6L).count() == 4 * 64L)
     assert(Snapshots.readRange(spark, dir, "b", 3L, 6L).count() == 4 * 64L)
+
+    // compound AND-of-ranges: the intersection rectangle selects no
+    // more files than EITHER single-column probe and stays row-exact
+    val both = Snapshots.readRanges(spark, dir,
+      Seq(("a", 3L, 6L), ("b", 3L, 6L)))
+    assert(both.count() == 16L)
+    assert(both.inputFiles.length <= math.min(filesA.size, filesB.size),
+      s"${both.inputFiles.length} files for the intersection vs " +
+        s"${filesA.size}/${filesB.size} per-dimension")
+  }
+
+  test("tableStats answers count/min/max from the manifest and stays exact under deletes") {
+    val dir = Files.createTempDirectory("graft-snap-stats").toString
+    val data = spark.range(0, 500).toDF("id")
+      .withColumn("v", col("id").cast("double") * 1.5)
+      .repartitionByRange(8, col("id"))
+    Snapshots.commit(spark, data, dir, statsColumns = Seq("id", "v"))
+
+    def truth(): (Long, Long, Long, Double, Double) = {
+      val r = Snapshots.read(spark, dir)
+        .agg(count(lit(1)), min("id"), max("id"), min("v"), max("v")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+    def meta(): (Long, Long, Long, Double, Double) = {
+      val r = Snapshots.tableStats(spark, dir, Seq("id", "v")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+    assert(meta() == ((500L, 0L, 499L, 0.0, 499 * 1.5)))
+    assert(meta() == truth())
+
+    // a merge-on-read delete invalidates manifest counts: tableStats
+    // must fall back to the scan-side answer and stay exact
+    Snapshots.deleteMergeOnRead(spark, dir, col("id") < 100L, Seq("id"))
+    assert(meta() == truth())
+    assert(meta()._1 == 400L && meta()._2 == 100L)
+
+    // folding the deletes away (copy-on-write rewrite) restores the
+    // metadata-only path, now over the post-delete truth
+    Snapshots.compact(spark, dir, statsColumns = Seq("id", "v"))
+    assert(meta() == truth())
+    assert(meta()._1 == 400L)
   }
 
   test("3-d zorder compaction prunes range reads on all three dimensions") {
