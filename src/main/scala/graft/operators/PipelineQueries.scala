@@ -692,8 +692,65 @@ object PipelineQueries {
         queryTerms = Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
     }),
+    "text_bm25_persisted" -> ((s, d) => {
+      // BM25 as a PERSISTED inverted index: tokenize + aggregate the
+      // corpus once into term-bucketed posting files through the
+      // snapshot layer, then serve the query batch by reading ONLY the
+      // query terms' buckets (manifest transform-envelope pruning) —
+      // the ingestion/serving split of a search engine, the same
+      // shape as ann_ivf_persisted for text. SAME oracle as
+      // text_bm25_topk: the roundtrip through the committed index must
+      // not change a single score or rank. InvertedIndexSpec asserts
+      // the probe read plans fewer posting files than the index holds.
+      val dir = scratch("graft-text-index")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
+        nBuckets = 8)
+      TextAnalysis
+        .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
+        .orderBy("term", "rank")
+    }),
+    "text_bm25_incremental" -> ((s, d) => {
+      // index MAINTENANCE: build on the first 300 documents, then add
+      // the rest as a file-scoped snapshot MERGE — new doc_ids
+      // intersect no existing posting file's envelope, so base files
+      // carry by reference and the commit costs O(new docs' tokens).
+      // Corpus-dependent BM25 factors (idf, avgdl) come from the
+      // stats sums at SERVE time, so old postings never go stale. The
+      // oracle is the full-corpus replay: a hash match certifies the
+      // incremental path converges to exactly the from-scratch index.
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-text-index-incr")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 300), dir,
+        nBuckets = 8)
+      TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 300), dir)
+      TextAnalysis
+        .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
+        .orderBy("term", "rank")
+    }),
     "text_unigram_logprob" -> ((s, d) => {
       TextAnalysis.unigramLogProb(t(s, d, "documents"))
+        .orderBy("doc_id")
+    }),
+    // hashing-trick multinomial NB: the supervised language/domain/
+    // quality scorer of a curation pipeline. 256 buckets keeps the
+    // model broadcast-small while the corpus vocabulary still collides
+    // across labels (the hashing trade the technique is about)
+    "text_nb_model" -> ((s, d) => {
+      TextAnalysis.nbModel(t(s, d, "documents"), buckets = 256)
+        .orderBy("label", "bucket")
+    }),
+    "text_nb_classify" -> ((s, d) => {
+      // self-classification gate: train on the labeled corpus, score
+      // the same docs, emit each doc's argmax label + rounded score —
+      // the oracle replays train AND score, so a hash match certifies
+      // the whole classifier end-to-end
+      val docs = t(s, d, "documents")
+      val model = TextAnalysis.nbModel(docs, buckets = 256)
+      val priors = docs.groupBy(col("lang").as("label"))
+        .agg(count(lit(1)).as("n_docs"))
+      TextAnalysis.nbClassify(docs, model, priors, buckets = 256)
         .orderBy("doc_id")
     }),
     "text_common_spans" -> ((s, d) => {
@@ -1246,6 +1303,47 @@ object PipelineQueries {
     }
     base +: roundCtes
   }
+
+  /** One BM25 oracle serves text_bm25_topk AND the persisted/
+    * incremental index entries: the index is a physical layout choice,
+    * so all three must agree with the direct DuckDB computation row
+    * for row. Same k1=1.2 b=0.75 Okapi constants and
+    * round-6-before-rank rule as the Spark plans.
+    */
+  private val bm25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    AVG(CAST(len(ts) AS DOUBLE)) AS avgdl
+      |  FROM toks),
+      |q(term) AS (VALUES ('data'), ('query'), ('table')),
+      |tf AS (
+      |  SELECT t.doc_id, q.term,
+      |    CAST(len(list_filter(t.ts, x -> x = q.term)) AS DOUBLE) AS tf,
+      |    CAST(len(t.ts) AS DOUBLE) AS dl
+      |  FROM toks t CROSS JOIN q),
+      |tfpos AS (SELECT * FROM tf WHERE tf > 0),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+      |       FROM tfpos GROUP BY term),
+      |scored AS (
+      |  SELECT f.term, f.doc_id,
+      |    round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |      * f.tf * 2.2
+      |      / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * f.dl / s.avgdl)), 6)
+      |      AS bm25
+      |  FROM tfpos f
+      |  JOIN df d ON f.term = d.term
+      |  CROSS JOIN stats s),
+      |ranked AS (
+      |  SELECT term, doc_id, bm25,
+      |    CAST(row_number() OVER (PARTITION BY term
+      |      ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT term, rank, doc_id, bm25 FROM ranked
+      |WHERE rank <= 5 ORDER BY term, rank""".stripMargin
 
   private def bpeTrainOracle(
       k: Int, batchCap: Int, candWindow: Int, rounds: Int): String = {
@@ -2185,41 +2283,71 @@ object PipelineQueries {
         |FROM e LEFT JOIN cl ON e.vec_id = cl.node
         |ORDER BY e.vec_id""".stripMargin,
     // same k1=1.2 b=0.75 Okapi constants and round-6-before-rank rule
-    // as the Spark plan; DuckDB's list_filter counts tf per term
-    "text_bm25_topk" ->
+    // as the Spark plan; DuckDB's list_filter counts tf per term.
+    // text_bm25_persisted and text_bm25_incremental share this oracle
+    // verbatim: serving from the committed (or incrementally merged)
+    // inverted index must reproduce the direct computation exactly.
+    "text_bm25_topk" -> bm25Oracle,
+    "text_bm25_persisted" -> bm25Oracle,
+    "text_bm25_incremental" -> bm25Oracle,
+    // same md5-prefix feature hashing as the Spark plan (the corpus
+    // samplers' engine-stable idiom), 256 buckets
+    "text_nb_model" ->
       """WITH toks AS (
-        |  SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  SELECT lang AS label,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
         |  FROM documents),
-        |stats AS (
-        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-        |    AVG(CAST(len(ts) AS DOUBLE)) AS avgdl
-        |  FROM toks),
-        |q(term) AS (VALUES ('data'), ('query'), ('table')),
-        |tf AS (
-        |  SELECT t.doc_id, q.term,
-        |    CAST(len(list_filter(t.ts, x -> x = q.term)) AS DOUBLE) AS tf,
-        |    CAST(len(t.ts) AS DOUBLE) AS dl
-        |  FROM toks t CROSS JOIN q),
-        |tfpos AS (SELECT * FROM tf WHERE tf > 0),
-        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
-        |       FROM tfpos GROUP BY term),
+        |feat AS (
+        |  SELECT label,
+        |    ('0x' || substring(md5(term), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM toks WHERE term <> '')
+        |SELECT label, bucket, CAST(COUNT(*) AS DOUBLE) AS cnt
+        |FROM feat GROUP BY label, bucket
+        |ORDER BY label, bucket""".stripMargin,
+    // full replay of train AND score: ln(prior) + Σ k·ln((cnt+1)/denom)
+    // per (doc, label), round-6-then-argmax with label tiebreak —
+    // identical float formulas to the Spark plan
+    "text_nb_classify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5(term), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM toks WHERE term <> ''),
+        |counts AS (
+        |  SELECT lang AS label, bucket, CAST(COUNT(*) AS DOUBLE) AS cnt
+        |  FROM feat GROUP BY 1, 2),
+        |priors AS (
+        |  SELECT lang AS label, CAST(COUNT(*) AS DOUBLE) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |lab AS (
+        |  SELECT p.label, ln(p.n_docs / n.n) AS ln_prior,
+        |    COALESCE(t.total, 0.0) + 256.0 AS denom
+        |  FROM priors p CROSS JOIN n
+        |  LEFT JOIN (SELECT label, SUM(cnt) AS total
+        |             FROM counts GROUP BY 1) t
+        |    ON t.label = p.label),
+        |docfeat AS (
+        |  SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS k
+        |  FROM feat GROUP BY 1, 2),
         |scored AS (
-        |  SELECT f.term, f.doc_id,
-        |    round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-        |      * f.tf * 2.2
-        |      / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * f.dl / s.avgdl)), 6)
-        |      AS bm25
-        |  FROM tfpos f
-        |  JOIN df d ON f.term = d.term
-        |  CROSS JOIN stats s),
+        |  SELECT d.doc_id, l.label,
+        |    round(MIN(l.ln_prior) +
+        |      SUM(d.k * ln((COALESCE(c.cnt, 0.0) + 1.0) / l.denom)), 6)
+        |      AS score
+        |  FROM docfeat d CROSS JOIN lab l
+        |  LEFT JOIN counts c ON c.label = l.label AND c.bucket = d.bucket
+        |  GROUP BY d.doc_id, l.label),
         |ranked AS (
-        |  SELECT term, doc_id, bm25,
-        |    CAST(row_number() OVER (PARTITION BY term
-        |      ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+        |  SELECT doc_id, label, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, label) AS rn
         |  FROM scored)
-        |SELECT term, rank, doc_id, bm25 FROM ranked
-        |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
+        |SELECT doc_id, label, score FROM ranked
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // ln(total) - ln(n), NOT ln(n/total): mirrors the Spark plan's
     // formulation so both engines run the same float operations
     // the term <> '' filter mirrors the Spark side's empty-token drop

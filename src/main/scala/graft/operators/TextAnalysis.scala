@@ -282,6 +282,24 @@ object TextAnalysis {
       .filter(col("term").isin(queryTerms: _*))
     val tf = postings.groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    bm25Rank(tf, nDocs, avgdl, k, k1, b)
+  }
+
+  /** Shared BM25 scoring tail: rank `(doc_id, term, tf, dl)` posting
+    * rows under corpus stats `(nDocs, avgdl)`. One body serves both
+    * [[bm25TopK]] (postings computed in-plan) and [[bm25TopKPersisted]]
+    * (postings read back from a committed index), so the two paths
+    * cannot drift — the persisted round trip must not change a single
+    * score or rank.
+    */
+  private def bm25Rank(
+      tf: DataFrame,
+      nDocs: Long,
+      avgdl: Double,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
@@ -296,6 +314,234 @@ object TextAnalysis {
           .orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
       .filter(col("rank") <= k)
       .select("term", "rank", "doc_id", "bm25")
+  }
+
+  /** `(doc_id, ts)` tokenized projection shared by the index build and
+    * the incremental add — ONE tokenizer definition, so index contents
+    * can never disagree with [[bm25TopK]]'s in-plan tokenization.
+    */
+  private def tokenized(docs: DataFrame, textCol: String, idCol: String) =
+    Corpus.spread(docs).select(
+      col(idCol).as("doc_id"),
+      split(lower(trim(col(textCol))), "\\s+").as("ts"))
+
+  /** Build a PERSISTED inverted index under `indexDir`: tokenize the
+    * corpus ONCE, commit `(term, doc_id, tf, dl)` posting rows
+    * hidden-partitioned on `Bucket(term, nBuckets)` through the
+    * snapshot layer, plus a one-row `stats` table holding the additive
+    * corpus sums `(n_docs, total_tokens)`. This is the ingestion/
+    * serving split of a search engine: the corpus-sized tokenize +
+    * explode + (term, doc) aggregation runs once at write time, and
+    * every subsequent query batch reads only its query terms' bucket
+    * files — at 100 TB a keyword query reads ~|query terms|/nBuckets of
+    * the postings, never the corpus. Stats land as SUMS (not a
+    * precomputed average) so [[addToTextIndex]] can maintain them in
+    * O(1) without rereading the index.
+    *
+    * The reference engine has no retrieval surface; this extends its
+    * filter/projection model with the standard Okapi ranking stage
+    * (same contract as [[bm25TopK]], which it must hash-match).
+    */
+  def buildTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      nBuckets: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Long = {
+    import graft.sources.Snapshots
+    val base = tokenized(docs, textCol, idCol)
+    Snapshots.commit(spark,
+      base.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("ts")).cast("long")), lit(0L))
+          .as("total_tokens")),
+      s"$indexDir/stats")
+    Snapshots.commit(spark, postingsFor(base), s"$indexDir/postings",
+      statsColumns = Seq("term", "doc_id"),
+      partitionSpec = Seq(Snapshots.Transform.Bucket("term", nBuckets)))
+  }
+
+  /** `(term, doc_id, tf, dl)` posting rows for a tokenized batch. */
+  private def postingsFor(base: DataFrame): DataFrame =
+    base
+      .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
+        explode(col("ts")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .select("term", "doc_id", "tf", "dl")
+
+  /** Incremental index maintenance: tokenize ONLY `newDocs`, MERGE
+    * their posting rows on `(term, doc_id)` and bump the stats sums —
+    * ingestion keeps up with a growing corpus without retokenizing it.
+    * The merge is FILE-SCOPED on both key envelopes: a batch of NEW
+    * doc_ids intersects no existing posting file's doc_id range, so
+    * every base file is carried by reference and the commit costs
+    * O(new documents' tokens). BM25's corpus-dependent factors (idf,
+    * avgdl) are applied at SERVE time from the stats table, so old
+    * postings never go stale — the reason the posting payload stores
+    * raw (tf, dl), not scores. Re-adding a doc_id upserts the terms it
+    * still contains but cannot drop rows for terms the revision
+    * removed — revisions need a delete of the old doc's keys first
+    * (the [[graft.sources.Snapshots.deleteMergeOnRead]] path); this
+    * entry's contract is append-only ingestion.
+    */
+  def addToTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      indexDir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Long = {
+    import graft.sources.Snapshots
+    val base = tokenized(newDocs, textCol, idCol)
+    val add = base.agg(count(lit(1)),
+      coalesce(sum(size(col("ts")).cast("long")), lit(0L))).head()
+    val cur = Snapshots.read(spark, s"$indexDir/stats").head()
+    Snapshots.commit(spark,
+      spark.range(1).select(
+        lit(cur.getLong(cur.fieldIndex("n_docs")) + add.getLong(0))
+          .as("n_docs"),
+        lit(cur.getLong(cur.fieldIndex("total_tokens")) + add.getLong(1))
+          .as("total_tokens")),
+      s"$indexDir/stats")
+    Snapshots.merge(spark, s"$indexDir/postings", postingsFor(base),
+      key = Seq("term", "doc_id"),
+      statsColumns = Seq("term", "doc_id"),
+      scoped = true)
+  }
+
+  /** Serve BM25 top-k from a [[buildTextIndex]] index WITHOUT touching
+    * the corpus: read the one-row stats snapshot, then ONE manifest-
+    * pruned IN-list read of the query terms' posting buckets
+    * ([[graft.sources.Snapshots.readPartitionedIn]] — the bucket
+    * transform envelope prunes at the manifest before any scan task
+    * launches), and the shared [[bm25Rank]] tail. Per-term df is
+    * counted inside the pruned read — O(touched postings), the
+    * posting-list walk every search engine pays. Must return
+    * hash-identical rows to [[bm25TopK]] over the indexed corpus.
+    */
+  def bm25TopKPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import graft.sources.Snapshots
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val st = Snapshots.read(spark, s"$indexDir/stats").head()
+    val nDocs = st.getLong(st.fieldIndex("n_docs"))
+    if (nDocs == 0L)
+      return spark.emptyDataFrame
+        .select(lit("").as("term"), lit(0).as("rank"),
+          lit(0L).as("doc_id"), lit(0.0).as("bm25"))
+    // exact: token counts are integers (every partial sum is far below
+    // 2^53), so sum-then-divide equals both engines' AVG(dl) bit-for-bit
+    val avgdl = st.getLong(st.fieldIndex("total_tokens")).toDouble / nDocs
+    val tf = Snapshots
+      .readPartitionedIn(spark, s"$indexDir/postings", "term", queryTerms)
+      .select("doc_id", "term", "tf", "dl")
+    bm25Rank(tf, nDocs, avgdl, k, k1, b)
+  }
+
+  /** md5-prefix hash bucket — the engine-stable feature-hashing idiom
+    * shared with the corpus samplers (DuckDB spells it
+    * `('0x' || substring(md5(x),1,15))::BIGINT % n`).
+    */
+  private def hashBucket(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** `(id…, bucket)` hashed token stream shared by [[nbModel]] and
+    * [[nbClassify]] — one featurizer definition, so scoring can never
+    * hash differently than training did.
+    */
+  private def nbFeatures(
+      docs: DataFrame,
+      buckets: Int,
+      textCol: String,
+      keep: Seq[Column]): DataFrame =
+    Corpus.spread(docs)
+      .select(keep :+
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"): _*)
+      .filter(col("term") =!= "")
+      .withColumn("bucket", hashBucket(col("term"), buckets))
+      .drop("term")
+
+  /** Train a multinomial Naive Bayes document classifier with the
+    * HASHING TRICK: tokens hash into `buckets` feature slots
+    * (fasttext's bounded-vocabulary trade), so the model is
+    * (label, bucket, cnt) with at most labels × buckets rows — a
+    * BROADCASTABLE constant regardless of corpus size, which is what
+    * makes the classifier a one-pass map-side scorer at 100 TB where a
+    * raw-vocabulary model would itself be a big table. Training is one
+    * explode + one hash aggregation over the corpus — the cheapest
+    * supervised quality/domain/language scorer a curation pipeline can
+    * field.
+    */
+  def nbModel(
+      docs: DataFrame,
+      buckets: Int = 4096,
+      labelCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    nbFeatures(docs, buckets, textCol, Seq(col(labelCol).as("label")))
+      .groupBy("label", "bucket")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+  }
+
+  /** Score documents against a trained [[nbModel]]: per-document
+    * argmax over labels of
+    * `ln(prior) + Σ_buckets k · ln((cnt+1) / (total_label + buckets))`
+    * — multinomial NB with Laplace smoothing, the per-(doc, bucket)
+    * occurrence count `k` folded in multiplicatively so the scorer
+    * aggregates DISTINCT buckets per doc, not raw tokens. Scores round
+    * to 6 before the argmax and ties break by label, so the predicted
+    * label is reproducible in any engine. Plan shape: the corpus-sized
+    * side is one explode + one (doc, bucket) aggregation; the model
+    * and the label stats broadcast; the label fan-out is × |labels| on
+    * the doc's DISTINCT buckets only. `priors` is `(label, n_docs)` —
+    * training-corpus class frequencies, kept separate from the token
+    * model so the classifier can score UNLABELED documents.
+    */
+  def nbClassify(
+      docs: DataFrame,
+      model: DataFrame,
+      priors: DataFrame,
+      buckets: Int = 4096,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = priors.agg(coalesce(sum(col("n_docs")), lit(0L)))
+      .head().getLong(0)
+    require(nDocs > 0L, "empty priors — train before classifying")
+    val totals = model.groupBy("label").agg(sum(col("cnt")).as("total"))
+    // a label with no training tokens keeps its prior and scores every
+    // bucket at the smoothing floor 1/buckets
+    val lab = priors
+      .select(col("label"), col("n_docs").cast("double").as("n_docs"))
+      .join(totals, Seq("label"), "left")
+      .select(col("label"),
+        log(col("n_docs") / nDocs.toDouble).as("ln_prior"),
+        (coalesce(col("total"), lit(0.0)) + buckets.toDouble).as("denom"))
+    val docfeat =
+      nbFeatures(docs, buckets, textCol, Seq(col(idCol).as("doc_id")))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).cast("double").as("k"))
+    val scored = docfeat.crossJoin(broadcast(lab))
+      .join(broadcast(model), Seq("label", "bucket"), "left")
+      .groupBy("doc_id", "label")
+      .agg(round(first(col("ln_prior")) +
+        sum(col("k") *
+          log((coalesce(col("cnt"), lit(0.0)) + 1.0) / col("denom"))), 6)
+        .as("score"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select("doc_id", "label", "score")
   }
 
   /** Per-document average negative log-likelihood under the corpus's own

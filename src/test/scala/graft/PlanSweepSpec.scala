@@ -32,11 +32,14 @@ class PlanSweepSpec extends SparkSpec {
   //  - ann_ivf_pq / ann_pq_recall: PQ encode and LUT joins score rows ×
   //    broadcast(m·ksub = 32-row codebook) — the same bounded-broadcast
   //    contract as the centroid assignment above
+  //  - text_nb_classify: the label fan-out scores each doc's distinct
+  //    feature buckets × broadcast(|labels| = 5-row label stats) — the
+  //    same bounded-broadcast contract as the centroid assignment
   private val nljAllowed =
     Set("q_fuzzy_match", "ann_brute_topk", "ann_ivf_topk", "ann_ivf_trained",
       "ann_ivf_persisted", "ann_ivf_incremental", "ann_ivf_q8_rerank",
       "dedup_embedding", "ann_srp_recall", "dedup_srp_recall",
-      "ann_ivf_pq", "ann_pq_recall")
+      "ann_ivf_pq", "ann_pq_recall", "text_nb_classify")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

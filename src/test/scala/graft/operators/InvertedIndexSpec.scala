@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Snapshots
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted inverted index ([[TextAnalysis.buildTextIndex]] /
+  * [[TextAnalysis.bm25TopKPersisted]] / [[TextAnalysis.addToTextIndex]]):
+  * serving from the committed index must reproduce the direct
+  * [[TextAnalysis.bm25TopK]] computation exactly, probe reads must prune
+  * at the term-bucket manifest, and incremental adds must be file-scoped
+  * (base posting files shared by reference) yet converge to the
+  * from-scratch index.
+  */
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12 docs over a tiny vocabulary: "data" skewed frequent, "query"
+  // mid-frequency, "rare" in one doc — distinct idf regimes, repeated
+  // terms within docs so tf > 1 paths are exercised
+  private lazy val docs = Seq(
+    (0L, "data data query engine"),
+    (1L, "data table scan"),
+    (2L, "query plan for data"),
+    (3L, "table table join"),
+    (4L, "data query data query"),
+    (5L, "scan of a table"),
+    (6L, "rare data word"),
+    (7L, "query optimizer"),
+    (8L, "data data data"),
+    (9L, "join plan"),
+    (10L, "table of data"),
+    (11L, "query query table")
+  ).toDF("doc_id", "text")
+
+  private val terms = Seq("data", "query", "table")
+
+  private def rows(df: DataFrame) = df.collect()
+    .map(r => (r.getAs[String]("term"), r.getAs[Int]("rank"),
+      r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSet
+
+  test("persisted index serves the exact direct BM25 result and prunes term buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-idx").toString
+    TextAnalysis.buildTextIndex(spark, docs, dir, nBuckets = 8)
+
+    val direct = TextAnalysis.bm25TopK(docs, terms, k = 5)
+    val served = TextAnalysis.bm25TopKPersisted(spark, dir, terms, k = 5)
+    assert(rows(served) == rows(direct))
+    assert(rows(served).nonEmpty)
+
+    // pruning contract: a single-term probe reads fewer posting files
+    // than the snapshot holds — the bucket-transform envelope prunes at
+    // the manifest, no partition column in the data
+    val postingsDir = s"$dir/postings"
+    val v = Snapshots.version(spark, postingsDir)
+    val (files, total) =
+      Snapshots.selectFilesPartitioned(spark, postingsDir, v,
+        Seq("term" -> "data"))
+    info(s"single-term probe reads ${files.length} of $total posting files")
+    assert(files.nonEmpty && files.length < total)
+  }
+
+  test("incremental add is file-scoped and converges to the from-scratch index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-incr").toString
+    TextAnalysis.buildTextIndex(spark, docs.filter($"doc_id" < 6), dir,
+      nBuckets = 8)
+    val baseFiles = Snapshots.read(spark, s"$dir/postings").inputFiles.toSet
+    TextAnalysis.addToTextIndex(spark, docs.filter($"doc_id" >= 6), dir)
+
+    // append-only adds share every base posting file by reference: new
+    // doc_ids intersect no base file's (term, doc_id) envelope
+    assert(baseFiles.subsetOf(
+      Snapshots.read(spark, s"$dir/postings").inputFiles.toSet))
+    // stats sums accumulated, partition spec survived the merge
+    assert(Snapshots.version(spark, s"$dir/postings") == 2L)
+    assert(Snapshots.partitionSpec(spark, s"$dir/postings") ==
+      Seq(Snapshots.Transform.Bucket("term", 8)))
+
+    // the incrementally built index must serve the DIRECT full-corpus
+    // result — corpus-dependent factors (idf, avgdl) come from the
+    // stats table at serve time, so nothing went stale
+    val served = TextAnalysis.bm25TopKPersisted(spark, dir, terms, k = 5)
+    assert(rows(served) == rows(TextAnalysis.bm25TopK(docs, terms, k = 5)))
+  }
+
+  test("empty corpus index serves the empty result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-empty").toString
+    TextAnalysis.buildTextIndex(spark, docs.filter($"doc_id" < 0), dir)
+    assert(TextAnalysis.bm25TopKPersisted(spark, dir, terms).count() == 0L)
+  }
+}
