@@ -43,6 +43,7 @@ object Sinks {
   private lazy val bucketLiDir: String = scratch("graft-bucketed-lineitem")
   private lazy val bucketOrdDir: String = scratch("graft-bucketed-orders")
   private lazy val rollupStateDir: String = scratch("graft-rollup-state")
+  private lazy val binpackDir: String = scratch("graft-snapshot-binpack")
   private lazy val sketchDir: String = scratch("graft-sketch-state")
   private lazy val snapshotDir: String = scratch("graft-snapshots")
   private lazy val snapshotPrunedDir: String = scratch("graft-snapshot-pruned")
@@ -549,6 +550,34 @@ object Sinks {
     * SnapshotsSpec sibling asserts the reuse/rewrite split and that
     * pruning still works across carried manifest rows.
     */
+  /** BIN-PACK compaction (the steady-state maintenance pass): the base
+    * commits a mixed layout — ~90% of the rows range-clustered into 2
+    * healthy files, a 10% modulo slice fragmented across 48 small ones
+    * (what a day of little streaming commits leaves behind). The
+    * bin-pack rewrites ONLY the sub-64KB tail, coalesced without a
+    * shuffle, and carries the healthy files by reference with their
+    * manifest rows intact — O(small files) write cost where compact()
+    * would pay O(table). The oracle is the plain source predicate: a
+    * hash match certifies the carried + repacked union is row-exact.
+    * SnapshotsSpec pins the file-level contract (big paths shared,
+    * small paths gone, no-op short-circuit, delete-sidecar refusal).
+    */
+  private def snapshotCompactBinpack(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, binpackDir)
+    val li = Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val healthy = li.filter(col("l_orderkey") % 10 =!= 0)
+      .repartitionByRange(2, col("l_orderkey"))
+    val fragmented = li.filter(col("l_orderkey") % 10 === 0).repartition(48)
+    Snapshots.commit(s, healthy.unionByName(fragmented), binpackDir,
+      statsColumns = Seq("l_orderkey"))
+    Snapshots.compactBinPack(s, binpackDir, minFileBytes = 64L * 1024,
+      targetFileBytes = 4L * 1024 * 1024, statsColumns = Seq("l_orderkey"))
+    Snapshots.read(s, binpackDir)
+      .filter(col("l_orderkey").between(400, 1200))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   private def snapshotMergeScoped(s: SparkSession, d: String): DataFrame = {
     clearDir(s, snapshotScopedDir)
     val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
@@ -1097,6 +1126,7 @@ object Sinks {
     "q_snapshot_cdf" -> (snapshotCdf _),
     "q_snapshot_cdf_feed" -> (snapshotCdfFeed _),
     "q_snapshot_compact" -> (snapshotCompact _),
+    "q_snapshot_compact_binpack" -> (snapshotCompactBinpack _),
     "q_snapshot_merge_scoped" -> (snapshotMergeScoped _),
     "q_snapshot_merge_scoped_composite" -> (snapshotMergeScopedComposite _),
     "q_snapshot_bloom_read" -> (snapshotBloomRead _),
@@ -1373,6 +1403,12 @@ object Sinks {
     "q_snapshot_compact" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 7000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // bin-pack is logically a no-op: carried + repacked must equal the
+    // plain source predicate row for row
+    "q_snapshot_compact_binpack" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey BETWEEN 400 AND 1200
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // residual filter keeps the pruned read row-exact, so the oracle is
     // the plain range predicate over the source table

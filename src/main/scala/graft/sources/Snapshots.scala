@@ -2035,6 +2035,95 @@ object Snapshots {
     }
   }
 
+  /** BIN-PACK compaction: rewrite ONLY the files smaller than
+    * `minFileBytes` — coalesced into ~`targetFileBytes` outputs — and
+    * carry every already-well-sized file into the new version BY
+    * REFERENCE with its manifest row intact. [[compact]] is the full
+    * rewrite (re-cluster everything, pay O(table)); this is the
+    * steady-state maintenance pass a 100 TB table actually runs: after
+    * a day of small streaming/merge commits the small-file tail is a
+    * sliver of the table, and rewriting the healthy 99% to fix the 1%
+    * is pure write amplification. Cost is O(small files), decided from
+    * the manifest's committed `size_bytes` — no file is stat'ed or
+    * opened to make the selection. The rewrite inherits the table's
+    * partition spec (stage re-clusters the repacked rows), so hidden-
+    * partition pruning survives; carried files keep their stats,
+    * blooms, and transform envelopes verbatim. Pass the SAME
+    * `statsColumns`/`bloomColumns` the table's manifest was built with
+    * — the rewritten files' fresh manifest rows must line up with the
+    * carried ones. Returns the committed version — the CURRENT version
+    * unchanged (no commit) when fewer than two files qualify, since
+    * repacking one file buys nothing.
+    */
+  def compactBinPack(
+      spark: SparkSession,
+      tableDir: String,
+      minFileBytes: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      maxRetries: Int = 10): Long = {
+    require(minFileBytes > 0, s"bad minFileBytes=$minFileBytes")
+    require(targetFileBytes >= minFileBytes,
+      s"targetFileBytes=$targetFileBytes below minFileBytes=$minFileBytes " +
+        "would re-create the small files it is repacking")
+    val ctx = fc(spark)
+    def selection(base: Long) = {
+      val snapDir = s"$tableDir/snap-$base"
+      require(ctx.util().exists(new Path(manifestDir(snapDir))),
+        s"bin-pack compaction selects files from the manifest — version " +
+          s"$base of $tableDir has none (commit with statsColumns first)")
+      val manifest = spark.read.parquet(manifestDir(snapDir))
+      require(manifest.columns.contains("size_bytes"),
+        s"version $base of $tableDir predates size-bearing manifests — " +
+          "run a full compact() once to refresh")
+      (manifest, manifest.collect()
+        .partition(_.getAs[Long]("size_bytes") < minFileBytes))
+    }
+    val tip = version(spark, tableDir)
+    require(tip >= 1, s"no committed snapshot in $tableDir")
+    if (selection(tip)._2._1.length < 2) return tip
+    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) {
+      (base, cur) =>
+        val snapDir = s"$tableDir/snap-$base"
+        // carried files ride RAW: a pending merge-on-read delete set
+        // would resurrect deleted rows — fold it first (same contract
+        // as the scoped merge)
+        require(!ctx.util().exists(new Path(s"$snapDir/_mor_deletes")),
+          s"bin-pack compaction on $tableDir with a pending merge-on-" +
+            "read delete set: fold it first (full compact or rewrite)")
+        require(!ctx.util().exists(new Path(s"$snapDir/_pos_deletes")),
+          s"bin-pack compaction on $tableDir with pending positional " +
+            "delete vectors: fold them first (full compact or rewrite)")
+        val (manifest, (small, large)) = selection(base)
+        def rebase(f: String): String =
+          if (f.contains("/")) f else s"snap-$base/$f"
+        val smallPaths =
+          small.map(r => s"$tableDir/${rebase(r.getAs[String]("file"))}")
+        val repacked =
+          if (smallPaths.isEmpty) cur.limit(0)
+          else {
+            val bytes = small.map(_.getAs[Long]("size_bytes")).sum
+            val nFiles = math.max(1L,
+              (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+            // coalesce, not repartition: concatenating small files is a
+            // NARROW op — no shuffle; on a spec'd table stage's own
+            // transform clustering supersedes this layout anyway
+            spark.read.parquet(smallPaths.toIndexedSeq: _*).coalesce(nFiles)
+          }
+        val refs = large.map(r => rebase(r.getAs[String]("file"))).toIndexedSeq
+        val fileIdx = manifest.columns.indexOf("file")
+        val carried =
+          if (large.isEmpty) None
+          else Some(spark.createDataFrame(
+            java.util.Arrays.asList(large.map(r =>
+              org.apache.spark.sql.Row.fromSeq(
+                r.toSeq.updated(fileIdx, rebase(r.getString(fileIdx))))): _*),
+            manifest.schema))
+        (repacked, Sidecars(refs = refs, carriedManifest = carried))
+    }
+  }
+
   /** Write-time change data feed over `(fromV, toV]`: the concatenation
     * of the change rows each commit in the window RECORDED at write
     * time (`recordChanges = true` on [[merge]]/[[delete]], published

@@ -770,6 +770,59 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir, 1L).inputFiles.length == 32)
   }
 
+  test("bin-pack compaction rewrites only the small-file tail and carries the rest") {
+    val dir = Files.createTempDirectory("graft-snap-binpack").toString
+    // one healthy file (10k dense rows) + 8 fragments (50 rows each)
+    val big = spark.range(0, 10000).toDF("id").withColumn("v", col("id") * 3)
+      .coalesce(1)
+    val frags = spark.range(10000, 10400).toDF("id")
+      .withColumn("v", col("id") * 3).repartition(8)
+    Snapshots.commit(spark, big.unionByName(frags), dir,
+      statsColumns = Seq("id"))
+    val v1Files = Snapshots.read(spark, dir).inputFiles.toSet
+    assert(v1Files.size == 9)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = v1Files.map(f =>
+      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).toMap
+    val bigFile = sizes.maxBy(_._2)._1
+    // threshold strictly between the largest fragment and the big file
+    val cut = (sizes.values.toSeq.sorted.takeRight(2).sum + 1) / 2
+    val v2 = Snapshots.compactBinPack(spark, dir, minFileBytes = cut,
+      targetFileBytes = 16L * 1024 * 1024, statsColumns = Seq("id"))
+    assert(v2 == 2L)
+    val v2Files = Snapshots.read(spark, dir).inputFiles.toSet
+    // the healthy file rides BY REFERENCE; every fragment is gone,
+    // repacked into one coalesced file
+    assert(v2Files.contains(bigFile))
+    assert((v1Files - bigFile).intersect(v2Files).isEmpty)
+    assert(v2Files.size == 2, s"expected big + 1 repacked, got $v2Files")
+    // logically a no-op
+    assert(Snapshots.read(spark, dir).count() == 10400L)
+    assert(Snapshots.readRange(spark, dir, "id", 10100L, 10150L).count() == 51L)
+    // nothing left to repack (one small repacked file < 2) → the next
+    // run short-circuits WITHOUT committing
+    assert(Snapshots.compactBinPack(spark, dir, minFileBytes = cut,
+      targetFileBytes = 16L * 1024 * 1024,
+      statsColumns = Seq("id")) == v2)
+    assert(Snapshots.version(spark, dir) == v2)
+    // pending merge-on-read deletes refuse loudly (carried-raw files
+    // would resurrect deleted rows)
+    Snapshots.deleteMergeOnRead(spark, dir, col("id") === 5L, Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.compactBinPack(spark, dir, minFileBytes = 1024L * 1024,
+        statsColumns = Seq("id"))
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+    // a manifest-less table cannot size-select
+    val bare = Files.createTempDirectory("graft-snap-binpack-bare").toString
+    Snapshots.commit(spark, frags, bare)
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.compactBinPack(spark, bare, minFileBytes = 1L)
+    }
+    assert(e2.getMessage.contains("manifest"))
+  }
+
   test("expire respects file-level references; unreferenced history is deleted") {
     val dir = Files.createTempDirectory("graft-snap-expire").toString
     // v1: clustered base with stats; v2: scoped merge that REFERENCES
