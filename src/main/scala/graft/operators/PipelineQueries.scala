@@ -710,6 +710,54 @@ object PipelineQueries {
         .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
     }),
+    "text_rrf_fusion" -> ((s, d) => {
+      // multi-term retrieval: fuse the three per-term BM25 lists with
+      // reciprocal rank fusion (rank-only, no score normalization) —
+      // the ensemble/query-expansion combiner of retrieval pipelines
+      TextAnalysis.bm25RrfFused(t(s, d, "documents"),
+        queryTerms = Seq("data", "query", "table"), k = 10, perTermK = 20)
+        .orderBy("rank")
+    }),
+    "text_bm25_stream" -> ((s, d) => {
+      // STREAMING ingestion into the persisted inverted index: the
+      // corpus arrives as two file-source micro-batches; foreachBatch
+      // builds the index on the first and file-scope-MERGES the second
+      // (the exactly-once batch id + the snapshot claim make replays
+      // idempotent in spirit; here the drain is deterministic). Serving
+      // afterwards must equal the direct full-corpus computation — the
+      // same oracle as text_bm25_topk, certifying that streaming
+      // arrival order is invisible to retrieval.
+      val docs = t(s, d, "documents")
+      val inDir = scratch("graft-text-stream-in")
+      val ckpt = scratch("graft-text-stream-ckpt")
+      val dir = scratch("graft-text-stream-idx")
+      Seq(inDir, ckpt, dir).foreach(clearDir(s, _))
+      docs.filter(col("doc_id") < 250).coalesce(1)
+        .write.parquet(s"$inDir/arrival-0")
+      docs.filter(col("doc_id") >= 250).coalesce(1)
+        .write.parquet(s"$inDir/arrival-1")
+      val schema = docs.schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$inDir/arrival-*")
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val bs = batch.sparkSession
+          if (graft.sources.Snapshots.version(bs, s"$dir/postings") >= 1L)
+            TextAnalysis.addToTextIndex(bs, batch.toDF(), dir)
+          else
+            TextAnalysis.buildTextIndex(bs, batch.toDF(), dir, nBuckets = 8)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      TextAnalysis
+        .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
+        .orderBy("term", "rank")
+    }),
     "text_bm25_incremental" -> ((s, d) => {
       // index MAINTENANCE: build on the first 300 documents, then add
       // the rest as a file-scoped snapshot MERGE — new doc_ids
@@ -1304,13 +1352,11 @@ object PipelineQueries {
     base +: roundCtes
   }
 
-  /** One BM25 oracle serves text_bm25_topk AND the persisted/
-    * incremental index entries: the index is a physical layout choice,
-    * so all three must agree with the direct DuckDB computation row
-    * for row. Same k1=1.2 b=0.75 Okapi constants and
-    * round-6-before-rank rule as the Spark plans.
+  /** The shared BM25 `ranked` CTE chain (same k1=1.2 b=0.75 Okapi
+    * constants and round-6-before-rank rule as the Spark plans) —
+    * finished by [[bm25Oracle]]'s top-k select or the RRF fusion tail.
     */
-  private val bm25Oracle: String =
+  private val bm25RankedCte: String =
     """WITH toks AS (
       |  SELECT doc_id,
       |    string_split_regex(lower(trim(text)), '\s+') AS ts
@@ -1341,9 +1387,38 @@ object PipelineQueries {
       |  SELECT term, doc_id, bm25,
       |    CAST(row_number() OVER (PARTITION BY term
       |      ORDER BY bm25 DESC, doc_id) AS INT) AS rank
-      |  FROM scored)
-      |SELECT term, rank, doc_id, bm25 FROM ranked
-      |WHERE rank <= 5 ORDER BY term, rank""".stripMargin
+      |  FROM scored)""".stripMargin
+
+  /** One BM25 oracle serves text_bm25_topk AND the persisted/
+    * incremental/streaming index entries: the index is a physical
+    * layout choice, so all of them must agree with the direct DuckDB
+    * computation row for row.
+    */
+  private val bm25Oracle: String = bm25RankedCte +
+    "\nSELECT term, rank, doc_id, bm25 FROM ranked" +
+    "\nWHERE rank <= 5 ORDER BY term, rank"
+
+  /** RRF fusion tail over the shared ranked chain: Σ 1/(60 + rank) of
+    * each term's top-20, round-6-then-rank with doc_id tiebreak —
+    * identical float formulas to [[graft.operators.TextAnalysis
+    * .bm25RrfFused]] (CAST keeps DuckDB's `1.0` out of DECIMAL
+    * arithmetic; Spark divides doubles).
+    */
+  private val bm25RrfOracle: String = bm25RankedCte.replace(
+    "ranked AS (", "ranked0 AS (").replace(
+    "  FROM scored)", "  FROM scored),\n" +
+      """fused AS (
+        |  SELECT doc_id,
+        |    round(SUM(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) AS rrf,
+        |    COUNT(*) AS n_lists
+        |  FROM ranked0 WHERE rank <= 20 GROUP BY doc_id),
+        |rr AS (
+        |  SELECT doc_id, rrf, n_lists,
+        |    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+        |      AS rank
+        |  FROM fused)""".stripMargin) +
+    "\nSELECT rank, doc_id, rrf, n_lists FROM rr" +
+    "\nWHERE rank <= 10 ORDER BY rank"
 
   private def bpeTrainOracle(
       k: Int, batchCap: Int, candWindow: Int, rounds: Int): String = {
@@ -2290,6 +2365,8 @@ object PipelineQueries {
     "text_bm25_topk" -> bm25Oracle,
     "text_bm25_persisted" -> bm25Oracle,
     "text_bm25_incremental" -> bm25Oracle,
+    "text_bm25_stream" -> bm25Oracle,
+    "text_rrf_fusion" -> bm25RrfOracle,
     // same md5-prefix feature hashing as the Spark plan (the corpus
     // samplers' engine-stable idiom), 256 buckets
     "text_nb_model" ->

@@ -316,6 +316,40 @@ object TextAnalysis {
       .select("term", "rank", "doc_id", "bm25")
   }
 
+  /** Multi-term retrieval via RECIPROCAL RANK FUSION: rank each query
+    * term's BM25 list independently ([[bm25TopK]] with `perTermK`
+    * candidates), then fuse with `Σ 1/(rrfK + rank)` per document —
+    * the rank-only combination (Cormack et al.'s RRF) that needs no
+    * score normalization across lists, which is why ensemble and
+    * query-expansion retrieval stages default to it. Output is the
+    * fused top-`k` with the per-doc list-hit count. Plan shape: the
+    * per-term ranking is [[bm25TopK]]'s (corpus-sized explode + hash
+    * agg + per-term top-k heap); the fusion itself aggregates ≤
+    * |terms| × perTermK rows — coordinator-sized by construction, so
+    * the final global rank window is bounded, never corpus-sized.
+    */
+  def bm25RrfFused(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      perTermK: Int = 20,
+      rrfK: Int = 60,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0 && perTermK > 0 && rrfK > 0,
+      s"bad k=$k perTermK=$perTermK rrfK=$rrfK")
+    import org.apache.spark.sql.expressions.Window
+    bm25TopK(docs, queryTerms, perTermK, textCol = textCol, idCol = idCol)
+      .groupBy("doc_id")
+      .agg(
+        round(sum(lit(1.0) / (lit(rrfK) + col("rank"))), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select("rank", "doc_id", "rrf", "n_lists")
+  }
+
   /** `(doc_id, ts)` tokenized projection shared by the index build and
     * the incremental add — ONE tokenizer definition, so index contents
     * can never disagree with [[bm25TopK]]'s in-plan tokenization.

@@ -44,6 +44,7 @@ object Sinks {
   private lazy val bucketOrdDir: String = scratch("graft-bucketed-orders")
   private lazy val rollupStateDir: String = scratch("graft-rollup-state")
   private lazy val binpackDir: String = scratch("graft-snapshot-binpack")
+  private lazy val retentionDir: String = scratch("graft-snapshot-retention")
   private lazy val sketchDir: String = scratch("graft-sketch-state")
   private lazy val snapshotDir: String = scratch("graft-snapshots")
   private lazy val snapshotPrunedDir: String = scratch("graft-snapshot-pruned")
@@ -1040,6 +1041,34 @@ object Sinks {
     after.unionByName(mainBefore).orderBy("state", "doc_id")
   }
 
+  /** Manifest-pruned RETENTION delete: events commit day-clustered (30
+    * range partitions over January, per-file ts envelopes + null
+    * counts in the manifest), then `DELETE WHERE ts <= Jan 10` decides
+    * every file from its manifest row — files wholly inside the
+    * expired band DROP from the manifest unread, files past the cutoff
+    * carry by reference, and only the boundary straddler is rewritten
+    * with the row filter. Evicting a time band from a 100 TB table
+    * costs O(straddling files) this way; delete() would rewrite the
+    * table. Oracle = the surviving-range select; SnapshotsSpec pins
+    * the drop/carry/rewrite trichotomy and NULL-keeping semantics.
+    */
+  private def snapshotDeleteRetention(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, retentionDir)
+    val ev = Tables(s, d, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    Snapshots.commit(s,
+      ev.repartitionByRange(30, col("ts")).sortWithinPartitions("ts"),
+      retentionDir, statsColumns = Seq("ts"))
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-10 23:59:59.999999")
+    Snapshots.deleteRange(s, retentionDir, "ts", lo = null, hi = cutoff,
+      statsColumns = Seq("ts"))
+    Snapshots.read(s, retentionDir)
+      .select(col("event_id"),
+        col("ts").cast("long").as("ts_s"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** PARTITION-SPEC EVOLUTION end-to-end (Iceberg's spec-id-per-file
     * model): events before Jan 8 commit under spec A (day(ts)); the
     * rest APPEND through [[Snapshots.evolvePartitionSpec]] under spec B
@@ -1127,6 +1156,7 @@ object Sinks {
     "q_snapshot_cdf_feed" -> (snapshotCdfFeed _),
     "q_snapshot_compact" -> (snapshotCompact _),
     "q_snapshot_compact_binpack" -> (snapshotCompactBinpack _),
+    "q_snapshot_delete_retention" -> (snapshotDeleteRetention _),
     "q_snapshot_merge_scoped" -> (snapshotMergeScoped _),
     "q_snapshot_merge_scoped_composite" -> (snapshotMergeScopedComposite _),
     "q_snapshot_bloom_read" -> (snapshotBloomRead _),
@@ -1404,6 +1434,15 @@ object Sinks {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 7000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // survivors of the retention delete = the plain surviving-range
+    // select (NULL ts would survive too; the corpus has none)
+    "q_snapshot_delete_retention" ->
+      """SELECT event_id,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s,
+        |  user_id, event_type, value
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-10 23:59:59.999999'
+        |ORDER BY event_id""".stripMargin,
     // bin-pack is logically a no-op: carried + repacked must equal the
     // plain source predicate row for row
     "q_snapshot_compact_binpack" ->

@@ -580,7 +580,12 @@ object Snapshots {
       val data = spark.read.parquet(stageDir)
       val aggs: Seq[Column] = (count(lit(1)).as("n_rows") +:
         (statsColumns.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+          // nulls_<c> rides with the envelope: min/max ignore NULLs, so
+          // containment alone cannot prove "every row matches" — the
+          // metadata-only drop in [[deleteRange]] needs to know the
+          // file holds no NULL the SQL predicate would have kept
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
           // per-file partition-value envelope: the transform evaluated
           // over the file's rows — no partition column is stored in data
           partitionSpec.flatMap(t => Seq(
@@ -1634,6 +1639,122 @@ object Snapshots {
           lit("delete").as("change_type") +: cur.columns.toSeq.map(col): _*))
       (cur.filter(!hit), Sidecars(changes = feed))
     }
+
+  /** Manifest-pruned range DELETE — the RETENTION op: `DELETE WHERE
+    * lo <= column <= hi` (a `null` bound is unbounded on that side),
+    * deciding each file's fate from its manifest row alone:
+    *
+    *  - envelope DISJOINT from the range (or all-NULL stats: the file
+    *    holds only NULLs, which SQL DELETE keeps) → carried into the
+    *    new version BY REFERENCE, never read;
+    *  - envelope CONTAINED in the range and `nulls_column = 0` → the
+    *    file is DROPPED from the manifest whole — no read, no write,
+    *    no reference (history still holds it until [[expire]]);
+    *  - anything else (straddlers, or contained files whose NULL rows
+    *    the predicate must keep, or legacy manifests without the
+    *    `nulls_` stat) → rewritten with the row-level filter.
+    *
+    * Evicting an expired time band from a 100 TB table this way costs
+    * O(straddling files) — with a day-clustered layout that is the two
+    * boundary files, where [[delete]] pays a full table rewrite. NULL
+    * semantics are SQL DELETE's: a NULL `column` never matches the
+    * predicate and survives. With `recordChanges` the feed must
+    * enumerate the deleted rows, so dropped and rewritten files ARE
+    * read once — the documented price of CDF on an otherwise
+    * metadata-sized commit.
+    */
+  def deleteRange(
+      spark: SparkSession,
+      tableDir: String,
+      column: String,
+      lo: Any,
+      hi: Any,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      recordChanges: Boolean = false,
+      maxRetries: Int = 10): Long = {
+    require(lo != null || hi != null,
+      "deleteRange with both bounds null would delete every non-NULL row" +
+        " — use delete(col.isNotNull) if that is really meant")
+    require(statsColumns.contains(column),
+      s"deleteRange decides file fates from $column's manifest stats — " +
+        s"pass it in statsColumns (got $statsColumns) so the rewritten " +
+        "files' rows stay prunable")
+    val ctx = fc(spark)
+    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) {
+      (base, cur) =>
+        val snapDir = s"$tableDir/snap-$base"
+        require(ctx.util().exists(new Path(manifestDir(snapDir))),
+          s"deleteRange prunes from the manifest — version $base of " +
+            s"$tableDir has none (commit with statsColumns first)")
+        require(!ctx.util().exists(new Path(s"$snapDir/_mor_deletes")),
+          s"deleteRange on $tableDir with a pending merge-on-read delete " +
+            "set: fold it first (compact or an unscoped write)")
+        require(!ctx.util().exists(new Path(s"$snapDir/_pos_deletes")),
+          s"deleteRange on $tableDir with pending positional delete " +
+            "vectors: fold them first (compact or an unscoped write)")
+        val manifest = spark.read.parquet(manifestDir(snapDir))
+        val hasNullStat = manifest.columns.contains(s"nulls_$column")
+        val files = manifest.collect()
+        def rebase(f: String): String =
+          if (f.contains("/")) f else s"snap-$base/$f"
+        sealed trait Fate
+        object Carry extends Fate; object Drop extends Fate
+        object Rewrite extends Fate
+        def fate(r: org.apache.spark.sql.Row): Fate = {
+          val mn = r.getAs[Any](s"min_$column")
+          val mx = r.getAs[Any](s"max_$column")
+          if (mn == null || mx == null) Carry // only NULLs: DELETE keeps them
+          else {
+            val disjoint =
+              (lo != null && ordering(mx).compareTo(lo) < 0) ||
+                (hi != null && ordering(mn).compareTo(hi) > 0)
+            if (disjoint) Carry
+            else {
+              val contained =
+                (lo == null || ordering(mn).compareTo(lo) >= 0) &&
+                  (hi == null || ordering(mx).compareTo(hi) <= 0)
+              if (contained && hasNullStat &&
+                  r.getAs[Long](s"nulls_$column") == 0L) Drop
+              else Rewrite
+            }
+          }
+        }
+        val byFate = files.groupBy(fate)
+        val carried = byFate.getOrElse(Carry, Array.empty)
+        val dropped = byFate.getOrElse(Drop, Array.empty)
+        val straddlers = byFate.getOrElse(Rewrite, Array.empty)
+        def paths(rs: Array[org.apache.spark.sql.Row]) =
+          rs.map(r => s"$tableDir/${rebase(r.getAs[String]("file"))}").toIndexedSeq
+        val c = col(column)
+        val matches = (if (lo == null) lit(true) else c >= lit(lo)) &&
+          (if (hi == null) lit(true) else c <= lit(hi))
+        val kept =
+          if (straddlers.isEmpty) cur.limit(0)
+          else spark.read.parquet(paths(straddlers): _*)
+            .filter(!coalesce(matches, lit(false)))
+        val feed = if (!recordChanges) None else Some {
+          val doomed = paths(dropped) ++ paths(straddlers)
+          val gone =
+            if (doomed.isEmpty) cur.limit(0)
+            else spark.read.parquet(doomed: _*)
+              .filter(coalesce(matches, lit(false)))
+          gone.select(lit("delete").as("change_type") +:
+            gone.columns.toSeq.map(col): _*)
+        }
+        val refs = carried.map(r => rebase(r.getAs[String]("file"))).toIndexedSeq
+        val fileIdx = manifest.columns.indexOf("file")
+        val carriedM =
+          if (carried.isEmpty) None
+          else Some(spark.createDataFrame(
+            java.util.Arrays.asList(carried.map(r =>
+              org.apache.spark.sql.Row.fromSeq(
+                r.toSeq.updated(fileIdx, rebase(r.getString(fileIdx))))): _*),
+            manifest.schema))
+        (kept, Sidecars(changes = feed, refs = refs,
+          carriedManifest = carriedM))
+    }
+  }
 
   /** MERGE-ON-READ delete (the deletion-vector trade, vs [[delete]]'s
     * copy-on-write): rows matching `predicate` are recorded as a

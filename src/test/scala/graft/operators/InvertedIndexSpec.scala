@@ -84,6 +84,23 @@ class InvertedIndexSpec extends SparkSpec {
     assert(rows(served) == rows(TextAnalysis.bm25TopK(docs, terms, k = 5)))
   }
 
+  test("rrf fusion rewards docs ranked in several lists over one high rank") {
+    val fused = TextAnalysis.bm25RrfFused(docs, terms, k = 12, perTermK = 20)
+      .collect()
+    assert(fused.nonEmpty)
+    // ranks are dense from 1, rrf non-increasing
+    val byRank = fused.sortBy(_.getAs[Int]("rank"))
+    assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to fused.length))
+    val scores = byRank.map(_.getAs[Double]("rrf")).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // doc 4 ("data query data query") hits two lists; its fused score
+    // must beat any single-list doc whose best rank is no better
+    val d4 = fused.find(_.getAs[Long]("doc_id") == 4L).get
+    assert(d4.getAs[Long]("n_lists") >= 2L)
+    // every n_lists is bounded by the query terms
+    assert(fused.forall(r => r.getAs[Long]("n_lists") <= terms.length))
+  }
+
   test("empty corpus index serves the empty result") {
     val dir = java.nio.file.Files.createTempDirectory("graft-text-empty").toString
     TextAnalysis.buildTextIndex(spark, docs.filter($"doc_id" < 0), dir)

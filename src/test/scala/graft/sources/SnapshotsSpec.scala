@@ -823,6 +823,69 @@ class SnapshotsSpec extends SparkSpec {
     assert(e2.getMessage.contains("manifest"))
   }
 
+  test("deleteRange drops contained files unread, carries disjoint ones, rewrites straddlers") {
+    val dir = Files.createTempDirectory("graft-snap-delrange").toString
+    // 4 range-clustered files over id 0..3999 (boundaries are sampled,
+    // so expectations derive from the ACTUAL file envelopes) — delete
+    // [f0.max, f2.min]: f0 and f2 straddle (rewrite), f1 is contained
+    // (metadata-only DROP), f3 is disjoint (carry by reference)
+    val data = spark.range(0, 4000).toDF("id").withColumn("v", col("id") * 7)
+    Snapshots.commit(spark,
+      data.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      dir, statsColumns = Seq("id"))
+    val v1Files = Snapshots.read(spark, dir).inputFiles.toSet
+    assert(v1Files.size == 4)
+    val envs = Snapshots.read(spark, dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("mn"), max("id").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    val (lo, hi) = (envs(0)._3, envs(2)._2)
+    val nGone = hi - lo + 1
+    val v2 = Snapshots.deleteRange(spark, dir, "id", lo, hi,
+      statsColumns = Seq("id"), recordChanges = true)
+    assert(v2 == 2L)
+    val v2Files = Snapshots.read(spark, dir).inputFiles.toSet
+    assert(!v2Files.contains(envs(1)._1), "contained file must drop")
+    assert(v2Files.contains(envs(3)._1), "disjoint file must carry by reference")
+    // only the disjoint file survives verbatim: the dropped file's path
+    // is gone and neither straddler original remains
+    assert(v1Files.intersect(v2Files) == Set(envs(3)._1))
+    // row semantics: exactly the range is gone
+    assert(Snapshots.read(spark, dir).count() == 4000L - nGone)
+    assert(Snapshots.read(spark, dir)
+      .filter(col("id").between(lo, hi)).count() == 0L)
+    // the change feed enumerated every deleted row
+    assert(Snapshots.changesFeed(spark, dir, 1L, 2L).count() == nGone)
+    // pruning still works across carried + rewritten manifest rows
+    val probe = envs(3)._2 + (envs(3)._3 - envs(3)._2) / 2
+    val (files, total) =
+      Snapshots.selectFiles(spark, dir, v2, "id", probe, probe + 10L)
+    assert(files.nonEmpty && files.size < total)
+    // NULL rows survive a range delete (SQL DELETE semantics), and a
+    // file of matching values + one NULL cannot drop whole
+    val dir2 = Files.createTempDirectory("graft-snap-delrange-null").toString
+    val withNull = spark.range(0, 100).toDF("id")
+      .select(when(col("id") === 50L, lit(null)).otherwise(col("id")).as("id"))
+    Snapshots.commit(spark, withNull.coalesce(1), dir2,
+      statsColumns = Seq("id"))
+    Snapshots.deleteRange(spark, dir2, "id", 0L, 99L,
+      statsColumns = Seq("id"))
+    val left = Snapshots.read(spark, dir2).collect()
+    assert(left.length == 1 && left.head.isNullAt(0),
+      "the NULL row must survive an all-covering range delete")
+    // both-bounds-null refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.deleteRange(spark, dir2, "id", null, null,
+        statsColumns = Seq("id"))
+    }
+    // column missing from statsColumns refuses (rewritten files would
+    // lose prunability)
+    intercept[IllegalArgumentException] {
+      Snapshots.deleteRange(spark, dir, "id", 0L, 1L, statsColumns = Nil)
+    }
+  }
+
   test("expire respects file-level references; unreferenced history is deleted") {
     val dir = Files.createTempDirectory("graft-snap-expire").toString
     // v1: clustered base with stats; v2: scoped merge that REFERENCES
