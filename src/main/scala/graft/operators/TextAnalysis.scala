@@ -355,9 +355,11 @@ object TextAnalysis {
     * can never disagree with [[bm25TopK]]'s in-plan tokenization.
     */
   private def tokenized(docs: DataFrame, textCol: String, idCol: String) =
+    // NULL text ≡ empty text: [""] keeps one posting row per document,
+    // which is what lets corpus stats derive from the postings alone
     Corpus.spread(docs).select(
       col(idCol).as("doc_id"),
-      split(lower(trim(col(textCol))), "\\s+").as("ts"))
+      split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+").as("ts"))
 
   /** Build a PERSISTED inverted index under `indexDir`: tokenize the
     * corpus ONCE, commit `(term, doc_id, tf, dl)` posting rows
@@ -384,15 +386,24 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id"): Long = {
     import graft.sources.Snapshots
-    val base = tokenized(docs, textCol, idCol)
-    Snapshots.commit(spark,
-      base.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(size(col("ts")).cast("long")), lit(0L))
-          .as("total_tokens")),
-      s"$indexDir/stats")
-    Snapshots.commit(spark, postingsFor(base), s"$indexDir/postings",
+    val v = Snapshots.commit(spark,
+      postingsFor(tokenized(docs, textCol, idCol)), s"$indexDir/postings",
       statsColumns = Seq("term", "doc_id"),
       partitionSpec = Seq(Snapshots.Transform.Bucket("term", nBuckets)))
+    // corpus stats derive FROM the committed postings (every doc holds
+    // ≥ 1 posting row — [""] for blank text — so countDistinct(doc_id)
+    // is the doc count and Σtf the token count): the build tokenizes
+    // the corpus ONCE, and the stats pass reads two columns of the
+    // compact committed index, not the corpus again
+    val st = Snapshots.read(spark, s"$indexDir/postings")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        coalesce(sum(col("tf").cast("long")), lit(0L)).as("total_tokens"))
+      .head()
+    Snapshots.commit(spark,
+      spark.range(1).select(lit(st.getLong(0)).as("n_docs"),
+        lit(st.getLong(1)).as("total_tokens")),
+      s"$indexDir/stats")
+    v
   }
 
   /** `(term, doc_id, tf, dl)` posting rows for a tokenized batch. */
@@ -426,21 +437,25 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id"): Long = {
     import graft.sources.Snapshots
-    val base = tokenized(newDocs, textCol, idCol)
-    val add = base.agg(count(lit(1)),
-      coalesce(sum(size(col("ts")).cast("long")), lit(0L))).head()
-    val cur = Snapshots.read(spark, s"$indexDir/stats").head()
-    Snapshots.commit(spark,
-      spark.range(1).select(
-        lit(cur.getLong(cur.fieldIndex("n_docs")) + add.getLong(0))
-          .as("n_docs"),
-        lit(cur.getLong(cur.fieldIndex("total_tokens")) + add.getLong(1))
-          .as("total_tokens")),
-      s"$indexDir/stats")
-    Snapshots.merge(spark, s"$indexDir/postings", postingsFor(base),
-      key = Seq("term", "doc_id"),
-      statsColumns = Seq("term", "doc_id"),
-      scoped = true)
+    // the batch's postings are O(new docs): persist so the stats delta
+    // and the merge share ONE tokenize of the arrivals
+    val posts = postingsFor(tokenized(newDocs, textCol, idCol)).persist()
+    try {
+      val add = posts.agg(countDistinct(col("doc_id")),
+        coalesce(sum(col("tf").cast("long")), lit(0L))).head()
+      val cur = Snapshots.read(spark, s"$indexDir/stats").head()
+      Snapshots.commit(spark,
+        spark.range(1).select(
+          lit(cur.getLong(cur.fieldIndex("n_docs")) + add.getLong(0))
+            .as("n_docs"),
+          lit(cur.getLong(cur.fieldIndex("total_tokens")) + add.getLong(1))
+            .as("total_tokens")),
+        s"$indexDir/stats")
+      Snapshots.merge(spark, s"$indexDir/postings", posts,
+        key = Seq("term", "doc_id"),
+        statsColumns = Seq("term", "doc_id"),
+        scoped = true)
+    } finally posts.unpersist()
   }
 
   /** Serve BM25 top-k from a [[buildTextIndex]] index WITHOUT touching
