@@ -333,6 +333,21 @@ object PipelineQueries {
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf_filtered" -> ((s, d) => {
+      // FILTERED ANN over the shared trained quantizer: nearest
+      // neighbors among labels {2, 5} only — the metadata-constrained
+      // search of a RAG serving tier. Same index geometry as
+      // ann_ivf_trained (built once, filters arrive per query);
+      // candidates restricted by a semi join against the allowed ids.
+      // The oracle replays the identical train+probe chain with the
+      // candidate IN-restriction.
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopKFiltered(emb, emb.filter(col("vec_id") < 10),
+          coarseTrained(s, d),
+          allowed = emb.filter(col("label").isin(2, 5)).select("vec_id"),
+          k = 10, nProbe = 2, roundDecimals = 6)
+        .orderBy("query_id", "rank")
+    }),
     "ann_ivf_pq" -> ((s, d) => {
       // IVF-PQ: per-subspace codebooks trained with the SAME seeded
       // Lloyd as the coarse quantizer (4 subspaces × 8 codes × 2
@@ -710,6 +725,22 @@ object PipelineQueries {
         .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
     }),
+    "dedup_contamination_indexed" -> ((s, d) => {
+      // eval-set decontamination as an INDEX PROBE: the persisted
+      // inverted index answers "which docs contain these benchmark
+      // terms" from the needles' posting buckets alone — no corpus
+      // scan, unlike dedup_contamination's broadcast semi probe (the
+      // right shape when eval sets change more often than the corpus).
+      // One absent needle proves the empty path rides the same read.
+      val dir = scratch("graft-text-decontam-idx")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
+        nBuckets = 8)
+      TextAnalysis
+        .contaminatedDocs(s, dir,
+          Seq("data", "table", "zzz_no_such_term"))
+        .orderBy("needle", "doc_id")
+    }),
     "text_rrf_fusion" -> ((s, d) => {
       // multi-term retrieval: fuse the three per-term BM25 lists with
       // reciprocal rank fusion (rank-only, no score normalization) —
@@ -1077,7 +1108,15 @@ object PipelineQueries {
 
   private def ivfTrainedOracle(
       k: Int, iters: Int, nProbe: Int, topK: Int,
-      trainWhere: String = "TRUE"): String = {
+      trainWhere: String = "TRUE",
+      candWhere: String = ""): String = {
+    // candidate restriction (ann_ivf_filtered): emitted only when a
+    // predicate is supplied, so the unfiltered entries' oracle text is
+    // byte-identical to what their green rows were built on
+    val cand = if (candWhere.isEmpty) "" else
+      s"""
+         |    AND a.neighbor_id IN
+         |      (SELECT vec_id FROM embeddings WHERE $candWhere)""".stripMargin
     val tail =
       s"""scored AS (
          |  SELECT p.query_id, a.neighbor_id,
@@ -1085,7 +1124,7 @@ object PipelineQueries {
          |      / sqrt(list_dot_product(p.qvec, p.qvec)
          |             * list_dot_product(a.cvec, a.cvec)), 6) AS cosine
          |  FROM assigned a JOIN probed p USING (cell)
-         |  WHERE p.query_id <> a.neighbor_id),
+         |  WHERE p.query_id <> a.neighbor_id$cand),
          |ranked AS (
          |  SELECT query_id, neighbor_id, cosine,
          |    CAST(row_number() OVER (PARTITION BY query_id
@@ -1540,6 +1579,8 @@ object PipelineQueries {
         |  round(CAST(SUM(n_words) AS DOUBLE) / (COUNT(*) * bucket), 6) AS pad_efficiency
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "ann_ivf_trained" -> ivfTrainedOracle(8, 2, 2, 10),
+    "ann_ivf_filtered" ->
+      ivfTrainedOracle(8, 2, 2, 10, candWhere = "label IN (2, 5)"),
     // identical replay: the persisted-index entry uses the same quantizer
     // parameters, so a hash match proves the commit→prune→read roundtrip
     // preserved the trained result bit-for-bit
@@ -2367,6 +2408,19 @@ object PipelineQueries {
     "text_bm25_incremental" -> bm25Oracle,
     "text_bm25_stream" -> bm25Oracle,
     "text_rrf_fusion" -> bm25RrfOracle,
+    // postings are token occurrences: term membership over the same
+    // tokenizer is exact on both sides; the absent needle contributes
+    // no rows
+    "dedup_contamination_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |q(needle) AS (VALUES ('data'), ('table'), ('zzz_no_such_term'))
+        |SELECT q.needle, t.doc_id
+        |FROM toks t CROSS JOIN q
+        |WHERE list_contains(t.ts, q.needle)
+        |ORDER BY q.needle, t.doc_id""".stripMargin,
     // same md5-prefix feature hashing as the Spark plan (the corpus
     // samplers' engine-stable idiom), 256 buckets
     "text_nb_model" ->

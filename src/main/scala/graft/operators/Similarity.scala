@@ -248,6 +248,42 @@ object Similarity {
       k, roundDecimals)
   }
 
+  /** FILTERED ANN (the metadata-constrained vector search every RAG
+    * serving tier needs: "nearest neighbors WHERE label/tenant/date
+    * matches"): the quantizer and probe geometry stay those of the
+    * UNFILTERED corpus — the index is built once, filters arrive per
+    * query — and the predicate restricts CANDIDATES via a semi join of
+    * the probed postings against the allowed-id set (post-filtering).
+    * The semi join keys on the posting id, so when the filter column
+    * rides in the posting layout (a hidden-partition label) it prunes
+    * at the manifest instead. Recall caveat, inherent to
+    * post-filtering: a highly selective predicate empties probed
+    * cells — scale `nProbe` with filter selectivity (pre-filtered
+    * per-label indexes are the other standard answer; this is the
+    * shared-index half).
+    */
+  def ivfTopKFiltered(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      allowed: DataFrame,
+      k: Int = 10,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+    val assigned = scoredAgainstCells(
+        cents, Corpus.spread(corpus), "neighbor_id", "cvec",
+        idCol, vecCol, roundDecimals)
+      .groupBy(col("neighbor_id"), col("cvec"))
+      .agg(min_by(col("cell"), struct(-col("csim"), col("cell"))).as("cell"))
+    val keep = allowed.select(col(allowed.columns.head).as("neighbor_id"))
+    probePostings(assigned.join(keep, Seq("neighbor_id"), "left_semi"),
+      probeCells(cents, queries, nProbe, idCol, vecCol, roundDecimals),
+      k, roundDecimals)
+  }
+
   /** Every (row, cell) pair scored against the (tiny, broadcast) centroid
     * table — the shared coarse-quantization primitive of [[ivfTopK]] and
     * [[buildIvfIndex]]. Output: (idAs, vecAs, cell, csim).

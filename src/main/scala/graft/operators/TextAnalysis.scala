@@ -458,6 +458,29 @@ object TextAnalysis {
     } finally posts.unpersist()
   }
 
+  /** Decontamination probe through a [[buildTextIndex]] index: which
+    * documents contain any of the `needles` (benchmark terms, canary
+    * strings)? ONE manifest-pruned read of the needles' posting
+    * buckets answers it — O(probed buckets), the corpus is never
+    * scanned, which is the difference between a metadata-sized check
+    * and a 100 TB pass every time an eval set changes. Postings ARE
+    * token occurrences, so term membership is exact, not a candidate
+    * set; needles absent from the corpus simply return no rows.
+    * Phrase-level decontamination indexes n-grams with the same
+    * machinery (swap the tokenizer for [[graft.functions.TextShingles
+    * .wordNgrams]] at build time).
+    */
+  def contaminatedDocs(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      needles: Seq[String]): DataFrame = {
+    import graft.sources.Snapshots
+    require(needles.nonEmpty, "needles must be non-empty")
+    Snapshots
+      .readPartitionedIn(spark, s"$indexDir/postings", "term", needles)
+      .select(col("term").as("needle"), col("doc_id"))
+  }
+
   /** Serve BM25 top-k from a [[buildTextIndex]] index WITHOUT touching
     * the corpus: read the one-row stats snapshot, then ONE manifest-
     * pruned IN-list read of the query terms' posting buckets

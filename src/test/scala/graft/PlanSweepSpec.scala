@@ -39,7 +39,8 @@ class PlanSweepSpec extends SparkSpec {
     Set("q_fuzzy_match", "ann_brute_topk", "ann_ivf_topk", "ann_ivf_trained",
       "ann_ivf_persisted", "ann_ivf_incremental", "ann_ivf_q8_rerank",
       "dedup_embedding", "ann_srp_recall", "dedup_srp_recall",
-      "ann_ivf_pq", "ann_pq_recall", "text_nb_classify")
+      "ann_ivf_pq", "ann_pq_recall", "text_nb_classify",
+      "ann_ivf_filtered")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

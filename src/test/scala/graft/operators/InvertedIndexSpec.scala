@@ -101,6 +101,18 @@ class InvertedIndexSpec extends SparkSpec {
     assert(fused.forall(r => r.getAs[Long]("n_lists") <= terms.length))
   }
 
+  test("contamination probe answers term membership exactly from the index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-decon").toString
+    TextAnalysis.buildTextIndex(spark, docs, dir, nBuckets = 8)
+    val got = TextAnalysis
+      .contaminatedDocs(spark, dir, Seq("rare", "join", "zzz_absent"))
+      .collect()
+      .map(r => (r.getAs[String]("needle"), r.getAs[Long]("doc_id"))).toSet
+    // exact membership over the same tokenizer; the absent needle
+    // contributes nothing
+    assert(got == Set(("rare", 6L), ("join", 3L), ("join", 9L)))
+  }
+
   test("empty corpus index serves the empty result") {
     val dir = java.nio.file.Files.createTempDirectory("graft-text-empty").toString
     TextAnalysis.buildTextIndex(spark, docs.filter($"doc_id" < 0), dir)

@@ -137,6 +137,33 @@ class SimilaritySpec extends SparkSpec {
     assert(files.nonEmpty && files.length < total)
   }
 
+  test("filtered ANN restricts candidates to the allowed set, unfiltered geometry intact") {
+    val cents = Similarity.kmeansCentroids(emb, k = 8, iterations = 2,
+      roundDecimals = 6)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val got = Similarity.ivfTopKFiltered(emb, queries, cents, allowed,
+      k = 10, nProbe = 2, roundDecimals = 6).collect()
+    assert(got.nonEmpty)
+    // every neighbor satisfies the filter
+    assert(got.forall(_.getAs[Long]("neighbor_id") % 3 == 0))
+    // the filtered result is exactly the unfiltered one with
+    // disallowed candidates struck out and ranks recomputed: same
+    // probe geometry, candidates a subset
+    val unf = Similarity.ivfTopK(emb, queries, cents, k = 1000,
+        nProbe = 2, roundDecimals = 6).collect()
+      .filter(_.getAs[Long]("neighbor_id") % 3 == 0)
+      .groupBy(_.getAs[Long]("query_id"))
+      .flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r.getAs[Double]("cosine"),
+          r.getAs[Long]("neighbor_id"))).take(10).toSeq
+      }
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"))).toSet
+    val gotSet = got.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    assert(gotSet == unf)
+  }
+
   test("incremental index adds assign exactly like a from-scratch build") {
     // build on the first half, add the second half, serve — must equal
     // the in-plan path with the SAME subset-trained quantizer over the
