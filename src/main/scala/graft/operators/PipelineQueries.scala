@@ -741,6 +741,21 @@ object PipelineQueries {
           Seq("data", "table", "zzz_no_such_term"))
         .orderBy("needle", "doc_id")
     }),
+    "dedup_contamination_phrase" -> ((s, d) => {
+      // phrase-level decontamination end-to-end: build a 3-gram
+      // membership index, take the corpus's two most document-frequent
+      // 3-grams (commonSpans — the boilerplate a leakage check would
+      // target; deterministic needles, so the oracle recomputes them),
+      // and answer membership from the needles' posting buckets alone.
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-phrase-idx")
+      clearDir(s, dir)
+      TextAnalysis.buildPhraseIndex(s, docs, dir, n = 3, nBuckets = 8)
+      val needles = TextAnalysis.commonSpans(docs, n = 3, k = 2)
+        .collect().map(_.getAs[String]("span")).toSeq
+      TextAnalysis.contaminatedDocs(s, dir, needles)
+        .orderBy("needle", "doc_id")
+    }),
     "text_rrf_fusion" -> ((s, d) => {
       // multi-term retrieval: fuse the three per-term BM25 lists with
       // reciprocal rank fusion (rank-only, no score normalization) —
@@ -2411,6 +2426,29 @@ object PipelineQueries {
     // postings are token occurrences: term membership over the same
     // tokenizer is exact on both sides; the absent needle contributes
     // no rows
+    // same 3-gram construction as text_common_spans' 8-gram oracle
+    // (distinct per doc, whole-text gram for short docs); needles =
+    // the top-2 spans by doc count under the same collation
+    "dedup_contamination_phrase" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(ts) >= 3
+        |    THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                        for i in generate_series(1, len(ts) - 2)])
+        |    ELSE [array_to_string(ts, ' ')] END AS grams
+        |  FROM toks),
+        |spans AS (SELECT unnest(grams) AS span, doc_id FROM g),
+        |counted AS (
+        |  SELECT span, COUNT(*) AS n_docs FROM spans GROUP BY span),
+        |needles AS (
+        |  SELECT span AS needle FROM counted
+        |  ORDER BY n_docs DESC, span LIMIT 2)
+        |SELECT n.needle, s.doc_id
+        |FROM spans s JOIN needles n ON s.span = n.needle
+        |ORDER BY n.needle, s.doc_id""".stripMargin,
     "dedup_contamination_indexed" ->
       """WITH toks AS (
         |  SELECT doc_id,

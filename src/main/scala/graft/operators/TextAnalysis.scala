@@ -458,6 +458,37 @@ object TextAnalysis {
     } finally posts.unpersist()
   }
 
+  /** PHRASE-granular membership index: `(term = n-word gram, doc_id)`
+    * posting rows, hidden-bucketed on the gram exactly like
+    * [[buildTextIndex]]'s term postings — the index behind phrase-level
+    * decontamination (real eval-set leakage checks match 8-13-gram
+    * spans, not words). Grams are DISTINCT per document (the codegen'd
+    * [[graft.functions.TextShingles.wordNgrams]] kernel) because
+    * membership is the contract; documents shorter than `n` words index
+    * their whole text as one gram, so no document is unsearchable.
+    * [[contaminatedDocs]] serves this index unchanged — a needle is
+    * just an n-word term.
+    */
+  def buildPhraseIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      n: Int,
+      nBuckets: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Long = {
+    import graft.sources.Snapshots
+    require(n >= 2, s"phrase index needs n >= 2, got $n (use buildTextIndex)")
+    Snapshots.commit(spark,
+      Corpus.spread(docs).select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextShingles.wordNgrams(col(textCol), n))
+          .as("term"))
+        .select("term", "doc_id"),
+      s"$indexDir/postings",
+      statsColumns = Seq("term", "doc_id"),
+      partitionSpec = Seq(Snapshots.Transform.Bucket("term", nBuckets)))
+  }
+
   /** Decontamination probe through a [[buildTextIndex]] index: which
     * documents contain any of the `needles` (benchmark terms, canary
     * strings)? ONE manifest-pruned read of the needles' posting
