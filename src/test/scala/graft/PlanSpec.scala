@@ -285,4 +285,33 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("text") && !readSchema.contains("doc_id"),
       readSchema) // only the scored column is read
   }
+
+  test("BM25 broadcasts the per-term df; ranking is a per-term window, not a global sort") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(TextAnalysis.bm25TopK(docs, Seq("data", "query"), k = 5))
+    // the |queryTerms|-row df side broadcasts into the scoring join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // rank partitions by term — never Exchange SinglePartition over
+    // the scored postings
+    assert(p.contains("hashpartitioning(term"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("NB classifier scoring broadcasts the model and label stats") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val model = TextAnalysis.nbModel(docs, buckets = 64)
+    val priors = docs.groupBy(col("lang").as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val p = plan(TextAnalysis.nbClassify(docs, model, priors, buckets = 64))
+    // the (label, bucket) model joins as a broadcast hash join; the
+    // label fan-out is the declared bounded nested loop — the corpus
+    // side never shuffles for either
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-doc argmax window partitions by doc_id
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
 }

@@ -993,6 +993,56 @@ class SnapshotsSpec extends SparkSpec {
     assert(stages.isEmpty, stages.mkString(","))
   }
 
+  test("bin-pack and deleteRange serialize against racing merges through the OCC loop") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // base: fragmented layout with a disjoint high band
+    val dir = Files.createTempDirectory("graft-snap-race-maint").toString
+    val low = spark.range(0, 400).toDF("id").withColumn("v", col("id"))
+      .repartition(6)
+    val high = spark.range(10000, 12000).toDF("id").withColumn("v", col("id"))
+      .coalesce(1)
+    Snapshots.commit(spark, low.unionByName(high), dir,
+      statsColumns = Seq("id"))
+    // race a keyed MERGE (updates v for ids 100..109) against a
+    // bin-pack of the fragment tail: both run occLoop, so whichever
+    // loses the claim re-derives from the winner's tip — the final
+    // state must show BOTH effects regardless of arrival order
+    val updates = spark.range(100, 110).toDF("id")
+      .withColumn("v", col("id") + 1000000L)
+    val f1 = Future {
+      Snapshots.merge(spark, dir, updates, key = Seq("id"),
+        statsColumns = Seq("id"))
+    }
+    val f2 = Future {
+      Snapshots.compactBinPack(spark, dir, minFileBytes = 1024L * 1024,
+        targetFileBytes = 16L * 1024 * 1024, statsColumns = Seq("id"))
+    }
+    Await.result(Future.sequence(Seq(f1, f2)), 5.minutes)
+    val fin = Snapshots.read(spark, dir)
+    assert(fin.count() == 2400L)
+    assert(fin.filter(col("v") >= 1000000L).count() == 10L)
+    // now race a retention deleteRange against another merge on a
+    // disjoint band — both effects must land
+    val updates2 = spark.range(11000, 11010).toDF("id")
+      .withColumn("v", col("id") + 2000000L)
+    val f3 = Future {
+      Snapshots.merge(spark, dir, updates2, key = Seq("id"),
+        statsColumns = Seq("id"))
+    }
+    val f4 = Future {
+      Snapshots.deleteRange(spark, dir, "id", 0L, 399L,
+        statsColumns = Seq("id"))
+    }
+    Await.result(Future.sequence(Seq(f3, f4)), 5.minutes)
+    val fin2 = Snapshots.read(spark, dir)
+    assert(fin2.count() == 2000L, "the low band must be gone")
+    assert(fin2.filter(col("v") >= 2000000L).count() == 10L,
+      "the racing merge's updates must survive the delete")
+    assert(fin2.filter(col("id") < 400).count() == 0L)
+  }
+
   test("branches isolate their history from main and merge back as a MERGE") {
     val dir = Files.createTempDirectory("graft-snap-branch").toString
     val docs = spark.range(0, 400).toDF("id")
