@@ -631,6 +631,13 @@ object PipelineQueries {
     // a serving stack monitors per feature: posexplode + ONE hash
     // aggregation on dim (64 output rows however many vectors exist);
     // map-side partial moments, stddev in sample form, all rounded 6
+    "embedding_projection" -> ((s, d) => {
+      // deterministic JL sign projection to 8 dims — the cheap width
+      // cut before clustering/coarse dedup; both engines regenerate
+      // the ±1 matrix from the md5(rp:i:j) parity rule independently
+      Similarity.randomProjection(t(s, d, "embeddings"), outDim = 8)
+        .orderBy("vec_id", "dim")
+    }),
     "embedding_dim_stats" -> ((s, d) => {
       t(s, d, "embeddings")
         .select(posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -2052,6 +2059,27 @@ object PipelineQueries {
         |FROM m LEFT JOIN st ON m.doc_id = st.doc_id
         |ORDER BY m.doc_id""".stripMargin,
     // parallel unnests zip in DuckDB: value with its 0-based dim index
+    // the same rp:i:j parity rule regenerates the sign matrix; SUM
+    // order differs between engines, absorbed by round-6 (the IVF
+    // oracles' convention)
+    "embedding_projection" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |dims AS (SELECT len(v) AS d FROM e LIMIT 1),
+        |r AS (
+        |  SELECT i.i, j.j,
+        |    CASE WHEN ('0x' || substring(
+        |        md5('rp:' || i.i || ':' || j.j), 1, 15))::BIGINT % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS s
+        |  FROM (SELECT unnest(generate_series(1,
+        |          (SELECT d FROM dims))) AS i) i,
+        |       (SELECT unnest(generate_series(1, 8)) AS j) j)
+        |SELECT e.vec_id, CAST(r.j AS INT) AS dim,
+        |  round(SUM(e.v[r.i] * r.s) / sqrt(8.0), 6) AS value
+        |FROM e CROSS JOIN r
+        |GROUP BY e.vec_id, r.j
+        |ORDER BY e.vec_id, dim""".stripMargin,
     "embedding_dim_stats" ->
       """WITH e AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

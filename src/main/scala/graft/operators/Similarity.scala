@@ -248,6 +248,49 @@ object Similarity {
       k, roundDecimals)
   }
 
+  /** Deterministic ±1 random projection (the sign-matrix
+    * Johnson-Lindenstrauss reduction): `y_j = Σ_i v_i·r_ij / √outDim`
+    * with `r_ij = ±1` drawn from the md5 parity of `rp:i:j` — no RNG,
+    * no seed-plus-partitioning coupling, and any engine can regenerate
+    * the matrix from the rule (the corpus samplers' determinism
+    * discipline applied to a projection matrix). The cheap
+    * dimensionality cut a pipeline runs before clustering or coarse
+    * dedup when full-width cosine is too expensive; distances are
+    * preserved within the JL distortion bound in expectation. The
+    * matrix embeds in the plan as `outDim` literal arrays (driver
+    * generates d×outDim signs once) and each output coordinate is one
+    * codegen'd zip_with/aggregate fold — a narrow projection, no
+    * shuffle. Output is exploded `(id, dim, value)` with `dim`
+    * 1-based, value rounded to 6.
+    */
+  def randomProjection(
+      emb: DataFrame,
+      outDim: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    val first = emb.select(size(col(vecCol))).take(1)
+    if (first.isEmpty)
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0).as("dim"), lit(0.0).as("value"))
+    val d = first.head.getInt(0)
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$i:$j".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(md.take(15), 16) % 2 == 0) 1.0 else -1.0
+    }
+    val v = col(vecCol).cast("array<double>")
+    val ys = (1 to outDim).map { j =>
+      val rj = array((1 to d).map(i => lit(sign(i, j))): _*)
+      round(aggregate(zip_with(v, rj, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) / math.sqrt(outDim.toDouble), 6)
+    }
+    Corpus.spread(emb)
+      .select(col(idCol), posexplode(array(ys: _*)).as(Seq("dim0", "value")))
+      .select(col(idCol), (col("dim0") + 1).cast("int").as("dim"),
+        col("value"))
+  }
+
   /** FILTERED ANN (the metadata-constrained vector search every RAG
     * serving tier needs: "nearest neighbors WHERE label/tenant/date
     * matches"): the quantizer and probe geometry stay those of the

@@ -137,6 +137,29 @@ class SimilaritySpec extends SparkSpec {
     assert(files.nonEmpty && files.length < total)
   }
 
+  test("random projection of a one-hot vector reads out the sign matrix column") {
+    import spark.implicits._
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$i:$j".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(md.take(15), 16) % 2 == 0) 1.0 else -1.0
+    }
+    // e_5 (1-based): y_j = r_{5,j} / sqrt(4) — the projection collapses
+    // to one matrix row, recomputed here from the rule independently
+    val oneHot = Array.tabulate(16)(i => if (i == 4) 1.0f else 0.0f)
+    val df = Seq((7L, oneHot)).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(df, outDim = 4).collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Double]("value")).toMap
+    assert(got.keySet == Set(1, 2, 3, 4))
+    (1 to 4).foreach { j =>
+      assert(got(j) == BigDecimal(sign(5, j) / 2.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"dim $j")
+    }
+    // empty input → empty output, not a crash
+    assert(Similarity.randomProjection(df.filter(lit(false))).count() == 0L)
+  }
+
   test("filtered ANN restricts candidates to the allowed set, unfiltered geometry intact") {
     val cents = Similarity.kmeansCentroids(emb, k = 8, iterations = 2,
       roundDecimals = 6)
