@@ -45,6 +45,7 @@ object Sinks {
   private lazy val rollupStateDir: String = scratch("graft-rollup-state")
   private lazy val binpackDir: String = scratch("graft-snapshot-binpack")
   private lazy val retentionDir: String = scratch("graft-snapshot-retention")
+  private lazy val historyDir: String = scratch("graft-snapshot-history")
   private lazy val sketchDir: String = scratch("graft-sketch-state")
   private lazy val snapshotDir: String = scratch("graft-snapshots")
   private lazy val snapshotPrunedDir: String = scratch("graft-snapshot-pruned")
@@ -1041,6 +1042,28 @@ object Sinks {
     after.unionByName(mainBefore).orderBy("state", "doc_id")
   }
 
+  /** DESCRIBE HISTORY: three commits with injected commit timestamps,
+    * then the metadata-only audit view — version, commit instant, file
+    * count (own + referenced), and the manifest's row count, none of
+    * it from a data scan. The oracle rebuilds each row from the
+    * source predicates, so a hash match certifies the history surface
+    * reports true counts, not directory guesses.
+    */
+  private def snapshotHistory(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, historyDir)
+    val li = Tables(s, d, "lineitem").select("l_orderkey", "l_quantity")
+    Snapshots.commit(s, li.filter(col("l_quantity") > 45).repartition(2),
+      historyDir, statsColumns = Seq("l_orderkey"),
+      commitMillis = Some(1700000000000L))
+    Snapshots.commit(s, li.filter(col("l_quantity") > 30).repartition(2),
+      historyDir, statsColumns = Seq("l_orderkey"),
+      commitMillis = Some(1700000001000L))
+    Snapshots.commit(s, li.repartition(2), historyDir,
+      statsColumns = Seq("l_orderkey"),
+      commitMillis = Some(1700000002000L))
+    Snapshots.history(s, historyDir).orderBy("version")
+  }
+
   /** Manifest-pruned RETENTION delete: events commit day-clustered (30
     * range partitions over January, per-file ts envelopes + null
     * counts in the manifest), then `DELETE WHERE ts <= Jan 10` decides
@@ -1157,6 +1180,7 @@ object Sinks {
     "q_snapshot_compact" -> (snapshotCompact _),
     "q_snapshot_compact_binpack" -> (snapshotCompactBinpack _),
     "q_snapshot_delete_retention" -> (snapshotDeleteRetention _),
+    "q_snapshot_history" -> (snapshotHistory _),
     "q_snapshot_merge_scoped" -> (snapshotMergeScoped _),
     "q_snapshot_merge_scoped_composite" -> (snapshotMergeScopedComposite _),
     "q_snapshot_bloom_read" -> (snapshotBloomRead _),
@@ -1434,6 +1458,18 @@ object Sinks {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 7000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // each history row rebuilt from the source predicate it committed
+    "q_snapshot_history" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version,
+        |    CAST(1700000000000 AS BIGINT) AS commit_ms,
+        |    CAST(2 AS BIGINT) AS n_files,
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 45) AS n_rows
+        |  UNION ALL SELECT 2, 1700000001000, 2,
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30)
+        |  UNION ALL SELECT 3, 1700000002000, 2,
+        |    (SELECT COUNT(*) FROM lineitem))
+        |ORDER BY version""".stripMargin,
     // survivors of the retention delete = the plain surviving-range
     // select (NULL ts would survive too; the corpus has none)
     "q_snapshot_delete_retention" ->

@@ -1039,6 +1039,56 @@ object Snapshots {
   def readAsOf(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame =
     readVersion(spark, tableDir, versionAt(spark, tableDir, tsMillis))
 
+  /** DESCRIBE HISTORY: one metadata-only row per committed version —
+    * `(version, commit_ms, n_files, n_rows)`. Everything comes from
+    * sidecars and manifests, never a data scan: `commit_ms` from the
+    * `_commit_ts` sidecar (null for pre-feature versions), `n_files`
+    * from the version's own listing plus its `_refs` (so file-scoped
+    * merges/compactions report their true logical file count),
+    * `n_rows` from the manifest's per-file counts (root-list sums when
+    * the two-level layout is present) — null when the version has no
+    * manifest or when pending merge-on-read delete sidecars make the
+    * manifest count a pre-delete number (the [[tableStats]] staleness
+    * rule; a history row must not lie). The audit surface every
+    * format exposes as `DESCRIBE HISTORY`, priced at O(versions)
+    * metadata reads.
+    */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val ctx = fc(spark)
+    val tip = version(spark, tableDir)
+    require(tip >= 1, s"no committed snapshot in $tableDir")
+    (1L to tip).map { v =>
+      val snapDir = s"$tableDir/snap-$v"
+      val tsP = new Path(s"$snapDir/_commit_ts")
+      val ts: Option[Long] =
+        if (!ctx.util().exists(tsP)) None
+        else {
+          val in = ctx.open(tsP)
+          try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            .trim.toLong)
+          finally in.close()
+        }
+      val nFiles = dataFiles(spark, tableDir, v).size.toLong
+      val hasDeletes =
+        ctx.util().exists(new Path(s"$snapDir/_mor_deletes")) ||
+          ctx.util().exists(new Path(s"$snapDir/_pos_deletes"))
+      val nRows: Option[Long] =
+        if (hasDeletes || !ctx.util().exists(new Path(manifestDir(snapDir))))
+          None
+        else {
+          val rootP = new Path(s"${manifestDir(snapDir)}/_root")
+          val src =
+            if (ctx.util().exists(rootP)) spark.read.parquet(rootP.toString)
+            else spark.read.parquet(manifestDir(snapDir))
+          if (!src.columns.contains("n_rows")) None
+          else Option(src.agg(sum("n_rows")).head().get(0))
+            .map(_.asInstanceOf[Long])
+        }
+      (v, ts, nFiles, nRows)
+    }.toDF("version", "commit_ms", "n_files", "n_rows")
+  }
+
   /** Manifest-driven file selection for `colName` ∈ [lower, upper]:
     * (surviving file paths, total files in the snapshot). A file
     * survives iff its [min, max] can intersect the range; files whose

@@ -993,6 +993,32 @@ class SnapshotsSpec extends SparkSpec {
     assert(stages.isEmpty, stages.mkString(","))
   }
 
+  test("history reports metadata-only rows: refs counted, MoR rows marked unknown") {
+    val dir = Files.createTempDirectory("graft-snap-history").toString
+    val data = spark.range(0, 4000).toDF("id").withColumn("v", col("id"))
+    Snapshots.commit(spark,
+      data.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      dir, statsColumns = Seq("id"), commitMillis = Some(1000L))
+    // scoped merge: most files carried by reference — n_files must
+    // count them, n_rows must still sum carried + own manifest rows
+    Snapshots.merge(spark, dir,
+      spark.range(0, 10).toDF("id").withColumn("v", col("id") + 5000L),
+      key = Seq("id"), statsColumns = Seq("id"), scoped = true)
+    // merge-on-read delete: the manifest count is pre-delete → unknown
+    Snapshots.deleteMergeOnRead(spark, dir, col("id") === 7L, Seq("id"))
+    val h = Snapshots.history(spark, dir).orderBy("version").collect()
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
+    assert(h(0).getAs[Long]("commit_ms") == 1000L)
+    assert(h(0).getAs[Long]("n_files") == 4L)
+    assert(h(0).getAs[Long]("n_rows") == 4000L)
+    // v2 rewrote the touched band and references the rest
+    assert(h(1).getAs[Long]("n_files") >= 4L)
+    assert(h(1).getAs[Long]("n_rows") == 4000L)
+    // v3 carries everything but its manifest count would lie → null
+    assert(h(2).isNullAt(h(2).fieldIndex("n_rows")))
+    assert(!h(2).isNullAt(h(2).fieldIndex("commit_ms")))
+  }
+
   test("bin-pack and deleteRange serialize against racing merges through the OCC loop") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
