@@ -134,6 +134,49 @@ object Corpus {
     * planned as TakeOrderedAndProject (per-partition bounded heaps, at
     * most n rows shuffle); the rank window runs over n rows only.
     */
+  /** TOKEN-budget mixture selection — pretraining mixtures are weighted
+    * in TOKENS, not documents: each listed source gets a budget of
+    * `floor(weight × totalTokens)` tokens, its documents are ordered by
+    * a deterministic md5 draw (`mix:<id>` — layout-independent, stable
+    * as the corpus grows), and the selection is the longest prefix
+    * whose running token sum stays within the budget. Unlisted sources
+    * are excluded (the weights ARE the mixture). Output carries
+    * `(doc_id, source, n_tokens, cum_tokens)` so the consumer can
+    * audit the budget arithmetic. The per-source running sum is a
+    * window over the source partition — fine while any single source's
+    * document count fits a task's sort; a 10⁹-doc source wants the
+    * two-pass sharded prefix sum [[pack]] uses (per-shard subtotals
+    * broadcast back) — same greedy-prefix contract, flat parallelism.
+    */
+  def tokenBudgetMix(
+      docs: DataFrame,
+      weights: Seq[(String, Double)],
+      totalTokens: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    import org.apache.spark.sql.expressions.Window
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val draw = conv(substring(
+      md5(concat(lit("mix:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val win = Window.partitionBy("source").orderBy(col("rnd"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spread(docs)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        size(split(lower(trim(col(textCol))), "\\s+")).cast("long")
+          .as("n_tokens"),
+        draw.as("rnd"))
+      .join(broadcast(weights.toDF("source", "w")), "source")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .filter(col("cum_tokens") <= floor(col("w") * totalTokens))
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
+
   def weightedSample(
       df: DataFrame,
       weightCol: String,

@@ -512,6 +512,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
         .orderBy("doc_id")
     }),
+    "corpus_token_budget_mix" -> ((s, d) => {
+      // token-denominated mixture: src0/src1/src2 at 50/30/20% of a
+      // 2000-token budget, greedy md5-ordered prefix per source — the
+      // budget arithmetic (floor(w·total), cumulative inclusive) is
+      // exactly replayed by the oracle
+      Corpus.tokenBudgetMix(t(s, d, "documents"),
+        weights = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        totalTokens = 2000L)
+        .orderBy("source", "doc_id")
+    }),
     "corpus_mix_sample" -> ((s, d) => {
       // the [[mixMembership]] stage standalone (see builder scaladoc)
       t(s, d, "documents")
@@ -2377,6 +2387,29 @@ object PipelineQueries {
         |FROM sampled GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     // md5-membership recomputed bit-identically (same trick as
     // text_fingerprint / dedup_simhash: 60-bit hex prefix -> BIGINT)
+    // same md5('mix:'||id) draw, inclusive running sum, floor(w·total)
+    // budget — the float product is computed identically in IEEE
+    "corpus_token_budget_mix" ->
+      """WITH wts(source, w) AS (
+        |  VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |t AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(len(string_split_regex(lower(trim(d.text)), '\s+'))
+        |      AS BIGINT) AS n_tokens,
+        |    ('0x' || substring(
+        |      md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS rnd,
+        |    w.w
+        |  FROM documents d JOIN wts w ON d.source = w.source),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens, w,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY rnd, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= floor(w * 2000)
+        |ORDER BY source, doc_id""".stripMargin,
     "corpus_mix_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT

@@ -49,6 +49,37 @@ class CorpusSchedulingSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("tokenBudgetMix: greedy-maximal prefix per source, budget never exceeded, unlisted excluded") {
+    // 8 docs of 10 tokens each across two sources + one unlisted
+    val docs = (0L until 8L).map { i =>
+      val src = if (i < 4) "a" else if (i < 7) "b" else "other"
+      (i, Seq.fill(10)("w").mkString(" "), "en", src, 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // budgets: a → floor(0.5·50)=25 tokens (2 docs), b → floor(0.5·50)=25 (2 docs)
+    val got = Corpus.tokenBudgetMix(docs,
+      weights = Seq("a" -> 0.5, "b" -> 0.5), totalTokens = 50L)
+      .collect()
+    val bySrc = got.groupBy(_.getAs[String]("source"))
+    assert(bySrc.keySet == Set("a", "b"), "unlisted source must be excluded")
+    bySrc.foreach { case (s, rs) =>
+      assert(rs.length == 2, s"$s: 2 docs of 10 tokens fit a 25-token budget")
+      assert(rs.map(_.getAs[Long]("cum_tokens")).max <= 25L)
+    }
+    // greedy-maximal: the selection is the PREFIX of the md5 draw order
+    // (recomputed independently), and one more doc would overflow
+    def draw(id: Long): java.math.BigInteger = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      new java.math.BigInteger(md.take(15), 16)
+    }
+    Seq("a" -> (0L until 4L), "b" -> (4L until 7L)).foreach { case (s, ids) =>
+      val order = ids.sortBy(draw)
+      val want = order.take(2).toSet
+      assert(bySrc(s).map(_.getAs[Long]("doc_id")).toSet == want,
+        s"$s: selection must be the draw-order prefix")
+    }
+  }
+
   test("corpus_cdc_chunk: boundaries re-align after an insertion (the CDC property)") {
     // the same 120-word body, once bare and once with a 5-word prefix
     // insertion: fixed windows would shift every chunk, but CDC
