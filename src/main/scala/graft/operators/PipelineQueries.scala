@@ -742,6 +742,22 @@ object PipelineQueries {
         .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
     }),
+    "text_winnowing" -> ((s, d) => {
+      // MOSS-style winnowing: ~2/(w+1) of 4-gram positions kept with
+      // the ≥ w+k−1-word shared-run detection guarantee
+      TextAnalysis.winnowingFingerprints(t(s, d, "documents"), k = 4, w = 4)
+        .orderBy("doc_id", "pos", "fp")
+    }),
+    "dedup_winnowing" -> ((s, d) => {
+      // fingerprints shared across documents = overlap candidates with
+      // the winnowing guarantee — the thinned alternative to shipping
+      // every shingle into the dedup join
+      TextAnalysis.winnowingFingerprints(t(s, d, "documents"), k = 4, w = 4)
+        .groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("fp")
+    }),
     "dedup_contamination_indexed" -> ((s, d) => {
       // eval-set decontamination as an INDEX PROBE: the persisted
       // inverted index answers "which docs contain these benchmark
@@ -1459,6 +1475,41 @@ object PipelineQueries {
       |    CAST(row_number() OVER (PARTITION BY term
       |      ORDER BY bm25 DESC, doc_id) AS INT) AS rank
       |  FROM scored)""".stripMargin
+
+  /** The shared winnowing CTE chain: occurrence 4-grams → 60-bit md5
+    * hashes → per-window rightmost-minimum selection (`fp0` rows
+    * (doc_id, pos, fp) with duplicates across windows, finished by the
+    * entries' DISTINCT). k = w = 4 pinned to the entries' parameters.
+    */
+  private val winnowingCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CASE WHEN len(ts) >= 4
+      |    THEN [array_to_string(ts[i:i+3], ' ')
+      |          for i in generate_series(1, len(ts) - 3)]
+      |    ELSE [] END AS grams
+      |  FROM toks),
+      |h AS (
+      |  SELECT doc_id,
+      |    [('0x' || substring(md5(gr), 1, 15))::BIGINT for gr in grams]
+      |      AS hs
+      |  FROM g WHERE len(grams) >= 1),
+      |p AS (
+      |  SELECT doc_id, hs, len(hs) AS m, LEAST(4, len(hs)) AS wl
+      |  FROM h),
+      |wins AS (
+      |  SELECT doc_id, hs, wl,
+      |    unnest(generate_series(1, GREATEST(m - wl + 1, 1))) AS j
+      |  FROM p),
+      |fp0 AS (
+      |  SELECT doc_id,
+      |    CAST(j + (wl - list_position(list_reverse(hs[j:j+wl-1]),
+      |      list_min(hs[j:j+wl-1]))) AS INT) AS pos,
+      |    list_min(hs[j:j+wl-1]) AS fp
+      |  FROM wins)""".stripMargin
 
   /** One BM25 oracle serves text_bm25_topk AND the persisted/
     * incremental/streaming index entries: the index is a physical
@@ -2487,6 +2538,18 @@ object PipelineQueries {
     // postings are token occurrences: term membership over the same
     // tokenizer is exact on both sides; the absent needle contributes
     // no rows
+    // occurrence 4-grams (docs under k words yield none), 60-bit md5
+    // hashes, rightmost window minimum via reversed list_position —
+    // the identical selection rule as the Spark array fold
+    "text_winnowing" -> (winnowingCte +
+      "\nSELECT DISTINCT doc_id, pos, fp FROM fp0" +
+      "\nORDER BY doc_id, pos, fp"),
+    "dedup_winnowing" -> (winnowingCte +
+      """
+        |, sel AS (SELECT DISTINCT doc_id, pos, fp FROM fp0)
+        |SELECT fp, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM sel GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY fp""".stripMargin),
     // same 3-gram construction as text_common_spans' 8-gram oracle
     // (distinct per doc, whole-text gram for short docs); needles =
     // the top-2 spans by doc count under the same collation

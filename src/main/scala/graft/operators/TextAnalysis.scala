@@ -458,6 +458,51 @@ object TextAnalysis {
     } finally posts.unpersist()
   }
 
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken's local-minimum
+    * selection — the MOSS primitive): hash every word `k`-gram
+    * occurrence, slide a `w`-gram window, and keep each window's
+    * RIGHTMOST minimal hash with its position; distinct survivors are
+    * the document's fingerprint set. The guarantee the thinning buys:
+    * any shared word run of at least `w + k - 1` words between two
+    * documents shares at least one selected fingerprint, while only
+    * ~2/(w+1) of positions are kept — O(1/w) of the full shingle set
+    * shuffles into any downstream join. Documents shorter than `k`
+    * words yield no fingerprints (no detectable match exists at that
+    * granularity). Pure narrow array algebra per document — the gram
+    * array from the codegen'd kernel, one slice/min/position fold per
+    * window — no shuffle until a consumer aggregates.
+    */
+  def winnowingFingerprints(
+      docs: DataFrame,
+      k: Int = 4,
+      w: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(w >= 2, s"w must be >= 2, got $w")
+    val hashed = Corpus.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        transform(
+          graft.functions.TextShingles.wordNgramsAll(col(textCol), k),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+          .as("h"))
+      .filter(size(col("h")) >= 1)
+    val n = size(col("h"))
+    val wlen = least(lit(w), n)
+    val fps = array_distinct(transform(
+      sequence(lit(1), greatest(n - wlen + 1, lit(1))), j => {
+        val s = slice(col("h"), j, wlen)
+        val mn = array_min(s)
+        struct(
+          (j + (wlen - array_position(reverse(s), mn))).cast("int")
+            .as("pos"),
+          mn.as("fp"))
+      }))
+    hashed
+      .select(col("doc_id"), explode(fps).as("sel"))
+      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+  }
+
   /** PHRASE-granular membership index: `(term = n-word gram, doc_id)`
     * posting rows, hidden-bucketed on the gram exactly like
     * [[buildTextIndex]]'s term postings — the index behind phrase-level

@@ -23,6 +23,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L) == ((3L, 8L)))
   }
 
+  test("winnowing: selection matches a plain-Scala reimplementation; shared runs share a fingerprint") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def reference(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val ws = text.trim.toLowerCase.split("\\s+")
+      if (ws.length < k) Set.empty
+      else {
+        val hs = (0 to ws.length - k).map(i =>
+          java.lang.Long.parseLong(
+            md5hex(ws.slice(i, i + k).mkString(" ")).take(15), 16))
+        val wl = math.min(w, hs.length)
+        (0 to hs.length - wl).flatMap { j =>
+          val win = hs.slice(j, j + wl)
+          val mn = win.min
+          // rightmost minimum, 1-based position
+          Some((j + win.lastIndexOf(mn) + 1, mn))
+        }.toSet
+      }
+    }
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docA = s"one two $shared three four"
+    val docB = s"nine ten eleven $shared twelve"
+    val df = Seq((1L, docA), (2L, docB), (3L, "too short"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.winnowingFingerprints(df, k = 4, w = 4).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[Int]("pos"), r.getAs[Long]("fp"))).toSet).toMap
+    assert(got(1L) == reference(docA, 4, 4))
+    assert(got(2L) == reference(docB, 4, 4))
+    assert(!got.contains(3L), "docs under k words yield no fingerprints")
+    // the winnowing guarantee: an 8-word shared run (≥ w+k−1 = 7)
+    // forces at least one common fingerprint VALUE
+    val common = got(1L).map(_._2).intersect(got(2L).map(_._2))
+    assert(common.nonEmpty, "shared run must share a fingerprint")
+  }
+
   test("repetition signals on hand-checked strings") {
     val df = Seq(
       (1L, "a a b"),     // dup 1/3, top 2/3, bigrams {a a, a b} distinct -> 0
