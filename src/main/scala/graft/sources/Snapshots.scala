@@ -266,9 +266,31 @@ object Snapshots {
       if (leafRows.columns.contains("n_rows"))
         Seq(sum(col("n_rows")).as("n_rows"))
       else Nil
+    // per-leaf bloom UNION rides the root too: membership has no
+    // envelope, so without this a point probe reads EVERY leaf; the
+    // OR-union of a leaf's file sketches answers "can this leaf hold
+    // the value" at the same O(leaves) root scan that prunes ranges.
+    // All sketches share the layer's fixed (items, bits) parameters —
+    // mergeInPlace throws loudly if that invariant is ever broken.
+    val bloomCols = leafRows.columns.filter(_.startsWith("bloom_")).toSeq
+    val bloomUnion = udf((bs: Seq[Array[Byte]]) => {
+      val nonNull = bs.filter(_ != null)
+      if (nonNull.isEmpty) null
+      else {
+        val acc = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(nonNull.head))
+        nonNull.tail.foreach(b => acc.mergeInPlace(
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(b))))
+        val out = new java.io.ByteArrayOutputStream()
+        acc.writeTo(out)
+        out.toByteArray
+      }
+    })
     val aggs = (count(lit(1)).as("n_files") +: rowSum) ++
       envelopes.toSeq.flatMap(c =>
-        Seq(min(col(s"min_$c")).as(s"lo_$c"), max(col(s"max_$c")).as(s"hi_$c")))
+        Seq(min(col(s"min_$c")).as(s"lo_$c"), max(col(s"max_$c")).as(s"hi_$c"))) ++
+      bloomCols.map(c => bloomUnion(collect_list(col(c))).as(c))
     leafRows.groupBy(col("mfile")).agg(aggs.head, aggs.tail: _*)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_root")
   }
@@ -1288,9 +1310,6 @@ object Snapshots {
       colName: String,
       value: Any): DataFrame = {
     val snapDir = s"$tableDir/snap-$v"
-    val m = manifestLeaves(spark, snapDir, _ => None)
-    require(m.columns.contains(s"bloom_$colName"),
-      s"version $v of $tableDir has no bloom sketch for $colName")
     // xxhash64 is TYPE-sensitive: the probe literal must hash as the
     // same type the sketch was built over, or every lookup would be a
     // silent false negative — cast to the column's actual type first
@@ -1308,6 +1327,15 @@ object Snapshots {
       // a null sketch means a zero-row file: nothing to contain
       sketch != null &&
         graft.functions.BloomFunctions.mightContainSerialized(sketch, hashed))
+    // leaf-granularity pruning first: the root's per-leaf bloom UNION
+    // rules out whole manifest leaves before any leaf row is read —
+    // the membership complement of the range probes' lo_/hi_ envelopes
+    // (older roots without the column read every leaf, still correct)
+    val m = manifestLeaves(spark, snapDir, root =>
+      if (!root.columns.contains(s"bloom_$colName")) None
+      else Some(probe(col(s"bloom_$colName"))))
+    require(m.columns.contains(s"bloom_$colName"),
+      s"version $v of $tableDir has no bloom sketch for $colName")
     m.filter(probe(col(s"bloom_$colName")))
   }
 

@@ -142,6 +142,49 @@ class ManifestFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("root bloom union prunes whole manifest leaves for point probes") {
+    val dir = Files.createTempDirectory("graft-mfi-bloom").toString
+    spark.conf.set(Snapshots.ManifestRowsPerLeafConf, "8")
+    try {
+      // 64 id-clustered files, bloom on the UNclustered v column whose
+      // values correlate with the clustering (v = id * 2) — each leaf's
+      // union bloom holds ~800 distinct v values of the 12800 domain
+      val data = spark.range(0, 6400).toDF("id")
+        .withColumn("v", col("id") * 2)
+        .repartitionByRange(64, col("id"))
+        .sortWithinPartitions("id")
+      val ver = Snapshots.commit(spark, data, dir,
+        statsColumns = Seq("id"), bloomColumns = Seq("v"))
+      val snapDir = s"$dir/snap-$ver"
+      val root = spark.read.parquet(s"$snapDir/_manifest/_root")
+      assert(root.columns.contains("bloom_v"), root.columns.mkString(","))
+      assert(root.count() == 8L)
+
+      // driver-side replay of the root probe: exactly the leaves whose
+      // union MAY contain the value survive — far fewer than all 8
+      val hashed = spark.range(1)
+        .select(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit(700L))).head().getLong(0)
+      val surviving = root.collect().count { r =>
+        val b = r.getAs[Array[Byte]]("bloom_v")
+        b != null && graft.functions.BloomFunctions
+          .mightContainSerialized(b, hashed)
+      }
+      assert(surviving >= 1 && surviving < 8,
+        s"$surviving of 8 leaves survive the root bloom probe")
+
+      // the full probe stays exact and selects few data files
+      val (files, total) = Snapshots.selectFilesPoint(spark, dir, ver, "v", 700L)
+      assert(files.nonEmpty && files.length < total,
+        s"${files.length} of $total")
+      val got = Snapshots.readPoint(spark, dir, "v", 700L).collect()
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((350L, 700L)))
+      // absent value: zero files selected (modulo bloom false positives
+      // at this density: none for this domain), zero rows read
+      assert(Snapshots.readPoint(spark, dir, "v", 701L).count() == 0L)
+    } finally spark.conf.unset(Snapshots.ManifestRowsPerLeafConf)
+  }
+
   test("single-leaf tables keep the flat layout and root totals agree") {
     val dir = Files.createTempDirectory("graft-mfi-flat").toString
     val data = spark.range(0, 800).toDF("id")
