@@ -76,6 +76,9 @@ object Sinks {
   private lazy val snapshotRestoreDir: String = scratch("graft-snapshot-restore")
   private lazy val snapshotSpecEvoDir: String = scratch("graft-snapshot-specevo")
   private lazy val snapshotBranchDir: String = scratch("graft-snapshot-branch")
+  private lazy val snapshotRenameDir: String = scratch("graft-snapshot-rename")
+  private lazy val cloneSrcDir: String = scratch("graft-snapshot-clone-src")
+  private lazy val cloneDstDir: String = scratch("graft-snapshot-clone-dst")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -1042,6 +1045,70 @@ object Sinks {
     after.unionByName(mainBefore).orderBy("state", "doc_id")
   }
 
+  /** RENAME WITHOUT REWRITE end-to-end: docs < 300 commit range-
+    * clustered with doc_id stats, then TWO metadata-only renames
+    * (doc_id→doc, n_chars→char_count — zero data files rewritten, the
+    * Iceberg field-id contract [[Snapshots.renameColumn]] reproduces
+    * with a name map), then a SCOPED merge keyed by the NEW name
+    * upserts 200-449 (+1000) — the write path accepts logical names
+    * and normalizes the staged files back to the immutable physical
+    * schema. The output is a manifest-PRUNED range read probed by the
+    * renamed column, so a hash match certifies the whole loop: rename
+    * is invisible to values, pruning translates logical→physical, and
+    * post-rename writes land consistently. RenameCloneSpec pins the
+    * physical claims (no rewrite, physical footers, pruning file
+    * counts, restore/time-travel name semantics).
+    */
+  private def snapshotRename(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotRenameDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s,
+      docs.filter(col("doc_id") < 300)
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+      snapshotRenameDir, statsColumns = Seq("doc_id"))
+    Snapshots.renameColumn(s, snapshotRenameDir, "doc_id", "doc")
+    Snapshots.renameColumn(s, snapshotRenameDir, "n_chars", "char_count")
+    Snapshots.merge(s, snapshotRenameDir,
+      docs.filter(col("doc_id").between(200, 449))
+        .select(col("doc_id").as("doc"), col("lang"),
+          (col("n_chars") + 1000).as("char_count")),
+      Seq("doc"), statsColumns = Seq("doc"), scoped = true)
+    Snapshots.readRange(s, snapshotRenameDir, "doc", 100L, 400L)
+      .orderBy("doc")
+  }
+
+  /** SHALLOW CLONE end-to-end: docs < 400 commit range-clustered in the
+    * SOURCE table, [[Snapshots.cloneTable]] publishes the clone as a
+    * zero-copy absolute-reference commit (O(manifest), no data bytes
+    * moved), then the clone DIVERGES via a scoped merge (+1000 on
+    * 250-499) that rewrites only the touched shared files — untouched
+    * source files keep backing the clone by reference. The output
+    * unions a manifest-pruned range read of the DIVERGED clone with the
+    * source's (unchanged) full state, so a hash match certifies clone
+    * reads, carried-manifest pruning through absolute references,
+    * divergence, and source isolation at once. RenameCloneSpec pins the
+    * physics (zero copied files, pruning counts, GC isolation).
+    */
+  private def snapshotClone(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, cloneSrcDir)
+    clearDir(s, cloneDstDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s,
+      docs.filter(col("doc_id") < 400)
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+      cloneSrcDir, statsColumns = Seq("doc_id"))
+    Snapshots.cloneTable(s, cloneSrcDir, cloneDstDir)
+    Snapshots.merge(s, cloneDstDir,
+      docs.filter(col("doc_id").between(250, 499))
+        .withColumn("n_chars", col("n_chars") + 1000),
+      Seq("doc_id"), statsColumns = Seq("doc_id"), scoped = true)
+    val clone = Snapshots.readRange(s, cloneDstDir, "doc_id", 200L, 460L)
+      .withColumn("side", lit("clone"))
+    val source = Snapshots.read(s, cloneSrcDir)
+      .withColumn("side", lit("source"))
+    clone.unionByName(source).orderBy("side", "doc_id")
+  }
+
   /** DESCRIBE HISTORY: three commits with injected commit timestamps,
     * then the metadata-only audit view — version, commit instant, file
     * count (own + referenced), and the manifest's row count, none of
@@ -1200,6 +1267,8 @@ object Sinks {
     "q_snapshot_mor_delete" -> (snapshotMorDelete _),
     "q_snapshot_mor_upsert" -> (snapshotMorUpsert _),
     "q_snapshot_restore" -> (snapshotRestore _),
+    "q_snapshot_rename" -> (snapshotRename _),
+    "q_snapshot_clone" -> (snapshotClone _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
     "q_snapshot_timetravel" -> (snapshotTimeTravel _),
@@ -1355,6 +1424,30 @@ object Sinks {
     "q_snapshot_restore" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    // the renamed columns replayed as aliases over the source: rename
+    // must be invisible to values, visible only in names
+    "q_snapshot_rename" ->
+      """SELECT doc_id AS doc, lang,
+        |  CASE WHEN doc_id BETWEEN 200 AND 449 THEN n_chars + 1000
+        |       ELSE n_chars END AS char_count
+        |FROM documents WHERE doc_id BETWEEN 100 AND 400
+        |ORDER BY doc""".stripMargin,
+    // clone side = source rows with the clone's divergent upsert
+    // applied; source side = the original commit untouched
+    "q_snapshot_clone" ->
+      """WITH clone AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id BETWEEN 250 AND 499 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars,
+        |    'clone' AS side
+        |  FROM documents WHERE doc_id BETWEEN 200 AND 460),
+        |src AS (
+        |  SELECT doc_id, lang, n_chars, 'source' AS side
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, lang, n_chars, side FROM clone
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, side FROM src
+        |ORDER BY side, doc_id""".stripMargin,
     // same oracle as q_snapshot_merge: copy-on-write and merge-on-read
     // MERGE must be logically indistinguishable
     "q_snapshot_mor_upsert" ->

@@ -380,11 +380,128 @@ object Snapshots {
 
   /** Resolve a manifest `file` entry to a full path: bare names are the
     * snapshot's own files, slashed paths are table-root-relative
-    * references into earlier snapshots.
+    * references into earlier snapshots, and absolute paths (URI or
+    * rooted — written by [[cloneTable]]) pass through verbatim.
     */
   private def resolveDataPath(
       tableDir: String, snapDir: String, f: String): String =
-    if (f.contains("/")) s"$tableDir/$f" else s"$snapDir/$f"
+    if (f.contains("/")) absoluteDataPath(tableDir, f) else s"$snapDir/$f"
+
+  /** A slashed reference resolved against the table root — unless it is
+    * already absolute (a [[cloneTable]] reference into another table's
+    * files), in which case it is used verbatim.
+    */
+  private def absoluteDataPath(tableDir: String, f: String): String =
+    if (f.startsWith("/") || f.contains(":/")) f else s"$tableDir/$f"
+
+  // ------------------------- column mapping -------------------------
+  //
+  // RENAME WITHOUT REWRITE (Iceberg's field-id indirection, spelled
+  // with names instead of ids): data files and manifest statistics
+  // always carry a column's ORIGINAL (physical) name — immutable once
+  // first committed — while readers see the current LOGICAL names
+  // through a `_column_map` sidecar (pos, logical, physical) that every
+  // commit republishes, like expectations. A rename is therefore a
+  // metadata-only commit that carries every data file by reference and
+  // rewrites nothing — O(manifest) on a 100 TB table, where a
+  // rewrite-based rename would never be run. Write paths accept logical
+  // names and NORMALIZE them back to physical before staging (the
+  // physical schema of a table's files never forks), and probe APIs
+  // (readRange/readPoint/readPartitionedIn/tableStats/...) accept
+  // logical names and translate them before consulting the manifest's
+  // physical stats columns. Reference behavior studied:
+  // /root/reference has no schema evolution at all (tables are
+  // immutable CSV loads, src/table.rs); this is the §2-extension layer.
+
+  private val ColumnMapName = "_column_map"
+
+  /** The raw `_column_map` sidecar of a snapshot, if present. */
+  private def columnMapDfAt(
+      spark: SparkSession, snapDir: String): Option[DataFrame] = {
+    val p = new Path(s"$snapDir/$ColumnMapName")
+    if (!fc(spark).util().exists(p)) None
+    else Some(spark.read.parquet(p.toString))
+  }
+
+  /** The ordered (logical, physical) pairs a snapshot publishes; None
+    * when the table has never been renamed (logical == physical
+    * everywhere).
+    */
+  private def columnMapPairs(
+      spark: SparkSession, snapDir: String): Option[Seq[(String, String)]] =
+    columnMapDfAt(spark, snapDir).map(_.orderBy("pos")
+      .select("logical", "physical").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq)
+
+  private def mapAt(
+      spark: SparkSession,
+      tableDir: String,
+      v: Long): Option[Seq[(String, String)]] =
+    if (v < 1) None else columnMapPairs(spark, s"$tableDir/snap-$v")
+
+  private def columnMapDf(
+      spark: SparkSession, pairs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    pairs.zipWithIndex.map { case ((lg, ph), i) => (i, lg, ph) }
+      .toDF("pos", "logical", "physical").coalesce(1)
+  }
+
+  /** Present a physical-named frame under its logical names.
+    * Order-preserving (columns keep the frame's order; unmapped columns
+    * — feed markers, provenance columns, schema-evolution additions —
+    * pass through untouched) and ATOMIC (one select), so even a
+    * swap-chain map (y→x published after an earlier x→y) resolves
+    * correctly where sequential per-column renames would collide.
+    */
+  private def mapLogical(
+      df: DataFrame, pairs: Option[Seq[(String, String)]]): DataFrame =
+    pairs.filter(_.exists(p => p._1 != p._2)).fold(df) { ps =>
+      val byPhys = ps.map { case (lg, ph) => ph -> lg }.toMap
+      df.select(df.columns.map(c =>
+        byPhys.get(c).filter(_ != c).map(lg => col(c).as(lg))
+          .getOrElse(col(c))).toIndexedSeq: _*)
+    }
+
+  /** Normalize a logical-named frame back to physical names before it
+    * is staged — the write half of the mapping contract. The staging
+    * convention keeps this total: every frame reaching stage() is
+    * LOGICAL-named (occLoop hands out mapped reads; internal raw file
+    * scans are [[mapLogical]]'d first), except pure-reference staging,
+    * which passes raw physical frames and skips this entirely. A frame
+    * with no renamed logical name present (unmapped columns only) is a
+    * no-op; one that also carries a physical-only name — possible only
+    * if a caller breaks the convention by mixing spaces — is refused
+    * loudly rather than mis-renamed.
+    */
+  private def unmapToPhysical(
+      df: DataFrame, pairs: Option[Seq[(String, String)]]): DataFrame =
+    pairs.filter(_.exists(p => p._1 != p._2)).fold(df) { ps =>
+      val renames = ps.filter(p => p._1 != p._2)
+      val logicalSet = renames.map(_._1).toSet
+      // physical names that are not ALSO logical names (a swap chain
+      // reuses freed names, so the sets can overlap)
+      val physOnly = renames.map(_._2).toSet -- logicalSet
+      if (!df.columns.exists(logicalSet)) df
+      else {
+        val mixed = df.columns.filter(physOnly)
+        require(mixed.isEmpty,
+          "frame mixes logical and physical names of renamed columns " +
+            s"(physical: ${mixed.mkString(", ")}) — ambiguous write")
+        val byLogical = renames.toMap
+        val out = df.columns.map(c => byLogical.getOrElse(c, c))
+        require(out.distinct.length == out.length,
+          s"normalizing logical names to physical would collide: ${out.mkString(", ")}")
+        df.select(df.columns.zip(out).map { case (c, o) =>
+          if (c == o) col(c) else col(c).as(o) }.toIndexedSeq: _*)
+      }
+    }
+
+  /** The physical name behind a (possibly renamed) logical column;
+    * unmapped names are their own physical name.
+    */
+  private def physicalOf(
+      pairs: Option[Seq[(String, String)]], name: String): String =
+    pairs.flatMap(_.find(_._1 == name)).map(_._2).getOrElse(name)
 
   /** Plan a scan over exactly the files a manifest selection kept: the
     * survivors — path plus committed `size_bytes` — are collected into
@@ -442,7 +559,12 @@ object Snapshots {
       // rows would project carried columns away) and skips the
       // spec-clustering repartition (which would fan an empty frame into
       // shuffle-partition-count empty files, one per task)
-      pureReference: Boolean = false)
+      pureReference: Boolean = false,
+      // the `_column_map` this snapshot publishes (rename-without-
+      // rewrite). None on OCC paths means "inherit the base version's
+      // map" ([[commitIfVersionWith]]); [[renameColumn]]/[[restore]]/
+      // [[cloneTable]] set it explicitly.
+      columnMap: Option[DataFrame] = None)
 
   /** A write whose staged rows violate a table expectation. The staging
     * directory is already cleaned up when this reaches the caller — a
@@ -508,16 +630,32 @@ object Snapshots {
     */
   private def stage(
       spark: SparkSession,
-      df: DataFrame,
+      df0: DataFrame,
       tableDir: String,
-      statsColumns: Seq[String],
-      bloomColumns: Seq[String],
+      statsColumns0: Seq[String],
+      bloomColumns0: Seq[String],
       sidecars: Sidecars,
       expectations: Seq[(String, String)] = Nil,
       commitMillis: Option[Long] = None,
       partitionSpec: Seq[Transform] = Nil,
       allSpecs: Seq[(Int, Seq[Transform])] = Nil,
       currentSpecId: Int = 0): Path = {
+    // rename-without-rewrite normalization: the staged rows, the keyed
+    // delete sidecar, and the change feed all land under PHYSICAL
+    // column names (the immutable on-disk schema), whatever logical
+    // names the caller's frames carry; stats/bloom configs are
+    // likewise accepted as logical names and translated — pre-rename
+    // tables have an empty map and every translation is the identity
+    val mapPairs = sidecars.columnMap.map(_.orderBy("pos")
+      .select("logical", "physical").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq)
+    // pure-reference frames are raw PHYSICAL by convention (their empty
+    // marker file must carry the on-disk schema verbatim); everything
+    // else arrives logical and is normalized here
+    val df =
+      if (sidecars.pureReference) df0 else unmapToPhysical(df0, mapPairs)
+    val statsColumns = statsColumns0.map(physicalOf(mapPairs, _))
+    val bloomColumns = bloomColumns0.map(physicalOf(mapPairs, _))
     // the spec set this version publishes: every spec any carried file
     // was written under plus the current one ([[evolvePartitionSpec]]);
     // the common single-spec case derives it from `partitionSpec`
@@ -584,7 +722,21 @@ object Snapshots {
       val checks = expectations.map { case (n, e) =>
         sum(when(coalesce(expr(e), lit(true)) === false, 1L).otherwise(0L)).as(n)
       }
-      val row = spark.read.parquet(stageDir).agg(checks.head, checks.tail: _*).head()
+      // the check view carries BOTH name spaces of a renamed column —
+      // expectations declared before the rename resolve the physical
+      // name, ones declared after resolve the logical alias. A logical
+      // name shadowed by another column's physical name (swap chains)
+      // keeps the physical meaning — deterministic, and the rare case
+      // where re-declaring the expectation is the honest fix.
+      val stagedData = spark.read.parquet(stageDir)
+      val aliasable = mapPairs.getOrElse(Nil).filter { case (lg, ph) =>
+        lg != ph && !stagedData.columns.contains(lg) &&
+          stagedData.columns.contains(ph)
+      }
+      val checkView = stagedData.select(
+        (stagedData.columns.map(col).toSeq ++
+          aliasable.map { case (lg, ph) => col(ph).as(lg) }): _*)
+      val row = checkView.agg(checks.head, checks.tail: _*).head()
       val failed = expectations.indices.map { i =>
         expectations(i)._1 -> (if (row.isNullAt(i)) 0L else row.getLong(i))
       }.filter(_._2 > 0)
@@ -691,15 +843,22 @@ object Snapshots {
           s"statsColumns (carried manifest columns: ${c.columns.mkString(", ")})")
       writeManifest(spark, c, stageDir)
     }
+    // the column map this snapshot publishes (rename-without-rewrite):
+    // tiny, rides the same atomic claim as everything else
+    sidecars.columnMap.foreach(_.coalesce(1)
+      .write.mode("overwrite").parquet(s"$stageDir/$ColumnMapName"))
     // write-time CDF: the change rows this commit applies, published by
     // the same atomic claim as the data (underscore dir → hidden from
-    // data scans), so feed and snapshot can never disagree
-    sidecars.changes.foreach(
+    // data scans), so feed and snapshot can never disagree. Stored
+    // under PHYSICAL names like the data — [[changesFeed]] presents
+    // them under the current logical names.
+    sidecars.changes.map(unmapToPhysical(_, mapPairs)).foreach(
       _.write.mode("overwrite").parquet(s"$stageDir/_changes"))
-    // merge-on-read delete set: key rows readers must anti-join away.
+    // merge-on-read delete set: key rows readers must anti-join away
+    // (physical names — the anti-join runs against raw file scans).
     // Deliberately NOT coalesced — a 100 TB table's delete batch can be
     // executor-sized even when the commit writes no data files.
-    sidecars.morDeletes.foreach(
+    sidecars.morDeletes.map(unmapToPhysical(_, mapPairs)).foreach(
       _.write.mode("overwrite").parquet(s"$stageDir/_mor_deletes"))
     // positional delete set: (file, idx) coordinates of superseded base
     // rows — the deletion-vector form that stays correct under
@@ -797,11 +956,17 @@ object Snapshots {
     // declarations replacing old ones and fresh names appended; the
     // staged snapshot both ENFORCES and RE-PUBLISHES the list, so the
     // invariants follow the table through every subsequent commit
-    val inherited = loadExpectations(spark, ctx, tableDir, version(spark, tableDir))
+    val curV = version(spark, tableDir)
+    val inherited = loadExpectations(spark, ctx, tableDir, curV)
     val eff = inherited.filterNot(e =>
       addExpectations.exists(_._1 == e._1)) ++ addExpectations
+    // the column map is table metadata like expectations: a plain
+    // commit re-publishes the current version's map (and normalizes
+    // its own rows through it)
+    val cmap =
+      if (curV < 1) None else columnMapDfAt(spark, s"$tableDir/snap-$curV")
     val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
-      Sidecars(), eff, commitMillis, partitionSpec)
+      Sidecars(columnMap = cmap), eff, commitMillis, partitionSpec)
     // claim: atomic no-overwrite rename — the commit point. Plain
     // commit publishes a FULL table state, so any free version is
     // acceptable and losers simply move to the next one; use
@@ -852,9 +1017,15 @@ object Snapshots {
     // OCC writes enforce and carry forward the BASE version's
     // expectations — the base is pinned, so the list cannot drift
     // between check and claim (a lost claim re-derives from the new
-    // base and re-checks against ITS expectations)
+    // base and re-checks against ITS expectations). The base's column
+    // map rides forward the same way unless the caller publishes a new
+    // one ([[renameColumn]]/[[restore]]).
+    val eff =
+      if (sidecars.columnMap.nonEmpty || expectedBase < 1) sidecars
+      else sidecars.copy(columnMap =
+        columnMapDfAt(spark, s"$tableDir/snap-$expectedBase"))
     val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
-      sidecars, loadExpectations(spark, ctx, tableDir, expectedBase),
+      eff, loadExpectations(spark, ctx, tableDir, expectedBase),
       partitionSpec = spec, allSpecs = allSpecs, currentSpecId = currentSpecId)
     val v = expectedBase + 1
     if (tryClaim(ctx, staged, new Path(tableDir, s"snap-$v"))) {
@@ -930,7 +1101,18 @@ object Snapshots {
     * costs one file-count-sized parquet read at planning time, the
     * manifest-resolution cost every real format pays.
     */
-  def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
+  def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame =
+    // rename-without-rewrite: the assembled physical-named frame is
+    // presented under the version's logical names
+    mapLogical(readVersionRaw(spark, tableDir, v), mapAt(spark, tableDir, v))
+
+  /** [[readVersion]] under PHYSICAL column names (delete sidecars
+    * applied, column map not): the frame internal write paths rebuild
+    * raw files against, and the authority for a version's physical
+    * schema.
+    */
+  private def readVersionRaw(
+      spark: SparkSession, tableDir: String, v: Long): DataFrame = {
     require(v >= 1, s"no committed snapshot (version $v) in $tableDir")
     val snapDir = s"$tableDir/snap-$v"
     val ctx = fc(spark)
@@ -965,7 +1147,7 @@ object Snapshots {
     val reused =
       if (!ctx.util().exists(new Path(s"$snapDir/_refs"))) Nil
       else spark.read.parquet(s"$snapDir/_refs")
-        .collect().map(r => s"$tableDir/${r.getString(0)}").toSeq
+        .collect().map(r => absoluteDataPath(tableDir, r.getString(0))).toSeq
     own ++ reused
   }
 
@@ -1127,8 +1309,9 @@ object Snapshots {
       lower: Any,
       upper: Any): (Seq[String], Long) = {
     val snapDir = s"$tableDir/snap-$v"
+    val ph = physicalOf(mapAt(spark, tableDir, v), colName)
     val total = manifestTotal(spark, snapDir)
-    val sel = rangeSelection(spark, snapDir, colName, lower, upper)
+    val sel = rangeSelection(spark, snapDir, ph, lower, upper)
       .select("file").collect()
       .map(r => resolveDataPath(tableDir, snapDir, r.getString(0))).toSeq
     (sel, total)
@@ -1166,12 +1349,15 @@ object Snapshots {
     val ver = if (v >= 1) v else version(spark, tableDir)
     require(ver >= 1, s"no committed snapshot in $tableDir")
     val snapDir = s"$tableDir/snap-$ver"
+    val pairs = mapAt(spark, tableDir, ver)
+    val ph = physicalOf(pairs, colName)
     val residual = col(colName).between(lit(lower), lit(upper))
     if (!fc(spark).util().exists(new Path(manifestDir(snapDir))))
       readVersion(spark, tableDir, ver).filter(residual)
     else prunedScan(spark, tableDir, snapDir,
-        rangeSelection(spark, snapDir, colName, lower, upper))
-      .map(raw => applyDeleteSidecars(spark, snapDir, raw).filter(residual))
+        rangeSelection(spark, snapDir, ph, lower, upper))
+      .map(raw => mapLogical(applyDeleteSidecars(spark, snapDir, raw), pairs)
+        .filter(residual))
       .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
   }
 
@@ -1194,21 +1380,25 @@ object Snapshots {
     val ver = if (v >= 1) v else version(spark, tableDir)
     require(ver >= 1, s"no committed snapshot in $tableDir")
     val snapDir = s"$tableDir/snap-$ver"
+    val pairs = mapAt(spark, tableDir, ver)
+    val phRanges = ranges.map { case (c, lo, hi) =>
+      (physicalOf(pairs, c), lo, hi) }
     val residual = ranges
       .map { case (c, lo, hi) => col(c).between(lit(lo), lit(hi)) }
       .reduce(_ && _)
     if (!fc(spark).util().exists(new Path(manifestDir(snapDir))))
       readVersion(spark, tableDir, ver).filter(residual)
     else {
-      val rootKeep = (root: DataFrame) => ranges.flatMap {
+      val rootKeep = (root: DataFrame) => phRanges.flatMap {
         case (c, lo, hi) => rangeRootKeep(c, lo, hi)(root)
       }.reduceOption(_ && _)
-      val rowKeep = ranges.map { case (c, lo, hi) =>
+      val rowKeep = phRanges.map { case (c, lo, hi) =>
         col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
       }.reduce(_ && _)
       prunedScan(spark, tableDir, snapDir,
         manifestLeaves(spark, snapDir, rootKeep).filter(rowKeep))
-        .map(raw => applyDeleteSidecars(spark, snapDir, raw).filter(residual))
+        .map(raw => mapLogical(applyDeleteSidecars(spark, snapDir, raw), pairs)
+          .filter(residual))
         .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
     }
   }
@@ -1235,6 +1425,10 @@ object Snapshots {
     require(ver >= 1, s"no committed snapshot in $tableDir")
     val snapDir = s"$tableDir/snap-$ver"
     val ctx = fc(spark)
+    // probes arrive as logical names; manifest stats live under
+    // physical names; output columns use the names the caller passed
+    val pairs = mapAt(spark, tableDir, ver)
+    val phOf = cols.map(c => c -> physicalOf(pairs, c)).toMap
     def scanAgg(): DataFrame = {
       val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
@@ -1252,23 +1446,23 @@ object Snapshots {
         else Some(spark.read.parquet(rootP.toString))
       val fromRoot = root.filter(r =>
         r.columns.contains("n_rows") &&
-          cols.forall(c => r.columns.contains(s"lo_$c") &&
-            r.columns.contains(s"hi_$c")))
+          cols.forall(c => r.columns.contains(s"lo_${phOf(c)}") &&
+            r.columns.contains(s"hi_${phOf(c)}")))
         .map { r =>
           val aggs = sum("n_rows").as("n_rows") +: cols.flatMap(c =>
-            Seq(min(col(s"lo_$c")).as(s"min_$c"),
-              max(col(s"hi_$c")).as(s"max_$c")))
+            Seq(min(col(s"lo_${phOf(c)}")).as(s"min_$c"),
+              max(col(s"hi_${phOf(c)}")).as(s"max_$c")))
           r.agg(aggs.head, aggs.tail: _*)
         }
       fromRoot.getOrElse {
         val m = spark.read.parquet(manifestDir(snapDir))
-        if (!cols.forall(c => m.columns.contains(s"min_$c") &&
-            m.columns.contains(s"max_$c")))
+        if (!cols.forall(c => m.columns.contains(s"min_${phOf(c)}") &&
+            m.columns.contains(s"max_${phOf(c)}")))
           scanAgg()
         else {
           val aggs = sum("n_rows").as("n_rows") +: cols.flatMap(c =>
-            Seq(min(col(s"min_$c")).as(s"min_$c"),
-              max(col(s"max_$c")).as(s"max_$c")))
+            Seq(min(col(s"min_${phOf(c)}")).as(s"min_$c"),
+              max(col(s"max_${phOf(c)}")).as(s"max_$c")))
           m.agg(aggs.head, aggs.tail: _*)
         }
       }
@@ -1291,8 +1485,9 @@ object Snapshots {
       colName: String,
       value: Any): (Seq[String], Long) = {
     val snapDir = s"$tableDir/snap-$v"
+    val ph = physicalOf(mapAt(spark, tableDir, v), colName)
     val total = manifestTotal(spark, snapDir)
-    val sel = pointSelection(spark, tableDir, v, colName, value)
+    val sel = pointSelection(spark, tableDir, v, ph, value)
       .select("file").collect()
       .map(r => resolveDataPath(tableDir, snapDir, r.getString(0))).toSeq
     (sel, total)
@@ -1312,8 +1507,10 @@ object Snapshots {
     val snapDir = s"$tableDir/snap-$v"
     // xxhash64 is TYPE-sensitive: the probe literal must hash as the
     // same type the sketch was built over, or every lookup would be a
-    // silent false negative — cast to the column's actual type first
-    val colType = readVersion(spark, tableDir, v).schema(colName).dataType
+    // silent false negative — cast to the column's actual type first.
+    // `colName` is PHYSICAL here (callers translate), so the type
+    // lookup runs against the raw schema.
+    val colType = readVersionRaw(spark, tableDir, v).schema(colName).dataType
     val hashed = spark.range(1)
       .select(xxhash64(lit(value).cast(colType))).head().getLong(0)
     // per-row sketches can't use the BloomFilterMightContain EXPRESSION
@@ -1352,14 +1549,17 @@ object Snapshots {
       v: Long = 0L): DataFrame = {
     val ver = if (v >= 1) v else version(spark, tableDir)
     require(ver >= 1, s"no committed snapshot in $tableDir")
+    val pairs = mapAt(spark, tableDir, ver)
+    val ph = physicalOf(pairs, colName)
     val residual = col(colName) === lit(value)
     val manifest = new Path(manifestDir(s"$tableDir/snap-$ver"))
     val hasBloom = fc(spark).util().exists(manifest) &&
-      spark.read.parquet(manifest.toString).columns.contains(s"bloom_$colName")
+      spark.read.parquet(manifest.toString).columns.contains(s"bloom_$ph")
     if (!hasBloom) readVersion(spark, tableDir, ver).filter(residual)
     else prunedScan(spark, tableDir, s"$tableDir/snap-$ver",
-        pointSelection(spark, tableDir, ver, colName, value))
-      .map(raw => applyDeleteSidecars(spark, s"$tableDir/snap-$ver", raw)
+        pointSelection(spark, tableDir, ver, ph, value))
+      .map(raw => mapLogical(
+          applyDeleteSidecars(spark, s"$tableDir/snap-$ver", raw), pairs)
         .filter(residual))
       .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
   }
@@ -1399,10 +1599,14 @@ object Snapshots {
       spark: SparkSession,
       tableDir: String,
       v: Long,
-      probes: Seq[(String, Any)]): DataFrame = {
+      probes0: Seq[(String, Any)]): DataFrame = {
     val snapDir = s"$tableDir/snap-$v"
     val (specs, _) = partitionSpecs(spark, tableDir, v)
-    val schema = readVersion(spark, tableDir, v).schema
+    // probes arrive as logical names; spec transforms and the raw
+    // schema speak physical — translate once here for both callers
+    val pairs = mapAt(spark, tableDir, v)
+    val probes = probes0.map { case (c, x) => (physicalOf(pairs, c), x) }
+    val schema = readVersionRaw(spark, tableDir, v).schema
     val m = manifestLeaves(spark, snapDir,
       partitionedRootKeep(spark, specs, schema,
         probes.map { case (c, value) => (c, Seq(value)) }))
@@ -1469,16 +1673,19 @@ object Snapshots {
     val ver = if (v >= 1) v else version(spark, tableDir)
     require(ver >= 1, s"no committed snapshot in $tableDir")
     val snapDir = s"$tableDir/snap-$ver"
+    val pairs = mapAt(spark, tableDir, ver)
+    val ph = physicalOf(pairs, column)
     val residual = col(column).isin(values: _*)
     val (specs, _) = partitionSpecs(spark, tableDir, ver)
-    val covering = specs.filter(_._2.exists(_.column == column))
+    val covering = specs.filter(_._2.exists(_.column == ph))
     val full = readVersion(spark, tableDir, ver)
     if (!fc(spark).util().exists(new Path(manifestDir(snapDir))) ||
         covering.isEmpty) full.filter(residual)
     else {
+      val rawSchema = readVersionRaw(spark, tableDir, ver).schema
       val m = manifestLeaves(spark, snapDir,
-        partitionedRootKeep(spark, specs, full.schema, Seq(column -> values)))
-      val colType = full.schema(column).dataType
+        partitionedRootKeep(spark, specs, rawSchema, Seq(ph -> values)))
+      val colType = rawSchema(ph).dataType
       // per-spec conditions (spec evolution): a file survives when SOME
       // probe value fits ALL the envelopes of ITS OWN spec's transforms
       // over the column; a spec with no transform on the column keeps
@@ -1488,7 +1695,7 @@ object Snapshots {
       // local projection per probe value per transform per spec
       val keep = specKeepCondition(m.columns.toSet, specs) { ts =>
         val covered = ts.filter(t =>
-          t.column == column && m.columns.contains(s"min_${t.name}"))
+          t.column == ph && m.columns.contains(s"min_${t.name}"))
         if (covered.isEmpty) lit(true)
         else values.map(value => covered.map { t =>
             val lit0 = lit(value).cast(colType)
@@ -1497,7 +1704,8 @@ object Snapshots {
           }.reduce(_ && _)).reduce(_ || _)
       }
       prunedScan(spark, tableDir, snapDir, m.filter(keep))
-        .map(raw => applyDeleteSidecars(spark, snapDir, raw).filter(residual))
+        .map(raw => mapLogical(applyDeleteSidecars(spark, snapDir, raw), pairs)
+          .filter(residual))
         .getOrElse(full.filter(lit(false)))
     }
   }
@@ -1525,7 +1733,8 @@ object Snapshots {
     if (!prunable) readVersion(spark, tableDir, ver)
     else prunedScan(spark, tableDir, snapDir,
         partitionedSelection(spark, tableDir, ver, probes))
-      .map(raw => applyDeleteSidecars(spark, snapDir, raw))
+      .map(raw => mapLogical(applyDeleteSidecars(spark, snapDir, raw),
+        mapAt(spark, tableDir, ver)))
       .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
   }
 
@@ -1645,6 +1854,9 @@ object Snapshots {
           s"scoped merge on $tableDir with pending positional delete " +
             "vectors: fold them first (compact or an unscoped write)")
         val manifest = spark.read.parquet(manifestDir(snapDir))
+        // key columns arrive logical; the manifest's stats are physical
+        val pairs = mapAt(spark, tableDir, base)
+        val pkey = key.map(k => k -> physicalOf(pairs, k))
         // the update-key envelope: 2·|key| scalars to the driver
         val envAggs = key.flatMap(k => Seq(min(col(k)), max(col(k))))
         val env = updates.agg(envAggs.head, envAggs.tail: _*).head()
@@ -1659,9 +1871,9 @@ object Snapshots {
           if (bounds.exists(_._1 == null))
             (Array.empty[org.apache.spark.sql.Row], files)
           else files.partition { r =>
-            key.zip(bounds).forall { case (k, (lo, hi)) =>
-              val mn = r.getAs[Any](s"min_$k")
-              val mx = r.getAs[Any](s"max_$k")
+            pkey.zip(bounds).forall { case ((_, pk), (lo, hi)) =>
+              val mn = r.getAs[Any](s"min_$pk")
+              val mx = r.getAs[Any](s"max_$pk")
               // NULL stats (all-null key in that file) can never match
               // an equi-key update → safe to carry untouched
               mn != null && mx != null &&
@@ -1670,10 +1882,14 @@ object Snapshots {
           }
         def rebase(f: String): String =
           if (f.contains("/")) f else s"snap-$base/$f"
-        val touchedPaths = touched.map(r => s"$tableDir/${rebase(r.getAs[String]("file"))}")
+        val touchedPaths = touched.map(r =>
+          absoluteDataPath(tableDir, rebase(r.getAs[String]("file"))))
         val touchedRows =
           if (touchedPaths.isEmpty) cur.limit(0)
-          else spark.read.parquet(touchedPaths.toIndexedSeq: _*)
+          // raw file scan → present under logical names before the
+          // logical-keyed anti-join
+          else mapLogical(
+            spark.read.parquet(touchedPaths.toIndexedSeq: _*), pairs)
         val merged = touchedRows.join(updates, key, "left_anti").unionByName(updates)
         val refs = untouched.map(r => rebase(r.getAs[String]("file"))).toIndexedSeq
         val fileIdx = manifest.columns.indexOf("file")
@@ -1772,7 +1988,13 @@ object Snapshots {
           s"deleteRange on $tableDir with pending positional delete " +
             "vectors: fold them first (compact or an unscoped write)")
         val manifest = spark.read.parquet(manifestDir(snapDir))
-        val hasNullStat = manifest.columns.contains(s"nulls_$column")
+        // the probe column arrives logical; manifest stats and raw file
+        // rows are physical — fates and the rewrite filter use the
+        // physical name, and the rewritten rows are presented logically
+        // before staging (the staging convention)
+        val pairs = mapAt(spark, tableDir, base)
+        val ph = physicalOf(pairs, column)
+        val hasNullStat = manifest.columns.contains(s"nulls_$ph")
         val files = manifest.collect()
         def rebase(f: String): String =
           if (f.contains("/")) f else s"snap-$base/$f"
@@ -1780,8 +2002,8 @@ object Snapshots {
         object Carry extends Fate; object Drop extends Fate
         object Rewrite extends Fate
         def fate(r: org.apache.spark.sql.Row): Fate = {
-          val mn = r.getAs[Any](s"min_$column")
-          val mx = r.getAs[Any](s"max_$column")
+          val mn = r.getAs[Any](s"min_$ph")
+          val mx = r.getAs[Any](s"max_$ph")
           if (mn == null || mx == null) Carry // only NULLs: DELETE keeps them
           else {
             val disjoint =
@@ -1793,7 +2015,7 @@ object Snapshots {
                 (lo == null || ordering(mn).compareTo(lo) >= 0) &&
                   (hi == null || ordering(mx).compareTo(hi) <= 0)
               if (contained && hasNullStat &&
-                  r.getAs[Long](s"nulls_$column") == 0L) Drop
+                  r.getAs[Long](s"nulls_$ph") == 0L) Drop
               else Rewrite
             }
           }
@@ -1803,20 +2025,21 @@ object Snapshots {
         val dropped = byFate.getOrElse(Drop, Array.empty)
         val straddlers = byFate.getOrElse(Rewrite, Array.empty)
         def paths(rs: Array[org.apache.spark.sql.Row]) =
-          rs.map(r => s"$tableDir/${rebase(r.getAs[String]("file"))}").toIndexedSeq
-        val c = col(column)
+          rs.map(r =>
+            absoluteDataPath(tableDir, rebase(r.getAs[String]("file")))).toIndexedSeq
+        val c = col(ph)
         val matches = (if (lo == null) lit(true) else c >= lit(lo)) &&
           (if (hi == null) lit(true) else c <= lit(hi))
         val kept =
           if (straddlers.isEmpty) cur.limit(0)
-          else spark.read.parquet(paths(straddlers): _*)
-            .filter(!coalesce(matches, lit(false)))
+          else mapLogical(spark.read.parquet(paths(straddlers): _*)
+            .filter(!coalesce(matches, lit(false))), pairs)
         val feed = if (!recordChanges) None else Some {
           val doomed = paths(dropped) ++ paths(straddlers)
           val gone =
             if (doomed.isEmpty) cur.limit(0)
-            else spark.read.parquet(doomed: _*)
-              .filter(coalesce(matches, lit(false)))
+            else mapLogical(spark.read.parquet(doomed: _*)
+              .filter(coalesce(matches, lit(false))), pairs)
           gone.select(lit("delete").as("change_type") +:
             gone.columns.toSeq.map(col): _*)
         }
@@ -1873,13 +2096,17 @@ object Snapshots {
         cur.filter(predicate).select(
           lit("delete").as("change_type") +: cur.columns.toSeq.map(col): _*))
       // delete keys from the LIVE view (existing sidecar already applied
-      // by readVersion), unioned with the pending set, distinct per key
+      // by readVersion), unioned with the pending set, distinct per key.
+      // The pending sidecar is stored under PHYSICAL names — present it
+      // logically before the logical-keyed union (stage normalizes the
+      // result back).
       val fresh = cur.filter(predicate).select(key.map(col): _*)
       val pendingP = new Path(s"$snapDir/_mor_deletes")
       val dels =
         (if (!ctx.util().exists(pendingP)) fresh
          else fresh.unionByName(
-           spark.read.parquet(pendingP.toString).select(key.map(col): _*)))
+           mapLogical(spark.read.parquet(pendingP.toString),
+             mapAt(spark, tableDir, base)).select(key.map(col): _*)))
           .distinct()
       // a pending POSITIONAL sidecar must ride along — this commit
       // re-references the same files, so dropping it would resurrect
@@ -1994,11 +2221,14 @@ object Snapshots {
           .select(col("change_type") +: ups.columns.toSeq.map(col): _*)
       }
       // live base rows WITH file coordinates: raw scan + provenance
-      // columns, pending positional deletes applied on those columns
-      val live = applyPosDeletes(spark, snapDir,
+      // columns, pending positional deletes applied on those columns,
+      // presented under logical names for the logical-keyed semi-join
+      // (provenance columns are unmapped and pass through)
+      val live = mapLogical(applyPosDeletes(spark, snapDir,
         spark.read.parquet(dataFiles(spark, tableDir, base): _*)
           .withColumn("_graft_f", scanFileName)
-          .withColumn("_graft_i", col("_metadata.row_index")))
+          .withColumn("_graft_i", col("_metadata.row_index"))),
+        mapAt(spark, tableDir, base))
       val matched = live
         .join(ups.select(key.map(col): _*), key, "left_semi")
         .select(col("_graft_f").as("file"), col("_graft_i").as("idx"))
@@ -2042,15 +2272,166 @@ object Snapshots {
       if (!ctx.util().exists(p)) None else Some(spark.read.parquet(p.toString))
     }
     occLoop(spark, tableDir, Nil, Nil, maxRetries, inheritSpec = false,
-      specOverride = _ => partitionSpecs(spark, tableDir, toVersion)) { (_, _) =>
-      (readVersion(spark, tableDir, toVersion).limit(0),
+      specOverride = _ => partitionSpecs(spark, tableDir, toVersion)) { (base, _) =>
+      // the TARGET version's column map must be restored too — inheriting
+      // the (possibly renamed) base's map would misname the restored
+      // state. When the target predates every rename but the base has a
+      // map, publish the target's identity map explicitly: leaving the
+      // sidecar unset would inherit the base's.
+      val targetMap = columnMapDfAt(spark, snapDir).orElse {
+        if (mapAt(spark, tableDir, base).isEmpty) None
+        else Some(columnMapDf(spark,
+          readVersionRaw(spark, tableDir, toVersion).schema.fieldNames.toSeq
+            .map(c => (c, c))))
+      }
+      (readVersionRaw(spark, tableDir, toVersion).limit(0),
         Sidecars(
           refs = rootRelativeFiles(spark, tableDir, toVersion),
           carriedManifest = carriedManifestOf(spark, tableDir, toVersion),
           morDeletes = sidecar("_mor_deletes"),
           posDeletes = sidecar("_pos_deletes"),
-          pureReference = true))
+          pureReference = true,
+          columnMap = targetMap))
     }
+  }
+
+  /** RENAME WITHOUT REWRITE (`ALTER TABLE RENAME COLUMN`): a
+    * metadata-only OCC commit that carries every data file, manifest
+    * row, and delete sidecar of the base version BY REFERENCE and
+    * publishes an updated `_column_map` — data files keep their
+    * immutable physical column names, readers see the new logical name,
+    * probe APIs translate, and subsequent writes normalize back to the
+    * physical schema (see the column-mapping block above). Cost is
+    * O(manifest) whatever the table size — the Iceberg field-id
+    * contract, which Hive-style rename-by-rewrite breaks at 100 TB.
+    * Renames COMPOSE (a→b then b→c), names freed by an earlier rename
+    * can be reused, and time travel / RESTORE read each version under
+    * the names it had when committed. Refuses an unknown source column
+    * or a target name already in use.
+    */
+  def renameColumn(
+      spark: SparkSession,
+      tableDir: String,
+      from: String,
+      to: String,
+      maxRetries: Int = 10): Long = {
+    require(from != to, s"rename of '$from' to itself")
+    require(to.nonEmpty && !to.contains(".") && !to.contains("/"),
+      s"bad column name '$to'")
+    val ctx = fc(spark)
+    occLoop(spark, tableDir, Nil, Nil, maxRetries) { (base, _) =>
+      val snapDir = s"$tableDir/snap-$base"
+      val existing = columnMapPairs(spark, snapDir).getOrElse(Nil)
+      val raw = readVersionRaw(spark, tableDir, base)
+      // identity-extend: columns that joined after the last rename
+      // (schema evolution) enter the map as identity pairs, so any
+      // column is renameable regardless of when it appeared
+      val covered = existing.map(_._2).toSet
+      val pairs = existing ++
+        raw.schema.fieldNames.toSeq.filterNot(covered).map(c => (c, c))
+      require(pairs.exists(_._1 == from),
+        s"no column '$from' on $tableDir " +
+          s"(columns: ${pairs.map(_._1).mkString(", ")})")
+      require(!pairs.exists(_._1 == to),
+        s"column '$to' already exists on $tableDir")
+      val renamed = pairs.map { case (lg, ph) =>
+        (if (lg == from) to else lg, ph) }
+      def sidecar(name: String): Option[DataFrame] = {
+        val p = new Path(s"$snapDir/$name")
+        if (!ctx.util().exists(p)) None
+        else Some(spark.read.parquet(p.toString))
+      }
+      // stage from the RAW schema: the commit's (empty) own parquet
+      // must carry physical names so mixed-footer reads never fork
+      (raw.limit(0),
+        Sidecars(
+          refs = rootRelativeFiles(spark, tableDir, base),
+          carriedManifest = carriedManifestOf(spark, tableDir, base),
+          morDeletes = sidecar("_mor_deletes"),
+          posDeletes = sidecar("_pos_deletes"),
+          pureReference = true,
+          columnMap = Some(columnMapDf(spark, renamed))))
+    }
+  }
+
+  /** The current (logical → physical) column mapping, identity when the
+    * table has never been renamed — the introspection surface for
+    * tooling and specs.
+    */
+  def columnMapping(
+      spark: SparkSession, tableDir: String): Seq[(String, String)] = {
+    val v = version(spark, tableDir)
+    require(v >= 1, s"no committed snapshot in $tableDir")
+    mapAt(spark, tableDir, v).getOrElse(
+      readVersionRaw(spark, tableDir, v).schema.fieldNames.toSeq.map(c => (c, c)))
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`, an Iceberg
+    * snapshot-ref table): publish the source table's CURRENT state as
+    * version 1 of a NEW table whose manifest and `_refs` point at the
+    * source's data files by ABSOLUTE path — zero data bytes copied, so
+    * cloning a 100 TB table costs O(manifest). The clone then evolves
+    * independently: its commits claim versions in its own directory,
+    * rewrites land clone-local files next to carried source references,
+    * and the source never observes any of it. Everything the source
+    * version pins rides along — stats/bloom manifest (file skipping
+    * keeps pruning through the clone), partition specs, expectations,
+    * column map, pending merge-on-read delete sidecars.
+    *
+    * Retention caveat (same as Delta's): the clone REFERENCES, it does
+    * not pin. [[expire]] on the clone never deletes source files
+    * (absolute references resolve outside its directory and are skipped
+    * as GC roots by construction), but expire on the SOURCE does not
+    * know about clones — retain (or [[tag]]) the cloned source version
+    * for as long as any clone lives.
+    */
+  def cloneTable(
+      spark: SparkSession,
+      srcTableDir: String,
+      dstTableDir: String,
+      commitMillis: Option[Long] = None): Long = {
+    val ctx = fc(spark)
+    val v = version(spark, srcTableDir)
+    require(v >= 1, s"no committed snapshot in $srcTableDir to clone")
+    require(version(spark, dstTableDir) == 0,
+      s"clone target $dstTableDir already has committed snapshots")
+    val snapSrc = s"$srcTableDir/snap-$v"
+    // absolute, scheme-qualified source root: references must resolve
+    // from the CLONE's directory, so table-root-relative form won't do
+    val qSrc = ctx.makeQualified(new Path(srcTableDir)).toString
+    def sidecar(name: String): Option[DataFrame] = {
+      val p = new Path(s"$snapSrc/$name")
+      if (!ctx.util().exists(p)) None
+      else Some(spark.read.parquet(p.toString))
+    }
+    val absRefs = rootRelativeFiles(spark, srcTableDir, v)
+      .map(f => absoluteDataPath(qSrc, f))
+    val absManifest = carriedManifestOf(spark, srcTableDir, v).map(m =>
+      m.withColumn("file",
+        when(col("file").startsWith("/") || col("file").contains(":/"),
+          col("file"))
+          .otherwise(concat_ws("/", lit(qSrc), col("file")))))
+    val (specs, curId) = partitionSpecs(spark, srcTableDir, v)
+    val staged = stage(spark,
+      readVersionRaw(spark, srcTableDir, v).limit(0), dstTableDir, Nil, Nil,
+      Sidecars(
+        refs = absRefs,
+        carriedManifest = absManifest,
+        morDeletes = sidecar("_mor_deletes"),
+        posDeletes = sidecar("_pos_deletes"),
+        pureReference = true,
+        columnMap = sidecar(ColumnMapName)),
+      expectations = loadExpectations(spark, ctx, srcTableDir, v),
+      commitMillis = commitMillis,
+      allSpecs = specs,
+      currentSpecId = curId)
+    if (!tryClaim(ctx, staged, new Path(dstTableDir, "snap-1"))) {
+      ctx.delete(staged, true)
+      throw new FileAlreadyExistsException(
+        s"clone target $dstTableDir was claimed concurrently")
+    }
+    refreshPointer(ctx, dstTableDir, 1L)
+    1L
   }
 
   /** PARTITION-SPEC EVOLUTION (Iceberg's spec-id-per-file model): append
@@ -2147,11 +2528,17 @@ object Snapshots {
       fromV: Long,
       toV: Long,
       key: Seq[String]): DataFrame = {
-    val pre = readVersion(spark, tableDir, fromV)
+    // both versions present under the TO version's logical names —
+    // physical names are the stable identity, so a rename inside the
+    // window diffs correctly and reports the current schema (the
+    // "CDF reads with the latest schema" contract of the real formats)
+    val toPairs = mapAt(spark, tableDir, toV)
+    val pre = mapLogical(readVersionRaw(spark, tableDir, fromV), toPairs)
     val valueCols = pre.columns.filterNot(key.contains).toSeq
     def imaged(df: DataFrame, img: String) =
       df.select(key.map(col) :+ struct(valueCols.map(col): _*).as(img): _*)
-    val post = imaged(readVersion(spark, tableDir, toV), "_post")
+    val post = imaged(
+      mapLogical(readVersionRaw(spark, tableDir, toV), toPairs), "_post")
     imaged(pre, "_pre").join(post, key, "full_outer")
       .withColumn("change_type",
         when(col("_pre").isNull, lit("insert"))
@@ -2298,7 +2685,8 @@ object Snapshots {
         def rebase(f: String): String =
           if (f.contains("/")) f else s"snap-$base/$f"
         val smallPaths =
-          small.map(r => s"$tableDir/${rebase(r.getAs[String]("file"))}")
+          small.map(r =>
+            absoluteDataPath(tableDir, rebase(r.getAs[String]("file"))))
         val repacked =
           if (smallPaths.isEmpty) cur.limit(0)
           else {
@@ -2307,8 +2695,12 @@ object Snapshots {
               (bytes + targetFileBytes - 1) / targetFileBytes).toInt
             // coalesce, not repartition: concatenating small files is a
             // NARROW op — no shuffle; on a spec'd table stage's own
-            // transform clustering supersedes this layout anyway
-            spark.read.parquet(smallPaths.toIndexedSeq: _*).coalesce(nFiles)
+            // transform clustering supersedes this layout anyway.
+            // Presented logically (staging convention) — stage
+            // normalizes back to the physical on-disk schema.
+            mapLogical(
+              spark.read.parquet(smallPaths.toIndexedSeq: _*).coalesce(nFiles),
+              mapAt(spark, tableDir, base))
           }
         val refs = large.map(r => rebase(r.getAs[String]("file"))).toIndexedSeq
         val fileIdx = manifest.columns.indexOf("file")
@@ -2346,13 +2738,17 @@ object Snapshots {
     require(0 <= fromV && fromV < toV && toV <= version(spark, tableDir),
       s"invalid change window ($fromV, $toV] for $tableDir")
     val ctx = fc(spark)
-    ((fromV + 1) to toV).map { v =>
+    val feed = ((fromV + 1) to toV).map { v =>
       val p = s"$tableDir/snap-$v/_changes"
       require(ctx.util().exists(new Path(p)),
         s"version $v of $tableDir recorded no change feed " +
           "(committed without recordChanges); the window is not reconstructible")
       spark.read.parquet(p).withColumn("version", lit(v))
     }.reduce(_ unionByName _)
+    // feed rows are stored physical (like the data); present under the
+    // window-end version's logical names — change_type/version pass
+    // through unmapped
+    mapLogical(feed, mapAt(spark, tableDir, toV))
   }
 
   /** Structured-streaming consumer of the write-time change feed: a
@@ -2378,13 +2774,21 @@ object Snapshots {
     */
   def changesStream(spark: SparkSession, tableDir: String): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // the user-specified schema must name the PHYSICAL columns the feed
+    // files store (a logical name would silently read as null); the
+    // stream is then presented under the tip's logical names — pinned
+    // at start like the schema itself
+    val tip = version(spark, tableDir)
     val feedSchema = StructType(
       StructField("change_type", StringType) +:
-        read(spark, tableDir).schema.fields)
-    spark.readStream.schema(feedSchema)
-      .parquet(s"$tableDir/snap-*/_changes")
-      .withColumn("version",
-        regexp_extract(input_file_name(), "snap-(\\d+)/_changes", 1).cast("long"))
+        readVersionRaw(spark, tableDir, tip).schema.fields)
+    mapLogical(
+      spark.readStream.schema(feedSchema)
+        .parquet(s"$tableDir/snap-*/_changes")
+        .withColumn("version",
+          regexp_extract(input_file_name(), "snap-(\\d+)/_changes", 1)
+            .cast("long")),
+      mapAt(spark, tableDir, tip))
   }
 
   /** Retention GC: expire committed versions older than the last
@@ -2568,13 +2972,15 @@ object Snapshots {
       if (!ctx.util().exists(p)) None else Some(spark.read.parquet(p.toString))
     }
     val staged = stage(spark,
-      readVersion(spark, tableDir, src).limit(0), tableDir, Nil, Nil,
+      readVersionRaw(spark, tableDir, src).limit(0), tableDir, Nil, Nil,
       Sidecars(
         refs = rootRelativeFiles(spark, tableDir, src),
         carriedManifest = carriedManifestOf(spark, tableDir, src),
         morDeletes = sidecar("_mor_deletes"),
         posDeletes = sidecar("_pos_deletes"),
-        pureReference = true))
+        pureReference = true,
+        // the branch sees the source version's logical names
+        columnMap = sidecar(ColumnMapName)))
     if (!tryClaim(ctx, staged, new Path(tableDir, branchSnapName(branch, 1L)))) {
       ctx.delete(staged, true)
       throw new FileAlreadyExistsException(
@@ -2595,8 +3001,10 @@ object Snapshots {
     val ver = if (v >= 1) v else branchVersion(spark, tableDir, branch)
     require(ver >= 1, s"no branch '$branch' on $tableDir")
     val snapDir = s"$tableDir/${branchSnapName(branch, ver)}"
-    applyDeleteSidecars(spark, snapDir,
-      spark.read.parquet(dataFilesAt(spark, tableDir, snapDir): _*))
+    mapLogical(
+      applyDeleteSidecars(spark, snapDir,
+        spark.read.parquet(dataFilesAt(spark, tableDir, snapDir): _*)),
+      columnMapPairs(spark, snapDir))
   }
 
   /** Commit a FULL branch state: stage privately, claim the branch's
@@ -2613,10 +3021,14 @@ object Snapshots {
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Long = {
     val ctx = fc(spark)
-    require(branchVersion(spark, tableDir, branch) >= 1,
+    val tipV = branchVersion(spark, tableDir, branch)
+    require(tipV >= 1,
       s"no branch '$branch' on $tableDir — createBranch first")
+    // carry the branch tip's column map (normalizes this commit's
+    // logical-named rows back to physical, like every main commit)
     val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
-      Sidecars())
+      Sidecars(columnMap = columnMapDfAt(
+        spark, s"$tableDir/${branchSnapName(branch, tipV)}")))
     var v = branchVersion(spark, tableDir, branch) + 1
     while (!tryClaim(ctx, staged,
         new Path(tableDir, branchSnapName(branch, v)))) {
