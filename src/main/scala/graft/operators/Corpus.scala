@@ -177,6 +177,81 @@ object Corpus {
       .select("doc_id", "source", "n_tokens", "cum_tokens")
   }
 
+  /** DSIR importance resampling (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its tokens are under a TARGET domain's
+    * hashed-n-gram language model than under the raw corpus's, then
+    * sample ∝ exp(score) without replacement. This is the published
+    * recipe for picking pretraining data that "looks like" a trusted
+    * domain without training a classifier.
+    *
+    *  - Features: unigram tokens hashed into `buckets` counting buckets
+    *    (the hashing trick the paper uses — the model stays
+    *    broadcast-small at ANY corpus size; bucket collisions are the
+    *    documented trade). The hash is the same SQL-portable
+    *    md5-prefix construction the sampling family uses, so an
+    *    external oracle can replay it.
+    *  - Importance weight: log w(d) = Σ_tokens [ln p̂_tgt(b) − ln
+    *    p̂_src(b)] with add-1 smoothing, rounded to 6dp (quantizing the
+    *    per-doc sum makes the cross-engine float contract checkable).
+    *  - Resampling: Gumbel-top-k — key = log w + (−ln(−ln u)) with a
+    *    deterministic per-doc u, which draws exactly ∝ w without
+    *    replacement (Kool et al. 2019) and is replayable.
+    *
+    * Scale shape: one token pass fits BOTH distributions (map-side
+    * partial counts into `buckets` cells — one combined groupBy, no
+    * second corpus scan for the target LM), the bucket→log-ratio table
+    * broadcasts (`buckets` rows), scoring is one more token pass with a
+    * map-side partial per-doc sum, and the draw is a top-n
+    * (TakeOrderedAndProject — no global sort). Two scans of the text
+    * total, the paper's fit+score minimum.
+    */
+  def dsirSample(
+      docs: DataFrame,
+      isTarget: Column,
+      buckets: Int,
+      n: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(docs)
+      .select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val counts = toks.groupBy("bucket").agg(
+      count(lit(1)).as("n_src"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"))
+    val tot = counts.agg(sum("n_src"), sum("n_tgt")).head()
+    val (tSrc, tTgt) = (tot.getLong(0), tot.getLong(1))
+    val ratio = counts.select(col("bucket"),
+      (log((col("n_tgt") + 1).cast("double") /
+          lit((tTgt + buckets).toDouble)) -
+        log((col("n_src") + 1).cast("double") /
+          lit((tSrc + buckets).toDouble))).as("log_ratio"))
+    val perDoc = toks.join(broadcast(ratio), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(sum("log_ratio"), 6).as("log_weight"))
+    // deterministic Gumbel noise from the id (salted so the draw is
+    // independent of the other samplers'), same (h+1)/2^60 convention
+    val h = conv(substring(
+      md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(1.152921504606846976e18)
+    perDoc
+      .withColumn("es_key", round(col("log_weight") - log(-log(u)), 6))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(n)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("es_key").desc, col("doc_id")))
+          .cast("int"))
+  }
+
   def weightedSample(
       df: DataFrame,
       weightCol: String,

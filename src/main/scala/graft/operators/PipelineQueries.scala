@@ -696,6 +696,17 @@ object PipelineQueries {
         .select("sample_rank", "doc_id", "n_chars", "es_key")
         .orderBy("sample_rank")
     }),
+    // DSIR data selection: the English slice plays the trusted target
+    // domain, the whole corpus the raw pool; 1024 hashed unigram
+    // buckets, Gumbel-top-50 draw ∝ importance weight. log_weight and
+    // es_key ride in the output so the oracle replays the entire
+    // fit→score→draw pipeline, not just the winning ids.
+    "corpus_dsir_sample" -> ((s, d) => {
+      Corpus.dsirSample(t(s, d, "documents"), col("lang") === "en",
+        buckets = 1024, n = 50)
+        .select("sample_rank", "doc_id", "n_words", "log_weight", "es_key")
+        .orderBy("sample_rank")
+    }),
     // train/eval decontamination: src0 plays the benchmark set, the
     // remaining 19 sources the corpus; a hit = a shared distinct word
     // 8-gram (long enough that collisions mean shared provenance)
@@ -2276,6 +2287,49 @@ object PipelineQueries {
         |  CAST(u.chunk_id AS INT) AS chunk_id,
         |  u.chunk_text
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // the full DSIR replay: hashed-bucket counts for both
+    // distributions, add-1 smoothed log ratios, per-doc sums rounded
+    // 6dp, then the identical Gumbel race — a hash match certifies fit,
+    // score, and draw end to end
+    "corpus_dsir_sample" ->
+      """WITH tk AS (
+        |  SELECT d.doc_id, d.lang,
+        |    unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS term
+        |  FROM documents d),
+        |t2 AS (
+        |  SELECT doc_id, lang, term,
+        |    ('0x' || substring(md5(term), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM tk WHERE term <> ''),
+        |counts AS (
+        |  SELECT bucket, COUNT(*) AS n_src,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+        |  FROM t2 GROUP BY bucket),
+        |tot AS (SELECT SUM(n_src) AS t_src, SUM(n_tgt) AS t_tgt FROM counts),
+        |ratio AS (
+        |  SELECT bucket,
+        |    ln(CAST(n_tgt + 1 AS DOUBLE) / (t.t_tgt + 1024)) -
+        |    ln(CAST(n_src + 1 AS DOUBLE) / (t.t_src + 1024)) AS log_ratio
+        |  FROM counts CROSS JOIN tot t),
+        |perdoc AS (
+        |  SELECT t2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    round(SUM(r.log_ratio), 6) AS log_weight
+        |  FROM t2 JOIN ratio r ON t2.bucket = r.bucket
+        |  GROUP BY t2.doc_id),
+        |keyed AS (
+        |  SELECT doc_id, n_words, log_weight,
+        |    round(log_weight - ln(-ln(
+        |      (CAST(('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+        |                       1, 15))::BIGINT AS DOUBLE) + 1.0)
+        |      / 1152921504606846976.0)), 6) AS es_key
+        |  FROM perdoc),
+        |ranked AS (
+        |  SELECT doc_id, n_words, log_weight, es_key,
+        |    CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INT)
+        |      AS sample_rank
+        |  FROM keyed)
+        |SELECT sample_rank, doc_id, n_words, log_weight, es_key
+        |FROM ranked WHERE sample_rank <= 50
+        |ORDER BY sample_rank""".stripMargin,
     // identical IEEE sequence: (CAST + 1.0) / 2^60, -ln, / weight,
     // round 6, rank ascending with doc_id ties
     "corpus_weighted_sample" ->

@@ -97,6 +97,46 @@ class PipelineEdgeSpec extends SparkSpec {
     assert(words == Set("One", "two", "three", "four", "five"))
   }
 
+  test("dsirSample: target-like docs outscore off-target docs, draw is layout-independent") {
+    // two disjoint vocabularies: target docs speak "aa..ah", off-target
+    // docs speak "ba..bh". The smoothed log-ratio is strongly positive
+    // for target-vocabulary buckets and negative for the rest, so
+    // every target-speaking doc must outscore every off-target doc by
+    // a margin the bounded Gumbel noise cannot bridge.
+    val tgtWords = (0 until 8).map(i => s"a$i").mkString(" ")
+    val offWords = (0 until 8).map(i => s"b$i").mkString(" ")
+    val rows = (0L until 30L).map { i =>
+      val target = i < 10
+      // repeat the vocabulary so |log w| >> max Gumbel spread
+      val text = Seq.fill(40)(if (target) tgtWords else offWords).mkString(" ")
+      (i, if (target) "en" else "xx", text)
+    }
+    val docs = rows.toDF("doc_id", "lang", "text")
+    val sample = Corpus.dsirSample(docs, $"lang" === "en",
+      buckets = 64, n = 10)
+    val got = sample.orderBy("sample_rank").collect()
+    assert(got.length == 10)
+    // all ten winners are the target-speaking docs
+    assert(got.map(_.getAs[Long]("doc_id")).forall(_ < 10L),
+      got.map(_.getAs[Long]("doc_id")).mkString(","))
+    // log weights: positive for the winners, and strictly above every
+    // off-target doc's (check via a full scoring pass at n = 30)
+    val all = Corpus.dsirSample(docs, $"lang" === "en", 64, 30)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    val minTgt = (0L until 10L).map(all).min
+    val maxOff = (10L until 30L).map(all).max
+    assert(minTgt > maxOff, s"target min $minTgt vs off max $maxOff")
+
+    // layout independence: identical draw on any partitioning
+    val a = Corpus.dsirSample(docs.repartition(7), $"lang" === "en", 64, 10)
+      .select("doc_id", "es_key").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = sample.select("doc_id", "es_key").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b)
+  }
+
   test("weightedSample: weight-proportional, deterministic, excludes nonpositive") {
     // 200 light rows (w=1) + one overwhelming row (w=1e9): the heavy
     // row's race key is ~1e9 times smaller than any light key, so it
