@@ -77,6 +77,7 @@ object Sinks {
   private lazy val snapshotSpecEvoDir: String = scratch("graft-snapshot-specevo")
   private lazy val snapshotBranchDir: String = scratch("graft-snapshot-branch")
   private lazy val snapshotRenameDir: String = scratch("graft-snapshot-rename")
+  private lazy val snapshotDropDir: String = scratch("graft-snapshot-dropcol")
   private lazy val cloneSrcDir: String = scratch("graft-snapshot-clone-src")
   private lazy val cloneDstDir: String = scratch("graft-snapshot-clone-dst")
 
@@ -1077,6 +1078,36 @@ object Sinks {
       .orderBy("doc")
   }
 
+  /** DROP COLUMN WITHOUT REWRITE end-to-end: docs < 300 commit with a
+    * `source` column, [[Snapshots.dropColumn]] tombstones it in the
+    * column map (metadata-only — old files keep the bytes, readers
+    * hide them), then a SCOPED merge upserts 150-399 (+1000) in the
+    * post-drop three-column schema — rewritten files physically shed
+    * the column while carried files keep their hidden bytes, and both
+    * read identically. Output = a manifest-pruned range read; a hash
+    * match certifies the drop is invisible to surviving values across
+    * the mixed physical layouts. RenameCloneSpec pins the physics
+    * (zero rewrites at drop time, shed footers, reuse refusal,
+    * dependency guards).
+    */
+  private def snapshotDropColumn(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotDropDir)
+    val docs = Tables(s, d, "documents")
+      .select("doc_id", "lang", "n_chars", "source")
+    Snapshots.commit(s,
+      docs.filter(col("doc_id") < 300)
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+      snapshotDropDir, statsColumns = Seq("doc_id"))
+    Snapshots.dropColumn(s, snapshotDropDir, "source")
+    Snapshots.merge(s, snapshotDropDir,
+      docs.filter(col("doc_id").between(150, 399))
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000).as("n_chars")),
+      Seq("doc_id"), statsColumns = Seq("doc_id"), scoped = true)
+    Snapshots.readRange(s, snapshotDropDir, "doc_id", 100L, 350L)
+      .orderBy("doc_id")
+  }
+
   /** SHALLOW CLONE end-to-end: docs < 400 commit range-clustered in the
     * SOURCE table, [[Snapshots.cloneTable]] publishes the clone as a
     * zero-copy absolute-reference commit (O(manifest), no data bytes
@@ -1268,6 +1299,7 @@ object Sinks {
     "q_snapshot_mor_upsert" -> (snapshotMorUpsert _),
     "q_snapshot_restore" -> (snapshotRestore _),
     "q_snapshot_rename" -> (snapshotRename _),
+    "q_snapshot_drop_column" -> (snapshotDropColumn _),
     "q_snapshot_clone" -> (snapshotClone _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
@@ -1432,6 +1464,14 @@ object Sinks {
         |       ELSE n_chars END AS char_count
         |FROM documents WHERE doc_id BETWEEN 100 AND 400
         |ORDER BY doc""".stripMargin,
+    // the dropped column simply vanishes from the projection; surviving
+    // values must be untouched across carried and rewritten files
+    "q_snapshot_drop_column" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id BETWEEN 150 AND 399 THEN n_chars + 1000
+        |       ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 350
+        |ORDER BY doc_id""".stripMargin,
     // clone side = source rows with the clone's divergent upsert
     // applied; source side = the original commit untouched
     "q_snapshot_clone" ->

@@ -415,6 +415,18 @@ object Snapshots {
 
   private val ColumnMapName = "_column_map"
 
+  /** A snapshot's column mapping: active (logical, physical) pairs in
+    * declared order, plus the physical names of DROPPED columns —
+    * explicit tombstones, because an unmapped column must still pass
+    * through the logical view (schema-evolution additions) while a
+    * dropped one must be hidden even when old files still carry it.
+    */
+  private[sources] final case class ColMap(
+      pairs: Seq[(String, String)], dropped: Seq[String]) {
+    def renames: Seq[(String, String)] = pairs.filter(p => p._1 != p._2)
+    def isIdentity: Boolean = renames.isEmpty && dropped.isEmpty
+  }
+
   /** The raw `_column_map` sidecar of a snapshot, if present. */
   private def columnMapDfAt(
       spark: SparkSession, snapDir: String): Option[DataFrame] = {
@@ -423,41 +435,55 @@ object Snapshots {
     else Some(spark.read.parquet(p.toString))
   }
 
-  /** The ordered (logical, physical) pairs a snapshot publishes; None
-    * when the table has never been renamed (logical == physical
-    * everywhere).
+  /** The column mapping a snapshot publishes; None when the table has
+    * never been renamed or dropped a column (logical == physical
+    * everywhere). Pre-drop sidecars have no `dropped` column and read
+    * back as all-active.
     */
   private def columnMapPairs(
-      spark: SparkSession, snapDir: String): Option[Seq[(String, String)]] =
-    columnMapDfAt(spark, snapDir).map(_.orderBy("pos")
-      .select("logical", "physical").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq)
+      spark: SparkSession, snapDir: String): Option[ColMap] =
+    columnMapDfAt(spark, snapDir).map(fromMapDf)
+
+  private def fromMapDf(df: DataFrame): ColMap = {
+    val hasDrop = df.columns.contains("dropped")
+    val rows = df.orderBy("pos").collect().map { r =>
+      val lg = r.getAs[String]("logical")
+      val ph = r.getAs[String]("physical")
+      val dr = hasDrop && !r.isNullAt(r.fieldIndex("dropped")) &&
+        r.getAs[Boolean]("dropped")
+      (lg, ph, dr)
+    }.toSeq
+    ColMap(rows.collect { case (lg, ph, false) => (lg, ph) },
+      rows.collect { case (_, ph, true) => ph })
+  }
 
   private def mapAt(
       spark: SparkSession,
       tableDir: String,
-      v: Long): Option[Seq[(String, String)]] =
+      v: Long): Option[ColMap] =
     if (v < 1) None else columnMapPairs(spark, s"$tableDir/snap-$v")
 
-  private def columnMapDf(
-      spark: SparkSession, pairs: Seq[(String, String)]): DataFrame = {
+  private def columnMapDf(spark: SparkSession, m: ColMap): DataFrame = {
     import spark.implicits._
-    pairs.zipWithIndex.map { case ((lg, ph), i) => (i, lg, ph) }
-      .toDF("pos", "logical", "physical").coalesce(1)
+    (m.pairs.map { case (lg, ph) => (lg, ph, false) } ++
+      m.dropped.map(ph => (ph, ph, true)))
+      .zipWithIndex.map { case ((lg, ph, dr), i) => (i, lg, ph, dr) }
+      .toDF("pos", "logical", "physical", "dropped").coalesce(1)
   }
 
   /** Present a physical-named frame under its logical names.
     * Order-preserving (columns keep the frame's order; unmapped columns
     * — feed markers, provenance columns, schema-evolution additions —
-    * pass through untouched) and ATOMIC (one select), so even a
-    * swap-chain map (y→x published after an earlier x→y) resolves
-    * correctly where sequential per-column renames would collide.
+    * pass through untouched), dropped physicals excluded, and ATOMIC
+    * (one select), so even a swap-chain map (y→x published after an
+    * earlier x→y) resolves correctly where sequential per-column
+    * renames would collide.
     */
-  private def mapLogical(
-      df: DataFrame, pairs: Option[Seq[(String, String)]]): DataFrame =
-    pairs.filter(_.exists(p => p._1 != p._2)).fold(df) { ps =>
-      val byPhys = ps.map { case (lg, ph) => ph -> lg }.toMap
-      df.select(df.columns.map(c =>
+  private def mapLogical(df: DataFrame, m: Option[ColMap]): DataFrame =
+    m.filterNot(_.isIdentity).fold(df) { cm =>
+      val byPhys = cm.pairs.map { case (lg, ph) => ph -> lg }.toMap
+      val gone = cm.dropped.toSet
+      df.select(df.columns.filterNot(gone).map(c =>
         byPhys.get(c).filter(_ != c).map(lg => col(c).as(lg))
           .getOrElse(col(c))).toIndexedSeq: _*)
     }
@@ -473,10 +499,9 @@ object Snapshots {
     * if a caller breaks the convention by mixing spaces — is refused
     * loudly rather than mis-renamed.
     */
-  private def unmapToPhysical(
-      df: DataFrame, pairs: Option[Seq[(String, String)]]): DataFrame =
-    pairs.filter(_.exists(p => p._1 != p._2)).fold(df) { ps =>
-      val renames = ps.filter(p => p._1 != p._2)
+  private def unmapToPhysical(df: DataFrame, m: Option[ColMap]): DataFrame =
+    m.filter(_.renames.nonEmpty).fold(df) { cm =>
+      val renames = cm.renames
       val logicalSet = renames.map(_._1).toSet
       // physical names that are not ALSO logical names (a swap chain
       // reuses freed names, so the sets can overlap)
@@ -497,11 +522,11 @@ object Snapshots {
     }
 
   /** The physical name behind a (possibly renamed) logical column;
-    * unmapped names are their own physical name.
+    * unmapped names are their own physical name. Dropped columns have
+    * no logical name, so a probe can never reach them through here.
     */
-  private def physicalOf(
-      pairs: Option[Seq[(String, String)]], name: String): String =
-    pairs.flatMap(_.find(_._1 == name)).map(_._2).getOrElse(name)
+  private def physicalOf(m: Option[ColMap], name: String): String =
+    m.flatMap(_.pairs.find(_._1 == name)).map(_._2).getOrElse(name)
 
   /** Plan a scan over exactly the files a manifest selection kept: the
     * survivors — path plus committed `size_bytes` — are collected into
@@ -646,14 +671,22 @@ object Snapshots {
     // names the caller's frames carry; stats/bloom configs are
     // likewise accepted as logical names and translated — pre-rename
     // tables have an empty map and every translation is the identity
-    val mapPairs = sidecars.columnMap.map(_.orderBy("pos")
-      .select("logical", "physical").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq)
+    val mapPairs = sidecars.columnMap.map(fromMapDf)
     // pure-reference frames are raw PHYSICAL by convention (their empty
     // marker file must carry the on-disk schema verbatim); everything
     // else arrives logical and is normalized here
     val df =
       if (sidecars.pureReference) df0 else unmapToPhysical(df0, mapPairs)
+    // a dropped column's PHYSICAL name must not be re-introduced by a
+    // write: old files still store bytes under it, so the new column
+    // would silently read as a mix of live and tombstoned data
+    mapPairs.filter(_ => !sidecars.pureReference).foreach { cm =>
+      val clash = df.columns.filter(cm.dropped.toSet)
+      require(clash.isEmpty,
+        s"column(s) ${clash.mkString(", ")} were dropped from this " +
+          "table; re-using the physical name would resurrect hidden " +
+          "bytes from old files — pick a different name")
+    }
     val statsColumns = statsColumns0.map(physicalOf(mapPairs, _))
     val bloomColumns = bloomColumns0.map(physicalOf(mapPairs, _))
     // the spec set this version publishes: every spec any carried file
@@ -729,10 +762,11 @@ object Snapshots {
       // keeps the physical meaning — deterministic, and the rare case
       // where re-declaring the expectation is the honest fix.
       val stagedData = spark.read.parquet(stageDir)
-      val aliasable = mapPairs.getOrElse(Nil).filter { case (lg, ph) =>
-        lg != ph && !stagedData.columns.contains(lg) &&
-          stagedData.columns.contains(ph)
-      }
+      val aliasable = mapPairs.map(_.renames).getOrElse(Nil)
+        .filter { case (lg, ph) =>
+          !stagedData.columns.contains(lg) &&
+            stagedData.columns.contains(ph)
+        }
       val checkView = stagedData.select(
         (stagedData.columns.map(col).toSeq ++
           aliasable.map { case (lg, ph) => col(ph).as(lg) }): _*)
@@ -2280,9 +2314,9 @@ object Snapshots {
       // sidecar unset would inherit the base's.
       val targetMap = columnMapDfAt(spark, snapDir).orElse {
         if (mapAt(spark, tableDir, base).isEmpty) None
-        else Some(columnMapDf(spark,
+        else Some(columnMapDf(spark, ColMap(
           readVersionRaw(spark, tableDir, toVersion).schema.fieldNames.toSeq
-            .map(c => (c, c))))
+            .map(c => (c, c)), Nil)))
       }
       (readVersionRaw(spark, tableDir, toVersion).limit(0),
         Sidecars(
@@ -2320,50 +2354,125 @@ object Snapshots {
       s"bad column name '$to'")
     val ctx = fc(spark)
     occLoop(spark, tableDir, Nil, Nil, maxRetries) { (base, _) =>
-      val snapDir = s"$tableDir/snap-$base"
-      val existing = columnMapPairs(spark, snapDir).getOrElse(Nil)
-      val raw = readVersionRaw(spark, tableDir, base)
-      // identity-extend: columns that joined after the last rename
-      // (schema evolution) enter the map as identity pairs, so any
-      // column is renameable regardless of when it appeared
-      val covered = existing.map(_._2).toSet
-      val pairs = existing ++
-        raw.schema.fieldNames.toSeq.filterNot(covered).map(c => (c, c))
-      require(pairs.exists(_._1 == from),
+      val cm = effectiveMap(spark, tableDir, base)
+      require(cm.pairs.exists(_._1 == from),
         s"no column '$from' on $tableDir " +
-          s"(columns: ${pairs.map(_._1).mkString(", ")})")
-      require(!pairs.exists(_._1 == to),
+          s"(columns: ${cm.pairs.map(_._1).mkString(", ")})")
+      require(!cm.pairs.exists(_._1 == to),
         s"column '$to' already exists on $tableDir")
-      val renamed = pairs.map { case (lg, ph) =>
-        (if (lg == from) to else lg, ph) }
-      def sidecar(name: String): Option[DataFrame] = {
-        val p = new Path(s"$snapDir/$name")
-        if (!ctx.util().exists(p)) None
-        else Some(spark.read.parquet(p.toString))
-      }
+      val renamed = cm.copy(pairs = cm.pairs.map { case (lg, ph) =>
+        (if (lg == from) to else lg, ph) })
       // stage from the RAW schema: the commit's (empty) own parquet
       // must carry physical names so mixed-footer reads never fork
-      (raw.limit(0),
-        Sidecars(
-          refs = rootRelativeFiles(spark, tableDir, base),
-          carriedManifest = carriedManifestOf(spark, tableDir, base),
-          morDeletes = sidecar("_mor_deletes"),
-          posDeletes = sidecar("_pos_deletes"),
-          pureReference = true,
-          columnMap = Some(columnMapDf(spark, renamed))))
+      (readVersionRaw(spark, tableDir, base).limit(0),
+        pureRefSidecars(spark, ctx, tableDir, base)
+          .copy(columnMap = Some(columnMapDf(spark, renamed))))
     }
+  }
+
+  /** DROP COLUMN WITHOUT REWRITE: a metadata-only commit that carries
+    * every file by reference and publishes a column map with the
+    * column TOMBSTONED — readers hide it immediately (even though old
+    * files still store its bytes), subsequent rewrites (merge, delete,
+    * compact) physically shed it file by file, and its logical name is
+    * immediately reusable. This is Iceberg/Delta drop-column semantics:
+    * O(manifest) at any table size, with the physical bytes reclaimed
+    * lazily by normal rewrite churn rather than an eager table rewrite.
+    * Refused while table metadata still depends on the column: a
+    * pending keyed merge-on-read delete sidecar on it, a table
+    * expectation naming it, or a partition-spec transform over it —
+    * each would break loudly later, so the drop fails loudly now.
+    */
+  def dropColumn(
+      spark: SparkSession,
+      tableDir: String,
+      name: String,
+      maxRetries: Int = 10): Long = {
+    val ctx = fc(spark)
+    occLoop(spark, tableDir, Nil, Nil, maxRetries) { (base, _) =>
+      val snapDir = s"$tableDir/snap-$base"
+      val cm = effectiveMap(spark, tableDir, base)
+      require(cm.pairs.exists(_._1 == name),
+        s"no column '$name' on $tableDir " +
+          s"(columns: ${cm.pairs.map(_._1).mkString(", ")})")
+      require(cm.pairs.size > 1,
+        s"cannot drop the last column of $tableDir")
+      val ph = cm.pairs.find(_._1 == name).get._2
+      // dependency guards — each of these would fail at a later read
+      // or write in a confusing place; refuse here with the cause
+      val morP = new Path(s"$snapDir/_mor_deletes")
+      if (ctx.util().exists(morP))
+        require(!spark.read.parquet(morP.toString).columns.contains(ph),
+          s"cannot drop '$name': a pending merge-on-read delete set is " +
+            "keyed by it — fold the deletes first (compact or rewrite)")
+      val exps = loadExpectations(spark, ctx, tableDir, base)
+      val depExp = exps.filter { case (_, e) =>
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(e).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.name
+          }.exists(r => r == name || r == ph)
+      }
+      require(depExp.isEmpty,
+        s"cannot drop '$name': table expectation(s) " +
+          s"${depExp.map(_._1).mkString(", ")} reference it — " +
+          "re-declare or remove them first")
+      val (specs, _) = partitionSpecs(spark, tableDir, base)
+      require(!specs.exists(_._2.exists(_.column == ph)),
+        s"cannot drop '$name': a partition spec transforms it — " +
+          "evolve the spec first")
+      (readVersionRaw(spark, tableDir, base).limit(0),
+        pureRefSidecars(spark, ctx, tableDir, base)
+          .copy(columnMap = Some(columnMapDf(spark, ColMap(
+            cm.pairs.filterNot(_._1 == name),
+            (cm.dropped :+ ph).distinct)))))
+    }
+  }
+
+  /** The base version's map, identity-extended over the raw schema so
+    * columns that joined after the last rename (schema evolution) are
+    * renameable/droppable too. Dropped physicals never re-enter.
+    */
+  private def effectiveMap(
+      spark: SparkSession, tableDir: String, v: Long): ColMap = {
+    val existing = mapAt(spark, tableDir, v).getOrElse(ColMap(Nil, Nil))
+    val covered = existing.pairs.map(_._2).toSet ++ existing.dropped
+    val raw = readVersionRaw(spark, tableDir, v).schema.fieldNames.toSeq
+    existing.copy(pairs =
+      existing.pairs ++ raw.filterNot(covered).map(c => (c, c)))
+  }
+
+  /** The standard carry set of a metadata-only commit: every file by
+    * reference, manifest verbatim, pending delete sidecars intact.
+    */
+  private def pureRefSidecars(
+      spark: SparkSession,
+      ctx: FileContext,
+      tableDir: String,
+      base: Long): Sidecars = {
+    val snapDir = s"$tableDir/snap-$base"
+    def sidecar(name: String): Option[DataFrame] = {
+      val p = new Path(s"$snapDir/$name")
+      if (!ctx.util().exists(p)) None
+      else Some(spark.read.parquet(p.toString))
+    }
+    Sidecars(
+      refs = rootRelativeFiles(spark, tableDir, base),
+      carriedManifest = carriedManifestOf(spark, tableDir, base),
+      morDeletes = sidecar("_mor_deletes"),
+      posDeletes = sidecar("_pos_deletes"),
+      pureReference = true)
   }
 
   /** The current (logical → physical) column mapping, identity when the
     * table has never been renamed — the introspection surface for
-    * tooling and specs.
+    * tooling and specs. Dropped columns do not appear.
     */
   def columnMapping(
       spark: SparkSession, tableDir: String): Seq[(String, String)] = {
     val v = version(spark, tableDir)
     require(v >= 1, s"no committed snapshot in $tableDir")
-    mapAt(spark, tableDir, v).getOrElse(
-      readVersionRaw(spark, tableDir, v).schema.fieldNames.toSeq.map(c => (c, c)))
+    effectiveMap(spark, tableDir, v).pairs
   }
 
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`, an Iceberg

@@ -202,6 +202,59 @@ class RenameCloneSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.cloneTable(spark, src, dst))
   }
 
+  test("drop column is metadata-only: hidden at once, shed by rewrites, name reusable") {
+    val dir = Files.createTempDirectory("graft-drop").toString
+    val data = spark.range(0, 200).toDF("id")
+      .withColumn("v", col("id") * 2).withColumn("junk", lit("x"))
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+    Snapshots.commit(spark, data, dir, statsColumns = Seq("id"))
+    val v2 = Snapshots.dropColumn(spark, dir, "junk")
+    assert(v2 == 2L)
+    // hidden immediately, no data rewritten
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "v"))
+    assert(spark.read.parquet(s"$dir/snap-2").count() == 0L)
+    // time travel still shows the column at v1
+    assert(Snapshots.readVersion(spark, dir, 1L).columns.contains("junk"))
+    // pruned reads hide it too
+    assert(Snapshots.readRange(spark, dir, "id", 10L, 20L)
+      .columns.toSeq == Seq("id", "v"))
+    // a rewrite sheds it physically: post-merge files have 2 columns
+    val v3 = Snapshots.merge(spark, dir,
+      spark.range(0, 10).toDF("id").withColumn("v", lit(-1L)),
+      Seq("id"), statsColumns = Seq("id"))
+    val newFiles = new java.io.File(s"$dir/snap-$v3").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        f.getName.endsWith(".parquet"))
+    assert(newFiles.nonEmpty)
+    assert(spark.read.parquet(newFiles.head.getPath).columns.toSeq ==
+      Seq("id", "v"))
+    assert(Snapshots.read(spark, dir).count() == 200L)
+    // the physical name cannot be silently re-introduced by a write...
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark,
+        Snapshots.read(spark, dir).withColumn("junk", lit("y")), dir))
+    // ...and dropping + renaming interplay: rename the survivor onto a
+    // FRESH name works; the dropped logical name is free again for a
+    // rename target check (map no longer lists it)
+    assert(Snapshots.columnMapping(spark, dir).map(_._1) == Seq("id", "v"))
+  }
+
+  test("drop column refuses while metadata depends on it") {
+    val dir = Files.createTempDirectory("graft-drop-deps").toString
+    Snapshots.commit(spark, Seq((1L, 5L, "a")).toDF("id", "v", "tag"), dir,
+      addExpectations = Seq("v_pos" -> "v > 0"))
+    // expectation dependency
+    intercept[IllegalArgumentException](Snapshots.dropColumn(spark, dir, "v"))
+    // pending keyed MoR delete dependency
+    Snapshots.deleteMergeOnRead(spark, dir, col("tag") === "zzz", Seq("tag"))
+    intercept[IllegalArgumentException](Snapshots.dropColumn(spark, dir, "tag"))
+    // unknown column
+    intercept[IllegalArgumentException](Snapshots.dropColumn(spark, dir, "nope"))
+    // an independent column still drops fine
+    Snapshots.dropColumn(spark, dir, "id")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("v", "tag"))
+  }
+
   test("a clone carries the source's column map and renames independently") {
     val src = Files.createTempDirectory("graft-clone-map-src").toString
     val dst = Files.createTempDirectory("graft-clone-map-dst").toString + "/t"
