@@ -51,14 +51,30 @@ object ManifestFileIndex {
 
   /** Plan a parquet scan over pre-selected files. The data schema is
     * read from the FIRST file's footer — the same single-footer
-    * inference `spark.read.parquet` does with schema merging off, and
-    * correct here because a snapshot version's data files share one
-    * schema by the commit contract (schema evolution rewrites; it never
-    * mixes schemas inside a version).
+    * inference `spark.read.parquet` does with schema merging off.
+    * Files of a version may legitimately differ from the sampled
+    * footer in two bounded ways, both upcast-safe in Spark's parquet
+    * reader: a column DROPPED via the column map may be absent from
+    * post-drop files (reads as null, and the logical view hides it
+    * anyway), and a column WIDENED via the map may be physically
+    * narrow in pre-widening files — `widen` pins the declared wide
+    * type over whatever the sampled footer said, so the scan never
+    * depends on WHICH file was sampled.
     */
-  def scan(spark: SparkSession, statuses: Seq[FileStatus]): DataFrame = {
+  def scan(
+      spark: SparkSession,
+      statuses: Seq[FileStatus],
+      widen: Seq[(String, String)] = Nil): DataFrame = {
     require(statuses.nonEmpty, "empty file selection has no schema to scan")
-    val dataSchema = spark.read.parquet(statuses.head.getPath.toString).schema
+    val sampled = spark.read.parquet(statuses.head.getPath.toString).schema
+    val byPh = widen.toMap
+    val dataSchema =
+      if (widen.isEmpty) sampled
+      else StructType(sampled.fields.map(f =>
+        byPh.get(f.name)
+          .map(t => f.copy(
+            dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))
+          .getOrElse(f)))
     val relation = HadoopFsRelation(
       location = new ManifestFileIndex(statuses),
       partitionSchema = new StructType(),

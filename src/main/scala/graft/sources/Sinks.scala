@@ -78,6 +78,7 @@ object Sinks {
   private lazy val snapshotBranchDir: String = scratch("graft-snapshot-branch")
   private lazy val snapshotRenameDir: String = scratch("graft-snapshot-rename")
   private lazy val snapshotDropDir: String = scratch("graft-snapshot-dropcol")
+  private lazy val snapshotWidenDir: String = scratch("graft-snapshot-widen")
   private lazy val cloneSrcDir: String = scratch("graft-snapshot-clone-src")
   private lazy val cloneDstDir: String = scratch("graft-snapshot-clone-dst")
 
@@ -1108,6 +1109,35 @@ object Sinks {
       .orderBy("doc_id")
   }
 
+  /** TYPE WIDENING WITHOUT REWRITE end-to-end: docs < 300 commit with
+    * `n_chars` deliberately stored as INT, [[Snapshots.widenColumn]]
+    * promotes it to BIGINT by a metadata-only commit, then a SCOPED
+    * merge writes values ABOVE Int.MaxValue (+3e9 — the overflow that
+    * motivates the widening) into files that sit NEXT TO the narrow
+    * originals; every reader pins the wide schema so the mixed layout
+    * upcasts transparently. Output = a manifest-pruned range read over
+    * the mixed generations; a hash match certifies narrow values
+    * survived bit-exact and wide values landed. WidenFeasibilitySpec
+    * pins the physics (upcast contract, zero rewrites, mixed-manifest
+    * pruning, bloom/bucket refusals).
+    */
+  private def snapshotWiden(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotWidenDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s,
+      docs.filter(col("doc_id") < 300)
+        .withColumn("n_chars", col("n_chars").cast("int"))
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+      snapshotWidenDir, statsColumns = Seq("doc_id", "n_chars"))
+    Snapshots.widenColumn(s, snapshotWidenDir, "n_chars", "bigint")
+    Snapshots.merge(s, snapshotWidenDir,
+      docs.filter(col("doc_id").between(200, 449))
+        .withColumn("n_chars", col("n_chars") + lit(3000000000L)),
+      Seq("doc_id"), statsColumns = Seq("doc_id", "n_chars"), scoped = true)
+    Snapshots.readRange(s, snapshotWidenDir, "doc_id", 100L, 400L)
+      .orderBy("doc_id")
+  }
+
   /** SHALLOW CLONE end-to-end: docs < 400 commit range-clustered in the
     * SOURCE table, [[Snapshots.cloneTable]] publishes the clone as a
     * zero-copy absolute-reference commit (O(manifest), no data bytes
@@ -1300,6 +1330,7 @@ object Sinks {
     "q_snapshot_restore" -> (snapshotRestore _),
     "q_snapshot_rename" -> (snapshotRename _),
     "q_snapshot_drop_column" -> (snapshotDropColumn _),
+    "q_snapshot_widen" -> (snapshotWiden _),
     "q_snapshot_clone" -> (snapshotClone _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
@@ -1464,6 +1495,14 @@ object Sinks {
         |       ELSE n_chars END AS char_count
         |FROM documents WHERE doc_id BETWEEN 100 AND 400
         |ORDER BY doc""".stripMargin,
+    // BIGINT arithmetic throughout: the +3e9 updates overflow INT,
+    // which is exactly why the column was widened
+    "q_snapshot_widen" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id BETWEEN 200 AND 449 THEN n_chars + 3000000000
+        |       ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 400
+        |ORDER BY doc_id""".stripMargin,
     // the dropped column simply vanishes from the projection; surviving
     // values must be untouched across carried and rewritten files
     "q_snapshot_drop_column" ->

@@ -422,9 +422,16 @@ object Snapshots {
     * dropped one must be hidden even when old files still carry it.
     */
   private[sources] final case class ColMap(
-      pairs: Seq[(String, String)], dropped: Seq[String]) {
+      pairs: Seq[(String, String)],
+      dropped: Seq[String],
+      // physical name → widened read type (DDL string): the column's
+      // declared type is now WIDER than what older files physically
+      // store; every raw scan pins the wide schema so narrow files
+      // upcast at read ([[widenColumn]])
+      widened: Seq[(String, String)] = Nil) {
     def renames: Seq[(String, String)] = pairs.filter(p => p._1 != p._2)
-    def isIdentity: Boolean = renames.isEmpty && dropped.isEmpty
+    def isIdentity: Boolean =
+      renames.isEmpty && dropped.isEmpty && widened.isEmpty
   }
 
   /** The raw `_column_map` sidecar of a snapshot, if present. */
@@ -446,15 +453,21 @@ object Snapshots {
 
   private def fromMapDf(df: DataFrame): ColMap = {
     val hasDrop = df.columns.contains("dropped")
+    val hasWide = df.columns.contains("read_type")
     val rows = df.orderBy("pos").collect().map { r =>
       val lg = r.getAs[String]("logical")
       val ph = r.getAs[String]("physical")
       val dr = hasDrop && !r.isNullAt(r.fieldIndex("dropped")) &&
         r.getAs[Boolean]("dropped")
-      (lg, ph, dr)
+      val wt =
+        if (!hasWide || r.isNullAt(r.fieldIndex("read_type"))) None
+        else Some(r.getAs[String]("read_type"))
+      (lg, ph, dr, wt)
     }.toSeq
-    ColMap(rows.collect { case (lg, ph, false) => (lg, ph) },
-      rows.collect { case (_, ph, true) => ph })
+    ColMap(
+      rows.collect { case (lg, ph, false, _) => (lg, ph) },
+      rows.collect { case (_, ph, true, _) => ph },
+      rows.collect { case (_, ph, false, Some(t)) => (ph, t) })
   }
 
   private def mapAt(
@@ -465,10 +478,42 @@ object Snapshots {
 
   private def columnMapDf(spark: SparkSession, m: ColMap): DataFrame = {
     import spark.implicits._
-    (m.pairs.map { case (lg, ph) => (lg, ph, false) } ++
-      m.dropped.map(ph => (ph, ph, true)))
-      .zipWithIndex.map { case ((lg, ph, dr), i) => (i, lg, ph, dr) }
-      .toDF("pos", "logical", "physical", "dropped").coalesce(1)
+    val wide = m.widened.toMap
+    (m.pairs.map { case (lg, ph) => (lg, ph, false, wide.get(ph)) } ++
+      m.dropped.map(ph => (ph, ph, true, Option.empty[String])))
+      .zipWithIndex.map { case ((lg, ph, dr, wt), i) => (i, lg, ph, dr, wt) }
+      .toDF("pos", "logical", "physical", "dropped", "read_type").coalesce(1)
+  }
+
+  /** A physical schema with the map's widened read types applied. */
+  private def widenSchema(
+      schema: org.apache.spark.sql.types.StructType,
+      m: Option[ColMap]): org.apache.spark.sql.types.StructType =
+    m.map(_.widened).filter(_.nonEmpty).fold(schema) { ws =>
+      val byPh = ws.toMap
+      org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        byPh.get(f.name)
+          .map(t => f.copy(
+            dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))
+          .getOrElse(f)))
+    }
+
+  /** Raw parquet scan of snapshot data files with the map's widened
+    * schema PINNED: after [[widenColumn]] a version legitimately mixes
+    * narrow old files and wide new files under one physical name, and
+    * an inferred schema (sampled from one footer) would make the scan
+    * fail — or worse, downcast — depending on which file it sampled.
+    * Pinning costs one extra footer read only when something is
+    * actually widened.
+    */
+  private def readParquetRaw(
+      spark: SparkSession,
+      m: Option[ColMap],
+      paths: Seq[String]): DataFrame = {
+    val plain = spark.read.parquet(paths: _*)
+    if (m.exists(_.widened.nonEmpty))
+      spark.read.schema(widenSchema(plain.schema, m)).parquet(paths: _*)
+    else plain
   }
 
   /** Present a physical-named frame under its logical names.
@@ -558,7 +603,8 @@ object Snapshots {
       new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L, p)
     }
     if (statuses.isEmpty) None
-    else Some(ManifestFileIndex.scan(spark, statuses.toIndexedSeq))
+    else Some(ManifestFileIndex.scan(spark, statuses.toIndexedSeq,
+      columnMapPairs(spark, snapDir).map(_.widened).getOrElse(Nil)))
   }
 
   /** Sidecars a transaction can publish along with its data, all
@@ -1150,10 +1196,11 @@ object Snapshots {
     require(v >= 1, s"no committed snapshot (version $v) in $tableDir")
     val snapDir = s"$tableDir/snap-$v"
     val ctx = fc(spark)
+    val m = columnMapPairs(spark, snapDir)
     val base =
       if (!ctx.util().exists(new Path(s"$snapDir/_refs")))
-        spark.read.parquet(snapDir)
-      else spark.read.parquet(dataFiles(spark, tableDir, v): _*)
+        readParquetRaw(spark, m, Seq(snapDir))
+      else readParquetRaw(spark, m, dataFiles(spark, tableDir, v))
     // merge-on-read: a snapshot may carry delete sidecars instead of
     // rewritten data files; every reader applies them (positional
     // first — it needs the raw scan's _metadata — then keyed)
@@ -1911,7 +1958,7 @@ object Snapshots {
               // NULL stats (all-null key in that file) can never match
               // an equi-key update → safe to carry untouched
               mn != null && mx != null &&
-                ordering(mx).compareTo(lo) >= 0 && ordering(mn).compareTo(hi) <= 0
+                compareStats(mx, lo) >= 0 && compareStats(mn, hi) <= 0
             }
           }
         def rebase(f: String): String =
@@ -1920,10 +1967,10 @@ object Snapshots {
           absoluteDataPath(tableDir, rebase(r.getAs[String]("file"))))
         val touchedRows =
           if (touchedPaths.isEmpty) cur.limit(0)
-          // raw file scan → present under logical names before the
-          // logical-keyed anti-join
+          // raw file scan (widened schema pinned) → present under
+          // logical names before the logical-keyed anti-join
           else mapLogical(
-            spark.read.parquet(touchedPaths.toIndexedSeq: _*), pairs)
+            readParquetRaw(spark, pairs, touchedPaths.toIndexedSeq), pairs)
         val merged = touchedRows.join(updates, key, "left_anti").unionByName(updates)
         val refs = untouched.map(r => rebase(r.getAs[String]("file"))).toIndexedSeq
         val fileIdx = manifest.columns.indexOf("file")
@@ -1946,6 +1993,23 @@ object Snapshots {
     */
   private def ordering(x: Any): Comparable[Any] =
     x.asInstanceOf[Comparable[Any]]
+
+  /** Driver-side stat comparison, tolerant of the ONE legitimate
+    * cross-class case: after [[widenColumn]], manifest rows carried
+    * from pre-widening versions hold the narrow boxed type while probe
+    * literals (and fresh manifest rows) hold the wide one. Numeric
+    * classes that differ compare through double — exact here, because
+    * the widening whitelist only mixes a ≤32-bit narrow type with its
+    * wide form, and every ≤32-bit value is exactly representable in a
+    * double (a wide value beyond 2^53 rounds, but cannot cross a
+    * ≤32-bit bound). Same-class values keep the exact compareTo.
+    */
+  private def compareStats(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number)
+        if x.getClass != y.getClass =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case _ => ordering(a).compareTo(b)
+  }
 
   /** Copy-on-write DELETE: rows where `predicate` is TRUE are dropped;
     * rows where it is FALSE **or NULL** are kept (SQL `DELETE WHERE`
@@ -2041,13 +2105,13 @@ object Snapshots {
           if (mn == null || mx == null) Carry // only NULLs: DELETE keeps them
           else {
             val disjoint =
-              (lo != null && ordering(mx).compareTo(lo) < 0) ||
-                (hi != null && ordering(mn).compareTo(hi) > 0)
+              (lo != null && compareStats(mx, lo) < 0) ||
+                (hi != null && compareStats(mn, hi) > 0)
             if (disjoint) Carry
             else {
               val contained =
-                (lo == null || ordering(mn).compareTo(lo) >= 0) &&
-                  (hi == null || ordering(mx).compareTo(hi) <= 0)
+                (lo == null || compareStats(mn, lo) >= 0) &&
+                  (hi == null || compareStats(mx, hi) <= 0)
               if (contained && hasNullStat &&
                   r.getAs[Long](s"nulls_$ph") == 0L) Drop
               else Rewrite
@@ -2066,13 +2130,13 @@ object Snapshots {
           (if (hi == null) lit(true) else c <= lit(hi))
         val kept =
           if (straddlers.isEmpty) cur.limit(0)
-          else mapLogical(spark.read.parquet(paths(straddlers): _*)
+          else mapLogical(readParquetRaw(spark, pairs, paths(straddlers))
             .filter(!coalesce(matches, lit(false))), pairs)
         val feed = if (!recordChanges) None else Some {
           val doomed = paths(dropped) ++ paths(straddlers)
           val gone =
             if (doomed.isEmpty) cur.limit(0)
-            else mapLogical(spark.read.parquet(doomed: _*)
+            else mapLogical(readParquetRaw(spark, pairs, doomed)
               .filter(coalesce(matches, lit(false))), pairs)
           gone.select(lit("delete").as("change_type") +:
             gone.columns.toSeq.map(col): _*)
@@ -2254,15 +2318,17 @@ object Snapshots {
               .otherwise(lit("update")))
           .select(col("change_type") +: ups.columns.toSeq.map(col): _*)
       }
-      // live base rows WITH file coordinates: raw scan + provenance
-      // columns, pending positional deletes applied on those columns,
-      // presented under logical names for the logical-keyed semi-join
-      // (provenance columns are unmapped and pass through)
+      // live base rows WITH file coordinates: raw scan (widened schema
+      // pinned) + provenance columns, pending positional deletes
+      // applied on those columns, presented under logical names for
+      // the logical-keyed semi-join (provenance columns are unmapped
+      // and pass through)
+      val morMap = mapAt(spark, tableDir, base)
       val live = mapLogical(applyPosDeletes(spark, snapDir,
-        spark.read.parquet(dataFiles(spark, tableDir, base): _*)
+        readParquetRaw(spark, morMap, dataFiles(spark, tableDir, base))
           .withColumn("_graft_f", scanFileName)
           .withColumn("_graft_i", col("_metadata.row_index"))),
-        mapAt(spark, tableDir, base))
+        morMap)
       val matched = live
         .join(ups.select(key.map(col): _*), key, "left_semi")
         .select(col("_graft_f").as("file"), col("_graft_i").as("idx"))
@@ -2426,6 +2492,76 @@ object Snapshots {
           .copy(columnMap = Some(columnMapDf(spark, ColMap(
             cm.pairs.filterNot(_._1 == name),
             (cm.dropped :+ ph).distinct)))))
+    }
+  }
+
+  /** Safe type promotions for [[widenColumn]] (Iceberg/Delta's
+    * type-widening whitelist): every value of the narrow type is
+    * exactly representable in the wide one, so old files' bytes read
+    * back unchanged. Narrow types stay ≤ 32 bits — that is also what
+    * keeps [[compareStats]]'s cross-class double comparison exact.
+    */
+  private val WidenOk: Map[String, Set[String]] = Map(
+    "tinyint" -> Set("smallint", "int", "bigint", "double"),
+    "smallint" -> Set("int", "bigint", "double"),
+    "int" -> Set("bigint", "double"),
+    "float" -> Set("double"))
+
+  /** WIDEN COLUMN TYPE without rewrite (`ALTER COLUMN ... TYPE`,
+    * Iceberg type promotion / Delta type widening): a metadata-only
+    * commit records the column's new READ type in the column map;
+    * every raw scan thereafter pins the wide schema, so pre-widening
+    * files' narrow values upcast at read while post-widening writes
+    * store the wide type physically — the table legitimately mixes
+    * narrow and wide files under one physical name, and no file is
+    * rewritten. Only exact promotions are allowed ([[WidenOk]]).
+    * Refused when the column carries a BLOOM sketch (xxhash64 is
+    * type-sensitive: probes cast to the wide type would silently miss
+    * every pre-widening file — a correctness bug, not a perf one) or a
+    * partition-spec transform (bucket hashing is type-sensitive the
+    * same way). Range stats stay sound: min/max prune by VALUE, and
+    * mixed-generation manifest rows compare through
+    * [[compareStats]]'s exact numeric widening.
+    */
+  def widenColumn(
+      spark: SparkSession,
+      tableDir: String,
+      name: String,
+      toType: String,
+      maxRetries: Int = 10): Long = {
+    val ctx = fc(spark)
+    val target = org.apache.spark.sql.types.DataType.fromDDL(toType)
+    occLoop(spark, tableDir, Nil, Nil, maxRetries) { (base, _) =>
+      val snapDir = s"$tableDir/snap-$base"
+      val cm = effectiveMap(spark, tableDir, base)
+      require(cm.pairs.exists(_._1 == name),
+        s"no column '$name' on $tableDir " +
+          s"(columns: ${cm.pairs.map(_._1).mkString(", ")})")
+      val ph = cm.pairs.find(_._1 == name).get._2
+      val raw = readVersionRaw(spark, tableDir, base)
+      val cur = raw.schema(ph).dataType.simpleString
+      val tgt = target.simpleString
+      require(cur != tgt, s"column '$name' is already $tgt")
+      require(WidenOk.get(cur).exists(_.contains(tgt)),
+        s"cannot widen '$name' from $cur to $tgt — allowed: " +
+          WidenOk.getOrElse(cur, Set.empty[String]).mkString(", "))
+      val manifestP = new Path(manifestDir(snapDir))
+      if (ctx.util().exists(manifestP))
+        require(!spark.read.parquet(manifestP.toString).columns
+            .contains(s"bloom_$ph"),
+          s"cannot widen '$name': the manifest carries a bloom sketch " +
+            "for it, and membership hashes are type-sensitive — wide " +
+            "probes would silently miss pre-widening files. Rebuild " +
+            "the table's blooms (full compact) first")
+      val (specs, _) = partitionSpecs(spark, tableDir, base)
+      require(!specs.exists(_._2.exists(t =>
+          t.column == ph && t.spec._1 == "bucket")),
+        s"cannot widen '$name': a bucket partition transform hashes it " +
+          "and xxhash64 is type-sensitive — evolve the spec first")
+      (raw.limit(0),
+        pureRefSidecars(spark, ctx, tableDir, base)
+          .copy(columnMap = Some(columnMapDf(spark, cm.copy(widened =
+            cm.widened.filterNot(_._1 == ph) :+ (ph -> tgt))))))
     }
   }
 
@@ -2807,9 +2943,10 @@ object Snapshots {
             // transform clustering supersedes this layout anyway.
             // Presented logically (staging convention) — stage
             // normalizes back to the physical on-disk schema.
+            val bm = mapAt(spark, tableDir, base)
             mapLogical(
-              spark.read.parquet(smallPaths.toIndexedSeq: _*).coalesce(nFiles),
-              mapAt(spark, tableDir, base))
+              readParquetRaw(spark, bm, smallPaths.toIndexedSeq)
+                .coalesce(nFiles), bm)
           }
         val refs = large.map(r => rebase(r.getAs[String]("file"))).toIndexedSeq
         val fileIdx = manifest.columns.indexOf("file")
@@ -3110,10 +3247,11 @@ object Snapshots {
     val ver = if (v >= 1) v else branchVersion(spark, tableDir, branch)
     require(ver >= 1, s"no branch '$branch' on $tableDir")
     val snapDir = s"$tableDir/${branchSnapName(branch, ver)}"
+    val bm = columnMapPairs(spark, snapDir)
     mapLogical(
       applyDeleteSidecars(spark, snapDir,
-        spark.read.parquet(dataFilesAt(spark, tableDir, snapDir): _*)),
-      columnMapPairs(spark, snapDir))
+        readParquetRaw(spark, bm, dataFilesAt(spark, tableDir, snapDir))),
+      bm)
   }
 
   /** Commit a FULL branch state: stage privately, claim the branch's
