@@ -871,6 +871,13 @@ object PipelineQueries {
       TextAnalysis.unigramLogProb(t(s, d, "documents"))
         .orderBy("doc_id")
     }),
+    // interpolated hashed-bigram LM: the KenLM-shaped quality signal,
+    // self-trained on the corpus; 1024 unigram / 8192 bigram buckets,
+    // λ = 0.75 bigram weight
+    "text_bigram_logprob" -> ((s, d) => {
+      TextAnalysis.bigramLogProb(t(s, d, "documents"))
+        .orderBy("doc_id")
+    }),
     // hashing-trick multinomial NB: the supervised language/domain/
     // quality scorer of a curation pipeline. 256 buckets keeps the
     // model broadcast-small while the corpus vocabulary still collides
@@ -2715,6 +2722,49 @@ object PipelineQueries {
         |JOIN counts c ON k.term = c.term
         |CROSS JOIN total t
         |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
+    // the full interpolated-bigram replay: parallel unnest aligns the
+    // two slice streams row-wise, bucket hashes and the 0.75/0.25 mix
+    // mirror the Spark arithmetic term for term
+    "text_bigram_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                t -> t <> '') AS ts
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(ts) AS term FROM d),
+        |tb AS (
+        |  SELECT doc_id, term,
+        |    ('0x' || substring(md5(term), 1, 15))::BIGINT % 1024 AS bu
+        |  FROM toks),
+        |tot AS (SELECT COUNT(*) AS total FROM tb),
+        |uni AS (SELECT bu, COUNT(*) AS cu FROM tb GROUP BY bu),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([ts[i] for i in generate_series(1, len(ts) - 1)]) AS w1,
+        |    unnest([ts[i + 1] for i in generate_series(1, len(ts) - 1)]) AS w2
+        |  FROM d WHERE len(ts) >= 2),
+        |bgb AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(w1 || ' ' || w2), 1, 15))::BIGINT % 8192
+        |      AS b2,
+        |    ('0x' || substring(md5(w1), 1, 15))::BIGINT % 1024 AS bu1,
+        |    ('0x' || substring(md5(w2), 1, 15))::BIGINT % 1024 AS bu2
+        |  FROM bg),
+        |bic AS (SELECT b2, COUNT(*) AS c2 FROM bgb GROUP BY b2),
+        |ctx AS (SELECT bu1, COUNT(*) AS cctx FROM bgb GROUP BY bu1),
+        |scored AS (
+        |  SELECT g.doc_id,
+        |    0.75 * (CAST(bc.c2 + 1 AS DOUBLE) / CAST(cx.cctx + 8192 AS DOUBLE))
+        |    + 0.25 * (CAST(u.cu + 1 AS DOUBLE) / CAST(t.total + 1024 AS DOUBLE))
+        |      AS p
+        |  FROM bgb g
+        |  JOIN bic bc USING (b2)
+        |  JOIN ctx cx USING (bu1)
+        |  JOIN uni u ON u.bu = g.bu2
+        |  CROSS JOIN tot t)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(AVG(-ln(p)), 6) AS avg_neg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // distinct word-8-grams per doc (same CTE family as
     // dedup_contamination), then the top-20 by containing-doc count
     "text_common_spans" ->

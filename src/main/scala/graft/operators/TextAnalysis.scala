@@ -729,6 +729,77 @@ object TextAnalysis {
     result
   }
 
+  /** Interpolated hashed-BIGRAM language-model scoring — the
+    * second-order upgrade of [[unigramLogProb]] and the Spark-native
+    * stand-in for the KenLM-style perplexity filters real curation
+    * pipelines run (CCNet's quality signal): per bigram position,
+    * p = λ·p̂(w2|w1) + (1−λ)·p̂(w2), both estimates add-1 smoothed over
+    * HASHED buckets (bigrams into `biBuckets`, unigrams/contexts into
+    * `uniBuckets`) — the hashing trick keeps the model broadcast-small
+    * at ANY corpus size where an exact bigram table is vocab² and the
+    * whole point breaks. Output per doc: bigram count and the average
+    * negative log interpolated probability (high = surprising =
+    * likely-junk under this corpus's own statistics). Docs with fewer
+    * than 2 tokens have no bigram positions and are omitted.
+    *
+    * Scale shape: one pass builds the token stream, one derives the
+    * bigram stream (array zip inside the row — no self-join), three
+    * bucket-count aggregations land broadcast-small models, scoring is
+    * three broadcast joins + a map-side-partial per-doc average. The
+    * md5-prefix bucket hash is the SQL-portable construction the
+    * sampling family uses, so the oracle replays bit-for-bit.
+    */
+  def bigramLogProb(
+      docs: DataFrame,
+      uniBuckets: Int = 1024,
+      biBuckets: Int = 8192,
+      lambda: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(uniBuckets > 0 && biBuckets > 0, "bucket counts must be positive")
+    require(lambda > 0 && lambda < 1, s"lambda in (0,1), got $lambda")
+    def bucket(c: Column, n: Int): Column =
+      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(n.toLong))
+    val ts = org.apache.spark.sql.functions.filter(
+      split(lower(trim(col(textCol))), "\\s+"), x => x =!= "")
+    val base = Corpus.spread(docs)
+      .select(col(idCol).as("doc_id"), ts.as("ts")).persist()
+    val toks = base.select(col("doc_id"), explode(col("ts")).as("term"))
+      .withColumn("bu", bucket(col("term"), uniBuckets))
+    val total = toks.agg(count(lit(1))).head().getLong(0)
+    val uniCounts = toks.groupBy("bu").agg(count(lit(1)).as("cu"))
+    val pairs = base.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .withColumn("b2", bucket(concat_ws(" ", col("w1"), col("w2")), biBuckets))
+      .withColumn("bu1", bucket(col("w1"), uniBuckets))
+      .withColumn("bu2", bucket(col("w2"), uniBuckets))
+    val biCounts = pairs.groupBy("b2").agg(count(lit(1)).as("c2"))
+    val ctxCounts = pairs.groupBy("bu1").agg(count(lit(1)).as("cctx"))
+    val out = pairs
+      .join(broadcast(biCounts), "b2")
+      .join(broadcast(ctxCounts), "bu1")
+      .join(broadcast(uniCounts.withColumnRenamed("bu", "bu2")), "bu2")
+      .withColumn("p",
+        lit(lambda) *
+          ((col("c2") + 1).cast("double") /
+            (col("cctx") + biBuckets).cast("double")) +
+        lit(1.0 - lambda) *
+          ((col("cu") + 1).cast("double") /
+            lit((total + uniBuckets).toDouble)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("p"))), 6).as("avg_neg_logprob"))
+      .persist()
+    out.foreach(_ => ())
+    base.unpersist()
+    out
+  }
+
   /** Corpus-level boilerplate detection: the `k` word `n`-grams shared
     * by the most documents (distinct grams per doc via the codegen'd
     * [[graft.functions.TextShingles.wordNgrams]], so a doc repeating a

@@ -217,6 +217,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L)._2 > got(1L)._2) // rare words score higher
   }
 
+  test("bigram logprob: predictable sequences outscore shuffled ones, short docs omitted") {
+    // doc 1+2 repeat one fixed bigram chain ("a b" always follows);
+    // doc 3 uses the SAME unigrams in a never-seen order, so its
+    // bigram surprise must exceed the chain docs' even though the
+    // unigram distributions match; doc 4 has one token -> no bigrams
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a b a b a b a b"),
+      (3L, "b b b a a a b a"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs, uniBuckets = 64,
+      biBuckets = 256).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(4L), "single-token docs have no bigram positions")
+    assert(got(1L)._1 == 7L && got(1L) == got(2L))
+    assert(got(3L)._2 > got(1L)._2,
+      s"shuffled doc must be more surprising: ${got(3L)._2} vs ${got(1L)._2}")
+    // layout independence: same scores on any partitioning
+    val re = TextAnalysis.bigramLogProb(docs.repartition(5), uniBuckets = 64,
+      biBuckets = 256).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(re == got)
+  }
+
   test("char entropy: zero for constant text, ln k for uniform alphabets") {
     val docs = Seq(
       (1L, "aaaa"),   // single symbol -> 0
