@@ -255,6 +255,29 @@ class RenameCloneSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).columns.toSeq == Seq("v", "tag"))
   }
 
+  test("racing DDL serializes through OCC: concurrent renames all land, none lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft-rename-race").toString
+    Snapshots.commit(spark,
+      Seq((1L, 2L, 3L, 4L)).toDF("a", "b", "c", "d"), dir)
+    // four writers race four disjoint renames; each goes through the
+    // OCC loop, so losers re-derive from the winner's map — the final
+    // map must hold ALL four renames, whatever the claim order
+    val renames = Seq("a" -> "w", "b" -> "x", "c" -> "y", "d" -> "z")
+    val fs = renames.map { case (from, to) =>
+      Future(Snapshots.renameColumn(spark, dir, from, to))
+    }
+    Await.result(Future.sequence(fs), 5.minutes)
+    assert(Snapshots.version(spark, dir) == 5L)
+    assert(Snapshots.read(spark, dir).columns.toSet == Set("w", "x", "y", "z"))
+    assert(Snapshots.columnMapping(spark, dir).toMap ==
+      Map("w" -> "a", "x" -> "b", "y" -> "c", "z" -> "d"))
+    // values untouched through the storm
+    assert(Snapshots.read(spark, dir).head().toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("a clone carries the source's column map and renames independently") {
     val src = Files.createTempDirectory("graft-clone-map-src").toString
     val dst = Files.createTempDirectory("graft-clone-map-dst").toString + "/t"
