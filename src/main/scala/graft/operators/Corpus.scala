@@ -223,10 +223,15 @@ object Corpus {
       .withColumn("bucket",
         pmod(conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"),
           lit(buckets.toLong)))
+    // persisted: `counts` feeds the totals action AND the ratio model —
+    // without the cache the scoring pass would silently re-run the
+    // full token aggregation (bucket-count rows only, broadcast-small)
     val counts = toks.groupBy("bucket").agg(
       count(lit(1)).as("n_src"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"))
-    val tot = counts.agg(sum("n_src"), sum("n_tgt")).head()
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt")).persist()
+    // coalesce guards the zero-token corpus (empty sum is NULL)
+    val tot = counts.agg(coalesce(sum("n_src"), lit(0L)),
+      coalesce(sum("n_tgt"), lit(0L))).head()
     val (tSrc, tTgt) = (tot.getLong(0), tot.getLong(1))
     val ratio = counts.select(col("bucket"),
       (log((col("n_tgt") + 1).cast("double") /
@@ -243,13 +248,17 @@ object Corpus {
       md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
       .cast("long")
     val u = (h.cast("double") + lit(1.0)) / lit(1.152921504606846976e18)
-    perDoc
+    val out = perDoc
       .withColumn("es_key", round(col("log_weight") - log(-log(u)), 6))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(n)
       .withColumn("sample_rank",
         row_number().over(Window.orderBy(col("es_key").desc, col("doc_id")))
           .cast("int"))
+      .persist()
+    out.foreach(_ => ())
+    counts.unpersist()
+    out
   }
 
   def weightedSample(

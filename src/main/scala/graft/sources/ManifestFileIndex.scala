@@ -67,14 +67,7 @@ object ManifestFileIndex {
       widen: Seq[(String, String)] = Nil): DataFrame = {
     require(statuses.nonEmpty, "empty file selection has no schema to scan")
     val sampled = spark.read.parquet(statuses.head.getPath.toString).schema
-    val byPh = widen.toMap
-    val dataSchema =
-      if (widen.isEmpty) sampled
-      else StructType(sampled.fields.map(f =>
-        byPh.get(f.name)
-          .map(t => f.copy(
-            dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))
-          .getOrElse(f)))
+    val dataSchema = Snapshots.applyWiden(sampled, widen)
     val relation = HadoopFsRelation(
       location = new ManifestFileIndex(statuses),
       partitionSchema = new StructType(),

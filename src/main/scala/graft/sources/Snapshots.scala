@@ -485,12 +485,17 @@ object Snapshots {
       .toDF("pos", "logical", "physical", "dropped", "read_type").coalesce(1)
   }
 
-  /** A physical schema with the map's widened read types applied. */
-  private def widenSchema(
+  /** A physical schema with widened read types pinned — the ONE place
+    * the (physical name → DDL) override is interpreted, shared by the
+    * plain-path scans here and [[ManifestFileIndex.scan]]'s pruned
+    * scans so the two can never diverge.
+    */
+  private[sources] def applyWiden(
       schema: org.apache.spark.sql.types.StructType,
-      m: Option[ColMap]): org.apache.spark.sql.types.StructType =
-    m.map(_.widened).filter(_.nonEmpty).fold(schema) { ws =>
-      val byPh = ws.toMap
+      widen: Seq[(String, String)]): org.apache.spark.sql.types.StructType =
+    if (widen.isEmpty) schema
+    else {
+      val byPh = widen.toMap
       org.apache.spark.sql.types.StructType(schema.fields.map(f =>
         byPh.get(f.name)
           .map(t => f.copy(
@@ -512,7 +517,9 @@ object Snapshots {
       paths: Seq[String]): DataFrame = {
     val plain = spark.read.parquet(paths: _*)
     if (m.exists(_.widened.nonEmpty))
-      spark.read.schema(widenSchema(plain.schema, m)).parquet(paths: _*)
+      spark.read
+        .schema(applyWiden(plain.schema, m.map(_.widened).getOrElse(Nil)))
+        .parquet(paths: _*)
     else plain
   }
 
@@ -573,6 +580,23 @@ object Snapshots {
   private def physicalOf(m: Option[ColMap], name: String): String =
     m.flatMap(_.pairs.find(_._1 == name)).map(_._2).getOrElse(name)
 
+  /** Caller-facing partition transforms translated to physical column
+    * names — specs are table metadata keyed physically (like stats
+    * columns), but a user naturally names the LOGICAL column after a
+    * rename. Historical specs read back from sidecars are already
+    * physical and must not pass through this (a freed-name-reuse map
+    * would mis-translate them).
+    */
+  private def toPhysicalSpec(
+      m: Option[ColMap], ts: Seq[Transform]): Seq[Transform] =
+    if (m.isEmpty) ts
+    else ts.map {
+      case Transform.Bucket(c, n) => Transform.Bucket(physicalOf(m, c), n)
+      case Transform.Day(c) => Transform.Day(physicalOf(m, c))
+      case Transform.Truncate(c, w) => Transform.Truncate(physicalOf(m, c), w)
+      case Transform.Identity(c) => Transform.Identity(physicalOf(m, c))
+    }
+
   /** Plan a scan over exactly the files a manifest selection kept: the
     * survivors — path plus committed `size_bytes` — are collected into
     * the `FileStatus` list Spark's planner needs and handed to a
@@ -586,7 +610,8 @@ object Snapshots {
       spark: SparkSession,
       tableDir: String,
       snapDir: String,
-      selected: DataFrame): Option[DataFrame] = {
+      selected: DataFrame,
+      m: Option[ColMap] = None): Option[DataFrame] = {
     val ctx = fc(spark)
     val projected =
       if (selected.columns.contains("size_bytes"))
@@ -604,7 +629,7 @@ object Snapshots {
     }
     if (statuses.isEmpty) None
     else Some(ManifestFileIndex.scan(spark, statuses.toIndexedSeq,
-      columnMapPairs(spark, snapDir).map(_.widened).getOrElse(Nil)))
+      m.map(_.widened).getOrElse(Nil)))
   }
 
   /** Sidecars a transaction can publish along with its data, all
@@ -931,14 +956,20 @@ object Snapshots {
     // the same atomic claim as the data (underscore dir → hidden from
     // data scans), so feed and snapshot can never disagree. Stored
     // under PHYSICAL names like the data — [[changesFeed]] presents
-    // them under the current logical names.
-    sidecars.changes.map(unmapToPhysical(_, mapPairs)).foreach(
-      _.write.mode("overwrite").parquet(s"$stageDir/_changes"))
+    // them under the current logical names. The same pure-reference
+    // convention as df0 applies: carried sidecars are already physical
+    // and must NOT be unmapped (under a freed-name-reuse map a second
+    // unmap would mis-rename a physical column).
+    sidecars.changes
+      .map(c => if (sidecars.pureReference) c else unmapToPhysical(c, mapPairs))
+      .foreach(_.write.mode("overwrite").parquet(s"$stageDir/_changes"))
     // merge-on-read delete set: key rows readers must anti-join away
-    // (physical names — the anti-join runs against raw file scans).
+    // (physical names — the anti-join runs against raw file scans; the
+    // producer [[deleteMergeOnRead]] normalizes its own fresh keys, so
+    // every morDeletes frame reaching here is physical already).
     // Deliberately NOT coalesced — a 100 TB table's delete batch can be
     // executor-sized even when the commit writes no data files.
-    sidecars.morDeletes.map(unmapToPhysical(_, mapPairs)).foreach(
+    sidecars.morDeletes.foreach(
       _.write.mode("overwrite").parquet(s"$stageDir/_mor_deletes"))
     // positional delete set: (file, idx) coordinates of superseded base
     // rows — the deletion-vector form that stays correct under
@@ -1046,7 +1077,8 @@ object Snapshots {
     val cmap =
       if (curV < 1) None else columnMapDfAt(spark, s"$tableDir/snap-$curV")
     val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
-      Sidecars(columnMap = cmap), eff, commitMillis, partitionSpec)
+      Sidecars(columnMap = cmap), eff, commitMillis,
+      toPhysicalSpec(cmap.map(fromMapDf), partitionSpec))
     // claim: atomic no-overwrite rename — the commit point. Plain
     // commit publishes a FULL table state, so any free version is
     // acceptable and losers simply move to the next one; use
@@ -1181,10 +1213,13 @@ object Snapshots {
     * costs one file-count-sized parquet read at planning time, the
     * manifest-resolution cost every real format pays.
     */
-  def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame =
+  def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
     // rename-without-rewrite: the assembled physical-named frame is
-    // presented under the version's logical names
-    mapLogical(readVersionRaw(spark, tableDir, v), mapAt(spark, tableDir, v))
+    // presented under the version's logical names. The map sidecar is
+    // loaded ONCE and threaded through the raw assembly.
+    val m = mapAt(spark, tableDir, v)
+    mapLogical(readVersionRawWith(spark, tableDir, v, m), m)
+  }
 
   /** [[readVersion]] under PHYSICAL column names (delete sidecars
     * applied, column map not): the frame internal write paths rebuild
@@ -1192,11 +1227,18 @@ object Snapshots {
     * schema.
     */
   private def readVersionRaw(
-      spark: SparkSession, tableDir: String, v: Long): DataFrame = {
+      spark: SparkSession, tableDir: String, v: Long): DataFrame =
+    readVersionRawWith(spark, tableDir, v,
+      columnMapPairs(spark, s"$tableDir/snap-$v"))
+
+  private def readVersionRawWith(
+      spark: SparkSession,
+      tableDir: String,
+      v: Long,
+      m: Option[ColMap]): DataFrame = {
     require(v >= 1, s"no committed snapshot (version $v) in $tableDir")
     val snapDir = s"$tableDir/snap-$v"
     val ctx = fc(spark)
-    val m = columnMapPairs(spark, snapDir)
     val base =
       if (!ctx.util().exists(new Path(s"$snapDir/_refs")))
         readParquetRaw(spark, m, Seq(snapDir))
@@ -1436,7 +1478,7 @@ object Snapshots {
     if (!fc(spark).util().exists(new Path(manifestDir(snapDir))))
       readVersion(spark, tableDir, ver).filter(residual)
     else prunedScan(spark, tableDir, snapDir,
-        rangeSelection(spark, snapDir, ph, lower, upper))
+        rangeSelection(spark, snapDir, ph, lower, upper), pairs)
       .map(raw => mapLogical(applyDeleteSidecars(spark, snapDir, raw), pairs)
         .filter(residual))
       .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
@@ -1477,7 +1519,7 @@ object Snapshots {
         col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
       }.reduce(_ && _)
       prunedScan(spark, tableDir, snapDir,
-        manifestLeaves(spark, snapDir, rootKeep).filter(rowKeep))
+        manifestLeaves(spark, snapDir, rootKeep).filter(rowKeep), pairs)
         .map(raw => mapLogical(applyDeleteSidecars(spark, snapDir, raw), pairs)
           .filter(residual))
         .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
@@ -1638,7 +1680,7 @@ object Snapshots {
       spark.read.parquet(manifest.toString).columns.contains(s"bloom_$ph")
     if (!hasBloom) readVersion(spark, tableDir, ver).filter(residual)
     else prunedScan(spark, tableDir, s"$tableDir/snap-$ver",
-        pointSelection(spark, tableDir, ver, ph, value))
+        pointSelection(spark, tableDir, ver, ph, value), pairs)
       .map(raw => mapLogical(
           applyDeleteSidecars(spark, s"$tableDir/snap-$ver", raw), pairs)
         .filter(residual))
@@ -1784,7 +1826,7 @@ object Snapshots {
             col(s"min_${t.name}") <= lit(tv) && col(s"max_${t.name}") >= lit(tv)
           }.reduce(_ && _)).reduce(_ || _)
       }
-      prunedScan(spark, tableDir, snapDir, m.filter(keep))
+      prunedScan(spark, tableDir, snapDir, m.filter(keep), pairs)
         .map(raw => mapLogical(applyDeleteSidecars(spark, snapDir, raw), pairs)
           .filter(residual))
         .getOrElse(full.filter(lit(false)))
@@ -1812,11 +1854,13 @@ object Snapshots {
     val prunable = fc(spark).util().exists(new Path(manifestDir(snapDir))) &&
       partitionSpecs(spark, tableDir, ver)._1.exists(_._2.nonEmpty)
     if (!prunable) readVersion(spark, tableDir, ver)
-    else prunedScan(spark, tableDir, snapDir,
-        partitionedSelection(spark, tableDir, ver, probes))
-      .map(raw => mapLogical(applyDeleteSidecars(spark, snapDir, raw),
-        mapAt(spark, tableDir, ver)))
-      .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
+    else {
+      val pairs = mapAt(spark, tableDir, ver)
+      prunedScan(spark, tableDir, snapDir,
+        partitionedSelection(spark, tableDir, ver, probes), pairs)
+        .map(raw => mapLogical(applyDeleteSidecars(spark, snapDir, raw), pairs))
+        .getOrElse(readVersion(spark, tableDir, ver).filter(lit(false)))
+    }
   }
 
   /** Equality read through hidden partitioning: prune files via the
@@ -2190,9 +2234,13 @@ object Snapshots {
     // with the carried rows and nothing is projected away
     occLoop(spark, tableDir, statsColumns, Nil, maxRetries) { (base, cur) =>
       val snapDir = s"$tableDir/snap-$base"
+      val morMap = mapAt(spark, tableDir, base)
+      // feed rows are built logical and normalized HERE — this commit
+      // is pure-reference, so stage leaves its sidecars untouched
       val feed = if (!recordChanges) None else Some(
-        cur.filter(predicate).select(
-          lit("delete").as("change_type") +: cur.columns.toSeq.map(col): _*))
+        unmapToPhysical(cur.filter(predicate), morMap).select(
+          lit("delete").as("change_type") +:
+            unmapToPhysical(cur, morMap).columns.toSeq.map(col): _*))
       // delete keys from the LIVE view (existing sidecar already applied
       // by readVersion), unioned with the pending set, distinct per key.
       // The pending sidecar is stored under PHYSICAL names — present it
@@ -2203,8 +2251,8 @@ object Snapshots {
       val dels =
         (if (!ctx.util().exists(pendingP)) fresh
          else fresh.unionByName(
-           mapLogical(spark.read.parquet(pendingP.toString),
-             mapAt(spark, tableDir, base)).select(key.map(col): _*)))
+           mapLogical(spark.read.parquet(pendingP.toString), morMap)
+             .select(key.map(col): _*)))
           .distinct()
       // a pending POSITIONAL sidecar must ride along — this commit
       // re-references the same files, so dropping it would resurrect
@@ -2213,10 +2261,14 @@ object Snapshots {
       val posCarry =
         if (!ctx.util().exists(pendingPos)) None
         else Some(spark.read.parquet(pendingPos.toString))
+      // normalize the fresh logical keys to physical HERE (stage treats
+      // pure-reference sidecars as already-physical — carried sets must
+      // not be re-unmapped under a freed-name-reuse map)
       (cur.limit(0),
         Sidecars(changes = feed, refs = rootRelativeFiles(spark, tableDir, base),
           carriedManifest = carriedManifestOf(spark, tableDir, base),
-          morDeletes = Some(dels), posDeletes = posCarry,
+          morDeletes = Some(unmapToPhysical(dels, morMap)),
+          posDeletes = posCarry,
           pureReference = true))
     }
   }
@@ -2487,11 +2539,14 @@ object Snapshots {
       require(!specs.exists(_._2.exists(_.column == ph)),
         s"cannot drop '$name': a partition spec transforms it — " +
           "evolve the spec first")
+      // copy, not construct: `widened` must survive the drop — losing
+      // it would stop pinning wide schemas and break mixed-file scans
       (readVersionRaw(spark, tableDir, base).limit(0),
         pureRefSidecars(spark, ctx, tableDir, base)
-          .copy(columnMap = Some(columnMapDf(spark, ColMap(
-            cm.pairs.filterNot(_._1 == name),
-            (cm.dropped :+ ph).distinct)))))
+          .copy(columnMap = Some(columnMapDf(spark, cm.copy(
+            pairs = cm.pairs.filterNot(_._1 == name),
+            dropped = (cm.dropped :+ ph).distinct,
+            widened = cm.widened.filterNot(_._1 == ph))))))
     }
   }
 
@@ -2578,8 +2633,11 @@ object Snapshots {
       existing.pairs ++ raw.filterNot(covered).map(c => (c, c)))
   }
 
-  /** The standard carry set of a metadata-only commit: every file by
-    * reference, manifest verbatim, pending delete sidecars intact.
+  /** The standard carry set of a metadata-only DDL commit: every file
+    * by reference, manifest verbatim, pending delete sidecars intact —
+    * plus an explicitly EMPTY change feed, so a [[changesFeed]] window
+    * spanning the DDL stays reconstructible ("this commit changed no
+    * rows" is a recorded fact, not a gap).
     */
   private def pureRefSidecars(
       spark: SparkSession,
@@ -2592,12 +2650,17 @@ object Snapshots {
       if (!ctx.util().exists(p)) None
       else Some(spark.read.parquet(p.toString))
     }
+    val raw = readVersionRaw(spark, tableDir, base)
+    val emptyFeed = raw.limit(0).select(
+      lit("ddl").cast("string").as("change_type") +:
+        raw.columns.toSeq.map(col): _*)
     Sidecars(
       refs = rootRelativeFiles(spark, tableDir, base),
       carriedManifest = carriedManifestOf(spark, tableDir, base),
       morDeletes = sidecar("_mor_deletes"),
       posDeletes = sidecar("_pos_deletes"),
-      pureReference = true)
+      pureReference = true,
+      changes = Some(emptyFeed))
   }
 
   /** The current (logical → physical) column mapping, identity when the
@@ -2714,9 +2777,13 @@ object Snapshots {
       specOverride = base => {
         val (specs, _) = partitionSpecs(spark, tableDir, base)
         // fresh id ABOVE every known spec; pre-spec files read back as
-        // spec 0, so id 0 is never reused for a real spec
+        // spec 0, so id 0 is never reused for a real spec. The NEW
+        // spec's columns translate logical→physical (historical specs
+        // are already physical).
         val newId = specs.map(_._1).foldLeft(0)(math.max) + 1
-        (specs :+ (newId -> newSpec), newId)
+        (specs :+
+          (newId -> toPhysicalSpec(mapAt(spark, tableDir, base), newSpec)),
+          newId)
       }) { (base, cur0) =>
       val snapDir = s"$tableDir/snap-$base"
       // appended files land NEXT TO referenced base files: same strict
@@ -2984,13 +3051,17 @@ object Snapshots {
     require(0 <= fromV && fromV < toV && toV <= version(spark, tableDir),
       s"invalid change window ($fromV, $toV] for $tableDir")
     val ctx = fc(spark)
+    // allowMissingColumns: a dropColumn inside the window legitimately
+    // changes the physical width of later commits' feeds — older rows
+    // null-fill the gap, and the mapLogical below hides tombstoned
+    // physicals from the presented feed anyway
     val feed = ((fromV + 1) to toV).map { v =>
       val p = s"$tableDir/snap-$v/_changes"
       require(ctx.util().exists(new Path(p)),
         s"version $v of $tableDir recorded no change feed " +
           "(committed without recordChanges); the window is not reconstructible")
       spark.read.parquet(p).withColumn("version", lit(v))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     // feed rows are stored physical (like the data); present under the
     // window-end version's logical names — change_type/version pass
     // through unmapped

@@ -255,6 +255,88 @@ class RenameCloneSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).columns.toSeq == Seq("v", "tag"))
   }
 
+  test("dropColumn preserves widened read types; mixed wide files keep reading") {
+    val dir = Files.createTempDirectory("graft-drop-widen").toString
+    Snapshots.commit(spark,
+      spark.range(0, 100).toDF("id")
+        .withColumn("v", (col("id") * 2).cast("int"))
+        .withColumn("junk", lit("x"))
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      dir, statsColumns = Seq("id"))
+    Snapshots.widenColumn(spark, dir, "v", "bigint")
+    // post-widen merge writes int64 files next to the int32 originals
+    Snapshots.merge(spark, dir,
+      spark.range(0, 10).toDF("id")
+        .withColumn("v", lit(4000000000L)).withColumn("junk", lit("y")),
+      Seq("id"), statsColumns = Seq("id"), scoped = true)
+    // the drop must CARRY the widening — without it, raw scans stop
+    // pinning the wide schema and mixed-footer reads break
+    Snapshots.dropColumn(spark, dir, "junk")
+    val out = Snapshots.read(spark, dir)
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.filter($"v" === 4000000000L).count() == 10L)
+    assert(out.count() == 100L)
+  }
+
+  test("MoR delete keys survive a freed-name-reuse rename chain") {
+    val dir = Files.createTempDirectory("graft-mor-swapchain").toString
+    Snapshots.commit(spark,
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("a", "b"), dir)
+    // pending keyed delete on physical column a
+    Snapshots.deleteMergeOnRead(spark, dir, $"a" === 1L, Seq("a"))
+    assert(Snapshots.read(spark, dir).count() == 2L)
+    // rename chain that REUSES the freed name: a→c, then b→a. The
+    // carried sidecar's physical "a" must never be re-interpreted as
+    // the new logical "a" (physical b).
+    Snapshots.renameColumn(spark, dir, "a", "c")
+    Snapshots.renameColumn(spark, dir, "b", "a")
+    val out = Snapshots.read(spark, dir).orderBy("c").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((2L, "y"), (3L, "z")),
+      s"delete must persist through the swap chain, got ${out.mkString(",")}")
+    // and the sidecar on disk still names the ORIGINAL physical column
+    val v = Snapshots.version(spark, dir)
+    assert(spark.read.parquet(s"$dir/snap-$v/_mor_deletes")
+      .columns.toSeq == Seq("a"))
+  }
+
+  test("changesFeed spans a dropColumn without tearing") {
+    val dir = Files.createTempDirectory("graft-feed-drop").toString
+    Snapshots.commit(spark,
+      Seq((1L, 5L, "k")).toDF("id", "v", "tag"), dir)
+    Snapshots.merge(spark, dir, Seq((2L, 6L, "m")).toDF("id", "v", "tag"),
+      Seq("id"), recordChanges = true)
+    Snapshots.dropColumn(spark, dir, "tag")
+    Snapshots.merge(spark, dir, Seq((3L, 7L)).toDF("id", "v"),
+      Seq("id"), recordChanges = true)
+    // window (v1, v4] crosses the drop: v2's feed has 3 data columns,
+    // v4's has 2 — the union must null-fill, and the dropped physical
+    // must be hidden from the presented feed
+    val feed = Snapshots.changesFeed(spark, dir, 1L, 4L)
+    assert(!feed.columns.contains("tag"))
+    assert(feed.filter($"change_type" === "insert").count() == 2L)
+  }
+
+  test("partition specs accept logical column names after a rename") {
+    val dir = Files.createTempDirectory("graft-spec-logical").toString
+    Snapshots.commit(spark,
+      spark.range(0, 100).toDF("id").withColumn("u", col("id") % 10), dir,
+      statsColumns = Seq("id"))
+    Snapshots.renameColumn(spark, dir, "u", "user")
+    // a commit clustering by the LOGICAL name must translate, not throw
+    Snapshots.commit(spark,
+      Snapshots.read(spark, dir), dir, statsColumns = Seq("id"),
+      partitionSpec = Seq(Snapshots.Transform.Bucket("user", 4)))
+    val hit = Snapshots.readPartitioned(spark, dir, Seq("user" -> 3L))
+    assert(hit.count() == 10L)
+    // spec evolution with the logical name translates the same way
+    Snapshots.evolvePartitionSpec(spark, dir,
+      spark.range(100, 110).toDF("id").withColumn("user", col("id") % 10),
+      Seq(Snapshots.Transform.Bucket("user", 8)), statsColumns = Seq("id"))
+    assert(Snapshots.readPartitioned(spark, dir, Seq("user" -> 3L))
+      .count() == 11L)
+  }
+
   test("racing DDL serializes through OCC: concurrent renames all land, none lost") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
