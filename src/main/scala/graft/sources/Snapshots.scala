@@ -660,7 +660,10 @@ object Snapshots {
       // rewrite). None on OCC paths means "inherit the base version's
       // map" ([[commitIfVersionWith]]); [[renameColumn]]/[[restore]]/
       // [[cloneTable]] set it explicitly.
-      columnMap: Option[DataFrame] = None)
+      columnMap: Option[DataFrame] = None,
+      // override of the expectation list this snapshot publishes and
+      // enforces; None = inherit the base's ([[dropExpectation]] sets it)
+      expectations: Option[Seq[(String, String)]] = None)
 
   /** A write whose staged rows violate a table expectation. The staging
     * directory is already cleaned up when this reaches the caller — a
@@ -1137,7 +1140,8 @@ object Snapshots {
       else sidecars.copy(columnMap =
         columnMapDfAt(spark, s"$tableDir/snap-$expectedBase"))
     val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
-      eff, loadExpectations(spark, ctx, tableDir, expectedBase),
+      eff, sidecars.expectations.getOrElse(
+        loadExpectations(spark, ctx, tableDir, expectedBase)),
       partitionSpec = spec, allSpecs = allSpecs, currentSpecId = currentSpecId)
     val v = expectedBase + 1
     if (tryClaim(ctx, staged, new Path(tableDir, s"snap-$v"))) {
@@ -2661,6 +2665,30 @@ object Snapshots {
       posDeletes = sidecar("_pos_deletes"),
       pureReference = true,
       changes = Some(emptyFeed))
+  }
+
+  /** Remove a table expectation by name (the other half of
+    * `addExpectations` — without it an expectation referencing a
+    * column you want to drop pins the column forever): a metadata-only
+    * OCC commit republishing the base's list minus `name`. All other
+    * invariants keep enforcing; history still shows the expectation in
+    * the versions that declared it.
+    */
+  def dropExpectation(
+      spark: SparkSession,
+      tableDir: String,
+      name: String,
+      maxRetries: Int = 10): Long = {
+    val ctx = fc(spark)
+    occLoop(spark, tableDir, Nil, Nil, maxRetries) { (base, _) =>
+      val cur = loadExpectations(spark, ctx, tableDir, base)
+      require(cur.exists(_._1 == name),
+        s"no expectation '$name' on $tableDir " +
+          s"(declared: ${cur.map(_._1).mkString(", ")})")
+      (readVersionRaw(spark, tableDir, base).limit(0),
+        pureRefSidecars(spark, ctx, tableDir, base)
+          .copy(expectations = Some(cur.filterNot(_._1 == name))))
+    }
   }
 
   /** The current (logical → physical) column mapping, identity when the

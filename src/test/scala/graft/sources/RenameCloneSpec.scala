@@ -245,14 +245,27 @@ class RenameCloneSpec extends SparkSpec {
       addExpectations = Seq("v_pos" -> "v > 0"))
     // expectation dependency
     intercept[IllegalArgumentException](Snapshots.dropColumn(spark, dir, "v"))
+    // ...and the loop the error message points into actually closes:
+    // drop the expectation, then the column drops fine
+    Snapshots.dropExpectation(spark, dir, "v_pos")
+    intercept[IllegalArgumentException](
+      Snapshots.dropExpectation(spark, dir, "v_pos"))
+    Snapshots.dropColumn(spark, dir, "v")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "tag"))
+    // a violating commit now passes (the invariant is gone)
+    Snapshots.commit(spark, Seq((2L, "b")).toDF("id", "tag"), dir)
+    assert(Snapshots.read(spark, dir).count() == 1L)
+    // fresh table for the remaining dependency checks
+    val dir2 = Files.createTempDirectory("graft-drop-deps2").toString
+    Snapshots.commit(spark, Seq((1L, 5L, "a")).toDF("id", "v", "tag"), dir2)
     // pending keyed MoR delete dependency
-    Snapshots.deleteMergeOnRead(spark, dir, col("tag") === "zzz", Seq("tag"))
-    intercept[IllegalArgumentException](Snapshots.dropColumn(spark, dir, "tag"))
+    Snapshots.deleteMergeOnRead(spark, dir2, col("tag") === "zzz", Seq("tag"))
+    intercept[IllegalArgumentException](Snapshots.dropColumn(spark, dir2, "tag"))
     // unknown column
-    intercept[IllegalArgumentException](Snapshots.dropColumn(spark, dir, "nope"))
+    intercept[IllegalArgumentException](Snapshots.dropColumn(spark, dir2, "nope"))
     // an independent column still drops fine
-    Snapshots.dropColumn(spark, dir, "id")
-    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("v", "tag"))
+    Snapshots.dropColumn(spark, dir2, "id")
+    assert(Snapshots.read(spark, dir2).columns.toSeq == Seq("v", "tag"))
   }
 
   test("dropColumn preserves widened read types; mixed wide files keep reading") {
