@@ -79,6 +79,7 @@ object Sinks {
   private lazy val snapshotRenameDir: String = scratch("graft-snapshot-rename")
   private lazy val snapshotDropDir: String = scratch("graft-snapshot-dropcol")
   private lazy val snapshotWidenDir: String = scratch("graft-snapshot-widen")
+  private lazy val snapshotSqlDir: String = scratch("graft-snapshot-sql")
   private lazy val cloneSrcDir: String = scratch("graft-snapshot-clone-src")
   private lazy val cloneDstDir: String = scratch("graft-snapshot-clone-dst")
 
@@ -1079,6 +1080,38 @@ object Sinks {
       .orderBy("doc")
   }
 
+  /** SQL TIME TRAVEL end-to-end: the snapshot layer consumed ENTIRELY
+    * through plain SQL via the injected table functions —
+    * `snapshot(dir)` (current), `snapshot(dir, v)` (VERSION AS OF),
+    * and `snapshot_changes(dir, from, to)` (the write-time CDF) — the
+    * surface a thriftserver/SQL-only client gets with
+    * `spark.sql.extensions=graft.GraftExtensions`. Setup: docs < 300
+    * commit, then a recorded merge updates 150-299 (+1000) and inserts
+    * 300-449. The output unions all three SQL reads, so a hash match
+    * certifies current state, version pinning, and the change feed
+    * agree with the oracle through the SQL path alone.
+    */
+  private def snapshotSql(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, snapshotSqlDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 300), snapshotSqlDir,
+      statsColumns = Seq("doc_id"))
+    Snapshots.merge(s, snapshotSqlDir,
+      docs.filter(col("doc_id").between(150, 449))
+        .withColumn("n_chars", col("n_chars") + 1000),
+      Seq("doc_id"), statsColumns = Seq("doc_id"), recordChanges = true)
+    s.sql(
+      s"""SELECT doc_id, lang, n_chars, 'current' AS at
+         |FROM snapshot('$snapshotSqlDir')
+         |UNION ALL
+         |SELECT doc_id, lang, n_chars, 'v1' AS at
+         |FROM snapshot('$snapshotSqlDir', 1)
+         |UNION ALL
+         |SELECT doc_id, lang, n_chars, concat('chg_', change_type) AS at
+         |FROM snapshot_changes('$snapshotSqlDir', 1, 2)
+         |ORDER BY at, doc_id""".stripMargin)
+  }
+
   /** DROP COLUMN WITHOUT REWRITE end-to-end: docs < 300 commit with a
     * `source` column, [[Snapshots.dropColumn]] tombstones it in the
     * column map (metadata-only — old files keep the bytes, readers
@@ -1331,6 +1364,7 @@ object Sinks {
     "q_snapshot_rename" -> (snapshotRename _),
     "q_snapshot_drop_column" -> (snapshotDropColumn _),
     "q_snapshot_widen" -> (snapshotWiden _),
+    "q_snapshot_sql" -> (snapshotSql _),
     "q_snapshot_clone" -> (snapshotClone _),
     "q_incremental_rollup" -> (incrementalRollup _),
     "q_sketch_union_gate" -> (sketchUnionRoundTrip _),
@@ -1495,6 +1529,26 @@ object Sinks {
         |       ELSE n_chars END AS char_count
         |FROM documents WHERE doc_id BETWEEN 100 AND 400
         |ORDER BY doc""".stripMargin,
+    // three SQL reads replayed: current (merged), v1 (original),
+    // change feed (updates on 150-299, inserts 300-449, at version 2)
+    "q_snapshot_sql" ->
+      """WITH cur AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id BETWEEN 150 AND 449 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars, 'current' AS at
+        |  FROM documents WHERE doc_id < 450),
+        |v1 AS (
+        |  SELECT doc_id, lang, n_chars, 'v1' AS at
+        |  FROM documents WHERE doc_id < 300),
+        |chg AS (
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars,
+        |    CASE WHEN doc_id < 300 THEN 'chg_update'
+        |         ELSE 'chg_insert' END AS at
+        |  FROM documents WHERE doc_id BETWEEN 150 AND 449)
+        |SELECT doc_id, lang, n_chars, at FROM cur
+        |UNION ALL SELECT doc_id, lang, n_chars, at FROM v1
+        |UNION ALL SELECT doc_id, lang, n_chars, at FROM chg
+        |ORDER BY at, doc_id""".stripMargin,
     // BIGINT arithmetic throughout: the +3e9 updates overflow INT,
     // which is exactly why the column was widened
     "q_snapshot_widen" ->

@@ -60,6 +60,24 @@ class GraftExtensionsSpec extends SparkSpec {
         s.sql("SELECT char_ngrams('x', id) FROM range(1)").collect()
       }
       assert(err.getMessage.toLowerCase.contains("literal"))
+
+      // table functions: the SQL time-travel surface
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ext-tvf").toString
+      import s.implicits._
+      graft.sources.Snapshots.commit(s,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+      graft.sources.Snapshots.merge(s, dir,
+        Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"),
+        recordChanges = true)
+      assert(s.sql(s"SELECT * FROM snapshot('$dir')").count() == 3L)
+      assert(s.sql(s"SELECT * FROM snapshot('$dir', 1)").count() == 2L)
+      assert(s.sql(
+        s"SELECT * FROM snapshot_changes('$dir', 1, 2) " +
+          "WHERE change_type = 'update'").count() == 1L)
+      assert(s.sql(
+        s"SELECT v FROM snapshot('$dir') WHERE id = 2").head().getString(0)
+        == "B")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
