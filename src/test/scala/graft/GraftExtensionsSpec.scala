@@ -78,6 +78,19 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(s.sql(
         s"SELECT v FROM snapshot('$dir') WHERE id = 2").head().getString(0)
         == "B")
+      // TIMESTAMP AS OF through SQL: deterministic injected commit
+      // instants — an instant between the commits resolves v1
+      val dir2 = java.nio.file.Files
+        .createTempDirectory("graft-ext-tvf-asof").toString
+      graft.sources.Snapshots.commit(s, Seq((1L, "x")).toDF("id", "v"),
+        dir2, commitMillis = Some(1700000000000L))
+      graft.sources.Snapshots.commit(s,
+        Seq((1L, "x"), (2L, "y")).toDF("id", "v"),
+        dir2, commitMillis = Some(1700000002000L))
+      assert(s.sql(
+        s"SELECT * FROM snapshot_asof('$dir2', 1700000001000)").count() == 1L)
+      assert(s.sql(
+        s"SELECT * FROM snapshot_asof('$dir2', 1700000002000)").count() == 2L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
