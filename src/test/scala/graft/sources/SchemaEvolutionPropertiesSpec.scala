@@ -36,9 +36,15 @@ class SchemaEvolutionPropertiesSpec extends SparkSpec {
   private case class Widen(slot: Int) extends Op
   private case class Upsert(seed: Int) extends Op
 
+  // reuse-marker: rename a slot to a name some EARLIER rename freed —
+  // the swap-chain corner where logical and physical name spaces
+  // overlap and every translation must stay atomic
+  private case class RenameToFreed(slot: Int) extends Op
+
   // slots: 0=id (long, merge key, never dropped), 1..2 int, 3 string
   private val opGen: Gen[Int => Op] = Gen.frequency(
     3 -> Gen.chooseNum(0, 3).map(s => (i: Int) => Rename(s, s"c$i")),
+    2 -> Gen.chooseNum(0, 3).map(s => (_: Int) => RenameToFreed(s)),
     2 -> Gen.chooseNum(1, 3).map(s => (_: Int) => Drop(s)),
     2 -> Gen.chooseNum(1, 2).map(s => (_: Int) => Widen(s)),
     3 -> Gen.chooseNum(0, 1000).map(x => (_: Int) => Upsert(x)))
@@ -78,11 +84,20 @@ class SchemaEvolutionPropertiesSpec extends SparkSpec {
       Snapshots.commit(spark, frame(rows), dir, statsColumns = Seq("id"))
 
       var nameCounter = 0
+      var freed = List.empty[String]
       var ok = true
       mkOps.foreach { mk =>
         nameCounter += 1
         mk(nameCounter) match {
           case Rename(s, to) if s < slots.length =>
+            freed = slots(s).logical :: freed
+            Snapshots.renameColumn(spark, dir, slots(s).logical, to)
+            slots = slots.updated(s, slots(s).copy(logical = to))
+          case RenameToFreed(s)
+              if s < slots.length &&
+                freed.exists(f => !slots.exists(_.logical == f)) =>
+            val to = freed.find(f => !slots.exists(_.logical == f)).get
+            freed = slots(s).logical :: freed.filterNot(_ == to)
             Snapshots.renameColumn(spark, dir, slots(s).logical, to)
             slots = slots.updated(s, slots(s).copy(logical = to))
           case Drop(s) if s < slots.length && s > 0 && slots.length > 2 =>
