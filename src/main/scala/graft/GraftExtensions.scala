@@ -122,76 +122,94 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => RepetitionStats(exprs.head)))
 
     // ---- table functions: SQL time travel over the snapshot layer ----
-    //
-    // The FROM-clause surface a SQL-only client gets for the library's
-    // lakehouse tables — the `VERSION AS OF` / `TIMESTAMP AS OF` /
-    // change-feed reads of the real formats, spelled as TVFs because
-    // this layer lives beside (not inside) the session catalog.
-    // Arguments must be literals: the builder runs at analysis time and
-    // resolves the snapshot then, so the query plans against an
-    // immutable version exactly like the programmatic readers.
-
-    def litStr(e: Expression, fn: String, param: String): String = {
-      require(e.foldable, s"$fn: $param must be a literal string")
-      val v = e.eval()
-      require(v != null, s"$fn: $param must not be null")
-      v.toString
-    }
-    def litLong(e: Expression, fn: String, param: String): Long = {
-      require(e.foldable, s"$fn: $param must be a literal integer")
-      e.eval() match {
-        case i: Int  => i.toLong
-        case l: Long => l
-        case other => throw new IllegalArgumentException(
-          s"$fn: $param must be an integer literal, got $other")
-      }
-    }
-    def active = org.apache.spark.sql.SparkSession.active
-
-    ext.injectTableFunction((
-      FunctionIdentifier("snapshot"),
-      info("snapshot",
-        "snapshot(dir[, version]) - read a snapshot table: current " +
-          "state, or VERSION AS OF when a version literal is given"),
-      (exprs: Seq[Expression]) => {
-        val dir = litStr(exprs(0), "snapshot", "dir")
-        val df = exprs.size match {
-          case 1 => graft.sources.Snapshots.read(active, dir)
-          case 2 => graft.sources.Snapshots.readVersion(active, dir,
-            litLong(exprs(1), "snapshot", "version"))
-          case n => throw new IllegalArgumentException(
-            s"snapshot(dir[, version]) takes 1 or 2 arguments, got $n")
-        }
-        df.queryExecution.logical
-      }))
-
-    ext.injectTableFunction((
-      FunctionIdentifier("snapshot_asof"),
-      info("snapshot_asof",
-        "snapshot_asof(dir, epoch_millis) - TIMESTAMP AS OF read: the " +
-          "latest version committed at or before the instant"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.size == 2,
-          s"snapshot_asof(dir, epoch_millis) takes 2 arguments, got ${exprs.size}")
-        graft.sources.Snapshots.readAsOf(active,
-          litStr(exprs(0), "snapshot_asof", "dir"),
-          litLong(exprs(1), "snapshot_asof", "epoch_millis"))
-          .queryExecution.logical
-      }))
-
-    ext.injectTableFunction((
-      FunctionIdentifier("snapshot_changes"),
-      info("snapshot_changes",
-        "snapshot_changes(dir, fromV, toV) - the write-time change feed " +
-          "over (fromV, toV]: change_type, value columns, version"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.size == 3,
-          s"snapshot_changes(dir, fromV, toV) takes 3 arguments, got ${exprs.size}")
-        graft.sources.Snapshots.changesFeed(active,
-          litStr(exprs(0), "snapshot_changes", "dir"),
-          litLong(exprs(1), "snapshot_changes", "fromV"),
-          litLong(exprs(2), "snapshot_changes", "toV"))
-          .queryExecution.logical
-      }))
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
   }
+}
+
+object GraftExtensions {
+
+  private def tinfo(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def litStr(e: Expression, fn: String, param: String): String = {
+    require(e.foldable, s"$fn: $param must be a literal string")
+    val v = e.eval()
+    require(v != null, s"$fn: $param must not be null")
+    v.toString
+  }
+
+  private def litLong(e: Expression, fn: String, param: String): Long = {
+    require(e.foldable, s"$fn: $param must be a literal integer")
+    e.eval() match {
+      case i: Int  => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$fn: $param must be an integer literal, got $other")
+    }
+  }
+
+  private def active = org.apache.spark.sql.SparkSession.active
+
+  /** The FROM-clause surface a SQL-only client gets for the library's
+    * lakehouse tables — the `VERSION AS OF` / `TIMESTAMP AS OF` /
+    * change-feed reads of the real formats, spelled as TVFs because
+    * this layer lives beside (not inside) the session catalog.
+    * Arguments must be literals: the builder runs at analysis time and
+    * resolves the snapshot then, so the query plans against an
+    * immutable version exactly like the programmatic readers.
+    */
+  private[graft] val tableFunctions: Seq[(FunctionIdentifier,
+      ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    Seq(
+      (FunctionIdentifier("snapshot"),
+        tinfo("snapshot",
+          "snapshot(dir[, version]) - read a snapshot table: current " +
+            "state, or VERSION AS OF when a version literal is given"),
+        (exprs: Seq[Expression]) => {
+          val dir = litStr(exprs(0), "snapshot", "dir")
+          val df = exprs.size match {
+            case 1 => graft.sources.Snapshots.read(active, dir)
+            case 2 => graft.sources.Snapshots.readVersion(active, dir,
+              litLong(exprs(1), "snapshot", "version"))
+            case n => throw new IllegalArgumentException(
+              s"snapshot(dir[, version]) takes 1 or 2 arguments, got $n")
+          }
+          df.queryExecution.logical
+        }),
+      (FunctionIdentifier("snapshot_asof"),
+        tinfo("snapshot_asof",
+          "snapshot_asof(dir, epoch_millis) - TIMESTAMP AS OF read: the " +
+            "latest version committed at or before the instant"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 2,
+            s"snapshot_asof(dir, epoch_millis) takes 2 arguments, got ${exprs.size}")
+          graft.sources.Snapshots.readAsOf(active,
+            litStr(exprs(0), "snapshot_asof", "dir"),
+            litLong(exprs(1), "snapshot_asof", "epoch_millis"))
+            .queryExecution.logical
+        }),
+      (FunctionIdentifier("snapshot_changes"),
+        tinfo("snapshot_changes",
+          "snapshot_changes(dir, fromV, toV) - the write-time change feed " +
+            "over (fromV, toV]: change_type, value columns, version"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 3,
+            s"snapshot_changes(dir, fromV, toV) takes 3 arguments, got ${exprs.size}")
+          graft.sources.Snapshots.changesFeed(active,
+            litStr(exprs(0), "snapshot_changes", "dir"),
+            litLong(exprs(1), "snapshot_changes", "fromV"),
+            litLong(exprs(2), "snapshot_changes", "toV"))
+            .queryExecution.logical
+        }))
+
+  /** Per-session registration of the table functions, for sessions
+    * built WITHOUT `spark.sql.extensions` (the programmatic analog of
+    * the scalar functions' per-session `register(spark)` helpers).
+    */
+  def registerTableFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    tableFunctions.foreach { case (id, inf, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(
+        id, inf, builder(_))
+    }
 }

@@ -644,7 +644,10 @@ object Snapshots {
     */
   private case class Sidecars(
       changes: Option[DataFrame] = None,
-      refs: Seq[String] = Nil,
+      // reference paths as a single-column ("path") FRAME — a 100 TB
+      // table's reference list is file-count-sized and must not ride
+      // the driver on every metadata commit
+      refs: Option[DataFrame] = None,
       carriedManifest: Option[DataFrame] = None,
       morDeletes: Option[DataFrame] = None,
       posDeletes: Option[DataFrame] = None,
@@ -979,11 +982,8 @@ object Snapshots {
     // accumulation because positions are scoped to a single immutable file
     sidecars.posDeletes.foreach(
       _.write.mode("overwrite").parquet(s"$stageDir/_pos_deletes"))
-    if (sidecars.refs.nonEmpty) {
-      import spark.implicits._
-      sidecars.refs.toDF("path").coalesce(1)
-        .write.mode("overwrite").parquet(s"$stageDir/_refs")
-    }
+    sidecars.refs.foreach(_.select(col("path")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stageDir/_refs"))
     new Path(stageDir)
   }
 
@@ -1982,81 +1982,50 @@ object Snapshots {
         require(!fc(spark).util().exists(new Path(s"$snapDir/_pos_deletes")),
           s"scoped merge on $tableDir with pending positional delete " +
             "vectors: fold them first (compact or an unscoped write)")
-        val manifest = spark.read.parquet(manifestDir(snapDir))
-        // key columns arrive logical; the manifest's stats are physical
+        // the touched/untouched decision runs IN SPARK over the
+        // (rebased) manifest frame: only the TOUCHED selection — the
+        // small side of a scoped CDC merge by construction — reaches
+        // the driver, as the FileStatus list the pruned scan needs
+        // anyway. The untouched majority stays a frame end to end:
+        // carried manifest rows and the reference list write back
+        // without ever materializing O(table files) on the driver.
         val pairs = mapAt(spark, tableDir, base)
         val pkey = key.map(k => k -> physicalOf(pairs, k))
+        val rebased = carriedManifestOf(spark, tableDir, base).get
         // the update-key envelope: 2·|key| scalars to the driver
         val envAggs = key.flatMap(k => Seq(min(col(k)), max(col(k))))
         val env = updates.agg(envAggs.head, envAggs.tail: _*).head()
         val bounds = key.indices.map(i => (env.get(2 * i), env.get(2 * i + 1)))
-        val files = manifest.collect()
         // composite intersection: touched iff EVERY key column's file
-        // interval intersects that column's update envelope. A column
-        // whose update envelope is all-NULL means no update row carries
-        // a complete key (equi-join on the full key can match nothing)
-        // → every file is carried untouched.
-        val (touched, untouched) =
-          if (bounds.exists(_._1 == null))
-            (Array.empty[org.apache.spark.sql.Row], files)
-          else files.partition { r =>
-            pkey.zip(bounds).forall { case ((_, pk), (lo, hi)) =>
-              val mn = r.getAs[Any](s"min_$pk")
-              val mx = r.getAs[Any](s"max_$pk")
-              // NULL stats (all-null key in that file) can never match
-              // an equi-key update → safe to carry untouched
-              mn != null && mx != null &&
-                compareStats(mx, lo) >= 0 && compareStats(mn, hi) <= 0
-            }
-          }
-        def rebase(f: String): String =
-          if (f.contains("/")) f else s"snap-$base/$f"
-        val touchedPaths = touched.map(r =>
-          absoluteDataPath(tableDir, rebase(r.getAs[String]("file"))))
+        // interval intersects that column's update envelope. NULL
+        // stats (all-null key in that file) can never match an
+        // equi-key update — the isNotNull guards park those rows on
+        // the carried side. A column whose update envelope is all-NULL
+        // means no update row carries a complete key (equi-join on the
+        // full key can match nothing) → every file is carried
+        // untouched. Literal comparisons coerce across the narrow/wide
+        // manifest generations type widening creates.
+        val touchCond = pkey.zip(bounds).map { case ((_, pk), (lo, hi)) =>
+          col(s"min_$pk").isNotNull && col(s"max_$pk").isNotNull &&
+            col(s"max_$pk") >= lit(lo) && col(s"min_$pk") <= lit(hi)
+        }.reduce(_ && _)
+        val noCompleteKey = bounds.exists(_._1 == null)
+        val touchedSel =
+          if (noCompleteKey) rebased.limit(0) else rebased.filter(touchCond)
+        val untouchedSel =
+          if (noCompleteKey) rebased else rebased.filter(!touchCond)
         val touchedRows =
-          if (touchedPaths.isEmpty) cur.limit(0)
-          // raw file scan (widened schema pinned) → present under
-          // logical names before the logical-keyed anti-join
-          else mapLogical(
-            readParquetRaw(spark, pairs, touchedPaths.toIndexedSeq), pairs)
+          prunedScan(spark, tableDir, snapDir, touchedSel, pairs)
+            // pruned raw scan (widened schema pinned) → logical names
+            // before the logical-keyed anti-join
+            .map(raw => mapLogical(raw, pairs))
+            .getOrElse(cur.limit(0))
         val merged = touchedRows.join(updates, key, "left_anti").unionByName(updates)
-        val refs = untouched.map(r => rebase(r.getAs[String]("file"))).toIndexedSeq
-        val fileIdx = manifest.columns.indexOf("file")
-        val carried =
-          if (untouched.isEmpty) None
-          else Some(spark.createDataFrame(
-            java.util.Arrays.asList(untouched.map(r =>
-              org.apache.spark.sql.Row.fromSeq(
-                r.toSeq.updated(fileIdx, rebase(r.getString(fileIdx))))): _*),
-            manifest.schema))
-        (merged, Sidecars(changes = feed, refs = refs, carriedManifest = carried))
+        (merged, Sidecars(changes = feed,
+          refs = Some(untouchedSel.select(col("file").as("path"))),
+          carriedManifest = Some(untouchedSel)))
       }
     }
-  }
-
-  /** Compare manifest stat values of the (few) native orderable types
-    * a stats column can hold — the same comparison the range filter in
-    * [[selectFiles]] does, but driver-side for the scoped-merge file
-    * partition.
-    */
-  private def ordering(x: Any): Comparable[Any] =
-    x.asInstanceOf[Comparable[Any]]
-
-  /** Driver-side stat comparison, tolerant of the ONE legitimate
-    * cross-class case: after [[widenColumn]], manifest rows carried
-    * from pre-widening versions hold the narrow boxed type while probe
-    * literals (and fresh manifest rows) hold the wide one. Numeric
-    * classes that differ compare through double — exact here, because
-    * the widening whitelist only mixes a ≤32-bit narrow type with its
-    * wide form, and every ≤32-bit value is exactly representable in a
-    * double (a wide value beyond 2^53 rounds, but cannot cross a
-    * ≤32-bit bound). Same-class values keep the exact compareTo.
-    */
-  private def compareStats(a: Any, b: Any): Int = (a, b) match {
-    case (x: java.lang.Number, y: java.lang.Number)
-        if x.getClass != y.getClass =>
-      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-    case _ => ordering(a).compareTo(b)
   }
 
   /** Copy-on-write DELETE: rows where `predicate` is TRUE are dropped;
@@ -2133,73 +2102,53 @@ object Snapshots {
         require(!ctx.util().exists(new Path(s"$snapDir/_pos_deletes")),
           s"deleteRange on $tableDir with pending positional delete " +
             "vectors: fold them first (compact or an unscoped write)")
-        val manifest = spark.read.parquet(manifestDir(snapDir))
-        // the probe column arrives logical; manifest stats and raw file
-        // rows are physical — fates and the rewrite filter use the
-        // physical name, and the rewritten rows are presented logically
-        // before staging (the staging convention)
+        // fates run IN SPARK over the rebased manifest frame: only the
+        // selections that must be READ reach the driver (straddlers
+        // always — O(boundary files); dropped files only under
+        // recordChanges, the documented price of CDF on an otherwise
+        // metadata-sized commit). Carried rows — the bulk of a
+        // retention delete on a big table — stay a frame end to end.
         val pairs = mapAt(spark, tableDir, base)
         val ph = physicalOf(pairs, column)
-        val hasNullStat = manifest.columns.contains(s"nulls_$ph")
-        val files = manifest.collect()
-        def rebase(f: String): String =
-          if (f.contains("/")) f else s"snap-$base/$f"
-        sealed trait Fate
-        object Carry extends Fate; object Drop extends Fate
-        object Rewrite extends Fate
-        def fate(r: org.apache.spark.sql.Row): Fate = {
-          val mn = r.getAs[Any](s"min_$ph")
-          val mx = r.getAs[Any](s"max_$ph")
-          if (mn == null || mx == null) Carry // only NULLs: DELETE keeps them
-          else {
-            val disjoint =
-              (lo != null && compareStats(mx, lo) < 0) ||
-                (hi != null && compareStats(mn, hi) > 0)
-            if (disjoint) Carry
-            else {
-              val contained =
-                (lo == null || compareStats(mn, lo) >= 0) &&
-                  (hi == null || compareStats(mx, hi) <= 0)
-              if (contained && hasNullStat &&
-                  r.getAs[Long](s"nulls_$ph") == 0L) Drop
-              else Rewrite
-            }
-          }
-        }
-        val byFate = files.groupBy(fate)
-        val carried = byFate.getOrElse(Carry, Array.empty)
-        val dropped = byFate.getOrElse(Drop, Array.empty)
-        val straddlers = byFate.getOrElse(Rewrite, Array.empty)
-        def paths(rs: Array[org.apache.spark.sql.Row]) =
-          rs.map(r =>
-            absoluteDataPath(tableDir, rebase(r.getAs[String]("file")))).toIndexedSeq
+        val rebased = carriedManifestOf(spark, tableDir, base).get
+        val hasNullStat = rebased.columns.contains(s"nulls_$ph")
+        val mn = col(s"min_$ph"); val mx = col(s"max_$ph")
+        // all-NULL stats → the file holds only NULLs, which SQL DELETE
+        // keeps; literal comparisons coerce across narrow/wide manifest
+        // generations (type widening)
+        val disjoint =
+          (if (lo == null) lit(false) else mx < lit(lo)) ||
+            (if (hi == null) lit(false) else mn > lit(hi))
+        val carryCond = mn.isNull || mx.isNull || disjoint
+        val contained =
+          (if (lo == null) lit(true) else mn >= lit(lo)) &&
+            (if (hi == null) lit(true) else mx <= lit(hi))
+        // a NULL nulls_ stat (legacy carried row from a pre-nulls
+        // chain) means UNKNOWN — the metadata-only drop is only sound
+        // when the zero is a recorded fact, so such files rewrite
+        val dropCond = !carryCond && contained &&
+          (if (hasNullStat) coalesce(col(s"nulls_$ph") === 0L, lit(false))
+           else lit(false))
+        val carriedSel = rebased.filter(carryCond)
+        val droppedSel = rebased.filter(dropCond)
+        val straddlerSel = rebased.filter(!carryCond && !dropCond)
         val c = col(ph)
         val matches = (if (lo == null) lit(true) else c >= lit(lo)) &&
           (if (hi == null) lit(true) else c <= lit(hi))
-        val kept =
-          if (straddlers.isEmpty) cur.limit(0)
-          else mapLogical(readParquetRaw(spark, pairs, paths(straddlers))
-            .filter(!coalesce(matches, lit(false))), pairs)
+        val kept = prunedScan(spark, tableDir, snapDir, straddlerSel, pairs)
+          .map(raw => mapLogical(raw.filter(!coalesce(matches, lit(false))), pairs))
+          .getOrElse(cur.limit(0))
         val feed = if (!recordChanges) None else Some {
-          val doomed = paths(dropped) ++ paths(straddlers)
-          val gone =
-            if (doomed.isEmpty) cur.limit(0)
-            else mapLogical(readParquetRaw(spark, pairs, doomed)
-              .filter(coalesce(matches, lit(false))), pairs)
+          val gone = prunedScan(spark, tableDir, snapDir,
+              droppedSel.unionByName(straddlerSel), pairs)
+            .map(raw => mapLogical(raw.filter(coalesce(matches, lit(false))), pairs))
+            .getOrElse(cur.limit(0))
           gone.select(lit("delete").as("change_type") +:
             gone.columns.toSeq.map(col): _*)
         }
-        val refs = carried.map(r => rebase(r.getAs[String]("file"))).toIndexedSeq
-        val fileIdx = manifest.columns.indexOf("file")
-        val carriedM =
-          if (carried.isEmpty) None
-          else Some(spark.createDataFrame(
-            java.util.Arrays.asList(carried.map(r =>
-              org.apache.spark.sql.Row.fromSeq(
-                r.toSeq.updated(fileIdx, rebase(r.getString(fileIdx))))): _*),
-            manifest.schema))
-        (kept, Sidecars(changes = feed, refs = refs,
-          carriedManifest = carriedM))
+        (kept, Sidecars(changes = feed,
+          refs = Some(carriedSel.select(col("file").as("path"))),
+          carriedManifest = Some(carriedSel)))
     }
   }
 
@@ -2269,7 +2218,7 @@ object Snapshots {
       // pure-reference sidecars as already-physical — carried sets must
       // not be re-unmapped under a freed-name-reuse map)
       (cur.limit(0),
-        Sidecars(changes = feed, refs = rootRelativeFiles(spark, tableDir, base),
+        Sidecars(changes = feed, refs = Some(rootRelativeFiles(spark, tableDir, base)),
           carriedManifest = carriedManifestOf(spark, tableDir, base),
           morDeletes = Some(unmapToPhysical(dels, morMap)),
           posDeletes = posCarry,
@@ -2277,11 +2226,17 @@ object Snapshots {
     }
   }
 
-  /** A version's data files as table-root-relative reference paths:
-    * own files rebased under their snapshot dir, inherited refs verbatim.
+  /** A version's data files as table-root-relative reference paths —
+    * a DATAFRAME, never a driver-side list: own files (one driver
+    * directory listing, O(this commit's own files) — bounded by a
+    * single write's fan-out, not table size) unioned with the
+    * inherited `_refs` sidecar read AS-IS. A pure-reference commit on
+    * a 10⁶-file table therefore re-publishes its reference list
+    * without ever materializing 10⁶ paths on the driver.
     */
   private def rootRelativeFiles(
-      spark: SparkSession, tableDir: String, v: Long): Seq[String] = {
+      spark: SparkSession, tableDir: String, v: Long): DataFrame = {
+    import spark.implicits._
     val snapDir = s"$tableDir/snap-$v"
     val ctx = fc(spark)
     val own = ctx.util().listStatus(new Path(snapDir)).iterator
@@ -2289,31 +2244,25 @@ object Snapshots {
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.map(st => s"snap-$v/${st.getPath.getName}").toSeq
-    val inherited =
-      if (!ctx.util().exists(new Path(s"$snapDir/_refs"))) Nil
-      else spark.read.parquet(s"$snapDir/_refs")
-        .collect().map(_.getString(0)).toSeq
-    own ++ inherited
+    val ownDf = own.toDF("path")
+    if (!ctx.util().exists(new Path(s"$snapDir/_refs"))) ownDf
+    else ownDf.unionByName(
+      spark.read.parquet(s"$snapDir/_refs").select(col("path")))
   }
 
   /** A version's stats manifest with its file paths rebased to
     * table-root-relative form — the carry every pure-reference commit
     * republishes so file skipping keeps covering the shared layout.
+    * Pure column transform — the manifest never rides the driver.
     */
   private def carriedManifestOf(
       spark: SparkSession, tableDir: String, v: Long): Option[DataFrame] = {
     val snapDir = s"$tableDir/snap-$v"
     if (!fc(spark).util().exists(new Path(manifestDir(snapDir)))) None
-    else {
-      val m = spark.read.parquet(manifestDir(snapDir))
-      val fileIdx = m.columns.indexOf("file")
-      Some(spark.createDataFrame(
-        java.util.Arrays.asList(m.collect().map { r =>
-          val f = r.getString(fileIdx)
-          val rebased = if (f.contains("/")) f else s"snap-$v/$f"
-          org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(fileIdx, rebased))
-        }: _*), m.schema))
-    }
+    else Some(spark.read.parquet(manifestDir(snapDir))
+      .withColumn("file",
+        when(col("file").contains("/"), col("file"))
+          .otherwise(concat(lit(s"snap-$v/"), col("file")))))
   }
 
   /** MERGE-ON-READ upsert (the positional-deletion-vector MERGE of the
@@ -2395,7 +2344,7 @@ object Snapshots {
           .distinct()
       (ups,
         Sidecars(changes = feed,
-          refs = rootRelativeFiles(spark, tableDir, base),
+          refs = Some(rootRelativeFiles(spark, tableDir, base)),
           carriedManifest = carriedManifestOf(spark, tableDir, base),
           posDeletes = Some(dels)))
     }
@@ -2442,7 +2391,7 @@ object Snapshots {
       }
       (readVersionRaw(spark, tableDir, toVersion).limit(0),
         Sidecars(
-          refs = rootRelativeFiles(spark, tableDir, toVersion),
+          refs = Some(rootRelativeFiles(spark, tableDir, toVersion)),
           carriedManifest = carriedManifestOf(spark, tableDir, toVersion),
           morDeletes = sidecar("_mor_deletes"),
           posDeletes = sidecar("_pos_deletes"),
@@ -2659,7 +2608,7 @@ object Snapshots {
       lit("ddl").cast("string").as("change_type") +:
         raw.columns.toSeq.map(col): _*)
     Sidecars(
-      refs = rootRelativeFiles(spark, tableDir, base),
+      refs = Some(rootRelativeFiles(spark, tableDir, base)),
       carriedManifest = carriedManifestOf(spark, tableDir, base),
       morDeletes = sidecar("_mor_deletes"),
       posDeletes = sidecar("_pos_deletes"),
@@ -2741,7 +2690,10 @@ object Snapshots {
       else Some(spark.read.parquet(p.toString))
     }
     val absRefs = rootRelativeFiles(spark, srcTableDir, v)
-      .map(f => absoluteDataPath(qSrc, f))
+      .withColumn("path",
+        when(col("path").startsWith("/") || col("path").contains(":/"),
+          col("path"))
+          .otherwise(concat_ws("/", lit(qSrc), col("path"))))
     val absManifest = carriedManifestOf(spark, srcTableDir, v).map(m =>
       m.withColumn("file",
         when(col("file").startsWith("/") || col("file").contains(":/"),
@@ -2751,7 +2703,7 @@ object Snapshots {
     val staged = stage(spark,
       readVersionRaw(spark, srcTableDir, v).limit(0), dstTableDir, Nil, Nil,
       Sidecars(
-        refs = absRefs,
+        refs = Some(absRefs),
         carriedManifest = absManifest,
         morDeletes = sidecar("_mor_deletes"),
         posDeletes = sidecar("_pos_deletes"),
@@ -2837,7 +2789,7 @@ object Snapshots {
       }
       (rows.select(cur0.columns.map(col).toIndexedSeq: _*),
         Sidecars(
-          refs = rootRelativeFiles(spark, tableDir, base),
+          refs = Some(rootRelativeFiles(spark, tableDir, base)),
           carriedManifest = carried,
           morDeletes = sidecar("_mor_deletes"),
           posDeletes = sidecar("_pos_deletes")))
@@ -2994,21 +2946,28 @@ object Snapshots {
       s"targetFileBytes=$targetFileBytes below minFileBytes=$minFileBytes " +
         "would re-create the small files it is repacking")
     val ctx = fc(spark)
+    // the small/large split runs IN SPARK over the rebased manifest:
+    // the driver sees only the small-file stats it needs to size the
+    // repack (count + byte sum — two scalars) and the pruned-scan
+    // FileStatus list of the small files themselves; the healthy
+    // majority of a 10⁶-file table stays a frame end to end
     def selection(base: Long) = {
       val snapDir = s"$tableDir/snap-$base"
       require(ctx.util().exists(new Path(manifestDir(snapDir))),
         s"bin-pack compaction selects files from the manifest — version " +
           s"$base of $tableDir has none (commit with statsColumns first)")
-      val manifest = spark.read.parquet(manifestDir(snapDir))
-      require(manifest.columns.contains("size_bytes"),
+      val rebased = carriedManifestOf(spark, tableDir, base).get
+      require(rebased.columns.contains("size_bytes"),
         s"version $base of $tableDir predates size-bearing manifests — " +
           "run a full compact() once to refresh")
-      (manifest, manifest.collect()
-        .partition(_.getAs[Long]("size_bytes") < minFileBytes))
+      val smallSel = rebased.filter(col("size_bytes") < minFileBytes)
+      val stats = smallSel
+        .agg(count(lit(1)), coalesce(sum("size_bytes"), lit(0L))).head()
+      (rebased, smallSel, stats.getLong(0), stats.getLong(1))
     }
     val tip = version(spark, tableDir)
     require(tip >= 1, s"no committed snapshot in $tableDir")
-    if (selection(tip)._2._1.length < 2) return tip
+    if (selection(tip)._3 < 2) return tip
     occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) {
       (base, cur) =>
         val snapDir = s"$tableDir/snap-$base"
@@ -3021,38 +2980,26 @@ object Snapshots {
         require(!ctx.util().exists(new Path(s"$snapDir/_pos_deletes")),
           s"bin-pack compaction on $tableDir with pending positional " +
             "delete vectors: fold them first (full compact or rewrite)")
-        val (manifest, (small, large)) = selection(base)
-        def rebase(f: String): String =
-          if (f.contains("/")) f else s"snap-$base/$f"
-        val smallPaths =
-          small.map(r =>
-            absoluteDataPath(tableDir, rebase(r.getAs[String]("file"))))
+        val (rebased, smallSel, nSmall, smallBytes) = selection(base)
+        val largeSel = rebased.filter(col("size_bytes") >= minFileBytes)
+        val bm = mapAt(spark, tableDir, base)
         val repacked =
-          if (smallPaths.isEmpty) cur.limit(0)
+          if (nSmall == 0) cur.limit(0)
           else {
-            val bytes = small.map(_.getAs[Long]("size_bytes")).sum
             val nFiles = math.max(1L,
-              (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+              (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
             // coalesce, not repartition: concatenating small files is a
             // NARROW op — no shuffle; on a spec'd table stage's own
             // transform clustering supersedes this layout anyway.
             // Presented logically (staging convention) — stage
             // normalizes back to the physical on-disk schema.
-            val bm = mapAt(spark, tableDir, base)
-            mapLogical(
-              readParquetRaw(spark, bm, smallPaths.toIndexedSeq)
-                .coalesce(nFiles), bm)
+            prunedScan(spark, tableDir, snapDir, smallSel, bm)
+              .map(raw => mapLogical(raw.coalesce(nFiles), bm))
+              .getOrElse(cur.limit(0))
           }
-        val refs = large.map(r => rebase(r.getAs[String]("file"))).toIndexedSeq
-        val fileIdx = manifest.columns.indexOf("file")
-        val carried =
-          if (large.isEmpty) None
-          else Some(spark.createDataFrame(
-            java.util.Arrays.asList(large.map(r =>
-              org.apache.spark.sql.Row.fromSeq(
-                r.toSeq.updated(fileIdx, rebase(r.getString(fileIdx))))): _*),
-            manifest.schema))
-        (repacked, Sidecars(refs = refs, carriedManifest = carried))
+        (repacked, Sidecars(
+          refs = Some(largeSel.select(col("file").as("path"))),
+          carriedManifest = Some(largeSel)))
     }
   }
 
@@ -3319,7 +3266,7 @@ object Snapshots {
     val staged = stage(spark,
       readVersionRaw(spark, tableDir, src).limit(0), tableDir, Nil, Nil,
       Sidecars(
-        refs = rootRelativeFiles(spark, tableDir, src),
+        refs = Some(rootRelativeFiles(spark, tableDir, src)),
         carriedManifest = carriedManifestOf(spark, tableDir, src),
         morDeletes = sidecar("_mor_deletes"),
         posDeletes = sidecar("_pos_deletes"),

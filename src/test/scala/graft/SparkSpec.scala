@@ -21,6 +21,10 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the shared test session is built without spark.sql.extensions
+    // (getOrCreate may reuse a pre-extension context); register the
+    // SQL table functions programmatically so entries using them plan
+    GraftExtensions.registerTableFunctions(s)
     s
   }
 }
