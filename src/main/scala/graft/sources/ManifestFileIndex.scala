@@ -39,8 +39,18 @@ final class ManifestFileIndex(
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
     Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
 
+  // render the EMPTY-authority URI form Spark's own listing produces
+  // ("file:///x", not Hadoop Path's "file:/x") so inputFiles of
+  // manifest-backed and listing-backed scans compare EQUAL — the
+  // file-identity contract the file-sharing specs assert on. Hadoop
+  // Path cannot carry an empty authority, so this is string-level.
   override def inputFiles: Array[String] =
-    statuses.map(_.getPath.toString).toArray
+    statuses.map { st =>
+      val u = st.getPath.toUri
+      if (u.getScheme == null) st.getPath.toString
+      else u.getScheme + "://" + Option(u.getAuthority).getOrElse("") +
+        u.getPath
+    }.toArray
 
   override def refresh(): Unit = ()
 

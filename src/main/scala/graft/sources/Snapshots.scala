@@ -1243,9 +1243,22 @@ object Snapshots {
     require(v >= 1, s"no committed snapshot (version $v) in $tableDir")
     val snapDir = s"$tableDir/snap-$v"
     val ctx = fc(spark)
+    val hasRefs = ctx.util().exists(new Path(s"$snapDir/_refs"))
     val base =
-      if (!ctx.util().exists(new Path(s"$snapDir/_refs")))
+      if (!hasRefs)
         readParquetRaw(spark, m, Seq(snapDir))
+      else if (ctx.util().exists(new Path(manifestDir(snapDir))))
+        // ref-carrying snapshot WITH a manifest: plan the full scan
+        // through the manifest-backed FileIndex — path + committed
+        // size per file, no per-file filesystem re-listing (the cost
+        // `spark.read.parquet(paths: _*)` pays once per file at
+        // planning). The pure-reference marker file is not in the
+        // manifest, but it holds zero rows by construction. A row-less
+        // manifest (everything deleted) falls back to the path list,
+        // which still supplies the schema via the marker.
+        prunedScan(spark, tableDir, snapDir,
+            manifestLeaves(spark, snapDir, _ => None), m)
+          .getOrElse(readParquetRaw(spark, m, dataFiles(spark, tableDir, v)))
       else readParquetRaw(spark, m, dataFiles(spark, tableDir, v))
     // merge-on-read: a snapshot may carry delete sidecars instead of
     // rewritten data files; every reader applies them (positional
