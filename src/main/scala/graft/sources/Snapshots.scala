@@ -2437,8 +2437,9 @@ object Snapshots {
     require(to.nonEmpty && !to.contains(".") && !to.contains("/"),
       s"bad column name '$to'")
     val ctx = fc(spark)
-    occLoop(spark, tableDir, Nil, Nil, maxRetries) { (base, _) =>
-      val cm = effectiveMap(spark, tableDir, base)
+    ddlLoop(spark, tableDir, maxRetries) { base =>
+      val raw = readVersionRaw(spark, tableDir, base)
+      val cm = effectiveMap(spark, tableDir, base, raw)
       require(cm.pairs.exists(_._1 == from),
         s"no column '$from' on $tableDir " +
           s"(columns: ${cm.pairs.map(_._1).mkString(", ")})")
@@ -2448,8 +2449,8 @@ object Snapshots {
         (if (lg == from) to else lg, ph) })
       // stage from the RAW schema: the commit's (empty) own parquet
       // must carry physical names so mixed-footer reads never fork
-      (readVersionRaw(spark, tableDir, base).limit(0),
-        pureRefSidecars(spark, ctx, tableDir, base)
+      (raw.limit(0),
+        pureRefSidecars(spark, ctx, tableDir, base, raw)
           .copy(columnMap = Some(columnMapDf(spark, renamed))))
     }
   }
@@ -2473,9 +2474,10 @@ object Snapshots {
       name: String,
       maxRetries: Int = 10): Long = {
     val ctx = fc(spark)
-    occLoop(spark, tableDir, Nil, Nil, maxRetries) { (base, _) =>
+    ddlLoop(spark, tableDir, maxRetries) { base =>
       val snapDir = s"$tableDir/snap-$base"
-      val cm = effectiveMap(spark, tableDir, base)
+      val raw = readVersionRaw(spark, tableDir, base)
+      val cm = effectiveMap(spark, tableDir, base, raw)
       require(cm.pairs.exists(_._1 == name),
         s"no column '$name' on $tableDir " +
           s"(columns: ${cm.pairs.map(_._1).mkString(", ")})")
@@ -2507,8 +2509,8 @@ object Snapshots {
           "evolve the spec first")
       // copy, not construct: `widened` must survive the drop — losing
       // it would stop pinning wide schemas and break mixed-file scans
-      (readVersionRaw(spark, tableDir, base).limit(0),
-        pureRefSidecars(spark, ctx, tableDir, base)
+      (raw.limit(0),
+        pureRefSidecars(spark, ctx, tableDir, base, raw)
           .copy(columnMap = Some(columnMapDf(spark, cm.copy(
             pairs = cm.pairs.filterNot(_._1 == name),
             dropped = (cm.dropped :+ ph).distinct,
@@ -2552,14 +2554,14 @@ object Snapshots {
       maxRetries: Int = 10): Long = {
     val ctx = fc(spark)
     val target = org.apache.spark.sql.types.DataType.fromDDL(toType)
-    occLoop(spark, tableDir, Nil, Nil, maxRetries) { (base, _) =>
+    ddlLoop(spark, tableDir, maxRetries) { base =>
       val snapDir = s"$tableDir/snap-$base"
-      val cm = effectiveMap(spark, tableDir, base)
+      val raw = readVersionRaw(spark, tableDir, base)
+      val cm = effectiveMap(spark, tableDir, base, raw)
       require(cm.pairs.exists(_._1 == name),
         s"no column '$name' on $tableDir " +
           s"(columns: ${cm.pairs.map(_._1).mkString(", ")})")
       val ph = cm.pairs.find(_._1 == name).get._2
-      val raw = readVersionRaw(spark, tableDir, base)
       val cur = raw.schema(ph).dataType.simpleString
       val tgt = target.simpleString
       require(cur != tgt, s"column '$name' is already $tgt")
@@ -2580,7 +2582,7 @@ object Snapshots {
         s"cannot widen '$name': a bucket partition transform hashes it " +
           "and xxhash64 is type-sensitive — evolve the spec first")
       (raw.limit(0),
-        pureRefSidecars(spark, ctx, tableDir, base)
+        pureRefSidecars(spark, ctx, tableDir, base, raw)
           .copy(columnMap = Some(columnMapDf(spark, cm.copy(widened =
             cm.widened.filterNot(_._1 == ph) :+ (ph -> tgt))))))
     }
@@ -2591,12 +2593,40 @@ object Snapshots {
     * renameable/droppable too. Dropped physicals never re-enter.
     */
   private def effectiveMap(
-      spark: SparkSession, tableDir: String, v: Long): ColMap = {
+      spark: SparkSession,
+      tableDir: String,
+      v: Long,
+      raw: DataFrame): ColMap = {
     val existing = mapAt(spark, tableDir, v).getOrElse(ColMap(Nil, Nil))
     val covered = existing.pairs.map(_._2).toSet ++ existing.dropped
-    val raw = readVersionRaw(spark, tableDir, v).schema.fieldNames.toSeq
-    existing.copy(pairs =
-      existing.pairs ++ raw.filterNot(covered).map(c => (c, c)))
+    existing.copy(pairs = existing.pairs ++
+      raw.schema.fieldNames.toSeq.filterNot(covered).map(c => (c, c)))
+  }
+
+  /** OCC loop for metadata-only DDL commits: no table read is built per
+    * attempt (the generic [[occLoop]] constructs one — analysis cost a
+    * pure-metadata commit never needs); spec inheritance matches
+    * [[occLoop]]'s. `fn` resolves the base's raw frame ONCE and reuses
+    * it for the map, the staged marker, and the empty feed.
+    */
+  private def ddlLoop(
+      spark: SparkSession,
+      tableDir: String,
+      maxRetries: Int)(fn: Long => (DataFrame, Sidecars)): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = version(spark, tableDir)
+      val (specsAll, curId) = partitionSpecs(spark, tableDir, base)
+      val spec = specsAll.find(_._1 == curId).map(_._2).getOrElse(Nil)
+      val (frame, sidecars) = fn(base)
+      commitIfVersionWith(spark, frame, tableDir, base, Nil, Nil, sidecars,
+        spec, allSpecs = specsAll, currentSpecId = curId) match {
+        case Some(v) => return v
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"DDL on $tableDir lost $maxRetries optimistic races; giving up")
   }
 
   /** The standard carry set of a metadata-only DDL commit: every file
@@ -2609,14 +2639,14 @@ object Snapshots {
       spark: SparkSession,
       ctx: FileContext,
       tableDir: String,
-      base: Long): Sidecars = {
+      base: Long,
+      raw: DataFrame): Sidecars = {
     val snapDir = s"$tableDir/snap-$base"
     def sidecar(name: String): Option[DataFrame] = {
       val p = new Path(s"$snapDir/$name")
       if (!ctx.util().exists(p)) None
       else Some(spark.read.parquet(p.toString))
     }
-    val raw = readVersionRaw(spark, tableDir, base)
     val emptyFeed = raw.limit(0).select(
       lit("ddl").cast("string").as("change_type") +:
         raw.columns.toSeq.map(col): _*)
@@ -2642,13 +2672,14 @@ object Snapshots {
       name: String,
       maxRetries: Int = 10): Long = {
     val ctx = fc(spark)
-    occLoop(spark, tableDir, Nil, Nil, maxRetries) { (base, _) =>
+    ddlLoop(spark, tableDir, maxRetries) { base =>
       val cur = loadExpectations(spark, ctx, tableDir, base)
       require(cur.exists(_._1 == name),
         s"no expectation '$name' on $tableDir " +
           s"(declared: ${cur.map(_._1).mkString(", ")})")
-      (readVersionRaw(spark, tableDir, base).limit(0),
-        pureRefSidecars(spark, ctx, tableDir, base)
+      val raw = readVersionRaw(spark, tableDir, base)
+      (raw.limit(0),
+        pureRefSidecars(spark, ctx, tableDir, base, raw)
           .copy(expectations = Some(cur.filterNot(_._1 == name))))
     }
   }
@@ -2661,7 +2692,7 @@ object Snapshots {
       spark: SparkSession, tableDir: String): Seq[(String, String)] = {
     val v = version(spark, tableDir)
     require(v >= 1, s"no committed snapshot in $tableDir")
-    effectiveMap(spark, tableDir, v).pairs
+    effectiveMap(spark, tableDir, v, readVersionRaw(spark, tableDir, v)).pairs
   }
 
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`, an Iceberg
