@@ -142,11 +142,22 @@ object Corpus {
     * whose running token sum stays within the budget. Unlisted sources
     * are excluded (the weights ARE the mixture). Output carries
     * `(doc_id, source, n_tokens, cum_tokens)` so the consumer can
-    * audit the budget arithmetic. The per-source running sum is a
-    * window over the source partition — fine while any single source's
-    * document count fits a task's sort; a 10⁹-doc source wants the
-    * two-pass sharded prefix sum [[pack]] uses (per-shard subtotals
-    * broadcast back) — same greedy-prefix contract, flat parallelism.
+    * audit the budget arithmetic.
+    *
+    * Scale shape — two-pass distributed prefix scan, NOT a per-source
+    * window (which would plan one task per source over that source's
+    * entire corpus): the top 4 bits of the 60-bit md5 draw give every
+    * row an ORDER-PRESERVING range bucket (`shiftright(rnd, 56)` —
+    * rnd1 ≤ rnd2 ⇒ bucket1 ≤ bucket2, so concatenating buckets in
+    * order reproduces the exact per-source (rnd, doc_id) order). Pass
+    * 1 hash-aggregates per-(source, bucket) token subtotals
+    * (#sources × 16 rows — broadcast-small at any corpus size); an
+    * exclusive per-source running sum over that tiny frame yields each
+    * bucket's starting offset. Pass 2 windows WITHIN (source, bucket)
+    * — each task holds ~1/16 of one source, bounded regardless of how
+    * skewed the source sizes are — and adds the broadcast offset. Same
+    * greedy-prefix contract as the single window, flat parallelism;
+    * two scans of the text, the prefix-scan minimum.
     */
   def tokenBudgetMix(
       docs: DataFrame,
@@ -164,15 +175,35 @@ object Corpus {
     val draw = conv(substring(
       md5(concat(lit("mix:"), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long")
-    val win = Window.partitionBy("source").orderBy(col("rnd"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spread(docs)
+    val base = spread(docs)
       .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
         size(split(lower(trim(col(textCol))), "\\s+")).cast("long")
           .as("n_tokens"),
         draw.as("rnd"))
       .join(broadcast(weights.toDF("source", "w")), "source")
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      // order-preserving range bucket: rnd < 16^15 = 2^60, so the top
+      // 4 bits (>> 56) split each source's (rnd, doc_id) order into 16
+      // contiguous runs — exact, no sampling, layout-independent
+      .withColumn("bucket", shiftright(col("rnd"), 56))
+    // pass 1: per-(source, bucket) subtotals -> exclusive per-source
+    // prefix over the 16-row-per-source frame = each bucket's offset
+    val offsets = base.groupBy("source", "bucket")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("bucket_offset",
+        coalesce(
+          sum(col("bucket_tokens")).over(
+            Window.partitionBy("source").orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("source", "bucket", "bucket_offset")
+    // pass 2: the running sum is local to (source, bucket) — bounded
+    // tasks — plus the broadcast bucket offset
+    val winLocal = Window.partitionBy("source", "bucket")
+      .orderBy(col("rnd"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_tokens",
+        col("bucket_offset") + sum(col("n_tokens")).over(winLocal))
       .filter(col("cum_tokens") <= floor(col("w") * totalTokens))
       .select("doc_id", "source", "n_tokens", "cum_tokens")
   }

@@ -2519,7 +2519,8 @@ object PipelineQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS cum_tokens
         |  FROM t)
-        |SELECT doc_id, source, n_tokens, cum_tokens
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= floor(w * 2000)
         |ORDER BY source, doc_id""".stripMargin,
     "corpus_mix_sample" ->
