@@ -44,12 +44,15 @@ final class ManifestFileIndex(
   // manifest-backed and listing-backed scans compare EQUAL — the
   // file-identity contract the file-sharing specs assert on. Hadoop
   // Path cannot carry an empty authority, so this is string-level.
+  // getRawPath, not getPath: the DECODED path would render an escaped
+  // character (space, '%', '#') differently from Spark's listing and
+  // break that same equality for such file names.
   override def inputFiles: Array[String] =
     statuses.map { st =>
       val u = st.getPath.toUri
       if (u.getScheme == null) st.getPath.toString
       else u.getScheme + "://" + Option(u.getAuthority).getOrElse("") +
-        u.getPath
+        u.getRawPath
     }.toArray
 
   override def refresh(): Unit = ()

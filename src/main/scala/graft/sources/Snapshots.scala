@@ -1056,6 +1056,16 @@ object Snapshots {
       }
     }
 
+  /** Canonical content of a column-map sidecar for change detection:
+    * rows in `pos` order, columns in name order (older sidecars lack
+    * `dropped`/`read_type` — a schema difference fingerprints as a
+    * change, which only costs a benign re-stage). Driver-small by
+    * construction: one row per table column.
+    */
+  private def mapFingerprint(df: DataFrame): Seq[String] =
+    df.select(df.columns.sorted.map(col).toIndexedSeq: _*).orderBy("pos")
+      .collect().map(_.mkString(" ")).toSeq
+
   def commit(
       spark: SparkSession,
       df: DataFrame,
@@ -1066,35 +1076,60 @@ object Snapshots {
       commitMillis: Option[Long] = None,
       partitionSpec: Seq[Transform] = Nil): Long = {
     val ctx = fc(spark)
-    // effective expectations = the current table's, with same-named new
-    // declarations replacing old ones and fresh names appended; the
-    // staged snapshot both ENFORCES and RE-PUBLISHES the list, so the
-    // invariants follow the table through every subsequent commit
-    val curV = version(spark, tableDir)
-    val inherited = loadExpectations(spark, ctx, tableDir, curV)
-    val eff = inherited.filterNot(e =>
-      addExpectations.exists(_._1 == e._1)) ++ addExpectations
-    // the column map is table metadata like expectations: a plain
-    // commit re-publishes the current version's map (and normalizes
-    // its own rows through it)
-    val cmap =
-      if (curV < 1) None else columnMapDfAt(spark, s"$tableDir/snap-$curV")
-    val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
-      Sidecars(columnMap = cmap), eff, commitMillis,
-      toPhysicalSpec(cmap.map(fromMapDf), partitionSpec))
-    // claim: atomic no-overwrite rename — the commit point. Plain
-    // commit publishes a FULL table state, so any free version is
-    // acceptable and losers simply move to the next one; use
-    // [[commitIfVersion]]/[[transact]] when the new state was DERIVED
-    // from a read of the old one.
-    var v = version(spark, tableDir) + 1
-    while (!tryClaim(ctx, staged, new Path(tableDir, s"snap-$v"))) {
-      // another writer took v between our version() read and the
-      // rename — move past everything claimed by now and retry
-      v = math.max(v + 1, claimedVersion(ctx, tableDir) + 1)
+    var base = version(spark, tableDir)
+    while (true) {
+      // effective expectations = the current table's, with same-named
+      // new declarations replacing old ones and fresh names appended;
+      // the staged snapshot both ENFORCES and RE-PUBLISHES the list,
+      // so the invariants follow the table through every commit
+      val inherited = loadExpectations(spark, ctx, tableDir, base)
+      val eff = inherited.filterNot(e =>
+        addExpectations.exists(_._1 == e._1)) ++ addExpectations
+      // the column map is table metadata like expectations: a plain
+      // commit re-publishes the current version's map (and normalizes
+      // its own rows through it)
+      val cmap =
+        if (base < 1) None else columnMapDfAt(spark, s"$tableDir/snap-$base")
+      val baseMapFp = cmap.map(mapFingerprint)
+      val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
+        Sidecars(columnMap = cmap), eff, commitMillis,
+        toPhysicalSpec(cmap.map(fromMapDf), partitionSpec))
+      // claim: atomic no-overwrite rename — the commit point. Plain
+      // commit publishes a FULL table state, so any free version is
+      // acceptable for the DATA — but the staged snapshot also carries
+      // the table METADATA (column map + expectations) read at `base`.
+      // A concurrent DDL landing between that read and our claim must
+      // not be silently reverted by republishing the stale map at a
+      // higher version, so each lost claim re-checks the tip's
+      // metadata: unchanged → just move past the claimed versions;
+      // changed → discard the staged snapshot and re-stage from the
+      // new tip. Use [[commitIfVersion]]/[[transact]] when the new
+      // DATA was derived from a read of the old state.
+      var v = base + 1
+      var restage = false
+      while (!restage) {
+        if (tryClaim(ctx, staged, new Path(tableDir, s"snap-$v"))) {
+          refreshPointer(ctx, tableDir, v)
+          return v
+        }
+        val tip = claimedVersion(ctx, tableDir)
+        val tipExp = loadExpectations(spark, ctx, tableDir, tip)
+        val tipMapFp =
+          if (tip < 1) None
+          else columnMapDfAt(spark, s"$tableDir/snap-$tip").map(mapFingerprint)
+        if (tipExp == inherited && tipMapFp == baseMapFp) {
+          // pure data commit(s) landed — our metadata is still the
+          // table's; move past everything claimed by now and retry
+          v = math.max(v + 1, tip + 1)
+        } else {
+          try ctx.delete(staged, true)
+          catch { case _: java.io.IOException => () }
+          base = tip
+          restage = true
+        }
+      }
     }
-    refreshPointer(ctx, tableDir, v)
-    v
+    -1L // unreachable: the claim loop returns
   }
 
   /** Conditional commit (the compare-and-swap half of optimistic
@@ -2458,9 +2493,15 @@ object Snapshots {
   /** DROP COLUMN WITHOUT REWRITE: a metadata-only commit that carries
     * every file by reference and publishes a column map with the
     * column TOMBSTONED — readers hide it immediately (even though old
-    * files still store its bytes), subsequent rewrites (merge, delete,
-    * compact) physically shed it file by file, and its logical name is
-    * immediately reusable. This is Iceberg/Delta drop-column semantics:
+    * files still store its bytes), and subsequent rewrites (merge,
+    * delete, compact) physically shed it file by file. The dropped
+    * logical name is reusable as a RENAME TARGET only: [[stage]]
+    * refuses any write that directly re-introduces a column named
+    * like the dropped PHYSICAL name (for a never-renamed column that
+    * is the same string), because old files still carry bytes under
+    * it — re-add under a fresh name, then rename onto the freed one
+    * (RenameCloneSpec pins both sides). This is Iceberg/Delta
+    * drop-column semantics:
     * O(manifest) at any table size, with the physical bytes reclaimed
     * lazily by normal rewrite churn rather than an eager table rewrite.
     * Refused while table metadata still depends on the column: a
@@ -2521,8 +2562,9 @@ object Snapshots {
   /** Safe type promotions for [[widenColumn]] (Iceberg/Delta's
     * type-widening whitelist): every value of the narrow type is
     * exactly representable in the wide one, so old files' bytes read
-    * back unchanged. Narrow types stay ≤ 32 bits — that is also what
-    * keeps [[compareStats]]'s cross-class double comparison exact.
+    * back unchanged. Narrow types stay ≤ 32 bits — that also keeps
+    * mixed-width stat comparisons exact when Spark's literal/union
+    * type coercion widens them in the manifest filter conditions.
     */
   private val WidenOk: Map[String, Set[String]] = Map(
     "tinyint" -> Set("smallint", "int", "bigint", "double"),
@@ -2542,9 +2584,11 @@ object Snapshots {
     * type-sensitive: probes cast to the wide type would silently miss
     * every pre-widening file — a correctness bug, not a perf one) or a
     * partition-spec transform (bucket hashing is type-sensitive the
-    * same way). Range stats stay sound: min/max prune by VALUE, and
-    * mixed-generation manifest rows compare through
-    * [[compareStats]]'s exact numeric widening.
+    * same way). Range stats stay sound: min/max prune by VALUE —
+    * mixed-generation manifest rows meet the probe through Spark's own
+    * literal/union type coercion in the pruning filter conditions and
+    * through `unionByName` widening, both exact over the ≤ 32-bit
+    * narrow side.
     */
   def widenColumn(
       spark: SparkSession,

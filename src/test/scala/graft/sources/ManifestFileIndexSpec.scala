@@ -185,6 +185,31 @@ class ManifestFileIndexSpec extends SparkSpec {
     } finally spark.conf.unset(Snapshots.ManifestRowsPerLeafConf)
   }
 
+  test("inputFiles render URI-escapable paths like Spark's own listing") {
+    // a table directory with a space: the manifest-backed index must
+    // render its files in the ESCAPED listing form ("%20", parseable
+    // as a URI), byte-equal to what a plain listing-based scan reports
+    // — the file-identity equality the file-sharing specs rely on
+    val dir = new java.io.File(
+      Files.createTempDirectory("graft-mfi-esc").toFile, "with space").toString
+    val data = spark.range(0, 400).toDF("id")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    val v = Snapshots.commit(spark, data, dir, statsColumns = Seq("id"))
+    val pruned = Snapshots.readRange(spark, dir, "id", 0L, 399L)
+    val loc = pruned.queryExecution.optimizedPlan.collectFirst {
+      case LogicalRelation(HadoopFsRelation(l: ManifestFileIndex, _, _, _, _, _), _, _, _, _) => l
+    }
+    assert(loc.isDefined, "range read did not plan a ManifestFileIndex")
+    val listed = spark.read.parquet(s"$dir/snap-$v").inputFiles.sorted.toSeq
+    assert(loc.get.inputFiles.sorted.toSeq == listed,
+      s"manifest rendering diverged from listing:\n  ${loc.get.inputFiles.head}\n  ${listed.head}")
+    loc.get.inputFiles.foreach { f =>
+      assert(f.contains("%20") && !f.contains(" "), s"unescaped space in $f")
+      new java.net.URI(f) // must stay URI-parseable
+    }
+    assert(pruned.count() == 400L)
+  }
+
   test("single-leaf tables keep the flat layout and root totals agree") {
     val dir = Files.createTempDirectory("graft-mfi-flat").toString
     val data = spark.range(0, 800).toDF("id")

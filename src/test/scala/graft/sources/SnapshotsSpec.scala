@@ -962,6 +962,38 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir, 5L).collect().head.getLong(1) == 4L)
   }
 
+  test("plain commit racing a widen never reverts the DDL") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // a plain commit reads the table metadata (column map), stages,
+    // then claims — a DDL landing inside that window must not be
+    // silently reverted by the commit republishing the stale pre-DDL
+    // map at a higher version (the commit loop re-derives metadata on
+    // a lost claim). widenColumn is the racing DDL because its effect
+    // (read_type on 'keep') must survive EVERY interleaving, whatever
+    // columns the full-state-replacing plain commit writes: widen
+    // first → the commit inherits and republishes the widened map;
+    // commit first → widen's ddlLoop retries past the lost claim.
+    (1 to 2).foreach { round =>
+      val dir = Files.createTempDirectory(s"graft-snap-ddlrace$round").toString
+      Snapshots.commit(spark,
+        Seq((1L, 10), (2L, 20)).toDF("id", "keep"), dir)
+      val plain = Future {
+        Snapshots.commit(spark,
+          (0L until 50L).map(i => (i, i.toInt)).toDF("id", "keep"), dir)
+      }
+      val ddl = Future {
+        Thread.sleep(50L * round) // vary the interleaving per round
+        Snapshots.widenColumn(spark, dir, "keep", "bigint")
+      }
+      Await.result(Future.sequence(Seq(plain, ddl)), 5.minutes)
+      assert(Snapshots.read(spark, dir).schema("keep").dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"round $round: the widen was reverted by the racing plain commit")
+    }
+  }
+
   test("concurrent writers each claim a unique version; nothing is lost") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
