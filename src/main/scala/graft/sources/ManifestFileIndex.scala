@@ -63,24 +63,28 @@ final class ManifestFileIndex(
 object ManifestFileIndex {
 
   /** Plan a parquet scan over pre-selected files. The data schema is
-    * read from the FIRST file's footer — the same single-footer
-    * inference `spark.read.parquet` does with schema merging off.
-    * Files of a version may legitimately differ from the sampled
-    * footer in two bounded ways, both upcast-safe in Spark's parquet
-    * reader: a column DROPPED via the column map may be absent from
-    * post-drop files (reads as null, and the logical view hides it
-    * anyway), and a column WIDENED via the map may be physically
-    * narrow in pre-widening files — `widen` pins the declared wide
-    * type over whatever the sampled footer said, so the scan never
-    * depends on WHICH file was sampled.
+    * the COMMITTED one when the snapshot recorded it (`_schema`
+    * sidecar — zero planning jobs, no dependence on any particular
+    * file); pre-sidecar snapshots fall back to reading the FIRST
+    * file's footer, the same single-footer inference
+    * `spark.read.parquet` does with schema merging off. Files of a
+    * version may legitimately differ from that schema in two bounded
+    * ways, both upcast-safe in Spark's parquet reader: a column
+    * DROPPED via the column map may be absent from post-drop files
+    * (reads as null, and the logical view hides it anyway), and a
+    * column WIDENED via the map may be physically narrow in
+    * pre-widening files — `widen` pins the declared wide type over
+    * whatever the base schema said.
     */
   def scan(
       spark: SparkSession,
       statuses: Seq[FileStatus],
-      widen: Seq[(String, String)] = Nil): DataFrame = {
+      widen: Seq[(String, String)] = Nil,
+      committed: Option[StructType] = None): DataFrame = {
     require(statuses.nonEmpty, "empty file selection has no schema to scan")
-    val sampled = spark.read.parquet(statuses.head.getPath.toString).schema
-    val dataSchema = Snapshots.applyWiden(sampled, widen)
+    val base = committed.getOrElse(
+      spark.read.parquet(statuses.head.getPath.toString).schema)
+    val dataSchema = Snapshots.applyWiden(base, widen)
     val relation = HadoopFsRelation(
       location = new ManifestFileIndex(statuses),
       partitionSchema = new StructType(),

@@ -246,15 +246,22 @@ object Snapshots {
     val n = back.count()
     val leaves = math.max(1L, (n + perLeaf - 1) / perLeaf).toInt
     val orderCol = back.columns.find(_.startsWith("min_"))
-    if (leaves == 1 || orderCol.isEmpty)
+    if (leaves == 1 || orderCol.isEmpty) {
       // single leaf (or nothing to cluster by — bloom-only manifests,
       // which root envelopes cannot prune anyway): adopt the build dir
+      // and write NO `_root`. A one-leaf root prunes nothing (the leaf
+      // is read either way) and totals from the leaf cost the same one
+      // tiny read, while skipping it saves the read-back + union-agg +
+      // write job chain on every small-table commit — measured at
+      // ~1.7× on the r9 pruned/bloom read entries, whose per-commit
+      // fixed cost this was. Every root consumer already falls back to
+      // reading the (single) leaf when `_root` is absent.
       ctx.rename(new Path(build), new Path(dir), Options.Rename.NONE)
-    else {
-      back.repartitionByRange(leaves, col(orderCol.get))
-        .write.mode("overwrite").parquet(dir)
-      ctx.delete(new Path(build), true)
+      return
     }
+    back.repartitionByRange(leaves, col(orderCol.get))
+      .write.mode("overwrite").parquet(dir)
+    ctx.delete(new Path(build), true)
     val leafRows = spark.read.parquet(dir)
       .withColumn("mfile", element_at(split(input_file_name(), "/"), -1))
     val envelopes = leafRows.columns.filter(_.startsWith("min_"))
@@ -514,13 +521,42 @@ object Snapshots {
   private def readParquetRaw(
       spark: SparkSession,
       m: Option[ColMap],
-      paths: Seq[String]): DataFrame = {
-    val plain = spark.read.parquet(paths: _*)
-    if (m.exists(_.widened.nonEmpty))
-      spark.read
-        .schema(applyWiden(plain.schema, m.map(_.widened).getOrElse(Nil)))
-        .parquet(paths: _*)
-    else plain
+      paths: Seq[String],
+      pinned: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    pinned match {
+      case Some(s) =>
+        // committed-schema path: zero footer-sampling jobs, and the
+        // scan cannot depend on WHICH file would have been sampled
+        spark.read
+          .schema(applyWiden(s, m.map(_.widened).getOrElse(Nil)))
+          .parquet(paths: _*)
+      case None =>
+        val plain = spark.read.parquet(paths: _*)
+        if (m.exists(_.widened.nonEmpty))
+          spark.read
+            .schema(applyWiden(plain.schema, m.map(_.widened).getOrElse(Nil)))
+            .parquet(paths: _*)
+        else plain
+    }
+
+  /** The physical schema the commit published (`_schema` sidecar,
+    * written by [[stage]]): scans plan from THIS instead of sampling a
+    * data-file footer — no extra planning job, no dependence on which
+    * file the sampler happened to open. None for pre-sidecar
+    * snapshots, which keep the footer-sampled path.
+    */
+  private def committedSchema(
+      ctx: FileContext,
+      snapDir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(s"$snapDir/_schema")
+    if (!ctx.util().exists(p)) None
+    else {
+      val in = ctx.open(p)
+      try Some(org.apache.spark.sql.types.DataType
+        .fromJson(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      finally in.close()
+    }
   }
 
   /** Present a physical-named frame under its logical names.
@@ -629,7 +665,8 @@ object Snapshots {
     }
     if (statuses.isEmpty) None
     else Some(ManifestFileIndex.scan(spark, statuses.toIndexedSeq,
-      m.map(_.widened).getOrElse(Nil)))
+      m.map(_.widened).getOrElse(Nil),
+      committedSchema(ctx, snapDir)))
   }
 
   /** Sidecars a transaction can publish along with its data, all
@@ -790,6 +827,22 @@ object Snapshots {
         spark.sessionState.conf.numShufflePartitions,
         partitionSpec.map(t => t(col(t.column))): _*)
     clustered.write.mode("overwrite").parquet(stageDir)
+    // committed physical schema (`_schema` sidecar): every later scan
+    // of this version plans from the schema the commit DECLARED,
+    // instead of paying a footer-sampling job and depending on which
+    // file the sampler opens. Nullable-normalized to match what the
+    // parquet read-back presents. Tiny driver-side write, atomic with
+    // the claim like every sidecar.
+    locally {
+      val ctx = fc(spark)
+      val nullable = org.apache.spark.sql.types.StructType(
+        clustered.schema.fields.map(_.copy(nullable = true)))
+      val out = ctx.create(new Path(stageDir, "_schema"),
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(nullable.json.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     if (specSet.nonEmpty) {
       import spark.implicits._
       specSet.flatMap { case (id, ts) =>
@@ -1279,9 +1332,10 @@ object Snapshots {
     val snapDir = s"$tableDir/snap-$v"
     val ctx = fc(spark)
     val hasRefs = ctx.util().exists(new Path(s"$snapDir/_refs"))
+    val pinned = committedSchema(ctx, snapDir)
     val base =
       if (!hasRefs)
-        readParquetRaw(spark, m, Seq(snapDir))
+        readParquetRaw(spark, m, Seq(snapDir), pinned)
       else if (ctx.util().exists(new Path(manifestDir(snapDir))))
         // ref-carrying snapshot WITH a manifest: plan the full scan
         // through the manifest-backed FileIndex — path + committed
@@ -1293,8 +1347,9 @@ object Snapshots {
         // which still supplies the schema via the marker.
         prunedScan(spark, tableDir, snapDir,
             manifestLeaves(spark, snapDir, _ => None), m)
-          .getOrElse(readParquetRaw(spark, m, dataFiles(spark, tableDir, v)))
-      else readParquetRaw(spark, m, dataFiles(spark, tableDir, v))
+          .getOrElse(
+            readParquetRaw(spark, m, dataFiles(spark, tableDir, v), pinned))
+      else readParquetRaw(spark, m, dataFiles(spark, tableDir, v), pinned)
     // merge-on-read: a snapshot may carry delete sidecars instead of
     // rewritten data files; every reader applies them (positional
     // first — it needs the raw scan's _metadata — then keyed)
@@ -2264,8 +2319,13 @@ object Snapshots {
         else Some(spark.read.parquet(pendingPos.toString))
       // normalize the fresh logical keys to physical HERE (stage treats
       // pure-reference sidecars as already-physical — carried sets must
-      // not be re-unmapped under a freed-name-reuse map)
-      (cur.limit(0),
+      // not be re-unmapped under a freed-name-reuse map). The staged
+      // marker is the RAW (physical-named) empty frame, per the
+      // pure-reference convention: the marker file and the `_schema`
+      // sidecar derived from it sit next to physical-named data files,
+      // and a logical-named marker would poison any schema taken from
+      // this commit (the r10 committed-schema path caught this).
+      (readVersionRawWith(spark, tableDir, base, morMap).limit(0),
         Sidecars(changes = feed, refs = Some(rootRelativeFiles(spark, tableDir, base)),
           carriedManifest = carriedManifestOf(spark, tableDir, base),
           morDeletes = Some(unmapToPhysical(dels, morMap)),

@@ -210,21 +210,27 @@ class ManifestFileIndexSpec extends SparkSpec {
     assert(pruned.count() == 400L)
   }
 
-  test("single-leaf tables keep the flat layout and root totals agree") {
+  test("single-leaf tables keep the flat layout and skip the root list") {
     val dir = Files.createTempDirectory("graft-mfi-flat").toString
     val data = spark.range(0, 800).toDF("id")
+      .withColumn("v", col("id") * 2)
       .repartitionByRange(8, col("id")).sortWithinPartitions("id")
-    val v = Snapshots.commit(spark, data, dir, statsColumns = Seq("id"))
+    val v = Snapshots.commit(spark, data, dir,
+      statsColumns = Seq("id"), bloomColumns = Seq("v"))
     val snapDir = s"$dir/snap-$v"
     val leafFiles = new java.io.File(s"$snapDir/_manifest").listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     assert(leafFiles.length == 1, s"${leafFiles.length} leaves for 8 files")
-    val root = spark.read.parquet(s"$snapDir/_manifest/_root")
-    assert(root.count() == 1L &&
-      root.agg(sum("n_files")).head().getLong(0) == 8L)
-    // root envelope equals the table's id span
-    val env = root.select("lo_id", "hi_id").head()
-    assert(env.getLong(0) == 0L && env.getLong(1) == 799L)
+    // a one-leaf root prunes nothing and is NOT written — the commit
+    // skips the read-back/union/write job chain, and every root
+    // consumer falls back to reading the single leaf directly
+    assert(!new java.io.File(s"$snapDir/_manifest/_root").exists(),
+      "single-leaf manifest wrote a _root list")
+    // range, bloom, and stats reads all serve off the leaf alone
     assert(Snapshots.readRange(spark, dir, "id", 150L, 250L).count() == 101L)
+    val hit = Snapshots.readPoint(spark, dir, "v", 700L)
+    assert(hit.filter(col("v") === 700L).count() == 1L)
+    val (sel, tot) = Snapshots.selectFiles(spark, dir, v, "id", 150L, 250L)
+    assert(tot == 8L && sel.length <= 3 && sel.nonEmpty, s"$tot/${sel.length}")
   }
 }
