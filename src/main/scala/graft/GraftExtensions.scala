@@ -201,6 +201,67 @@ object GraftExtensions {
             litLong(exprs(1), "snapshot_changes", "fromV"),
             litLong(exprs(2), "snapshot_changes", "toV"))
             .queryExecution.logical
+        }),
+
+      // ---- retrieval TVFs over the persisted indexes: the SQL-only
+      // surface of the build/serve split (VERDICT r9 #6). Serving reads
+      // ONLY the probed posting buckets through the snapshot layer's
+      // manifest pruning — identical plans to the programmatic entries,
+      // so the entries' oracles gate these verbatim. ----
+      (FunctionIdentifier("bm25"),
+        tinfo("bm25",
+          "bm25(index_dir, terms_csv, k) - BM25 top-k per query term " +
+            "served from a persisted inverted index (buildTextIndex); " +
+            "reads only the query terms' posting buckets"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 3,
+            s"bm25(index_dir, terms_csv, k) takes 3 arguments, got ${exprs.size}")
+          val terms = litStr(exprs(1), "bm25", "terms_csv")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          graft.operators.TextAnalysis.bm25TopKPersisted(active,
+            litStr(exprs(0), "bm25", "index_dir"), terms,
+            litLong(exprs(2), "bm25", "k").toInt)
+            .queryExecution.logical
+        }),
+      (FunctionIdentifier("contaminated"),
+        tinfo("contaminated",
+          "contaminated(index_dir, needles_csv) - documents containing " +
+            "each needle, answered from the needles' posting buckets " +
+            "with no corpus scan (decontamination probe)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 2,
+            s"contaminated(index_dir, needles_csv) takes 2 arguments, got ${exprs.size}")
+          val needles = litStr(exprs(1), "contaminated", "needles_csv")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          graft.operators.TextAnalysis.contaminatedDocs(active,
+            litStr(exprs(0), "contaminated", "index_dir"), needles)
+            .queryExecution.logical
+        }),
+      (FunctionIdentifier("ann_search"),
+        tinfo("ann_search",
+          "ann_search(index_dir, queries_path, queries_where, k, n_probe) " +
+            "- IVF top-k cosine neighbors from a persisted index " +
+            "(buildIvfIndex) for the query vectors selected from a " +
+            "parquet table; reads only the probed cells' posting files. " +
+            "Scores round to 6 decimals (the index family's determinism " +
+            "contract)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 5,
+            "ann_search(index_dir, queries_path, queries_where, k, " +
+              s"n_probe) takes 5 arguments, got ${exprs.size}")
+          // queries come from a TABLE, not a literal vector: ANN query
+          // batches are data (the entries' own shape), and the pruned
+          // posting read amortizes over the whole batch
+          val queries = active.read
+            .parquet(litStr(exprs(1), "ann_search", "queries_path"))
+            .filter(org.apache.spark.sql.functions.expr(
+              litStr(exprs(2), "ann_search", "queries_where")))
+          graft.operators.Similarity.ivfTopKPersisted(active,
+            litStr(exprs(0), "ann_search", "index_dir"), queries,
+            k = litLong(exprs(3), "ann_search", "k").toInt,
+            nProbe = litLong(exprs(4), "ann_search", "n_probe").toInt,
+            roundDecimals = 6)
+            .queryExecution.logical
         }))
 
   /** Per-session registration of the table functions, for sessions

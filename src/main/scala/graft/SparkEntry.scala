@@ -33,6 +33,14 @@ object SparkEntry {
       case _ => queries
     }
 
+  /** Named primers for memoized shared trainings (IVF coarse quantizer,
+    * PQ codebooks, BPE merge table): Bench times each once as its own
+    * `setup_<family>` line so serving entries measure warm-table cost
+    * and stay comparable across rounds regardless of map order.
+    */
+  def setups: Seq[(String, (SparkSession, String) => Unit)] =
+    PipelineQueries.setups
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -111,6 +111,20 @@ object PipelineQueries {
         k = BpeMerges, batchCap = BpeBatchCap, candWindow = BpeCandWindow,
         maxRounds = BpeMaxRounds)._1)
 
+  /** Named primers for the memoized shared trainings, so a benchmark
+    * can pay each build ONCE on its own `setup_<family>` line instead
+    * of charging it to whichever serving entry happens to draw first
+    * in map order (r8 charged `ann_pq_recall` 7.4 s; r9 charged
+    * `corpus_bpe_encode` 8.3 s — same build, different line, and the
+    * round-over-round comparison chased map order). Priming is
+    * semantics-free: every memoized value is deterministic, so entry
+    * hashes are identical whether or not the cache is warm.
+    */
+  def setups: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "setup_ivf_coarse" -> ((s, d) => { coarseTrained(s, d); () }),
+    "setup_pq_codebooks" -> ((s, d) => { pqBooks(s, d); () }),
+    "setup_bpe_merges" -> ((s, d) => { bpeTrained(s, d); () }))
+
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
     * corpus_chunk's fixed windows: a chunk boundary falls after word e
     * whenever the hash of the 4-gram ENDING at e lands in 1/8 of the
@@ -867,6 +881,40 @@ object PipelineQueries {
         .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
     }),
+    "q_bm25_sql" -> ((s, d) => {
+      // the TVF spelling of the persisted-index serve (VERDICT r9 #6):
+      // a SQL-only client's `SELECT * FROM bm25(...)` must plan the
+      // identical pruned posting read — SAME oracle as text_bm25_topk,
+      // so a hash match certifies the whole SQL surface end-to-end
+      val dir = scratch("graft-text-index-sql")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
+        nBuckets = 8)
+      s.sql(s"SELECT * FROM bm25('$dir', 'data,query,table', 5) " +
+        "ORDER BY term, rank")
+    }),
+    "q_contaminated_sql" -> ((s, d) => {
+      // decontamination as a TVF probe: same posting-bucket read as
+      // dedup_contamination_indexed, same oracle verbatim
+      val dir = scratch("graft-text-decontam-sql")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
+        nBuckets = 8)
+      s.sql(s"SELECT * FROM contaminated('$dir', " +
+        "'data,table,zzz_no_such_term') ORDER BY needle, doc_id")
+    }),
+    "q_ann_sql" -> ((s, d) => {
+      // ANN serving as a TVF: queries come from a TABLE + predicate
+      // (batches are data — a literal-vector surface would hide the
+      // batch-amortized pruned read the index exists for). Identical
+      // configuration to ann_ivf_persisted → its oracle verbatim.
+      val dir = scratch("graft-ivf-index-sql")
+      clearDir(s, dir)
+      Similarity.buildIvfIndex(s, t(s, d, "embeddings"), dir, k = 8,
+        iterations = 2, roundDecimals = 6)
+      s.sql(s"SELECT * FROM ann_search('$dir', '$d/embeddings.parquet', " +
+        "'vec_id < 10', 10, 2) ORDER BY query_id, rank")
+    }),
     "text_unigram_logprob" -> ((s, d) => {
       TextAnalysis.unigramLogProb(t(s, d, "documents"))
         .orderBy("doc_id")
@@ -1538,6 +1586,20 @@ object PipelineQueries {
     "\nSELECT term, rank, doc_id, bm25 FROM ranked" +
     "\nWHERE rank <= 5 ORDER BY term, rank"
 
+  /** One contamination oracle serves the programmatic index-probe entry
+    * AND its TVF spelling — the TVF is the same posting-bucket read.
+    */
+  private val contaminationIndexedOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |q(needle) AS (VALUES ('data'), ('table'), ('zzz_no_such_term'))
+      |SELECT q.needle, t.doc_id
+      |FROM toks t CROSS JOIN q
+      |WHERE list_contains(t.ts, q.needle)
+      |ORDER BY q.needle, t.doc_id""".stripMargin
+
   /** RRF fusion tail over the shared ranked chain: Σ 1/(60 + rank) of
     * each term's top-20, round-6-then-rank with doc_id tiebreak —
     * identical float formulas to [[graft.operators.TextAnalysis
@@ -1686,6 +1748,9 @@ object PipelineQueries {
     // parameters, so a hash match proves the commit→prune→read roundtrip
     // preserved the trained result bit-for-bit
     "ann_ivf_persisted" -> ivfTrainedOracle(8, 2, 2, 10),
+    // the TVF spelling serves the identical persisted-index
+    // configuration — one oracle gates both surfaces
+    "q_ann_sql" -> ivfTrainedOracle(8, 2, 2, 10),
     "ann_ivf_incremental" ->
       ivfTrainedOracle(8, 2, 2, 10, trainWhere = "vec_id < 300"),
     "ann_ivf_q8_rerank" -> ivfQuantizedOracle(8, 2, 2, 30, 10),
@@ -2594,6 +2659,7 @@ object PipelineQueries {
     // inverted index must reproduce the direct computation exactly.
     "text_bm25_topk" -> bm25Oracle,
     "text_bm25_persisted" -> bm25Oracle,
+    "q_bm25_sql" -> bm25Oracle,
     "text_bm25_incremental" -> bm25Oracle,
     "text_bm25_stream" -> bm25Oracle,
     "text_rrf_fusion" -> bm25RrfOracle,
@@ -2635,16 +2701,10 @@ object PipelineQueries {
         |SELECT n.needle, s.doc_id
         |FROM spans s JOIN needles n ON s.span = n.needle
         |ORDER BY n.needle, s.doc_id""".stripMargin,
-    "dedup_contamination_indexed" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS ts
-        |  FROM documents),
-        |q(needle) AS (VALUES ('data'), ('table'), ('zzz_no_such_term'))
-        |SELECT q.needle, t.doc_id
-        |FROM toks t CROSS JOIN q
-        |WHERE list_contains(t.ts, q.needle)
-        |ORDER BY q.needle, t.doc_id""".stripMargin,
+    // shared verbatim by q_contaminated_sql: the TVF serves the same
+    // posting buckets, so one oracle gates both surfaces
+    "dedup_contamination_indexed" -> contaminationIndexedOracle,
+    "q_contaminated_sql" -> contaminationIndexedOracle,
     // same md5-prefix feature hashing as the Spark plan (the corpus
     // samplers' engine-stable idiom), 256 buckets
     "text_nb_model" ->

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Drives the cluster-wide SQL registration path: a session built with
   * `withExtensions(new GraftExtensions)` (sharing the suite's
@@ -91,6 +92,60 @@ class GraftExtensionsSpec extends SparkSpec {
         s"SELECT * FROM snapshot_asof('$dir2', 1700000001000)").count() == 1L)
       assert(s.sql(
         s"SELECT * FROM snapshot_asof('$dir2', 1700000002000)").count() == 2L)
+
+      // retrieval TVFs: SQL serve must equal the programmatic serve
+      // over the same persisted indexes, row for row
+      val docs = Seq(
+        (1L, "data table query data"), (2L, "data engine"),
+        (3L, "table scan"), (4L, "nothing here"))
+        .toDF("doc_id", "text")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-ext-bm25").toString + "/idx"
+      graft.operators.TextAnalysis.buildTextIndex(s, docs, idxDir,
+        nBuckets = 4)
+      val viaSql = s.sql(
+        s"SELECT * FROM bm25('$idxDir', 'data,table', 2) " +
+          "ORDER BY term, rank").collect()
+      val viaApi = graft.operators.TextAnalysis
+        .bm25TopKPersisted(s, idxDir, Seq("data", "table"), k = 2)
+        .orderBy("term", "rank")
+        .select("term", "rank", "doc_id", "bm25").collect()
+      assert(viaSql.map(r => (r.getAs[String]("term"), r.getAs[Int]("rank"),
+          r.getAs[Long]("doc_id"))).toSeq ==
+        viaApi.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)
+      assert(viaSql.nonEmpty)
+      assert(s.sql(
+        s"SELECT * FROM contaminated('$idxDir', 'engine,zzz_absent')")
+        .collect().map(r => (r.getAs[String]("needle"),
+          r.getAs[Long]("doc_id"))).toSeq == Seq(("engine", 2L)))
+      val emb = (0L until 20L).map(i =>
+        (i, Array.tabulate(4)(j => (1.0f + i * j) / (i + 1))))
+        .toDF("vec_id", "embedding")
+      val qDir = java.nio.file.Files
+        .createTempDirectory("graft-ext-ann").toString
+      emb.write.mode("overwrite").parquet(s"$qDir/queries.parquet")
+      val annDir = s"$qDir/idx"
+      graft.operators.Similarity.buildIvfIndex(s, emb, annDir, k = 4,
+        iterations = 2, roundDecimals = 6)
+      val annSql = s.sql(
+        s"SELECT * FROM ann_search('$annDir', '$qDir/queries.parquet', " +
+          "'vec_id < 3', 5, 2) ORDER BY query_id, rank").collect()
+      val annApi = graft.operators.Similarity
+        .ivfTopKPersisted(s, annDir,
+          s.read.parquet(s"$qDir/queries.parquet").filter(col("vec_id") < 3),
+          k = 5, nProbe = 2, roundDecimals = 6)
+        .orderBy("query_id", "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank").collect()
+      assert(annSql.map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSeq ==
+        annApi.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq)
+      assert(annSql.nonEmpty)
+      // non-literal TVF args fail analysis loudly
+      val tvfErr = intercept[Exception] {
+        s.sql(s"SELECT * FROM bm25('$idxDir', concat('d', rand()), 2)")
+          .collect()
+      }
+      assert(tvfErr.getMessage.toLowerCase.contains("literal"))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
