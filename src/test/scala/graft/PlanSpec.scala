@@ -275,6 +275,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("token-budget mix windows per-row sums by (source, bucket), never source alone") {
+    val p = plan(SparkEntry.queries("corpus_token_budget_mix")(spark, sf))
+    // the running sum over CORPUS rows must partition on
+    // (source, bucket) — the two-pass sharded prefix scan. A window
+    // over n_tokens partitioned by source alone plans ONE task per
+    // source over that source's entire corpus, the r9 scale defect.
+    // (The offsets window over the 16-rows-per-source SUBTOTAL frame
+    // partitions by source by design — it sums bucket_tokens, never
+    // n_tokens, so the filter below distinguishes them.)
+    val corpusWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("n_tokens")).toSeq
+    assert(corpusWindows.nonEmpty, p)
+    assert(corpusWindows.forall(l =>
+      l.indexOf("bucket", l.indexOf("windowspecdefinition")) >= 0),
+      s"per-row window not bucket-sharded:\n${corpusWindows.mkString("\n")}")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("length buckets aggregate partially with a pruned single-column scan") {
     val df = SparkEntry.queries("corpus_length_buckets")(spark, sf)
     val p = plan(df)
