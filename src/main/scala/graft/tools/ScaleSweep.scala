@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** VERDICT r9 #4: validate the 100 TB-design claims empirically above
+  * sf0.1. Runs each named entry at each given data dir (use
+  * [[MakeScaledData]] to synthesize 3x/10x/30x corpora) three times and
+  * prints one JSON line per (entry, dir, run) — run1 pays any memoized
+  * build for that dir, runs 2-3 are steady state. The sweep table and
+  * fitted scaling exponents land in BASELINE.md.
+  *
+  * Usage: ScaleSweep <entry,entry,...> <dir1> [dir2 ...]
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val entries = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val dirs = args.drop(1)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (dir <- dirs; name <- entries) {
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"entry":"$name","dir":"$dir","run":$i,"sec":$sec%.2f}""")
+      }
+    }
+    spark.stop()
+  }
+}
