@@ -681,4 +681,204 @@ object Dedup {
         col("doc_id"), col("n_grams"), col("n_hits"),
         (col("n_hits") >= minHits).as("contaminated"))
   }
+
+  // ---------- persisted MinHash-LSH index ----------
+
+  /** `(doc_id, hs, bkeys)` — the one tokenize+shingle pass shared by the
+    * index build, the incremental add, and the probe side of arrivals:
+    * one definition, so the index can never hash differently than the
+    * probe. NULL text shingles as empty text (whole-text fallback), the
+    * same convention as the inverted index. Band keys are IDENTICAL to
+    * [[minhashPairs]]' construction (codegen'd signature, xxhash64
+    * band-slice keys), so the persisted index inherits the recall
+    * behavior the in-memory entry is proven for; band keys gate RECALL
+    * only — the verify step is exact, so they never need external
+    * replay. Staged through named columns, also like minhashPairs: a
+    * shim-backed expression nested inside a higher-order-function
+    * lambda makes Spark 4's column-node converter re-walk the subtree
+    * per enclosing node (measured: StackOverflowError at plan time).
+    */
+  private def minhashPrepared(
+      docs: DataFrame,
+      shingleWords: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      textCol: String,
+      idCol: String): DataFrame =
+    Corpus.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        wordShingles(coalesce(col(textCol), lit("")), shingleWords)
+          .as("shingles"))
+      .withColumn("hs", array_distinct(transform(col("shingles"),
+        sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long"))))
+      .withColumn("sig",
+        HashFunctions.minhashSignature(col("shingles"), bands * rowsPerBand))
+      .withColumn("bkeys", transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(array_join(
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "_"))))
+      .select("doc_id", "hs", "bkeys")
+
+  /** `(bkey, band, doc_id)` band rows for the banding join/index. */
+  private def bandRows(prepared: DataFrame): DataFrame =
+    prepared.select(col("doc_id"),
+      posexplode(col("bkeys")).as(Seq("band", "bkey")))
+      .select("bkey", "band", "doc_id")
+
+  /** Build a PERSISTED MinHash-LSH index under `indexDir` — the
+    * ingestion/serving split of NEAR-duplicate detection, completing
+    * the family next to the persisted inverted (BM25) and IVF (ANN)
+    * indexes: a crawl pipeline deduplicates each arriving shard
+    * against the WHOLE historical corpus without ever re-shingling it.
+    * Two tables through the snapshot layer:
+    *
+    *   - `bands`: (bkey, band, doc_id) hidden-partitioned on
+    *     Bucket(bkey, nBuckets) — a probe batch's candidate lookup
+    *     reads only the buckets its own band keys hash into
+    *     (manifest transform-envelope pruning, same shape as the
+    *     inverted index's term buckets);
+    *   - `shingles`: (doc_id, hs) — the md5-60-bit hashed shingle SETS
+    *     that make the verify step exact without the corpus text.
+    *
+    * The index stores only hashes — no text — so it is a few percent
+    * of corpus bytes; at 100 TB the corpus is read ONCE (at build) and
+    * never again by any probe. Band construction is identical to
+    * [[minhashPairs]]; verification is exact Jaccard over the hashed
+    * shingle sets, so index-served pairs equal the in-memory entry's
+    * pairs whenever LSH recall is 1 (the b=16/r=4 contract measured
+    * there, collision probability 0.9998 at s=0.7).
+    */
+  def buildMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleWords: Int = 3,
+      nBuckets: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Long = {
+    import graft.sources.Snapshots
+    val prepared = minhashPrepared(
+      docs, shingleWords, bands, rowsPerBand, textCol, idCol).persist()
+    try {
+      Snapshots.commit(spark, bandRows(prepared), s"$indexDir/bands",
+        statsColumns = Seq("bkey", "band", "doc_id"),
+        partitionSpec = Seq(Snapshots.Transform.Bucket("bkey", nBuckets)))
+      Snapshots.commit(spark, prepared.select("doc_id", "hs"),
+        s"$indexDir/shingles",
+        statsColumns = Seq("doc_id"))
+    } finally { prepared.unpersist(); () }
+    Snapshots.version(spark, s"$indexDir/bands")
+  }
+
+  /** Incremental index maintenance: shingle ONLY `newDocs` and MERGE
+    * their band rows and shingle sets, file-scoped on both key
+    * envelopes — a batch of NEW doc_ids intersects no existing file's
+    * doc_id range, so every base file is carried by reference and the
+    * commit costs O(new documents' shingles). Same append-only
+    * contract as [[graft.operators.TextAnalysis.addToTextIndex]]:
+    * revising an already-indexed doc_id needs a delete of its old rows
+    * first.
+    */
+  def addToMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      indexDir: String,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleWords: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Long = {
+    import graft.sources.Snapshots
+    val prepared = minhashPrepared(
+      newDocs, shingleWords, bands, rowsPerBand, textCol, idCol).persist()
+    try {
+      Snapshots.merge(spark, s"$indexDir/bands", bandRows(prepared),
+        key = Seq("bkey", "band", "doc_id"),
+        statsColumns = Seq("bkey", "band", "doc_id"),
+        scoped = true)
+      Snapshots.merge(spark, s"$indexDir/shingles",
+        prepared.select("doc_id", "hs"),
+        key = Seq("doc_id"),
+        statsColumns = Seq("doc_id"),
+        scoped = true)
+    } finally { prepared.unpersist(); () }
+    Snapshots.version(spark, s"$indexDir/bands")
+  }
+
+  /** Near-duplicates of `probeDocs` against a [[buildMinhashIndex]]
+    * index, WITHOUT touching the indexed corpus: band the arrivals
+    * (one shingle pass over the batch), look up band-key collisions in
+    * the index's bucketed band table, and verify candidates with exact
+    * Jaccard over the two hashed shingle sets (arrivals' in-plan, the
+    * index side from the `shingles` table). Returns
+    * (id_a, id_b, jaccard_sim) with id_a = min(pair), one row per
+    * pair — the same contract as [[minhashPairs]] restricted to
+    * index × probe pairs.
+    *
+    * Scale shape: when the probe batch's distinct band keys fit a
+    * driver IN-list (`maxProbeKeys`, the steady-state incremental
+    * case), the candidate lookup is a manifest-pruned
+    * [[graft.sources.Snapshots.readPartitionedIn]] — only the arriving
+    * keys' buckets are scanned. A larger batch falls back to a plain
+    * equi-join against the full band table, which is still a join of
+    * two COMPACT hash tables (16 rows/doc each side) — the corpus text
+    * is never read on any path. The verify join is bounded by the
+    * candidate count, not the corpus.
+    */
+  def minhashProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      probeDocs: DataFrame,
+      indexDir: String,
+      threshold: Double = 0.7,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleWords: Int = 3,
+      maxProbeKeys: Int = 100000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.sources.Snapshots
+    val prepared = minhashPrepared(
+      probeDocs, shingleWords, bands, rowsPerBand, textCol, idCol).persist()
+    prepared.foreach(_ => ())
+    val probeBands = bandRows(prepared)
+      .select(col("bkey"), col("band"), col("doc_id").as("probe_id"))
+    val keys = probeBands.select("bkey").distinct()
+      .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
+    if (keys.isEmpty) {
+      // empty probe batch: nothing to look up (readPartitionedIn
+      // rightly refuses an empty IN-list)
+      prepared.unpersist()
+      return spark.emptyDataFrame.select(lit(0L).as("id_a"),
+        lit(0L).as("id_b"), lit(0.0).as("jaccard_sim"))
+    }
+    val indexBands =
+      (if (keys.length <= maxProbeKeys)
+        Snapshots.readPartitionedIn(spark, s"$indexDir/bands", "bkey",
+          keys.toIndexedSeq)
+      else Snapshots.read(spark, s"$indexDir/bands"))
+        .select(col("bkey"), col("band"), col("doc_id").as("index_id"))
+    val candidates = probeBands
+      .join(indexBands, Seq("bkey", "band"))
+      .filter(col("index_id") =!= col("probe_id"))
+      .select("index_id", "probe_id")
+      .distinct()
+    val indexSh = Snapshots.read(spark, s"$indexDir/shingles")
+      .select(col("doc_id").as("index_id"), col("hs").as("hs_i"))
+    val probeSh = prepared.select(col("doc_id").as("probe_id"),
+      col("hs").as("hs_p"))
+    val out = candidates
+      .join(indexSh, "index_id")
+      .join(probeSh, "probe_id")
+      .select(
+        least(col("index_id"), col("probe_id")).as("id_a"),
+        greatest(col("index_id"), col("probe_id")).as("id_b"),
+        jaccard(col("hs_i"), col("hs_p")).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= threshold)
+      .persist()
+    out.foreach(_ => ())
+    prepared.unpersist()
+    out
+  }
 }

@@ -520,6 +520,41 @@ object PipelineQueries {
         .select(col("doc_id"), col("text_hash"))
         .orderBy("doc_id")
     }),
+    "dedup_minhash_persisted" -> ((s, d) => {
+      // NEAR-dup dedup as a PERSISTED index — the crawl-pipeline
+      // steady state: the historical corpus is shingled ONCE into a
+      // bucketed band table + hashed shingle sets through the snapshot
+      // layer, and each arriving shard probes band-key collisions via
+      // a manifest-pruned bucket read, verifying candidates with exact
+      // Jaccard over the stored hash sets (no corpus re-read, no text
+      // in the index). Oracle = the exact all-pairs Jaccard over
+      // md5-hashed shingles restricted to index × arrival pairs — the
+      // same recall-1 argument as dedup_minhash (b=16, r=4).
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-minhash-idx")
+      clearDir(s, dir)
+      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 250), dir,
+        nBuckets = 8)
+      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_minhash_incremental" -> ((s, d) => {
+      // index MAINTENANCE: build on the first 150 documents, merge the
+      // next 100 file-scoped (new doc_ids intersect no base file's
+      // envelope — all base files carry by reference, the commit costs
+      // O(new docs' shingles)), then probe the rest. SAME oracle as
+      // dedup_minhash_persisted: a hash match certifies the
+      // incremental path converges to exactly the from-scratch index.
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-minhash-idx-incr")
+      clearDir(s, dir)
+      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 150), dir,
+        nBuckets = 8)
+      Dedup.addToMinhashIndex(s,
+        docs.filter(col("doc_id") >= 150 && col("doc_id") < 250), dir)
+      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
+        .orderBy("id_a", "id_b")
+    }),
     "text_quality_filter" -> ((s, d) => {
       // the [[qualityGated]] stage standalone (see builder scaladoc)
       qualityGated(t(s, d, "documents"))
@@ -1586,6 +1621,35 @@ object PipelineQueries {
     "\nSELECT term, rank, doc_id, bm25 FROM ranked" +
     "\nWHERE rank <= 5 ORDER BY term, rank"
 
+  /** One oracle serves dedup_minhash_persisted AND _incremental: the
+    * exact index(doc_id<250) × arrival(doc_id>=250) Jaccard pairs over
+    * md5-60-bit hashed shingle sets (the persisted index's verify
+    * payload — both engines hash each shingle identically, so hash
+    * collisions cannot make the sides disagree). The hashing follows
+    * the house md5-prefix idiom ([[graft.operators.Dedup.simhashMd5]]).
+    */
+  private val minhashPersistedOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |sh AS (
+      |  SELECT id, CASE WHEN len(ts) >= 3
+      |    THEN list_distinct([('0x' || substring(
+      |           md5(array_to_string(ts[i:i+2], ' ')), 1, 15))::BIGINT
+      |                        for i in generate_series(1, len(ts) - 2)])
+      |    ELSE [('0x' || substring(
+      |           md5(array_to_string(ts, ' ')), 1, 15))::BIGINT] END AS hs
+      |  FROM toks),
+      |cand AS (
+      |  SELECT l.id AS id_a, r.id AS id_b,
+      |    CAST(len(list_intersect(l.hs, r.hs)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(l.hs, r.hs))) AS DOUBLE)
+      |      AS jaccard_sim
+      |  FROM sh l JOIN sh r ON l.id < 250 AND r.id >= 250)
+      |SELECT id_a, id_b, jaccard_sim FROM cand
+      |WHERE jaccard_sim >= 0.7 ORDER BY id_a, id_b""".stripMargin
+
   /** One contamination oracle serves the programmatic index-probe entry
     * AND its TVF spelling — the TVF is the same posting-bucket read.
     */
@@ -1783,6 +1847,16 @@ object PipelineQueries {
         |  FROM sh l JOIN sh r ON l.id < r.id)
         |SELECT id_a, id_b, jaccard_sim FROM cand
         |WHERE jaccard_sim >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+    // the persisted-index probe answers index(doc_id<250) × arrival
+    // (doc_id>=250) near-dup pairs; the oracle is the exact all-pairs
+    // Jaccard over md5-60-bit hashed shingle sets (the index payload —
+    // both engines hash identically, so even a collision cannot make
+    // them disagree), restricted to cross-split pairs. Same recall-1
+    // argument as dedup_minhash. dedup_minhash_incremental shares it
+    // verbatim: build(150)+add(100)+probe must converge to the
+    // from-scratch index's answer.
+    "dedup_minhash_persisted" -> minhashPersistedOracle,
+    "dedup_minhash_incremental" -> minhashPersistedOracle,
     // same exact pair CTEs as dedup_minhash, then connected components
     // via recursive min-label transitive closure (terminates: UNION
     // dedups, the reachable-label set is finite)

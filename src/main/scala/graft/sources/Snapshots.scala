@@ -1861,6 +1861,18 @@ object Snapshots {
     m.filter(keep)
   }
 
+  /** Balanced disjunction: pairwise-fold the terms so the column tree
+    * is O(log n) deep. Spark's column-node→expression conversion
+    * recurses per node, so the natural `reduce(_ || _)` left-deep chain
+    * overflows the driver stack once a probe carries a few thousand
+    * terms; depth 12 covers 4 096 of them.
+    */
+  private def orTree(cs: IndexedSeq[Column]): Column =
+    if (cs.isEmpty) lit(false)
+    else if (cs.length == 1) cs.head
+    else orTree(cs.grouped(2).map(g =>
+      if (g.length == 2) g(0) || g(1) else g(0)).toIndexedSeq)
+
   /** Assemble a manifest keep-predicate from per-spec conditions: rows
     * tagged with a spec id satisfy THAT spec's condition; rows whose id
     * the spec list doesn't name — legacy rows read back as spec 0, or
@@ -1927,11 +1939,30 @@ object Snapshots {
         val covered = ts.filter(t =>
           t.column == ph && m.columns.contains(s"min_${t.name}"))
         if (covered.isEmpty) lit(true)
-        else values.map(value => covered.map { t =>
-            val lit0 = lit(value).cast(colType)
-            val tv = spark.range(1).select(t(lit0)).head().get(0)
-            col(s"min_${t.name}") <= lit(tv) && col(s"max_${t.name}") >= lit(tv)
-          }.reduce(_ && _)).reduce(_ || _)
+        else {
+          // ONE local projection evaluates EVERY probe value through all
+          // of this spec's covering transforms (the first cut ran one
+          // driver job per value per transform — a 4 000-key probe from
+          // the minhash-index batch meant 4 000 tiny jobs), and the OR
+          // runs over DISTINCT transformed tuples: a Bucket(n)
+          // transform maps an IN-list of any width onto ≤ n ids, so the
+          // manifest condition stays bounded by the spec's cardinality,
+          // not the probe's. The per-tuple AND-over-transforms keeps
+          // the original semantics exactly (a file survives when SOME
+          // value fits ALL its spec's envelopes). orTree keeps the
+          // disjunction balanced — the left-deep reduce overflowed the
+          // column-node converter's recursion near ~3 000 terms.
+          val tuples = spark.range(1)
+            .select(explode(array(
+              values.map(v => lit(v).cast(colType)): _*)).as("_v"))
+            .select(covered.zipWithIndex.map { case (t, i) =>
+              t(col("_v")).as(s"_tv$i") }: _*)
+            .distinct().collect()
+          orTree(tuples.toIndexedSeq.map(row => covered.indices.map { i =>
+            col(s"min_${covered(i).name}") <= lit(row.get(i)) &&
+              col(s"max_${covered(i).name}") >= lit(row.get(i))
+          }.reduce(_ && _)))
+        }
       }
       prunedScan(spark, tableDir, snapDir, m.filter(keep), pairs)
         .map(raw => mapLogical(applyDeleteSidecars(spark, snapDir, raw), pairs)

@@ -10,16 +10,30 @@ import org.apache.spark.sql.functions._
   *
   *   MakeScaledData <srcSfDir> <dstDir> <multiplier>
   *
-  * Copy k of a document gets `doc_id + k·N` and a per-copy salt token
-  * appended to its text — WITHOUT the salt, every copy would be an
-  * exact duplicate of its original and the dedup kernels would measure
-  * an artificial corpus of 10-way duplicate groups (near-dup candidate
-  * volume would grow quadratically in the multiplier for reasons the
-  * real kernels never face). With it, in-document structure (length
-  * distribution, shingle profile, languages, sources) is preserved
-  * while cross-copy texts stay distinct. Embeddings likewise re-salt
-  * `vec_id` and nudge one dimension by a copy-scaled epsilon so
-  * vectors are distinct but the cluster geometry survives.
+  * Salting is PER TOKEN, not per document: copy k of a document rewrites
+  * every whitespace token `t` to `t~k`, so the copy keeps its original's
+  * length, token count, and in-document shingle structure while sharing
+  * ZERO shingles/terms with any other copy. The first cut of this tool
+  * appended one whole-document salt token instead — measured consequence
+  * (recorded in BASELINE "Scale sweep above sf0.1"): every copy stayed a
+  * TRUE near-duplicate of its original (jaccard ≈ 1), so the correct
+  * answer of every near-dup kernel grew quadratically in the multiplier
+  * and dedup_ngram_jaccard hit 181 s at 3x — an output-size artifact of
+  * the corpus, not a kernel defect. Token salting makes the true
+  * near-dup answer scale LINEARLY (each copy stratum reproduces the
+  * original corpus's internal near-dup pairs and nothing else), which is
+  * what a 10x-bigger real crawl looks like: more documents, more
+  * vocabulary, near-dup density roughly constant. Whitespace runs
+  * collapse to single spaces in salted copies (every kernel here
+  * tokenizes on \s+, so this is invisible to them); copy 0 is the
+  * untouched original.
+  *
+  * Embeddings: copy k shifts every vector by one deterministic
+  * per-copy noise vector (amplitude ±0.15/dim over unit-norm inputs →
+  * cross-copy cosine ≈ 0.8-0.9). A CONSTANT shift per stratum preserves
+  * within-stratum geometry exactly (relative angles untouched) while
+  * keeping every cross-stratum pair below semanticDedup's 0.95
+  * threshold — the same linear-true-answer argument as token salting.
   */
 object MakeScaledData {
   def main(args: Array[String]): Unit = {
@@ -37,13 +51,17 @@ object MakeScaledData {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
     (0 until mult).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(
+          transform(split(trim(col("text")), "\\s+"),
+            t => concat(t, lit(s"~$k"))), " ")
       docs.select(
         (col("doc_id") + lit(k * nDocs)).as("doc_id"),
-        (if (k == 0) col("text")
-         else concat(col("text"), lit(s" salt$k"))).as("text"),
+        text.as("text"),
         col("lang"), col("source"),
-        (if (k == 0) col("n_chars")
-         else col("n_chars") + lit(s" salt$k".length.toLong)).as("n_chars"))
+        (if (k == 0) col("n_chars") else length(text).cast("long"))
+          .as("n_chars"))
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
@@ -54,8 +72,10 @@ object MakeScaledData {
       emb.select(
         (col("vec_id") + lit(k * nVec)).as("vec_id"),
         (if (k == 0) col("embedding")
-         else transform(col("embedding"),
-           (x, i) => when(i === 0, x + lit(k * 1e-4f)).otherwise(x)))
+         else transform(col("embedding"), (x, i) =>
+           x + lit(0.3f) *
+             ((pmod(xxhash64(i, lit(k)), lit(1000)).cast("double") / 1000.0
+               - 0.5).cast("float"))))
           .cast("array<float>").as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
