@@ -262,6 +262,28 @@ object GraftExtensions {
             nProbe = litLong(exprs(4), "ann_search", "n_probe").toInt,
             roundDecimals = 6)
             .queryExecution.logical
+        }),
+      (FunctionIdentifier("near_dups"),
+        tinfo("near_dups",
+          "near_dups(index_dir, probe_path, probe_where) - near-duplicate " +
+            "(id_a, id_b, jaccard_sim) pairs of the selected probe " +
+            "documents against a persisted MinHash index " +
+            "(buildMinhashIndex); band-key lookups read only the probed " +
+            "buckets, candidates verify with exact hashed-shingle Jaccard"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 3,
+            "near_dups(index_dir, probe_path, probe_where) takes 3 " +
+              s"arguments, got ${exprs.size}")
+          // probe batches are data, same shape as ann_search: a table
+          // plus a selection predicate, so the bucket-pruned band read
+          // amortizes over the whole arriving shard
+          val probes = active.read
+            .parquet(litStr(exprs(1), "near_dups", "probe_path"))
+            .filter(org.apache.spark.sql.functions.expr(
+              litStr(exprs(2), "near_dups", "probe_where")))
+          graft.operators.Dedup.minhashProbe(active, probes,
+            litStr(exprs(0), "near_dups", "index_dir"))
+            .queryExecution.logical
         }))
 
   /** Per-session registration of the table functions, for sessions

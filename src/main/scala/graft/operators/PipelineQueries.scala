@@ -555,6 +555,56 @@ object PipelineQueries {
       Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
         .orderBy("id_a", "id_b")
     }),
+    "dedup_minhash_stream" -> ((s, d) => {
+      // STREAMING ingestion into the persisted MinHash index — the
+      // crawl-pipeline loop closed end-to-end: shards arrive as
+      // file-source micro-batches, foreachBatch builds the index on
+      // the first and file-scope-merges the second, and the probe
+      // afterwards must equal the from-scratch index's answer (same
+      // oracle as dedup_minhash_persisted — arrival order is invisible
+      // to near-dup detection, the text index's streaming contract).
+      val docs = t(s, d, "documents")
+      val inDir = scratch("graft-mh-stream-in")
+      val ckpt = scratch("graft-mh-stream-ckpt")
+      val dir = scratch("graft-mh-stream-idx")
+      Seq(inDir, ckpt, dir).foreach(clearDir(s, _))
+      docs.filter(col("doc_id") < 150).coalesce(1)
+        .write.parquet(s"$inDir/arrival-0")
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 250).coalesce(1)
+        .write.parquet(s"$inDir/arrival-1")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$inDir/arrival-*")
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val bs = batch.sparkSession
+          if (graft.sources.Snapshots.version(bs, s"$dir/bands") >= 1L)
+            Dedup.addToMinhashIndex(bs, batch.toDF(), dir)
+          else
+            Dedup.buildMinhashIndex(bs, batch.toDF(), dir, nBuckets = 8)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_near_dups_sql" -> ((s, d) => {
+      // the TVF spelling of the persisted-minhash probe: a SQL-only
+      // client's `SELECT * FROM near_dups(...)` must run the identical
+      // bucket-pruned band lookup + hashed-Jaccard verify — same
+      // oracle as dedup_minhash_persisted, certifying the SQL surface
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-mh-idx-sql")
+      clearDir(s, dir)
+      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 250), dir,
+        nBuckets = 8)
+      s.sql(s"SELECT * FROM near_dups('$dir', '$d/documents.parquet', " +
+        "'doc_id >= 250') ORDER BY id_a, id_b")
+    }),
     "text_quality_filter" -> ((s, d) => {
       // the [[qualityGated]] stage standalone (see builder scaladoc)
       qualityGated(t(s, d, "documents"))
@@ -1857,6 +1907,10 @@ object PipelineQueries {
     // from-scratch index's answer.
     "dedup_minhash_persisted" -> minhashPersistedOracle,
     "dedup_minhash_incremental" -> minhashPersistedOracle,
+    // streaming arrivals and the TVF spelling serve the SAME pruned
+    // band lookup — arrival order and query surface are both invisible
+    "dedup_minhash_stream" -> minhashPersistedOracle,
+    "q_near_dups_sql" -> minhashPersistedOracle,
     // same exact pair CTEs as dedup_minhash, then connected components
     // via recursive min-label transitive closure (terminates: UNION
     // dedups, the reachable-label set is finite)

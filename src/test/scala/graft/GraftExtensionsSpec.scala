@@ -140,6 +140,34 @@ class GraftExtensionsSpec extends SparkSpec {
           r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSeq ==
         annApi.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq)
       assert(annSql.nonEmpty)
+      // near_dups TVF: SQL serve equals the programmatic probe over
+      // the same persisted MinHash index (three docs near-dup across
+      // the index/probe split, one unrelated)
+      val mhDocs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "completely different text about cooking pasta tonight"),
+        (3L, "the quick brown fox jumps over the lazy dog at dawn"),
+        (4L, "observability dashboards aggregate metrics from services"))
+        .toDF("doc_id", "text")
+      val mhRoot = java.nio.file.Files
+        .createTempDirectory("graft-ext-mh").toString
+      mhDocs.write.mode("overwrite").parquet(s"$mhRoot/docs.parquet")
+      val mhIdx = s"$mhRoot/idx"
+      graft.operators.Dedup.buildMinhashIndex(s,
+        mhDocs.filter(col("doc_id") <= 2), mhIdx, nBuckets = 4)
+      val mhSql = s.sql(
+        s"SELECT * FROM near_dups('$mhIdx', '$mhRoot/docs.parquet', " +
+          "'doc_id >= 3') ORDER BY id_a, id_b").collect()
+      val mhApi = graft.operators.Dedup.minhashProbe(s,
+        s.read.parquet(s"$mhRoot/docs.parquet").filter(col("doc_id") >= 3),
+        mhIdx).orderBy("id_a", "id_b").collect()
+      assert(mhSql.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard_sim"))).toSeq ==
+        mhApi.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard_sim"))).toSeq)
+      assert(mhSql.map(r => (r.getAs[Long]("id_a"),
+        r.getAs[Long]("id_b"))).toSeq == Seq((1L, 3L)))
+
       // non-literal TVF args fail analysis loudly
       val tvfErr = intercept[Exception] {
         s.sql(s"SELECT * FROM bm25('$idxDir', concat('d', rand()), 2)")

