@@ -807,6 +807,37 @@ object Dedup {
     Snapshots.version(spark, s"$indexDir/bands")
   }
 
+  /** Retract documents from a [[buildMinhashIndex]] index — the
+    * revise/delete half of the append-only contract: a retracted (or
+    * about-to-be-revised) doc_id must stop matching probes WITHOUT
+    * rewriting the band buckets its rows live in. Both tables take a
+    * merge-on-read delete ([[graft.sources.Snapshots.deleteMergeOnRead]]
+    * — O(keys) sidecar commits, base files untouched, folded by the
+    * next compaction), and every probe path already applies delete
+    * sidecars inside the pruned reads. To revise a document: remove its
+    * id, FOLD the pending delete (a [[graft.sources.Snapshots.compact]]
+    * or any unscoped write), then [[addToMinhashIndex]] the new text —
+    * the layer refuses a file-scoped add over a pending delete set
+    * because the sidecar's keys would re-suppress the re-added rows
+    * (MinhashIndexSpec pins both the refusal and the fold-then-add
+    * path). `docIds` is a driver-side list by contract — retraction
+    * batches are small (takedowns, revisions), not corpus-sized.
+    */
+  def removeFromMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      docIds: Seq[Long]): Long = {
+    import graft.sources.Snapshots
+    require(docIds.nonEmpty, "empty retraction batch")
+    val pred = col("doc_id").isin(docIds: _*)
+    Snapshots.deleteMergeOnRead(spark, s"$indexDir/bands", pred,
+      key = Seq("bkey", "band", "doc_id"),
+      statsColumns = Seq("bkey", "band", "doc_id"))
+    Snapshots.deleteMergeOnRead(spark, s"$indexDir/shingles", pred,
+      key = Seq("doc_id"),
+      statsColumns = Seq("doc_id"))
+  }
+
   /** Near-duplicates of `probeDocs` against a [[buildMinhashIndex]]
     * index, WITHOUT touching the indexed corpus: band the arrivals
     * (one shingle pass over the batch), look up band-key collisions in

@@ -555,6 +555,22 @@ object PipelineQueries {
       Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
         .orderBy("id_a", "id_b")
     }),
+    "dedup_minhash_revised" -> ((s, d) => {
+      // index RETRACTION: build on the first 250 docs, merge-on-read
+      // DELETE doc_ids [100,150) (O(keys) sidecar, no bucket rewrite),
+      // then probe — retracted docs must stop matching (at sf0.01 this
+      // removes exactly the two pairs anchored in the range, so the
+      // entry is discriminative, not vacuously equal). Oracle = the
+      // persisted oracle with the retracted range excluded.
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-mh-idx-rev")
+      clearDir(s, dir)
+      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 250), dir,
+        nBuckets = 8)
+      Dedup.removeFromMinhashIndex(s, dir, (100L until 150L).toSeq)
+      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_minhash_stream" -> ((s, d) => {
       // STREAMING ingestion into the persisted MinHash index — the
       // crawl-pipeline loop closed end-to-end: shards arrive as
@@ -1911,6 +1927,11 @@ object PipelineQueries {
     // band lookup — arrival order and query surface are both invisible
     "dedup_minhash_stream" -> minhashPersistedOracle,
     "q_near_dups_sql" -> minhashPersistedOracle,
+    // retraction: same oracle minus the deleted id range
+    "dedup_minhash_revised" -> minhashPersistedOracle.replace(
+      "FROM sh l JOIN sh r ON l.id < 250 AND r.id >= 250",
+      "FROM sh l JOIN sh r ON l.id < 250 AND r.id >= 250\n" +
+        "    AND NOT (l.id BETWEEN 100 AND 149)"),
     // same exact pair CTEs as dedup_minhash, then connected components
     // via recursive min-label transitive closure (terminates: UNION
     // dedups, the reachable-label set is finite)

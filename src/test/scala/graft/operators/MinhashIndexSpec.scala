@@ -99,6 +99,39 @@ class MinhashIndexSpec extends SparkSpec {
     assert(pairs(probed) == crossReference)
   }
 
+  test("retraction: removed doc_ids stop matching, base files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-rm").toString
+    Dedup.buildMinhashIndex(spark, docs.filter($"doc_id" < 6), dir)
+    val baseBands = Snapshots.read(spark, s"$dir/bands").inputFiles.toSet
+    // doc 0 anchors the (0,6) pair; removing it must drop exactly that
+    // pair while (1,7)/(2,8)/(4,10) survive
+    Dedup.removeFromMinhashIndex(spark, dir, Seq(0L))
+    // merge-on-read: the delete is a sidecar, every base band file is
+    // still referenced (no bucket rewrite)
+    assert(baseBands.subsetOf(
+      Snapshots.read(spark, s"$dir/bands").inputFiles.toSet))
+    val probed = pairs(
+      Dedup.minhashProbe(spark, docs.filter($"doc_id" >= 6), dir))
+    assert(probed == crossReference.filterNot(_._1 == 0L))
+    assert(crossReference.exists(_._1 == 0L))
+    // a file-scoped add over a pending delete set is REFUSED (the
+    // sidecar's keys would re-suppress the re-added rows) — the layer's
+    // fold-first contract
+    val refused = intercept[IllegalArgumentException] {
+      Dedup.addToMinhashIndex(spark, docs.filter($"doc_id" === 0), dir)
+    }
+    assert(refused.getMessage.contains("fold it first"))
+    // revise flow: FOLD the delete (compaction), then re-add — the pair
+    // comes back
+    Snapshots.compact(spark, s"$dir/bands",
+      statsColumns = Seq("bkey", "band", "doc_id"))
+    Snapshots.compact(spark, s"$dir/shingles",
+      statsColumns = Seq("doc_id"))
+    Dedup.addToMinhashIndex(spark, docs.filter($"doc_id" === 0), dir)
+    assert(pairs(Dedup.minhashProbe(
+      spark, docs.filter($"doc_id" >= 6), dir)) == crossReference)
+  }
+
   test("empty probe batch returns the empty pair frame") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mh-empty").toString
     Dedup.buildMinhashIndex(spark, docs.filter($"doc_id" < 6), dir)
