@@ -812,8 +812,9 @@ object Dedup {
     * about-to-be-revised) doc_id must stop matching probes WITHOUT
     * rewriting the band buckets its rows live in. Both tables take a
     * merge-on-read delete ([[graft.sources.Snapshots.deleteMergeOnRead]]
-    * — O(keys) sidecar commits, base files untouched, folded by the
-    * next compaction), and every probe path already applies delete
+    * — one distributed pass over the index resolves the retracted keys,
+    * the COMMIT is an O(keys) sidecar, base files untouched, folded by
+    * the next compaction), and every probe path already applies delete
     * sidecars inside the pruned reads. To revise a document: remove its
     * id, FOLD the pending delete (a [[graft.sources.Snapshots.compact]]
     * or any unscoped write), then [[addToMinhashIndex]] the new text —
@@ -856,7 +857,12 @@ object Dedup {
     * equi-join against the full band table, which is still a join of
     * two COMPACT hash tables (16 rows/doc each side) — the corpus text
     * is never read on any path. The verify join is bounded by the
-    * candidate count, not the corpus.
+    * candidate count, not the corpus. `maxProbeKeys` defaults low
+    * (2048 ≈ a 128-doc arrival batch) on a measured trade: literal
+    * IN-list PLANNING cost grows with the list (a 40k-key probe spent
+    * ~10 s building/analyzing the array + isin expressions at sf0.1),
+    * while a batch that wide hits most buckets anyway — pruning buys
+    * nothing a compact join doesn't.
     */
   def minhashProbe(
       spark: org.apache.spark.sql.SparkSession,
@@ -866,7 +872,7 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       shingleWords: Int = 3,
-      maxProbeKeys: Int = 100000,
+      maxProbeKeys: Int = 2048,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     import graft.sources.Snapshots

@@ -982,6 +982,23 @@ object PipelineQueries {
         .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
     }),
+    "text_bm25_retracted" -> ((s, d) => {
+      // index RETRACTION end-to-end: build on the full corpus, remove
+      // doc_ids [100,150) (merge-on-read sidecar + exact stats-sum
+      // decrement, no posting bucket rewritten), then serve — the
+      // result must equal the direct BM25 computation over the
+      // SURVIVING corpus (idf, df, avgdl all shift; at sf0.01 the
+      // retracted range holds the rank-2 doc of two of the three
+      // query terms' lists, so the entry is discriminative)
+      val dir = scratch("graft-text-index-rm")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
+        nBuckets = 8)
+      TextAnalysis.removeFromTextIndex(s, dir, (100L until 150L).toSeq)
+      TextAnalysis
+        .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
+        .orderBy("term", "rank")
+    }),
     "q_bm25_sql" -> ((s, d) => {
       // the TVF spelling of the persisted-index serve (VERDICT r9 #6):
       // a SQL-only client's `SELECT * FROM bm25(...)` must plan the
@@ -2808,6 +2825,11 @@ object PipelineQueries {
     // inverted index must reproduce the direct computation exactly.
     "text_bm25_topk" -> bm25Oracle,
     "text_bm25_persisted" -> bm25Oracle,
+    // retraction: the same ranking replayed over the surviving corpus —
+    // stats sums, df, and idf must all reflect the removal exactly
+    "text_bm25_retracted" -> bm25Oracle.replace(
+      "FROM documents)",
+      "FROM documents\n  WHERE NOT (doc_id BETWEEN 100 AND 149))"),
     "q_bm25_sql" -> bm25Oracle,
     "text_bm25_incremental" -> bm25Oracle,
     "text_bm25_stream" -> bm25Oracle,

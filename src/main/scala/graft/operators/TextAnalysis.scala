@@ -458,6 +458,41 @@ object TextAnalysis {
     } finally posts.unpersist()
   }
 
+  /** Retract documents from a [[buildTextIndex]] index — the delete
+    * half of the append-only ingestion contract (takedowns, re-crawled
+    * revisions): the retracted ids' posting rows take a merge-on-read
+    * delete (one distributed pass over the index resolves the keys,
+    * the COMMIT is an O(keys) sidecar applied by every serve read,
+    * folded by the next compaction — no posting bucket is rewritten),
+    * and the stats SUMS are decremented by the same pass's token
+    * counts, so idf/avgdl stay exact at serve time. Same fold-first
+    * revision flow as the minhash index: a file-scoped
+    * [[addToTextIndex]] over the pending delete set is refused by the
+    * layer — compact, then add.
+    */
+  def removeFromTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      docIds: Seq[Long]): Long = {
+    import graft.sources.Snapshots
+    require(docIds.nonEmpty, "empty retraction batch")
+    val pred = col("doc_id").isin(docIds: _*)
+    val del = Snapshots.read(spark, s"$indexDir/postings").filter(pred)
+      .agg(countDistinct(col("doc_id")),
+        coalesce(sum(col("tf").cast("long")), lit(0L))).head()
+    val cur = Snapshots.read(spark, s"$indexDir/stats").head()
+    Snapshots.commit(spark,
+      spark.range(1).select(
+        lit(cur.getLong(cur.fieldIndex("n_docs")) - del.getLong(0))
+          .as("n_docs"),
+        lit(cur.getLong(cur.fieldIndex("total_tokens")) - del.getLong(1))
+          .as("total_tokens")),
+      s"$indexDir/stats")
+    Snapshots.deleteMergeOnRead(spark, s"$indexDir/postings", pred,
+      key = Seq("term", "doc_id"),
+      statsColumns = Seq("term", "doc_id"))
+  }
+
   /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken's local-minimum
     * selection — the MOSS primitive): hash every word `k`-gram
     * occurrence, slide a `w`-gram window, and keep each window's

@@ -84,6 +84,28 @@ class InvertedIndexSpec extends SparkSpec {
     assert(rows(served) == rows(TextAnalysis.bm25TopK(docs, terms, k = 5)))
   }
 
+  test("retraction drops the docs and serves the surviving-corpus ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-rm").toString
+    TextAnalysis.buildTextIndex(spark, docs, dir, nBuckets = 8)
+    val baseFiles = Snapshots.read(spark, s"$dir/postings").inputFiles.toSet
+    // retract the "data"-heavy docs 8 and 0: df/idf/avgdl all shift
+    TextAnalysis.removeFromTextIndex(spark, dir, Seq(0L, 8L))
+    // merge-on-read: no posting bucket rewritten
+    assert(baseFiles.subsetOf(
+      Snapshots.read(spark, s"$dir/postings").inputFiles.toSet))
+    val served = rows(TextAnalysis.bm25TopKPersisted(spark, dir, terms, k = 5))
+    val direct = rows(TextAnalysis.bm25TopK(
+      docs.filter(!$"doc_id".isin(0L, 8L)), terms, k = 5))
+    assert(served == direct)
+    assert(served.nonEmpty && !served.exists(r => r._3 == 0L || r._3 == 8L))
+    // a file-scoped add over the pending delete set is refused
+    // (fold-first contract, same as the minhash index)
+    val refused = intercept[IllegalArgumentException] {
+      TextAnalysis.addToTextIndex(spark, docs.filter($"doc_id" === 0), dir)
+    }
+    assert(refused.getMessage.contains("fold it first"))
+  }
+
   test("rrf fusion rewards docs ranked in several lists over one high rank") {
     val fused = TextAnalysis.bm25RrfFused(docs, terms, k = 12, perTermK = 20)
       .collect()
