@@ -316,6 +316,25 @@ object PipelineQueries {
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf_retracted" -> ((s, d) => {
+      // index RETRACTION: build the persisted index, merge-on-read
+      // DELETE vec_ids [100,150) (O(keys) sidecar, centroids untouched
+      // — trained geometry cannot stale), serve the same query batch —
+      // retracted vectors must vanish from every neighbor list (they
+      // held 10 of the 100 result rows at sf0.01, so the entry is
+      // discriminative). Oracle = the trained chain with the retracted
+      // range excluded from the candidate side only: assignment
+      // geometry is unchanged, exactly like the index.
+      val emb = t(s, d, "embeddings")
+      val dir = scratch("graft-ivf-index-rm")
+      clearDir(s, dir)
+      Similarity.buildIvfIndex(s, emb, dir, k = 8, iterations = 2,
+        roundDecimals = 6)
+      Similarity.removeFromIvfIndex(s, dir, (100L until 150L).toSeq)
+      Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
+          k = 10, nProbe = 2, roundDecimals = 6)
+        .orderBy("query_id", "rank")
+    }),
     "ann_ivf_q8_rerank" -> ((s, d) => {
       // two-stage quantized serving: INT8-coded postings generate the
       // candidate shortlist, full-precision cosine reranks it — the
@@ -1895,6 +1914,10 @@ object PipelineQueries {
     // parameters, so a hash match proves the commit→prune→read roundtrip
     // preserved the trained result bit-for-bit
     "ann_ivf_persisted" -> ivfTrainedOracle(8, 2, 2, 10),
+    // retraction: candidates restricted to the surviving vectors; the
+    // train/assign chain is identical (centroids never stale)
+    "ann_ivf_retracted" -> ivfTrainedOracle(8, 2, 2, 10,
+      candWhere = "NOT (vec_id BETWEEN 100 AND 149)"),
     // the TVF spelling serves the identical persisted-index
     // configuration — one oracle gates both surfaces
     "q_ann_sql" -> ivfTrainedOracle(8, 2, 2, 10),

@@ -470,6 +470,32 @@ object Similarity {
       scoped = true)
   }
 
+  /** Retract vectors from a [[buildIvfIndex]] index — the delete half
+    * of the maintenance contract, completing the retraction triple
+    * across all three persisted indexes (inverted, minhash, IVF): the
+    * retracted ids' posting rows take a merge-on-read delete (one
+    * distributed pass resolves the keys, the COMMIT is an O(keys)
+    * sidecar that every probe read applies, folded by the next
+    * compaction — no cell's posting file is rewritten), and the
+    * centroids are untouched: an IVF quantizer is trained geometry,
+    * not corpus statistics, so removal never stales it (unlike the
+    * text index's idf sums, which [[graft.operators.TextAnalysis
+    * .removeFromTextIndex]] must decrement). Same fold-first revision
+    * flow: a file-scoped [[addToIvfIndex]] over the pending delete set
+    * is refused by the layer — compact, then add.
+    */
+  def removeFromIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      vecIds: Seq[Long]): Long = {
+    import graft.sources.Snapshots
+    require(vecIds.nonEmpty, "empty retraction batch")
+    Snapshots.deleteMergeOnRead(spark, s"$indexDir/postings",
+      col("neighbor_id").isin(vecIds: _*),
+      key = Seq("neighbor_id"),
+      statsColumns = Seq("cell", "neighbor_id"))
+  }
+
   /** Serve top-k queries from a [[buildIvfIndex]] index WITHOUT touching
     * the corpus table: read the k-row centroid snapshot, rank each
     * query's nProbe cells, then read ONLY those cells' posting files —

@@ -41,10 +41,11 @@ class PlanSweepSpec extends SparkSpec {
       "dedup_embedding", "ann_srp_recall", "dedup_srp_recall",
       "ann_ivf_pq", "ann_pq_recall", "text_nb_classify",
       "ann_ivf_filtered",
-      // q_ann_sql: the ann_search TVF resolves to the SAME persisted-IVF
-      // serve chain as ann_ivf_persisted above (broadcast 8-row centroid
-      // scoring) — same bounded-broadcast contract, different spelling
-      "q_ann_sql")
+      // q_ann_sql / ann_ivf_retracted: the ann_search TVF and the
+      // retraction entry resolve to the SAME persisted-IVF serve chain
+      // as ann_ivf_persisted above (broadcast 8-row centroid scoring) —
+      // same bounded-broadcast contract, different spellings
+      "q_ann_sql", "ann_ivf_retracted")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -105,6 +105,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("retraction drops vectors from every neighbor list, base files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rm").toString
+    Similarity.buildIvfIndex(spark, emb, dir, k = 8, iterations = 2,
+      roundDecimals = 6)
+    import graft.sources.Snapshots
+    val before = Similarity.ivfTopKPersisted(spark, dir, queries,
+      k = 10, nProbe = 2, roundDecimals = 6).collect()
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    // retract every neighbor one query actually surfaced (forces the
+    // lists to change) — merge-on-read: no posting file rewritten
+    val victims = before.take(3).toSeq
+    val baseFiles = Snapshots.read(spark, s"$dir/postings").inputFiles.toSet
+    Similarity.removeFromIvfIndex(spark, dir, victims)
+    assert(baseFiles.subsetOf(
+      Snapshots.read(spark, s"$dir/postings").inputFiles.toSet))
+    val after = Similarity.ivfTopKPersisted(spark, dir, queries,
+      k = 10, nProbe = 2, roundDecimals = 6).collect()
+    assert(after.nonEmpty)
+    assert(!after.exists(r => victims.contains(r.getAs[Long]("neighbor_id"))))
+    // serve equals the trained path scored over the surviving corpus
+    // candidates (centroids unchanged — trained geometry cannot stale)
+    def rows(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val expected = Similarity.ivfTopK(
+      emb.filter(!col("vec_id").isin(victims: _*)), queries,
+      Similarity.kmeansCentroids(emb, k = 8, iterations = 2,
+        roundDecimals = 6),
+      k = 10, nProbe = 2, roundDecimals = 6).collect()
+    assert(rows(after) == rows(expected))
+    // fold-first contract: a file-scoped add over the pending delete
+    // set is refused
+    val refused = intercept[IllegalArgumentException] {
+      Similarity.addToIvfIndex(spark, emb.filter(col("vec_id") < 3), dir,
+        roundDecimals = 6)
+    }
+    assert(refused.getMessage.contains("fold it first"))
+  }
+
   test("persisted ivf index serves the exact trained result and prunes posting files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
     Similarity.buildIvfIndex(spark, emb, dir, k = 8, iterations = 2,
