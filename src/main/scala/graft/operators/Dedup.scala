@@ -837,6 +837,10 @@ object Dedup {
     Snapshots.deleteMergeOnRead(spark, s"$indexDir/shingles", pred,
       key = Seq("doc_id"),
       statsColumns = Seq("doc_id"))
+    // version semantics match build/add: the BANDS table's version is
+    // the index's version counter (the two tables' counters drift
+    // independently under maintenance ops like compact)
+    Snapshots.version(spark, s"$indexDir/bands")
   }
 
   /** Near-duplicates of `probeDocs` against a [[buildMinhashIndex]]
@@ -878,44 +882,57 @@ object Dedup {
     import graft.sources.Snapshots
     val prepared = minhashPrepared(
       probeDocs, shingleWords, bands, rowsPerBand, textCol, idCol).persist()
-    prepared.foreach(_ => ())
-    val probeBands = bandRows(prepared)
-      .select(col("bkey"), col("band"), col("doc_id").as("probe_id"))
-    val keys = probeBands.select("bkey").distinct()
-      .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
-    if (keys.isEmpty) {
-      // empty probe batch: nothing to look up (readPartitionedIn
-      // rightly refuses an empty IN-list)
-      prepared.unpersist()
-      return spark.emptyDataFrame.select(lit(0L).as("id_a"),
-        lit(0L).as("id_b"), lit(0.0).as("jaccard_sim"))
-    }
-    val indexBands =
-      (if (keys.length <= maxProbeKeys)
-        Snapshots.readPartitionedIn(spark, s"$indexDir/bands", "bkey",
-          keys.toIndexedSeq)
-      else Snapshots.read(spark, s"$indexDir/bands"))
-        .select(col("bkey"), col("band"), col("doc_id").as("index_id"))
-    val candidates = probeBands
-      .join(indexBands, Seq("bkey", "band"))
-      .filter(col("index_id") =!= col("probe_id"))
-      .select("index_id", "probe_id")
-      .distinct()
-    val indexSh = Snapshots.read(spark, s"$indexDir/shingles")
-      .select(col("doc_id").as("index_id"), col("hs").as("hs_i"))
-    val probeSh = prepared.select(col("doc_id").as("probe_id"),
-      col("hs").as("hs_p"))
-    val out = candidates
-      .join(indexSh, "index_id")
-      .join(probeSh, "probe_id")
-      .select(
-        least(col("index_id"), col("probe_id")).as("id_a"),
-        greatest(col("index_id"), col("probe_id")).as("id_b"),
-        jaccard(col("hs_i"), col("hs_p")).as("jaccard_sim"))
-      .filter(col("jaccard_sim") >= threshold)
-      .persist()
-    out.foreach(_ => ())
-    prepared.unpersist()
-    out
+    try {
+      prepared.foreach(_ => ())
+      val probeBands = bandRows(prepared)
+        .select(col("bkey"), col("band"), col("doc_id").as("probe_id"))
+      val keys = probeBands.select("bkey").distinct()
+        .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
+      if (keys.isEmpty)
+        // empty probe batch: nothing to look up (readPartitionedIn
+        // rightly refuses an empty IN-list)
+        return spark.emptyDataFrame.select(lit(0L).as("id_a"),
+          lit(0L).as("id_b"), lit(0.0).as("jaccard_sim"))
+      val indexBands =
+        (if (keys.length <= maxProbeKeys)
+          Snapshots.readPartitionedIn(spark, s"$indexDir/bands", "bkey",
+            keys.toIndexedSeq)
+        else Snapshots.read(spark, s"$indexDir/bands"))
+          .select(col("bkey"), col("band"), col("doc_id").as("index_id"))
+      // one row per UNORDERED pair: when the probe batch intersects the
+      // indexed set, a pair collides in both orientations
+      // ((index=A,probe=B) and (index=B,probe=A)) and a pre-normalization
+      // distinct would emit the pair twice; min(struct) picks a
+      // deterministic orientation for the verify joins — both verify
+      // the same two documents
+      val candidates = probeBands
+        .join(indexBands, Seq("bkey", "band"))
+        .filter(col("index_id") =!= col("probe_id"))
+        .groupBy(
+          least(col("index_id"), col("probe_id")).as("id_a"),
+          greatest(col("index_id"), col("probe_id")).as("id_b"))
+        .agg(min(struct(col("index_id"), col("probe_id"))).as("_orient"))
+        .select(col("id_a"), col("id_b"),
+          col("_orient.index_id").as("index_id"),
+          col("_orient.probe_id").as("probe_id"))
+      val indexSh = Snapshots.read(spark, s"$indexDir/shingles")
+        .select(col("doc_id").as("index_id"), col("hs").as("hs_i"))
+      val probeSh = prepared.select(col("doc_id").as("probe_id"),
+        col("hs").as("hs_p"))
+      // the result persists and the corpus-sized input cache releases
+      // before returning — the same one-small-result-cache-per-call
+      // trade ngramJaccardPairs documents (the cached frame is
+      // O(near-dup pairs); callers holding many probe results across a
+      // long session can unpersist them when consumed)
+      val out = candidates
+        .join(indexSh, "index_id")
+        .join(probeSh, "probe_id")
+        .select(col("id_a"), col("id_b"),
+          jaccard(col("hs_i"), col("hs_p")).as("jaccard_sim"))
+        .filter(col("jaccard_sim") >= threshold)
+        .persist()
+      out.foreach(_ => ())
+      out
+    } finally { prepared.unpersist(); () }
   }
 }

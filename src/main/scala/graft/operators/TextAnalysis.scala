@@ -464,11 +464,21 @@ object TextAnalysis {
     * delete (one distributed pass over the index resolves the keys,
     * the COMMIT is an O(keys) sidecar applied by every serve read,
     * folded by the next compaction — no posting bucket is rewritten),
-    * and the stats SUMS are decremented by the same pass's token
-    * counts, so idf/avgdl stay exact at serve time. Same fold-first
-    * revision flow as the minhash index: a file-scoped
-    * [[addToTextIndex]] over the pending delete set is refused by the
-    * layer — compact, then add.
+    * and the stats table is then RECOMPUTED from the surviving
+    * postings, so idf/avgdl stay exact at serve time. Recompute, not
+    * decrement, on purpose: a decrement captured before the delete is
+    * not idempotent (a crash between the two commits followed by a
+    * retry would subtract the same docs twice — or, ordered the other
+    * way, never), while stats-as-a-function-of-live-postings makes a
+    * retried retraction converge to the same state it was aiming for.
+    * The price is one distributed pass over the compact index for the
+    * refresh — the same pass the BUILD's stats derivation pays, on top
+    * of the key-resolution pass the delete itself needs. A serve
+    * racing the two commits can observe stats one step behind the
+    * postings (idf off by the retracted docs for that read); the final
+    * state is exact. Same fold-first revision flow as the minhash
+    * index: a file-scoped [[addToTextIndex]] over the pending delete
+    * set is refused by the layer — compact, then add.
     */
   def removeFromTextIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -477,20 +487,18 @@ object TextAnalysis {
     import graft.sources.Snapshots
     require(docIds.nonEmpty, "empty retraction batch")
     val pred = col("doc_id").isin(docIds: _*)
-    val del = Snapshots.read(spark, s"$indexDir/postings").filter(pred)
-      .agg(countDistinct(col("doc_id")),
-        coalesce(sum(col("tf").cast("long")), lit(0L))).head()
-    val cur = Snapshots.read(spark, s"$indexDir/stats").head()
-    Snapshots.commit(spark,
-      spark.range(1).select(
-        lit(cur.getLong(cur.fieldIndex("n_docs")) - del.getLong(0))
-          .as("n_docs"),
-        lit(cur.getLong(cur.fieldIndex("total_tokens")) - del.getLong(1))
-          .as("total_tokens")),
-      s"$indexDir/stats")
-    Snapshots.deleteMergeOnRead(spark, s"$indexDir/postings", pred,
+    val v = Snapshots.deleteMergeOnRead(spark, s"$indexDir/postings", pred,
       key = Seq("term", "doc_id"),
       statsColumns = Seq("term", "doc_id"))
+    val st = Snapshots.read(spark, s"$indexDir/postings")
+      .agg(coalesce(countDistinct(col("doc_id")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("tf").cast("long")), lit(0L)).as("total_tokens"))
+      .head()
+    Snapshots.commit(spark,
+      spark.range(1).select(lit(st.getLong(0)).as("n_docs"),
+        lit(st.getLong(1)).as("total_tokens")),
+      s"$indexDir/stats")
+    v
   }
 
   /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken's local-minimum

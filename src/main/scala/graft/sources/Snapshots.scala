@@ -248,8 +248,10 @@ object Snapshots {
     val orderCol = back.columns.find(_.startsWith("min_"))
     if (leaves == 1 || orderCol.isEmpty) {
       // single leaf (or nothing to cluster by — bloom-only manifests,
-      // which root envelopes cannot prune anyway): adopt the build dir
-      // and write NO `_root`. A one-leaf root prunes nothing (the leaf
+      // which this same branch has always kept as ONE coalesced leaf
+      // file, so no per-leaf bloom-union root is lost here: a bloom
+      // union over one leaf never pruned anything): adopt the build
+      // dir and write NO `_root`. A one-leaf root prunes nothing (the leaf
       // is read either way) and totals from the leaf cost the same one
       // tiny read, while skipping it saves the read-back + union-agg +
       // write job chain on every small-table commit — measured at
@@ -377,11 +379,22 @@ object Snapshots {
         t <- ts if t.column == c &&
           root.columns.contains(s"lo_${t.name}") &&
           root.columns.contains(s"hi_${t.name}")
-      } yield values.map { v =>
-        val tv = spark.range(1)
-          .select(t(lit(v).cast(schema(c).dataType))).head().get(0)
-        col(s"lo_${t.name}") <= lit(tv) && col(s"hi_${t.name}") >= lit(tv)
-      }.reduce(_ || _)
+      } yield {
+        // same batching as the leaf-level keep (readPartitionedIn): ONE
+        // local projection evaluates every probe value through the
+        // transform (the per-value spark.range(1).head() shape ran one
+        // driver job per value — 2 048 jobs on a wide minhash probe),
+        // distinct transformed values collapse a Bucket(n) IN-list to
+        // ≤ n terms, and orTree keeps the disjunction balanced below
+        // the column converter's recursion limit.
+        val tvs = spark.range(1)
+          .select(explode(array(
+            values.map(v => lit(v).cast(schema(c).dataType)): _*)).as("_v"))
+          .select(t(col("_v")).as("_tv"))
+          .distinct().collect().map(_.get(0)).toIndexedSeq
+        orTree(tvs.map(tv =>
+          col(s"lo_${t.name}") <= lit(tv) && col(s"hi_${t.name}") >= lit(tv)))
+      }
       conds.reduceOption(_ && _)
     }
 

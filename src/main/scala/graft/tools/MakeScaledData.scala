@@ -28,12 +28,15 @@ import org.apache.spark.sql.functions._
   * tokenizes on \s+, so this is invisible to them); copy 0 is the
   * untouched original.
   *
-  * Embeddings: copy k shifts every vector by one deterministic
-  * per-copy noise vector (amplitude ±0.15/dim over unit-norm inputs →
-  * cross-copy cosine ≈ 0.8-0.9). A CONSTANT shift per stratum preserves
-  * within-stratum geometry exactly (relative angles untouched) while
-  * keeping every cross-stratum pair below semanticDedup's 0.95
-  * threshold — the same linear-true-answer argument as token salting.
+  * Embeddings: copy k applies one deterministic SIGNED PERMUTATION per
+  * stratum — element i becomes ±(element (i + 7k) mod dim) with
+  * md5-derived signs. A signed permutation is an orthogonal transform,
+  * so within-stratum cosine geometry is preserved EXACTLY (a first cut
+  * used a constant additive shift, which does NOT preserve cosine —
+  * cos(u+d, v+d) ≠ cos(u,v) — and quietly perturbed the near-threshold
+  * pairs the sweep was supposed to replicate), while cross-stratum
+  * pairs land at near-random cosine, far below semanticDedup's 0.95 —
+  * the same linear-true-answer argument as token salting.
   */
 object MakeScaledData {
   def main(args: Array[String]): Unit = {
@@ -72,10 +75,12 @@ object MakeScaledData {
       emb.select(
         (col("vec_id") + lit(k * nVec)).as("vec_id"),
         (if (k == 0) col("embedding")
-         else transform(col("embedding"), (x, i) =>
-           x + lit(0.3f) *
-             ((pmod(xxhash64(i, lit(k)), lit(1000)).cast("double") / 1000.0
-               - 0.5).cast("float"))))
+         else transform(col("embedding"), (_, i) =>
+           when(pmod(xxhash64(i, lit(k)), lit(2)) === 0, lit(1.0f))
+             .otherwise(lit(-1.0f)) *
+             element_at(col("embedding"),
+               (pmod(i + lit(7 * k), size(col("embedding"))) + 1)
+                 .cast("int"))))
           .cast("array<float>").as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)

@@ -16,6 +16,8 @@ object ProfileEntry {
       // a different zone can run a different plan than the one shipped
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Verify/Bench: TVF entries (q_*_sql) need the extensions
+      .config("spark.sql.extensions", classOf[graft.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to 3).foreach { i =>

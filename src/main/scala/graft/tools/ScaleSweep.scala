@@ -20,6 +20,8 @@ object ScaleSweep {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Verify/Bench: TVF entries (q_*_sql) need the extensions
+      .config("spark.sql.extensions", classOf[graft.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (dir <- dirs; name <- entries) {
