@@ -46,8 +46,12 @@ object ProfileMinhashIdx {
           out.unpersist()
           s
         }
+        // the O(new) add claim: merging a 100-doc arrival must not grow
+        // with the index (file-scoped — every base file carried)
+        val (_, addS) = secs(Dedup.addToMinhashIndex(spark, batch, idx))
         println(f"""{"corpus":$n,"build_s":$buildS%.2f,""" +
-          f""""probe_s":[${probeS.map(s => f"$s%.2f").mkString(",")}]}""")
+          f""""probe_s":[${probeS.map(s => f"$s%.2f").mkString(",")}],""" +
+          f""""add_s":$addS%.2f}""")
       }
     } else {
       val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
