@@ -379,22 +379,14 @@ object Snapshots {
         t <- ts if t.column == c &&
           root.columns.contains(s"lo_${t.name}") &&
           root.columns.contains(s"hi_${t.name}")
-      } yield {
-        // same batching as the leaf-level keep (readPartitionedIn): ONE
-        // local projection evaluates every probe value through the
-        // transform (the per-value spark.range(1).head() shape ran one
-        // driver job per value — 2 048 jobs on a wide minhash probe),
-        // distinct transformed values collapse a Bucket(n) IN-list to
-        // ≤ n terms, and orTree keeps the disjunction balanced below
-        // the column converter's recursion limit.
-        val tvs = spark.range(1)
-          .select(explode(array(
-            values.map(v => lit(v).cast(schema(c).dataType)): _*)).as("_v"))
-          .select(t(col("_v")).as("_tv"))
-          .distinct().collect().map(_.get(0)).toIndexedSeq
-        orTree(tvs.map(tv =>
-          col(s"lo_${t.name}") <= lit(tv) && col(s"hi_${t.name}") >= lit(tv)))
-      }
+      } yield
+        // same batching as the leaf-level keep — [[transformedTuples]]
+        // (one local job for the whole value list, distinct collapses a
+        // Bucket(n) IN-list to ≤ n terms), orTree keeps the disjunction
+        // balanced below the column converter's recursion limit
+        orTree(transformedTuples(spark, values, schema(c).dataType, Seq(t))
+          .map(row => col(s"lo_${t.name}") <= lit(row.get(0)) &&
+            col(s"hi_${t.name}") >= lit(row.get(0))))
       conds.reduceOption(_ && _)
     }
 
@@ -1874,6 +1866,28 @@ object Snapshots {
     m.filter(keep)
   }
 
+  /** Every probe value evaluated through `transforms` in ONE local
+    * projection, deduplicated on the transformed tuple — the shared
+    * mechanism behind both manifest keep-conditions (leaf and root).
+    * The first cut ran one driver job per value per transform (a
+    * 4 000-key minhash probe meant 4 000 tiny jobs); batching them
+    * into a single exploded-literal projection costs one job total,
+    * and the distinct bounds the resulting OR by the transforms'
+    * cardinality, not the probe width (a Bucket(n) transform maps an
+    * IN-list of any width onto ≤ n ids).
+    */
+  private def transformedTuples(
+      spark: SparkSession,
+      values: Seq[Any],
+      colType: org.apache.spark.sql.types.DataType,
+      transforms: Seq[Transform]): IndexedSeq[org.apache.spark.sql.Row] =
+    spark.range(1)
+      .select(explode(array(
+        values.map(v => lit(v).cast(colType)): _*)).as("_v"))
+      .select(transforms.zipWithIndex.map { case (t, i) =>
+        t(col("_v")).as(s"_tv$i") }: _*)
+      .distinct().collect().toIndexedSeq
+
   /** Balanced disjunction: pairwise-fold the terms so the column tree
     * is O(log n) deep. Spark's column-node→expression conversion
     * recurses per node, so the natural `reduce(_ || _)` left-deep chain
@@ -1952,30 +1966,18 @@ object Snapshots {
         val covered = ts.filter(t =>
           t.column == ph && m.columns.contains(s"min_${t.name}"))
         if (covered.isEmpty) lit(true)
-        else {
-          // ONE local projection evaluates EVERY probe value through all
-          // of this spec's covering transforms (the first cut ran one
-          // driver job per value per transform — a 4 000-key probe from
-          // the minhash-index batch meant 4 000 tiny jobs), and the OR
-          // runs over DISTINCT transformed tuples: a Bucket(n)
-          // transform maps an IN-list of any width onto ≤ n ids, so the
-          // manifest condition stays bounded by the spec's cardinality,
-          // not the probe's. The per-tuple AND-over-transforms keeps
-          // the original semantics exactly (a file survives when SOME
-          // value fits ALL its spec's envelopes). orTree keeps the
-          // disjunction balanced — the left-deep reduce overflowed the
-          // column-node converter's recursion near ~3 000 terms.
-          val tuples = spark.range(1)
-            .select(explode(array(
-              values.map(v => lit(v).cast(colType)): _*)).as("_v"))
-            .select(covered.zipWithIndex.map { case (t, i) =>
-              t(col("_v")).as(s"_tv$i") }: _*)
-            .distinct().collect()
-          orTree(tuples.toIndexedSeq.map(row => covered.indices.map { i =>
-            col(s"min_${covered(i).name}") <= lit(row.get(i)) &&
-              col(s"max_${covered(i).name}") >= lit(row.get(i))
-          }.reduce(_ && _)))
-        }
+        else
+          // distinct transformed tuples via [[transformedTuples]]; the
+          // per-tuple AND-over-transforms keeps the original semantics
+          // exactly (a file survives when SOME value fits ALL its
+          // spec's envelopes), and orTree keeps the disjunction
+          // balanced — the left-deep reduce overflowed the column-node
+          // converter's recursion near ~3 000 terms.
+          orTree(transformedTuples(spark, values, colType, covered)
+            .map(row => covered.indices.map { i =>
+              col(s"min_${covered(i).name}") <= lit(row.get(i)) &&
+                col(s"max_${covered(i).name}") >= lit(row.get(i))
+            }.reduce(_ && _)))
       }
       prunedScan(spark, tableDir, snapDir, m.filter(keep), pairs)
         .map(raw => mapLogical(applyDeleteSidecars(spark, snapDir, raw), pairs)

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Synthesize a larger documents/embeddings corpus from an existing SF
@@ -43,13 +42,7 @@ object MakeScaledData {
     val Array(src, dst, multS) = args.take(3)
     val mult = multS.toInt
     require(mult >= 1, s"multiplier must be >= 1, got $mult")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.local()
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1

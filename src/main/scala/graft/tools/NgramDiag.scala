@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.{Corpus, Dedup}
 
@@ -12,13 +11,7 @@ import graft.operators.{Corpus, Dedup}
   */
 object NgramDiag {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.local(cores = 16)
     val threshold = 0.6
     for (dir <- args) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")

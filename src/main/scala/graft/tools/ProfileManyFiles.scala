@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.sources.Snapshots
 
@@ -23,16 +22,10 @@ object ProfileManyFiles {
   def main(args: Array[String]): Unit = {
     val counts =
       if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1024, 8192, 32768)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // 256 manifest rows per leaf: a 32k-file table becomes 128 leaves
-      // under a `_root`, the production two-level shape at toy scale
-      .config("graft.snapshots.manifestRowsPerLeaf", "256")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // 256 manifest rows per leaf: a 32k-file table becomes 128 leaves
+    // under a `_root`, the production two-level shape at toy scale
+    val spark = ToolSession.local(
+      extraConf = Seq("graft.snapshots.manifestRowsPerLeaf" -> "256"))
     def secs[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)

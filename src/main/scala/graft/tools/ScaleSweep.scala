@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** VERDICT r9 #4: validate the 100 TB-design claims empirically above
   * sf0.1. Runs each named entry at each given data dir (use
@@ -15,15 +14,7 @@ object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val entries = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val dirs = args.drop(1)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // match Verify/Bench: TVF entries (q_*_sql) need the extensions
-      .config("spark.sql.extensions", classOf[graft.GraftExtensions].getName)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.local()
     for (dir <- dirs; name <- entries) {
       (1 to 3).foreach { i =>
         // identical re-registrations of an entry's internal .persist()
