@@ -1097,6 +1097,13 @@ object PipelineQueries {
       // every word covered by an 8-gram shared by >= 2 documents
       TextAnalysis.spanScrub(t(s, d, "documents"), n = 8, minDocs = 2)
     }),
+    "dedup_exact_spans" -> ((s, d) => {
+      // MAXIMAL duplicated spans (ExactSubstr at word granularity):
+      // where the shared material sits and how long it runs — the
+      // boundary report corpus_span_scrub's deletions follow exactly
+      // (DupSpansSpec pins that positional identity)
+      TextAnalysis.maximalDupSpans(t(s, d, "documents"), n = 8, minDocs = 2)
+    }),
     "corpus_cdc_chunk" -> ((s, d) => cdcChunks(s, d)),
     "dedup_cdc_passages" -> ((s, d) => {
       // The CDC use case end-to-end: chunk every document with the
@@ -3074,6 +3081,39 @@ object PipelineQueries {
         |  CAST(n_words - len(kept) AS BIGINT) AS n_removed,
         |  coalesce(array_to_string(kept, ' '), '') AS text_scrubbed
         |FROM scrub ORDER BY doc_id""".stripMargin,
+    // same occurrence-8-gram + >=2-distinct-docs frequent set as
+    // corpus_span_scrub, then the islands merge: start − row_number()
+    // is constant on runs of consecutive duplicated starts; a run of
+    // g starts spans max − min + 8 words; text via 1-based inclusive
+    // list slicing over the same tokenization
+    "dedup_exact_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |occ0 AS (
+        |  SELECT doc_id,
+        |    [{'s': i - 1, 'g': array_to_string(ts[i:i+7], ' ')}
+        |     for i in generate_series(1, len(ts) - 7)] AS occs
+        |  FROM toks),
+        |occ AS (
+        |  SELECT doc_id, unnest(occs, recursive := true) FROM occ0),
+        |freq AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ)
+        |  GROUP BY g HAVING COUNT(*) >= 2),
+        |runs AS (
+        |  SELECT doc_id, s,
+        |    s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |  FROM occ JOIN freq USING (g)),
+        |spans AS (
+        |  SELECT doc_id, MIN(s) AS span_start, MAX(s) - MIN(s) + 8 AS span_len
+        |  FROM runs GROUP BY doc_id, grp)
+        |SELECT sp.doc_id, CAST(sp.span_start AS BIGINT) AS span_start,
+        |  CAST(sp.span_len AS BIGINT) AS span_len,
+        |  array_to_string(
+        |    t.ts[sp.span_start + 1 : sp.span_start + sp.span_len], ' ')
+        |    AS span_text
+        |FROM spans sp JOIN toks t USING (doc_id)
+        |ORDER BY sp.doc_id, sp.span_start""".stripMargin,
     // same −Σ p·ln p fold; SUM(n) cast to DOUBLE so the division is
     // float on both engines (DuckDB's BIGINT SUM widens to HUGEINT)
     "text_normalize" ->

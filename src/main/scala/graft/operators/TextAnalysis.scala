@@ -1257,4 +1257,79 @@ object TextAnalysis {
         array_join(col("kept"), " ").as("text_scrubbed"))
       .orderBy("doc_id")
   }
+
+  /** MAXIMAL cross-document duplicated spans — the detection report of
+    * the exact-substring family (Lee et al. 2022's ExactSubstr, at the
+    * word granularity this repo's span ops share): for each document,
+    * every maximal run of consecutive duplicated `n`-gram starts,
+    * reported as (span_start, span_len, span_text). "Duplicated" uses
+    * the same rule as [[spanScrub]]'s frequent set — the gram occurs in
+    * at least `minDocs` DISTINCT documents — so a reported span is
+    * exactly a maximal window in which EVERY length-`n` sub-window is
+    * shared across documents. [[commonSpans]] ranks fixed-length grams
+    * and [[spanScrub]] deletes covered words; neither says WHERE the
+    * duplicated material sits or how LONG it runs — the statistic that
+    * decides span-level surgery vs document-level drop in a dedup
+    * pipeline.
+    *
+    * Mechanism: occurrence `n`-grams with 0-based starts (one codegen'd
+    * [[graft.functions.TextShingles.wordNgramsAll]] pass; the
+    * `posexplode` index IS the start), the frequent set by distinct-doc
+    * count, then the classic islands merge — `start − row_number()` is
+    * constant exactly on runs of consecutive starts — and a per-run
+    * MIN/MAX aggregation; span text comes from one `slice` after an
+    * equi-join back to the token arrays on doc_id. A span of `g`
+    * consecutive starts covers words [min, min+g−1+n−1], hence
+    * span_len = max − min + n.
+    *
+    * Plan shape: two hash aggregations (doc-distinct grams → counts;
+    * runs), one equi-join on gram (frequent side HAVING-bounded — AQE
+    * broadcasts it when small), one per-doc window (partitions bounded
+    * by document length, the same contract as the tf-idf rank window),
+    * one equi-join back on doc_id. Every shuffle keys on gram or
+    * doc_id — co-partitioned at any scale, no all-pairs anywhere; the
+    * gram-occurrence shuffle volume is identical to what [[spanScrub]]
+    * already moves. Positional invariant (pinned by DupSpansSpec): the
+    * union of [span_start, span_start+span_len−1] over a document's
+    * spans is exactly the covered-position set [[spanScrub]] deletes.
+    *
+    * Output: (doc_id, span_start, span_len, span_text), one row per
+    * maximal span; documents with no duplicated gram contribute none.
+    */
+  def maximalDupSpans(
+      docs: DataFrame,
+      n: Int = 8,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(lower(trim(col(textCol))), "\\s+", -1).as("ts"))
+    val occ = Corpus.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextShingles.wordNgramsAll(col(textCol), n))
+          .as(Seq("start", "gram")))
+    val frequent = occ.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gram")
+    val runs = occ.join(frequent, "gram")
+      .select("doc_id", "start")
+      .withColumn("grp",
+        col("start") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("start")))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) - min(col("start")) + n).as("span_len"))
+    runs.join(toks, "doc_id")
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_len").cast("long").as("span_len"),
+        array_join(
+          slice(col("ts"), col("span_start") + 1, col("span_len")), " ")
+          .as("span_text"))
+      .orderBy("doc_id", "span_start")
+  }
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[TextAnalysis.maximalDupSpans]] — exact boundaries on a hand corpus,
+  * the positional identity against [[TextAnalysis.spanScrub]], and a full
+  * independent in-memory replay on the sf0.001 corpus (tokenize → gram →
+  * distinct-doc counts → islands merge, all in plain Scala collections —
+  * no Spark machinery shared with the operator under test).
+  */
+class DupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("maximal span boundaries and text on a hand corpus") {
+    val boiler = "this content is provided as is without any warranty"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, "unrelated text entirely here now yes truly original")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.maximalDupSpans(docs, n = 8, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // the 9-word boilerplate = two consecutive duplicated 8-gram starts
+    // per carrier -> ONE maximal span of 9 words each; doc 3 has none
+    assert(got.toSet == Set(
+      (1L, 3L, 9L, boiler),
+      (2L, 0L, 9L, boiler)))
+  }
+
+  test("within-doc-only repetition yields no spans") {
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$span filler $span"),
+      (2L, "totally different words appear in this second document here")
+    ).toDF("doc_id", "text")
+    assert(TextAnalysis.maximalDupSpans(docs, n = 8, minDocs = 2)
+      .collect().isEmpty)
+  }
+
+  test("two shared runs split by a private word stay separate spans") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "iota kappa lambda mu nu xi omicron pi"
+    val docs = Seq(
+      (1L, s"$a ONE $b"),
+      (2L, s"$a TWO $b")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.maximalDupSpans(docs, n = 8, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // the private middle word breaks the run: two maximal 8-word spans
+    // per doc, not one 17-word span (lower-case: the tokenizer folds)
+    assert(got.toSet == Set(
+      (1L, 0L, 8L, a), (1L, 9L, 8L, b),
+      (2L, 0L, 8L, a), (2L, 9L, 8L, b)))
+  }
+
+  test("span positions are exactly the words spanScrub removes (sf0.001)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val spans = TextAnalysis.maximalDupSpans(docs, n = 8, minDocs = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+    val removed = TextAnalysis.spanScrub(docs, n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(removed.nonEmpty && spans.nonEmpty)
+    removed.foreach { case (doc, nRemoved) =>
+      val covered = spans.getOrElse(doc, Seq.empty)
+        .flatMap { case (s, len) => s until (s + len) }.toSet
+      assert(covered.size.toLong == nRemoved,
+        s"doc $doc: spans cover ${covered.size} positions, scrub removed $nRemoved")
+    }
+  }
+
+  test("full independent replay on the sf0.001 corpus") {
+    val n = 8
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+", -1).toSeq).toMap
+    val gramDocs = collection.mutable.Map.empty[Seq[String], collection.mutable.Set[Long]]
+    texts.foreach { case (doc, ts) =>
+      ts.sliding(n).filter(_.size == n).foreach { g =>
+        gramDocs.getOrElseUpdate(g, collection.mutable.Set.empty) += doc
+      }
+    }
+    val expected = texts.toSeq.flatMap { case (doc, ts) =>
+      val dupStarts = ts.sliding(n).zipWithIndex
+        .collect { case (g, i) if g.size == n && gramDocs(g).size >= 2 => i }
+        .toSeq
+      // islands merge over consecutive starts
+      val runs = dupStarts.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      runs.map { case (s, e) =>
+        (doc, s.toLong, (e - s + n).toLong, ts.slice(s, e + n).mkString(" "))
+      }
+    }.toSet
+    val got = TextAnalysis.maximalDupSpans(
+      spark.read.parquet(s"$sf/documents.parquet"), n = n, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(expected.nonEmpty, "sf0.001 should contain cross-doc duplication")
+    assert(got == expected)
+  }
+}
