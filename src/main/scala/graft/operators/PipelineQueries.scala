@@ -862,6 +862,20 @@ object PipelineQueries {
         .withColumn("keep", col("keep").cast("long"))
         .orderBy("vec_id")
     }),
+    // SEMANTIC decontamination: vec_id % 10 == 0 plays the benchmark
+    // set, the rest the corpus; same 0.4/3-sign-dims/round-6 convention
+    // as dedup_semantic so the oracle replays cells + cosines exactly.
+    // Closes the gap the exact-gram contamination probes can't: leakage
+    // that was paraphrased rather than copied
+    "dedup_contamination_semantic" -> ((s, d) => {
+      val vecs = t(s, d, "embeddings")
+      Similarity.semanticContamination(
+        vecs.filter(col("vec_id") % 10 =!= 0),
+        vecs.filter(col("vec_id") % 10 === 0),
+        threshold = 0.4, signDims = 3, roundDecimals = 6)
+        .withColumn("contaminated", col("contaminated").cast("long"))
+        .orderBy("vec_id")
+    }),
     // single-term BM25 retrieval over three mid-frequency corpus terms;
     // rank order pinned by round-6-then-rank with doc_id tiebreak
     "text_bm25_topk" -> ((s, d) => {
@@ -2848,6 +2862,35 @@ object PipelineQueries {
         |  CAST(e.vec_id = COALESCE(cl.cluster_id, e.vec_id) AS BIGINT) AS keep
         |FROM e LEFT JOIN cl ON e.vec_id = cl.node
         |ORDER BY e.vec_id""".stripMargin,
+    // same orthant cells + round-6 cosine as dedup_semantic; corpus =
+    // vec_id % 10 <> 0, eval = % 10 = 0; one row per corpus vector,
+    // max_cosine NULL when nothing reaches the 0.4 floor
+    "dedup_contamination_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) AS cell
+        |  FROM e),
+        |corp AS (SELECT * FROM c WHERE vec_id % 10 <> 0),
+        |ev AS (SELECT * FROM c WHERE vec_id % 10 = 0),
+        |scored AS (
+        |  SELECT corp.vec_id,
+        |    round(list_dot_product(corp.v, ev.v)
+        |      / sqrt(list_dot_product(corp.v, corp.v)
+        |             * list_dot_product(ev.v, ev.v)), 6) AS cosine
+        |  FROM corp JOIN ev ON corp.cell = ev.cell),
+        |hits AS (
+        |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |    MAX(cosine) AS max_cosine
+        |  FROM scored WHERE cosine >= 0.4 GROUP BY vec_id)
+        |SELECT corp.vec_id,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, h.max_cosine,
+        |  CAST(COALESCE(h.n_hits, 0) >= 1 AS BIGINT) AS contaminated
+        |FROM corp LEFT JOIN hits h USING (vec_id)
+        |ORDER BY corp.vec_id""".stripMargin,
     // same k1=1.2 b=0.75 Okapi constants and round-6-before-rank rule
     // as the Spark plan; DuckDB's list_filter counts tf per term.
     // text_bm25_persisted and text_bm25_incremental share this oracle

@@ -877,6 +877,62 @@ object Similarity {
       .withColumn("keep", col(idCol) === col("cluster_id"))
   }
 
+  /** SEMANTIC train/eval decontamination — the embedding-space
+    * counterpart of [[Dedup.contamination]]'s exact n-gram probe: a
+    * corpus vector is contaminated when some eval-set vector sits
+    * within cosine `threshold` of it. Paraphrased or lightly-edited
+    * benchmark leakage defeats exact-gram matching but keeps its
+    * embedding close — the gap this probe closes in a pipeline that
+    * already runs the exact checks.
+    *
+    * Candidate generation reuses [[semanticDedup]]'s deterministic
+    * orthant-sign cells (the leading `signDims` dimensions' sign bits):
+    * corpus and eval vectors are cell-bucketed and only same-cell pairs
+    * are scored, so no corpus×eval all-pairs join ever materializes and
+    * the cell column is the only key shuffled with the vectors. The
+    * same published-contract caveat carries over: a cross-cell near
+    * neighbor is missed by design (sign flips on a near-zero leading
+    * dimension), and cell count should grow with corpus size to keep
+    * the within-cell block bounded. The eval side is typically tiny
+    * (benchmarks, not corpora) — AQE broadcasts it per cell.
+    *
+    * Output, one row per CORPUS vector (eval rows are the probe, not
+    * the subject): vec_id, n_hits (eval vectors at or above threshold),
+    * max_cosine (round-`roundDecimals` best match; null when no hit),
+    * contaminated.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      eval: DataFrame,
+      threshold: Double = 0.4,
+      signDims: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): DataFrame = {
+    require(signDims >= 1 && signDims <= 30, s"signDims out of range: $signDims")
+    def withCell(df: DataFrame): DataFrame = Corpus.spread(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", (0 until signDims)
+        .map(i => when(element_at(col("vec"), i + 1) >= 0, lit(1 << i))
+          .otherwise(lit(0)))
+        .reduce(_ + _))
+    val c = withCell(corpus)
+    val hits = c.join(
+      withCell(eval).select(col("cell"), col("vec").as("evec")), Seq("cell"))
+      .select(col("id"),
+        maybeRound(cosineSim(col("vec"), col("evec")), roundDecimals)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cosine"))
+    c.select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_cosine"),
+        (coalesce(col("n_hits"), lit(0L)) >= 1).as("contaminated"))
+  }
+
   /** Per-vector INT8 quantization summary — the storage/serving prep
     * step of an embedding pipeline (4× smaller vectors for ANN serving).
     * Affine scheme: q_i = floor((v_i − min) / scale) clamped to [0, 255]

@@ -454,4 +454,67 @@ class SimilaritySpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("semanticContamination flags same-cell near-eval vectors only") {
+    import spark.implicits._
+    // corpus 1 ~ eval 10 (same all-positive orthant, cosine > 0.99);
+    // corpus 2 shares that cell but is far (orthogonal-ish); corpus 3
+    // ~ eval 11 in cell 6 — found; corpus 4 ~ eval 12 at cosine ~1 but
+    // the leading dim's sign flips across ±0.01 → cells 7 vs 6, the
+    // documented cell-miss: candidate generation never compares them
+    val corpus = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f)),
+      (2L, Array(1.0f, 0.01f, 0.01f)),
+      (3L, Array(-1.0f, 1.0f, 1.0f)),
+      (4L, Array(0.01f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (10L, Array(1.0f, 1.0f, 0.95f)),
+      (11L, Array(-0.95f, 1.0f, 1.0f)),
+      (12L, Array(-0.01f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(
+      corpus, eval, threshold = 0.95, signDims = 3)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((1L, true)))
+    // the near-identical pair split by the sign cell is missed by design
+    assert(got(4L) == ((0L, false)))
+    // one row per corpus vector, eval vectors are never subjects
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("semanticContamination agrees with a brute-force same-cell check on sf0.001") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val eval = emb.filter(col("vec_id") % 10 === 0)
+    val got = Similarity.semanticContamination(
+      corpus, eval, threshold = 0.3, signDims = 3, roundDecimals = 6)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_hits")).toMap
+    // driver-side replay: same sign cells, same rounded cosine floor
+    def cell(v: Array[Float]): Int =
+      (0 until 3).map(i => if (v(i) >= 0) 1 << i else 0).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      BigDecimal(dot / math.sqrt(
+        ad.map(x => x * x).sum * bd.map(x => x * x).sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cRows = corpus.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+    val eRows = eval.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+    val expected = cRows.map { case (id, v) =>
+      id -> eRows.count { case (_, e) =>
+        cell(v) == cell(e) && cos(v, e) >= 0.3 }.toLong
+    }.toMap
+    assert(got == expected)
+    assert(expected.values.sum > 0, "threshold 0.3 should produce hits")
+  }
 }
