@@ -413,6 +413,21 @@ object PipelineQueries {
           centroids = cents, k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
+    // document CLUSTERING as a first-class deliverable (data curation:
+    // cluster-aware mixing, SemDeDup-style pruning, per-cluster
+    // inspection) — the same memoized Lloyd's quantizer the IVF family
+    // trains, surfaced as (vector -> cluster, cluster size). The oracle
+    // replays train AND assignment through the shared IVF CTE chain
+    "embedding_kmeans" -> ((s, d) => {
+      val assigned = Similarity.assignCells(
+        t(s, d, "embeddings"), coarseTrained(s, d), roundDecimals = 6)
+      val sizes = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n_in_cluster"))
+      assigned.join(sizes, "cell")
+        .select(col("vec_id"), col("cell").cast("long").as("cluster"),
+          col("n_in_cluster"))
+        .orderBy("vec_id")
+    }),
 
     // ---- approximation contracts as DRIVER-GATED entries ----
     // The SRP paths are approximate by design, so their raw output has
@@ -1929,6 +1944,18 @@ object PipelineQueries {
         |  round(CAST(SUM(n_words) AS DOUBLE) / (COUNT(*) * bucket), 6) AS pad_efficiency
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "ann_ivf_trained" -> ivfTrainedOracle(8, 2, 2, 10),
+    // the shared train/assign chain, surfaced as cluster membership:
+    // same k=8/2-iteration/round-6 quantizer, so `assigned` here is the
+    // byte-identical CTE the green IVF rows are built on
+    "embedding_kmeans" ->
+      ((ivfTrainCTEs(8, 2, 2, "TRUE") :+
+        """sizes AS (
+          |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_in_cluster
+          |  FROM assigned GROUP BY cell)
+          |SELECT a.neighbor_id AS vec_id, CAST(a.cell AS BIGINT) AS cluster,
+          |  s.n_in_cluster
+          |FROM assigned a JOIN sizes s USING (cell)
+          |ORDER BY vec_id""".stripMargin).mkString(",\n")),
     "ann_ivf_filtered" ->
       ivfTrainedOracle(8, 2, 2, 10, candWhere = "label IN (2, 5)"),
     // identical replay: the persisted-index entry uses the same quantizer

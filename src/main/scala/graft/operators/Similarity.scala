@@ -203,13 +203,18 @@ object Similarity {
       corpus: DataFrame,
       centroids: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): DataFrame = {
     val cents = centroids.select(col(idCol).as("cell"), col(vecCol).as("centroid"))
     Corpus.spread(corpus)
       .select(col(idCol), col(vecCol).as("_v"))
       .join(broadcast(cents))
       .select(col(idCol), col("cell"),
-        cosineSim(col("_v"), col("centroid")).as("csim"))
+        // roundDecimals >= 0 rounds the assignment similarity before the
+        // argmin (the gated-ANN convention) so an external replay cannot
+        // flip a boundary assignment on last-ulp noise
+        maybeRound(cosineSim(col("_v"), col("centroid")), roundDecimals)
+          .as("csim"))
       .groupBy(col(idCol))
       .agg(min_by(col("cell"), struct(-col("csim"), col("cell"))).as("cell"))
   }

@@ -455,6 +455,38 @@ class SimilaritySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("rounded assignCells matches a driver-side argmax replay on sf0.001") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(
+      emb, k = 8, iterations = 2, roundDecimals = 6)
+    val got = Similarity.assignCells(emb, cents, roundDecimals = 6)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    // replay: round-6 cosine argmax, smallest cell id on ties — the
+    // same rule the IVF oracles unroll in SQL
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      BigDecimal(dot / math.sqrt(
+        a.map(x => x.toDouble * x.toDouble).sum *
+          b.map(x => x.toDouble * x.toDouble).sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cRows = cents.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray)
+    val vRows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray)
+    vRows.foreach { case (id, v) =>
+      val best = cRows.map { case (cell, c) => (cell, cos(v, c)) }
+        .minBy { case (cell, s) => (-s, cell) }._1
+      assert(got(id) == best, s"vec $id: got ${got(id)}, replay $best")
+    }
+    // every vector lands in exactly one of the k seeded cells
+    assert(got.size == vRows.length)
+    assert(got.values.toSet.subsetOf(cRows.map(_._1).toSet))
+  }
+
   test("semanticContamination flags same-cell near-eval vectors only") {
     import spark.implicits._
     // corpus 1 ~ eval 10 (same all-positive orthant, cosine > 0.99);
