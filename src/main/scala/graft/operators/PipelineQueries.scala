@@ -837,6 +837,24 @@ object PipelineQueries {
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")
     }),
+    // cluster-balanced selection: cap every trained k-means cluster at
+    // 30 documents by the same md5 rank stratifiedSample draws with —
+    // the curation step after embedding_kmeans that stops one dominant
+    // cluster (boilerplate, one domain) from owning the training mix.
+    // embeddings.vec_id keys the same corpus as documents.doc_id (the
+    // tables are row-aligned by construction); pure composition:
+    // assignment -> join -> per-cluster capped draw, every stage keyed
+    // on doc_id or cluster
+    "corpus_cluster_sample" -> ((s, d) => {
+      val clusters = Similarity.assignCells(
+        t(s, d, "embeddings"), coarseTrained(s, d), roundDecimals = 6)
+        .select(col("vec_id").as("doc_id"),
+          col("cell").cast("long").as("cluster"))
+      Corpus.stratifiedSample(
+        t(s, d, "documents").join(clusters, "doc_id"), "cluster", n = 30)
+        .select("cluster", "sample_rank", "doc_id")
+        .orderBy("cluster", "sample_rank")
+    }),
     // A-ES weighted draw: longer documents proportionally more likely;
     // the es_key column is part of the contract (the oracle recomputes
     // the full exponential race, not just the winning set)
@@ -2534,6 +2552,26 @@ object PipelineQueries {
         |  FROM h)
         |SELECT lang, sample_rank, doc_id FROM r
         |WHERE sample_rank <= 50 ORDER BY lang, sample_rank""".stripMargin,
+    // the shared IVF train/assign chain as strata, then the
+    // corpus_stratified_sample md5 rank capped at 30 per cluster
+    "corpus_cluster_sample" ->
+      ((ivfTrainCTEs(8, 2, 2, "TRUE") :+
+        """joined AS (
+          |  SELECT CAST(a.cell AS BIGINT) AS cluster, d.doc_id
+          |  FROM assigned a JOIN documents d ON d.doc_id = a.neighbor_id),
+          |h AS (
+          |  SELECT cluster, doc_id,
+          |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |      AS hk
+          |  FROM joined),
+          |r AS (
+          |  SELECT cluster, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY cluster
+          |      ORDER BY hk, doc_id) AS INT) AS sample_rank
+          |  FROM h)
+          |SELECT cluster, sample_rank, doc_id FROM r
+          |WHERE sample_rank <= 30 ORDER BY cluster, sample_rank""".stripMargin)
+        .mkString(",\n")),
     // the proven min-label closure, left-joined onto all docs, then
     // the corpus_mix_sample md5 rule on the group key
     "corpus_split_leakfree" ->

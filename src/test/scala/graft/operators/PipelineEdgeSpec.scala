@@ -56,6 +56,27 @@ class PipelineEdgeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("corpus_cluster_sample: per-cluster cap, contiguous ranks, membership-consistent") {
+    val d = "/root/testdata/sf0.001"
+    val sample = PipelineQueries.queries("corpus_cluster_sample")(spark, d)
+      .collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Int]("sample_rank"),
+        r.getAs[Long]("doc_id")))
+    assert(sample.nonEmpty)
+    sample.groupBy(_._1).foreach { case (c, rows) =>
+      assert(rows.length <= 30, s"cluster $c over cap: ${rows.length}")
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"cluster $c ranks not contiguous")
+    }
+    // every sampled doc sits in the cluster embedding_kmeans assigns it
+    val membership = PipelineQueries.queries("embedding_kmeans")(spark, d)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    sample.foreach { case (c, _, doc) =>
+      assert(membership(doc) == c, s"doc $doc sampled into $c, assigned ${membership(doc)}")
+    }
+  }
+
   test("leakFreeSplit: clusters never straddle the split, singletons draw alone") {
     val docs = (0L until 100L).map(i => Tuple1(i)).toDF("doc_id")
     // clusters: {0,1,2} share cluster 0; {10,11} share cluster 10
