@@ -1151,6 +1151,20 @@ object PipelineQueries {
       // (DupSpansSpec pins that positional identity)
       TextAnalysis.maximalDupSpans(t(s, d, "documents"), n = 8, minDocs = 2)
     }),
+    "dedup_exact_spans_indexed" -> ((s, d) => {
+      // the INCREMENTAL spelling: persist the corpus side's 8-gram
+      // postings once (doc_id % 5 != 0 plays the standing corpus),
+      // then span-check the arrival batch (doc_id % 5 == 0) from the
+      // probed posting buckets alone — no corpus rescan, the same
+      // build/serve split as the minhash/text/IVF indexes
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-span-idx")
+      clearDir(s, dir)
+      TextAnalysis.buildSpanIndex(s,
+        docs.filter(col("doc_id") % 5 =!= 0), dir, n = 8, nBuckets = 8)
+      TextAnalysis.dupSpansAgainstIndex(s, dir,
+        docs.filter(col("doc_id") % 5 === 0), n = 8)
+    }),
     "corpus_cdc_chunk" -> ((s, d) => cdcChunks(s, d)),
     "dedup_cdc_passages" -> ((s, d) => {
       // The CDC use case end-to-end: chunk every document with the
@@ -3212,6 +3226,37 @@ object PipelineQueries {
         |  SELECT doc_id, s,
         |    s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS grp
         |  FROM occ JOIN freq USING (g)),
+        |spans AS (
+        |  SELECT doc_id, MIN(s) AS span_start, MAX(s) - MIN(s) + 8 AS span_len
+        |  FROM runs GROUP BY doc_id, grp)
+        |SELECT sp.doc_id, CAST(sp.span_start AS BIGINT) AS span_start,
+        |  CAST(sp.span_len AS BIGINT) AS span_len,
+        |  array_to_string(
+        |    t.ts[sp.span_start + 1 : sp.span_start + sp.span_len], ' ')
+        |    AS span_text
+        |FROM spans sp JOIN toks t USING (doc_id)
+        |ORDER BY sp.doc_id, sp.span_start""".stripMargin,
+    // the incremental probe is path-independent state: arrival grams
+    // (doc_id % 5 = 0) that occur in ANY corpus-side doc (% 5 <> 0),
+    // then the same islands merge — whether Spark served them from
+    // pruned posting buckets or a full postings read cannot change a row
+    "dedup_exact_spans_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |occ0 AS (
+        |  SELECT doc_id,
+        |    [{'s': i - 1, 'g': array_to_string(ts[i:i+7], ' ')}
+        |     for i in generate_series(1, len(ts) - 7)] AS occs
+        |  FROM toks),
+        |occ AS (
+        |  SELECT doc_id, unnest(occs, recursive := true) FROM occ0),
+        |indexed AS (
+        |  SELECT DISTINCT g FROM occ WHERE doc_id % 5 <> 0),
+        |runs AS (
+        |  SELECT doc_id, s,
+        |    s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |  FROM occ JOIN indexed USING (g) WHERE doc_id % 5 = 0),
         |spans AS (
         |  SELECT doc_id, MIN(s) AS span_start, MAX(s) - MIN(s) + 8 AS span_len
         |  FROM runs GROUP BY doc_id, grp)

@@ -1304,19 +1304,44 @@ object TextAnalysis {
       idCol: String = "doc_id"): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(lower(trim(col(textCol))), "\\s+", -1).as("ts"))
-    val occ = Corpus.spread(docs)
-      .select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.TextShingles.wordNgramsAll(col(textCol), n))
-          .as(Seq("start", "gram")))
+    val occ = spanOccurrences(docs, n, textCol, idCol)
     val frequent = occ.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("gram")
-    val runs = occ.join(frequent, "gram")
-      .select("doc_id", "start")
+    spansFromDupStarts(
+      occ.join(frequent, "gram").select("doc_id", "start"),
+      docs, n, textCol, idCol)
+  }
+
+  /** Occurrence `n`-grams with 0-based starts — the (doc_id, start,
+    * gram) stream every exact-substring op consumes (the `posexplode`
+    * index IS the start; documents shorter than `n` words yield none).
+    */
+  private def spanOccurrences(
+      docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+    Corpus.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextShingles.wordNgramsAll(col(textCol), n))
+          .as(Seq("start", "gram")))
+
+  /** Shared tail of the exact-substring family: duplicated `n`-gram
+    * starts → maximal consecutive runs (`start − row_number()` islands
+    * merge, per-doc window partitions bounded by document length) →
+    * (span_start, span_len, span_text) via one `slice` after the
+    * equi-join back to the token arrays. `dupStarts` must be distinct
+    * per (doc_id, start).
+    */
+  private def spansFromDupStarts(
+      dupStarts: DataFrame,
+      docs: DataFrame,
+      n: Int,
+      textCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(lower(trim(col(textCol))), "\\s+", -1).as("ts"))
+    val runs = dupStarts
       .withColumn("grp",
         col("start") - row_number().over(
           Window.partitionBy("doc_id").orderBy("start")))
@@ -1331,5 +1356,90 @@ object TextAnalysis {
           slice(col("ts"), col("span_start") + 1, col("span_len")), " ")
           .as("span_text"))
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Persist the exact-substring index: one posting row per `n`-gram
+    * OCCURRENCE (term, doc_id, start), term-bucketed through the
+    * snapshot layer like [[buildPhraseIndex]]'s membership postings —
+    * the corpus-side state that lets every future arrival batch be
+    * span-checked WITHOUT rescanning the corpus ([[dupSpansAgainstIndex]]).
+    * Start positions ride along so a future serve can also report WHERE
+    * the index side carries the span; the probe below only needs term
+    * membership and dedups them away.
+    */
+  def buildSpanIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      n: Int = 8,
+      nBuckets: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Long = {
+    import graft.sources.Snapshots
+    require(n >= 2, s"span index needs n >= 2, got $n")
+    Snapshots.commit(spark,
+      spanOccurrences(docs, n, textCol, idCol)
+        .select(col("gram").as("term"), col("doc_id"), col("start")),
+      s"$indexDir/postings",
+      statsColumns = Seq("term", "doc_id"),
+      partitionSpec = Seq(Snapshots.Transform.Bucket("term", nBuckets)))
+  }
+
+  /** INCREMENTAL exact-substring dedup: the maximal spans of an arrival
+    * batch that duplicate material ALREADY IN a [[buildSpanIndex]]
+    * index — [[maximalDupSpans]]' detection contract with the corpus
+    * side answered from persisted postings instead of a corpus rescan
+    * (the same build/serve split as the minhash, text, and IVF
+    * indexes: ingest once, probe per batch at O(batch)).
+    *
+    * Probe shape: the arrival batch's distinct grams become one
+    * manifest-pruned IN-read of their posting buckets — the bucket
+    * transform collapses the IN-list to at most `nBuckets` manifest
+    * terms however many grams probe (the r10 wide-probe planning fix),
+    * so `maxProbeKeys` guards only the driver-side key collect; batches
+    * above it fall back to one full postings read (bucket-complete,
+    * still never the corpus). Matched arrival starts then run the
+    * shared islands-merge tail. A span here means: every length-`n`
+    * window of it occurs somewhere in the indexed corpus — the
+    * per-window sources may differ, exactly as in [[maximalDupSpans]].
+    * Arrivals also present in the index match themselves by
+    * construction; probe disjoint batches (or retract first) for
+    * new-material semantics.
+    */
+  def dupSpansAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      arrivals: DataFrame,
+      n: Int = 8,
+      maxProbeKeys: Int = 8192,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.sources.Snapshots
+    val occ = spanOccurrences(arrivals, n, textCol, idCol).persist()
+    try {
+      occ.foreach(_ => ())
+      val keys = occ.select("gram").distinct()
+        .limit(maxProbeKeys + 1).collect().map(_.getString(0))
+      if (keys.isEmpty)
+        // all-short batch: no grams to look up (readPartitionedIn
+        // rightly refuses an empty IN-list)
+        return spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+          lit(0L).as("span_start"), lit(0L).as("span_len"),
+          lit("").as("span_text"))
+      val indexed =
+        (if (keys.length <= maxProbeKeys)
+          Snapshots.readPartitionedIn(spark, s"$indexDir/postings", "term",
+            keys.toIndexedSeq)
+        else Snapshots.read(spark, s"$indexDir/postings"))
+          .select(col("term").as("gram")).distinct()
+      // result persists and materializes before the arrival-gram cache
+      // releases — the one-small-result-cache-per-call trade
+      // minhashProbe documents (the cached frame is O(arrival spans))
+      val out = spansFromDupStarts(
+        occ.join(indexed, "gram").select("doc_id", "start"),
+        arrivals, n, textCol, idCol).persist()
+      out.foreach(_ => ())
+      out
+    } finally { occ.unpersist(); () }
   }
 }

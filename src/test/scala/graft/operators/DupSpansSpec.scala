@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** [[TextAnalysis.maximalDupSpans]] — exact boundaries on a hand corpus,
   * the positional identity against [[TextAnalysis.spanScrub]], and a full
@@ -72,6 +73,54 @@ class DupSpansSpec extends SparkSpec {
       assert(covered.size.toLong == nRemoved,
         s"doc $doc: spans cover ${covered.size} positions, scrub removed $nRemoved")
     }
+  }
+
+  test("indexed probe equals the direct arrival-vs-corpus computation, on both probe paths") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-span-idx-spec").toString
+    TextAnalysis.buildSpanIndex(spark,
+      docs.filter(col("doc_id") % 5 =!= 0), dir, n = 8)
+    def collectSpans(maxProbeKeys: Int) =
+      TextAnalysis.dupSpansAgainstIndex(spark, dir,
+        docs.filter(col("doc_id") % 5 === 0), n = 8,
+        maxProbeKeys = maxProbeKeys)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    val pruned = collectSpans(maxProbeKeys = 100000)
+    val fallback = collectSpans(maxProbeKeys = 1)
+    assert(pruned == fallback, "pruned IN-read and full-read paths disagree")
+    // independent replay: arrival grams present in any corpus-side doc
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+", -1).toSeq).toMap
+    val indexGrams = texts.collect { case (doc, ts) if doc % 5 != 0 => ts }
+      .flatMap(_.sliding(8).filter(_.size == 8)).toSet
+    val expected = texts.toSeq.collect { case (doc, ts) if doc % 5 == 0 =>
+      val dupStarts = ts.sliding(8).zipWithIndex
+        .collect { case (g, i) if g.size == 8 && indexGrams(g) => i }.toSeq
+      val runs = dupStarts.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      runs.map { case (s, e) =>
+        (doc, s.toLong, (e - s + 8).toLong, ts.slice(s, e + 8).mkString(" "))
+      }
+    }.flatten.toSet
+    assert(expected.nonEmpty, "the split should leave cross-side duplication")
+    assert(pruned == expected)
+  }
+
+  test("indexed probe with an all-short arrival batch returns no rows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-span-idx-short").toString
+    TextAnalysis.buildSpanIndex(spark, docs.limit(50), dir, n = 8)
+    import spark.implicits._
+    val short = Seq((9001L, "too few words here")).toDF("doc_id", "text")
+    assert(TextAnalysis.dupSpansAgainstIndex(spark, dir, short, n = 8)
+      .collect().isEmpty)
   }
 
   test("full independent replay on the sf0.001 corpus") {
