@@ -1165,6 +1165,37 @@ object PipelineQueries {
       TextAnalysis.dupSpansAgainstIndex(s, dir,
         docs.filter(col("doc_id") % 5 === 0), n = 8)
     }),
+    "dedup_exact_spans_incremental" -> ((s, d) => {
+      // the corpus side lands in TWO tranches — initial build, then a
+      // file-scoped O(new) add — and the probe must be hash-identical
+      // to the one-shot index (same oracle as dedup_exact_spans_indexed)
+      val docs = t(s, d, "documents")
+      val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
+      val dir = scratch("graft-span-idx-incr")
+      clearDir(s, dir)
+      TextAnalysis.buildSpanIndex(s,
+        corpusSide.filter(col("doc_id") < 250), dir, n = 8, nBuckets = 8)
+      TextAnalysis.addToSpanIndex(s,
+        corpusSide.filter(col("doc_id") >= 250), dir, n = 8)
+      TextAnalysis.dupSpansAgainstIndex(s, dir,
+        docs.filter(col("doc_id") % 5 === 0), n = 8)
+    }),
+    "dedup_exact_spans_retracted" -> ((s, d) => {
+      // takedown flow: index the corpus side, retract docs 332 and 413,
+      // probe — at sf0.01 this is discriminative in BOTH retraction
+      // modes: 332 is the SOLE witness of one arrival span (the span
+      // disappears) while 413 uniquely witnesses only the last gram of
+      // a two-witness span (the span SHRINKS by one word, pinning that
+      // boundary grams re-resolve against survivors, not all-or-nothing)
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-span-idx-retr")
+      clearDir(s, dir)
+      TextAnalysis.buildSpanIndex(s,
+        docs.filter(col("doc_id") % 5 =!= 0), dir, n = 8, nBuckets = 8)
+      TextAnalysis.removeFromSpanIndex(s, dir, Seq(332L, 413L))
+      TextAnalysis.dupSpansAgainstIndex(s, dir,
+        docs.filter(col("doc_id") % 5 === 0), n = 8)
+    }),
     "corpus_cdc_chunk" -> ((s, d) => cdcChunks(s, d)),
     "dedup_cdc_passages" -> ((s, d) => {
       // The CDC use case end-to-end: chunk every document with the
@@ -1787,6 +1818,40 @@ object PipelineQueries {
     * layout choice, so all of them must agree with the direct DuckDB
     * computation row for row.
     */
+  /** Shared replay of the span-index probe family: arrival grams
+    * (doc_id % 5 = 0) occurring in any corpus-side doc, islands-merged —
+    * dedup_exact_spans_indexed and _incremental use it verbatim (the
+    * two-tranche ingestion must be state-identical to the one-shot
+    * build); _retracted narrows the corpus side by the taken-down range.
+    */
+  private val spanIndexOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |occ0 AS (
+      |  SELECT doc_id,
+      |    [{'s': i - 1, 'g': array_to_string(ts[i:i+7], ' ')}
+      |     for i in generate_series(1, len(ts) - 7)] AS occs
+      |  FROM toks),
+      |occ AS (
+      |  SELECT doc_id, unnest(occs, recursive := true) FROM occ0),
+      |indexed AS (
+      |  SELECT DISTINCT g FROM occ WHERE doc_id % 5 <> 0),
+      |runs AS (
+      |  SELECT doc_id, s,
+      |    s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS grp
+      |  FROM occ JOIN indexed USING (g) WHERE doc_id % 5 = 0),
+      |spans AS (
+      |  SELECT doc_id, MIN(s) AS span_start, MAX(s) - MIN(s) + 8 AS span_len
+      |  FROM runs GROUP BY doc_id, grp)
+      |SELECT sp.doc_id, CAST(sp.span_start AS BIGINT) AS span_start,
+      |  CAST(sp.span_len AS BIGINT) AS span_len,
+      |  array_to_string(
+      |    t.ts[sp.span_start + 1 : sp.span_start + sp.span_len], ' ')
+      |    AS span_text
+      |FROM spans sp JOIN toks t USING (doc_id)
+      |ORDER BY sp.doc_id, sp.span_start""".stripMargin
+
   private val bm25Oracle: String = bm25RankedCte +
     "\nSELECT term, rank, doc_id, bm25 FROM ranked" +
     "\nWHERE rank <= 5 ORDER BY term, rank"
@@ -3240,33 +3305,16 @@ object PipelineQueries {
     // (doc_id % 5 = 0) that occur in ANY corpus-side doc (% 5 <> 0),
     // then the same islands merge — whether Spark served them from
     // pruned posting buckets or a full postings read cannot change a row
-    "dedup_exact_spans_indexed" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
-        |  FROM documents),
-        |occ0 AS (
-        |  SELECT doc_id,
-        |    [{'s': i - 1, 'g': array_to_string(ts[i:i+7], ' ')}
-        |     for i in generate_series(1, len(ts) - 7)] AS occs
-        |  FROM toks),
-        |occ AS (
-        |  SELECT doc_id, unnest(occs, recursive := true) FROM occ0),
-        |indexed AS (
-        |  SELECT DISTINCT g FROM occ WHERE doc_id % 5 <> 0),
-        |runs AS (
-        |  SELECT doc_id, s,
-        |    s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS grp
-        |  FROM occ JOIN indexed USING (g) WHERE doc_id % 5 = 0),
-        |spans AS (
-        |  SELECT doc_id, MIN(s) AS span_start, MAX(s) - MIN(s) + 8 AS span_len
-        |  FROM runs GROUP BY doc_id, grp)
-        |SELECT sp.doc_id, CAST(sp.span_start AS BIGINT) AS span_start,
-        |  CAST(sp.span_len AS BIGINT) AS span_len,
-        |  array_to_string(
-        |    t.ts[sp.span_start + 1 : sp.span_start + sp.span_len], ' ')
-        |    AS span_text
-        |FROM spans sp JOIN toks t USING (doc_id)
-        |ORDER BY sp.doc_id, sp.span_start""".stripMargin,
+    "dedup_exact_spans_indexed" -> spanIndexOracle,
+    // two-tranche ingestion must serve the identical result: same
+    // oracle as the one-shot index, verbatim
+    "dedup_exact_spans_incremental" -> spanIndexOracle,
+    // retraction: the corpus side minus the taken-down docs — one span
+    // disappears (sole witness 332), one shrinks by a word (413 held
+    // its last gram alone)
+    "dedup_exact_spans_retracted" -> spanIndexOracle.replace(
+      "WHERE doc_id % 5 <> 0)",
+      "WHERE doc_id % 5 <> 0 AND doc_id NOT IN (332, 413))"),
     // same −Σ p·ln p fold; SUM(n) cast to DOUBLE so the division is
     // float on both engines (DuckDB's BIGINT SUM widens to HUGEINT)
     "text_normalize" ->

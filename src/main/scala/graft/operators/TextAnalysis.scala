@@ -1381,8 +1381,53 @@ object TextAnalysis {
       spanOccurrences(docs, n, textCol, idCol)
         .select(col("gram").as("term"), col("doc_id"), col("start")),
       s"$indexDir/postings",
-      statsColumns = Seq("term", "doc_id"),
+      statsColumns = Seq("term", "doc_id", "start"),
       partitionSpec = Seq(Snapshots.Transform.Bucket("term", nBuckets)))
+  }
+
+  /** File-scoped O(new) ingestion into a [[buildSpanIndex]] index: the
+    * arrivals' posting rows merge by (term, doc_id, start) with scoped
+    * stats — only the new files' manifests are written, the standing
+    * buckets untouched (the same amortized-add contract as the text
+    * and minhash indexes). Same fold-first revision flow: a scoped add
+    * over a pending merge-on-read delete set is refused by the layer —
+    * compact, then add.
+    */
+  def addToSpanIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      indexDir: String,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Long = {
+    import graft.sources.Snapshots
+    Snapshots.merge(spark,
+      s"$indexDir/postings",
+      spanOccurrences(newDocs, n, textCol, idCol)
+        .select(col("gram").as("term"), col("doc_id"), col("start")),
+      key = Seq("term", "doc_id", "start"),
+      statsColumns = Seq("term", "doc_id", "start"),
+      scoped = true)
+  }
+
+  /** Retract documents from a [[buildSpanIndex]] index (takedowns,
+    * re-crawled revisions): merge-on-read delete of the retracted ids'
+    * posting rows — an O(keys) sidecar applied by every serve read,
+    * folded by the next compaction, no posting bucket rewritten. The
+    * span index keeps no stats table, so unlike the text index there
+    * is no second commit to reconcile — the delete IS the whole
+    * retraction.
+    */
+  def removeFromSpanIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      docIds: Seq[Long]): Long = {
+    import graft.sources.Snapshots
+    require(docIds.nonEmpty, "empty retraction batch")
+    Snapshots.deleteMergeOnRead(spark, s"$indexDir/postings",
+      col("doc_id").isin(docIds: _*),
+      key = Seq("term", "doc_id", "start"),
+      statsColumns = Seq("term", "doc_id", "start"))
   }
 
   /** INCREMENTAL exact-substring dedup: the maximal spans of an arrival

@@ -112,6 +112,82 @@ class DupSpansSpec extends SparkSpec {
     assert(pruned == expected)
   }
 
+  test("two-tranche ingestion serves the identical span set as a one-shot build") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+    def spansOf(dir: String) =
+      TextAnalysis.dupSpansAgainstIndex(spark, dir, arrivals, n = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    val oneShot = java.nio.file.Files
+      .createTempDirectory("graft-span-oneshot").toString
+    TextAnalysis.buildSpanIndex(spark, corpusSide, oneShot, n = 8)
+    val incr = java.nio.file.Files
+      .createTempDirectory("graft-span-incr").toString
+    TextAnalysis.buildSpanIndex(spark,
+      corpusSide.filter(col("doc_id") < 250), incr, n = 8)
+    TextAnalysis.addToSpanIndex(spark,
+      corpusSide.filter(col("doc_id") >= 250), incr, n = 8)
+    val expected = spansOf(oneShot)
+    assert(expected.nonEmpty)
+    assert(spansOf(incr) == expected)
+  }
+
+  test("retraction removes exactly the retracted witness's contribution; fold-first holds") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+    // pick a sole witness generically: a corpus doc that alone carries
+    // some arrival gram (in-memory replay, no Spark machinery shared)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+", -1).toSeq.sliding(8).filter(_.size == 8).toSeq).toMap
+    val witnesses = collection.mutable.Map.empty[Seq[String], collection.mutable.Set[Long]]
+    texts.foreach { case (doc, grams) =>
+      if (doc % 5 != 0)
+        grams.foreach(g =>
+          witnesses.getOrElseUpdate(g, collection.mutable.Set.empty) += doc)
+    }
+    val sole = texts.collectFirst { case (doc, grams) if doc % 5 == 0 =>
+      grams.collectFirst {
+        case g if witnesses.get(g).exists(_.size == 1) => witnesses(g).head
+      }
+    }.flatten.orElse(texts.toSeq.sortBy(_._1).collectFirst {
+      case (doc, grams) if doc % 5 == 0 && grams.nonEmpty => -1L
+    })
+    val witness = sole.get
+    assert(witness >= 0, "sf0.001 should contain a sole-witness gram")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-span-retr").toString
+    TextAnalysis.buildSpanIndex(spark, corpusSide, dir, n = 8)
+    val before = TextAnalysis.dupSpansAgainstIndex(spark, dir, arrivals, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    TextAnalysis.removeFromSpanIndex(spark, dir, Seq(witness))
+    val after = TextAnalysis.dupSpansAgainstIndex(spark, dir, arrivals, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after != before, s"retracting sole witness $witness changed nothing")
+    // replay the post-retraction truth independently
+    val expectedAfter = texts.toSeq.collect { case (doc, grams) if doc % 5 == 0 =>
+      val dupStarts = grams.zipWithIndex.collect {
+        case (g, i) if witnesses.get(g).exists(w => (w - witness).nonEmpty) => i
+      }
+      val runs = dupStarts.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      runs.map { case (s, e) => (doc, s.toLong, (e - s + 8).toLong) }
+    }.flatten.toSet
+    assert(after == expectedAfter)
+    // fold-first contract: a scoped add over the pending delete is refused
+    val refused = intercept[IllegalArgumentException] {
+      TextAnalysis.addToSpanIndex(spark,
+        docs.filter(col("doc_id") === 0), dir, n = 8)
+    }
+    assert(refused.getMessage.contains("fold it first"))
+  }
+
   test("indexed probe with an all-short arrival batch returns no rows") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files
