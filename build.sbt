@@ -12,6 +12,12 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // the REPL (graft.Repl) reads stdin
+// Pass the forked process's stdout through UNWRAPPED: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks any
+// consumer that json-parses the bench/verify output lines (the bench
+// driver's tail capture has parsed as null in every round for exactly
+// this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

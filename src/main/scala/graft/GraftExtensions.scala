@@ -223,6 +223,21 @@ object GraftExtensions {
             litLong(exprs(2), "bm25", "k").toInt)
             .queryExecution.logical
         }),
+      (FunctionIdentifier("bm25_query"),
+        tinfo("bm25_query",
+          "bm25_query(index_dir, query, k) - additive multi-term BM25: " +
+            "one ranked list, score = sum of the query terms' Okapi " +
+            "term scores, served from the persisted inverted index " +
+            "with one pruned read of the query terms' posting buckets"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 3,
+            s"bm25_query(index_dir, query, k) takes 3 arguments, got ${exprs.size}")
+          graft.operators.TextAnalysis.bm25QueryTopKPersisted(active,
+            litStr(exprs(0), "bm25_query", "index_dir"),
+            litStr(exprs(1), "bm25_query", "query"),
+            litLong(exprs(2), "bm25_query", "k").toInt)
+            .queryExecution.logical
+        }),
       (FunctionIdentifier("contaminated"),
         tinfo("contaminated",
           "contaminated(index_dir, needles_csv) - documents containing " +
@@ -281,8 +296,14 @@ object GraftExtensions {
             .parquet(litStr(exprs(1), "near_dups", "probe_path"))
             .filter(org.apache.spark.sql.functions.expr(
               litStr(exprs(2), "near_dups", "probe_where")))
-          graft.operators.Dedup.minhashProbe(active, probes,
-            litStr(exprs(0), "near_dups", "index_dir"))
+          val idxDir = litStr(exprs(0), "near_dups", "index_dir")
+          // probe with the BUILD's hyperparameters (the index's params
+          // table), never hardcoded defaults — a SQL client has no
+          // way to pass them, and a mismatch silently misses pairs
+          val (b, r, w) = graft.operators.Dedup
+            .minhashIndexParams(active, idxDir).getOrElse((16, 4, 3))
+          graft.operators.Dedup.minhashProbe(active, probes, idxDir,
+            bands = b, rowsPerBand = r, shingleWords = w)
             .queryExecution.logical
         }))
 

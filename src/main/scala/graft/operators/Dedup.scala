@@ -448,6 +448,30 @@ object Dedup {
     * (1 KB/doc, 128-word AND per candidate) keeps slack under ~3% of
     * typical 200–2000-gram documents; raise it for very large documents.
     *
+    * `maxDf` (0 = off) is the common-gram filter for SATURATED key
+    * spaces — the measured failure mode where a synthetic/degenerate
+    * vocabulary makes most grams common and posting lists grow with
+    * the corpus, driving the candidate join ~quadratic (the 30x sweep's
+    * +2.07 exponent). With a cap, grams whose corpus document frequency
+    * exceeds `maxDf` are dropped from CANDIDATE GENERATION only (never
+    * from the exact verify), bounding every posting list — candidate
+    * volume becomes O(docs · prefixLen · maxDf), linear in the corpus
+    * at fixed cap. Choosing the cap: an ABSOLUTE cap buys linearity
+    * and fits saturated/synthetic key spaces whose df distribution
+    * does not grow with N (the token-salted sweep corpora); an organic
+    * corpus's df scales with N, so recall there wants a RELATIVE cap
+    * (the gate entry uses ceil(0.1·N): measured recall 1.0 at sf0.01
+    * and sf0.1 where a fixed 64 held only the smaller corpus). The
+    * contract weakens precisely: precision stays
+    * exact (survivors still verify with full-set Jaccard), and recall
+    * is exactly 1 for every qualifying pair that shares at least one
+    * sub-cap gram in both prefixes — only pairs whose ENTIRE shared
+    * prefix is capped grams can be missed. Prefixes are rarest-first,
+    * so on zipfian text the cap touches the prefix tail last;
+    * DedupSpec pins capped ⊆ exact and the recall floor on the demo
+    * corpus, and the `dedup_ngram_capped_recall` gate entry keeps both
+    * oracle-checked.
+    *
     * `eager = true` (default) runs the pipeline inside the call, persists
     * only the (tiny, O(near-dup pairs)) result, and releases the
     * corpus-sized per-doc signature cache before returning — the same
@@ -464,7 +488,8 @@ object Dedup {
       ngram: Int = 5,
       threshold: Double = 0.6,
       sigBits: Int = 1 << 13,
-      eager: Boolean = true): DataFrame = {
+      eager: Boolean = true,
+      maxDf: Long = 0L): DataFrame = {
 
     import graft.functions.BitsetFunctions._
 
@@ -496,12 +521,17 @@ object Dedup {
       .join(freq, "h")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sorted"))
+      // distinct over the (df, h) structs: same h always carries the
+      // same df, so this equals the old distinct-by-h — keeping df
+      // aligned with the sorted hash list is what lets the maxDf
+      // prefix filter run without a second frequency join
+      .select(col("id"), array_distinct(col("sorted")).as("sd"))
       .select(
         col("id"),
-        array_distinct(transform(col("sorted"), s => s.getField("h")))
-          .as("hgrams"))
+        transform(col("sd"), s => s.getField("h")).as("hgrams"),
+        transform(col("sd"), s => s.getField("df")).as("dfs"))
       .select(
-        col("id"), col("hgrams"),
+        col("id"), col("hgrams"), col("dfs"),
         size(col("hgrams")).as("sz"),
         bitsetFromPositions(
           transform(col("hgrams"), h => pmod(h, lit(sigBits)).cast("int")),
@@ -522,9 +552,19 @@ object Dedup {
       // recall as the symmetric scheme at ~60% of the probe rows.
       val indexLen =
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
-      val prefixes = ds.select(
+      // posexplode the (h, df) zip so the common-gram cap can filter
+      // AFTER position assignment — a dropped row keeps its neighbors'
+      // positions, so the PPJoin positional filter stays valid over
+      // the full sorted list
+      val prefixes0 = ds.select(
         col("id"), col("sz"),
-        posexplode(slice(col("hgrams"), lit(1), indexLen)).as(Seq("pos", "gram")))
+        posexplode(slice(arrays_zip(col("hgrams"), col("dfs")),
+          lit(1), indexLen)).as(Seq("pos", "g")))
+        .select(col("id"), col("sz"), col("pos"),
+          col("g.hgrams").as("gram"), col("g.dfs").as("df"))
+      val prefixes =
+        (if (maxDf > 0L) prefixes0.filter(col("df") <= maxDf) else prefixes0)
+          .select("id", "sz", "pos", "gram")
       // the probe restriction is a cheap predicate on the SAME stream
       // (0-based pos within the short prefix), not a second explode
       def probeBound(side: String) =
@@ -738,7 +778,17 @@ object Dedup {
     *     (manifest transform-envelope pruning, same shape as the
     *     inverted index's term buckets);
     *   - `shingles`: (doc_id, hs) — the md5-60-bit hashed shingle SETS
-    *     that make the verify step exact without the corpus text.
+    *     that make the verify step exact without the corpus text,
+    *     hidden-partitioned on Bucket(doc_id, nBuckets) so a probe's
+    *     verify step reads only its CANDIDATES' buckets (the same
+    *     pruning contract as the band lookup — without it every
+    *     arrival batch would scan the whole shingle table, O(index)
+    *     per batch at a 10⁹-doc index);
+    *   - `params`: one row (bands, rows_per_band, shingle_words) — the
+    *     build-time hyperparameters. Probes and incremental adds
+    *     VALIDATE against it: a mismatched shingle width or band split
+    *     doesn't error, it silently misses pairs (different hash
+    *     spaces collide with nothing), so drift must fail loudly.
     *
     * The index stores only hashes — no text — so it is a few percent
     * of corpus bytes; at 100 TB the corpus is read ONCE (at build) and
@@ -767,10 +817,52 @@ object Dedup {
         partitionSpec = Seq(Snapshots.Transform.Bucket("bkey", nBuckets)))
       Snapshots.commit(spark, prepared.select("doc_id", "hs"),
         s"$indexDir/shingles",
-        statsColumns = Seq("doc_id"))
+        statsColumns = Seq("doc_id"),
+        partitionSpec = Seq(Snapshots.Transform.Bucket("doc_id", nBuckets)))
+      import spark.implicits._
+      Snapshots.commit(spark,
+        Seq((bands, rowsPerBand, shingleWords))
+          .toDF("bands", "rows_per_band", "shingle_words"),
+        s"$indexDir/params")
     } finally { prepared.unpersist(); () }
     Snapshots.version(spark, s"$indexDir/bands")
   }
+
+  /** The (bands, rowsPerBand, shingleWords) a [[buildMinhashIndex]]
+    * index was built with, read from its `params` table; None for an
+    * index predating the table. The SQL `near_dups` TVF reads this so
+    * a SQL client always probes with the build's own parameters.
+    */
+  def minhashIndexParams(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[(Int, Int, Int)] = {
+    import graft.sources.Snapshots
+    if (Snapshots.version(spark, s"$indexDir/params") < 1L) None
+    else {
+      val r = Snapshots.read(spark, s"$indexDir/params").collect().head
+      Some((r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
+        r.getAs[Int]("shingle_words")))
+    }
+  }
+
+  /** Fail loudly when a probe/add's hyperparameters differ from the
+    * build's (see the `params` table note on [[buildMinhashIndex]]).
+    * Lenient only when the table is absent (a pre-params index).
+    */
+  private def requireMinhashParams(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      bands: Int,
+      rowsPerBand: Int,
+      shingleWords: Int): Unit =
+    minhashIndexParams(spark, indexDir).foreach { case (b, r, w) =>
+      require(b == bands && r == rowsPerBand && w == shingleWords,
+        s"minhash index at $indexDir was built with bands=$b, " +
+          s"rowsPerBand=$r, shingleWords=$w; caller passed bands=$bands, " +
+          s"rowsPerBand=$rowsPerBand, shingleWords=$shingleWords — " +
+          "mismatched parameters hash into disjoint spaces and silently " +
+          "miss pairs")
+    }
 
   /** Incremental index maintenance: shingle ONLY `newDocs` and MERGE
     * their band rows and shingle sets, file-scoped on both key
@@ -791,6 +883,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): Long = {
     import graft.sources.Snapshots
+    requireMinhashParams(spark, indexDir, bands, rowsPerBand, shingleWords)
     val prepared = minhashPrepared(
       newDocs, shingleWords, bands, rowsPerBand, textCol, idCol).persist()
     try {
@@ -860,8 +953,13 @@ object Dedup {
     * keys' buckets are scanned. A larger batch falls back to a plain
     * equi-join against the full band table, which is still a join of
     * two COMPACT hash tables (16 rows/doc each side) — the corpus text
-    * is never read on any path. The verify join is bounded by the
-    * candidate count, not the corpus. `maxProbeKeys` defaults low
+    * is never read on any path. The verify step reads the index-side
+    * shingle sets through the SAME pruning: candidates' distinct
+    * index doc_ids (bounded by the batch's collision count) drive a
+    * bucket-pruned read of the doc_id-bucketed `shingles` table, so
+    * probe cost stays O(batch + touched buckets) on BOTH halves — a
+    * full-shingle-table read per arrival batch would be O(index),
+    * TBs/batch at a 10⁹-doc index. `maxProbeKeys` defaults low
     * (2048 ≈ a 128-doc arrival batch) on a measured trade: literal
     * IN-list PLANNING cost grows with the list (a 40k-key probe spent
     * ~10 s building/analyzing the array + isin expressions at sf0.1),
@@ -880,6 +978,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     import graft.sources.Snapshots
+    requireMinhashParams(spark, indexDir, bands, rowsPerBand, shingleWords)
     val prepared = minhashPrepared(
       probeDocs, shingleWords, bands, rowsPerBand, textCol, idCol).persist()
     try {
@@ -915,24 +1014,43 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           col("_orient.index_id").as("index_id"),
           col("_orient.probe_id").as("probe_id"))
-      val indexSh = Snapshots.read(spark, s"$indexDir/shingles")
-        .select(col("doc_id").as("index_id"), col("hs").as("hs_i"))
-      val probeSh = prepared.select(col("doc_id").as("probe_id"),
-        col("hs").as("hs_p"))
-      // the result persists and the corpus-sized input cache releases
-      // before returning — the same one-small-result-cache-per-call
-      // trade ngramJaccardPairs documents (the cached frame is
-      // O(near-dup pairs); callers holding many probe results across a
-      // long session can unpersist them when consumed)
-      val out = candidates
-        .join(indexSh, "index_id")
-        .join(probeSh, "probe_id")
-        .select(col("id_a"), col("id_b"),
-          jaccard(col("hs_i"), col("hs_p")).as("jaccard_sim"))
-        .filter(col("jaccard_sim") >= threshold)
         .persist()
-      out.foreach(_ => ())
-      out
+      try {
+        // the verify read is pruned by the CANDIDATES, not the index:
+        // collect the distinct index-side doc_ids (bounded by the
+        // batch's band collisions — already materialized small) and
+        // read only their buckets of the doc_id-bucketed shingle
+        // table. Same IN-list planning trade as the band lookup: past
+        // maxProbeKeys ids the literal list costs more than the
+        // compact equi-join it would save.
+        val idxIds = candidates.select("index_id").distinct()
+          .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
+        if (idxIds.isEmpty)
+          return spark.emptyDataFrame.select(lit(0L).as("id_a"),
+            lit(0L).as("id_b"), lit(0.0).as("jaccard_sim"))
+        val indexSh =
+          (if (idxIds.length <= maxProbeKeys)
+            Snapshots.readPartitionedIn(spark, s"$indexDir/shingles",
+              "doc_id", idxIds.toIndexedSeq)
+          else Snapshots.read(spark, s"$indexDir/shingles"))
+            .select(col("doc_id").as("index_id"), col("hs").as("hs_i"))
+        val probeSh = prepared.select(col("doc_id").as("probe_id"),
+          col("hs").as("hs_p"))
+        // the result persists and the corpus-sized input cache releases
+        // before returning — the same one-small-result-cache-per-call
+        // trade ngramJaccardPairs documents (the cached frame is
+        // O(near-dup pairs); callers holding many probe results across a
+        // long session can unpersist them when consumed)
+        val out = candidates
+          .join(indexSh, "index_id")
+          .join(probeSh, "probe_id")
+          .select(col("id_a"), col("id_b"),
+            jaccard(col("hs_i"), col("hs_p")).as("jaccard_sim"))
+          .filter(col("jaccard_sim") >= threshold)
+          .persist()
+        out.foreach(_ => ())
+        out
+      } finally { candidates.unpersist(); () }
     } finally { prepared.unpersist(); () }
   }
 }

@@ -231,6 +231,38 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(t(s, d, "documents")).orderBy("id_a", "id_b")
     }),
+    // graceful degradation of the exact prefix-filter join on saturated
+    // key spaces, oracle-gated: the maxDf common-gram cap bounds every
+    // posting list (the answer to the measured +2.07 sweep exponent),
+    // trading a spec'd recall floor. The gate's cap is CORPUS-RELATIVE
+    // (ceil(0.1·N): measured recall 1.0 at both sf0.01 and sf0.1,
+    // where a fixed 64 held only sf0.01 — organic df distributions
+    // scale with N); the LINEARITY evidence uses a FIXED cap on the
+    // token-salted sweep corpora, whose df distribution is
+    // scale-invariant by construction (ProfileNgramCap / BASELINE).
+    // Spark runs BOTH configurations and emits the verdict: the capped
+    // pair set must be a SUBSET of the exact one (n_fp = 0 — the
+    // verify stage is exact either way) with recall >= 0.95. The
+    // oracle recomputes n_exact from the data and pins the verdict.
+    "dedup_ngram_capped_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cap = math.ceil(0.1 * docs.count()).toLong
+      val exact = Dedup.ngramJaccardPairs(docs)
+        .select(col("id_a"), col("id_b"), lit(1).as("ref"))
+      val capped = Dedup.ngramJaccardPairs(docs, maxDf = cap)
+        .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+      exact.join(capped, Seq("id_a", "id_b"), "full")
+        .agg(
+          count(col("ref")).as("n_exact"),
+          count(when(col("ref").isNotNull && col("hit").isNotNull, lit(1)))
+            .as("n_hit"),
+          count(when(col("ref").isNull, lit(1))).as("n_fp"))
+        .select(col("n_exact"),
+          when(col("n_fp") === 0 &&
+            col("n_hit").cast("double") >=
+              lit(0.95) * col("n_exact").cast("double"), lit(1L))
+            .otherwise(lit(0L)).as("ok"))
+    }),
     "dedup_clusters" -> ((s, d) => {
       // pair graph -> duplicate clusters (min-reachable-id labels); the
       // oracle recomputes components with a recursive min-label closure
@@ -745,6 +777,66 @@ object PipelineQueries {
         .select("doc_id", "text_hash", "n_copies")
         .orderBy("doc_id")
     }),
+    // pipeline_end_to_end upgraded to the INDEX-SERVING era: admit an
+    // ARRIVAL batch against STANDING persisted indexes, never
+    // re-reading the standing corpus. Corpus side (doc_id % 5 != 0)
+    // builds three indexes once — MinHash bands+shingles (near-dup),
+    // the 8-gram span postings (exact-substring), and a second span
+    // index over the src0 slice (the benchmark set, for
+    // phrase-level decontamination). Each arrival doc (% 5 == 0) then
+    // gets: a per-language relative quality verdict (thresholds from
+    // the arrival batch itself — self-contained admission), its
+    // near-dup count from the minhash probe, its duplicated word count
+    // from the span probe, a contamination flag from the benchmark
+    // probe, and the composed admit bit. All three probes are pruned
+    // bucket reads over hashes/postings — the corpus TEXT is read
+    // exactly once (at build); PipelineIndexSpec pins that no serving
+    // stage rescans it.
+    "pipeline_arrival_admit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
+      val arrivals = docs.filter(col("doc_id") % 5 === 0)
+      val mhDir = scratch("graft-pipe-mh")
+      val spDir = scratch("graft-pipe-span")
+      val bmDir = scratch("graft-pipe-bench")
+      Seq(mhDir, spDir, bmDir).foreach(clearDir(s, _))
+      Dedup.buildMinhashIndex(s, corpusSide, mhDir, nBuckets = 8)
+      TextAnalysis.buildSpanIndex(s, corpusSide, spDir, n = 8, nBuckets = 8)
+      TextAnalysis.buildSpanIndex(s,
+        corpusSide.filter(col("source") === "src0"), bmDir, n = 8,
+        nBuckets = 8)
+      val scored = arrivals.select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val th = scored.groupBy("lang")
+        .agg(percentile(col("quality"), lit(0.25)).as("p25"))
+      val qual = scored.join(broadcast(th), "lang")
+        .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+          (round(col("quality"), 6) >= round(col("p25"), 6)).cast("long")
+            .as("passed_quality"))
+      // each probe pair holds exactly one arrival id (index ids are
+      // % 5 != 0 by construction)
+      val nd = Dedup.minhashProbe(s, arrivals, mhDir)
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
+      // maximal spans are disjoint, so Σ span_len = duplicated words
+      val dw = TextAnalysis.dupSpansAgainstIndex(s, spDir, arrivals, n = 8)
+        .groupBy("doc_id").agg(sum(col("span_len")).as("dup_span_words"))
+      val cont = TextAnalysis.dupSpansAgainstIndex(s, bmDir, arrivals, n = 8)
+        .select("doc_id").distinct().withColumn("hit", lit(1L))
+      qual
+        .join(nd, Seq("doc_id"), "left")
+        .join(dw, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality"), col("passed_quality"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          coalesce(col("dup_span_words"), lit(0L)).as("dup_span_words"),
+          coalesce(col("hit"), lit(0L)).as("contaminated"))
+        .withColumn("admit",
+          (col("passed_quality") === 1L && col("n_near_dups") === 0L &&
+            col("contaminated") === 0L).cast("long"))
+        .orderBy("doc_id")
+    }),
 
     // ---- multimodal (stubbed decode, real plumbing) ----
     "multimodal_meta" -> ((s, d) => {
@@ -895,6 +987,27 @@ object PipelineQueries {
         .withColumn("keep", col("keep").cast("long"))
         .orderBy("vec_id")
     }),
+    // SemDeDup with a TRAINED quantizer whose cell count GROWS with
+    // the corpus — k = ceil(sqrt(N)) Lloyd cells instead of the fixed
+    // 8 orthant cells above (dedup_semantic's published-contract demo
+    // keeps the deterministic sign-bit cells; THIS is the scale path:
+    // at 100 TB the within-cell quadratic stays bounded only if cells
+    // grow with N, and √N cells keeps expected block size √N). Train
+    // = the same memoizable Lloyd machinery as ann_ivf_trained (2
+    // iterations, round-6 assignment); the oracle replays train +
+    // assignment + within-cell pairs + closure with k computed inside
+    // the query, so the SAME oracle text holds at every SF
+    "dedup_semantic_trained" -> ((s, d) => {
+      val vecs = t(s, d, "embeddings")
+      val k = math.ceil(math.sqrt(vecs.count().toDouble)).toInt
+      val cents = Similarity.kmeansCentroids(vecs, k = k, iterations = 2,
+        roundDecimals = 6)
+      val cells = Similarity.assignCells(vecs, cents, roundDecimals = 6)
+      Similarity.semanticDedup(vecs, threshold = 0.4, roundDecimals = 6,
+        cells = Some(cells))
+        .withColumn("keep", col("keep").cast("long"))
+        .orderBy("vec_id")
+    }),
     // SEMANTIC decontamination: vec_id % 10 == 0 plays the benchmark
     // set, the rest the corpus; same 0.4/3-sign-dims/round-6 convention
     // as dedup_semantic so the oracle replays cells + cosines exactly.
@@ -933,6 +1046,32 @@ object PipelineQueries {
       TextAnalysis
         .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
+    }),
+    // ADDITIVE multi-term BM25 — one ranked list, score = Σ over the
+    // query's terms of the round-6 Okapi term score (then round-6 the
+    // sum), ties by doc_id: what a search user means by a multi-word
+    // query, next to the per-term lists above and the rank-only RRF
+    // fusion. Served from the SAME persisted index with ONE pruned
+    // posting-bucket read; the oracle sums the same rounded per-term
+    // scores over the same tokenizer
+    "text_bm25_multiterm" -> ((s, d) => {
+      val dir = scratch("graft-text-index-mt")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
+        nBuckets = 8)
+      TextAnalysis.bm25QueryTopKPersisted(s, dir, "data query table", k = 10)
+        .orderBy("rank")
+    }),
+    // the TVF spelling: `SELECT * FROM bm25_query(dir, 'data query
+    // table', 10)` must run the identical pruned-read additive scorer —
+    // same oracle, certifying the SQL surface
+    "q_bm25_query_sql" -> ((s, d) => {
+      val dir = scratch("graft-text-index-mtsql")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
+        nBuckets = 8)
+      s.sql(s"SELECT * FROM bm25_query('$dir', 'data query table', 10) " +
+        "ORDER BY rank")
     }),
     "text_winnowing" -> ((s, d) => {
       // MOSS-style winnowing: ~2/(w+1) of 4-gram positions kept with
@@ -1177,6 +1316,45 @@ object PipelineQueries {
         corpusSide.filter(col("doc_id") < 250), dir, n = 8, nBuckets = 8)
       TextAnalysis.addToSpanIndex(s,
         corpusSide.filter(col("doc_id") >= 250), dir, n = 8)
+      TextAnalysis.dupSpansAgainstIndex(s, dir,
+        docs.filter(col("doc_id") % 5 === 0), n = 8)
+    }),
+    "dedup_exact_spans_stream" -> ((s, d) => {
+      // STREAMING ingestion into the span index — the lifecycle
+      // symmetry with the minhash/text indexes closed: corpus-side
+      // shards arrive as file-source micro-batches, foreachBatch
+      // builds on the first and file-scope-merges the rest, and the
+      // probe afterwards must be hash-identical to the one-shot index
+      // (same oracle as dedup_exact_spans_indexed — arrival order is
+      // invisible to span detection)
+      val docs = t(s, d, "documents")
+      val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
+      val inDir = scratch("graft-span-stream-in")
+      val ckpt = scratch("graft-span-stream-ckpt")
+      val dir = scratch("graft-span-stream-idx")
+      Seq(inDir, ckpt, dir).foreach(clearDir(s, _))
+      corpusSide.filter(col("doc_id") < 250).coalesce(1)
+        .write.parquet(s"$inDir/arrival-0")
+      corpusSide.filter(col("doc_id") >= 250).coalesce(1)
+        .write.parquet(s"$inDir/arrival-1")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$inDir/arrival-*")
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val bs = batch.sparkSession
+          if (graft.sources.Snapshots.version(bs, s"$dir/postings") >= 1L)
+            TextAnalysis.addToSpanIndex(bs, batch.toDF(), dir, n = 8)
+          else
+            TextAnalysis.buildSpanIndex(bs, batch.toDF(), dir,
+              n = 8, nBuckets = 8)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       TextAnalysis.dupSpansAgainstIndex(s, dir,
         docs.filter(col("doc_id") % 5 === 0), n = 8)
     }),
@@ -1542,6 +1720,82 @@ object PipelineQueries {
     (ivfTrainCTEs(k, iters, nProbe, "TRUE") :+ tail).mkString(",\n")
   }
 
+  /** DuckDB replay of `dedup_semantic_trained`: Lloyd training with a
+    * CORPUS-SIZE-DERIVED cell count — k = ceil(sqrt(N)) computed
+    * inside the query (the `kk` CTE; the seed takes the first k
+    * vectors via row_number, not LIMIT, so k can be an expression) —
+    * then nearest-centroid assignment over all vectors, within-cell
+    * round-6 cosine pairs at the SemDeDup 0.4 threshold, and the same
+    * recursive min-label closure as the dedup_semantic oracle. The
+    * Lloyd CTE bodies mirror [[ivfTrainCTEs]] exactly (float-quantized
+    * centroids, round-6 assignment csim, empty cells keep their
+    * previous centroid) — only the k plumbing differs.
+    */
+  private def semanticTrainedOracle(iters: Int, threshold: Double): String = {
+    val base =
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |kk AS (
+         |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM e),
+         |c0 AS (
+         |  SELECT vec_id AS cell, v AS centroid FROM (
+         |    SELECT vec_id, v,
+         |      row_number() OVER (ORDER BY vec_id) AS rn FROM e) s
+         |  WHERE rn <= (SELECT k FROM kk))""".stripMargin
+    val its = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT e.vec_id, e.v, c.cell, ${ivfCsim("e.v", "c.centroid")} AS csim
+         |  FROM e CROSS JOIN $prev c),
+         |asg$i AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT vec_id, v, cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY csim DESC, cell) AS rn
+         |    FROM a$i) s WHERE rn = 1),
+         |m$i AS (
+         |  SELECT cell, ord, AVG(x) AS m FROM (
+         |    SELECT cell, unnest(v) AS x,
+         |      unnest(generate_series(1, len(v))) AS ord FROM asg$i)
+         |  GROUP BY cell, ord),
+         |cm$i AS (
+         |  SELECT cell, list(m ORDER BY ord) AS centroid FROM m$i GROUP BY cell),
+         |c$i AS (
+         |  SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
+         |  FROM $prev p LEFT JOIN cm$i n USING (cell))""".stripMargin
+    }
+    val tail =
+      s"""ascore AS (
+         |  SELECT e.vec_id, e.v, c.cell, ${ivfCsim("e.v", "c.centroid")} AS csim
+         |  FROM e CROSS JOIN c$iters c),
+         |cells AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT vec_id, v, cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY csim DESC, cell) AS rn
+         |    FROM ascore) s WHERE rn = 1),
+         |p AS (
+         |  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+         |  FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |  WHERE round(list_dot_product(l.v, r.v)
+         |    / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)),
+         |    6) >= $threshold),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |walk(node, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, w.label FROM walk w JOIN edges e2 ON w.node = e2.src),
+         |cl AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node)
+         |SELECT e.vec_id,
+         |  CAST(COALESCE(cl.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+         |  CAST(e.vec_id = COALESCE(cl.cluster_id, e.vec_id) AS BIGINT) AS keep
+         |FROM e LEFT JOIN cl ON e.vec_id = cl.node
+         |ORDER BY e.vec_id""".stripMargin
+    ((base +: its) :+ tail).mkString(",\n")
+  }
+
   /** DuckDB replay of `ann_ivf_pq`: the shared coarse train/assign
     * prefix ([[ivfTrainCTEs]]), then the per-subspace Lloyd trainings
     * unrolled the same way — all `m` subspaces ride ONE grouped CTE
@@ -1855,6 +2109,24 @@ object PipelineQueries {
   private val bm25Oracle: String = bm25RankedCte +
     "\nSELECT term, rank, doc_id, bm25 FROM ranked" +
     "\nWHERE rank <= 5 ORDER BY term, rank"
+
+  /** Additive multi-term replay: sum the SAME rounded per-term scores
+    * the per-term oracle computes, round-6 the sum, rank by (score
+    * desc, doc_id) — serves text_bm25_multiterm and its TVF spelling.
+    */
+  private val bm25MultitermOracle: String = bm25RankedCte +
+    """,
+      |mt AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+      |    round(SUM(bm25), 6) AS bm25
+      |  FROM scored GROUP BY doc_id),
+      |mtr AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+      |      AS rank,
+      |    doc_id, n_terms_hit, bm25
+      |  FROM mt)
+      |SELECT rank, doc_id, n_terms_hit, bm25 FROM mtr
+      |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
   /** One oracle serves dedup_minhash_persisted AND _incremental: the
     * exact index(doc_id<250) × arrival(doc_id>=250) Jaccard pairs over
@@ -2192,6 +2464,25 @@ object PipelineQueries {
         |    AND len(l.grams) >= 0.6 * len(r.grams))
         |SELECT id_a, id_b, jaccard_sim FROM cand
         |WHERE jaccard_sim >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    // common-gram-cap gate: the oracle recomputes the exact reference
+    // pair count and pins the verdict — the hash matches only if the
+    // capped run found >= 95% of the exact pairs with zero false
+    // positives (same gate pattern as dedup_srp_recall)
+    "dedup_ngram_capped_recall" ->
+      """WITH g AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([substring(text, i, 5)
+        |                   for i in generate_series(1, greatest(length(text) - 4, 1))]) AS grams
+        |  FROM documents),
+        |cand AS (
+        |  SELECT l.id AS id_a, r.id AS id_b,
+        |    CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(l.grams, r.grams))) AS DOUBLE) AS jaccard_sim
+        |  FROM g l JOIN g r ON l.id < r.id
+        |    AND len(r.grams) >= 0.6 * len(l.grams)
+        |    AND len(l.grams) >= 0.6 * len(r.grams))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS ok
+        |FROM cand WHERE jaccard_sim >= 0.6""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2889,6 +3180,89 @@ object PipelineQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
     // the three stage formulas verbatim from their standalone oracles,
     // composed in CTEs
+    // full replay of the index-serving admission pipeline: quality
+    // formula + arrival-batch p25 thresholds, hashed-shingle Jaccard
+    // near-dup counts (recall-1 LSH contract, as the minhash oracles),
+    // covered-word sums from duplicated 8-gram runs, benchmark-slice
+    // 8-gram contamination, and the composed admit bit
+    "pipeline_arrival_admit" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id, lang,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE) AS n_words,
+        |    CAST(LEN(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |scoredq AS (
+        |  SELECT doc_id, lang,
+        |    LEAST(n_words / 50.0, 1.0) * 0.5
+        |    + (CASE WHEN (n_chars - (n_words - 1)) / n_words BETWEEN 3.0 AND 10.0
+        |            THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (CASE WHEN n_punct / n_words <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2
+        |    AS quality
+        |  FROM stats),
+        |th AS (
+        |  SELECT lang, quantile_cont(quality, 0.25) AS p25
+        |  FROM scoredq GROUP BY lang),
+        |qual AS (
+        |  SELECT s.doc_id, round(s.quality, 6) AS quality,
+        |    CAST(round(s.quality, 6) >= round(t.p25, 6) AS BIGINT)
+        |      AS passed_quality
+        |  FROM scoredq s JOIN th t USING (lang)),
+        |sh AS (
+        |  SELECT doc_id AS id, CASE WHEN len(ts) >= 3
+        |    THEN list_distinct([('0x' || substring(
+        |           md5(array_to_string(ts[i:i+2], ' ')), 1, 15))::BIGINT
+        |                        for i in generate_series(1, len(ts) - 2)])
+        |    ELSE [('0x' || substring(
+        |           md5(array_to_string(ts, ' ')), 1, 15))::BIGINT] END AS hs
+        |  FROM toks),
+        |nd AS (
+        |  SELECT r.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_near_dups
+        |  FROM sh l JOIN sh r ON l.id % 5 <> 0 AND r.id % 5 = 0
+        |  WHERE CAST(len(list_intersect(l.hs, r.hs)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(l.hs, r.hs))) AS DOUBLE)
+        |      >= 0.7
+        |  GROUP BY r.id),
+        |occ0 AS (
+        |  SELECT doc_id, source,
+        |    [{'s': i - 1, 'g': array_to_string(ts[i:i+7], ' ')}
+        |     for i in generate_series(1, len(ts) - 7)] AS occs
+        |  FROM toks),
+        |occ AS (
+        |  SELECT doc_id, source, unnest(occs, recursive := true) FROM occ0),
+        |indexed AS (
+        |  SELECT DISTINCT g FROM occ WHERE doc_id % 5 <> 0),
+        |runs AS (
+        |  SELECT doc_id, s,
+        |    s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |  FROM occ JOIN indexed USING (g) WHERE doc_id % 5 = 0),
+        |spans AS (
+        |  SELECT doc_id, MIN(s) AS span_start, MAX(s) - MIN(s) + 8 AS span_len
+        |  FROM runs GROUP BY doc_id, grp),
+        |dw AS (
+        |  SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_span_words
+        |  FROM spans GROUP BY doc_id),
+        |bench AS (
+        |  SELECT DISTINCT g FROM occ
+        |  WHERE doc_id % 5 <> 0 AND source = 'src0'),
+        |cont AS (
+        |  SELECT DISTINCT o.doc_id FROM occ o JOIN bench USING (g)
+        |  WHERE o.doc_id % 5 = 0)
+        |SELECT q.doc_id, q.quality, q.passed_quality,
+        |  CAST(COALESCE(nd.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+        |  CAST(COALESCE(dw.dup_span_words, 0) AS BIGINT) AS dup_span_words,
+        |  CAST(cont.doc_id IS NOT NULL AS BIGINT) AS contaminated,
+        |  CAST(q.passed_quality = 1 AND COALESCE(nd.n_near_dups, 0) = 0
+        |       AND cont.doc_id IS NULL AS BIGINT) AS admit
+        |FROM qual q
+        |LEFT JOIN nd USING (doc_id)
+        |LEFT JOIN dw USING (doc_id)
+        |LEFT JOIN cont ON q.doc_id = cont.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
     "pipeline_end_to_end" ->
       """WITH stats AS (
         |  SELECT doc_id, lang, text,
@@ -3006,6 +3380,11 @@ object PipelineQueries {
         |  CAST(e.vec_id = COALESCE(cl.cluster_id, e.vec_id) AS BIGINT) AS keep
         |FROM e LEFT JOIN cl ON e.vec_id = cl.node
         |ORDER BY e.vec_id""".stripMargin,
+    // trained-quantizer SemDeDup: Lloyd train with k = ceil(sqrt(N))
+    // computed in-query, assignment, within-cell pairs, closure — see
+    // [[semanticTrainedOracle]]
+    "dedup_semantic_trained" -> semanticTrainedOracle(iters = 2,
+      threshold = 0.4),
     // same orthant cells + round-6 cosine as dedup_semantic; corpus =
     // vec_id % 10 <> 0, eval = % 10 = 0; one row per corpus vector,
     // max_cosine NULL when nothing reaches the 0.4 floor
@@ -3048,6 +3427,8 @@ object PipelineQueries {
       "FROM documents)",
       "FROM documents\n  WHERE NOT (doc_id BETWEEN 100 AND 149))"),
     "q_bm25_sql" -> bm25Oracle,
+    "text_bm25_multiterm" -> bm25MultitermOracle,
+    "q_bm25_query_sql" -> bm25MultitermOracle,
     "text_bm25_incremental" -> bm25Oracle,
     "text_bm25_stream" -> bm25Oracle,
     "text_rrf_fusion" -> bm25RrfOracle,
@@ -3309,6 +3690,9 @@ object PipelineQueries {
     // two-tranche ingestion must serve the identical result: same
     // oracle as the one-shot index, verbatim
     "dedup_exact_spans_incremental" -> spanIndexOracle,
+    // streaming ingestion (foreachBatch build + file-scoped adds under
+    // an AvailableNow drain) converges to the same index: same oracle
+    "dedup_exact_spans_stream" -> spanIndexOracle,
     // retraction: the corpus side minus the taken-down docs — one span
     // disappears (sole witness 332), one shrinks by a word (413 held
     // its last gram alone)

@@ -635,6 +635,69 @@ object TextAnalysis {
     bm25Rank(tf, nDocs, avgdl, k, k1, b)
   }
 
+  /** ADDITIVE multi-term BM25 over a persisted [[buildTextIndex]]
+    * index — what a search user means by `bm25(dir, 'a b c', k)`: one
+    * ranked list where each document's score is the SUM over the
+    * query's terms of its Okapi term score (the standard multi-term
+    * Okapi scorer), not per-term lists ([[bm25TopKPersisted]]) or
+    * rank-only fusion ([[rrfFuse]]). Determinism contract: each
+    * per-term score rounds to 6 exactly as the single-term path does,
+    * the sum of rounded terms rounds to 6 again, and ties break by
+    * doc_id — so an external engine summing the same rounded per-term
+    * scores reproduces the ranking bit-for-bit.
+    *
+    * Plan shape: ONE manifest-pruned read of all the query terms'
+    * posting buckets (the same single [[graft.sources.Snapshots.readPartitionedIn]]
+    * as the per-term path — multi-term costs no extra index I/O), a
+    * per-term df aggregate (|terms| rows, broadcast back), one per-doc
+    * SUM aggregation over ≤ |terms| rows/doc, then top-k via
+    * orderBy+limit (TakeOrderedAndProject's distributed heaps — no
+    * global sort, no single-task corpus-sized window; the rank column
+    * is a window over the already-collected k rows). Duplicate terms
+    * in the query collapse first: `a a b` scores `a` once, the
+    * convention of the bag-of-words scorer with distinct-term queries.
+    */
+  def bm25QueryTopKPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      query: String,
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.expressions.Window
+    val terms = query.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query must contain at least one term")
+    require(k > 0, s"k must be positive, got $k")
+    val st = Snapshots.read(spark, s"$indexDir/stats").head()
+    val nDocs = st.getLong(st.fieldIndex("n_docs"))
+    if (nDocs == 0L)
+      return spark.emptyDataFrame
+        .select(lit(0).as("rank"), lit(0L).as("doc_id"),
+          lit(0L).as("n_terms_hit"), lit(0.0).as("bm25"))
+    val avgdl = st.getLong(st.fieldIndex("total_tokens")).toDouble / nDocs
+    val tf = Snapshots
+      .readPartitionedIn(spark, s"$indexDir/postings", "term", terms)
+      .select("doc_id", "term", "tf", "dl")
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val perTerm = tf.join(broadcast(df), "term")
+      .select(col("doc_id"),
+        round(idf * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)), 6)
+          .as("s"))
+    perTerm.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), round(sum(col("s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+      .select("rank", "doc_id", "n_terms_hit", "bm25")
+  }
+
   /** md5-prefix hash bucket — the engine-stable feature-hashing idiom
     * shared with the corpus samplers (DuckDB spells it
     * `('0x' || substring(md5(x),1,15))::BIGINT % n`).
@@ -1377,12 +1440,38 @@ object TextAnalysis {
       idCol: String = "doc_id"): Long = {
     import graft.sources.Snapshots
     require(n >= 2, s"span index needs n >= 2, got $n")
-    Snapshots.commit(spark,
+    val v = Snapshots.commit(spark,
       spanOccurrences(docs, n, textCol, idCol)
         .select(col("gram").as("term"), col("doc_id"), col("start")),
       s"$indexDir/postings",
       statsColumns = Seq("term", "doc_id", "start"),
       partitionSpec = Seq(Snapshots.Transform.Bucket("term", nBuckets)))
+    // build-time hyperparameter record (same contract as the minhash
+    // index's params table): a probe/add with a different gram width
+    // than the build doesn't error — its grams just never match — so
+    // drift must fail loudly at the API boundary
+    import spark.implicits._
+    Snapshots.commit(spark, Seq(n).toDF("n"), s"$indexDir/params")
+    v
+  }
+
+  /** Fail loudly when an add/probe's gram width differs from the
+    * build's; lenient only when the params table is absent (a
+    * pre-params index).
+    */
+  private def requireSpanParams(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      n: Int): Unit = {
+    import graft.sources.Snapshots
+    if (Snapshots.version(spark, s"$indexDir/params") >= 1L) {
+      val built = Snapshots.read(spark, s"$indexDir/params")
+        .collect().head.getAs[Int]("n")
+      require(built == n,
+        s"span index at $indexDir was built with n=$built; caller " +
+          s"passed n=$n — mismatched gram widths never match and " +
+          "silently miss every span")
+    }
   }
 
   /** File-scoped O(new) ingestion into a [[buildSpanIndex]] index: the
@@ -1401,6 +1490,7 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id"): Long = {
     import graft.sources.Snapshots
+    requireSpanParams(spark, indexDir, n)
     Snapshots.merge(spark,
       s"$indexDir/postings",
       spanOccurrences(newDocs, n, textCol, idCol)
@@ -1460,6 +1550,7 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     import graft.sources.Snapshots
+    requireSpanParams(spark, indexDir, n)
     val occ = spanOccurrences(arrivals, n, textCol, idCol).persist()
     try {
       occ.foreach(_ => ())

@@ -45,7 +45,16 @@ class PlanSweepSpec extends SparkSpec {
       // retraction entry resolve to the SAME persisted-IVF serve chain
       // as ann_ivf_persisted above (broadcast 8-row centroid scoring) —
       // same bounded-broadcast contract, different spellings
-      "q_ann_sql", "ann_ivf_retracted")
+      "q_ann_sql", "ann_ivf_retracted",
+      // embedding_kmeans / corpus_cluster_sample: both end in the
+      // centroid-assignment join(broadcast(cents)) of assignCells
+      // (Similarity.scala) — a k=8-row broadcast frame, the same
+      // bounded-broadcast contract as ann_ivf_trained above
+      "embedding_kmeans", "corpus_cluster_sample",
+      // dedup_semantic_trained: the same assignCells broadcast against
+      // a k = ceil(√N)-row trained-centroid LocalRelation — bounded by
+      // the quantizer's own contract (k ≪ N by construction)
+      "dedup_semantic_trained")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -91,6 +91,30 @@ class DedupSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("common-gram cap: capped pairs ⊆ exact with full recall on real text") {
+    // the maxDf graceful-degradation contract: precision stays exact
+    // (capped results verify with full-set Jaccard, so they are a
+    // subset of the exact pair set) and recall holds at the
+    // corpus-relative cap ceil(0.1·N) — measured 1.0 at sf0.01 AND
+    // sf0.1, the dedup_ngram_capped_recall entry's exact configuration
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val cap = math.ceil(0.1 * corpus.count()).toLong
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard_sim"))
+    val exact = Dedup.ngramJaccardPairs(corpus).collect().map(key).toSet
+    val capped = Dedup.ngramJaccardPairs(corpus, maxDf = cap)
+      .collect().map(key).toSet
+    assert(capped.subsetOf(exact), "a capped pair failed the exact verify")
+    assert(exact.nonEmpty)
+    val recall = capped.size.toDouble / exact.size
+    info(f"capped recall $recall%.3f (${capped.size}/${exact.size})")
+    assert(recall >= 0.95)
+    // and an aggressive cap still never produces a false positive
+    val tight = Dedup.ngramJaccardPairs(corpus, maxDf = 2L)
+      .collect().map(key).toSet
+    assert(tight.subsetOf(exact))
+  }
+
   test("self-oracle: minhash candidates cover all high-Jaccard pairs (sf0.001)") {
     // deterministic recall check: every pair whose TRUE word-shingle
     // Jaccard is >= 0.8 must be found by the LSH path at threshold 0.7

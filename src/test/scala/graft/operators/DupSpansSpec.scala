@@ -188,6 +188,26 @@ class DupSpansSpec extends SparkSpec {
     assert(refused.getMessage.contains("fold it first"))
   }
 
+  test("mismatched gram width fails loudly at add and probe") {
+    // n is the span index's hash-space parameter: probing an n=8 index
+    // with n=6 grams matches nothing and silently reports no dup spans
+    // — the params table committed at build must reject the drift
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-span-par").toString
+    TextAnalysis.buildSpanIndex(spark,
+      docs.filter(col("doc_id") % 5 =!= 0), dir, n = 8)
+    val eAdd = intercept[IllegalArgumentException] {
+      TextAnalysis.addToSpanIndex(spark, docs.limit(5), dir, n = 6)
+    }
+    assert(eAdd.getMessage.contains("n=8"))
+    val eProbe = intercept[IllegalArgumentException] {
+      TextAnalysis.dupSpansAgainstIndex(spark, dir,
+        docs.filter(col("doc_id") % 5 === 0), n = 6)
+    }
+    assert(eProbe.getMessage.contains("n=8"))
+  }
+
   test("indexed probe with an all-short arrival batch returns no rows") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files

@@ -68,6 +68,47 @@ class MinhashIndexSpec extends SparkSpec {
     assert(files.nonEmpty && files.length < total)
   }
 
+  test("the verify read prunes the shingle table to the candidates' buckets") {
+    // the r10 scale gap closed: the exact-Jaccard verify must read only
+    // the CANDIDATES' buckets of the doc_id-bucketed shingles table,
+    // never the whole table (O(index) per arrival batch at a 10⁹-doc
+    // index). The probe's candidate ids drive the same manifest
+    // pruning the band lookup uses — a candidate-id probe selects
+    // strictly fewer shingle files than the snapshot holds.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-vrf").toString
+    Dedup.buildMinhashIndex(spark, docs.filter($"doc_id" < 6), dir,
+      nBuckets = 32)
+    val probed = Dedup.minhashProbe(spark, docs.filter($"doc_id" >= 6), dir)
+    assert(pairs(probed) == crossReference)
+    val candidateId = probed.select(least($"id_a", $"id_b")).head().getLong(0)
+    val (files, total) = Snapshots.selectFilesPartitioned(
+      spark, s"$dir/shingles", Snapshots.version(spark, s"$dir/shingles"),
+      Seq("doc_id" -> candidateId))
+    info(s"candidate-id verify probe reads ${files.length} of $total shingle files")
+    assert(files.nonEmpty && files.length < total)
+  }
+
+  test("mismatched build hyperparameters fail loudly at add and probe") {
+    // a probe or add with different bands/rows/shingle width doesn't
+    // error on its own — it hashes into a disjoint space and silently
+    // misses every pair — so the params table must reject it
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-par").toString
+    Dedup.buildMinhashIndex(spark, docs.filter($"doc_id" < 6), dir)
+    val eAdd = intercept[IllegalArgumentException] {
+      Dedup.addToMinhashIndex(spark, docs.filter($"doc_id" >= 6), dir,
+        shingleWords = 4)
+    }
+    assert(eAdd.getMessage.contains("shingleWords"))
+    val eProbe = intercept[IllegalArgumentException] {
+      Dedup.minhashProbe(spark, docs.filter($"doc_id" >= 6), dir,
+        bands = 8, rowsPerBand = 8)
+    }
+    assert(eProbe.getMessage.contains("bands"))
+    // matching parameters (the defaults) still serve
+    assert(pairs(Dedup.minhashProbe(spark, docs.filter($"doc_id" >= 6), dir))
+      == crossReference)
+  }
+
   test("the join fallback path (maxProbeKeys exceeded) serves the same pairs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mh-wide").toString
     Dedup.buildMinhashIndex(spark, docs.filter($"doc_id" < 6), dir)

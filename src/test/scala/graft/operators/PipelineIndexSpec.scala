@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The composite index-serving admission pipeline
+  * (`pipeline_arrival_admit`): the standing corpus must be read at
+  * BUILD time only — every serving stage (minhash probe, span probe,
+  * benchmark probe) answers from persisted index buckets, and the only
+  * corpus-file scan left in the final plan is the arrival batch's own
+  * quality pass.
+  */
+class PipelineIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("probes over a LocalRelation arrival batch plan no corpus file scan") {
+    // arrivals handed over as driver-local rows: with no corpus path in
+    // scope, any FileSourceScan of documents.parquet inside the probe
+    // lineage would mean the operator itself re-reads the corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mhDir = java.nio.file.Files
+      .createTempDirectory("graft-pidx-mh").toString
+    val spDir = java.nio.file.Files
+      .createTempDirectory("graft-pidx-sp").toString
+    Dedup.buildMinhashIndex(spark,
+      docs.filter(col("doc_id") % 5 =!= 0), mhDir, nBuckets = 8)
+    TextAnalysis.buildSpanIndex(spark,
+      docs.filter(col("doc_id") % 5 =!= 0), spDir, n = 8, nBuckets = 8)
+    val arrivals = spark.createDataFrame(
+      java.util.Arrays.asList(
+        docs.filter(col("doc_id") % 5 === 0).limit(40).collect(): _*),
+      docs.schema)
+    def corpusScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().count {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(
+            _.toString.contains("documents.parquet"))
+        case _ => false
+      }
+    val probe = Dedup.minhashProbe(spark, arrivals, mhDir)
+    val spans = TextAnalysis.dupSpansAgainstIndex(spark, spDir, arrivals,
+      n = 8)
+    assert(corpusScans(probe) == 0, "minhash probe rescans the corpus")
+    assert(corpusScans(spans) == 0, "span probe rescans the corpus")
+    assert(probe.columns.toSeq ==
+      Seq("id_a", "id_b", "jaccard_sim"))
+  }
+
+  test("the composite admission entry's final plan scans the corpus file at most once") {
+    // the quality stage legitimately scans the arrival slice of the
+    // corpus file; every probe result joins in as an already-
+    // materialized in-memory relation — a second corpus FileScan in
+    // the final plan would mean a serving stage fell back to the text
+    val df = graft.SparkEntry.queries("pipeline_arrival_admit")(spark, sf)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    val corpusScans = leaves.count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(
+          _.toString.contains("documents.parquet"))
+      case _ => false
+    }
+    assert(corpusScans <= 1,
+      s"expected at most the quality stage's corpus scan, found $corpusScans")
+    // and the entry produces one verdict row per arrival document
+    val rows = df.collect()
+    val nArrivals = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(rows.length == nArrivals)
+    // admit composes exactly from its inputs on every row
+    assert(rows.forall { r =>
+      val admit = r.getAs[Long]("admit") == 1L
+      val expect = r.getAs[Long]("passed_quality") == 1L &&
+        r.getAs[Long]("n_near_dups") == 0L &&
+        r.getAs[Long]("contaminated") == 0L
+      admit == expect
+    })
+  }
+}
