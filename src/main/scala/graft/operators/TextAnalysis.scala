@@ -395,15 +395,61 @@ object TextAnalysis {
     // is the doc count and Σtf the token count): the build tokenizes
     // the corpus ONCE, and the stats pass reads two columns of the
     // compact committed index, not the corpus again
+    commitStatsFromPostings(spark, indexDir)
+    v
+  }
+
+  /** Recompute the one-row stats table from the LIVE postings and
+    * commit it stamped with the postings version it derived from. The
+    * stamp is the staleness witness: a crash after a postings commit
+    * but before its stats refresh leaves `postings_version` behind the
+    * postings table, and the serve paths detect that and re-derive
+    * (see [[liveIndexStats]]) — nothing stays silently stale.
+    */
+  private def commitStatsFromPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    import graft.sources.Snapshots
+    val pv = Snapshots.version(spark, s"$indexDir/postings")
     val st = Snapshots.read(spark, s"$indexDir/postings")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
+      .agg(coalesce(countDistinct(col("doc_id")), lit(0L)).as("n_docs"),
         coalesce(sum(col("tf").cast("long")), lit(0L)).as("total_tokens"))
       .head()
     Snapshots.commit(spark,
       spark.range(1).select(lit(st.getLong(0)).as("n_docs"),
-        lit(st.getLong(1)).as("total_tokens")),
+        lit(st.getLong(1)).as("total_tokens"),
+        lit(pv).as("postings_version")),
       s"$indexDir/stats")
-    v
+    ()
+  }
+
+  /** `(n_docs, total_tokens)` for serving: the committed stats row
+    * when its `postings_version` stamp matches the live postings
+    * table, else a self-healing re-derivation from the surviving
+    * postings (committed back so the repair is paid once, not per
+    * serve). A pre-stamp stats row (no `postings_version` column)
+    * serves as-is — legacy indexes keep their old contract.
+    */
+  private def liveIndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Long, Long) = {
+    import graft.sources.Snapshots
+    val st = Snapshots.read(spark, s"$indexDir/stats").head()
+    val stale = st.schema.fieldNames.contains("postings_version") &&
+      st.getLong(st.fieldIndex("postings_version")) !=
+        Snapshots.version(spark, s"$indexDir/postings")
+    if (!stale)
+      (st.getLong(st.fieldIndex("n_docs")),
+        st.getLong(st.fieldIndex("total_tokens")))
+    else {
+      // repair: a concurrent writer may land its own refresh first —
+      // losing that race is fine, both derive from the same postings
+      try commitStatsFromPostings(spark, indexDir)
+      catch { case scala.util.control.NonFatal(_) => () }
+      val fresh = Snapshots.read(spark, s"$indexDir/stats").head()
+      (fresh.getLong(fresh.fieldIndex("n_docs")),
+        fresh.getLong(fresh.fieldIndex("total_tokens")))
+    }
   }
 
   /** `(term, doc_id, tf, dl)` posting rows for a tokenized batch. */
@@ -444,17 +490,25 @@ object TextAnalysis {
       val add = posts.agg(countDistinct(col("doc_id")),
         coalesce(sum(col("tf").cast("long")), lit(0L))).head()
       val cur = Snapshots.read(spark, s"$indexDir/stats").head()
+      // postings merge FIRST, stats stamped with the merged version
+      // SECOND: a crash between the two leaves stats provably stale
+      // (version stamp behind the postings) and liveIndexStats
+      // self-heals at the next serve — the reverse order would leave
+      // stats claiming docs the postings never received, with no
+      // witness. The sums stay the O(batch) delta (no index repass).
+      val pv = Snapshots.merge(spark, s"$indexDir/postings", posts,
+        key = Seq("term", "doc_id"),
+        statsColumns = Seq("term", "doc_id"),
+        scoped = true)
       Snapshots.commit(spark,
         spark.range(1).select(
           lit(cur.getLong(cur.fieldIndex("n_docs")) + add.getLong(0))
             .as("n_docs"),
           lit(cur.getLong(cur.fieldIndex("total_tokens")) + add.getLong(1))
-            .as("total_tokens")),
+            .as("total_tokens"),
+          lit(pv).as("postings_version")),
         s"$indexDir/stats")
-      Snapshots.merge(spark, s"$indexDir/postings", posts,
-        key = Seq("term", "doc_id"),
-        statsColumns = Seq("term", "doc_id"),
-        scoped = true)
+      pv
     } finally posts.unpersist()
   }
 
@@ -473,10 +527,14 @@ object TextAnalysis {
     * retried retraction converge to the same state it was aiming for.
     * The price is one distributed pass over the compact index for the
     * refresh — the same pass the BUILD's stats derivation pays, on top
-    * of the key-resolution pass the delete itself needs. A serve
-    * racing the two commits can observe stats one step behind the
-    * postings (idf off by the retracted docs for that read); the final
-    * state is exact. Same fold-first revision flow as the minhash
+    * of the key-resolution pass the delete itself needs. The stats row
+    * is stamped with the postings version it derived from, so a crash
+    * BETWEEN the two commits (delete landed, refresh never ran) cannot
+    * leave idf/avgdl stale indefinitely: the next serve sees the stamp
+    * behind the live postings and re-derives ([[liveIndexStats]]). A
+    * serve racing the two commits can still observe stats one step
+    * behind for that read; the final state is exact and self-healing.
+    * Same fold-first revision flow as the minhash
     * index: a file-scoped [[addToTextIndex]] over the pending delete
     * set is refused by the layer — compact, then add.
     */
@@ -490,14 +548,7 @@ object TextAnalysis {
     val v = Snapshots.deleteMergeOnRead(spark, s"$indexDir/postings", pred,
       key = Seq("term", "doc_id"),
       statsColumns = Seq("term", "doc_id"))
-    val st = Snapshots.read(spark, s"$indexDir/postings")
-      .agg(coalesce(countDistinct(col("doc_id")), lit(0L)).as("n_docs"),
-        coalesce(sum(col("tf").cast("long")), lit(0L)).as("total_tokens"))
-      .head()
-    Snapshots.commit(spark,
-      spark.range(1).select(lit(st.getLong(0)).as("n_docs"),
-        lit(st.getLong(1)).as("total_tokens")),
-      s"$indexDir/stats")
+    commitStatsFromPostings(spark, indexDir)
     v
   }
 
@@ -620,15 +671,14 @@ object TextAnalysis {
     import graft.sources.Snapshots
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, s"k must be positive, got $k")
-    val st = Snapshots.read(spark, s"$indexDir/stats").head()
-    val nDocs = st.getLong(st.fieldIndex("n_docs"))
+    val (nDocs, totalTokens) = liveIndexStats(spark, indexDir)
     if (nDocs == 0L)
       return spark.emptyDataFrame
         .select(lit("").as("term"), lit(0).as("rank"),
           lit(0L).as("doc_id"), lit(0.0).as("bm25"))
     // exact: token counts are integers (every partial sum is far below
     // 2^53), so sum-then-divide equals both engines' AVG(dl) bit-for-bit
-    val avgdl = st.getLong(st.fieldIndex("total_tokens")).toDouble / nDocs
+    val avgdl = totalTokens.toDouble / nDocs
     val tf = Snapshots
       .readPartitionedIn(spark, s"$indexDir/postings", "term", queryTerms)
       .select("doc_id", "term", "tf", "dl")
@@ -670,13 +720,12 @@ object TextAnalysis {
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "query must contain at least one term")
     require(k > 0, s"k must be positive, got $k")
-    val st = Snapshots.read(spark, s"$indexDir/stats").head()
-    val nDocs = st.getLong(st.fieldIndex("n_docs"))
+    val (nDocs, totalTokens) = liveIndexStats(spark, indexDir)
     if (nDocs == 0L)
       return spark.emptyDataFrame
         .select(lit(0).as("rank"), lit(0L).as("doc_id"),
           lit(0L).as("n_terms_hit"), lit(0.0).as("bm25"))
-    val avgdl = st.getLong(st.fieldIndex("total_tokens")).toDouble / nDocs
+    val avgdl = totalTokens.toDouble / nDocs
     val tf = Snapshots
       .readPartitionedIn(spark, s"$indexDir/postings", "term", terms)
       .select("doc_id", "term", "tf", "dl")

@@ -106,6 +106,30 @@ class InvertedIndexSpec extends SparkSpec {
     assert(refused.getMessage.contains("fold it first"))
   }
 
+  test("stale stats (crash between postings delete and refresh) self-heal at serve") {
+    // simulate the crash window: delete postings directly through the
+    // snapshot layer WITHOUT the stats refresh removeFromTextIndex
+    // would run — the stats row's postings_version stamp is now behind
+    // the live postings, and the serve must re-derive idf/avgdl from
+    // the survivors instead of ranking with phantom documents
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-sh").toString
+    TextAnalysis.buildTextIndex(spark, docs, dir, nBuckets = 8)
+    Snapshots.deleteMergeOnRead(spark, s"$dir/postings",
+      col("doc_id").isin(0L, 8L),
+      key = Seq("term", "doc_id"),
+      statsColumns = Seq("term", "doc_id"))
+    val served = rows(TextAnalysis.bm25TopKPersisted(spark, dir, terms, k = 5))
+    val direct = rows(TextAnalysis.bm25TopK(
+      docs.filter(!$"doc_id".isin(0L, 8L)), terms, k = 5))
+    assert(served == direct, "serve ranked with stale corpus stats")
+    // and the repair was committed: the stats row now matches the
+    // postings version, so the next serve pays no re-derivation
+    val st = Snapshots.read(spark, s"$dir/stats").head()
+    assert(st.getLong(st.fieldIndex("postings_version")) ==
+      Snapshots.version(spark, s"$dir/postings"))
+    assert(st.getLong(st.fieldIndex("n_docs")) == docs.count() - 2)
+  }
+
   test("rrf fusion rewards docs ranked in several lists over one high rank") {
     val fused = TextAnalysis.bm25RrfFused(docs, terms, k = 12, perTermK = 20)
       .collect()
