@@ -1036,19 +1036,21 @@ object Dedup {
             .select(col("doc_id").as("index_id"), col("hs").as("hs_i"))
         val probeSh = prepared.select(col("doc_id").as("probe_id"),
           col("hs").as("hs_p"))
-        // the result persists and the corpus-sized input cache releases
-        // before returning — the same one-small-result-cache-per-call
-        // trade ngramJaccardPairs documents (the cached frame is
-        // O(near-dup pairs); callers holding many probe results across a
-        // long session can unpersist them when consumed)
+        // the O(near-dup pairs) result is EAGERLY localCheckpoint'ed,
+        // not persist()'ed: checkpoint blocks are owned by the returned
+        // frame's RDD and released by the ContextCleaner when it is
+        // GC'd, so a long-lived serving session probing many batches
+        // cannot accumulate CacheManager entries nobody unpersists.
+        // The trade: a lost executor cannot recompute the blocks
+        // (lineage truncated) — acceptable for a bounded serving
+        // result whose pipeline retries the whole probe on failure.
         val out = candidates
           .join(indexSh, "index_id")
           .join(probeSh, "probe_id")
           .select(col("id_a"), col("id_b"),
             jaccard(col("hs_i"), col("hs_p")).as("jaccard_sim"))
           .filter(col("jaccard_sim") >= threshold)
-          .persist()
-        out.foreach(_ => ())
+          .localCheckpoint(true)
         out
       } finally { candidates.unpersist(); () }
     } finally { prepared.unpersist(); () }

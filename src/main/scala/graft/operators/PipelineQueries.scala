@@ -398,6 +398,48 @@ object PipelineQueries {
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf_stream" -> ((s, d) => {
+      // STREAMING ingestion into the persisted IVF index — the last
+      // missing lifecycle-symmetry piece (minhash/text/span indexes
+      // all have a `_stream` entry): vector shards arrive as
+      // file-source micro-batches, foreachBatch trains the quantizer
+      // on the first and file-scope-merges later arrivals against the
+      // frozen centroids (addToIvfIndex — no retrain), and the serve
+      // afterwards must equal the build-then-add index's answer (same
+      // oracle as ann_ivf_incremental: once the first batch fixes the
+      // quantizer, arrival order is invisible to assignment).
+      val emb = t(s, d, "embeddings")
+      val inDir = scratch("graft-ivf-stream-in")
+      val ckpt = scratch("graft-ivf-stream-ckpt")
+      val dir = scratch("graft-ivf-stream-idx")
+      Seq(inDir, ckpt, dir).foreach(clearDir(s, _))
+      emb.filter(col("vec_id") < 300).coalesce(1)
+        .write.parquet(s"$inDir/arrival-0")
+      emb.filter(col("vec_id") >= 300).coalesce(1)
+        .write.parquet(s"$inDir/arrival-1")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$inDir/arrival-*")
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val bs = batch.sparkSession
+          if (graft.sources.Snapshots.version(bs, s"$dir/centroids") >= 1L)
+            Similarity.addToIvfIndex(bs, batch.toDF(), dir,
+              roundDecimals = 6)
+          else
+            Similarity.buildIvfIndex(bs, batch.toDF(), dir, k = 8,
+              iterations = 2, roundDecimals = 6)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
+          k = 10, nProbe = 2, roundDecimals = 6)
+        .orderBy("query_id", "rank")
+    }),
     "ann_ivf_filtered" -> ((s, d) => {
       // FILTERED ANN over the shared trained quantizer: nearest
       // neighbors among labels {2, 5} only — the metadata-constrained
@@ -545,6 +587,26 @@ object PipelineQueries {
     "text_quality" -> ((s, d) => {
       Corpus.spread(t(s, d, "documents"))
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    // C4-style DOMAIN-level filtering: a document's admission depends
+    // on its whole domain's (here: source's) aggregate quality, not
+    // its own — the rule that drops low-quality sites wholesale even
+    // when individual pages look fine. The domain stats are a tiny
+    // aggregate (|domains| rows, orders of magnitude below the doc
+    // count at any scale) broadcast back onto the corpus, so the doc
+    // side stays a map-only pass at 100 TB; per-doc quality and the
+    // domain average are both rounded to 6 BEFORE the gate so the
+    // oracle replays the boundary decisions exactly.
+    "corpus_domain_filter" -> ((s, d) => {
+      val q = Corpus.spread(t(s, d, "documents"))
+        .select(col("doc_id"), col("source"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      val dom = q.groupBy("source")
+        .agg(round(avg("quality"), 6).as("domain_quality"))
+      q.join(broadcast(dom), "source")
+        .filter(col("domain_quality") >= 0.9)
+        .select("doc_id", "source", "quality", "domain_quality")
         .orderBy("doc_id")
     }),
     "text_langid" -> ((s, d) => {
@@ -907,6 +969,16 @@ object PipelineQueries {
     "text_tfidf_top3" -> ((s, d) => {
       TextAnalysis.tfidfTopTerms(t(s, d, "documents"), k = 3)
         .orderBy("doc_id", "rank")
+    }),
+    // corpus-adaptive boilerplate removal: terms with df > 78%·N
+    // stripped everywhere (see [[TextAnalysis.boilerplateScrub]]'s
+    // boundedness contract; 0.78 splits the synthetic corpus's
+    // near-uniform vocabulary — df≈0.75-0.80 — into a real partial
+    // scrub instead of a degenerate all-or-nothing); oracle recomputes
+    // df and replays the order-preserving list_filter rewrite
+    "text_boilerplate_scrub" -> ((s, d) => {
+      TextAnalysis.boilerplateScrub(t(s, d, "documents"), dfFrac = 0.78)
+        .orderBy("doc_id")
     }),
     "corpus_vocab_coverage" -> ((s, d) => {
       TextAnalysis.vocabCoverage(t(s, d, "documents"), v = 100)
@@ -2340,6 +2412,10 @@ object PipelineQueries {
     "q_ann_sql" -> ivfTrainedOracle(8, 2, 2, 10),
     "ann_ivf_incremental" ->
       ivfTrainedOracle(8, 2, 2, 10, trainWhere = "vec_id < 300"),
+    // streaming ingest = build-on-first-batch + add-the-rest: the
+    // incremental oracle (train on vec_id < 300, assign all) gates it
+    "ann_ivf_stream" ->
+      ivfTrainedOracle(8, 2, 2, 10, trainWhere = "vec_id < 300"),
     "ann_ivf_q8_rerank" -> ivfQuantizedOracle(8, 2, 2, 30, 10),
     "ann_ivf_pq" -> ivfPqOracle(8, 2, 2, 4, 16, 8, 2, 30, 10),
     "dedup_exact" ->
@@ -2907,6 +2983,31 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT doc_id, "rank", term, tfidf FROM ranked
         |WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
+    // df recomputed over per-doc DISTINCT terms, boiler set = words
+    // with df > 0.78·N, rewrite = order-preserving list_filter — the
+    // exact replay of boilerplateScrub's literal-array filter
+    "text_boilerplate_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |dfs AS (
+        |  SELECT w AS word, COUNT(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(ts)) AS w FROM toks)
+        |  GROUP BY 1),
+        |boiler AS (
+        |  SELECT coalesce(list(word), CAST([] AS VARCHAR[])) AS bw
+        |  FROM dfs, nd WHERE df > 0.78 * n_docs)
+        |SELECT t.doc_id,
+        |  coalesce(array_to_string(
+        |    list_filter(t.ts, x -> NOT list_contains(b.bw, x)), ' '), '')
+        |    AS text_clean,
+        |  CAST(len(t.ts) -
+        |    len(list_filter(t.ts, x -> NOT list_contains(b.bw, x)))
+        |    AS BIGINT) AS n_removed
+        |FROM toks t CROSS JOIN boiler b
+        |ORDER BY t.doc_id""".stripMargin,
     // the same md5-prefix draw, recomputed: DuckDB ranks each stratum
     // by ('0x'||substring(md5(id),1,15))::BIGINT exactly like Spark's
     // conv(substring(md5(id),1,15),16,10)
@@ -3108,6 +3209,31 @@ object PipelineQueries {
         |  + (CASE WHEN n_punct / n_words <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2
         |  AS quality
         |FROM stats ORDER BY doc_id""".stripMargin,
+    // same per-doc score formula rounded to 6, then the per-source
+    // average (rounded to 6) gates admission — the broadcast-stats
+    // replay of corpus_domain_filter
+    "corpus_domain_filter" ->
+      """WITH stats AS (
+        |  SELECT doc_id, source,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE) AS n_words,
+        |    CAST(LEN(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    round(LEAST(n_words / 50.0, 1.0) * 0.5
+        |    + (CASE WHEN (n_chars - (n_words - 1)) / n_words BETWEEN 3.0 AND 10.0
+        |            THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (CASE WHEN n_punct / n_words <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2, 6)
+        |    AS quality
+        |  FROM stats),
+        |dom AS (
+        |  SELECT source, round(avg(quality), 6) AS domain_quality
+        |  FROM scored GROUP BY source)
+        |SELECT s.doc_id, s.source, s.quality, d.domain_quality
+        |FROM scored s JOIN dom d USING (source)
+        |WHERE d.domain_quality >= 0.9
+        |ORDER BY s.doc_id""".stripMargin,
     // NOT EXISTS, not NOT IN: a single NULL digest in the corpus would
     // turn NOT IN into zero rows while Spark's left_anti keeps matching
     "dedup_incremental" ->

@@ -1297,6 +1297,58 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tfidf")
   }
 
+  /** Corpus-adaptive boilerplate scrub — the CCNet/C4-style cleanup
+    * step that removes content appearing in "too many" documents. The
+    * corpus has no line structure, so the removal unit is the TERM:
+    * any token whose document frequency exceeds `dfFrac`·N is treated
+    * as corpus boilerplate (navigation chrome, license banners,
+    * template filler all surface as near-universal tokens) and
+    * stripped from every document, order otherwise preserved.
+    *
+    * Scale shape: one linear tokenize+explode aggregation computes df
+    * (map-side-combined hash agg — the only shuffle), and the boiler
+    * set itself is PROVABLY bounded independent of corpus size: each
+    * boiler term accounts for > dfFrac·N of the Σ-per-doc-distinct
+    * -terms mass, so |boiler| ≤ avg distinct terms per doc / dfFrac
+    * (≈120 terms at dfFrac=0.5 on any natural corpus). That bound is
+    * what licenses the driver-side collect — the same O(bounded
+    * scalars) budget as the IVF probed-cells collect — after which the
+    * rewrite is a map-only codegen'd higher-order filter over the
+    * token array: no join, no shuffle, no second pass over text. At
+    * 100 TB the plan is one aggregation plus one narrow projection.
+    *
+    * Extends the reference's projection model (query_engine.rs:43-60)
+    * with a corpus-statistic-driven rewrite no per-row engine can
+    * express without two passes.
+    *
+    * @return `(doc_id, text_clean, n_removed)` one row per document
+    */
+  def boilerplateScrub(
+      docs: DataFrame,
+      dfFrac: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(dfFrac > 0.0 && dfFrac <= 1.0,
+      s"dfFrac must be in (0, 1], got $dfFrac")
+    val toks = Corpus.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("ts"))
+    // N as a literal (one metadata-count job), not a 1-row cross join —
+    // the same pattern tfidfTopTerms documents
+    val nDocs = docs.count()
+    val boiler = toks
+      .select(col("doc_id"), explode(array_distinct(col("ts"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfFrac * nDocs)
+      .select("word").orderBy("word")
+      .collect().map(_.getString(0)).toSeq
+    val bw = typedLit(boiler)
+    val kept = filter(col("ts"), w => !array_contains(bw, w))
+    toks.select(col("doc_id"),
+      array_join(kept, " ").as("text_clean"),
+      (size(col("ts")) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Cross-document repeated-span SCRUB — the removal half of the
     * boilerplate pipeline whose detection half is [[commonSpans]]: every
     * word covered by any `n`-gram that occurs in at least `minDocs`
@@ -1617,13 +1669,13 @@ object TextAnalysis {
             keys.toIndexedSeq)
         else Snapshots.read(spark, s"$indexDir/postings"))
           .select(col("term").as("gram")).distinct()
-      // result persists and materializes before the arrival-gram cache
-      // releases — the one-small-result-cache-per-call trade
-      // minhashProbe documents (the cached frame is O(arrival spans))
+      // the O(arrival spans) result is eagerly localCheckpoint'ed (not
+      // persist()'ed) so its blocks are GC-owned with the returned
+      // frame — the same library-owned cache-lifetime contract as
+      // minhashProbe (see the scaladoc there for the failure trade)
       val out = spansFromDupStarts(
         occ.join(indexed, "gram").select("doc_id", "start"),
-        arrivals, n, textCol, idCol).persist()
-      out.foreach(_ => ())
+        arrivals, n, textCol, idCol).localCheckpoint(true)
       out
     } finally { occ.unpersist(); () }
   }

@@ -34,17 +34,25 @@ DUCK_TO_ARROW = {
     "FLOAT": {"float"},
     "VARCHAR": {"string", "large_string"},
     "BOOLEAN": {"bool"},
-    # DATE also serializes identically to a midnight timestamp: pandas
-    # reads BOTH a DuckDB DATE column and a parquet timestamp column as
-    # datetime64[ns], so the driver's value hash cannot tell them apart
-    # (q_scalar_date's month_start — Spark date_trunc returns TIMESTAMP,
-    # DuckDB's returns DATE — has been hash-green on exactly this pair
-    # since round 3). A non-midnight value would differ in VALUE, which
-    # the hash does catch; the type pair itself is not a mismatch.
-    "DATE": {"date32[day]", "timestamp[us]", "timestamp[ns]"},
+    "DATE": {"date32[day]"},
     "BLOB": {"binary", "large_binary"},
     "TIMESTAMP": {"timestamp[us]", "timestamp[ns]", "timestamp[us, tz=UTC]"},
     "TIMESTAMP WITH TIME ZONE": {"timestamp[us, tz=UTC]"},
+}
+
+
+# Per-(entry, column) exceptions: pairs known hash-green despite a type
+# gap the global table must NOT absorb. A DuckDB DATE serializes
+# identically to a MIDNIGHT timestamp (pandas reads both as
+# datetime64[ns]), but widening the global DATE mapping would disable
+# date-vs-timestamp checking repo-wide — a future entry returning a
+# non-midnight timestamp where the contract says DATE must still flag.
+# q_scalar_date's month_start: Spark date_trunc returns TIMESTAMP,
+# DuckDB's returns DATE; truncation guarantees midnight, hash-green
+# since round 3.
+PAIR_EXCEPTIONS = {
+    ("q_scalar_date", "month_start"): ("DATE", {"timestamp[us]",
+                                                "timestamp[ns]"}),
 }
 
 
@@ -88,8 +96,13 @@ def main(out_dir: str, sf_dir: str, names=None) -> None:
             continue
         diffs = []
         for col, duck_t, *_ in desc:
+            exc = PAIR_EXCEPTIONS.get((name, col))
+            excused = (exc is not None and duck_t.strip() == exc[0]
+                       and str(spark_schema.get(col)) in exc[1])
             if col not in spark_schema:
                 diffs.append(f"{col}: oracle-only column (DuckDB {duck_t})")
+            elif excused:
+                pass
             elif not compatible(duck_t, spark_schema[col]):
                 hint = (" — CAST it in the oracle (house convention)"
                         if duck_t == "HUGEINT" else "")
