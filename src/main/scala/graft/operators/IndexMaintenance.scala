@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Snapshots
+
+/** Maintenance for persisted index directories (text/minhash/span/IVF).
+  *
+  * Incremental ingestion is deliberately O(new): every
+  * `addTo*Index` call commits the arrival batch as NEW files and
+  * carries the base by reference. The price is fragmentation — after a
+  * day of small adds a posting bucket is hundreds of sliver files, and
+  * at 100 TB the serve path's pruned read pays per-file costs (footer
+  * fetch, task schedule, object-store round trip) that dwarf the bytes.
+  * Compaction is the standing repair, and it must run as a snapshot
+  * TRANSACTION (readers race it) and must NOT destroy the properties
+  * the serve path depends on: the bucket transform spec (pruned
+  * IN-reads), the stats manifest (envelope pruning), and time travel.
+  *
+  * [[compactIndex]] bin-packs every snapshot table under the index dir
+  * via [[Snapshots.compactBinPack]] — O(small files) selected from the
+  * committed manifest, healthy files carried by reference, rewrite
+  * re-clustered by the table's own inherited partition spec so bucket
+  * pruning survives verbatim. Stats/bloom column sets are derived from
+  * the tip manifest itself (`min_<c>`/`bloom_<c>` rows), so the
+  * rewritten files' manifest rows line up with the carried ones without
+  * the caller restating each index family's build parameters.
+  */
+object IndexMaintenance {
+
+  /** Bin-pack the fragmented tables of a persisted index directory.
+    *
+    * Walks the immediate children of `indexDir` and, for every
+    * committed snapshot table, repacks files smaller than
+    * `minFileBytes` into ~`targetFileBytes` outputs. Tables that
+    * cannot be bin-packed are left untouched by design:
+    *
+    *  - tables with no stats manifest (the one-row `params` / `stats` /
+    *    `centroids` sidecars — nothing to repack, and bin-pack selects
+    *    from the manifest);
+    *  - tables with a pending merge-on-read delete set (a retraction
+    *    not yet folded — carrying its base files raw would resurrect
+    *    deleted rows; fold first, then compact).
+    *
+    * Returns `table name -> committed version` for every table visited
+    * (unchanged tip when skipped or when fewer than two files
+    * qualified). Serving results are invariant under compaction — the
+    * rewrite is logically a no-op — which is exactly what the entry
+    * oracles certify by reusing the uncompacted entries' SQL verbatim.
+    */
+  def compactIndex(
+      spark: SparkSession,
+      indexDir: String,
+      minFileBytes: Long = 4L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, Long] = {
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tables = fs.listStatus(new Path(indexDir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => Snapshots.version(spark, p.toString) >= 1L)
+      .sortBy(_.getName)
+    tables.map { table =>
+      val dir = table.toString
+      val tip = Snapshots.version(spark, dir)
+      val snapDir = s"$dir/snap-$tip"
+      val manifest = new Path(s"$snapDir/_manifest")
+      val pendingMor = fs.exists(new Path(s"$snapDir/_mor_deletes")) ||
+        fs.exists(new Path(s"$snapDir/_pos_deletes"))
+      val v =
+        if (!fs.exists(manifest) || pendingMor) tip
+        else {
+          val mCols = spark.read.parquet(manifest.toString).columns
+          // transform envelopes (`min_pt_*`) regenerate from the
+          // inherited partition spec at commit; only data-column stats
+          // are restated so rewritten rows line up with carried ones
+          val statsCols = mCols.toSeq
+            .filter(c => c.startsWith("min_") && !c.startsWith("min_pt_"))
+            .map(_.stripPrefix("min_"))
+          val dataCols = Snapshots.read(spark, dir).columns.toSet
+          val bloomCols = mCols.toSeq
+            .filter(_.startsWith("bloom_"))
+            .map(_.stripPrefix("bloom_"))
+            .filter(dataCols.contains)
+          Snapshots.compactBinPack(spark, dir, minFileBytes,
+            targetFileBytes, statsColumns = statsCols.filter(dataCols),
+            bloomColumns = bloomCols)
+        }
+      table.getName -> v
+    }.toMap
+  }
+}

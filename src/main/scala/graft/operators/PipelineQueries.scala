@@ -440,6 +440,28 @@ object PipelineQueries {
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf_compacted" -> ((s, d) => {
+      // index COMPACTION for the vector side: build + two adds
+      // fragment the cell-bucketed postings; bin-pack repacks the
+      // slivers under the inherited cell spec (probe's multi-cell
+      // pruned read survives), centroids ride untouched. SAME oracle
+      // as ann_ivf_incremental — the quantizer is fixed by the first
+      // 300 vectors, so add order and layout are invisible to serve.
+      val emb = t(s, d, "embeddings")
+      val dir = scratch("graft-ivf-cpt")
+      clearDir(s, dir)
+      Similarity.buildIvfIndex(s, emb.filter(col("vec_id") < 300), dir,
+        k = 8, iterations = 2, roundDecimals = 6)
+      Similarity.addToIvfIndex(s,
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 450), dir,
+        roundDecimals = 6)
+      Similarity.addToIvfIndex(s, emb.filter(col("vec_id") >= 450), dir,
+        roundDecimals = 6)
+      IndexMaintenance.compactIndex(s, dir)
+      Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
+          k = 10, nProbe = 2, roundDecimals = 6)
+        .orderBy("query_id", "rank")
+    }),
     "ann_ivf_filtered" -> ((s, d) => {
       // FILTERED ANN over the shared trained quantizer: nearest
       // neighbors among labels {2, 5} only — the metadata-constrained
@@ -683,6 +705,27 @@ object PipelineQueries {
       Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
         .orderBy("id_a", "id_b")
     }),
+    "dedup_minhash_compacted" -> ((s, d) => {
+      // index COMPACTION: two file-scoped adds fragment every bucket
+      // of the bands/shingles tables into arrival slivers; the
+      // bin-pack pass repacks them transactionally (inherited bucket
+      // spec — pruned probe reads survive; stats manifests refreshed
+      // from the tip's own column set). SAME oracle as
+      // dedup_minhash_persisted: compaction is logically a no-op, and
+      // the hash match certifies the serve path cannot tell.
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-minhash-idx-cpt")
+      clearDir(s, dir)
+      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 100), dir,
+        nBuckets = 8)
+      Dedup.addToMinhashIndex(s,
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 180), dir)
+      Dedup.addToMinhashIndex(s,
+        docs.filter(col("doc_id") >= 180 && col("doc_id") < 250), dir)
+      IndexMaintenance.compactIndex(s, dir)
+      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_minhash_revised" -> ((s, d) => {
       // index RETRACTION: build on the first 250 docs, merge-on-read
       // DELETE doc_ids [100,150) (O(keys) sidecar, no bucket rewrite),
@@ -898,6 +941,78 @@ object PipelineQueries {
           (col("passed_quality") === 1L && col("n_near_dups") === 0L &&
             col("contaminated") === 0L).cast("long"))
         .orderBy("doc_id")
+    }),
+
+    "pipeline_arrival_stream" -> ((s, d) => {
+      // the admission pipeline RUN AS A STREAM: standing indexes are
+      // built once on the corpus side, arrivals then flow in as two
+      // file-source micro-batches, and foreachBatch probes the
+      // standing indexes and appends each batch's verdict rows to a
+      // SNAPSHOT verdict table via a file-scoped scoped merge (new
+      // doc_ids intersect no committed file's envelope — O(batch)
+      // per commit, the crawl pipeline's feedback table). Every
+      // per-doc verdict is batch-invariant — the quality gate is an
+      // ABSOLUTE threshold (a relative per-batch quantile would make
+      // the verdict depend on micro-batch boundaries) and the probes
+      // hit standing indexes only — so arrival order is invisible and
+      // one whole-corpus oracle gates any batch split.
+      val docs = t(s, d, "documents")
+      val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
+      val arrivals = docs.filter(col("doc_id") % 5 === 0)
+      val mhDir = scratch("graft-pstr-mh")
+      val bmDir = scratch("graft-pstr-bench")
+      val inDir = scratch("graft-pstr-in")
+      val ckpt = scratch("graft-pstr-ckpt")
+      val outDir = scratch("graft-pstr-verdicts")
+      Seq(mhDir, bmDir, inDir, ckpt, outDir).foreach(clearDir(s, _))
+      Dedup.buildMinhashIndex(s, corpusSide, mhDir, nBuckets = 8)
+      TextAnalysis.buildSpanIndex(s,
+        corpusSide.filter(col("source") === "src0"), bmDir, n = 8,
+        nBuckets = 8)
+      arrivals.filter(col("doc_id") < 250).coalesce(1)
+        .write.parquet(s"$inDir/arrival-0")
+      arrivals.filter(col("doc_id") >= 250).coalesce(1)
+        .write.parquet(s"$inDir/arrival-1")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$inDir/arrival-*")
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val bs = batch.sparkSession
+          val arr = batch.toDF()
+          val qual = arr.select(col("doc_id"),
+            round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+          val nd = Dedup.minhashProbe(bs, arr, mhDir)
+            .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+            .filter(col("doc_id") % 5 === 0)
+            .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
+          val cont = TextAnalysis.dupSpansAgainstIndex(bs, bmDir, arr, n = 8)
+            .select("doc_id").distinct().withColumn("hit", lit(1L))
+          val verdicts = qual
+            .join(nd, Seq("doc_id"), "left")
+            .join(cont, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("quality"),
+              (col("quality") >= 0.75).cast("long").as("passed_quality"),
+              coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+              coalesce(col("hit"), lit(0L)).as("contaminated"))
+            .withColumn("admit",
+              (col("passed_quality") === 1L && col("n_near_dups") === 0L &&
+                col("contaminated") === 0L).cast("long"))
+          if (graft.sources.Snapshots.version(bs, outDir) >= 1L)
+            graft.sources.Snapshots.merge(bs, outDir, verdicts,
+              key = Seq("doc_id"), statsColumns = Seq("doc_id"),
+              scoped = true)
+          else
+            graft.sources.Snapshots.commit(bs, verdicts, outDir,
+              statsColumns = Seq("doc_id"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.sources.Snapshots.read(s, outDir).orderBy("doc_id")
     }),
 
     // ---- multimodal (stubbed decode, real plumbing) ----
@@ -1255,6 +1370,28 @@ object PipelineQueries {
       TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 300), dir,
         nBuckets = 8)
       TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 300), dir)
+      TextAnalysis
+        .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
+        .orderBy("term", "rank")
+    }),
+    "text_bm25_compacted" -> ((s, d) => {
+      // index COMPACTION: the build plus two file-scoped adds leave
+      // every term bucket of the postings table a pile of arrival
+      // slivers; [[IndexMaintenance.compactIndex]] bin-packs them as a
+      // snapshot transaction (bucket spec inherited — the pruned
+      // query-term read survives; manifest stats restated from the
+      // tip's own columns). Serve afterwards — SAME oracle as
+      // text_bm25_incremental, certifying compaction is invisible to
+      // retrieval.
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-text-index-cpt")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 200), dir,
+        nBuckets = 8)
+      TextAnalysis.addToTextIndex(s,
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350), dir)
+      TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 350), dir)
+      IndexMaintenance.compactIndex(s, dir)
       TextAnalysis
         .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
@@ -2416,6 +2553,9 @@ object PipelineQueries {
     // incremental oracle (train on vec_id < 300, assign all) gates it
     "ann_ivf_stream" ->
       ivfTrainedOracle(8, 2, 2, 10, trainWhere = "vec_id < 300"),
+    // bin-packed layout serves the identical row set: same oracle
+    "ann_ivf_compacted" ->
+      ivfTrainedOracle(8, 2, 2, 10, trainWhere = "vec_id < 300"),
     "ann_ivf_q8_rerank" -> ivfQuantizedOracle(8, 2, 2, 30, 10),
     "ann_ivf_pq" -> ivfPqOracle(8, 2, 2, 4, 16, 8, 2, 30, 10),
     "dedup_exact" ->
@@ -2456,6 +2596,8 @@ object PipelineQueries {
     // from-scratch index's answer.
     "dedup_minhash_persisted" -> minhashPersistedOracle,
     "dedup_minhash_incremental" -> minhashPersistedOracle,
+    // compaction is logically a no-op: the from-scratch oracle gates it
+    "dedup_minhash_compacted" -> minhashPersistedOracle,
     // streaming arrivals and the TVF spelling serve the SAME pruned
     // band lookup — arrival order and query surface are both invisible
     "dedup_minhash_stream" -> minhashPersistedOracle,
@@ -3389,6 +3531,66 @@ object PipelineQueries {
         |LEFT JOIN dw USING (doc_id)
         |LEFT JOIN cont ON q.doc_id = cont.doc_id
         |ORDER BY q.doc_id""".stripMargin,
+    // the streaming admission's verdicts are batch-invariant by
+    // construction (absolute quality threshold + standing-index
+    // probes), so ONE whole-corpus replay gates any micro-batch split
+    "pipeline_arrival_stream" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE) AS n_words,
+        |    CAST(LEN(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(LEAST(n_words / 50.0, 1.0) * 0.5
+        |    + (CASE WHEN (n_chars - (n_words - 1)) / n_words BETWEEN 3.0 AND 10.0
+        |            THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (CASE WHEN n_punct / n_words <= 0.2 THEN 1.0 ELSE 0.6 END) * 0.2,
+        |    6) AS quality
+        |  FROM stats),
+        |sh AS (
+        |  SELECT doc_id AS id, CASE WHEN len(ts) >= 3
+        |    THEN list_distinct([('0x' || substring(
+        |           md5(array_to_string(ts[i:i+2], ' ')), 1, 15))::BIGINT
+        |                        for i in generate_series(1, len(ts) - 2)])
+        |    ELSE [('0x' || substring(
+        |           md5(array_to_string(ts, ' ')), 1, 15))::BIGINT] END AS hs
+        |  FROM toks),
+        |nd AS (
+        |  SELECT r.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_near_dups
+        |  FROM sh l JOIN sh r ON l.id % 5 <> 0 AND r.id % 5 = 0
+        |  WHERE CAST(len(list_intersect(l.hs, r.hs)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(l.hs, r.hs))) AS DOUBLE)
+        |      >= 0.7
+        |  GROUP BY r.id),
+        |occ0 AS (
+        |  SELECT doc_id, source,
+        |    [array_to_string(ts[i:i+7], ' ')
+        |     for i in generate_series(1, len(ts) - 7)] AS grams
+        |  FROM toks),
+        |occ AS (
+        |  SELECT doc_id, source, unnest(grams) AS g FROM occ0),
+        |bench AS (
+        |  SELECT DISTINCT g FROM occ
+        |  WHERE doc_id % 5 <> 0 AND source = 'src0'),
+        |cont AS (
+        |  SELECT DISTINCT o.doc_id FROM occ o JOIN bench USING (g)
+        |  WHERE o.doc_id % 5 = 0)
+        |SELECT q.doc_id, q.quality,
+        |  CAST(q.quality >= 0.75 AS BIGINT) AS passed_quality,
+        |  CAST(COALESCE(nd.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+        |  CAST(cont.doc_id IS NOT NULL AS BIGINT) AS contaminated,
+        |  CAST(q.quality >= 0.75 AND COALESCE(nd.n_near_dups, 0) = 0
+        |       AND cont.doc_id IS NULL AS BIGINT) AS admit
+        |FROM qual q
+        |LEFT JOIN nd USING (doc_id)
+        |LEFT JOIN cont ON q.doc_id = cont.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
     "pipeline_end_to_end" ->
       """WITH stats AS (
         |  SELECT doc_id, lang, text,
@@ -3557,6 +3759,8 @@ object PipelineQueries {
     "q_bm25_query_sql" -> bm25MultitermOracle,
     "text_bm25_incremental" -> bm25Oracle,
     "text_bm25_stream" -> bm25Oracle,
+    // bin-pack keeps the row set (and therefore retrieval) unchanged
+    "text_bm25_compacted" -> bm25Oracle,
     "text_rrf_fusion" -> bm25RrfOracle,
     // postings are token occurrences: term membership over the same
     // tokenizer is exact on both sides; the absent needle contributes

@@ -54,7 +54,13 @@ class PlanSweepSpec extends SparkSpec {
       // dedup_semantic_trained: the same assignCells broadcast against
       // a k = ceil(√N)-row trained-centroid LocalRelation — bounded by
       // the quantizer's own contract (k ≪ N by construction)
-      "dedup_semantic_trained")
+      "dedup_semantic_trained",
+      // ann_ivf_stream / ann_ivf_compacted: both end in the SAME
+      // persisted-IVF serve chain as ann_ivf_persisted above
+      // (broadcast 8-row centroid scoring) — streaming ingestion and
+      // bin-pack compaction change the index's layout, not its serve
+      // plan, so the same bounded-broadcast contract applies
+      "ann_ivf_stream", "ann_ivf_compacted")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
