@@ -1374,6 +1374,28 @@ object PipelineQueries {
         .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
     }),
+    "text_bm25_asof" -> ((s, d) => {
+      // REPRODUCIBLE SERVING: pin retrieval to the postings version a
+      // run recorded. Build on the first 300 docs (postings v1), add
+      // the rest (v2), then serve AS-OF v1 — the result must equal the
+      // from-scratch index over the first slice alone (idf, df, avgdl
+      // all reflect only what v1 contained). This is the lakehouse
+      // time-travel contract lifted to the index layer: an experiment
+      // that logs its index version replays the identical ranking
+      // months of adds later. Stats resolve from the version-stamped
+      // stats history — no postings scan on the stamped path.
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-text-index-asof")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 300), dir,
+        nBuckets = 8)
+      val v1 = graft.sources.Snapshots.version(s, s"$dir/postings")
+      TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 300), dir)
+      TextAnalysis
+        .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5,
+          asOf = Some(v1))
+        .orderBy("term", "rank")
+    }),
     "text_bm25_compacted" -> ((s, d) => {
       // index COMPACTION: the build plus two file-scoped adds leave
       // every term bucket of the postings table a pile of arrival
@@ -3761,6 +3783,10 @@ object PipelineQueries {
     "text_bm25_stream" -> bm25Oracle,
     // bin-pack keeps the row set (and therefore retrieval) unchanged
     "text_bm25_compacted" -> bm25Oracle,
+    // as-of v1 serves exactly the first slice's corpus statistics
+    "text_bm25_asof" -> bm25Oracle.replace(
+      "FROM documents)",
+      "FROM documents\n  WHERE doc_id < 300)"),
     "text_rrf_fusion" -> bm25RrfOracle,
     // postings are token occurrences: term membership over the same
     // tokenizer is exact on both sides; the absent needle contributes

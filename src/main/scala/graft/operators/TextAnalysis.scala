@@ -667,11 +667,14 @@ object TextAnalysis {
       queryTerms: Seq[String],
       k: Int = 5,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      asOf: Option[Long] = None): DataFrame = {
     import graft.sources.Snapshots
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, s"k must be positive, got $k")
-    val (nDocs, totalTokens) = liveIndexStats(spark, indexDir)
+    val (nDocs, totalTokens) = asOf
+      .map(indexStatsAsOf(spark, indexDir, _))
+      .getOrElse(liveIndexStats(spark, indexDir))
     if (nDocs == 0L)
       return spark.emptyDataFrame
         .select(lit("").as("term"), lit(0).as("rank"),
@@ -680,9 +683,51 @@ object TextAnalysis {
     // 2^53), so sum-then-divide equals both engines' AVG(dl) bit-for-bit
     val avgdl = totalTokens.toDouble / nDocs
     val tf = Snapshots
-      .readPartitionedIn(spark, s"$indexDir/postings", "term", queryTerms)
+      .readPartitionedIn(spark, s"$indexDir/postings", "term", queryTerms,
+        v = asOf.getOrElse(0L))
       .select("doc_id", "term", "tf", "dl")
     bm25Rank(tf, nDocs, avgdl, k, k1, b)
+  }
+
+  /** `(n_docs, total_tokens)` for an AS-OF serve pinned to postings
+    * version `postingsV` — the reproducibility contract: a training
+    * run that records the postings version it retrieved against can
+    * replay the identical ranking later, however many adds landed
+    * since. Resolution prefers the committed stats row STAMPED with
+    * exactly that version (the stats table is one row per commit, so
+    * the tip-down walk is O(versions) one-row reads — no postings
+    * scan); a version with no stamp falls back to deriving the sums
+    * from the postings AT that version (compaction advances postings
+    * as a logical no-op without a stats commit, and legacy indexes
+    * predate the stamp). Never commits anything: time travel must not
+    * write.
+    */
+  private def indexStatsAsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      postingsV: Long): (Long, Long) = {
+    import graft.sources.Snapshots
+    require(postingsV >= 1 &&
+      postingsV <= Snapshots.version(spark, s"$indexDir/postings"),
+      s"no postings version $postingsV in $indexDir")
+    val statsDir = s"$indexDir/stats"
+    val stamped = (Snapshots.version(spark, statsDir) to 1L by -1L)
+      .iterator
+      .map(v => Snapshots.readVersion(spark, statsDir, v).head())
+      .find(st => st.schema.fieldNames.contains("postings_version") &&
+        st.getLong(st.fieldIndex("postings_version")) == postingsV)
+    stamped match {
+      case Some(st) =>
+        (st.getLong(st.fieldIndex("n_docs")),
+          st.getLong(st.fieldIndex("total_tokens")))
+      case None =>
+        val st = Snapshots
+          .readVersion(spark, s"$indexDir/postings", postingsV)
+          .agg(coalesce(countDistinct(col("doc_id")), lit(0L)).as("n_docs"),
+            coalesce(sum(col("tf").cast("long")), lit(0L)).as("total_tokens"))
+          .head()
+        (st.getLong(0), st.getLong(1))
+    }
   }
 
   /** ADDITIVE multi-term BM25 over a persisted [[buildTextIndex]]

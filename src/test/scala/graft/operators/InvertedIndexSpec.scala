@@ -130,6 +130,32 @@ class InvertedIndexSpec extends SparkSpec {
     assert(st.getLong(st.fieldIndex("n_docs")) == docs.count() - 2)
   }
 
+  test("as-of serve replays the pinned version's ranking after later adds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-asof").toString
+    TextAnalysis.buildTextIndex(spark, docs.filter($"doc_id" < 6), dir,
+      nBuckets = 8)
+    val v1 = Snapshots.version(spark, s"$dir/postings")
+    TextAnalysis.addToTextIndex(spark, docs.filter($"doc_id" >= 6), dir)
+    // pinned to v1: identical to the from-scratch index over the first
+    // slice — idf/df/avgdl reflect only what v1 contained (the stamped
+    // stats history resolves them without scanning postings)
+    val asOf = TextAnalysis.bm25TopKPersisted(spark, dir, terms, k = 5,
+      asOf = Some(v1))
+    val direct = TextAnalysis.bm25TopK(docs.filter($"doc_id" < 6), terms,
+      k = 5)
+    assert(rows(asOf) == rows(direct) && rows(asOf).nonEmpty)
+    // live serve still reflects the full corpus
+    assert(rows(TextAnalysis.bm25TopKPersisted(spark, dir, terms, k = 5))
+      == rows(TextAnalysis.bm25TopK(docs, terms, k = 5)))
+    // an UNSTAMPED version (compaction commits postings with no stats
+    // row) resolves through the derive-from-postings fallback and, as
+    // a logical no-op, serves the same full-corpus ranking
+    IndexMaintenance.compactIndex(spark, dir)
+    val vc = Snapshots.version(spark, s"$dir/postings")
+    assert(rows(TextAnalysis.bm25TopKPersisted(spark, dir, terms, k = 5,
+      asOf = Some(vc))) == rows(TextAnalysis.bm25TopK(docs, terms, k = 5)))
+  }
+
   test("rrf fusion rewards docs ranked in several lists over one high rank") {
     val fused = TextAnalysis.bm25RrfFused(docs, terms, k = 12, perTermK = 20)
       .collect()
