@@ -210,17 +210,22 @@ object GraftExtensions {
       // so the entries' oracles gate these verbatim. ----
       (FunctionIdentifier("bm25"),
         tinfo("bm25",
-          "bm25(index_dir, terms_csv, k) - BM25 top-k per query term " +
-            "served from a persisted inverted index (buildTextIndex); " +
-            "reads only the query terms' posting buckets"),
+          "bm25(index_dir, terms_csv, k[, as_of]) - BM25 top-k per " +
+            "query term served from a persisted inverted index " +
+            "(buildTextIndex); reads only the query terms' posting " +
+            "buckets. The optional 4th argument pins retrieval to a " +
+            "postings version (reproducible serving - the ranking an " +
+            "experiment logged replays bit-for-bit after later adds)"),
         (exprs: Seq[Expression]) => {
-          require(exprs.size == 3,
-            s"bm25(index_dir, terms_csv, k) takes 3 arguments, got ${exprs.size}")
+          require(exprs.size == 3 || exprs.size == 4,
+            s"bm25(index_dir, terms_csv, k[, as_of]) takes 3 or 4 " +
+              s"arguments, got ${exprs.size}")
           val terms = litStr(exprs(1), "bm25", "terms_csv")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq
           graft.operators.TextAnalysis.bm25TopKPersisted(active,
             litStr(exprs(0), "bm25", "index_dir"), terms,
-            litLong(exprs(2), "bm25", "k").toInt)
+            litLong(exprs(2), "bm25", "k").toInt,
+            asOf = exprs.lift(3).map(litLong(_, "bm25", "as_of")))
             .queryExecution.logical
         }),
       (FunctionIdentifier("bm25_query"),

@@ -440,6 +440,25 @@ object PipelineQueries {
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf_asof" -> ((s, d) => {
+      // version-pinned vector serving: build on the first 300 vectors
+      // (postings v1), add the rest (v2), then probe AS-OF v1 — the
+      // neighbors must come only from what v1 held. The quantizer is
+      // frozen at build, so the pin applies to the pruned cell read
+      // alone; same mechanism as text_bm25_asof, same reproducibility
+      // contract for a run that logs its index version.
+      val emb = t(s, d, "embeddings")
+      val dir = scratch("graft-ivf-asof")
+      clearDir(s, dir)
+      Similarity.buildIvfIndex(s, emb.filter(col("vec_id") < 300), dir,
+        k = 8, iterations = 2, roundDecimals = 6)
+      val v1 = graft.sources.Snapshots.version(s, s"$dir/postings")
+      Similarity.addToIvfIndex(s, emb.filter(col("vec_id") >= 300), dir,
+        roundDecimals = 6)
+      Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
+          k = 10, nProbe = 2, roundDecimals = 6, asOf = Some(v1))
+        .orderBy("query_id", "rank")
+    }),
     "ann_ivf_compacted" -> ((s, d) => {
       // index COMPACTION for the vector side: build + two adds
       // fragment the cell-bucketed postings; bin-pack repacks the
@@ -1445,6 +1464,20 @@ object PipelineQueries {
       TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
         nBuckets = 8)
       s.sql(s"SELECT * FROM bm25('$dir', 'data,query,table', 5) " +
+        "ORDER BY term, rank")
+    }),
+    "q_bm25_asof_sql" -> ((s, d) => {
+      // the TVF spelling of version-pinned serving: a SQL-only client
+      // passes the postings version as the 4th argument and replays
+      // the pinned ranking — same plan, same oracle as text_bm25_asof
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-text-index-asof-sql")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 300), dir,
+        nBuckets = 8)
+      val v1 = graft.sources.Snapshots.version(s, s"$dir/postings")
+      TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 300), dir)
+      s.sql(s"SELECT * FROM bm25('$dir', 'data,query,table', 5, $v1) " +
         "ORDER BY term, rank")
     }),
     "q_contaminated_sql" -> ((s, d) => {
@@ -2578,6 +2611,11 @@ object PipelineQueries {
     // bin-packed layout serves the identical row set: same oracle
     "ann_ivf_compacted" ->
       ivfTrainedOracle(8, 2, 2, 10, trainWhere = "vec_id < 300"),
+    // as-of v1 the index holds only the first 300 vectors: the replay
+    // restricts candidates to that slice (the quantizer is the same)
+    "ann_ivf_asof" ->
+      ivfTrainedOracle(8, 2, 2, 10, trainWhere = "vec_id < 300",
+        candWhere = "vec_id < 300"),
     "ann_ivf_q8_rerank" -> ivfQuantizedOracle(8, 2, 2, 30, 10),
     "ann_ivf_pq" -> ivfPqOracle(8, 2, 2, 4, 16, 8, 2, 30, 10),
     "dedup_exact" ->
@@ -3785,6 +3823,9 @@ object PipelineQueries {
     "text_bm25_compacted" -> bm25Oracle,
     // as-of v1 serves exactly the first slice's corpus statistics
     "text_bm25_asof" -> bm25Oracle.replace(
+      "FROM documents)",
+      "FROM documents\n  WHERE doc_id < 300)"),
+    "q_bm25_asof_sql" -> bm25Oracle.replace(
       "FROM documents)",
       "FROM documents\n  WHERE doc_id < 300)"),
     "text_rrf_fusion" -> bm25RrfOracle,

@@ -520,8 +520,14 @@ object Similarity {
       nProbe: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      roundDecimals: Int = -1): DataFrame = {
+      roundDecimals: Int = -1,
+      asOf: Option[Long] = None): DataFrame = {
     import graft.sources.Snapshots
+    // `asOf` pins serving to a POSTINGS version (reproducible
+    // retrieval, the text index's as-of contract): the quantizer is
+    // frozen at build — adds assign against it, retraction leaves it
+    // untouched — so the tip centroids are correct for EVERY postings
+    // version and only the pruned cell read needs the pin
     val cents = Snapshots.read(spark, s"$indexDir/centroids")
     val probed = probeCells(cents, queries, nProbe, idCol, vecCol,
       roundDecimals)
@@ -530,7 +536,8 @@ object Similarity {
     val cells = probed.select("cell").distinct().collect().map(_.get(0)).toSeq
     require(cells.nonEmpty, "no probe cells — empty query set?")
     val postings =
-      Snapshots.readPartitionedIn(spark, s"$indexDir/postings", "cell", cells)
+      Snapshots.readPartitionedIn(spark, s"$indexDir/postings", "cell", cells,
+        v = asOf.getOrElse(0L))
     probePostings(postings, probed, k, roundDecimals)
   }
 

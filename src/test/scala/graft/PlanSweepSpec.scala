@@ -60,7 +60,10 @@ class PlanSweepSpec extends SparkSpec {
       // (broadcast 8-row centroid scoring) — streaming ingestion and
       // bin-pack compaction change the index's layout, not its serve
       // plan, so the same bounded-broadcast contract applies
-      "ann_ivf_stream", "ann_ivf_compacted")
+      "ann_ivf_stream", "ann_ivf_compacted",
+      // ann_ivf_asof: the identical serve chain pinned to an earlier
+      // postings version — same bounded-broadcast contract
+      "ann_ivf_asof")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

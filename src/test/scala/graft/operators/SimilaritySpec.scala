@@ -269,6 +269,35 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(replayed) == rows(want))
   }
 
+  test("as-of probe serves the pinned postings version after later adds") {
+    // version-pinned vector serving: the quantizer is frozen at build,
+    // so pinning the pruned cell read to postings v1 must reproduce a
+    // from-scratch serve over the build slice alone, while the live
+    // probe reflects the adds
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-asof-spec").toString
+    val head = emb.filter(col("vec_id") < 50)
+    Similarity.buildIvfIndex(spark, head, dir, k = 8, iterations = 2,
+      roundDecimals = 6)
+    import graft.sources.Snapshots
+    val v1 = Snapshots.version(spark, s"$dir/postings")
+    Similarity.addToIvfIndex(spark, emb.filter(col("vec_id") >= 50), dir,
+      roundDecimals = 6)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val cents = Similarity.kmeansCentroids(head, k = 8, iterations = 2,
+      roundDecimals = 6)
+    val pinned = Similarity.ivfTopKPersisted(spark, dir, queries,
+      k = 10, nProbe = 2, roundDecimals = 6, asOf = Some(v1))
+    assert(rows(pinned) == rows(Similarity.ivfTopK(head, queries, cents,
+      k = 10, nProbe = 2, roundDecimals = 6)))
+    val live = Similarity.ivfTopKPersisted(spark, dir, queries,
+      k = 10, nProbe = 2, roundDecimals = 6)
+    assert(rows(live) == rows(Similarity.ivfTopK(emb, queries, cents,
+      k = 10, nProbe = 2, roundDecimals = 6)))
+    assert(rows(pinned) != rows(live))
+  }
+
   test("quantized-candidate rerank recovers the unquantized IVF result") {
     val cents = Similarity.kmeansCentroids(emb, k = 8, iterations = 2,
       roundDecimals = 6)
