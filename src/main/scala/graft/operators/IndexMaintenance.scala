@@ -90,4 +90,35 @@ object IndexMaintenance {
       table.getName -> v
     }.toMap
   }
+
+  /** Storage reclaim for a persisted index: [[compactIndex]] rewrites
+    * the layout but — like every snapshot commit — keeps the old
+    * versions readable, so the sliver files it replaced still occupy
+    * storage until their versions age out. This pass expires every
+    * table under `indexDir` down to its last `keepLast` versions
+    * (tagged versions and dirs still REFERENCED by retained versions
+    * survive — a bin-pack that carried healthy files by reference does
+    * not orphan them) and sweeps staging leftovers. Run it after
+    * compaction once no reader needs time travel past the window:
+    * that pair — compact, then expire — is the complete small-file
+    * repair, the rewrite AND the reclaim. Returns
+    * `table name -> expired versions`.
+    */
+  def expireIndex(
+      spark: SparkSession,
+      indexDir: String,
+      keepLast: Int = 1): Map[String, Seq[Long]] = {
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(indexDir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => Snapshots.version(spark, p.toString) >= 1L)
+      .sortBy(_.getName)
+      .map { table =>
+        val expired = Snapshots.expire(spark, table.toString, keepLast)
+        Snapshots.vacuum(spark, table.toString)
+        table.getName -> expired
+      }.toMap
+  }
 }

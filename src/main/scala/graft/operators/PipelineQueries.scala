@@ -1437,6 +1437,27 @@ object PipelineQueries {
         .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
     }),
+    "text_bm25_expired" -> ((s, d) => {
+      // the complete small-file repair: compaction REWRITES the layout
+      // but old versions keep the slivers readable (and on disk);
+      // expiring the history down to the tip is what actually reclaims
+      // the bytes. Build + two adds + bin-pack + expire(keepLast=1),
+      // then serve — SAME oracle as the incremental/compacted entries:
+      // retention is invisible to live retrieval.
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-text-index-exp")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 200), dir,
+        nBuckets = 8)
+      TextAnalysis.addToTextIndex(s,
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350), dir)
+      TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 350), dir)
+      IndexMaintenance.compactIndex(s, dir)
+      IndexMaintenance.expireIndex(s, dir, keepLast = 1)
+      TextAnalysis
+        .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
+        .orderBy("term", "rank")
+    }),
     "text_bm25_retracted" -> ((s, d) => {
       // index RETRACTION end-to-end: build on the full corpus, remove
       // doc_ids [100,150) (merge-on-read sidecar + exact stats-sum
@@ -3828,6 +3849,8 @@ object PipelineQueries {
     "q_bm25_asof_sql" -> bm25Oracle.replace(
       "FROM documents)",
       "FROM documents\n  WHERE doc_id < 300)"),
+    // retention reclaim is invisible to live retrieval
+    "text_bm25_expired" -> bm25Oracle,
     "text_rrf_fusion" -> bm25RrfOracle,
     // postings are token occurrences: term membership over the same
     // tokenizer is exact on both sides; the absent needle contributes

@@ -95,6 +95,38 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(probed == direct && probed.nonEmpty)
   }
 
+  test("expire after compaction reclaims the sliver history, serve unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-im-exp").toString
+    TextAnalysis.buildTextIndex(spark, docs.filter($"doc_id" < 4), dir,
+      nBuckets = 4)
+    TextAnalysis.addToTextIndex(spark,
+      docs.filter($"doc_id" >= 4 && $"doc_id" < 7), dir)
+    TextAnalysis.addToTextIndex(spark, docs.filter($"doc_id" >= 7), dir)
+    IndexMaintenance.compactIndex(spark, dir)
+    val served = TextAnalysis
+      .bm25TopKPersisted(spark, dir, Seq("the", "data"), k = 3)
+      .collect().toSeq
+    def snapDirs(t: String): Set[String] =
+      new java.io.File(s"$dir/$t").listFiles().map(_.getName)
+        .filter(_.startsWith("snap-")).toSet
+
+    val before = snapDirs("postings")
+    val expired = IndexMaintenance.expireIndex(spark, dir, keepLast = 1)
+    // the fully-rewritten compaction tip references no sliver dir, so
+    // the whole pre-compaction history is reclaimable
+    assert(expired("postings").nonEmpty)
+    assert(snapDirs("postings").size < before.size)
+    // time travel past the window is gone...
+    intercept[Exception] {
+      Snapshots.readVersion(spark, s"$dir/postings",
+        expired("postings").min).collect()
+    }
+    // ...and live retrieval cannot tell
+    assert(TextAnalysis
+      .bm25TopKPersisted(spark, dir, Seq("the", "data"), k = 3)
+      .collect().toSeq == served)
+  }
+
   test("a pending merge-on-read retraction blocks the repack (skipped, not resurrected)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-im-mor").toString
     Dedup.buildMinhashIndex(spark, docs, dir, nBuckets = 4)
