@@ -1604,6 +1604,25 @@ object PipelineQueries {
       TextAnalysis.dupSpansAgainstIndex(s, dir,
         docs.filter(col("doc_id") % 5 === 0), n = 8)
     }),
+    "dedup_exact_spans_asof" -> ((s, d) => {
+      // version-pinned span probing: corpus side lands in two tranches
+      // (build v1, add v2); the probe AS-OF v1 must report only spans
+      // duplicating the FIRST tranche — the reproducibility contract
+      // shared with text_bm25_asof/ann_ivf_asof (the params sidecar is
+      // immutable after build, so the single postings pin is the
+      // complete index state)
+      val docs = t(s, d, "documents")
+      val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
+      val dir = scratch("graft-span-idx-asof")
+      clearDir(s, dir)
+      TextAnalysis.buildSpanIndex(s,
+        corpusSide.filter(col("doc_id") < 250), dir, n = 8, nBuckets = 8)
+      val v1 = graft.sources.Snapshots.version(s, s"$dir/postings")
+      TextAnalysis.addToSpanIndex(s,
+        corpusSide.filter(col("doc_id") >= 250), dir, n = 8)
+      TextAnalysis.dupSpansAgainstIndex(s, dir,
+        docs.filter(col("doc_id") % 5 === 0), n = 8, asOf = Some(v1))
+    }),
     "dedup_exact_spans_stream" -> ((s, d) => {
       // STREAMING ingestion into the span index — the lifecycle
       // symmetry with the minhash/text indexes closed: corpus-side
@@ -4113,6 +4132,10 @@ object PipelineQueries {
     // streaming ingestion (foreachBatch build + file-scoped adds under
     // an AvailableNow drain) converges to the same index: same oracle
     "dedup_exact_spans_stream" -> spanIndexOracle,
+    // as-of v1 the index holds only the first corpus tranche
+    "dedup_exact_spans_asof" -> spanIndexOracle.replace(
+      "WHERE doc_id % 5 <> 0)",
+      "WHERE doc_id % 5 <> 0 AND doc_id < 250)"),
     // retraction: the corpus side minus the taken-down docs — one span
     // disappears (sole witness 332), one shrinks by a word (413 held
     // its last gram alone)

@@ -1694,8 +1694,12 @@ object TextAnalysis {
       n: Int = 8,
       maxProbeKeys: Int = 8192,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      asOf: Option[Long] = None): DataFrame = {
     import graft.sources.Snapshots
+    // `asOf` pins the probe to a postings version (the text/IVF
+    // indexes' reproducible-serving contract): the params sidecar is
+    // immutable after build, so the single postings pin is consistent
     requireSpanParams(spark, indexDir, n)
     val occ = spanOccurrences(arrivals, n, textCol, idCol).persist()
     try {
@@ -1711,8 +1715,10 @@ object TextAnalysis {
       val indexed =
         (if (keys.length <= maxProbeKeys)
           Snapshots.readPartitionedIn(spark, s"$indexDir/postings", "term",
-            keys.toIndexedSeq)
-        else Snapshots.read(spark, s"$indexDir/postings"))
+            keys.toIndexedSeq, v = asOf.getOrElse(0L))
+        else asOf
+          .map(Snapshots.readVersion(spark, s"$indexDir/postings", _))
+          .getOrElse(Snapshots.read(spark, s"$indexDir/postings")))
           .select(col("term").as("gram")).distinct()
       // the O(arrival spans) result is eagerly localCheckpoint'ed (not
       // persist()'ed) so its blocks are GC-owned with the returned

@@ -135,6 +135,32 @@ class DupSpansSpec extends SparkSpec {
     assert(spansOf(incr) == expected)
   }
 
+  test("as-of probe reports only spans the pinned tranche witnessed") {
+    val boiler = "this content is provided as is without any warranty"
+    val later = "completely new boilerplate arriving in tranche two today friends"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $boiler"),
+      (2L, s"prologue words here $later epilogue")
+    ).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, s"$boiler and then $later")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-span-asof").toString
+    TextAnalysis.buildSpanIndex(spark, corpus.filter($"doc_id" === 1L), dir,
+      n = 8)
+    val v1 = graft.sources.Snapshots.version(spark, s"$dir/postings")
+    TextAnalysis.addToSpanIndex(spark, corpus.filter($"doc_id" === 2L), dir,
+      n = 8)
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("span_text"))).toSet
+    // pinned to v1: only the first tranche's boilerplate is witnessed
+    assert(spans(TextAnalysis.dupSpansAgainstIndex(spark, dir, arrivals,
+      n = 8, asOf = Some(v1))) == Set((10L, boiler)))
+    // live probe sees both tranches
+    assert(spans(TextAnalysis.dupSpansAgainstIndex(spark, dir, arrivals,
+      n = 8)) == Set((10L, boiler), (10L, later)))
+  }
+
   test("retraction removes exactly the retracted witness's contribution; fold-first holds") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
