@@ -976,8 +976,23 @@ object Dedup {
       shingleWords: Int = 3,
       maxProbeKeys: Int = 2048,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      asOf: Option[Long] = None): DataFrame = {
     import graft.sources.Snapshots
+    // `asOf` pins the probe to version `v` of BOTH index tables — the
+    // text/IVF/span indexes' reproducible-serving contract. Every
+    // build/add/retract commits bands and shingles together, so their
+    // version numbers advance in lockstep and one number names one
+    // logical index state; the ONE op that can desync them is
+    // IndexMaintenance.compactIndex (a table with nothing to repack
+    // keeps its tip), so pin versions recorded at ingest boundaries,
+    // not across a later compaction. Both tables must hold the version.
+    asOf.foreach { v =>
+      Seq("bands", "shingles").foreach { t =>
+        require(v >= 1 && v <= Snapshots.version(spark, s"$indexDir/$t"),
+          s"no version $v of $indexDir/$t to pin")
+      }
+    }
     requireMinhashParams(spark, indexDir, bands, rowsPerBand, shingleWords)
     val prepared = minhashPrepared(
       probeDocs, shingleWords, bands, rowsPerBand, textCol, idCol).persist()
@@ -995,8 +1010,10 @@ object Dedup {
       val indexBands =
         (if (keys.length <= maxProbeKeys)
           Snapshots.readPartitionedIn(spark, s"$indexDir/bands", "bkey",
-            keys.toIndexedSeq)
-        else Snapshots.read(spark, s"$indexDir/bands"))
+            keys.toIndexedSeq, v = asOf.getOrElse(0L))
+        else asOf
+          .map(Snapshots.readVersion(spark, s"$indexDir/bands", _))
+          .getOrElse(Snapshots.read(spark, s"$indexDir/bands")))
           .select(col("bkey"), col("band"), col("doc_id").as("index_id"))
       // one row per UNORDERED pair: when the probe batch intersects the
       // indexed set, a pair collides in both orientations
@@ -1031,8 +1048,10 @@ object Dedup {
         val indexSh =
           (if (idxIds.length <= maxProbeKeys)
             Snapshots.readPartitionedIn(spark, s"$indexDir/shingles",
-              "doc_id", idxIds.toIndexedSeq)
-          else Snapshots.read(spark, s"$indexDir/shingles"))
+              "doc_id", idxIds.toIndexedSeq, v = asOf.getOrElse(0L))
+          else asOf
+            .map(Snapshots.readVersion(spark, s"$indexDir/shingles", _))
+            .getOrElse(Snapshots.read(spark, s"$indexDir/shingles")))
             .select(col("doc_id").as("index_id"), col("hs").as("hs_i"))
         val probeSh = prepared.select(col("doc_id").as("probe_id"),
           col("hs").as("hs_p"))

@@ -724,6 +724,25 @@ object PipelineQueries {
       Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
         .orderBy("id_a", "id_b")
     }),
+    "dedup_minhash_asof" -> ((s, d) => {
+      // version-pinned near-dup probing: build on the first 150 docs
+      // (bands/shingles v1 — every ingest op commits both tables in
+      // lockstep), add [150,250) (v2), probe AS-OF v1 — only pairs
+      // whose index side is in the FIRST tranche may appear. Oracle =
+      // the persisted oracle with the index side restricted, the same
+      // replay trick as the other three indexes' as-of entries.
+      val docs = t(s, d, "documents")
+      val dir = scratch("graft-minhash-idx-asof")
+      clearDir(s, dir)
+      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 150), dir,
+        nBuckets = 8)
+      val v1 = graft.sources.Snapshots.version(s, s"$dir/bands")
+      Dedup.addToMinhashIndex(s,
+        docs.filter(col("doc_id") >= 150 && col("doc_id") < 250), dir)
+      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir,
+          asOf = Some(v1))
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_minhash_compacted" -> ((s, d) => {
       // index COMPACTION: two file-scoped adds fragment every bucket
       // of the bands/shingles tables into arrival slivers; the
@@ -2698,6 +2717,10 @@ object PipelineQueries {
     "dedup_minhash_incremental" -> minhashPersistedOracle,
     // compaction is logically a no-op: the from-scratch oracle gates it
     "dedup_minhash_compacted" -> minhashPersistedOracle,
+    // as-of v1 the index side is only the first tranche
+    "dedup_minhash_asof" -> minhashPersistedOracle.replace(
+      "ON l.id < 250 AND r.id >= 250",
+      "ON l.id < 150 AND r.id >= 250"),
     // streaming arrivals and the TVF spelling serve the SAME pruned
     // band lookup — arrival order and query surface are both invisible
     "dedup_minhash_stream" -> minhashPersistedOracle,

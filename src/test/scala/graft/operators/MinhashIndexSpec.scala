@@ -88,6 +88,29 @@ class MinhashIndexSpec extends SparkSpec {
     assert(files.nonEmpty && files.length < total)
   }
 
+  test("as-of probe pins both index tables to the recorded version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-asof").toString
+    Dedup.buildMinhashIndex(spark, docs.filter($"doc_id" < 3), dir,
+      nBuckets = 32)
+    val v1 = Snapshots.version(spark, s"$dir/bands")
+    Dedup.addToMinhashIndex(spark,
+      docs.filter($"doc_id" >= 3 && $"doc_id" < 6), dir)
+    // pinned to v1 only pairs anchored in docs 0-2 can appear; the
+    // live probe sees the full 0-5 index side
+    val pinned = pairs(Dedup.minhashProbe(spark, docs.filter($"doc_id" >= 6),
+      dir, asOf = Some(v1)))
+    assert(pinned == crossReference.filter(_._1 < 3))
+    assert(pairs(Dedup.minhashProbe(spark, docs.filter($"doc_id" >= 6), dir))
+      == crossReference)
+    assert(pinned != crossReference)
+    // a version neither table holds fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashProbe(spark, docs.filter($"doc_id" >= 6), dir,
+        asOf = Some(99L))
+    }
+    assert(e.getMessage.contains("no version"))
+  }
+
   test("mismatched build hyperparameters fail loudly at add and probe") {
     // a probe or add with different bands/rows/shingle width doesn't
     // error on its own — it hashes into a disjoint space and silently
