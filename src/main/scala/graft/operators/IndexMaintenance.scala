@@ -61,9 +61,11 @@ object IndexMaintenance {
       .map(_.getPath)
       .filter(p => Snapshots.version(spark, p.toString) >= 1L)
       .sortBy(_.getName)
-    tables.map { table =>
+    val tips = tables
+      .map(t => t.getName -> Snapshots.version(spark, t.toString)).toMap
+    val results = tables.map { table =>
       val dir = table.toString
-      val tip = Snapshots.version(spark, dir)
+      val tip = tips(table.getName)
       val snapDir = s"$dir/snap-$tip"
       val manifest = new Path(s"$snapDir/_manifest")
       val pendingMor = fs.exists(new Path(s"$snapDir/_mor_deletes")) ||
@@ -89,6 +91,25 @@ object IndexMaintenance {
         }
       table.getName -> v
     }.toMap
+    // a repacked postings table is LOGICALLY unchanged, so a sibling
+    // version-stamped stats row is still correct — restamp it with the
+    // new postings tip here rather than leaving the serve path to pay
+    // the stale-stamp self-heal (a full postings re-aggregation) on
+    // the next query. Same sums, fresh witness.
+    val out = results
+    if (out.get("postings").exists(v => v > tips("postings")) &&
+        out.contains("stats")) {
+      val statsDir = s"$indexDir/stats"
+      val st = Snapshots.read(spark, statsDir)
+      if (st.columns.contains("postings_version")) {
+        Snapshots.commit(spark,
+          st.withColumn("postings_version",
+            org.apache.spark.sql.functions.lit(out("postings"))),
+          statsDir)
+        return out.updated("stats", Snapshots.version(spark, statsDir))
+      }
+    }
+    out
   }
 
   /** Storage reclaim for a persisted index: [[compactIndex]] rewrites

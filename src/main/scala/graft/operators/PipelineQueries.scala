@@ -460,7 +460,7 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
     "ann_ivf_compacted" -> ((s, d) => {
-      // index COMPACTION for the vector side: build + two adds
+      // index COMPACTION for the vector side: build + add
       // fragment the cell-bucketed postings; bin-pack repacks the
       // slivers under the inherited cell spec (probe's multi-cell
       // pruned read survives), centroids ride untouched. SAME oracle
@@ -471,10 +471,7 @@ object PipelineQueries {
       clearDir(s, dir)
       Similarity.buildIvfIndex(s, emb.filter(col("vec_id") < 300), dir,
         k = 8, iterations = 2, roundDecimals = 6)
-      Similarity.addToIvfIndex(s,
-        emb.filter(col("vec_id") >= 300 && col("vec_id") < 450), dir,
-        roundDecimals = 6)
-      Similarity.addToIvfIndex(s, emb.filter(col("vec_id") >= 450), dir,
+      Similarity.addToIvfIndex(s, emb.filter(col("vec_id") >= 300), dir,
         roundDecimals = 6)
       IndexMaintenance.compactIndex(s, dir)
       Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
@@ -744,7 +741,7 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
     "dedup_minhash_compacted" -> ((s, d) => {
-      // index COMPACTION: two file-scoped adds fragment every bucket
+      // index COMPACTION: the file-scoped add fragments every bucket
       // of the bands/shingles tables into arrival slivers; the
       // bin-pack pass repacks them transactionally (inherited bucket
       // spec — pruned probe reads survive; stats manifests refreshed
@@ -754,12 +751,10 @@ object PipelineQueries {
       val docs = t(s, d, "documents")
       val dir = scratch("graft-minhash-idx-cpt")
       clearDir(s, dir)
-      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 100), dir,
+      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 150), dir,
         nBuckets = 8)
       Dedup.addToMinhashIndex(s,
-        docs.filter(col("doc_id") >= 100 && col("doc_id") < 180), dir)
-      Dedup.addToMinhashIndex(s,
-        docs.filter(col("doc_id") >= 180 && col("doc_id") < 250), dir)
+        docs.filter(col("doc_id") >= 150 && col("doc_id") < 250), dir)
       IndexMaintenance.compactIndex(s, dir)
       Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
         .orderBy("id_a", "id_b")
@@ -1435,9 +1430,8 @@ object PipelineQueries {
         .orderBy("term", "rank")
     }),
     "text_bm25_compacted" -> ((s, d) => {
-      // index COMPACTION: the build plus two file-scoped adds leave
-      // every term bucket of the postings table a pile of arrival
-      // slivers; [[IndexMaintenance.compactIndex]] bin-packs them as a
+      // index COMPACTION: the build plus a file-scoped add leave
+      // every term bucket of the postings table arrival slivers; [[IndexMaintenance.compactIndex]] bin-packs them as a
       // snapshot transaction (bucket spec inherited — the pruned
       // query-term read survives; manifest stats restated from the
       // tip's own columns). Serve afterwards — SAME oracle as
@@ -1446,11 +1440,9 @@ object PipelineQueries {
       val docs = t(s, d, "documents")
       val dir = scratch("graft-text-index-cpt")
       clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 200), dir,
+      TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 300), dir,
         nBuckets = 8)
-      TextAnalysis.addToTextIndex(s,
-        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350), dir)
-      TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 350), dir)
+      TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 300), dir)
       IndexMaintenance.compactIndex(s, dir)
       TextAnalysis
         .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
@@ -1460,17 +1452,15 @@ object PipelineQueries {
       // the complete small-file repair: compaction REWRITES the layout
       // but old versions keep the slivers readable (and on disk);
       // expiring the history down to the tip is what actually reclaims
-      // the bytes. Build + two adds + bin-pack + expire(keepLast=1),
+      // the bytes. Build + add + bin-pack + expire(keepLast=1),
       // then serve — SAME oracle as the incremental/compacted entries:
       // retention is invisible to live retrieval.
       val docs = t(s, d, "documents")
       val dir = scratch("graft-text-index-exp")
       clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 200), dir,
+      TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 300), dir,
         nBuckets = 8)
-      TextAnalysis.addToTextIndex(s,
-        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350), dir)
-      TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 350), dir)
+      TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 300), dir)
       IndexMaintenance.compactIndex(s, dir)
       IndexMaintenance.expireIndex(s, dir, keepLast = 1)
       TextAnalysis

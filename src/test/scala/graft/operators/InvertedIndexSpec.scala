@@ -147,13 +147,22 @@ class InvertedIndexSpec extends SparkSpec {
     // live serve still reflects the full corpus
     assert(rows(TextAnalysis.bm25TopKPersisted(spark, dir, terms, k = 5))
       == rows(TextAnalysis.bm25TopK(docs, terms, k = 5)))
-    // an UNSTAMPED version (compaction commits postings with no stats
-    // row) resolves through the derive-from-postings fallback and, as
-    // a logical no-op, serves the same full-corpus ranking
-    IndexMaintenance.compactIndex(spark, dir)
+    // compaction RESTAMPS the stats row with the repacked postings
+    // version (logical no-op, same sums), so the as-of pin on the
+    // compacted tip resolves through the stamped path
+    val compacted = IndexMaintenance.compactIndex(spark, dir)
+    assert(compacted("stats") > 1L)
     val vc = Snapshots.version(spark, s"$dir/postings")
     assert(rows(TextAnalysis.bm25TopKPersisted(spark, dir, terms, k = 5,
       asOf = Some(vc))) == rows(TextAnalysis.bm25TopK(docs, terms, k = 5)))
+    // a genuinely UNSTAMPED version (the crash window between a
+    // postings commit and its stats refresh) resolves through the
+    // derive-from-postings fallback
+    Snapshots.commit(spark, Snapshots.read(spark, s"$dir/postings"),
+      s"$dir/postings", statsColumns = Seq("term", "doc_id"))
+    val vu = Snapshots.version(spark, s"$dir/postings")
+    assert(rows(TextAnalysis.bm25TopKPersisted(spark, dir, terms, k = 5,
+      asOf = Some(vu))) == rows(TextAnalysis.bm25TopK(docs, terms, k = 5)))
   }
 
   test("rrf fusion rewards docs ranked in several lists over one high rank") {
