@@ -259,16 +259,17 @@ object GraftExtensions {
         }),
       (FunctionIdentifier("ann_search"),
         tinfo("ann_search",
-          "ann_search(index_dir, queries_path, queries_where, k, n_probe) " +
-            "- IVF top-k cosine neighbors from a persisted index " +
-            "(buildIvfIndex) for the query vectors selected from a " +
-            "parquet table; reads only the probed cells' posting files. " +
-            "Scores round to 6 decimals (the index family's determinism " +
-            "contract)"),
+          "ann_search(index_dir, queries_path, queries_where, k, n_probe" +
+            "[, as_of]) - IVF top-k cosine neighbors from a persisted " +
+            "index (buildIvfIndex) for the query vectors selected from " +
+            "a parquet table; reads only the probed cells' posting " +
+            "files. Scores round to 6 decimals (the index family's " +
+            "determinism contract). The optional 6th argument pins the " +
+            "probe to a postings version (reproducible serving)"),
         (exprs: Seq[Expression]) => {
-          require(exprs.size == 5,
+          require(exprs.size == 5 || exprs.size == 6,
             "ann_search(index_dir, queries_path, queries_where, k, " +
-              s"n_probe) takes 5 arguments, got ${exprs.size}")
+              s"n_probe[, as_of]) takes 5 or 6 arguments, got ${exprs.size}")
           // queries come from a TABLE, not a literal vector: ANN query
           // batches are data (the entries' own shape), and the pruned
           // posting read amortizes over the whole batch
@@ -280,20 +281,23 @@ object GraftExtensions {
             litStr(exprs(0), "ann_search", "index_dir"), queries,
             k = litLong(exprs(3), "ann_search", "k").toInt,
             nProbe = litLong(exprs(4), "ann_search", "n_probe").toInt,
-            roundDecimals = 6)
+            roundDecimals = 6,
+            asOf = exprs.lift(5).map(litLong(_, "ann_search", "as_of")))
             .queryExecution.logical
         }),
       (FunctionIdentifier("near_dups"),
         tinfo("near_dups",
-          "near_dups(index_dir, probe_path, probe_where) - near-duplicate " +
-            "(id_a, id_b, jaccard_sim) pairs of the selected probe " +
-            "documents against a persisted MinHash index " +
+          "near_dups(index_dir, probe_path, probe_where[, as_of]) - " +
+            "near-duplicate (id_a, id_b, jaccard_sim) pairs of the " +
+            "selected probe documents against a persisted MinHash index " +
             "(buildMinhashIndex); band-key lookups read only the probed " +
-            "buckets, candidates verify with exact hashed-shingle Jaccard"),
+            "buckets, candidates verify with exact hashed-shingle " +
+            "Jaccard. The optional 4th argument pins both index tables " +
+            "to a version (reproducible serving)"),
         (exprs: Seq[Expression]) => {
-          require(exprs.size == 3,
-            "near_dups(index_dir, probe_path, probe_where) takes 3 " +
-              s"arguments, got ${exprs.size}")
+          require(exprs.size == 3 || exprs.size == 4,
+            "near_dups(index_dir, probe_path, probe_where[, as_of]) " +
+              s"takes 3 or 4 arguments, got ${exprs.size}")
           // probe batches are data, same shape as ann_search: a table
           // plus a selection predicate, so the bucket-pruned band read
           // amortizes over the whole arriving shard
@@ -308,7 +312,8 @@ object GraftExtensions {
           val (b, r, w) = graft.operators.Dedup
             .minhashIndexParams(active, idxDir).getOrElse((16, 4, 3))
           graft.operators.Dedup.minhashProbe(active, probes, idxDir,
-            bands = b, rowsPerBand = r, shingleWords = w)
+            bands = b, rowsPerBand = r, shingleWords = w,
+            asOf = exprs.lift(3).map(litLong(_, "near_dups", "as_of")))
             .queryExecution.logical
         }))
 

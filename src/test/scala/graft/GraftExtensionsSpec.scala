@@ -168,6 +168,30 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(mhSql.map(r => (r.getAs[Long]("id_a"),
         r.getAs[Long]("id_b"))).toSeq == Seq((1L, 3L)))
 
+      // as_of TVF arguments pin the serve to a recorded index version:
+      // after an add, the pinned spelling must reproduce the pre-add
+      // answers while the unpinned one reflects the full index
+      graft.operators.Dedup.addToMinhashIndex(s, Seq(
+        (5L, "observability dashboards aggregate metrics from services daily"))
+        .toDF("doc_id", "text"), mhIdx)
+      def mhPairs(asOf: String) = s.sql(
+        s"SELECT * FROM near_dups('$mhIdx', '$mhRoot/docs.parquet', " +
+          s"'doc_id >= 3'$asOf) ORDER BY id_a, id_b").collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+      assert(mhPairs(", 1") == Seq((1L, 3L)))
+      assert(mhPairs("") == Seq((1L, 3L), (4L, 5L)))
+      graft.operators.Similarity.addToIvfIndex(s,
+        (20L until 25L).map(i =>
+          (i, Array.tabulate(4)(j => (1.0f + i * j) / (i + 1))))
+          .toDF("vec_id", "embedding"), annDir, roundDecimals = 6)
+      val annPinned = s.sql(
+        s"SELECT * FROM ann_search('$annDir', '$qDir/queries.parquet', " +
+          "'vec_id < 3', 5, 2, 1) ORDER BY query_id, rank").collect()
+      assert(annPinned.map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSeq ==
+        annApi.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq)
+      assert(annPinned.forall(_.getAs[Long]("neighbor_id") < 20L))
+
       // non-literal TVF args fail analysis loudly
       val tvfErr = intercept[Exception] {
         s.sql(s"SELECT * FROM bm25('$idxDir', concat('d', rand()), 2)")
