@@ -111,6 +111,99 @@ object PipelineQueries {
         k = BpeMerges, batchCap = BpeBatchCap, candWindow = BpeCandWindow,
         maxRounds = BpeMaxRounds)._1)
 
+  /** The corpus-size-derived (k = ⌈√N⌉) Lloyd quantizer behind
+    * `dedup_semantic_trained` — same build/serve amortization as the
+    * IVF coarse quantizer: trained once per (session, sf), k-row
+    * LocalRelation result, deterministic (seeded Lloyd), so entry
+    * hashes are identical whether or not the cache is warm.
+    */
+  private val sqrtQuantMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def sqrtQuantizer(s: SparkSession, d: String): DataFrame =
+    sqrtQuantMemo.computeIfAbsent((s, d), _ => {
+      val vecs = t(s, d, "embeddings")
+      val k = math.ceil(math.sqrt(vecs.count().toDouble)).toInt
+      Similarity.kmeansCentroids(vecs, k = k, iterations = 2,
+        roundDecimals = 6)
+    })
+
+  /** Shared SERVE-ONLY index dirs — the same build/serve amortization
+    * as the trained-model memos, extended to committed on-disk state:
+    * five entries serve from the identical full-corpus text index,
+    * two from the identical full-corpus IVF index, two from the
+    * identical first-250-docs minhash index. Built once per (session,
+    * sf) and paid on a `setup_<family>` line; builds are deterministic,
+    * so every probe hash is identical whether or not the dir is warm.
+    * Entries that MUTATE an index (add/retract/compact/expire/stream)
+    * keep their private dirs — sharing those would leak one entry's
+    * lifecycle into another's contract.
+    */
+  private val textIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def fullTextIndex(s: SparkSession, d: String): String =
+    textIdxMemo.computeIfAbsent((s, d), _ => {
+      val dir = scratch("graft-shared-text-idx")
+      clearDir(s, dir)
+      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir, nBuckets = 8)
+      dir
+    })
+
+  private val ivfIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def fullIvfIndex(s: SparkSession, d: String): String =
+    ivfIdxMemo.computeIfAbsent((s, d), _ => {
+      val dir = scratch("graft-shared-ivf-idx")
+      clearDir(s, dir)
+      Similarity.buildIvfIndex(s, t(s, d, "embeddings"), dir, k = 8,
+        iterations = 2, roundDecimals = 6)
+      dir
+    })
+
+  private val mhIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def headMinhashIndex(s: SparkSession, d: String): String =
+    mhIdxMemo.computeIfAbsent((s, d), _ => {
+      val dir = scratch("graft-shared-mh-idx")
+      clearDir(s, dir)
+      Dedup.buildMinhashIndex(s,
+        t(s, d, "documents").filter(col("doc_id") < 250), dir, nBuckets = 8)
+      dir
+    })
+
+  /** The STANDING indexes the arrival-admission entries probe — built
+    * once per (session, sf) into deterministic scratch dirs and shared
+    * by `pipeline_arrival_admit` and `pipeline_arrival_stream` (the
+    * corpus side and hyperparameters are identical; the entries differ
+    * only in how arrivals flow). Index builds are deterministic, so
+    * probe results are identical whether or not the dirs are warm —
+    * the same contract as the trained-model memos above, extended to
+    * on-disk state. Returns (minhash dir, full span dir, benchmark
+    * span dir).
+    */
+  private val arrivalIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, String, String)]()
+
+  private def arrivalIndexes(s: SparkSession, d: String): (String, String, String) =
+    arrivalIdxMemo.computeIfAbsent((s, d), _ => {
+      val docs = t(s, d, "documents")
+      val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
+      val mhDir = scratch("graft-arrival-mh")
+      val spDir = scratch("graft-arrival-span")
+      val bmDir = scratch("graft-arrival-bench")
+      Seq(mhDir, spDir, bmDir).foreach(clearDir(s, _))
+      Dedup.buildMinhashIndex(s, corpusSide, mhDir, nBuckets = 8)
+      TextAnalysis.buildSpanIndex(s, corpusSide, spDir, n = 8, nBuckets = 8)
+      TextAnalysis.buildSpanIndex(s,
+        corpusSide.filter(col("source") === "src0"), bmDir, n = 8,
+        nBuckets = 8)
+      (mhDir, spDir, bmDir)
+    })
+
   /** Named primers for the memoized shared trainings, so a benchmark
     * can pay each build ONCE on its own `setup_<family>` line instead
     * of charging it to whichever serving entry happens to draw first
@@ -123,7 +216,12 @@ object PipelineQueries {
   def setups: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "setup_ivf_coarse" -> ((s, d) => { coarseTrained(s, d); () }),
     "setup_pq_codebooks" -> ((s, d) => { pqBooks(s, d); () }),
-    "setup_bpe_merges" -> ((s, d) => { bpeTrained(s, d); () }))
+    "setup_bpe_merges" -> ((s, d) => { bpeTrained(s, d); () }),
+    "setup_sqrt_quantizer" -> ((s, d) => { sqrtQuantizer(s, d); () }),
+    "setup_arrival_indexes" -> ((s, d) => { arrivalIndexes(s, d); () }),
+    "setup_text_index" -> ((s, d) => { fullTextIndex(s, d); () }),
+    "setup_ivf_index" -> ((s, d) => { fullIvfIndex(s, d); () }),
+    "setup_minhash_index" -> ((s, d) => { headMinhashIndex(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
     * corpus_chunk's fixed windows: a chunk boundary falls after word e
@@ -340,10 +438,7 @@ object PipelineQueries {
       // neighbor. SimilaritySpec additionally asserts the probe read
       // touches fewer posting files than the index holds.
       val emb = t(s, d, "embeddings")
-      val dir = scratch("graft-ivf-index")
-      clearDir(s, dir)
-      Similarity.buildIvfIndex(s, emb, dir, k = 8, iterations = 2,
-        roundDecimals = 6)
+      val dir = fullIvfIndex(s, d)
       Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
@@ -697,11 +792,8 @@ object PipelineQueries {
       // md5-hashed shingles restricted to index × arrival pairs — the
       // same recall-1 argument as dedup_minhash (b=16, r=4).
       val docs = t(s, d, "documents")
-      val dir = scratch("graft-minhash-idx")
-      clearDir(s, dir)
-      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 250), dir,
-        nBuckets = 8)
-      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
+      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250),
+          headMinhashIndex(s, d))
         .orderBy("id_a", "id_b")
     }),
     "dedup_minhash_incremental" -> ((s, d) => {
@@ -817,11 +909,7 @@ object PipelineQueries {
       // client's `SELECT * FROM near_dups(...)` must run the identical
       // bucket-pruned band lookup + hashed-Jaccard verify — same
       // oracle as dedup_minhash_persisted, certifying the SQL surface
-      val docs = t(s, d, "documents")
-      val dir = scratch("graft-mh-idx-sql")
-      clearDir(s, dir)
-      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 250), dir,
-        nBuckets = 8)
+      val dir = headMinhashIndex(s, d)
       s.sql(s"SELECT * FROM near_dups('$dir', '$d/documents.parquet', " +
         "'doc_id >= 250') ORDER BY id_a, id_b")
     }),
@@ -932,17 +1020,10 @@ object PipelineQueries {
     // stage rescans it.
     "pipeline_arrival_admit" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
       val arrivals = docs.filter(col("doc_id") % 5 === 0)
-      val mhDir = scratch("graft-pipe-mh")
-      val spDir = scratch("graft-pipe-span")
-      val bmDir = scratch("graft-pipe-bench")
-      Seq(mhDir, spDir, bmDir).foreach(clearDir(s, _))
-      Dedup.buildMinhashIndex(s, corpusSide, mhDir, nBuckets = 8)
-      TextAnalysis.buildSpanIndex(s, corpusSide, spDir, n = 8, nBuckets = 8)
-      TextAnalysis.buildSpanIndex(s,
-        corpusSide.filter(col("source") === "src0"), bmDir, n = 8,
-        nBuckets = 8)
+      // the standing indexes are the memoized shared builds (one
+      // setup_arrival_indexes line pays them; probes are the entry)
+      val (mhDir, spDir, bmDir) = arrivalIndexes(s, d)
       val scored = arrivals.select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       val th = scored.groupBy("lang")
@@ -990,18 +1071,14 @@ object PipelineQueries {
       // hit standing indexes only — so arrival order is invisible and
       // one whole-corpus oracle gates any batch split.
       val docs = t(s, d, "documents")
-      val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
       val arrivals = docs.filter(col("doc_id") % 5 === 0)
-      val mhDir = scratch("graft-pstr-mh")
-      val bmDir = scratch("graft-pstr-bench")
+      // same memoized standing indexes as pipeline_arrival_admit —
+      // the entries differ only in how the arrivals flow
+      val (mhDir, _, bmDir) = arrivalIndexes(s, d)
       val inDir = scratch("graft-pstr-in")
       val ckpt = scratch("graft-pstr-ckpt")
       val outDir = scratch("graft-pstr-verdicts")
-      Seq(mhDir, bmDir, inDir, ckpt, outDir).foreach(clearDir(s, _))
-      Dedup.buildMinhashIndex(s, corpusSide, mhDir, nBuckets = 8)
-      TextAnalysis.buildSpanIndex(s,
-        corpusSide.filter(col("source") === "src0"), bmDir, n = 8,
-        nBuckets = 8)
+      Seq(inDir, ckpt, outDir).foreach(clearDir(s, _))
       arrivals.filter(col("doc_id") < 250).coalesce(1)
         .write.parquet(s"$inDir/arrival-0")
       arrivals.filter(col("doc_id") >= 250).coalesce(1)
@@ -1219,10 +1296,8 @@ object PipelineQueries {
     // the query, so the SAME oracle text holds at every SF
     "dedup_semantic_trained" -> ((s, d) => {
       val vecs = t(s, d, "embeddings")
-      val k = math.ceil(math.sqrt(vecs.count().toDouble)).toInt
-      val cents = Similarity.kmeansCentroids(vecs, k = k, iterations = 2,
+      val cells = Similarity.assignCells(vecs, sqrtQuantizer(s, d),
         roundDecimals = 6)
-      val cells = Similarity.assignCells(vecs, cents, roundDecimals = 6)
       Similarity.semanticDedup(vecs, threshold = 0.4, roundDecimals = 6,
         cells = Some(cells))
         .withColumn("keep", col("keep").cast("long"))
@@ -1259,12 +1334,9 @@ object PipelineQueries {
       // text_bm25_topk: the roundtrip through the committed index must
       // not change a single score or rank. InvertedIndexSpec asserts
       // the probe read plans fewer posting files than the index holds.
-      val dir = scratch("graft-text-index")
-      clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
-        nBuckets = 8)
       TextAnalysis
-        .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
+        .bm25TopKPersisted(s, fullTextIndex(s, d),
+          Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
     }),
     // ADDITIVE multi-term BM25 — one ranked list, score = Σ over the
@@ -1275,21 +1347,15 @@ object PipelineQueries {
     // posting-bucket read; the oracle sums the same rounded per-term
     // scores over the same tokenizer
     "text_bm25_multiterm" -> ((s, d) => {
-      val dir = scratch("graft-text-index-mt")
-      clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
-        nBuckets = 8)
-      TextAnalysis.bm25QueryTopKPersisted(s, dir, "data query table", k = 10)
+      TextAnalysis.bm25QueryTopKPersisted(s, fullTextIndex(s, d),
+          "data query table", k = 10)
         .orderBy("rank")
     }),
     // the TVF spelling: `SELECT * FROM bm25_query(dir, 'data query
     // table', 10)` must run the identical pruned-read additive scorer —
     // same oracle, certifying the SQL surface
     "q_bm25_query_sql" -> ((s, d) => {
-      val dir = scratch("graft-text-index-mtsql")
-      clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
-        nBuckets = 8)
+      val dir = fullTextIndex(s, d)
       s.sql(s"SELECT * FROM bm25_query('$dir', 'data query table', 10) " +
         "ORDER BY rank")
     }),
@@ -1489,10 +1555,7 @@ object PipelineQueries {
       // a SQL-only client's `SELECT * FROM bm25(...)` must plan the
       // identical pruned posting read — SAME oracle as text_bm25_topk,
       // so a hash match certifies the whole SQL surface end-to-end
-      val dir = scratch("graft-text-index-sql")
-      clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
-        nBuckets = 8)
+      val dir = fullTextIndex(s, d)
       s.sql(s"SELECT * FROM bm25('$dir', 'data,query,table', 5) " +
         "ORDER BY term, rank")
     }),
@@ -1513,10 +1576,7 @@ object PipelineQueries {
     "q_contaminated_sql" -> ((s, d) => {
       // decontamination as a TVF probe: same posting-bucket read as
       // dedup_contamination_indexed, same oracle verbatim
-      val dir = scratch("graft-text-decontam-sql")
-      clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
-        nBuckets = 8)
+      val dir = fullTextIndex(s, d)
       s.sql(s"SELECT * FROM contaminated('$dir', " +
         "'data,table,zzz_no_such_term') ORDER BY needle, doc_id")
     }),
@@ -1525,10 +1585,7 @@ object PipelineQueries {
       // (batches are data — a literal-vector surface would hide the
       // batch-amortized pruned read the index exists for). Identical
       // configuration to ann_ivf_persisted → its oracle verbatim.
-      val dir = scratch("graft-ivf-index-sql")
-      clearDir(s, dir)
-      Similarity.buildIvfIndex(s, t(s, d, "embeddings"), dir, k = 8,
-        iterations = 2, roundDecimals = 6)
+      val dir = fullIvfIndex(s, d)
       s.sql(s"SELECT * FROM ann_search('$dir', '$d/embeddings.parquet', " +
         "'vec_id < 10', 10, 2) ORDER BY query_id, rank")
     }),
