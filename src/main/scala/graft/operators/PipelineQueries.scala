@@ -153,12 +153,20 @@ object PipelineQueries {
     ngramExactMemo.computeIfAbsent((s, d), _ =>
       Dedup.ngramJaccardPairs(t(s, d, "documents")))
 
+  /** Session-lifetime shared dirs carry a PID suffix: unlike the
+    * per-entry scratch dirs (cleared and rebuilt at entry start), these
+    * live as long as the session, and a CONCURRENT process rebuilding
+    * the same fixed path would clear a snapshot this session is still
+    * serving from.
+    */
+  private def pid: Long = ProcessHandle.current().pid()
+
   private val textIdxMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   private def fullTextIndex(s: SparkSession, d: String): String =
     textIdxMemo.computeIfAbsent((s, d), _ => {
-      val dir = scratch("graft-shared-text-idx")
+      val dir = scratch(s"graft-shared-text-idx-$pid")
       clearDir(s, dir)
       TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir, nBuckets = 8)
       dir
@@ -169,7 +177,7 @@ object PipelineQueries {
 
   private def fullIvfIndex(s: SparkSession, d: String): String =
     ivfIdxMemo.computeIfAbsent((s, d), _ => {
-      val dir = scratch("graft-shared-ivf-idx")
+      val dir = scratch(s"graft-shared-ivf-idx-$pid")
       clearDir(s, dir)
       Similarity.buildIvfIndex(s, t(s, d, "embeddings"), dir, k = 8,
         iterations = 2, roundDecimals = 6)
@@ -181,7 +189,7 @@ object PipelineQueries {
 
   private def headMinhashIndex(s: SparkSession, d: String): String =
     mhIdxMemo.computeIfAbsent((s, d), _ => {
-      val dir = scratch("graft-shared-mh-idx")
+      val dir = scratch(s"graft-shared-mh-idx-$pid")
       clearDir(s, dir)
       Dedup.buildMinhashIndex(s,
         t(s, d, "documents").filter(col("doc_id") < 250), dir, nBuckets = 8)
@@ -206,9 +214,9 @@ object PipelineQueries {
     arrivalIdxMemo.computeIfAbsent((s, d), _ => {
       val docs = t(s, d, "documents")
       val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
-      val mhDir = scratch("graft-arrival-mh")
-      val spDir = scratch("graft-arrival-span")
-      val bmDir = scratch("graft-arrival-bench")
+      val mhDir = scratch(s"graft-arrival-mh-$pid")
+      val spDir = scratch(s"graft-arrival-span-$pid")
+      val bmDir = scratch(s"graft-arrival-bench-$pid")
       Seq(mhDir, spDir, bmDir).foreach(clearDir(s, _))
       Dedup.buildMinhashIndex(s, corpusSide, mhDir, nBuckets = 8)
       TextAnalysis.buildSpanIndex(s, corpusSide, spDir, n = 8, nBuckets = 8)
