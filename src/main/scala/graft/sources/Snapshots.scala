@@ -170,11 +170,18 @@ object Snapshots {
   private def pointerValue(ctx: FileContext, tableDir: String): Long = {
     val pointer = new Path(tableDir, "_latest")
     if (!ctx.util().exists(pointer)) 0L
-    else {
-      val in = ctx.open(pointer)
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
+    else
+      // the exists/open pair can race a concurrent refresh: the local
+      // FS implements the rename-OVERWRITE swap as delete-then-rename,
+      // so a reader can catch the instant the pointer is absent. The
+      // pointer is only a seek cache and the claim listing (always >=
+      // the pointer, since the pointer refreshes after the claim) is
+      // authoritative in [[version]] — losing the race safely reads 0.
+      try {
+        val in = ctx.open(pointer)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => 0L }
   }
 
   /** Highest claimed `snap-<v>` in the table directory (0 if none). One
