@@ -38,10 +38,16 @@ object IndexMaintenance {
     *
     *  - tables with no stats manifest (the one-row `params` / `stats` /
     *    `centroids` sidecars — nothing to repack, and bin-pack selects
-    *    from the manifest);
-    *  - tables with a pending merge-on-read delete set (a retraction
-    *    not yet folded — carrying its base files raw would resurrect
-    *    deleted rows; fold first, then compact).
+    *    from the manifest).
+    *
+    * Tables with a pending merge-on-read delete set (a retraction not
+    * yet folded) are FOLDED first — [[Snapshots.foldDeletes]] rewrites
+    * the base applying the sidecars under the inherited bucket spec,
+    * with stats/bloom columns restated from the tip manifest — and
+    * then bin-packed like any other table, so a retract-then-compact
+    * index ends sliver-free AND sidecar-free (bin-pack alone must
+    * refuse pending sets: carrying a base file raw would resurrect
+    * deleted rows).
     *
     * Returns `table name -> committed version` for every table visited
     * (unchanged tip when skipped or when fewer than two files
@@ -68,10 +74,8 @@ object IndexMaintenance {
       val tip = tips(table.getName)
       val snapDir = s"$dir/snap-$tip"
       val manifest = new Path(s"$snapDir/_manifest")
-      val pendingMor = fs.exists(new Path(s"$snapDir/_mor_deletes")) ||
-        fs.exists(new Path(s"$snapDir/_pos_deletes"))
       val v =
-        if (!fs.exists(manifest) || pendingMor) tip
+        if (!fs.exists(manifest)) tip
         else {
           val mCols = spark.read.parquet(manifest.toString).columns
           // transform envelopes (`min_pt_*`) regenerate from the
@@ -85,6 +89,11 @@ object IndexMaintenance {
             .filter(_.startsWith("bloom_"))
             .map(_.stripPrefix("bloom_"))
             .filter(dataCols.contains)
+          // a pending retraction folds first (no-op when none pending)
+          // so the bin-pack below never sees a delete sidecar
+          Snapshots.foldDeletes(spark, dir,
+            statsColumns = statsCols.filter(dataCols),
+            bloomColumns = bloomCols)
           Snapshots.compactBinPack(spark, dir, minFileBytes,
             targetFileBytes, statsColumns = statsCols.filter(dataCols),
             bloomColumns = bloomCols)

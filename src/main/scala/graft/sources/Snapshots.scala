@@ -3042,6 +3042,52 @@ object Snapshots {
         valueCols.map(c => coalesce(col(s"_post.$c"), col(s"_pre.$c")).as(c))): _*)
   }
 
+  /** Fold the current snapshot's pending merge-on-read delete sidecars
+    * into the data: commit the LOGICAL row set (sidecars applied) as a
+    * full rewrite through the optimistic loop, so the new tip carries
+    * no `_mor_deletes`/`_pos_deletes` and every file can again ride
+    * raw through reference-carrying commits — the precondition
+    * [[compactBinPack]] and the scoped [[merge]] enforce (carrying a
+    * base file raw under a pending delete set would resurrect deleted
+    * rows). The rewrite inherits the table's partition spec (the OCC
+    * loop re-clusters under it), so hidden-partition pruning survives;
+    * pass the table's own `statsColumns`/`bloomColumns` so the fresh
+    * manifest keeps data skipping working. No-op (current tip
+    * returned, no commit) when nothing is pending. This is the
+    * Iceberg "rewrite position deletes" / Delta purge maintenance
+    * action: retractions stay O(keys) at write time, and the fold
+    * amortizes their read-side anti-join away on the operator's
+    * schedule, not the writer's.
+    */
+  def foldDeletes(
+      spark: SparkSession,
+      tableDir: String,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      maxRetries: Int = 10): Long = {
+    val ctx = fc(spark)
+    val tip = version(spark, tableDir)
+    require(tip >= 1, s"no committed snapshot in $tableDir")
+    def pending(v: Long): Boolean = {
+      val sd = s"$tableDir/snap-$v"
+      ctx.util().exists(new Path(s"$sd/_mor_deletes")) ||
+        ctx.util().exists(new Path(s"$sd/_pos_deletes"))
+    }
+    if (!pending(tip)) return tip
+    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) {
+      (base, cur) =>
+        // a full rewrite stores logical names as the physical ones —
+        // when the base carried a rename map, publish the identity map
+        // explicitly (inheriting the base's would misname every column
+        // of the freshly written files; same contract as [[restore]])
+        val side =
+          if (mapAt(spark, tableDir, base).isEmpty) Sidecars()
+          else Sidecars(columnMap = Some(columnMapDf(spark, ColMap(
+            cur.schema.fieldNames.toSeq.map(c => (c, c)), Nil))))
+        (cur, side)
+    }
+  }
+
   /** Compact the current snapshot's layout into ~`targetFileBytes`
     * files and commit the rewrite as a NEW version through the
     * optimistic loop — logically a no-op (row set unchanged, which is

@@ -127,16 +127,47 @@ class IndexMaintenanceSpec extends SparkSpec {
       .collect().toSeq == served)
   }
 
-  test("a pending merge-on-read retraction blocks the repack (skipped, not resurrected)") {
+  test("a pending retraction folds first, then bin-packs: sliver-free AND sidecar-free") {
     val dir = java.nio.file.Files.createTempDirectory("graft-im-mor").toString
-    Dedup.buildMinhashIndex(spark, docs, dir, nBuckets = 4)
-    Dedup.removeFromMinhashIndex(spark, dir, Seq(3L))
+    Dedup.buildMinhashIndex(spark, docs.filter($"doc_id" < 6), dir,
+      nBuckets = 4)
+    Dedup.addToMinhashIndex(spark, docs.filter($"doc_id" >= 6), dir)
+    Dedup.removeFromMinhashIndex(spark, dir, Seq(0L))
     val tips = Seq("bands", "shingles")
       .map(t => t -> Snapshots.version(spark, s"$dir/$t")).toMap
+    // the retraction is a keyed sidecar on both tables' tips
+    def pending(t: String): Boolean = {
+      val v = Snapshots.version(spark, s"$dir/$t")
+      new java.io.File(s"$dir/$t/snap-$v/_mor_deletes").exists() ||
+        new java.io.File(s"$dir/$t/snap-$v/_pos_deletes").exists()
+    }
+    assert(pending("bands") && pending("shingles"))
+
     val out = IndexMaintenance.compactIndex(spark, dir)
-    // carrying MoR bases raw would resurrect the retracted doc; the
-    // pass must leave both tables at their tips
-    assert(out("bands") == tips("bands"))
-    assert(out("shingles") == tips("shingles"))
+    // fold + bin-pack each advance the tip: the pass may not skip a
+    // retracted table any more — it repairs it
+    assert(out("bands") > tips("bands"))
+    assert(out("shingles") > tips("shingles"))
+    // the fold materialized the surviving rows — no delete sidecar
+    // survives to the served tip
+    assert(!pending("bands") && !pending("shingles"))
+    // retracted doc stays retracted (the fold must not resurrect it)
+    // and the probe equals the direct computation over the survivors
+    val probed = Dedup.minhashProbe(spark, docs.filter($"doc_id" >= 6), dir)
+      .select("id_a", "id_b").collect().toSet
+    val direct = Dedup.minhashPairs(docs.filter($"doc_id" =!= 0L))
+      .filter($"id_a" < 6 && $"id_b" >= 6)
+      .select("id_a", "id_b").collect().toSet
+    assert(probed == direct && probed.nonEmpty)
+    assert(!probed.exists(r => r.getLong(0) == 0L || r.getLong(1) == 0L))
+    // bucket-pruned probe reads survive the fold+repack (the inherited
+    // spec re-clustered the rewrite)
+    val someKey = Snapshots.read(spark, s"$dir/bands")
+      .select("bkey").head().getLong(0)
+    val (sel, total) = Snapshots.selectFilesPartitioned(
+      spark, s"$dir/bands", Snapshots.version(spark, s"$dir/bands"),
+      Seq("bkey" -> someKey))
+    info(s"single-key probe reads ${sel.length} of $total band files")
+    assert(sel.nonEmpty && sel.length < total)
   }
 }
