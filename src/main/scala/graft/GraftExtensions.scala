@@ -315,6 +315,37 @@ object GraftExtensions {
             bands = b, rowsPerBand = r, shingleWords = w,
             asOf = exprs.lift(3).map(litLong(_, "near_dups", "as_of")))
             .queryExecution.logical
+        }),
+      (FunctionIdentifier("dup_spans"),
+        tinfo("dup_spans",
+          "dup_spans(index_dir, arrivals_path, arrivals_where[, as_of])" +
+            " - maximal spans of the selected arrival documents whose " +
+            "every n-gram window already occurs in a persisted span " +
+            "index (buildSpanIndex); the arrivals' grams drive one " +
+            "bucket-pruned read of their posting buckets, never a " +
+            "corpus rescan. The gram width comes from the index's own " +
+            "params table. The optional 4th argument pins the probe to " +
+            "a postings version (reproducible serving)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 3 || exprs.size == 4,
+            "dup_spans(index_dir, arrivals_path, arrivals_where" +
+              s"[, as_of]) takes 3 or 4 arguments, got ${exprs.size}")
+          // arrival batches are data, same shape as near_dups: a table
+          // plus a selection predicate, so the pruned posting read
+          // amortizes over the whole arriving shard
+          val arrivals = active.read
+            .parquet(litStr(exprs(1), "dup_spans", "arrivals_path"))
+            .filter(org.apache.spark.sql.functions.expr(
+              litStr(exprs(2), "dup_spans", "arrivals_where")))
+          val idxDir = litStr(exprs(0), "dup_spans", "index_dir")
+          // probe with the BUILD's gram width (the index's params
+          // table) — a mismatch silently misses every span
+          val n = graft.operators.TextAnalysis
+            .spanIndexParams(active, idxDir).getOrElse(8)
+          graft.operators.TextAnalysis.dupSpansAgainstIndex(active,
+            idxDir, arrivals, n = n,
+            asOf = exprs.lift(3).map(litLong(_, "dup_spans", "as_of")))
+            .queryExecution.logical
         }))
 
   /** Per-session registration of the table functions, for sessions

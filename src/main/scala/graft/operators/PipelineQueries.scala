@@ -1833,6 +1833,19 @@ object PipelineQueries {
       // (DupSpansSpec pins that positional identity)
       TextAnalysis.maximalDupSpans(t(s, d, "documents"), n = 8, minDocs = 2)
     }),
+    "q_dup_spans_sql" -> ((s, d) => {
+      // the TVF spelling of the span-index probe (the one index family
+      // without a SQL surface until r12): a SQL-only client's
+      // `SELECT * FROM dup_spans(...)` must run the identical
+      // bucket-pruned posting read + islands-merge tail, with the gram
+      // width resolved from the index's own params table — SAME oracle
+      // as dedup_exact_spans_indexed verbatim, certifying the SQL
+      // surface end-to-end. Serves from the shared [[arrivalIndexes]]
+      // span dir (identical corpus side and hyperparameters).
+      val (_, spDir, _) = arrivalIndexes(s, d)
+      s.sql(s"SELECT * FROM dup_spans('$spDir', " +
+        s"'$d/documents.parquet', 'doc_id % 5 = 0')")
+    }),
     "dedup_exact_spans_indexed" -> ((s, d) => {
       // the INCREMENTAL spelling: persist the corpus side's 8-gram
       // postings once (doc_id % 5 != 0 plays the standing corpus),
@@ -4393,6 +4406,8 @@ object PipelineQueries {
     // then the same islands merge — whether Spark served them from
     // pruned posting buckets or a full postings read cannot change a row
     "dedup_exact_spans_indexed" -> spanIndexOracle,
+    // the TVF spelling runs the identical probe over the shared index
+    "q_dup_spans_sql" -> spanIndexOracle,
     // two-tranche ingestion must serve the identical result: same
     // oracle as the one-shot index, verbatim
     "dedup_exact_spans_incremental" -> spanIndexOracle,

@@ -1605,6 +1605,22 @@ object TextAnalysis {
     * build's; lenient only when the params table is absent (a
     * pre-params index).
     */
+  /** The gram width a [[buildSpanIndex]] index was built with, from
+    * its committed params table — None when the index predates the
+    * params sidecar. The SQL TVF surface resolves `n` through this
+    * (a SQL client has no way to restate build hyperparameters, and a
+    * mismatched width silently misses every span — the same contract
+    * as [[Dedup.minhashIndexParams]]).
+    */
+  def spanIndexParams(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Int] = {
+    import graft.sources.Snapshots
+    if (Snapshots.version(spark, s"$indexDir/params") < 1L) None
+    else Some(Snapshots.read(spark, s"$indexDir/params")
+      .collect().head.getAs[Int]("n"))
+  }
+
   private def requireSpanParams(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String,

@@ -192,6 +192,28 @@ class GraftExtensionsSpec extends SparkSpec {
         annApi.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq)
       assert(annPinned.forall(_.getAs[Long]("neighbor_id") < 20L))
 
+      // dup_spans TVF: SQL serve equals the programmatic span probe,
+      // with the gram width resolved from the index's OWN params table
+      // (built with non-default n=4 and never restated in the SQL — a
+      // hardcoded default would miss every span here)
+      val spIdx = s"$mhRoot/span-idx"
+      graft.operators.TextAnalysis.buildSpanIndex(s,
+        mhDocs.filter(col("doc_id") <= 2), spIdx, n = 4, nBuckets = 4)
+      val spSql = s.sql(
+        s"SELECT * FROM dup_spans('$spIdx', '$mhRoot/docs.parquet', " +
+          "'doc_id >= 3') ORDER BY doc_id, span_start").collect()
+      val spApi = graft.operators.TextAnalysis.dupSpansAgainstIndex(s,
+        spIdx, s.read.parquet(s"$mhRoot/docs.parquet")
+          .filter(col("doc_id") >= 3), n = 4)
+        .orderBy("doc_id", "span_start").collect()
+      assert(spSql.map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("span_start"), r.getAs[Long]("span_len"),
+          r.getAs[String]("span_text"))).toSeq ==
+        spApi.map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("span_start"), r.getAs[Long]("span_len"),
+          r.getAs[String]("span_text"))).toSeq)
+      assert(spSql.nonEmpty && spSql.forall(_.getAs[Long]("doc_id") == 3L))
+
       // non-literal TVF args fail analysis loudly
       val tvfErr = intercept[Exception] {
         s.sql(s"SELECT * FROM bm25('$idxDir', concat('d', rand()), 2)")
