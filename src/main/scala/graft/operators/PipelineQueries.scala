@@ -1526,6 +1526,25 @@ object PipelineQueries {
         .withColumn("contaminated", col("contaminated").cast("long"))
         .orderBy("vec_id")
     }),
+    // SEMANTIC decontamination with the TRAINED √N quantizer — the
+    // scale path for the contamination probe, closing the r11 verdict's
+    // last fixed-cell pin: the corpus and eval sides assign to the
+    // same k = ⌈√N⌉ Lloyd cells (memoized sqrtQuantizer, the
+    // dedup_semantic_trained machinery verbatim), so the within-cell
+    // corpus×eval join stays bounded as N grows instead of creeping
+    // with the fixed 8-cell exponent (+0.66 measured). Same 0.4/round-6
+    // convention; oracle replays train + assign + contamination tail.
+    "dedup_contamination_semantic_trained" -> ((s, d) => {
+      val vecs = t(s, d, "embeddings")
+      val cells = Similarity.assignCells(vecs, sqrtQuantizer(s, d),
+        roundDecimals = 6)
+      Similarity.semanticContamination(
+        vecs.filter(col("vec_id") % 10 =!= 0),
+        vecs.filter(col("vec_id") % 10 === 0),
+        threshold = 0.4, roundDecimals = 6, cells = Some(cells))
+        .withColumn("contaminated", col("contaminated").cast("long"))
+        .orderBy("vec_id")
+    }),
     // single-term BM25 retrieval over three mid-frequency corpus terms;
     // rank order pinned by round-6-then-rank with doc_id tiebreak
     "text_bm25_topk" -> ((s, d) => {
@@ -2307,6 +2326,66 @@ object PipelineQueries {
     * previous centroid) — only the k plumbing differs.
     */
   private def semanticTrainedOracle(iters: Int, threshold: Double): String = {
+    val tail =
+      s"""p AS (
+         |  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+         |  FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |  WHERE round(list_dot_product(l.v, r.v)
+         |    / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)),
+         |    6) >= $threshold),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |walk(node, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, w.label FROM walk w JOIN edges e2 ON w.node = e2.src),
+         |cl AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node)
+         |SELECT e.vec_id,
+         |  CAST(COALESCE(cl.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+         |  CAST(e.vec_id = COALESCE(cl.cluster_id, e.vec_id) AS BIGINT) AS keep
+         |FROM e LEFT JOIN cl ON e.vec_id = cl.node
+         |ORDER BY e.vec_id""".stripMargin
+    sqrtCellCTEs(iters) + ",\n" + tail
+  }
+
+  /** DuckDB replay of `dedup_contamination_semantic_trained`: the same
+    * √N-cell Lloyd train/assign prefix as [[semanticTrainedOracle]]
+    * (the `cells` CTE), then the contamination tail of the fixed-cell
+    * oracle verbatim — corpus = vec_id % 10 <> 0, eval = % 10 = 0,
+    * within-cell round-6 cosine at the 0.4 floor, one row per corpus
+    * vector.
+    */
+  private def semanticContamTrainedOracle(
+      iters: Int, threshold: Double): String = {
+    val tail =
+      s"""corp AS (SELECT * FROM cells WHERE vec_id % 10 <> 0),
+         |ev AS (SELECT * FROM cells WHERE vec_id % 10 = 0),
+         |scored AS (
+         |  SELECT corp.vec_id,
+         |    round(list_dot_product(corp.v, ev.v)
+         |      / sqrt(list_dot_product(corp.v, corp.v)
+         |             * list_dot_product(ev.v, ev.v)), 6) AS cosine
+         |  FROM corp JOIN ev ON corp.cell = ev.cell),
+         |hits AS (
+         |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |    MAX(cosine) AS max_cosine
+         |  FROM scored WHERE cosine >= $threshold GROUP BY vec_id)
+         |SELECT corp.vec_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, h.max_cosine,
+         |  CAST(COALESCE(h.n_hits, 0) >= 1 AS BIGINT) AS contaminated
+         |FROM corp LEFT JOIN hits h USING (vec_id)
+         |ORDER BY corp.vec_id""".stripMargin
+    sqrtCellCTEs(iters) + ",\n" + tail
+  }
+
+  /** The shared √N-quantizer CTE chain: Lloyd training with
+    * k = ceil(sqrt(N)) computed in-query, `iters` unrolled iterations,
+    * and the final nearest-centroid assignment published as `cells`
+    * (vec_id, v, cell). Both trained-quantizer oracles append their
+    * own tails to this prefix.
+    */
+  private def sqrtCellCTEs(iters: Int): String = {
     val base =
       s"""WITH RECURSIVE e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2339,7 +2418,7 @@ object PipelineQueries {
          |  SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
          |  FROM $prev p LEFT JOIN cm$i n USING (cell))""".stripMargin
     }
-    val tail =
+    val assign =
       s"""ascore AS (
          |  SELECT e.vec_id, e.v, c.cell, ${ivfCsim("e.v", "c.centroid")} AS csim
          |  FROM e CROSS JOIN c$iters c),
@@ -2348,27 +2427,8 @@ object PipelineQueries {
          |    SELECT vec_id, v, cell,
          |      row_number() OVER (PARTITION BY vec_id
          |                         ORDER BY csim DESC, cell) AS rn
-         |    FROM ascore) s WHERE rn = 1),
-         |p AS (
-         |  SELECT l.vec_id AS id_a, r.vec_id AS id_b
-         |  FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
-         |  WHERE round(list_dot_product(l.v, r.v)
-         |    / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)),
-         |    6) >= $threshold),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM p
-         |  UNION SELECT id_b, id_a FROM p),
-         |walk(node, label) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e2.dst, w.label FROM walk w JOIN edges e2 ON w.node = e2.src),
-         |cl AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node)
-         |SELECT e.vec_id,
-         |  CAST(COALESCE(cl.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
-         |  CAST(e.vec_id = COALESCE(cl.cluster_id, e.vec_id) AS BIGINT) AS keep
-         |FROM e LEFT JOIN cl ON e.vec_id = cl.node
-         |ORDER BY e.vec_id""".stripMargin
-    ((base +: its) :+ tail).mkString(",\n")
+         |    FROM ascore) s WHERE rn = 1)""".stripMargin
+    ((base +: its) :+ assign).mkString(",\n")
   }
 
   /** DuckDB replay of `ann_ivf_pq`: the shared coarse train/assign
@@ -4117,6 +4177,9 @@ object PipelineQueries {
         |  CAST(COALESCE(h.n_hits, 0) >= 1 AS BIGINT) AS contaminated
         |FROM corp LEFT JOIN hits h USING (vec_id)
         |ORDER BY corp.vec_id""".stripMargin,
+    // √N-cell train/assign prefix + the contamination tail verbatim
+    "dedup_contamination_semantic_trained" ->
+      semanticContamTrainedOracle(iters = 2, threshold = 0.4),
     // same k1=1.2 b=0.75 Okapi constants and round-6-before-rank rule
     // as the Spark plan; DuckDB's list_filter counts tf per term.
     // text_bm25_persisted and text_bm25_incremental share this oracle

@@ -920,14 +920,28 @@ object Similarity {
       signDims: Int = 3,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      roundDecimals: Int = -1): DataFrame = {
+      roundDecimals: Int = -1,
+      cells: Option[DataFrame] = None): DataFrame = {
     require(signDims >= 1 && signDims <= 30, s"signDims out of range: $signDims")
-    def withCell(df: DataFrame): DataFrame = Corpus.spread(df)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("cell", (0 until signDims)
-        .map(i => when(element_at(col("vec"), i + 1) >= 0, lit(1 << i))
-          .otherwise(lit(0)))
-        .reduce(_ + _))
+    // `cells` (id -> cell, e.g. [[assignCells]] over a trained
+    // quantizer) replaces the fixed orthant sign-bit cells — the scale
+    // path, exactly as in [[semanticDedup]]: cells must GROW with the
+    // corpus or the within-cell join degenerates quadratic. LEFT join
+    // for the same stale-quantizer contract: an unassigned vector
+    // keeps its one output row (null cells never equi-join, so it
+    // scores no hits rather than vanishing).
+    def withCell(df: DataFrame): DataFrame = {
+      val base = Corpus.spread(df)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      cells match {
+        case Some(c) => base.join(
+          c.select(col(idCol).as("id"), col("cell")), Seq("id"), "left")
+        case None => base.withColumn("cell", (0 until signDims)
+          .map(i => when(element_at(col("vec"), i + 1) >= 0, lit(1 << i))
+            .otherwise(lit(0)))
+          .reduce(_ + _))
+      }
+    }
     val c = withCell(corpus)
     val hits = c.join(
       withCell(eval).select(col("cell"), col("vec").as("evec")), Seq("cell"))

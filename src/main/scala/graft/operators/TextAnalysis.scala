@@ -1387,8 +1387,11 @@ object TextAnalysis {
       .filter(col("df") > dfFrac * nDocs)
       .select("word").orderBy("word")
       .collect().map(_.getString(0)).toSeq
-    val bw = typedLit(boiler)
-    val kept = filter(col("ts"), w => !array_contains(bw, w))
+    // set membership, not array_contains over a literal array: the
+    // boiler set is bounded (≤ avg-distinct/dfFrac) but In converts to
+    // the hash-set InSet past the optimizer threshold, making the
+    // per-token probe O(1) instead of O(|boiler|)
+    val kept = filter(col("ts"), w => !w.isInCollection(boiler))
     toks.select(col("doc_id"),
       array_join(kept, " ").as("text_clean"),
       (size(col("ts")) - size(kept)).cast("long").as("n_removed"))

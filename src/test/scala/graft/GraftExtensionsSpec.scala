@@ -213,6 +213,17 @@ class GraftExtensionsSpec extends SparkSpec {
           r.getAs[Long]("span_start"), r.getAs[Long]("span_len"),
           r.getAs[String]("span_text"))).toSeq)
       assert(spSql.nonEmpty && spSql.forall(_.getAs[Long]("doc_id") == 3L))
+      // dup_spans as_of: after an add, the pinned spelling reproduces
+      // the pre-add spans while the unpinned one sees the new material
+      graft.operators.TextAnalysis.addToSpanIndex(s, Seq(
+        (6L, "observability dashboards aggregate metrics from services"))
+        .toDF("doc_id", "text"), spIdx, n = 4)
+      def spDocs(asOf: String) = s.sql(
+        s"SELECT * FROM dup_spans('$spIdx', '$mhRoot/docs.parquet', " +
+          s"'doc_id >= 3'$asOf) ORDER BY doc_id, span_start").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(spDocs(", 1") == Set(3L))
+      assert(spDocs("") == Set(3L, 4L))
 
       // non-literal TVF args fail analysis loudly
       val tvfErr = intercept[Exception] {
