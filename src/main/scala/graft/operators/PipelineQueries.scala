@@ -247,6 +247,23 @@ object PipelineQueries {
     * line — and still oracle-certified: the entry's hash covers the
     * serve over exactly the state the lifecycle produced.
     */
+  /** Factory for the plain lifecycle memos below: `build` runs the
+    * complete deterministic lifecycle sequence into its fresh dir once
+    * per (session, sf); every later call returns the immutable dir.
+    */
+  private def lifecycleDir(name: String)(
+      build: (SparkSession, String, String) => Unit)
+    : (SparkSession, String) => String = {
+    val memo = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), String]()
+    (s, d) => memo.computeIfAbsent((s, d), _ => {
+      val dir = scratch(s"graft-$name-$pid")
+      clearDir(s, dir)
+      build(s, d, dir)
+      dir
+    })
+  }
+
   private val asofMhMemo =
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), (String, Long)]()
@@ -454,6 +471,190 @@ object PipelineQueries {
       outDir
     })
 
+  // ---- wave-2 lifecycle memos (r12): the decomposition extended to
+  // EVERY complete-before-serve lifecycle, so the bench's entry lines
+  // are serve halves across all four index families and the per-family
+  // build/maintenance cost is its own setup_ line. Entries sharing a
+  // final committed state share one dir (incremental serves unpinned
+  // from the as-of dir — the build+add sequences are identical).
+
+  /** IVF index built on vec_id<300 (postings v1), rest added — returns
+    * (dir, v1). Shared by ann_ivf_asof (pinned) and ann_ivf_incremental
+    * (unpinned serve of the same final state).
+    */
+  private val asofIvfMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, Long)]()
+
+  private def asofIvfIndex(s: SparkSession, d: String): (String, Long) =
+    asofIvfMemo.computeIfAbsent((s, d), _ => {
+      val emb = t(s, d, "embeddings")
+      val dir = scratch(s"graft-ivf-asof-$pid")
+      clearDir(s, dir)
+      Similarity.buildIvfIndex(s, emb.filter(col("vec_id") < 300), dir,
+        k = 8, iterations = 2, roundDecimals = 6)
+      val v1 = graft.sources.Snapshots.version(s, s"$dir/postings")
+      Similarity.addToIvfIndex(s, emb.filter(col("vec_id") >= 300), dir,
+        roundDecimals = 6)
+      (dir, v1)
+    })
+
+  private val cptIvfIndex = lifecycleDir("ivf-cpt") { (s, d, dir) =>
+    val emb = t(s, d, "embeddings")
+    Similarity.buildIvfIndex(s, emb.filter(col("vec_id") < 300), dir,
+      k = 8, iterations = 2, roundDecimals = 6)
+    Similarity.addToIvfIndex(s, emb.filter(col("vec_id") >= 300), dir,
+      roundDecimals = 6)
+    IndexMaintenance.compactIndex(s, dir)
+  }
+
+  private val rmIvfIndex = lifecycleDir("ivf-rm") { (s, d, dir) =>
+    Similarity.buildIvfIndex(s, t(s, d, "embeddings"), dir, k = 8,
+      iterations = 2, roundDecimals = 6)
+    Similarity.removeFromIvfIndex(s, dir, (100L until 150L).toSeq)
+  }
+
+  private val streamIvfIndex = lifecycleDir("ivf-stream") { (s, d, dir) =>
+    val emb = t(s, d, "embeddings")
+    val inDir = scratch(s"graft-ivf-stream-in-$pid")
+    val ckpt = scratch(s"graft-ivf-stream-ckpt-$pid")
+    Seq(inDir, ckpt).foreach(clearDir(s, _))
+    emb.filter(col("vec_id") < 300).coalesce(1)
+      .write.parquet(s"$inDir/arrival-0")
+    emb.filter(col("vec_id") >= 300).coalesce(1)
+      .write.parquet(s"$inDir/arrival-1")
+    val q = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/arrival-*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val bs = batch.sparkSession
+        if (graft.sources.Snapshots.version(bs, s"$dir/centroids") >= 1L)
+          Similarity.addToIvfIndex(bs, batch.toDF(), dir,
+            roundDecimals = 6)
+        else
+          Similarity.buildIvfIndex(bs, batch.toDF(), dir, k = 8,
+            iterations = 2, roundDecimals = 6)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private val cptTextIndex = lifecycleDir("text-cpt") { (s, d, dir) =>
+    val docs = t(s, d, "documents")
+    TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 300), dir,
+      nBuckets = 8)
+    TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 300), dir)
+    IndexMaintenance.compactIndex(s, dir)
+  }
+
+  private val rmTextIndex = lifecycleDir("text-rm") { (s, d, dir) =>
+    TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir, nBuckets = 8)
+    TextAnalysis.removeFromTextIndex(s, dir, (100L until 150L).toSeq)
+  }
+
+  private val revisedMhIndex = lifecycleDir("mh-rev") { (s, d, dir) =>
+    Dedup.buildMinhashIndex(s,
+      t(s, d, "documents").filter(col("doc_id") < 250), dir, nBuckets = 8)
+    Dedup.removeFromMinhashIndex(s, dir, (100L until 150L).toSeq)
+  }
+
+  private val streamMhIndex = lifecycleDir("mh-stream") { (s, d, dir) =>
+    val docs = t(s, d, "documents")
+    val inDir = scratch(s"graft-mh-stream-in-$pid")
+    val ckpt = scratch(s"graft-mh-stream-ckpt-$pid")
+    Seq(inDir, ckpt).foreach(clearDir(s, _))
+    docs.filter(col("doc_id") < 150).coalesce(1)
+      .write.parquet(s"$inDir/arrival-0")
+    docs.filter(col("doc_id") >= 150 && col("doc_id") < 250).coalesce(1)
+      .write.parquet(s"$inDir/arrival-1")
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/arrival-*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val bs = batch.sparkSession
+        if (graft.sources.Snapshots.version(bs, s"$dir/bands") >= 1L)
+          Dedup.addToMinhashIndex(bs, batch.toDF(), dir)
+        else
+          Dedup.buildMinhashIndex(bs, batch.toDF(), dir, nBuckets = 8)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Span index whose corpus side (doc_id % 5 != 0) lands in two
+    * tranches — build on <250 (postings v1), add the rest — returns
+    * (dir, v1). Shared by dedup_exact_spans_asof (pinned) and
+    * dedup_exact_spans_incremental (unpinned, same final state).
+    */
+  private val asofSpanMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, Long)]()
+
+  private def asofSpanIndex(s: SparkSession, d: String): (String, Long) =
+    asofSpanMemo.computeIfAbsent((s, d), _ => {
+      val corpusSide = t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
+      val dir = scratch(s"graft-span-asof-$pid")
+      clearDir(s, dir)
+      TextAnalysis.buildSpanIndex(s,
+        corpusSide.filter(col("doc_id") < 250), dir, n = 8, nBuckets = 8)
+      val v1 = graft.sources.Snapshots.version(s, s"$dir/postings")
+      TextAnalysis.addToSpanIndex(s,
+        corpusSide.filter(col("doc_id") >= 250), dir, n = 8)
+      (dir, v1)
+    })
+
+  private val rmSpanIndex = lifecycleDir("span-rm") { (s, d, dir) =>
+    TextAnalysis.buildSpanIndex(s,
+      t(s, d, "documents").filter(col("doc_id") % 5 =!= 0), dir,
+      n = 8, nBuckets = 8)
+    TextAnalysis.removeFromSpanIndex(s, dir, Seq(332L, 413L))
+  }
+
+  private val streamSpanIndex = lifecycleDir("span-stream") { (s, d, dir) =>
+    val docs = t(s, d, "documents")
+    val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
+    val inDir = scratch(s"graft-span-stream-in-$pid")
+    val ckpt = scratch(s"graft-span-stream-ckpt-$pid")
+    Seq(inDir, ckpt).foreach(clearDir(s, _))
+    corpusSide.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(s"$inDir/arrival-0")
+    corpusSide.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(s"$inDir/arrival-1")
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/arrival-*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val bs = batch.sparkSession
+        if (graft.sources.Snapshots.version(bs, s"$dir/postings") >= 1L)
+          TextAnalysis.addToSpanIndex(bs, batch.toDF(), dir, n = 8)
+        else
+          TextAnalysis.buildSpanIndex(bs, batch.toDF(), dir,
+            n = 8, nBuckets = 8)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private val phraseIndexDir = lifecycleDir("phrase-idx") { (s, d, dir) =>
+    TextAnalysis.buildPhraseIndex(s, t(s, d, "documents"), dir,
+      n = 3, nBuckets = 8)
+  }
+
   /** Named primers for the memoized shared trainings, so a benchmark
     * can pay each build ONCE on its own `setup_<family>` line instead
     * of charging it to whichever serving entry happens to draw first
@@ -479,7 +680,19 @@ object PipelineQueries {
     "setup_text_expired" -> ((s, d) => { expiredTextIndex(s, d); () }),
     "setup_text_folded" -> ((s, d) => { foldedTextIndex(s, d); () }),
     "setup_text_stream" -> ((s, d) => { streamedTextIndex(s, d); () }),
-    "setup_arrival_stream" -> ((s, d) => { arrivalStreamVerdicts(s, d); () }))
+    "setup_arrival_stream" -> ((s, d) => { arrivalStreamVerdicts(s, d); () }),
+    "setup_ivf_asof" -> ((s, d) => { asofIvfIndex(s, d); () }),
+    "setup_ivf_compacted" -> ((s, d) => { cptIvfIndex(s, d); () }),
+    "setup_ivf_retracted" -> ((s, d) => { rmIvfIndex(s, d); () }),
+    "setup_ivf_stream" -> ((s, d) => { streamIvfIndex(s, d); () }),
+    "setup_text_compacted" -> ((s, d) => { cptTextIndex(s, d); () }),
+    "setup_text_retracted" -> ((s, d) => { rmTextIndex(s, d); () }),
+    "setup_minhash_revised" -> ((s, d) => { revisedMhIndex(s, d); () }),
+    "setup_minhash_stream" -> ((s, d) => { streamMhIndex(s, d); () }),
+    "setup_span_asof" -> ((s, d) => { asofSpanIndex(s, d); () }),
+    "setup_span_retracted" -> ((s, d) => { rmSpanIndex(s, d); () }),
+    "setup_span_stream" -> ((s, d) => { streamSpanIndex(s, d); () }),
+    "setup_phrase_index" -> ((s, d) => { phraseIndexDir(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
     * corpus_chunk's fixed windows: a chunk boundary falls after word e
@@ -709,14 +922,11 @@ object PipelineQueries {
       // held 10 of the 100 result rows at sf0.01, so the entry is
       // discriminative). Oracle = the trained chain with the retracted
       // range excluded from the candidate side only: assignment
-      // geometry is unchanged, exactly like the index.
+      // geometry is unchanged, exactly like the index. Build+retract
+      // on the setup_ivf_retracted line; the entry times the serve.
       val emb = t(s, d, "embeddings")
-      val dir = scratch("graft-ivf-index-rm")
-      clearDir(s, dir)
-      Similarity.buildIvfIndex(s, emb, dir, k = 8, iterations = 2,
-        roundDecimals = 6)
-      Similarity.removeFromIvfIndex(s, dir, (100L until 150L).toSeq)
-      Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
+      Similarity.ivfTopKPersisted(s, rmIvfIndex(s, d),
+          emb.filter(col("vec_id") < 10),
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
@@ -739,15 +949,12 @@ object PipelineQueries {
       // retrain, no rewrite of untouched lists' rows, partition spec
       // inherited so probe pruning survives), then serve. The oracle
       // replays train-on-slice + assign-all, so a hash match certifies
-      // the add path assigns exactly like the build path.
+      // the add path assigns exactly like the build path. The build+add
+      // state is the shared [[asofIvfIndex]] dir (identical sequence to
+      // the as-of entry's; this serve is simply unpinned).
       val emb = t(s, d, "embeddings")
-      val dir = scratch("graft-ivf-incr")
-      clearDir(s, dir)
-      Similarity.buildIvfIndex(s, emb.filter(col("vec_id") < 300), dir,
-        k = 8, iterations = 2, roundDecimals = 6)
-      Similarity.addToIvfIndex(s, emb.filter(col("vec_id") >= 300), dir,
-        roundDecimals = 6)
-      Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
+      Similarity.ivfTopKPersisted(s, asofIvfIndex(s, d)._1,
+          emb.filter(col("vec_id") < 10),
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
@@ -760,36 +967,12 @@ object PipelineQueries {
       // frozen centroids (addToIvfIndex — no retrain), and the serve
       // afterwards must equal the build-then-add index's answer (same
       // oracle as ann_ivf_incremental: once the first batch fixes the
-      // quantizer, arrival order is invisible to assignment).
+      // quantizer, arrival order is invisible to assignment). The
+      // two-batch drain is the memoized [[streamIvfIndex]]
+      // (setup_ivf_stream line); the entry times the serve.
       val emb = t(s, d, "embeddings")
-      val inDir = scratch("graft-ivf-stream-in")
-      val ckpt = scratch("graft-ivf-stream-ckpt")
-      val dir = scratch("graft-ivf-stream-idx")
-      Seq(inDir, ckpt, dir).foreach(clearDir(s, _))
-      emb.filter(col("vec_id") < 300).coalesce(1)
-        .write.parquet(s"$inDir/arrival-0")
-      emb.filter(col("vec_id") >= 300).coalesce(1)
-        .write.parquet(s"$inDir/arrival-1")
-      val stream = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$inDir/arrival-*")
-      val q = stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          val bs = batch.sparkSession
-          if (graft.sources.Snapshots.version(bs, s"$dir/centroids") >= 1L)
-            Similarity.addToIvfIndex(bs, batch.toDF(), dir,
-              roundDecimals = 6)
-          else
-            Similarity.buildIvfIndex(bs, batch.toDF(), dir, k = 8,
-              iterations = 2, roundDecimals = 6)
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
+      Similarity.ivfTopKPersisted(s, streamIvfIndex(s, d),
+          emb.filter(col("vec_id") < 10),
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
@@ -799,15 +982,11 @@ object PipelineQueries {
       // neighbors must come only from what v1 held. The quantizer is
       // frozen at build, so the pin applies to the pruned cell read
       // alone; same mechanism as text_bm25_asof, same reproducibility
-      // contract for a run that logs its index version.
+      // contract for a run that logs its index version. Build+add on
+      // the setup_ivf_asof line (shared with ann_ivf_incremental);
+      // the entry times the pinned serve.
       val emb = t(s, d, "embeddings")
-      val dir = scratch("graft-ivf-asof")
-      clearDir(s, dir)
-      Similarity.buildIvfIndex(s, emb.filter(col("vec_id") < 300), dir,
-        k = 8, iterations = 2, roundDecimals = 6)
-      val v1 = graft.sources.Snapshots.version(s, s"$dir/postings")
-      Similarity.addToIvfIndex(s, emb.filter(col("vec_id") >= 300), dir,
-        roundDecimals = 6)
+      val (dir, v1) = asofIvfIndex(s, d)
       Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
           k = 10, nProbe = 2, roundDecimals = 6, asOf = Some(v1))
         .orderBy("query_id", "rank")
@@ -819,15 +998,11 @@ object PipelineQueries {
       // pruned read survives), centroids ride untouched. SAME oracle
       // as ann_ivf_incremental — the quantizer is fixed by the first
       // 300 vectors, so add order and layout are invisible to serve.
+      // Build+add+bin-pack on the setup_ivf_compacted line; the entry
+      // times the serve over the repacked layout.
       val emb = t(s, d, "embeddings")
-      val dir = scratch("graft-ivf-cpt")
-      clearDir(s, dir)
-      Similarity.buildIvfIndex(s, emb.filter(col("vec_id") < 300), dir,
-        k = 8, iterations = 2, roundDecimals = 6)
-      Similarity.addToIvfIndex(s, emb.filter(col("vec_id") >= 300), dir,
-        roundDecimals = 6)
-      IndexMaintenance.compactIndex(s, dir)
-      Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 10),
+      Similarity.ivfTopKPersisted(s, cptIvfIndex(s, d),
+          emb.filter(col("vec_id") < 10),
           k = 10, nProbe = 2, roundDecimals = 6)
         .orderBy("query_id", "rank")
     }),
@@ -1062,13 +1237,11 @@ object PipelineQueries {
       // dedup_minhash_persisted: a hash match certifies the
       // incremental path converges to exactly the from-scratch index.
       val docs = t(s, d, "documents")
-      val dir = scratch("graft-minhash-idx-incr")
-      clearDir(s, dir)
-      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 150), dir,
-        nBuckets = 8)
-      Dedup.addToMinhashIndex(s,
-        docs.filter(col("doc_id") >= 150 && col("doc_id") < 250), dir)
-      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
+      // build+add is the shared [[asofMinhashIndex]] sequence (this
+      // serve is simply unpinned — identical final state), paid on the
+      // setup_minhash_asof line; the entry times the probe
+      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250),
+          asofMinhashIndex(s, d)._1)
         .orderBy("id_a", "id_b")
     }),
     "dedup_minhash_asof" -> ((s, d) => {
@@ -1109,14 +1282,12 @@ object PipelineQueries {
       // then probe — retracted docs must stop matching (at sf0.01 this
       // removes exactly the two pairs anchored in the range, so the
       // entry is discriminative, not vacuously equal). Oracle = the
-      // persisted oracle with the retracted range excluded.
+      // persisted oracle with the retracted range excluded. Build +
+      // retract on the setup_minhash_revised line; the entry times
+      // the probe over the pending-sidecar state.
       val docs = t(s, d, "documents")
-      val dir = scratch("graft-mh-idx-rev")
-      clearDir(s, dir)
-      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 250), dir,
-        nBuckets = 8)
-      Dedup.removeFromMinhashIndex(s, dir, (100L until 150L).toSeq)
-      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
+      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250),
+          revisedMhIndex(s, d))
         .orderBy("id_a", "id_b")
     }),
     "dedup_minhash_stream" -> ((s, d) => {
@@ -1127,33 +1298,11 @@ object PipelineQueries {
       // afterwards must equal the from-scratch index's answer (same
       // oracle as dedup_minhash_persisted — arrival order is invisible
       // to near-dup detection, the text index's streaming contract).
+      // The two-batch drain is the memoized [[streamMhIndex]]
+      // (setup_minhash_stream line); the entry times the probe.
       val docs = t(s, d, "documents")
-      val inDir = scratch("graft-mh-stream-in")
-      val ckpt = scratch("graft-mh-stream-ckpt")
-      val dir = scratch("graft-mh-stream-idx")
-      Seq(inDir, ckpt, dir).foreach(clearDir(s, _))
-      docs.filter(col("doc_id") < 150).coalesce(1)
-        .write.parquet(s"$inDir/arrival-0")
-      docs.filter(col("doc_id") >= 150 && col("doc_id") < 250).coalesce(1)
-        .write.parquet(s"$inDir/arrival-1")
-      val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$inDir/arrival-*")
-      val q = stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          val bs = batch.sparkSession
-          if (graft.sources.Snapshots.version(bs, s"$dir/bands") >= 1L)
-            Dedup.addToMinhashIndex(bs, batch.toDF(), dir)
-          else
-            Dedup.buildMinhashIndex(bs, batch.toDF(), dir, nBuckets = 8)
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250), dir)
+      Dedup.minhashProbe(s, docs.filter(col("doc_id") >= 250),
+          streamMhIndex(s, d))
         .orderBy("id_a", "id_b")
     }),
     "q_near_dups_sql" -> ((s, d) => {
@@ -1610,12 +1759,10 @@ object PipelineQueries {
       // scan, unlike dedup_contamination's broadcast semi probe (the
       // right shape when eval sets change more often than the corpus).
       // One absent needle proves the empty path rides the same read.
-      val dir = scratch("graft-text-decontam-idx")
-      clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
-        nBuckets = 8)
+      // Probes the shared full-corpus [[fullTextIndex]] (identical
+      // build to the private dir it used to rebuild inline).
       TextAnalysis
-        .contaminatedDocs(s, dir,
+        .contaminatedDocs(s, fullTextIndex(s, d),
           Seq("data", "table", "zzz_no_such_term"))
         .orderBy("needle", "doc_id")
     }),
@@ -1625,13 +1772,14 @@ object PipelineQueries {
       // 3-grams (commonSpans — the boilerplate a leakage check would
       // target; deterministic needles, so the oracle recomputes them),
       // and answer membership from the needles' posting buckets alone.
+      // The 3-gram index build is the memoized [[phraseIndexDir]]
+      // (setup_phrase_index line); the entry times needle derivation
+      // (a corpus top-k aggregation — query construction, part of the
+      // serve) plus the posting-bucket probe.
       val docs = t(s, d, "documents")
-      val dir = scratch("graft-phrase-idx")
-      clearDir(s, dir)
-      TextAnalysis.buildPhraseIndex(s, docs, dir, n = 3, nBuckets = 8)
       val needles = TextAnalysis.commonSpans(docs, n = 3, k = 2)
         .collect().map(_.getAs[String]("span")).toSeq
-      TextAnalysis.contaminatedDocs(s, dir, needles)
+      TextAnalysis.contaminatedDocs(s, phraseIndexDir(s, d), needles)
         .orderBy("needle", "doc_id")
     }),
     "text_rrf_fusion" -> ((s, d) => {
@@ -1668,14 +1816,12 @@ object PipelineQueries {
       // stats sums at SERVE time, so old postings never go stale. The
       // oracle is the full-corpus replay: a hash match certifies the
       // incremental path converges to exactly the from-scratch index.
-      val docs = t(s, d, "documents")
-      val dir = scratch("graft-text-index-incr")
-      clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 300), dir,
-        nBuckets = 8)
-      TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 300), dir)
+      // Build+add is the shared [[asofTextIndex]] sequence (this serve
+      // is simply unpinned — identical final state), paid on the
+      // setup_text_asof line; the entry times the serve.
       TextAnalysis
-        .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
+        .bm25TopKPersisted(s, asofTextIndex(s, d)._1,
+          Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
     }),
     "text_bm25_asof" -> ((s, d) => {
@@ -1704,16 +1850,11 @@ object PipelineQueries {
       // query-term read survives; manifest stats restated from the
       // tip's own columns). Serve afterwards — SAME oracle as
       // text_bm25_incremental, certifying compaction is invisible to
-      // retrieval.
-      val docs = t(s, d, "documents")
-      val dir = scratch("graft-text-index-cpt")
-      clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 300), dir,
-        nBuckets = 8)
-      TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 300), dir)
-      IndexMaintenance.compactIndex(s, dir)
+      // retrieval. Build+add+bin-pack on the setup_text_compacted
+      // line; the entry times the serve over the repacked layout.
       TextAnalysis
-        .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
+        .bm25TopKPersisted(s, cptTextIndex(s, d),
+          Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
     }),
     "text_bm25_expired" -> ((s, d) => {
@@ -1739,14 +1880,12 @@ object PipelineQueries {
       // result must equal the direct BM25 computation over the
       // SURVIVING corpus (idf, df, avgdl all shift; at sf0.01 the
       // retracted range holds the rank-2 doc of two of the three
-      // query terms' lists, so the entry is discriminative)
-      val dir = scratch("graft-text-index-rm")
-      clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
-        nBuckets = 8)
-      TextAnalysis.removeFromTextIndex(s, dir, (100L until 150L).toSeq)
+      // query terms' lists, so the entry is discriminative). Build +
+      // retract on the setup_text_retracted line; the entry times the
+      // serve over the pending-sidecar state.
       TextAnalysis
-        .bm25TopKPersisted(s, dir, Seq("data", "query", "table"), k = 5)
+        .bm25TopKPersisted(s, rmTextIndex(s, d),
+          Seq("data", "query", "table"), k = 5)
         .orderBy("term", "rank")
     }),
     "text_bm25_folded" -> ((s, d) => {
@@ -1870,28 +2009,23 @@ object PipelineQueries {
       // postings once (doc_id % 5 != 0 plays the standing corpus),
       // then span-check the arrival batch (doc_id % 5 == 0) from the
       // probed posting buckets alone — no corpus rescan, the same
-      // build/serve split as the minhash/text/IVF indexes
+      // build/serve split as the minhash/text/IVF indexes. Probes the
+      // shared [[arrivalIndexes]] span dir (identical build to the
+      // private dir it used to rebuild inline; q_dup_spans_sql is the
+      // TVF spelling of this exact probe).
       val docs = t(s, d, "documents")
-      val dir = scratch("graft-span-idx")
-      clearDir(s, dir)
-      TextAnalysis.buildSpanIndex(s,
-        docs.filter(col("doc_id") % 5 =!= 0), dir, n = 8, nBuckets = 8)
-      TextAnalysis.dupSpansAgainstIndex(s, dir,
+      val (_, spDir, _) = arrivalIndexes(s, d)
+      TextAnalysis.dupSpansAgainstIndex(s, spDir,
         docs.filter(col("doc_id") % 5 === 0), n = 8)
     }),
     "dedup_exact_spans_incremental" -> ((s, d) => {
       // the corpus side lands in TWO tranches — initial build, then a
       // file-scoped O(new) add — and the probe must be hash-identical
-      // to the one-shot index (same oracle as dedup_exact_spans_indexed)
+      // to the one-shot index (same oracle as dedup_exact_spans_indexed).
+      // Build+add is the shared [[asofSpanIndex]] sequence (this probe
+      // is simply unpinned), paid on the setup_span_asof line.
       val docs = t(s, d, "documents")
-      val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
-      val dir = scratch("graft-span-idx-incr")
-      clearDir(s, dir)
-      TextAnalysis.buildSpanIndex(s,
-        corpusSide.filter(col("doc_id") < 250), dir, n = 8, nBuckets = 8)
-      TextAnalysis.addToSpanIndex(s,
-        corpusSide.filter(col("doc_id") >= 250), dir, n = 8)
-      TextAnalysis.dupSpansAgainstIndex(s, dir,
+      TextAnalysis.dupSpansAgainstIndex(s, asofSpanIndex(s, d)._1,
         docs.filter(col("doc_id") % 5 === 0), n = 8)
     }),
     "dedup_exact_spans_asof" -> ((s, d) => {
@@ -1900,16 +2034,11 @@ object PipelineQueries {
       // duplicating the FIRST tranche — the reproducibility contract
       // shared with text_bm25_asof/ann_ivf_asof (the params sidecar is
       // immutable after build, so the single postings pin is the
-      // complete index state)
+      // complete index state). Build+add on the setup_span_asof line
+      // (shared with dedup_exact_spans_incremental); the entry times
+      // the pinned probe.
       val docs = t(s, d, "documents")
-      val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
-      val dir = scratch("graft-span-idx-asof")
-      clearDir(s, dir)
-      TextAnalysis.buildSpanIndex(s,
-        corpusSide.filter(col("doc_id") < 250), dir, n = 8, nBuckets = 8)
-      val v1 = graft.sources.Snapshots.version(s, s"$dir/postings")
-      TextAnalysis.addToSpanIndex(s,
-        corpusSide.filter(col("doc_id") >= 250), dir, n = 8)
+      val (dir, v1) = asofSpanIndex(s, d)
       TextAnalysis.dupSpansAgainstIndex(s, dir,
         docs.filter(col("doc_id") % 5 === 0), n = 8, asOf = Some(v1))
     }),
@@ -1920,36 +2049,11 @@ object PipelineQueries {
       // builds on the first and file-scope-merges the rest, and the
       // probe afterwards must be hash-identical to the one-shot index
       // (same oracle as dedup_exact_spans_indexed — arrival order is
-      // invisible to span detection)
+      // invisible to span detection). The two-batch drain is the
+      // memoized [[streamSpanIndex]] (setup_span_stream line); the
+      // entry times the probe.
       val docs = t(s, d, "documents")
-      val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
-      val inDir = scratch("graft-span-stream-in")
-      val ckpt = scratch("graft-span-stream-ckpt")
-      val dir = scratch("graft-span-stream-idx")
-      Seq(inDir, ckpt, dir).foreach(clearDir(s, _))
-      corpusSide.filter(col("doc_id") < 250).coalesce(1)
-        .write.parquet(s"$inDir/arrival-0")
-      corpusSide.filter(col("doc_id") >= 250).coalesce(1)
-        .write.parquet(s"$inDir/arrival-1")
-      val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$inDir/arrival-*")
-      val q = stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          val bs = batch.sparkSession
-          if (graft.sources.Snapshots.version(bs, s"$dir/postings") >= 1L)
-            TextAnalysis.addToSpanIndex(bs, batch.toDF(), dir, n = 8)
-          else
-            TextAnalysis.buildSpanIndex(bs, batch.toDF(), dir,
-              n = 8, nBuckets = 8)
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      TextAnalysis.dupSpansAgainstIndex(s, dir,
+      TextAnalysis.dupSpansAgainstIndex(s, streamSpanIndex(s, d),
         docs.filter(col("doc_id") % 5 === 0), n = 8)
     }),
     "dedup_exact_spans_retracted" -> ((s, d) => {
@@ -1958,14 +2062,11 @@ object PipelineQueries {
       // modes: 332 is the SOLE witness of one arrival span (the span
       // disappears) while 413 uniquely witnesses only the last gram of
       // a two-witness span (the span SHRINKS by one word, pinning that
-      // boundary grams re-resolve against survivors, not all-or-nothing)
+      // boundary grams re-resolve against survivors, not all-or-nothing).
+      // Build + retract on the setup_span_retracted line; the entry
+      // times the probe over the pending-sidecar state.
       val docs = t(s, d, "documents")
-      val dir = scratch("graft-span-idx-retr")
-      clearDir(s, dir)
-      TextAnalysis.buildSpanIndex(s,
-        docs.filter(col("doc_id") % 5 =!= 0), dir, n = 8, nBuckets = 8)
-      TextAnalysis.removeFromSpanIndex(s, dir, Seq(332L, 413L))
-      TextAnalysis.dupSpansAgainstIndex(s, dir,
+      TextAnalysis.dupSpansAgainstIndex(s, rmSpanIndex(s, d),
         docs.filter(col("doc_id") % 5 === 0), n = 8)
     }),
     "corpus_cdc_chunk" -> ((s, d) => cdcChunks(s, d)),
