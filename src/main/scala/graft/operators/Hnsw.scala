@@ -1,0 +1,543 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosineSim
+import graft.sources.Snapshots
+
+/** Graph ANN (HNSW) serving — the shard-and-merge vector tier for the
+  * regime where IVF's cell-probe recall ceiling is not enough.
+  *
+  * Why a graph index at 100 TB: IVF recall is capped by the coarse
+  * quantizer — a query that probes nProbe of k cells never sees a true
+  * neighbor assigned elsewhere, and raising nProbe converges to a scan.
+  * An HNSW graph reaches any neighbor reachable by greedy descent in
+  * O(ef·M·log n) distance evaluations regardless of where it "landed",
+  * which is why serving tiers layer graphs over/instead of IVF when
+  * recall floors tighten.
+  *
+  * The distributed shape is SHARD-AND-MERGE, the same layout every
+  * horizontally-scaled graph-ANN deployment uses: vectors are
+  * hash-sharded (`pmod(id, numShards)`), each shard holds an
+  * independent graph bounded to one executor's memory, a query batch
+  * searches every shard in parallel (one task per shard, the graph
+  * built/loaded once per task and amortized over the whole batch), and
+  * the per-shard top-k streams merge through the repo's two-phase
+  * bounded-heap aggregation ([[Similarity.rankTopK]]). Scale-out is
+  * linear: corpus growth adds shards, per-shard search cost stays
+  * O(ef·M·log shardN), and the merge moves at most (k+1)·shards rows
+  * per query.
+  *
+  * Everything is DETERMINISTIC — the property the repo's oracle gates
+  * and the persisted roundtrip depend on:
+  *   - node levels draw from a splitmix64 hash of the vector id
+  *     ([[levelFor]]), not a session RNG, so a node's level survives
+  *     rebuilds, shard moves, and insert-order changes;
+  *   - shard builds insert in ascending id order (callers sort), so
+  *     internal-index tie-breaks equal id tie-breaks and a shard graph
+  *     is a pure function of its (id, vec) set and (M, efC);
+  *   - every heap/selection tie breaks by (similarity desc, id asc).
+  *
+  * Persisted lifecycle (the pattern shared with the IVF/minhash/text/
+  * span families, adapted to a graph's non-local updates):
+  *   - [[buildHnswIndex]]: per-shard graphs committed as adjacency rows
+  *     through the snapshot layer, shard-identity partition spec.
+  *   - [[addToHnswIndex]]: a graph insert REWIRES existing nodes'
+  *     neighbor lists, so an in-place add would rewrite touched shards
+  *     on every batch. Instead adds land in a PENDING side table —
+  *     an O(new) scoped merge — and serves treat pending vectors as an
+  *     exact brute-force freshness tier (the DiskANN-style fresh/LTI
+  *     split): correct immediately, graph-cheap later.
+  *   - [[foldHnswIndex]]: rebuilds ONLY the shards pending touches
+  *     (graph ∪ pending per shard), merges file-scoped on the shard
+  *     envelope, truncates pending. Because a shard build is a pure
+  *     function of its node set, a folded index is BYTE-IDENTICAL to a
+  *     fresh build over the union — HnswSpec pins exactly that.
+  *   - [[hnswTopKPersisted]]: loads shard graphs (no re-insertion — the
+  *     adjacency is the data), searches the broadcast query batch,
+  *     unions the pending tier, merges top-k. Pending ids override
+  *     graph rows (anti-join), so a re-added id serves its new vector.
+  *
+  * Driver-bounded collects, per the repo's O(1)-scalars budget: the
+  * query batch (ANN serving contract — queries are the small side),
+  * the one-row params table, and fold's distinct touched-shard list
+  * (≤ numShards).
+  *
+  * The reference engine (amoilanen/simple-query-engine) has no vector
+  * surface; this extends the training-data-pipeline layer alongside
+  * [[Similarity]]'s brute-force/SRP/IVF paths.
+  */
+object Hnsw {
+
+  /** Hard cap on layer height: log_M(shardN) stays far below this for
+    * any real shard; it only guards the geometric draw's tail. */
+  private val MaxLevel = 24
+
+  /** splitmix64 finalizer — the deterministic per-id uniform draw. */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Geometric level assignment floor(-ln(1-u)/ln(M)), seeded by the
+    * vector id alone — reproducible across builds and insert orders. */
+  private[operators] def levelFor(id: Long, m: Int): Int = {
+    val u = (mix64(id) >>> 11).toDouble / (1L << 53).toDouble // [0, 1)
+    math.min(MaxLevel, (-math.log1p(-u) / math.log(m.toDouble)).toInt)
+  }
+
+  /** One shard's in-memory graph. Inserts MUST arrive in ascending id
+    * order; arrays are indexed by insertion order, so internal-index
+    * ordering equals id ordering and every tie-break below is stable.
+    * Layer-0 degree cap is 2M, upper layers M (the standard split).
+    */
+  private[operators] final class ShardGraph(val m: Int, val efC: Int) {
+    private val mmax0 = 2 * m
+    val ids = mutable.ArrayBuffer.empty[Long]
+    val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    private val norms = mutable.ArrayBuffer.empty[Double]
+    val levels = mutable.ArrayBuffer.empty[Int]
+    /** links(node)(level) = neighbor internal indices. */
+    val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private var entryPoint = -1
+
+    def size: Int = ids.length
+
+    private def norm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      math.sqrt(s)
+    }
+
+    /** Cosine similarity between a probe vector and a stored node. */
+    private def simTo(q: Array[Float], qn: Double, node: Int): Double = {
+      val v = vecs(node)
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += q(i).toDouble * v(i); i += 1 }
+      val d = qn * norms(node)
+      if (d == 0) 0.0 else s / d
+    }
+
+    private def cmpBest(a: (Double, Int), b: (Double, Int)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // higher sim first
+      if (c != 0) c else Integer.compare(a._2, b._2) // then lower id
+    }
+
+    /** The `ef` best nodes at `level` reachable greedily from `eps`,
+      * best-first. Standard HNSW layer search: best-first candidate
+      * expansion against a bounded worst-out result heap.
+      */
+    private def searchLayer(
+        q: Array[Float], qn: Double, eps: Seq[Int], ef: Int,
+        level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = new java.util.BitSet(size)
+      val cand = new java.util.PriorityQueue[(Double, Int)](
+        (a: (Double, Int), b: (Double, Int)) => cmpBest(a, b))
+      val res = new java.util.PriorityQueue[(Double, Int)](
+        (a: (Double, Int), b: (Double, Int)) => -cmpBest(a, b))
+      eps.foreach { e =>
+        if (!visited.get(e)) {
+          visited.set(e)
+          val s = simTo(q, qn, e)
+          cand.add((s, e)); res.add((s, e))
+          if (res.size > ef) res.poll()
+        }
+      }
+      var done = false
+      while (!done && !cand.isEmpty) {
+        val (cs, c) = cand.poll()
+        if (res.size >= ef && cs < res.peek()._1) done = true
+        else {
+          val nbrs = links(c)(level)
+          var i = 0
+          while (i < nbrs.length) {
+            val n = nbrs(i)
+            if (!visited.get(n)) {
+              visited.set(n)
+              val s = simTo(q, qn, n)
+              if (res.size < ef || s > res.peek()._1) {
+                cand.add((s, n)); res.add((s, n))
+                if (res.size > ef) res.poll()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      while (!res.isEmpty) out += res.poll()
+      // res drains worst-first; reverse to best-first
+      val rev = out.reverse
+      rev
+    }
+
+    /** Insert one node (ids must arrive ascending — callers sort). */
+    def insert(id: Long, vec: Array[Float]): Unit = {
+      val lvl = levelFor(id, m)
+      val idx = size
+      ids += id; vecs += vec; norms += norm(vec); levels += lvl
+      links += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+      if (idx == 0) { entryPoint = 0; return }
+      val qn = norms(idx)
+      val topL = levels(entryPoint)
+      var ep = entryPoint
+      var l = topL
+      while (l > lvl) {
+        ep = searchLayer(vec, qn, Seq(ep), 1, l).head._2
+        l -= 1
+      }
+      var eps: Seq[Int] = Seq(ep)
+      var lev = math.min(topL, lvl)
+      while (lev >= 0) {
+        val w = searchLayer(vec, qn, eps, efC, lev)
+        val nbrs = w.take(m).map(_._2)
+        links(idx)(lev) ++= nbrs
+        val cap = if (lev == 0) mmax0 else m
+        nbrs.foreach { n =>
+          val nl = links(n)(lev)
+          nl += idx
+          if (nl.length > cap) {
+            // prune to the cap best by similarity TO n, ties by id
+            val nv = vecs(n); val nn = norms(n)
+            val kept = nl.map(x => (simTo(nv, nn, x), x))
+              .sortWith(cmpBest(_, _) < 0).take(cap).map(_._2)
+            nl.clear(); nl ++= kept
+          }
+        }
+        eps = w.map(_._2).toSeq
+        lev -= 1
+      }
+      if (lvl > topL) entryPoint = idx
+    }
+
+    /** Greedy top-k search: descend to layer 0 with ef=1, then a full
+      * ef-bounded layer-0 sweep. Self-matches are NOT excluded here —
+      * the DataFrame layer filters `query_id =!= neighbor_id`.
+      */
+    def searchTopK(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (size == 0) return Nil
+      val qn = norm(q)
+      var ep = entryPoint
+      var l = levels(entryPoint)
+      while (l > 0) {
+        ep = searchLayer(q, qn, Seq(ep), 1, l).head._2
+        l -= 1
+      }
+      searchLayer(q, qn, Seq(ep), math.max(ef, k), 0)
+        .take(k).map { case (s, i) => (ids(i), s) }.toSeq
+    }
+
+    // ---- persisted-roundtrip loading (no re-insertion) ----
+
+    /** Append a node shell without wiring (fromRows fills links). */
+    def load(id: Long, vec: Array[Float], lvl: Int): Unit = {
+      ids += id; vecs += vec; norms += norm(vec); levels += lvl
+      links += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+    }
+
+    def setLinks(node: Int, level: Int, nbrs: Seq[Int]): Unit = {
+      links(node)(level).clear(); links(node)(level) ++= nbrs
+    }
+
+    /** Entry point = max level, ties lowest id — exactly what the
+      * insert path converges to under ascending-id insertion (entry
+      * only moves when a STRICTLY higher level appears). */
+    def resetEntry(): Unit = {
+      var best = 0; var i = 1
+      while (i < size) { if (levels(i) > levels(best)) best = i; i += 1 }
+      entryPoint = if (size == 0) -1 else best
+    }
+  }
+
+  /** Fresh shard graph over a node set (sorted ascending before
+    * insertion — the determinism contract). */
+  private[operators] def buildGraph(
+      m: Int, efC: Int, nodes: Seq[(Long, Array[Float])]): ShardGraph = {
+    val g = new ShardGraph(m, efC)
+    nodes.sortBy(_._1).foreach { case (id, v) => g.insert(id, v) }
+    g
+  }
+
+  /** Shard graph from persisted adjacency rows — the graph IS the
+    * data; no edges are recomputed. */
+  private[operators] def fromRows(
+      m: Int, efC: Int,
+      rows: Seq[(Long, Array[Float], Seq[Seq[Long]])]): ShardGraph = {
+    val g = new ShardGraph(m, efC)
+    val sorted = rows.sortBy(_._1)
+    sorted.foreach { case (id, v, nbrs) => g.load(id, v, nbrs.length - 1) }
+    val byId = mutable.LongMap.empty[Int]
+    var i = 0
+    while (i < g.size) { byId(g.ids(i)) = i; i += 1 }
+    sorted.zipWithIndex.foreach { case ((_, _, nbrs), node) =>
+      nbrs.zipWithIndex.foreach { case (ns, lev) =>
+        g.setLinks(node, lev, ns.map(byId))
+      }
+    }
+    g.resetEntry()
+    g
+  }
+
+  /** `(shard, id, vec)` rows: hash-sharded corpus in the layout every
+    * path below consumes. */
+  private def shardRows(
+      corpus: DataFrame, numShards: Int, idCol: String,
+      vecCol: String): DataFrame =
+    Corpus.spread(corpus).select(
+      pmod(col(idCol).cast("long"), lit(numShards)).cast("int").as("shard"),
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+
+  /** The broadcastable query batch — ANN serving's small side by
+    * contract (the same driver budget as the repo's other probes);
+    * sorted by id so per-task iteration order is deterministic. */
+  private def collectQueries(
+      queries: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Array[Float])] =
+    queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Group a task's rows by shard (hash repartitioning can co-locate
+    * shards), ascending shard order for stable output. */
+  private def groupShards[T](it: Iterator[(Int, T)]): Seq[(Int, Seq[T])] = {
+    val byShard = mutable.Map.empty[Int, mutable.ArrayBuffer[T]]
+    it.foreach { case (sh, row) =>
+      byShard.getOrElseUpdate(sh, mutable.ArrayBuffer.empty) += row
+    }
+    byShard.toSeq.sortBy(_._1).map { case (sh, rows) => (sh, rows.toSeq) }
+  }
+
+  /** In-memory shard-and-merge HNSW top-k: one graph built per shard
+    * per task (amortized over the whole query batch), per-shard top
+    * (k+1) candidates (the +1 absorbs the query's own self-match),
+    * global two-phase merge. roundDecimals rounds the OUTPUT cosine
+    * (both this and the persisted path round through the same Spark
+    * expression, so the two paths stay bit-identical).
+    */
+  def shardedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      numShards: Int = 8,
+      m: Int = 8,
+      efConstruction: Int = 40,
+      efSearch: Int = 40,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qB = spark.sparkContext.broadcast(
+      collectQueries(queries, idCol, vecCol))
+    val (mm, efc, efs, kk) = (m, efConstruction, efSearch, k)
+    val cand = shardRows(corpus, numShards, idCol, vecCol)
+      .repartition(numShards, col("shard"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        groupShards(it.map { case (sh, id, v) => (sh, (id, v)) })
+          .iterator.flatMap { case (_, nodes) =>
+            val g = buildGraph(mm, efc, nodes)
+            qB.value.iterator.flatMap { case (qid, qv) =>
+              g.searchTopK(qv, kk + 1, efs)
+                .map { case (nid, s) => (qid, nid, s) }
+            }
+          }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    mergeRanked(cand, k, roundDecimals)
+  }
+
+  private def mergeRanked(
+      scored: DataFrame, k: Int, roundDecimals: Int): DataFrame = {
+    val noSelf = scored.filter(col("query_id") =!= col("neighbor_id"))
+    val rounded =
+      if (roundDecimals >= 0)
+        noSelf.withColumn("cosine", round(col("cosine"), roundDecimals))
+      else noSelf
+    Similarity.rankTopK(rounded, k)
+  }
+
+  /** Build the persisted index: per-shard graphs as adjacency rows
+    * `(shard, id, vec, nbrs: array<array<bigint>>)` (nbrs(l) = neighbor
+    * ids at level l), shard-identity partition spec, plus a one-row
+    * params table — serve-time hyperparameters travel with the index,
+    * the same params-table contract as the span index.
+    */
+  def buildHnswIndex(
+      spark: SparkSession,
+      corpus: DataFrame,
+      indexDir: String,
+      numShards: Int = 8,
+      m: Int = 8,
+      efConstruction: Int = 40,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    import spark.implicits._
+    val (mm, efc) = (m, efConstruction)
+    val graphRows = shardRows(corpus, numShards, idCol, vecCol)
+      .repartition(numShards, col("shard"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        groupShards(it.map { case (sh, id, v) => (sh, (id, v)) })
+          .iterator.flatMap { case (sh, nodes) =>
+            val g = buildGraph(mm, efc, nodes)
+            (0 until g.size).iterator.map { i =>
+              (sh, g.ids(i), g.vecs(i),
+                g.links(i).toSeq.map(_.toSeq.map(x => g.ids(x))))
+            }
+          }
+      }
+      .toDF("shard", "id", "vec", "nbrs")
+    Snapshots.commit(spark,
+      Seq((mm, efc, numShards)).toDF("m", "ef_construction", "num_shards"),
+      s"$indexDir/params")
+    Snapshots.commit(spark, graphRows, s"$indexDir/graph",
+      statsColumns = Seq("shard", "id"),
+      partitionSpec = Seq(Snapshots.Transform.Identity("shard")))
+  }
+
+  /** O(new) index maintenance: a graph insert rewires existing nodes,
+    * so in-place adds would rewrite touched shards per batch. Adds land
+    * in the PENDING side table instead (scoped merge on the id
+    * envelope — an append batch carries every base file by reference),
+    * serves brute-force the pending tier exactly, and [[foldHnswIndex]]
+    * graduates it into the graph. Re-adding an id updates its pending
+    * row (merge key) and overrides its graph row at serve time.
+    */
+  def addToHnswIndex(
+      spark: SparkSession,
+      newVectors: DataFrame,
+      indexDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    val numShards = Snapshots.read(spark, s"$indexDir/params")
+      .collect().head.getAs[Int]("num_shards")
+    val rows = shardRows(newVectors, numShards, idCol, vecCol)
+    val dir = s"$indexDir/pending"
+    if (Snapshots.version(spark, dir) >= 1)
+      Snapshots.merge(spark, dir, rows, key = Seq("id"),
+        statsColumns = Seq("shard", "id"), scoped = true)
+    else
+      Snapshots.commit(spark, rows, dir, statsColumns = Seq("shard", "id"))
+  }
+
+  /** Fold pending adds into the shard graphs: rebuild ONLY the shards
+    * pending touches (their committed nodes ∪ pending, read through a
+    * manifest-pruned shard IN-list), merge file-scoped, truncate
+    * pending. A shard graph is a pure function of its node set, so the
+    * folded table equals a fresh [[buildHnswIndex]] over the union —
+    * HnswSpec pins that equality byte-for-byte.
+    */
+  def foldHnswIndex(spark: SparkSession, indexDir: String): Long = {
+    import spark.implicits._
+    val pendDir = s"$indexDir/pending"
+    require(Snapshots.version(spark, pendDir) >= 1,
+      s"no pending adds to fold in $indexDir")
+    val prow = Snapshots.read(spark, s"$indexDir/params").collect().head
+    val (mm, efc, numShards) = (prow.getAs[Int]("m"),
+      prow.getAs[Int]("ef_construction"), prow.getAs[Int]("num_shards"))
+    val pend = Snapshots.read(spark, pendDir)
+      .select(col("shard").cast("int"), col("id").cast("long"), col("vec"))
+    // bounded driver list: ≤ numShards distinct values
+    val touched = pend.select("shard").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    require(touched.nonEmpty, s"pending table in $indexDir is empty")
+    val base = Snapshots
+      .readPartitionedIn(spark, s"$indexDir/graph", "shard", touched)
+      .select(col("shard").cast("int"), col("id").cast("long"), col("vec"))
+    val rebuilt = base.unionByName(pend)
+      .repartition(numShards, col("shard"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        groupShards(it.map { case (sh, id, v) => (sh, (id, v)) })
+          .iterator.flatMap { case (sh, nodes) =>
+            val g = buildGraph(mm, efc, nodes)
+            (0 until g.size).iterator.map { i =>
+              (sh, g.ids(i), g.vecs(i),
+                g.links(i).toSeq.map(_.toSeq.map(x => g.ids(x))))
+            }
+          }
+      }
+      .toDF("shard", "id", "vec", "nbrs")
+    // composite-scoped merge: row identity is still the id (shard is a
+    // function of it), but leading with `shard` lets the layer's
+    // per-column envelope intersection carry every shard OUTSIDE the
+    // touched-shard interval by reference — with hash sharding the id
+    // envelopes interleave across shards, so scoping on id alone would
+    // touch every file
+    val v = Snapshots.merge(spark, s"$indexDir/graph", rebuilt,
+      key = Seq("shard", "id"), statsColumns = Seq("shard", "id"),
+      scoped = true)
+    Snapshots.commit(spark, pend.limit(0), pendDir,
+      statsColumns = Seq("shard", "id"))
+    v
+  }
+
+  /** Serve top-k from a persisted index: load shard graphs (adjacency
+    * rows, no re-insertion), search the broadcast batch per shard, add
+    * the pending tier's EXACT scores (pending overrides same-id graph
+    * rows), merge. The graph candidate and pending tiers round through
+    * one Spark expression, so path choice never flips a rounded score.
+    */
+  def hnswTopKPersisted(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int = 10,
+      efSearch: Int = 40,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundDecimals: Int = -1): DataFrame = {
+    import spark.implicits._
+    val prow = Snapshots.read(spark, s"$indexDir/params").collect().head
+    val (mm, efc, numShards) = (prow.getAs[Int]("m"),
+      prow.getAs[Int]("ef_construction"), prow.getAs[Int]("num_shards"))
+    val qs = collectQueries(queries, idCol, vecCol)
+    require(qs.nonEmpty, "empty query batch")
+    val qB = spark.sparkContext.broadcast(qs)
+    val (efs, kk) = (efSearch, k)
+    val graphCand = Snapshots.read(spark, s"$indexDir/graph")
+      .select(col("shard").cast("int"), col("id").cast("long"),
+        col("vec").cast("array<float>"), col("nbrs"))
+      .repartition(numShards, col("shard"))
+      .as[(Int, Long, Array[Float], Seq[Seq[Long]])]
+      .mapPartitions { it =>
+        groupShards(it.map { case (sh, id, v, nb) => (sh, (id, v, nb)) })
+          .iterator.flatMap { case (_, rows) =>
+            val g = fromRows(mm, efc, rows)
+            qB.value.iterator.flatMap { case (qid, qv) =>
+              g.searchTopK(qv, kk + 1, efs)
+                .map { case (nid, s) => (qid, nid, s) }
+            }
+          }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    val pendDir = s"$indexDir/pending"
+    val cand =
+      if (Snapshots.version(spark, pendDir) < 1) graphCand
+      else {
+        val pend = Snapshots.read(spark, pendDir)
+        val qdf = queries
+          .select(col(idCol).cast("long").as("query_id"),
+            col(vecCol).as("qvec"))
+        val pendScored = pend
+          .join(broadcast(qdf), col("query_id") =!= col("id"))
+          .select(col("query_id"), col("id").as("neighbor_id"),
+            cosineSim(col("qvec"), col("vec")).cast("double").as("cosine"))
+        // pending wins on id collision (a re-added vector's new value
+        // must serve); broadcast anti-join against the bounded tier
+        val pendIds = pend.select(col("id").as("neighbor_id")).distinct()
+        graphCand.join(broadcast(pendIds), Seq("neighbor_id"), "left_anti")
+          .unionByName(pendScored)
+      }
+    mergeRanked(cand, k, roundDecimals)
+  }
+}

@@ -655,6 +655,50 @@ object PipelineQueries {
       n = 3, nBuckets = 8)
   }
 
+  /** HNSW hyperparameters for the gate corpus: 4 shards (125 vectors
+    * per shard at sf0.01 — real deployments size shards to executor
+    * memory, the ratio is what the entries exercise), M=8, efC=efS=40.
+    */
+  private val hnswIdxDir = lifecycleDir("hnsw-idx") { (s, d, dir) =>
+    Hnsw.buildHnswIndex(s, t(s, d, "embeddings"), dir, numShards = 4,
+      m = 8, efConstruction = 40)
+  }
+
+  /** Build on vec_id<300, add the rest as the PENDING freshness tier —
+    * the state `ann_hnsw_pending` serves (graph + exact pending). */
+  private val hnswPendingDir = lifecycleDir("hnsw-pend") { (s, d, dir) =>
+    val emb = t(s, d, "embeddings")
+    Hnsw.buildHnswIndex(s, emb.filter(col("vec_id") < 300), dir,
+      numShards = 4, m = 8, efConstruction = 40)
+    Hnsw.addToHnswIndex(s, emb.filter(col("vec_id") >= 300), dir)
+  }
+
+  /** The pending sequence plus [[Hnsw.foldHnswIndex]]: pending
+    * graduated into the shard graphs, pending table truncated. */
+  private val hnswFoldedDir = lifecycleDir("hnsw-fold") { (s, d, dir) =>
+    val emb = t(s, d, "embeddings")
+    Hnsw.buildHnswIndex(s, emb.filter(col("vec_id") < 300), dir,
+      numShards = 4, m = 8, efConstruction = 40)
+    Hnsw.addToHnswIndex(s, emb.filter(col("vec_id") >= 300), dir)
+    Hnsw.foldHnswIndex(s, dir)
+  }
+
+  /** `(n_ref, ok)` recall gate: the fraction of `ref`'s exact
+    * (query_id, neighbor_id) pairs that `got` reproduces must clear
+    * `floor` — the driver-visible shape shared by every approximate-ANN
+    * entry (the oracle recomputes n_ref and pins ok=1). */
+  private def recallGate(
+      ref: DataFrame, got: DataFrame, floor: Double): DataFrame =
+    ref.select(col("query_id"), col("neighbor_id"))
+      .join(
+        got.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_ref"), count(col("hit")).as("n_hit"))
+      .select(
+        col("n_ref"),
+        when(col("n_hit").cast("double") / col("n_ref") >= floor, lit(1L))
+          .otherwise(lit(0L)).as("ok"))
+
   /** Named primers for the memoized shared trainings, so a benchmark
     * can pay each build ONCE on its own `setup_<family>` line instead
     * of charging it to whichever serving entry happens to draw first
@@ -692,7 +736,10 @@ object PipelineQueries {
     "setup_span_asof" -> ((s, d) => { asofSpanIndex(s, d); () }),
     "setup_span_retracted" -> ((s, d) => { rmSpanIndex(s, d); () }),
     "setup_span_stream" -> ((s, d) => { streamSpanIndex(s, d); () }),
-    "setup_phrase_index" -> ((s, d) => { phraseIndexDir(s, d); () }))
+    "setup_phrase_index" -> ((s, d) => { phraseIndexDir(s, d); () }),
+    "setup_hnsw_index" -> ((s, d) => { hnswIdxDir(s, d); () }),
+    "setup_hnsw_pending" -> ((s, d) => { hnswPendingDir(s, d); () }),
+    "setup_hnsw_folded" -> ((s, d) => { hnswFoldedDir(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
     * corpus_chunk's fixed windows: a chunk boundary falls after word e
@@ -1094,6 +1141,71 @@ object PipelineQueries {
           col("n_ref"),
           when(col("n_hit").cast("double") / col("n_ref") >= 0.30, lit(1L))
             .otherwise(lit(0L)).as("ok"))
+    }),
+    // ---- graph ANN (HNSW): the round-12 close of the one standing
+    // vector-surface deferral. Approximate by nature, so every entry is
+    // a recall gate against exact brute force (the SQL-inexpressible
+    // graph traversal cannot hash-match raw rows; same contract as the
+    // SRP/PQ gates). Measured recall@10 at the entries' configuration
+    // (4 shards, M=8, efC=efS=40, HnswDiag): 1.000 on the sf0.01 gate
+    // corpus, 0.94 at sf0.1 — near-orthogonal random vectors, greedy
+    // search's worst case like SRP's; floor 0.70 leaves margin under
+    // both. HnswSpec pins the sharper invariants (determinism,
+    // persisted-roundtrip equality, fold == fresh build) that a
+    // recall floor alone would miss.
+    "ann_hnsw_recall" -> ((s, d) => {
+      // in-memory shard-and-merge: 4 shard graphs built per task,
+      // per-shard top-(k+1), two-phase global merge
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      recallGate(
+        Similarity.bruteForceTopK(emb, q, k = 10, roundDecimals = 6),
+        Hnsw.shardedTopK(emb, q, k = 10, numShards = 4, m = 8,
+          efConstruction = 40, efSearch = 40),
+        floor = 0.70)
+    }),
+    "ann_hnsw_persisted" -> ((s, d) => {
+      // the SAME graphs served from the committed index (adjacency
+      // rows, no re-insertion) — HnswSpec proves this path returns
+      // bit-identical neighbors to the in-memory one, so its gate line
+      // isolates persisted-serve regressions. Build on the
+      // setup_hnsw_index line; the entry times the serve.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      recallGate(
+        Similarity.bruteForceTopK(emb, q, k = 10, roundDecimals = 6),
+        Hnsw.hnswTopKPersisted(s, hnswIdxDir(s, d), q, k = 10,
+          efSearch = 40),
+        floor = 0.70)
+    }),
+    "ann_hnsw_pending" -> ((s, d) => {
+      // index MAINTENANCE: graph on vec_id<300, the rest in the pending
+      // freshness tier (O(new) scoped merge — a graph insert rewires
+      // existing nodes, so in-place adds would rewrite shards per
+      // batch). Serve = graph search + EXACT pending scores, so the
+      // gate also proves added vectors are immediately visible: ~40%
+      // of the exact top-10 pairs live in the added range.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      recallGate(
+        Similarity.bruteForceTopK(emb, q, k = 10, roundDecimals = 6),
+        Hnsw.hnswTopKPersisted(s, hnswPendingDir(s, d), q, k = 10,
+          efSearch = 40),
+        floor = 0.70)
+    }),
+    "ann_hnsw_folded" -> ((s, d) => {
+      // maintenance CLOSE: fold rebuilds only the shards pending
+      // touches and truncates the tier; a shard graph is a pure
+      // function of its node set, so the folded index byte-equals a
+      // fresh full build (HnswSpec pins the equality) and this gate
+      // must behave exactly like ann_hnsw_persisted's.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      recallGate(
+        Similarity.bruteForceTopK(emb, q, k = 10, roundDecimals = 6),
+        Hnsw.hnswTopKPersisted(s, hnswFoldedDir(s, d), q, k = 10,
+          efSearch = 40),
+        floor = 0.70)
     }),
     "ann_pq_recall" -> ((s, d) => {
       // recall@10 of ann_ivf_pq's exact configuration vs exact brute
@@ -3308,6 +3420,26 @@ object PipelineQueries {
         |    AS n_ref,
         |  CAST(1 AS BIGINT) AS ok""".stripMargin,
     "ann_pq_recall" ->
+      """SELECT
+        |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    "ann_hnsw_recall" ->
+      """SELECT
+        |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    "ann_hnsw_persisted" ->
+      """SELECT
+        |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    "ann_hnsw_pending" ->
+      """SELECT
+        |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    "ann_hnsw_folded" ->
       """SELECT
         |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
         |    AS n_ref,

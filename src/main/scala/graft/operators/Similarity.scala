@@ -36,8 +36,10 @@ object Similarity {
 
   /** Two-phase per-query top-k over (query_id, neighbor_id, cosine) rows:
     * partial k-bounded heaps map-side, tiny shuffle, ranked explode.
+    * `private[operators]`: [[Hnsw]] merges its per-shard candidate
+    * streams through the same two-phase aggregation.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = TopKAggregator.topK(k)
     scored
       .groupBy("query_id")

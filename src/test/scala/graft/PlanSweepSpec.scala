@@ -51,10 +51,11 @@ class PlanSweepSpec extends SparkSpec {
       // (Similarity.scala) — a k=8-row broadcast frame, the same
       // bounded-broadcast contract as ann_ivf_trained above
       "embedding_kmeans", "corpus_cluster_sample",
-      // dedup_semantic_trained: the same assignCells broadcast against
-      // a k = ceil(√N)-row trained-centroid LocalRelation — bounded by
-      // the quantizer's own contract (k ≪ N by construction)
-      "dedup_semantic_trained",
+      // dedup_semantic_trained / dedup_contamination_semantic_trained:
+      // the same assignCells broadcast against a k = ceil(√N)-row
+      // trained-centroid LocalRelation — bounded by the quantizer's
+      // own contract (k ≪ N by construction)
+      "dedup_semantic_trained", "dedup_contamination_semantic_trained",
       // ann_ivf_stream / ann_ivf_compacted: both end in the SAME
       // persisted-IVF serve chain as ann_ivf_persisted above
       // (broadcast 8-row centroid scoring) — streaming ingestion and
@@ -63,7 +64,14 @@ class PlanSweepSpec extends SparkSpec {
       "ann_ivf_stream", "ann_ivf_compacted",
       // ann_ivf_asof: the identical serve chain pinned to an earlier
       // postings version — same bounded-broadcast contract
-      "ann_ivf_asof")
+      "ann_ivf_asof",
+      // ann_hnsw_*: recall gates embed the declared-bounded exact
+      // baseline above (corpus × broadcast(10 queries)) as their
+      // reference side; the persisted serves' pending freshness tier
+      // additionally scores pending rows × broadcast(query batch) —
+      // both nested loops bounded by the probe-batch contract
+      "ann_hnsw_recall", "ann_hnsw_persisted", "ann_hnsw_pending",
+      "ann_hnsw_folded")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

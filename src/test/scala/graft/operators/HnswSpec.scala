@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+class HnswSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+
+  private def ranked(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"),
+      r.getAs[Int]("rank"))).toSet
+
+  private def nodesOf(n: Int): Seq[(Long, Array[Float])] =
+    emb.limit(n).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+      .sortBy(_._1).toSeq
+
+  test("level assignment is deterministic and geometric") {
+    val levels = (0L until 1000L).map(Hnsw.levelFor(_, 8))
+    assert(levels == (0L until 1000L).map(Hnsw.levelFor(_, 8)))
+    // geometric with ratio 1/M: ~7/8 of nodes at level 0, a thin tower above
+    val l0 = levels.count(_ == 0)
+    assert(l0 > 750 && l0 < 950, s"level-0 fraction off: $l0/1000")
+    assert(levels.max >= 1 && levels.max <= 24)
+  }
+
+  test("shard graph build is deterministic and search is exact-ish with wide ef") {
+    val nodes = nodesOf(40)
+    val g1 = Hnsw.buildGraph(m = 8, efC = 40, nodes)
+    val g2 = Hnsw.buildGraph(m = 8, efC = 40, nodes)
+    val q = nodes(7)._2
+    // a rebuilt graph is the same graph: identical adjacency, identical search
+    assert(g1.links.map(_.map(_.toList).toList) ==
+      g2.links.map(_.map(_.toList).toList))
+    assert(g1.searchTopK(q, 10, 40) == g2.searchTopK(q, 10, 40))
+    // with ef = N the layer-0 sweep visits every reachable node: top-1
+    // must be the query's own vector (sim 1.0 to itself)
+    val top = g1.searchTopK(q, 1, nodes.length).head
+    assert(top._1 == nodes(7)._1 && top._2 > 0.999999)
+  }
+
+  test("sharded top-k matches brute force closely on the small corpus") {
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val hnsw = pairs(Hnsw.shardedTopK(emb, queries, k = 10, numShards = 2,
+      m = 8, efConstruction = 40, efSearch = 40))
+    val recall = (brute & hnsw).size.toDouble / brute.size
+    info(s"sharded hnsw recall@10 on sf0.001 = $recall")
+    assert(recall >= 0.9, s"recall=$recall")
+    // and it never returns a self-match or a wrong per-query count
+    val got = Hnsw.shardedTopK(emb, queries, k = 10, numShards = 2,
+      m = 8, efConstruction = 40, efSearch = 40).collect()
+    assert(got.length == 50)
+    assert(!got.exists(r =>
+      r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+  }
+
+  test("persisted serve returns bit-identical results to the in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-rt").toString
+    Hnsw.buildHnswIndex(spark, emb, dir, numShards = 2, m = 8,
+      efConstruction = 40)
+    // params table travels with the index
+    val p = Snapshots.read(spark, s"$dir/params").collect().head
+    assert(p.getAs[Int]("m") == 8 && p.getAs[Int]("num_shards") == 2)
+    val mem = ranked(Hnsw.shardedTopK(emb, queries, k = 10, numShards = 2,
+      m = 8, efConstruction = 40, efSearch = 40, roundDecimals = 6))
+    val disk = ranked(Hnsw.hnswTopKPersisted(spark, dir, queries, k = 10,
+      efSearch = 40, roundDecimals = 6))
+    assert(disk == mem)
+  }
+
+  test("pending adds are O(new), immediately visible, and exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-pd").toString
+    val head = emb.filter(col("vec_id") < 30)
+    val tail = emb.filter(col("vec_id") >= 30)
+    Hnsw.buildHnswIndex(spark, head, dir, numShards = 2, m = 8,
+      efConstruction = 40)
+    val baseFiles = Snapshots.read(spark, s"$dir/graph").inputFiles.toSet
+    Hnsw.addToHnswIndex(spark, tail, dir)
+    // the graph table is untouched by an add — pending is a side table
+    assert(Snapshots.read(spark, s"$dir/graph").inputFiles.toSet == baseFiles)
+    assert(Snapshots.version(spark, s"$dir/graph") == 1L)
+    // added vectors serve: each added id's own vector is its query's
+    // exact nearest in the pending tier, so results MUST include
+    // pending ids for queries whose true neighbors were added
+    val served = Hnsw.hnswTopKPersisted(spark, dir, queries, k = 10,
+      efSearch = 40)
+    val servedPairs = pairs(served)
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val addedRefs = brute.filter(_._2 >= 30L)
+    assert(addedRefs.nonEmpty)
+    val addedRecall =
+      (addedRefs & servedPairs).size.toDouble / addedRefs.size
+    info(s"recall on pending-resident exact neighbors = $addedRecall")
+    // the pending tier is brute-force EXACT — every exact neighbor
+    // living in pending must be found
+    assert(addedRecall == 1.0)
+  }
+
+  test("fold equals a fresh build and truncates pending") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-fd").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft-hnsw-fr").toString
+    Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 30), dir,
+      numShards = 2, m = 8, efConstruction = 40)
+    Hnsw.addToHnswIndex(spark, emb.filter(col("vec_id") >= 30), dir)
+    Hnsw.foldHnswIndex(spark, dir)
+    Hnsw.buildHnswIndex(spark, emb, ref, numShards = 2, m = 8,
+      efConstruction = 40)
+    // a shard graph is a pure function of its node set: folded == fresh
+    def rows(d: String) = Snapshots.read(spark, s"$d/graph")
+      .select(col("shard"), col("id"), col("vec"), col("nbrs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Float](2).toList,
+        r.getSeq[scala.collection.Seq[Long]](3).map(_.toList).toList))
+      .toSet
+    assert(rows(dir) == rows(ref))
+    // pending is truncated, not deleted — the table stays readable
+    assert(Snapshots.read(spark, s"$dir/pending").count() == 0L)
+    // and the folded index serves exactly like the fresh one
+    val a = ranked(Hnsw.hnswTopKPersisted(spark, dir, queries, k = 10,
+      efSearch = 40, roundDecimals = 6))
+    val b = ranked(Hnsw.hnswTopKPersisted(spark, ref, queries, k = 10,
+      efSearch = 40, roundDecimals = 6))
+    assert(a == b)
+  }
+
+  test("fold rebuilds only the touched shards' files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-fs").toString
+    Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 40), dir,
+      numShards = 4, m = 8, efConstruction = 40)
+    val before = Snapshots.read(spark, s"$dir/graph").inputFiles.toSet
+    // adds land only in shard 0 (ids ≡ 0 mod 4)
+    Hnsw.addToHnswIndex(spark,
+      emb.filter(col("vec_id") >= 40 && col("vec_id") % 4 === 0), dir)
+    Hnsw.foldHnswIndex(spark, dir)
+    val after = Snapshots.read(spark, s"$dir/graph").inputFiles.toSet
+    // untouched shards' files carry by reference; shard 0's are rewritten
+    val carried = before & after
+    assert(carried.nonEmpty, "no base file survived a single-shard fold")
+    assert(before != after, "fold rewrote nothing")
+    // correctness across the fold: shard-0 additions are served
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = pairs(Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 40 ||
+        (col("vec_id") >= 40 && col("vec_id") % 4 === 0)), q, k = 5))
+    val served = pairs(Hnsw.hnswTopKPersisted(spark, dir, q, k = 5,
+      efSearch = 60))
+    val recall = (brute & served).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+}
