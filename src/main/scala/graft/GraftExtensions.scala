@@ -346,6 +346,34 @@ object GraftExtensions {
             idxDir, arrivals, n = n,
             asOf = exprs.lift(3).map(litLong(_, "dup_spans", "as_of")))
             .queryExecution.logical
+        }),
+      (FunctionIdentifier("graph_search"),
+        tinfo("graph_search",
+          "graph_search(index_dir, queries_path, queries_where, k, " +
+            "ef_search) - HNSW top-k cosine neighbors from a persisted " +
+            "shard-and-merge graph index (buildHnswIndex): per-shard " +
+            "greedy graph search over the committed adjacency plus the " +
+            "exact pending freshness tier, merged globally. M and the " +
+            "shard count come from the index's own params table. " +
+            "Scores round to 6 decimals (the index family's " +
+            "determinism contract)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 5,
+            "graph_search(index_dir, queries_path, queries_where, k, " +
+              s"ef_search) takes 5 arguments, got ${exprs.size}")
+          // query batches are data, same shape as ann_search: a table
+          // plus a selection predicate, so the per-shard graph load
+          // amortizes over the whole batch
+          val queries = active.read
+            .parquet(litStr(exprs(1), "graph_search", "queries_path"))
+            .filter(org.apache.spark.sql.functions.expr(
+              litStr(exprs(2), "graph_search", "queries_where")))
+          graft.operators.Hnsw.hnswTopKPersisted(active,
+            litStr(exprs(0), "graph_search", "index_dir"), queries,
+            k = litLong(exprs(3), "graph_search", "k").toInt,
+            efSearch = litLong(exprs(4), "graph_search", "ef_search").toInt,
+            roundDecimals = 6)
+            .queryExecution.logical
         }))
 
   /** Per-session registration of the table functions, for sessions

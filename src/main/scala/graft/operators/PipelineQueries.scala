@@ -2051,6 +2051,22 @@ object PipelineQueries {
       s.sql(s"SELECT * FROM ann_search('$dir', '$d/embeddings.parquet', " +
         "'vec_id < 10', 10, 2) ORDER BY query_id, rank")
     }),
+    "q_graph_search_sql" -> ((s, d) => {
+      // the TVF spelling of the persisted-HNSW serve, completing the
+      // SQL symmetry across all five index families (bm25 / near_dups
+      // / ann_search / dup_spans / graph_search). The traversal is
+      // approximate, so the SQL result wraps in the SAME recall gate
+      // as ann_hnsw_persisted — the TVF must clear the identical
+      // floor over the identical shared index.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val dir = hnswIdxDir(s, d)
+      recallGate(
+        Similarity.bruteForceTopK(emb, q, k = 10, roundDecimals = 6),
+        s.sql(s"SELECT * FROM graph_search('$dir', " +
+          s"'$d/embeddings.parquet', 'vec_id < 10', 10, 40)"),
+        floor = 0.70)
+    }),
     "text_unigram_logprob" -> ((s, d) => {
       TextAnalysis.unigramLogProb(t(s, d, "documents"))
         .orderBy("doc_id")
@@ -3440,6 +3456,11 @@ object PipelineQueries {
         |    AS n_ref,
         |  CAST(1 AS BIGINT) AS ok""".stripMargin,
     "ann_hnsw_folded" ->
+      """SELECT
+        |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    "q_graph_search_sql" ->
       """SELECT
         |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
         |    AS n_ref,

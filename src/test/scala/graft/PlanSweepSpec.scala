@@ -71,7 +71,11 @@ class PlanSweepSpec extends SparkSpec {
       // additionally scores pending rows × broadcast(query batch) —
       // both nested loops bounded by the probe-batch contract
       "ann_hnsw_recall", "ann_hnsw_persisted", "ann_hnsw_pending",
-      "ann_hnsw_folded")
+      "ann_hnsw_folded",
+      // q_graph_search_sql: the TVF spelling of ann_hnsw_persisted's
+      // serve wrapped in the same recall gate — identical bounded
+      // nested loops
+      "q_graph_search_sql")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
