@@ -350,17 +350,20 @@ object GraftExtensions {
       (FunctionIdentifier("graph_search"),
         tinfo("graph_search",
           "graph_search(index_dir, queries_path, queries_where, k, " +
-            "ef_search) - HNSW top-k cosine neighbors from a persisted " +
-            "shard-and-merge graph index (buildHnswIndex): per-shard " +
-            "greedy graph search over the committed adjacency plus the " +
-            "exact pending freshness tier, merged globally. M and the " +
-            "shard count come from the index's own params table. " +
-            "Scores round to 6 decimals (the index family's " +
-            "determinism contract)"),
+            "ef_search[, as_of]) - HNSW top-k cosine neighbors from a " +
+            "persisted shard-and-merge graph index (buildHnswIndex): " +
+            "per-shard greedy graph search over the committed adjacency " +
+            "plus the exact pending freshness tier, merged globally. M " +
+            "and the shard count come from the index's own params " +
+            "table. Scores round to 6 decimals (the index family's " +
+            "determinism contract). The optional 6th argument pins the " +
+            "serve to an INDEX version from the index's version " +
+            "manifest — one handle naming the (graph, pending) table " +
+            "pair coherently (reproducible serving)"),
         (exprs: Seq[Expression]) => {
-          require(exprs.size == 5,
+          require(exprs.size == 5 || exprs.size == 6,
             "graph_search(index_dir, queries_path, queries_where, k, " +
-              s"ef_search) takes 5 arguments, got ${exprs.size}")
+              s"ef_search[, as_of]) takes 5 or 6 arguments, got ${exprs.size}")
           // query batches are data, same shape as ann_search: a table
           // plus a selection predicate, so the per-shard graph load
           // amortizes over the whole batch
@@ -372,7 +375,8 @@ object GraftExtensions {
             litStr(exprs(0), "graph_search", "index_dir"), queries,
             k = litLong(exprs(3), "graph_search", "k").toInt,
             efSearch = litLong(exprs(4), "graph_search", "ef_search").toInt,
-            roundDecimals = 6)
+            roundDecimals = 6,
+            asOf = exprs.lift(5).map(litLong(_, "graph_search", "as_of")))
             .queryExecution.logical
         }))
 

@@ -56,10 +56,16 @@ import graft.sources.Snapshots
   *     envelope, truncates pending. Because a shard build is a pure
   *     function of its node set, a folded index is BYTE-IDENTICAL to a
   *     fresh build over the union — HnswSpec pins exactly that.
+  *   - [[removeFromHnswIndex]]: O(keys) merge-on-read retraction; the
+  *     loader tolerates the dangling edges until the next fold.
   *   - [[hnswTopKPersisted]]: loads shard graphs (no re-insertion — the
   *     adjacency is the data), searches the broadcast query batch,
   *     unions the pending tier, merges top-k. Pending ids override
   *     graph rows (anti-join), so a re-added id serves its new vector.
+  *     `asOf` pins serving to an INDEX version from the manifest every
+  *     mutating op appends ([[stampVersion]]) — the graph and pending
+  *     tables mutate in dependent pairs, so the coherent pin is one
+  *     handle naming both table versions, not a per-table pin.
   *
   * Driver-bounded collects, per the repo's O(1)-scalars budget: the
   * query batch (ANN serving contract — queries are the small side),
@@ -264,7 +270,12 @@ object Hnsw {
   }
 
   /** Shard graph from persisted adjacency rows — the graph IS the
-    * data; no edges are recomputed. */
+    * data; no edges are recomputed. Neighbor ids with no surviving row
+    * are DROPPED: a merge-on-read retraction removes a node's row but
+    * leaves edges pointing at it in its neighbors' lists, and tolerating
+    * the dangling slot (slightly thinner graph until the next fold
+    * rebuilds the shard) is what makes retraction an O(keys) sidecar
+    * instead of a shard rewrite. */
   private[operators] def fromRows(
       m: Int, efC: Int,
       rows: Seq[(Long, Array[Float], Seq[Seq[Long]])]): ShardGraph = {
@@ -276,7 +287,7 @@ object Hnsw {
     while (i < g.size) { byId(g.ids(i)) = i; i += 1 }
     sorted.zipWithIndex.foreach { case ((_, _, nbrs), node) =>
       nbrs.zipWithIndex.foreach { case (ns, lev) =>
-        g.setLinks(node, lev, ns.map(byId))
+        g.setLinks(node, lev, ns.flatMap(byId.get))
       }
     }
     g.resetEntry()
@@ -402,6 +413,34 @@ object Hnsw {
     Snapshots.commit(spark, graphRows, s"$indexDir/graph",
       statsColumns = Seq("shard", "id"),
       partitionSpec = Seq(Snapshots.Transform.Identity("shard")))
+    stampVersion(spark, indexDir)
+  }
+
+  /** The index-level VERSION MANIFEST: the graph and pending tables
+    * mutate in dependent pairs (build/add/fold/retract), so a coherent
+    * as-of pin needs one handle naming BOTH table versions — the same
+    * reason real table formats keep a snapshot log above their data
+    * files. Every mutating op appends `(index_version, graph_v,
+    * pending_v)` here and returns the new index version; [[
+    * hnswTopKPersisted]] resolves an `asOf` pin through it. The table
+    * is O(mutations) tiny — the read is the same driver-bounded budget
+    * as the params row. pending_v = 0 records "tier not created yet".
+    */
+  private def stampVersion(spark: SparkSession, indexDir: String): Long = {
+    import spark.implicits._
+    val dir = s"$indexDir/versions"
+    val gv = Snapshots.version(spark, s"$indexDir/graph")
+    val pv = Snapshots.version(spark, s"$indexDir/pending")
+    val cur =
+      if (Snapshots.version(spark, dir) >= 1)
+        Snapshots.read(spark, dir).as[(Long, Long, Long)].collect().toSeq
+      else Nil
+    val next = if (cur.isEmpty) 1L else cur.map(_._1).max + 1
+    Snapshots.commit(spark,
+      (cur :+ ((next, gv, math.max(pv, 0L))))
+        .toDF("index_version", "graph_v", "pending_v"),
+      dir)
+    next
   }
 
   /** O(new) index maintenance: a graph insert rewires existing nodes,
@@ -427,6 +466,31 @@ object Hnsw {
         statsColumns = Seq("shard", "id"), scoped = true)
     else
       Snapshots.commit(spark, rows, dir, statsColumns = Seq("shard", "id"))
+    stampVersion(spark, indexDir)
+  }
+
+  /** Retract vectors: an O(keys) merge-on-read delete on the graph
+    * rows (and any same-id pending rows) — no shard rewrite. Edges
+    * pointing at retracted nodes dangle until the next fold rebuilds
+    * their shards; the serve-side loader drops dangling neighbor ids
+    * ([[fromRows]]), so retracted vectors vanish from every result
+    * immediately while the graph only thins slightly. Same fold-first
+    * revision flow as the other families: compaction folds the delete
+    * sidecars before a scoped merge touches the table again.
+    */
+  def removeFromHnswIndex(
+      spark: SparkSession,
+      indexDir: String,
+      vecIds: Seq[Long]): Long = {
+    require(vecIds.nonEmpty, "empty retraction batch")
+    Snapshots.deleteMergeOnRead(spark, s"$indexDir/graph",
+      col("id").isin(vecIds: _*),
+      key = Seq("id"), statsColumns = Seq("shard", "id"))
+    if (Snapshots.version(spark, s"$indexDir/pending") >= 1)
+      Snapshots.deleteMergeOnRead(spark, s"$indexDir/pending",
+        col("id").isin(vecIds: _*),
+        key = Seq("id"), statsColumns = Seq("shard", "id"))
+    stampVersion(spark, indexDir)
   }
 
   /** Fold pending adds into the shard graphs: rebuild ONLY the shards
@@ -473,12 +537,12 @@ object Hnsw {
     // touched-shard interval by reference — with hash sharding the id
     // envelopes interleave across shards, so scoping on id alone would
     // touch every file
-    val v = Snapshots.merge(spark, s"$indexDir/graph", rebuilt,
+    Snapshots.merge(spark, s"$indexDir/graph", rebuilt,
       key = Seq("shard", "id"), statsColumns = Seq("shard", "id"),
       scoped = true)
     Snapshots.commit(spark, pend.limit(0), pendDir,
       statsColumns = Seq("shard", "id"))
-    v
+    stampVersion(spark, indexDir)
   }
 
   /** Serve top-k from a persisted index: load shard graphs (adjacency
@@ -495,16 +559,32 @@ object Hnsw {
       efSearch: Int = 40,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      roundDecimals: Int = -1): DataFrame = {
+      roundDecimals: Int = -1,
+      asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val prow = Snapshots.read(spark, s"$indexDir/params").collect().head
     val (mm, efc, numShards) = (prow.getAs[Int]("m"),
       prow.getAs[Int]("ef_construction"), prow.getAs[Int]("num_shards"))
+    // `asOf` is an INDEX version from the manifest [[stampVersion]]
+    // writes — one handle pinning the (graph, pending) table pair
+    // coherently, since the two mutate together (a graph-v pin alone
+    // would serve yesterday's graph against today's pending tier)
+    val pinned = asOf.map { iv =>
+      val row = Snapshots.read(spark, s"$indexDir/versions")
+        .filter(col("index_version") === iv).collect()
+      require(row.nonEmpty, s"no index version $iv in $indexDir/versions")
+      (row.head.getAs[Long]("graph_v"), row.head.getAs[Long]("pending_v"))
+    }
     val qs = collectQueries(queries, idCol, vecCol)
     require(qs.nonEmpty, "empty query batch")
     val qB = spark.sparkContext.broadcast(qs)
     val (efs, kk) = (efSearch, k)
-    val graphCand = Snapshots.read(spark, s"$indexDir/graph")
+    val graphDf = pinned match {
+      case Some((gv, _)) =>
+        Snapshots.readVersion(spark, s"$indexDir/graph", gv)
+      case None => Snapshots.read(spark, s"$indexDir/graph")
+    }
+    val graphCand = graphDf
       .select(col("shard").cast("int"), col("id").cast("long"),
         col("vec").cast("array<float>"), col("nbrs"))
       .repartition(numShards, col("shard"))
@@ -521,10 +601,16 @@ object Hnsw {
       }
       .toDF("query_id", "neighbor_id", "cosine")
     val pendDir = s"$indexDir/pending"
-    val cand =
-      if (Snapshots.version(spark, pendDir) < 1) graphCand
-      else {
-        val pend = Snapshots.read(spark, pendDir)
+    val pendDf = pinned match {
+      case Some((_, pv)) =>
+        if (pv < 1) None else Some(Snapshots.readVersion(spark, pendDir, pv))
+      case None =>
+        if (Snapshots.version(spark, pendDir) < 1) None
+        else Some(Snapshots.read(spark, pendDir))
+    }
+    val cand = pendDf match {
+      case None => graphCand
+      case Some(pend) =>
         val qdf = queries
           .select(col(idCol).cast("long").as("query_id"),
             col(vecCol).as("qvec"))
@@ -537,7 +623,7 @@ object Hnsw {
         val pendIds = pend.select(col("id").as("neighbor_id")).distinct()
         graphCand.join(broadcast(pendIds), Seq("neighbor_id"), "left_anti")
           .unionByName(pendScored)
-      }
+    }
     mergeRanked(cand, k, roundDecimals)
   }
 }

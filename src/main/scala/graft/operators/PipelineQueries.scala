@@ -664,13 +664,86 @@ object PipelineQueries {
       m = 8, efConstruction = 40)
   }
 
-  /** Build on vec_id<300, add the rest as the PENDING freshness tier —
-    * the state `ann_hnsw_pending` serves (graph + exact pending). */
-  private val hnswPendingDir = lifecycleDir("hnsw-pend") { (s, d, dir) =>
+  private val asofHnswMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, Long)]()
+
+  /** HNSW graph built on vec_id<300 (index version v1), the rest added
+    * as the PENDING freshness tier (v2) — returns (dir, v1). Shared by
+    * `ann_hnsw_pending` (unpinned serve of the tip) and `ann_hnsw_asof`
+    * (serve pinned to v1), the same shared-state pattern as
+    * [[asofIvfIndex]]. */
+  private def asofHnswIndex(s: SparkSession, d: String): (String, Long) =
+    asofHnswMemo.computeIfAbsent((s, d), _ => {
+      val emb = t(s, d, "embeddings")
+      val dir = scratch(s"graft-hnsw-asof-$pid")
+      clearDir(s, dir)
+      val v1 = Hnsw.buildHnswIndex(s, emb.filter(col("vec_id") < 300), dir,
+        numShards = 4, m = 8, efConstruction = 40)
+      Hnsw.addToHnswIndex(s, emb.filter(col("vec_id") >= 300), dir)
+      (dir, v1)
+    })
+
+  /** Full build, then vec_ids [100,150) retracted merge-on-read — the
+    * thinned-graph state `ann_hnsw_retracted` serves. */
+  private val rmHnswDir = lifecycleDir("hnsw-rm") { (s, d, dir) =>
+    Hnsw.buildHnswIndex(s, t(s, d, "embeddings"), dir, numShards = 4,
+      m = 8, efConstruction = 40)
+    Hnsw.removeFromHnswIndex(s, dir, (100L until 150L).toSeq)
+  }
+
+  /** STREAMING ingestion into the graph index, the streamIvfIndex
+    * shape: the first file-source micro-batch builds the shard graphs,
+    * later arrivals land in the pending freshness tier (O(new) — no
+    * graph rewire per batch; fold graduates them off-line). The
+    * resulting table CONTENTS equal [[asofHnswIndex]]'s tip state, and
+    * the serve is a deterministic function of content, so the
+    * `ann_hnsw_stream` gate can pin bit-agreement with the batch
+    * build+add spelling on top of the recall floor. */
+  private val streamHnswDir = lifecycleDir("hnsw-stream") { (s, d, dir) =>
+    val emb = t(s, d, "embeddings")
+    val inDir = scratch(s"graft-hnsw-stream-in-$pid")
+    val ckpt = scratch(s"graft-hnsw-stream-ckpt-$pid")
+    Seq(inDir, ckpt).foreach(clearDir(s, _))
+    emb.filter(col("vec_id") < 300).coalesce(1)
+      .write.parquet(s"$inDir/arrival-0")
+    emb.filter(col("vec_id") >= 300).coalesce(1)
+      .write.parquet(s"$inDir/arrival-1")
+    val q = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/arrival-*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val bs = batch.sparkSession
+        if (graft.sources.Snapshots.version(bs, s"$dir/graph") >= 1L)
+          Hnsw.addToHnswIndex(bs, batch.toDF(), dir)
+        else
+          Hnsw.buildHnswIndex(bs, batch.toDF(), dir, numShards = 4,
+            m = 8, efConstruction = 40)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The full revision sequence — build on vec_id<300, pending add of
+    * the rest, merge-on-read retraction of [100,150) — then
+    * [[IndexMaintenance.compactIndex]], which FOLDS the graph table's
+    * delete sidecar into the base (inherited shard spec, so per-shard
+    * serving survives) and bin-packs the add slivers. The state
+    * `ann_hnsw_compacted` serves: sidecar-free, repacked, retracted
+    * rows physically gone (their dangling edges still tolerated by the
+    * loader until a graph fold rebuilds those shards). */
+  private val cptHnswDir = lifecycleDir("hnsw-cpt") { (s, d, dir) =>
     val emb = t(s, d, "embeddings")
     Hnsw.buildHnswIndex(s, emb.filter(col("vec_id") < 300), dir,
       numShards = 4, m = 8, efConstruction = 40)
     Hnsw.addToHnswIndex(s, emb.filter(col("vec_id") >= 300), dir)
+    Hnsw.removeFromHnswIndex(s, dir, (100L until 150L).toSeq)
+    IndexMaintenance.compactIndex(s, dir)
   }
 
   /** The pending sequence plus [[Hnsw.foldHnswIndex]]: pending
@@ -738,8 +811,11 @@ object PipelineQueries {
     "setup_span_stream" -> ((s, d) => { streamSpanIndex(s, d); () }),
     "setup_phrase_index" -> ((s, d) => { phraseIndexDir(s, d); () }),
     "setup_hnsw_index" -> ((s, d) => { hnswIdxDir(s, d); () }),
-    "setup_hnsw_pending" -> ((s, d) => { hnswPendingDir(s, d); () }),
-    "setup_hnsw_folded" -> ((s, d) => { hnswFoldedDir(s, d); () }))
+    "setup_hnsw_asof" -> ((s, d) => { asofHnswIndex(s, d); () }),
+    "setup_hnsw_retracted" -> ((s, d) => { rmHnswDir(s, d); () }),
+    "setup_hnsw_folded" -> ((s, d) => { hnswFoldedDir(s, d); () }),
+    "setup_hnsw_stream" -> ((s, d) => { streamHnswDir(s, d); () }),
+    "setup_hnsw_compacted" -> ((s, d) => { cptHnswDir(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
     * corpus_chunk's fixed windows: a chunk boundary falls after word e
@@ -1189,9 +1265,115 @@ object PipelineQueries {
       val q = emb.filter(col("vec_id") < 10)
       recallGate(
         Similarity.bruteForceTopK(emb, q, k = 10, roundDecimals = 6),
-        Hnsw.hnswTopKPersisted(s, hnswPendingDir(s, d), q, k = 10,
+        Hnsw.hnswTopKPersisted(s, asofHnswIndex(s, d)._1, q, k = 10,
           efSearch = 40),
         floor = 0.70)
+    }),
+    "ann_hnsw_asof" -> ((s, d) => {
+      // version-pinned graph serving: the graph and pending tables
+      // mutate in dependent pairs, so the pin is an INDEX version from
+      // the family's version manifest (one handle naming both table
+      // versions — Hnsw.stampVersion), here v1 = build-only. The gate
+      // is two-sided: recall vs brute force over WHAT v1 HELD, and
+      // zero neighbors from the later-added range (a leaked pending
+      // tier would push added vectors into the top-k). Build+add on
+      // the setup_hnsw_asof line; the entry times the pinned serve.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val (dir, v1) = asofHnswIndex(s, d)
+      val got = Hnsw.hnswTopKPersisted(s, dir, q, k = 10, efSearch = 40,
+        asOf = Some(v1))
+      val leaked = got.filter(col("neighbor_id") >= 300)
+        .agg(count(lit(1)).as("n_leaked"))
+      recallGate(
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 300), q,
+          k = 10, roundDecimals = 6),
+        got, floor = 0.70)
+        .crossJoin(broadcast(leaked))
+        .select(col("n_ref"), col("n_leaked"),
+          when(col("ok") === 1 && col("n_leaked") === 0, lit(1L))
+            .otherwise(lit(0L)).as("ok"))
+    }),
+    "ann_hnsw_retracted" -> ((s, d) => {
+      // graph retraction: vec_ids [100,150) merge-on-read deleted
+      // (O(keys) sidecar — no shard rewrite; the loader drops the
+      // dangling edges). Two-sided gate like the as-of entry: recall
+      // vs brute force over the SURVIVING corpus, and zero retracted
+      // neighbors served (they held result rows before — the exact
+      // top-10 of the full corpus includes the range — so the entry
+      // is discriminative). Build+retract on the setup_hnsw_retracted
+      // line; the entry times the serve over the sidecar state.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val got = Hnsw.hnswTopKPersisted(s, rmHnswDir(s, d), q, k = 10,
+        efSearch = 40)
+      val leaked = got
+        .filter(col("neighbor_id") >= 100 && col("neighbor_id") < 150)
+        .agg(count(lit(1)).as("n_leaked"))
+      recallGate(
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 100 || col("vec_id") >= 150), q,
+          k = 10, roundDecimals = 6),
+        got, floor = 0.70)
+        .crossJoin(broadcast(leaked))
+        .select(col("n_ref"), col("n_leaked"),
+          when(col("ok") === 1 && col("n_leaked") === 0, lit(1L))
+            .otherwise(lit(0L)).as("ok"))
+    }),
+    "ann_hnsw_stream" -> ((s, d) => {
+      // STREAMING ingestion into the graph index: the first
+      // micro-batch builds the shard graphs, later arrivals land in
+      // the pending tier (streamHnswDir). Because a shard graph is a
+      // pure function of its node set and the pending tier is exact,
+      // the streamed state's serve must BIT-EQUAL the batch build+add
+      // spelling's over the shared asof dir — the gate pins recall
+      // AND n_diff = 0 rows of symmetric difference between the two
+      // serves (arrival spelling is invisible to serving). Drain on
+      // the setup_hnsw_stream line; the entry times the serves.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val got = Hnsw.hnswTopKPersisted(s, streamHnswDir(s, d), q, k = 10,
+        efSearch = 40, roundDecimals = 6)
+      val batchSpelled = Hnsw.hnswTopKPersisted(s, asofHnswIndex(s, d)._1,
+        q, k = 10, efSearch = 40, roundDecimals = 6)
+      val diff = got.exceptAll(batchSpelled)
+        .unionAll(batchSpelled.exceptAll(got))
+        .agg(count(lit(1)).as("n_diff"))
+      recallGate(
+        Similarity.bruteForceTopK(emb, q, k = 10, roundDecimals = 6),
+        got, floor = 0.70)
+        .crossJoin(broadcast(diff))
+        .select(col("n_ref"), col("n_diff"),
+          when(col("ok") === 1 && col("n_diff") === 0, lit(1L))
+            .otherwise(lit(0L)).as("ok"))
+    }),
+    "ann_hnsw_compacted" -> ((s, d) => {
+      // maintenance CLOSE for the graph family: build + pending add +
+      // merge-on-read retraction, then compactIndex — which folds the
+      // delete sidecar into the base under the inherited shard spec
+      // and bin-packs the add slivers (cptHnswDir). Serving is
+      // invariant under the rewrite: same two-sided gate as
+      // ann_hnsw_retracted — recall over the SURVIVING corpus plus
+      // zero retracted neighbors — now over a sidecar-free repacked
+      // layout (the retracted rows are physically gone; their
+      // dangling edges stay loader-tolerated). Lifecycle on the
+      // setup_hnsw_compacted line; the entry times the serve.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val got = Hnsw.hnswTopKPersisted(s, cptHnswDir(s, d), q, k = 10,
+        efSearch = 40)
+      val leaked = got
+        .filter(col("neighbor_id") >= 100 && col("neighbor_id") < 150)
+        .agg(count(lit(1)).as("n_leaked"))
+      recallGate(
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 100 || col("vec_id") >= 150), q,
+          k = 10, roundDecimals = 6),
+        got, floor = 0.70)
+        .crossJoin(broadcast(leaked))
+        .select(col("n_ref"), col("n_leaked"),
+          when(col("ok") === 1 && col("n_leaked") === 0, lit(1L))
+            .otherwise(lit(0L)).as("ok"))
     }),
     "ann_hnsw_folded" -> ((s, d) => {
       // maintenance CLOSE: fold rebuilds only the shards pending
@@ -2066,6 +2248,30 @@ object PipelineQueries {
         s.sql(s"SELECT * FROM graph_search('$dir', " +
           s"'$d/embeddings.parquet', 'vec_id < 10', 10, 40)"),
         floor = 0.70)
+    }),
+    "q_graph_search_asof_sql" -> ((s, d) => {
+      // SQL spelling of the version-pinned graph serve: graph_search's
+      // optional 6th argument resolves an INDEX version through the
+      // family's version manifest (one handle pinning the (graph,
+      // pending) pair). Same two-sided gate as ann_hnsw_asof — recall
+      // over what v1 held plus zero leaked later-added neighbors —
+      // over the SAME shared setup_hnsw_asof index, so the TVF and
+      // the Scala spelling must agree about the pinned state.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val (dir, v1) = asofHnswIndex(s, d)
+      val got = s.sql(s"SELECT * FROM graph_search('$dir', " +
+        s"'$d/embeddings.parquet', 'vec_id < 10', 10, 40, $v1)")
+      val leaked = got.filter(col("neighbor_id") >= 300)
+        .agg(count(lit(1)).as("n_leaked"))
+      recallGate(
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 300), q,
+          k = 10, roundDecimals = 6),
+        got, floor = 0.70)
+        .crossJoin(broadcast(leaked))
+        .select(col("n_ref"), col("n_leaked"),
+          when(col("ok") === 1 && col("n_leaked") === 0, lit(1L))
+            .otherwise(lit(0L)).as("ok"))
     }),
     "text_unigram_logprob" -> ((s, d) => {
       TextAnalysis.unigramLogProb(t(s, d, "documents"))
@@ -3464,6 +3670,36 @@ object PipelineQueries {
       """SELECT
         |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
         |    AS n_ref,
+        |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    "ann_hnsw_asof" ->
+      """SELECT
+        |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(0 AS BIGINT) AS n_leaked,
+        |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    "q_graph_search_asof_sql" ->
+      """SELECT
+        |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(0 AS BIGINT) AS n_leaked,
+        |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    "ann_hnsw_stream" ->
+      """SELECT
+        |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(0 AS BIGINT) AS n_diff,
+        |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    "ann_hnsw_compacted" ->
+      """SELECT
+        |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(0 AS BIGINT) AS n_leaked,
+        |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    "ann_hnsw_retracted" ->
+      """SELECT
+        |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_ref,
+        |  CAST(0 AS BIGINT) AS n_leaked,
         |  CAST(1 AS BIGINT) AS ok""".stripMargin,
     "dedup_srp_recall" ->
       """WITH e AS (

@@ -72,6 +72,15 @@ class PlanSweepSpec extends SparkSpec {
       // both nested loops bounded by the probe-batch contract
       "ann_hnsw_recall", "ann_hnsw_persisted", "ann_hnsw_pending",
       "ann_hnsw_folded",
+      // ann_hnsw_asof / ann_hnsw_retracted: the same gate shape plus a
+      // broadcast single-row leak counter (the repo's bounded
+      // label-frame crossJoin pattern); q_graph_search_asof_sql is the
+      // TVF spelling of the as-of gate, identical shape
+      "ann_hnsw_asof", "ann_hnsw_retracted", "q_graph_search_asof_sql",
+      // ann_hnsw_stream / ann_hnsw_compacted: the same bounded gate
+      // shapes (stream adds an exceptAll agreement counter, compacted
+      // the retraction leak counter)
+      "ann_hnsw_stream", "ann_hnsw_compacted",
       // q_graph_search_sql: the TVF spelling of ann_hnsw_persisted's
       // serve wrapped in the same recall gate — identical bounded
       // nested loops

@@ -134,6 +134,61 @@ class HnswSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("retraction is an O(keys) sidecar and retracted ids vanish immediately") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-rm").toString
+    Hnsw.buildHnswIndex(spark, emb, dir, numShards = 2, m = 8,
+      efConstruction = 40)
+    val baseFiles = Snapshots.read(spark, s"$dir/graph").inputFiles.toSet
+    // retract ids that the full-corpus exact top-10 provably contains
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val victims = brute.map(_._2).toSeq.sorted.take(5)
+    Hnsw.removeFromHnswIndex(spark, dir, victims)
+    // merge-on-read: the only NEW files the read plans are the delete
+    // sidecar's — no data file was rewritten (the build's zero-row
+    // empty-partition outputs are legitimately dropped by the
+    // pure-reference commit, so subset-of-v1 is the wrong direction)
+    val afterFiles = Snapshots.read(spark, s"$dir/graph").inputFiles.toSet
+    assert((afterFiles -- baseFiles).forall(_.contains("_mor_deletes")),
+      s"unexpected new data files: ${(afterFiles -- baseFiles).mkString(", ")}")
+    val served = pairs(Hnsw.hnswTopKPersisted(spark, dir, queries, k = 10,
+      efSearch = 60))
+    assert(!served.exists(p => victims.contains(p._2)))
+    // the thinned graph still finds the surviving neighbors
+    val survRef = pairs(Similarity.bruteForceTopK(
+      emb.filter(!col("vec_id").isin(victims: _*)), queries, k = 10))
+    val recall = (survRef & served).size.toDouble / survRef.size
+    info(s"post-retraction recall@10 = $recall")
+    assert(recall >= 0.85, s"recall=$recall")
+  }
+
+  test("as-of pins the (graph, pending) pair through the version manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-ao").toString
+    val sub = java.nio.file.Files.createTempDirectory("graft-hnsw-as").toString
+    val head = emb.filter(col("vec_id") < 30)
+    val v1 = Hnsw.buildHnswIndex(spark, head, dir, numShards = 2, m = 8,
+      efConstruction = 40)
+    val v2 = Hnsw.addToHnswIndex(spark,
+      emb.filter(col("vec_id") >= 30), dir)
+    assert(v1 == 1L && v2 == 2L)
+    // pinned to v1 == a fresh build over what v1 held, bit-identical
+    Hnsw.buildHnswIndex(spark, head, sub, numShards = 2, m = 8,
+      efConstruction = 40)
+    val pinned = ranked(Hnsw.hnswTopKPersisted(spark, dir, queries, k = 10,
+      efSearch = 40, roundDecimals = 6, asOf = Some(v1)))
+    assert(pinned == ranked(Hnsw.hnswTopKPersisted(spark, sub, queries,
+      k = 10, efSearch = 40, roundDecimals = 6)))
+    // the tip sees the pending tier; a v2 pin survives a later fold
+    // (time travel through both tables' snapshots)
+    val atV2 = ranked(Hnsw.hnswTopKPersisted(spark, dir, queries, k = 10,
+      efSearch = 40, roundDecimals = 6, asOf = Some(v2)))
+    assert(atV2 == ranked(Hnsw.hnswTopKPersisted(spark, dir, queries,
+      k = 10, efSearch = 40, roundDecimals = 6)))
+    val v3 = Hnsw.foldHnswIndex(spark, dir)
+    assert(v3 == 3L)
+    assert(atV2 == ranked(Hnsw.hnswTopKPersisted(spark, dir, queries,
+      k = 10, efSearch = 40, roundDecimals = 6, asOf = Some(v2))))
+  }
+
   test("fold rebuilds only the touched shards' files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-fs").toString
     Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 40), dir,
