@@ -425,6 +425,10 @@ object Hnsw {
     * hnswTopKPersisted]] resolves an `asOf` pin through it. The table
     * is O(mutations) tiny — the read is the same driver-bounded budget
     * as the params row. pending_v = 0 records "tier not created yet".
+    * Mutations to ONE index are expected to be serialized by the
+    * caller (the same single-writer-per-index assumption the bm25
+    * family's version-stamped stats make); a lost manifest row would
+    * fail loudly at pin time, never serve an incoherent pair.
     */
   private def stampVersion(spark: SparkSession, indexDir: String): Long = {
     import spark.implicits._
