@@ -308,9 +308,15 @@ object GraftExtensions {
           val idxDir = litStr(exprs(0), "near_dups", "index_dir")
           // probe with the BUILD's hyperparameters (the index's params
           // table), never hardcoded defaults — a SQL client has no
-          // way to pass them, and a mismatch silently misses pairs
+          // way to pass them, and a mismatch silently misses pairs.
+          // Every buildMinhashIndex dir has a params table, so absence
+          // means a foreign/malformed dir: fail loudly rather than
+          // guess a width and silently report "no duplicates"
           val (b, r, w) = graft.operators.Dedup
-            .minhashIndexParams(active, idxDir).getOrElse((16, 4, 3))
+            .minhashIndexParams(active, idxDir).getOrElse(
+              throw new IllegalArgumentException(
+                s"near_dups: $idxDir has no minhash params table — " +
+                  "not a buildMinhashIndex directory"))
           graft.operators.Dedup.minhashProbe(active, probes, idxDir,
             bands = b, rowsPerBand = r, shingleWords = w,
             asOf = exprs.lift(3).map(litLong(_, "near_dups", "as_of")))
@@ -339,9 +345,14 @@ object GraftExtensions {
               litStr(exprs(2), "dup_spans", "arrivals_where")))
           val idxDir = litStr(exprs(0), "dup_spans", "index_dir")
           // probe with the BUILD's gram width (the index's params
-          // table) — a mismatch silently misses every span
+          // table) — a mismatch silently misses every span, so a dir
+          // with no params table (not a buildSpanIndex layout) is a
+          // loud error, never a guessed default
           val n = graft.operators.TextAnalysis
-            .spanIndexParams(active, idxDir).getOrElse(8)
+            .spanIndexParams(active, idxDir).getOrElse(
+              throw new IllegalArgumentException(
+                s"dup_spans: $idxDir has no span params table — " +
+                  "not a buildSpanIndex directory"))
           graft.operators.TextAnalysis.dupSpansAgainstIndex(active,
             idxDir, arrivals, n = n,
             asOf = exprs.lift(3).map(litLong(_, "dup_spans", "as_of")))

@@ -376,11 +376,41 @@ object Hnsw {
     Similarity.rankTopK(rounded, k)
   }
 
+  /** Shard-local graph construction as a DataFrame stage: (shard, id,
+    * vec) rows → adjacency rows `(shard, id, vec, nbrs)` with each
+    * shard's graph built inside one task. Shared by [[buildHnswIndex]]
+    * and [[foldHnswIndex]] — the "fold == fresh build byte-identical"
+    * invariant depends on the two paths serializing IDENTICALLY, so
+    * there is exactly one copy of this block. */
+  private def adjacencyRows(
+      spark: SparkSession,
+      nodes: DataFrame,
+      numShards: Int, m: Int, efC: Int): DataFrame = {
+    import spark.implicits._
+    nodes
+      .repartition(numShards, col("shard"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        groupShards(it.map { case (sh, id, v) => (sh, (id, v)) })
+          .iterator.flatMap { case (sh, ns) =>
+            val g = buildGraph(m, efC, ns)
+            (0 until g.size).iterator.map { i =>
+              (sh, g.ids(i), g.vecs(i),
+                g.links(i).toSeq.map(_.toSeq.map(x => g.ids(x))))
+            }
+          }
+      }
+      .toDF("shard", "id", "vec", "nbrs")
+  }
+
   /** Build the persisted index: per-shard graphs as adjacency rows
     * `(shard, id, vec, nbrs: array<array<bigint>>)` (nbrs(l) = neighbor
     * ids at level l), shard-identity partition spec, plus a one-row
     * params table — serve-time hyperparameters travel with the index,
-    * the same params-table contract as the span index.
+    * the same params-table contract as the span index. A REBUILD into
+    * an existing dir also truncates the pending tier: stale pending
+    * rows would otherwise override the fresh graph rows at serve time
+    * (the pending-wins anti-join), resurrecting pre-rebuild vectors.
     */
   def buildHnswIndex(
       spark: SparkSession,
@@ -392,27 +422,21 @@ object Hnsw {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Long = {
     import spark.implicits._
-    val (mm, efc) = (m, efConstruction)
-    val graphRows = shardRows(corpus, numShards, idCol, vecCol)
-      .repartition(numShards, col("shard"))
-      .as[(Int, Long, Array[Float])]
-      .mapPartitions { it =>
-        groupShards(it.map { case (sh, id, v) => (sh, (id, v)) })
-          .iterator.flatMap { case (sh, nodes) =>
-            val g = buildGraph(mm, efc, nodes)
-            (0 until g.size).iterator.map { i =>
-              (sh, g.ids(i), g.vecs(i),
-                g.links(i).toSeq.map(_.toSeq.map(x => g.ids(x))))
-            }
-          }
-      }
-      .toDF("shard", "id", "vec", "nbrs")
+    val graphRows = adjacencyRows(spark,
+      shardRows(corpus, numShards, idCol, vecCol),
+      numShards, m, efConstruction)
     Snapshots.commit(spark,
-      Seq((mm, efc, numShards)).toDF("m", "ef_construction", "num_shards"),
+      Seq((m, efConstruction, numShards))
+        .toDF("m", "ef_construction", "num_shards"),
       s"$indexDir/params")
     Snapshots.commit(spark, graphRows, s"$indexDir/graph",
       statsColumns = Seq("shard", "id"),
       partitionSpec = Seq(Snapshots.Transform.Identity("shard")))
+    val pendDir = s"$indexDir/pending"
+    if (Snapshots.version(spark, pendDir) >= 1)
+      Snapshots.commit(spark,
+        Snapshots.read(spark, pendDir).limit(0), pendDir,
+        statsColumns = Seq("shard", "id"))
     stampVersion(spark, indexDir)
   }
 
@@ -518,23 +542,18 @@ object Hnsw {
     val touched = pend.select("shard").distinct()
       .collect().map(_.getInt(0)).toSeq
     require(touched.nonEmpty, s"pending table in $indexDir is empty")
+    // PENDING WINS on id collision, at fold exactly like at serve: a
+    // re-added id has both a stale graph row and a fresh pending row,
+    // and folding both would rebuild the shard with two nodes per id
+    // (duplicate (shard, id) keys through the merge, the stale vector
+    // permanently back in the graph once pending truncates)
     val base = Snapshots
       .readPartitionedIn(spark, s"$indexDir/graph", "shard", touched)
       .select(col("shard").cast("int"), col("id").cast("long"), col("vec"))
-    val rebuilt = base.unionByName(pend)
-      .repartition(numShards, col("shard"))
-      .as[(Int, Long, Array[Float])]
-      .mapPartitions { it =>
-        groupShards(it.map { case (sh, id, v) => (sh, (id, v)) })
-          .iterator.flatMap { case (sh, nodes) =>
-            val g = buildGraph(mm, efc, nodes)
-            (0 until g.size).iterator.map { i =>
-              (sh, g.ids(i), g.vecs(i),
-                g.links(i).toSeq.map(_.toSeq.map(x => g.ids(x))))
-            }
-          }
-      }
-      .toDF("shard", "id", "vec", "nbrs")
+      .join(broadcast(pend.select("id")), Seq("id"), "left_anti")
+      .select("shard", "id", "vec")
+    val rebuilt = adjacencyRows(spark, base.unionByName(pend),
+      numShards, mm, efc)
     // composite-scoped merge: row identity is still the id (shard is a
     // function of it), but leading with `shard` lets the layer's
     // per-column envelope intersection carry every shard OUTSIDE the
@@ -615,9 +634,14 @@ object Hnsw {
     val cand = pendDf match {
       case None => graphCand
       case Some(pend) =>
+        // same array<float> normalization as every other vector path
+        // (shardRows / collectQueries / the graph read): cosineSim
+        // type-checks (array<float>, array<float>), so an uncast
+        // array<double> query column would fail analysis here — and
+        // only once a pending tier exists
         val qdf = queries
           .select(col(idCol).cast("long").as("query_id"),
-            col(vecCol).as("qvec"))
+            col(vecCol).cast("array<float>").as("qvec"))
         val pendScored = pend
           .join(broadcast(qdf), col("query_id") =!= col("id"))
           .select(col("query_id"), col("id").as("neighbor_id"),

@@ -284,25 +284,18 @@ object PipelineQueries {
       (dir, v1)
     })
 
-  private val cptMhMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
   /** Minhash index built on doc_id<150, [150,250) added file-scoped,
     * then bin-packed — the fragmented-then-repaired state the
     * compaction entry serves from.
     */
-  private def compactedMinhashIndex(s: SparkSession, d: String): String =
-    cptMhMemo.computeIfAbsent((s, d), _ => {
-      val docs = t(s, d, "documents")
-      val dir = scratch(s"graft-mh-cpt-$pid")
-      clearDir(s, dir)
-      Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 150), dir,
-        nBuckets = 8)
-      Dedup.addToMinhashIndex(s,
-        docs.filter(col("doc_id") >= 150 && col("doc_id") < 250), dir)
-      IndexMaintenance.compactIndex(s, dir)
-      dir
-    })
+  private val compactedMinhashIndex = lifecycleDir("mh-cpt") { (s, d, dir) =>
+    val docs = t(s, d, "documents")
+    Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 150), dir,
+      nBuckets = 8)
+    Dedup.addToMinhashIndex(s,
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 250), dir)
+    IndexMaintenance.compactIndex(s, dir)
+  }
 
   private val asofTextMemo =
     new java.util.concurrent.ConcurrentHashMap[
@@ -327,28 +320,18 @@ object PipelineQueries {
       (dir, v1)
     })
 
-  private val expTextMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
   /** Text index through the FULL small-file repair: build + add +
     * bin-pack + expire(keepLast=1) — four commits of maintenance the
     * serve entry must be unable to observe.
     */
-  private def expiredTextIndex(s: SparkSession, d: String): String =
-    expTextMemo.computeIfAbsent((s, d), _ => {
-      val docs = t(s, d, "documents")
-      val dir = scratch(s"graft-text-exp-$pid")
-      clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 300), dir,
-        nBuckets = 8)
-      TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 300), dir)
-      IndexMaintenance.compactIndex(s, dir)
-      IndexMaintenance.expireIndex(s, dir, keepLast = 1)
-      dir
-    })
-
-  private val foldedTextMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val expiredTextIndex = lifecycleDir("text-exp") { (s, d, dir) =>
+    val docs = t(s, d, "documents")
+    TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 300), dir,
+      nBuckets = 8)
+    TextAnalysis.addToTextIndex(s, docs.filter(col("doc_id") >= 300), dir)
+    IndexMaintenance.compactIndex(s, dir)
+    IndexMaintenance.expireIndex(s, dir, keepLast = 1)
+  }
 
   /** Text index through the RETRACT-then-REPAIR lifecycle: build on
     * the full corpus, merge-on-read retract doc_ids [100,150), then
@@ -356,33 +339,25 @@ object PipelineQueries {
     * data before bin-packing — and expire the history. The served
     * index is sliver-free AND sidecar-free.
     */
-  private def foldedTextIndex(s: SparkSession, d: String): String =
-    foldedTextMemo.computeIfAbsent((s, d), _ => {
-      val dir = scratch(s"graft-text-fold-$pid")
-      clearDir(s, dir)
-      TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
-        nBuckets = 8)
-      TextAnalysis.removeFromTextIndex(s, dir, (100L until 150L).toSeq)
-      IndexMaintenance.compactIndex(s, dir)
-      IndexMaintenance.expireIndex(s, dir, keepLast = 1)
-      dir
-    })
-
-  private val streamTextMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val foldedTextIndex = lifecycleDir("text-fold") { (s, d, dir) =>
+    TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir,
+      nBuckets = 8)
+    TextAnalysis.removeFromTextIndex(s, dir, (100L until 150L).toSeq)
+    IndexMaintenance.compactIndex(s, dir)
+    IndexMaintenance.expireIndex(s, dir, keepLast = 1)
+  }
 
   /** Text index populated by a two-micro-batch AvailableNow streaming
     * drain (foreachBatch builds on the first batch, file-scope-merges
     * the second) — the ~5 s of checkpoint/micro-batch fixed cost lands
     * on the setup line; the entry serves from the drained index.
     */
-  private def streamedTextIndex(s: SparkSession, d: String): String =
-    streamTextMemo.computeIfAbsent((s, d), _ => {
+  private val streamedTextIndex = lifecycleDir("text-stream-idx") {
+    (s, d, dir) =>
       val docs = t(s, d, "documents")
       val inDir = scratch(s"graft-text-stream-in-$pid")
       val ckpt = scratch(s"graft-text-stream-ckpt-$pid")
-      val dir = scratch(s"graft-text-stream-idx-$pid")
-      Seq(inDir, ckpt, dir).foreach(clearDir(s, _))
+      Seq(inDir, ckpt).foreach(clearDir(s, _))
       docs.filter(col("doc_id") < 250).coalesce(1)
         .write.parquet(s"$inDir/arrival-0")
       docs.filter(col("doc_id") >= 250).coalesce(1)
@@ -404,11 +379,7 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      dir
-    })
-
-  private val arrivalVerdictMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  }
 
   /** The streaming admission pipeline's drained VERDICT table: arrivals
     * flow as two micro-batches, foreachBatch probes the standing
@@ -416,15 +387,14 @@ object PipelineQueries {
     * Returns the verdict table dir; the entry reads it back — the
     * oracle certifies the drained state, the drain cost is the setup.
     */
-  private def arrivalStreamVerdicts(s: SparkSession, d: String): String =
-    arrivalVerdictMemo.computeIfAbsent((s, d), _ => {
+  private val arrivalStreamVerdicts = lifecycleDir("pstr-verdicts") {
+    (s, d, outDir) =>
       val docs = t(s, d, "documents")
       val arrivals = docs.filter(col("doc_id") % 5 === 0)
       val (mhDir, _, bmDir) = arrivalIndexes(s, d)
       val inDir = scratch(s"graft-pstr-in-$pid")
       val ckpt = scratch(s"graft-pstr-ckpt-$pid")
-      val outDir = scratch(s"graft-pstr-verdicts-$pid")
-      Seq(inDir, ckpt, outDir).foreach(clearDir(s, _))
+      Seq(inDir, ckpt).foreach(clearDir(s, _))
       arrivals.filter(col("doc_id") < 250).coalesce(1)
         .write.parquet(s"$inDir/arrival-0")
       arrivals.filter(col("doc_id") >= 250).coalesce(1)
@@ -468,8 +438,7 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      outDir
-    })
+  }
 
   // ---- wave-2 lifecycle memos (r12): the decomposition extended to
   // EVERY complete-before-serve lifecycle, so the bench's entry lines
@@ -770,6 +739,21 @@ object PipelineQueries {
       .select(
         col("n_ref"),
         when(col("n_hit").cast("double") / col("n_ref") >= floor, lit(1L))
+          .otherwise(lit(0L)).as("ok"))
+
+  /** [[recallGate]] plus a zero-count side condition: the rows of
+    * `zeroOf` must count to ZERO (a leaked retracted neighbor, a
+    * serve-disagreement row) for `ok` to hold — the `(n_ref,
+    * <zeroName>, ok)` shape every two-sided index-lifecycle gate
+    * shares. The counter is a broadcast single row (the repo's bounded
+    * label-frame crossJoin pattern). */
+  private def recallGateWithZero(
+      ref: DataFrame, got: DataFrame, floor: Double,
+      zeroOf: DataFrame, zeroName: String): DataFrame =
+    recallGate(ref, got, floor)
+      .crossJoin(broadcast(zeroOf.agg(count(lit(1)).as(zeroName))))
+      .select(col("n_ref"), col(zeroName),
+        when(col("ok") === 1 && col(zeroName) === 0, lit(1L))
           .otherwise(lit(0L)).as("ok"))
 
   /** Named primers for the memoized shared trainings, so a benchmark
@@ -1283,16 +1267,12 @@ object PipelineQueries {
       val (dir, v1) = asofHnswIndex(s, d)
       val got = Hnsw.hnswTopKPersisted(s, dir, q, k = 10, efSearch = 40,
         asOf = Some(v1))
-      val leaked = got.filter(col("neighbor_id") >= 300)
-        .agg(count(lit(1)).as("n_leaked"))
-      recallGate(
+      recallGateWithZero(
         Similarity.bruteForceTopK(emb.filter(col("vec_id") < 300), q,
           k = 10, roundDecimals = 6),
-        got, floor = 0.70)
-        .crossJoin(broadcast(leaked))
-        .select(col("n_ref"), col("n_leaked"),
-          when(col("ok") === 1 && col("n_leaked") === 0, lit(1L))
-            .otherwise(lit(0L)).as("ok"))
+        got, floor = 0.70,
+        zeroOf = got.filter(col("neighbor_id") >= 300),
+        zeroName = "n_leaked")
     }),
     "ann_hnsw_retracted" -> ((s, d) => {
       // graph retraction: vec_ids [100,150) merge-on-read deleted
@@ -1307,18 +1287,14 @@ object PipelineQueries {
       val q = emb.filter(col("vec_id") < 10)
       val got = Hnsw.hnswTopKPersisted(s, rmHnswDir(s, d), q, k = 10,
         efSearch = 40)
-      val leaked = got
-        .filter(col("neighbor_id") >= 100 && col("neighbor_id") < 150)
-        .agg(count(lit(1)).as("n_leaked"))
-      recallGate(
+      recallGateWithZero(
         Similarity.bruteForceTopK(
           emb.filter(col("vec_id") < 100 || col("vec_id") >= 150), q,
           k = 10, roundDecimals = 6),
-        got, floor = 0.70)
-        .crossJoin(broadcast(leaked))
-        .select(col("n_ref"), col("n_leaked"),
-          when(col("ok") === 1 && col("n_leaked") === 0, lit(1L))
-            .otherwise(lit(0L)).as("ok"))
+        got, floor = 0.70,
+        zeroOf = got.filter(
+          col("neighbor_id") >= 100 && col("neighbor_id") < 150),
+        zeroName = "n_leaked")
     }),
     "ann_hnsw_stream" -> ((s, d) => {
       // STREAMING ingestion into the graph index: the first
@@ -1336,16 +1312,12 @@ object PipelineQueries {
         efSearch = 40, roundDecimals = 6)
       val batchSpelled = Hnsw.hnswTopKPersisted(s, asofHnswIndex(s, d)._1,
         q, k = 10, efSearch = 40, roundDecimals = 6)
-      val diff = got.exceptAll(batchSpelled)
-        .unionAll(batchSpelled.exceptAll(got))
-        .agg(count(lit(1)).as("n_diff"))
-      recallGate(
+      recallGateWithZero(
         Similarity.bruteForceTopK(emb, q, k = 10, roundDecimals = 6),
-        got, floor = 0.70)
-        .crossJoin(broadcast(diff))
-        .select(col("n_ref"), col("n_diff"),
-          when(col("ok") === 1 && col("n_diff") === 0, lit(1L))
-            .otherwise(lit(0L)).as("ok"))
+        got, floor = 0.70,
+        zeroOf = got.exceptAll(batchSpelled)
+          .unionAll(batchSpelled.exceptAll(got)),
+        zeroName = "n_diff")
     }),
     "ann_hnsw_compacted" -> ((s, d) => {
       // maintenance CLOSE for the graph family: build + pending add +
@@ -1362,18 +1334,14 @@ object PipelineQueries {
       val q = emb.filter(col("vec_id") < 10)
       val got = Hnsw.hnswTopKPersisted(s, cptHnswDir(s, d), q, k = 10,
         efSearch = 40)
-      val leaked = got
-        .filter(col("neighbor_id") >= 100 && col("neighbor_id") < 150)
-        .agg(count(lit(1)).as("n_leaked"))
-      recallGate(
+      recallGateWithZero(
         Similarity.bruteForceTopK(
           emb.filter(col("vec_id") < 100 || col("vec_id") >= 150), q,
           k = 10, roundDecimals = 6),
-        got, floor = 0.70)
-        .crossJoin(broadcast(leaked))
-        .select(col("n_ref"), col("n_leaked"),
-          when(col("ok") === 1 && col("n_leaked") === 0, lit(1L))
-            .otherwise(lit(0L)).as("ok"))
+        got, floor = 0.70,
+        zeroOf = got.filter(
+          col("neighbor_id") >= 100 && col("neighbor_id") < 150),
+        zeroName = "n_leaked")
     }),
     "ann_hnsw_folded" -> ((s, d) => {
       // maintenance CLOSE: fold rebuilds only the shards pending
@@ -2262,16 +2230,12 @@ object PipelineQueries {
       val (dir, v1) = asofHnswIndex(s, d)
       val got = s.sql(s"SELECT * FROM graph_search('$dir', " +
         s"'$d/embeddings.parquet', 'vec_id < 10', 10, 40, $v1)")
-      val leaked = got.filter(col("neighbor_id") >= 300)
-        .agg(count(lit(1)).as("n_leaked"))
-      recallGate(
+      recallGateWithZero(
         Similarity.bruteForceTopK(emb.filter(col("vec_id") < 300), q,
           k = 10, roundDecimals = 6),
-        got, floor = 0.70)
-        .crossJoin(broadcast(leaked))
-        .select(col("n_ref"), col("n_leaked"),
-          when(col("ok") === 1 && col("n_leaked") === 0, lit(1L))
-            .otherwise(lit(0L)).as("ok"))
+        got, floor = 0.70,
+        zeroOf = got.filter(col("neighbor_id") >= 300),
+        zeroName = "n_leaked")
     }),
     "text_unigram_logprob" -> ((s, d) => {
       TextAnalysis.unigramLogProb(t(s, d, "documents"))

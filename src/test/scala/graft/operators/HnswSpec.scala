@@ -189,6 +189,78 @@ class HnswSpec extends SparkSpec {
       k = 10, efSearch = 40, roundDecimals = 6, asOf = Some(v2))))
   }
 
+  test("fold applies pending-wins on a re-added id (no stale duplicate)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-re").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft-hnsw-rr").toString
+    val base = emb.filter(col("vec_id") < 40)
+    Hnsw.buildHnswIndex(spark, base, dir, numShards = 2, m = 8,
+      efConstruction = 40)
+    // RE-ADD id 5 with a different vector (vec_id 45's embedding) plus
+    // genuinely new ids — the re-added id now has a stale graph row
+    // and a fresh pending row
+    val readd = emb.filter(col("vec_id") === 45)
+      .select(lit(5L).as("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") >= 40 && col("vec_id") < 45)
+        .select("vec_id", "embedding"))
+    Hnsw.addToHnswIndex(spark, readd, dir)
+    Hnsw.foldHnswIndex(spark, dir)
+    // one row per id — a fold that unioned both versions would hold two
+    val dup = Snapshots.read(spark, s"$dir/graph")
+      .groupBy("id").count().filter(col("count") > 1).count()
+    assert(dup == 0, s"$dup ids duplicated in the folded graph")
+    // and the folded table equals a fresh build over the EFFECTIVE
+    // corpus (pending version of id 5, not the original)
+    val effective = base.filter(col("vec_id") =!= 5)
+      .select("vec_id", "embedding").unionByName(readd)
+    Hnsw.buildHnswIndex(spark, effective, ref, numShards = 2, m = 8,
+      efConstruction = 40)
+    def rows(d: String) = Snapshots.read(spark, s"$d/graph")
+      .select(col("id"), col("vec"), col("nbrs")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getSeq[Float](1).toList,
+        r.getSeq[scala.collection.Seq[Long]](2).map(_.toList).toList))
+      .toSet
+    assert(rows(dir) == rows(ref))
+  }
+
+  test("rebuild into an existing dir resets the pending tier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-rb").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft-hnsw-rf").toString
+    Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 30), dir,
+      numShards = 2, m = 8, efConstruction = 40)
+    // pending holds WRONG vectors for ids 30-39 (each id gets id+10's
+    // embedding) — a rebuild that kept them would serve these stale
+    // rows over the fresh graph via the pending-wins anti-join
+    val stale = emb.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+      .select((col("vec_id") - 10).as("vec_id"), col("embedding"))
+    Hnsw.addToHnswIndex(spark, stale, dir)
+    val full = emb.filter(col("vec_id") < 40)
+    Hnsw.buildHnswIndex(spark, full, dir, numShards = 2, m = 8,
+      efConstruction = 40)
+    assert(Snapshots.read(spark, s"$dir/pending").count() == 0)
+    Hnsw.buildHnswIndex(spark, full, ref, numShards = 2, m = 8,
+      efConstruction = 40)
+    assert(ranked(Hnsw.hnswTopKPersisted(spark, dir, queries, k = 10,
+      efSearch = 40, roundDecimals = 6)) ==
+      ranked(Hnsw.hnswTopKPersisted(spark, ref, queries, k = 10,
+        efSearch = 40, roundDecimals = 6)))
+  }
+
+  test("pending-tier serve accepts non-float query vector columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-dq").toString
+    Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 30), dir,
+      numShards = 2, m = 8, efConstruction = 40)
+    Hnsw.addToHnswIndex(spark, emb.filter(col("vec_id") >= 30), dir)
+    // array<double> queries: every path (graph AND the exact pending
+    // tier) must normalize to array<float> — this failed analysis on
+    // the pending tier before the qvec cast
+    val dq = queries.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    assert(ranked(Hnsw.hnswTopKPersisted(spark, dir, dq, k = 10,
+      efSearch = 40, roundDecimals = 6)) ==
+      ranked(Hnsw.hnswTopKPersisted(spark, dir, queries, k = 10,
+        efSearch = 40, roundDecimals = 6)))
+  }
+
   test("fold rebuilds only the touched shards' files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-fs").toString
     Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 40), dir,
