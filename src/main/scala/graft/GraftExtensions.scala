@@ -389,6 +389,26 @@ object GraftExtensions {
             roundDecimals = 6,
             asOf = exprs.lift(5).map(litLong(_, "graph_search", "as_of")))
             .queryExecution.logical
+        }),
+      (FunctionIdentifier("hll_count"),
+        tinfo("hll_count",
+          "hll_count(index_dir[, as_of]) - per-group distinct-count " +
+            "estimates served from a persisted mergeable HLL register " +
+            "sketch (buildHllIndex): the estimate is a pure function of " +
+            "the tiny register table (groups x 1024 rows), never a " +
+            "corpus rescan; registers max-collapse across the family's " +
+            "append-only ingest generations, so batch split and arrival " +
+            "order are invisible. The group columns come from the " +
+            "index's own params table. The optional 2nd argument pins " +
+            "the registers snapshot (reproducible serving)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 1 || exprs.size == 2,
+            "hll_count(index_dir[, as_of]) takes 1 or 2 arguments, " +
+              s"got ${exprs.size}")
+          graft.operators.Sketches.hllServe(active,
+            litStr(exprs(0), "hll_count", "index_dir"),
+            asOf = exprs.lift(1).map(litLong(_, "hll_count", "as_of")))
+            .queryExecution.logical
         }))
 
   /** Per-session registration of the table functions, for sessions

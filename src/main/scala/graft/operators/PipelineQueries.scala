@@ -624,6 +624,47 @@ object PipelineQueries {
       n = 3, nBuckets = 8)
   }
 
+  /** Token frame for the HLL sketch family: one row per (doc, token),
+    * the same tokenizer the dedup oracles replay
+    * (`string_split_regex(lower(trim(text)), '\s+')`). */
+  private def hllTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("source"),
+      explode(Dedup.tokens(col("text"))).as("tok"))
+
+  private val asofHllMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, Long)]()
+
+  /** HLL register sketch built on doc_id<250's tokens (v1), the rest
+    * APPENDED as generation rows — returns (dir, v1). Shared by
+    * `sketch_hll_incremental` (tip serve), `sketch_hll_asof` (pinned
+    * serve), and the `hll_count` TVF spelling. */
+  private def asofHllIndex(s: SparkSession, d: String): (String, Long) =
+    asofHllMemo.computeIfAbsent((s, d), _ => {
+      val tk = hllTokens(s, d)
+      val dir = scratch(s"graft-hll-asof-$pid")
+      clearDir(s, dir)
+      val v1 = Sketches.buildHllIndex(s, tk.filter(col("doc_id") < 250),
+        dir, Seq("source"), col("tok"))
+      Sketches.addToHllIndex(s, tk.filter(col("doc_id") >= 250), dir,
+        col("tok"))
+      (dir, v1)
+    })
+
+  /** The sketch's standing repair: build + append + [[Sketches
+    * .foldHllIndex]] (collapse generations to one row per register) +
+    * bin-pack. Serving is invariant — `sketch_hll_folded` shares the
+    * full-corpus oracle. */
+  private val foldedHllDir = lifecycleDir("hll-fold") { (s, d, dir) =>
+    val tk = hllTokens(s, d)
+    Sketches.buildHllIndex(s, tk.filter(col("doc_id") < 250), dir,
+      Seq("source"), col("tok"))
+    Sketches.addToHllIndex(s, tk.filter(col("doc_id") >= 250), dir,
+      col("tok"))
+    Sketches.foldHllIndex(s, dir)
+    IndexMaintenance.compactIndex(s, dir)
+  }
+
   /** HNSW hyperparameters for the gate corpus: 4 shards (125 vectors
     * per shard at sf0.01 — real deployments size shards to executor
     * memory, the ratio is what the entries exercise), M=8, efC=efS=40.
@@ -799,7 +840,9 @@ object PipelineQueries {
     "setup_hnsw_retracted" -> ((s, d) => { rmHnswDir(s, d); () }),
     "setup_hnsw_folded" -> ((s, d) => { hnswFoldedDir(s, d); () }),
     "setup_hnsw_stream" -> ((s, d) => { streamHnswDir(s, d); () }),
-    "setup_hnsw_compacted" -> ((s, d) => { cptHnswDir(s, d); () }))
+    "setup_hnsw_compacted" -> ((s, d) => { cptHnswDir(s, d); () }),
+    "setup_hll_asof" -> ((s, d) => { asofHllIndex(s, d); () }),
+    "setup_hll_folded" -> ((s, d) => { foldedHllDir(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
     * corpus_chunk's fixed windows: a chunk boundary falls after word e
@@ -1743,6 +1786,95 @@ object PipelineQueries {
       // drained verdict table, whose content the oracle certifies.
       graft.sources.Snapshots.read(s, arrivalStreamVerdicts(s, d))
         .orderBy("doc_id")
+    }),
+
+    // ---- mergeable sketches (HLL distinct counts) ----
+    "sketch_hll_tokens" -> ((s, d) => {
+      // per-source distinct-token estimate vs the exact count — the
+      // pre-aggregated-stats primitive. The oracle replays the WHOLE
+      // sketch (md5-60 hash → register max → exact-integer harmonic
+      // sum → one IEEE division), so n_est is hash-compared, not just
+      // error-bounded; ok additionally pins the estimate inside the
+      // m=1024 error envelope against the exact count.
+      val tk = hllTokens(s, d)
+      Sketches.hllCounts(tk, Seq("source"), col("tok"))
+        .join(tk.groupBy("source")
+          .agg(countDistinct(col("tok")).as("n_exact")), "source")
+        .select(col("source"), col("n_exact"), col("n_est"),
+          (abs(col("n_est") - col("n_exact")) / col("n_exact") <= 0.15)
+            .cast("long").as("ok"))
+        .orderBy("source")
+    }),
+    "sketch_hll_pairs" -> ((s, d) => {
+      // the RAW-estimator regime: distinct (doc, token) pairs per
+      // lang run to thousands per group at the gate corpus — past the
+      // linear-counting crossover (2.5·m = 2560) — so this entry pins
+      // the harmonic-mean branch while sketch_hll_tokens pins linear
+      // counting. The value is the dedup-key spelling doc_id#token,
+      // replayed verbatim by the oracle.
+      val tk = t(s, d, "documents").select(col("lang"), col("doc_id"),
+          explode(Dedup.tokens(col("text"))).as("tok"))
+        .select(col("lang"),
+          concat(col("doc_id").cast("string"), lit("#"), col("tok"))
+            .as("v"))
+      Sketches.hllCounts(tk, Seq("lang"), col("v"))
+        .join(tk.groupBy("lang")
+          .agg(countDistinct(col("v")).as("n_exact")), "lang")
+        .select(col("lang"), col("n_exact"), col("n_est"),
+          (abs(col("n_est") - col("n_exact")) / col("n_exact") <= 0.15)
+            .cast("long").as("ok"))
+        .orderBy("lang")
+    }),
+    "sketch_hll_merge_law" -> ((s, d) => {
+      // the MERGEABILITY law the whole family rests on: registers of
+      // two disjoint halves, max-merged, must equal the whole corpus's
+      // registers EXACTLY (max is associative/commutative/idempotent)
+      // — so sketches built per shard/day/partition combine without
+      // rescans. n_diff counts the symmetric difference of register
+      // rows; the oracle pins it to zero.
+      val tk = hllTokens(s, d)
+      val whole = Sketches.hllRegisters(tk, Seq("source"), col("tok"))
+      val parts = Sketches
+        .hllRegisters(tk.filter(col("doc_id") < 250), Seq("source"),
+          col("tok"))
+        .unionByName(Sketches.hllRegisters(
+          tk.filter(col("doc_id") >= 250), Seq("source"), col("tok")))
+        .groupBy("source", "j").agg(max(col("r")).cast("int").as("r"))
+      whole.select("source").distinct()
+        .agg(count(lit(1)).as("n_sources"))
+        .crossJoin(broadcast(
+          parts.exceptAll(whole).unionAll(whole.exceptAll(parts))
+            .agg(count(lit(1)).as("n_diff"))))
+        .select(col("n_sources"), col("n_diff"),
+          (col("n_diff") === 0).cast("long").as("ok"))
+    }),
+    "sketch_hll_incremental" -> ((s, d) => {
+      // persisted maintenance: build on the first tranche, APPEND the
+      // second as generation rows (O(batch), zero reads — max-merge
+      // makes generations invisible at serve). The serve must equal
+      // the whole-corpus replay: batch split is invisible. Build+add
+      // on the setup_hll_asof line; the entry times the serve.
+      Sketches.hllServe(s, asofHllIndex(s, d)._1).orderBy("source")
+    }),
+    "sketch_hll_asof" -> ((s, d) => {
+      // version-pinned sketch serving: estimates as of v1 = the first
+      // tranche only (the oracle replays the half-corpus sketch) —
+      // single mutating table, so a plain snapshot pin is coherent.
+      val (dir, v1) = asofHllIndex(s, d)
+      Sketches.hllServe(s, dir, asOf = Some(v1)).orderBy("source")
+    }),
+    "sketch_hll_folded" -> ((s, d) => {
+      // the standing repair: fold collapses the appended generations
+      // to one row per register, bin-pack repacks the slivers; serving
+      // is invariant (same whole-corpus oracle as incremental).
+      Sketches.hllServe(s, foldedHllDir(s, d)).orderBy("source")
+    }),
+    "q_hll_sql" -> ((s, d) => {
+      // the TVF spelling over the SAME shared index — SQL symmetry for
+      // the sketch family (bm25/near_dups/ann/dup_spans/graph_search/
+      // hll_count).
+      val dir = asofHllIndex(s, d)._1
+      s.sql(s"SELECT * FROM hll_count('$dir') ORDER BY source")
     }),
 
     // ---- multimodal (stubbed decode, real plumbing) ----
@@ -3169,6 +3301,45 @@ object PipelineQueries {
     * collisions cannot make the sides disagree). The hashing follows
     * the house md5-prefix idiom ([[graft.operators.Dedup.simhashMd5]]).
     */
+  /** Full HLL replay in DuckDB — the estimate is hash-compared, not
+    * error-bounded: md5-60 hash, register max, exact-integer harmonic
+    * sum (`Σ 2^(51-r)` scaled by `2^51`), one IEEE double division,
+    * with the alpha constant spelled in the SAME association order as
+    * [[Sketches.AlphaM2Scaled]] and ::DOUBLE casts (DuckDB defaults
+    * numeric literals to DECIMAL). */
+  private def hllOracle(pred: String, group: String = "source",
+      value: String = "tok"): String =
+    s"""WITH tk AS (
+       |  SELECT $group, doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents WHERE $pred),
+       |h AS (
+       |  SELECT $group,
+       |    ('0x' || substring(md5($value), 1, 15))::BIGINT AS h FROM tk),
+       |regs AS (
+       |  SELECT $group, h & 1023 AS j,
+       |    MAX(CASE WHEN (h >> 10) = 0 THEN 51
+       |             ELSE 51 - length(bin(h >> 10)) END) AS r
+       |  FROM h GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT $group, COUNT(*) AS n_filled,
+       |    SUM(1::BIGINT << (51 - r)) AS s_filled
+       |  FROM regs GROUP BY 1),
+       |fin AS (
+       |  SELECT $group, (1024 - n_filled) AS zeros,
+       |    (1024 - n_filled) * (1::BIGINT << 51) + s_filled AS total
+       |  FROM agg),
+       |est AS (
+       |  SELECT $group,
+       |    CASE WHEN zeros > 0 AND
+       |      (0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024 * 1024
+       |        * (1::BIGINT << 51)) / total <= 2560.0
+       |    THEN round(1024.0 * ln(1024.0 / zeros), 4)
+       |    ELSE round((0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024
+       |      * 1024 * (1::BIGINT << 51)) / total, 4)
+       |    END AS n_est
+       |  FROM fin)""".stripMargin
+
   private val minhashPersistedOracle: String =
     """WITH toks AS (
       |  SELECT doc_id AS id,
@@ -3653,6 +3824,42 @@ object PipelineQueries {
         |    AS n_ref,
         |  CAST(0 AS BIGINT) AS n_diff,
         |  CAST(1 AS BIGINT) AS ok""".stripMargin,
+    // the sketch family: the oracle REPLAYS the estimator bit-for-bit
+    // (see hllOracle) and re-derives the exact counts / the constants
+    "sketch_hll_tokens" -> (hllOracle("TRUE") +
+      """,
+        |ex AS (
+        |  SELECT source, COUNT(DISTINCT tok) AS n_exact FROM tk GROUP BY 1)
+        |SELECT est.source, ex.n_exact, est.n_est,
+        |  CASE WHEN abs(est.n_est - ex.n_exact) / ex.n_exact <= 0.15
+        |    THEN 1 ELSE 0 END::BIGINT AS ok
+        |FROM est JOIN ex USING (source) ORDER BY est.source""".stripMargin),
+    "sketch_hll_pairs" -> (hllOracle("TRUE", group = "lang",
+      value = "(doc_id::VARCHAR || '#' || tok)") +
+      """,
+        |ex AS (
+        |  SELECT lang,
+        |    COUNT(DISTINCT (doc_id::VARCHAR || '#' || tok)) AS n_exact
+        |  FROM tk GROUP BY 1)
+        |SELECT est.lang, ex.n_exact, est.n_est,
+        |  CASE WHEN abs(est.n_est - ex.n_exact) / ex.n_exact <= 0.15
+        |    THEN 1 ELSE 0 END::BIGINT AS ok
+        |FROM est JOIN ex USING (lang) ORDER BY est.lang""".stripMargin),
+    "sketch_hll_merge_law" ->
+      """SELECT
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(0 AS BIGINT) AS n_diff,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM documents""".stripMargin,
+    "sketch_hll_incremental" ->
+      (hllOracle("TRUE") + "\nSELECT source, n_est FROM est ORDER BY source"),
+    "sketch_hll_asof" ->
+      (hllOracle("doc_id < 250") +
+        "\nSELECT source, n_est FROM est ORDER BY source"),
+    "sketch_hll_folded" ->
+      (hllOracle("TRUE") + "\nSELECT source, n_est FROM est ORDER BY source"),
+    "q_hll_sql" ->
+      (hllOracle("TRUE") + "\nSELECT source, n_est FROM est ORDER BY source"),
     "ann_hnsw_compacted" ->
       """SELECT
         |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)

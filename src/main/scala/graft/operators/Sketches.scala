@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshots
+
+/** Mergeable cardinality sketches (HyperLogLog) as a persisted,
+  * incrementally-maintained index family — the pre-aggregated-stats
+  * story of a large pipeline: per-group distinct counts ("unique
+  * tokens per source", "unique users per day") answered from a tiny
+  * register table, never by rescanning the corpus.
+  *
+  * Spark-first shape — three deliberate choices:
+  *
+  *   - '''Sparse register ROWS, not dense arrays.''' A register is
+  *     `(group…, j, r)` with `r = max(rho)`; building is ONE
+  *     hash-aggregate (`groupBy(group, j).max(rho)`), merging two
+  *     sketches is the SAME aggregate over their union, and both stay
+  *     inside whole-stage codegen. Dense `array<tinyint>` registers
+  *     would need a custom merge UDAF; the relational spelling gets
+  *     map-side partial aggregation for free.
+  *   - '''Append-only maintenance.''' Register max-merge is
+  *     associative, commutative, and idempotent, so an ingest batch
+  *     appends its own register rows — O(batch) commits, zero reads,
+  *     no read-modify-write race — and the serve path folds
+  *     `max(r)` per `(group, j)` over whatever generations exist.
+  *     [[foldHllIndex]] is the standing repair: collapse history to
+  *     one row per register and bin-pack ([[IndexMaintenance]] — the
+  *     same compact/expire pair as every other index family).
+  *   - '''Replayable arithmetic.''' The hash is the repo's md5-60-bit
+  *     pattern (`('0x' || substring(md5(v),1,15))::BIGINT` in any SQL
+  *     engine); `rho` derives from `bin()` string length (exact, no
+  *     floating log); the estimator's harmonic sum is computed as an
+  *     EXACT integer (`Σ 2^(51-r)` scaled by `2^51`, < 2^61) so the
+  *     one floating division — and therefore the served estimate — is
+  *     bit-identical across engines. The DuckDB oracle replays
+  *     estimates, not just error bounds.
+  *
+  * 100 TB design: register cardinality is `groups × 1024` REGARDLESS
+  * of corpus size — the whole index for a million groups is ~10^9
+  * tiny rows, and a single group's estimate reads ≤ 1024 of them.
+  * Standard error at m=1024 is 1.04/√1024 ≈ 3.2%; the small-range
+  * linear-counting correction keeps near-exactness below ~2.5·m
+  * distincts. (The 60-bit hash space makes the classic large-range
+  * collision correction irrelevant at any realistic cardinality.)
+  */
+object Sketches {
+
+  /** 2^BucketBits registers; 60-bit hash → 50 payload bits → rho ∈ [1, 51]. */
+  val BucketBits = 10
+  val Registers: Int = 1 << BucketBits
+  val RhoMax = 51
+
+  /** HLL bias constant for m = 1024. Association order matters for
+    * cross-engine bit-equality: the oracle must spell exactly
+    * `0.7213/(1 + 1.079/1024.0) * 1024 * 1024 * (1 << 51)` with
+    * DOUBLE arithmetic (DuckDB defaults 0.7213 to DECIMAL — cast it).
+    */
+  private val AlphaM2Scaled: Double =
+    0.7213 / (1 + 1.079 / 1024.0) * 1024 * 1024 * (1L << RhoMax).toDouble
+
+  /** Sparse HLL registers: one row per non-empty register,
+    * `(groupCols…, j, r)`. The md5-60-bit hash splits into j (low 10
+    * bits) and a 50-bit payload w; rho = leading zeros of w + 1,
+    * derived from the length of w's minimal binary string — exact in
+    * both engines, no floating log near power-of-two boundaries. */
+  def hllRegisters(
+      df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
+    val h = conv(substring(md5(value.cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(groupCols.map(col) :+ h.as("h"): _*)
+      .select(groupCols.map(col)
+        :+ col("h").bitwiseAND(lit((Registers - 1).toLong)).cast("int").as("j")
+        :+ shiftright(col("h"), BucketBits).as("w"): _*)
+      .withColumn("rho",
+        when(col("w") === 0L, lit(RhoMax))
+          .otherwise(lit(RhoMax) - length(bin(col("w")))))
+      .groupBy((groupCols :+ "j").map(col): _*)
+      .agg(max(col("rho")).cast("int").as("r"))
+  }
+
+  /** Per-group estimate from sparse registers (tolerates duplicate
+    * generations per register — max-collapses first, so it serves the
+    * append-only table directly). Output: `(groupCols…, n_est)`,
+    * rounded to 4 decimals (ln differs from C's libm only in the last
+    * ULP; everything else is exact-integer in, one IEEE division out).
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
+    registers
+      .groupBy((groupCols :+ "j").map(col): _*)
+      .agg(max(col("r")).as("r"))
+      .groupBy(gcols: _*)
+      .agg(
+        count(lit(1)).as("n_filled"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RhoMax - r)")).as("s_filled"))
+      // harmonic denominator as an EXACT integer: empty registers
+      // contribute 2^0 = 1, i.e. 2^51 at this scaling; total < 2^61
+      .withColumn("total",
+        (lit(Registers.toLong) - col("n_filled")) * lit(1L << RhoMax)
+          + col("s_filled"))
+      .withColumn("zeros", lit(Registers.toLong) - col("n_filled"))
+      .withColumn("raw", lit(AlphaM2Scaled) / col("total"))
+      .withColumn("n_est",
+        when(col("zeros") > 0 && col("raw") <= lit(2.5 * Registers),
+          round(lit(Registers.toDouble)
+            * log(lit(Registers.toDouble) / col("zeros")), 4))
+          .otherwise(round(col("raw"), 4)))
+      .select(gcols :+ col("n_est"): _*)
+  }
+
+  /** End-to-end convenience: per-group distinct estimate of `value`. */
+  def hllCounts(
+      df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, value), groupCols)
+
+  // ---------- persisted family ----------
+
+  /** Build the persisted sketch: the registers snapshot table (rows
+    * stamped generation 0) plus a params row recording the group
+    * columns (the serve path and TVF need nothing else — estimates are
+    * a pure function of registers). Group columns must not collide
+    * with the family's own `gen`/`j`/`r` names. */
+  def buildHllIndex(
+      spark: SparkSession,
+      df: DataFrame,
+      indexDir: String,
+      groupCols: Seq[String],
+      value: Column): Long = {
+    import spark.implicits._
+    require(groupCols.forall(c => !Seq("gen", "j", "r", "h", "w").contains(c)),
+      s"group columns collide with sketch columns: $groupCols")
+    Snapshots.commit(spark,
+      Seq((groupCols.mkString(","), BucketBits))
+        .toDF("group_cols", "bucket_bits"),
+      s"$indexDir/params")
+    Snapshots.commit(spark,
+      hllRegisters(df, groupCols, value).withColumn("gen", lit(0L)),
+      s"$indexDir/registers",
+      statsColumns = "gen" +: groupCols :+ "j")
+  }
+
+  /** O(batch) incremental maintenance: APPEND the batch's own register
+    * rows under a fresh generation stamp — the scoped merge's keys are
+    * disjoint from every committed file's `gen` envelope, so the whole
+    * base rides by reference (zero reads, zero rewrites, no
+    * read-modify-write race). Max is associative, commutative, and
+    * idempotent, so the serve-side collapse makes generation
+    * boundaries invisible: batch split and arrival order cannot change
+    * an estimate. The caller derives `value` exactly as at build (the
+    * same same-derivation contract as the other families' adds).
+    */
+  def addToHllIndex(
+      spark: SparkSession,
+      df: DataFrame,
+      indexDir: String,
+      value: Column): Long = {
+    val groupCols = readGroupCols(spark, indexDir)
+    val dir = s"$indexDir/registers"
+    val gen = Snapshots.version(spark, dir)
+    Snapshots.merge(spark, dir,
+      hllRegisters(df, groupCols, value).withColumn("gen", lit(gen)),
+      key = "gen" +: groupCols :+ "j",
+      statsColumns = "gen" +: groupCols :+ "j",
+      scoped = true)
+  }
+
+  /** Collapse the appended generations to ONE row per register (full
+    * rewrite with the max aggregate, back to generation 0) — the fold
+    * half of the standing repair; follow with
+    * [[IndexMaintenance.compactIndex]]/expire like any other family.
+    * Serving is invariant (the serve path collapses anyway); this
+    * bounds the table back to ≤ groups × 1024 rows.
+    */
+  def foldHllIndex(spark: SparkSession, indexDir: String): Long = {
+    val groupCols = readGroupCols(spark, indexDir)
+    val dir = s"$indexDir/registers"
+    val collapsed = Snapshots.read(spark, dir)
+      .groupBy((groupCols :+ "j").map(col): _*)
+      .agg(max(col("r")).cast("int").as("r"))
+      .withColumn("gen", lit(0L))
+    Snapshots.commit(spark, collapsed, dir,
+      statsColumns = "gen" +: groupCols :+ "j")
+  }
+
+  /** Serve per-group estimates from the persisted registers — never
+    * touches the source corpus. `asOf` pins the registers table
+    * version (single mutating table, so a plain snapshot pin is
+    * coherent — unlike the HNSW pair). */
+  def hllServe(
+      spark: SparkSession,
+      indexDir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val groupCols = readGroupCols(spark, indexDir)
+    val dir = s"$indexDir/registers"
+    val regs = asOf match {
+      case Some(v) => Snapshots.readVersion(spark, dir, v)
+      case None => Snapshots.read(spark, dir)
+    }
+    hllEstimate(regs, groupCols)
+  }
+
+  private def readGroupCols(
+      spark: SparkSession, indexDir: String): Seq[String] =
+    Snapshots.read(spark, s"$indexDir/params")
+      .collect().head.getAs[String]("group_cols").split(",").toSeq
+}

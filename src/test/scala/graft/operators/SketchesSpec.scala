@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  // NOT cached: a cached full-table documents scan would satisfy other
+  // suites' scans through the shared session's CacheManager and break
+  // their column-pruning plan assertions (PlanSpec's pruned ReadSchema)
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val toks = docs.select(col("source"),
+    explode(Dedup.tokens(col("text"))).as("tok"))
+
+  private def ests(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[String]("source"),
+      r.getAs[Double]("n_est"))).toMap
+
+  private def regRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("source", "j", "r").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+
+  test("registers are deterministic and rho is in range") {
+    val a = regRows(Sketches.hllRegisters(toks, Seq("source"), col("tok")))
+    val b = regRows(Sketches.hllRegisters(toks, Seq("source"), col("tok")))
+    assert(a == b)
+    assert(a.nonEmpty)
+    assert(a.forall { case (_, j, r) =>
+      j >= 0 && j < Sketches.Registers && r >= 1 && r <= Sketches.RhoMax })
+  }
+
+  test("estimates track exact distinct counts within HLL error") {
+    val exact = toks.groupBy("source")
+      .agg(countDistinct(col("tok")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = ests(Sketches.hllCounts(toks, Seq("source"), col("tok")))
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (src, e) =>
+      val n = exact(src).toDouble
+      val rel = math.abs(e - n) / n
+      info(f"$src: exact=${n.toLong} est=$e%.1f rel=$rel%.4f")
+      // m=1024 → σ ≈ 3.2 %; linear counting keeps small groups tighter
+      assert(rel <= 0.15, s"$src: est $e vs exact $n")
+    }
+  }
+
+  test("sketch merge law: halves max-merged equal the whole") {
+    val whole = Sketches.hllRegisters(toks, Seq("source"), col("tok"))
+    val parts = Sketches
+      .hllRegisters(toks.filter(crc32(col("tok")) % 2 === 0),
+        Seq("source"), col("tok"))
+      .unionByName(Sketches.hllRegisters(
+        toks.filter(crc32(col("tok")) % 2 =!= 0),
+        Seq("source"), col("tok")))
+      .groupBy("source", "j").agg(max(col("r")).cast("int").as("r"))
+    assert(regRows(parts) == regRows(whole))
+    // and therefore identical estimates, bit-for-bit
+    assert(ests(Sketches.hllEstimate(parts, Seq("source"))) ==
+      ests(Sketches.hllEstimate(whole, Seq("source"))))
+  }
+
+  test("persisted family: append-only adds equal a one-shot build, fold collapses") {
+    val one = java.nio.file.Files.createTempDirectory("graft-hll-one").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft-hll-inc").toString
+    Sketches.buildHllIndex(spark, toks, one, Seq("source"), col("tok"))
+    Sketches.buildHllIndex(spark, toks.filter(col("tok") < "m"), inc,
+      Seq("source"), col("tok"))
+    Sketches.addToHllIndex(spark, toks.filter(col("tok") >= "m"), inc,
+      col("tok"))
+    val want = ests(Sketches.hllServe(spark, one))
+    assert(ests(Sketches.hllServe(spark, inc)) == want)
+    // the add appended (no rewrite): every build file still referenced
+    val built = Snapshots.readVersion(spark, s"$inc/registers", 1L)
+      .inputFiles.toSet
+    assert(built.subsetOf(
+      Snapshots.read(spark, s"$inc/registers").inputFiles.toSet))
+    // fold: one row per register, serve invariant
+    val preRows = Snapshots.read(spark, s"$inc/registers").count()
+    Sketches.foldHllIndex(spark, inc)
+    val folded = Snapshots.read(spark, s"$inc/registers")
+    assert(folded.count() <= preRows)
+    assert(folded.groupBy("source", "j").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(ests(Sketches.hllServe(spark, inc)) == want)
+    // a shrunken-looking register can never survive a later generation:
+    // idempotent re-add of already-counted data changes nothing
+    Sketches.addToHllIndex(spark, toks.filter(col("tok") < "m"), inc,
+      col("tok"))
+    assert(ests(Sketches.hllServe(spark, inc)) == want)
+  }
+
+  test("as-of pins the registers snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-ao").toString
+    val head = toks.filter(col("tok") < "m")
+    val v1 = Sketches.buildHllIndex(spark, head, dir, Seq("source"),
+      col("tok"))
+    Sketches.addToHllIndex(spark, toks.filter(col("tok") >= "m"), dir,
+      col("tok"))
+    assert(ests(Sketches.hllServe(spark, dir, asOf = Some(v1))) ==
+      ests(Sketches.hllCounts(head, Seq("source"), col("tok"))))
+    assert(ests(Sketches.hllServe(spark, dir)) ==
+      ests(Sketches.hllCounts(toks, Seq("source"), col("tok"))))
+  }
+}
