@@ -409,6 +409,34 @@ object GraftExtensions {
             litStr(exprs(0), "hll_count", "index_dir"),
             asOf = exprs.lift(1).map(litLong(_, "hll_count", "as_of")))
             .queryExecution.logical
+        }),
+      (FunctionIdentifier("cm_freq"),
+        tinfo("cm_freq",
+          "cm_freq(index_dir, probes_path, probes_where, value_expr" +
+            "[, as_of]) - per-group occurrence-frequency estimates for " +
+            "a probe batch, served from a persisted count-min sketch " +
+            "(buildCmIndex): min over the four counter cells each " +
+            "probed value hashes to, a pure function of the counters " +
+            "table — never a corpus rescan. Probes are data (a table + " +
+            "a predicate), and value_expr is a SQL expression over the " +
+            "probe table's columns, evaluated identically to the " +
+            "build's value derivation. The group columns come from the " +
+            "index's own params table. The optional 5th argument pins " +
+            "the counters snapshot (reproducible serving)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 4 || exprs.size == 5,
+            "cm_freq(index_dir, probes_path, probes_where, value_expr" +
+              s"[, as_of]) takes 4 or 5 arguments, got ${exprs.size}")
+          val probes = active.read
+            .parquet(litStr(exprs(1), "cm_freq", "probes_path"))
+            .filter(org.apache.spark.sql.functions.expr(
+              litStr(exprs(2), "cm_freq", "probes_where")))
+          graft.operators.Sketches.cmServe(active,
+            litStr(exprs(0), "cm_freq", "index_dir"), probes,
+            org.apache.spark.sql.functions.expr(
+              litStr(exprs(3), "cm_freq", "value_expr")),
+            asOf = exprs.lift(4).map(litLong(_, "cm_freq", "as_of")))
+            .queryExecution.logical
         }))
 
   /** Per-session registration of the table functions, for sessions

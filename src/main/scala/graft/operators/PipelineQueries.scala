@@ -665,6 +665,46 @@ object PipelineQueries {
     IndexMaintenance.compactIndex(s, dir)
   }
 
+  private val asofCmMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, Long)]()
+
+  /** Count-min counters built on doc_id<250's tokens (v1), the rest
+    * APPENDED — returns (dir, v1); shared by `sketch_cm_incremental`
+    * and `sketch_cm_asof`. */
+  private def asofCmIndex(s: SparkSession, d: String): (String, Long) =
+    asofCmMemo.computeIfAbsent((s, d), _ => {
+      val tk = hllTokens(s, d)
+      val dir = scratch(s"graft-cm-asof-$pid")
+      clearDir(s, dir)
+      val v1 = Sketches.buildCmIndex(s, tk.filter(col("doc_id") < 250),
+        dir, Seq("source"), col("tok"))
+      Sketches.addToCmIndex(s, tk.filter(col("doc_id") >= 250), dir,
+        col("tok"))
+      (dir, v1)
+    })
+
+  /** Count-min through the standing repair: build + append + sum-fold
+    * + bin-pack; `sketch_cm_folded` shares the full-corpus oracle. */
+  private val foldedCmDir = lifecycleDir("cm-fold") { (s, d, dir) =>
+    val tk = hllTokens(s, d)
+    Sketches.buildCmIndex(s, tk.filter(col("doc_id") < 250), dir,
+      Seq("source"), col("tok"))
+    Sketches.addToCmIndex(s, tk.filter(col("doc_id") >= 250), dir,
+      col("tok"))
+    Sketches.foldCmIndex(s, dir)
+    IndexMaintenance.compactIndex(s, dir)
+  }
+
+  /** Count-min over WHOLE-TEXT values per source (exact-duplicate
+    * frequency) — the `cm_freq` TVF's index: the probe table needs no
+    * derived column, so the SQL spelling probes documents directly
+    * with the value expression. */
+  private val textCmDir = lifecycleDir("cm-text") { (s, d, dir) =>
+    Sketches.buildCmIndex(s, t(s, d, "documents"), dir, Seq("source"),
+      lower(trim(col("text"))))
+  }
+
   /** HNSW hyperparameters for the gate corpus: 4 shards (125 vectors
     * per shard at sf0.01 — real deployments size shards to executor
     * memory, the ratio is what the entries exercise), M=8, efC=efS=40.
@@ -842,7 +882,10 @@ object PipelineQueries {
     "setup_hnsw_stream" -> ((s, d) => { streamHnswDir(s, d); () }),
     "setup_hnsw_compacted" -> ((s, d) => { cptHnswDir(s, d); () }),
     "setup_hll_asof" -> ((s, d) => { asofHllIndex(s, d); () }),
-    "setup_hll_folded" -> ((s, d) => { foldedHllDir(s, d); () }))
+    "setup_hll_folded" -> ((s, d) => { foldedHllDir(s, d); () }),
+    "setup_cm_asof" -> ((s, d) => { asofCmIndex(s, d); () }),
+    "setup_cm_folded" -> ((s, d) => { foldedCmDir(s, d); () }),
+    "setup_cm_text" -> ((s, d) => { textCmDir(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
     * corpus_chunk's fixed windows: a chunk boundary falls after word e
@@ -1744,10 +1787,17 @@ object PipelineQueries {
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .filter(col("doc_id") % 5 === 0)
         .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
+      // BOTH span probes share ONE gram derivation of the arrival
+      // batch (dupSpansAgainstIndexes): the tokenize/window/hash pass
+      // over the arrivals is the probe cost that scales with the
+      // batch, and the corpus-index and benchmark-index probes need
+      // the identical grams
+      val spans = TextAnalysis.dupSpansAgainstIndexes(
+        s, Seq(spDir, bmDir), arrivals, n = 8)
       // maximal spans are disjoint, so Σ span_len = duplicated words
-      val dw = TextAnalysis.dupSpansAgainstIndex(s, spDir, arrivals, n = 8)
+      val dw = spans(spDir)
         .groupBy("doc_id").agg(sum(col("span_len")).as("dup_span_words"))
-      val cont = TextAnalysis.dupSpansAgainstIndex(s, bmDir, arrivals, n = 8)
+      val cont = spans(bmDir)
         .select("doc_id").distinct().withColumn("hit", lit(1L))
       qual
         .join(nd, Seq("doc_id"), "left")
@@ -1875,6 +1925,78 @@ object PipelineQueries {
       // hll_count).
       val dir = asofHllIndex(s, d)._1
       s.sql(s"SELECT * FROM hll_count('$dir') ORDER BY source")
+    }),
+    "sketch_cm_tokens" -> ((s, d) => {
+      // the FREQUENCY companion: count-min occurrence estimates for
+      // every (source, token) of the first five documents against the
+      // whole corpus's counters. Two-sided gate: the oracle replays
+      // the all-integer estimate EXACTLY (hash compare), and ok pins
+      // the count-min law — an estimate is never below the true count.
+      val tk = hllTokens(s, d)
+      val probes = tk.filter(col("doc_id") < 5)
+      Sketches.cmEstimates(
+          Sketches.cmCounters(tk, Seq("source"), col("tok")),
+          probes, Seq("source"), col("tok"))
+        .join(tk.groupBy("source", "tok")
+          .agg(count(lit(1)).as("n_exact"))
+          .withColumnRenamed("tok", "v"), Seq("source", "v"), "left")
+        .select(col("source"), col("v"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("n_est"),
+          (col("n_est") >= coalesce(col("n_exact"), lit(0L)))
+            .cast("long").as("ok"))
+        .orderBy("source", "v")
+    }),
+    "sketch_cm_merge_law" -> ((s, d) => {
+      // SUM-mergeability: counters of two disjoint halves, summed,
+      // must equal the whole corpus's counters exactly — per-shard
+      // sketches combine without rescans (the additive analog of the
+      // HLL max law).
+      val tk = hllTokens(s, d)
+      val whole = Sketches.cmCounters(tk, Seq("source"), col("tok"))
+      val parts = Sketches
+        .cmCounters(tk.filter(col("doc_id") < 250), Seq("source"),
+          col("tok"))
+        .unionByName(Sketches.cmCounters(
+          tk.filter(col("doc_id") >= 250), Seq("source"), col("tok")))
+        .groupBy("source", "i", "j").agg(sum(col("cnt")).as("cnt"))
+      whole.agg(count(lit(1)).as("n_cells"))
+        .crossJoin(broadcast(
+          parts.exceptAll(whole).unionAll(whole.exceptAll(parts))
+            .agg(count(lit(1)).as("n_diff"))))
+        .select(col("n_cells"), col("n_diff"),
+          (col("n_diff") === 0).cast("long").as("ok"))
+    }),
+    "sketch_cm_incremental" -> ((s, d) => {
+      // build on the first tranche, APPEND the second (each batch
+      // exactly once — sum is mergeable but not idempotent); the serve
+      // must equal the whole-corpus replay. Build+add on the
+      // setup_cm_asof line; the entry times the probe.
+      val probes = hllTokens(s, d).filter(col("doc_id") < 5)
+      Sketches.cmServe(s, asofCmIndex(s, d)._1, probes, col("tok"))
+        .orderBy("source", "v")
+    }),
+    "sketch_cm_asof" -> ((s, d) => {
+      // version-pinned frequency serving: estimates as of v1 replay
+      // the first tranche's counters alone.
+      val (dir, v1) = asofCmIndex(s, d)
+      val probes = hllTokens(s, d).filter(col("doc_id") < 5)
+      Sketches.cmServe(s, dir, probes, col("tok"), asOf = Some(v1))
+        .orderBy("source", "v")
+    }),
+    "sketch_cm_folded" -> ((s, d) => {
+      // the standing repair: sum-fold collapses generations, bin-pack
+      // repacks; serving is invariant (whole-corpus oracle).
+      val probes = hllTokens(s, d).filter(col("doc_id") < 5)
+      Sketches.cmServe(s, foldedCmDir(s, d), probes, col("tok"))
+        .orderBy("source", "v")
+    }),
+    "q_cm_sql" -> ((s, d) => {
+      // the TVF spelling: probes are data (a table + a predicate +
+      // a value EXPRESSION over its columns), here whole-text
+      // exact-duplicate frequency per source.
+      val dir = textCmDir(s, d)
+      s.sql(s"SELECT * FROM cm_freq('$dir', '$d/documents.parquet', " +
+        "'doc_id < 5', 'lower(trim(text))') ORDER BY source, v")
     }),
 
     // ---- multimodal (stubbed decode, real plumbing) ----
@@ -3340,6 +3462,38 @@ object PipelineQueries {
        |    END AS n_est
        |  FROM fin)""".stripMargin
 
+  /** Count-min replay in DuckDB — ALL-integer arithmetic, so the
+    * estimates hash-compare exactly: md5-60 hash, the four 10-bit
+    * column projections, cell sums, min over the four probed cells
+    * (absent cell = 0). `corpusRows`/`probeRows` are subqueries
+    * yielding `(source, v)`. */
+  private def cmOracle(corpusRows: String, probeRows: String): String =
+    s"""WITH crows AS ($corpusRows),
+       |h AS (
+       |  SELECT source, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+       |  FROM crows),
+       |cells AS (
+       |  SELECT source, i, (h >> (10*i)) & 1023 AS j, COUNT(*) AS cnt
+       |  FROM h, (SELECT unnest([0,1,2,3]) AS i) GROUP BY 1, 2, 3),
+       |probe AS (
+       |  SELECT DISTINCT source, v,
+       |    ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+       |  FROM ($probeRows)),
+       |pc AS (
+       |  SELECT source, v, i, (h >> (10*i)) & 1023 AS j
+       |  FROM probe, (SELECT unnest([0,1,2,3]) AS i)),
+       |est AS (
+       |  SELECT pc.source, pc.v, MIN(COALESCE(cells.cnt, 0)) AS n_est
+       |  FROM pc LEFT JOIN cells USING (source, i, j)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def cmTokenRows(pred: String): String =
+    "SELECT source, unnest(string_split_regex(lower(trim(text)), " +
+      s"'\\s+')) AS v FROM documents WHERE $pred"
+
+  private def cmTextRows(pred: String): String =
+    s"SELECT source, lower(trim(text)) AS v FROM documents WHERE $pred"
+
   private val minhashPersistedOracle: String =
     """WITH toks AS (
       |  SELECT doc_id AS id,
@@ -3860,6 +4014,36 @@ object PipelineQueries {
       (hllOracle("TRUE") + "\nSELECT source, n_est FROM est ORDER BY source"),
     "q_hll_sql" ->
       (hllOracle("TRUE") + "\nSELECT source, n_est FROM est ORDER BY source"),
+    // count-min: the oracle replays the all-integer estimator exactly;
+    // sketch_cm_tokens additionally re-derives the exact counts and the
+    // never-undercount law
+    "sketch_cm_tokens" -> (cmOracle(cmTokenRows("TRUE"),
+      cmTokenRows("doc_id < 5")) +
+      """,
+        |ex AS (SELECT source, v, COUNT(*) AS n_exact FROM crows GROUP BY 1, 2)
+        |SELECT est.source, est.v,
+        |  COALESCE(ex.n_exact, 0) AS n_exact, est.n_est,
+        |  CASE WHEN est.n_est >= COALESCE(ex.n_exact, 0)
+        |    THEN 1 ELSE 0 END::BIGINT AS ok
+        |FROM est LEFT JOIN ex USING (source, v)
+        |ORDER BY est.source, est.v""".stripMargin),
+    "sketch_cm_merge_law" -> (cmOracle(cmTokenRows("TRUE"),
+      cmTokenRows("TRUE")) +
+      """
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(0 AS BIGINT) AS n_diff, CAST(1 AS BIGINT) AS ok
+        |FROM cells""".stripMargin),
+    "sketch_cm_incremental" -> (cmOracle(cmTokenRows("TRUE"),
+      cmTokenRows("doc_id < 5")) +
+      "\nSELECT source, v, n_est FROM est ORDER BY source, v"),
+    "sketch_cm_asof" -> (cmOracle(cmTokenRows("doc_id < 250"),
+      cmTokenRows("doc_id < 5")) +
+      "\nSELECT source, v, n_est FROM est ORDER BY source, v"),
+    "sketch_cm_folded" -> (cmOracle(cmTokenRows("TRUE"),
+      cmTokenRows("doc_id < 5")) +
+      "\nSELECT source, v, n_est FROM est ORDER BY source, v"),
+    "q_cm_sql" -> (cmOracle(cmTextRows("TRUE"), cmTextRows("doc_id < 5")) +
+      "\nSELECT source, v, n_est FROM est ORDER BY source, v"),
     "ann_hnsw_compacted" ->
       """SELECT
         |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)

@@ -205,4 +205,143 @@ object Sketches {
       spark: SparkSession, indexDir: String): Seq[String] =
     Snapshots.read(spark, s"$indexDir/params")
       .collect().head.getAs[String]("group_cols").split(",").toSeq
+
+  // ---------- count-min frequency sketch ----------
+  //
+  // The frequency companion to the HLL family: per-group occurrence
+  // counts of a value ("how often does this token appear in src0")
+  // from a counters table of groups × 4 × 1024 cells. Counters merge
+  // by SUM — associative and commutative like the HLL max, so the
+  // SAME append-only lifecycle applies (generation-stamped O(batch)
+  // adds, serve-side collapse, fold + bin-pack repair) — but NOT
+  // idempotent: re-adding a batch double-counts, the standard
+  // at-least-once caveat of additive sketches (the streaming entries'
+  // exactly-once batch contract is what makes appends safe).
+  // Arithmetic is all-integer, so the DuckDB oracle replays estimates
+  // EXACTLY, and the count-min law (estimate ≥ true count, always)
+  // gates alongside.
+
+  /** 4 rows × 1024 columns; the four column indexes are the four
+    * 10-bit projections of the one md5-60 hash — one hash per value,
+    * replayable as `(h >> (10*i)) & 1023`. */
+  val CmRows = 4
+  val CmWidth = 1024
+
+  /** Sparse count-min counters: one row per non-empty cell,
+    * `(groupCols…, i, j, cnt)`. */
+  def cmCounters(
+      df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
+    val h = conv(substring(md5(value.cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val cells = array((0 until CmRows).map { i =>
+      struct(lit(i).as("i"),
+        shiftright(col("h"), 10 * i)
+          .bitwiseAND(lit((CmWidth - 1).toLong)).cast("int").as("j"))
+    }: _*)
+    df.select(groupCols.map(col) :+ h.as("h"): _*)
+      .select(groupCols.map(col) :+ explode(cells).as("c"): _*)
+      .select(groupCols.map(col) :+ col("c.i") :+ col("c.j"): _*)
+      .groupBy((groupCols :+ "i" :+ "j").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query a counters table for every probe value: the estimate
+    * is `min` over the 4 cells the value hashes to (absent cell = 0).
+    * Tolerates duplicate generations (sum-collapses first). Output:
+    * `(groupCols…, v, n_est)` for the DISTINCT probe values. */
+  def cmEstimates(
+      counters: DataFrame,
+      probes: DataFrame,
+      groupCols: Seq[String],
+      value: Column): DataFrame = {
+    val gcols = groupCols.map(col)
+    val collapsed = counters
+      .groupBy((groupCols :+ "i" :+ "j").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val h = conv(substring(md5(value.cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val cells = array((0 until CmRows).map { i =>
+      struct(lit(i).as("i"),
+        shiftright(col("h"), 10 * i)
+          .bitwiseAND(lit((CmWidth - 1).toLong)).cast("int").as("j"))
+    }: _*)
+    probes
+      .select(gcols :+ value.cast("string").as("v") :+ h.as("h"): _*)
+      .distinct()
+      .select(gcols :+ col("v") :+ explode(cells).as("c"): _*)
+      .select(gcols :+ col("v") :+ col("c.i") :+ col("c.j"): _*)
+      .join(collapsed, groupCols :+ "i" :+ "j", "left")
+      .groupBy((groupCols :+ "v").map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
+
+  /** Build the persisted frequency sketch — same layout contract as
+    * [[buildHllIndex]] (params + generation-0 counters). */
+  def buildCmIndex(
+      spark: SparkSession,
+      df: DataFrame,
+      indexDir: String,
+      groupCols: Seq[String],
+      value: Column): Long = {
+    import spark.implicits._
+    require(groupCols.forall(c =>
+      !Seq("gen", "i", "j", "cnt", "h", "c", "v").contains(c)),
+      s"group columns collide with sketch columns: $groupCols")
+    Snapshots.commit(spark,
+      Seq((groupCols.mkString(","), CmRows, CmWidth))
+        .toDF("group_cols", "cm_rows", "cm_width"),
+      s"$indexDir/params")
+    Snapshots.commit(spark,
+      cmCounters(df, groupCols, value).withColumn("gen", lit(0L)),
+      s"$indexDir/counters",
+      statsColumns = "gen" +: groupCols :+ "i" :+ "j")
+  }
+
+  /** O(batch) add: the batch's own counters under a fresh generation —
+    * keys disjoint from every committed file's `gen` envelope, so the
+    * base rides by reference. Each batch must arrive exactly once
+    * (sum is not idempotent). */
+  def addToCmIndex(
+      spark: SparkSession,
+      df: DataFrame,
+      indexDir: String,
+      value: Column): Long = {
+    val groupCols = readGroupCols(spark, indexDir)
+    val dir = s"$indexDir/counters"
+    val gen = Snapshots.version(spark, dir)
+    Snapshots.merge(spark, dir,
+      cmCounters(df, groupCols, value).withColumn("gen", lit(gen)),
+      key = "gen" +: groupCols :+ "i" :+ "j",
+      statsColumns = "gen" +: groupCols :+ "i" :+ "j",
+      scoped = true)
+  }
+
+  /** Sum-collapse the generations back to one row per cell. */
+  def foldCmIndex(spark: SparkSession, indexDir: String): Long = {
+    val groupCols = readGroupCols(spark, indexDir)
+    val dir = s"$indexDir/counters"
+    val collapsed = Snapshots.read(spark, dir)
+      .groupBy((groupCols :+ "i" :+ "j").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("gen", lit(0L))
+    Snapshots.commit(spark, collapsed, dir,
+      statsColumns = "gen" +: groupCols :+ "i" :+ "j")
+  }
+
+  /** Serve frequency estimates for a probe batch from the persisted
+    * counters — never touches the source corpus. */
+  def cmServe(
+      spark: SparkSession,
+      indexDir: String,
+      probes: DataFrame,
+      value: Column,
+      asOf: Option[Long] = None): DataFrame = {
+    val groupCols = readGroupCols(spark, indexDir)
+    val dir = s"$indexDir/counters"
+    val counters = asOf match {
+      case Some(v) => Snapshots.readVersion(spark, dir, v)
+      case None => Snapshots.read(spark, dir)
+    }
+    cmEstimates(counters, probes, groupCols, value)
+  }
 }

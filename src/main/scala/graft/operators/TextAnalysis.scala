@@ -1714,39 +1714,74 @@ object TextAnalysis {
       maxProbeKeys: Int = 8192,
       textCol: String = "text",
       idCol: String = "doc_id",
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None): DataFrame =
+    dupSpansAgainstIndexes(spark, Seq(indexDir), arrivals, n,
+      maxProbeKeys, textCol, idCol,
+      asOf = asOf.map(indexDir -> _).toMap)(indexDir)
+
+  /** Probe SEVERAL span indexes with ONE gram derivation of the
+    * arrival batch. A composite admission pipeline checks the same
+    * arrivals against multiple standing indexes (the corpus index for
+    * duplicated-span accounting AND the benchmark index for
+    * contamination); the batch-side work — tokenize, window, hash
+    * every arrival document — is identical across probes, and at scale
+    * it dominates probe cost (the posting reads are bucket-pruned
+    * O(touched buckets); the gram derivation is O(batch text)). This
+    * derives the occurrence frame once, holds it persisted across all
+    * probes, and eagerly localCheckpoints each result so the returned
+    * frames own their blocks after the shared frame unpersists —
+    * [[dupSpansAgainstIndex]] is the single-index spelling of exactly
+    * this. All dirs must share the gram width `n`; `asOf` pins
+    * individual dirs' postings versions by name.
+    */
+  def dupSpansAgainstIndexes(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDirs: Seq[String],
+      arrivals: DataFrame,
+      n: Int = 8,
+      maxProbeKeys: Int = 8192,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      asOf: Map[String, Long] = Map.empty): Map[String, DataFrame] = {
     import graft.sources.Snapshots
-    // `asOf` pins the probe to a postings version (the text/IVF
+    require(indexDirs.nonEmpty, "no span index dirs to probe")
+    // `asOf` pins a probe to a postings version (the text/IVF
     // indexes' reproducible-serving contract): the params sidecar is
     // immutable after build, so the single postings pin is consistent
-    requireSpanParams(spark, indexDir, n)
+    indexDirs.foreach(requireSpanParams(spark, _, n))
     val occ = spanOccurrences(arrivals, n, textCol, idCol).persist()
     try {
       occ.foreach(_ => ())
       val keys = occ.select("gram").distinct()
         .limit(maxProbeKeys + 1).collect().map(_.getString(0))
-      if (keys.isEmpty)
-        // all-short batch: no grams to look up (readPartitionedIn
-        // rightly refuses an empty IN-list)
-        return spark.emptyDataFrame.select(lit(0L).as("doc_id"),
-          lit(0L).as("span_start"), lit(0L).as("span_len"),
-          lit("").as("span_text"))
-      val indexed =
-        (if (keys.length <= maxProbeKeys)
-          Snapshots.readPartitionedIn(spark, s"$indexDir/postings", "term",
-            keys.toIndexedSeq, v = asOf.getOrElse(0L))
-        else asOf
-          .map(Snapshots.readVersion(spark, s"$indexDir/postings", _))
-          .getOrElse(Snapshots.read(spark, s"$indexDir/postings")))
-          .select(col("term").as("gram")).distinct()
-      // the O(arrival spans) result is eagerly localCheckpoint'ed (not
-      // persist()'ed) so its blocks are GC-owned with the returned
-      // frame — the same library-owned cache-lifetime contract as
-      // minhashProbe (see the scaladoc there for the failure trade)
-      val out = spansFromDupStarts(
-        occ.join(indexed, "gram").select("doc_id", "start"),
-        arrivals, n, textCol, idCol).localCheckpoint(true)
-      out
+      indexDirs.map { indexDir =>
+        val pin = asOf.get(indexDir)
+        val out =
+          if (keys.isEmpty)
+            // all-short batch: no grams to look up (readPartitionedIn
+            // rightly refuses an empty IN-list)
+            spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+              lit(0L).as("span_start"), lit(0L).as("span_len"),
+              lit("").as("span_text"))
+          else {
+            val indexed =
+              (if (keys.length <= maxProbeKeys)
+                Snapshots.readPartitionedIn(spark, s"$indexDir/postings",
+                  "term", keys.toIndexedSeq, v = pin.getOrElse(0L))
+              else pin
+                .map(Snapshots.readVersion(spark, s"$indexDir/postings", _))
+                .getOrElse(Snapshots.read(spark, s"$indexDir/postings")))
+                .select(col("term").as("gram")).distinct()
+            // the O(arrival spans) result is eagerly localCheckpoint'ed
+            // (not persist()'ed) so its blocks are GC-owned with the
+            // returned frame — the same library-owned cache-lifetime
+            // contract as minhashProbe (see the scaladoc there)
+            spansFromDupStarts(
+              occ.join(indexed, "gram").select("doc_id", "start"),
+              arrivals, n, textCol, idCol).localCheckpoint(true)
+          }
+        indexDir -> out
+      }.toMap
     } finally { occ.unpersist(); () }
   }
 }

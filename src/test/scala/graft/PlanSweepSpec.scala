@@ -81,9 +81,10 @@ class PlanSweepSpec extends SparkSpec {
       // shapes (stream adds an exceptAll agreement counter, compacted
       // the retraction leak counter)
       "ann_hnsw_stream", "ann_hnsw_compacted",
-      // sketch_hll_merge_law: single-row broadcast counters crossJoined
-      // (the bounded label-frame pattern) around the register exceptAll
-      "sketch_hll_merge_law",
+      // sketch_{hll,cm}_merge_law: single-row broadcast counters
+      // crossJoined (the bounded label-frame pattern) around the
+      // register/counter exceptAll
+      "sketch_hll_merge_law", "sketch_cm_merge_law",
       // q_graph_search_sql: the TVF spelling of ann_hnsw_persisted's
       // serve wrapped in the same recall gate — identical bounded
       // nested loops

@@ -75,6 +75,31 @@ class DupSpansSpec extends SparkSpec {
     }
   }
 
+  test("multi-index probe shares one gram derivation and equals per-dir probes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-span-multi-a").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-span-multi-b").toString
+    TextAnalysis.buildSpanIndex(spark,
+      docs.filter(col("doc_id") % 5 =!= 0), dirA, n = 8)
+    TextAnalysis.buildSpanIndex(spark,
+      docs.filter(col("doc_id") % 10 === 1), dirB, n = 8)
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val multi = TextAnalysis.dupSpansAgainstIndexes(
+      spark, Seq(dirA, dirB), arrivals, n = 8)
+    assert(multi.keySet == Set(dirA, dirB))
+    assert(spans(multi(dirA)) ==
+      spans(TextAnalysis.dupSpansAgainstIndex(spark, dirA, arrivals, n = 8)))
+    assert(spans(multi(dirB)) ==
+      spans(TextAnalysis.dupSpansAgainstIndex(spark, dirB, arrivals, n = 8)))
+    // the results own their blocks: usable after the shared frame is gone
+    assert(multi(dirA).count() >= 0 && multi(dirB).count() >= 0)
+  }
+
   test("indexed probe equals the direct arrival-vs-corpus computation, on both probe paths") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files

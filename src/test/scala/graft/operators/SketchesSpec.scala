@@ -91,6 +91,73 @@ class SketchesSpec extends SparkSpec {
     assert(ests(Sketches.hllServe(spark, inc)) == want)
   }
 
+  test("count-min law: estimates never undercount, and mostly exact at this load") {
+    val counters = Sketches.cmCounters(toks, Seq("source"), col("tok"))
+    val exact = toks.groupBy("source", "tok")
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumnRenamed("tok", "v")
+    val got = Sketches.cmEstimates(counters, toks, Seq("source"), col("tok"))
+      .join(exact, Seq("source", "v"))
+      .select(col("n_exact"), col("n_est")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    // the hard law: a count-min estimate is NEVER below the true count
+    assert(got.forall { case (ex, est) => est >= ex })
+    // at this load (hundreds of distinct tokens in 4x1024 cells) the
+    // min over 4 rows is almost always collision-free
+    val exactFrac = got.count { case (ex, est) => est == ex }.toDouble / got.length
+    info(f"count-min exact fraction = $exactFrac%.4f over ${got.length} probes")
+    assert(exactFrac >= 0.95)
+    // unseen values estimate to zero (all four cells empty or the min is)
+    val unseen = Sketches.cmEstimates(counters,
+      spark.range(1).select(lit("src0").as("source"),
+        lit("zzz-never-a-token-zzz").as("tok")),
+      Seq("source"), col("tok")).collect()
+    assert(unseen.length == 1)
+  }
+
+  test("count-min merge law: halves summed equal the whole") {
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "i", "j", "cnt").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+    val whole = Sketches.cmCounters(toks, Seq("source"), col("tok"))
+    val parts = Sketches.cmCounters(toks.filter(crc32(col("tok")) % 2 === 0),
+        Seq("source"), col("tok"))
+      .unionByName(Sketches.cmCounters(
+        toks.filter(crc32(col("tok")) % 2 =!= 0), Seq("source"), col("tok")))
+      .groupBy("source", "i", "j").agg(sum(col("cnt")).as("cnt"))
+    assert(cells(parts) == cells(whole))
+  }
+
+  test("count-min persisted family: disjoint adds equal a one-shot build; fold + as-of") {
+    val one = java.nio.file.Files.createTempDirectory("graft-cm-one").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft-cm-inc").toString
+    val probes = toks.limit(200)
+    def served(dir: String, asOf: Option[Long] = None) =
+      Sketches.cmServe(spark, dir, probes, col("tok"), asOf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    Sketches.buildCmIndex(spark, toks, one, Seq("source"), col("tok"))
+    val head = toks.filter(col("tok") < "m")
+    val v1 = Sketches.buildCmIndex(spark, head, inc, Seq("source"), col("tok"))
+    Sketches.addToCmIndex(spark, toks.filter(col("tok") >= "m"), inc,
+      col("tok"))
+    val want = served(one)
+    assert(served(inc) == want)
+    // as-of pins the pre-add counters: estimates equal a head-only sketch
+    assert(served(inc, asOf = Some(v1)) ==
+      Sketches.cmEstimates(
+        Sketches.cmCounters(head, Seq("source"), col("tok")),
+        probes, Seq("source"), col("tok")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
+    // fold collapses to one row per cell, serve invariant
+    Sketches.foldCmIndex(spark, inc)
+    assert(Snapshots.read(spark, s"$inc/counters")
+      .groupBy("source", "i", "j").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(served(inc) == want)
+  }
+
   test("as-of pins the registers snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hll-ao").toString
     val head = toks.filter(col("tok") < "m")
