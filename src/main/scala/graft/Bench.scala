@@ -2,7 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds —
+  * each entry timed twice (cold, then steady), with STEADY as the
+  * canonical per-entry number and total.
   *
   * Each query executes via a noop-format write — the full plan runs
   * (projections, sorts, every output row materialized) with no sink cost;
@@ -77,20 +79,38 @@ object Bench {
           }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-    val results = setups ++ selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
+    // COLD vs STEADY, per entry: every round's bench artifact has
+    // manufactured phantom regressions out of one-shot cold lines
+    // (r11: 17.7 s that steady-profiles at 1.4 s; r12: four more) —
+    // per-plan codegen/JIT is several seconds on first execution and
+    // irrelevant to the plan's actual cost. Each entry therefore runs
+    // TWICE back-to-back: run 1 is the cold time (plan analysis +
+    // codegen + JIT + the plan), run 2 the steady time (the plan).
+    // Entries are re-runnable by construction (tools/ProfileEntry has
+    // always triple-run them); lifecycle entries re-create their own
+    // scratch dirs per call, and index-serving entries read memoized
+    // dirs, so the second run measures exactly the serving plan. The
+    // gate signal is STEADY — the number a warmed production session
+    // pays — and cold rides along for the one-shot-cost story.
+    val timed = selected.toSeq.map { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
+          (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             failed ::= name
             System.err.println(s"[bench] $name FAILED: $e")
-            false
+            -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val cold = once()
+      val steady = if (cold < 0) -1.0 else once()
+      (name, cold, steady)
     }
+    val results = setups ++ timed.map { case (n, _, s) => (n, s) }
+    val colds = timed.map { case (n, c, _) => (n, c) }
     // 3-decimal values keep the line compact: the driver captures only a
     // bounded output tail, and r03's full-precision 66-entry line got its
     // head truncated past the capture window -> unparseable bench.
@@ -103,7 +123,17 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val qsCold = colds.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val setupTotal = setups.map(_._2).filter(_ >= 0).sum
+    val steadyTotal = timed.map(_._3).filter(_ >= 0).sum
+    val coldTotal = colds.map(_._2).filter(_ >= 0).sum
+    // the gate-adjudication total: setups once + every entry's STEADY
+    // run — what a warmed session pays for the whole surface. The cold
+    // pass's sum rides alongside (`cold_total`) so one artifact carries
+    // both signals; `"timing":"steady"` marks the semantics change
+    // (r12 and before: one run per entry, i.e. cold-only totals).
+    val total = setupTotal + steadyTotal
     // ambient host load is the one variable that has repeatedly inflated
     // cross-run totals 3-4x (BASELINE.md caveats, rounds 4-5); report it
     // in-band so a hot-machine run is self-explaining (-1 = unavailable)
@@ -119,7 +149,7 @@ object Bench {
         os.getProcessCpuTime / 1e9
       case _ => -1.0
     }
-    val load = s""""load_avg_start":${fmt(loadAtStart)},"load_avg_end":${fmt(loadAtEnd)},"proc_cpu_sec":${fmt(procCpuSec)}"""
+    val load = s""""load_avg_start":${fmt(loadAtStart)},"load_avg_end":${fmt(loadAtEnd)},"proc_cpu_sec":${fmt(procCpuSec)},"timing":"steady","cold_total":${fmt(coldTotal)},"setup_total":${fmt(setupTotal)}"""
     // the FULL per-query map, for humans scrolling the log and for any
     // consumer with unbounded capture; metric name is NOT "total" so
     // the driver's tail parser never binds to this (head-truncatable)
@@ -133,12 +163,20 @@ object Bench {
     // the per-query map inside it is the SLOWEST entries first, cut at
     // a byte budget, with the omission counted in-band and the full map
     // durable in the sidecar below.
+    // slowest entries by STEADY time, each shown as "name":[cold,steady]
+    // so the parseable artifact distinguishes the two per entry (a cold
+    // 11 s line with a 1.4 s steady is a codegen artifact, not a
+    // regression — the adjudicable number is the second one)
+    val coldOf = colds.toMap
     val budget = 1100
     val bySlow = results.sortBy(-_._2)
     var used = 0
     val shown = scala.collection.mutable.ListBuffer.empty[String]
     for ((k, v) <- bySlow) {
-      val s = "\"" + k + "\":" + fmt(v)
+      val s = coldOf.get(k) match {
+        case Some(c) => "\"" + k + "\":[" + fmt(c) + "," + fmt(v) + "]"
+        case None => "\"" + k + "\":" + fmt(v) // setup lines run once
+      }
       if (used + s.length + 1 <= budget) { shown += s; used += s.length + 1 }
     }
     val qsTop = shown.mkString("{", ",", "}")
@@ -155,7 +193,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "graft_bench_last.json")),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$load,"n_entries":${results.size - setups.size},"n_setups":${setups.size},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$load,"n_entries":${results.size - setups.size},"n_setups":${setups.size},"n_failed":${failed.size},"queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir"}""" + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] sidecar write failed: $e")
     }

@@ -429,14 +429,19 @@ object Hnsw {
       Seq((m, efConstruction, numShards))
         .toDF("m", "ef_construction", "num_shards"),
       s"$indexDir/params")
-    Snapshots.commit(spark, graphRows, s"$indexDir/graph",
-      statsColumns = Seq("shard", "id"),
-      partitionSpec = Seq(Snapshots.Transform.Identity("shard")))
+    // truncate pending BEFORE committing the fresh graph: the two
+    // commits are not atomic, and pending WINS at serve time, so the
+    // crash window must leave (old graph, empty pending) — losing
+    // unfolded adds — rather than (new graph, stale pending), which
+    // would serve pre-rebuild vectors resurrected over the new graph
     val pendDir = s"$indexDir/pending"
     if (Snapshots.version(spark, pendDir) >= 1)
       Snapshots.commit(spark,
         Snapshots.read(spark, pendDir).limit(0), pendDir,
         statsColumns = Seq("shard", "id"))
+    Snapshots.commit(spark, graphRows, s"$indexDir/graph",
+      statsColumns = Seq("shard", "id"),
+      partitionSpec = Seq(Snapshots.Transform.Identity("shard")))
     stampVersion(spark, indexDir)
   }
 
@@ -449,26 +454,48 @@ object Hnsw {
     * hnswTopKPersisted]] resolves an `asOf` pin through it. The table
     * is O(mutations) tiny — the read is the same driver-bounded budget
     * as the params row. pending_v = 0 records "tier not created yet".
-    * Mutations to ONE index are expected to be serialized by the
-    * caller (the same single-writer-per-index assumption the bm25
-    * family's version-stamped stats make); a lost manifest row would
-    * fail loudly at pin time, never serve an incoherent pair.
+    * The append is COMPARE-AND-SWAP ([[Snapshots.commitIfVersion]]),
+    * re-derived from the fresh tip on every lost race: two racing
+    * mutations each land their OWN manifest row with distinct
+    * index_versions and freshly re-read (graph_v, pending_v) — no row
+    * is silently replaced, so a returned handle always resolves to the
+    * pair it named (HnswSpec races two adds to pin exactly that).
     */
   private def stampVersion(spark: SparkSession, indexDir: String): Long = {
     import spark.implicits._
     val dir = s"$indexDir/versions"
-    val gv = Snapshots.version(spark, s"$indexDir/graph")
-    val pv = Snapshots.version(spark, s"$indexDir/pending")
-    val cur =
-      if (Snapshots.version(spark, dir) >= 1)
-        Snapshots.read(spark, dir).as[(Long, Long, Long)].collect().toSeq
-      else Nil
-    val next = if (cur.isEmpty) 1L else cur.map(_._1).max + 1
-    Snapshots.commit(spark,
-      (cur :+ ((next, gv, math.max(pv, 0L))))
-        .toDF("index_version", "graph_v", "pending_v"),
-      dir)
-    next
+    var attempt = 0
+    while (attempt < 10) {
+      val base = Snapshots.version(spark, dir)
+      // re-read INSIDE the attempt: a lost race means another mutation
+      // moved a table under us, and the loser's row must pair the
+      // versions as of ITS retry, not its first read
+      val gv = Snapshots.version(spark, s"$indexDir/graph")
+      val pv = Snapshots.version(spark, s"$indexDir/pending")
+      val cur =
+        if (base >= 1)
+          Snapshots.readVersion(spark, dir, base)
+            .select("index_version", "graph_v", "pending_v")
+            .as[(Long, Long, Long)].collect().toSeq
+        else Nil
+      val next = if (cur.isEmpty) 1L else cur.map(_._1).max + 1
+      val df = (cur :+ ((next, gv, math.max(pv, 0L))))
+        .toDF("index_version", "graph_v", "pending_v")
+      if (Snapshots.commitIfVersion(spark, df, dir, base).nonEmpty)
+        return next
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"version stamp on $indexDir lost 10 optimistic races; giving up")
+  }
+
+  /** Manifest row count — O(root list), never O(data) on clean
+    * snapshots; the policy probes below stay metadata-priced. An empty
+    * (truncated) table aggregates to NULL → 0. `v = 0` reads the tip. */
+  private def rowsOf(
+      spark: SparkSession, tableDir: String, v: Long = 0L): Long = {
+    val r = Snapshots.tableStats(spark, tableDir, Nil, v = v).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** O(new) index maintenance: a graph insert rewires existing nodes,
@@ -478,23 +505,45 @@ object Hnsw {
     * serves brute-force the pending tier exactly, and [[foldHnswIndex]]
     * graduates it into the graph. Re-adding an id updates its pending
     * row (merge key) and overrides its graph row at serve time.
+    *
+    * THE TIER IS BOUNDED BY POLICY, not caller discipline: serving
+    * brute-forces pending exactly (cost grows linearly with unfolded
+    * adds — correct but degenerating toward a scan), so after each add
+    * the two tables' MANIFEST row counts (O(metadata), never a data
+    * read) are compared and the fold triggers itself once pending
+    * exceeds `foldAt` × graph rows. The default 1.0 is the break-even
+    * point where brute-forcing pending costs as much as searching the
+    * graph; latency-tight deployments pass something like 0.1.
+    * `foldAt = Double.PositiveInfinity` disables the policy (the
+    * lifecycle entries that serve a deliberately-pending state use it).
     */
   def addToHnswIndex(
       spark: SparkSession,
       newVectors: DataFrame,
       indexDir: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Long = {
+      vecCol: String = "embedding",
+      foldAt: Double = 1.0): Long = {
     val numShards = Snapshots.read(spark, s"$indexDir/params")
       .collect().head.getAs[Int]("num_shards")
     val rows = shardRows(newVectors, numShards, idCol, vecCol)
     val dir = s"$indexDir/pending"
-    if (Snapshots.version(spark, dir) >= 1)
+    // tier creation is CAS'd, not checked-then-committed: two racing
+    // FIRST adds would otherwise both take a plain-commit branch and
+    // the second would replace the first's rows (the racing-adds spec
+    // caught exactly that). The create loser falls through to the
+    // OCC merge like any add against an existing tier.
+    val created = Snapshots.version(spark, dir) < 1 &&
+      Snapshots.commitIfVersion(spark, rows, dir, 0L,
+        statsColumns = Seq("shard", "id")).nonEmpty
+    if (!created)
       Snapshots.merge(spark, dir, rows, key = Seq("id"),
         statsColumns = Seq("shard", "id"), scoped = true)
-    else
-      Snapshots.commit(spark, rows, dir, statsColumns = Seq("shard", "id"))
-    stampVersion(spark, indexDir)
+    val stamped = stampVersion(spark, indexDir)
+    if (foldAt.isFinite && foldAt > 0 &&
+        rowsOf(spark, dir) > foldAt * rowsOf(spark, s"$indexDir/graph"))
+      foldHnswIndex(spark, indexDir)
+    else stamped
   }
 
   /** Retract vectors: an O(keys) merge-on-read delete on the graph
@@ -634,6 +683,19 @@ object Hnsw {
     val cand = pendDf match {
       case None => graphCand
       case Some(pend) =>
+        // the policy bound ([[addToHnswIndex]] foldAt) keeps this tier
+        // small; still, a policy-disabled index could grow it, so the
+        // serve (a) warns loudly past the brute-force break-even and
+        // (b) stops HINTING broadcast for the pending-id anti-join past
+        // a row bound — both from manifest counts, never a data read
+        val pendRows = rowsOf(spark, pendDir,
+          v = pinned.map(_._2).getOrElse(0L))
+        val graphRows = rowsOf(spark, s"$indexDir/graph",
+          v = pinned.map(_._1).getOrElse(0L))
+        if (pendRows > graphRows)
+          System.err.println(s"[graft.Hnsw] pending tier of $indexDir " +
+            s"($pendRows rows) exceeds the graph ($graphRows): serving " +
+            "is brute-forcing more than it searches — run foldHnswIndex")
         // same array<float> normalization as every other vector path
         // (shardRows / collectQueries / the graph read): cosineSim
         // type-checks (array<float>, array<float>), so an uncast
@@ -647,9 +709,14 @@ object Hnsw {
           .select(col("query_id"), col("id").as("neighbor_id"),
             cosineSim(col("qvec"), col("vec")).cast("double").as("cosine"))
         // pending wins on id collision (a re-added vector's new value
-        // must serve); broadcast anti-join against the bounded tier
+        // must serve); the anti-join side is broadcast only while the
+        // tier is genuinely bounded — past ~5M ids the hint would
+        // gamble driver memory, so the planner chooses (AQE can still
+        // pick a broadcast from measured sizes)
         val pendIds = pend.select(col("id").as("neighbor_id")).distinct()
-        graphCand.join(broadcast(pendIds), Seq("neighbor_id"), "left_anti")
+        val pendIdsSide =
+          if (pendRows <= 5000000L) broadcast(pendIds) else pendIds
+        graphCand.join(pendIdsSide, Seq("neighbor_id"), "left_anti")
           .unionByName(pendScored)
     }
     mergeRanked(cand, k, roundDecimals)

@@ -3999,12 +3999,19 @@ object PipelineQueries {
         |  CASE WHEN abs(est.n_est - ex.n_exact) / ex.n_exact <= 0.15
         |    THEN 1 ELSE 0 END::BIGINT AS ok
         |FROM est JOIN ex USING (lang) ORDER BY est.lang""".stripMargin),
+    // n_sources derives from the SAME tokenized rows the registers
+    // derive from (a source counts iff it yields ≥1 token row), not
+    // from raw documents — keeps the two sides definitionally
+    // identical for any pathological source whose documents produce
+    // no token rows
     "sketch_hll_merge_law" ->
       """SELECT
         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
         |  CAST(0 AS BIGINT) AS n_diff,
         |  CAST(1 AS BIGINT) AS ok
-        |FROM documents""".stripMargin,
+        |FROM (SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)""".stripMargin,
     "sketch_hll_incremental" ->
       (hllOracle("TRUE") + "\nSELECT source, n_est FROM est ORDER BY source"),
     "sketch_hll_asof" ->

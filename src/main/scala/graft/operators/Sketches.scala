@@ -150,6 +150,14 @@ object Sketches {
     * boundaries invisible: batch split and arrival order cannot change
     * an estimate. The caller derives `value` exactly as at build (the
     * same same-derivation contract as the other families' adds).
+    *
+    * The generation stamp derives from the MERGE ATTEMPT's own base
+    * version ([[Snapshots.mergeDerived]]), not a read before the merge:
+    * two racing adds that pre-read the same tip would both stamp the
+    * same gen, and the loser's retry would replace the winner's
+    * colliding `(gen, group, j)` rows — a silent register loss. With
+    * the base-derived stamp every committed add owns a distinct gen
+    * (SketchesSpec races two adds to pin it).
     */
   def addToHllIndex(
       spark: SparkSession,
@@ -157,13 +165,12 @@ object Sketches {
       indexDir: String,
       value: Column): Long = {
     val groupCols = readGroupCols(spark, indexDir)
-    val dir = s"$indexDir/registers"
-    val gen = Snapshots.version(spark, dir)
-    Snapshots.merge(spark, dir,
-      hllRegisters(df, groupCols, value).withColumn("gen", lit(gen)),
+    Snapshots.mergeDerived(spark, s"$indexDir/registers",
       key = "gen" +: groupCols :+ "j",
       statsColumns = "gen" +: groupCols :+ "j",
-      scoped = true)
+      scoped = true) { base =>
+      hllRegisters(df, groupCols, value).withColumn("gen", lit(base))
+    }
   }
 
   /** Collapse the appended generations to ONE row per register (full
@@ -299,21 +306,23 @@ object Sketches {
 
   /** O(batch) add: the batch's own counters under a fresh generation —
     * keys disjoint from every committed file's `gen` envelope, so the
-    * base rides by reference. Each batch must arrive exactly once
-    * (sum is not idempotent). */
+    * base rides by reference. Each batch must arrive exactly once (sum
+    * is not idempotent). The gen stamp derives from the merge
+    * attempt's base version — see [[addToHllIndex]]; for counters a
+    * same-gen collision would be a silent COUNT loss, so the CAS
+    * derivation matters even more here. */
   def addToCmIndex(
       spark: SparkSession,
       df: DataFrame,
       indexDir: String,
       value: Column): Long = {
     val groupCols = readGroupCols(spark, indexDir)
-    val dir = s"$indexDir/counters"
-    val gen = Snapshots.version(spark, dir)
-    Snapshots.merge(spark, dir,
-      cmCounters(df, groupCols, value).withColumn("gen", lit(gen)),
+    Snapshots.mergeDerived(spark, s"$indexDir/counters",
       key = "gen" +: groupCols :+ "i" :+ "j",
       statsColumns = "gen" +: groupCols :+ "i" :+ "j",
-      scoped = true)
+      scoped = true) { base =>
+      cmCounters(df, groupCols, value).withColumn("gen", lit(base))
+    }
   }
 
   /** Sum-collapse the generations back to one row per cell. */

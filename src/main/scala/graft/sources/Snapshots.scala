@@ -2077,7 +2077,31 @@ object Snapshots {
       recordChanges: Boolean = false,
       scoped: Boolean = false,
       evolveSchema: Boolean = false,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10): Long =
+    mergeDerived(spark, tableDir, key, statsColumns, bloomColumns,
+      recordChanges, scoped, evolveSchema, maxRetries)(_ => updates)
+
+  /** [[merge]] whose update rows are a FUNCTION OF THE BASE VERSION,
+    * re-derived inside every optimistic attempt. This closes the
+    * read-then-write race that a version-derived column in the update
+    * rows (the sketch families' generation stamps) would otherwise
+    * have: two writers that read the same tip before merging would
+    * both stamp the same value, and the loser's retry would re-merge
+    * its STALE rows over the winner's same-key rows. Deriving from the
+    * attempt's own base means every committed merge stamped from the
+    * version it actually landed on — the same re-derive contract as
+    * [[transact]].
+    */
+  def mergeDerived(
+      spark: SparkSession,
+      tableDir: String,
+      key: Seq[String],
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      recordChanges: Boolean = false,
+      scoped: Boolean = false,
+      evolveSchema: Boolean = false,
+      maxRetries: Int = 10)(updatesOf: Long => DataFrame): Long = {
     require(!scoped || (key.nonEmpty && key.forall(statsColumns.contains)),
       s"scoped merge needs every key column present in statsColumns " +
         s"(key=$key, statsColumns=$statsColumns)")
@@ -2086,6 +2110,7 @@ object Snapshots {
         "files with the previous version, and a shared file cannot hold " +
         "two schemas — run an unscoped merge to evolve, then re-cluster")
     occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) { (base, cur0) =>
+      val updates = updatesOf(base)
       // schema evolution (opt-in, the Delta `mergeSchema` trade): the
       // committed schema becomes the UNION of target and source columns,
       // each side null-filled where the other introduced a column. Types

@@ -85,7 +85,8 @@ class HnswSpec extends SparkSpec {
     Hnsw.buildHnswIndex(spark, head, dir, numShards = 2, m = 8,
       efConstruction = 40)
     val baseFiles = Snapshots.read(spark, s"$dir/graph").inputFiles.toSet
-    Hnsw.addToHnswIndex(spark, tail, dir)
+    Hnsw.addToHnswIndex(spark, tail, dir,
+      foldAt = Double.PositiveInfinity) // the pending STATE is the test
     // the graph table is untouched by an add — pending is a side table
     assert(Snapshots.read(spark, s"$dir/graph").inputFiles.toSet == baseFiles)
     assert(Snapshots.version(spark, s"$dir/graph") == 1L)
@@ -111,7 +112,8 @@ class HnswSpec extends SparkSpec {
     val ref = java.nio.file.Files.createTempDirectory("graft-hnsw-fr").toString
     Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 30), dir,
       numShards = 2, m = 8, efConstruction = 40)
-    Hnsw.addToHnswIndex(spark, emb.filter(col("vec_id") >= 30), dir)
+    Hnsw.addToHnswIndex(spark, emb.filter(col("vec_id") >= 30), dir,
+      foldAt = Double.PositiveInfinity)
     Hnsw.foldHnswIndex(spark, dir)
     Hnsw.buildHnswIndex(spark, emb, ref, numShards = 2, m = 8,
       efConstruction = 40)
@@ -168,7 +170,8 @@ class HnswSpec extends SparkSpec {
     val v1 = Hnsw.buildHnswIndex(spark, head, dir, numShards = 2, m = 8,
       efConstruction = 40)
     val v2 = Hnsw.addToHnswIndex(spark,
-      emb.filter(col("vec_id") >= 30), dir)
+      emb.filter(col("vec_id") >= 30), dir,
+      foldAt = Double.PositiveInfinity)
     assert(v1 == 1L && v2 == 2L)
     // pinned to v1 == a fresh build over what v1 held, bit-identical
     Hnsw.buildHnswIndex(spark, head, sub, numShards = 2, m = 8,
@@ -249,7 +252,8 @@ class HnswSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-dq").toString
     Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 30), dir,
       numShards = 2, m = 8, efConstruction = 40)
-    Hnsw.addToHnswIndex(spark, emb.filter(col("vec_id") >= 30), dir)
+    Hnsw.addToHnswIndex(spark, emb.filter(col("vec_id") >= 30), dir,
+      foldAt = Double.PositiveInfinity)
     // array<double> queries: every path (graph AND the exact pending
     // tier) must normalize to array<float> — this failed analysis on
     // the pending tier before the qvec cast
@@ -261,6 +265,71 @@ class HnswSpec extends SparkSpec {
         efSearch = 40, roundDecimals = 6)))
   }
 
+  test("fold policy bounds the pending tier at add time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-fp").toString
+    val head = emb.filter(col("vec_id") < 100)
+    Hnsw.buildHnswIndex(spark, head, dir, numShards = 2, m = 8,
+      efConstruction = 40)
+    // a small batch stays pending under the default policy (1.0):
+    // 20 pending vs 100 graph rows — below break-even, no fold
+    Hnsw.addToHnswIndex(spark,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 120), dir)
+    assert(Snapshots.read(spark, s"$dir/pending").count() == 20L)
+    assert(Snapshots.version(spark, s"$dir/graph") == 1L)
+    // a tight policy folds the add through: the tier self-bounds
+    // without any caller calling foldHnswIndex
+    Hnsw.addToHnswIndex(spark,
+      emb.filter(col("vec_id") >= 120 && col("vec_id") < 140), dir,
+      foldAt = 0.1)
+    assert(Snapshots.read(spark, s"$dir/pending").count() == 0L)
+    // the policy-folded index equals a fresh build over the union —
+    // the same purity invariant the explicit fold pins
+    val ref = java.nio.file.Files.createTempDirectory("graft-hnsw-fq").toString
+    Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 140), ref,
+      numShards = 2, m = 8, efConstruction = 40)
+    assert(ranked(Hnsw.hnswTopKPersisted(spark, dir, queries, k = 10,
+      efSearch = 40, roundDecimals = 6)) ==
+      ranked(Hnsw.hnswTopKPersisted(spark, ref, queries, k = 10,
+        efSearch = 40, roundDecimals = 6)))
+  }
+
+  test("racing adds never lose a version-manifest row") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-rc").toString
+    Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 200), dir,
+      numShards = 2, m = 8, efConstruction = 40)
+    // two concurrent adds on disjoint id ranges: the CAS stamp means
+    // BOTH manifest rows land with distinct index_versions (the old
+    // read-modify-write silently replaced the loser's row, so its
+    // returned handle resolved to the winner's pair)
+    val vs = Await.result(Future.sequence(Seq(
+      Future(Hnsw.addToHnswIndex(spark,
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 230), dir,
+        foldAt = Double.PositiveInfinity)),
+      Future(Hnsw.addToHnswIndex(spark,
+        emb.filter(col("vec_id") >= 230 && col("vec_id") < 260), dir,
+        foldAt = Double.PositiveInfinity)))), 10.minutes)
+    assert(vs.toSet.size == 2, s"duplicate index versions returned: $vs")
+    val manifest = Snapshots.read(spark, s"$dir/versions")
+      .select("index_version").collect().map(_.getLong(0)).toSeq
+    assert(manifest.size == manifest.distinct.size)
+    assert(vs.toSet.subsetOf(manifest.toSet),
+      s"returned handles $vs missing from manifest $manifest")
+    // every returned handle pins a servable coherent pair
+    vs.foreach { v =>
+      assert(Hnsw.hnswTopKPersisted(spark, dir, queries, k = 5,
+        efSearch = 40, asOf = Some(v)).count() > 0)
+    }
+    // and the tip serves both batches' vectors (neither add was lost)
+    val served = pairs(Hnsw.hnswTopKPersisted(spark, dir,
+      emb.filter(col("vec_id") === 210 || col("vec_id") === 240)
+        .select(col("vec_id"), col("embedding")), k = 3, efSearch = 40))
+    assert(Snapshots.read(spark, s"$dir/pending").count() == 60L)
+    assert(served.nonEmpty)
+  }
+
   test("fold rebuilds only the touched shards' files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-fs").toString
     Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 40), dir,
@@ -268,7 +337,8 @@ class HnswSpec extends SparkSpec {
     val before = Snapshots.read(spark, s"$dir/graph").inputFiles.toSet
     // adds land only in shard 0 (ids ≡ 0 mod 4)
     Hnsw.addToHnswIndex(spark,
-      emb.filter(col("vec_id") >= 40 && col("vec_id") % 4 === 0), dir)
+      emb.filter(col("vec_id") >= 40 && col("vec_id") % 4 === 0), dir,
+      foldAt = Double.PositiveInfinity)
     Hnsw.foldHnswIndex(spark, dir)
     val after = Snapshots.read(spark, s"$dir/graph").inputFiles.toSet
     // untouched shards' files carry by reference; shard 0's are rewritten

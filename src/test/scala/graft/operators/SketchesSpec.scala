@@ -158,6 +158,47 @@ class SketchesSpec extends SparkSpec {
     assert(served(inc) == want)
   }
 
+  test("racing adds land distinct generations — no lost registers or counts") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the lost-update shape the gen CAS closes: two adds that pre-read
+    // the same tip would stamp the SAME gen, and the loser's scoped
+    // merge would replace the winner's colliding (gen, group, j) rows —
+    // register loss for HLL, silent COUNT loss for count-min. The
+    // base-derived stamp (mergeDerived) gives every committed add its
+    // own gen, so the raced index must equal the one-shot build exactly.
+    val thirds = Seq(
+      toks.filter(crc32(col("tok")) % 3 === 0),
+      toks.filter(crc32(col("tok")) % 3 === 1),
+      toks.filter(crc32(col("tok")) % 3 === 2))
+    val hllDir = java.nio.file.Files.createTempDirectory("graft-hll-race").toString
+    Sketches.buildHllIndex(spark, thirds(0), hllDir, Seq("source"), col("tok"))
+    Await.result(Future.sequence(Seq(
+      Future(Sketches.addToHllIndex(spark, thirds(1), hllDir, col("tok"))),
+      Future(Sketches.addToHllIndex(spark, thirds(2), hllDir, col("tok"))))),
+      10.minutes)
+    assert(Snapshots.read(spark, s"$hllDir/registers")
+      .select("gen").distinct().count() == 3)
+    assert(ests(Sketches.hllServe(spark, hllDir)) ==
+      ests(Sketches.hllCounts(toks, Seq("source"), col("tok"))))
+    val cmDir = java.nio.file.Files.createTempDirectory("graft-cm-race").toString
+    Sketches.buildCmIndex(spark, thirds(0), cmDir, Seq("source"), col("tok"))
+    Await.result(Future.sequence(Seq(
+      Future(Sketches.addToCmIndex(spark, thirds(1), cmDir, col("tok"))),
+      Future(Sketches.addToCmIndex(spark, thirds(2), cmDir, col("tok"))))),
+      10.minutes)
+    assert(Snapshots.read(spark, s"$cmDir/counters")
+      .select("gen").distinct().count() == 3)
+    val probes = toks.limit(200)
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got(Sketches.cmServe(spark, cmDir, probes, col("tok"))) ==
+      got(Sketches.cmEstimates(
+        Sketches.cmCounters(toks, Seq("source"), col("tok")),
+        probes, Seq("source"), col("tok"))))
+  }
+
   test("as-of pins the registers snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hll-ao").toString
     val head = toks.filter(col("tok") < "m")
