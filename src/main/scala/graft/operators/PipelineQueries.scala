@@ -705,6 +705,106 @@ object PipelineQueries {
       lower(trim(col("text"))))
   }
 
+  /** STREAMING ingestion into the HLL sketch — the streamSpanIndex
+    * shape: the first file-source micro-batch builds the register
+    * table, later batches append generation rows (O(batch), zero
+    * reads). Register max-merge is idempotent AND batch-invariant, so
+    * the drained table serves identically to any batch split — the
+    * whole-corpus oracle gates it. The drain is exactly-once per
+    * batch by the checkpointed AvailableNow contract. */
+  private val streamHllDir = lifecycleDir("hll-stream") { (s, d, dir) =>
+    val docs = t(s, d, "documents")
+    val inDir = scratch(s"graft-hll-stream-in-$pid")
+    val ckpt = scratch(s"graft-hll-stream-ckpt-$pid")
+    Seq(inDir, ckpt).foreach(clearDir(s, _))
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(s"$inDir/arrival-0")
+    docs.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(s"$inDir/arrival-1")
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/arrival-*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val bs = batch.sparkSession
+        val tk = batch.toDF().select(col("doc_id"), col("source"),
+          explode(Dedup.tokens(col("text"))).as("tok"))
+        if (graft.sources.Snapshots.version(bs, s"$dir/registers") >= 1L)
+          Sketches.addToHllIndex(bs, tk, dir, col("tok"))
+        else
+          Sketches.buildHllIndex(bs, tk, dir, Seq("source"), col("tok"))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** STREAMING ingestion into the count-min sketch. Counter sums are
+    * mergeable but NOT idempotent — exactly the case the checkpointed
+    * foreachBatch contract exists for: each micro-batch commits its
+    * generation exactly once, and a restart replays only uncommitted
+    * batches. The whole-corpus oracle certifies the drained counters
+    * equal a one-shot build. */
+  private val streamCmDir = lifecycleDir("cm-stream") { (s, d, dir) =>
+    val docs = t(s, d, "documents")
+    val inDir = scratch(s"graft-cm-stream-in-$pid")
+    val ckpt = scratch(s"graft-cm-stream-ckpt-$pid")
+    Seq(inDir, ckpt).foreach(clearDir(s, _))
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(s"$inDir/arrival-0")
+    docs.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(s"$inDir/arrival-1")
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/arrival-*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val bs = batch.sparkSession
+        val tk = batch.toDF().select(col("doc_id"), col("source"),
+          explode(Dedup.tokens(col("text"))).as("tok"))
+        if (graft.sources.Snapshots.version(bs, s"$dir/counters") >= 1L)
+          Sketches.addToCmIndex(bs, tk, dir, col("tok"))
+        else
+          Sketches.buildCmIndex(bs, tk, dir, Seq("source"), col("tok"))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The STANDING sketches the arrival-admission composite probes —
+    * built once on the corpus side (doc_id % 5 != 0, the same side
+    * [[arrivalIndexes]] indexes): an HLL register table of per-source
+    * distinct tokens and a count-min counter table of per-source
+    * whole-text frequencies. Serving reads ONLY these tiny tables plus
+    * the arrival slice — the corpus text is scanned once, at build,
+    * on the `setup_arrival_sketches` line. Returns (hll dir, cm dir).
+    */
+  private val arrivalSketchMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, String)]()
+
+  private def arrivalSketches(s: SparkSession, d: String): (String, String) =
+    arrivalSketchMemo.computeIfAbsent((s, d), _ => {
+      val corpusSide = t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
+      val hllDir = scratch(s"graft-arrival-hll-$pid")
+      val cmDir = scratch(s"graft-arrival-cm-$pid")
+      Seq(hllDir, cmDir).foreach(clearDir(s, _))
+      Sketches.buildHllIndex(s,
+        corpusSide.select(col("source"),
+          explode(Dedup.tokens(col("text"))).as("tok")),
+        hllDir, Seq("source"), col("tok"))
+      Sketches.buildCmIndex(s, corpusSide, cmDir, Seq("source"),
+        lower(trim(col("text"))))
+      (hllDir, cmDir)
+    })
+
   /** HNSW hyperparameters for the gate corpus: 4 shards (125 vectors
     * per shard at sf0.01 — real deployments size shards to executor
     * memory, the ratio is what the entries exercise), M=8, efC=efS=40.
@@ -885,7 +985,10 @@ object PipelineQueries {
     "setup_hll_folded" -> ((s, d) => { foldedHllDir(s, d); () }),
     "setup_cm_asof" -> ((s, d) => { asofCmIndex(s, d); () }),
     "setup_cm_folded" -> ((s, d) => { foldedCmDir(s, d); () }),
-    "setup_cm_text" -> ((s, d) => { textCmDir(s, d); () }))
+    "setup_cm_text" -> ((s, d) => { textCmDir(s, d); () }),
+    "setup_hll_stream" -> ((s, d) => { streamHllDir(s, d); () }),
+    "setup_cm_stream" -> ((s, d) => { streamCmDir(s, d); () }),
+    "setup_arrival_sketches" -> ((s, d) => { arrivalSketches(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
     * corpus_chunk's fixed windows: a chunk boundary falls after word e
@@ -1997,6 +2100,55 @@ object PipelineQueries {
       val dir = textCmDir(s, d)
       s.sql(s"SELECT * FROM cm_freq('$dir', '$d/documents.parquet', " +
         "'doc_id < 5', 'lower(trim(text))') ORDER BY source, v")
+    }),
+    "sketch_hll_stream" -> ((s, d) => {
+      // streaming ingest — the lifecycle leg the other five families
+      // already had: two micro-batches drain through foreachBatch
+      // (build, then generation append) on the setup_hll_stream line;
+      // the serve must equal the whole-corpus replay because register
+      // max-merge makes batch boundaries invisible.
+      Sketches.hllServe(s, streamHllDir(s, d)).orderBy("source")
+    }),
+    "sketch_cm_stream" -> ((s, d) => {
+      // the additive analog: counter sums are NOT idempotent, so this
+      // is exactly the leg that needs the checkpointed exactly-once
+      // batch contract — the whole-corpus oracle would catch any
+      // double-committed micro-batch as an overcount.
+      val probes = hllTokens(s, d).filter(col("doc_id") < 5)
+      Sketches.cmServe(s, streamCmDir(s, d), probes, col("tok"))
+        .orderBy("source", "v")
+    }),
+    "pipeline_arrival_admit_sketched" -> ((s, d) => {
+      // the sketch families as FIRST-CLASS admission signals: each
+      // arrival doc gets (a) its exact-duplicate frequency in the
+      // standing corpus — a count-min point query on its whole text —
+      // and (b) its source's standing distinct-token cardinality (the
+      // HLL estimate), both served from the tiny persisted sketch
+      // tables with ZERO corpus rescans (the corpus text was read once
+      // at build, on the setup_arrival_sketches line; the serve reads
+      // registers + counters + the arrival slice — PipelineIndexSpec
+      // pins the scan count). The admit bit composes the frequency
+      // probe: an arrival whose text already exists in the corpus is
+      // refused, the cheap exact-dup pre-filter in front of the
+      // minhash/span probes of pipeline_arrival_admit.
+      val docs = t(s, d, "documents")
+      val arrivals = docs.filter(col("doc_id") % 5 === 0)
+      val (hllDir, cmDir) = arrivalSketches(s, d)
+      // doc_id rides THROUGH the probe (carryCols): one arrival-slice
+      // scan total — no join-back to a second scan of the text
+      val freq = Sketches.cmServe(s, cmDir,
+          arrivals.select(col("doc_id"), col("source"), col("text")),
+          lower(trim(col("text"))), carryCols = Seq("doc_id"))
+        .withColumnRenamed("n_est", "n_corpus_dups")
+      val card = Sketches.hllServe(s, hllDir)
+        .withColumnRenamed("n_est", "src_distinct_toks")
+      freq
+        .join(broadcast(card), Seq("source"), "left")
+        .select(col("doc_id"), col("source"), col("n_corpus_dups"),
+          coalesce(col("src_distinct_toks"), lit(0.0))
+            .as("src_distinct_toks"),
+          (col("n_corpus_dups") === 0L).cast("long").as("admit"))
+        .orderBy("doc_id")
     }),
 
     // ---- multimodal (stubbed decode, real plumbing) ----
@@ -4051,6 +4203,81 @@ object PipelineQueries {
       "\nSELECT source, v, n_est FROM est ORDER BY source, v"),
     "q_cm_sql" -> (cmOracle(cmTextRows("TRUE"), cmTextRows("doc_id < 5")) +
       "\nSELECT source, v, n_est FROM est ORDER BY source, v"),
+    // streamed drains serve identically to one-shot builds — the
+    // whole-corpus replays gate the batch split (and, for count-min,
+    // the exactly-once commit contract)
+    "sketch_hll_stream" ->
+      (hllOracle("TRUE") + "\nSELECT source, n_est FROM est ORDER BY source"),
+    "sketch_cm_stream" -> (cmOracle(cmTokenRows("TRUE"),
+      cmTokenRows("doc_id < 5")) +
+      "\nSELECT source, v, n_est FROM est ORDER BY source, v"),
+    // the combined sketch-probe replay: HLL per-source cardinality of
+    // the corpus side (doc_id % 5 != 0) + count-min whole-text
+    // frequency probed by the arrival side — CTE names disambiguated
+    // because the two family helpers share h/est
+    "pipeline_arrival_admit_sketched" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |hh AS (
+        |  SELECT source,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+        |regs AS (
+        |  SELECT source, h & 1023 AS j,
+        |    MAX(CASE WHEN (h >> 10) = 0 THEN 51
+        |             ELSE 51 - length(bin(h >> 10)) END) AS r
+        |  FROM hh GROUP BY 1, 2),
+        |hagg AS (
+        |  SELECT source, COUNT(*) AS n_filled,
+        |    SUM(1::BIGINT << (51 - r)) AS s_filled
+        |  FROM regs GROUP BY 1),
+        |hfin AS (
+        |  SELECT source, (1024 - n_filled) AS zeros,
+        |    (1024 - n_filled) * (1::BIGINT << 51) + s_filled AS total
+        |  FROM hagg),
+        |hest AS (
+        |  SELECT source,
+        |    CASE WHEN zeros > 0 AND
+        |      (0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024 * 1024
+        |        * (1::BIGINT << 51)) / total <= 2560.0
+        |    THEN round(1024.0 * ln(1024.0 / zeros), 4)
+        |    ELSE round((0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024
+        |      * 1024 * (1::BIGINT << 51)) / total, 4)
+        |    END AS src_distinct_toks
+        |  FROM hfin),
+        |crows AS (
+        |  SELECT source, lower(trim(text)) AS v
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |ch AS (
+        |  SELECT source, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+        |  FROM crows),
+        |cells AS (
+        |  SELECT source, i, (h >> (10*i)) & 1023 AS j, COUNT(*) AS cnt
+        |  FROM ch, (SELECT unnest([0,1,2,3]) AS i) GROUP BY 1, 2, 3),
+        |probe AS (
+        |  SELECT DISTINCT source, v,
+        |    ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, lower(trim(text)) AS v
+        |        FROM documents WHERE doc_id % 5 = 0)),
+        |pc AS (
+        |  SELECT source, v, i, (h >> (10*i)) & 1023 AS j
+        |  FROM probe, (SELECT unnest([0,1,2,3]) AS i)),
+        |cest AS (
+        |  SELECT pc.source, pc.v, MIN(COALESCE(cells.cnt, 0)) AS n_corpus_dups
+        |  FROM pc LEFT JOIN cells USING (source, i, j)
+        |  GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT doc_id, source, lower(trim(text)) AS v
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT arr.doc_id, arr.source, cest.n_corpus_dups,
+        |  COALESCE(hest.src_distinct_toks, 0.0) AS src_distinct_toks,
+        |  CASE WHEN cest.n_corpus_dups = 0
+        |    THEN 1 ELSE 0 END::BIGINT AS admit
+        |FROM arr
+        |JOIN cest ON arr.source = cest.source AND arr.v = cest.v
+        |LEFT JOIN hest ON arr.source = hest.source
+        |ORDER BY arr.doc_id""".stripMargin,
     "ann_hnsw_compacted" ->
       """SELECT
         |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)

@@ -255,13 +255,20 @@ object Sketches {
   /** Point-query a counters table for every probe value: the estimate
     * is `min` over the 4 cells the value hashes to (absent cell = 0).
     * Tolerates duplicate generations (sum-collapses first). Output:
-    * `(groupCols…, v, n_est)` for the DISTINCT probe values. */
+    * `(groupCols…, carryCols…, v, n_est)` — for the DISTINCT probe
+    * values when `carryCols` is empty (the point-query spelling), or
+    * one row PER PROBE ROW when carry columns (a doc id, a batch tag)
+    * ride along: the estimate is a pure function of (group, v), so
+    * carrying identity costs nothing and saves the caller a join-back
+    * (and a second scan of the probe source). */
   def cmEstimates(
       counters: DataFrame,
       probes: DataFrame,
       groupCols: Seq[String],
-      value: Column): DataFrame = {
-    val gcols = groupCols.map(col)
+      value: Column,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val keyCols = groupCols ++ carryCols
+    val gcols = keyCols.map(col)
     val collapsed = counters
       .groupBy((groupCols :+ "i" :+ "j").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
@@ -272,13 +279,14 @@ object Sketches {
         shiftright(col("h"), 10 * i)
           .bitwiseAND(lit((CmWidth - 1).toLong)).cast("int").as("j"))
     }: _*)
-    probes
+    val keyed = probes
       .select(gcols :+ value.cast("string").as("v") :+ h.as("h"): _*)
-      .distinct()
+    val deduped = if (carryCols.isEmpty) keyed.distinct() else keyed
+    deduped
       .select(gcols :+ col("v") :+ explode(cells).as("c"): _*)
       .select(gcols :+ col("v") :+ col("c.i") :+ col("c.j"): _*)
       .join(collapsed, groupCols :+ "i" :+ "j", "left")
-      .groupBy((groupCols :+ "v").map(col): _*)
+      .groupBy((keyCols :+ "v").map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 
@@ -344,13 +352,14 @@ object Sketches {
       indexDir: String,
       probes: DataFrame,
       value: Column,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val groupCols = readGroupCols(spark, indexDir)
     val dir = s"$indexDir/counters"
     val counters = asOf match {
       case Some(v) => Snapshots.readVersion(spark, dir, v)
       case None => Snapshots.read(spark, dir)
     }
-    cmEstimates(counters, probes, groupCols, value)
+    cmEstimates(counters, probes, groupCols, value, carryCols)
   }
 }

@@ -76,4 +76,42 @@ class PipelineIndexSpec extends SparkSpec {
       admit == expect
     })
   }
+
+  test("the sketch-probe admission entry scans the corpus exactly once") {
+    // the count-min frequency probe carries doc_id through (carryCols),
+    // so the whole verdict — exact-dup frequency + per-source HLL
+    // cardinality + admit — derives from ONE arrival-slice scan; the
+    // sketch serves read only the persisted register/counter tables
+    val df = graft.SparkEntry
+      .queries("pipeline_arrival_admit_sketched")(spark, sf)
+    // counted from the FORMATTED explain (one Location line per scan
+    // node): executedPlan.collectLeaves() under AQE stops at the
+    // AdaptiveSparkPlanExec boundary and misses the real scans
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val corpusScans = fmt.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(corpusScans == 1,
+      s"expected exactly the arrival batch's one corpus scan, found $corpusScans")
+    val rows = df.collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.length ==
+      docs.filter(col("doc_id") % 5 === 0).count())
+    // the count-min law holds per verdict row against the true corpus
+    // frequency, and admit composes from the probe alone
+    val exact = docs.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("source"), lower(trim(col("text"))).as("v"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val arr = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"),
+        lower(trim(col("text"))).as("v")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows.forall { r =>
+      val key = arr(r.getAs[Long]("doc_id"))
+      val est = r.getAs[Long]("n_corpus_dups")
+      est >= exact.getOrElse(key, 0L) &&
+        (r.getAs[Long]("admit") == 1L) == (est == 0L)
+    })
+  }
 }
