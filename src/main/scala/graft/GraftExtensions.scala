@@ -437,6 +437,25 @@ object GraftExtensions {
               litStr(exprs(3), "cm_freq", "value_expr")),
             asOf = exprs.lift(4).map(litLong(_, "cm_freq", "as_of")))
             .queryExecution.logical
+        }),
+      (FunctionIdentifier("cm_topk"),
+        tinfo("cm_topk",
+          "cm_topk(index_dir, k[, as_of]) - per-group heavy hitters " +
+            "served from a persisted count-min sketch built with " +
+            "candK > 0: the index's batch-exact candidate rows are " +
+            "point-queried against the counters and re-ranked by " +
+            "global estimate — top k per group, never a corpus " +
+            "rescan. The optional 3rd argument pins the counters " +
+            "snapshot"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 2 || exprs.size == 3,
+            "cm_topk(index_dir, k[, as_of]) takes 2 or 3 arguments, " +
+              s"got ${exprs.size}")
+          graft.operators.Sketches.cmTopK(active,
+            litStr(exprs(0), "cm_topk", "index_dir"),
+            litLong(exprs(1), "cm_topk", "k").toInt,
+            asOf = exprs.lift(2).map(litLong(_, "cm_topk", "as_of")))
+            .queryExecution.logical
         }))
 
   /** Per-session registration of the table functions, for sessions

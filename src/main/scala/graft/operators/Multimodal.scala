@@ -486,6 +486,114 @@ object Multimodal {
         col("lum_h0"), col("lum_h1"), col("lum_h2"), col("lum_h3"))
   }
 
+  /** Deterministic WAV synthesis: one signed PCM16 mono sample per
+    * text byte (`(byte − 128) · 256`, little-endian, 8 kHz), wrapped
+    * in a REAL RIFF/WAVE container by `javax.sound.sampled` — the JDK
+    * codec path the image entries use ImageIO for, applied to audio.
+    * PCM in a WAVE container is lossless, so the decoded samples equal
+    * the synthesized ones and every emitted statistic is recomputable
+    * from the source text by the SQL oracle (the same contract as
+    * [[withPngPayload]]). Non-ASCII and short docs are dropped on both
+    * sides so byte synthesis and character oracle stay aligned.
+    */
+  def withWavPayload(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs
+      .filter(length(col(textCol)) >= 16 &&
+        octet_length(col(textCol)) === length(col(textCol)))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes(UTF_8)
+        val pcm = new Array[Byte](bytes.length * 2)
+        var i = 0
+        while (i < bytes.length) {
+          val s = ((bytes(i) & 0xff) - 128) * 256
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, bytes.length.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        (id, out.toByteArray)
+      })
+  }
+
+  /** Decoded WAV sufficient statistics: header fields plus exact
+    * integer sums — whole-signal and per-quarter-window sums of
+    * squares — so RMS derives as codegen'd arithmetic downstream. */
+  private[operators] final case class WavStat(
+      doc_id: Long, sample_rate: Long, channels: Long, bits: Long,
+      n_frames: Long, sum_s: Long, sq_s: Long,
+      q0: Long, q1: Long, q2: Long, q3: Long,
+      n0: Long, n1: Long, n2: Long, n3: Long)
+
+  /** Decode one WAV payload through the real `AudioSystem` path:
+    * header (rate/channels/bits/frames) from the parsed format, then
+    * the PCM16 little-endian frames reassembled into signed samples.
+    * Window w of frame i is `i·4 / n` — fixed quarter windows, the
+    * frame-sample shape for silence/clipping detection per segment. */
+  private[operators] def decodeWav(id: Long, payload: Array[Byte]): WavStat = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val f = ais.getFormat
+      val nf = ais.getFrameLength
+      val data = ais.readAllBytes()
+      val n = nf.toInt
+      var sum = 0L; var q = 0L
+      val qw = new Array[Long](4)
+      val nw = new Array[Long](4)
+      var i = 0
+      while (i < n) {
+        val lo = data(2 * i) & 0xff
+        val s = (data(2 * i + 1) << 8) | lo // hi byte carries the sign
+        sum += s; q += s.toLong * s
+        val w = (i.toLong * 4 / n).toInt
+        qw(w) += s.toLong * s; nw(w) += 1
+        i += 1
+      }
+      WavStat(id, f.getSampleRate.toLong, f.getChannels.toLong,
+        f.getSampleSizeInBits.toLong, nf, sum, q,
+        qw(0), qw(1), qw(2), qw(3), nw(0), nw(1), nw(2), nw(3))
+    } finally ais.close()
+  }
+
+  /** WAV round trip over the corpus: text-byte PCM → WAVE encode →
+    * `AudioSystem` decode → per-doc audio features (duration, mean,
+    * whole-signal RMS, per-quarter-window RMS) as codegen'd arithmetic
+    * over the exact integer sums. Compressed size is deliberately NOT
+    * emitted (container-writer-defined); everything here replays from
+    * the source text in SQL.
+    */
+  def wavFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val n = col("n_frames").cast("double")
+    def rmsw(q: String, c: String): Column =
+      when(col(c) > 0,
+        round(sqrt(col(q).cast("double") / col(c).cast("double")), 6))
+    withWavPayload(spark, docs)
+      .mapPartitions(_.map { case (id, p) => decodeWav(id, p) })
+      .select(
+        col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+        col("n_frames"),
+        round(col("n_frames") * lit(1000.0)
+          / col("sample_rate").cast("double"), 6).as("duration_ms"),
+        round(col("sum_s").cast("double") / n, 6).as("mean_s"),
+        round(sqrt(col("sq_s").cast("double") / n), 6).as("rms_s"),
+        rmsw("q0", "n0").as("rms_w0"), rmsw("q1", "n1").as("rms_w1"),
+        rmsw("q2", "n2").as("rms_w2"), rmsw("q3", "n3").as("rms_w3"))
+  }
+
   def featureVector(spark: SparkSession, docs: DataFrame): DataFrame = {
     val n = col("n_px").cast("double")
     def mean(s: String): Column =

@@ -705,6 +705,19 @@ object PipelineQueries {
       lower(trim(col("text"))))
   }
 
+  /** Count-min WITH the heavy-hitter candidate tier (candK = 8) over
+    * whole texts per source, built on doc_id < 250 and the rest
+    * appended — so the candidate table holds BOTH batches' top-8 and
+    * the serve re-ranks them by whole-corpus estimate. Shared by
+    * `sketch_cm_topk` and the `cm_topk` TVF spelling. */
+  private val topkCmDir = lifecycleDir("cm-topk") { (s, d, dir) =>
+    val docs = t(s, d, "documents")
+    Sketches.buildCmIndex(s, docs.filter(col("doc_id") < 250), dir,
+      Seq("source"), lower(trim(col("text"))), candK = 8)
+    Sketches.addToCmIndex(s, docs.filter(col("doc_id") >= 250), dir,
+      lower(trim(col("text"))))
+  }
+
   /** STREAMING ingestion into the HLL sketch — the streamSpanIndex
     * shape: the first file-source micro-batch builds the register
     * table, later batches append generation rows (O(batch), zero
@@ -988,6 +1001,7 @@ object PipelineQueries {
     "setup_cm_text" -> ((s, d) => { textCmDir(s, d); () }),
     "setup_hll_stream" -> ((s, d) => { streamHllDir(s, d); () }),
     "setup_cm_stream" -> ((s, d) => { streamCmDir(s, d); () }),
+    "setup_cm_topk" -> ((s, d) => { topkCmDir(s, d); () }),
     "setup_arrival_sketches" -> ((s, d) => { arrivalSketches(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
@@ -2118,6 +2132,21 @@ object PipelineQueries {
       Sketches.cmServe(s, streamCmDir(s, d), probes, col("tok"))
         .orderBy("source", "v")
     }),
+    "sketch_cm_topk" -> ((s, d) => {
+      // heavy hitters from the index alone: per-batch exact top-8
+      // candidates (persisted beside the counters at build/add time)
+      // re-ranked by whole-corpus count-min estimate — "most
+      // duplicated texts per source" with zero corpus rescans. The
+      // oracle replays candidate selection (deterministic tie-breaks),
+      // the all-integer estimates, and the final ranking verbatim.
+      Sketches.cmTopK(s, topkCmDir(s, d), k = 3)
+        .orderBy("source", "rank")
+    }),
+    "q_cm_topk_sql" -> ((s, d) => {
+      // the TVF spelling over the SAME shared index
+      val dir = topkCmDir(s, d)
+      s.sql(s"SELECT * FROM cm_topk('$dir', 3) ORDER BY source, rank")
+    }),
     "pipeline_arrival_admit_sketched" -> ((s, d) => {
       // the sketch families as FIRST-CLASS admission signals: each
       // arrival doc gets (a) its exact-duplicate frequency in the
@@ -2185,6 +2214,14 @@ object PipelineQueries {
     "multimodal_resample" -> ((s, d) => {
       Multimodal.resampled(s, t(s, d, "documents"), target = 64)
         .orderBy("doc_id")
+    }),
+    "multimodal_wav" -> ((s, d) => {
+      // REAL audio-codec path (javax.sound.sampled), the audio analog
+      // of the ImageIO entries: text-byte PCM16 → RIFF/WAVE container
+      // → AudioSystem decode → duration / mean / whole-signal RMS /
+      // per-quarter-window RMS. PCM-in-WAVE is lossless, so the oracle
+      // replays every emitted number from the source text.
+      Multimodal.wavFeatures(s, t(s, d, "documents")).orderBy("doc_id")
     }),
 
     // ---- embedding storage prep ----
@@ -4211,6 +4248,91 @@ object PipelineQueries {
     "sketch_cm_stream" -> (cmOracle(cmTokenRows("TRUE"),
       cmTokenRows("doc_id < 5")) +
       "\nSELECT source, v, n_est FROM est ORDER BY source, v"),
+    // heavy hitters: per-batch exact top-8 candidates (ties broken on
+    // the value, replayed verbatim), whole-corpus counter estimates,
+    // final top-3 rank by (estimate desc, value) — all deterministic
+    "sketch_cm_topk" ->
+      """WITH b0 AS (
+        |  SELECT source, lower(trim(text)) AS v, COUNT(*) AS cnt
+        |  FROM documents WHERE doc_id < 250 GROUP BY 1, 2),
+        |c0 AS (
+        |  SELECT source, v FROM (
+        |    SELECT source, v, row_number() OVER (
+        |      PARTITION BY source ORDER BY cnt DESC, v) AS rk
+        |    FROM b0) WHERE rk <= 8),
+        |b1 AS (
+        |  SELECT source, lower(trim(text)) AS v, COUNT(*) AS cnt
+        |  FROM documents WHERE doc_id >= 250 GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT source, v FROM (
+        |    SELECT source, v, row_number() OVER (
+        |      PARTITION BY source ORDER BY cnt DESC, v) AS rk
+        |    FROM b1) WHERE rk <= 8),
+        |cand AS (
+        |  SELECT DISTINCT source, v
+        |  FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1)),
+        |crows AS (
+        |  SELECT source, lower(trim(text)) AS v FROM documents),
+        |ch AS (
+        |  SELECT source, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+        |  FROM crows),
+        |cells AS (
+        |  SELECT source, i, (h >> (10*i)) & 1023 AS j, COUNT(*) AS cnt
+        |  FROM ch, (SELECT unnest([0,1,2,3]) AS i) GROUP BY 1, 2, 3),
+        |ph AS (
+        |  SELECT source, v, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+        |  FROM cand),
+        |pc AS (
+        |  SELECT source, v, i, (h >> (10*i)) & 1023 AS j
+        |  FROM ph, (SELECT unnest([0,1,2,3]) AS i)),
+        |est AS (
+        |  SELECT pc.source, pc.v, MIN(COALESCE(cells.cnt, 0)) AS n_est
+        |  FROM pc LEFT JOIN cells USING (source, i, j) GROUP BY 1, 2)
+        |SELECT source, v, n_est, rank FROM (
+        |  SELECT source, v, n_est, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_est DESC, v) AS rank
+        |  FROM est) WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+    "q_cm_topk_sql" ->
+      """WITH b0 AS (
+        |  SELECT source, lower(trim(text)) AS v, COUNT(*) AS cnt
+        |  FROM documents WHERE doc_id < 250 GROUP BY 1, 2),
+        |c0 AS (
+        |  SELECT source, v FROM (
+        |    SELECT source, v, row_number() OVER (
+        |      PARTITION BY source ORDER BY cnt DESC, v) AS rk
+        |    FROM b0) WHERE rk <= 8),
+        |b1 AS (
+        |  SELECT source, lower(trim(text)) AS v, COUNT(*) AS cnt
+        |  FROM documents WHERE doc_id >= 250 GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT source, v FROM (
+        |    SELECT source, v, row_number() OVER (
+        |      PARTITION BY source ORDER BY cnt DESC, v) AS rk
+        |    FROM b1) WHERE rk <= 8),
+        |cand AS (
+        |  SELECT DISTINCT source, v
+        |  FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1)),
+        |crows AS (
+        |  SELECT source, lower(trim(text)) AS v FROM documents),
+        |ch AS (
+        |  SELECT source, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+        |  FROM crows),
+        |cells AS (
+        |  SELECT source, i, (h >> (10*i)) & 1023 AS j, COUNT(*) AS cnt
+        |  FROM ch, (SELECT unnest([0,1,2,3]) AS i) GROUP BY 1, 2, 3),
+        |ph AS (
+        |  SELECT source, v, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+        |  FROM cand),
+        |pc AS (
+        |  SELECT source, v, i, (h >> (10*i)) & 1023 AS j
+        |  FROM ph, (SELECT unnest([0,1,2,3]) AS i)),
+        |est AS (
+        |  SELECT pc.source, pc.v, MIN(COALESCE(cells.cnt, 0)) AS n_est
+        |  FROM pc LEFT JOIN cells USING (source, i, j) GROUP BY 1, 2)
+        |SELECT source, v, n_est, rank FROM (
+        |  SELECT source, v, n_est, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_est DESC, v) AS rank
+        |  FROM est) WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     // the combined sketch-probe replay: HLL per-source cardinality of
     // the corpus side (doc_id % 5 != 0) + count-min whole-text
     // frequency probed by the arrival side — CTE names disambiguated
@@ -4400,6 +4522,51 @@ object PipelineQueries {
         |    0.0)), 6) AS std_px,
         |  CAST(h0 AS BIGINT) AS lum_h0, CAST(h1 AS BIGINT) AS lum_h1,
         |  CAST(h2 AS BIGINT) AS lum_h2, CAST(h3 AS BIGINT) AS lum_h3
+        |FROM st ORDER BY doc_id""".stripMargin,
+    // WAV replay: one PCM16 sample per text byte ((b-128)*256), mono
+    // 8 kHz; quarter windows by zero-based frame index (i0*4)//n —
+    // identical to the decoder's i·4/n
+    "multimodal_wav" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) >= 16 AND strlen(text) = length(text)),
+        |idx AS (
+        |  SELECT doc_id, n, text,
+        |    unnest(generate_series(1, n)) AS i
+        |  FROM d),
+        |smp AS (
+        |  SELECT doc_id, n,
+        |    (ord(substring(text, i, 1)) - 128) * 256 AS s,
+        |    ((i - 1) * 4) // n AS w
+        |  FROM idx),
+        |st AS (
+        |  SELECT doc_id, COUNT(*) AS n_frames,
+        |    SUM(s) AS ss, SUM(s * s) AS qq,
+        |    SUM(CASE WHEN w = 0 THEN s * s END) AS q0,
+        |    SUM(CASE WHEN w = 1 THEN s * s END) AS q1,
+        |    SUM(CASE WHEN w = 2 THEN s * s END) AS q2,
+        |    SUM(CASE WHEN w = 3 THEN s * s END) AS q3,
+        |    SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS n0,
+        |    SUM(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN w = 2 THEN 1 ELSE 0 END) AS n2,
+        |    SUM(CASE WHEN w = 3 THEN 1 ELSE 0 END) AS n3
+        |  FROM smp GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  round(n_frames * 1000.0 / 8000.0, 6) AS duration_ms,
+        |  round(CAST(ss AS DOUBLE) / n_frames, 6) AS mean_s,
+        |  round(sqrt(CAST(qq AS DOUBLE) / n_frames), 6) AS rms_s,
+        |  CASE WHEN n0 > 0
+        |    THEN round(sqrt(CAST(q0 AS DOUBLE) / n0), 6) END AS rms_w0,
+        |  CASE WHEN n1 > 0
+        |    THEN round(sqrt(CAST(q1 AS DOUBLE) / n1), 6) END AS rms_w1,
+        |  CASE WHEN n2 > 0
+        |    THEN round(sqrt(CAST(q2 AS DOUBLE) / n2), 6) END AS rms_w2,
+        |  CASE WHEN n3 > 0
+        |    THEN round(sqrt(CAST(q3 AS DOUBLE) / n3), 6) END AS rms_w3
         |FROM st ORDER BY doc_id""".stripMargin,
     "multimodal_features" ->
       """WITH idx AS (

@@ -213,6 +213,46 @@ object Sketches {
     Snapshots.read(spark, s"$indexDir/params")
       .collect().head.getAs[String]("group_cols").split(",").toSeq
 
+  /** cand_k from params; 0 (no candidate table) for indexes built
+    * before the heavy-hitter column existed. */
+  private def readCandK(spark: SparkSession, indexDir: String): Int = {
+    val row = Snapshots.read(spark, s"$indexDir/params").collect().head
+    if (row.schema.fieldNames.contains("cand_k"))
+      row.getAs[Int]("cand_k")
+    else 0
+  }
+
+  /** Serve per-group heavy hitters FROM THE INDEX ALONE: the persisted
+    * candidate rows (each batch's exact top-candK, a superset of any
+    * global heavy hitter that was heavy in some batch) are point-
+    * queried against the counters for their global frequency estimate,
+    * then re-ranked — top `k` per group by (estimate desc, value asc).
+    * Zero corpus rescans; the count-min law (estimate ≥ truth) makes
+    * the ranking conservative, never missing. Output: `(groupCols…,
+    * v, n_est, rank)`. */
+  def cmTopK(
+      spark: SparkSession,
+      indexDir: String,
+      k: Int,
+      asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groupCols = readGroupCols(spark, indexDir)
+    require(readCandK(spark, indexDir) > 0,
+      s"$indexDir maintains no heavy-hitter candidates " +
+        "(build with candK > 0)")
+    val cands = Snapshots.read(spark, s"$indexDir/candidates")
+      .select((groupCols :+ "v").map(col): _*).distinct()
+    val counters = asOf match {
+      case Some(v) => Snapshots.readVersion(spark, s"$indexDir/counters", v)
+      case None => Snapshots.read(spark, s"$indexDir/counters")
+    }
+    cmEstimates(counters, cands, groupCols, col("v"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("n_est").desc, col("v"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   // ---------- count-min frequency sketch ----------
   //
   // The frequency companion to the HLL family: per-group occurrence
@@ -290,22 +330,55 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 
+  /** A batch's per-group top-`candK` values by EXACT batch count —
+    * the heavy-hitter candidate set maintained beside the counters.
+    * Deterministic: rank ties break on the value itself, so the
+    * candidate table is a pure function of the batch (and the SQL
+    * oracle replays it verbatim). */
+  private def cmCandidates(
+      df: DataFrame, groupCols: Seq[String], value: Column,
+      candK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(groupCols.map(col) :+ value.cast("string").as("v"): _*)
+      .groupBy((groupCols :+ "v").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("cnt").desc, col("v"))))
+      .filter(col("rk") <= candK)
+      .select(groupCols.map(col) :+ col("v"): _*)
+  }
+
   /** Build the persisted frequency sketch — same layout contract as
-    * [[buildHllIndex]] (params + generation-0 counters). */
+    * [[buildHllIndex]] (params + generation-0 counters). `candK > 0`
+    * additionally maintains a HEAVY-HITTER candidate table: each
+    * batch's per-group top-candK values by exact batch count land
+    * beside the counters, so [[cmTopK]] can serve "most duplicated
+    * values per group" from the index alone — the standard count-min
+    * companion (a value can only be a global heavy hitter if it is
+    * heavy in some batch; candidates are a superset per batch, and the
+    * counter estimate re-ranks them globally). */
   def buildCmIndex(
       spark: SparkSession,
       df: DataFrame,
       indexDir: String,
       groupCols: Seq[String],
-      value: Column): Long = {
+      value: Column,
+      candK: Int = 0): Long = {
     import spark.implicits._
     require(groupCols.forall(c =>
       !Seq("gen", "i", "j", "cnt", "h", "c", "v").contains(c)),
       s"group columns collide with sketch columns: $groupCols")
     Snapshots.commit(spark,
-      Seq((groupCols.mkString(","), CmRows, CmWidth))
-        .toDF("group_cols", "cm_rows", "cm_width"),
+      Seq((groupCols.mkString(","), CmRows, CmWidth, candK))
+        .toDF("group_cols", "cm_rows", "cm_width", "cand_k"),
       s"$indexDir/params")
+    if (candK > 0)
+      Snapshots.commit(spark,
+        cmCandidates(df, groupCols, value, candK)
+          .withColumn("gen", lit(0L)),
+        s"$indexDir/candidates",
+        statsColumns = "gen" +: groupCols :+ "v")
     Snapshots.commit(spark,
       cmCounters(df, groupCols, value).withColumn("gen", lit(0L)),
       s"$indexDir/counters",
@@ -325,6 +398,15 @@ object Sketches {
       indexDir: String,
       value: Column): Long = {
     val groupCols = readGroupCols(spark, indexDir)
+    val candK = readCandK(spark, indexDir)
+    if (candK > 0)
+      Snapshots.mergeDerived(spark, s"$indexDir/candidates",
+        key = "gen" +: groupCols :+ "v",
+        statsColumns = "gen" +: groupCols :+ "v",
+        scoped = true) { base =>
+        cmCandidates(df, groupCols, value, candK)
+          .withColumn("gen", lit(base))
+      }
     Snapshots.mergeDerived(spark, s"$indexDir/counters",
       key = "gen" +: groupCols :+ "i" :+ "j",
       statsColumns = "gen" +: groupCols :+ "i" :+ "j",
@@ -333,9 +415,18 @@ object Sketches {
     }
   }
 
-  /** Sum-collapse the generations back to one row per cell. */
+  /** Sum-collapse the generations back to one row per cell (and the
+    * candidate table, when maintained, to one row per value). */
   def foldCmIndex(spark: SparkSession, indexDir: String): Long = {
     val groupCols = readGroupCols(spark, indexDir)
+    if (readCandK(spark, indexDir) > 0) {
+      val cdir = s"$indexDir/candidates"
+      Snapshots.commit(spark,
+        Snapshots.read(spark, cdir)
+          .select((groupCols :+ "v").map(col): _*).distinct()
+          .withColumn("gen", lit(0L)),
+        cdir, statsColumns = "gen" +: groupCols :+ "v")
+    }
     val dir = s"$indexDir/counters"
     val collapsed = Snapshots.read(spark, dir)
       .groupBy((groupCols :+ "i" :+ "j").map(col): _*)

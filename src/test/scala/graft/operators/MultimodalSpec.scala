@@ -190,6 +190,44 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(mean - 107.5) < 8.0, s"jpeg mean drifted to $mean")
   }
 
+  test("WAV roundtrip: header fields, lossless samples, window RMS laws") {
+    // hand-built payload: known bytes → known samples → exact stats
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 ASCII bytes
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(7L, text)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val row = Multimodal.wavFeatures(spark, df).collect().head
+    assert(row.getAs[Long]("sample_rate") == 8000L)
+    assert(row.getAs[Long]("channels") == 1L)
+    assert(row.getAs[Long]("bits") == 16L)
+    assert(row.getAs[Long]("n_frames") == text.length.toLong)
+    // decoded samples are EXACTLY (byte - 128) * 256 — lossless PCM
+    val samples = text.map(c => (c.toInt - 128) * 256)
+    val mean = samples.map(_.toDouble).sum / samples.length
+    val rms = math.sqrt(
+      samples.map(s => s.toDouble * s).sum / samples.length)
+    assert(math.abs(row.getAs[Double]("mean_s")
+      - math.rint(mean * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(row.getAs[Double]("rms_s")
+      - math.rint(rms * 1e6) / 1e6) < 1e-9)
+    // the quarter windows partition the signal: 9 frames each at n=36
+    val w0 = samples.take(9)
+    val rms0 = math.sqrt(w0.map(s => s.toDouble * s).sum / 9)
+    assert(math.abs(row.getAs[Double]("rms_w0")
+      - math.rint(rms0 * 1e6) / 1e6) < 1e-9)
+    // the real corpus decodes end-to-end: every ASCII doc ≥ 16 chars
+    // yields one row with sane header fields
+    val all = Multimodal.wavFeatures(spark, docs).collect()
+    assert(all.nonEmpty)
+    assert(all.forall(r => r.getAs[Long]("sample_rate") == 8000L &&
+      r.getAs[Long]("channels") == 1L && r.getAs[Long]("bits") == 16L &&
+      r.getAs[Long]("n_frames") >= 16L))
+  }
+
   test("media profile aggregates per format") {
     val prof = Multimodal.mediaProfile(spark, docs).collect()
     assert(prof.map(_.getAs[String]("format")).toSet.subsetOf(Set("ppm", "pgm")))

@@ -199,6 +199,37 @@ class SketchesSpec extends SparkSpec {
         probes, Seq("source"), col("tok"))))
   }
 
+  test("count-min heavy hitters: candidates persist per batch, serve ranks by estimate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cm-hh").toString
+    // skewed synthetic batches with a known global top: "alpha" is the
+    // heaviest overall but arrives split across batches; "gamma" is
+    // heavy only in batch 2
+    import spark.implicits._
+    val b1 = (Seq.fill(30)("alpha") ++ Seq.fill(20)("beta") ++
+      (1 to 10).map(i => s"rare$i")).map(("s", _)).toDF("source", "v")
+    val b2 = (Seq.fill(25)("alpha") ++ Seq.fill(40)("gamma") ++
+      (11 to 20).map(i => s"rare$i")).map(("s", _)).toDF("source", "v")
+    Sketches.buildCmIndex(spark, b1, dir, Seq("source"), col("v"),
+      candK = 4)
+    Sketches.addToCmIndex(spark, b2, dir, col("v"))
+    val top = Sketches.cmTopK(spark, dir, k = 3).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("v"),
+        r.getAs[Long]("n_est")))
+      .sortBy(_._1)
+    // global truth: alpha 55, gamma 40, beta 20 — candidates catch all
+    // three (each was a batch top-4) and the estimate-ranking is exact
+    // at this load (no 4-way cell collisions among ~23 values)
+    assert(top.map(t => (t._1, t._2)).toSeq ==
+      Seq((1L, "alpha"), (2L, "gamma"), (3L, "beta")), top.toSeq)
+    assert(top.map(_._3).toSeq == Seq(55L, 40L, 20L))
+    // serving never rescans any corpus: a fold collapses candidate
+    // generations and the ranking is invariant
+    Sketches.foldCmIndex(spark, dir)
+    assert(Sketches.cmTopK(spark, dir, k = 3).collect()
+      .map(r => r.getAs[String]("v")).sorted.toSeq ==
+      Seq("alpha", "beta", "gamma"))
+  }
+
   test("as-of pins the registers snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hll-ao").toString
     val head = toks.filter(col("tok") < "m")
