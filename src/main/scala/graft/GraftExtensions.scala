@@ -438,6 +438,28 @@ object GraftExtensions {
             asOf = exprs.lift(4).map(litLong(_, "cm_freq", "as_of")))
             .queryExecution.logical
         }),
+      (FunctionIdentifier("quantile_est"),
+        tinfo("quantile_est",
+          "quantile_est(index_dir, quantiles_csv[, as_of]) - per-group " +
+            "quantile estimates from a persisted log-bucketed histogram " +
+            "sketch (buildQhIndex): for each quantile q in the " +
+            "comma-separated list, the representative of the first " +
+            "bucket whose cumulative count reaches ceil(q*n) — " +
+            "relative error <= 1/16 above 16, exact below, never a " +
+            "corpus rescan. The optional 3rd argument pins the buckets " +
+            "snapshot"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 2 || exprs.size == 3,
+            "quantile_est(index_dir, quantiles_csv[, as_of]) takes 2 " +
+              s"or 3 arguments, got ${exprs.size}")
+          val qs = litStr(exprs(1), "quantile_est", "quantiles_csv")
+            .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+          graft.operators.Sketches.qhServe(active,
+            litStr(exprs(0), "quantile_est", "index_dir"),
+            qs.toIndexedSeq,
+            asOf = exprs.lift(2).map(litLong(_, "quantile_est", "as_of")))
+            .queryExecution.logical
+        }),
       (FunctionIdentifier("cm_topk"),
         tinfo("cm_topk",
           "cm_topk(index_dir, k[, as_of]) - per-group heavy hitters " +

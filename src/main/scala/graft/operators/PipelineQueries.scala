@@ -791,6 +791,77 @@ object PipelineQueries {
     q.awaitTermination()
   }
 
+  /** Per-doc length frame for the quantile-histogram family — the
+    * value both engines derive identically (`length(text)`). */
+  private def qhLens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("len"))
+
+  private val asofQhMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, Long)]()
+
+  /** Quantile histogram built on doc_id<250's lengths (v1), the rest
+    * APPENDED — returns (dir, v1); shared by `sketch_qh_incremental`,
+    * `sketch_qh_asof`, and the `quantile_est` TVF spelling. */
+  private def asofQhIndex(s: SparkSession, d: String): (String, Long) =
+    asofQhMemo.computeIfAbsent((s, d), _ => {
+      val lens = qhLens(s, d)
+      val dir = scratch(s"graft-qh-asof-$pid")
+      clearDir(s, dir)
+      val v1 = Sketches.buildQhIndex(s, lens.filter(col("doc_id") < 250),
+        dir, Seq("source"), col("len"))
+      Sketches.addToQhIndex(s, lens.filter(col("doc_id") >= 250), dir,
+        col("len"))
+      (dir, v1)
+    })
+
+  /** The quantile sketch through the standing repair: build + append +
+    * sum-fold + bin-pack; `sketch_qh_folded` shares the full-corpus
+    * oracle. */
+  private val foldedQhDir = lifecycleDir("qh-fold") { (s, d, dir) =>
+    val lens = qhLens(s, d)
+    Sketches.buildQhIndex(s, lens.filter(col("doc_id") < 250), dir,
+      Seq("source"), col("len"))
+    Sketches.addToQhIndex(s, lens.filter(col("doc_id") >= 250), dir,
+      col("len"))
+    Sketches.foldQhIndex(s, dir)
+    IndexMaintenance.compactIndex(s, dir)
+  }
+
+  /** STREAMING ingestion into the quantile histogram — the same
+    * checkpointed exactly-once drain as the count-min stream (bucket
+    * sums are mergeable, not idempotent). */
+  private val streamQhDir = lifecycleDir("qh-stream") { (s, d, dir) =>
+    val docs = t(s, d, "documents")
+    val inDir = scratch(s"graft-qh-stream-in-$pid")
+    val ckpt = scratch(s"graft-qh-stream-ckpt-$pid")
+    Seq(inDir, ckpt).foreach(clearDir(s, _))
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(s"$inDir/arrival-0")
+    docs.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(s"$inDir/arrival-1")
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/arrival-*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val bs = batch.sparkSession
+        val lens = batch.toDF().select(col("source"),
+          length(col("text")).cast("long").as("len"))
+        if (graft.sources.Snapshots.version(bs, s"$dir/buckets") >= 1L)
+          Sketches.addToQhIndex(bs, lens, dir, col("len"))
+        else
+          Sketches.buildQhIndex(bs, lens, dir, Seq("source"), col("len"))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The STANDING sketches the arrival-admission composite probes —
     * built once on the corpus side (doc_id % 5 != 0, the same side
     * [[arrivalIndexes]] indexes): an HLL register table of per-source
@@ -1002,6 +1073,9 @@ object PipelineQueries {
     "setup_hll_stream" -> ((s, d) => { streamHllDir(s, d); () }),
     "setup_cm_stream" -> ((s, d) => { streamCmDir(s, d); () }),
     "setup_cm_topk" -> ((s, d) => { topkCmDir(s, d); () }),
+    "setup_qh_asof" -> ((s, d) => { asofQhIndex(s, d); () }),
+    "setup_qh_folded" -> ((s, d) => { foldedQhDir(s, d); () }),
+    "setup_qh_stream" -> ((s, d) => { streamQhDir(s, d); () }),
     "setup_arrival_sketches" -> ((s, d) => { arrivalSketches(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
@@ -2131,6 +2205,85 @@ object PipelineQueries {
       val probes = hllTokens(s, d).filter(col("doc_id") < 5)
       Sketches.cmServe(s, streamCmDir(s, d), probes, col("tok"))
         .orderBy("source", "v")
+    }),
+    // ---- quantile histogram sketches ----
+    "sketch_qh_lengths" -> ((s, d) => {
+      // per-source doc-length quantiles (p50/p90/p99) vs the exact
+      // t-th smallest — the pre-aggregated-percentile primitive. The
+      // oracle replays the WHOLE sketch (log-bucket ids via bin()
+      // length, cumulative counts, bucket representative) so n_est is
+      // hash-compared; ok additionally pins the histogram law:
+      // est ≤ exact, with relative error ≤ 1/16 above 16 and
+      // exactness below.
+      import org.apache.spark.sql.expressions.Window
+      val lens = qhLens(s, d)
+      val qs = Seq(0.5, 0.9, 0.99)
+      val est = Sketches.qhQuantiles(lens, Seq("source"), col("len"), qs)
+      import s.implicits._
+      val tot = lens.groupBy("source").agg(count(lit(1)).as("n"))
+      val tgt = tot.crossJoin(broadcast(qs.toDF("q")))
+        .withColumn("t", ceil(col("q") * col("n")).cast("long"))
+      val ranked = lens.withColumn("r", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("len"), col("doc_id"))))
+      val exact = tgt.join(ranked, "source").filter(col("r") === col("t"))
+        .select(col("source"), col("q"), col("len").as("n_exact"))
+      est.join(exact, Seq("source", "q"))
+        .select(col("source"), col("q"), col("n_exact"), col("n_est"),
+          (col("n_est") <= col("n_exact") &&
+            ((col("n_exact") < 16 && col("n_est") === col("n_exact")) ||
+              (col("n_exact") >= 16 &&
+                (col("n_exact") - col("n_est")) * 16 <= col("n_exact"))))
+            .cast("long").as("ok"))
+        .orderBy("source", "q")
+    }),
+    "sketch_qh_merge_law" -> ((s, d) => {
+      // SUM-mergeability of the bucket rows: two disjoint halves,
+      // summed, equal the whole corpus's histogram exactly — per-shard
+      // histograms combine without rescans.
+      val lens = qhLens(s, d)
+      val whole = Sketches.qhBuckets(lens, Seq("source"), col("len"))
+      val parts = Sketches
+        .qhBuckets(lens.filter(col("doc_id") < 250), Seq("source"),
+          col("len"))
+        .unionByName(Sketches.qhBuckets(
+          lens.filter(col("doc_id") >= 250), Seq("source"), col("len")))
+        .groupBy("source", "b").agg(sum(col("cnt")).as("cnt"))
+      whole.agg(count(lit(1)).as("n_cells"))
+        .crossJoin(broadcast(
+          parts.exceptAll(whole).unionAll(whole.exceptAll(parts))
+            .agg(count(lit(1)).as("n_diff"))))
+        .select(col("n_cells"), col("n_diff"),
+          (col("n_diff") === 0).cast("long").as("ok"))
+    }),
+    "sketch_qh_incremental" -> ((s, d) => {
+      // build on the first tranche, APPEND the second; the serve must
+      // equal the whole-corpus replay. Build+add on setup_qh_asof.
+      Sketches.qhServe(s, asofQhIndex(s, d)._1, Seq(0.5, 0.9, 0.99))
+        .orderBy("source", "q")
+    }),
+    "sketch_qh_asof" -> ((s, d) => {
+      // version-pinned quantile serving: estimates as of v1 replay the
+      // first tranche's histogram alone.
+      val (dir, v1) = asofQhIndex(s, d)
+      Sketches.qhServe(s, dir, Seq(0.5, 0.9, 0.99), asOf = Some(v1))
+        .orderBy("source", "q")
+    }),
+    "sketch_qh_folded" -> ((s, d) => {
+      // the standing repair: sum-fold + bin-pack; serving invariant.
+      Sketches.qhServe(s, foldedQhDir(s, d), Seq(0.5, 0.9, 0.99))
+        .orderBy("source", "q")
+    }),
+    "sketch_qh_stream" -> ((s, d) => {
+      // streaming drain (exactly-once batches); whole-corpus oracle.
+      Sketches.qhServe(s, streamQhDir(s, d), Seq(0.5, 0.9, 0.99))
+        .orderBy("source", "q")
+    }),
+    "q_qh_sql" -> ((s, d) => {
+      // the TVF spelling over the SAME shared index.
+      val dir = asofQhIndex(s, d)._1
+      s.sql(s"SELECT * FROM quantile_est('$dir', '0.5,0.9,0.99') " +
+        "ORDER BY source, q")
     }),
     "sketch_cm_topk" -> ((s, d) => {
       // heavy hitters from the index alone: per-batch exact top-8
@@ -3676,6 +3829,46 @@ object PipelineQueries {
        |  FROM pc LEFT JOIN cells USING (source, i, j)
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** Quantile-histogram replay in DuckDB — ALL-integer (log2 via
+    * bin()-string length, the HLL rho trick; 16 slots per octave;
+    * cumulative counts; bucket representative), so estimates
+    * hash-compare exactly. Quantile literals are cast to DOUBLE
+    * (DuckDB defaults them to DECIMAL) — the correctly-rounded double
+    * equals the JVM literal, so ceil(q·n) matches bit-for-bit. Ends
+    * with `est(source, q, n_est)`; `bc`/`tgt` are reusable prefixes. */
+  private def qhOracle(pred: String): String =
+    s"""WITH vals AS (
+       |  SELECT source, CAST(length(text) AS BIGINT) AS v
+       |  FROM documents WHERE $pred),
+       |bk AS (
+       |  SELECT source, CASE WHEN v < 16 THEN v
+       |    ELSE (length(bin(v)) - 5) * 16 + 16
+       |      + ((v - (1::BIGINT << (length(bin(v)) - 1))) * 16)
+       |        // (1::BIGINT << (length(bin(v)) - 1)) END AS b
+       |  FROM vals),
+       |bc AS (SELECT source, b, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),
+       |tot AS (SELECT source, SUM(cnt) AS n FROM bc GROUP BY 1),
+       |cum AS (
+       |  SELECT source, b,
+       |    SUM(cnt) OVER (PARTITION BY source ORDER BY b) AS c
+       |  FROM bc),
+       |qq AS (
+       |  SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+       |tgt AS (
+       |  SELECT source, q, CAST(ceil(q * n) AS BIGINT) AS t
+       |  FROM tot, qq),
+       |pick AS (
+       |  SELECT tgt.source, q, MIN(b) AS b
+       |  FROM tgt JOIN cum ON tgt.source = cum.source AND cum.c >= tgt.t
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT source, q, CASE WHEN b < 16 THEN b
+       |    ELSE (1::BIGINT << (CAST((b - 16) // 16 AS INT) + 4))
+       |      + ((b - 16) % 16)
+       |        * (1::BIGINT << CAST((b - 16) // 16 AS INT))
+       |    END AS n_est
+       |  FROM pick)""".stripMargin
+
   private def cmTokenRows(pred: String): String =
     "SELECT source, unnest(string_split_regex(lower(trim(text)), " +
       s"'\\s+')) AS v FROM documents WHERE $pred"
@@ -4248,6 +4441,42 @@ object PipelineQueries {
     "sketch_cm_stream" -> (cmOracle(cmTokenRows("TRUE"),
       cmTokenRows("doc_id < 5")) +
       "\nSELECT source, v, n_est FROM est ORDER BY source, v"),
+    // quantile histograms: the oracle replays the whole sketch (bucket
+    // ids, cumulative counts, representatives) and, for the lengths
+    // gate, re-derives the exact t-th smallest and the histogram law
+    "sketch_qh_lengths" -> (qhOracle("TRUE") +
+      """,
+        |rk AS (
+        |  SELECT source, v, row_number() OVER (
+        |    PARTITION BY source ORDER BY v, doc_id) AS r
+        |  FROM (SELECT source, doc_id, CAST(length(text) AS BIGINT) AS v
+        |        FROM documents)),
+        |ex AS (
+        |  SELECT tgt.source, q, rk.v AS n_exact
+        |  FROM tgt JOIN rk ON tgt.source = rk.source AND rk.r = tgt.t)
+        |SELECT est.source, est.q, ex.n_exact, est.n_est,
+        |  CASE WHEN est.n_est <= ex.n_exact AND
+        |    ((ex.n_exact < 16 AND est.n_est = ex.n_exact) OR
+        |     (ex.n_exact >= 16 AND
+        |      (ex.n_exact - est.n_est) * 16 <= ex.n_exact))
+        |  THEN 1 ELSE 0 END::BIGINT AS ok
+        |FROM est JOIN ex ON est.source = ex.source AND est.q = ex.q
+        |ORDER BY est.source, est.q""".stripMargin),
+    "sketch_qh_merge_law" -> (qhOracle("TRUE") +
+      """
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(0 AS BIGINT) AS n_diff, CAST(1 AS BIGINT) AS ok
+        |FROM bc""".stripMargin),
+    "sketch_qh_incremental" -> (qhOracle("TRUE") +
+      "\nSELECT source, q, n_est FROM est ORDER BY source, q"),
+    "sketch_qh_asof" -> (qhOracle("doc_id < 250") +
+      "\nSELECT source, q, n_est FROM est ORDER BY source, q"),
+    "sketch_qh_folded" -> (qhOracle("TRUE") +
+      "\nSELECT source, q, n_est FROM est ORDER BY source, q"),
+    "sketch_qh_stream" -> (qhOracle("TRUE") +
+      "\nSELECT source, q, n_est FROM est ORDER BY source, q"),
+    "q_qh_sql" -> (qhOracle("TRUE") +
+      "\nSELECT source, q, n_est FROM est ORDER BY source, q"),
     // heavy hitters: per-batch exact top-8 candidates (ties broken on
     // the value, replayed verbatim), whole-corpus counter estimates,
     // final top-3 rank by (estimate desc, value) — all deterministic

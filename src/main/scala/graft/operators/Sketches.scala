@@ -208,6 +208,167 @@ object Sketches {
     hllEstimate(regs, groupCols)
   }
 
+  // ---------- quantile histogram sketch ----------
+  //
+  // The QUANTILE third of the sketch category: per-group quantile
+  // estimates ("p99 document length per source", "p50 latency per
+  // route") from a log-bucketed histogram — the HDR-histogram design,
+  // spelled relationally. A non-negative value lands in bucket
+  //   v < 16           → b = v                      (exact)
+  //   v ≥ 16, e=⌊log2⌋ → b = (e−4)·16 + 16 + slot,  slot = (v−2^e)·16 ÷ 2^e
+  // i.e. 16 mantissa slots per octave → relative bucket width ≤ 1/16
+  // (6.25 %), exact below 16. Buckets merge by SUM, so the count-min
+  // family's append-only lifecycle carries over verbatim (generation-
+  // stamped O(batch) adds, serve-side sum-collapse, fold + bin-pack,
+  // as-of pins) — and like count-min, sums are NOT idempotent: each
+  // batch exactly once. Everything is integer arithmetic (log2 via
+  // bin()-string length, the same trick as the HLL rho), so the DuckDB
+  // oracle replays estimates EXACTLY, and the quantile LAW
+  // (est ≤ true q-th value < est + bucket width) gates alongside.
+  //
+  // 100 TB design: the table is groups × (16 + 16·octaves) rows —
+  // ~1000 rows per group for the full long range — REGARDLESS of
+  // corpus size; building is one codegen'd hash-aggregate with
+  // map-side partials; a quantile read touches one group's bucket rows.
+
+  /** Slots per octave; relative error ≤ 1/QhSlots above QhSlots. */
+  val QhSlots = 16
+
+  /** Log-bucket id of a non-negative long value (see family doc). */
+  private def qhBucket: String =
+    "CASE WHEN v < 16 THEN v ELSE CAST((length(bin(v)) - 5) * 16 + 16 " +
+      "+ (v - shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 1)) * 16 " +
+      "div shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 1) AS BIGINT) END"
+
+  /** Representative (lower bound) of bucket `b` — the served estimate:
+    * exact below 16, else 2^e + slot·2^(e−4). */
+  private def qhRep(b: String): String =
+    s"CASE WHEN $b < 16 THEN $b ELSE " +
+      s"shiftleft(CAST(1 AS BIGINT), CAST(($b - 16) div 16 AS INT) + 4) " +
+      s"+ (($b - 16) % 16) " +
+      s"* shiftleft(CAST(1 AS BIGINT), CAST(($b - 16) div 16 AS INT)) END"
+
+  /** Sparse histogram rows `(groupCols…, b, cnt)` — one hash-aggregate,
+    * codegen'd, map-side partials free. Values must be ≥ 0 (enforced:
+    * a negative value fails the scan loudly rather than folding into a
+    * wrong bucket). */
+  def qhBuckets(
+      df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
+    df.select(groupCols.map(col)
+        :+ value.cast("long").as("v"): _*)
+      .withColumn("v", when(col("v") >= 0, col("v")).otherwise(
+        raise_error(concat(lit("quantile sketch value must be >= 0, got "),
+          col("v").cast("string")))))
+      .withColumn("b", expr(qhBucket))
+      .groupBy((groupCols :+ "b").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-group quantile estimates from histogram rows (tolerates
+    * duplicate generations — sum-collapses first). For each q the
+    * target rank is `ceil(q·n)` and the estimate is the representative
+    * of the first bucket whose cumulative count reaches it. Output:
+    * `(groupCols…, q, n_est)`. */
+  def qhEstimate(
+      buckets: DataFrame, groupCols: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1]: $qs")
+    val gcols = groupCols.map(col)
+    val collapsed = buckets
+      .groupBy((groupCols :+ "b").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val tot = collapsed.groupBy(gcols: _*).agg(sum(col("cnt")).as("n"))
+    val cum = collapsed.withColumn("c",
+      sum(col("cnt")).over(
+        Window.partitionBy(gcols: _*).orderBy(col("b"))))
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    // the quantile list is a bounded broadcast frame (same pattern as
+    // the repo's label-frame crossJoins)
+    val qdf = qs.toDF("q")
+    tot.crossJoin(broadcast(qdf))
+      .withColumn("t", ceil(col("q") * col("n")).cast("long"))
+      .join(cum, groupCols)
+      .filter(col("c") >= col("t"))
+      .groupBy((groupCols :+ "q").map(col): _*)
+      .agg(min(col("b")).as("b"))
+      .withColumn("n_est", expr(qhRep("b")))
+      .select(gcols :+ col("q") :+ col("n_est"): _*)
+  }
+
+  /** End-to-end convenience: per-group quantile estimates of `value`. */
+  def qhQuantiles(
+      df: DataFrame, groupCols: Seq[String], value: Column,
+      qs: Seq[Double]): DataFrame =
+    qhEstimate(qhBuckets(df, groupCols, value), groupCols, qs)
+
+  /** Build the persisted quantile sketch — the same params + gen-0
+    * layout as the other two families. */
+  def buildQhIndex(
+      spark: SparkSession,
+      df: DataFrame,
+      indexDir: String,
+      groupCols: Seq[String],
+      value: Column): Long = {
+    import spark.implicits._
+    require(groupCols.forall(c =>
+      !Seq("gen", "b", "cnt", "v", "q", "c", "t", "n").contains(c)),
+      s"group columns collide with sketch columns: $groupCols")
+    Snapshots.commit(spark,
+      Seq((groupCols.mkString(","), QhSlots)).toDF("group_cols", "slots"),
+      s"$indexDir/params")
+    Snapshots.commit(spark,
+      qhBuckets(df, groupCols, value).withColumn("gen", lit(0L)),
+      s"$indexDir/buckets",
+      statsColumns = "gen" +: groupCols :+ "b")
+  }
+
+  /** O(batch) add under a base-derived generation stamp — the same
+    * CAS contract as [[addToCmIndex]] (sums are not idempotent; each
+    * batch exactly once). */
+  def addToQhIndex(
+      spark: SparkSession,
+      df: DataFrame,
+      indexDir: String,
+      value: Column): Long = {
+    val groupCols = readGroupCols(spark, indexDir)
+    Snapshots.mergeDerived(spark, s"$indexDir/buckets",
+      key = "gen" +: groupCols :+ "b",
+      statsColumns = "gen" +: groupCols :+ "b",
+      scoped = true) { base =>
+      qhBuckets(df, groupCols, value).withColumn("gen", lit(base))
+    }
+  }
+
+  /** Sum-collapse the generations back to one row per bucket. */
+  def foldQhIndex(spark: SparkSession, indexDir: String): Long = {
+    val groupCols = readGroupCols(spark, indexDir)
+    val dir = s"$indexDir/buckets"
+    val collapsed = Snapshots.read(spark, dir)
+      .groupBy((groupCols :+ "b").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("gen", lit(0L))
+    Snapshots.commit(spark, collapsed, dir,
+      statsColumns = "gen" +: groupCols :+ "b")
+  }
+
+  /** Serve per-group quantile estimates from the persisted buckets —
+    * never touches the source corpus. */
+  def qhServe(
+      spark: SparkSession,
+      indexDir: String,
+      qs: Seq[Double],
+      asOf: Option[Long] = None): DataFrame = {
+    val groupCols = readGroupCols(spark, indexDir)
+    val dir = s"$indexDir/buckets"
+    val buckets = asOf match {
+      case Some(v) => Snapshots.readVersion(spark, dir, v)
+      case None => Snapshots.read(spark, dir)
+    }
+    qhEstimate(buckets, groupCols, qs)
+  }
+
   private def readGroupCols(
       spark: SparkSession, indexDir: String): Seq[String] =
     Snapshots.read(spark, s"$indexDir/params")

@@ -88,7 +88,14 @@ class PlanSweepSpec extends SparkSpec {
       // q_graph_search_sql: the TVF spelling of ann_hnsw_persisted's
       // serve wrapped in the same recall gate — identical bounded
       // nested loops
-      "q_graph_search_sql")
+      "q_graph_search_sql",
+      // sketch_qh_*: the quantile estimator crossJoins per-group totals
+      // against the 3-row broadcast quantile-literal frame (the bounded
+      // label-frame pattern); merge_law additionally the single-row
+      // exceptAll counter
+      "sketch_qh_lengths", "sketch_qh_merge_law", "sketch_qh_incremental",
+      "sketch_qh_asof", "sketch_qh_folded", "sketch_qh_stream",
+      "q_qh_sql")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -230,6 +230,80 @@ class SketchesSpec extends SparkSpec {
       Seq("alpha", "beta", "gamma"))
   }
 
+  test("quantile histogram: bucket law, exact small values, quantile bounds") {
+    import spark.implicits._
+    // every value 0..2000 plus large outliers: rep(bucket(v)) ≤ v and
+    // v sits inside the bucket's width (≤ v/16 above 16; exact below)
+    val vs = ((0L to 2000L) ++ Seq(1L << 20, (1L << 40) + 12345L))
+      .map(("g", _)).toDF("g", "x")
+    val rows = Sketches.qhBuckets(vs, Seq("g"), col("x"))
+      .withColumn("rep", expr(
+        "CASE WHEN b < 16 THEN b ELSE " +
+          "shiftleft(CAST(1 AS BIGINT), CAST((b - 16) div 16 AS INT) + 4)" +
+          " + ((b - 16) % 16) " +
+          "* shiftleft(CAST(1 AS BIGINT), CAST((b - 16) div 16 AS INT)) END"))
+      .collect()
+    assert(rows.nonEmpty)
+    // below 16 each value is its own bucket (cnt rows at b = v)
+    assert(rows.filter(_.getAs[Long]("b") < 16)
+      .forall(r => r.getAs[Long]("rep") == r.getAs[Long]("b")))
+    // exact per-group quantiles: estimate ≤ true ≤ estimate + width
+    val data = (1 to 500).map(i => ("a", (i * i).toLong)) ++
+      (1 to 300).map(i => ("b", i.toLong))
+    val df = data.toDF("src", "x")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val est = Sketches.qhQuantiles(df, Seq("src"), col("x"), qs)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    for ((src, xs) <- data.groupBy(_._1); q <- qs) {
+      val sorted = xs.map(_._2).sorted
+      val t = math.ceil(q * sorted.length).toLong.toInt
+      val exact = sorted(t - 1)
+      val e = est((src, q))
+      val width = if (e < 16) 1L else math.max(1L, e / 16)
+      assert(e <= exact && exact < e + width + e / 16 + 1,
+        s"$src q=$q est=$e exact=$exact")
+      // relative error bound: 1/16 above 16, exact below
+      if (exact >= 16)
+        assert((exact - e).toDouble / exact <= 1.0 / 16 + 1e-9)
+      else assert(e == exact)
+    }
+    // negative values fail loudly
+    intercept[Exception] {
+      Sketches.qhBuckets(Seq(("g", -1L)).toDF("g", "x"),
+        Seq("g"), col("x")).collect()
+    }
+  }
+
+  test("quantile histogram persisted family: adds equal one-shot, fold, as-of") {
+    import spark.implicits._
+    val lens = docs.select(col("source"),
+      length(col("text")).cast("long").as("len"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    def served(dir: String, asOf: Option[Long] = None) =
+      Sketches.qhServe(spark, dir, qs, asOf).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val one = java.nio.file.Files.createTempDirectory("graft-qh-one").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft-qh-inc").toString
+    Sketches.buildQhIndex(spark, lens, one, Seq("source"), col("len"))
+    val head = lens.filter(col("len") % 2 === 0)
+    val v1 = Sketches.buildQhIndex(spark, head, inc, Seq("source"),
+      col("len"))
+    Sketches.addToQhIndex(spark, lens.filter(col("len") % 2 =!= 0), inc,
+      col("len"))
+    val want = served(one)
+    assert(served(inc) == want)
+    // as-of pins the head-only histogram
+    assert(served(inc, asOf = Some(v1)) ==
+      Sketches.qhQuantiles(head, Seq("source"), col("len"), qs).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet)
+    // fold collapses generations; serving invariant
+    Sketches.foldQhIndex(spark, inc)
+    assert(Snapshots.read(spark, s"$inc/buckets")
+      .groupBy("source", "b").count().filter(col("count") > 1).count() == 0)
+    assert(served(inc) == want)
+  }
+
   test("as-of pins the registers snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hll-ao").toString
     val head = toks.filter(col("tok") < "m")

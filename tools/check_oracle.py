@@ -3,11 +3,18 @@
 dumped by graft.Verify, run the matching oracle SQL in DuckDB over the same
 parquet tables and compare (column names sorted, rows sorted, exact values).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [timeoutSec]
+
+With a timeoutSec, each oracle's DuckDB replay is interrupted after that
+many seconds and recorded as a named SKIP instead of hanging the sweep —
+the documented-quadratic oracles (all-pairs similarity replays) are
+exact but not feasible in DuckDB at large SFs, and the named skip list
+IS the justified-exclusion record.
 """
 import json
 import math
 import sys
+import threading
 
 import duckdb
 
@@ -39,6 +46,7 @@ def values_equal(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -47,6 +55,7 @@ def main():
         oracles = json.load(f)
 
     failures = []
+    skipped = []
     for name, sql in sorted(oracles.items()):
         try:
             got = con.execute(
@@ -55,11 +64,24 @@ def main():
         except Exception as e:
             failures.append((name, f"spark result unreadable: {e}"))
             continue
+        timer = None
+        timed_out = []
+        if timeout:
+            timer = threading.Timer(
+                timeout, lambda: (timed_out.append(True), con.interrupt()))
+            timer.start()
         try:
             want = con.execute(sql).df()
         except Exception as e:
+            if timed_out:
+                skipped.append(name)
+                print(f"SKIP  {name}: oracle replay exceeded {timeout:g}s")
+                continue
             failures.append((name, f"oracle SQL failed: {e}"))
             continue
+        finally:
+            if timer:
+                timer.cancel()
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             failures.append(
@@ -83,7 +105,12 @@ def main():
             print(f"OK    {name} ({len(g)} rows)")
     for name, why in failures:
         print(f"FAIL  {name}: {why}")
-    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} queries match")
+    if skipped:
+        print(f"\nskipped (oracle replay over {timeout:g}s): "
+              + ",".join(skipped))
+    print(f"\n{len(oracles) - len(failures) - len(skipped)}"
+          f"/{len(oracles)} queries match"
+          + (f" ({len(skipped)} skipped)" if skipped else ""))
     sys.exit(1 if failures else 0)
 
 
