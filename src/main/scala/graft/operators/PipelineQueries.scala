@@ -705,6 +705,27 @@ object PipelineQueries {
       lower(trim(col("text"))))
   }
 
+  private val asofTextCmMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, Long)]()
+
+  /** Whole-text count-min built on doc_id<250 (v1), the rest APPENDED
+    * — the as-of companion of [[textCmDir]] for the `cm_freq` TVF's
+    * pinned spelling (the token-based [[asofCmIndex]] can't back the
+    * TVF: its value needs an explode, and the TVF's value_expr is a
+    * scalar expression over the probe table). */
+  private def asofTextCmIndex(s: SparkSession, d: String): (String, Long) =
+    asofTextCmMemo.computeIfAbsent((s, d), _ => {
+      val docs = t(s, d, "documents")
+      val dir = scratch(s"graft-cm-text-asof-$pid")
+      clearDir(s, dir)
+      val v1 = Sketches.buildCmIndex(s, docs.filter(col("doc_id") < 250),
+        dir, Seq("source"), lower(trim(col("text"))))
+      Sketches.addToCmIndex(s, docs.filter(col("doc_id") >= 250), dir,
+        lower(trim(col("text"))))
+      (dir, v1)
+    })
+
   /** Count-min WITH the heavy-hitter candidate tier (candK = 8) over
     * whole texts per source, built on doc_id < 250 and the rest
     * appended — so the candidate table holds BOTH batches' top-8 and
@@ -1074,6 +1095,7 @@ object PipelineQueries {
     "setup_cm_stream" -> ((s, d) => { streamCmDir(s, d); () }),
     "setup_cm_topk" -> ((s, d) => { topkCmDir(s, d); () }),
     "setup_qh_asof" -> ((s, d) => { asofQhIndex(s, d); () }),
+    "setup_cm_text_asof" -> ((s, d) => { asofTextCmIndex(s, d); () }),
     "setup_qh_folded" -> ((s, d) => { foldedQhDir(s, d); () }),
     "setup_qh_stream" -> ((s, d) => { streamQhDir(s, d); () }),
     "setup_arrival_sketches" -> ((s, d) => { arrivalSketches(s, d); () }))
@@ -2283,6 +2305,24 @@ object PipelineQueries {
       // the TVF spelling over the SAME shared index.
       val dir = asofQhIndex(s, d)._1
       s.sql(s"SELECT * FROM quantile_est('$dir', '0.5,0.9,0.99') " +
+        "ORDER BY source, q")
+    }),
+    // TVF as-of symmetry for the three sketch families — the same
+    // pinned-spelling contract the bm25/graph_search TVFs carry: a
+    // SQL-only client replays yesterday's estimates from the version
+    // its run logged
+    "q_hll_asof_sql" -> ((s, d) => {
+      val (dir, v1) = asofHllIndex(s, d)
+      s.sql(s"SELECT * FROM hll_count('$dir', $v1) ORDER BY source")
+    }),
+    "q_cm_asof_sql" -> ((s, d) => {
+      val (dir, v1) = asofTextCmIndex(s, d)
+      s.sql(s"SELECT * FROM cm_freq('$dir', '$d/documents.parquet', " +
+        s"'doc_id < 5', 'lower(trim(text))', $v1) ORDER BY source, v")
+    }),
+    "q_qh_asof_sql" -> ((s, d) => {
+      val (dir, v1) = asofQhIndex(s, d)
+      s.sql(s"SELECT * FROM quantile_est('$dir', '0.5,0.9,0.99', $v1) " +
         "ORDER BY source, q")
     }),
     "sketch_cm_topk" -> ((s, d) => {
@@ -4476,6 +4516,16 @@ object PipelineQueries {
     "sketch_qh_stream" -> (qhOracle("TRUE") +
       "\nSELECT source, q, n_est FROM est ORDER BY source, q"),
     "q_qh_sql" -> (qhOracle("TRUE") +
+      "\nSELECT source, q, n_est FROM est ORDER BY source, q"),
+    // TVF as-of spellings replay the first-tranche state (the same
+    // oracles as the families' programmatic asof entries)
+    "q_hll_asof_sql" ->
+      (hllOracle("doc_id < 250") +
+        "\nSELECT source, n_est FROM est ORDER BY source"),
+    "q_cm_asof_sql" -> (cmOracle(cmTextRows("doc_id < 250"),
+      cmTextRows("doc_id < 5")) +
+      "\nSELECT source, v, n_est FROM est ORDER BY source, v"),
+    "q_qh_asof_sql" -> (qhOracle("doc_id < 250") +
       "\nSELECT source, q, n_est FROM est ORDER BY source, q"),
     // heavy hitters: per-batch exact top-8 candidates (ties broken on
     // the value, replayed verbatim), whole-corpus counter estimates,
