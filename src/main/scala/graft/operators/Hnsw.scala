@@ -489,13 +489,26 @@ object Hnsw {
       s"version stamp on $indexDir lost 10 optimistic races; giving up")
   }
 
-  /** Manifest row count — O(root list), never O(data) on clean
-    * snapshots; the policy probes below stay metadata-priced. An empty
-    * (truncated) table aggregates to NULL → 0. `v = 0` reads the tip. */
+  /** Row count of one immutable snapshot version, memoized per
+    * (table, version): the count can never change once a version is
+    * committed, and the underlying manifest aggregation — while
+    * metadata-priced — is still a small Spark job (~1 s on rootless
+    * manifests), which a per-SERVE probe must not re-pay (profiling
+    * showed the un-memoized probes tripling the pending-serve
+    * steady state). First probe per version pays the read; the tip
+    * resolution itself is one tiny pointer-file read per call. An
+    * empty (truncated) table aggregates to NULL → 0. */
+  private val rowsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+
   private def rowsOf(
       spark: SparkSession, tableDir: String, v: Long = 0L): Long = {
-    val r = Snapshots.tableStats(spark, tableDir, Nil, v = v).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+    val ver = if (v >= 1) v else Snapshots.version(spark, tableDir)
+    if (ver < 1) 0L
+    else rowsMemo.computeIfAbsent((tableDir, ver), _ => {
+      val r = Snapshots.tableStats(spark, tableDir, Nil, v = ver).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    })
   }
 
   /** O(new) index maintenance: a graph insert rewires existing nodes,
