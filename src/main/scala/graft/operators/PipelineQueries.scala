@@ -935,7 +935,12 @@ object PipelineQueries {
       clearDir(s, dir)
       val v1 = Hnsw.buildHnswIndex(s, emb.filter(col("vec_id") < 300), dir,
         numShards = 4, m = 8, efConstruction = 40)
-      Hnsw.addToHnswIndex(s, emb.filter(col("vec_id") >= 300), dir)
+      // the PENDING state is this builder's contract at every SF — the
+      // add-time fold policy must not graduate it (at sf0.1 the tail is
+      // 1700 rows vs a 300-row graph, past the default break-even; the
+      // sf0.1 oracle sweep caught exactly that)
+      Hnsw.addToHnswIndex(s, emb.filter(col("vec_id") >= 300), dir,
+        foldAt = Double.PositiveInfinity)
       (dir, v1)
     })
 
@@ -972,7 +977,8 @@ object PipelineQueries {
           org.apache.spark.sql.Row], _: Long) =>
         val bs = batch.sparkSession
         if (graft.sources.Snapshots.version(bs, s"$dir/graph") >= 1L)
-          Hnsw.addToHnswIndex(bs, batch.toDF(), dir)
+          Hnsw.addToHnswIndex(bs, batch.toDF(), dir,
+            foldAt = Double.PositiveInfinity) // pending tier is the contract
         else
           Hnsw.buildHnswIndex(bs, batch.toDF(), dir, numShards = 4,
             m = 8, efConstruction = 40)
@@ -996,7 +1002,8 @@ object PipelineQueries {
     val emb = t(s, d, "embeddings")
     Hnsw.buildHnswIndex(s, emb.filter(col("vec_id") < 300), dir,
       numShards = 4, m = 8, efConstruction = 40)
-    Hnsw.addToHnswIndex(s, emb.filter(col("vec_id") >= 300), dir)
+    Hnsw.addToHnswIndex(s, emb.filter(col("vec_id") >= 300), dir,
+      foldAt = Double.PositiveInfinity) // compaction over a pending state
     Hnsw.removeFromHnswIndex(s, dir, (100L until 150L).toSeq)
     IndexMaintenance.compactIndex(s, dir)
   }
@@ -1007,7 +1014,8 @@ object PipelineQueries {
     val emb = t(s, d, "embeddings")
     Hnsw.buildHnswIndex(s, emb.filter(col("vec_id") < 300), dir,
       numShards = 4, m = 8, efConstruction = 40)
-    Hnsw.addToHnswIndex(s, emb.filter(col("vec_id") >= 300), dir)
+    Hnsw.addToHnswIndex(s, emb.filter(col("vec_id") >= 300), dir,
+      foldAt = Double.PositiveInfinity) // the EXPLICIT fold is the entry
     Hnsw.foldHnswIndex(s, dir)
   }
 

@@ -168,7 +168,19 @@ object RelationalQueries {
           col("l_returnflag"), col("l_linestatus"),
           col("dq").cast("double").as("sum_qty"),
           col("dp").cast("double").as("sum_base_price"),
-          col("ddp").cast("double").as("sum_disc_price"),
+          // rescale the scale-8 product sum to whole cents BEFORE the
+          // double cast: a scale-8 sum's scaled integer passes 2^53
+          // around sf0.1, where DuckDB's two-step int128→double→/10^8
+          // conversion double-rounds while the JVM's BigDecimal is
+          // correctly rounded — the sf0.1 oracle sweep caught the two
+          // engines 1 ulp apart. The rescale is FLOOR(x·100) — exact
+          // integer arithmetic with NO tie semantics (a decimal-cast
+          // rescale rounds .955 ties differently across engines, the
+          // sweep's second catch); the cent count stays under 2^53 far
+          // past sf1, so the final /100 is one correctly-rounded IEEE
+          // division in both engines.
+          (floor(col("ddp") * 100).cast("double") / 100.0)
+            .as("sum_disc_price"),
           (col("dq").cast("double") / col("count_order")).as("avg_qty"),
           col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -1136,7 +1148,7 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) * 100) AS DOUBLE) / 100.0 AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
