@@ -440,6 +440,62 @@ object PipelineQueries {
       q.awaitTermination()
   }
 
+  /** The sketch-served admission pipeline RUN AS A STREAM — the
+    * streaming sibling of `pipeline_arrival_admit_sketched`, the same
+    * shape as [[arrivalStreamVerdicts]]: each micro-batch probes the
+    * STANDING sketch tables ([[arrivalSketches]] — count-min exact-dup
+    * frequency with doc_id carried through, HLL per-source cardinality
+    * broadcast in) and snapshot-merges its verdict rows. Every verdict
+    * is batch-invariant (standing indexes only, the admit bit a pure
+    * function of the probe), so one whole-corpus oracle gates any
+    * batch split. Returns the drained verdict table dir. */
+  private val arrivalSketchStreamVerdicts =
+    lifecycleDir("pstr-sk-verdicts") { (s, d, outDir) =>
+      val docs = t(s, d, "documents")
+      val arrivals = docs.filter(col("doc_id") % 5 === 0)
+      val (hllDir, cmDir) = arrivalSketches(s, d)
+      val inDir = scratch(s"graft-pstr-sk-in-$pid")
+      val ckpt = scratch(s"graft-pstr-sk-ckpt-$pid")
+      Seq(inDir, ckpt).foreach(clearDir(s, _))
+      arrivals.filter(col("doc_id") < 250).coalesce(1)
+        .write.parquet(s"$inDir/arrival-0")
+      arrivals.filter(col("doc_id") >= 250).coalesce(1)
+        .write.parquet(s"$inDir/arrival-1")
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$inDir/arrival-*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val bs = batch.sparkSession
+          val freq = Sketches.cmServe(bs, cmDir,
+              batch.toDF().select(col("doc_id"), col("source"),
+                col("text")),
+              lower(trim(col("text"))), carryCols = Seq("doc_id"))
+            .withColumnRenamed("n_est", "n_corpus_dups")
+          val card = Sketches.hllServe(bs, hllDir)
+            .withColumnRenamed("n_est", "src_distinct_toks")
+          val verdicts = freq
+            .join(broadcast(card), Seq("source"), "left")
+            .select(col("doc_id"), col("source"), col("n_corpus_dups"),
+              coalesce(col("src_distinct_toks"), lit(0.0))
+                .as("src_distinct_toks"),
+              (col("n_corpus_dups") === 0L).cast("long").as("admit"))
+          if (graft.sources.Snapshots.version(bs, outDir) >= 1L)
+            graft.sources.Snapshots.merge(bs, outDir, verdicts,
+              key = Seq("doc_id"), statsColumns = Seq("doc_id"),
+              scoped = true)
+          else
+            graft.sources.Snapshots.commit(bs, verdicts, outDir,
+              statsColumns = Seq("doc_id"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   // ---- wave-2 lifecycle memos (r12): the decomposition extended to
   // EVERY complete-before-serve lifecycle, so the bench's entry lines
   // are serve halves across all four index families and the per-family
@@ -1106,7 +1162,9 @@ object PipelineQueries {
     "setup_cm_text_asof" -> ((s, d) => { asofTextCmIndex(s, d); () }),
     "setup_qh_folded" -> ((s, d) => { foldedQhDir(s, d); () }),
     "setup_qh_stream" -> ((s, d) => { streamQhDir(s, d); () }),
-    "setup_arrival_sketches" -> ((s, d) => { arrivalSketches(s, d); () }))
+    "setup_arrival_sketches" -> ((s, d) => { arrivalSketches(s, d); () }),
+    "setup_arrival_sketch_stream" ->
+      ((s, d) => { arrivalSketchStreamVerdicts(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
     * corpus_chunk's fixed windows: a chunk boundary falls after word e
@@ -2332,6 +2390,16 @@ object PipelineQueries {
       val (dir, v1) = asofQhIndex(s, d)
       s.sql(s"SELECT * FROM quantile_est('$dir', '0.5,0.9,0.99', $v1) " +
         "ORDER BY source, q")
+    }),
+    "pipeline_arrival_stream_sketched" -> ((s, d) => {
+      // the sketch-probe admission AS A STREAM: micro-batches probe
+      // the standing sketch tables and merge verdicts into a snapshot
+      // table (drain on the setup_arrival_sketch_stream line). Every
+      // verdict is batch-invariant, so the SAME whole-corpus oracle as
+      // the batch sibling certifies the drained table — batch
+      // boundaries are invisible.
+      graft.sources.Snapshots.read(s, arrivalSketchStreamVerdicts(s, d))
+        .orderBy("doc_id")
     }),
     "sketch_cm_topk" -> ((s, d) => {
       // heavy hitters from the index alone: per-batch exact top-8
@@ -3917,6 +3985,70 @@ object PipelineQueries {
        |    END AS n_est
        |  FROM pick)""".stripMargin
 
+  private val arrivalSketchedOracle: String =
+    """WITH tk AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |hh AS (
+        |  SELECT source,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+        |regs AS (
+        |  SELECT source, h & 1023 AS j,
+        |    MAX(CASE WHEN (h >> 10) = 0 THEN 51
+        |             ELSE 51 - length(bin(h >> 10)) END) AS r
+        |  FROM hh GROUP BY 1, 2),
+        |hagg AS (
+        |  SELECT source, COUNT(*) AS n_filled,
+        |    SUM(1::BIGINT << (51 - r)) AS s_filled
+        |  FROM regs GROUP BY 1),
+        |hfin AS (
+        |  SELECT source, (1024 - n_filled) AS zeros,
+        |    (1024 - n_filled) * (1::BIGINT << 51) + s_filled AS total
+        |  FROM hagg),
+        |hest AS (
+        |  SELECT source,
+        |    CASE WHEN zeros > 0 AND
+        |      (0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024 * 1024
+        |        * (1::BIGINT << 51)) / total <= 2560.0
+        |    THEN round(1024.0 * ln(1024.0 / zeros), 4)
+        |    ELSE round((0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024
+        |      * 1024 * (1::BIGINT << 51)) / total, 4)
+        |    END AS src_distinct_toks
+        |  FROM hfin),
+        |crows AS (
+        |  SELECT source, lower(trim(text)) AS v
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |ch AS (
+        |  SELECT source, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+        |  FROM crows),
+        |cells AS (
+        |  SELECT source, i, (h >> (10*i)) & 1023 AS j, COUNT(*) AS cnt
+        |  FROM ch, (SELECT unnest([0,1,2,3]) AS i) GROUP BY 1, 2, 3),
+        |probe AS (
+        |  SELECT DISTINCT source, v,
+        |    ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, lower(trim(text)) AS v
+        |        FROM documents WHERE doc_id % 5 = 0)),
+        |pc AS (
+        |  SELECT source, v, i, (h >> (10*i)) & 1023 AS j
+        |  FROM probe, (SELECT unnest([0,1,2,3]) AS i)),
+        |cest AS (
+        |  SELECT pc.source, pc.v, MIN(COALESCE(cells.cnt, 0)) AS n_corpus_dups
+        |  FROM pc LEFT JOIN cells USING (source, i, j)
+        |  GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT doc_id, source, lower(trim(text)) AS v
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT arr.doc_id, arr.source, cest.n_corpus_dups,
+        |  COALESCE(hest.src_distinct_toks, 0.0) AS src_distinct_toks,
+        |  CASE WHEN cest.n_corpus_dups = 0
+        |    THEN 1 ELSE 0 END::BIGINT AS admit
+        |FROM arr
+        |JOIN cest ON arr.source = cest.source AND arr.v = cest.v
+        |LEFT JOIN hest ON arr.source = hest.source
+        |ORDER BY arr.doc_id""".stripMargin
+
   private def cmTokenRows(pred: String): String =
     "SELECT source, unnest(string_split_regex(lower(trim(text)), " +
       s"'\\s+')) AS v FROM documents WHERE $pred"
@@ -4623,70 +4755,10 @@ object PipelineQueries {
     // the combined sketch-probe replay: HLL per-source cardinality of
     // the corpus side (doc_id % 5 != 0) + count-min whole-text
     // frequency probed by the arrival side — CTE names disambiguated
-    // because the two family helpers share h/est
-    "pipeline_arrival_admit_sketched" ->
-      """WITH tk AS (
-        |  SELECT source,
-        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-        |  FROM documents WHERE doc_id % 5 != 0),
-        |hh AS (
-        |  SELECT source,
-        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tk),
-        |regs AS (
-        |  SELECT source, h & 1023 AS j,
-        |    MAX(CASE WHEN (h >> 10) = 0 THEN 51
-        |             ELSE 51 - length(bin(h >> 10)) END) AS r
-        |  FROM hh GROUP BY 1, 2),
-        |hagg AS (
-        |  SELECT source, COUNT(*) AS n_filled,
-        |    SUM(1::BIGINT << (51 - r)) AS s_filled
-        |  FROM regs GROUP BY 1),
-        |hfin AS (
-        |  SELECT source, (1024 - n_filled) AS zeros,
-        |    (1024 - n_filled) * (1::BIGINT << 51) + s_filled AS total
-        |  FROM hagg),
-        |hest AS (
-        |  SELECT source,
-        |    CASE WHEN zeros > 0 AND
-        |      (0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024 * 1024
-        |        * (1::BIGINT << 51)) / total <= 2560.0
-        |    THEN round(1024.0 * ln(1024.0 / zeros), 4)
-        |    ELSE round((0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024
-        |      * 1024 * (1::BIGINT << 51)) / total, 4)
-        |    END AS src_distinct_toks
-        |  FROM hfin),
-        |crows AS (
-        |  SELECT source, lower(trim(text)) AS v
-        |  FROM documents WHERE doc_id % 5 != 0),
-        |ch AS (
-        |  SELECT source, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
-        |  FROM crows),
-        |cells AS (
-        |  SELECT source, i, (h >> (10*i)) & 1023 AS j, COUNT(*) AS cnt
-        |  FROM ch, (SELECT unnest([0,1,2,3]) AS i) GROUP BY 1, 2, 3),
-        |probe AS (
-        |  SELECT DISTINCT source, v,
-        |    ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
-        |  FROM (SELECT source, lower(trim(text)) AS v
-        |        FROM documents WHERE doc_id % 5 = 0)),
-        |pc AS (
-        |  SELECT source, v, i, (h >> (10*i)) & 1023 AS j
-        |  FROM probe, (SELECT unnest([0,1,2,3]) AS i)),
-        |cest AS (
-        |  SELECT pc.source, pc.v, MIN(COALESCE(cells.cnt, 0)) AS n_corpus_dups
-        |  FROM pc LEFT JOIN cells USING (source, i, j)
-        |  GROUP BY 1, 2),
-        |arr AS (
-        |  SELECT doc_id, source, lower(trim(text)) AS v
-        |  FROM documents WHERE doc_id % 5 = 0)
-        |SELECT arr.doc_id, arr.source, cest.n_corpus_dups,
-        |  COALESCE(hest.src_distinct_toks, 0.0) AS src_distinct_toks,
-        |  CASE WHEN cest.n_corpus_dups = 0
-        |    THEN 1 ELSE 0 END::BIGINT AS admit
-        |FROM arr
-        |JOIN cest ON arr.source = cest.source AND arr.v = cest.v
-        |LEFT JOIN hest ON arr.source = hest.source
-        |ORDER BY arr.doc_id""".stripMargin,
+    // because the two family helpers share h/est. The STREAM sibling
+    // shares it verbatim: verdicts are batch-invariant by construction.
+    "pipeline_arrival_admit_sketched" -> arrivalSketchedOracle,
+    "pipeline_arrival_stream_sketched" -> arrivalSketchedOracle,
     "ann_hnsw_compacted" ->
       """SELECT
         |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
