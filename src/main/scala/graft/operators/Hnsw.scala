@@ -555,7 +555,13 @@ object Hnsw {
     val stamped = stampVersion(spark, indexDir)
     if (foldAt.isFinite && foldAt > 0 &&
         rowsOf(spark, dir) > foldAt * rowsOf(spark, s"$indexDir/graph"))
-      foldHnswIndex(spark, indexDir)
+      // two racing adds can BOTH cross the threshold; the fold loser
+      // finds the pending table already truncated and its requires
+      // fire — that is the RACE WON (the data folded), not a failure,
+      // so the add must still return its own committed stamp rather
+      // than throw after its merge landed
+      try foldHnswIndex(spark, indexDir)
+      catch { case _: IllegalArgumentException => stamped }
     else stamped
   }
 

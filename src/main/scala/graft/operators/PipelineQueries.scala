@@ -163,12 +163,52 @@ object PipelineQueries {
     */
   private def pid: Long = ProcessHandle.current().pid()
 
+  /** Short per-SF-dir token mixed into every memoized scratch path:
+    * the memos are keyed by (session, sfDir) but the paths used to be
+    * fixed per name+pid, so a SECOND sf dir in the same JVM (scale
+    * sweeps run three) cleared and rebuilt the path a FIRST sf's memo
+    * still pointed at — the first memo then served the second sf's
+    * data, and per-version caches above the path (Hnsw.rowsOf) went
+    * stale. Distinct sf dirs now get distinct paths outright. */
+  private def dirTag(d: String): String =
+    (d.hashCode & 0xffffff).toHexString
+
+  /** The shared streaming-ingest scaffold: writes `first`/`second` as
+    * two arrival files, streams them one file per trigger under a
+    * checkpointed AvailableNow drain (exactly-once per micro-batch),
+    * and hands each batch to `fn`. Every r13 streaming builder runs
+    * through here so the drain contract lives in ONE place; the older
+    * family builders predate it and carry their own copies.
+    */
+  private def drainTwoBatches(
+      s: SparkSession, name: String, d: String,
+      first: DataFrame, second: DataFrame)(
+      fn: DataFrame => Unit): Unit = {
+    val inDir = scratch(s"graft-$name-in-${dirTag(d)}-$pid")
+    val ckpt = scratch(s"graft-$name-ckpt-${dirTag(d)}-$pid")
+    Seq(inDir, ckpt).foreach(clearDir(s, _))
+    first.coalesce(1).write.parquet(s"$inDir/arrival-0")
+    second.coalesce(1).write.parquet(s"$inDir/arrival-1")
+    val q = s.readStream.schema(first.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/arrival-*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        fn(batch.toDF()); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   private val textIdxMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   private def fullTextIndex(s: SparkSession, d: String): String =
     textIdxMemo.computeIfAbsent((s, d), _ => {
-      val dir = scratch(s"graft-shared-text-idx-$pid")
+      val dir = scratch(s"graft-shared-text-idx-${dirTag(d)}-$pid")
       clearDir(s, dir)
       TextAnalysis.buildTextIndex(s, t(s, d, "documents"), dir, nBuckets = 8)
       dir
@@ -179,7 +219,7 @@ object PipelineQueries {
 
   private def fullIvfIndex(s: SparkSession, d: String): String =
     ivfIdxMemo.computeIfAbsent((s, d), _ => {
-      val dir = scratch(s"graft-shared-ivf-idx-$pid")
+      val dir = scratch(s"graft-shared-ivf-idx-${dirTag(d)}-$pid")
       clearDir(s, dir)
       Similarity.buildIvfIndex(s, t(s, d, "embeddings"), dir, k = 8,
         iterations = 2, roundDecimals = 6)
@@ -191,7 +231,7 @@ object PipelineQueries {
 
   private def headMinhashIndex(s: SparkSession, d: String): String =
     mhIdxMemo.computeIfAbsent((s, d), _ => {
-      val dir = scratch(s"graft-shared-mh-idx-$pid")
+      val dir = scratch(s"graft-shared-mh-idx-${dirTag(d)}-$pid")
       clearDir(s, dir)
       Dedup.buildMinhashIndex(s,
         t(s, d, "documents").filter(col("doc_id") < 250), dir, nBuckets = 8)
@@ -216,9 +256,9 @@ object PipelineQueries {
     arrivalIdxMemo.computeIfAbsent((s, d), _ => {
       val docs = t(s, d, "documents")
       val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
-      val mhDir = scratch(s"graft-arrival-mh-$pid")
-      val spDir = scratch(s"graft-arrival-span-$pid")
-      val bmDir = scratch(s"graft-arrival-bench-$pid")
+      val mhDir = scratch(s"graft-arrival-mh-${dirTag(d)}-$pid")
+      val spDir = scratch(s"graft-arrival-span-${dirTag(d)}-$pid")
+      val bmDir = scratch(s"graft-arrival-bench-${dirTag(d)}-$pid")
       Seq(mhDir, spDir, bmDir).foreach(clearDir(s, _))
       Dedup.buildMinhashIndex(s, corpusSide, mhDir, nBuckets = 8)
       TextAnalysis.buildSpanIndex(s, corpusSide, spDir, n = 8, nBuckets = 8)
@@ -257,7 +297,7 @@ object PipelineQueries {
     val memo = new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), String]()
     (s, d) => memo.computeIfAbsent((s, d), _ => {
-      val dir = scratch(s"graft-$name-$pid")
+      val dir = scratch(s"graft-$name-${dirTag(d)}-$pid")
       clearDir(s, dir)
       build(s, d, dir)
       dir
@@ -274,7 +314,7 @@ object PipelineQueries {
   private def asofMinhashIndex(s: SparkSession, d: String): (String, Long) =
     asofMhMemo.computeIfAbsent((s, d), _ => {
       val docs = t(s, d, "documents")
-      val dir = scratch(s"graft-mh-asof-$pid")
+      val dir = scratch(s"graft-mh-asof-${dirTag(d)}-$pid")
       clearDir(s, dir)
       Dedup.buildMinhashIndex(s, docs.filter(col("doc_id") < 150), dir,
         nBuckets = 8)
@@ -311,7 +351,7 @@ object PipelineQueries {
   private def asofTextIndex(s: SparkSession, d: String): (String, Long) =
     asofTextMemo.computeIfAbsent((s, d), _ => {
       val docs = t(s, d, "documents")
-      val dir = scratch(s"graft-text-asof-$pid")
+      val dir = scratch(s"graft-text-asof-${dirTag(d)}-$pid")
       clearDir(s, dir)
       TextAnalysis.buildTextIndex(s, docs.filter(col("doc_id") < 300), dir,
         nBuckets = 8)
@@ -355,8 +395,8 @@ object PipelineQueries {
   private val streamedTextIndex = lifecycleDir("text-stream-idx") {
     (s, d, dir) =>
       val docs = t(s, d, "documents")
-      val inDir = scratch(s"graft-text-stream-in-$pid")
-      val ckpt = scratch(s"graft-text-stream-ckpt-$pid")
+      val inDir = scratch(s"graft-text-stream-in-${dirTag(d)}-$pid")
+      val ckpt = scratch(s"graft-text-stream-ckpt-${dirTag(d)}-$pid")
       Seq(inDir, ckpt).foreach(clearDir(s, _))
       docs.filter(col("doc_id") < 250).coalesce(1)
         .write.parquet(s"$inDir/arrival-0")
@@ -392,8 +432,8 @@ object PipelineQueries {
       val docs = t(s, d, "documents")
       val arrivals = docs.filter(col("doc_id") % 5 === 0)
       val (mhDir, _, bmDir) = arrivalIndexes(s, d)
-      val inDir = scratch(s"graft-pstr-in-$pid")
-      val ckpt = scratch(s"graft-pstr-ckpt-$pid")
+      val inDir = scratch(s"graft-pstr-in-${dirTag(d)}-$pid")
+      val ckpt = scratch(s"graft-pstr-ckpt-${dirTag(d)}-$pid")
       Seq(inDir, ckpt).foreach(clearDir(s, _))
       arrivals.filter(col("doc_id") < 250).coalesce(1)
         .write.parquet(s"$inDir/arrival-0")
@@ -454,47 +494,33 @@ object PipelineQueries {
       val docs = t(s, d, "documents")
       val arrivals = docs.filter(col("doc_id") % 5 === 0)
       val (hllDir, cmDir) = arrivalSketches(s, d)
-      val inDir = scratch(s"graft-pstr-sk-in-$pid")
-      val ckpt = scratch(s"graft-pstr-sk-ckpt-$pid")
-      Seq(inDir, ckpt).foreach(clearDir(s, _))
-      arrivals.filter(col("doc_id") < 250).coalesce(1)
-        .write.parquet(s"$inDir/arrival-0")
-      arrivals.filter(col("doc_id") >= 250).coalesce(1)
-        .write.parquet(s"$inDir/arrival-1")
-      val q = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$inDir/arrival-*")
-        .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          val bs = batch.sparkSession
-          val freq = Sketches.cmServe(bs, cmDir,
-              batch.toDF().select(col("doc_id"), col("source"),
-                col("text")),
-              lower(trim(col("text"))), carryCols = Seq("doc_id"))
-            .withColumnRenamed("n_est", "n_corpus_dups")
-          val card = Sketches.hllServe(bs, hllDir)
-            .withColumnRenamed("n_est", "src_distinct_toks")
-          val verdicts = freq
-            .join(broadcast(card), Seq("source"), "left")
-            .select(col("doc_id"), col("source"), col("n_corpus_dups"),
-              coalesce(col("src_distinct_toks"), lit(0.0))
-                .as("src_distinct_toks"),
-              (col("n_corpus_dups") === 0L).cast("long").as("admit"))
-          if (graft.sources.Snapshots.version(bs, outDir) >= 1L)
-            graft.sources.Snapshots.merge(bs, outDir, verdicts,
-              key = Seq("doc_id"), statsColumns = Seq("doc_id"),
-              scoped = true)
-          else
-            graft.sources.Snapshots.commit(bs, verdicts, outDir,
-              statsColumns = Seq("doc_id"))
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      drainTwoBatches(s, "pstr-sk", d,
+        arrivals.filter(col("doc_id") < 250),
+        arrivals.filter(col("doc_id") >= 250)) { batch =>
+        val bs = batch.sparkSession
+        val freq = Sketches.cmServe(bs, cmDir,
+            batch.select(col("doc_id"), col("source"), col("text")),
+            lower(trim(col("text"))), carryCols = Seq("doc_id"))
+          .withColumnRenamed("n_est", "n_corpus_dups")
+        val card = Sketches.hllServe(bs, hllDir)
+          .withColumnRenamed("n_est", "src_distinct_toks")
+        val verdicts = freq
+          .join(broadcast(card), Seq("source"), "left")
+          .select(col("doc_id"), col("source"), col("n_corpus_dups"),
+            coalesce(col("src_distinct_toks"), lit(0.0))
+              .as("src_distinct_toks"),
+            (col("n_corpus_dups") === 0L).cast("long").as("admit"))
+        if (graft.sources.Snapshots.version(bs, outDir) >= 1L)
+          graft.sources.Snapshots.merge(bs, outDir, verdicts,
+            key = Seq("doc_id"), statsColumns = Seq("doc_id"),
+            scoped = true)
+        else
+          graft.sources.Snapshots.commit(bs, verdicts, outDir,
+            statsColumns = Seq("doc_id"))
+        ()
+      }
     }
+
 
   // ---- wave-2 lifecycle memos (r12): the decomposition extended to
   // EVERY complete-before-serve lifecycle, so the bench's entry lines
@@ -514,7 +540,7 @@ object PipelineQueries {
   private def asofIvfIndex(s: SparkSession, d: String): (String, Long) =
     asofIvfMemo.computeIfAbsent((s, d), _ => {
       val emb = t(s, d, "embeddings")
-      val dir = scratch(s"graft-ivf-asof-$pid")
+      val dir = scratch(s"graft-ivf-asof-${dirTag(d)}-$pid")
       clearDir(s, dir)
       Similarity.buildIvfIndex(s, emb.filter(col("vec_id") < 300), dir,
         k = 8, iterations = 2, roundDecimals = 6)
@@ -541,8 +567,8 @@ object PipelineQueries {
 
   private val streamIvfIndex = lifecycleDir("ivf-stream") { (s, d, dir) =>
     val emb = t(s, d, "embeddings")
-    val inDir = scratch(s"graft-ivf-stream-in-$pid")
-    val ckpt = scratch(s"graft-ivf-stream-ckpt-$pid")
+    val inDir = scratch(s"graft-ivf-stream-in-${dirTag(d)}-$pid")
+    val ckpt = scratch(s"graft-ivf-stream-ckpt-${dirTag(d)}-$pid")
     Seq(inDir, ckpt).foreach(clearDir(s, _))
     emb.filter(col("vec_id") < 300).coalesce(1)
       .write.parquet(s"$inDir/arrival-0")
@@ -590,8 +616,8 @@ object PipelineQueries {
 
   private val streamMhIndex = lifecycleDir("mh-stream") { (s, d, dir) =>
     val docs = t(s, d, "documents")
-    val inDir = scratch(s"graft-mh-stream-in-$pid")
-    val ckpt = scratch(s"graft-mh-stream-ckpt-$pid")
+    val inDir = scratch(s"graft-mh-stream-in-${dirTag(d)}-$pid")
+    val ckpt = scratch(s"graft-mh-stream-ckpt-${dirTag(d)}-$pid")
     Seq(inDir, ckpt).foreach(clearDir(s, _))
     docs.filter(col("doc_id") < 150).coalesce(1)
       .write.parquet(s"$inDir/arrival-0")
@@ -628,7 +654,7 @@ object PipelineQueries {
   private def asofSpanIndex(s: SparkSession, d: String): (String, Long) =
     asofSpanMemo.computeIfAbsent((s, d), _ => {
       val corpusSide = t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
-      val dir = scratch(s"graft-span-asof-$pid")
+      val dir = scratch(s"graft-span-asof-${dirTag(d)}-$pid")
       clearDir(s, dir)
       TextAnalysis.buildSpanIndex(s,
         corpusSide.filter(col("doc_id") < 250), dir, n = 8, nBuckets = 8)
@@ -648,8 +674,8 @@ object PipelineQueries {
   private val streamSpanIndex = lifecycleDir("span-stream") { (s, d, dir) =>
     val docs = t(s, d, "documents")
     val corpusSide = docs.filter(col("doc_id") % 5 =!= 0)
-    val inDir = scratch(s"graft-span-stream-in-$pid")
-    val ckpt = scratch(s"graft-span-stream-ckpt-$pid")
+    val inDir = scratch(s"graft-span-stream-in-${dirTag(d)}-$pid")
+    val ckpt = scratch(s"graft-span-stream-ckpt-${dirTag(d)}-$pid")
     Seq(inDir, ckpt).foreach(clearDir(s, _))
     corpusSide.filter(col("doc_id") < 250).coalesce(1)
       .write.parquet(s"$inDir/arrival-0")
@@ -698,7 +724,7 @@ object PipelineQueries {
   private def asofHllIndex(s: SparkSession, d: String): (String, Long) =
     asofHllMemo.computeIfAbsent((s, d), _ => {
       val tk = hllTokens(s, d)
-      val dir = scratch(s"graft-hll-asof-$pid")
+      val dir = scratch(s"graft-hll-asof-${dirTag(d)}-$pid")
       clearDir(s, dir)
       val v1 = Sketches.buildHllIndex(s, tk.filter(col("doc_id") < 250),
         dir, Seq("source"), col("tok"))
@@ -731,7 +757,7 @@ object PipelineQueries {
   private def asofCmIndex(s: SparkSession, d: String): (String, Long) =
     asofCmMemo.computeIfAbsent((s, d), _ => {
       val tk = hllTokens(s, d)
-      val dir = scratch(s"graft-cm-asof-$pid")
+      val dir = scratch(s"graft-cm-asof-${dirTag(d)}-$pid")
       clearDir(s, dir)
       val v1 = Sketches.buildCmIndex(s, tk.filter(col("doc_id") < 250),
         dir, Seq("source"), col("tok"))
@@ -773,7 +799,7 @@ object PipelineQueries {
   private def asofTextCmIndex(s: SparkSession, d: String): (String, Long) =
     asofTextCmMemo.computeIfAbsent((s, d), _ => {
       val docs = t(s, d, "documents")
-      val dir = scratch(s"graft-cm-text-asof-$pid")
+      val dir = scratch(s"graft-cm-text-asof-${dirTag(d)}-$pid")
       clearDir(s, dir)
       val v1 = Sketches.buildCmIndex(s, docs.filter(col("doc_id") < 250),
         dir, Seq("source"), lower(trim(col("text"))))
@@ -804,33 +830,19 @@ object PipelineQueries {
     * batch by the checkpointed AvailableNow contract. */
   private val streamHllDir = lifecycleDir("hll-stream") { (s, d, dir) =>
     val docs = t(s, d, "documents")
-    val inDir = scratch(s"graft-hll-stream-in-$pid")
-    val ckpt = scratch(s"graft-hll-stream-ckpt-$pid")
-    Seq(inDir, ckpt).foreach(clearDir(s, _))
-    docs.filter(col("doc_id") < 250).coalesce(1)
-      .write.parquet(s"$inDir/arrival-0")
-    docs.filter(col("doc_id") >= 250).coalesce(1)
-      .write.parquet(s"$inDir/arrival-1")
-    val q = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$inDir/arrival-*")
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        val bs = batch.sparkSession
-        val tk = batch.toDF().select(col("doc_id"), col("source"),
-          explode(Dedup.tokens(col("text"))).as("tok"))
-        if (graft.sources.Snapshots.version(bs, s"$dir/registers") >= 1L)
-          Sketches.addToHllIndex(bs, tk, dir, col("tok"))
-        else
-          Sketches.buildHllIndex(bs, tk, dir, Seq("source"), col("tok"))
-        ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    drainTwoBatches(s, "hll-stream", d,
+      docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250)) { batch =>
+      val bs = batch.sparkSession
+      val tk = batch.select(col("doc_id"), col("source"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      if (graft.sources.Snapshots.version(bs, s"$dir/registers") >= 1L)
+        Sketches.addToHllIndex(bs, tk, dir, col("tok"))
+      else
+        Sketches.buildHllIndex(bs, tk, dir, Seq("source"), col("tok"))
+    }
   }
+
 
   /** STREAMING ingestion into the count-min sketch. Counter sums are
     * mergeable but NOT idempotent — exactly the case the checkpointed
@@ -840,33 +852,19 @@ object PipelineQueries {
     * equal a one-shot build. */
   private val streamCmDir = lifecycleDir("cm-stream") { (s, d, dir) =>
     val docs = t(s, d, "documents")
-    val inDir = scratch(s"graft-cm-stream-in-$pid")
-    val ckpt = scratch(s"graft-cm-stream-ckpt-$pid")
-    Seq(inDir, ckpt).foreach(clearDir(s, _))
-    docs.filter(col("doc_id") < 250).coalesce(1)
-      .write.parquet(s"$inDir/arrival-0")
-    docs.filter(col("doc_id") >= 250).coalesce(1)
-      .write.parquet(s"$inDir/arrival-1")
-    val q = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$inDir/arrival-*")
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        val bs = batch.sparkSession
-        val tk = batch.toDF().select(col("doc_id"), col("source"),
-          explode(Dedup.tokens(col("text"))).as("tok"))
-        if (graft.sources.Snapshots.version(bs, s"$dir/counters") >= 1L)
-          Sketches.addToCmIndex(bs, tk, dir, col("tok"))
-        else
-          Sketches.buildCmIndex(bs, tk, dir, Seq("source"), col("tok"))
-        ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    drainTwoBatches(s, "cm-stream", d,
+      docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250)) { batch =>
+      val bs = batch.sparkSession
+      val tk = batch.select(col("doc_id"), col("source"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      if (graft.sources.Snapshots.version(bs, s"$dir/counters") >= 1L)
+        Sketches.addToCmIndex(bs, tk, dir, col("tok"))
+      else
+        Sketches.buildCmIndex(bs, tk, dir, Seq("source"), col("tok"))
+    }
   }
+
 
   /** Per-doc length frame for the quantile-histogram family — the
     * value both engines derive identically (`length(text)`). */
@@ -884,7 +882,7 @@ object PipelineQueries {
   private def asofQhIndex(s: SparkSession, d: String): (String, Long) =
     asofQhMemo.computeIfAbsent((s, d), _ => {
       val lens = qhLens(s, d)
-      val dir = scratch(s"graft-qh-asof-$pid")
+      val dir = scratch(s"graft-qh-asof-${dirTag(d)}-$pid")
       clearDir(s, dir)
       val v1 = Sketches.buildQhIndex(s, lens.filter(col("doc_id") < 250),
         dir, Seq("source"), col("len"))
@@ -911,33 +909,19 @@ object PipelineQueries {
     * sums are mergeable, not idempotent). */
   private val streamQhDir = lifecycleDir("qh-stream") { (s, d, dir) =>
     val docs = t(s, d, "documents")
-    val inDir = scratch(s"graft-qh-stream-in-$pid")
-    val ckpt = scratch(s"graft-qh-stream-ckpt-$pid")
-    Seq(inDir, ckpt).foreach(clearDir(s, _))
-    docs.filter(col("doc_id") < 250).coalesce(1)
-      .write.parquet(s"$inDir/arrival-0")
-    docs.filter(col("doc_id") >= 250).coalesce(1)
-      .write.parquet(s"$inDir/arrival-1")
-    val q = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$inDir/arrival-*")
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        val bs = batch.sparkSession
-        val lens = batch.toDF().select(col("source"),
-          length(col("text")).cast("long").as("len"))
-        if (graft.sources.Snapshots.version(bs, s"$dir/buckets") >= 1L)
-          Sketches.addToQhIndex(bs, lens, dir, col("len"))
-        else
-          Sketches.buildQhIndex(bs, lens, dir, Seq("source"), col("len"))
-        ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    drainTwoBatches(s, "qh-stream", d,
+      docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250)) { batch =>
+      val bs = batch.sparkSession
+      val lens = batch.select(col("source"),
+        length(col("text")).cast("long").as("len"))
+      if (graft.sources.Snapshots.version(bs, s"$dir/buckets") >= 1L)
+        Sketches.addToQhIndex(bs, lens, dir, col("len"))
+      else
+        Sketches.buildQhIndex(bs, lens, dir, Seq("source"), col("len"))
+    }
   }
+
 
   /** The STANDING sketches the arrival-admission composite probes —
     * built once on the corpus side (doc_id % 5 != 0, the same side
@@ -954,8 +938,8 @@ object PipelineQueries {
   private def arrivalSketches(s: SparkSession, d: String): (String, String) =
     arrivalSketchMemo.computeIfAbsent((s, d), _ => {
       val corpusSide = t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
-      val hllDir = scratch(s"graft-arrival-hll-$pid")
-      val cmDir = scratch(s"graft-arrival-cm-$pid")
+      val hllDir = scratch(s"graft-arrival-hll-${dirTag(d)}-$pid")
+      val cmDir = scratch(s"graft-arrival-cm-${dirTag(d)}-$pid")
       Seq(hllDir, cmDir).foreach(clearDir(s, _))
       Sketches.buildHllIndex(s,
         corpusSide.select(col("source"),
@@ -987,7 +971,7 @@ object PipelineQueries {
   private def asofHnswIndex(s: SparkSession, d: String): (String, Long) =
     asofHnswMemo.computeIfAbsent((s, d), _ => {
       val emb = t(s, d, "embeddings")
-      val dir = scratch(s"graft-hnsw-asof-$pid")
+      val dir = scratch(s"graft-hnsw-asof-${dirTag(d)}-$pid")
       clearDir(s, dir)
       val v1 = Hnsw.buildHnswIndex(s, emb.filter(col("vec_id") < 300), dir,
         numShards = 4, m = 8, efConstruction = 40)
@@ -1018,8 +1002,8 @@ object PipelineQueries {
     * build+add spelling on top of the recall floor. */
   private val streamHnswDir = lifecycleDir("hnsw-stream") { (s, d, dir) =>
     val emb = t(s, d, "embeddings")
-    val inDir = scratch(s"graft-hnsw-stream-in-$pid")
-    val ckpt = scratch(s"graft-hnsw-stream-ckpt-$pid")
+    val inDir = scratch(s"graft-hnsw-stream-in-${dirTag(d)}-$pid")
+    val ckpt = scratch(s"graft-hnsw-stream-ckpt-${dirTag(d)}-$pid")
     Seq(inDir, ckpt).foreach(clearDir(s, _))
     emb.filter(col("vec_id") < 300).coalesce(1)
       .write.parquet(s"$inDir/arrival-0")
@@ -3959,8 +3943,7 @@ object PipelineQueries {
        |bk AS (
        |  SELECT source, CASE WHEN v < 16 THEN v
        |    ELSE (length(bin(v)) - 5) * 16 + 16
-       |      + ((v - (1::BIGINT << (length(bin(v)) - 1))) * 16)
-       |        // (1::BIGINT << (length(bin(v)) - 1)) END AS b
+       |      + (v >> (length(bin(v)) - 5)) - 16 END AS b
        |  FROM vals),
        |bc AS (SELECT source, b, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),
        |tot AS (SELECT source, SUM(cnt) AS n FROM bc GROUP BY 1),
@@ -3984,6 +3967,48 @@ object PipelineQueries {
        |        * (1::BIGINT << CAST((b - 16) // 16 AS INT))
        |    END AS n_est
        |  FROM pick)""".stripMargin
+
+  private val cmTopkOracle: String =
+    """WITH b0 AS (
+        |  SELECT source, lower(trim(text)) AS v, COUNT(*) AS cnt
+        |  FROM documents WHERE doc_id < 250 GROUP BY 1, 2),
+        |c0 AS (
+        |  SELECT source, v FROM (
+        |    SELECT source, v, row_number() OVER (
+        |      PARTITION BY source ORDER BY cnt DESC, v) AS rk
+        |    FROM b0) WHERE rk <= 8),
+        |b1 AS (
+        |  SELECT source, lower(trim(text)) AS v, COUNT(*) AS cnt
+        |  FROM documents WHERE doc_id >= 250 GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT source, v FROM (
+        |    SELECT source, v, row_number() OVER (
+        |      PARTITION BY source ORDER BY cnt DESC, v) AS rk
+        |    FROM b1) WHERE rk <= 8),
+        |cand AS (
+        |  SELECT DISTINCT source, v
+        |  FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1)),
+        |crows AS (
+        |  SELECT source, lower(trim(text)) AS v FROM documents),
+        |ch AS (
+        |  SELECT source, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+        |  FROM crows),
+        |cells AS (
+        |  SELECT source, i, (h >> (10*i)) & 1023 AS j, COUNT(*) AS cnt
+        |  FROM ch, (SELECT unnest([0,1,2,3]) AS i) GROUP BY 1, 2, 3),
+        |ph AS (
+        |  SELECT source, v, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+        |  FROM cand),
+        |pc AS (
+        |  SELECT source, v, i, (h >> (10*i)) & 1023 AS j
+        |  FROM ph, (SELECT unnest([0,1,2,3]) AS i)),
+        |est AS (
+        |  SELECT pc.source, pc.v, MIN(COALESCE(cells.cnt, 0)) AS n_est
+        |  FROM pc LEFT JOIN cells USING (source, i, j) GROUP BY 1, 2)
+        |SELECT source, v, n_est, rank FROM (
+        |  SELECT source, v, n_est, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_est DESC, v) AS rank
+        |  FROM est) WHERE rank <= 3 ORDER BY source, rank""".stripMargin
 
   private val arrivalSketchedOracle: String =
     """WITH tk AS (
@@ -4670,88 +4695,8 @@ object PipelineQueries {
     // heavy hitters: per-batch exact top-8 candidates (ties broken on
     // the value, replayed verbatim), whole-corpus counter estimates,
     // final top-3 rank by (estimate desc, value) — all deterministic
-    "sketch_cm_topk" ->
-      """WITH b0 AS (
-        |  SELECT source, lower(trim(text)) AS v, COUNT(*) AS cnt
-        |  FROM documents WHERE doc_id < 250 GROUP BY 1, 2),
-        |c0 AS (
-        |  SELECT source, v FROM (
-        |    SELECT source, v, row_number() OVER (
-        |      PARTITION BY source ORDER BY cnt DESC, v) AS rk
-        |    FROM b0) WHERE rk <= 8),
-        |b1 AS (
-        |  SELECT source, lower(trim(text)) AS v, COUNT(*) AS cnt
-        |  FROM documents WHERE doc_id >= 250 GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT source, v FROM (
-        |    SELECT source, v, row_number() OVER (
-        |      PARTITION BY source ORDER BY cnt DESC, v) AS rk
-        |    FROM b1) WHERE rk <= 8),
-        |cand AS (
-        |  SELECT DISTINCT source, v
-        |  FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1)),
-        |crows AS (
-        |  SELECT source, lower(trim(text)) AS v FROM documents),
-        |ch AS (
-        |  SELECT source, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
-        |  FROM crows),
-        |cells AS (
-        |  SELECT source, i, (h >> (10*i)) & 1023 AS j, COUNT(*) AS cnt
-        |  FROM ch, (SELECT unnest([0,1,2,3]) AS i) GROUP BY 1, 2, 3),
-        |ph AS (
-        |  SELECT source, v, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
-        |  FROM cand),
-        |pc AS (
-        |  SELECT source, v, i, (h >> (10*i)) & 1023 AS j
-        |  FROM ph, (SELECT unnest([0,1,2,3]) AS i)),
-        |est AS (
-        |  SELECT pc.source, pc.v, MIN(COALESCE(cells.cnt, 0)) AS n_est
-        |  FROM pc LEFT JOIN cells USING (source, i, j) GROUP BY 1, 2)
-        |SELECT source, v, n_est, rank FROM (
-        |  SELECT source, v, n_est, row_number() OVER (
-        |    PARTITION BY source ORDER BY n_est DESC, v) AS rank
-        |  FROM est) WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
-    "q_cm_topk_sql" ->
-      """WITH b0 AS (
-        |  SELECT source, lower(trim(text)) AS v, COUNT(*) AS cnt
-        |  FROM documents WHERE doc_id < 250 GROUP BY 1, 2),
-        |c0 AS (
-        |  SELECT source, v FROM (
-        |    SELECT source, v, row_number() OVER (
-        |      PARTITION BY source ORDER BY cnt DESC, v) AS rk
-        |    FROM b0) WHERE rk <= 8),
-        |b1 AS (
-        |  SELECT source, lower(trim(text)) AS v, COUNT(*) AS cnt
-        |  FROM documents WHERE doc_id >= 250 GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT source, v FROM (
-        |    SELECT source, v, row_number() OVER (
-        |      PARTITION BY source ORDER BY cnt DESC, v) AS rk
-        |    FROM b1) WHERE rk <= 8),
-        |cand AS (
-        |  SELECT DISTINCT source, v
-        |  FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1)),
-        |crows AS (
-        |  SELECT source, lower(trim(text)) AS v FROM documents),
-        |ch AS (
-        |  SELECT source, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
-        |  FROM crows),
-        |cells AS (
-        |  SELECT source, i, (h >> (10*i)) & 1023 AS j, COUNT(*) AS cnt
-        |  FROM ch, (SELECT unnest([0,1,2,3]) AS i) GROUP BY 1, 2, 3),
-        |ph AS (
-        |  SELECT source, v, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
-        |  FROM cand),
-        |pc AS (
-        |  SELECT source, v, i, (h >> (10*i)) & 1023 AS j
-        |  FROM ph, (SELECT unnest([0,1,2,3]) AS i)),
-        |est AS (
-        |  SELECT pc.source, pc.v, MIN(COALESCE(cells.cnt, 0)) AS n_est
-        |  FROM pc LEFT JOIN cells USING (source, i, j) GROUP BY 1, 2)
-        |SELECT source, v, n_est, rank FROM (
-        |  SELECT source, v, n_est, row_number() OVER (
-        |    PARTITION BY source ORDER BY n_est DESC, v) AS rank
-        |  FROM est) WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+    "sketch_cm_topk" -> cmTopkOracle,
+    "q_cm_topk_sql" -> cmTopkOracle,
     // the combined sketch-probe replay: HLL per-source cardinality of
     // the corpus side (doc_id % 5 != 0) + count-min whole-text
     // frequency probed by the arrival side — CTE names disambiguated

@@ -234,11 +234,15 @@ object Sketches {
   /** Slots per octave; relative error ≤ 1/QhSlots above QhSlots. */
   val QhSlots = 16
 
-  /** Log-bucket id of a non-negative long value (see family doc). */
+  /** Log-bucket id of a non-negative long value (see family doc). The
+    * slot is `(v >> (e−4)) − 16` — a pure shift, identical to
+    * `(v − 2^e)·16 ÷ 2^e` but with NO multiplication, so it cannot
+    * overflow for any positive long (the multiply spelling wrapped
+    * negative past v ≈ 2^59 under non-ANSI Long arithmetic while the
+    * oracle's checked BIGINT multiply raised — self-review catch). */
   private def qhBucket: String =
     "CASE WHEN v < 16 THEN v ELSE CAST((length(bin(v)) - 5) * 16 + 16 " +
-      "+ (v - shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 1)) * 16 " +
-      "div shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 1) AS BIGINT) END"
+      "+ shiftright(v, length(bin(v)) - 5) - 16 AS BIGINT) END"
 
   /** Representative (lower bound) of bucket `b` — the served estimate:
     * exact below 16, else 2^e + slot·2^(e−4). */
@@ -374,13 +378,16 @@ object Sketches {
     Snapshots.read(spark, s"$indexDir/params")
       .collect().head.getAs[String]("group_cols").split(",").toSeq
 
-  /** cand_k from params; 0 (no candidate table) for indexes built
-    * before the heavy-hitter column existed. */
-  private def readCandK(spark: SparkSession, indexDir: String): Int = {
+  /** (groupCols, candK) in ONE params read — the add/serve hot paths
+    * must not collect the same one-row table twice. candK is 0 for
+    * indexes built before the heavy-hitter column existed. */
+  private def readCmParams(
+      spark: SparkSession, indexDir: String): (Seq[String], Int) = {
     val row = Snapshots.read(spark, s"$indexDir/params").collect().head
-    if (row.schema.fieldNames.contains("cand_k"))
-      row.getAs[Int]("cand_k")
-    else 0
+    val candK =
+      if (row.schema.fieldNames.contains("cand_k")) row.getAs[Int]("cand_k")
+      else 0
+    (row.getAs[String]("group_cols").split(",").toSeq, candK)
   }
 
   /** Serve per-group heavy hitters FROM THE INDEX ALONE: the persisted
@@ -397,12 +404,24 @@ object Sketches {
       k: Int,
       asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val groupCols = readGroupCols(spark, indexDir)
-    require(readCandK(spark, indexDir) > 0,
+    val (groupCols, candK) = readCmParams(spark, indexDir)
+    require(candK > 0,
       s"$indexDir maintains no heavy-hitter candidates " +
         "(build with candK > 0)")
-    val cands = Snapshots.read(spark, s"$indexDir/candidates")
-      .select((groupCols :+ "v").map(col): _*).distinct()
+    // `asOf` pins BOTH tables at the same version number: build/add/
+    // fold each move counters and candidates in lockstep (and nothing
+    // else mutates them), so equal version numbers name a coherent
+    // pair — a counters-only pin would rank candidates that did not
+    // exist at the pinned time against the old counters (phantom
+    // zero-estimate rows; self-review catch). Caveat: compactIndex can
+    // advance the two tables unevenly (per-table bin-pack) — pin
+    // versions taken BEFORE any compaction, or fold first (fold
+    // re-aligns both)
+    val cands = (asOf match {
+      case Some(v) =>
+        Snapshots.readVersion(spark, s"$indexDir/candidates", v)
+      case None => Snapshots.read(spark, s"$indexDir/candidates")
+    }).select((groupCols :+ "v").map(col): _*).distinct()
     val counters = asOf match {
       case Some(v) => Snapshots.readVersion(spark, s"$indexDir/counters", v)
       case None => Snapshots.read(spark, s"$indexDir/counters")
@@ -468,6 +487,10 @@ object Sketches {
       groupCols: Seq[String],
       value: Column,
       carryCols: Seq[String] = Nil): DataFrame = {
+    require(carryCols.forall(c =>
+      !(Seq("gen", "i", "j", "cnt", "h", "c", "v") ++ groupCols)
+        .contains(c)),
+      s"carry columns collide with sketch/group columns: $carryCols")
     val keyCols = groupCols ++ carryCols
     val gcols = keyCols.map(col)
     val collapsed = counters
@@ -558,8 +581,7 @@ object Sketches {
       df: DataFrame,
       indexDir: String,
       value: Column): Long = {
-    val groupCols = readGroupCols(spark, indexDir)
-    val candK = readCandK(spark, indexDir)
+    val (groupCols, candK) = readCmParams(spark, indexDir)
     if (candK > 0)
       Snapshots.mergeDerived(spark, s"$indexDir/candidates",
         key = "gen" +: groupCols :+ "v",
@@ -579,8 +601,8 @@ object Sketches {
   /** Sum-collapse the generations back to one row per cell (and the
     * candidate table, when maintained, to one row per value). */
   def foldCmIndex(spark: SparkSession, indexDir: String): Long = {
-    val groupCols = readGroupCols(spark, indexDir)
-    if (readCandK(spark, indexDir) > 0) {
+    val (groupCols, candK) = readCmParams(spark, indexDir)
+    if (candK > 0) {
       val cdir = s"$indexDir/candidates"
       Snapshots.commit(spark,
         Snapshots.read(spark, cdir)

@@ -95,7 +95,7 @@ class PlanSweepSpec extends SparkSpec {
       // exceptAll counter
       "sketch_qh_lengths", "sketch_qh_merge_law", "sketch_qh_incremental",
       "sketch_qh_asof", "sketch_qh_folded", "sketch_qh_stream",
-      "q_qh_sql")
+      "q_qh_sql", "q_qh_asof_sql")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

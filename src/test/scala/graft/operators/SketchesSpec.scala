@@ -232,9 +232,12 @@ class SketchesSpec extends SparkSpec {
 
   test("quantile histogram: bucket law, exact small values, quantile bounds") {
     import spark.implicits._
-    // every value 0..2000 plus large outliers: rep(bucket(v)) ≤ v and
-    // v sits inside the bucket's width (≤ v/16 above 16; exact below)
-    val vs = ((0L to 2000L) ++ Seq(1L << 20, (1L << 40) + 12345L))
+    // every value 0..2000 plus large outliers UP TO Long.MaxValue:
+    // rep(bucket(v)) ≤ v and v sits inside the bucket's width (≤ v/16
+    // above 16; exact below). The extreme values pin the shift-based
+    // slot arithmetic — a multiply spelling overflowed past ~2^59
+    val vs = ((0L to 2000L) ++ Seq(1L << 20, (1L << 40) + 12345L,
+      (1L << 62) + (1L << 59), Long.MaxValue))
       .map(("g", _)).toDF("g", "x")
     val rows = Sketches.qhBuckets(vs, Seq("g"), col("x"))
       .withColumn("rep", expr(
@@ -247,6 +250,12 @@ class SketchesSpec extends SparkSpec {
     // below 16 each value is its own bucket (cnt rows at b = v)
     assert(rows.filter(_.getAs[Long]("b") < 16)
       .forall(r => r.getAs[Long]("rep") == r.getAs[Long]("b")))
+    // p100 of the frame = Long.MaxValue's bucket representative: the
+    // law holds at the very top of the long range (no overflow)
+    val bigEst = Sketches.qhQuantiles(vs, Seq("g"), col("x"), Seq(1.0))
+      .collect().head.getAs[Long]("n_est")
+    assert(bigEst > 0 && bigEst <= Long.MaxValue &&
+      Long.MaxValue - bigEst <= Long.MaxValue / 16 + 1, s"p100 rep $bigEst")
     // exact per-group quantiles: estimate ≤ true ≤ estimate + width
     val data = (1 to 500).map(i => ("a", (i * i).toLong)) ++
       (1 to 300).map(i => ("b", i.toLong))
