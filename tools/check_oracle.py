@@ -66,13 +66,23 @@ def main():
             continue
         timer = None
         timed_out = []
+        done = []
         if timeout:
-            timer = threading.Timer(
-                timeout, lambda: (timed_out.append(True), con.interrupt()))
+            # the completion flag keeps a timer that fires in the gap
+            # between execute() returning and cancel() from
+            # interrupting the SHARED connection mid-way through the
+            # NEXT oracle's query (which would be misattributed)
+            def interrupt_if_running():
+                if not done:
+                    timed_out.append(True)
+                    con.interrupt()
+            timer = threading.Timer(timeout, interrupt_if_running)
             timer.start()
         try:
             want = con.execute(sql).df()
+            done.append(True)
         except Exception as e:
+            done.append(True)
             if timed_out:
                 skipped.append(name)
                 print(f"SKIP  {name}: oracle replay exceeded {timeout:g}s")
