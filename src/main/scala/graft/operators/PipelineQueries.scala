@@ -2278,6 +2278,15 @@ object PipelineQueries {
       Sketches.cmServe(s, streamCmDir(s, d), probes, col("tok"))
         .orderBy("source", "v")
     }),
+    "sketch_hll_intersect" -> ((s, d) => {
+      // cross-source token-overlap estimates by inclusion-exclusion
+      // over the PERSISTED registers (union sketch = register-wise
+      // max, the merge law put to work) — zero corpus rescans; the
+      // oracle replays every estimator term and hash-compares the
+      // overlaps themselves.
+      Sketches.hllIntersectServe(s, asofHllIndex(s, d)._1)
+        .orderBy("ga", "gb")
+    }),
     // ---- quantile histogram sketches ----
     "sketch_qh_lengths" -> ((s, d) => {
       // per-source doc-length quantiles (p50/p90/p99) vs the exact
@@ -4682,6 +4691,40 @@ object PipelineQueries {
       "\nSELECT source, q, n_est FROM est ORDER BY source, q"),
     "q_qh_sql" -> (qhOracle("TRUE") +
       "\nSELECT source, q, n_est FROM est ORDER BY source, q"),
+    // pairwise overlap: singles from hllOracle's est, union registers
+    // as the pair-wise max over each pair's rows, the same estimator
+    // arithmetic for the union term, inclusion-exclusion at the end
+    "sketch_hll_intersect" -> (hllOracle("TRUE") +
+      """,
+        |pr AS (
+        |  SELECT a.source AS ga, a.n_est AS n_a,
+        |         b.source AS gb, b.n_est AS n_b
+        |  FROM est a JOIN est b ON a.source < b.source),
+        |ur AS (
+        |  SELECT pr.ga, pr.gb, regs.j, MAX(regs.r) AS r
+        |  FROM pr JOIN regs ON regs.source = pr.ga OR regs.source = pr.gb
+        |  GROUP BY 1, 2, 3),
+        |uagg AS (
+        |  SELECT ga, gb, COUNT(*) AS n_filled,
+        |    SUM(1::BIGINT << (51 - r)) AS s_filled
+        |  FROM ur GROUP BY 1, 2),
+        |ufin AS (
+        |  SELECT ga, gb, (1024 - n_filled) AS zeros,
+        |    (1024 - n_filled) * (1::BIGINT << 51) + s_filled AS total
+        |  FROM uagg),
+        |uest AS (
+        |  SELECT ga, gb,
+        |    CASE WHEN zeros > 0 AND
+        |      (0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024 * 1024
+        |        * (1::BIGINT << 51)) / total <= 2560.0
+        |    THEN round(1024.0 * ln(1024.0 / zeros), 4)
+        |    ELSE round((0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024
+        |      * 1024 * (1::BIGINT << 51)) / total, 4)
+        |    END AS n_union
+        |  FROM ufin)
+        |SELECT pr.ga, pr.gb, pr.n_a, pr.n_b, uest.n_union,
+        |  round(pr.n_a + pr.n_b - uest.n_union, 4) AS n_int
+        |FROM pr JOIN uest USING (ga, gb) ORDER BY ga, gb""".stripMargin),
     // TVF as-of spellings replay the first-tranche state (the same
     // oracles as the families' programmatic asof entries)
     "q_hll_asof_sql" ->

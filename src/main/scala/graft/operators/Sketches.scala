@@ -373,6 +373,52 @@ object Sketches {
     qhEstimate(buckets, groupCols, qs)
   }
 
+  /** Pairwise INTERSECTION-cardinality estimates between groups' value
+    * sets, served from the persisted registers alone — the
+    * cross-source-overlap primitive ("how many tokens do src3 and
+    * src7 share") a curation pipeline wants without any corpus
+    * rescan. Inclusion-exclusion over the sketch algebra: the union
+    * sketch of two groups is the register-wise max of their rows (the
+    * merge law), so `|A∩B| ≈ est(A) + est(B) − est(A∪B)` — every term
+    * the same replayable estimator, so the DuckDB oracle hash-compares
+    * the OVERLAPS themselves. Error grows with |A|+|B|+|A∪B| (the
+    * standard difference-of-estimates caveat; SketchesSpec pins
+    * accuracy on known overlaps). Output: `(ga, gb, n_a, n_b,
+    * n_union, n_int)` for every unordered group pair — `pairs²` tiny
+    * rows; requires a single group column. */
+  def hllIntersectServe(
+      spark: SparkSession,
+      indexDir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val groupCols = readGroupCols(spark, indexDir)
+    require(groupCols.size == 1,
+      s"pairwise overlap needs a single group column, got $groupCols")
+    val g = groupCols.head
+    val dir = s"$indexDir/registers"
+    val regs = asOf match {
+      case Some(v) => Snapshots.readVersion(spark, dir, v)
+      case None => Snapshots.read(spark, dir)
+    }
+    val singles = hllEstimate(regs, groupCols)
+    val collapsed = regs.groupBy(col(g), col("j"))
+      .agg(max(col("r")).cast("int").as("r"))
+    val pairs = singles.select(col(g).as("ga"), col("n_est").as("n_a"))
+      .crossJoin(broadcast(
+        singles.select(col(g).as("gb"), col("n_est").as("n_b"))))
+      .filter(col("ga") < col("gb"))
+    val unionRegs = collapsed
+      .join(broadcast(pairs.select("ga", "gb")),
+        col(g) === col("ga") || col(g) === col("gb"))
+      .groupBy("ga", "gb", "j").agg(max(col("r")).cast("int").as("r"))
+    val unions = hllEstimate(unionRegs, Seq("ga", "gb"))
+      .withColumnRenamed("n_est", "n_union")
+    pairs.join(unions, Seq("ga", "gb"))
+      .withColumn("n_int",
+        round(col("n_a") + col("n_b") - col("n_union"), 4))
+      .select(col("ga"), col("gb"), col("n_a"), col("n_b"),
+        col("n_union"), col("n_int"))
+  }
+
   private def readGroupCols(
       spark: SparkSession, indexDir: String): Seq[String] =
     Snapshots.read(spark, s"$indexDir/params")

@@ -95,7 +95,12 @@ class PlanSweepSpec extends SparkSpec {
       // exceptAll counter
       "sketch_qh_lengths", "sketch_qh_merge_law", "sketch_qh_incremental",
       "sketch_qh_asof", "sketch_qh_folded", "sketch_qh_stream",
-      "q_qh_sql", "q_qh_asof_sql")
+      "q_qh_sql", "q_qh_asof_sql",
+      // sketch_hll_intersect: the pair frame is a broadcast crossJoin
+      // of the per-group singles (groups², bounded by the group-column
+      // contract) and the union-register join is an OR of two group
+      // equalities over the broadcast pair list — both bounded
+      "sketch_hll_intersect")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

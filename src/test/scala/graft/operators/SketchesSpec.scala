@@ -230,6 +230,29 @@ class SketchesSpec extends SparkSpec {
       Seq("alpha", "beta", "gamma"))
   }
 
+  test("pairwise overlap by inclusion-exclusion tracks known intersections") {
+    import spark.implicits._
+    // A = 0..999, B = 500..1499 (overlap 500), C = 2000..2999 (disjoint)
+    val vals = ((0 until 1000).map(i => ("A", s"t$i")) ++
+      (500 until 1500).map(i => ("B", s"t$i")) ++
+      (2000 until 3000).map(i => ("C", s"t$i"))).toDF("source", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-int").toString
+    Sketches.buildHllIndex(spark, vals, dir, Seq("source"), col("v"))
+    val got = Sketches.hllIntersectServe(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("n_int"), r.getAs[Double]("n_union"))).toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    val (abInt, abUnion) = got(("A", "B"))
+    info(f"A∩B est=$abInt%.1f (exact 500), A∪B est=$abUnion%.1f (exact 1500)")
+    // error of a difference of three m=1024 estimates scales with the
+    // union (~3.2% each): |est − 500| ≤ 0.1 · 1500
+    assert(math.abs(abInt - 500.0) <= 150.0, s"A∩B: $abInt")
+    // disjoint pairs estimate near zero on the same scale
+    val (acInt, _) = got(("A", "C"))
+    assert(math.abs(acInt) <= 150.0, s"A∩C: $acInt")
+    assert(abInt > acInt + 200.0, "overlap signal must separate the pairs")
+  }
+
   test("quantile histogram: bucket law, exact small values, quantile bounds") {
     import spark.implicits._
     // every value 0..2000 plus large outliers UP TO Long.MaxValue:
