@@ -599,12 +599,15 @@ object Hnsw {
   def foldHnswIndex(spark: SparkSession, indexDir: String): Long = {
     import spark.implicits._
     val pendDir = s"$indexDir/pending"
-    require(Snapshots.version(spark, pendDir) >= 1,
-      s"no pending adds to fold in $indexDir")
+    // the fold folds exactly the version it PINS here: the read, the
+    // graph merge, and the truncation below all reference pv0, so an
+    // add landing mid-fold can never have its rows silently truncated
+    val pv0 = Snapshots.version(spark, pendDir)
+    require(pv0 >= 1, s"no pending adds to fold in $indexDir")
     val prow = Snapshots.read(spark, s"$indexDir/params").collect().head
     val (mm, efc, numShards) = (prow.getAs[Int]("m"),
       prow.getAs[Int]("ef_construction"), prow.getAs[Int]("num_shards"))
-    val pend = Snapshots.read(spark, pendDir)
+    val pend = Snapshots.readVersion(spark, pendDir, pv0)
       .select(col("shard").cast("int"), col("id").cast("long"), col("vec"))
     // bounded driver list: ≤ numShards distinct values
     val touched = pend.select("shard").distinct()
@@ -631,8 +634,19 @@ object Hnsw {
     Snapshots.merge(spark, s"$indexDir/graph", rebuilt,
       key = Seq("shard", "id"), statsColumns = Seq("shard", "id"),
       scoped = true)
-    Snapshots.commit(spark, pend.limit(0), pendDir,
-      statsColumns = Seq("shard", "id"))
+    // CONDITIONAL truncation (CAS on the pinned version): an
+    // unconditional commit here would clobber any add that merged into
+    // pending between this fold's read and now — silent vector loss
+    // exactly when the add-time fold policy makes concurrent add+fold
+    // common. On a lost race the tier is left untruncated: the folded
+    // rows stay pending-redundant (same vectors now in the graph —
+    // pending-wins serves identical content) alongside the new add,
+    // and the next fold graduates both.
+    if (Snapshots.commitIfVersion(spark, pend.limit(0), pendDir, pv0,
+        statsColumns = Seq("shard", "id")).isEmpty)
+      System.err.println(s"[graft.Hnsw] fold of $indexDir raced a " +
+        "concurrent add: pending left untruncated (folded rows stay " +
+        "redundant until the next fold); no vectors lost")
     stampVersion(spark, indexDir)
   }
 

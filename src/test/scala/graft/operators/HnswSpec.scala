@@ -330,6 +330,47 @@ class HnswSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("racing adds under the DEFAULT fold policy lose no vectors") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // a 40-vector graph and two concurrent 60-vector adds: each add
+    // crosses the default foldAt = 1.0 break-even, so folds race adds
+    // and each other. Every interleaving must end with BOTH batches
+    // servable — the fold's truncation is CAS'd on the version it
+    // read, so a mid-fold add can never be silently truncated — and
+    // neither add may throw after its merge landed (the fold loser
+    // returns its stamp).
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-dp").toString
+    Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 40), dir,
+      numShards = 2, m = 8, efConstruction = 40)
+    Await.result(Future.sequence(Seq(
+      Future(Hnsw.addToHnswIndex(spark,
+        emb.filter(col("vec_id") >= 40 && col("vec_id") < 100), dir)),
+      Future(Hnsw.addToHnswIndex(spark,
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 160), dir)))),
+      10.minutes)
+    // every vector of both batches is either in the graph or pending
+    val graphIds = Snapshots.read(spark, s"$dir/graph")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val pendIds = Snapshots.read(spark, s"$dir/pending")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((graphIds ++ pendIds) == (0L until 160L).toSet,
+      s"missing: ${(0L until 160L).toSet -- graphIds -- pendIds}")
+    // fold any survivor tier to completion, then the state must equal
+    // a fresh build over the union — the fold purity invariant holds
+    // across every racing interleaving
+    if (Snapshots.read(spark, s"$dir/pending").count() > 0)
+      Hnsw.foldHnswIndex(spark, dir)
+    val ref = java.nio.file.Files.createTempDirectory("graft-hnsw-dq2").toString
+    Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 160), ref,
+      numShards = 2, m = 8, efConstruction = 40)
+    assert(ranked(Hnsw.hnswTopKPersisted(spark, dir, queries, k = 10,
+      efSearch = 40, roundDecimals = 6)) ==
+      ranked(Hnsw.hnswTopKPersisted(spark, ref, queries, k = 10,
+        efSearch = 40, roundDecimals = 6)))
+  }
+
   test("fold rebuilds only the touched shards' files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-fs").toString
     Hnsw.buildHnswIndex(spark, emb.filter(col("vec_id") < 40), dir,
