@@ -82,6 +82,13 @@ object Sinks {
   private lazy val snapshotSqlDir: String = scratch("graft-snapshot-sql")
   private lazy val cloneSrcDir: String = scratch("graft-snapshot-clone-src")
   private lazy val cloneDstDir: String = scratch("graft-snapshot-clone-dst")
+  private lazy val mvSrcDir: String = scratch("graft-mv-src")
+  private lazy val mvViewDir: String = scratch("graft-mv-view")
+  private lazy val mvMmSrcDir: String = scratch("graft-mv-mm-src")
+  private lazy val mvMmViewDir: String = scratch("graft-mv-mm-view")
+  private lazy val mvStSrcDir: String = scratch("graft-mv-stream-src")
+  private lazy val mvStViewDir: String = scratch("graft-mv-stream-view")
+  private lazy val mvStCkptDir: String = scratch("graft-mv-stream-ckpt")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -1332,7 +1339,114 @@ object Sinks {
       .orderBy("doc_id")
   }
 
+  /** Incremental materialized view, pure-delta path ([[Views]]): a
+    * per-language rollup materializes at v1 of a snapshotted source,
+    * the source then takes a MERGE (updates + inserts, feed recorded
+    * with pre-images) and a DELETE, and ONE [[Views.refreshView]]
+    * brings the rollup current by applying the recorded feed — no
+    * source data file is read (ViewsSpec proves that by deleting
+    * them). `incremental_ok` pins that the refresh was exactly one
+    * view commit and left staleness 0; the oracle recomputes the
+    * rollup from the replayed final state, so a hash match certifies
+    * delta maintenance equals full recomputation — exactly (integer
+    * sums; no tolerance).
+    */
+  private def snapshotMvRefresh(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvSrcDir); clearDir(s, mvViewDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), mvSrcDir)
+    Views.createView(s, mvSrcDir, mvViewDir, Seq("lang"),
+      sumCols = Seq("n_chars"))
+    Snapshots.merge(s, mvSrcDir,
+      docs.filter(col("doc_id").between(200, 599))
+        .withColumn("n_chars", col("n_chars") + 1000),
+      Seq("doc_id"), recordChanges = true, preImages = true)
+    Snapshots.delete(s, mvSrcDir, col("doc_id") % 10 === 7,
+      recordChanges = true)
+    val v = Views.refreshView(s, mvSrcDir, mvViewDir)
+    val ok =
+      if (v == 2L && Views.staleness(s, mvSrcDir, mvViewDir) == 0L) 1L
+      else 0L
+    Views.readView(s, mvViewDir)
+      .select(col("lang"), col("n_rows").as("n_docs"),
+        col("sum_n_chars").as("sum_chars"))
+      .withColumn("incremental_ok", lit(ok))
+      .orderBy("lang")
+  }
+
+  /** Incremental view with MIN/MAX — the aggregates a delta can't
+    * invert (deleting the current max needs the runner-up): the same
+    * mutation walk as the delta entry, refreshed by [[Views]]'
+    * touched-group RESCAN strategy — feed keys select which groups to
+    * re-aggregate from the source tip, untouched groups carry over
+    * unread. The oracle recomputes count/sum/min/max from the replayed
+    * final state; the deliberate deletion of bumped rows means maxima
+    * must SHRINK through the refresh, the exact case pure deltas get
+    * wrong.
+    */
+  private def snapshotMvMinmax(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvMmSrcDir); clearDir(s, mvMmViewDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), mvMmSrcDir)
+    Views.createView(s, mvMmSrcDir, mvMmViewDir, Seq("lang"),
+      sumCols = Seq("n_chars"),
+      minCols = Seq("n_chars"), maxCols = Seq("n_chars"))
+    Snapshots.merge(s, mvMmSrcDir,
+      docs.filter(col("doc_id").between(200, 599))
+        .withColumn("n_chars", col("n_chars") + 1000),
+      Seq("doc_id"), recordChanges = true, preImages = true)
+    // delete the TOP of every bumped group's range: per-group maxima
+    // move down, which only a recompute (not a delta) can serve
+    Snapshots.delete(s, mvMmSrcDir, col("n_chars") > 1400,
+      recordChanges = true)
+    Views.refreshView(s, mvMmSrcDir, mvMmViewDir)
+    Views.readView(s, mvMmViewDir)
+      .select(col("lang"), col("n_rows").as("n_docs"),
+        col("sum_n_chars").as("sum_chars"),
+        col("min_n_chars").as("min_chars"),
+        col("max_n_chars").as("max_chars"))
+      .orderBy("lang")
+  }
+
+  /** Continuous view maintenance: the source starts EMPTY and every
+    * row arrives through feed-recorded merges/deletes, while
+    * [[Views.streamRefreshView]] drains the write-time change feed
+    * under `Trigger.AvailableNow` and folds each micro-batch into the
+    * standing rollup — the streaming sibling of
+    * `q_snapshot_mv_refresh`, certifying batch-split invariance (the
+    * oracle is the whole-history recompute) and the replay guard
+    * (`_mv_batch_id`). This is the 100 TB shape: the rollup is never
+    * recomputed, only adjusted by what each commit wrote.
+    */
+  private def snapshotMvStream(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvStSrcDir); clearDir(s, mvStViewDir)
+    clearDir(s, mvStCkptDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.limit(0), mvStSrcDir)
+    Views.createView(s, mvStSrcDir, mvStViewDir, Seq("lang"),
+      sumCols = Seq("n_chars"))
+    Snapshots.merge(s, mvStSrcDir, docs.filter(col("doc_id") < 300),
+      Seq("doc_id"), recordChanges = true, preImages = true)
+    Snapshots.merge(s, mvStSrcDir,
+      docs.filter(col("doc_id").between(200, 499))
+        .withColumn("n_chars", col("n_chars") + 1000),
+      Seq("doc_id"), recordChanges = true, preImages = true)
+    Snapshots.delete(s, mvStSrcDir, col("doc_id") % 10 === 3,
+      recordChanges = true)
+    Views.streamRefreshView(s, mvStSrcDir, mvStViewDir, mvStCkptDir)
+      .awaitTermination()
+    val ok = if (Views.staleness(s, mvStSrcDir, mvStViewDir) == 0L) 1L else 0L
+    Views.readView(s, mvStViewDir)
+      .select(col("lang"), col("n_rows").as("n_docs"),
+        col("sum_n_chars").as("sum_chars"))
+      .withColumn("stream_ok", lit(ok))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_mv_refresh" -> (snapshotMvRefresh _),
+    "q_snapshot_mv_minmax" -> (snapshotMvMinmax _),
+    "q_snapshot_mv_stream" -> (snapshotMvStream _),
     "q_join_bucketed" -> (bucketedJoin _),
     "q_snapshot_concurrent" -> (snapshotConcurrent _),
     "q_snapshot_merge" -> (snapshotMerge _),
@@ -1380,6 +1494,41 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    // the incrementally-maintained rollup must equal the full recompute
+    // over the replayed final state — exactly (integer sums, no
+    // tolerance): base <400, merge bumps [200,599] by +1000 (inserting
+    // 400-599), delete drops doc_id%10=7
+    "q_snapshot_mv_refresh" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id >= 200 THEN n_chars + 1000
+        |    ELSE n_chars END) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS incremental_ok
+        |FROM documents WHERE doc_id < 600 AND doc_id % 10 <> 7
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // min/max via touched-group rescan: the delete removes every row
+    // above 1400 from the post-merge state, so bumped groups' maxima
+    // SHRINK — replayed exactly by the oracle
+    "q_snapshot_mv_minmax" ->
+      """WITH final AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id BETWEEN 200 AND 599 THEN n_chars + 1000
+        |      ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id < 600)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM final WHERE n_chars <= 1400
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // streamed maintenance equals the whole-history recompute: inserts
+    // <300, bump [200,499] (inserting 300-499), delete doc_id%10=3
+    "q_snapshot_mv_stream" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id >= 200 THEN n_chars + 1000
+        |    ELSE n_chars END) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS stream_ok
+        |FROM documents WHERE doc_id < 500 AND doc_id % 10 <> 3
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_incremental_rollup" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_orders,

@@ -2077,9 +2077,11 @@ object Snapshots {
       recordChanges: Boolean = false,
       scoped: Boolean = false,
       evolveSchema: Boolean = false,
-      maxRetries: Int = 10): Long =
+      maxRetries: Int = 10,
+      preImages: Boolean = false): Long =
     mergeDerived(spark, tableDir, key, statsColumns, bloomColumns,
-      recordChanges, scoped, evolveSchema, maxRetries)(_ => updates)
+      recordChanges, scoped, evolveSchema, maxRetries,
+      preImages)(_ => updates)
 
   /** [[merge]] whose update rows are a FUNCTION OF THE BASE VERSION,
     * re-derived inside every optimistic attempt. This closes the
@@ -2101,7 +2103,8 @@ object Snapshots {
       recordChanges: Boolean = false,
       scoped: Boolean = false,
       evolveSchema: Boolean = false,
-      maxRetries: Int = 10)(updatesOf: Long => DataFrame): Long = {
+      maxRetries: Int = 10,
+      preImages: Boolean = false)(updatesOf: Long => DataFrame): Long = {
     require(!scoped || (key.nonEmpty && key.forall(statsColumns.contains)),
       s"scoped merge needs every key column present in statsColumns " +
         s"(key=$key, statsColumns=$statsColumns)")
@@ -2138,12 +2141,25 @@ object Snapshots {
         }
       val feed = if (!recordChanges) None else Some {
         // what this MERGE writes, classified by whether the key existed:
-        // one left join of the updates against the base's key projection
+        // one left join of the updates against the base's key projection.
+        // With `preImages` (the Delta CDF spelling), matched keys record
+        // BOTH sides — the replaced base row as `update_preimage` and the
+        // incoming row as `update_postimage` — which is what makes the
+        // feed algebraically invertible: a consumer maintaining a
+        // downstream aggregate ([[Views.refreshView]]) subtracts the pre
+        // row and adds the post row, so updates cost O(|changes|) with no
+        // base re-read. Default stays the compact post-only `update` row.
         val marked = cur.select(key.map(col): _*).withColumn("_graft_matched", lit(1))
-        ups.join(marked, key, "left")
+        val post = ups.join(marked, key, "left")
           .withColumn("change_type",
-            when(col("_graft_matched").isNull, lit("insert")).otherwise(lit("update")))
+            when(col("_graft_matched").isNull, lit("insert"))
+              .otherwise(lit(if (preImages) "update_postimage" else "update")))
           .select(col("change_type") +: ups.columns.toSeq.map(col): _*)
+        if (!preImages) post
+        else post.unionByName(
+          cur.join(ups.select(key.map(col): _*), key, "left_semi")
+            .select(lit("update_preimage").as("change_type") +:
+              ups.columns.toSeq.map(col): _*))
       }
       if (!scoped) {
         val merged = cur.join(ups, key, "left_anti").unionByName(ups)

@@ -1,0 +1,342 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+
+/** Incrementally-maintained materialized views over snapshot tables —
+  * the missing half of the CDF story: [[Snapshots.changesFeed]] records
+  * what changed, this layer keeps a grouped aggregate CURRENT by
+  * applying those records, so a standing rollup over a 100 TB table
+  * refreshes in O(|changes|) instead of O(table). The reference engine
+  * re-aggregates from scratch on every query
+  * (/root/reference/src/query_engine.rs:62-76 — per-query full scan);
+  * at lake scale the recompute IS the cost, and incremental view
+  * maintenance is the standard cure (the DBSP/Materialize delta
+  * algebra, Delta Live Tables' incremental refresh).
+  *
+  * Design:
+  *  - The view is itself a snapshot table (OCC commits, time travel,
+  *    as-of reads all inherited). Its rows are one per group:
+  *    `groupCols ++ n_rows ++ sum_<c>... ++ min_<c>... ++ max_<c>...`,
+  *    plus two constant bookkeeping columns (`_mv_src_version` — the
+  *    source version the state reflects — and `_mv_batch_id` for the
+  *    streaming path's replay guard) and ONE sentinel row
+  *    (`n_rows = 0`, null group keys) so the bookkeeping survives even
+  *    when the aggregate itself is empty. [[readView]] filters the
+  *    sentinel and bookkeeping out.
+  *  - The view definition is SELF-DESCRIBING: it is parsed back from
+  *    the view's own schema (`sum_x` ⇒ SUM(x), …), so refresh takes no
+  *    re-statement of the definition that could drift from the built
+  *    state.
+  *  - COUNT/SUM refresh is PURE DELTA: insert and `update_postimage`
+  *    feed rows add, delete and `update_preimage` rows subtract
+  *    (merges must record with `preImages = true` — a post-only
+  *    `update` row is not invertible and the refresh throws loudly on
+  *    one). The refresh plan reads ONLY the feed and the view — never
+  *    the source data files; ViewsSpec proves it by deleting them.
+  *  - MIN/MAX are not delta-invertible (deleting the current max needs
+  *    the runner-up, which no feed row carries — the classic IVM
+  *    limitation). Views with min/max columns refresh by TOUCHED-GROUP
+  *    RESCAN: the feed's distinct group keys select which groups to
+  *    re-aggregate from the source tip; untouched groups carry over
+  *    unread. O(|changes| + touched-group rows) — on a source
+  *    clustered by the group columns the rescan prunes to the touched
+  *    files.
+  *  - SUM columns are maintained in LONG (integral source columns
+  *    only, enforced at create): delta maintenance of a floating-point
+  *    sum would drift from a full recompute by fp non-associativity,
+  *    turning "incremental equals recompute" from a theorem into a
+  *    tolerance. Integer deltas keep it exact — the DuckDB oracle
+  *    replays the full recompute and the hashes must match.
+  *  - Refresh commits through [[Snapshots.commitIfVersion]] (CAS):
+  *    racing refreshes re-read and re-derive, so every committed view
+  *    version is the delta application to its immediate predecessor —
+  *    a lost update would silently double- or under-count.
+  *  - [[streamRefreshView]] maintains the view from
+  *    [[Snapshots.changesStream]] under `foreachBatch`: deltas are
+  *    additive so any micro-batch split yields the same state
+  *    (batch-invariance), `version > applied` filtering makes a fresh
+  *    checkpoint safe against re-reading already-applied versions, and
+  *    the sentinel's `_mv_batch_id` makes a replayed batch (the
+  *    at-least-once window after a commit-then-crash) a no-op —
+  *    exactly-once maintenance end to end.
+  */
+object Views {
+
+  private val MetaCols = Seq("_mv_src_version", "_mv_batch_id")
+
+  /** A view definition parsed back from the view table's own schema. */
+  case class MvDef(
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      minCols: Seq[String],
+      maxCols: Seq[String],
+      types: Map[String, DataType]) {
+    def hasRescanAggs: Boolean = minCols.nonEmpty || maxCols.nonEmpty
+  }
+
+  private def parseDef(df: DataFrame): MvDef = {
+    val names = df.columns.toSeq
+    val types = df.schema.map(f => f.name -> f.dataType).toMap
+    MvDef(
+      groupCols = names.filterNot(c => c == "n_rows" ||
+        c.startsWith("sum_") || c.startsWith("min_") ||
+        c.startsWith("max_") || MetaCols.contains(c)),
+      sumCols = names.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_")),
+      minCols = names.filter(_.startsWith("min_")).map(_.stripPrefix("min_")),
+      maxCols = names.filter(_.startsWith("max_")).map(_.stripPrefix("max_")),
+      types = types)
+  }
+
+  private val integral: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+
+  /** One aggregation pass under the view's column-naming contract. */
+  private def aggregate(df: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[String], minCols: Seq[String],
+      maxCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_rows") +:
+        (sumCols.map(c =>
+          sum(coalesce(col(c).cast(LongType), lit(0L))).as(s"sum_$c")) ++
+          minCols.map(c => min(col(c)).as(s"min_$c")) ++
+          maxCols.map(c => max(col(c)).as(s"max_$c")))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Stamp bookkeeping columns and append the sentinel row. */
+  private def withMeta(spark: SparkSession, rows: DataFrame, d: MvDef,
+      srcV: Long, batchId: Long): DataFrame = {
+    val stamped = rows
+      .withColumn("_mv_src_version", lit(srcV))
+      .withColumn("_mv_batch_id", lit(batchId))
+    val sentinel = spark.range(1).select(
+      (d.groupCols.map(c => lit(null).cast(d.types(c)).as(c)) ++
+        Seq(lit(0L).as("n_rows")) ++
+        d.sumCols.map(c => lit(0L).as(s"sum_$c")) ++
+        d.minCols.map(c => lit(null).cast(d.types(s"min_$c")).as(s"min_$c")) ++
+        d.maxCols.map(c => lit(null).cast(d.types(s"max_$c")).as(s"max_$c")) ++
+        Seq(lit(srcV).as("_mv_src_version"),
+          lit(batchId).as("_mv_batch_id"))): _*)
+    stamped.unionByName(sentinel)
+  }
+
+  /** Materialize `SELECT groupCols, COUNT(*), SUM(sumCols…),
+    * MIN(minCols…), MAX(maxCols…) FROM src GROUP BY groupCols` at the
+    * source's current version. The view directory must be empty; stats
+    * are published on the group columns so pruned/point reads of the
+    * view itself work. Returns the view's committed version (1).
+    */
+  def createView(
+      spark: SparkSession,
+      srcDir: String,
+      viewDir: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): Long = {
+    require(groupCols.nonEmpty, "a view needs at least one group column")
+    require(Snapshots.version(spark, viewDir) == 0L,
+      s"$viewDir already holds a committed view")
+    val reserved = groupCols.filter(c => c == "n_rows" ||
+      c.startsWith("sum_") || c.startsWith("min_") ||
+      c.startsWith("max_") || c.startsWith("_mv_"))
+    require(reserved.isEmpty,
+      s"group column names collide with the view's aggregate naming " +
+        s"contract: ${reserved.mkString(", ")}")
+    val srcV = Snapshots.version(spark, srcDir)
+    require(srcV >= 1, s"no committed snapshot in $srcDir")
+    val cur = Snapshots.readVersion(spark, srcDir, srcV)
+    val srcT = cur.schema.map(f => f.name -> f.dataType).toMap
+    val badSum = sumCols.filterNot(c => integral(srcT(c)))
+    require(badSum.isEmpty,
+      s"sum columns must be integral (exact delta maintenance): " +
+        s"${badSum.mkString(", ")}")
+    val rows = aggregate(cur, groupCols, sumCols, minCols, maxCols)
+    val d = parseDef(rows)
+    Snapshots.commit(spark, withMeta(spark, rows, d, srcV, -1L), viewDir,
+      statsColumns = groupCols)
+  }
+
+  /** The view's group rows (sentinel and bookkeeping filtered out). */
+  def readView(spark: SparkSession, viewDir: String): DataFrame =
+    Snapshots.read(spark, viewDir)
+      .filter(col("n_rows") > 0).drop(MetaCols: _*)
+
+  /** The source version the view currently reflects. */
+  def appliedSrcVersion(spark: SparkSession, viewDir: String): Long =
+    sentinelMeta(Snapshots.read(spark, viewDir))._1
+
+  /** How many source commits the view is behind. */
+  def staleness(spark: SparkSession, srcDir: String, viewDir: String): Long =
+    Snapshots.version(spark, srcDir) - appliedSrcVersion(spark, viewDir)
+
+  private def sentinelMeta(mv: DataFrame): (Long, Long) = {
+    val row = mv.filter(col("n_rows") === 0)
+      .select("_mv_src_version", "_mv_batch_id").head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Null-safe equi-join condition on the group columns (a NULL group
+    * key is a legitimate group — a plain equi-join would orphan it).
+    */
+  private def keyCond(groupCols: Seq[String], rightPrefix: String): Column =
+    groupCols.map(c => col(c) <=> col(s"$rightPrefix$c")).reduce(_ && _)
+
+  /** Apply one batch of feed rows to the view's group rows as pure
+    * deltas. Throws on a post-only `update` row (not invertible) and on
+    * any group whose maintained count would go negative (a feed that
+    * deletes rows the view never saw — a definition/window mismatch).
+    */
+  private def applyDeltas(aggRows: DataFrame, feed: DataFrame,
+      d: MvDef): DataFrame = {
+    val sign = when(col("change_type").isin("insert", "update_postimage"),
+        lit(1L))
+      .when(col("change_type").isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("non-invertible change feed row (change_type="),
+        col("change_type"),
+        lit("); record merges with preImages = true"))).cast(LongType))
+    val deltaAggs: Seq[Column] =
+      sum(sign).as("_dn") +:
+        d.sumCols.map(c => sum(sign *
+          coalesce(col(c).cast(LongType), lit(0L))).as(s"_dsum_$c"))
+    val deltas = feed
+      .groupBy(d.groupCols.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
+      .select((d.groupCols.map(c => col(c).as(s"_d_$c")) ++
+        (col("_dn") +: d.sumCols.map(c => col(s"_dsum_$c")))): _*)
+    val joined = aggRows.join(deltas, keyCond(d.groupCols, "_d_"), "full_outer")
+    val n2 = coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L))
+    joined.select(
+      (d.groupCols.map(c => coalesce(col(c), col(s"_d_$c")).as(c)) ++
+        Seq(when(n2 < 0, raise_error(lit(
+          "view count went negative: feed window does not match the " +
+            "view's applied source version")).cast(LongType))
+          .otherwise(n2).as("n_rows")) ++
+        d.sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
+          coalesce(col(s"_dsum_$c"), lit(0L))).as(s"sum_$c"))): _*)
+      .filter(col("n_rows") > 0)
+  }
+
+  /** Re-aggregate only the groups the feed touched from the source tip;
+    * carry every untouched group's row over unread. Exact for ALL
+    * aggregate kinds (it recomputes), at O(|changes| + touched-group
+    * rows) — the strategy min/max views need.
+    */
+  private def rescanTouched(aggRows: DataFrame, feed: DataFrame,
+      srcTip: DataFrame, d: MvDef): DataFrame = {
+    val touched = feed.select(d.groupCols.map(col): _*).distinct()
+    val tKeyed = touched
+      .select(d.groupCols.map(c => col(c).as(s"_t_$c")): _*)
+    val recomputed = aggregate(
+      srcTip.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi"),
+      d.groupCols, d.sumCols, d.minCols, d.maxCols)
+    val untouched = aggRows
+      .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
+    untouched.unionByName(recomputed)
+  }
+
+  /** Bring the view up to the source's current version by applying the
+    * recorded change feed over the stale window — pure delta for
+    * count/sum views (no source read at all), touched-group rescan when
+    * the view carries min/max. No-op (current view version returned)
+    * when already fresh. Commits via CAS with re-derive, so concurrent
+    * refreshes and a refresh racing a source writer both stay
+    * serializable. Every data-changing source commit inside the window
+    * must have recorded its feed (`recordChanges = true`, merges with
+    * `preImages = true` for the delta path) — [[Snapshots.changesFeed]]
+    * throws on a gap rather than silently under-applying.
+    */
+  def refreshView(
+      spark: SparkSession,
+      srcDir: String,
+      viewDir: String,
+      maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = Snapshots.version(spark, viewDir)
+      require(base >= 1, s"no committed view in $viewDir")
+      val mv = Snapshots.readVersion(spark, viewDir, base)
+      val d = parseDef(mv.drop(MetaCols: _*))
+      val (applied, _) = sentinelMeta(mv)
+      val tip = Snapshots.version(spark, srcDir)
+      require(tip >= applied,
+        s"source $srcDir is at $tip, behind the view's applied $applied " +
+          "(restored source? rebuild the view)")
+      if (tip == applied) return base
+      val aggRows = mv.filter(col("n_rows") > 0).drop(MetaCols: _*)
+      val feed = Snapshots.changesFeed(spark, srcDir, applied, tip)
+      val next =
+        if (d.hasRescanAggs)
+          rescanTouched(aggRows, feed,
+            Snapshots.readVersion(spark, srcDir, tip), d)
+        else applyDeltas(aggRows, feed, d)
+      Snapshots.commitIfVersion(spark, withMeta(spark, next, d, tip, -1L),
+        viewDir, base, statsColumns = d.groupCols) match {
+        case Some(v) => return v
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"view refresh on $viewDir lost $maxRetries optimistic races; giving up")
+  }
+
+  /** Continuous maintenance: drain the source's write-time change feed
+    * through a checkpointed stream and fold each micro-batch into the
+    * view. Count/sum views only (min/max needs the rescan path — run
+    * batch [[refreshView]] on a cadence instead). Safe under every
+    * failure mode the file-source contract allows: versions already
+    * applied at view-create time are filtered (`version > applied`), a
+    * replayed micro-batch is detected by the sentinel's `_mv_batch_id`
+    * and skipped, and racing maintainers CAS through
+    * [[Snapshots.commitIfVersion]]. Pass `Trigger.AvailableNow` for the
+    * catch-up-and-stop cadence.
+    */
+  def streamRefreshView(
+      spark: SparkSession,
+      srcDir: String,
+      viewDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    Snapshots.changesStream(spark, srcDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyStreamBatch(spark, viewDir, batch, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  private def applyStreamBatch(spark: SparkSession, viewDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try {
+      var attempt = 0
+      var done = false
+      while (!done && attempt < 10) {
+        val base = Snapshots.version(spark, viewDir)
+        val mv = Snapshots.readVersion(spark, viewDir, base)
+        val d = parseDef(mv.drop(MetaCols: _*))
+        require(!d.hasRescanAggs,
+          "streaming maintenance is delta-only: min/max views refresh " +
+            "by batch refreshView (touched-group rescan)")
+        val (applied, lastBatch) = sentinelMeta(mv)
+        if (batchId <= lastBatch) return // replayed batch: already folded
+        val fresh = batch.filter(col("version") > applied)
+        val maxV = fresh.agg(max("version")).head()
+        if (maxV.isNullAt(0)) return // nothing unapplied in this batch
+        val aggRows = mv.filter(col("n_rows") > 0).drop(MetaCols: _*)
+        val next = applyDeltas(aggRows, fresh.drop("version"), d)
+        done = Snapshots.commitIfVersion(spark,
+          withMeta(spark, next, d, math.max(applied, maxV.getLong(0)),
+            batchId),
+          viewDir, base, statsColumns = d.groupCols).nonEmpty
+        if (!done) attempt += 1
+      }
+      if (!done) throw new IllegalStateException(
+        s"streaming view maintenance on $viewDir lost 10 optimistic races")
+    } finally batch.unpersist()
+  }
+}
