@@ -438,6 +438,37 @@ object GraftExtensions {
             asOf = exprs.lift(4).map(litLong(_, "cm_freq", "as_of")))
             .queryExecution.logical
         }),
+      (FunctionIdentifier("bloom_has"),
+        tinfo("bloom_has",
+          "bloom_has(index_dir, probes_path, probes_where, value_expr" +
+            "[, as_of]) - per-group MEMBERSHIP bits for a probe batch, " +
+            "served from a persisted bloom filter sketch " +
+            "(buildBloomIndex): each probed value is checked against " +
+            "EVERY group's filter (the decontamination shape — which " +
+            "shards contain this string), a pure function of the " +
+            "groups x <=8192-row word table — never a corpus rescan. " +
+            "One-sided by the bloom contract: hit=1 for every present " +
+            "value, always; an absent value reads 1 only with the " +
+            "filter's false-positive probability. Probes are data (a " +
+            "table + a predicate), value_expr evaluates over the probe " +
+            "table's columns identically to the build's derivation. " +
+            "The optional 5th argument pins the words snapshot " +
+            "(reproducible serving)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 4 || exprs.size == 5,
+            "bloom_has(index_dir, probes_path, probes_where, value_expr" +
+              s"[, as_of]) takes 4 or 5 arguments, got ${exprs.size}")
+          val probes = active.read
+            .parquet(litStr(exprs(1), "bloom_has", "probes_path"))
+            .filter(org.apache.spark.sql.functions.expr(
+              litStr(exprs(2), "bloom_has", "probes_where")))
+          graft.operators.Sketches.bloomServe(active,
+            litStr(exprs(0), "bloom_has", "index_dir"), probes,
+            org.apache.spark.sql.functions.expr(
+              litStr(exprs(3), "bloom_has", "value_expr")),
+            asOf = exprs.lift(4).map(litLong(_, "bloom_has", "as_of")))
+            .queryExecution.logical
+        }),
       (FunctionIdentifier("quantile_est"),
         tinfo("quantile_est",
           "quantile_est(index_dir, quantiles_csv[, as_of]) - per-group " +

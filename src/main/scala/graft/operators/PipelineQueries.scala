@@ -866,6 +866,93 @@ object PipelineQueries {
   }
 
 
+  /** Probe batch for the bloom membership family: every token of the
+    * first three documents (present somewhere) plus two values that
+    * appear nowhere — the probe surface must exercise BOTH answers,
+    * and the oracle replays hits AND false positives exactly. */
+  private def bloomProbeFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    hllTokens(s, d).filter(col("doc_id") < 3).select(col("tok"))
+      .unionByName(Seq("zq_absent_a", "zq_absent_b").toDF("tok"))
+  }
+
+  private val asofBloomMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, Long)]()
+
+  /** Bloom membership words built on doc_id<250's tokens (v1), the
+    * rest APPENDED — returns (dir, v1); shared by
+    * `sketch_bloom_incremental` and `sketch_bloom_asof`. */
+  private def asofBloomIndex(s: SparkSession, d: String): (String, Long) =
+    asofBloomMemo.computeIfAbsent((s, d), _ => {
+      val tk = hllTokens(s, d)
+      val dir = scratch(s"graft-bloom-asof-${dirTag(d)}-$pid")
+      clearDir(s, dir)
+      val v1 = Sketches.buildBloomIndex(s, tk.filter(col("doc_id") < 250),
+        dir, Seq("source"), col("tok"))
+      Sketches.addToBloomIndex(s, tk.filter(col("doc_id") >= 250), dir,
+        col("tok"))
+      (dir, v1)
+    })
+
+  /** Bloom through the standing repair: build + append + OR-fold +
+    * bin-pack; `sketch_bloom_folded` shares the full-corpus oracle. */
+  private val foldedBloomDir = lifecycleDir("bloom-fold") { (s, d, dir) =>
+    val tk = hllTokens(s, d)
+    Sketches.buildBloomIndex(s, tk.filter(col("doc_id") < 250), dir,
+      Seq("source"), col("tok"))
+    Sketches.addToBloomIndex(s, tk.filter(col("doc_id") >= 250), dir,
+      col("tok"))
+    Sketches.foldBloomIndex(s, dir)
+    IndexMaintenance.compactIndex(s, dir)
+  }
+
+  /** STREAMING ingestion into the bloom words — OR is idempotent like
+    * the HLL max, so batch boundaries and even replays are invisible;
+    * the whole-corpus oracle gates the drained state. */
+  private val streamBloomDir = lifecycleDir("bloom-stream") { (s, d, dir) =>
+    val docs = t(s, d, "documents")
+    drainTwoBatches(s, "bloom-stream", d,
+      docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250)) { batch =>
+      val bs = batch.sparkSession
+      val tk = batch.select(col("doc_id"), col("source"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      if (graft.sources.Snapshots.version(bs, s"$dir/words") >= 1L)
+        Sketches.addToBloomIndex(bs, tk, dir, col("tok"))
+      else
+        Sketches.buildBloomIndex(bs, tk, dir, Seq("source"), col("tok"))
+    }
+  }
+
+  /** Bloom over WHOLE-TEXT values per source — the `bloom_has` TVF's
+    * index (exact-duplicate membership across sources, the same
+    * scalar-value_expr contract as `cm_freq`). */
+  private val textBloomDir = lifecycleDir("bloom-text") { (s, d, dir) =>
+    Sketches.buildBloomIndex(s, t(s, d, "documents"), dir, Seq("source"),
+      lower(trim(col("text"))))
+  }
+
+  private val asofTextBloomMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, Long)]()
+
+  /** Whole-text bloom built on doc_id<250 (v1), the rest APPENDED —
+    * the as-of companion of [[textBloomDir]] for the `bloom_has` TVF's
+    * pinned spelling. */
+  private def asofTextBloomIndex(s: SparkSession, d: String): (String, Long) =
+    asofTextBloomMemo.computeIfAbsent((s, d), _ => {
+      val docs = t(s, d, "documents")
+      val dir = scratch(s"graft-bloom-text-asof-${dirTag(d)}-$pid")
+      clearDir(s, dir)
+      val v1 = Sketches.buildBloomIndex(s,
+        docs.filter(col("doc_id") < 250), dir, Seq("source"),
+        lower(trim(col("text"))))
+      Sketches.addToBloomIndex(s, docs.filter(col("doc_id") >= 250), dir,
+        lower(trim(col("text"))))
+      (dir, v1)
+    })
+
   /** Per-doc length frame for the quantile-histogram family — the
     * value both engines derive identically (`length(text)`). */
   private def qhLens(s: SparkSession, d: String): DataFrame =
@@ -1148,7 +1235,12 @@ object PipelineQueries {
     "setup_qh_stream" -> ((s, d) => { streamQhDir(s, d); () }),
     "setup_arrival_sketches" -> ((s, d) => { arrivalSketches(s, d); () }),
     "setup_arrival_sketch_stream" ->
-      ((s, d) => { arrivalSketchStreamVerdicts(s, d); () }))
+      ((s, d) => { arrivalSketchStreamVerdicts(s, d); () }),
+    "setup_bloom_asof" -> ((s, d) => { asofBloomIndex(s, d); () }),
+    "setup_bloom_folded" -> ((s, d) => { foldedBloomDir(s, d); () }),
+    "setup_bloom_stream" -> ((s, d) => { streamBloomDir(s, d); () }),
+    "setup_bloom_text" -> ((s, d) => { textBloomDir(s, d); () }),
+    "setup_bloom_text_asof" -> ((s, d) => { asofTextBloomIndex(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
     * corpus_chunk's fixed windows: a chunk boundary falls after word e
@@ -2383,6 +2475,93 @@ object PipelineQueries {
       val (dir, v1) = asofQhIndex(s, d)
       s.sql(s"SELECT * FROM quantile_est('$dir', '0.5,0.9,0.99', $v1) " +
         "ORDER BY source, q")
+    }),
+    // ---- bloom membership sketches ----
+    "sketch_bloom_membership" -> ((s, d) => {
+      // the MEMBERSHIP primitive: which sources' corpora contain each
+      // probe value — the decontamination pre-filter shape. Two-sided
+      // gate: the oracle replays the whole filter (md5-60 double
+      // hashing, 32-bit words, bit_or) so `hit` hash-compares exactly
+      // INCLUDING false positives, and ok pins the bloom law — a
+      // present value NEVER probes 0.
+      val tk = hllTokens(s, d)
+      val words = Sketches.bloomWords(tk, Seq("source"), col("tok"))
+      Sketches.bloomProbe(words, Seq("source"), bloomProbeFrame(s, d),
+          col("tok"))
+        .join(tk.select(col("source"), col("tok").as("v")).distinct()
+          .withColumn("n_exact", lit(1L)), Seq("source", "v"), "left")
+        .select(col("source"), col("v"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("hit"),
+          (col("hit") >= coalesce(col("n_exact"), lit(0L)))
+            .cast("long").as("ok"))
+        .orderBy("source", "v")
+    }),
+    "sketch_bloom_merge_law" -> ((s, d) => {
+      // OR-mergeability: words of two disjoint halves, OR-merged, must
+      // equal the whole corpus's words exactly — per-shard filters
+      // combine without rescans (the bitwise analog of the HLL max
+      // law; OR is idempotent too, so replays are also harmless).
+      val tk = hllTokens(s, d)
+      val whole = Sketches.bloomWords(tk, Seq("source"), col("tok"))
+      val parts = Sketches
+        .bloomWords(tk.filter(col("doc_id") < 250), Seq("source"),
+          col("tok"))
+        .unionByName(Sketches.bloomWords(
+          tk.filter(col("doc_id") >= 250), Seq("source"), col("tok")))
+        .groupBy("source", "word").agg(expr("bit_or(bits)").as("bits"))
+      whole.select("source").distinct()
+        .agg(count(lit(1)).as("n_sources"))
+        .crossJoin(broadcast(
+          parts.exceptAll(whole).unionAll(whole.exceptAll(parts))
+            .agg(count(lit(1)).as("n_diff"))))
+        .select(col("n_sources"), col("n_diff"),
+          (col("n_diff") === 0).cast("long").as("ok"))
+    }),
+    "sketch_bloom_incremental" -> ((s, d) => {
+      // build on the first tranche, APPEND the second as generation
+      // words (O(batch), zero reads — OR-merge makes generations
+      // invisible); the serve must equal the whole-corpus replay.
+      // Build+add on the setup_bloom_asof line; the entry times the
+      // probe.
+      Sketches.bloomServe(s, asofBloomIndex(s, d)._1,
+          bloomProbeFrame(s, d), col("tok"))
+        .orderBy("source", "v")
+    }),
+    "sketch_bloom_asof" -> ((s, d) => {
+      // version-pinned membership: hits as of v1 replay the first
+      // tranche's filter alone (values added later probe 0 — unless a
+      // pre-existing false positive, which the oracle replays too).
+      val (dir, v1) = asofBloomIndex(s, d)
+      Sketches.bloomServe(s, dir, bloomProbeFrame(s, d), col("tok"),
+          asOf = Some(v1))
+        .orderBy("source", "v")
+    }),
+    "sketch_bloom_folded" -> ((s, d) => {
+      // the standing repair: OR-fold collapses generations, bin-pack
+      // repacks; serving is invariant (whole-corpus oracle).
+      Sketches.bloomServe(s, foldedBloomDir(s, d), bloomProbeFrame(s, d),
+          col("tok"))
+        .orderBy("source", "v")
+    }),
+    "sketch_bloom_stream" -> ((s, d) => {
+      // streaming drain; OR is idempotent, so even replayed batches
+      // cannot corrupt the filter — whole-corpus oracle.
+      Sketches.bloomServe(s, streamBloomDir(s, d), bloomProbeFrame(s, d),
+          col("tok"))
+        .orderBy("source", "v")
+    }),
+    "q_bloom_sql" -> ((s, d) => {
+      // the TVF spelling: whole-text exact-duplicate membership across
+      // sources — probes are data (table + predicate + value
+      // expression), the cm_freq contract.
+      val dir = textBloomDir(s, d)
+      s.sql(s"SELECT * FROM bloom_has('$dir', '$d/documents.parquet', " +
+        "'doc_id < 5', 'lower(trim(text))') ORDER BY source, v")
+    }),
+    "q_bloom_asof_sql" -> ((s, d) => {
+      val (dir, v1) = asofTextBloomIndex(s, d)
+      s.sql(s"SELECT * FROM bloom_has('$dir', '$d/documents.parquet', " +
+        s"'doc_id < 5', 'lower(trim(text))', $v1) ORDER BY source, v")
     }),
     "pipeline_arrival_stream_sketched" -> ((s, d) => {
       // the sketch-probe admission AS A STREAM: micro-batches probe
@@ -4090,6 +4269,55 @@ object PipelineQueries {
   private def cmTextRows(pred: String): String =
     s"SELECT source, lower(trim(text)) AS v FROM documents WHERE $pred"
 
+  /** Bloom-membership replay in DuckDB — ALL-integer (md5-60 hash,
+    * Kirsch-Mitzenmacher positions `(h1 + i·h2) mod 2^18` with
+    * h1 = low 30 bits / h2 = next 30 bits forced odd, 32-bit words,
+    * bit_or), so the full probe surface INCLUDING false positives
+    * hash-compares exactly. `corpusRows` yields `(source, v)`;
+    * `probeVals` yields `v`. Ends with `hits(source, v, hit)`;
+    * `crows` stays reusable for exact-membership joins. */
+  private def bloomOracle(corpusRows: String, probeVals: String): String =
+    s"""WITH crows AS ($corpusRows),
+       |bh AS (
+       |  SELECT source, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+       |  FROM crows),
+       |bpos AS (
+       |  SELECT source,
+       |    ((h & 1073741823) + i * (((h >> 30) & 1073741823) | 1))
+       |      % 262144 AS pos
+       |  FROM bh, (SELECT unnest([0,1,2,3]) AS i)),
+       |bwords AS (
+       |  SELECT source, (pos >> 5) AS word,
+       |    bit_or(1::BIGINT << CAST((pos & 31) AS INT)) AS bits
+       |  FROM bpos GROUP BY 1, 2),
+       |pv AS (SELECT DISTINCT v FROM ($probeVals)),
+       |ph AS (
+       |  SELECT v, ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+       |  FROM pv),
+       |ppos AS (
+       |  SELECT v,
+       |    ((h & 1073741823) + i * (((h >> 30) & 1073741823) | 1))
+       |      % 262144 AS pos
+       |  FROM ph, (SELECT unnest([0,1,2,3]) AS i)),
+       |hits AS (
+       |  SELECT g.source, p.v,
+       |    CAST(MIN(CASE WHEN COALESCE(w.bits, 0)
+       |        & (1::BIGINT << CAST((p.pos & 31) AS INT)) <> 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS hit
+       |  FROM (SELECT DISTINCT source FROM crows) g
+       |  CROSS JOIN ppos p
+       |  LEFT JOIN bwords w
+       |    ON w.source = g.source AND w.word = (p.pos >> 5)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The bloom probe batch replayed in SQL: tokens of the first three
+    * documents plus the two absent literals. */
+  private val bloomProbeVals: String =
+    """SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS v
+      |FROM documents WHERE doc_id < 3
+      |UNION ALL SELECT unnest(['zq_absent_a', 'zq_absent_b']) AS v"""
+      .stripMargin
+
   private val minhashPersistedOracle: String =
     """WITH toks AS (
       |  SELECT doc_id AS id,
@@ -4735,6 +4963,51 @@ object PipelineQueries {
       "\nSELECT source, v, n_est FROM est ORDER BY source, v"),
     "q_qh_asof_sql" -> (qhOracle("doc_id < 250") +
       "\nSELECT source, q, n_est FROM est ORDER BY source, q"),
+    // bloom membership: hit replays EXACTLY (false positives included —
+    // both engines compute identical hashes); ok pins the no-false-
+    // negative law against recomputed exact membership
+    "sketch_bloom_membership" ->
+      (bloomOracle(cmTokenRows("TRUE"), bloomProbeVals) +
+        """,
+          |ex AS (SELECT DISTINCT source, v FROM crows)
+          |SELECT hits.source, hits.v,
+          |  CAST(CASE WHEN ex.v IS NOT NULL THEN 1 ELSE 0 END
+          |    AS BIGINT) AS n_exact,
+          |  hits.hit,
+          |  CAST(CASE WHEN hits.hit >=
+          |      (CASE WHEN ex.v IS NOT NULL THEN 1 ELSE 0 END)
+          |    THEN 1 ELSE 0 END AS BIGINT) AS ok
+          |FROM hits LEFT JOIN ex
+          |  ON ex.source = hits.source AND ex.v = hits.v
+          |ORDER BY hits.source, hits.v""".stripMargin),
+    "sketch_bloom_merge_law" ->
+      """SELECT
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(0 AS BIGINT) AS n_diff,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM (SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)""".stripMargin,
+    "sketch_bloom_incremental" ->
+      (bloomOracle(cmTokenRows("TRUE"), bloomProbeVals) +
+        "\nSELECT source, v, hit FROM hits ORDER BY source, v"),
+    "sketch_bloom_asof" ->
+      (bloomOracle(cmTokenRows("doc_id < 250"), bloomProbeVals) +
+        "\nSELECT source, v, hit FROM hits ORDER BY source, v"),
+    "sketch_bloom_folded" ->
+      (bloomOracle(cmTokenRows("TRUE"), bloomProbeVals) +
+        "\nSELECT source, v, hit FROM hits ORDER BY source, v"),
+    "sketch_bloom_stream" ->
+      (bloomOracle(cmTokenRows("TRUE"), bloomProbeVals) +
+        "\nSELECT source, v, hit FROM hits ORDER BY source, v"),
+    "q_bloom_sql" ->
+      (bloomOracle(cmTextRows("TRUE"),
+        "SELECT lower(trim(text)) AS v FROM documents WHERE doc_id < 5") +
+        "\nSELECT source, v, hit FROM hits ORDER BY source, v"),
+    "q_bloom_asof_sql" ->
+      (bloomOracle(cmTextRows("doc_id < 250"),
+        "SELECT lower(trim(text)) AS v FROM documents WHERE doc_id < 5") +
+        "\nSELECT source, v, hit FROM hits ORDER BY source, v"),
     // heavy hitters: per-batch exact top-8 candidates (ties broken on
     // the value, replayed verbatim), whole-corpus counter estimates,
     // final top-3 rank by (estimate desc, value) — all deterministic

@@ -682,4 +682,176 @@ object Sketches {
     }
     cmEstimates(counters, probes, groupCols, value, carryCols)
   }
+
+  // ---------- bloom membership sketch ----------
+  //
+  // The MEMBERSHIP third of the sketch category: "does group g's corpus
+  // contain value v at all?" — the decontamination pre-filter of a
+  // training pipeline ("which shards contain this benchmark string"),
+  // answered from a bit-table of groups × ≤8192 word rows, never by
+  // rescanning the corpus. One-sided by the bloom contract: a present
+  // value ALWAYS probes 1 (no false negatives — the law the oracle
+  // pins); an absent value probes 1 with probability ≈ (1−e^(−kn/m))^k.
+  //
+  // Spark-first shape, same three choices as the siblings:
+  //   - sparse WORD rows `(group…, word, bits)` — 32 filter bits per
+  //     row, built by ONE codegen'd hash-aggregate (`bit_or`), merged
+  //     by the same aggregate. 32-bit words keep every shift ≤ 31, so
+  //     the arithmetic replays in any engine (a 1<<63 overflows
+  //     DuckDB's BIGINT shift).
+  //   - append-only maintenance: OR is associative, commutative, AND
+  //     idempotent (like the HLL max, unlike the count-min sum), so
+  //     ingest appends generation rows with zero reads and any batch
+  //     split/replay serves identically.
+  //   - replayable arithmetic: the k=4 probe positions are
+  //     Kirsch-Mitzenmacher double hashing off the one md5-60 hash —
+  //     `pos_i = (h1 + i·h2) mod m` with h1 = low 30 bits and
+  //     h2 = next 30 bits forced odd — all-integer, so the DuckDB
+  //     oracle replays the full probe surface INCLUDING false
+  //     positives, bit-for-bit.
+  //
+  // 100 TB design: the filter is m = 2^18 bits per group REGARDLESS of
+  // corpus size (fp rate degrades gracefully as n grows past m/8 —
+  // re-shard groups or raise m at build time when it matters); a probe
+  // batch costs one broadcast-sized join against the word table.
+
+  /** m: filter bits per group. */
+  val BloomBits: Long = 1L << 18
+
+  /** Probe positions per value (Kirsch-Mitzenmacher double hashing). */
+  val BloomK = 4
+
+  private val bloomReserved =
+    Seq("gen", "word", "bits", "h", "h1", "h2", "i", "pos", "v")
+
+  /** The one md5-60 hash, split for double hashing. Values hash AS
+    * STRINGS (`value.cast("string")`) so the probe side — which only
+    * has the string `v` — re-derives positions identically. */
+  private def bloomPositions(df: DataFrame, keep: Seq[Column],
+      value: Column): DataFrame = {
+    val h = conv(substring(md5(value.cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    df.select(keep :+ h.as("h"): _*)
+      .select(keep
+        :+ col("h").bitwiseAND(lit((1L << 30) - 1)).as("h1")
+        :+ shiftright(col("h"), 30).bitwiseAND(lit((1L << 30) - 1))
+          .bitwiseOR(lit(1L)).as("h2"): _*)
+      .select(keep :+ col("h1") :+ col("h2")
+        :+ explode(array((0 until BloomK).map(i => lit(i.toLong)): _*))
+          .as("i"): _*)
+      // h1 + 3·h2 < 2^32: no overflow anywhere near the long range
+      .withColumn("pos", (col("h1") + col("i") * col("h2")) % lit(BloomBits))
+  }
+
+  /** Sparse filter words: one row per non-empty 32-bit word,
+    * `(groupCols…, word, bits)`. */
+  def bloomWords(
+      df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
+    bloomPositions(df, groupCols.map(col), value)
+      .select(groupCols.map(col)
+        :+ shiftright(col("pos"), 5).cast("int").as("word")
+        :+ col("pos"): _*)
+      .groupBy((groupCols :+ "word").map(col): _*)
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+        "CAST(pos & 31 AS INT)))").as("bits"))
+
+  /** Cross-group membership probe: every distinct probe value is
+    * checked against EVERY group's filter (the decontamination shape —
+    * "which shards contain this string"). Output: `(groupCols…, v,
+    * hit)` with hit ∈ {0,1}; tolerates duplicate generations
+    * (OR-collapses first). The group × probe cross product is the
+    * probe batch's own size contract (same small-side rule as the ANN
+    * query batch). */
+  def bloomProbe(
+      words: DataFrame,
+      groupCols: Seq[String],
+      probes: DataFrame,
+      value: Column): DataFrame = {
+    val collapsed = words
+      .groupBy((groupCols :+ "word").map(col): _*)
+      .agg(expr("bit_or(bits)").as("bits"))
+    val groups = words.select(groupCols.map(col): _*).distinct()
+    val pv = probes.select(value.cast("string").as("v")).distinct()
+    val pbits = bloomPositions(pv, Seq(col("v")), col("v"))
+      .select(col("v"),
+        shiftright(col("pos"), 5).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 31 AS INT))")
+          .as("mask"))
+    groups.crossJoin(broadcast(pbits))
+      .join(collapsed, groupCols :+ "word", "left")
+      .withColumn("bit_set",
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L)
+          .cast("long"))
+      .groupBy((groupCols :+ "v").map(col): _*)
+      .agg(min(col("bit_set")).as("hit"))
+  }
+
+  /** Build the persisted membership sketch — same layout contract as
+    * the sibling families (params + generation-0 words). */
+  def buildBloomIndex(
+      spark: SparkSession,
+      df: DataFrame,
+      indexDir: String,
+      groupCols: Seq[String],
+      value: Column): Long = {
+    import spark.implicits._
+    require(groupCols.forall(c => !bloomReserved.contains(c)),
+      s"group columns collide with sketch columns: $groupCols")
+    Snapshots.commit(spark,
+      Seq((groupCols.mkString(","), BloomBits, BloomK))
+        .toDF("group_cols", "bloom_bits", "bloom_k"),
+      s"$indexDir/params")
+    Snapshots.commit(spark,
+      bloomWords(df, groupCols, value).withColumn("gen", lit(0L)),
+      s"$indexDir/words",
+      statsColumns = "gen" +: groupCols :+ "word")
+  }
+
+  /** O(batch) add: the batch's own words under a fresh generation —
+    * zero reads, base files ride by reference; OR is idempotent, so
+    * (unlike count-min) even a replayed batch cannot corrupt the
+    * filter. Gen stamps derive from the merge attempt's base (the CAS
+    * contract of [[addToHllIndex]]). */
+  def addToBloomIndex(
+      spark: SparkSession,
+      df: DataFrame,
+      indexDir: String,
+      value: Column): Long = {
+    val groupCols = readGroupCols(spark, indexDir)
+    Snapshots.mergeDerived(spark, s"$indexDir/words",
+      key = "gen" +: groupCols :+ "word",
+      statsColumns = "gen" +: groupCols :+ "word",
+      scoped = true) { base =>
+      bloomWords(df, groupCols, value).withColumn("gen", lit(base))
+    }
+  }
+
+  /** OR-collapse the generations back to one row per word. */
+  def foldBloomIndex(spark: SparkSession, indexDir: String): Long = {
+    val groupCols = readGroupCols(spark, indexDir)
+    val dir = s"$indexDir/words"
+    val collapsed = Snapshots.read(spark, dir)
+      .groupBy((groupCols :+ "word").map(col): _*)
+      .agg(expr("bit_or(bits)").as("bits"))
+      .withColumn("gen", lit(0L))
+    Snapshots.commit(spark, collapsed, dir,
+      statsColumns = "gen" +: groupCols :+ "word")
+  }
+
+  /** Serve membership for a probe batch from the persisted words —
+    * never touches the source corpus. */
+  def bloomServe(
+      spark: SparkSession,
+      indexDir: String,
+      probes: DataFrame,
+      value: Column,
+      asOf: Option[Long] = None): DataFrame = {
+    val groupCols = readGroupCols(spark, indexDir)
+    val dir = s"$indexDir/words"
+    val words = asOf match {
+      case Some(v) => Snapshots.readVersion(spark, dir, v)
+      case None => Snapshots.read(spark, dir)
+    }
+    bloomProbe(words, groupCols, probes, value)
+  }
 }

@@ -100,7 +100,16 @@ class PlanSweepSpec extends SparkSpec {
       // of the per-group singles (groups², bounded by the group-column
       // contract) and the union-register join is an OR of two group
       // equalities over the broadcast pair list — both bounded
-      "sketch_hll_intersect")
+      "sketch_hll_intersect",
+      // sketch_bloom_* / q_bloom_*: the membership probe crossJoins the
+      // group list against the BROADCAST probe-position frame (probe
+      // batch × k=4 rows — the probe-batch small-side contract, same
+      // as the ANN query batch); merge_law additionally the single-row
+      // exceptAll counter
+      "sketch_bloom_membership", "sketch_bloom_merge_law",
+      "sketch_bloom_incremental", "sketch_bloom_asof",
+      "sketch_bloom_folded", "sketch_bloom_stream",
+      "q_bloom_sql", "q_bloom_asof_sql")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

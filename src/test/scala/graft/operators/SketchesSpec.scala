@@ -348,4 +348,74 @@ class SketchesSpec extends SparkSpec {
     assert(ests(Sketches.hllServe(spark, dir)) ==
       ests(Sketches.hllCounts(toks, Seq("source"), col("tok"))))
   }
+
+  private def bloomHits(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[String]("source"),
+      r.getAs[String]("v"), r.getAs[Long]("hit"))).toSet
+
+  test("bloom law: present values never probe 0; absent mostly 0") {
+    val words = Sketches.bloomWords(toks, Seq("source"), col("tok"))
+    val hits = Sketches.bloomProbe(words, Seq("source"),
+      toks.select("tok"), col("tok"))
+    val present = toks.select(col("source"), col("tok").as("v")).distinct()
+    // the one-sided contract: every (group, present value) reads 1
+    assert(hits.join(present, Seq("source", "v"), "left_semi")
+      .filter(col("hit") === 0).count() == 0)
+    // cross-group probes that are ABSENT from a group read 0 almost
+    // always at this load (n ≈ thousands of tokens vs m = 2^18 bits:
+    // fp well under 1%; bound loosely at 5%)
+    val absent = hits.join(present, Seq("source", "v"), "left_anti")
+    val fp = absent.agg(avg(col("hit"))).head().getDouble(0)
+    info(f"false-positive rate on absent probes: $fp%.5f")
+    assert(fp <= 0.05, s"false-positive rate $fp")
+  }
+
+  test("bloom persisted family: adds equal one-shot, fold collapses, OR idempotent") {
+    val one = java.nio.file.Files.createTempDirectory("graft-bl-one").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft-bl-inc").toString
+    val probes = toks.select("tok").limit(300)
+    Sketches.buildBloomIndex(spark, toks, one, Seq("source"), col("tok"))
+    Sketches.buildBloomIndex(spark, toks.filter(col("tok") < "m"), inc,
+      Seq("source"), col("tok"))
+    Sketches.addToBloomIndex(spark, toks.filter(col("tok") >= "m"), inc,
+      col("tok"))
+    val want = bloomHits(Sketches.bloomServe(spark, one, probes, col("tok")))
+    assert(bloomHits(Sketches.bloomServe(spark, inc, probes, col("tok")))
+      == want)
+    // fold: one row per word, serve invariant
+    Sketches.foldBloomIndex(spark, inc)
+    val folded = Snapshots.read(spark, s"$inc/words")
+    assert(folded.groupBy("source", "word").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(bloomHits(Sketches.bloomServe(spark, inc, probes, col("tok")))
+      == want)
+    // OR is idempotent: re-adding already-ingested data changes nothing
+    Sketches.addToBloomIndex(spark, toks.filter(col("tok") < "m"), inc,
+      col("tok"))
+    assert(bloomHits(Sketches.bloomServe(spark, inc, probes, col("tok")))
+      == want)
+  }
+
+  test("racing bloom adds land distinct generations — no lost words") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val thirds = Seq(
+      toks.filter(crc32(col("tok")) % 3 === 0),
+      toks.filter(crc32(col("tok")) % 3 === 1),
+      toks.filter(crc32(col("tok")) % 3 === 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bl-race").toString
+    Sketches.buildBloomIndex(spark, thirds(0), dir, Seq("source"), col("tok"))
+    Await.result(Future.sequence(Seq(
+      Future(Sketches.addToBloomIndex(spark, thirds(1), dir, col("tok"))),
+      Future(Sketches.addToBloomIndex(spark, thirds(2), dir, col("tok"))))),
+      10.minutes)
+    assert(Snapshots.read(spark, s"$dir/words")
+      .select("gen").distinct().count() == 3)
+    val probes = toks.select("tok").limit(300)
+    val whole = Sketches.bloomWords(toks, Seq("source"), col("tok"))
+    assert(bloomHits(Sketches.bloomServe(spark, dir, probes, col("tok"))) ==
+      bloomHits(Sketches.bloomProbe(whole, Seq("source"), probes,
+        col("tok"))))
+  }
 }
