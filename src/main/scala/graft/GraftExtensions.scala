@@ -438,6 +438,27 @@ object GraftExtensions {
             asOf = exprs.lift(4).map(litLong(_, "cm_freq", "as_of")))
             .queryExecution.logical
         }),
+      (FunctionIdentifier("mv_read"),
+        tinfo("mv_read",
+          "mv_read(view_dir[, as_of]) - the group rows of an " +
+            "incrementally-maintained materialized view " +
+            "(Views.createView/refreshView): groupCols + n_rows + " +
+            "sum_/min_/max_ aggregate columns, sentinel and " +
+            "bookkeeping filtered out. The view is itself a snapshot " +
+            "table kept current in O(changes) by applying the " +
+            "source's recorded change feed; the optional 2nd argument " +
+            "pins a committed view version — each refresh is one " +
+            "commit, so a pin names the rollup as of the source " +
+            "version that refresh applied (reproducible serving)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 1 || exprs.size == 2,
+            "mv_read(view_dir[, as_of]) takes 1 or 2 arguments, " +
+              s"got ${exprs.size}")
+          graft.sources.Views.readView(active,
+            litStr(exprs(0), "mv_read", "view_dir"),
+            asOf = exprs.lift(1).map(litLong(_, "mv_read", "as_of")))
+            .queryExecution.logical
+        }),
       (FunctionIdentifier("bloom_has"),
         tinfo("bloom_has",
           "bloom_has(index_dir, probes_path, probes_where, value_expr" +

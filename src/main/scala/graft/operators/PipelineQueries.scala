@@ -933,6 +933,50 @@ object PipelineQueries {
       lower(trim(col("text"))))
   }
 
+  private val asofMvMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, Long)]()
+
+  /** An incrementally-maintained rollup for the `mv_read` TVF: source
+    * commits doc_id<400, the view materializes (v1), then a MERGE
+    * (+1000 on [200,599], pre-images recorded) and a DELETE
+    * (doc_id%10=7) land and ONE refresh applies their feed — returns
+    * (viewDir, v1) so the pinned spelling can read the pre-mutation
+    * rollup. Same walk as `q_snapshot_mv_refresh`, which times the
+    * lifecycle itself; these entries time the SQL serve. */
+  private def asofMvView(s: SparkSession, d: String): (String, Long) =
+    asofMvMemo.computeIfAbsent((s, d), _ => {
+      val root = scratch(s"graft-mv-asof-${dirTag(d)}-$pid")
+      clearDir(s, root)
+      val srcDir = s"$root/src"
+      val viewDir = s"$root/view"
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      graft.sources.Snapshots.commit(s, docs.filter(col("doc_id") < 400),
+        srcDir)
+      val v1 = graft.sources.Views.createView(s, srcDir, viewDir,
+        Seq("lang"), sumCols = Seq("n_chars"))
+      graft.sources.Snapshots.merge(s, srcDir,
+        docs.filter(col("doc_id").between(200, 599))
+          .withColumn("n_chars", col("n_chars") + 1000),
+        Seq("doc_id"), recordChanges = true, preImages = true)
+      graft.sources.Snapshots.delete(s, srcDir,
+        col("doc_id") % 10 === 7, recordChanges = true)
+      graft.sources.Views.refreshView(s, srcDir, viewDir)
+      (viewDir, v1)
+    })
+
+  /** The BENCHMARK decontamination filter: a bloom over the held-out
+    * eval set's normalized texts (doc_id % 7 = 0) under one constant
+    * group — the standing "is this training arrival an eval document"
+    * pre-filter, probed by `pipeline_arrival_decontaminated` with zero
+    * rescans of the benchmark side. */
+  private val benchBloomDir = lifecycleDir("bloom-bench") { (s, d, dir) =>
+    Sketches.buildBloomIndex(s,
+      t(s, d, "documents").filter(col("doc_id") % 7 === 0)
+        .withColumn("bench", lit("eval")),
+      dir, Seq("bench"), lower(trim(col("text"))))
+  }
+
   private val asofTextBloomMemo =
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), (String, Long)]()
@@ -1240,7 +1284,9 @@ object PipelineQueries {
     "setup_bloom_folded" -> ((s, d) => { foldedBloomDir(s, d); () }),
     "setup_bloom_stream" -> ((s, d) => { streamBloomDir(s, d); () }),
     "setup_bloom_text" -> ((s, d) => { textBloomDir(s, d); () }),
-    "setup_bloom_text_asof" -> ((s, d) => { asofTextBloomIndex(s, d); () }))
+    "setup_bloom_text_asof" -> ((s, d) => { asofTextBloomIndex(s, d); () }),
+    "setup_bloom_bench" -> ((s, d) => { benchBloomDir(s, d); () }),
+    "setup_mv_sql" -> ((s, d) => { asofMvView(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
     * corpus_chunk's fixed windows: a chunk boundary falls after word e
@@ -2562,6 +2608,41 @@ object PipelineQueries {
       val (dir, v1) = asofTextBloomIndex(s, d)
       s.sql(s"SELECT * FROM bloom_has('$dir', '$d/documents.parquet', " +
         s"'doc_id < 5', 'lower(trim(text))', $v1) ORDER BY source, v")
+    }),
+    "q_mv_sql" -> ((s, d) => {
+      // the SQL spelling of the incrementally-maintained rollup: the
+      // lifecycle (build → merge → delete → delta refresh) ran on the
+      // setup_mv_sql line; the entry reads the standing view through
+      // the mv_read TVF — the serve cost of a 100 TB rollup is the
+      // view table alone.
+      val dir = asofMvView(s, d)._1
+      s.sql(s"SELECT lang, n_rows, sum_n_chars FROM mv_read('$dir') " +
+        "ORDER BY lang")
+    }),
+    "q_mv_asof_sql" -> ((s, d) => {
+      // pinned spelling: view version 1 = the rollup at creation,
+      // before the merge/delete feed was applied.
+      val (dir, v1) = asofMvView(s, d)
+      s.sql(s"SELECT lang, n_rows, sum_n_chars FROM mv_read('$dir', $v1) " +
+        "ORDER BY lang")
+    }),
+    "pipeline_arrival_decontaminated" -> ((s, d) => {
+      // benchmark decontamination as an admission signal: each arrival
+      // (doc_id % 5 = 0) probes the STANDING eval-set bloom
+      // (setup_bloom_bench; eval = doc_id % 7 = 0, so every 35th doc
+      // IS contaminated) — one arrival-slice scan, zero benchmark
+      // rescans, identity riding through carryCols. `contaminated`
+      // replays exactly in the oracle (bloom bits, false positives
+      // included); the no-false-negative law means a real eval doc can
+      // NEVER slip through — the one-sided guarantee decontamination
+      // actually needs (a rare fp only over-drops).
+      val arrivals = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+      Sketches.bloomServe(s, benchBloomDir(s, d),
+          arrivals.select(col("doc_id"), col("text")),
+          lower(trim(col("text"))), carryCols = Seq("doc_id"))
+        .select(col("doc_id"), col("hit").as("contaminated"),
+          (col("hit") === 0L).cast("long").as("keep"))
+        .orderBy("doc_id")
     }),
     "pipeline_arrival_stream_sketched" -> ((s, d) => {
       // the sketch-probe admission AS A STREAM: micro-batches probe
@@ -5008,6 +5089,35 @@ object PipelineQueries {
       (bloomOracle(cmTextRows("doc_id < 250"),
         "SELECT lower(trim(text)) AS v FROM documents WHERE doc_id < 5") +
         "\nSELECT source, v, hit FROM hits ORDER BY source, v"),
+    // the maintained rollup equals the full recompute over the replayed
+    // final state (same mutation walk as q_snapshot_mv_refresh); the
+    // pinned spelling replays the pre-mutation base
+    "q_mv_sql" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id >= 200 THEN n_chars + 1000
+        |    ELSE n_chars END) AS BIGINT) AS sum_n_chars
+        |FROM documents WHERE doc_id < 600 AND doc_id % 10 <> 7
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_mv_asof_sql" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM documents WHERE doc_id < 400
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // decontamination verdicts join arrival identity back on the
+    // normalized text (hit is a pure function of v in both engines)
+    "pipeline_arrival_decontaminated" ->
+      (bloomOracle(
+        "SELECT 'eval' AS source, lower(trim(text)) AS v " +
+          "FROM documents WHERE doc_id % 7 = 0",
+        "SELECT lower(trim(text)) AS v FROM documents WHERE doc_id % 5 = 0") +
+        """,
+          |arr AS (SELECT doc_id, lower(trim(text)) AS v
+          |  FROM documents WHERE doc_id % 5 = 0)
+          |SELECT arr.doc_id, hits.hit AS contaminated,
+          |  CAST(CASE WHEN hits.hit = 0 THEN 1 ELSE 0 END AS BIGINT)
+          |    AS keep
+          |FROM arr JOIN hits ON hits.v = arr.v
+          |ORDER BY arr.doc_id""".stripMargin),
     // heavy hitters: per-batch exact top-8 candidates (ties broken on
     // the value, replayed verbatim), whole-corpus counter estimates,
     // final top-3 rank by (estimate desc, value) — all deterministic

@@ -757,32 +757,42 @@ object Sketches {
 
   /** Cross-group membership probe: every distinct probe value is
     * checked against EVERY group's filter (the decontamination shape —
-    * "which shards contain this string"). Output: `(groupCols…, v,
-    * hit)` with hit ∈ {0,1}; tolerates duplicate generations
-    * (OR-collapses first). The group × probe cross product is the
-    * probe batch's own size contract (same small-side rule as the ANN
-    * query batch). */
+    * "which shards contain this string"). Output: `(groupCols…,
+    * carryCols…, v, hit)` with hit ∈ {0,1}; tolerates duplicate
+    * generations (OR-collapses first). With `carryCols` (a doc id, a
+    * batch tag) one row rides per PROBE ROW — hit is a pure function
+    * of v, so carrying identity costs nothing and saves the caller a
+    * join-back (the [[cmEstimates]] contract). The group × probe cross
+    * product is the probe batch's own size contract (same small-side
+    * rule as the ANN query batch). */
   def bloomProbe(
       words: DataFrame,
       groupCols: Seq[String],
       probes: DataFrame,
-      value: Column): DataFrame = {
+      value: Column,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(carryCols.forall(c =>
+      !(bloomReserved ++ groupCols).contains(c)),
+      s"carry columns collide with sketch/group columns: $carryCols")
     val collapsed = words
       .groupBy((groupCols :+ "word").map(col): _*)
       .agg(expr("bit_or(bits)").as("bits"))
     val groups = words.select(groupCols.map(col): _*).distinct()
-    val pv = probes.select(value.cast("string").as("v")).distinct()
-    val pbits = bloomPositions(pv, Seq(col("v")), col("v"))
-      .select(col("v"),
-        shiftright(col("pos"), 5).cast("int").as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 31 AS INT))")
-          .as("mask"))
+    val keyed = probes
+      .select(carryCols.map(col) :+ value.cast("string").as("v"): _*)
+    val pv = if (carryCols.isEmpty) keyed.distinct() else keyed
+    val keep = (carryCols :+ "v").map(col)
+    val pbits = bloomPositions(pv, keep, col("v"))
+      .select(keep
+        :+ shiftright(col("pos"), 5).cast("int").as("word")
+        :+ expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 31 AS INT))")
+          .as("mask"): _*)
     groups.crossJoin(broadcast(pbits))
       .join(collapsed, groupCols :+ "word", "left")
       .withColumn("bit_set",
         (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L)
           .cast("long"))
-      .groupBy((groupCols :+ "v").map(col): _*)
+      .groupBy((groupCols ++ carryCols :+ "v").map(col): _*)
       .agg(min(col("bit_set")).as("hit"))
   }
 
@@ -845,13 +855,14 @@ object Sketches {
       indexDir: String,
       probes: DataFrame,
       value: Column,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val groupCols = readGroupCols(spark, indexDir)
     val dir = s"$indexDir/words"
     val words = asOf match {
       case Some(v) => Snapshots.readVersion(spark, dir, v)
       case None => Snapshots.read(spark, dir)
     }
-    bloomProbe(words, groupCols, probes, value)
+    bloomProbe(words, groupCols, probes, value, carryCols)
   }
 }

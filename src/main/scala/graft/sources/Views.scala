@@ -159,10 +159,16 @@ object Views {
       statsColumns = groupCols)
   }
 
-  /** The view's group rows (sentinel and bookkeeping filtered out). */
-  def readView(spark: SparkSession, viewDir: String): DataFrame =
-    Snapshots.read(spark, viewDir)
-      .filter(col("n_rows") > 0).drop(MetaCols: _*)
+  /** The view's group rows (sentinel and bookkeeping filtered out);
+    * `asOf` pins a committed view version — every refresh is one
+    * commit, so a pin names exactly "the rollup as of source version
+    * X" for whichever X that refresh applied. */
+  def readView(spark: SparkSession, viewDir: String,
+      asOf: Option[Long] = None): DataFrame =
+    (asOf match {
+      case Some(v) => Snapshots.readVersion(spark, viewDir, v)
+      case None => Snapshots.read(spark, viewDir)
+    }).filter(col("n_rows") > 0).drop(MetaCols: _*)
 
   /** The source version the view currently reflects. */
   def appliedSrcVersion(spark: SparkSession, viewDir: String): Long =

@@ -109,7 +109,11 @@ class PlanSweepSpec extends SparkSpec {
       "sketch_bloom_membership", "sketch_bloom_merge_law",
       "sketch_bloom_incremental", "sketch_bloom_asof",
       "sketch_bloom_folded", "sketch_bloom_stream",
-      "q_bloom_sql", "q_bloom_asof_sql")
+      "q_bloom_sql", "q_bloom_asof_sql",
+      // pipeline_arrival_decontaminated: the same bloom-probe shape —
+      // the single-group eval filter against the broadcast
+      // arrival-position frame (arrival batch × k=4 rows)
+      "pipeline_arrival_decontaminated")
 
   test("no entry plans a CartesianProduct; nested-loop only where declared") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
