@@ -20,7 +20,7 @@ object MvSweep {
       val t0 = System.nanoTime(); val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    Seq(100000L, 1000000L, 10000000L).foreach { n =>
+    Seq(1000000L, 10000000L, 100000000L).foreach { n =>
       val src = java.nio.file.Files
         .createTempDirectory(s"graft-mv-sweep-src-$n").toString
       val mv = java.nio.file.Files
