@@ -89,6 +89,9 @@ object Sinks {
   private lazy val mvStSrcDir: String = scratch("graft-mv-stream-src")
   private lazy val mvStViewDir: String = scratch("graft-mv-stream-view")
   private lazy val mvStCkptDir: String = scratch("graft-mv-stream-ckpt")
+  private lazy val mvJoinOrdDir: String = scratch("graft-mv-join-ord")
+  private lazy val mvJoinLiDir: String = scratch("graft-mv-join-li")
+  private lazy val mvJoinViewDir: String = scratch("graft-mv-join-view")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -1443,7 +1446,49 @@ object Sinks {
       .orderBy("lang")
   }
 
+  /** Incremental view OVER A JOIN (orders ⋈ lineitem rolled up by
+    * priority), maintained by the bilinear delta rule — ΔL ⋈ R_new
+    * plus L_old ⋈ ΔR, with snapshot time travel supplying L_old
+    * exactly. Both inputs append twice (thirds of the key space), the
+    * second wave on BOTH sides before one refresh — the multi-version,
+    * both-sides-moved window. The oracle is the whole-table join
+    * aggregate, so a hash match certifies the two small delta joins
+    * reconstructed exactly what a full 2-table join recompute
+    * produces.
+    */
+  private def snapshotMvJoin(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvJoinOrdDir); clearDir(s, mvJoinLiDir)
+    clearDir(s, mvJoinViewDir)
+    val ord = Tables(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    val li = Tables(s, d, "lineitem").select(
+      col("l_orderkey").as("o_orderkey"),
+      col("l_quantity").cast("long").as("qty"))
+    Snapshots.commit(s, ord.filter(col("o_orderkey") % 3 === 0), mvJoinOrdDir)
+    Snapshots.commit(s, li.filter(col("o_orderkey") % 3 === 0), mvJoinLiDir)
+    Views.createJoinView(s, mvJoinOrdDir, mvJoinLiDir, mvJoinViewDir,
+      Seq("o_orderkey"), Seq("o_orderpriority"), sumCols = Seq("qty"))
+    Snapshots.merge(s, mvJoinOrdDir,
+      ord.filter(col("o_orderkey") % 3 === 1), Seq("o_orderkey"),
+      recordChanges = true)
+    Views.refreshJoinView(s, mvJoinViewDir) // left-only window
+    Snapshots.merge(s, mvJoinLiDir,
+      li.filter(col("o_orderkey") % 3 === 1), Seq("o_orderkey"),
+      recordChanges = true)
+    Snapshots.merge(s, mvJoinOrdDir,
+      ord.filter(col("o_orderkey") % 3 === 2), Seq("o_orderkey"),
+      recordChanges = true)
+    Snapshots.merge(s, mvJoinLiDir,
+      li.filter(col("o_orderkey") % 3 === 2), Seq("o_orderkey"),
+      recordChanges = true)
+    Views.refreshJoinView(s, mvJoinViewDir) // both sides moved
+    Views.readJoinView(s, mvJoinViewDir)
+      .select(col("o_orderpriority"), col("n_rows").as("n_lines"),
+        col("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_mv_join" -> (snapshotMvJoin _),
     "q_snapshot_mv_refresh" -> (snapshotMvRefresh _),
     "q_snapshot_mv_minmax" -> (snapshotMvMinmax _),
     "q_snapshot_mv_stream" -> (snapshotMvStream _),
@@ -1494,6 +1539,14 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    // the join view's two delta joins must reconstruct the whole-table
+    // join aggregate exactly (every key-third of both inputs lands)
+    "q_snapshot_mv_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the incrementally-maintained rollup must equal the full recompute
     // over the replayed final state — exactly (integer sums, no
     // tolerance): base <400, merge bumps [200,599] by +1000 (inserting

@@ -66,6 +66,9 @@ object Views {
 
   private val MetaCols = Seq("_mv_src_version", "_mv_batch_id")
 
+  private def dropMeta(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(_.startsWith("_mv_")).toIndexedSeq: _*)
+
   /** A view definition parsed back from the view table's own schema. */
   case class MvDef(
       groupCols: Seq[String],
@@ -82,7 +85,7 @@ object Views {
     MvDef(
       groupCols = names.filterNot(c => c == "n_rows" ||
         c.startsWith("sum_") || c.startsWith("min_") ||
-        c.startsWith("max_") || MetaCols.contains(c)),
+        c.startsWith("max_") || c.startsWith("_mv_")),
       sumCols = names.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_")),
       minCols = names.filter(_.startsWith("min_")).map(_.stripPrefix("min_")),
       maxCols = names.filter(_.startsWith("max_")).map(_.stripPrefix("max_")),
@@ -106,21 +109,25 @@ object Views {
   }
 
   /** Stamp bookkeeping columns and append the sentinel row. */
-  private def withMeta(spark: SparkSession, rows: DataFrame, d: MvDef,
-      srcV: Long, batchId: Long): DataFrame = {
-    val stamped = rows
-      .withColumn("_mv_src_version", lit(srcV))
-      .withColumn("_mv_batch_id", lit(batchId))
+  private def withMetaCols(spark: SparkSession, rows: DataFrame, d: MvDef,
+      metas: Seq[(String, Long)]): DataFrame = {
+    val stamped = metas.foldLeft(rows) {
+      case (df, (c, v)) => df.withColumn(c, lit(v))
+    }
     val sentinel = spark.range(1).select(
       (d.groupCols.map(c => lit(null).cast(d.types(c)).as(c)) ++
         Seq(lit(0L).as("n_rows")) ++
         d.sumCols.map(c => lit(0L).as(s"sum_$c")) ++
         d.minCols.map(c => lit(null).cast(d.types(s"min_$c")).as(s"min_$c")) ++
         d.maxCols.map(c => lit(null).cast(d.types(s"max_$c")).as(s"max_$c")) ++
-        Seq(lit(srcV).as("_mv_src_version"),
-          lit(batchId).as("_mv_batch_id"))): _*)
+        metas.map { case (c, v) => lit(v).as(c) }): _*)
     stamped.unionByName(sentinel)
   }
+
+  private def withMeta(spark: SparkSession, rows: DataFrame, d: MvDef,
+      srcV: Long, batchId: Long): DataFrame =
+    withMetaCols(spark, rows, d,
+      Seq("_mv_src_version" -> srcV, "_mv_batch_id" -> batchId))
 
   /** Materialize `SELECT groupCols, COUNT(*), SUM(sumCols…),
     * MIN(minCols…), MAX(maxCols…) FROM src GROUP BY groupCols` at the
@@ -165,10 +172,10 @@ object Views {
     * X" for whichever X that refresh applied. */
   def readView(spark: SparkSession, viewDir: String,
       asOf: Option[Long] = None): DataFrame =
-    (asOf match {
+    dropMeta((asOf match {
       case Some(v) => Snapshots.readVersion(spark, viewDir, v)
       case None => Snapshots.read(spark, viewDir)
-    }).filter(col("n_rows") > 0).drop(MetaCols: _*)
+    }).filter(col("n_rows") > 0))
 
   /** The source version the view currently reflects. */
   def appliedSrcVersion(spark: SparkSession, viewDir: String): Long =
@@ -314,6 +321,149 @@ object Views {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  // ---------- join views (append-only sources) ----------
+  //
+  // Aggregates OVER A JOIN, maintained incrementally — the common
+  // production MV ("revenue per priority" = orders ⋈ lineitem rolled
+  // up), where the full recompute is a join of two 100 TB tables. The
+  // bilinear delta rule (DBSP/Materialize):
+  //
+  //   L_new ⋈ R_new = L_old ⋈ R_old  +  ΔL ⋈ R_new  +  L_old ⋈ ΔR
+  //
+  // so a refresh adds two SMALL joins — each delta against one full
+  // side, never full ⋈ full. Snapshot time travel is what makes the
+  // asymmetry exact: `L_old` is literally `readVersion(leftDir,
+  // appliedLeftVersion)` — no bookkeeping copies, the lakehouse layer
+  // already stores every version. Cost is O(|Δ| × matching rows), with
+  // the delta side broadcast and the big side pruned by the join keys
+  // on a key-clustered table — NOT the zero-source-read of the
+  // single-table delta path, and documented as such.
+  //
+  // APPEND-ONLY by contract: deletes/updates on a join input would
+  // need the retracted rows joined against the exact other-side
+  // version each historical insert paired with — the refresh THROWS
+  // on any non-insert feed row rather than approximating.
+  //
+  // Layout: `viewDir/params` (sources, keys, definition — refresh
+  // takes only the viewDir) + `viewDir/rows` (the agg rows, sentinel
+  // carrying BOTH applied source versions). `mv_read('<dir>/rows')`
+  // serves it like any other view.
+
+  /** Materialize `SELECT groupCols, COUNT(*), SUM(sumCols…) FROM
+    * left JOIN right USING (joinKeys) GROUP BY groupCols` at both
+    * sources' current versions. Join keys must be same-named on both
+    * sides; non-key column names must not collide. */
+  def createJoinView(
+      spark: SparkSession,
+      leftDir: String,
+      rightDir: String,
+      viewDir: String,
+      joinKeys: Seq[String],
+      groupCols: Seq[String],
+      sumCols: Seq[String] = Nil): Long = {
+    import spark.implicits._
+    require(joinKeys.nonEmpty && groupCols.nonEmpty,
+      "a join view needs join keys and at least one group column")
+    require(Snapshots.version(spark, s"$viewDir/rows") == 0L,
+      s"$viewDir already holds a committed view")
+    val vL = Snapshots.version(spark, leftDir)
+    val vR = Snapshots.version(spark, rightDir)
+    require(vL >= 1 && vR >= 1, "both join inputs need a committed snapshot")
+    val l = Snapshots.readVersion(spark, leftDir, vL)
+    val r = Snapshots.readVersion(spark, rightDir, vR)
+    val clash = l.columns.filterNot(joinKeys.contains)
+      .intersect(r.columns.filterNot(joinKeys.contains))
+    require(clash.isEmpty,
+      s"non-key columns collide across the join inputs: ${clash.mkString(", ")}")
+    Snapshots.commit(spark,
+      Seq((leftDir, rightDir, joinKeys.mkString(","),
+        groupCols.mkString(","), sumCols.mkString(",")))
+        .toDF("left_dir", "right_dir", "join_keys", "group_cols",
+          "sum_cols"),
+      s"$viewDir/params")
+    val rows = aggregate(l.join(r, joinKeys), groupCols, sumCols, Nil, Nil)
+    val d = parseDef(rows)
+    Snapshots.commit(spark,
+      withMetaCols(spark, rows, d,
+        Seq("_mv_srcl_version" -> vL, "_mv_srcr_version" -> vR)),
+      s"$viewDir/rows", statsColumns = groupCols)
+  }
+
+  /** The join view's group rows. */
+  def readJoinView(spark: SparkSession, viewDir: String): DataFrame =
+    readView(spark, s"$viewDir/rows")
+
+  /** The insert rows of a feed window, with a per-row guard that
+    * throws on any non-insert change (the append-only contract). */
+  private def insertsOnly(feed: DataFrame, side: String): DataFrame = {
+    val guard = when(col("change_type") === "insert", lit(1L))
+      .otherwise(raise_error(concat(
+        lit(s"join views are append-only; the $side input recorded a '"),
+        col("change_type"), lit("' change — rebuild the view")))
+        .cast(LongType))
+    feed.withColumn("_mv_guard", guard).filter(col("_mv_guard") === 1L)
+      .drop("_mv_guard", "change_type", "version")
+  }
+
+  /** Bring the join view up to both sources' current versions with the
+    * bilinear rule: `Δ = agg(ΔL ⋈ R_new) + agg(L_old ⋈ ΔR)`, where
+    * `L_old` is the left input time-traveled to the view's applied
+    * version. Sources and definition come from the view's own params;
+    * commits via CAS like the single-table refresh. */
+  def refreshJoinView(
+      spark: SparkSession,
+      viewDir: String,
+      maxRetries: Int = 10): Long = {
+    val p = Snapshots.read(spark, s"$viewDir/params").collect().head
+    val leftDir = p.getAs[String]("left_dir")
+    val rightDir = p.getAs[String]("right_dir")
+    val joinKeys = p.getAs[String]("join_keys").split(",").toSeq
+    val rowsDir = s"$viewDir/rows"
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = Snapshots.version(spark, rowsDir)
+      require(base >= 1, s"no committed join view in $viewDir")
+      val mv = Snapshots.readVersion(spark, rowsDir, base)
+      val d = parseDef(mv)
+      val meta = mv.filter(col("n_rows") === 0)
+        .select("_mv_srcl_version", "_mv_srcr_version").head()
+      val (aL, aR) = (meta.getLong(0), meta.getLong(1))
+      val tipL = Snapshots.version(spark, leftDir)
+      val tipR = Snapshots.version(spark, rightDir)
+      require(tipL >= aL && tipR >= aR,
+        s"a join input moved backwards ($leftDir $tipL<$aL or " +
+          s"$rightDir $tipR<$aR): rebuild the view")
+      if (tipL == aL && tipR == aR) return base
+      val aggRows = dropMeta(mv.filter(col("n_rows") > 0))
+      val rNew = Snapshots.readVersion(spark, rightDir, tipR)
+      val lOld = Snapshots.readVersion(spark, leftDir, aL)
+      val dL =
+        if (tipL == aL) None
+        else Some(insertsOnly(
+          Snapshots.changesFeed(spark, leftDir, aL, tipL), "left"))
+      val dR =
+        if (tipR == aR) None
+        else Some(insertsOnly(
+          Snapshots.changesFeed(spark, rightDir, aR, tipR), "right"))
+      val deltaRows = (dL.map(_.join(rNew, joinKeys)) ++
+        dR.map(lOld.join(_, joinKeys)))
+        .reduce(_ unionByName _)
+      // additive application reuses the single-table delta path: every
+      // delta row is an insert by construction
+      val next = applyDeltas(aggRows,
+        deltaRows.withColumn("change_type", lit("insert")), d)
+      Snapshots.commitIfVersion(spark,
+        withMetaCols(spark, next, d,
+          Seq("_mv_srcl_version" -> tipL, "_mv_srcr_version" -> tipR)),
+        rowsDir, base, statsColumns = d.groupCols) match {
+        case Some(v) => return v
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"join-view refresh on $viewDir lost $maxRetries optimistic races")
+  }
 
   private def applyStreamBatch(spark: SparkSession, viewDir: String,
       batch: DataFrame, batchId: Long): Unit = {

@@ -134,6 +134,53 @@ class ViewsSpec extends SparkSpec {
     assert(viewMap(mv) === Map("a" -> ((1L, 30L)), "b" -> ((1L, 200L))))
   }
 
+  test("join view: bilinear refresh equals recompute across asymmetric appends") {
+    import spark.implicits._
+    val l = tmp("jl"); val r = tmp("jr"); val v = tmp("jv")
+    def lrows(p: (Long, String)*) = p.toSeq.toDF("id", "grp")
+    def rrows(p: (Long, Long)*) = p.toSeq.toDF("id", "v")
+    Snapshots.commit(spark, lrows((1, "a"), (2, "b")), l)
+    Snapshots.commit(spark, rrows((1, 10), (1, 20), (2, 5)), r)
+    Views.createJoinView(spark, l, r, v, Seq("id"), Seq("grp"),
+      sumCols = Seq("v"))
+    def state = Views.readJoinView(spark, v).collect()
+      .map(x => x.getString(x.fieldIndex("grp")) ->
+        (x.getLong(x.fieldIndex("n_rows")),
+          x.getLong(x.fieldIndex("sum_v")))).toMap
+    assert(state === Map("a" -> ((2L, 30L)), "b" -> ((1L, 5L))))
+    // left-only window: the new left row joins EXISTING right rows
+    Snapshots.merge(spark, l, lrows((3, "a")), Seq("id"),
+      recordChanges = true)
+    Snapshots.merge(spark, r, rrows((3, 7)), Seq("id"),
+      recordChanges = true)
+    Views.refreshJoinView(spark, v)
+    assert(state === Map("a" -> ((3L, 37L)), "b" -> ((1L, 5L))))
+    // both sides move across the SAME window, including the ΔL ⋈ ΔR
+    // cross term (new left id 4 matches only the new right rows)
+    Snapshots.merge(spark, l, lrows((4, "b")), Seq("id"),
+      recordChanges = true)
+    Snapshots.merge(spark, r, rrows((4, 100), (4, 1)), Seq("id"),
+      recordChanges = true)
+    Views.refreshJoinView(spark, v)
+    assert(state === Map("a" -> ((3L, 37L)), "b" -> ((3L, 106L))))
+    // fresh: no-op
+    val ver = Snapshots.version(spark, s"$v/rows")
+    assert(Views.refreshJoinView(spark, v) === ver)
+  }
+
+  test("join view refuses non-insert feeds loudly") {
+    import spark.implicits._
+    val l = tmp("dl"); val r = tmp("dr"); val v = tmp("dv")
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "grp"), l)
+    Snapshots.commit(spark, Seq((1L, 10L)).toDF("id", "v"), r)
+    Views.createJoinView(spark, l, r, v, Seq("id"), Seq("grp"),
+      sumCols = Seq("v"))
+    Snapshots.delete(spark, l, col("id") === 1, recordChanges = true)
+    val e = intercept[Exception](Views.refreshJoinView(spark, v))
+    assert(e.getMessage.contains("append-only"),
+      s"expected the append-only refusal, got: ${e.getMessage}")
+  }
+
   test("createView rejects colliding group names and non-integral sums") {
     val src = tmp("vsrc")
     import spark.implicits._
