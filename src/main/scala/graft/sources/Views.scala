@@ -302,8 +302,13 @@ object Views {
     * failure mode the file-source contract allows: versions already
     * applied at view-create time are filtered (`version > applied`), a
     * replayed micro-batch is detected by the sentinel's `_mv_batch_id`
-    * and skipped, and racing maintainers CAS through
-    * [[Snapshots.commitIfVersion]]. Pass `Trigger.AvailableNow` for the
+    * and skipped, and a maintainer racing a batch [[refreshView]] CASes
+    * through [[Snapshots.commitIfVersion]]. ONE maintainer stream per
+    * view: `_mv_batch_id` is only monotone within a single checkpoint's
+    * batch sequence, so a second stream on a different checkpoint would
+    * read the first stream's ids as "already applied" and skip real
+    * work (restarting the SAME checkpoint is fine — that is the replay
+    * the guard exists for). Pass `Trigger.AvailableNow` for the
     * catch-up-and-stop cadence.
     */
   def streamRefreshView(
@@ -376,6 +381,11 @@ object Views {
       .intersect(r.columns.filterNot(joinKeys.contains))
     require(clash.isEmpty,
       s"non-key columns collide across the join inputs: ${clash.mkString(", ")}")
+    val jT = (l.schema ++ r.schema).map(f => f.name -> f.dataType).toMap
+    val badSum = sumCols.filterNot(c => integral(jT(c)))
+    require(badSum.isEmpty,
+      s"sum columns must be integral (exact delta maintenance): " +
+        s"${badSum.mkString(", ")}")
     Snapshots.commit(spark,
       Seq((leftDir, rightDir, joinKeys.mkString(","),
         groupCols.mkString(","), sumCols.mkString(",")))
