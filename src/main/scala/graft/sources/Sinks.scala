@@ -1459,10 +1459,16 @@ object Sinks {
   private def snapshotMvJoin(s: SparkSession, d: String): DataFrame = {
     clearDir(s, mvJoinOrdDir); clearDir(s, mvJoinLiDir)
     clearDir(s, mvJoinViewDir)
-    val ord = Tables(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    // bounded key range: the entry's value is the delta algebra, not
+    // table volume — six copy-on-write commits of the full sf0.1
+    // tables cost ~6 s/run for no extra coverage
+    val ord = Tables(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderkey") < 60000)
     val li = Tables(s, d, "lineitem").select(
       col("l_orderkey").as("o_orderkey"),
       col("l_quantity").cast("long").as("qty"))
+      .filter(col("o_orderkey") < 60000)
     Snapshots.commit(s, ord.filter(col("o_orderkey") % 3 === 0), mvJoinOrdDir)
     Snapshots.commit(s, li.filter(col("o_orderkey") % 3 === 0), mvJoinLiDir)
     Views.createJoinView(s, mvJoinOrdDir, mvJoinLiDir, mvJoinViewDir,
@@ -1546,6 +1552,7 @@ object Sinks {
         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey < 60000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the incrementally-maintained rollup must equal the full recompute
     // over the replayed final state — exactly (integer sums, no
