@@ -92,6 +92,9 @@ object Sinks {
   private lazy val mvJoinOrdDir: String = scratch("graft-mv-join-ord")
   private lazy val mvJoinLiDir: String = scratch("graft-mv-join-li")
   private lazy val mvJoinViewDir: String = scratch("graft-mv-join-view")
+  private lazy val mvJrOrdDir: String = scratch("graft-mv-jr-ord")
+  private lazy val mvJrLiDir: String = scratch("graft-mv-jr-li")
+  private lazy val mvJrViewDir: String = scratch("graft-mv-jr-view")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -1493,8 +1496,52 @@ object Sinks {
       .orderBy("o_orderpriority")
   }
 
+  /** The join view under GENERAL changes — inserts, a pre-imaged
+    * UPDATE wave on the lineitem side, and a DELETE wave on the orders
+    * side, all in one refresh window: the refresh classifies the feeds
+    * and takes the touched-group rescan route (the bilinear delta
+    * cannot retract pairs), re-joining only the touched groups' rows
+    * at the two tips. The oracle replays the final join aggregate, so
+    * a hash match certifies retraction-through-rescan equals the full
+    * recompute.
+    */
+  private def snapshotMvJoinRescan(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvJrOrdDir); clearDir(s, mvJrLiDir)
+    clearDir(s, mvJrViewDir)
+    val ord = Tables(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderkey") < 60000)
+    val li = Tables(s, d, "lineitem").select(
+      col("l_orderkey").as("o_orderkey"),
+      col("l_quantity").cast("long").as("qty"))
+      .filter(col("o_orderkey") < 60000)
+    Snapshots.commit(s, ord.filter(col("o_orderkey") % 3 === 0), mvJrOrdDir)
+    Snapshots.commit(s, li.filter(col("o_orderkey") % 3 === 0), mvJrLiDir)
+    Views.createJoinView(s, mvJrOrdDir, mvJrLiDir, mvJrViewDir,
+      Seq("o_orderkey"), Seq("o_orderpriority"), sumCols = Seq("qty"))
+    // inserts on the left…
+    Snapshots.merge(s, mvJrOrdDir,
+      ord.filter(col("o_orderkey") % 3 === 1), Seq("o_orderkey"),
+      recordChanges = true)
+    // …an update wave on the right (replaces each touched key's line
+    // set with bumped quantities; pre-images make it invertible)…
+    Snapshots.merge(s, mvJrLiDir,
+      li.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") < 20000)
+        .withColumn("qty", col("qty") + 5),
+      Seq("o_orderkey"), recordChanges = true, preImages = true)
+    // …and a delete wave back on the left
+    Snapshots.delete(s, mvJrOrdDir, col("o_orderkey") % 10 === 7,
+      recordChanges = true)
+    Views.refreshJoinView(s, mvJrViewDir)
+    Views.readJoinView(s, mvJrViewDir)
+      .select(col("o_orderpriority"), col("n_rows").as("n_lines"),
+        col("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_mv_join" -> (snapshotMvJoin _),
+    "q_snapshot_mv_join_rescan" -> (snapshotMvJoinRescan _),
     "q_snapshot_mv_refresh" -> (snapshotMvRefresh _),
     "q_snapshot_mv_minmax" -> (snapshotMvMinmax _),
     "q_snapshot_mv_stream" -> (snapshotMvStream _),
@@ -1553,6 +1600,25 @@ object Sinks {
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderkey < 60000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // general-change join maintenance: orders = thirds 0∪1 minus the
+    // %10=7 deletes; lineitem = third 0 with the <20000 band's
+    // quantities bumped by the update wave
+    "q_snapshot_mv_join_rescan" ->
+      """WITH ords AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey < 60000 AND o_orderkey % 3 IN (0, 1)
+        |    AND o_orderkey % 10 <> 7),
+        |li AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    CAST(l_quantity AS BIGINT) +
+        |      CASE WHEN l_orderkey < 20000 THEN 5 ELSE 0 END AS qty
+        |  FROM lineitem
+        |  WHERE l_orderkey < 60000 AND l_orderkey % 3 = 0)
+        |SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+        |FROM ords JOIN li USING (o_orderkey)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the incrementally-maintained rollup must equal the full recompute
     // over the replayed final state — exactly (integer sums, no

@@ -345,10 +345,18 @@ object Views {
   // on a key-clustered table — NOT the zero-source-read of the
   // single-table delta path, and documented as such.
   //
-  // APPEND-ONLY by contract: deletes/updates on a join input would
-  // need the retracted rows joined against the exact other-side
-  // version each historical insert paired with — the refresh THROWS
-  // on any non-insert feed row rather than approximating.
+  // The PURE-DELTA path is append-only: retracting a historical pair
+  // would need the exact other-side version it joined against. Feeds
+  // carrying deletes/updates take the TOUCHED-GROUP RESCAN route
+  // instead: any group whose aggregate changed must contain a pair
+  // involving a Δrow, and that pair is visible in Δside ⋈ the version
+  // of the other side it paired with — deleted pairs in the OLD
+  // versions, inserted pairs in the NEW — so
+  //   touched ⊇ groups( ΔL⋈R_old ∪ ΔL⋈R_new ∪ L_old⋈ΔR ∪ L_new⋈ΔR )
+  // is a conservative superset, and the refresh re-joins ONLY those
+  // groups' rows at both tips (semi-join pushdown), carrying every
+  // untouched group unread. O(|Δ| × matches + touched-group join
+  // volume) — still never full ⋈ full.
   //
   // Layout: `viewDir/params` (sources, keys, definition — refresh
   // takes only the viewDir) + `viewDir/rows` (the agg rows, sentinel
@@ -404,23 +412,25 @@ object Views {
   def readJoinView(spark: SparkSession, viewDir: String): DataFrame =
     readView(spark, s"$viewDir/rows")
 
-  /** The insert rows of a feed window, with a per-row guard that
-    * throws on any non-insert change (the append-only contract). */
-  private def insertsOnly(feed: DataFrame, side: String): DataFrame = {
-    val guard = when(col("change_type") === "insert", lit(1L))
-      .otherwise(raise_error(concat(
-        lit(s"join views are append-only; the $side input recorded a '"),
-        col("change_type"), lit("' change — rebuild the view")))
-        .cast(LongType))
-    feed.withColumn("_mv_guard", guard).filter(col("_mv_guard") === 1L)
-      .drop("_mv_guard", "change_type", "version")
-  }
-
-  /** Bring the join view up to both sources' current versions with the
-    * bilinear rule: `Δ = agg(ΔL ⋈ R_new) + agg(L_old ⋈ ΔR)`, where
-    * `L_old` is the left input time-traveled to the view's applied
-    * version. Sources and definition come from the view's own params;
-    * commits via CAS like the single-table refresh. */
+  /** Bring the join view up to both sources' current versions. The
+    * refresh classifies the stale window's feed rows (one tiny
+    * distinct per side) and picks the cheapest sound route:
+    *
+    *  - ALL-INSERT feeds: the bilinear delta —
+    *    `Δ = agg(ΔL ⋈ R_new) + agg(L_old ⋈ ΔR)`, with `L_old`
+    *    time-traveled to the view's applied version. Two small joins,
+    *    no group recomputed.
+    *  - feeds with deletes or pre/post-imaged updates: TOUCHED-GROUP
+    *    RESCAN — the groups of every Δ-pair (each delta joined against
+    *    BOTH versions of the other side, a conservative superset)
+    *    recompute from the two tips behind a semi-join; untouched
+    *    groups carry over unread.
+    *  - post-only `update` rows: refused loudly (the retracted pair's
+    *    join key is unrecoverable) — record merges with
+    *    `preImages = true`.
+    *
+    * Sources and definition come from the view's own params; commits
+    * via CAS like the single-table refresh. */
   def refreshJoinView(
       spark: SparkSession,
       viewDir: String,
@@ -446,23 +456,54 @@ object Views {
           s"$rightDir $tipR<$aR): rebuild the view")
       if (tipL == aL && tipR == aR) return base
       val aggRows = dropMeta(mv.filter(col("n_rows") > 0))
-      val rNew = Snapshots.readVersion(spark, rightDir, tipR)
-      val lOld = Snapshots.readVersion(spark, leftDir, aL)
-      val dL =
+      val dLfeed =
         if (tipL == aL) None
-        else Some(insertsOnly(
-          Snapshots.changesFeed(spark, leftDir, aL, tipL), "left"))
-      val dR =
+        else Some(Snapshots.changesFeed(spark, leftDir, aL, tipL))
+      val dRfeed =
         if (tipR == aR) None
-        else Some(insertsOnly(
-          Snapshots.changesFeed(spark, rightDir, aR, tipR), "right"))
-      val deltaRows = (dL.map(_.join(rNew, joinKeys)) ++
-        dR.map(lOld.join(_, joinKeys)))
-        .reduce(_ unionByName _)
-      // additive application reuses the single-table delta path: every
-      // delta row is an insert by construction
-      val next = applyDeltas(aggRows,
-        deltaRows.withColumn("change_type", lit("insert")), d)
+        else Some(Snapshots.changesFeed(spark, rightDir, aR, tipR))
+      // classify the window: one O(|distinct change kinds|) action per
+      // moved side — the price of picking the cheap route safely
+      val kinds = (dLfeed.toSeq ++ dRfeed.toSeq)
+        .map(_.select("change_type").distinct()
+          .collect().map(_.getString(0)).toSet)
+        .foldLeft(Set.empty[String])(_ ++ _)
+      require(!kinds.contains("update"),
+        "join-view refresh needs invertible feeds: a post-only " +
+          "'update' row hides the retracted pair's join key — record " +
+          "merges with preImages = true")
+      val rNew = Snapshots.readVersion(spark, rightDir, tipR)
+      val lNew = Snapshots.readVersion(spark, leftDir, tipL)
+      val dL = dLfeed.map(_.drop("change_type", "version"))
+      val dR = dRfeed.map(_.drop("change_type", "version"))
+      val next =
+        if (kinds.subsetOf(Set("insert"))) {
+          val lOld = Snapshots.readVersion(spark, leftDir, aL)
+          val deltaRows = (dL.map(_.join(rNew, joinKeys)) ++
+            dR.map(lOld.join(_, joinKeys)))
+            .reduce(_ unionByName _)
+          // additive application reuses the single-table delta path:
+          // every delta row is an insert by construction
+          applyDeltas(aggRows,
+            deltaRows.withColumn("change_type", lit("insert")), d)
+        } else {
+          val lOld = Snapshots.readVersion(spark, leftDir, aL)
+          val rOld = Snapshots.readVersion(spark, rightDir, aR)
+          val touched = (dL.toSeq.flatMap(f =>
+            Seq(f.join(rOld, joinKeys), f.join(rNew, joinKeys))) ++
+            dR.toSeq.flatMap(f =>
+              Seq(lOld.join(f, joinKeys), lNew.join(f, joinKeys))))
+            .map(_.select(d.groupCols.map(col): _*))
+            .reduce(_ unionByName _).distinct()
+          val tKeyed = touched
+            .select(d.groupCols.map(c => col(c).as(s"_t_$c")): _*)
+          val recomputed = aggregate(
+            lNew.join(rNew, joinKeys)
+              .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi"),
+            d.groupCols, d.sumCols, Nil, Nil)
+          aggRows.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
+            .unionByName(recomputed)
+        }
       Snapshots.commitIfVersion(spark,
         withMetaCols(spark, next, d,
           Seq("_mv_srcl_version" -> tipL, "_mv_srcr_version" -> tipR)),

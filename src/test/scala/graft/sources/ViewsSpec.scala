@@ -168,17 +168,46 @@ class ViewsSpec extends SparkSpec {
     assert(Views.refreshJoinView(spark, v) === ver)
   }
 
-  test("join view refuses non-insert feeds loudly") {
+  test("join view general changes: deletes and updates via touched-group rescan") {
     import spark.implicits._
     val l = tmp("dl"); val r = tmp("dr"); val v = tmp("dv")
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp"), l)
+    Snapshots.commit(spark,
+      Seq((1L, 10L), (2L, 20L), (2L, 1L), (3L, 5L)).toDF("id", "v"), r)
+    Views.createJoinView(spark, l, r, v, Seq("id"), Seq("grp"),
+      sumCols = Seq("v"))
+    def state = Views.readJoinView(spark, v).collect()
+      .map(x => x.getString(x.fieldIndex("grp")) ->
+        (x.getLong(x.fieldIndex("n_rows")),
+          x.getLong(x.fieldIndex("sum_v")))).toMap
+    assert(state === Map("a" -> ((3L, 31L)), "b" -> ((1L, 5L))))
+    // a DELETE on the left retracts every pair of id 1; an UPDATE on
+    // the right (pre-imaged) replaces id 2's rows; group b untouched
+    Snapshots.delete(spark, l, col("id") === 1, recordChanges = true)
+    Snapshots.merge(spark, r, Seq((2L, 100L)).toDF("id", "v"),
+      Seq("id"), recordChanges = true, preImages = true)
+    Views.refreshJoinView(spark, v)
+    assert(state === Map("a" -> ((1L, 100L)), "b" -> ((1L, 5L))))
+    // a group can vanish entirely when its last pairs retract
+    Snapshots.delete(spark, r, col("id") === 3, recordChanges = true)
+    Views.refreshJoinView(spark, v)
+    assert(state === Map("a" -> ((1L, 100L))))
+  }
+
+  test("join view refuses post-only update feeds loudly") {
+    import spark.implicits._
+    val l = tmp("pl"); val r = tmp("pr"); val v = tmp("pv")
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "grp"), l)
     Snapshots.commit(spark, Seq((1L, 10L)).toDF("id", "v"), r)
     Views.createJoinView(spark, l, r, v, Seq("id"), Seq("grp"),
       sumCols = Seq("v"))
-    Snapshots.delete(spark, l, col("id") === 1, recordChanges = true)
+    // matched-key merge WITHOUT preImages: a bare 'update' row
+    Snapshots.merge(spark, r, Seq((1L, 99L)).toDF("id", "v"),
+      Seq("id"), recordChanges = true)
     val e = intercept[Exception](Views.refreshJoinView(spark, v))
-    assert(e.getMessage.contains("append-only"),
-      s"expected the append-only refusal, got: ${e.getMessage}")
+    assert(e.getMessage.contains("preImages"),
+      s"expected the pre-image requirement, got: ${e.getMessage}")
   }
 
   test("createView rejects colliding group names and non-integral sums") {
