@@ -95,6 +95,8 @@ object Sinks {
   private lazy val mvJrOrdDir: String = scratch("graft-mv-jr-ord")
   private lazy val mvJrLiDir: String = scratch("graft-mv-jr-li")
   private lazy val mvJrViewDir: String = scratch("graft-mv-jr-view")
+  private lazy val appendSrcDir: String = scratch("graft-append-src")
+  private lazy val appendViewDir: String = scratch("graft-append-view")
 
   private def clearDir(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -1539,7 +1541,43 @@ object Sinks {
       .orderBy("o_orderpriority")
   }
 
+  /** The O(batch) INGEST PATH end to end: two [[Snapshots.append]]
+    * batches land as their own files with every base file carried by
+    * reference (zero rewrites — SnapshotsSpec pins the file sets), the
+    * recorded insert feed drives ONE [[Views.refreshView]], and the
+    * standing rollup comes out equal to the full recompute. No step
+    * anywhere in the walk carries a table-size term: append is
+    * O(batch), the view delta is O(changes) — the shape a 100 TB
+    * continuous-ingest pipeline actually runs. `append_ok` pins the
+    * zero-rewrite property in-entry (v1's data files all survive into
+    * v3's scan set).
+    */
+  private def snapshotAppend(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, appendSrcDir); clearDir(s, appendViewDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 300), appendSrcDir,
+      statsColumns = Seq("doc_id"))
+    Views.createView(s, appendSrcDir, appendViewDir, Seq("lang"),
+      sumCols = Seq("n_chars"))
+    Snapshots.append(s, appendSrcDir,
+      docs.filter(col("doc_id").between(300, 599)), Seq("doc_id"),
+      recordChanges = true)
+    Snapshots.append(s, appendSrcDir,
+      docs.filter(col("doc_id").between(600, 899)), Seq("doc_id"),
+      recordChanges = true)
+    Views.refreshView(s, appendSrcDir, appendViewDir)
+    val f1 = Snapshots.readVersion(s, appendSrcDir, 1L).inputFiles.toSet
+    val f3 = Snapshots.readVersion(s, appendSrcDir, 3L).inputFiles.toSet
+    val ok = if (f1.subsetOf(f3)) 1L else 0L
+    Views.readView(s, appendViewDir)
+      .select(col("lang"), col("n_rows").as("n_docs"),
+        col("sum_n_chars").as("sum_chars"))
+      .withColumn("append_ok", lit(ok))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_append" -> (snapshotAppend _),
     "q_snapshot_mv_join" -> (snapshotMvJoin _),
     "q_snapshot_mv_join_rescan" -> (snapshotMvJoinRescan _),
     "q_snapshot_mv_refresh" -> (snapshotMvRefresh _),
@@ -1601,6 +1639,15 @@ object Sinks {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderkey < 60000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the O(batch) ingest path: appended rows land beside the base,
+    // the rollup refreshes from the insert feed — final state is the
+    // plain union, and append_ok pins the zero-rewrite property
+    "q_snapshot_append" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS append_ok
+        |FROM documents WHERE doc_id < 900
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // general-change join maintenance: orders = thirds 0∪1 minus the
     // %10=7 deletes; lineitem = third 0 with the <20000 band's
     // quantities bumped by the update wave

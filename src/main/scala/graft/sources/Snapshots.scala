@@ -2225,6 +2225,58 @@ object Snapshots {
     }
   }
 
+  /** O(batch) APPEND — the most common lake write: the batch's rows
+    * land as this commit's OWN data files and EVERY base data file is
+    * carried by reference with its manifest row intact — zero base
+    * reads, zero rewrites, write cost O(batch) at any table size
+    * (the insert-only path copy-on-write [[merge]] pays an anti-join
+    * and a full rewrite for). Requires a stats manifest on the base
+    * (any `statsColumns` commit publishes one — the carried rows ARE
+    * the manifest) and, like the scoped merge, refuses pending
+    * merge-on-read sidecars (carrying a base file raw under a pending
+    * delete set would resurrect deleted rows — fold first).
+    * `recordChanges` records the batch as `insert` feed rows, which
+    * keeps [[Views.refreshView]] maintenance O(batch) end to end:
+    * O(batch) write, O(changes) view delta, zero table-size terms
+    * anywhere in the ingest path. The batch must match the table's
+    * columns (strict — appends cannot evolve schema); expectations are
+    * enforced on the new rows (the carried rows passed at their own
+    * commit time).
+    */
+  def append(
+      spark: SparkSession,
+      tableDir: String,
+      rows: DataFrame,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      recordChanges: Boolean = false,
+      maxRetries: Int = 10): Long =
+    occLoop(spark, tableDir, statsColumns, bloomColumns, maxRetries) {
+      (base, cur) =>
+        val snapDir = s"$tableDir/snap-$base"
+        require(cur.columns.toSet == rows.columns.toSet,
+          s"append batch columns ${rows.columns.toSeq} do not match the " +
+            s"table's ${cur.columns.toSeq} (appends cannot evolve schema)")
+        require(!fc(spark).util().exists(new Path(s"$snapDir/_mor_deletes")),
+          s"append on $tableDir with a pending merge-on-read delete " +
+            "set: fold it first (compact or a full rewrite)")
+        require(!fc(spark).util().exists(new Path(s"$snapDir/_pos_deletes")),
+          s"append on $tableDir with pending positional delete vectors: " +
+            "fold them first (compact or a full rewrite)")
+        val rebased = carriedManifestOf(spark, tableDir, base).getOrElse(
+          throw new IllegalArgumentException(
+            s"append needs a stats manifest on $tableDir version $base " +
+              "(commit/merge with statsColumns): the carried-by-" +
+              "reference rows are the manifest"))
+        val aligned = rows.select(cur.columns.map(col).toIndexedSeq: _*)
+        val feed = if (!recordChanges) None else Some(
+          aligned.select(lit("insert").as("change_type") +:
+            aligned.columns.toSeq.map(col): _*))
+        (aligned, Sidecars(changes = feed,
+          refs = Some(rebased.select(col("file").as("path"))),
+          carriedManifest = Some(rebased)))
+    }
+
   /** Copy-on-write DELETE: rows where `predicate` is TRUE are dropped;
     * rows where it is FALSE **or NULL** are kept (SQL `DELETE WHERE`
     * semantics — a NULL predicate never deletes). Commits the survivors

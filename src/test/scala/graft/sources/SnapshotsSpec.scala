@@ -1412,4 +1412,36 @@ class SnapshotsSpec extends SparkSpec {
     assert(drain() == Seq((2L, 2L, "update", "B"), (2L, 3L, "insert", "c"),
       (3L, 1L, "delete", "a"), (4L, 4L, "insert", "d")))
   }
+
+  test("append carries every base file by reference and writes only the batch") {
+    val dir = Files.createTempDirectory("graft-snap-append").toString
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir,
+      statsColumns = Seq("id"))
+    val v1Files = Snapshots.readVersion(spark, dir, 1L).inputFiles.toSet
+    Snapshots.append(spark, dir,
+      Seq((3L, "c"), (4L, "d")).toDF("id", "v"), Seq("id"),
+      recordChanges = true)
+    // state = union; the batch is recorded as insert feed rows
+    assert(Snapshots.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(Snapshots.changesFeed(spark, dir, 1L, 2L)
+      .select("change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("insert", 3L), ("insert", 4L)))
+    // ZERO rewrite: every v1 data file is still part of v2's scan set
+    val v2Files = Snapshots.readVersion(spark, dir, 2L).inputFiles.toSet
+    assert(v1Files.subsetOf(v2Files), "append rewrote base files")
+    // time travel untouched; range pruning still works over the
+    // merged manifest (carried rows + the batch's new rows)
+    assert(Snapshots.readVersion(spark, dir, 1L).count() == 2L)
+    assert(Snapshots.readRange(spark, dir, "id", 3L, 4L).count() == 2L)
+    // refusal without a manifest (nothing to carry by)
+    val bare = Files.createTempDirectory("graft-snap-append-bare").toString
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), bare)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.append(spark, bare, Seq((2L, "b")).toDF("id", "v")))
+    assert(e.getMessage.contains("stats manifest"))
+  }
 }
