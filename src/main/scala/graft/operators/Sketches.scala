@@ -744,10 +744,13 @@ object Sketches {
   }
 
   /** Sparse filter words: one row per non-empty 32-bit word,
-    * `(groupCols…, word, bits)`. */
+    * `(groupCols…, word, bits)`. A NULL value contributes no
+    * membership (SQL's aggregates-ignore-NULL discipline) — the probe
+    * side answers NULL probes with hit = 0 for the same reason, so
+    * the one-sided law holds across the pair. */
   def bloomWords(
       df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
-    bloomPositions(df, groupCols.map(col), value)
+    bloomPositions(df.filter(value.isNotNull), groupCols.map(col), value)
       .select(groupCols.map(col)
         :+ shiftright(col("pos"), 5).cast("int").as("word")
         :+ col("pos"): _*)
@@ -774,6 +777,8 @@ object Sketches {
     require(carryCols.forall(c =>
       !(bloomReserved ++ groupCols).contains(c)),
       s"carry columns collide with sketch/group columns: $carryCols")
+    require(groupCols.forall(c => !c.startsWith("_w_")),
+      s"group columns collide with the probe's word-side aliases: $groupCols")
     val collapsed = words
       .groupBy((groupCols :+ "word").map(col): _*)
       .agg(expr("bit_or(bits)").as("bits"))
@@ -787,13 +792,27 @@ object Sketches {
         :+ shiftright(col("pos"), 5).cast("int").as("word")
         :+ expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 31 AS INT))")
           .as("mask"): _*)
+    // NULL-SAFE group join: a NULL group-key value is a legitimate
+    // group in the word table (groupBy treats NULL as a key), so a
+    // plain equi-join would orphan that group's own words and read a
+    // PRESENT value as hit = 0 — a false negative that breaks the
+    // one-sided law. `<=>` on the group columns; `word` needs no such
+    // care (positions of a non-null v are never null, and NULL probe
+    // values fall through to the coalesce below).
+    val wKeyed = collapsed.select(
+      groupCols.map(c => col(c).as(s"_w_$c"))
+        :+ col("word").as("_w_word") :+ col("bits"): _*)
     groups.crossJoin(broadcast(pbits))
-      .join(collapsed, groupCols :+ "word", "left")
+      .join(wKeyed,
+        (groupCols.map(c => col(c) <=> col(s"_w_$c"))
+          :+ (col("word") === col("_w_word"))).reduce(_ && _), "left")
       .withColumn("bit_set",
         (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L)
           .cast("long"))
       .groupBy((groupCols ++ carryCols :+ "v").map(col): _*)
-      .agg(min(col("bit_set")).as("hit"))
+      // NULL probe values were never inserted at build (bloomWords
+      // filters them), so "definitely absent" — hit 0, not NULL
+      .agg(coalesce(min(col("bit_set")), lit(0L)).as("hit"))
   }
 
   /** Build the persisted membership sketch — same layout contract as

@@ -2257,6 +2257,22 @@ object Snapshots {
         require(cur.columns.toSet == rows.columns.toSet,
           s"append batch columns ${rows.columns.toSeq} do not match the " +
             s"table's ${cur.columns.toSeq} (appends cannot evolve schema)")
+        // strict TYPE contract, same as mergeOnRead's and for the same
+        // mixed-footer reason: the batch's files land NEXT TO base files
+        // carried by reference, and stage() declares the version's
+        // _schema from the new rows alone — a divergent type (IntegerType
+        // beside the base's LongType) would commit fine and then corrupt
+        // or fail every later read of the carried files
+        locally {
+          val curT = cur.schema.map(f => f.name -> f.dataType).toMap
+          val rowsT = rows.schema.map(f => f.name -> f.dataType).toMap
+          val diverged = curT.collect {
+            case (c, t) if rowsT(c) != t => s"$c: ${rowsT(c)} vs table $t"
+          }
+          require(diverged.isEmpty,
+            s"append batch schema diverges from the table's on $tableDir " +
+              s"(${diverged.mkString("; ")}) — appends cannot evolve types")
+        }
         require(!fc(spark).util().exists(new Path(s"$snapDir/_mor_deletes")),
           s"append on $tableDir with a pending merge-on-read delete " +
             "set: fold it first (compact or a full rewrite)")

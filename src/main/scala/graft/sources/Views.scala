@@ -281,10 +281,22 @@ object Views {
       val aggRows = mv.filter(col("n_rows") > 0).drop(MetaCols: _*)
       val feed = Snapshots.changesFeed(spark, srcDir, applied, tip)
       val next =
-        if (d.hasRescanAggs)
+        if (d.hasRescanAggs) {
+          // rescan is only sound when the feed names EVERY touched
+          // group: a post-only 'update' row that moved a row across
+          // groups carries only the NEW group's key, so the old group
+          // would fall outside the touched set and go silently stale.
+          // One O(|distinct change kinds|) action — the same loud
+          // refusal the delta path and refreshJoinView enforce.
+          val kinds = feed.select("change_type").distinct()
+            .collect().map(_.getString(0)).toSet
+          require(!kinds.contains("update"),
+            "min/max view refresh needs invertible feeds: a post-only " +
+              "'update' row hides the row's previous group — record " +
+              "merges with preImages = true")
           rescanTouched(aggRows, feed,
             Snapshots.readVersion(spark, srcDir, tip), d)
-        else applyDeltas(aggRows, feed, d)
+        } else applyDeltas(aggRows, feed, d)
       Snapshots.commitIfVersion(spark, withMeta(spark, next, d, tip, -1L),
         viewDir, base, statsColumns = d.groupCols) match {
         case Some(v) => return v

@@ -396,6 +396,32 @@ class SketchesSpec extends SparkSpec {
       == want)
   }
 
+  test("bloom law holds under NULL group keys and NULL probe values") {
+    import spark.implicits._
+    // a NULL group key is a legitimate group: its own present values
+    // must still probe 1 (the null-safe join), and NULL values are
+    // never members — build ignores them, probes answer 0, never NULL
+    val df = Seq(
+      (Some("g1"), Some("apple")), (Some("g1"), Some("pear")),
+      (None: Option[String], Some("kiwi")),
+      (None: Option[String], Some("plum")),
+      (Some("g1"), None: Option[String])).toDF("source", "tok")
+    val words = Sketches.bloomWords(df, Seq("source"), col("tok"))
+    val probes = Seq(Some("kiwi"), Some("apple"),
+      None: Option[String]).toDF("tok")
+    val hits = Sketches.bloomProbe(words, Seq("source"), probes, col("tok"))
+      .collect()
+      .map(r => (Option(r.getAs[String]("source")),
+        Option(r.getAs[String]("v")), r.getAs[Long]("hit"))).toSet
+    // every (group, probe) pair answered, hit never NULL
+    assert(hits.size == 6, s"expected 2 groups x 3 probes, got $hits")
+    // the NULL group's own member probes 1 there (no false negative)
+    assert(hits.contains((None, Some("kiwi"), 1L)))
+    assert(hits.contains((Some("g1"), Some("apple"), 1L)))
+    // NULL probe values read definitely-absent in every group
+    assert(hits.filter(_._2.isEmpty).forall(_._3 == 0L))
+  }
+
   test("racing bloom adds land distinct generations — no lost words") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

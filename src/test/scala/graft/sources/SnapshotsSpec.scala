@@ -1443,5 +1443,15 @@ class SnapshotsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Snapshots.append(spark, bare, Seq((2L, "b")).toDF("id", "v")))
     assert(e.getMessage.contains("stats manifest"))
+    // refusal on a divergent TYPE: the batch's files would land beside
+    // the carried base files with a different physical schema, and the
+    // committed _schema (declared from the batch alone) would corrupt
+    // every later mixed-footer read — same strict contract as
+    // mergeOnRead
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.append(spark, dir,
+        Seq((5, "e")).toDF("id", "v"), Seq("id")))
+    assert(e2.getMessage.contains("diverges"),
+      s"expected the type-divergence error, got: ${e2.getMessage}")
   }
 }

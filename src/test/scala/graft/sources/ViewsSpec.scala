@@ -114,6 +114,38 @@ class ViewsSpec extends SparkSpec {
       s"expected the non-invertible-feed error, got: ${e.getMessage}")
   }
 
+  test("post-only update rows fail the min/max RESCAN refresh loudly too") {
+    // the rescan path's hazard is subtler than the delta path's: a
+    // post-only update that MOVED a row across groups names only the
+    // new group, so the old group would silently keep its stale
+    // aggregates — the refresh must refuse rather than under-touch
+    val src = tmp("pmsrc"); val mv = tmp("pmmv")
+    Snapshots.commit(spark, rows((1, "a", 10), (2, "b", 5)), src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"),
+      maxCols = Seq("v"))
+    // a matched-key merge without preImages records a bare `update`
+    // row that moves id=1 from group a to group b
+    Snapshots.merge(spark, src, rows((1, "b", 999)), Seq("id"),
+      recordChanges = true)
+    val e = intercept[Exception](Views.refreshView(spark, src, mv))
+    assert(e.getMessage.contains("preImages"),
+      s"expected the non-invertible-feed error, got: ${e.getMessage}")
+    // and with pre-images the same move refreshes correctly: group a
+    // empties out, group b absorbs the row
+    val src2 = tmp("pm2src"); val mv2 = tmp("pm2mv")
+    Snapshots.commit(spark, rows((1, "a", 10), (2, "b", 5)), src2)
+    Views.createView(spark, src2, mv2, Seq("grp"), sumCols = Seq("v"),
+      maxCols = Seq("v"))
+    Snapshots.merge(spark, src2, rows((1, "b", 999)), Seq("id"),
+      recordChanges = true, preImages = true)
+    Views.refreshView(spark, src2, mv2)
+    val got = Views.readView(spark, mv2).collect()
+      .map(r => r.getString(r.fieldIndex("grp")) ->
+        (r.getLong(r.fieldIndex("n_rows")),
+          r.getLong(r.fieldIndex("max_v")))).toMap
+    assert(got === Map("b" -> ((2L, 999L))))
+  }
+
   test("streaming maintenance: drain equals recompute, second drain is a no-op") {
     val src = tmp("ssrc"); val mv = tmp("smv"); val ckpt = tmp("sckpt")
     Snapshots.commit(spark, rows().limit(0), src)
