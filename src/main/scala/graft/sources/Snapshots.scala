@@ -1645,6 +1645,34 @@ object Snapshots {
     }
   }
 
+  /** Whether version `v`'s stats manifest publishes a min/max envelope
+    * for EVERY one of `cols` (logical names) — the precondition for a
+    * [[readRange]]/[[readRanges]] prune to consult file stats at all.
+    * Callers that can route a read either way (e.g. a view refresh
+    * bounding the unchanged join side by the delta's key envelope) ask
+    * this first and fall back to the plain scan on false. One
+    * manifest-schema read — O(manifest), never O(data). `v = 0` checks
+    * the latest version.
+    */
+  def statsCover(
+      spark: SparkSession,
+      tableDir: String,
+      cols: Seq[String],
+      v: Long = 0L): Boolean = {
+    val ver = if (v >= 1) v else version(spark, tableDir)
+    require(ver >= 1, s"no committed snapshot in $tableDir")
+    val snapDir = s"$tableDir/snap-$ver"
+    fc(spark).util().exists(new Path(manifestDir(snapDir))) && {
+      val pairs = mapAt(spark, tableDir, ver)
+      val names = spark.read.parquet(manifestDir(snapDir))
+        .schema.map(_.name).toSet
+      cols.forall { c =>
+        val ph = physicalOf(pairs, c)
+        names(s"min_$ph") && names(s"max_$ph")
+      }
+    }
+  }
+
   /** Metadata-only table statistics: `(n_rows, min_c, max_c, ...)` for
     * the requested stats columns, answered from the MANIFEST — O(root
     * list) when the two-level layout is present, O(manifest rows)

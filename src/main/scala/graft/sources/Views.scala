@@ -232,6 +232,56 @@ object Views {
       .filter(col("n_rows") > 0)
   }
 
+  /** A versioned read of `dir` restricted to rows whose `keys` values
+    * can match some row of `probe` — the manifest-pruned half of every
+    * delta join: the probe's per-key envelope (ONE tiny aggregate over
+    * the probe, typically a change feed) routes the read through
+    * [[Snapshots.readRanges]] when version `v` publishes file stats
+    * for every key, so a key-clustered side reads O(matching files)
+    * instead of O(table); sides without covering stats fall back to
+    * the plain versioned scan — never a wrong answer, only a wider
+    * read.
+    *
+    * Correctness: file envelopes and the residual both only drop rows
+    * OUTSIDE the probe's [min, max] per key, so the pruned frame is a
+    * superset of everything a null-unsafe equi-match on `keys` could
+    * select (probe rows with a NULL key match nothing under `=`).
+    * Callers matching null-safely (`<=>`, the touched-group rescan)
+    * pass `nullSafe = true`: min/max ignore NULLs, so a NULL-keyed
+    * probe row forces the full read there. A probe with no non-null
+    * value on some key proves the equi-join empty — `limit(0)`, no
+    * read at all.
+    */
+  private[graft] def readMatching(
+      spark: SparkSession,
+      dir: String,
+      v: Long,
+      probe: DataFrame,
+      keys: Seq[String],
+      nullSafe: Boolean = false): DataFrame = {
+    def full = Snapshots.readVersion(spark, dir, v)
+    if (!Snapshots.statsCover(spark, dir, keys, v)) full
+    else {
+      val aggs = keys.flatMap(k => Seq(
+        min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"),
+        max(col(k).isNull.cast(LongType)).as(s"_null_$k")))
+      val env = probe.select(keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*).head()
+      val anyNull = keys.indices.exists(i =>
+        !env.isNullAt(3 * i + 2) && env.getLong(3 * i + 2) == 1L)
+      if (nullSafe && anyNull) full
+      else if (keys.indices.exists(i => env.isNullAt(3 * i)))
+        // some key has no non-null probe value: nothing can equi-match
+        // — an empty LOCAL relation, zero files planned or read
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          full.schema)
+      else Snapshots.readRanges(spark, dir,
+        keys.zipWithIndex.map { case (k, i) =>
+          (k, env.get(3 * i), env.get(3 * i + 1)) }, v)
+    }
+  }
+
   /** Re-aggregate only the groups the feed touched from the source tip;
     * carry every untouched group's row over unread. Exact for ALL
     * aggregate kinds (it recomputes), at O(|changes| + touched-group
@@ -294,8 +344,13 @@ object Views {
             "min/max view refresh needs invertible feeds: a post-only " +
               "'update' row hides the row's previous group — record " +
               "merges with preImages = true")
+          // the rescan's source read is bounded by the touched groups'
+          // key envelope: on a source clustered by the group columns it
+          // reads O(touched files), not O(table) (null-safe — a NULL
+          // touched key falls back to the full read)
           rescanTouched(aggRows, feed,
-            Snapshots.readVersion(spark, srcDir, tip), d)
+            readMatching(spark, srcDir, tip, feed, d.groupCols,
+              nullSafe = true), d)
         } else applyDeltas(aggRows, feed, d)
       Snapshots.commitIfVersion(spark, withMeta(spark, next, d, tip, -1L),
         viewDir, base, statsColumns = d.groupCols) match {
@@ -352,10 +407,13 @@ object Views {
   // side, never full ⋈ full. Snapshot time travel is what makes the
   // asymmetry exact: `L_old` is literally `readVersion(leftDir,
   // appliedLeftVersion)` — no bookkeeping copies, the lakehouse layer
-  // already stores every version. Cost is O(|Δ| × matching rows), with
-  // the delta side broadcast and the big side pruned by the join keys
-  // on a key-clustered table — NOT the zero-source-read of the
-  // single-table delta path, and documented as such.
+  // already stores every version. The unchanged side is read through
+  // [[readMatching]]: the delta's join-key envelope consults the
+  // side's stats manifest, so a key-clustered side scans O(matching
+  // files), not O(table) — with the full scan as the stats-less
+  // fallback. Cost is O(|Δ| × matching rows + matching files' read) —
+  // NOT the zero-source-read of the single-table delta path, and
+  // documented as such.
   //
   // The PURE-DELTA path is append-only: retracting a historical pair
   // would need the exact other-side version it joined against. Feeds
@@ -431,7 +489,8 @@ object Views {
     *  - ALL-INSERT feeds: the bilinear delta —
     *    `Δ = agg(ΔL ⋈ R_new) + agg(L_old ⋈ ΔR)`, with `L_old`
     *    time-traveled to the view's applied version. Two small joins,
-    *    no group recomputed.
+    *    no group recomputed, and each "other side" read manifest-pruned
+    *    to the delta's join-key envelope ([[readMatching]]).
     *  - feeds with deletes or pre/post-imaged updates: TOUCHED-GROUP
     *    RESCAN — the groups of every Δ-pair (each delta joined against
     *    BOTH versions of the other side, a conservative superset)
@@ -484,27 +543,35 @@ object Views {
         "join-view refresh needs invertible feeds: a post-only " +
           "'update' row hides the retracted pair's join key — record " +
           "merges with preImages = true")
-      val rNew = Snapshots.readVersion(spark, rightDir, tipR)
-      val lNew = Snapshots.readVersion(spark, leftDir, tipL)
       val dL = dLfeed.map(_.drop("change_type", "version"))
       val dR = dRfeed.map(_.drop("change_type", "version"))
+      // every "delta ⋈ other side" term reads the other side through
+      // [[readMatching]]: the delta's join-key envelope prunes a
+      // key-clustered side to O(matching files) via its stats manifest
+      // (the plain scan remains the fallback — wider, never wrong)
       val next =
         if (kinds.subsetOf(Set("insert"))) {
-          val lOld = Snapshots.readVersion(spark, leftDir, aL)
-          val deltaRows = (dL.map(_.join(rNew, joinKeys)) ++
-            dR.map(lOld.join(_, joinKeys)))
+          val deltaRows = (dL.map(f => f.join(
+            readMatching(spark, rightDir, tipR, f, joinKeys), joinKeys)) ++
+            dR.map(f => readMatching(spark, leftDir, aL, f, joinKeys)
+              .join(f, joinKeys)))
             .reduce(_ unionByName _)
           // additive application reuses the single-table delta path:
           // every delta row is an insert by construction
           applyDeltas(aggRows,
             deltaRows.withColumn("change_type", lit("insert")), d)
         } else {
-          val lOld = Snapshots.readVersion(spark, leftDir, aL)
-          val rOld = Snapshots.readVersion(spark, rightDir, aR)
-          val touched = (dL.toSeq.flatMap(f =>
-            Seq(f.join(rOld, joinKeys), f.join(rNew, joinKeys))) ++
-            dR.toSeq.flatMap(f =>
-              Seq(lOld.join(f, joinKeys), lNew.join(f, joinKeys))))
+          val rNew = Snapshots.readVersion(spark, rightDir, tipR)
+          val lNew = Snapshots.readVersion(spark, leftDir, tipL)
+          val touched = (dL.toSeq.flatMap(f => Seq(
+            f.join(readMatching(spark, rightDir, aR, f, joinKeys), joinKeys),
+            f.join(readMatching(spark, rightDir, tipR, f, joinKeys),
+              joinKeys))) ++
+            dR.toSeq.flatMap(f => Seq(
+              readMatching(spark, leftDir, aL, f, joinKeys)
+                .join(f, joinKeys),
+              readMatching(spark, leftDir, tipL, f, joinKeys)
+                .join(f, joinKeys))))
             .map(_.select(d.groupCols.map(col): _*))
             .reduce(_ unionByName _).distinct()
           val tKeyed = touched

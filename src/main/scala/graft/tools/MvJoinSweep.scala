@@ -6,14 +6,16 @@ import graft.sources.{Snapshots, Views}
 /** Refresh cost vs source size for the JOIN view — the bilinear rule's
   * measured claim: a refresh joins the fixed-size delta against one
   * side, never full ⋈ full. For each scale the sweep commits an
-  * orders-like left (n rows) and a lineitem-like right (4n rows),
+  * orders-like left (n rows) and a lineitem-like right (4n rows,
+  * KEY-CLUSTERED with id stats — the layout a real fact table has),
   * materializes the per-grp join rollup, appends a fixed 512-row left
   * batch (recorded), and times (a) the incremental refresh and (b) the
-  * full join recompute it replaces. Honest expectation at local scale:
-  * the refresh's ΔL ⋈ R_new still SCANS the right side (no manifest
-  * pruning inside a plain join), so it grows with |R| — but it avoids
-  * the full shuffle join of both sides, which is where the recompute's
-  * cost concentrates as n grows. Usage: MvJoinSweep
+  * full join recompute it replaces. The refresh's ΔL ⋈ R_new term now
+  * reads R through the stats manifest bounded by the delta's key
+  * envelope ([[Views.readMatching]]): the sweep prints — and asserts —
+  * the pruned file count staying O(matching files) while R's total
+  * file count grows with n, so refresh cost is flat where the
+  * recompute's grows. Usage: MvJoinSweep
   */
 object MvJoinSweep {
   def main(args: Array[String]): Unit = {
@@ -30,12 +32,17 @@ object MvJoinSweep {
       val v = java.nio.file.Files
         .createTempDirectory(s"graft-mvj-v-$n").toString
       Snapshots.commit(spark, spark.range(n).select(col("id"),
-        (col("id") % 64).as("grp")), l)
+        (col("id") % 64).as("grp")), l, statsColumns = Seq("id"))
       // 4 lines per order (integer division: `/` on longs is FLOAT
-      // division in Spark SQL — the classic silent-mismatch gotcha)
+      // division in Spark SQL — the classic silent-mismatch gotcha);
+      // key-clustered into n-proportional files so the manifest prune
+      // has file granularity to work with
+      val rightFiles = math.max(8L, n / 250000L).toInt
       Snapshots.commit(spark, spark.range(4 * n).select(
         floor(col("id") / 4).cast("long").as("id"),
-        (col("id") % 1000).as("v")), r)
+        (col("id") % 1000).as("v"))
+        .repartitionByRange(rightFiles, col("id")), r,
+        statsColumns = Seq("id"))
       val (_, buildSec) = timed(Views.createJoinView(spark, l, r, v,
         Seq("id"), Seq("grp"), sumCols = Seq("v")))
       // the CDC batch: 512 NEW orders at the tail (their lines are
@@ -47,6 +54,14 @@ object MvJoinSweep {
         floor(col("id") / 4).cast("long").as("id"),
         (col("id") % 1000).as("v")),
         Seq("id"), recordChanges = true)
+      // the pruning pin, à la SnapshotsSpec: the delta's key envelope
+      // selects O(matching files) of R at v1, not all of them
+      val deltaKeys = spark.range(n, n + 512).select(col("id"))
+      val prunedFiles =
+        Views.readMatching(spark, r, 1L, deltaKeys, Seq("id"))
+          .inputFiles.length
+      require(prunedFiles <= 2,
+        s"delta envelope read $prunedFiles of $rightFiles right files")
       val (_, refreshSec) = timed(Views.refreshJoinView(spark, v))
       val (_, recomputeSec) = timed(
         Snapshots.read(spark, l).join(Snapshots.read(spark, r), Seq("id"))
@@ -55,7 +70,8 @@ object MvJoinSweep {
         .agg(sum("n_rows")).head().getLong(0)
       require(rows == 4 * (n + 512), s"row drift: $rows vs ${4 * (n + 512)}")
       println(f"n=$n%9d build=${buildSec}%6.2f s  refresh=${refreshSec}%6.2f s" +
-        f"  full_join_recompute=${recomputeSec}%6.2f s")
+        f"  full_join_recompute=${recomputeSec}%6.2f s" +
+        f"  pruned_files=$prunedFiles/$rightFiles")
     }
     spark.stop()
   }

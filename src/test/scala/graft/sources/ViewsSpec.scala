@@ -200,6 +200,54 @@ class ViewsSpec extends SparkSpec {
     assert(Views.refreshJoinView(spark, v) === ver)
   }
 
+  test("join-view refresh prunes the unchanged side to the delta's key envelope") {
+    import spark.implicits._
+    val l = tmp("prl"); val r = tmp("prr"); val v = tmp("prv")
+    Snapshots.commit(spark, spark.range(0, 512)
+      .select(col("id"), (col("id") % 4).cast("string").as("grp")), l)
+    // right side: key-clustered into 8 files with id stats — the
+    // precondition the manifest prune needs (and the layout a real
+    // key-clustered fact table has)
+    Snapshots.commit(spark, spark.range(0, 1024)
+      .select(col("id"), (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("id")), r, statsColumns = Seq("id"))
+    Views.createJoinView(spark, l, r, v, Seq("id"), Seq("grp"),
+      sumCols = Seq("v"))
+    // the CDC batch: 8 new left rows whose matches live in ONE band of
+    // the right side
+    val batch = spark.range(512, 520)
+      .select(col("id"), (col("id") % 4).cast("string").as("grp"))
+    Snapshots.merge(spark, l, batch, Seq("id"), recordChanges = true)
+    // the file-count pin: the refresh's ΔL ⋈ R_new read selects
+    // O(matching files) of R, not all 8
+    val full = Snapshots.read(spark, r).inputFiles.toSet
+    val pruned = Views.readMatching(spark, r, 1L, batch, Seq("id"))
+      .inputFiles.toSet
+    assert(full.size === 8)
+    assert(pruned.subsetOf(full))
+    assert(pruned.size <= 2,
+      s"expected the 8-row delta to read <=2 of 8 right files, " +
+        s"got ${pruned.size}")
+    // and the pruned refresh still equals the full recompute
+    Views.refreshJoinView(spark, v)
+    val got = Views.readJoinView(spark, v).collect()
+      .map(x => x.getString(x.fieldIndex("grp")) ->
+        (x.getLong(x.fieldIndex("n_rows")),
+          x.getLong(x.fieldIndex("sum_v")))).toMap
+    val want = spark.range(0, 520)
+      .select(col("id"), (col("id") % 4).cast("string").as("grp"))
+      .join(spark.range(0, 1024)
+        .select(col("id"), (col("id") % 7).as("v")), Seq("id"))
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2))).toMap
+    assert(got === want)
+    // a probe with NO non-null keys proves the join empty: zero files
+    assert(Views.readMatching(spark, r, 1L,
+      Seq[Option[Long]](None).toDF("id"), Seq("id"))
+      .inputFiles.isEmpty)
+  }
+
   test("join view general changes: deletes and updates via touched-group rescan") {
     import spark.implicits._
     val l = tmp("dl"); val r = tmp("dr"); val v = tmp("dv")
