@@ -228,6 +228,33 @@ object Snapshots {
     "graft.snapshots.manifestRowsPerLeaf"
   private val ManifestRowsPerLeafDefault = 4096
 
+  /** A schema as the parquet read-back presents it (all-nullable) —
+    * passing it to `spark.read.schema(...)` skips the footer-sampling
+    * inference job an unschema'd read of freshly written files pays.
+    */
+  private def nullableSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Total row count of a parquet directory from file FOOTERS, read on
+    * the driver — zero Spark jobs. Only used where the directory is
+    * O(few files) by construction (a coalesce(1) manifest build).
+    */
+  private def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    fc(spark).util().listStatus(new Path(dir)).iterator
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Publish a snapshot's manifest as range-clustered LEAF files plus a
     * `_root` manifest list (manifest-of-manifests): one row per leaf
     * carrying `n_files` and, for every `min_x`/`max_x` stats pair, the
@@ -247,12 +274,15 @@ object Snapshots {
     val dir = manifestDir(stageDir)
     val build = s"$stageDir/_manifest_build"
     m.coalesce(1).write.mode("overwrite").parquet(build)
-    val back = spark.read.parquet(build)
     val perLeaf = spark.conf.getOption(ManifestRowsPerLeafConf)
       .map(_.toInt).getOrElse(ManifestRowsPerLeafDefault)
-    val n = back.count()
+    // row count from the single build file's FOOTER, driver-side — the
+    // leaf-count decision needs only n, and a Spark count() job (plus
+    // the footer-inference job of an unschema'd read-back) was two of
+    // the ~8 fixed jobs every small stats commit paid
+    val n = parquetRowCount(spark, build)
     val leaves = math.max(1L, (n + perLeaf - 1) / perLeaf).toInt
-    val orderCol = back.columns.find(_.startsWith("min_"))
+    val orderCol = m.schema.fieldNames.find(_.startsWith("min_"))
     if (leaves == 1 || orderCol.isEmpty) {
       // single leaf (or nothing to cluster by — bloom-only manifests,
       // which this same branch has always kept as ONE coalesced leaf
@@ -268,6 +298,7 @@ object Snapshots {
       ctx.rename(new Path(build), new Path(dir), Options.Rename.NONE)
       return
     }
+    val back = spark.read.schema(nullableSchema(m.schema)).parquet(build)
     back.repartitionByRange(leaves, col(orderCol.get))
       .write.mode("overwrite").parquet(dir)
     ctx.delete(new Path(build), true)
@@ -839,6 +870,11 @@ object Snapshots {
         spark.sessionState.conf.numShufflePartitions,
         partitionSpec.map(t => t(col(t.column))): _*)
     clustered.write.mode("overwrite").parquet(stageDir)
+    // the staged files' schema, known WITHOUT a footer-sampling job:
+    // every read-back below (stats, expectation check) passes it
+    // explicitly — at ~50 ms per inference job this is a measurable
+    // slice of the per-commit fixed cost
+    val stagedSchema = nullableSchema(clustered.schema)
     // committed physical schema (`_schema` sidecar): every later scan
     // of this version plans from the schema the commit DECLARED,
     // instead of paying a footer-sampling job and depending on which
@@ -847,12 +883,10 @@ object Snapshots {
     // the claim like every sidecar.
     locally {
       val ctx = fc(spark)
-      val nullable = org.apache.spark.sql.types.StructType(
-        clustered.schema.fields.map(_.copy(nullable = true)))
       val out = ctx.create(new Path(stageDir, "_schema"),
         java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
           org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-      try out.write(nullable.json.getBytes(StandardCharsets.UTF_8))
+      try out.write(stagedSchema.json.getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
     if (specSet.nonEmpty) {
@@ -903,7 +937,7 @@ object Snapshots {
       // name shadowed by another column's physical name (swap chains)
       // keeps the physical meaning — deterministic, and the rare case
       // where re-declaring the expectation is the honest fix.
-      val stagedData = spark.read.parquet(stageDir)
+      val stagedData = spark.read.schema(stagedSchema).parquet(stageDir)
       val aliasable = mapPairs.map(_.renames).getOrElse(Nil)
         .filter { case (lg, ph) =>
           !stagedData.columns.contains(lg) &&
@@ -927,7 +961,7 @@ object Snapshots {
       // all survive regardless of this commit's (empty) manifest config
       sidecars.carriedManifest.foreach(writeManifest(spark, _, stageDir))
     else if (statsColumns.nonEmpty || bloomColumns.nonEmpty || partitionSpec.nonEmpty) {
-      val data = spark.read.parquet(stageDir)
+      val data = spark.read.schema(stagedSchema).parquet(stageDir)
       val aggs: Seq[Column] = (count(lit(1)).as("n_rows") +:
         (statsColumns.flatMap(c =>
           // nulls_<c> rides with the envelope: min/max ignore NULLs, so
@@ -958,14 +992,19 @@ object Snapshots {
       // namenode calls at planning time (Iceberg stores file sizes in
       // its manifests for the same reason)
       val own0 = {
-        import spark.implicits._
         val sizes = fc(spark).util().listStatus(new Path(stageDir)).iterator
           .filter { st =>
             val n = st.getPath.getName
             st.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }.map(st => (st.getPath.getName, st.getLen)).toSeq
-        ownStats.join(
-          broadcast(sizes.toDF("file", "size_bytes")), Seq("file"), "left")
+          }.map(st => (st.getPath.getName, st.getLen)).toMap
+        // the sizes ride a broadcast VARIABLE into a column lookup, not
+        // a broadcast JOIN: the driver already holds the listing, and a
+        // broadcast-exchange build is one more ~50 ms job on every
+        // commit's fixed bill (manifest rows are file-count-sized, so
+        // the non-codegen lookup is never the term that matters)
+        val bySize = spark.sparkContext.broadcast(sizes)
+        val lookup = udf((f: String) => bySize.value.get(f))
+        ownStats.withColumn("size_bytes", lookup(col("file")))
       }
       // per-file spec id (the Iceberg spec-evolution contract): own
       // files were clustered under the CURRENT spec; carried files keep
@@ -3419,7 +3458,19 @@ object Snapshots {
       require(ctx.util().exists(new Path(p)),
         s"version $v of $tableDir recorded no change feed " +
           "(committed without recordChanges); the window is not reconstructible")
-      spark.read.parquet(p).withColumn("version", lit(v))
+      // the feed's schema is change_type + the version's committed
+      // data schema by construction (every producer selects exactly
+      // the table's columns, and stage() normalizes to physical names)
+      // — passing it skips one footer-inference job per window version,
+      // a real slice of a refresh loop's fixed cost; parquet matches
+      // columns by NAME, so field order in the files is irrelevant
+      val sch = committedSchema(ctx, s"$tableDir/snap-$v").map { ds =>
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("change_type",
+            org.apache.spark.sql.types.StringType) +: ds.fields)
+      }
+      sch.map(spark.read.schema(_)).getOrElse(spark.read)
+        .parquet(p).withColumn("version", lit(v))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     // feed rows are stored physical (like the data); present under the
     // window-end version's logical names — change_type/version pass
