@@ -459,6 +459,23 @@ object GraftExtensions {
             asOf = exprs.lift(1).map(litLong(_, "mv_read", "as_of")))
             .queryExecution.logical
         }),
+      (FunctionIdentifier("mv_read_avg"),
+        tinfo("mv_read_avg",
+          "mv_read_avg(view_dir[, as_of]) - mv_read plus a derived " +
+            "avg_<c> (double) for every maintained sum column: AVG is " +
+            "not view state, it is sum/count evaluated AT READ TIME — " +
+            "exact, free, and immune to the drift a materialized " +
+            "average would accumulate under incremental maintenance"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 1 || exprs.size == 2,
+            "mv_read_avg(view_dir[, as_of]) takes 1 or 2 arguments, " +
+              s"got ${exprs.size}")
+          graft.sources.Views.readView(active,
+            litStr(exprs(0), "mv_read_avg", "view_dir"),
+            asOf = exprs.lift(1).map(litLong(_, "mv_read_avg", "as_of")),
+            withAvg = true)
+            .queryExecution.logical
+        }),
       (FunctionIdentifier("bloom_has"),
         tinfo("bloom_has",
           "bloom_has(index_dir, probes_path, probes_where, value_expr" +

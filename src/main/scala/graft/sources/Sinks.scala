@@ -92,6 +92,9 @@ object Sinks {
   private lazy val mvJoinOrdDir: String = scratch("graft-mv-join-ord")
   private lazy val mvJoinLiDir: String = scratch("graft-mv-join-li")
   private lazy val mvJoinViewDir: String = scratch("graft-mv-join-view")
+  private lazy val mvJmOrdDir: String = scratch("graft-mv-jm-ord")
+  private lazy val mvJmLiDir: String = scratch("graft-mv-jm-li")
+  private lazy val mvJmViewDir: String = scratch("graft-mv-jm-view")
   private lazy val mvJrOrdDir: String = scratch("graft-mv-jr-ord")
   private lazy val mvJrLiDir: String = scratch("graft-mv-jr-li")
   private lazy val mvJrViewDir: String = scratch("graft-mv-jr-view")
@@ -1498,6 +1501,48 @@ object Sinks {
       .orderBy("o_orderpriority")
   }
 
+  /** The join view with MIN/MAX columns (and AVG derived at read):
+    * an all-insert wave refreshes min/max on the bilinear DELTA path
+    * (inserts only extend extrema — least/greatest against the delta's
+    * own extrema, zero recompute), then a delete wave forces the
+    * touched-group RESCAN, the one route that can SHRINK a maximum.
+    * The oracle recomputes count/sum/min/max/avg from the replayed
+    * final state — avg is sum/count at read time (exact integer
+    * operands, deterministic IEEE division), never materialized state.
+    */
+  private def snapshotMvJoinMinmax(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvJmOrdDir); clearDir(s, mvJmLiDir)
+    clearDir(s, mvJmViewDir)
+    val ord = Tables(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderkey") < 60000)
+    val li = Tables(s, d, "lineitem").select(
+      col("l_orderkey").as("o_orderkey"),
+      col("l_quantity").cast("long").as("qty"))
+      .filter(col("o_orderkey") < 60000)
+    Snapshots.commit(s, ord.filter(col("o_orderkey") % 3 === 0), mvJmOrdDir)
+    Snapshots.commit(s, li.filter(col("o_orderkey") % 3 === 0), mvJmLiDir)
+    Views.createJoinView(s, mvJmOrdDir, mvJmLiDir, mvJmViewDir,
+      Seq("o_orderkey"), Seq("o_orderpriority"), sumCols = Seq("qty"),
+      minCols = Seq("qty"), maxCols = Seq("qty"))
+    // insert wave on both sides -> one refresh on the delta path
+    Snapshots.merge(s, mvJmOrdDir,
+      ord.filter(col("o_orderkey") % 3 === 1), Seq("o_orderkey"),
+      recordChanges = true)
+    Snapshots.merge(s, mvJmLiDir,
+      li.filter(col("o_orderkey") % 3 === 1), Seq("o_orderkey"),
+      recordChanges = true)
+    Views.refreshJoinView(s, mvJmViewDir)
+    // delete wave on the left -> rescan; per-group maxima may shrink
+    Snapshots.delete(s, mvJmOrdDir, col("o_orderkey") % 10 === 7,
+      recordChanges = true)
+    Views.refreshJoinView(s, mvJmViewDir)
+    Views.readJoinView(s, mvJmViewDir, withAvg = true)
+      .select(col("o_orderpriority"), col("n_rows").as("n_lines"),
+        col("sum_qty"), col("min_qty"), col("max_qty"), col("avg_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** The join view under GENERAL changes — inserts, a pre-imaged
     * UPDATE wave on the lineitem side, and a DELETE wave on the orders
     * side, all in one refresh window: the refresh classifies the feeds
@@ -1579,6 +1624,7 @@ object Sinks {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_append" -> (snapshotAppend _),
     "q_snapshot_mv_join" -> (snapshotMvJoin _),
+    "q_snapshot_mv_join_minmax" -> (snapshotMvJoinMinmax _),
     "q_snapshot_mv_join_rescan" -> (snapshotMvJoinRescan _),
     "q_snapshot_mv_refresh" -> (snapshotMvRefresh _),
     "q_snapshot_mv_minmax" -> (snapshotMvMinmax _),
@@ -1648,6 +1694,29 @@ object Sinks {
         |  CAST(1 AS BIGINT) AS append_ok
         |FROM documents WHERE doc_id < 900
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // min/max join maintenance + read-time AVG: orders = thirds 0∪1
+    // minus the %10=7 deletes; lineitem = thirds 0∪1; min/max rode the
+    // delta path through the insert wave and the rescan through the
+    // delete wave — both must equal the full recompute, and avg is
+    // exact-integer sum/count divided at read (bit-deterministic)
+    "q_snapshot_mv_join_minmax" ->
+      """WITH ords AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey < 60000 AND o_orderkey % 3 IN (0, 1)
+        |    AND o_orderkey % 10 <> 7),
+        |li AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_orderkey < 60000 AND l_orderkey % 3 IN (0, 1))
+        |SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  CAST(MIN(qty) AS BIGINT) AS min_qty,
+        |  CAST(MAX(qty) AS BIGINT) AS max_qty,
+        |  CAST(SUM(qty) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |FROM ords JOIN li USING (o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // general-change join maintenance: orders = thirds 0∪1 minus the
     // %10=7 deletes; lineitem = third 0 with the <20000 band's
     // quantities bumped by the update wave

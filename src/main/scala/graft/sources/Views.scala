@@ -37,12 +37,15 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *    the source data files; ViewsSpec proves it by deleting them.
   *  - MIN/MAX are not delta-invertible (deleting the current max needs
   *    the runner-up, which no feed row carries — the classic IVM
-  *    limitation). Views with min/max columns refresh by TOUCHED-GROUP
-  *    RESCAN: the feed's distinct group keys select which groups to
-  *    re-aggregate from the source tip; untouched groups carry over
-  *    unread. O(|changes| + touched-group rows) — on a source
-  *    clustered by the group columns the rescan prunes to the touched
-  *    files.
+  *    limitation) — but INSERT-ONLY windows can only EXTEND extrema,
+  *    so those stay on the delta path (least/greatest merge, zero
+  *    source reads — the append-only cadence). Windows carrying
+  *    retractions refresh by TOUCHED-GROUP RESCAN: the feed's distinct
+  *    group keys select which groups to re-aggregate from the source
+  *    tip; untouched groups carry over unread, and the tip read is
+  *    manifest-pruned to the touched keys' envelope. O(|changes| +
+  *    touched-group rows) — on a source clustered by the group columns
+  *    the rescan reads only the touched files.
   *  - SUM columns are maintained in LONG (integral source columns
   *    only, enforced at create): delta maintenance of a floating-point
   *    sum would drift from a full recompute by fp non-associativity,
@@ -169,13 +172,22 @@ object Views {
   /** The view's group rows (sentinel and bookkeeping filtered out);
     * `asOf` pins a committed view version — every refresh is one
     * commit, so a pin names exactly "the rollup as of source version
-    * X" for whichever X that refresh applied. */
+    * X" for whichever X that refresh applied. `withAvg` appends a
+    * derived `avg_<c>` (double) for every maintained sum column —
+    * AVG is not delta-maintained state, it is sum/count AT READ TIME,
+    * which is both exact and free; materializing it would only invite
+    * drift. */
   def readView(spark: SparkSession, viewDir: String,
-      asOf: Option[Long] = None): DataFrame =
-    dropMeta((asOf match {
+      asOf: Option[Long] = None, withAvg: Boolean = false): DataFrame = {
+    val rows = dropMeta((asOf match {
       case Some(v) => Snapshots.readVersion(spark, viewDir, v)
       case None => Snapshots.read(spark, viewDir)
     }).filter(col("n_rows") > 0))
+    if (!withAvg) rows
+    else parseDef(rows).sumCols.foldLeft(rows)((df, c) =>
+      df.withColumn(s"avg_$c",
+        col(s"sum_$c").cast("double") / col("n_rows").cast("double")))
+  }
 
   /** The source version the view currently reflects. */
   def appliedSrcVersion(spark: SparkSession, viewDir: String): Long =
@@ -201,6 +213,16 @@ object Views {
     * deltas. Throws on a post-only `update` row (not invertible) and on
     * any group whose maintained count would go negative (a feed that
     * deletes rows the view never saw — a definition/window mismatch).
+    *
+    * MIN/MAX columns are maintained here too, under the one law that
+    * makes them delta-able: an INSERT-ONLY batch can only EXTEND a
+    * group's extrema (`least`/`greatest` against the batch's own
+    * min/max — associative, commutative, and split-invariant, so the
+    * streaming path's micro-batch boundaries don't matter). Any
+    * retraction in the batch makes the old extremum unrecoverable (the
+    * classic IVM limitation), so a min/max view meeting a non-insert
+    * row here fails loudly at evaluation — the batch refresh routes
+    * such windows through [[rescanTouched]] instead.
     */
   private def applyDeltas(aggRows: DataFrame, feed: DataFrame,
       d: MvDef): DataFrame = {
@@ -211,16 +233,34 @@ object Views {
         lit("non-invertible change feed row (change_type="),
         col("change_type"),
         lit("); record merges with preImages = true"))).cast(LongType))
+    val mmNames: Seq[String] =
+      if (!d.hasRescanAggs) Nil
+      else "_dsgn" +: (d.minCols.map(c => s"_dmin_$c") ++
+        d.maxCols.map(c => s"_dmax_$c"))
+    val mmCols: Seq[Column] =
+      if (!d.hasRescanAggs) Nil
+      else min(sign).as("_dsgn") +:
+        (d.minCols.map(c => min(col(c)).as(s"_dmin_$c")) ++
+          d.maxCols.map(c => max(col(c)).as(s"_dmax_$c")))
     val deltaAggs: Seq[Column] =
-      sum(sign).as("_dn") +:
+      (sum(sign).as("_dn") +:
         d.sumCols.map(c => sum(sign *
-          coalesce(col(c).cast(LongType), lit(0L))).as(s"_dsum_$c"))
+          coalesce(col(c).cast(LongType), lit(0L))).as(s"_dsum_$c"))) ++
+        mmCols
     val deltas = feed
       .groupBy(d.groupCols.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
       .select((d.groupCols.map(c => col(c).as(s"_d_$c")) ++
-        (col("_dn") +: d.sumCols.map(c => col(s"_dsum_$c")))): _*)
+        (col("_dn") +: d.sumCols.map(c => col(s"_dsum_$c"))) ++
+        mmNames.map(col)): _*)
     val joined = aggRows.join(deltas, keyCond(d.groupCols, "_d_"), "full_outer")
     val n2 = coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L))
+    // a min/max delta batch containing any retraction (sign < 1) is
+    // unsound — refuse at evaluation, pointing at the rescan route
+    def mmGuard(c: Column, tpe: DataType): Column =
+      when(coalesce(col("_dsgn"), lit(1L)) < 1L, raise_error(lit(
+        "min/max delta maintenance is insert-only: this feed window " +
+          "carries deletes/updates — run batch refreshView (touched-" +
+          "group rescan)")).cast(tpe)).otherwise(c)
     joined.select(
       (d.groupCols.map(c => coalesce(col(c), col(s"_d_$c")).as(c)) ++
         Seq(when(n2 < 0, raise_error(lit(
@@ -228,7 +268,11 @@ object Views {
             "view's applied source version")).cast(LongType))
           .otherwise(n2).as("n_rows")) ++
         d.sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
-          coalesce(col(s"_dsum_$c"), lit(0L))).as(s"sum_$c"))): _*)
+          coalesce(col(s"_dsum_$c"), lit(0L))).as(s"sum_$c")) ++
+        d.minCols.map(c => mmGuard(least(col(s"min_$c"), col(s"_dmin_$c")),
+          d.types(s"min_$c")).as(s"min_$c")) ++
+        d.maxCols.map(c => mmGuard(greatest(col(s"max_$c"), col(s"_dmax_$c")),
+          d.types(s"max_$c")).as(s"max_$c"))): _*)
       .filter(col("n_rows") > 0)
   }
 
@@ -332,25 +376,32 @@ object Views {
       val feed = Snapshots.changesFeed(spark, srcDir, applied, tip)
       val next =
         if (d.hasRescanAggs) {
-          // rescan is only sound when the feed names EVERY touched
-          // group: a post-only 'update' row that moved a row across
-          // groups carries only the NEW group's key, so the old group
-          // would fall outside the touched set and go silently stale.
-          // One O(|distinct change kinds|) action — the same loud
-          // refusal the delta path and refreshJoinView enforce.
+          // classify the window (one O(|distinct change kinds|)
+          // action). An INSERT-ONLY window keeps min/max on the pure
+          // delta path — inserts only EXTEND extrema — so the
+          // append-only cadence refreshes with ZERO source reads.
+          // Retractions route through the rescan, which is only sound
+          // when the feed names EVERY touched group: a post-only
+          // 'update' row that moved a row across groups carries only
+          // the NEW group's key, so the old group would fall outside
+          // the touched set and go silently stale — refused loudly,
+          // same as the delta path and refreshJoinView.
           val kinds = feed.select("change_type").distinct()
             .collect().map(_.getString(0)).toSet
-          require(!kinds.contains("update"),
-            "min/max view refresh needs invertible feeds: a post-only " +
-              "'update' row hides the row's previous group — record " +
-              "merges with preImages = true")
-          // the rescan's source read is bounded by the touched groups'
-          // key envelope: on a source clustered by the group columns it
-          // reads O(touched files), not O(table) (null-safe — a NULL
-          // touched key falls back to the full read)
-          rescanTouched(aggRows, feed,
-            readMatching(spark, srcDir, tip, feed, d.groupCols,
-              nullSafe = true), d)
+          if (kinds.subsetOf(Set("insert"))) applyDeltas(aggRows, feed, d)
+          else {
+            require(!kinds.contains("update"),
+              "min/max view refresh needs invertible feeds: a post-only " +
+                "'update' row hides the row's previous group — record " +
+                "merges with preImages = true")
+            // the rescan's source read is bounded by the touched
+            // groups' key envelope: on a source clustered by the group
+            // columns it reads O(touched files), not O(table)
+            // (null-safe — a NULL touched key falls back to full)
+            rescanTouched(aggRows, feed,
+              readMatching(spark, srcDir, tip, feed, d.groupCols,
+                nullSafe = true), d)
+          }
         } else applyDeltas(aggRows, feed, d)
       Snapshots.commitIfVersion(spark, withMeta(spark, next, d, tip, -1L),
         viewDir, base, statsColumns = d.groupCols) match {
@@ -364,8 +415,10 @@ object Views {
 
   /** Continuous maintenance: drain the source's write-time change feed
     * through a checkpointed stream and fold each micro-batch into the
-    * view. Count/sum views only (min/max needs the rescan path — run
-    * batch [[refreshView]] on a cadence instead). Safe under every
+    * view. Count/sum views under any feed; min/max views under
+    * APPEND-ONLY sources (inserts only extend extrema — the first
+    * retracting batch fails loudly; run batch [[refreshView]]'s rescan
+    * on a cadence for such sources instead). Safe under every
     * failure mode the file-source contract allows: versions already
     * applied at view-create time are filtered (`version > applied`), a
     * replayed micro-batch is detected by the sentinel's `_mv_batch_id`
@@ -433,10 +486,14 @@ object Views {
   // carrying BOTH applied source versions). `mv_read('<dir>/rows')`
   // serves it like any other view.
 
-  /** Materialize `SELECT groupCols, COUNT(*), SUM(sumCols…) FROM
-    * left JOIN right USING (joinKeys) GROUP BY groupCols` at both
-    * sources' current versions. Join keys must be same-named on both
-    * sides; non-key column names must not collide. */
+  /** Materialize `SELECT groupCols, COUNT(*), SUM(sumCols…),
+    * MIN(minCols…), MAX(maxCols…) FROM left JOIN right USING
+    * (joinKeys) GROUP BY groupCols` at both sources' current versions.
+    * Join keys must be same-named on both sides; non-key column names
+    * must not collide. Min/max columns refresh on the bilinear delta
+    * path for all-insert windows (inserts only extend extrema) and on
+    * the touched-group rescan otherwise — same routing as the
+    * single-table view. */
   def createJoinView(
       spark: SparkSession,
       leftDir: String,
@@ -444,7 +501,9 @@ object Views {
       viewDir: String,
       joinKeys: Seq[String],
       groupCols: Seq[String],
-      sumCols: Seq[String] = Nil): Long = {
+      sumCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): Long = {
     import spark.implicits._
     require(joinKeys.nonEmpty && groupCols.nonEmpty,
       "a join view needs join keys and at least one group column")
@@ -470,7 +529,8 @@ object Views {
         .toDF("left_dir", "right_dir", "join_keys", "group_cols",
           "sum_cols"),
       s"$viewDir/params")
-    val rows = aggregate(l.join(r, joinKeys), groupCols, sumCols, Nil, Nil)
+    val rows = aggregate(l.join(r, joinKeys), groupCols, sumCols,
+      minCols, maxCols)
     val d = parseDef(rows)
     Snapshots.commit(spark,
       withMetaCols(spark, rows, d,
@@ -479,8 +539,9 @@ object Views {
   }
 
   /** The join view's group rows. */
-  def readJoinView(spark: SparkSession, viewDir: String): DataFrame =
-    readView(spark, s"$viewDir/rows")
+  def readJoinView(spark: SparkSession, viewDir: String,
+      withAvg: Boolean = false): DataFrame =
+    readView(spark, s"$viewDir/rows", withAvg = withAvg)
 
   /** Bring the join view up to both sources' current versions. The
     * refresh classifies the stale window's feed rows (one tiny
@@ -579,7 +640,7 @@ object Views {
           val recomputed = aggregate(
             lNew.join(rNew, joinKeys)
               .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi"),
-            d.groupCols, d.sumCols, Nil, Nil)
+            d.groupCols, d.sumCols, d.minCols, d.maxCols)
           aggRows.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
             .unionByName(recomputed)
         }
@@ -605,9 +666,10 @@ object Views {
         val base = Snapshots.version(spark, viewDir)
         val mv = Snapshots.readVersion(spark, viewDir, base)
         val d = parseDef(mv.drop(MetaCols: _*))
-        require(!d.hasRescanAggs,
-          "streaming maintenance is delta-only: min/max views refresh " +
-            "by batch refreshView (touched-group rescan)")
+        // min/max views stream fine over APPEND-ONLY sources (inserts
+        // only extend extrema; least/greatest are split-invariant);
+        // applyDeltas raises loudly on the first retracting batch,
+        // pointing at batch refreshView's rescan route
         val (applied, lastBatch) = sentinelMeta(mv)
         if (batchId <= lastBatch) return // replayed batch: already folded
         val fresh = batch.filter(col("version") > applied)

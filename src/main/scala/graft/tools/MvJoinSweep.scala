@@ -48,19 +48,27 @@ object MvJoinSweep {
       // the CDC batch: 512 NEW orders at the tail (their lines are
       // already present? no — lines only exist for id < n, so the new
       // orders join nothing; append matching lines too, also recorded)
+      // SCOPED merges: the CDC batch lands as its own file(s), every
+      // untouched clustered file carried by reference with stats
+      // intact — the realistic ingest shape, and the one that keeps
+      // the post-merge tip prunable for the refresh's delta joins
       Snapshots.merge(spark, l, spark.range(n, n + 512).select(col("id"),
-        (col("id") % 64).as("grp")), Seq("id"), recordChanges = true)
+        (col("id") % 64).as("grp")), Seq("id"), recordChanges = true,
+        statsColumns = Seq("id"), scoped = true)
       Snapshots.merge(spark, r, spark.range(4 * n, 4 * (n + 512)).select(
         floor(col("id") / 4).cast("long").as("id"),
         (col("id") % 1000).as("v")),
-        Seq("id"), recordChanges = true)
+        Seq("id"), recordChanges = true,
+        statsColumns = Seq("id"), scoped = true)
       // the pruning pin, à la SnapshotsSpec: the delta's key envelope
-      // selects O(matching files) of R at v1, not all of them
+      // selects O(matching files) of R AT THE TIP the refresh reads
+      // (the 512-order batch's lines live in the one scoped-merge
+      // file, plus at most a straddler), not all of them
       val deltaKeys = spark.range(n, n + 512).select(col("id"))
       val prunedFiles =
-        Views.readMatching(spark, r, 1L, deltaKeys, Seq("id"))
+        Views.readMatching(spark, r, 2L, deltaKeys, Seq("id"))
           .inputFiles.length
-      require(prunedFiles <= 2,
+      require(prunedFiles >= 1 && prunedFiles <= 3,
         s"delta envelope read $prunedFiles of $rightFiles right files")
       val (_, refreshSec) = timed(Views.refreshJoinView(spark, v))
       val (_, recomputeSec) = timed(

@@ -69,6 +69,97 @@ class ViewsModelSpec extends SparkSpec {
   private def zeroMinMax(m: Map[String, (Long, Long, Long, Long)]) =
     m.map { case (g, (n, s, _, _)) => g -> ((n, s, 0L, 0L)) }
 
+  // ---- join-view model: aggregates over left(id, grp) ⋈ right(rid, id, v) ----
+
+  private sealed trait JOp
+  private case class MergeLeftOp(rows: Map[Long, Long]) extends JOp
+  private case class MergeRightOp(rows: Map[Long, (Long, Long)]) extends JOp
+  private case class DeleteLeftOp(lo: Long, hi: Long) extends JOp
+  private case class DeleteRightOp(lo: Long, hi: Long) extends JOp
+  private case object JRefreshOp extends JOp
+
+  private val genJOp: Gen[JOp] = Gen.frequency(
+    3 -> (for {
+      n <- Gen.chooseNum(1, 6)
+      pairs <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 99L)))
+    } yield MergeLeftOp(pairs.toMap)),
+    3 -> (for {
+      n <- Gen.chooseNum(1, 8)
+      trips <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 30L),
+        Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 99L)))
+    } yield MergeRightOp(
+      trips.map { case (rid, id, v) => rid -> ((id, v)) }.toMap)),
+    1 -> Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 4L))
+      .map { case (lo, w) => DeleteLeftOp(lo, lo + w) },
+    1 -> Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 8L))
+      .map { case (lo, w) => DeleteRightOp(lo, lo + w) },
+    3 -> Gen.const(JRefreshOp))
+
+  private def lDf(rows: Map[Long, Long]) =
+    rows.toSeq.sortBy(_._1).toDF("id", "gseed")
+      .select(col("id"), concat(lit("g"), col("gseed") % 3).as("grp"))
+
+  private def rDf(rows: Map[Long, (Long, Long)]) =
+    rows.toSeq.sortBy(_._1).map { case (rid, (id, v)) => (rid, id, v) }
+      .toDF("rid", "id", "v")
+
+  private def jRollup(lm: Map[Long, Long], rm: Map[Long, (Long, Long)])
+      : Map[String, (Long, Long, Long, Long)] =
+    rm.values.flatMap { case (id, v) =>
+      lm.get(id).map(g => (s"g${g % 3}", v)) }
+      .groupBy(_._1).map { case (g, pairs) =>
+        val vs = pairs.map(_._2)
+        g -> ((vs.size.toLong, vs.sum, vs.min, vs.max))
+      }
+
+  test("property: the JOIN view (count/sum/min/max) tracks the model") {
+    val prop = Prop.forAll(Gen.listOfN(6, genJOp)) { ops =>
+      val l = Files.createTempDirectory("graft-jvm-l").toString
+      val r = Files.createTempDirectory("graft-jvm-r").toString
+      val v = Files.createTempDirectory("graft-jvm-v").toString
+      var lm = Map(0L -> 0L)
+      var rm = Map(0L -> ((0L, 5L)))
+      Snapshots.commit(spark, lDf(lm), l)
+      Snapshots.commit(spark, rDf(rm), r)
+      Views.createJoinView(spark, l, r, v, Seq("id"), Seq("grp"),
+        sumCols = Seq("v"), minCols = Seq("v"), maxCols = Seq("v"))
+      var ok = true
+      (ops :+ JRefreshOp).foreach {
+        case MergeLeftOp(rows) =>
+          lm = lm ++ rows
+          Snapshots.merge(spark, l, lDf(rows), Seq("id"),
+            recordChanges = true, preImages = true)
+        case MergeRightOp(rows) =>
+          rm = rm ++ rows
+          Snapshots.merge(spark, r, rDf(rows), Seq("rid"),
+            recordChanges = true, preImages = true)
+        case DeleteLeftOp(lo, hi) =>
+          lm = lm.filterNot { case (id, _) => id >= lo && id <= hi }
+          Snapshots.delete(spark, l, col("id").between(lo, hi),
+            recordChanges = true)
+        case DeleteRightOp(lo, hi) =>
+          rm = rm.filterNot { case (rid, _) => rid >= lo && rid <= hi }
+          Snapshots.delete(spark, r, col("rid").between(lo, hi),
+            recordChanges = true)
+        case JRefreshOp =>
+          Views.refreshJoinView(spark, v)
+          val got = Views.readJoinView(spark, v).collect().map { x =>
+            x.getString(x.fieldIndex("grp")) ->
+              ((x.getLong(x.fieldIndex("n_rows")),
+                x.getLong(x.fieldIndex("sum_v")),
+                x.getLong(x.fieldIndex("min_v")),
+                x.getLong(x.fieldIndex("max_v"))))
+          }.toMap
+          ok = ok && got == jRollup(lm, rm)
+      }
+      ok
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: both view strategies track the model through any op sequence") {
     val prop = Prop.forAll(Gen.listOfN(7, genOp)) { ops =>
       val src = Files.createTempDirectory("graft-vm-src").toString

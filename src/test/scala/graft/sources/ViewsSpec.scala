@@ -166,6 +166,33 @@ class ViewsSpec extends SparkSpec {
     assert(viewMap(mv) === Map("a" -> ((1L, 30L)), "b" -> ((1L, 200L))))
   }
 
+  test("streaming min/max: append-only feeds extend extrema; retraction fails loudly") {
+    val src = tmp("smmsrc"); val mv = tmp("smmmv"); val ckpt = tmp("smmckpt")
+    Snapshots.commit(spark, rows().limit(0), src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"),
+      maxCols = Seq("v"))
+    Snapshots.merge(spark, src, rows((1, "a", 10), (2, "a", 30)),
+      Seq("id"), recordChanges = true, preImages = true)
+    Snapshots.merge(spark, src, rows((3, "a", 20), (4, "b", 7)),
+      Seq("id"), recordChanges = true, preImages = true)
+    Views.streamRefreshView(spark, src, mv, ckpt).awaitTermination()
+    val got = Views.readView(spark, mv).collect()
+      .map(r => r.getString(r.fieldIndex("grp")) ->
+        (r.getLong(r.fieldIndex("n_rows")),
+          r.getLong(r.fieldIndex("max_v")))).toMap
+    // the second batch's 20 must NOT shrink a's max (greatest-merge)
+    assert(got === Map("a" -> ((3L, 30L)), "b" -> ((1L, 7L))))
+    // a delete reaches the maintainer: the min/max delta is unsound
+    // there and must fail loudly, pointing at the batch rescan route
+    Snapshots.delete(spark, src, col("id") === 2, recordChanges = true)
+    val e = intercept[Exception](
+      Views.streamRefreshView(spark, src, mv, ckpt).awaitTermination())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("insert-only"),
+      s"expected the insert-only refusal, got: ${msgs(e)}")
+  }
+
   test("join view: bilinear refresh equals recompute across asymmetric appends") {
     import spark.implicits._
     val l = tmp("jl"); val r = tmp("jr"); val v = tmp("jv")
