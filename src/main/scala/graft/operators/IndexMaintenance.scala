@@ -100,12 +100,50 @@ object IndexMaintenance {
         }
       table.getName -> v
     }.toMap
-    // a repacked postings table is LOGICALLY unchanged, so a sibling
-    // version-stamped stats row is still correct — restamp it with the
-    // new postings tip here rather than leaving the serve path to pay
-    // the stale-stamp self-heal (a full postings re-aggregation) on
-    // the next query. Same sums, fresh witness.
-    val out = results
+    // an index-level `versions` MANIFEST (the HNSW graph/pending and
+    // CM counters/candidates pattern) names coherent table-version
+    // PAIRS. Compaction just moved those tables' tips (logically a
+    // no-op per table), so append ONE fresh stamp pairing the
+    // compacted tips: pins taken before compaction keep resolving
+    // (history rows stay; the old table versions remain readable until
+    // expire), and the tip pin serves the repacked layout. Column
+    // convention: `index_version` + `<table>_v` per paired table.
+    val out0 = results
+    val vDir = s"$indexDir/versions"
+    val out =
+      if (Snapshots.version(spark, vDir) < 1) out0
+      else {
+        var attempt = 0
+        var stamped = out0
+        var done = false
+        while (!done && attempt < 10) {
+          val base = Snapshots.version(spark, vDir)
+          val cur = Snapshots.readVersion(spark, vDir, base)
+          val tableCols = cur.columns.toSeq
+            .filter(c => c.endsWith("_v") && c != "index_version")
+          val rows = cur.collect().toSeq
+          val next = rows.map(_.getAs[Long]("index_version")).max + 1
+          val fresh = org.apache.spark.sql.Row.fromSeq(
+            cur.schema.fieldNames.toSeq.map {
+              case "index_version" => next
+              case c => math.max(0L, Snapshots.version(spark,
+                s"$indexDir/${c.stripSuffix("_v")}"))
+            })
+          val df = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(
+                rows :+ fresh).asJava),
+            cur.schema)
+          Snapshots.commitIfVersion(spark, df, vDir, base) match {
+            case Some(v) =>
+              stamped = out0.updated("versions", v); done = true
+            case None => attempt += 1
+          }
+        }
+        if (!done) throw new IllegalStateException(
+          s"post-compaction version stamp on $indexDir lost 10 races")
+        stamped
+      }
     if (out.get("postings").exists(v => v > tips("postings")) &&
         out.contains("stats")) {
       val statsDir = s"$indexDir/stats"

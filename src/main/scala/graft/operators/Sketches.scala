@@ -436,6 +436,65 @@ object Sketches {
     (row.getAs[String]("group_cols").split(",").toSeq, candK)
   }
 
+  /** The CM index's version MANIFEST (the [[graft.operators.Hnsw]]
+    * pattern): counters and candidates mutate in dependent pairs
+    * (build/add/fold), and compaction can advance the two tables
+    * UNEVENLY (per-table bin-pack) — so a coherent as-of pin needs one
+    * handle naming BOTH table versions, exactly like a real format's
+    * snapshot log above its data files. Every mutating op appends
+    * `(index_version, counters_v, candidates_v)` via CAS
+    * ([[Snapshots.commitIfVersion]], re-derived per lost race) and
+    * returns the new index version; [[cmTopK]]/[[cmServe]] resolve
+    * `asOf` through it. candidates_v = 0 records "no candidate table"
+    * (candK = 0 indexes). O(mutations) tiny — the read is the same
+    * driver-bounded budget as the params row.
+    */
+  private def stampCmVersion(spark: SparkSession, indexDir: String): Long = {
+    import spark.implicits._
+    val dir = s"$indexDir/versions"
+    var attempt = 0
+    while (attempt < 10) {
+      val base = Snapshots.version(spark, dir)
+      // re-read INSIDE the attempt: a lost race means another mutation
+      // moved a table under us — the loser's row must pair the
+      // versions as of ITS retry
+      val cv = Snapshots.version(spark, s"$indexDir/counters")
+      val dv = Snapshots.version(spark, s"$indexDir/candidates")
+      val cur =
+        if (base >= 1)
+          Snapshots.readVersion(spark, dir, base)
+            .select("index_version", "counters_v", "candidates_v")
+            .as[(Long, Long, Long)].collect().toSeq
+        else Nil
+      val next = if (cur.isEmpty) 1L else cur.map(_._1).max + 1
+      val df = (cur :+ ((next, cv, math.max(dv, 0L))))
+        .toDF("index_version", "counters_v", "candidates_v")
+      if (Snapshots.commitIfVersion(spark, df, dir, base).nonEmpty)
+        return next
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"version stamp on $indexDir lost 10 optimistic races; giving up")
+  }
+
+  /** Resolve an as-of pin to the coherent (counters_v, candidates_v)
+    * pair it named. Indexes created before the version manifest have
+    * no `versions` table — there the legacy lockstep numbering (every
+    * op moved both tables once, compaction excluded) makes the raw
+    * pair `(v, v)` the correct reading. */
+  private def resolveCmPin(
+      spark: SparkSession, indexDir: String, v: Long): (Long, Long) = {
+    val dir = s"$indexDir/versions"
+    if (Snapshots.version(spark, dir) < 1) (v, v)
+    else {
+      val hit = Snapshots.read(spark, dir)
+        .filter(col("index_version") === v)
+        .select("counters_v", "candidates_v").collect()
+      require(hit.nonEmpty, s"$indexDir has no stamped index version $v")
+      (hit.head.getLong(0), hit.head.getLong(1))
+    }
+  }
+
   /** Serve per-group heavy hitters FROM THE INDEX ALONE: the persisted
     * candidate rows (each batch's exact top-candK, a superset of any
     * global heavy hitter that was heavy in some batch) are point-
@@ -454,22 +513,24 @@ object Sketches {
     require(candK > 0,
       s"$indexDir maintains no heavy-hitter candidates " +
         "(build with candK > 0)")
-    // `asOf` pins BOTH tables at the same version number: build/add/
-    // fold each move counters and candidates in lockstep (and nothing
-    // else mutates them), so equal version numbers name a coherent
-    // pair — a counters-only pin would rank candidates that did not
-    // exist at the pinned time against the old counters (phantom
-    // zero-estimate rows; self-review catch). Caveat: compactIndex can
-    // advance the two tables unevenly (per-table bin-pack) — pin
-    // versions taken BEFORE any compaction, or fold first (fold
-    // re-aligns both)
-    val cands = (asOf match {
-      case Some(v) =>
-        Snapshots.readVersion(spark, s"$indexDir/candidates", v)
+    // `asOf` is an INDEX version resolved through the version
+    // manifest to the coherent (counters_v, candidates_v) pair that
+    // stamp recorded — a counters-only pin would rank candidates that
+    // did not exist at the pinned time against the old counters
+    // (phantom zero-estimate rows; self-review catch), and raw
+    // equal-number pairing breaks when compaction advances the two
+    // tables unevenly (SketchesSpec compacts between pins to pin
+    // exactly that). Pre-manifest indexes fall back to the legacy
+    // lockstep reading inside [[resolveCmPin]].
+    val pin = asOf.map(resolveCmPin(spark, indexDir, _))
+    val cands = (pin match {
+      case Some((_, dv)) =>
+        Snapshots.readVersion(spark, s"$indexDir/candidates", dv)
       case None => Snapshots.read(spark, s"$indexDir/candidates")
     }).select((groupCols :+ "v").map(col): _*).distinct()
-    val counters = asOf match {
-      case Some(v) => Snapshots.readVersion(spark, s"$indexDir/counters", v)
+    val counters = pin match {
+      case Some((cv, _)) =>
+        Snapshots.readVersion(spark, s"$indexDir/counters", cv)
       case None => Snapshots.read(spark, s"$indexDir/counters")
     }
     cmEstimates(counters, cands, groupCols, col("v"))
@@ -613,6 +674,7 @@ object Sketches {
       cmCounters(df, groupCols, value).withColumn("gen", lit(0L)),
       s"$indexDir/counters",
       statsColumns = "gen" +: groupCols :+ "i" :+ "j")
+    stampCmVersion(spark, indexDir)
   }
 
   /** O(batch) add: the batch's own counters under a fresh generation —
@@ -642,6 +704,7 @@ object Sketches {
       scoped = true) { base =>
       cmCounters(df, groupCols, value).withColumn("gen", lit(base))
     }
+    stampCmVersion(spark, indexDir)
   }
 
   /** Sum-collapse the generations back to one row per cell (and the
@@ -663,6 +726,7 @@ object Sketches {
       .withColumn("gen", lit(0L))
     Snapshots.commit(spark, collapsed, dir,
       statsColumns = "gen" +: groupCols :+ "i" :+ "j")
+    stampCmVersion(spark, indexDir)
   }
 
   /** Serve frequency estimates for a probe batch from the persisted
@@ -676,8 +740,11 @@ object Sketches {
       carryCols: Seq[String] = Nil): DataFrame = {
     val groupCols = readGroupCols(spark, indexDir)
     val dir = s"$indexDir/counters"
+    // asOf is an index version, resolved through the version manifest
+    // (legacy lockstep fallback inside resolveCmPin)
     val counters = asOf match {
-      case Some(v) => Snapshots.readVersion(spark, dir, v)
+      case Some(v) =>
+        Snapshots.readVersion(spark, dir, resolveCmPin(spark, indexDir, v)._1)
       case None => Snapshots.read(spark, dir)
     }
     cmEstimates(counters, probes, groupCols, value, carryCols)

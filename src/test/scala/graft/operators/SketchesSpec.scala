@@ -230,6 +230,48 @@ class SketchesSpec extends SparkSpec {
       Seq("alpha", "beta", "gamma"))
   }
 
+  test("cmTopK/cmServe as-of pins stay coherent across compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cm-cpt").toString
+    val b1 = (Seq.fill(30)("alpha") ++ Seq.fill(20)("beta") ++
+      (1 to 10).map(i => s"rare$i")).map(("s", _)).toDF("source", "v")
+    val b2 = (Seq.fill(25)("alpha") ++ Seq.fill(40)("gamma") ++
+      (11 to 20).map(i => s"rare$i")).map(("s", _)).toDF("source", "v")
+    def topAt(asOf: Option[Long]) =
+      Sketches.cmTopK(spark, dir, k = 3, asOf).collect()
+        .map(r => (r.getAs[Long]("rank"), r.getAs[String]("v"),
+          r.getAs[Long]("n_est"))).toSet
+    def freqAt(asOf: Option[Long]) =
+      Sketches.cmServe(spark, dir,
+        Seq(("s", "alpha"), ("s", "gamma")).toDF("source", "v"),
+        col("v"), asOf).collect()
+        .map(r => (r.getAs[String]("v"), r.getAs[Long]("n_est"))).toSet
+    val p1 = Sketches.buildCmIndex(spark, b1, dir, Seq("source"),
+      col("v"), candK = 4)
+    val p2 = Sketches.addToCmIndex(spark, b2, dir, col("v"))
+    val want1 = topAt(Some(p1)); val want2 = topAt(Some(p2))
+    val wantTip = topAt(None); val wantFreq1 = freqAt(Some(p1))
+    assert(want1 != want2, "the two pins must differ for this to test anything")
+    // compaction bin-packs counters and candidates INDEPENDENTLY —
+    // the two tables' raw version numbers advance unevenly, the exact
+    // case raw equal-number pairing got wrong; the version manifest
+    // must keep every pre-compaction pin serving its original pair,
+    // and the post-compaction stamp must serve the repacked tip
+    val out = IndexMaintenance.compactIndex(spark, dir,
+      minFileBytes = 64L * 1024 * 1024)
+    assert(topAt(Some(p1)) == want1, "pin p1 drifted across compaction")
+    assert(topAt(Some(p2)) == want2, "pin p2 drifted across compaction")
+    assert(topAt(None) == wantTip, "tip serve drifted across compaction")
+    assert(freqAt(Some(p1)) == wantFreq1)
+    // the restamp landed: a fresh index version pairs the compacted
+    // tips and serves identically to the tip
+    val latest = Snapshots.read(spark, s"$dir/versions")
+      .agg(max("index_version")).head().getLong(0)
+    assert(latest > p2, s"expected a post-compaction stamp, got $latest")
+    assert(topAt(Some(latest)) == wantTip)
+    assert(out.contains("versions"))
+  }
+
   test("pairwise overlap by inclusion-exclusion tracks known intersections") {
     import spark.implicits._
     // A = 0..999, B = 500..1499 (overlap 500), C = 2000..2999 (disjoint)
