@@ -98,6 +98,8 @@ object Sinks {
   private lazy val mvJrOrdDir: String = scratch("graft-mv-jr-ord")
   private lazy val mvJrLiDir: String = scratch("graft-mv-jr-li")
   private lazy val mvJrViewDir: String = scratch("graft-mv-jr-view")
+  private lazy val mvDcSrcDir: String = scratch("graft-mv-dc-src")
+  private lazy val mvDcViewDir: String = scratch("graft-mv-dc-view")
   private lazy val appendSrcDir: String = scratch("graft-append-src")
   private lazy val appendViewDir: String = scratch("graft-append-view")
 
@@ -1385,6 +1387,42 @@ object Sinks {
       .orderBy("lang")
   }
 
+  /** Approximate COUNT DISTINCT as a maintained view column: the view
+    * row carries per-group HLL register maps (the repo's md5-60/1024-
+    * register arithmetic), merged as register-max deltas through an
+    * insert-only append window (idempotent — replay-safe) and
+    * recomputed through the touched-group rescan when a delete wave
+    * lands (registers cannot forget a value). The oracle replays the
+    * estimator EXACTLY (integer harmonic sum, one IEEE division,
+    * linear-counting correction, round 4) and recomputes the exact
+    * distincts; `ok` gates the ±5% law in-entry.
+    */
+  private def snapshotMvDistinct(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvDcSrcDir); clearDir(s, mvDcViewDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), mvDcSrcDir,
+      statsColumns = Seq("doc_id"))
+    Views.createView(s, mvDcSrcDir, mvDcViewDir, Seq("lang"),
+      sumCols = Seq("n_chars"), distinctCols = Seq("doc_id"))
+    Snapshots.append(s, mvDcSrcDir,
+      docs.filter(col("doc_id").between(400, 899)), Seq("doc_id"),
+      recordChanges = true)
+    Views.refreshView(s, mvDcSrcDir, mvDcViewDir) // insert-only: delta
+    Snapshots.delete(s, mvDcSrcDir, col("doc_id") % 10 === 7,
+      recordChanges = true)
+    Views.refreshView(s, mvDcSrcDir, mvDcViewDir) // retraction: rescan
+    val exact = Snapshots.read(s, mvDcSrcDir).groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_exact"))
+    Views.readView(s, mvDcViewDir)
+      .select(col("lang"), col("n_rows").as("n_docs"),
+        col("sum_n_chars").as("sum_chars"), col("distinct_doc_id"))
+      .join(exact, Seq("lang"))
+      .withColumn("ok",
+        when(abs(col("distinct_doc_id") - col("n_exact")) <=
+          lit(0.05) * col("n_exact"), lit(1L)).otherwise(lit(0L)))
+      .orderBy("lang")
+  }
+
   /** Incremental view with MIN/MAX — the aggregates a delta can't
     * invert (deleting the current max needs the runner-up): the same
     * mutation walk as the delta entry, refreshed by [[Views]]'
@@ -1627,6 +1665,7 @@ object Sinks {
     "q_snapshot_mv_join_minmax" -> (snapshotMvJoinMinmax _),
     "q_snapshot_mv_join_rescan" -> (snapshotMvJoinRescan _),
     "q_snapshot_mv_refresh" -> (snapshotMvRefresh _),
+    "q_snapshot_mv_distinct" -> (snapshotMvDistinct _),
     "q_snapshot_mv_minmax" -> (snapshotMvMinmax _),
     "q_snapshot_mv_stream" -> (snapshotMvStream _),
     "q_join_bucketed" -> (bucketedJoin _),
@@ -1747,6 +1786,49 @@ object Sinks {
         |  CAST(1 AS BIGINT) AS incremental_ok
         |FROM documents WHERE doc_id < 600 AND doc_id % 10 <> 7
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // HLL distinct columns on the view: the estimator is replayed
+    // EXACTLY (same integer register arithmetic as the sketch family,
+    // value hashed as VARCHAR), the exact distincts gate the ±5% law
+    "q_snapshot_mv_distinct" ->
+      """WITH src AS (
+        |  SELECT lang, doc_id, n_chars FROM documents
+        |  WHERE doc_id < 900 AND doc_id % 10 <> 7),
+        |base AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_exact
+        |  FROM src GROUP BY lang),
+        |h AS (
+        |  SELECT lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM src),
+        |regs AS (
+        |  SELECT lang, h & 1023 AS j,
+        |    MAX(CASE WHEN (h >> 10) = 0 THEN 51
+        |             ELSE 51 - length(bin(h >> 10)) END) AS r
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang, COUNT(*) AS n_filled,
+        |    SUM(1::BIGINT << (51 - r)) AS s_filled
+        |  FROM regs GROUP BY 1),
+        |fin AS (
+        |  SELECT lang, (1024 - n_filled) AS zeros,
+        |    (1024 - n_filled) * (1::BIGINT << 51) + s_filled AS total
+        |  FROM agg),
+        |est AS (
+        |  SELECT lang,
+        |    CASE WHEN zeros > 0 AND
+        |      (0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024 * 1024
+        |        * (1::BIGINT << 51)) / total <= 2560.0
+        |    THEN round(1024.0 * ln(1024.0 / zeros), 4)
+        |    ELSE round((0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024
+        |      * 1024 * (1::BIGINT << 51)) / total, 4)
+        |    END AS distinct_doc_id
+        |  FROM fin)
+        |SELECT lang, n_docs, sum_chars, distinct_doc_id, n_exact,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM base JOIN est USING (lang) ORDER BY lang""".stripMargin,
     // min/max via touched-group rescan: the delete removes every row
     // above 1400 from the post-merge state, so bumped groups' maxima
     // SHRINK — replayed exactly by the oracle

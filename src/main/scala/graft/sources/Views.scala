@@ -72,14 +72,20 @@ object Views {
   private def dropMeta(df: DataFrame): DataFrame =
     df.drop(df.columns.filter(_.startsWith("_mv_")).toIndexedSeq: _*)
 
-  /** A view definition parsed back from the view table's own schema. */
+  /** A view definition parsed back from the view table's own schema.
+    * `hasRescanAggs` marks aggregates a retraction cannot invert
+    * (min/max lose their extremum, HLL registers cannot forget a
+    * value) — such views delta-refresh only under insert-only windows
+    * and rescan otherwise. */
   case class MvDef(
       groupCols: Seq[String],
       sumCols: Seq[String],
       minCols: Seq[String],
       maxCols: Seq[String],
+      distinctCols: Seq[String],
       types: Map[String, DataType]) {
-    def hasRescanAggs: Boolean = minCols.nonEmpty || maxCols.nonEmpty
+    def hasRescanAggs: Boolean =
+      minCols.nonEmpty || maxCols.nonEmpty || distinctCols.nonEmpty
   }
 
   private def parseDef(df: DataFrame): MvDef = {
@@ -88,11 +94,96 @@ object Views {
     MvDef(
       groupCols = names.filterNot(c => c == "n_rows" ||
         c.startsWith("sum_") || c.startsWith("min_") ||
-        c.startsWith("max_") || c.startsWith("_mv_")),
+        c.startsWith("max_") || c.startsWith("hll_") ||
+        c.startsWith("_mv_")),
       sumCols = names.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_")),
       minCols = names.filter(_.startsWith("min_")).map(_.stripPrefix("min_")),
       maxCols = names.filter(_.startsWith("max_")).map(_.stripPrefix("max_")),
+      distinctCols =
+        names.filter(_.startsWith("hll_")).map(_.stripPrefix("hll_")),
       types = types)
+  }
+
+  // ---------- approximate COUNT DISTINCT columns (HLL registers) ----------
+  //
+  // The rollup column pure deltas cannot maintain exactly: COUNT
+  // (DISTINCT x) needs the full value set to deduplicate. The standard
+  // production cure is mergeable sketch STATE in the view row — here a
+  // per-group HLL register map `hll_<c>: map<int,int>` (j → max rho),
+  // the same md5-60/1024-register arithmetic as [[
+  // graft.operators.Sketches]], so the estimate is replayed EXACTLY by
+  // the DuckDB oracle. Register max-merge is associative, commutative,
+  // and IDEMPOTENT — insert-only windows merge `least cost` deltas
+  // (and the streaming path's at-least-once replays are harmless even
+  // before the batch-id guard); a retraction can't un-insert a value,
+  // so delete-bearing windows route through the touched-group rescan
+  // like min/max. Values hash as STRINGS (`cast(x as string)`) so any
+  // engine re-derives positions identically; NULLs contribute nothing
+  // (SQL COUNT DISTINCT semantics).
+
+  private val HllM = 1024L
+  private val HllRhoMax = 51
+
+  /** Same association order as Sketches.AlphaM2Scaled — the oracle
+    * spells `0.7213/(1 + 1.079/1024.0) * 1024 * 1024 * (1::BIGINT <<
+    * 51)` with DOUBLE arithmetic for bit-equality. */
+  private val HllAlphaScaled: Double =
+    0.7213 / (1 + 1.079 / 1024.0) * 1024 * 1024 * (1L << HllRhoMax).toDouble
+
+  /** Per-group register map of `c`'s values: `(groupCols…, hll_<c>)`.
+    * Groups none of whose rows carry a non-null `c` are absent —
+    * callers left-join and read null as the empty sketch. */
+  private def hllMapOf(
+      df: DataFrame, groupCols: Seq[String], c: String): DataFrame = {
+    val h = conv(substring(
+      md5(col(c).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast(LongType)
+    df.filter(col(c).isNotNull)
+      .select(groupCols.map(col) :+ h.as("_h"): _*)
+      .select(groupCols.map(col)
+        :+ col("_h").bitwiseAND(lit(HllM - 1)).cast("int").as("_j")
+        :+ shiftright(col("_h"), 10).as("_w"): _*)
+      .withColumn("_rho",
+        when(col("_w") === 0L, lit(HllRhoMax))
+          .otherwise(lit(HllRhoMax) - length(bin(col("_w"))))
+          .cast("int"))
+      .groupBy((groupCols :+ "_j").map(col): _*)
+      .agg(max(col("_rho")).as("_r"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("_j"), col("_r"))))).as(s"hll_$c"))
+  }
+
+  /** Left-join each distinct column's register map onto per-group agg
+    * rows (null-safe keys — a NULL group is a group). */
+  private def joinHllMaps(base: DataFrame, src: DataFrame,
+      groupCols: Seq[String], distinctCols: Seq[String],
+      leftKey: String => Column = col): DataFrame =
+    distinctCols.foldLeft(base) { (acc, c) =>
+      val m = hllMapOf(src, groupCols, c).select(
+        groupCols.map(cc => col(cc).as(s"_hm_$cc")) :+ col(s"hll_$c"): _*)
+      acc.join(m,
+        groupCols.map(cc => leftKey(cc) <=> col(s"_hm_$cc")).reduce(_ && _),
+        "left")
+        .drop(groupCols.map(cc => s"_hm_$cc"): _*)
+    }
+
+  /** The served estimate over a register-map column — the exact
+    * integer harmonic sum, one IEEE division, the small-range linear-
+    * counting correction, rounded to 4 decimals: bit-identical to
+    * [[graft.operators.Sketches.hllEstimate]] and to the oracle's SQL
+    * replay. A null map (no values ever inserted) estimates 0.0. */
+  private def hllEstimateOf(name: String): Column = {
+    val vals = s"map_values(coalesce(`$name`, cast(map() as map<int,int>)))"
+    val sFilled =
+      expr(s"aggregate($vals, 0L, (acc, r) -> acc + shiftleft(1L, 51 - r))")
+    val nFilled = expr(s"size($vals)").cast(LongType)
+    val zeros = lit(HllM) - nFilled
+    val total = zeros * lit(1L << HllRhoMax) + sFilled
+    val raw = lit(HllAlphaScaled) / total
+    when(zeros > 0 && raw <= lit(2.5 * HllM),
+      round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros), 4))
+      .otherwise(round(raw, 4))
   }
 
   private val integral: Set[DataType] =
@@ -101,14 +192,15 @@ object Views {
   /** One aggregation pass under the view's column-naming contract. */
   private def aggregate(df: DataFrame, groupCols: Seq[String],
       sumCols: Seq[String], minCols: Seq[String],
-      maxCols: Seq[String]): DataFrame = {
+      maxCols: Seq[String], distinctCols: Seq[String] = Nil): DataFrame = {
     val aggs: Seq[Column] =
       count(lit(1)).as("n_rows") +:
         (sumCols.map(c =>
           sum(coalesce(col(c).cast(LongType), lit(0L))).as(s"sum_$c")) ++
           minCols.map(c => min(col(c)).as(s"min_$c")) ++
           maxCols.map(c => max(col(c)).as(s"max_$c")))
-    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val base = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    joinHllMaps(base, df, groupCols, distinctCols)
   }
 
   /** Stamp bookkeeping columns and append the sentinel row. */
@@ -123,6 +215,8 @@ object Views {
         d.sumCols.map(c => lit(0L).as(s"sum_$c")) ++
         d.minCols.map(c => lit(null).cast(d.types(s"min_$c")).as(s"min_$c")) ++
         d.maxCols.map(c => lit(null).cast(d.types(s"max_$c")).as(s"max_$c")) ++
+        d.distinctCols.map(c =>
+          lit(null).cast(d.types(s"hll_$c")).as(s"hll_$c")) ++
         metas.map { case (c, v) => lit(v).as(c) }): _*)
     stamped.unionByName(sentinel)
   }
@@ -145,13 +239,15 @@ object Views {
       groupCols: Seq[String],
       sumCols: Seq[String] = Nil,
       minCols: Seq[String] = Nil,
-      maxCols: Seq[String] = Nil): Long = {
+      maxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "a view needs at least one group column")
     require(Snapshots.version(spark, viewDir) == 0L,
       s"$viewDir already holds a committed view")
     val reserved = groupCols.filter(c => c == "n_rows" ||
       c.startsWith("sum_") || c.startsWith("min_") ||
-      c.startsWith("max_") || c.startsWith("_mv_"))
+      c.startsWith("max_") || c.startsWith("hll_") ||
+      c.startsWith("distinct_") || c.startsWith("_mv_"))
     require(reserved.isEmpty,
       s"group column names collide with the view's aggregate naming " +
         s"contract: ${reserved.mkString(", ")}")
@@ -163,7 +259,11 @@ object Views {
     require(badSum.isEmpty,
       s"sum columns must be integral (exact delta maintenance): " +
         s"${badSum.mkString(", ")}")
-    val rows = aggregate(cur, groupCols, sumCols, minCols, maxCols)
+    val missing = distinctCols.filterNot(srcT.contains)
+    require(missing.isEmpty,
+      s"distinct columns absent from the source: ${missing.mkString(", ")}")
+    val rows = aggregate(cur, groupCols, sumCols, minCols, maxCols,
+      distinctCols)
     val d = parseDef(rows)
     Snapshots.commit(spark, withMeta(spark, rows, d, srcV, -1L), viewDir,
       statsColumns = groupCols)
@@ -179,12 +279,19 @@ object Views {
     * drift. */
   def readView(spark: SparkSession, viewDir: String,
       asOf: Option[Long] = None, withAvg: Boolean = false): DataFrame = {
-    val rows = dropMeta((asOf match {
+    val raw = dropMeta((asOf match {
       case Some(v) => Snapshots.readVersion(spark, viewDir, v)
       case None => Snapshots.read(spark, viewDir)
     }).filter(col("n_rows") > 0))
+    val d = parseDef(raw)
+    // register maps are maintenance STATE, not the product: serve the
+    // estimate (`distinct_<c>`, the exact-arithmetic HLL estimator)
+    // and keep the sketch internal
+    val rows = d.distinctCols.foldLeft(raw)((df, c) =>
+      df.withColumn(s"distinct_$c", hllEstimateOf(s"hll_$c"))
+        .drop(s"hll_$c"))
     if (!withAvg) rows
-    else parseDef(rows).sumCols.foldLeft(rows)((df, c) =>
+    else d.sumCols.foldLeft(rows)((df, c) =>
       df.withColumn(s"avg_$c",
         col(s"sum_$c").cast("double") / col("n_rows").cast("double")))
   }
@@ -252,7 +359,19 @@ object Views {
       .select((d.groupCols.map(c => col(c).as(s"_d_$c")) ++
         (col("_dn") +: d.sumCols.map(c => col(s"_dsum_$c"))) ++
         mmNames.map(col)): _*)
-    val joined = aggRows.join(deltas, keyCond(d.groupCols, "_d_"), "full_outer")
+    // per-group delta register maps ride the same full-outer join:
+    // rename to `_dhll_<c>` so the old map column keeps its name
+    val deltas2 = d.distinctCols.foldLeft(deltas) { (acc, c) =>
+      val m = hllMapOf(feed, d.groupCols, c).select(
+        d.groupCols.map(cc => col(cc).as(s"_dh_$cc"))
+          :+ col(s"hll_$c").as(s"_dhll_$c"): _*)
+      acc.join(m,
+        d.groupCols.map(cc => col(s"_d_$cc") <=> col(s"_dh_$cc"))
+          .reduce(_ && _), "left")
+        .drop(d.groupCols.map(cc => s"_dh_$cc"): _*)
+    }
+    val joined =
+      aggRows.join(deltas2, keyCond(d.groupCols, "_d_"), "full_outer")
     val n2 = coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L))
     // a min/max delta batch containing any retraction (sign < 1) is
     // unsound — refuse at evaluation, pointing at the rescan route
@@ -272,7 +391,17 @@ object Views {
         d.minCols.map(c => mmGuard(least(col(s"min_$c"), col(s"_dmin_$c")),
           d.types(s"min_$c")).as(s"min_$c")) ++
         d.maxCols.map(c => mmGuard(greatest(col(s"max_$c"), col(s"_dmax_$c")),
-          d.types(s"max_$c")).as(s"max_$c"))): _*)
+          d.types(s"max_$c")).as(s"max_$c")) ++
+        d.distinctCols.map { c =>
+          // register max-merge, key-union over the two maps; null side
+          // reads as the empty sketch
+          val empty = expr("cast(map() as map<int,int>)")
+          val merged = map_zip_with(
+            coalesce(col(s"hll_$c"), empty),
+            coalesce(col(s"_dhll_$c"), empty),
+            (_, a, b) => greatest(a, b))
+          mmGuard(merged, d.types(s"hll_$c")).as(s"hll_$c")
+        }): _*)
       .filter(col("n_rows") > 0)
   }
 
@@ -338,7 +467,7 @@ object Views {
       .select(d.groupCols.map(c => col(c).as(s"_t_$c")): _*)
     val recomputed = aggregate(
       srcTip.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi"),
-      d.groupCols, d.sumCols, d.minCols, d.maxCols)
+      d.groupCols, d.sumCols, d.minCols, d.maxCols, d.distinctCols)
     val untouched = aggRows
       .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
     untouched.unionByName(recomputed)

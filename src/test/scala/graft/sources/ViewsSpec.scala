@@ -146,6 +146,41 @@ class ViewsSpec extends SparkSpec {
     assert(got === Map("b" -> ((2L, 999L))))
   }
 
+  test("distinct columns: delta merge equals recompute; rescan under deletes; ±5% law") {
+    def state(dir: String) = Views.readView(spark, dir).collect()
+      .map(r => r.getString(r.fieldIndex("grp")) ->
+        ((r.getLong(r.fieldIndex("n_rows")),
+          r.getDouble(r.fieldIndex("distinct_v"))))).toMap
+    val src = tmp("dcsrc"); val mv = tmp("dcmv")
+    Snapshots.commit(spark,
+      rows((1, "a", 10), (2, "a", 20), (3, "b", 5), (7, "a", 10)), src)
+    Views.createView(spark, src, mv, Seq("grp"), distinctCols = Seq("v"))
+    // insert-only window: the HLL register maps merge on the DELTA
+    // path — and must equal a full recompute (a fresh view over the
+    // final state) BIT-EXACTLY, not within a tolerance
+    Snapshots.merge(spark, src,
+      rows((4, "a", 10), (5, "a", 30), (6, "b", 7)), Seq("id"),
+      recordChanges = true, preImages = true)
+    Views.refreshView(spark, src, mv)
+    val fresh1 = tmp("dcf1")
+    Views.createView(spark, src, fresh1, Seq("grp"),
+      distinctCols = Seq("v"))
+    assert(state(mv) === state(fresh1))
+    // the ±5% law against exact distincts (a: {10,20,30}, b: {5,7})
+    val got1 = state(mv)
+    assert(math.abs(got1("a")._2 - 3.0) <= 0.15, got1)
+    assert(math.abs(got1("b")._2 - 2.0) <= 0.10, got1)
+    // a delete routes through the rescan (registers cannot forget):
+    // the recomputed sketch must again equal a fresh build
+    Snapshots.delete(spark, src, col("id") === 5, recordChanges = true)
+    Views.refreshView(spark, src, mv)
+    val fresh2 = tmp("dcf2")
+    Views.createView(spark, src, fresh2, Seq("grp"),
+      distinctCols = Seq("v"))
+    assert(state(mv) === state(fresh2))
+    assert(math.abs(state(mv)("a")._2 - 2.0) <= 0.10, state(mv))
+  }
+
   test("streaming maintenance: drain equals recompute, second drain is a no-op") {
     val src = tmp("ssrc"); val mv = tmp("smv"); val ckpt = tmp("sckpt")
     Snapshots.commit(spark, rows().limit(0), src)
