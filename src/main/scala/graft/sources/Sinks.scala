@@ -92,6 +92,10 @@ object Sinks {
   private lazy val mvJoinOrdDir: String = scratch("graft-mv-join-ord")
   private lazy val mvJoinLiDir: String = scratch("graft-mv-join-li")
   private lazy val mvJoinViewDir: String = scratch("graft-mv-join-view")
+  private lazy val mvJsOrdDir: String = scratch("graft-mv-js-ord")
+  private lazy val mvJsLiDir: String = scratch("graft-mv-js-li")
+  private lazy val mvJsViewDir: String = scratch("graft-mv-js-view")
+  private lazy val mvJsCkptDir: String = scratch("graft-mv-js-ckpt")
   private lazy val mvJmOrdDir: String = scratch("graft-mv-jm-ord")
   private lazy val mvJmLiDir: String = scratch("graft-mv-jm-li")
   private lazy val mvJmViewDir: String = scratch("graft-mv-jm-view")
@@ -1539,6 +1543,57 @@ object Sinks {
       .orderBy("o_orderpriority")
   }
 
+  /** CONTINUOUS join-view maintenance: one maintainer drains BOTH
+    * sources' write-time change feeds (side-tagged union, one
+    * checkpoint) and folds each micro-batch with the bilinear rule,
+    * the other-side reads pinned by time travel and manifest-pruned
+    * to the batch's key envelope. Two insert waves land on both sides
+    * across two separate drains; `stream_ok` pins that the maintainer
+    * left nothing for the batch refresh to do (refresh is a no-op at
+    * the same version). The oracle is the whole-table join recompute,
+    * so a hash match certifies micro-batch bilinear folding equals the
+    * full join — the streaming sibling of `q_snapshot_mv_join`.
+    */
+  private def snapshotMvJoinStream(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvJsOrdDir); clearDir(s, mvJsLiDir)
+    clearDir(s, mvJsViewDir); clearDir(s, mvJsCkptDir)
+    val ord = Tables(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderkey") < 60000)
+    val li = Tables(s, d, "lineitem").select(
+      col("l_orderkey").as("o_orderkey"),
+      col("l_quantity").cast("long").as("qty"))
+      .filter(col("o_orderkey") < 60000)
+    Snapshots.commit(s, ord.filter(col("o_orderkey") % 3 === 0), mvJsOrdDir)
+    Snapshots.commit(s, li.filter(col("o_orderkey") % 3 === 0), mvJsLiDir)
+    Views.createJoinView(s, mvJsOrdDir, mvJsLiDir, mvJsViewDir,
+      Seq("o_orderkey"), Seq("o_orderpriority"), sumCols = Seq("qty"))
+    Snapshots.merge(s, mvJsOrdDir,
+      ord.filter(col("o_orderkey") % 3 === 1), Seq("o_orderkey"),
+      recordChanges = true)
+    Snapshots.merge(s, mvJsLiDir,
+      li.filter(col("o_orderkey") % 3 === 1), Seq("o_orderkey"),
+      recordChanges = true)
+    Views.streamRefreshJoinView(s, mvJsViewDir, mvJsCkptDir)
+      .awaitTermination()
+    Snapshots.merge(s, mvJsOrdDir,
+      ord.filter(col("o_orderkey") % 3 === 2), Seq("o_orderkey"),
+      recordChanges = true)
+    Snapshots.merge(s, mvJsLiDir,
+      li.filter(col("o_orderkey") % 3 === 2), Seq("o_orderkey"),
+      recordChanges = true)
+    Views.streamRefreshJoinView(s, mvJsViewDir, mvJsCkptDir)
+      .awaitTermination()
+    val ver = Snapshots.version(s, s"$mvJsViewDir/rows")
+    val ok =
+      if (Views.refreshJoinView(s, mvJsViewDir) == ver) 1L else 0L
+    Views.readJoinView(s, mvJsViewDir)
+      .select(col("o_orderpriority"), col("n_rows").as("n_lines"),
+        col("sum_qty"))
+      .withColumn("stream_ok", lit(ok))
+      .orderBy("o_orderpriority")
+  }
+
   /** The join view with MIN/MAX columns (and AVG derived at read):
     * an all-insert wave refreshes min/max on the bilinear DELTA path
     * (inserts only extend extrema — least/greatest against the delta's
@@ -1663,6 +1718,7 @@ object Sinks {
     "q_snapshot_append" -> (snapshotAppend _),
     "q_snapshot_mv_join" -> (snapshotMvJoin _),
     "q_snapshot_mv_join_minmax" -> (snapshotMvJoinMinmax _),
+    "q_snapshot_mv_join_stream" -> (snapshotMvJoinStream _),
     "q_snapshot_mv_join_rescan" -> (snapshotMvJoinRescan _),
     "q_snapshot_mv_refresh" -> (snapshotMvRefresh _),
     "q_snapshot_mv_distinct" -> (snapshotMvDistinct _),
@@ -1733,6 +1789,16 @@ object Sinks {
         |  CAST(1 AS BIGINT) AS append_ok
         |FROM documents WHERE doc_id < 900
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // streaming bilinear folding equals the full join recompute:
+    // every key-third of both inputs lands through the maintainer
+    "q_snapshot_mv_join_stream" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(1 AS BIGINT) AS stream_ok
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey < 60000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // min/max join maintenance + read-time AVG: orders = thirds 0∪1
     // minus the %10=7 deletes; lineitem = thirds 0∪1; min/max rode the
     // delta path through the insert wave and the rescan through the

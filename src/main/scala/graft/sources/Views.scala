@@ -663,7 +663,8 @@ object Views {
     val d = parseDef(rows)
     Snapshots.commit(spark,
       withMetaCols(spark, rows, d,
-        Seq("_mv_srcl_version" -> vL, "_mv_srcr_version" -> vR)),
+        Seq("_mv_srcl_version" -> vL, "_mv_srcr_version" -> vR,
+          "_mv_batch_id" -> -1L)),
       s"$viewDir/rows", statsColumns = groupCols)
   }
 
@@ -707,9 +708,8 @@ object Views {
       require(base >= 1, s"no committed join view in $viewDir")
       val mv = Snapshots.readVersion(spark, rowsDir, base)
       val d = parseDef(mv)
-      val meta = mv.filter(col("n_rows") === 0)
-        .select("_mv_srcl_version", "_mv_srcr_version").head()
-      val (aL, aR) = (meta.getLong(0), meta.getLong(1))
+      val meta = joinSentinelMeta(mv)
+      val (aL, aR, lastBatch) = meta
       val tipL = Snapshots.version(spark, leftDir)
       val tipR = Snapshots.version(spark, rightDir)
       require(tipL >= aL && tipR >= aR,
@@ -775,7 +775,8 @@ object Views {
         }
       Snapshots.commitIfVersion(spark,
         withMetaCols(spark, next, d,
-          Seq("_mv_srcl_version" -> tipL, "_mv_srcr_version" -> tipR)),
+          Seq("_mv_srcl_version" -> tipL, "_mv_srcr_version" -> tipR,
+            "_mv_batch_id" -> lastBatch)),
         rowsDir, base, statsColumns = d.groupCols) match {
         case Some(v) => return v
         case None => attempt += 1
@@ -783,6 +784,119 @@ object Views {
     }
     throw new IllegalStateException(
       s"join-view refresh on $viewDir lost $maxRetries optimistic races")
+  }
+
+  /** (appliedLeft, appliedRight, lastStreamBatch) from the join view's
+    * sentinel; views created before the streaming guard lack the
+    * batch-id column and read as -1 (no batch folded yet). */
+  private def joinSentinelMeta(mv: DataFrame): (Long, Long, Long) = {
+    val hasBatch = mv.columns.contains("_mv_batch_id")
+    val cols =
+      if (hasBatch)
+        Seq("_mv_srcl_version", "_mv_srcr_version", "_mv_batch_id")
+      else Seq("_mv_srcl_version", "_mv_srcr_version")
+    val row = mv.filter(col("n_rows") === 0).select(cols.map(col): _*).head()
+    (row.getLong(0), row.getLong(1),
+      if (hasBatch) row.getLong(2) else -1L)
+  }
+
+  /** Continuous maintenance of a JOIN view: ONE maintainer drains BOTH
+    * sources' write-time change feeds (side-tagged union of the two
+    * [[Snapshots.changesStream]]s, one checkpoint) and folds each
+    * micro-batch with the bilinear rule — `ΔL ⋈ R(tR) + L(aL) ⋈ ΔR`,
+    * both "other side" terms pinned by time travel to the batch's own
+    * window ends and manifest-pruned to the delta's key envelope
+    * ([[readMatching]]). APPEND-ONLY sources only: a retraction in a
+    * batch fails loudly (run batch [[refreshJoinView]]'s rescan for
+    * general feeds). Exactly-once under the file-source contract, same
+    * three guards as the single-table maintainer: `version > applied`
+    * filtering per side, the sentinel's `_mv_batch_id` replay guard,
+    * and CAS commits. ONE maintainer stream per view (the batch-id
+    * monotonicity contract of [[streamRefreshView]]); a batch
+    * [[refreshJoinView]] racing the maintainer CASes safely and
+    * preserves the guard. */
+  def streamRefreshJoinView(
+      spark: SparkSession,
+      viewDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val p = Snapshots.read(spark, s"$viewDir/params").collect().head
+    val leftDir = p.getAs[String]("left_dir")
+    val rightDir = p.getAs[String]("right_dir")
+    val joinKeys = p.getAs[String]("join_keys").split(",").toSeq
+    val feed = Snapshots.changesStream(spark, leftDir)
+      .withColumn("_side", lit("L"))
+      .unionByName(
+        Snapshots.changesStream(spark, rightDir)
+          .withColumn("_side", lit("R")),
+        allowMissingColumns = true)
+    feed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyJoinStreamBatch(spark, viewDir, leftDir, rightDir, joinKeys,
+          batch, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  private def applyJoinStreamBatch(
+      spark: SparkSession, viewDir: String,
+      leftDir: String, rightDir: String, joinKeys: Seq[String],
+      batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try {
+      val rowsDir = s"$viewDir/rows"
+      var attempt = 0
+      var done = false
+      while (!done && attempt < 10) {
+        val base = Snapshots.version(spark, rowsDir)
+        val mv = Snapshots.readVersion(spark, rowsDir, base)
+        val d = parseDef(mv)
+        val (aL, aR, lastBatch) = joinSentinelMeta(mv)
+        if (batchId <= lastBatch) return // replayed batch: already folded
+        val freshL = batch.filter(col("_side") === "L" &&
+          col("version") > aL)
+        val freshR = batch.filter(col("_side") === "R" &&
+          col("version") > aR)
+        val kinds = freshL.unionByName(freshR)
+          .select("change_type").distinct()
+          .collect().map(_.getString(0)).toSet
+        require(kinds.subsetOf(Set("insert")),
+          "streaming join-view maintenance is insert-only: feed " +
+            s"window carries ${kinds.mkString(", ")} — run batch " +
+            "refreshJoinView (touched-group rescan)")
+        val bounds = Seq(freshL, freshR).map(
+          _.agg(max("version")).head() match {
+            case r if r.isNullAt(0) => None
+            case r => Some(r.getLong(0))
+          })
+        if (bounds.forall(_.isEmpty)) return // nothing unapplied
+        val (tL, tR) = (bounds(0).getOrElse(aL), bounds(1).getOrElse(aR))
+        val lCols = Snapshots.readVersion(spark, leftDir, tL).columns.toSeq
+        val rCols = Snapshots.readVersion(spark, rightDir, tR).columns.toSeq
+        val dL = bounds(0).map(_ => freshL.select(lCols.map(col): _*))
+        val dR = bounds(1).map(_ => freshR.select(rCols.map(col): _*))
+        val aggRows = dropMeta(mv.filter(col("n_rows") > 0))
+        val deltaRows = (dL.map(f => f.join(
+          readMatching(spark, rightDir, tR, f, joinKeys), joinKeys)) ++
+          dR.map(f => readMatching(spark, leftDir, aL, f, joinKeys)
+            .join(f, joinKeys)))
+          .reduce(_ unionByName _)
+        val next = applyDeltas(aggRows,
+          deltaRows.withColumn("change_type", lit("insert")), d)
+        done = Snapshots.commitIfVersion(spark,
+          withMetaCols(spark, next, d,
+            Seq("_mv_srcl_version" -> tL, "_mv_srcr_version" -> tR,
+              "_mv_batch_id" -> batchId)),
+          rowsDir, base, statsColumns = d.groupCols).nonEmpty
+        if (!done) attempt += 1
+      }
+      if (!done) throw new IllegalStateException(
+        s"streaming join-view maintenance on $viewDir lost 10 races")
+    } finally batch.unpersist()
   }
 
   private def applyStreamBatch(spark: SparkSession, viewDir: String,

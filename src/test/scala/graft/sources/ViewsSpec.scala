@@ -310,6 +310,52 @@ class ViewsSpec extends SparkSpec {
       .inputFiles.isEmpty)
   }
 
+  test("streaming join-view maintenance: drain equals recompute, replay-guarded, insert-only") {
+    import spark.implicits._
+    val l = tmp("sjl"); val r = tmp("sjr"); val v = tmp("sjv")
+    val ckpt = tmp("sjc")
+    def lrows(p: (Long, String)*) = p.toSeq.toDF("id", "grp")
+    def rrows(p: (Long, Long)*) = p.toSeq.toDF("id", "v")
+    Snapshots.commit(spark, lrows((1, "a"), (2, "b")), l)
+    Snapshots.commit(spark, rrows((1, 10), (1, 20), (2, 5)), r)
+    Views.createJoinView(spark, l, r, v, Seq("id"), Seq("grp"),
+      sumCols = Seq("v"))
+    def state = Views.readJoinView(spark, v).collect()
+      .map(x => x.getString(x.fieldIndex("grp")) ->
+        (x.getLong(x.fieldIndex("n_rows")),
+          x.getLong(x.fieldIndex("sum_v")))).toMap
+    // two insert waves on both sides, then ONE maintainer drains both
+    // feeds through one checkpoint — including the ΔL ⋈ ΔR cross term
+    Snapshots.merge(spark, l, lrows((3, "a")), Seq("id"),
+      recordChanges = true)
+    Snapshots.merge(spark, r, rrows((3, 7)), Seq("id"),
+      recordChanges = true)
+    Snapshots.merge(spark, l, lrows((4, "b")), Seq("id"),
+      recordChanges = true)
+    Snapshots.merge(spark, r, rrows((4, 100), (4, 1)), Seq("id"),
+      recordChanges = true)
+    Views.streamRefreshJoinView(spark, v, ckpt).awaitTermination()
+    assert(state === Map("a" -> ((3L, 37L)), "b" -> ((3L, 106L))))
+    // caught up: a batch refresh is a no-op, and a second drain from
+    // the same checkpoint (the at-least-once replay window) commits
+    // nothing
+    val ver = Snapshots.version(spark, s"$v/rows")
+    assert(Views.refreshJoinView(spark, v) === ver)
+    Views.streamRefreshJoinView(spark, v, ckpt).awaitTermination()
+    assert(Snapshots.version(spark, s"$v/rows") === ver)
+    // a retraction reaches the maintainer: refused loudly (the
+    // bilinear delta cannot retract pairs) — batch rescan's job
+    Snapshots.delete(spark, r, col("id") === 1, recordChanges = true)
+    val e = intercept[Exception](
+      Views.streamRefreshJoinView(spark, v, ckpt).awaitTermination())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("insert-only"), msgs(e))
+    // and the batch rescan route digests the same window fine
+    Views.refreshJoinView(spark, v)
+    assert(state === Map("a" -> ((1L, 7L)), "b" -> ((3L, 106L))))
+  }
+
   test("join view general changes: deletes and updates via touched-group rescan") {
     import spark.implicits._
     val l = tmp("dl"); val r = tmp("dr"); val v = tmp("dv")
