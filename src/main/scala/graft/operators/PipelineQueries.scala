@@ -493,7 +493,7 @@ object PipelineQueries {
     lifecycleDir("pstr-sk-verdicts") { (s, d, outDir) =>
       val docs = t(s, d, "documents")
       val arrivals = docs.filter(col("doc_id") % 5 === 0)
-      val (hllDir, cmDir) = arrivalSketches(s, d)
+      val (hllDir, cmDir, qhDir) = arrivalSketches(s, d)
       drainTwoBatches(s, "pstr-sk", d,
         arrivals.filter(col("doc_id") < 250),
         arrivals.filter(col("doc_id") >= 250)) { batch =>
@@ -502,14 +502,20 @@ object PipelineQueries {
             batch.select(col("doc_id"), col("source"), col("text")),
             lower(trim(col("text"))), carryCols = Seq("doc_id"))
           .withColumnRenamed("n_est", "n_corpus_dups")
+        val positioned = Sketches.qhCdfServe(bs, qhDir,
+            freq.withColumnRenamed("v", "vt"),
+            length(col("vt")), carryCols = Seq("doc_id", "n_corpus_dups"))
+          .withColumnRenamed("pct", "len_pct")
         val card = Sketches.hllServe(bs, hllDir)
           .withColumnRenamed("n_est", "src_distinct_toks")
-        val verdicts = freq
+        val verdicts = positioned
           .join(broadcast(card), Seq("source"), "left")
           .select(col("doc_id"), col("source"), col("n_corpus_dups"),
             coalesce(col("src_distinct_toks"), lit(0.0))
               .as("src_distinct_toks"),
-            (col("n_corpus_dups") === 0L).cast("long").as("admit"))
+            col("len_pct"),
+            (col("n_corpus_dups") === 0L && col("len_pct") >= 0.05)
+              .cast("long").as("admit"))
         if (graft.sources.Snapshots.version(bs, outDir) >= 1L)
           graft.sources.Snapshots.merge(bs, outDir, verdicts,
             key = Seq("doc_id"), statsColumns = Seq("doc_id"),
@@ -1057,28 +1063,37 @@ object PipelineQueries {
   /** The STANDING sketches the arrival-admission composite probes —
     * built once on the corpus side (doc_id % 5 != 0, the same side
     * [[arrivalIndexes]] indexes): an HLL register table of per-source
-    * distinct tokens and a count-min counter table of per-source
-    * whole-text frequencies. Serving reads ONLY these tiny tables plus
-    * the arrival slice — the corpus text is scanned once, at build,
-    * on the `setup_arrival_sketches` line. Returns (hll dir, cm dir).
-    */
+    * distinct tokens, a count-min counter table of per-source
+    * whole-text frequencies, and a quantile-histogram of per-source
+    * normalized text LENGTHS (the C4-style length-filter reference
+    * distribution). Serving reads ONLY these tiny tables plus the
+    * arrival slice — the corpus text is scanned once per sketch, at
+    * build, on the `setup_arrival_sketches` line. Returns (hll dir,
+    * cm dir, qh dir). */
   private val arrivalSketchMemo =
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), (String, String)]()
+      (SparkSession, String), (String, String, String)]()
 
-  private def arrivalSketches(s: SparkSession, d: String): (String, String) =
+  private def arrivalSketches(s: SparkSession, d: String)
+      : (String, String, String) =
     arrivalSketchMemo.computeIfAbsent((s, d), _ => {
       val corpusSide = t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
       val hllDir = scratch(s"graft-arrival-hll-${dirTag(d)}-$pid")
       val cmDir = scratch(s"graft-arrival-cm-${dirTag(d)}-$pid")
-      Seq(hllDir, cmDir).foreach(clearDir(s, _))
+      val qhDir = scratch(s"graft-arrival-qh-${dirTag(d)}-$pid")
+      Seq(hllDir, cmDir, qhDir).foreach(clearDir(s, _))
       Sketches.buildHllIndex(s,
         corpusSide.select(col("source"),
           explode(Dedup.tokens(col("text"))).as("tok")),
         hllDir, Seq("source"), col("tok"))
       Sketches.buildCmIndex(s, corpusSide, cmDir, Seq("source"),
         lower(trim(col("text"))))
-      (hllDir, cmDir)
+      // same normalization as the count-min value, so the serve can
+      // derive its probe from the cm probe's carried `v` — one
+      // arrival-slice scan feeds every sketch probe
+      Sketches.buildQhIndex(s, corpusSide, qhDir, Seq("source"),
+        length(lower(trim(col("text")))))
+      (hllDir, cmDir, qhDir)
     })
 
   /** HNSW hyperparameters for the gate corpus: 4 shards (125 vectors
@@ -2684,21 +2699,31 @@ object PipelineQueries {
       // minhash/span probes of pipeline_arrival_admit.
       val docs = t(s, d, "documents")
       val arrivals = docs.filter(col("doc_id") % 5 === 0)
-      val (hllDir, cmDir) = arrivalSketches(s, d)
+      val (hllDir, cmDir, qhDir) = arrivalSketches(s, d)
       // doc_id rides THROUGH the probe (carryCols): one arrival-slice
       // scan total — no join-back to a second scan of the text
       val freq = Sketches.cmServe(s, cmDir,
           arrivals.select(col("doc_id"), col("source"), col("text")),
           lower(trim(col("text"))), carryCols = Seq("doc_id"))
         .withColumnRenamed("n_est", "n_corpus_dups")
+      // the length-percentile probe CHAINS off the cm probe's carried
+      // normalized text (`length(v)`) instead of rescanning arrivals —
+      // the C4-style length filter from the standing histogram, still
+      // exactly ONE corpus-file scan in the whole plan
+      val positioned = Sketches.qhCdfServe(s, qhDir,
+          freq.withColumnRenamed("v", "vt"),
+          length(col("vt")), carryCols = Seq("doc_id", "n_corpus_dups"))
+        .withColumnRenamed("pct", "len_pct")
       val card = Sketches.hllServe(s, hllDir)
         .withColumnRenamed("n_est", "src_distinct_toks")
-      freq
+      positioned
         .join(broadcast(card), Seq("source"), "left")
         .select(col("doc_id"), col("source"), col("n_corpus_dups"),
           coalesce(col("src_distinct_toks"), lit(0.0))
             .as("src_distinct_toks"),
-          (col("n_corpus_dups") === 0L).cast("long").as("admit"))
+          col("len_pct"),
+          (col("n_corpus_dups") === 0L && col("len_pct") >= 0.05)
+            .cast("long").as("admit"))
         .orderBy("doc_id")
     }),
 
@@ -4331,15 +4356,45 @@ object PipelineQueries {
         |  SELECT pc.source, pc.v, MIN(COALESCE(cells.cnt, 0)) AS n_corpus_dups
         |  FROM pc LEFT JOIN cells USING (source, i, j)
         |  GROUP BY 1, 2),
+        |clen AS (
+        |  SELECT source, CAST(length(lower(trim(text))) AS BIGINT) AS v
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |cbk AS (
+        |  SELECT source, CASE WHEN v < 16 THEN v
+        |    ELSE (length(bin(v)) - 5) * 16 + 16
+        |      + (v >> (length(bin(v)) - 5)) - 16 END AS b,
+        |    COUNT(*) AS cnt
+        |  FROM clen GROUP BY 1, 2),
+        |ctot AS (SELECT source, SUM(cnt) AS n_total FROM cbk GROUP BY 1),
         |arr AS (
         |  SELECT doc_id, source, lower(trim(text)) AS v
-        |  FROM documents WHERE doc_id % 5 = 0)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |abk AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN lv < 16 THEN lv
+        |      ELSE (length(bin(lv)) - 5) * 16 + 16
+        |        + (lv >> (length(bin(lv)) - 5)) - 16 END AS pb
+        |  FROM (SELECT doc_id, source,
+        |          CAST(length(v) AS BIGINT) AS lv FROM arr)),
+        |lpos AS (
+        |  SELECT abk.doc_id, abk.source,
+        |    COALESCE(SUM(CASE WHEN cbk.b <= abk.pb THEN cbk.cnt
+        |      ELSE 0 END), 0) AS n_le
+        |  FROM abk LEFT JOIN cbk ON abk.source = cbk.source
+        |  GROUP BY 1, 2),
+        |lpct AS (
+        |  SELECT lpos.doc_id, lpos.source,
+        |    CASE WHEN COALESCE(ctot.n_total, 0) > 0
+        |      THEN lpos.n_le / ctot.n_total ELSE 0.0 END AS len_pct
+        |  FROM lpos LEFT JOIN ctot ON lpos.source = ctot.source)
         |SELECT arr.doc_id, arr.source, cest.n_corpus_dups,
         |  COALESCE(hest.src_distinct_toks, 0.0) AS src_distinct_toks,
-        |  CASE WHEN cest.n_corpus_dups = 0
+        |  lpct.len_pct,
+        |  CASE WHEN cest.n_corpus_dups = 0 AND lpct.len_pct >= 0.05
         |    THEN 1 ELSE 0 END::BIGINT AS admit
         |FROM arr
         |JOIN cest ON arr.source = cest.source AND arr.v = cest.v
+        |LEFT JOIN lpct ON arr.doc_id = lpct.doc_id
         |LEFT JOIN hest ON arr.source = hest.source
         |ORDER BY arr.doc_id""".stripMargin
 

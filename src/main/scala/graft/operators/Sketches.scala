@@ -357,6 +357,74 @@ object Sketches {
       statsColumns = "gen" +: groupCols :+ "b")
   }
 
+  /** CDF POSITION of each probe value against a group's histogram —
+    * the inverse of the quantile read: `n_le` = Σ cnt over buckets
+    * `b ≤ bucket(v)` (values sharing v's bucket count as ≤ — the
+    * histogram's resolution, consistent with the bucket law), `pct =
+    * n_le / n_total`. All integers plus one IEEE division, so the
+    * oracle replays positions exactly. This is the per-arrival "where
+    * does this length/quality sit in the standing corpus" primitive —
+    * the C4-style length filter answered from O(16·octaves) bucket
+    * rows per group, zero corpus rescans. With `carryCols` one row
+    * rides per probe row (the [[cmEstimates]] contract); distinct
+    * probes otherwise. Output: `(groupCols…, carryCols…, v, n_le,
+    * n_total, pct)`; a group with no histogram reads n_total = 0 and
+    * pct = 0.0. */
+  def qhCdfProbe(
+      buckets: DataFrame,
+      groupCols: Seq[String],
+      probes: DataFrame,
+      value: Column,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(carryCols.forall(c =>
+      !(Seq("gen", "b", "cnt", "v", "q", "c", "t", "n") ++ groupCols)
+        .contains(c)),
+      s"carry columns collide with sketch/group columns: $carryCols")
+    val keyCols = groupCols ++ carryCols
+    val gcols = keyCols.map(col)
+    val collapsed = buckets
+      .groupBy((groupCols :+ "b").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val tot = collapsed.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("n_total"))
+    val keyed = probes
+      .select(gcols :+ value.cast("long").as("v"): _*)
+      .withColumn("v", when(col("v") >= 0, col("v")).otherwise(
+        raise_error(concat(lit("quantile sketch value must be >= 0, got "),
+          col("v").cast("string")))))
+      .withColumn("_pb", expr(qhBucket))
+    val pv = if (carryCols.isEmpty) keyed.distinct() else keyed
+    pv.join(collapsed, groupCols.toSeq, "left")
+      .groupBy((keyCols :+ "v" :+ "_pb").map(col): _*)
+      .agg(sum(when(col("b") <= col("_pb"), col("cnt")).otherwise(0L))
+        .as("n_le0"))
+      .join(tot, groupCols.toSeq, "left")
+      .select(gcols :+ col("v")
+        :+ coalesce(col("n_le0"), lit(0L)).as("n_le")
+        :+ coalesce(col("n_total"), lit(0L)).as("n_total"): _*)
+      .withColumn("pct",
+        when(col("n_total") > 0, col("n_le") / col("n_total"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Serve CDF positions for a probe batch from the persisted buckets
+    * — never touches the source corpus. */
+  def qhCdfServe(
+      spark: SparkSession,
+      indexDir: String,
+      probes: DataFrame,
+      value: Column,
+      asOf: Option[Long] = None,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val groupCols = readGroupCols(spark, indexDir)
+    val dir = s"$indexDir/buckets"
+    val buckets = asOf match {
+      case Some(v) => Snapshots.readVersion(spark, dir, v)
+      case None => Snapshots.read(spark, dir)
+    }
+    qhCdfProbe(buckets, groupCols, probes, value, carryCols)
+  }
+
   /** Serve per-group quantile estimates from the persisted buckets —
     * never touches the source corpus. */
   def qhServe(

@@ -107,11 +107,26 @@ class PipelineIndexSpec extends SparkSpec {
       .select(col("doc_id"), col("source"),
         lower(trim(col("text"))).as("v")).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // exact per-source length CDF positions for the histogram law
+    // (bucket resolution makes the sketch position >= the exact
+    // strictly-below position and <= the exact at-or-below position)
+    val corpusLens = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("source"),
+        length(lower(trim(col("text")))).cast("long").as("len")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSeq }
     assert(rows.forall { r =>
       val key = arr(r.getAs[Long]("doc_id"))
       val est = r.getAs[Long]("n_corpus_dups")
+      val pct = r.getAs[Double]("len_pct")
+      val lens = corpusLens.getOrElse(key._1, Seq.empty[Long])
+      val arrLen = key._2.length.toLong
+      val lawLo =
+        if (lens.isEmpty) 0.0
+        else lens.count(_ < arrLen).toDouble / lens.size
       est >= exact.getOrElse(key, 0L) &&
-        (r.getAs[Long]("admit") == 1L) == (est == 0L)
+        pct >= lawLo && pct <= 1.0 &&
+        (r.getAs[Long]("admit") == 1L) == (est == 0L && pct >= 0.05)
     })
   }
 }
