@@ -703,6 +703,7 @@ object Views {
     val joinKeys = p.getAs[String]("join_keys").split(",").toSeq
     val rowsDir = s"$viewDir/rows"
     var attempt = 0
+    var released: Option[DataFrame] = None
     while (attempt < maxRetries) {
       val base = Snapshots.version(spark, rowsDir)
       require(base >= 1, s"no committed join view in $viewDir")
@@ -752,7 +753,10 @@ object Views {
             deltaRows.withColumn("change_type", lit("insert")), d)
         } else {
           val rNew = Snapshots.readVersion(spark, rightDir, tipR)
-          val lNew = Snapshots.readVersion(spark, leftDir, tipL)
+          // touched is consumed three times below (envelope aggregate,
+          // semi join, anti join) and each consumption would otherwise
+          // re-run the four delta joins — persist the tiny group-tuple
+          // frame for the iteration (released after the commit attempt)
           val touched = (dL.toSeq.flatMap(f => Seq(
             f.join(readMatching(spark, rightDir, aR, f, joinKeys), joinKeys),
             f.join(readMatching(spark, rightDir, tipR, f, joinKeys),
@@ -763,21 +767,31 @@ object Views {
               readMatching(spark, leftDir, tipL, f, joinKeys)
                 .join(f, joinKeys))))
             .map(_.select(d.groupCols.map(col): _*))
-            .reduce(_ unionByName _).distinct()
+            .reduce(_ unionByName _).distinct().persist()
+          released = Some(touched)
           val tKeyed = touched
             .select(d.groupCols.map(c => col(c).as(s"_t_$c")): _*)
+          // the recompute's LEFT read is bounded by the touched
+          // groups' key envelope (the group columns live on the left
+          // input) — on a group-clustered left the rescan reads
+          // O(touched files); the right side is narrowed by the join
+          // keys themselves
           val recomputed = aggregate(
-            lNew.join(rNew, joinKeys)
+            readMatching(spark, leftDir, tipL, touched, d.groupCols,
+              nullSafe = true)
+              .join(rNew, joinKeys)
               .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi"),
             d.groupCols, d.sumCols, d.minCols, d.maxCols)
           aggRows.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
             .unionByName(recomputed)
         }
-      Snapshots.commitIfVersion(spark,
+      val committed = Snapshots.commitIfVersion(spark,
         withMetaCols(spark, next, d,
           Seq("_mv_srcl_version" -> tipL, "_mv_srcr_version" -> tipR,
             "_mv_batch_id" -> lastBatch)),
-        rowsDir, base, statsColumns = d.groupCols) match {
+        rowsDir, base, statsColumns = d.groupCols)
+      released.foreach(_.unpersist()); released = None
+      committed match {
         case Some(v) => return v
         case None => attempt += 1
       }
