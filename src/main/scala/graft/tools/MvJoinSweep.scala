@@ -52,12 +52,15 @@ object MvJoinSweep {
       // untouched clustered file carried by reference with stats
       // intact — the realistic ingest shape, and the one that keeps
       // the post-merge tip prunable for the refresh's delta joins
+      // coalesce(1): a CDC batch arrives as one compact file, not one
+      // sliver per shuffle partition (16 slivers would still prune
+      // correctly — base untouched — but fragment the batch band)
       Snapshots.merge(spark, l, spark.range(n, n + 512).select(col("id"),
-        (col("id") % 64).as("grp")), Seq("id"), recordChanges = true,
-        statsColumns = Seq("id"), scoped = true)
+        (col("id") % 64).as("grp")).coalesce(1), Seq("id"),
+        recordChanges = true, statsColumns = Seq("id"), scoped = true)
       Snapshots.merge(spark, r, spark.range(4 * n, 4 * (n + 512)).select(
         floor(col("id") / 4).cast("long").as("id"),
-        (col("id") % 1000).as("v")),
+        (col("id") % 1000).as("v")).coalesce(1),
         Seq("id"), recordChanges = true,
         statsColumns = Seq("id"), scoped = true)
       // the pruning pin, à la SnapshotsSpec: the delta's key envelope
