@@ -2641,6 +2641,16 @@ object PipelineQueries {
       s.sql(s"SELECT lang, n_rows, sum_n_chars FROM mv_read('$dir', $v1) " +
         "ORDER BY lang")
     }),
+    "q_mv_avg_sql" -> ((s, d) => {
+      // derived-aggregate spelling: AVG is sum/count AT READ TIME
+      // (exact integer operands, one deterministic IEEE division per
+      // group) — never materialized state that incremental maintenance
+      // could drift; the oracle recomputes AVG from the replayed final
+      // state and the doubles must hash-match.
+      val dir = asofMvView(s, d)._1
+      s.sql("SELECT lang, n_rows, sum_n_chars, avg_n_chars " +
+        s"FROM mv_read_avg('$dir') ORDER BY lang")
+    }),
     "pipeline_arrival_decontaminated" -> ((s, d) => {
       // benchmark decontamination as an admission signal: each arrival
       // (doc_id % 5 = 0) probes the STANDING eval-set bloom
@@ -5158,6 +5168,19 @@ object PipelineQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
         |FROM documents WHERE doc_id < 400
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the derived average divides the SAME integers the maintained
+    // sums hold, so the double is bit-deterministic in both engines
+    "q_mv_avg_sql" ->
+      """WITH base AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN doc_id >= 200 THEN n_chars + 1000
+        |      ELSE n_chars END) AS BIGINT) AS sum_n_chars
+        |  FROM documents WHERE doc_id < 600 AND doc_id % 10 <> 7
+        |  GROUP BY lang)
+        |SELECT lang, n_rows, sum_n_chars,
+        |  CAST(sum_n_chars AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |    AS avg_n_chars
+        |FROM base ORDER BY lang""".stripMargin,
     // decontamination verdicts join arrival identity back on the
     // normalized text (hit is a pure function of v in both engines)
     "pipeline_arrival_decontaminated" ->

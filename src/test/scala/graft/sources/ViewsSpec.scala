@@ -146,6 +146,36 @@ class ViewsSpec extends SparkSpec {
     assert(got === Map("b" -> ((2L, 999L))))
   }
 
+  test("insert-only min/max+distinct windows refresh with ZERO source reads") {
+    // the strongest possible pin, same as the count/sum test: delete
+    // every source data file after the recorded inserts — the
+    // insert-only classification must route min/max AND hll columns
+    // through the pure delta path, which never touches them
+    val src = tmp("zmsrc"); val mv = tmp("zmmv")
+    Snapshots.commit(spark, rows((1, "a", 10), (2, "b", 5)), src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"), distinctCols = Seq("v"))
+    Snapshots.merge(spark, src, rows((3, "a", 30), (4, "b", 2)),
+      Seq("id"), recordChanges = true, preImages = true)
+    val dir = new java.io.File(src)
+    dir.listFiles().filter(_.getName.startsWith("snap-")).foreach { sd =>
+      sd.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.delete(), s"could not delete $f"))
+    }
+    Views.refreshView(spark, src, mv)
+    val got = Views.readView(spark, mv).collect()
+      .map(r => r.getString(r.fieldIndex("grp")) ->
+        ((r.getLong(r.fieldIndex("n_rows")),
+          r.getLong(r.fieldIndex("min_v")),
+          r.getLong(r.fieldIndex("max_v")),
+          r.getDouble(r.fieldIndex("distinct_v"))))).toMap
+    assert(got("a")._1 === 2L); assert(got("a")._2 === 10L)
+    assert(got("a")._3 === 30L)
+    assert(math.abs(got("a")._4 - 2.0) <= 0.10, got)
+    assert(got("b") === ((2L, 2L, 5L, got("b")._4)))
+    assert(math.abs(got("b")._4 - 2.0) <= 0.10, got)
+  }
+
   test("distinct columns: delta merge equals recompute; rescan under deletes; ±5% law") {
     def state(dir: String) = Views.readView(spark, dir).collect()
       .map(r => r.getString(r.fieldIndex("grp")) ->
