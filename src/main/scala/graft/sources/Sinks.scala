@@ -1399,7 +1399,11 @@ object Sinks {
     * lands (registers cannot forget a value). The oracle replays the
     * estimator EXACTLY (integer harmonic sum, one IEEE division,
     * linear-counting correction, round 4) and recomputes the exact
-    * distincts; `ok` gates the ±5% law in-entry.
+    * distincts; `ok` gates the m=1024 error envelope (±15%, the
+    * family's standard gate — sketch_hll_tokens; 1σ ≈ 3.2%, and the
+    * 100–300-distinct boundary region between linear counting and the
+    * raw estimator routinely lands near 5%, which an sf0.1 sweep
+    * caught when this gated tighter).
     */
   private def snapshotMvDistinct(s: SparkSession, d: String): DataFrame = {
     clearDir(s, mvDcSrcDir); clearDir(s, mvDcViewDir)
@@ -1423,7 +1427,7 @@ object Sinks {
       .join(exact, Seq("lang"))
       .withColumn("ok",
         when(abs(col("distinct_doc_id") - col("n_exact")) <=
-          lit(0.05) * col("n_exact"), lit(1L)).otherwise(lit(0L)))
+          lit(0.15) * col("n_exact"), lit(1L)).otherwise(lit(0L)))
       .orderBy("lang")
   }
 
