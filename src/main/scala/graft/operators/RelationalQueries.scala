@@ -504,9 +504,16 @@ object RelationalQueries {
         .orderBy("o_custkey")
     }),
     "q_window_running" -> ((s, d) => {
+      // l_quantity as the last order key: the synthetic lineitem does
+      // NOT have a unique (orderkey, linenumber) — at sf0.1 one
+      // partition holds two rows tied on all three keys, and a ROWS
+      // running sum is order-ambiguous mid-tie. With quantity in the
+      // order, permuting any remaining ties (fully identical rows)
+      // cannot change the partial sums — caught by the sf0.1 sweep.
       val w = Window
         .partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_quantity")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "lineitem")
         .select(
@@ -1261,7 +1268,8 @@ object RelationalQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |      CAST(l_quantity AS DECIMAL(18,4))
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q_window_range_frame" ->

@@ -47,12 +47,20 @@ def values_equal(a, b):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
+    # optional 4th arg: a file of entry names to EXCLUDE (one per line)
+    # — resume support for long sf0.1 sweeps (feed it the names already
+    # adjudicated by a previous partial run's log)
+    exclude = set()
+    if len(sys.argv) > 4:
+        with open(sys.argv[4]) as f:
+            exclude = {l.strip() for l in f if l.strip()}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    oracles = {k: v for k, v in oracles.items() if k not in exclude}
 
     failures = []
     skipped = []
