@@ -93,15 +93,15 @@ object Bench {
     // gate signal is STEADY — the number a warmed production session
     // pays — and cold rides along for the one-shot-cost story.
     def runOnce(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        recordFailure: Boolean = true): Double = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
-          failed ::= name
+          if (recordFailure) failed ::= name
           System.err.println(s"[bench] $name FAILED: $e")
           -1.0
       }
@@ -127,7 +127,10 @@ object Bench {
     val timed = timed0.map { case (name, cold, steady) =>
       if (steady < 0 || steady <= rerunGate) (name, cold, steady)
       else {
-        val again = runOnce(name, selected(name))
+        // recordFailure=false: a transient error on the EXTRA run must
+        // not fail a bench whose entry already has a valid steady time
+        // (the min below deliberately keeps it)
+        val again = runOnce(name, selected(name), recordFailure = false)
         val best = if (again < 0) steady else math.min(steady, again)
         (name, cold, best)
       }

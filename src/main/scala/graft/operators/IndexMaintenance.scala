@@ -110,8 +110,12 @@ object IndexMaintenance {
     // convention: `index_version` + `<table>_v` per paired table.
     val out0 = results
     val vDir = s"$indexDir/versions"
+    // restamp only when compaction actually MOVED a table (every tip
+    // unchanged = nothing to re-pair; a redundant stamp would grow the
+    // manifest on every no-op maintenance pass)
+    val moved = out0.exists { case (t, v) => tips.get(t).exists(_ != v) }
     val out =
-      if (Snapshots.version(spark, vDir) < 1) out0
+      if (!moved || Snapshots.version(spark, vDir) < 1) out0
       else {
         var attempt = 0
         var stamped = out0
@@ -119,8 +123,6 @@ object IndexMaintenance {
         while (!done && attempt < 10) {
           val base = Snapshots.version(spark, vDir)
           val cur = Snapshots.readVersion(spark, vDir, base)
-          val tableCols = cur.columns.toSeq
-            .filter(c => c.endsWith("_v") && c != "index_version")
           val rows = cur.collect().toSeq
           val next = rows.map(_.getAs[Long]("index_version")).max + 1
           val fresh = org.apache.spark.sql.Row.fromSeq(

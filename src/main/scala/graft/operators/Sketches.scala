@@ -57,7 +57,7 @@ object Sketches {
     * `0.7213/(1 + 1.079/1024.0) * 1024 * 1024 * (1 << 51)` with
     * DOUBLE arithmetic (DuckDB defaults 0.7213 to DECIMAL — cast it).
     */
-  private val AlphaM2Scaled: Double =
+  private[graft] val AlphaM2Scaled: Double =
     0.7213 / (1 + 1.079 / 1024.0) * 1024 * 1024 * (1L << RhoMax).toDouble
 
   /** Sparse HLL registers: one row per non-empty register,
@@ -377,9 +377,10 @@ object Sketches {
       value: Column,
       carryCols: Seq[String] = Nil): DataFrame = {
     require(carryCols.forall(c =>
-      !(Seq("gen", "b", "cnt", "v", "q", "c", "t", "n") ++ groupCols)
+      !(Seq("gen", "b", "cnt", "v", "q", "c", "t", "n",
+        "n_le", "n_le0", "n_total", "pct", "_pb") ++ groupCols)
         .contains(c)),
-      s"carry columns collide with sketch/group columns: $carryCols")
+      s"carry columns collide with sketch/probe columns: $carryCols")
     val keyCols = groupCols ++ carryCols
     val gcols = keyCols.map(col)
     val collapsed = buckets
@@ -533,6 +534,14 @@ object Sketches {
           Snapshots.readVersion(spark, dir, base)
             .select("index_version", "counters_v", "candidates_v")
             .as[(Long, Long, Long)].collect().toSeq
+        else if (cv > 1)
+          // FIRST stamp on an index with pre-manifest history (an
+          // upgrade): under the legacy contract every op moved both
+          // tables in lockstep, so the historical pairs are exactly
+          // (i, i) — seed them so raw pins taken before the upgrade
+          // keep their original meaning instead of silently resolving
+          // through post-upgrade stamp numbering
+          (1L until cv).map(i => (i, i, if (dv > 0) i else 0L))
         else Nil
       val next = if (cur.isEmpty) 1L else cur.map(_._1).max + 1
       val df = (cur :+ ((next, cv, math.max(dv, 0L))))

@@ -121,38 +121,23 @@ object Views {
   // engine re-derives positions identically; NULLs contribute nothing
   // (SQL COUNT DISTINCT semantics).
 
-  private val HllM = 1024L
-  private val HllRhoMax = 51
+  private val HllM: Long = graft.operators.Sketches.Registers.toLong
+  private val HllRhoMax: Int = graft.operators.Sketches.RhoMax
 
-  /** Same association order as Sketches.AlphaM2Scaled — the oracle
-    * spells `0.7213/(1 + 1.079/1024.0) * 1024 * 1024 * (1::BIGINT <<
-    * 51)` with DOUBLE arithmetic for bit-equality. */
-  private val HllAlphaScaled: Double =
-    0.7213 / (1 + 1.079 / 1024.0) * 1024 * 1024 * (1L << HllRhoMax).toDouble
-
-  /** Per-group register map of `c`'s values: `(groupCols…, hll_<c>)`.
-    * Groups none of whose rows carry a non-null `c` are absent —
-    * callers left-join and read null as the empty sketch. */
+  /** Per-group register map of `c`'s values: `(groupCols…, hll_<c>)`
+    * — [[graft.operators.Sketches.hllRegisters]]' sparse (j, r) rows
+    * collected into a map column (ONE arithmetic definition; a drift
+    * between two spellings would silently break the oracle's replay).
+    * Values hash as strings; NULLs contribute nothing. Groups none of
+    * whose rows carry a non-null `c` are absent — callers left-join
+    * and read null as the empty sketch. */
   private def hllMapOf(
-      df: DataFrame, groupCols: Seq[String], c: String): DataFrame = {
-    val h = conv(substring(
-      md5(col(c).cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast(LongType)
-    df.filter(col(c).isNotNull)
-      .select(groupCols.map(col) :+ h.as("_h"): _*)
-      .select(groupCols.map(col)
-        :+ col("_h").bitwiseAND(lit(HllM - 1)).cast("int").as("_j")
-        :+ shiftright(col("_h"), 10).as("_w"): _*)
-      .withColumn("_rho",
-        when(col("_w") === 0L, lit(HllRhoMax))
-          .otherwise(lit(HllRhoMax) - length(bin(col("_w"))))
-          .cast("int"))
-      .groupBy((groupCols :+ "_j").map(col): _*)
-      .agg(max(col("_rho")).as("_r"))
+      df: DataFrame, groupCols: Seq[String], c: String): DataFrame =
+    graft.operators.Sketches.hllRegisters(
+      df.filter(col(c).isNotNull), groupCols, col(c).cast("string"))
       .groupBy(groupCols.map(col): _*)
       .agg(map_from_entries(sort_array(
-        collect_list(struct(col("_j"), col("_r"))))).as(s"hll_$c"))
-  }
+        collect_list(struct(col("j"), col("r"))))).as(s"hll_$c"))
 
   /** Left-join each distinct column's register map onto per-group agg
     * rows (null-safe keys — a NULL group is a group). */
@@ -180,7 +165,7 @@ object Views {
     val nFilled = expr(s"size($vals)").cast(LongType)
     val zeros = lit(HllM) - nFilled
     val total = zeros * lit(1L << HllRhoMax) + sFilled
-    val raw = lit(HllAlphaScaled) / total
+    val raw = lit(graft.operators.Sketches.AlphaM2Scaled) / total
     when(zeros > 0 && raw <= lit(2.5 * HllM),
       round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros), 4))
       .otherwise(round(raw, 4))
@@ -262,6 +247,12 @@ object Views {
     val missing = distinctCols.filterNot(srcT.contains)
     require(missing.isEmpty,
       s"distinct columns absent from the source: ${missing.mkString(", ")}")
+    // the register derivation (Sketches.hllRegisters) works in j/r/h/w
+    // — same reservation as buildHllIndex, only needed when sketch
+    // columns ride the view
+    require(distinctCols.isEmpty || groupCols.forall(c =>
+      !Seq("gen", "j", "r", "h", "w").contains(c)),
+      s"group columns collide with sketch register columns: $groupCols")
     val rows = aggregate(cur, groupCols, sumCols, minCols, maxCols,
       distinctCols)
     val d = parseDef(rows)
@@ -704,7 +695,7 @@ object Views {
     val rowsDir = s"$viewDir/rows"
     var attempt = 0
     var released: Option[DataFrame] = None
-    while (attempt < maxRetries) {
+    try while (attempt < maxRetries) {
       val base = Snapshots.version(spark, rowsDir)
       require(base >= 1, s"no committed join view in $viewDir")
       val mv = Snapshots.readVersion(spark, rowsDir, base)
@@ -796,6 +787,8 @@ object Views {
         case None => attempt += 1
       }
     }
+    // a throw mid-iteration must not leak the pinned frame
+    finally released.foreach(_.unpersist())
     throw new IllegalStateException(
       s"join-view refresh on $viewDir lost $maxRetries optimistic races")
   }
