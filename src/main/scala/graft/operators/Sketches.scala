@@ -240,13 +240,19 @@ object Sketches {
     * overflow for any positive long (the multiply spelling wrapped
     * negative past v ≈ 2^59 under non-ANSI Long arithmetic while the
     * oracle's checked BIGINT multiply raised — self-review catch). */
-  private def qhBucket: String =
-    "CASE WHEN v < 16 THEN v ELSE CAST((length(bin(v)) - 5) * 16 + 16 " +
-      "+ shiftright(v, length(bin(v)) - 5) - 16 AS BIGINT) END"
+  /** The bucket law over an arbitrary column spelling — ONE arithmetic
+    * definition shared with the view layer's maintained quantile
+    * columns ([[graft.sources.Views]]), so a drift between two
+    * spellings can't silently break an oracle replay. */
+  private[graft] def qhBucketSql(v: String): String =
+    s"CASE WHEN $v < 16 THEN $v ELSE CAST((length(bin($v)) - 5) * 16 + 16 " +
+      s"+ shiftright($v, length(bin($v)) - 5) - 16 AS BIGINT) END"
+
+  private def qhBucket: String = qhBucketSql("v")
 
   /** Representative (lower bound) of bucket `b` — the served estimate:
     * exact below 16, else 2^e + slot·2^(e−4). */
-  private def qhRep(b: String): String =
+  private[graft] def qhRep(b: String): String =
     s"CASE WHEN $b < 16 THEN $b ELSE " +
       s"shiftleft(CAST(1 AS BIGINT), CAST(($b - 16) div 16 AS INT) + 4) " +
       s"+ (($b - 16) % 16) " +
@@ -366,10 +372,15 @@ object Sketches {
     * does this length/quality sit in the standing corpus" primitive —
     * the C4-style length filter answered from O(16·octaves) bucket
     * rows per group, zero corpus rescans. With `carryCols` one row
-    * rides per probe row (the [[cmEstimates]] contract); distinct
-    * probes otherwise. Output: `(groupCols…, carryCols…, v, n_le,
-    * n_total, pct)`; a group with no histogram reads n_total = 0 and
-    * pct = 0.0. */
+    * rides per probe row (the [[cmEstimates]] contract) PROVIDED the
+    * carry columns identify probe rows: rows identical on
+    * `(groupCols, carryCols, v)` collapse to ONE output row — the
+    * probe frame is de-duplicated on those columns before the bucket
+    * join, because the downstream `sum(cnt)` is not duplicate-
+    * idempotent and would otherwise silently double `n_le`/`pct`.
+    * Callers needing per-duplicate rows carry a unique id. Output:
+    * `(groupCols…, carryCols…, v, n_le, n_total, pct)`; a group with
+    * no histogram reads n_total = 0 and pct = 0.0. */
   def qhCdfProbe(
       buckets: DataFrame,
       groupCols: Seq[String],
@@ -394,7 +405,11 @@ object Sketches {
         raise_error(concat(lit("quantile sketch value must be >= 0, got "),
           col("v").cast("string")))))
       .withColumn("_pb", expr(qhBucket))
-    val pv = if (carryCols.isEmpty) keyed.distinct() else keyed
+    // ALWAYS de-duplicate on the full output key: the bucket join
+    // fans each probe row out to its group's bucket rows and the
+    // groupBy below sums cnt once per (probe row × bucket row) pair,
+    // so a duplicated probe row would double every count it touches
+    val pv = keyed.distinct()
     pv.join(collapsed, groupCols.toSeq, "left")
       .groupBy((keyCols :+ "v" :+ "_pb").map(col): _*)
       .agg(sum(when(col("b") <= col("_pb"), col("cnt")).otherwise(0L))
@@ -517,18 +532,26 @@ object Sketches {
     * `asOf` through it. candidates_v = 0 records "no candidate table"
     * (candK = 0 indexes). O(mutations) tiny — the read is the same
     * driver-bounded budget as the params row.
+    *
+    * The stamped pair is PASSED IN by the mutating op — the exact
+    * versions its own table commits returned — never re-read from the
+    * tips inside the stamp: under concurrent mutators a tip re-read
+    * lets both losers stamp the later op's pair, so the first op's
+    * returned index_version would name the second op's state and the
+    * overtaken table version would be unnameable by any pin. With the
+    * op's own versions, every stamp names exactly the state that op
+    * produced (stamps may commit out of arrival order under a race —
+    * each still names a real, coherent pair).
     */
-  private def stampCmVersion(spark: SparkSession, indexDir: String): Long = {
+  private def stampCmVersion(spark: SparkSession, indexDir: String,
+      countersV: Long, candidatesV: Long): Long = {
     import spark.implicits._
     val dir = s"$indexDir/versions"
+    val cv = countersV
+    val dv = candidatesV
     var attempt = 0
     while (attempt < 10) {
       val base = Snapshots.version(spark, dir)
-      // re-read INSIDE the attempt: a lost race means another mutation
-      // moved a table under us — the loser's row must pair the
-      // versions as of ITS retry
-      val cv = Snapshots.version(spark, s"$indexDir/counters")
-      val dv = Snapshots.version(spark, s"$indexDir/candidates")
       val cur =
         if (base >= 1)
           Snapshots.readVersion(spark, dir, base)
@@ -741,17 +764,18 @@ object Sketches {
       Seq((groupCols.mkString(","), CmRows, CmWidth, candK))
         .toDF("group_cols", "cm_rows", "cm_width", "cand_k"),
       s"$indexDir/params")
-    if (candK > 0)
-      Snapshots.commit(spark,
+    val dv =
+      if (candK <= 0) 0L
+      else Snapshots.commit(spark,
         cmCandidates(df, groupCols, value, candK)
           .withColumn("gen", lit(0L)),
         s"$indexDir/candidates",
         statsColumns = "gen" +: groupCols :+ "v")
-    Snapshots.commit(spark,
+    val cv = Snapshots.commit(spark,
       cmCounters(df, groupCols, value).withColumn("gen", lit(0L)),
       s"$indexDir/counters",
       statsColumns = "gen" +: groupCols :+ "i" :+ "j")
-    stampCmVersion(spark, indexDir)
+    stampCmVersion(spark, indexDir, cv, dv)
   }
 
   /** O(batch) add: the batch's own counters under a fresh generation —
@@ -767,43 +791,46 @@ object Sketches {
       indexDir: String,
       value: Column): Long = {
     val (groupCols, candK) = readCmParams(spark, indexDir)
-    if (candK > 0)
-      Snapshots.mergeDerived(spark, s"$indexDir/candidates",
+    val dv =
+      if (candK <= 0) 0L
+      else Snapshots.mergeDerived(spark, s"$indexDir/candidates",
         key = "gen" +: groupCols :+ "v",
         statsColumns = "gen" +: groupCols :+ "v",
         scoped = true) { base =>
         cmCandidates(df, groupCols, value, candK)
           .withColumn("gen", lit(base))
       }
-    Snapshots.mergeDerived(spark, s"$indexDir/counters",
+    val cv = Snapshots.mergeDerived(spark, s"$indexDir/counters",
       key = "gen" +: groupCols :+ "i" :+ "j",
       statsColumns = "gen" +: groupCols :+ "i" :+ "j",
       scoped = true) { base =>
       cmCounters(df, groupCols, value).withColumn("gen", lit(base))
     }
-    stampCmVersion(spark, indexDir)
+    stampCmVersion(spark, indexDir, cv, dv)
   }
 
   /** Sum-collapse the generations back to one row per cell (and the
     * candidate table, when maintained, to one row per value). */
   def foldCmIndex(spark: SparkSession, indexDir: String): Long = {
     val (groupCols, candK) = readCmParams(spark, indexDir)
-    if (candK > 0) {
-      val cdir = s"$indexDir/candidates"
-      Snapshots.commit(spark,
-        Snapshots.read(spark, cdir)
-          .select((groupCols :+ "v").map(col): _*).distinct()
-          .withColumn("gen", lit(0L)),
-        cdir, statsColumns = "gen" +: groupCols :+ "v")
-    }
+    val dv =
+      if (candK <= 0) 0L
+      else {
+        val cdir = s"$indexDir/candidates"
+        Snapshots.commit(spark,
+          Snapshots.read(spark, cdir)
+            .select((groupCols :+ "v").map(col): _*).distinct()
+            .withColumn("gen", lit(0L)),
+          cdir, statsColumns = "gen" +: groupCols :+ "v")
+      }
     val dir = s"$indexDir/counters"
     val collapsed = Snapshots.read(spark, dir)
       .groupBy((groupCols :+ "i" :+ "j").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
       .withColumn("gen", lit(0L))
-    Snapshots.commit(spark, collapsed, dir,
+    val cv = Snapshots.commit(spark, collapsed, dir,
       statsColumns = "gen" +: groupCols :+ "i" :+ "j")
-    stampCmVersion(spark, indexDir)
+    stampCmVersion(spark, indexDir, cv, dv)
   }
 
   /** Serve frequency estimates for a probe batch from the persisted

@@ -76,13 +76,18 @@ object Views {
     * `hasRescanAggs` marks aggregates a retraction cannot invert
     * (min/max lose their extremum, HLL registers cannot forget a
     * value) — such views delta-refresh only under insert-only windows
-    * and rescan otherwise. */
+    * and rescan otherwise. Quantile columns (`qh_<c>` log-bucket
+    * count maps) are deliberately NOT rescan aggregates: bucket
+    * counts add AND subtract exactly, so they are the one approximate
+    * aggregate that keeps DELETE-bearing windows on the
+    * zero-source-read delta path. */
   case class MvDef(
       groupCols: Seq[String],
       sumCols: Seq[String],
       minCols: Seq[String],
       maxCols: Seq[String],
       distinctCols: Seq[String],
+      quantileCols: Seq[String],
       types: Map[String, DataType]) {
     def hasRescanAggs: Boolean =
       minCols.nonEmpty || maxCols.nonEmpty || distinctCols.nonEmpty
@@ -91,16 +96,26 @@ object Views {
   private def parseDef(df: DataFrame): MvDef = {
     val names = df.columns.toSeq
     val types = df.schema.map(f => f.name -> f.dataType).toMap
+    // sketch-state columns are recognized by prefix AND type: the
+    // maintained register/bucket maps are MapType, which no group
+    // column can be — a LEGACY view (created before the sketch
+    // columns existed, when `hll_*`/`qh_*` group names were legal)
+    // parses its scalar hll_-named group column back as a group
+    // column instead of failing at refresh with an analysis error
+    def isHll(c: String) = c.startsWith("hll_") &&
+      types(c).isInstanceOf[org.apache.spark.sql.types.MapType]
+    def isQh(c: String) = c.startsWith("qh_") &&
+      types(c).isInstanceOf[org.apache.spark.sql.types.MapType]
     MvDef(
       groupCols = names.filterNot(c => c == "n_rows" ||
         c.startsWith("sum_") || c.startsWith("min_") ||
-        c.startsWith("max_") || c.startsWith("hll_") ||
+        c.startsWith("max_") || isHll(c) || isQh(c) ||
         c.startsWith("_mv_")),
       sumCols = names.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_")),
       minCols = names.filter(_.startsWith("min_")).map(_.stripPrefix("min_")),
       maxCols = names.filter(_.startsWith("max_")).map(_.stripPrefix("max_")),
-      distinctCols =
-        names.filter(_.startsWith("hll_")).map(_.stripPrefix("hll_")),
+      distinctCols = names.filter(isHll).map(_.stripPrefix("hll_")),
+      quantileCols = names.filter(isQh).map(_.stripPrefix("qh_")),
       types = types)
   }
 
@@ -139,19 +154,80 @@ object Views {
       .agg(map_from_entries(sort_array(
         collect_list(struct(col("j"), col("r"))))).as(s"hll_$c"))
 
-  /** Left-join each distinct column's register map onto per-group agg
-    * rows (null-safe keys — a NULL group is a group). */
-  private def joinHllMaps(base: DataFrame, src: DataFrame,
-      groupCols: Seq[String], distinctCols: Seq[String],
-      leftKey: String => Column = col): DataFrame =
-    distinctCols.foldLeft(base) { (acc, c) =>
-      val m = hllMapOf(src, groupCols, c).select(
-        groupCols.map(cc => col(cc).as(s"_hm_$cc")) :+ col(s"hll_$c"): _*)
+  /** Left-join each sketch column's map (register or bucket-count)
+    * onto per-group agg rows (null-safe keys — a NULL group is a
+    * group). `mapped` names the produced map column per source column.
+    */
+  private def joinMapCols(base: DataFrame, src: DataFrame,
+      groupCols: Seq[String], cols: Seq[String],
+      mapOf: (DataFrame, Seq[String], String) => DataFrame,
+      mapped: String => String): DataFrame =
+    cols.foldLeft(base) { (acc, c) =>
+      val m = mapOf(src, groupCols, c).select(
+        groupCols.map(cc => col(cc).as(s"_hm_$cc")) :+ col(mapped(c)): _*)
       acc.join(m,
-        groupCols.map(cc => leftKey(cc) <=> col(s"_hm_$cc")).reduce(_ && _),
+        groupCols.map(cc => col(cc) <=> col(s"_hm_$cc")).reduce(_ && _),
         "left")
         .drop(groupCols.map(cc => s"_hm_$cc"): _*)
     }
+
+  // ---------- approximate-percentile columns (QH log-bucket maps) ----------
+  //
+  // The DELTA-INVERTIBLE approximate aggregate: per-group sparse
+  // histogram state `qh_<c>: map<bigint,bigint>` (bucket → count)
+  // under [[graft.operators.Sketches.qhBucketSql]]'s log-bucket law
+  // (exact below 16, then 16 slots per octave — the same ONE
+  // arithmetic definition the sketch family serves, so the DuckDB
+  // oracle replays the estimate bit-for-bit). Unlike min/max (the
+  // retracted extremum's runner-up is unknowable) and HLL registers
+  // (a max can't forget), bucket counts ADD AND SUBTRACT exactly —
+  // insert rows +1 their bucket, delete/pre-image rows −1 it — so
+  // percentile view columns stay on the ZERO-SOURCE-READ delta path
+  // even under delete-bearing windows, the only approximate aggregate
+  // family with that property. Served at read as `p50_<c>`/`p95_<c>`
+  // (bucket representative at the ceil(q·n) rank — all-integer, one
+  // deterministic fold). NULLs contribute nothing (SQL percentile
+  // semantics); values must be non-negative longs (the family law,
+  // enforced loudly).
+
+  /** Per-group bucket-count map of `c`'s values: `(groupCols…,
+    * qh_<c>)`. Groups none of whose rows carry a non-null `c` are
+    * absent — callers left-join and read null as the empty histogram.
+    */
+  private def qhMapOf(
+      df: DataFrame, groupCols: Seq[String], c: String): DataFrame =
+    graft.operators.Sketches.qhBuckets(
+      df.filter(col(c).isNotNull), groupCols, col(c))
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("b"), col("cnt"))))).as(s"qh_$c"))
+
+  /** Serve one quantile estimate from a bucket-count map column: the
+    * representative of the first bucket whose cumulative count
+    * reaches `ceil(q·n)` — the same rank law as
+    * [[graft.operators.Sketches.qhEstimate]], evaluated as one
+    * deterministic fold over the sorted entries (a map has at most
+    * 16·octaves ≈ a few hundred). NULL when the group holds no values.
+    */
+  private def withQuantileCol(
+      df: DataFrame, c: String, q: Double, out: String): DataFrame = {
+    val entries = s"sort_array(map_entries(coalesce(`qh_$c`, " +
+      "cast(map() as map<bigint,bigint>))))"
+    df.withColumn("_qe", expr(entries))
+      .withColumn("_qn",
+        expr("aggregate(_qe, CAST(0 AS BIGINT), (a, e) -> a + e.value)"))
+      .withColumn("_qt", expr(s"CAST(ceil($q * _qn) AS BIGINT)"))
+      .withColumn("_qb", expr(
+        "aggregate(_qe, named_struct('c', CAST(0 AS BIGINT), " +
+          "'f', CAST(-1 AS BIGINT)), " +
+          "(a, e) -> IF(a.f >= 0, a, named_struct(" +
+          "'c', a.c + e.value, " +
+          "'f', IF(a.c + e.value >= _qt, e.key, CAST(-1 AS BIGINT)))), " +
+          "a -> a.f)"))
+      .withColumn(out, when(col("_qn") === 0, lit(null).cast(LongType))
+        .otherwise(expr(graft.operators.Sketches.qhRep("_qb"))))
+      .drop("_qe", "_qn", "_qt", "_qb")
+  }
 
   /** The served estimate over a register-map column — the exact
     * integer harmonic sum, one IEEE division, the small-range linear-
@@ -177,7 +253,8 @@ object Views {
   /** One aggregation pass under the view's column-naming contract. */
   private def aggregate(df: DataFrame, groupCols: Seq[String],
       sumCols: Seq[String], minCols: Seq[String],
-      maxCols: Seq[String], distinctCols: Seq[String] = Nil): DataFrame = {
+      maxCols: Seq[String], distinctCols: Seq[String] = Nil,
+      quantileCols: Seq[String] = Nil): DataFrame = {
     val aggs: Seq[Column] =
       count(lit(1)).as("n_rows") +:
         (sumCols.map(c =>
@@ -185,7 +262,10 @@ object Views {
           minCols.map(c => min(col(c)).as(s"min_$c")) ++
           maxCols.map(c => max(col(c)).as(s"max_$c")))
     val base = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    joinHllMaps(base, df, groupCols, distinctCols)
+    joinMapCols(
+      joinMapCols(base, df, groupCols, distinctCols, hllMapOf,
+        c => s"hll_$c"),
+      df, groupCols, quantileCols, qhMapOf, c => s"qh_$c")
   }
 
   /** Stamp bookkeeping columns and append the sentinel row. */
@@ -202,6 +282,8 @@ object Views {
         d.maxCols.map(c => lit(null).cast(d.types(s"max_$c")).as(s"max_$c")) ++
         d.distinctCols.map(c =>
           lit(null).cast(d.types(s"hll_$c")).as(s"hll_$c")) ++
+        d.quantileCols.map(c =>
+          lit(null).cast(d.types(s"qh_$c")).as(s"qh_$c")) ++
         metas.map { case (c, v) => lit(v).as(c) }): _*)
     stamped.unionByName(sentinel)
   }
@@ -225,13 +307,16 @@ object Views {
       sumCols: Seq[String] = Nil,
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil,
-      distinctCols: Seq[String] = Nil): Long = {
+      distinctCols: Seq[String] = Nil,
+      quantileCols: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "a view needs at least one group column")
     require(Snapshots.version(spark, viewDir) == 0L,
       s"$viewDir already holds a committed view")
     val reserved = groupCols.filter(c => c == "n_rows" ||
       c.startsWith("sum_") || c.startsWith("min_") ||
       c.startsWith("max_") || c.startsWith("hll_") ||
+      c.startsWith("qh_") || c.startsWith("p50_") ||
+      c.startsWith("p95_") ||
       c.startsWith("distinct_") || c.startsWith("_mv_"))
     require(reserved.isEmpty,
       s"group column names collide with the view's aggregate naming " +
@@ -244,17 +329,24 @@ object Views {
     require(badSum.isEmpty,
       s"sum columns must be integral (exact delta maintenance): " +
         s"${badSum.mkString(", ")}")
-    val missing = distinctCols.filterNot(srcT.contains)
+    val missing = (distinctCols ++ quantileCols).filterNot(srcT.contains)
     require(missing.isEmpty,
-      s"distinct columns absent from the source: ${missing.mkString(", ")}")
+      s"sketch columns absent from the source: ${missing.mkString(", ")}")
+    val badQ = quantileCols.filterNot(c => integral(srcT(c)))
+    require(badQ.isEmpty,
+      s"quantile columns must be integral (exact log-bucket " +
+        s"maintenance): ${badQ.mkString(", ")}")
     // the register derivation (Sketches.hllRegisters) works in j/r/h/w
-    // — same reservation as buildHllIndex, only needed when sketch
-    // columns ride the view
+    // and the bucket derivation in v/b/cnt — same reservations as the
+    // index builders, only needed when sketch columns ride the view
     require(distinctCols.isEmpty || groupCols.forall(c =>
       !Seq("gen", "j", "r", "h", "w").contains(c)),
       s"group columns collide with sketch register columns: $groupCols")
+    require(quantileCols.isEmpty || groupCols.forall(c =>
+      !Seq("gen", "v", "b", "cnt").contains(c)),
+      s"group columns collide with sketch bucket columns: $groupCols")
     val rows = aggregate(cur, groupCols, sumCols, minCols, maxCols,
-      distinctCols)
+      distinctCols, quantileCols)
     val d = parseDef(rows)
     Snapshots.commit(spark, withMeta(spark, rows, d, srcV, -1L), viewDir,
       statsColumns = groupCols)
@@ -275,12 +367,16 @@ object Views {
       case None => Snapshots.read(spark, viewDir)
     }).filter(col("n_rows") > 0))
     val d = parseDef(raw)
-    // register maps are maintenance STATE, not the product: serve the
-    // estimate (`distinct_<c>`, the exact-arithmetic HLL estimator)
-    // and keep the sketch internal
-    val rows = d.distinctCols.foldLeft(raw)((df, c) =>
+    // register/bucket maps are maintenance STATE, not the product:
+    // serve the estimates (`distinct_<c>` via the exact-arithmetic
+    // HLL estimator; `p50_<c>`/`p95_<c>` via the rank fold) and keep
+    // the sketches internal
+    val rows0 = d.distinctCols.foldLeft(raw)((df, c) =>
       df.withColumn(s"distinct_$c", hllEstimateOf(s"hll_$c"))
         .drop(s"hll_$c"))
+    val rows = d.quantileCols.foldLeft(rows0)((df, c) =>
+      withQuantileCol(withQuantileCol(df, c, 0.5, s"p50_$c"),
+        c, 0.95, s"p95_$c").drop(s"qh_$c"))
     if (!withAvg) rows
     else d.sumCols.foldLeft(rows)((df, c) =>
       df.withColumn(s"avg_$c",
@@ -361,8 +457,35 @@ object Views {
           .reduce(_ && _), "left")
         .drop(d.groupCols.map(cc => s"_dh_$cc"): _*)
     }
+    // per-group SIGNED bucket-count deltas: insert rows +1 their
+    // bucket, retraction rows −1 it — the exact inverse, so quantile
+    // columns never leave the delta path. Same bucket law as the
+    // recompute (Sketches.qhBucketSql); NULL values contribute
+    // nothing; zero-sum buckets drop before the map builds.
+    val deltas3 = d.quantileCols.foldLeft(deltas2) { (acc, c) =>
+      val m = feed.filter(col(c).isNotNull)
+        .select(d.groupCols.map(col) :+ sign.as("_sg")
+          :+ col(c).cast(LongType).as("v"): _*)
+        .withColumn("v", when(col("v") >= 0, col("v")).otherwise(
+          raise_error(concat(
+            lit("quantile sketch value must be >= 0, got "),
+            col("v").cast("string")))))
+        .withColumn("b", expr(graft.operators.Sketches.qhBucketSql("v")))
+        .groupBy((d.groupCols :+ "b").map(col): _*)
+        .agg(sum(col("_sg")).as("cnt"))
+        .filter(col("cnt") =!= 0)
+        .groupBy(d.groupCols.map(col): _*)
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("b"), col("cnt"))))).as(s"_dqh_$c"))
+        .select(d.groupCols.map(cc => col(cc).as(s"_dq_$cc"))
+          :+ col(s"_dqh_$c"): _*)
+      acc.join(m,
+        d.groupCols.map(cc => col(s"_d_$cc") <=> col(s"_dq_$cc"))
+          .reduce(_ && _), "left")
+        .drop(d.groupCols.map(cc => s"_dq_$cc"): _*)
+    }
     val joined =
-      aggRows.join(deltas2, keyCond(d.groupCols, "_d_"), "full_outer")
+      aggRows.join(deltas3, keyCond(d.groupCols, "_d_"), "full_outer")
     val n2 = coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L))
     // a min/max delta batch containing any retraction (sign < 1) is
     // unsound — refuse at evaluation, pointing at the rescan route
@@ -392,6 +515,24 @@ object Views {
             coalesce(col(s"_dhll_$c"), empty),
             (_, a, b) => greatest(a, b))
           mmGuard(merged, d.types(s"hll_$c")).as(s"hll_$c")
+        } ++
+        d.quantileCols.map { c =>
+          // bucket-count ADD (signed deltas subtract exactly — no
+          // insert-only guard here, by design); a negative merged
+          // count is a feed/window mismatch, refused like n_rows < 0;
+          // zeroed buckets drop so the state equals a recompute's
+          val empty = expr("cast(map() as map<bigint,bigint>)")
+          val summed = map_zip_with(
+            coalesce(col(s"qh_$c"), empty),
+            coalesce(col(s"_dqh_$c"), empty),
+            (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L)))
+          val merged = when(
+            exists(map_values(summed), v => v < 0), raise_error(lit(
+              "view bucket count went negative: feed window does not " +
+                "match the view's applied source version"))
+              .cast(d.types(s"qh_$c")))
+            .otherwise(map_filter(summed, (_, v) => v =!= 0))
+          merged.as(s"qh_$c")
         }): _*)
       .filter(col("n_rows") > 0)
   }
@@ -458,7 +599,8 @@ object Views {
       .select(d.groupCols.map(c => col(c).as(s"_t_$c")): _*)
     val recomputed = aggregate(
       srcTip.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi"),
-      d.groupCols, d.sumCols, d.minCols, d.maxCols, d.distinctCols)
+      d.groupCols, d.sumCols, d.minCols, d.maxCols, d.distinctCols,
+      d.quantileCols)
     val untouched = aggRows
       .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
     untouched.unionByName(recomputed)
@@ -486,7 +628,7 @@ object Views {
       require(base >= 1, s"no committed view in $viewDir")
       val mv = Snapshots.readVersion(spark, viewDir, base)
       val d = parseDef(mv.drop(MetaCols: _*))
-      val (applied, _) = sentinelMeta(mv)
+      val (applied, lastBatch) = sentinelMeta(mv)
       val tip = Snapshots.version(spark, srcDir)
       require(tip >= applied,
         s"source $srcDir is at $tip, behind the view's applied $applied " +
@@ -523,7 +665,12 @@ object Views {
                 nullSafe = true), d)
           }
         } else applyDeltas(aggRows, feed, d)
-      Snapshots.commitIfVersion(spark, withMeta(spark, next, d, tip, -1L),
+      // carry the sentinel's streaming batch id through batch commits
+      // (mirrors refreshJoinView): a -1 reset would weaken the replay
+      // guard for any maintainer stream interleaved with batch
+      // refreshes, should the version>applied filter ever loosen
+      Snapshots.commitIfVersion(spark,
+        withMeta(spark, next, d, tip, lastBatch),
         viewDir, base, statsColumns = d.groupCols) match {
         case Some(v) => return v
         case None => attempt += 1
@@ -613,7 +760,11 @@ object Views {
     * must not collide. Min/max columns refresh on the bilinear delta
     * path for all-insert windows (inserts only extend extrema) and on
     * the touched-group rescan otherwise — same routing as the
-    * single-table view. */
+    * single-table view. `distinctCols` (HLL register maps, served as
+    * `distinct_<c>`) merge on the delta path for all-insert windows
+    * and recompute through the rescan; `quantileCols` (log-bucket
+    * count maps, served as `p50_<c>`/`p95_<c>`) ride whichever route
+    * the window picks — their signed counts are exact either way. */
   def createJoinView(
       spark: SparkSession,
       leftDir: String,
@@ -623,7 +774,9 @@ object Views {
       groupCols: Seq[String],
       sumCols: Seq[String] = Nil,
       minCols: Seq[String] = Nil,
-      maxCols: Seq[String] = Nil): Long = {
+      maxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil,
+      quantileCols: Seq[String] = Nil): Long = {
     import spark.implicits._
     require(joinKeys.nonEmpty && groupCols.nonEmpty,
       "a join view needs join keys and at least one group column")
@@ -643,6 +796,19 @@ object Views {
     require(badSum.isEmpty,
       s"sum columns must be integral (exact delta maintenance): " +
         s"${badSum.mkString(", ")}")
+    val missing = (distinctCols ++ quantileCols).filterNot(jT.contains)
+    require(missing.isEmpty,
+      s"sketch columns absent from the join schema: ${missing.mkString(", ")}")
+    val badQ = quantileCols.filterNot(c => integral(jT(c)))
+    require(badQ.isEmpty,
+      s"quantile columns must be integral (exact log-bucket " +
+        s"maintenance): ${badQ.mkString(", ")}")
+    require(distinctCols.isEmpty || groupCols.forall(c =>
+      !Seq("gen", "j", "r", "h", "w").contains(c)),
+      s"group columns collide with sketch register columns: $groupCols")
+    require(quantileCols.isEmpty || groupCols.forall(c =>
+      !Seq("gen", "v", "b", "cnt").contains(c)),
+      s"group columns collide with sketch bucket columns: $groupCols")
     Snapshots.commit(spark,
       Seq((leftDir, rightDir, joinKeys.mkString(","),
         groupCols.mkString(","), sumCols.mkString(",")))
@@ -650,7 +816,7 @@ object Views {
           "sum_cols"),
       s"$viewDir/params")
     val rows = aggregate(l.join(r, joinKeys), groupCols, sumCols,
-      minCols, maxCols)
+      minCols, maxCols, distinctCols, quantileCols)
     val d = parseDef(rows)
     Snapshots.commit(spark,
       withMetaCols(spark, rows, d,
@@ -659,10 +825,14 @@ object Views {
       s"$viewDir/rows", statsColumns = groupCols)
   }
 
-  /** The join view's group rows. */
+  /** The join view's group rows; `asOf` pins a committed view version
+    * (each refresh is one commit of `viewDir/rows`, so a pin names
+    * "the rollup as of applied source pair (X, Y)" for whichever pair
+    * that refresh applied) — the same passthrough [[readView]] always
+    * had, now exposed on the join wrapper too. */
   def readJoinView(spark: SparkSession, viewDir: String,
-      withAvg: Boolean = false): DataFrame =
-    readView(spark, s"$viewDir/rows", withAvg = withAvg)
+      asOf: Option[Long] = None, withAvg: Boolean = false): DataFrame =
+    readView(spark, s"$viewDir/rows", asOf = asOf, withAvg = withAvg)
 
   /** Bring the join view up to both sources' current versions. The
     * refresh classifies the stale window's feed rows (one tiny
@@ -743,7 +913,6 @@ object Views {
           applyDeltas(aggRows,
             deltaRows.withColumn("change_type", lit("insert")), d)
         } else {
-          val rNew = Snapshots.readVersion(spark, rightDir, tipR)
           // touched is consumed three times below (envelope aggregate,
           // semi join, anti join) and each consumption would otherwise
           // re-run the four delta joins — persist the tiny group-tuple
@@ -765,14 +934,25 @@ object Views {
           // the recompute's LEFT read is bounded by the touched
           // groups' key envelope (the group columns live on the left
           // input) — on a group-clustered left the rescan reads
-          // O(touched files); the right side is narrowed by the join
-          // keys themselves
+          // O(touched files); the semi-join lands BEFORE the right
+          // join so the right probe below sees only touched rows
+          val prunedLeft = readMatching(spark, leftDir, tipL, touched,
+            d.groupCols, nullSafe = true)
+            .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi")
+          // …and the RIGHT side's tip read is bounded by the PRUNED
+          // left's join-key envelope (one tiny column-pruned aggregate
+          // over O(touched files)) — previously this was the one
+          // unpruned other-side scan left in the view layer: every
+          // delete-bearing window paid O(|R|) even when the touched
+          // groups' matches lived in a handful of files. Equi-join
+          // (null keys match nothing), so the null-unsafe prune is
+          // exact.
+          val rNew = readMatching(spark, rightDir, tipR, prunedLeft,
+            joinKeys)
           val recomputed = aggregate(
-            readMatching(spark, leftDir, tipL, touched, d.groupCols,
-              nullSafe = true)
-              .join(rNew, joinKeys)
-              .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi"),
-            d.groupCols, d.sumCols, d.minCols, d.maxCols)
+            prunedLeft.join(rNew, joinKeys),
+            d.groupCols, d.sumCols, d.minCols, d.maxCols,
+            d.distinctCols, d.quantileCols)
           aggRows.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
             .unionByName(recomputed)
         }

@@ -197,6 +197,13 @@ class SketchesSpec extends SparkSpec {
       got(Sketches.cmEstimates(
         Sketches.cmCounters(toks, Seq("source"), col("tok")),
         probes, Seq("source"), col("tok"))))
+    // the stamp pairs each op's OWN committed versions, never a tip
+    // re-read: under this race the manifest must name counters 1, 2, 3
+    // exactly once each — a re-read would let the eclipsed add's stamp
+    // name the later add's state, leaving its own version unnameable
+    val stamps = Snapshots.read(spark, s"$cmDir/versions")
+      .select("counters_v").collect().map(_.getLong(0)).toSeq.sorted
+    assert(stamps == Seq(1L, 2L, 3L), s"stamped counters pairs: $stamps")
   }
 
   test("count-min heavy hitters: candidates persist per batch, serve ranks by estimate") {
@@ -376,6 +383,28 @@ class SketchesSpec extends SparkSpec {
     assert(Snapshots.read(spark, s"$inc/buckets")
       .groupBy("source", "b").count().filter(col("count") > 1).count() == 0)
     assert(served(inc) == want)
+  }
+
+  test("qhCdfProbe: duplicated probe rows collapse instead of doubling counts") {
+    import spark.implicits._
+    val buckets = Sketches.qhBuckets(
+      (1L to 100L).map(("g", _)).toDF("g", "x"), Seq("g"), col("x"))
+    def probe(rows: (String, String, Long)*) =
+      Sketches.qhCdfProbe(buckets, Seq("g"),
+        rows.toSeq.toDF("g", "id", "x"), col("x"),
+        carryCols = Seq("id")).collect()
+    val single = probe(("g", "d1", 50L))
+    assert(single.length == 1)
+    val dup = probe(("g", "d1", 50L), ("g", "d1", 50L))
+    // identical (group, carry, value) rows are ONE probe, not two —
+    // the bucket join's sum is not duplicate-idempotent and doubled
+    // n_le/pct before the pre-distinct
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("n_le") == single.head.getAs[Long]("n_le"))
+    assert(dup.head.getAs[Long]("n_total") == 100L)
+    assert(dup.head.getAs[Double]("pct") == single.head.getAs[Double]("pct"))
+    assert(single.head.getAs[Double]("pct") > 0.3 &&
+      single.head.getAs[Double]("pct") < 0.7)
   }
 
   test("as-of pins the registers snapshot") {

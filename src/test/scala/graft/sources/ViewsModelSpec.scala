@@ -69,6 +69,43 @@ class ViewsModelSpec extends SparkSpec {
   private def zeroMinMax(m: Map[String, (Long, Long, Long, Long)]) =
     m.map { case (g, (n, s, _, _)) => g -> ((n, s, 0L, 0L)) }
 
+  // ---- the QH bucket law in model form (mirrors Sketches.qhBucketSql
+  // / qhRep — exact below 16, then 16 slots per octave) ----
+
+  private def qhBucket(v: Long): Long =
+    if (v < 16) v
+    else {
+      val len = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      (len - 5).toLong * 16 + 16 + (v >> (len - 5)) - 16
+    }
+
+  private def qhRep(b: Long): Long =
+    if (b < 16) b
+    else (1L << ((b - 16) / 16 + 4)) +
+      ((b - 16) % 16) * (1L << ((b - 16) / 16))
+
+  private def qhQuantile(vs: Iterable[Long], q: Double): Long = {
+    val counts = vs.groupBy(qhBucket).toSeq.sortBy(_._1)
+      .map { case (b, g) => (b, g.size.toLong) }
+    val t = math.ceil(q * vs.size).toLong
+    var c = 0L
+    qhRep(counts.find { case (_, n) => c += n; c >= t }.get._1)
+  }
+
+  private def quantileRollup(model: Map[Long, Long])
+      : Map[String, (Long, Long, Long)] =
+    model.values.groupBy(v => s"g${v % 3}").map { case (g, vs) =>
+      g -> ((vs.size.toLong, qhQuantile(vs, 0.5), qhQuantile(vs, 0.95)))
+    }
+
+  private def quantileState(dir: String): Map[String, (Long, Long, Long)] =
+    Views.readView(spark, dir).collect().map { r =>
+      r.getString(r.fieldIndex("grp")) ->
+        ((r.getLong(r.fieldIndex("n_rows")),
+          r.getLong(r.fieldIndex("p50_v")),
+          r.getLong(r.fieldIndex("p95_v"))))
+    }.toMap
+
   // ---- join-view model: aggregates over left(id, grp) ⋈ right(rid, id, v) ----
 
   private sealed trait JOp
@@ -165,11 +202,16 @@ class ViewsModelSpec extends SparkSpec {
       val src = Files.createTempDirectory("graft-vm-src").toString
       val dv = Files.createTempDirectory("graft-vm-delta").toString
       val mm = Files.createTempDirectory("graft-vm-minmax").toString
+      val qv = Files.createTempDirectory("graft-vm-quantile").toString
       var model = Map(0L -> 0L)
       Snapshots.commit(spark, toDf(model), src)
       Views.createView(spark, src, dv, Seq("grp"), sumCols = Seq("v"))
       Views.createView(spark, src, mm, Seq("grp"), sumCols = Seq("v"),
         minCols = Seq("v"), maxCols = Seq("v"))
+      // the quantile view is PURE DELTA like dv — bucket counts
+      // subtract exactly, so deletes never trigger a rescan
+      Views.createView(spark, src, qv, Seq("grp"),
+        quantileCols = Seq("v"))
       var ok = true
       (ops :+ RefreshOp).foreach {
         case MergeOp(rows) =>
@@ -183,9 +225,11 @@ class ViewsModelSpec extends SparkSpec {
         case RefreshOp =>
           Views.refreshView(spark, src, dv)
           Views.refreshView(spark, src, mm)
+          Views.refreshView(spark, src, qv)
           val want = rollup(model)
           ok = ok && viewState(dv, minmax = false) == zeroMinMax(want) &&
-            viewState(mm, minmax = true) == want
+            viewState(mm, minmax = true) == want &&
+            quantileState(qv) == quantileRollup(model)
       }
       ok
     }

@@ -428,6 +428,231 @@ class ViewsSpec extends SparkSpec {
       s"expected the pre-image requirement, got: ${e.getMessage}")
   }
 
+  test("quantile columns: delete-bearing windows stay on the delta path (source deleted)") {
+    val src = tmp("qsrc"); val mv = tmp("qmv")
+    Snapshots.commit(spark,
+      rows((1, "a", 3), (2, "a", 7), (3, "a", 12), (4, "b", 100),
+        (5, "b", 200)), src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"),
+      quantileCols = Seq("v"))
+    Snapshots.merge(spark, src, rows((6, "a", 9), (7, "b", 50)),
+      Seq("id"), recordChanges = true, preImages = true)
+    Snapshots.delete(spark, src, col("id").isin(2, 4),
+      recordChanges = true)
+    // expected = the sketch family's own estimator over the final
+    // state (ONE arithmetic definition — Sketches.qhQuantiles)
+    val fin = Snapshots.read(spark, src)
+    val want = graft.operators.Sketches
+      .qhQuantiles(fin, Seq("grp"), col("v"), Seq(0.5, 0.95))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // the money pin: remove every source data file — a delete-bearing
+    // refresh on a count/sum/QUANTILE view must not read the source
+    // (bucket counts subtract exactly; min/max/HLL would rescan here)
+    val dir = new java.io.File(src)
+    dir.listFiles().filter(_.getName.startsWith("snap-")).foreach { sd =>
+      sd.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.delete(), s"could not delete $f"))
+    }
+    Views.refreshView(spark, src, mv)
+    val got = Views.readView(spark, mv).collect().map { r =>
+      r.getString(r.fieldIndex("grp")) ->
+        ((r.getLong(r.fieldIndex("n_rows")),
+          r.getLong(r.fieldIndex("p50_v")),
+          r.getLong(r.fieldIndex("p95_v"))))
+    }.toMap
+    assert(got === Map(
+      "a" -> ((3L, want(("a", 0.5)), want(("a", 0.95)))),
+      "b" -> ((2L, want(("b", 0.5)), want(("b", 0.95))))))
+  }
+
+  test("quantile columns: a group emptied by deletes vanishes; re-created groups restart") {
+    val src = tmp("qesrc"); val mv = tmp("qemv")
+    Snapshots.commit(spark, rows((1, "a", 5), (2, "b", 20)), src)
+    Views.createView(spark, src, mv, Seq("grp"), quantileCols = Seq("v"))
+    Snapshots.delete(spark, src, col("id") === 2, recordChanges = true)
+    Views.refreshView(spark, src, mv)
+    val after = Views.readView(spark, mv).collect()
+    assert(after.map(_.getString(0)).toSeq === Seq("a"))
+    assert(after.head.getLong(after.head.fieldIndex("p50_v")) === 5L)
+    Snapshots.merge(spark, src, rows((3, "b", 7)), Seq("id"),
+      recordChanges = true, preImages = true)
+    Views.refreshView(spark, src, mv)
+    val back = Views.readView(spark, mv).collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("p50_v"))).toMap
+    assert(back === Map("a" -> 5L, "b" -> 7L))
+  }
+
+  test("legacy hll_-named scalar group column parses as a group column") {
+    import spark.implicits._
+    // a view created before sketch columns existed could legally hold
+    // a group column named hll_*; sketch state is recognized by
+    // prefix AND MapType, so the legacy layout must read back intact
+    val legacy = Seq(
+      (Option("x"), 2L, 30L, 1L, -1L),
+      (Option.empty[String], 0L, 0L, 1L, -1L)) // sentinel
+      .toDF("hll_tag", "n_rows", "sum_v", "_mv_src_version",
+        "_mv_batch_id")
+    val dir = tmp("legacy")
+    Snapshots.commit(spark, legacy, dir)
+    val got = Views.readView(spark, dir).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(got.head.fieldIndex("hll_tag")) === "x")
+    assert(!Views.readView(spark, dir).columns.exists(
+      _.startsWith("distinct_")))
+  }
+
+  test("batch refresh carries the streaming sentinel batch id forward") {
+    val src = tmp("bbsrc"); val mv = tmp("bbmv"); val ckpt = tmp("bbckpt")
+    Snapshots.commit(spark, rows((1, "a", 10)), src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"))
+    Snapshots.merge(spark, src, rows((2, "a", 5)), Seq("id"),
+      recordChanges = true, preImages = true)
+    Views.streamRefreshView(spark, src, mv, ckpt).awaitTermination()
+    def lastBatch: Long = Snapshots.read(spark, mv)
+      .filter(col("n_rows") === 0).select("_mv_batch_id").head().getLong(0)
+    val streamed = lastBatch
+    assert(streamed >= 0L, s"maintainer should have stamped a batch id")
+    // a BATCH refresh in between must not reset the replay guard
+    Snapshots.merge(spark, src, rows((3, "b", 7)), Seq("id"),
+      recordChanges = true, preImages = true)
+    Views.refreshView(spark, src, mv)
+    assert(lastBatch === streamed)
+    assert(viewMap(mv) === Map("a" -> ((2L, 15L)), "b" -> ((1L, 7L))))
+  }
+
+  test("join-view RESCAN route prunes BOTH side reads to the touched envelope") {
+    import spark.implicits._
+    val l = tmp("rpl"); val r = tmp("rpr"); val v = tmp("rpv")
+    // left: 4 RANGE-clustered groups (grp = id div 128) across 4
+    // files with grp stats; right: key-clustered into 8 files with id
+    // stats — both layouts a real clustered table has
+    Snapshots.commit(spark, spark.range(0, 512)
+      .select(col("id"), (col("id") / 128).cast("long").as("grp"))
+      .repartitionByRange(4, col("id")), l,
+      statsColumns = Seq("id", "grp"))
+    Snapshots.commit(spark, spark.range(0, 1024)
+      .select(col("id"), (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("id")), r, statsColumns = Seq("id"))
+    Views.createJoinView(spark, l, r, v, Seq("id"), Seq("grp"),
+      sumCols = Seq("v"))
+    // a range DELETE of a narrow id band: the feed carries
+    // retractions, so the refresh takes the touched-group rescan —
+    // touched = {grp 0}; deleteRange carries the 3 untouched left
+    // files by reference with their stats intact (the retention shape)
+    Snapshots.deleteRange(spark, l, "id", 100L, 107L,
+      statsColumns = Seq("id", "grp"), recordChanges = true)
+    val tipL = Snapshots.version(spark, l)
+    val tipR = Snapshots.version(spark, r)
+    // the file-count pins, mirroring the refresh's internal route:
+    // LEFT tip read bounded by the touched groups' envelope…
+    val feed = Snapshots.changesFeed(spark, l, 1L, tipL)
+    val touched = feed.select("grp").distinct()
+    val fullL = Snapshots.readVersion(spark, l, tipL).inputFiles.toSet
+    // the left pin checks the readMatching frame itself (the semi join
+    // below would fold the feed sidecar's files into inputFiles)
+    val prunedL = Views.readMatching(spark, l, tipL, touched,
+      Seq("grp"), nullSafe = true)
+    assert(fullL.size === 4)
+    assert(prunedL.inputFiles.toSet.subsetOf(fullL))
+    assert(prunedL.inputFiles.length <= 2,
+      s"expected the touched-group left read to take <=2 of 4 files, " +
+        s"got ${prunedL.inputFiles.length}")
+    val prunedLeft = prunedL.join(
+      touched.select(col("grp").as("_t_grp")),
+      col("grp") <=> col("_t_grp"), "left_semi")
+    // …and the RIGHT tip read bounded by the PRUNED left's key
+    // envelope (the r14 weak mark: this read used to be O(|R|))
+    val fullR = Snapshots.read(spark, r).inputFiles.toSet
+    val prunedR = Views.readMatching(spark, r, tipR,
+      prunedLeft.select("id"), Seq("id"))
+    assert(fullR.size === 8)
+    assert(prunedR.inputFiles.toSet.subsetOf(fullR))
+    assert(prunedR.inputFiles.length <= 2,
+      s"expected the rescan's right read to take <=2 of 8 files, " +
+        s"got ${prunedR.inputFiles.length}")
+    // and the pruned rescan still equals the full recompute
+    Views.refreshJoinView(spark, v)
+    val got = Views.readJoinView(spark, v).collect()
+      .map(x => x.getLong(x.fieldIndex("grp")) ->
+        (x.getLong(x.fieldIndex("n_rows")),
+          x.getLong(x.fieldIndex("sum_v")))).toMap
+    val want = spark.range(0, 512)
+      .filter(!col("id").between(100, 107))
+      .select(col("id"), (col("id") / 128).cast("long").as("grp"))
+      .join(spark.range(0, 1024)
+        .select(col("id"), (col("id") % 7).as("v")), Seq("id"))
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2))).toMap
+    assert(got === want)
+  }
+
+  test("join view sketch columns: distinct + quantile through delta and rescan") {
+    import spark.implicits._
+    val l = tmp("jsl"); val r = tmp("jsr"); val v = tmp("jsv")
+    def lrows(p: (Long, String)*) = p.toSeq.toDF("id", "grp")
+    def rrows(p: (Long, Long)*) = p.toSeq.toDF("id", "v")
+    Snapshots.commit(spark, lrows((1, "a"), (2, "b")), l)
+    Snapshots.commit(spark, rrows((1, 10), (1, 20), (2, 5)), r)
+    Views.createJoinView(spark, l, r, v, Seq("id"), Seq("grp"),
+      sumCols = Seq("v"), distinctCols = Seq("id"),
+      quantileCols = Seq("v"))
+    def check(): Unit = {
+      val fin = Snapshots.read(spark, l)
+        .join(Snapshots.read(spark, r), Seq("id"))
+      val wantQ = graft.operators.Sketches
+        .qhQuantiles(fin, Seq("grp"), col("v"), Seq(0.5, 0.95))
+        .collect()
+        .map(x => (x.getString(0), x.getDouble(1)) -> x.getLong(2)).toMap
+      val wantD = fin.groupBy("grp")
+        .agg(countDistinct(col("id")).as("nd")).collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      val got = Views.readJoinView(spark, v).collect()
+      got.foreach { x =>
+        val g = x.getString(x.fieldIndex("grp"))
+        assert(x.getLong(x.fieldIndex("p50_v")) === wantQ((g, 0.5)), g)
+        assert(x.getLong(x.fieldIndex("p95_v")) === wantQ((g, 0.95)), g)
+        // tiny cardinalities sit in HLL's exact linear-counting range
+        assert(x.getDouble(x.fieldIndex("distinct_id")).round ===
+          wantD(g), g)
+      }
+      assert(got.map(_.getString(0)).toSet === wantD.keySet)
+    }
+    check()
+    // insert wave (bilinear delta path: registers max-merge, bucket
+    // counts add)
+    Snapshots.merge(spark, l, lrows((3, "a")), Seq("id"),
+      recordChanges = true)
+    Snapshots.merge(spark, r, rrows((3, 40), (3, 7)), Seq("id"),
+      recordChanges = true)
+    Views.refreshJoinView(spark, v)
+    check()
+    // delete wave (touched-group rescan: both sketches recompute)
+    Snapshots.delete(spark, r, col("id") === 1, recordChanges = true)
+    Views.refreshJoinView(spark, v)
+    check()
+  }
+
+  test("readJoinView asOf pins a pre-refresh version after later refreshes") {
+    import spark.implicits._
+    val l = tmp("aol"); val r = tmp("aor"); val v = tmp("aov")
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "grp"), l)
+    Snapshots.commit(spark, Seq((1L, 10L)).toDF("id", "v"), r,
+      statsColumns = Seq("id"))
+    Views.createJoinView(spark, l, r, v, Seq("id"), Seq("grp"),
+      sumCols = Seq("v"))
+    Snapshots.append(spark, r, Seq((1L, 32L)).toDF("id", "v"),
+      Seq("id"), recordChanges = true)
+    Views.refreshJoinView(spark, v)
+    def sums(asOf: Option[Long]) =
+      Views.readJoinView(spark, v, asOf = asOf).collect()
+        .map(x => x.getLong(x.fieldIndex("sum_v"))).toSeq
+    assert(sums(Some(1L)) === Seq(10L))
+    assert(sums(Some(2L)) === Seq(42L))
+    assert(sums(None) === Seq(42L))
+  }
+
   test("createView rejects colliding group names and non-integral sums") {
     val src = tmp("vsrc")
     import spark.implicits._
