@@ -104,6 +104,14 @@ object Sinks {
   private lazy val mvJrViewDir: String = scratch("graft-mv-jr-view")
   private lazy val mvDcSrcDir: String = scratch("graft-mv-dc-src")
   private lazy val mvDcViewDir: String = scratch("graft-mv-dc-view")
+  private lazy val mvQhSrcDir: String = scratch("graft-mv-qh-src")
+  private lazy val mvQhViewDir: String = scratch("graft-mv-qh-view")
+  private lazy val mvJdOrdDir: String = scratch("graft-mv-jd-ord")
+  private lazy val mvJdLiDir: String = scratch("graft-mv-jd-li")
+  private lazy val mvJdViewDir: String = scratch("graft-mv-jd-view")
+  private lazy val mvJaOrdDir: String = scratch("graft-mv-ja-ord")
+  private lazy val mvJaLiDir: String = scratch("graft-mv-ja-li")
+  private lazy val mvJaViewDir: String = scratch("graft-mv-ja-view")
   private lazy val appendSrcDir: String = scratch("graft-append-src")
   private lazy val appendViewDir: String = scratch("graft-append-view")
 
@@ -1685,6 +1693,127 @@ object Sinks {
       .orderBy("o_orderpriority")
   }
 
+  /** Approximate-percentile view columns — the DELTA-INVERTIBLE
+    * sketch: the view row carries per-group log-bucket count maps
+    * (the QH family's bucket law — ONE arithmetic definition), and
+    * signed deltas add AND subtract counts exactly, so unlike min/max
+    * (runner-up unknowable) and HLL (registers can't forget) the
+    * DELETE wave here refreshes on the ZERO-SOURCE-READ delta path —
+    * no rescan route exists for this view at all (ViewsSpec pins it
+    * by deleting the source files). Served as p50/p95 via the
+    * all-integer rank fold; the oracle replays buckets, cumulative
+    * ranks, and representatives over the final state, so the
+    * estimates hash-match bit-for-bit. `delta_ok` pins that both
+    * refreshes landed and the view is fresh.
+    */
+  private def snapshotMvQuantile(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvQhSrcDir); clearDir(s, mvQhViewDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), mvQhSrcDir,
+      statsColumns = Seq("doc_id"))
+    Views.createView(s, mvQhSrcDir, mvQhViewDir, Seq("lang"),
+      sumCols = Seq("n_chars"), quantileCols = Seq("n_chars"))
+    Snapshots.append(s, mvQhSrcDir,
+      docs.filter(col("doc_id").between(400, 899)), Seq("doc_id"),
+      recordChanges = true)
+    Views.refreshView(s, mvQhSrcDir, mvQhViewDir) // inserts: +counts
+    Snapshots.delete(s, mvQhSrcDir, col("doc_id") % 10 === 7,
+      recordChanges = true)
+    val v = Views.refreshView(s, mvQhSrcDir, mvQhViewDir) // deletes: −counts
+    val ok =
+      if (v == 3L && Views.staleness(s, mvQhSrcDir, mvQhViewDir) == 0L) 1L
+      else 0L
+    Views.readView(s, mvQhViewDir)
+      .select(col("lang"), col("n_rows").as("n_docs"),
+        col("sum_n_chars").as("sum_chars"),
+        col("p50_n_chars"), col("p95_n_chars"))
+      .withColumn("delta_ok", lit(ok))
+      .orderBy("lang")
+  }
+
+  /** HLL COUNT DISTINCT on the JOIN view ("distinct orders per
+    * priority" without recounting the join): register maps max-merge
+    * through the all-insert bilinear window and recompute through the
+    * delete wave's touched-group rescan — the same routing as min/max,
+    * now for sketch state. The oracle replays the estimator exactly
+    * (register arithmetic over the joined keys' strings) and `ok`
+    * gates the m=1024 family envelope (±15%) against the exact
+    * distinct count.
+    */
+  private def snapshotMvJoinDistinct(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvJdOrdDir); clearDir(s, mvJdLiDir)
+    clearDir(s, mvJdViewDir)
+    val ord = Tables(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderkey") < 60000)
+    val li = Tables(s, d, "lineitem").select(
+      col("l_orderkey").as("o_orderkey"),
+      col("l_quantity").cast("long").as("qty"))
+      .filter(col("o_orderkey") < 60000)
+    Snapshots.commit(s, ord.filter(col("o_orderkey") % 3 === 0), mvJdOrdDir)
+    Snapshots.commit(s, li.filter(col("o_orderkey") % 3 === 0), mvJdLiDir)
+    Views.createJoinView(s, mvJdOrdDir, mvJdLiDir, mvJdViewDir,
+      Seq("o_orderkey"), Seq("o_orderpriority"), sumCols = Seq("qty"),
+      distinctCols = Seq("o_orderkey"))
+    // insert wave on both sides -> bilinear delta, registers max-merge
+    Snapshots.merge(s, mvJdOrdDir,
+      ord.filter(col("o_orderkey") % 3 === 1), Seq("o_orderkey"),
+      recordChanges = true)
+    Snapshots.merge(s, mvJdLiDir,
+      li.filter(col("o_orderkey") % 3 === 1), Seq("o_orderkey"),
+      recordChanges = true)
+    Views.refreshJoinView(s, mvJdViewDir)
+    // delete wave on the left -> touched-group rescan recomputes the
+    // registers (they cannot forget the deleted keys on their own)
+    Snapshots.delete(s, mvJdOrdDir, col("o_orderkey") % 10 === 7,
+      recordChanges = true)
+    Views.refreshJoinView(s, mvJdViewDir)
+    val exact = Snapshots.read(s, mvJdOrdDir)
+      .join(Snapshots.read(s, mvJdLiDir), Seq("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_orderkey")).as("n_exact"))
+    Views.readJoinView(s, mvJdViewDir)
+      .select(col("o_orderpriority"), col("n_rows").as("n_lines"),
+        col("sum_qty"), col("distinct_o_orderkey"))
+      .join(exact, Seq("o_orderpriority"))
+      .withColumn("ok",
+        when(abs(col("distinct_o_orderkey") - col("n_exact")) <=
+          lit(0.15) * col("n_exact"), lit(1L)).otherwise(lit(0L)))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Time travel on the JOIN view through the SQL surface:
+    * `mv_read('<dir>/rows', v)` pins the rollup BEFORE the second
+    * wave landed — each refresh is one commit of the rows table, so
+    * version 1 names exactly "the join aggregate at creation". The
+    * entry refreshes past the pin first, proving later maintenance
+    * does not disturb a held version.
+    */
+  private def mvJoinAsofSql(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvJaOrdDir); clearDir(s, mvJaLiDir)
+    clearDir(s, mvJaViewDir)
+    val ord = Tables(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderkey") < 60000)
+    val li = Tables(s, d, "lineitem").select(
+      col("l_orderkey").as("o_orderkey"),
+      col("l_quantity").cast("long").as("qty"))
+      .filter(col("o_orderkey") < 60000)
+    Snapshots.commit(s, ord.filter(col("o_orderkey") % 3 === 0), mvJaOrdDir)
+    Snapshots.commit(s, li.filter(col("o_orderkey") % 3 === 0), mvJaLiDir)
+    Views.createJoinView(s, mvJaOrdDir, mvJaLiDir, mvJaViewDir,
+      Seq("o_orderkey"), Seq("o_orderpriority"), sumCols = Seq("qty"))
+    Snapshots.merge(s, mvJaOrdDir,
+      ord.filter(col("o_orderkey") % 3 === 1), Seq("o_orderkey"),
+      recordChanges = true)
+    Snapshots.merge(s, mvJaLiDir,
+      li.filter(col("o_orderkey") % 3 === 1), Seq("o_orderkey"),
+      recordChanges = true)
+    Views.refreshJoinView(s, mvJaViewDir)
+    s.sql(s"SELECT o_orderpriority, n_rows AS n_lines, sum_qty " +
+      s"FROM mv_read('$mvJaViewDir/rows', 1) ORDER BY o_orderpriority")
+  }
+
   /** The O(batch) INGEST PATH end to end: two [[Snapshots.append]]
     * batches land as their own files with every base file carried by
     * reference (zero rewrites — SnapshotsSpec pins the file sets), the
@@ -1728,6 +1857,9 @@ object Sinks {
     "q_snapshot_mv_join_rescan" -> (snapshotMvJoinRescan _),
     "q_snapshot_mv_refresh" -> (snapshotMvRefresh _),
     "q_snapshot_mv_distinct" -> (snapshotMvDistinct _),
+    "q_snapshot_mv_quantile" -> (snapshotMvQuantile _),
+    "q_snapshot_mv_join_distinct" -> (snapshotMvJoinDistinct _),
+    "q_mv_join_asof_sql" -> (mvJoinAsofSql _),
     "q_snapshot_mv_minmax" -> (snapshotMvMinmax _),
     "q_snapshot_mv_stream" -> (snapshotMvStream _),
     "q_join_bucketed" -> (bucketedJoin _),
@@ -1901,6 +2033,115 @@ object Sinks {
         |SELECT lang, n_docs, sum_chars, distinct_doc_id, n_exact,
         |  CAST(1 AS BIGINT) AS ok
         |FROM base JOIN est USING (lang) ORDER BY lang""".stripMargin,
+    // quantile view columns: the final state's count/sum plus the QH
+    // bucket law replayed end to end (bucket ids via bin() length,
+    // cumulative ranks, ceil(q·n) targets, bucket representatives) —
+    // p50/p95 hash-compare bit-for-bit because every step is integer
+    "q_snapshot_mv_quantile" ->
+      """WITH src AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE doc_id < 900 AND doc_id % 10 <> 7),
+        |base AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(v) AS BIGINT) AS sum_chars
+        |  FROM src GROUP BY lang),
+        |bk AS (
+        |  SELECT lang, CASE WHEN v < 16 THEN v
+        |    ELSE (length(bin(v)) - 5) * 16 + 16
+        |      + (v >> (length(bin(v)) - 5)) - 16 END AS b
+        |  FROM src),
+        |bc AS (SELECT lang, b, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(cnt) AS n FROM bc GROUP BY 1),
+        |cum AS (
+        |  SELECT lang, b,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY b) AS c
+        |  FROM bc),
+        |qq AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q),
+        |tgt AS (
+        |  SELECT lang, q, CAST(ceil(q * n) AS BIGINT) AS t
+        |  FROM tot, qq),
+        |pick AS (
+        |  SELECT tgt.lang, q, MIN(b) AS b
+        |  FROM tgt JOIN cum ON tgt.lang = cum.lang AND cum.c >= tgt.t
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT lang, q, CASE WHEN b < 16 THEN b
+        |    ELSE (1::BIGINT << (CAST((b - 16) // 16 AS INT) + 4))
+        |      + ((b - 16) % 16)
+        |        * (1::BIGINT << CAST((b - 16) // 16 AS INT))
+        |    END AS n_est
+        |  FROM pick),
+        |pv AS (
+        |  SELECT lang,
+        |    MAX(CASE WHEN q = 0.5 THEN n_est END) AS p50_n_chars,
+        |    MAX(CASE WHEN q = 0.95 THEN n_est END) AS p95_n_chars
+        |  FROM est GROUP BY lang)
+        |SELECT base.lang, n_docs, sum_chars, p50_n_chars, p95_n_chars,
+        |  CAST(1 AS BIGINT) AS delta_ok
+        |FROM base JOIN pv USING (lang) ORDER BY lang""".stripMargin,
+    // HLL distinct on the JOIN view: orders = thirds 0∪1 minus the
+    // %10=7 deletes, lineitem = thirds 0∪1; the estimator is replayed
+    // exactly over the joined keys (hashed as VARCHAR), the exact
+    // distincts gate the ±15% family envelope
+    "q_snapshot_mv_join_distinct" ->
+      """WITH ords AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey < 60000 AND o_orderkey % 3 IN (0, 1)
+        |    AND o_orderkey % 10 <> 7),
+        |li AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_orderkey < 60000 AND l_orderkey % 3 IN (0, 1)),
+        |j AS (
+        |  SELECT o_orderpriority, o_orderkey, qty
+        |  FROM ords JOIN li USING (o_orderkey)),
+        |base AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_exact
+        |  FROM j GROUP BY 1),
+        |h AS (
+        |  SELECT o_orderpriority,
+        |    ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM (SELECT DISTINCT o_orderpriority, o_orderkey FROM j)),
+        |regs AS (
+        |  SELECT o_orderpriority, h & 1023 AS j,
+        |    MAX(CASE WHEN (h >> 10) = 0 THEN 51
+        |             ELSE 51 - length(bin(h >> 10)) END) AS r
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n_filled,
+        |    SUM(1::BIGINT << (51 - r)) AS s_filled
+        |  FROM regs GROUP BY 1),
+        |fin AS (
+        |  SELECT o_orderpriority, (1024 - n_filled) AS zeros,
+        |    (1024 - n_filled) * (1::BIGINT << 51) + s_filled AS total
+        |  FROM agg),
+        |est AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN zeros > 0 AND
+        |      (0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024 * 1024
+        |        * (1::BIGINT << 51)) / total <= 2560.0
+        |    THEN round(1024.0 * ln(1024.0 / zeros), 4)
+        |    ELSE round((0.7213::DOUBLE/(1 + 1.079::DOUBLE/1024.0) * 1024
+        |      * 1024 * (1::BIGINT << 51)) / total, 4)
+        |    END AS distinct_o_orderkey
+        |  FROM fin)
+        |SELECT o_orderpriority, n_lines, sum_qty, distinct_o_orderkey,
+        |  n_exact, CAST(1 AS BIGINT) AS ok
+        |FROM base JOIN est USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the pinned join-view read: version 1 = the rollup at creation
+    // (thirds 0 of both sides), held intact through the later refresh
+    "q_mv_join_asof_sql" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey < 60000 AND o_orderkey % 3 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // min/max via touched-group rescan: the delete removes every row
     // above 1400 from the post-merge state, so bumped groups' maxima
     // SHRINK — replayed exactly by the oracle
