@@ -31,8 +31,15 @@ object MvJoinSweep {
         .createTempDirectory(s"graft-mvj-r-$n").toString
       val v = java.nio.file.Files
         .createTempDirectory(s"graft-mvj-v-$n").toString
+      // grp is RANGE-derived (64 contiguous id bands), so the left's
+      // natural id clustering IS a grp clustering too — the layout
+      // that lets the delete-window rescan below prune the left read
+      // to the touched groups' files (a mod-derived grp would smear
+      // every group across every file and no rescan could prune)
+      val gsz = math.max(1L, n / 64)
       Snapshots.commit(spark, spark.range(n).select(col("id"),
-        (col("id") % 64).as("grp")), l, statsColumns = Seq("id"))
+        (col("id") / gsz).cast("long").as("grp")), l,
+        statsColumns = Seq("id", "grp"))
       // 4 lines per order (integer division: `/` on longs is FLOAT
       // division in Spark SQL — the classic silent-mismatch gotcha);
       // key-clustered into n-proportional files so the manifest prune
@@ -56,8 +63,9 @@ object MvJoinSweep {
       // sliver per shuffle partition (16 slivers would still prune
       // correctly — base untouched — but fragment the batch band)
       Snapshots.merge(spark, l, spark.range(n, n + 512).select(col("id"),
-        (col("id") % 64).as("grp")).coalesce(1), Seq("id"),
-        recordChanges = true, statsColumns = Seq("id"), scoped = true)
+        (col("id") / gsz).cast("long").as("grp")).coalesce(1), Seq("id"),
+        recordChanges = true, statsColumns = Seq("id", "grp"),
+        scoped = true)
       Snapshots.merge(spark, r, spark.range(4 * n, 4 * (n + 512)).select(
         floor(col("id") / 4).cast("long").as("id"),
         (col("id") % 1000).as("v")).coalesce(1),
@@ -83,6 +91,39 @@ object MvJoinSweep {
       println(f"n=$n%9d build=${buildSec}%6.2f s  refresh=${refreshSec}%6.2f s" +
         f"  full_join_recompute=${recomputeSec}%6.2f s" +
         f"  pruned_files=$prunedFiles/$rightFiles")
+      // DELETE WINDOW — the touched-group RESCAN route, with BOTH side
+      // reads pruned (r15: the right tip read used to be O(|R|)).
+      // Retract half the CDC batch: touched groups = the one trailing
+      // grp band, so the recompute's left read is bounded to that
+      // band's file(s) and the right tip read to the pruned left's id
+      // envelope — O(touched) both, flat while the recompute grows.
+      Snapshots.deleteRange(spark, l, "id", n, n + 255,
+        statsColumns = Seq("id", "grp"), recordChanges = true)
+      val tipL = Snapshots.version(spark, l)
+      val tipR = Snapshots.version(spark, r)
+      val feed = Snapshots.changesFeed(spark, l, tipL - 1, tipL)
+      val touched = feed.select("grp").distinct()
+      val lTotal = Snapshots.readVersion(spark, l, tipL).inputFiles.length
+      val prunedL = Views.readMatching(spark, l, tipL, touched,
+        Seq("grp"), nullSafe = true)
+      val prunedLeftFiles = prunedL.inputFiles.length
+      require(prunedLeftFiles >= 1 && prunedLeftFiles <= 3,
+        s"touched-group envelope read $prunedLeftFiles of $lTotal left files")
+      val prunedLeft = prunedL.join(
+        touched.select(col("grp").as("_t_grp")),
+        col("grp") <=> col("_t_grp"), "left_semi")
+      val rescanRightFiles = Views.readMatching(spark, r, tipR,
+        prunedLeft.select("id"), Seq("id")).inputFiles.length
+      require(rescanRightFiles >= 1 && rescanRightFiles <= 3,
+        s"rescan right envelope read $rescanRightFiles files")
+      val (_, rescanSec) = timed(Views.refreshJoinView(spark, v))
+      val rows2 = Views.readJoinView(spark, v)
+        .agg(sum("n_rows")).head().getLong(0)
+      require(rows2 == 4 * (n + 512) - 4 * 256,
+        s"post-delete row drift: $rows2 vs ${4 * (n + 512) - 4 * 256}")
+      println(f"n=$n%9d rescan_refresh=${rescanSec}%6.2f s" +
+        f"  pruned_left=$prunedLeftFiles/$lTotal" +
+        f"  pruned_right=$rescanRightFiles/${rightFiles + 1}")
     }
     spark.stop()
   }
