@@ -1562,10 +1562,16 @@ object Sinks {
     * to the batch's key envelope. Two insert waves land on both sides
     * before one AvailableNow drain (multi-version windows per side);
     * `stream_ok` pins that the maintainer left nothing for the batch
-    * refresh to do (refresh is a no-op at the same version). The
-    * oracle is the whole-table join recompute, so a hash match
-    * certifies micro-batch bilinear folding equals the full join — the
-    * streaming sibling of `q_snapshot_mv_join`. (Checkpoint RESUME —
+    * refresh to do (refresh is a no-op at the same version). A DELETE
+    * wave lands on the orders side before the drain (r15): the
+    * retraction-bearing window routes through the maintainer's
+    * touched-group rescan — the same algebra as the batch refresh,
+    * inside foreachBatch, both side reads pruned — instead of the
+    * pre-r15 loud refusal. The oracle is the whole-table join
+    * recompute over the final state (deletes applied), so a hash
+    * match certifies general-feed streaming maintenance equals the
+    * full join — the streaming sibling of `q_snapshot_mv_join` +
+    * `q_snapshot_mv_join_rescan` in one drain. (Checkpoint RESUME —
     * a second drain folding only unseen versions — is ViewsSpec's
     * pin; paying a second streaming-query startup in-entry added
     * ~3 s of pure fixed cost for no extra oracle coverage.)
@@ -1595,6 +1601,10 @@ object Sinks {
       recordChanges = true)
     Snapshots.merge(s, mvJsLiDir,
       li.filter(col("o_orderkey") % 3 === 2), Seq("o_orderkey"),
+      recordChanges = true)
+    // the retraction wave: the SAME drain must digest it through the
+    // in-stream touched-group rescan (pre-r15 this refused loudly)
+    Snapshots.delete(s, mvJsOrdDir, col("o_orderkey") % 10 === 7,
       recordChanges = true)
     Views.streamRefreshJoinView(s, mvJsViewDir, mvJsCkptDir)
       .awaitTermination()
@@ -1927,15 +1937,17 @@ object Sinks {
         |  CAST(1 AS BIGINT) AS append_ok
         |FROM documents WHERE doc_id < 900
         |GROUP BY lang ORDER BY lang""".stripMargin,
-    // streaming bilinear folding equals the full join recompute:
-    // every key-third of both inputs lands through the maintainer
+    // streaming maintenance equals the full join recompute over the
+    // final state: every key-third of both inputs lands through the
+    // maintainer AND the %10=7 delete wave retracts through the
+    // in-stream touched-group rescan
     "q_snapshot_mv_join_stream" ->
       """SELECT o_orderpriority,
         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(1 AS BIGINT) AS stream_ok
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE o_orderkey < 60000
+        |WHERE o_orderkey < 60000 AND o_orderkey % 10 <> 7
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // min/max join maintenance + read-time AVG: orders = thirds 0∪1
     // minus the %10=7 deletes; lineitem = thirds 0∪1; min/max rode the

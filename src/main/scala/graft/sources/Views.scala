@@ -834,6 +834,66 @@ object Views {
       asOf: Option[Long] = None, withAvg: Boolean = false): DataFrame =
     readView(spark, s"$viewDir/rows", asOf = asOf, withAvg = withAvg)
 
+  /** The touched-group RESCAN for a join view — shared by the batch
+    * refresh and the streaming maintainer's retraction route. Any
+    * group whose aggregate changed must contain a pair involving a
+    * Δrow, and that pair is visible in Δside ⋈ the version of the
+    * other side it paired with (deleted pairs in the OLD versions,
+    * inserted pairs in the NEW), so the touched set is a conservative
+    * superset; those groups recompute from the two tips, untouched
+    * groups carry over unread. BOTH recompute reads are pruned: the
+    * left tip read by the touched groups' key envelope, the right tip
+    * read by the PRUNED left's join-key envelope (one tiny
+    * column-pruned aggregate over O(touched files)) — before r15 the
+    * right read was the view layer's one unpruned scan, paying O(|R|)
+    * on every delete-bearing window. Equi-join, so the null-unsafe
+    * right prune is exact. Returns the next agg rows plus the
+    * PERSISTED touched frame — touched is consumed three times
+    * (envelope aggregate, semi join, anti join) and each consumption
+    * would otherwise re-run the four delta joins; the CALLER must
+    * unpersist it after the commit attempt (throw paths included).
+    */
+  private def rescanJoinTouched(
+      spark: SparkSession,
+      leftDir: String,
+      rightDir: String,
+      joinKeys: Seq[String],
+      d: MvDef,
+      aggRows: DataFrame,
+      dL: Option[DataFrame],
+      dR: Option[DataFrame],
+      aL: Long, tipL: Long, aR: Long, tipR: Long)
+      : (DataFrame, DataFrame) = {
+    val touched = (dL.toSeq.flatMap(f => Seq(
+      f.join(readMatching(spark, rightDir, aR, f, joinKeys), joinKeys),
+      f.join(readMatching(spark, rightDir, tipR, f, joinKeys),
+        joinKeys))) ++
+      dR.toSeq.flatMap(f => Seq(
+        readMatching(spark, leftDir, aL, f, joinKeys)
+          .join(f, joinKeys),
+        readMatching(spark, leftDir, tipL, f, joinKeys)
+          .join(f, joinKeys))))
+      .map(_.select(d.groupCols.map(col): _*))
+      .reduce(_ unionByName _).distinct().persist()
+    val tKeyed = touched
+      .select(d.groupCols.map(c => col(c).as(s"_t_$c")): _*)
+    // the recompute's LEFT read is bounded by the touched groups' key
+    // envelope (the group columns live on the left input) — on a
+    // group-clustered left the rescan reads O(touched files); the
+    // semi-join lands BEFORE the right join so the right probe sees
+    // only touched rows
+    val prunedLeft = readMatching(spark, leftDir, tipL, touched,
+      d.groupCols, nullSafe = true)
+      .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi")
+    val rNew = readMatching(spark, rightDir, tipR, prunedLeft, joinKeys)
+    val recomputed = aggregate(
+      prunedLeft.join(rNew, joinKeys),
+      d.groupCols, d.sumCols, d.minCols, d.maxCols,
+      d.distinctCols, d.quantileCols)
+    (aggRows.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
+      .unionByName(recomputed), touched)
+  }
+
   /** Bring the join view up to both sources' current versions. The
     * refresh classifies the stale window's feed rows (one tiny
     * distinct per side) and picks the cheapest sound route:
@@ -913,48 +973,10 @@ object Views {
           applyDeltas(aggRows,
             deltaRows.withColumn("change_type", lit("insert")), d)
         } else {
-          // touched is consumed three times below (envelope aggregate,
-          // semi join, anti join) and each consumption would otherwise
-          // re-run the four delta joins — persist the tiny group-tuple
-          // frame for the iteration (released after the commit attempt)
-          val touched = (dL.toSeq.flatMap(f => Seq(
-            f.join(readMatching(spark, rightDir, aR, f, joinKeys), joinKeys),
-            f.join(readMatching(spark, rightDir, tipR, f, joinKeys),
-              joinKeys))) ++
-            dR.toSeq.flatMap(f => Seq(
-              readMatching(spark, leftDir, aL, f, joinKeys)
-                .join(f, joinKeys),
-              readMatching(spark, leftDir, tipL, f, joinKeys)
-                .join(f, joinKeys))))
-            .map(_.select(d.groupCols.map(col): _*))
-            .reduce(_ unionByName _).distinct().persist()
-          released = Some(touched)
-          val tKeyed = touched
-            .select(d.groupCols.map(c => col(c).as(s"_t_$c")): _*)
-          // the recompute's LEFT read is bounded by the touched
-          // groups' key envelope (the group columns live on the left
-          // input) — on a group-clustered left the rescan reads
-          // O(touched files); the semi-join lands BEFORE the right
-          // join so the right probe below sees only touched rows
-          val prunedLeft = readMatching(spark, leftDir, tipL, touched,
-            d.groupCols, nullSafe = true)
-            .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi")
-          // …and the RIGHT side's tip read is bounded by the PRUNED
-          // left's join-key envelope (one tiny column-pruned aggregate
-          // over O(touched files)) — previously this was the one
-          // unpruned other-side scan left in the view layer: every
-          // delete-bearing window paid O(|R|) even when the touched
-          // groups' matches lived in a handful of files. Equi-join
-          // (null keys match nothing), so the null-unsafe prune is
-          // exact.
-          val rNew = readMatching(spark, rightDir, tipR, prunedLeft,
-            joinKeys)
-          val recomputed = aggregate(
-            prunedLeft.join(rNew, joinKeys),
-            d.groupCols, d.sumCols, d.minCols, d.maxCols,
-            d.distinctCols, d.quantileCols)
-          aggRows.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
-            .unionByName(recomputed)
+          val (nx, t) = rescanJoinTouched(spark, leftDir, rightDir,
+            joinKeys, d, aggRows, dL, dR, aL, tipL, aR, tipR)
+          released = Some(t)
+          nx
         }
       val committed = Snapshots.commitIfVersion(spark,
         withMetaCols(spark, next, d,
@@ -993,9 +1015,13 @@ object Views {
     * micro-batch with the bilinear rule — `ΔL ⋈ R(tR) + L(aL) ⋈ ΔR`,
     * both "other side" terms pinned by time travel to the batch's own
     * window ends and manifest-pruned to the delta's key envelope
-    * ([[readMatching]]). APPEND-ONLY sources only: a retraction in a
-    * batch fails loudly (run batch [[refreshJoinView]]'s rescan for
-    * general feeds). Exactly-once under the file-source contract, same
+    * ([[readMatching]]). GENERAL feeds: all-insert micro-batches fold
+    * bilinearly; a retraction-bearing batch routes through the same
+    * touched-group rescan the batch refresh runs ([[
+    * rescanJoinTouched]], both side reads pruned) — only post-only
+    * `update` rows refuse (the retracted pair's join key is
+    * unrecoverable; record merges with `preImages = true`).
+    * Exactly-once under the file-source contract, same
     * three guards as the single-table maintainer: `version > applied`
     * filtering per side, the sentinel's `_mv_batch_id` replay guard,
     * and CAS commits. ONE maintainer stream per view (the batch-id
@@ -1051,10 +1077,10 @@ object Views {
         val kinds = freshL.unionByName(freshR)
           .select("change_type").distinct()
           .collect().map(_.getString(0)).toSet
-        require(kinds.subsetOf(Set("insert")),
-          "streaming join-view maintenance is insert-only: feed " +
-            s"window carries ${kinds.mkString(", ")} — run batch " +
-            "refreshJoinView (touched-group rescan)")
+        require(!kinds.contains("update"),
+          "streaming join-view maintenance needs invertible feeds: a " +
+            "post-only 'update' row hides the retracted pair's join " +
+            "key — record merges with preImages = true")
         val bounds = Seq(freshL, freshR).map(
           _.agg(max("version")).head() match {
             case r if r.isNullAt(0) => None
@@ -1067,23 +1093,99 @@ object Views {
         val dL = bounds(0).map(_ => freshL.select(lCols.map(col): _*))
         val dR = bounds(1).map(_ => freshR.select(rCols.map(col): _*))
         val aggRows = dropMeta(mv.filter(col("n_rows") > 0))
-        val deltaRows = (dL.map(f => f.join(
-          readMatching(spark, rightDir, tR, f, joinKeys), joinKeys)) ++
-          dR.map(f => readMatching(spark, leftDir, aL, f, joinKeys)
-            .join(f, joinKeys)))
-          .reduce(_ unionByName _)
-        val next = applyDeltas(aggRows,
-          deltaRows.withColumn("change_type", lit("insert")), d)
-        done = Snapshots.commitIfVersion(spark,
-          withMetaCols(spark, next, d,
-            Seq("_mv_srcl_version" -> tL, "_mv_srcr_version" -> tR,
-              "_mv_batch_id" -> batchId)),
-          rowsDir, base, statsColumns = d.groupCols).nonEmpty
+        def commitNext(next: DataFrame): Boolean =
+          Snapshots.commitIfVersion(spark,
+            withMetaCols(spark, next, d,
+              Seq("_mv_srcl_version" -> tL, "_mv_srcr_version" -> tR,
+                "_mv_batch_id" -> batchId)),
+            rowsDir, base, statsColumns = d.groupCols).nonEmpty
+        if (kinds.subsetOf(Set("insert"))) {
+          val deltaRows = (dL.map(f => f.join(
+            readMatching(spark, rightDir, tR, f, joinKeys), joinKeys)) ++
+            dR.map(f => readMatching(spark, leftDir, aL, f, joinKeys)
+              .join(f, joinKeys)))
+            .reduce(_ unionByName _)
+          done = commitNext(applyDeltas(aggRows,
+            deltaRows.withColumn("change_type", lit("insert")), d))
+        } else {
+          // a RETRACTION-bearing micro-batch routes through the batch
+          // refresh's touched-group rescan (the bilinear delta cannot
+          // retract pairs): aggRows reflect (aL, aR), the recompute
+          // pins the two tips at the batch's own window ends (tL, tR)
+          // — exactly-once is preserved because the commit rides the
+          // same CAS + batch-id sentinel as the delta route
+          val (next, touched) = rescanJoinTouched(spark, leftDir,
+            rightDir, joinKeys, d, aggRows, dL, dR, aL, tL, aR, tR)
+          try done = commitNext(next)
+          finally touched.unpersist()
+        }
         if (!done) attempt += 1
       }
       if (!done) throw new IllegalStateException(
         s"streaming join-view maintenance on $viewDir lost 10 races")
     } finally batch.unpersist()
+  }
+
+  // ---------- view-table retention ----------
+  //
+  // Every refresh is one snapshot commit, so a view maintained per
+  // micro-batch accumulates a version per refresh FOREVER — thousands
+  // of full copies of a small rollup after a day of continuous
+  // maintenance. The standing repair is the same pair every persisted
+  // index runs: bin-pack the tip's sliver files (each refresh commit
+  // writes one file per shuffle partition of a tiny frame), then
+  // expire the refresh history down to a retention window. Both are
+  // ordinary snapshot ops — time travel inside the window, group-key
+  // stats, and the sentinel all survive because compaction restates
+  // the group-column stats and rewrites rows verbatim.
+
+  /** Resolve a view directory to its snapshot table: the viewDir
+    * itself for a single-table view, `viewDir/rows` for a join view.
+    */
+  private def viewRowsDir(spark: SparkSession, viewDir: String): String =
+    if (Snapshots.version(spark, viewDir) >= 1) viewDir
+    else {
+      val rows = s"$viewDir/rows"
+      require(Snapshots.version(spark, rows) >= 1,
+        s"no committed view in $viewDir")
+      rows
+    }
+
+  /** Bin-pack the view's tip (group-column stats restated, so pruned
+    * group reads keep pruning); works on single-table AND join views.
+    * Returns the committed version (unchanged tip when fewer than two
+    * files qualified). */
+  def compactView(
+      spark: SparkSession,
+      viewDir: String,
+      minFileBytes: Long = 4L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val dir = viewRowsDir(spark, viewDir)
+    val d = parseDef(Snapshots.read(spark, dir))
+    Snapshots.compactBinPack(spark, dir, minFileBytes, targetFileBytes,
+      statsColumns = d.groupCols)
+  }
+
+  /** Expire the view's refresh history down to the last `keepLast`
+    * versions and sweep staging leftovers. Maintenance only ever
+    * reads the TIP (the sentinel carries the applied source versions),
+    * so `keepLast = 1` is safe for a continuously-maintained view —
+    * the price is as-of reads older than the window. A join view's
+    * params table expires alongside its rows. Returns
+    * `table -> expired versions`. */
+  def expireView(
+      spark: SparkSession,
+      viewDir: String,
+      keepLast: Int = 1): Map[String, Seq[Long]] = {
+    val dir = viewRowsDir(spark, viewDir)
+    def one(d: String): Seq[Long] = {
+      val e = Snapshots.expire(spark, d, keepLast)
+      Snapshots.vacuum(spark, d)
+      e
+    }
+    if (dir == viewDir) Map("view" -> one(viewDir))
+    else Map("rows" -> one(dir),
+      "params" -> one(s"$viewDir/params"))
   }
 
   private def applyStreamBatch(spark: SparkSession, viewDir: String,

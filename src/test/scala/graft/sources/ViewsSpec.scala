@@ -340,7 +340,7 @@ class ViewsSpec extends SparkSpec {
       .inputFiles.isEmpty)
   }
 
-  test("streaming join-view maintenance: drain equals recompute, replay-guarded, insert-only") {
+  test("streaming join-view maintenance: drain equals recompute, replay-guarded, rescan on retraction") {
     import spark.implicits._
     val l = tmp("sjl"); val r = tmp("sjr"); val v = tmp("sjv")
     val ckpt = tmp("sjc")
@@ -373,17 +373,71 @@ class ViewsSpec extends SparkSpec {
     assert(Views.refreshJoinView(spark, v) === ver)
     Views.streamRefreshJoinView(spark, v, ckpt).awaitTermination()
     assert(Snapshots.version(spark, s"$v/rows") === ver)
-    // a retraction reaches the maintainer: refused loudly (the
-    // bilinear delta cannot retract pairs) — batch rescan's job
+    // a retraction reaches the maintainer: routed through the SAME
+    // touched-group rescan the batch refresh runs (r15 — previously a
+    // loud refusal) — the drain digests the delete and a subsequent
+    // batch refresh finds nothing left to do
     Snapshots.delete(spark, r, col("id") === 1, recordChanges = true)
+    Views.streamRefreshJoinView(spark, v, ckpt).awaitTermination()
+    assert(state === Map("a" -> ((1L, 7L)), "b" -> ((3L, 106L))))
+    val ver2 = Snapshots.version(spark, s"$v/rows")
+    assert(Views.refreshJoinView(spark, v) === ver2)
+    // only a post-only update refuses (the retracted pair's join key
+    // is unrecoverable without a pre-image)
+    Snapshots.merge(spark, r, rrows((3, 9)), Seq("id"),
+      recordChanges = true)
     val e = intercept[Exception](
       Views.streamRefreshJoinView(spark, v, ckpt).awaitTermination())
     def msgs(t: Throwable): String =
       if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
-    assert(msgs(e).contains("insert-only"), msgs(e))
-    // and the batch rescan route digests the same window fine
-    Views.refreshJoinView(spark, v)
-    assert(state === Map("a" -> ((1L, 7L)), "b" -> ((3L, 106L))))
+    assert(msgs(e).contains("preImages"), msgs(e))
+  }
+
+  test("view retention: compact + expire reclaim refresh history, serves stay green") {
+    val src = tmp("rtsrc"); val mv = tmp("rtmv")
+    Snapshots.commit(spark, rows((1, "a", 10), (2, "b", 20)), src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"))
+    (3 to 7).foreach { i =>
+      Snapshots.merge(spark, src, rows((i.toLong, "a", i.toLong * 10)),
+        Seq("id"), recordChanges = true, preImages = true)
+      Views.refreshView(spark, src, mv)
+    }
+    val want = viewMap(mv)
+    def snapDirs = new java.io.File(mv).listFiles()
+      .count(_.getName.startsWith("snap-"))
+    assert(snapDirs === 6) // create + 5 refreshes: a version per commit
+    // the standing repair: bin-pack the tip, then expire the history
+    Views.compactView(spark, mv)
+    assert(viewMap(mv) === want)
+    val expired = Views.expireView(spark, mv, keepLast = 1)
+    assert(expired("view").nonEmpty)
+    assert(snapDirs <= 2, s"expected the history reclaimed, got $snapDirs")
+    assert(viewMap(mv) === want)
+    // group-column stats survive the rewrite: pruned group reads of
+    // the view keep their manifest envelope
+    assert(Snapshots.statsCover(spark, mv, Seq("grp")))
+    // and maintenance continues across the reclaim
+    Snapshots.merge(spark, src, rows((99, "b", 1)), Seq("id"),
+      recordChanges = true, preImages = true)
+    Views.refreshView(spark, src, mv)
+    assert(viewMap(mv)("b") === ((2L, 21L)))
+    // join-view layout: rows + params expire together
+    import spark.implicits._
+    val l = tmp("rtl"); val r = tmp("rtr"); val jv = tmp("rtjv")
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "grp"), l)
+    Snapshots.commit(spark, Seq((1L, 10L)).toDF("id", "v"), r,
+      statsColumns = Seq("id"))
+    Views.createJoinView(spark, l, r, jv, Seq("id"), Seq("grp"),
+      sumCols = Seq("v"))
+    Snapshots.append(spark, r, Seq((1L, 5L)).toDF("id", "v"),
+      Seq("id"), recordChanges = true)
+    Views.refreshJoinView(spark, jv)
+    val je = Views.expireView(spark, jv, keepLast = 1)
+    assert(je.keySet === Set("rows", "params"))
+    assert(je("rows").nonEmpty)
+    val got = Views.readJoinView(spark, jv).collect()
+    assert(got.length === 1 &&
+      got.head.getLong(got.head.fieldIndex("sum_v")) === 15L)
   }
 
   test("join view general changes: deletes and updates via touched-group rescan") {
