@@ -1096,6 +1096,47 @@ object PipelineQueries {
       (hllDir, cmDir, qhDir)
     })
 
+  /** The length-distribution QUANTILE VIEW the mv-backed admission
+    * probe serves from — the sketch and view layers closing the loop:
+    * the corpus-length table is an ordinary snapshot table (commits
+    * record changes) and the standing per-source log-bucket histogram
+    * is a MAINTAINED VIEW over it — created once, then kept current
+    * by two refreshes: an append wave and a DELETE wave, BOTH on the
+    * zero-source-read delta path (bucket counts subtract exactly —
+    * the quantile family is the one approximate aggregate with that
+    * property). Contrast with [[arrivalSketches]]' qh table, which an
+    * update wave would re-add or rebuild. The corpus text is scanned
+    * once per commit wave on this setup line; the serving entry reads
+    * the view's tip plus the arrival slice only. Returns
+    * (srcDir, viewDir). */
+  private val arrivalQhViewMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, String)]()
+
+  private def arrivalQhView(s: SparkSession, d: String): (String, String) =
+    arrivalQhViewMemo.computeIfAbsent((s, d), _ => {
+      val srcDir = scratch(s"graft-arrival-qhv-src-${dirTag(d)}-$pid")
+      val viewDir = scratch(s"graft-arrival-qhv-view-${dirTag(d)}-$pid")
+      Seq(srcDir, viewDir).foreach(clearDir(s, _))
+      def corpusLen(pred: org.apache.spark.sql.Column) =
+        t(s, d, "documents")
+          .filter(col("doc_id") % 5 =!= 0 && pred)
+          .select(col("doc_id"), col("source"),
+            length(lower(trim(col("text")))).cast("long").as("len"))
+      graft.sources.Snapshots.commit(s, corpusLen(col("doc_id") < 250),
+        srcDir, statsColumns = Seq("doc_id"))
+      graft.sources.Views.createView(s, srcDir, viewDir, Seq("source"),
+        quantileCols = Seq("len"))
+      graft.sources.Snapshots.append(s, srcDir,
+        corpusLen(col("doc_id") >= 250), Seq("doc_id"),
+        recordChanges = true)
+      graft.sources.Views.refreshView(s, srcDir, viewDir)
+      graft.sources.Snapshots.delete(s, srcDir, col("doc_id") % 7 === 3,
+        recordChanges = true)
+      graft.sources.Views.refreshView(s, srcDir, viewDir)
+      (srcDir, viewDir)
+    })
+
   /** HNSW hyperparameters for the gate corpus: 4 shards (125 vectors
     * per shard at sf0.01 — real deployments size shards to executor
     * memory, the ratio is what the entries exercise), M=8, efC=efS=40.
@@ -1301,7 +1342,8 @@ object PipelineQueries {
     "setup_bloom_text" -> ((s, d) => { textBloomDir(s, d); () }),
     "setup_bloom_text_asof" -> ((s, d) => { asofTextBloomIndex(s, d); () }),
     "setup_bloom_bench" -> ((s, d) => { benchBloomDir(s, d); () }),
-    "setup_mv_sql" -> ((s, d) => { asofMvView(s, d); () }))
+    "setup_mv_sql" -> ((s, d) => { asofMvView(s, d); () }),
+    "setup_arrival_mv_view" -> ((s, d) => { arrivalQhView(s, d); () }))
 
   /** CONTENT-DEFINED chunking — the dedup-stable complement to
     * corpus_chunk's fixed windows: a chunk boundary falls after word e
@@ -2737,6 +2779,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "pipeline_arrival_admit_mv" -> ((s, d) => {
+      // the admission length filter served from a MAINTAINED VIEW:
+      // the standing per-source length histogram is a quantile view
+      // column kept current by delta refreshes (the setup walk runs
+      // an append wave AND a delete wave — both zero-source-read,
+      // bucket counts subtract), and the probe is the SAME qhCdfProbe
+      // arithmetic the sketch family serves, fed from view state via
+      // [[graft.sources.Views.quantileBuckets]]. The plan reads the
+      // view's tip (a few hundred bucket rows) plus the arrival slice
+      // — the corpus is never rescanned at serve time. The oracle
+      // replays the final corpus state's histogram and every
+      // position, all integers plus one IEEE division.
+      val arrivals = t(s, d, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("source"),
+          lower(trim(col("text"))).as("vt"))
+      val viewDir = arrivalQhView(s, d)._2
+      val buckets = graft.sources.Views.quantileBuckets(s, viewDir, "len")
+      Sketches.qhCdfProbe(buckets, Seq("source"), arrivals,
+          length(col("vt")), carryCols = Seq("doc_id"))
+        .withColumnRenamed("pct", "len_pct")
+        .select(col("doc_id"), col("source"), col("v"), col("n_le"),
+          col("n_total"), col("len_pct"),
+          (col("len_pct") >= 0.05).cast("long").as("admit"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal (stubbed decode, real plumbing) ----
     "multimodal_meta" -> ((s, d) => {
       Multimodal.mediaProfile(s, t(s, d, "documents"))
@@ -3526,12 +3595,17 @@ object PipelineQueries {
         |                        for i in generate_series(1, len(ts) - 2)])
         |    ELSE [array_to_string(ts, ' ')] END AS shingles
         |  FROM toks),
+        |tk AS (SELECT id, len(shingles) AS n, unnest(shingles) AS s
+        |       FROM sh),
         |p AS (
-        |  SELECT l.id AS id_a, r.id AS id_b
-        |  FROM sh l JOIN sh r ON l.id < r.id
-        |  WHERE CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
-        |      / CAST(len(list_distinct(list_concat(l.shingles, r.shingles))) AS DOUBLE)
-        |      >= 0.7),
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.id AS id_a, b.id AS id_b,
+        |      CAST(COUNT(*) AS DOUBLE)
+        |        / CAST(any_value(a.n) + any_value(b.n) - COUNT(*)
+        |               AS DOUBLE) AS j
+        |    FROM tk a JOIN tk b ON a.s = b.s AND a.id < b.id
+        |    GROUP BY a.id, b.id)
+        |  WHERE j >= 0.7),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM p
         |  UNION ALL
@@ -4692,6 +4766,14 @@ object PipelineQueries {
     // b=16,r=4 (collision prob 0.9998 at s=0.7; verified pair-for-pair
     // against this oracle at sf0.01). Word-3-gram shingling mirrors
     // Dedup.wordShingles: short docs collapse to one whole-text shingle.
+    // inverted-index candidate join, not all-pairs: shared-shingle
+    // counts come from the equi-join's GROUP BY (the lists are
+    // distinct), so jaccard = shared / (|A| + |B| - shared) — the same
+    // integers and IEEE division as the list_intersect spelling
+    // (bit-equality checked at sf0.01), recall 1 (jaccard >= 0.7 needs
+    // a shared shingle), and the sf0.1 replay drops from timeout to
+    // ~2 s — the same plan-not-result trick the engine's prefix filter
+    // plays
     "dedup_minhash" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,
@@ -4703,12 +4785,15 @@ object PipelineQueries {
         |                        for i in generate_series(1, len(ts) - 2)])
         |    ELSE [array_to_string(ts, ' ')] END AS shingles
         |  FROM toks),
+        |tk AS (SELECT id, len(shingles) AS n, unnest(shingles) AS s
+        |       FROM sh),
         |cand AS (
-        |  SELECT l.id AS id_a, r.id AS id_b,
-        |    CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
-        |      / CAST(len(list_distinct(list_concat(l.shingles, r.shingles))) AS DOUBLE)
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(COUNT(*) AS DOUBLE)
+        |      / CAST(any_value(a.n) + any_value(b.n) - COUNT(*) AS DOUBLE)
         |      AS jaccard_sim
-        |  FROM sh l JOIN sh r ON l.id < r.id)
+        |  FROM tk a JOIN tk b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY a.id, b.id)
         |SELECT id_a, id_b, jaccard_sim FROM cand
         |WHERE jaccard_sim >= 0.7 ORDER BY id_a, id_b""".stripMargin,
     // the persisted-index probe answers index(doc_id<250) × arrival
@@ -4750,12 +4835,17 @@ object PipelineQueries {
         |                        for i in generate_series(1, len(ts) - 2)])
         |    ELSE [array_to_string(ts, ' ')] END AS shingles
         |  FROM toks),
+        |tk AS (SELECT id, len(shingles) AS n, unnest(shingles) AS s
+        |       FROM sh),
         |p AS (
-        |  SELECT l.id AS id_a, r.id AS id_b
-        |  FROM sh l JOIN sh r ON l.id < r.id
-        |  WHERE CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
-        |      / CAST(len(list_distinct(list_concat(l.shingles, r.shingles))) AS DOUBLE)
-        |      >= 0.7),
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.id AS id_a, b.id AS id_b,
+        |      CAST(COUNT(*) AS DOUBLE)
+        |        / CAST(any_value(a.n) + any_value(b.n) - COUNT(*)
+        |               AS DOUBLE) AS j
+        |    FROM tk a JOIN tk b ON a.s = b.s AND a.id < b.id
+        |    GROUP BY a.id, b.id)
+        |  WHERE j >= 0.7),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM p
         |  UNION SELECT id_b, id_a FROM p),
@@ -4796,19 +4886,26 @@ object PipelineQueries {
     // exact all-pairs semantics (prefix filtering changes the plan, not
     // the result set); the size predicate is implied by jaccard >= 0.6,
     // added only to prune the oracle's quadratic join
+    // inverted-index candidate join (same plan-not-result trick as
+    // dedup_minhash's oracle): shared-gram counts from the equi-join's
+    // GROUP BY, jaccard = shared / (|A| + |B| - shared) — bit-equal to
+    // the list_intersect spelling at sf0.01, and the sf0.1 replay
+    // drops from timeout to in-budget
     "dedup_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id AS id,
         |    list_distinct([substring(text, i, 5)
         |                   for i in generate_series(1, greatest(length(text) - 4, 1))]) AS grams
         |  FROM documents),
+        |tk AS (SELECT id, len(grams) AS n, unnest(grams) AS s FROM g),
         |cand AS (
-        |  SELECT l.id AS id_a, r.id AS id_b,
-        |    CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
-        |      / CAST(len(list_distinct(list_concat(l.grams, r.grams))) AS DOUBLE) AS jaccard_sim
-        |  FROM g l JOIN g r ON l.id < r.id
-        |    AND len(r.grams) >= 0.6 * len(l.grams)
-        |    AND len(l.grams) >= 0.6 * len(r.grams))
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(COUNT(*) AS DOUBLE)
+        |      / CAST(any_value(a.n) + any_value(b.n) - COUNT(*) AS DOUBLE)
+        |      AS jaccard_sim
+        |  FROM tk a JOIN tk b ON a.s = b.s AND a.id < b.id
+        |    AND b.n >= 0.6 * a.n AND a.n >= 0.6 * b.n
+        |  GROUP BY a.id, b.id)
         |SELECT id_a, id_b, jaccard_sim FROM cand
         |WHERE jaccard_sim >= 0.6 ORDER BY id_a, id_b""".stripMargin,
     // common-gram-cap gate: the oracle recomputes the exact reference
@@ -4821,13 +4918,15 @@ object PipelineQueries {
         |    list_distinct([substring(text, i, 5)
         |                   for i in generate_series(1, greatest(length(text) - 4, 1))]) AS grams
         |  FROM documents),
+        |tk AS (SELECT id, len(grams) AS n, unnest(grams) AS s FROM g),
         |cand AS (
-        |  SELECT l.id AS id_a, r.id AS id_b,
-        |    CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
-        |      / CAST(len(list_distinct(list_concat(l.grams, r.grams))) AS DOUBLE) AS jaccard_sim
-        |  FROM g l JOIN g r ON l.id < r.id
-        |    AND len(r.grams) >= 0.6 * len(l.grams)
-        |    AND len(l.grams) >= 0.6 * len(r.grams))
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(COUNT(*) AS DOUBLE)
+        |      / CAST(any_value(a.n) + any_value(b.n) - COUNT(*) AS DOUBLE)
+        |      AS jaccard_sim
+        |  FROM tk a JOIN tk b ON a.s = b.s AND a.id < b.id
+        |    AND b.n >= 0.6 * a.n AND a.n >= 0.6 * b.n
+        |  GROUP BY a.id, b.id)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS ok
         |FROM cand WHERE jaccard_sim >= 0.6""".stripMargin,
     "dedup_embedding" ->
@@ -5208,6 +5307,47 @@ object PipelineQueries {
     // shares it verbatim: verdicts are batch-invariant by construction.
     "pipeline_arrival_admit_sketched" -> arrivalSketchedOracle,
     "pipeline_arrival_stream_sketched" -> arrivalSketchedOracle,
+    // the view-served length filter: the corpus histogram is replayed
+    // from the FINAL source state (append wave in, %7=3 delete wave
+    // out — the view's delta maintenance must equal it exactly), then
+    // every arrival's bucket position and pct — all integers plus one
+    // IEEE division, the qhCdfProbe law verbatim
+    "pipeline_arrival_admit_mv" ->
+      """WITH clen AS (
+        |  SELECT source, CAST(length(lower(trim(text))) AS BIGINT) AS v
+        |  FROM documents WHERE doc_id % 5 != 0 AND doc_id % 7 != 3),
+        |cbk AS (
+        |  SELECT source, CASE WHEN v < 16 THEN v
+        |    ELSE (length(bin(v)) - 5) * 16 + 16
+        |      + (v >> (length(bin(v)) - 5)) - 16 END AS b,
+        |    COUNT(*) AS cnt
+        |  FROM clen GROUP BY 1, 2),
+        |ctot AS (SELECT source, SUM(cnt) AS n_total FROM cbk GROUP BY 1),
+        |arr AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(lower(trim(text))) AS BIGINT) AS v
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |abk AS (
+        |  SELECT doc_id, source, v, CASE WHEN v < 16 THEN v
+        |      ELSE (length(bin(v)) - 5) * 16 + 16
+        |        + (v >> (length(bin(v)) - 5)) - 16 END AS pb
+        |  FROM arr),
+        |lpos AS (
+        |  SELECT abk.doc_id, abk.source, abk.v,
+        |    COALESCE(SUM(CASE WHEN cbk.b <= abk.pb THEN cbk.cnt
+        |      ELSE 0 END), 0) AS n_le
+        |  FROM abk LEFT JOIN cbk ON abk.source = cbk.source
+        |  GROUP BY 1, 2, 3),
+        |pct AS (
+        |  SELECT lpos.doc_id, lpos.source, lpos.v,
+        |    CAST(lpos.n_le AS BIGINT) AS n_le,
+        |    CAST(COALESCE(ctot.n_total, 0) AS BIGINT) AS n_total,
+        |    CASE WHEN COALESCE(ctot.n_total, 0) > 0
+        |      THEN lpos.n_le / ctot.n_total ELSE 0.0 END AS len_pct
+        |  FROM lpos LEFT JOIN ctot ON lpos.source = ctot.source)
+        |SELECT doc_id, source, v, n_le, n_total, len_pct,
+        |  CASE WHEN len_pct >= 0.05 THEN 1 ELSE 0 END::BIGINT AS admit
+        |FROM pct ORDER BY doc_id""".stripMargin,
     "ann_hnsw_compacted" ->
       """SELECT
         |  CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
@@ -5687,12 +5827,17 @@ object PipelineQueries {
         |                        for i in generate_series(1, len(ts) - 2)])
         |    ELSE [array_to_string(ts, ' ')] END AS shingles
         |  FROM toks),
+        |tk AS (SELECT id, len(shingles) AS n, unnest(shingles) AS s
+        |       FROM sh),
         |p AS (
-        |  SELECT l.id AS id_a, r.id AS id_b
-        |  FROM sh l JOIN sh r ON l.id < r.id
-        |  WHERE CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
-        |      / CAST(len(list_distinct(list_concat(l.shingles, r.shingles))) AS DOUBLE)
-        |      >= 0.7),
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.id AS id_a, b.id AS id_b,
+        |      CAST(COUNT(*) AS DOUBLE)
+        |        / CAST(any_value(a.n) + any_value(b.n) - COUNT(*)
+        |               AS DOUBLE) AS j
+        |    FROM tk a JOIN tk b ON a.s = b.s AND a.id < b.id
+        |    GROUP BY a.id, b.id)
+        |  WHERE j >= 0.7),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM p
         |  UNION SELECT id_b, id_a FROM p),

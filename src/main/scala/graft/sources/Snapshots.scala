@@ -810,6 +810,115 @@ object Snapshots {
     * re-reading, but the manifest contract — immutable per-file
     * min/max published atomically with the snapshot — is identical.
     */
+  /** Driver-side per-file stats from the freshly staged parquet
+    * FOOTERS — the zero-job manifest build for the common small-commit
+    * shape (stats columns only): per-column min/max/null-count and
+    * per-file row counts are already in every footer the writer just
+    * produced, so the Spark re-aggregation (read-back + shuffle, two
+    * AQE jobs) only re-derives them. Correctness gates, each falling
+    * back to the aggregation (None) rather than guessing:
+    *
+    *  - only String/Long/Integer stats columns (exactly what the
+    *    lakehouse layer clusters by). Parquet row-group stats store
+    *    binary values WHOLE (only the column-index form truncates;
+    *    oversized values make the writer drop the stats entirely,
+    *    which the usability gate catches), and parquet's unsigned
+    *    byte comparator for UTF8 is UTF8String's ordering, so string
+    *    envelopes are bit-identical to the aggregation's;
+    *  - every chunk must carry usable statistics: null count set, and
+    *    values present unless the chunk is provably all-NULL —
+    *    stats-suppressed writers or exotic encodings land in the
+    *    fallback, never in a wrong envelope;
+    *  - zero-row files emit no manifest row, mirroring the groupBy.
+    *
+    * Returns a LocalRelation with the exact column order and types
+    * the aggregation produces, so the carried-manifest union and
+    * every pruned reader are none the wiser. */
+  private def footerOwnStats(
+      spark: SparkSession,
+      stageDir: String,
+      stagedSchema: org.apache.spark.sql.types.StructType,
+      statsColumns: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{IntegerType => IntT, LongType => LongT, StringType => StrT}
+    val typeOf = stagedSchema.map(f => f.name -> f.dataType).toMap
+    val supported = statsColumns.forall(c => typeOf.get(c).exists {
+      case StrT | LongT | IntT => true
+      case _ => false
+    })
+    if (!supported) return None
+    val conf = spark.sessionState.newHadoopConf()
+    val files = fc(spark).util().listStatus(new Path(stageDir)).iterator
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq.sortBy(_.getPath.getName)
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    for (st <- files) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val blocks =
+        try scala.jdk.CollectionConverters
+          .ListHasAsScala(reader.getFooter.getBlocks).asScala.toSeq
+        finally reader.close()
+      val nRows = blocks.map(_.getRowCount).sum
+      if (nRows > 0) {
+        val vals = new scala.collection.mutable.ArrayBuffer[Any]
+        vals += st.getPath.getName
+        vals += nRows
+        for (c <- statsColumns) {
+          var mn: AnyRef = null
+          var mx: AnyRef = null
+          var nulls = 0L
+          for (b <- blocks) {
+            val chunk = scala.jdk.CollectionConverters
+              .ListHasAsScala(b.getColumns).asScala
+              .find(_.getPath.toDotString == c)
+              .getOrElse(return None)
+            val s = chunk.getStatistics
+            if (s == null || !s.isNumNullsSet) return None
+            if (!s.hasNonNullValue && s.getNumNulls != chunk.getValueCount)
+              return None
+            nulls += s.getNumNulls
+            if (s.hasNonNullValue) {
+              val cmp = s.comparator()
+                .asInstanceOf[java.util.Comparator[AnyRef]]
+              val bmn = s.genericGetMin.asInstanceOf[AnyRef]
+              val bmx = s.genericGetMax.asInstanceOf[AnyRef]
+              if (mn == null || cmp.compare(bmn, mn) < 0) mn = bmn
+              if (mx == null || cmp.compare(bmx, mx) > 0) mx = bmx
+            }
+          }
+          def conv(v: AnyRef): Any =
+            if (v == null) null
+            else typeOf(c) match {
+              case StrT => v
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              case _ => v
+            }
+          vals += conv(mn)
+          vals += conv(mx)
+          vals += nulls
+        }
+        vals += st.getLen
+        rows += org.apache.spark.sql.Row.fromSeq(vals.toSeq)
+      }
+    }
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val fields = (StructField("file", StrT) ::
+      StructField("n_rows", LongT) :: Nil) ++
+      statsColumns.flatMap(c => Seq(
+        StructField(s"min_$c", typeOf(c)),
+        StructField(s"max_$c", typeOf(c)),
+        StructField(s"nulls_$c", LongT))) :+
+      StructField("size_bytes", LongT)
+    Some(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+      StructType(fields)))
+  }
+
   private def stage(
       spark: SparkSession,
       df0: DataFrame,
@@ -961,6 +1070,20 @@ object Snapshots {
       // all survive regardless of this commit's (empty) manifest config
       sidecars.carriedManifest.foreach(writeManifest(spark, _, stageDir))
     else if (statsColumns.nonEmpty || bloomColumns.nonEmpty || partitionSpec.nonEmpty) {
+      // FOOTER FAST PATH for the common small-commit shape (stats
+      // columns only — no blooms, no partition transforms): the
+      // staged files' footers already hold exactly the per-file
+      // min/max/null-count/row-count the manifest needs, so the
+      // shuffle re-aggregation below (two AQE jobs on EVERY commit —
+      // the largest slice of the per-commit fixed cost after the data
+      // write itself) only re-derives what the writer just
+      // serialized. Falls back to the aggregation on any type or
+      // stats-quality doubt ([[footerOwnStats]]) — never a different
+      // answer, only a cheaper derivation of the same one.
+      val fastStats =
+        if (bloomColumns.nonEmpty || specSet.nonEmpty) None
+        else footerOwnStats(spark, stageDir, stagedSchema, statsColumns)
+      val own0 = fastStats.getOrElse {
       val data = spark.read.schema(stagedSchema).parquet(stageDir)
       val aggs: Seq[Column] = (count(lit(1)).as("n_rows") +:
         (statsColumns.flatMap(c =>
@@ -991,20 +1114,19 @@ object Snapshots {
       // 10⁶ selected files that is the difference between zero and 10⁶
       // namenode calls at planning time (Iceberg stores file sizes in
       // its manifests for the same reason)
-      val own0 = {
-        val sizes = fc(spark).util().listStatus(new Path(stageDir)).iterator
-          .filter { st =>
-            val n = st.getPath.getName
-            st.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }.map(st => (st.getPath.getName, st.getLen)).toMap
-        // the sizes ride a broadcast VARIABLE into a column lookup, not
-        // a broadcast JOIN: the driver already holds the listing, and a
-        // broadcast-exchange build is one more ~50 ms job on every
-        // commit's fixed bill (manifest rows are file-count-sized, so
-        // the non-codegen lookup is never the term that matters)
-        val bySize = spark.sparkContext.broadcast(sizes)
-        val lookup = udf((f: String) => bySize.value.get(f))
-        ownStats.withColumn("size_bytes", lookup(col("file")))
+      val sizes = fc(spark).util().listStatus(new Path(stageDir)).iterator
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.map(st => (st.getPath.getName, st.getLen)).toMap
+      // the sizes ride a broadcast VARIABLE into a column lookup, not
+      // a broadcast JOIN: the driver already holds the listing, and a
+      // broadcast-exchange build is one more ~50 ms job on every
+      // commit's fixed bill (manifest rows are file-count-sized, so
+      // the non-codegen lookup is never the term that matters)
+      val bySize = spark.sparkContext.broadcast(sizes)
+      val lookup = udf((f: String) => bySize.value.get(f))
+      ownStats.withColumn("size_bytes", lookup(col("file")))
       }
       // per-file spec id (the Iceberg spec-evolution contract): own
       // files were clustered under the CURRENT spec; carried files keep

@@ -383,6 +383,30 @@ object Views {
         col(s"sum_$c").cast("double") / col("n_rows").cast("double")))
   }
 
+  /** The maintained histogram of a quantile view column, exposed as
+    * the sketch family's sparse bucket rows `(groupCols…, b, cnt)` —
+    * so the QH probes ([[graft.operators.Sketches.qhCdfProbe]] /
+    * `qhEstimate`) serve directly from VIEW state: a standing
+    * reference distribution (the C4-style length filter's) that
+    * refreshes in O(changes) — deletes included, bucket counts
+    * subtract — instead of a sketch table rebuilt or re-added per
+    * wave. `asOf` pins a committed view version. */
+  def quantileBuckets(spark: SparkSession, viewDir: String, c: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val raw = dropMeta((asOf match {
+      case Some(v) => Snapshots.readVersion(spark, viewDir, v)
+      case None => Snapshots.read(spark, viewDir)
+    }).filter(col("n_rows") > 0))
+    val d = parseDef(raw)
+    require(d.quantileCols.contains(c),
+      s"$viewDir maintains no quantile column qh_$c " +
+        s"(has: ${d.quantileCols.mkString(", ")})")
+    raw.select(d.groupCols.map(col) :+
+        explode(map_entries(col(s"qh_$c"))).as("e"): _*)
+      .select(d.groupCols.map(col) :+ col("e.key").as("b")
+        :+ col("e.value").as("cnt"): _*)
+  }
+
   /** The source version the view currently reflects. */
   def appliedSrcVersion(spark: SparkSession, viewDir: String): Long =
     sentinelMeta(Snapshots.read(spark, viewDir))._1

@@ -28,7 +28,10 @@ object ProfileCommit {
       val names = new java.util.concurrent.ConcurrentLinkedQueue[String]
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onJobStart(s: SparkListenerJobStart): Unit =
-          names.add(s.stageInfos.map(_.name).mkString(" | "))
+          names.add(
+            Option(s.properties.getProperty("callSite.short"))
+              .getOrElse("?") + "  ||  " +
+            s.stageInfos.map(_.name).mkString(" | "))
       })
       val d = java.nio.file.Files.createTempDirectory("graft-pc-v").toString
       Snapshots.commit(spark, df, d, statsColumns = Seq("id"))

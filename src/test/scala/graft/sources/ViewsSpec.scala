@@ -537,6 +537,23 @@ class ViewsSpec extends SparkSpec {
     assert(back === Map("a" -> 5L, "b" -> 7L))
   }
 
+  test("quantileBuckets serves the sketch-family bucket shape from view state") {
+    val src = tmp("qbsrc"); val mv = tmp("qbmv")
+    Snapshots.commit(spark,
+      rows((1, "a", 3), (2, "a", 40), (3, "b", 7)), src)
+    Views.createView(spark, src, mv, Seq("grp"), quantileCols = Seq("v"))
+    Snapshots.delete(spark, src, col("id") === 2, recordChanges = true)
+    Views.refreshView(spark, src, mv) // delta even for the delete
+    val got = Views.quantileBuckets(spark, mv, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.operators.Sketches.qhBuckets(
+        Snapshots.read(spark, src), Seq("grp"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    intercept[IllegalArgumentException](
+      Views.quantileBuckets(spark, mv, "nope"))
+  }
+
   test("legacy hll_-named scalar group column parses as a group column") {
     import spark.implicits._
     // a view created before sketch columns existed could legally hold
