@@ -806,6 +806,18 @@ object Views {
       "a join view needs join keys and at least one group column")
     require(Snapshots.version(spark, s"$viewDir/rows") == 0L,
       s"$viewDir already holds a committed view")
+    // same naming contract as createView: the definition is parsed
+    // back from the rows table's own schema, so a group column named
+    // like an aggregate column would silently reclassify on refresh
+    val reservedJ = groupCols.filter(c => c == "n_rows" ||
+      c.startsWith("sum_") || c.startsWith("min_") ||
+      c.startsWith("max_") || c.startsWith("hll_") ||
+      c.startsWith("qh_") || c.startsWith("p50_") ||
+      c.startsWith("p95_") ||
+      c.startsWith("distinct_") || c.startsWith("_mv_"))
+    require(reservedJ.isEmpty,
+      s"group column names collide with the view's aggregate naming " +
+        s"contract: ${reservedJ.mkString(", ")}")
     val vL = Snapshots.version(spark, leftDir)
     val vR = Snapshots.version(spark, rightDir)
     require(vL >= 1 && vR >= 1, "both join inputs need a committed snapshot")
