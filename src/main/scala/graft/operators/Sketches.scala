@@ -544,11 +544,9 @@ object Sketches {
     * each still names a real, coherent pair).
     */
   private def stampCmVersion(spark: SparkSession, indexDir: String,
-      countersV: Long, candidatesV: Long): Long = {
+      cv: Long, dv: Long): Long = {
     import spark.implicits._
     val dir = s"$indexDir/versions"
-    val cv = countersV
-    val dv = candidatesV
     var attempt = 0
     while (attempt < 10) {
       val base = Snapshots.version(spark, dir)

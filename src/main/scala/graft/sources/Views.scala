@@ -202,31 +202,36 @@ object Views {
       .agg(map_from_entries(sort_array(
         collect_list(struct(col("b"), col("cnt"))))).as(s"qh_$c"))
 
-  /** Serve one quantile estimate from a bucket-count map column: the
-    * representative of the first bucket whose cumulative count
-    * reaches `ceil(q·n)` — the same rank law as
+  /** Serve the p50/p95 estimates from a bucket-count map column: for
+    * each q, the representative of the first bucket whose cumulative
+    * count reaches `ceil(q·n)` — the same rank law as
     * [[graft.operators.Sketches.qhEstimate]], evaluated as one
     * deterministic fold over the sorted entries (a map has at most
-    * 16·octaves ≈ a few hundred). NULL when the group holds no values.
-    */
-  private def withQuantileCol(
-      df: DataFrame, c: String, q: Double, out: String): DataFrame = {
+    * 16·octaves ≈ a few hundred). The sort and the total-count fold
+    * run ONCE and feed both quantiles. NULL when the group holds no
+    * values. */
+  private def withQuantileCols(df: DataFrame, c: String): DataFrame = {
     val entries = s"sort_array(map_entries(coalesce(`qh_$c`, " +
       "cast(map() as map<bigint,bigint>))))"
+    def rankFold(q: Double): String =
+      "aggregate(_qe, named_struct('c', CAST(0 AS BIGINT), " +
+        "'f', CAST(-1 AS BIGINT)), " +
+        "(a, e) -> IF(a.f >= 0, a, named_struct(" +
+        "'c', a.c + e.value, " +
+        s"'f', IF(a.c + e.value >= CAST(ceil($q * _qn) AS BIGINT), " +
+        "e.key, CAST(-1 AS BIGINT)))), " +
+        "a -> a.f)"
+    def served(b: String): Column =
+      when(col("_qn") === 0, lit(null).cast(LongType))
+        .otherwise(expr(graft.operators.Sketches.qhRep(b)))
     df.withColumn("_qe", expr(entries))
       .withColumn("_qn",
         expr("aggregate(_qe, CAST(0 AS BIGINT), (a, e) -> a + e.value)"))
-      .withColumn("_qt", expr(s"CAST(ceil($q * _qn) AS BIGINT)"))
-      .withColumn("_qb", expr(
-        "aggregate(_qe, named_struct('c', CAST(0 AS BIGINT), " +
-          "'f', CAST(-1 AS BIGINT)), " +
-          "(a, e) -> IF(a.f >= 0, a, named_struct(" +
-          "'c', a.c + e.value, " +
-          "'f', IF(a.c + e.value >= _qt, e.key, CAST(-1 AS BIGINT)))), " +
-          "a -> a.f)"))
-      .withColumn(out, when(col("_qn") === 0, lit(null).cast(LongType))
-        .otherwise(expr(graft.operators.Sketches.qhRep("_qb"))))
-      .drop("_qe", "_qn", "_qt", "_qb")
+      .withColumn("_qb50", expr(rankFold(0.5)))
+      .withColumn("_qb95", expr(rankFold(0.95)))
+      .withColumn(s"p50_$c", served("_qb50"))
+      .withColumn(s"p95_$c", served("_qb95"))
+      .drop("_qe", "_qn", "_qb50", "_qb95")
   }
 
   /** The served estimate over a register-map column — the exact
@@ -249,6 +254,19 @@ object Views {
 
   private val integral: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType)
+
+  /** Group-column names that collide with the view's aggregate naming
+    * contract — the definition is parsed back from the rows table's
+    * own schema, so such a column would silently reclassify on
+    * refresh. ONE list for both create surfaces: a prefix added for a
+    * new aggregate family must not be rememberable in two places. */
+  private def reservedGroupNames(groupCols: Seq[String]): Seq[String] =
+    groupCols.filter(c => c == "n_rows" ||
+      c.startsWith("sum_") || c.startsWith("min_") ||
+      c.startsWith("max_") || c.startsWith("hll_") ||
+      c.startsWith("qh_") || c.startsWith("p50_") ||
+      c.startsWith("p95_") ||
+      c.startsWith("distinct_") || c.startsWith("_mv_"))
 
   /** One aggregation pass under the view's column-naming contract. */
   private def aggregate(df: DataFrame, groupCols: Seq[String],
@@ -312,12 +330,7 @@ object Views {
     require(groupCols.nonEmpty, "a view needs at least one group column")
     require(Snapshots.version(spark, viewDir) == 0L,
       s"$viewDir already holds a committed view")
-    val reserved = groupCols.filter(c => c == "n_rows" ||
-      c.startsWith("sum_") || c.startsWith("min_") ||
-      c.startsWith("max_") || c.startsWith("hll_") ||
-      c.startsWith("qh_") || c.startsWith("p50_") ||
-      c.startsWith("p95_") ||
-      c.startsWith("distinct_") || c.startsWith("_mv_"))
+    val reserved = reservedGroupNames(groupCols)
     require(reserved.isEmpty,
       s"group column names collide with the view's aggregate naming " +
         s"contract: ${reserved.mkString(", ")}")
@@ -375,8 +388,7 @@ object Views {
       df.withColumn(s"distinct_$c", hllEstimateOf(s"hll_$c"))
         .drop(s"hll_$c"))
     val rows = d.quantileCols.foldLeft(rows0)((df, c) =>
-      withQuantileCol(withQuantileCol(df, c, 0.5, s"p50_$c"),
-        c, 0.95, s"p95_$c").drop(s"qh_$c"))
+      withQuantileCols(df, c).drop(s"qh_$c"))
     if (!withAvg) rows
     else d.sumCols.foldLeft(rows)((df, c) =>
       df.withColumn(s"avg_$c",
@@ -806,15 +818,8 @@ object Views {
       "a join view needs join keys and at least one group column")
     require(Snapshots.version(spark, s"$viewDir/rows") == 0L,
       s"$viewDir already holds a committed view")
-    // same naming contract as createView: the definition is parsed
-    // back from the rows table's own schema, so a group column named
-    // like an aggregate column would silently reclassify on refresh
-    val reservedJ = groupCols.filter(c => c == "n_rows" ||
-      c.startsWith("sum_") || c.startsWith("min_") ||
-      c.startsWith("max_") || c.startsWith("hll_") ||
-      c.startsWith("qh_") || c.startsWith("p50_") ||
-      c.startsWith("p95_") ||
-      c.startsWith("distinct_") || c.startsWith("_mv_"))
+    // same naming contract as createView (one shared list)
+    val reservedJ = reservedGroupNames(groupCols)
     require(reservedJ.isEmpty,
       s"group column names collide with the view's aggregate naming " +
         s"contract: ${reservedJ.mkString(", ")}")
@@ -887,7 +892,9 @@ object Views {
     * PERSISTED touched frame — touched is consumed three times
     * (envelope aggregate, semi join, anti join) and each consumption
     * would otherwise re-run the four delta joins; the CALLER must
-    * unpersist it after the commit attempt (throw paths included).
+    * unpersist it after the commit attempt (this function itself
+    * releases it if it throws before returning — the right-prune
+    * envelope below runs an eager action that can fail).
     */
   private def rescanJoinTouched(
       spark: SparkSession,
@@ -911,23 +918,42 @@ object Views {
           .join(f, joinKeys))))
       .map(_.select(d.groupCols.map(col): _*))
       .reduce(_ unionByName _).distinct().persist()
-    val tKeyed = touched
-      .select(d.groupCols.map(c => col(c).as(s"_t_$c")): _*)
-    // the recompute's LEFT read is bounded by the touched groups' key
-    // envelope (the group columns live on the left input) — on a
-    // group-clustered left the rescan reads O(touched files); the
-    // semi-join lands BEFORE the right join so the right probe sees
-    // only touched rows
-    val prunedLeft = readMatching(spark, leftDir, tipL, touched,
-      d.groupCols, nullSafe = true)
-      .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi")
-    val rNew = readMatching(spark, rightDir, tipR, prunedLeft, joinKeys)
-    val recomputed = aggregate(
-      prunedLeft.join(rNew, joinKeys),
-      d.groupCols, d.sumCols, d.minCols, d.maxCols,
-      d.distinctCols, d.quantileCols)
-    (aggRows.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
-      .unionByName(recomputed), touched)
+    try {
+      val tKeyed = touched
+        .select(d.groupCols.map(c => col(c).as(s"_t_$c")): _*)
+      // the recompute's LEFT read is bounded by the touched groups'
+      // key envelope — on a group-clustered left the rescan reads
+      // O(touched files). Group columns usually live on the left
+      // input; when they do, the touched-group semi-join lands
+      // BEFORE the right join so the right probe below sees only
+      // touched rows. A view grouped by a RIGHT-side column (legal —
+      // the definition validates against the joined schema) keeps
+      // the semi-join AFTER the right join, where the column
+      // resolves; the right prune then bounds by the full (not
+      // semi'd) left read's keys — wider, never wrong.
+      val lHasGroups = {
+        val lCols = Snapshots.readVersion(spark, leftDir, tipL)
+          .columns.toSet
+        d.groupCols.forall(lCols)
+      }
+      val prunedL0 = readMatching(spark, leftDir, tipL, touched,
+        d.groupCols, nullSafe = true)
+      val prunedLeft =
+        if (lHasGroups)
+          prunedL0.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi")
+        else prunedL0
+      val rNew = readMatching(spark, rightDir, tipR, prunedLeft, joinKeys)
+      val joined = prunedLeft.join(rNew, joinKeys)
+      val recomputed = aggregate(
+        if (lHasGroups) joined
+        else joined.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi"),
+        d.groupCols, d.sumCols, d.minCols, d.maxCols,
+        d.distinctCols, d.quantileCols)
+      (aggRows.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
+        .unionByName(recomputed), touched)
+    } catch {
+      case e: Throwable => touched.unpersist(); throw e
+    }
   }
 
   /** Bring the join view up to both sources' current versions. The

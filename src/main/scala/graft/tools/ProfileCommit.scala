@@ -29,7 +29,8 @@ object ProfileCommit {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onJobStart(s: SparkListenerJobStart): Unit =
           names.add(
-            Option(s.properties.getProperty("callSite.short"))
+            Option(s.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
               .getOrElse("?") + "  ||  " +
             s.stageInfos.map(_.name).mkString(" | "))
       })

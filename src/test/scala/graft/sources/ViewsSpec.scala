@@ -467,6 +467,36 @@ class ViewsSpec extends SparkSpec {
     assert(state === Map("a" -> ((1L, 100L))))
   }
 
+  test("join view grouped by a RIGHT-side column: rescan resolves and recomputes") {
+    import spark.implicits._
+    val l = tmp("rgl"); val r = tmp("rgr"); val v = tmp("rgv")
+    val ckpt = tmp("rgc")
+    // the group column lives on the RIGHT input — legal (the
+    // definition validates against the joined schema); the rescan's
+    // touched-group semi-join must land after the right join, where
+    // the column resolves (r15 self-review regression: the
+    // left-semi-first prune crashed this shape)
+    Snapshots.commit(spark,
+      Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("id", "v"), l)
+    Snapshots.commit(spark,
+      Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "rcat"), r)
+    Views.createJoinView(spark, l, r, v, Seq("id"), Seq("rcat"),
+      sumCols = Seq("v"))
+    def state = Views.readJoinView(spark, v).collect()
+      .map(x => x.getString(x.fieldIndex("rcat")) ->
+        (x.getLong(x.fieldIndex("n_rows")),
+          x.getLong(x.fieldIndex("sum_v")))).toMap
+    assert(state === Map("x" -> ((2L, 15L)), "y" -> ((1L, 20L))))
+    // a delete-bearing window routes through the rescan
+    Snapshots.delete(spark, l, col("id") === 1, recordChanges = true)
+    Views.refreshJoinView(spark, v)
+    assert(state === Map("x" -> ((1L, 5L)), "y" -> ((1L, 20L))))
+    // and the STREAMING maintainer's in-batch rescan resolves too
+    Snapshots.delete(spark, l, col("id") === 2, recordChanges = true)
+    Views.streamRefreshJoinView(spark, v, ckpt).awaitTermination()
+    assert(state === Map("x" -> ((1L, 5L))))
+  }
+
   test("join view refuses post-only update feeds loudly") {
     import spark.implicits._
     val l = tmp("pl"); val r = tmp("pr"); val v = tmp("pv")
