@@ -1806,6 +1806,31 @@ object Snapshots {
     }
   }
 
+  /** Whether version `v` publishes a partition-spec transform over
+    * `column` (logical name) alongside a stats manifest — the
+    * precondition for an IN-list partition prune
+    * ([[readPartitionedIn]]) to consult transform envelopes. Callers
+    * that can route a read several ways (e.g. a view refresh bounding
+    * the unchanged join side) ask this to prefer the bucket route on
+    * hash-clustered layouts, where a min/max envelope spans the whole
+    * key range and prunes nothing. O(sidecar read), never O(data).
+    */
+  private[sources] def partitionCovers(
+      spark: SparkSession,
+      tableDir: String,
+      column: String,
+      v: Long = 0L): Boolean = {
+    val ver = if (v >= 1) v else version(spark, tableDir)
+    require(ver >= 1, s"no committed snapshot in $tableDir")
+    val snapDir = s"$tableDir/snap-$ver"
+    fc(spark).util().exists(new Path(manifestDir(snapDir))) && {
+      val pairs = mapAt(spark, tableDir, ver)
+      val ph = physicalOf(pairs, column)
+      partitionSpecs(spark, tableDir, ver)._1
+        .exists(_._2.exists(_.column == ph))
+    }
+  }
+
   /** Whether version `v`'s stats manifest publishes a min/max envelope
     * for EVERY one of `cols` (logical names) — the precondition for a
     * [[readRange]]/[[readRanges]] prune to consult file stats at all.

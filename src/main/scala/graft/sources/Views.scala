@@ -573,25 +573,40 @@ object Views {
       .filter(col("n_rows") > 0)
   }
 
+  /** How many distinct probe keys the IN-list route will collect to
+    * the driver before falling back to the envelope/full read — a CDC
+    * delta's key set by contract; a Bucket(n) transform maps any
+    * IN-list onto ≤ n bucket ids, so the pruning keep-condition stays
+    * bounded regardless. */
+  private val MaxInListKeys = 1024
+
   /** A versioned read of `dir` restricted to rows whose `keys` values
     * can match some row of `probe` — the manifest-pruned half of every
-    * delta join: the probe's per-key envelope (ONE tiny aggregate over
-    * the probe, typically a change feed) routes the read through
-    * [[Snapshots.readRanges]] when version `v` publishes file stats
-    * for every key, so a key-clustered side reads O(matching files)
-    * instead of O(table); sides without covering stats fall back to
-    * the plain versioned scan — never a wrong answer, only a wider
-    * read.
+    * delta join, picking the tightest route version `v` supports:
     *
-    * Correctness: file envelopes and the residual both only drop rows
-    * OUTSIDE the probe's [min, max] per key, so the pruned frame is a
-    * superset of everything a null-unsafe equi-match on `keys` could
-    * select (probe rows with a NULL key match nothing under `=`).
-    * Callers matching null-safely (`<=>`, the touched-group rescan)
-    * pass `nullSafe = true`: min/max ignore NULLs, so a NULL-keyed
-    * probe row forces the full read there. A probe with no non-null
-    * value on some key proves the equi-join empty — `limit(0)`, no
-    * read at all.
+    *  - a PARTITION TRANSFORM over a join key (bucket/identity/…)
+    *    routes through [[Snapshots.readPartitionedIn]] with the
+    *    probe's distinct keys (collected when ≤ [[MaxInListKeys]]):
+    *    on a hash-bucketed layout a min/max envelope spans the whole
+    *    key range and prunes NOTHING, while the transform envelope
+    *    selects O(touched buckets) of files — the right route for a
+    *    CDC delta against a bucketed fact/dimension side;
+    *  - otherwise, covering file stats route the probe's per-key
+    *    envelope (ONE tiny aggregate over the probe) through
+    *    [[Snapshots.readRanges]] — the key-clustered layout's route;
+    *  - otherwise the plain versioned scan — never a wrong answer,
+    *    only a wider read.
+    *
+    * Correctness: transform envelopes, file envelopes, and both
+    * residuals only drop rows that cannot equi-match any probe row,
+    * so the pruned frame is a superset of everything a null-unsafe
+    * equi-match on `keys` could select (probe rows with a NULL key
+    * match nothing under `=`; the IN-list drops NULL keys for the
+    * same reason). Callers matching null-safely (`<=>`, the
+    * touched-group rescan) pass `nullSafe = true`: min/max ignore
+    * NULLs, so a NULL-keyed probe row forces the full read there. A
+    * probe with no non-null value on some key proves the equi-join
+    * empty — an empty local relation, zero files planned or read.
     */
   private[graft] def readMatching(
       spark: SparkSession,
@@ -601,7 +616,10 @@ object Views {
       keys: Seq[String],
       nullSafe: Boolean = false): DataFrame = {
     def full = Snapshots.readVersion(spark, dir, v)
-    if (!Snapshots.statsCover(spark, dir, keys, v)) full
+    val statsOk = Snapshots.statsCover(spark, dir, keys, v)
+    val bucketKey = keys.find(k =>
+      Snapshots.partitionCovers(spark, dir, k, v))
+    if (!statsOk && bucketKey.isEmpty) full
     else {
       val aggs = keys.flatMap(k => Seq(
         min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"),
@@ -610,6 +628,9 @@ object Views {
         .agg(aggs.head, aggs.tail: _*).head()
       val anyNull = keys.indices.exists(i =>
         !env.isNullAt(3 * i + 2) && env.getLong(3 * i + 2) == 1L)
+      def ranges = Snapshots.readRanges(spark, dir,
+        keys.zipWithIndex.map { case (k, i) =>
+          (k, env.get(3 * i), env.get(3 * i + 1)) }, v)
       if (nullSafe && anyNull) full
       else if (keys.indices.exists(i => env.isNullAt(3 * i)))
         // some key has no non-null probe value: nothing can equi-match
@@ -617,9 +638,20 @@ object Views {
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           full.schema)
-      else Snapshots.readRanges(spark, dir,
-        keys.zipWithIndex.map { case (k, i) =>
-          (k, env.get(3 * i), env.get(3 * i + 1)) }, v)
+      else bucketKey match {
+        case Some(k) =>
+          // bounded distinct-key collect (the second tiny probe pass
+          // after the envelope — a delta is small by contract, and
+          // the envelope already paid the null/emptiness checks)
+          val vals = probe.select(col(k)).filter(col(k).isNotNull)
+            .distinct().limit(MaxInListKeys + 1)
+            .collect().map(_.get(0)).toIndexedSeq
+          if (vals.size <= MaxInListKeys)
+            Snapshots.readPartitionedIn(spark, dir, k, vals, v)
+          else if (statsOk) ranges
+          else full
+        case None => ranges
+      }
     }
   }
 

@@ -622,6 +622,45 @@ class ViewsSpec extends SparkSpec {
     assert(viewMap(mv) === Map("a" -> ((2L, 15L)), "b" -> ((1L, 7L))))
   }
 
+  test("readMatching prefers the IN-list bucket route on hash-partitioned sides") {
+    import spark.implicits._
+    val r = tmp("bkr")
+    // hash-bucketed layout with NO id stats: a min/max envelope would
+    // span the whole key range (and statsCover is false here anyway —
+    // pre-IN-list readMatching fell back to the FULL scan), while the
+    // bucket transform envelope selects O(touched buckets) of files.
+    // The commit clusters by the session's shuffle parallelism — use
+    // enough partitions that each file holds ~one bucket id (the
+    // layout a production bucketed table has); restore the test
+    // default after.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      Snapshots.commit(spark,
+        spark.range(0, 1024).select(col("id"), (col("id") % 7).as("v")),
+        r, statsColumns = Seq("v"),
+        partitionSpec = Seq(Snapshots.Transform.Bucket("id", 8)))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val full = Snapshots.read(spark, r).inputFiles.toSet
+    assert(full.size >= 4, s"expected a multi-file bucket layout, got ${full.size}")
+    val probe = Seq(5L, 700L).toDF("id")
+    val pruned = Views.readMatching(spark, r, 1L, probe, Seq("id"))
+    assert(pruned.inputFiles.toSet.subsetOf(full))
+    assert(pruned.inputFiles.length < full.size &&
+      pruned.inputFiles.length <= 2,
+      s"expected <=2 bucket files for a 2-key delta, " +
+        s"got ${pruned.inputFiles.length} of ${full.size}")
+    // the IN route's residual makes the frame EXACTLY the matching
+    // keys' rows — a (tighter) superset of any equi-join match
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSet ===
+      Set(5L, 700L))
+    // a NULL-keyed probe row still matches nothing under the equi
+    // contract: null keys drop from the IN list
+    val withNull = Seq(Option(5L), Option.empty[Long]).toDF("id")
+    assert(Views.readMatching(spark, r, 1L, withNull, Seq("id"))
+      .select("id").collect().map(_.getLong(0)).toSet === Set(5L))
+  }
+
   test("join-view RESCAN route prunes BOTH side reads to the touched envelope") {
     import spark.implicits._
     val l = tmp("rpl"); val r = tmp("rpr"); val v = tmp("rpv")
