@@ -129,4 +129,42 @@ class PipelineIndexSpec extends SparkSpec {
         (r.getAs[Long]("admit") == 1L) == (est == 0L && pct >= 0.05)
     })
   }
+
+  test("the VIEW-served admission entry scans the corpus exactly once") {
+    // the length-CDF reference distribution comes from a MAINTAINED
+    // quantile view (Views.quantileBuckets), not a corpus scan: the
+    // final plan's only documents.parquet scan is the arrival slice
+    // itself — the setup walk's commits paid the corpus reads, the
+    // serve reads view state + arrivals
+    val df = graft.SparkEntry
+      .queries("pipeline_arrival_admit_mv")(spark, sf)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val corpusScans = fmt.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(corpusScans == 1,
+      s"expected exactly the arrival batch's one corpus scan, found $corpusScans")
+    // and the position law against the view's corpus state (append
+    // wave in, %7=3 delete wave out): sketch position sits between
+    // the strictly-below and at-or-below exact positions
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpusLens = docs
+      .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 3)
+      .select(col("source"),
+        length(lower(trim(col("text")))).cast("long").as("len")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSeq }
+    val rows = df.collect()
+    assert(rows.length == docs.filter(col("doc_id") % 5 === 0).count())
+    assert(rows.forall { r =>
+      val lens = corpusLens.getOrElse(r.getAs[String]("source"),
+        Seq.empty[Long])
+      val v = r.getAs[Long]("v")
+      val pct = r.getAs[Double]("len_pct")
+      val lo = if (lens.isEmpty) 0.0
+        else lens.count(_ < v).toDouble / lens.size
+      pct >= lo && pct <= 1.0 &&
+        (r.getAs[Long]("admit") == 1L) == (pct >= 0.05)
+    })
+  }
 }
