@@ -106,6 +106,8 @@ object Sinks {
   private lazy val mvDcViewDir: String = scratch("graft-mv-dc-view")
   private lazy val mvQhSrcDir: String = scratch("graft-mv-qh-src")
   private lazy val mvQhViewDir: String = scratch("graft-mv-qh-view")
+  private lazy val mvVrSrcDir: String = scratch("graft-mv-vr-src")
+  private lazy val mvVrViewDir: String = scratch("graft-mv-vr-view")
   private lazy val mvJdOrdDir: String = scratch("graft-mv-jd-ord")
   private lazy val mvJdLiDir: String = scratch("graft-mv-jd-li")
   private lazy val mvJdViewDir: String = scratch("graft-mv-jd-view")
@@ -1741,6 +1743,42 @@ object Sinks {
       .orderBy("lang")
   }
 
+  /** Exact VARIANCE/STDDEV view columns — the other delta-invertible
+    * family (besides the quantile histogram): the view row carries
+    * per-group (Σx as LONG, Σx² as DECIMAL(38,0)) and signed deltas
+    * subtract BOTH exactly, so like `q_snapshot_mv_quantile` the
+    * DELETE wave refreshes on the zero-source-read delta path (pinned
+    * in ViewsSpec by deleting the source files; min/max/HLL would
+    * rescan). Served at read as population var/std: exact integers
+    * cast once to double, one fixed IEEE expression both engines
+    * spell identically, rounded to 4 — the oracle recomputes n, Σx,
+    * Σx² in HUGEINT and must hash-match the doubles bit-for-bit.
+    */
+  private def snapshotMvVar(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvVrSrcDir); clearDir(s, mvVrViewDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), mvVrSrcDir,
+      statsColumns = Seq("doc_id"))
+    Views.createView(s, mvVrSrcDir, mvVrViewDir, Seq("lang"),
+      sumCols = Seq("n_chars"), varCols = Seq("n_chars"))
+    Snapshots.append(s, mvVrSrcDir,
+      docs.filter(col("doc_id").between(400, 899)), Seq("doc_id"),
+      recordChanges = true)
+    Views.refreshView(s, mvVrSrcDir, mvVrViewDir) // inserts: +sums
+    Snapshots.delete(s, mvVrSrcDir, col("doc_id") % 10 === 7,
+      recordChanges = true)
+    val v = Views.refreshView(s, mvVrSrcDir, mvVrViewDir) // deletes: −sums
+    val ok =
+      if (v == 3L && Views.staleness(s, mvVrSrcDir, mvVrViewDir) == 0L) 1L
+      else 0L
+    Views.readView(s, mvVrViewDir)
+      .select(col("lang"), col("n_rows").as("n_docs"),
+        col("sum_n_chars").as("sum_chars"),
+        col("var_n_chars"), col("std_n_chars"))
+      .withColumn("delta_ok", lit(ok))
+      .orderBy("lang")
+  }
+
   /** HLL COUNT DISTINCT on the JOIN view ("distinct orders per
     * priority" without recounting the join): register maps max-merge
     * through the all-insert bilinear window and recompute through the
@@ -1868,6 +1906,7 @@ object Sinks {
     "q_snapshot_mv_refresh" -> (snapshotMvRefresh _),
     "q_snapshot_mv_distinct" -> (snapshotMvDistinct _),
     "q_snapshot_mv_quantile" -> (snapshotMvQuantile _),
+    "q_snapshot_mv_var" -> (snapshotMvVar _),
     "q_snapshot_mv_join_distinct" -> (snapshotMvJoinDistinct _),
     "q_mv_join_asof_sql" -> (mvJoinAsofSql _),
     "q_snapshot_mv_minmax" -> (snapshotMvMinmax _),
@@ -2091,6 +2130,27 @@ object Sinks {
         |SELECT base.lang, n_docs, sum_chars, p50_n_chars, p95_n_chars,
         |  CAST(1 AS BIGINT) AS delta_ok
         |FROM base JOIN pv USING (lang) ORDER BY lang""".stripMargin,
+    // variance view columns: n/Σx/Σx² replayed exactly in HUGEINT,
+    // then the SAME fixed double expression as the serve — population
+    // var = Σx²/n − (Σx/n)², std = sqrt(max(var0, 0)), both rounded 4
+    "q_snapshot_mv_var" ->
+      """WITH src AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE doc_id < 900 AND doc_id % 10 <> 7),
+        |agg AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(v) AS BIGINT) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS sq
+        |  FROM src GROUP BY lang)
+        |SELECT lang, n_docs, s AS sum_chars,
+        |  round(CAST(sq AS DOUBLE) / n_docs
+        |    - (CAST(s AS DOUBLE) / n_docs) * (CAST(s AS DOUBLE) / n_docs),
+        |    4) AS var_n_chars,
+        |  round(sqrt(greatest(CAST(sq AS DOUBLE) / n_docs
+        |    - (CAST(s AS DOUBLE) / n_docs) * (CAST(s AS DOUBLE) / n_docs),
+        |    0.0)), 4) AS std_n_chars,
+        |  CAST(1 AS BIGINT) AS delta_ok
+        |FROM agg ORDER BY lang""".stripMargin,
     // HLL distinct on the JOIN view: orders = thirds 0∪1 minus the
     // %10=7 deletes, lineitem = thirds 0∪1; the estimator is replayed
     // exactly over the joined keys (hashed as VARCHAR), the exact

@@ -77,10 +77,11 @@ object Views {
     * (min/max lose their extremum, HLL registers cannot forget a
     * value) — such views delta-refresh only under insert-only windows
     * and rescan otherwise. Quantile columns (`qh_<c>` log-bucket
-    * count maps) are deliberately NOT rescan aggregates: bucket
-    * counts add AND subtract exactly, so they are the one approximate
-    * aggregate that keeps DELETE-bearing windows on the
-    * zero-source-read delta path. */
+    * count maps) and variance columns (`vsum_<c>`/`vsq_<c>` exact
+    * sums and sums-of-squares) are deliberately NOT rescan
+    * aggregates: counts and sums add AND subtract exactly, so both
+    * keep DELETE-bearing windows on the zero-source-read delta path.
+    */
   case class MvDef(
       groupCols: Seq[String],
       sumCols: Seq[String],
@@ -88,6 +89,7 @@ object Views {
       maxCols: Seq[String],
       distinctCols: Seq[String],
       quantileCols: Seq[String],
+      varCols: Seq[String],
       types: Map[String, DataType]) {
     def hasRescanAggs: Boolean =
       minCols.nonEmpty || maxCols.nonEmpty || distinctCols.nonEmpty
@@ -106,16 +108,26 @@ object Views {
       types(c).isInstanceOf[org.apache.spark.sql.types.MapType]
     def isQh(c: String) = c.startsWith("qh_") &&
       types(c).isInstanceOf[org.apache.spark.sql.types.MapType]
+    // variance state: the sum-of-squares column is DecimalType (no
+    // group column can be — same legacy-name defense as the maps),
+    // and its vsum_ sibling is recognized only as a PAIR
+    def isVsq(c: String) = c.startsWith("vsq_") &&
+      types(c).isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    val varCols = names.filter(isVsq).map(_.stripPrefix("vsq_"))
+    def isVsum(c: String) = c.startsWith("vsum_") &&
+      varCols.contains(c.stripPrefix("vsum_"))
     MvDef(
       groupCols = names.filterNot(c => c == "n_rows" ||
         c.startsWith("sum_") || c.startsWith("min_") ||
         c.startsWith("max_") || isHll(c) || isQh(c) ||
+        isVsq(c) || isVsum(c) ||
         c.startsWith("_mv_")),
       sumCols = names.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_")),
       minCols = names.filter(_.startsWith("min_")).map(_.stripPrefix("min_")),
       maxCols = names.filter(_.startsWith("max_")).map(_.stripPrefix("max_")),
       distinctCols = names.filter(isHll).map(_.stripPrefix("hll_")),
       quantileCols = names.filter(isQh).map(_.stripPrefix("qh_")),
+      varCols = varCols,
       types = types)
   }
 
@@ -255,6 +267,35 @@ object Views {
   private val integral: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType)
 
+  // ---------- exact VARIANCE / STDDEV columns ----------
+  //
+  // The other delta-invertible family besides the quantile histogram:
+  // VAR/STDDEV derive from (n, Σx, Σx²), and SUMS subtract exactly —
+  // so variance view columns stay on the zero-source-read delta path
+  // under deletes, like count/sum and unlike min/max/HLL. State per
+  // column: `vsum_<c>` (LONG — the integral-source contract sums
+  // share) and `vsq_<c>` (DECIMAL(38,0) — a long's square reaches
+  // 8.5e37, one decimal digit under the cap, and the decimal sum
+  // stays EXACT while Σx² < 10^38; fp sums would drift from a
+  // recompute by non-associativity, the same reason sum_ is integer).
+  // Served at read as `var_<c>`/`std_<c>`: population variance
+  // Σx²/n − (Σx/n)², every operand an exact integer cast once to
+  // double, the same fixed IEEE expression in both engines, rounded
+  // to 4 — bit-replayable like avg_<c>. NULLs contribute nothing to
+  // either sum but DO count in n_rows (the avg/var denominator is the
+  // group's row count, matching the delta algebra's n — document
+  // accordingly; columns without NULLs are the intended use).
+
+  private val VarDec = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** x² as an exact decimal — both factors cast to DECIMAL(19,0) so
+    * the product's natural precision (39) caps to 38 with the value
+    * always representable. NULL x contributes 0. */
+  private def squareOf(c: String): Column =
+    coalesce(col(c).cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+      col(c).cast(org.apache.spark.sql.types.DecimalType(19, 0)),
+      lit(0L).cast(VarDec)).cast(VarDec)
+
   /** Group-column names that collide with the view's aggregate naming
     * contract — the definition is parsed back from the rows table's
     * own schema, so such a column would silently reclassify on
@@ -266,19 +307,26 @@ object Views {
       c.startsWith("max_") || c.startsWith("hll_") ||
       c.startsWith("qh_") || c.startsWith("p50_") ||
       c.startsWith("p95_") ||
+      c.startsWith("vsum_") || c.startsWith("vsq_") ||
+      c.startsWith("var_") || c.startsWith("std_") ||
       c.startsWith("distinct_") || c.startsWith("_mv_"))
 
   /** One aggregation pass under the view's column-naming contract. */
   private def aggregate(df: DataFrame, groupCols: Seq[String],
       sumCols: Seq[String], minCols: Seq[String],
       maxCols: Seq[String], distinctCols: Seq[String] = Nil,
-      quantileCols: Seq[String] = Nil): DataFrame = {
+      quantileCols: Seq[String] = Nil,
+      varCols: Seq[String] = Nil): DataFrame = {
     val aggs: Seq[Column] =
       count(lit(1)).as("n_rows") +:
         (sumCols.map(c =>
           sum(coalesce(col(c).cast(LongType), lit(0L))).as(s"sum_$c")) ++
           minCols.map(c => min(col(c)).as(s"min_$c")) ++
-          maxCols.map(c => max(col(c)).as(s"max_$c")))
+          maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+          varCols.flatMap(c => Seq(
+            sum(coalesce(col(c).cast(LongType), lit(0L)))
+              .as(s"vsum_$c"),
+            sum(squareOf(c)).cast(VarDec).as(s"vsq_$c"))))
     val base = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     joinMapCols(
       joinMapCols(base, df, groupCols, distinctCols, hllMapOf,
@@ -302,6 +350,9 @@ object Views {
           lit(null).cast(d.types(s"hll_$c")).as(s"hll_$c")) ++
         d.quantileCols.map(c =>
           lit(null).cast(d.types(s"qh_$c")).as(s"qh_$c")) ++
+        d.varCols.flatMap(c => Seq(
+          lit(0L).as(s"vsum_$c"),
+          lit(0L).cast(d.types(s"vsq_$c")).as(s"vsq_$c"))) ++
         metas.map { case (c, v) => lit(v).as(c) }): _*)
     stamped.unionByName(sentinel)
   }
@@ -326,7 +377,8 @@ object Views {
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil,
       distinctCols: Seq[String] = Nil,
-      quantileCols: Seq[String] = Nil): Long = {
+      quantileCols: Seq[String] = Nil,
+      varCols: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "a view needs at least one group column")
     require(Snapshots.version(spark, viewDir) == 0L,
       s"$viewDir already holds a committed view")
@@ -342,13 +394,18 @@ object Views {
     require(badSum.isEmpty,
       s"sum columns must be integral (exact delta maintenance): " +
         s"${badSum.mkString(", ")}")
-    val missing = (distinctCols ++ quantileCols).filterNot(srcT.contains)
+    val missing = (distinctCols ++ quantileCols ++ varCols)
+      .filterNot(srcT.contains)
     require(missing.isEmpty,
       s"sketch columns absent from the source: ${missing.mkString(", ")}")
     val badQ = quantileCols.filterNot(c => integral(srcT(c)))
     require(badQ.isEmpty,
       s"quantile columns must be integral (exact log-bucket " +
         s"maintenance): ${badQ.mkString(", ")}")
+    val badV = varCols.filterNot(c => integral(srcT(c)))
+    require(badV.isEmpty,
+      s"variance columns must be integral (exact sum-of-squares " +
+        s"maintenance): ${badV.mkString(", ")}")
     // the register derivation (Sketches.hllRegisters) works in j/r/h/w
     // and the bucket derivation in v/b/cnt — same reservations as the
     // index builders, only needed when sketch columns ride the view
@@ -359,7 +416,7 @@ object Views {
       !Seq("gen", "v", "b", "cnt").contains(c)),
       s"group columns collide with sketch bucket columns: $groupCols")
     val rows = aggregate(cur, groupCols, sumCols, minCols, maxCols,
-      distinctCols, quantileCols)
+      distinctCols, quantileCols, varCols)
     val d = parseDef(rows)
     Snapshots.commit(spark, withMeta(spark, rows, d, srcV, -1L), viewDir,
       statsColumns = groupCols)
@@ -387,8 +444,20 @@ object Views {
     val rows0 = d.distinctCols.foldLeft(raw)((df, c) =>
       df.withColumn(s"distinct_$c", hllEstimateOf(s"hll_$c"))
         .drop(s"hll_$c"))
-    val rows = d.quantileCols.foldLeft(rows0)((df, c) =>
+    val rows1 = d.quantileCols.foldLeft(rows0)((df, c) =>
       withQuantileCols(df, c).drop(s"qh_$c"))
+    // variance state serves as var/std AT READ: population variance
+    // Σx²/n − (Σx/n)², every operand an exact integer cast once to
+    // double, one fixed IEEE expression (both engines spell it
+    // identically), rounded to 4 — never materialized fp state
+    val rows = d.varCols.foldLeft(rows1) { (df, c) =>
+      val n = col("n_rows").cast("double")
+      val m = col(s"vsum_$c").cast("double") / n
+      val v0 = col(s"vsq_$c").cast("double") / n - m * m
+      df.withColumn(s"var_$c", round(v0, 4))
+        .withColumn(s"std_$c", round(sqrt(greatest(v0, lit(0.0))), 4))
+        .drop(s"vsum_$c", s"vsq_$c")
+    }
     if (!withAvg) rows
     else d.sumCols.foldLeft(rows)((df, c) =>
       df.withColumn(s"avg_$c",
@@ -472,15 +541,25 @@ object Views {
       else min(sign).as("_dsgn") +:
         (d.minCols.map(c => min(col(c)).as(s"_dmin_$c")) ++
           d.maxCols.map(c => max(col(c)).as(s"_dmax_$c")))
+    // variance deltas are plain signed sums too: the retraction
+    // subtracts the row's value AND its square exactly
+    val varNames: Seq[String] =
+      d.varCols.flatMap(c => Seq(s"_dvsum_$c", s"_dvsq_$c"))
     val deltaAggs: Seq[Column] =
       (sum(sign).as("_dn") +:
-        d.sumCols.map(c => sum(sign *
-          coalesce(col(c).cast(LongType), lit(0L))).as(s"_dsum_$c"))) ++
+        (d.sumCols.map(c => sum(sign *
+          coalesce(col(c).cast(LongType), lit(0L))).as(s"_dsum_$c")) ++
+          d.varCols.flatMap(c => Seq(
+            sum(sign * coalesce(col(c).cast(LongType), lit(0L)))
+              .as(s"_dvsum_$c"),
+            sum(sign.cast(org.apache.spark.sql.types.DecimalType(1, 0)) *
+              squareOf(c)).cast(VarDec).as(s"_dvsq_$c"))))) ++
         mmCols
     val deltas = feed
       .groupBy(d.groupCols.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
       .select((d.groupCols.map(c => col(c).as(s"_d_$c")) ++
-        (col("_dn") +: d.sumCols.map(c => col(s"_dsum_$c"))) ++
+        (col("_dn") +: (d.sumCols.map(c => col(s"_dsum_$c")) ++
+          varNames.map(col))) ++
         mmNames.map(col)): _*)
     // per-group delta register maps ride the same full-outer join:
     // rename to `_dhll_<c>` so the old map column keeps its name
@@ -538,6 +617,15 @@ object Views {
           .otherwise(n2).as("n_rows")) ++
         d.sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
           coalesce(col(s"_dsum_$c"), lit(0L))).as(s"sum_$c")) ++
+        d.varCols.flatMap { c =>
+          val zero = lit(0L).cast(d.types(s"vsq_$c"))
+          Seq(
+            (coalesce(col(s"vsum_$c"), lit(0L)) +
+              coalesce(col(s"_dvsum_$c"), lit(0L))).as(s"vsum_$c"),
+            (coalesce(col(s"vsq_$c"), zero) +
+              coalesce(col(s"_dvsq_$c"), zero)).cast(d.types(s"vsq_$c"))
+              .as(s"vsq_$c"))
+        } ++
         d.minCols.map(c => mmGuard(least(col(s"min_$c"), col(s"_dmin_$c")),
           d.types(s"min_$c")).as(s"min_$c")) ++
         d.maxCols.map(c => mmGuard(greatest(col(s"max_$c"), col(s"_dmax_$c")),
@@ -668,7 +756,7 @@ object Views {
     val recomputed = aggregate(
       srcTip.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi"),
       d.groupCols, d.sumCols, d.minCols, d.maxCols, d.distinctCols,
-      d.quantileCols)
+      d.quantileCols, d.varCols)
     val untouched = aggRows
       .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
     untouched.unionByName(recomputed)
@@ -844,7 +932,8 @@ object Views {
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil,
       distinctCols: Seq[String] = Nil,
-      quantileCols: Seq[String] = Nil): Long = {
+      quantileCols: Seq[String] = Nil,
+      varCols: Seq[String] = Nil): Long = {
     import spark.implicits._
     require(joinKeys.nonEmpty && groupCols.nonEmpty,
       "a join view needs join keys and at least one group column")
@@ -869,13 +958,18 @@ object Views {
     require(badSum.isEmpty,
       s"sum columns must be integral (exact delta maintenance): " +
         s"${badSum.mkString(", ")}")
-    val missing = (distinctCols ++ quantileCols).filterNot(jT.contains)
+    val missing = (distinctCols ++ quantileCols ++ varCols)
+      .filterNot(jT.contains)
     require(missing.isEmpty,
       s"sketch columns absent from the join schema: ${missing.mkString(", ")}")
     val badQ = quantileCols.filterNot(c => integral(jT(c)))
     require(badQ.isEmpty,
       s"quantile columns must be integral (exact log-bucket " +
         s"maintenance): ${badQ.mkString(", ")}")
+    val badV = varCols.filterNot(c => integral(jT(c)))
+    require(badV.isEmpty,
+      s"variance columns must be integral (exact sum-of-squares " +
+        s"maintenance): ${badV.mkString(", ")}")
     require(distinctCols.isEmpty || groupCols.forall(c =>
       !Seq("gen", "j", "r", "h", "w").contains(c)),
       s"group columns collide with sketch register columns: $groupCols")
@@ -889,7 +983,7 @@ object Views {
           "sum_cols"),
       s"$viewDir/params")
     val rows = aggregate(l.join(r, joinKeys), groupCols, sumCols,
-      minCols, maxCols, distinctCols, quantileCols)
+      minCols, maxCols, distinctCols, quantileCols, varCols)
     val d = parseDef(rows)
     Snapshots.commit(spark,
       withMetaCols(spark, rows, d,
@@ -980,7 +1074,7 @@ object Views {
         if (lHasGroups) joined
         else joined.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi"),
         d.groupCols, d.sumCols, d.minCols, d.maxCols,
-        d.distinctCols, d.quantileCols)
+        d.distinctCols, d.quantileCols, d.varCols)
       (aggRows.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
         .unionByName(recomputed), touched)
     } catch {

@@ -106,6 +106,28 @@ class ViewsModelSpec extends SparkSpec {
           r.getLong(r.fieldIndex("p95_v"))))
     }.toMap
 
+  // ---- variance model (the serve expression replayed in Scala:
+  // exact integer sums cast once to double, fixed IEEE ops, round 4) ----
+
+  private def rd4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def varRollup(model: Map[Long, Long]): Map[String, (Double, Double)] =
+    model.values.groupBy(v => s"g${v % 3}").map { case (g, vs) =>
+      val n = vs.size.toDouble
+      val m = vs.sum.toDouble / n
+      val v0 = vs.map(x => BigInt(x) * BigInt(x)).sum.toDouble / n - m * m
+      g -> ((rd4(v0), rd4(math.sqrt(math.max(v0, 0.0)))))
+    }
+
+  private def varState(dir: String): Map[String, (Double, Double)] =
+    Views.readView(spark, dir).collect().map { r =>
+      r.getString(r.fieldIndex("grp")) ->
+        ((r.getDouble(r.fieldIndex("var_v")),
+          r.getDouble(r.fieldIndex("std_v"))))
+    }.toMap
+
   // ---- join-view model: aggregates over left(id, grp) ⋈ right(rid, id, v) ----
 
   private sealed trait JOp
@@ -205,7 +227,10 @@ class ViewsModelSpec extends SparkSpec {
       val qv = Files.createTempDirectory("graft-vm-quantile").toString
       var model = Map(0L -> 0L)
       Snapshots.commit(spark, toDf(model), src)
-      Views.createView(spark, src, dv, Seq("grp"), sumCols = Seq("v"))
+      // the delta view also carries VARIANCE state (sum + exact
+      // decimal sum-of-squares) — delta-invertible like its sums
+      Views.createView(spark, src, dv, Seq("grp"), sumCols = Seq("v"),
+        varCols = Seq("v"))
       Views.createView(spark, src, mm, Seq("grp"), sumCols = Seq("v"),
         minCols = Seq("v"), maxCols = Seq("v"))
       // the quantile view is PURE DELTA like dv — bucket counts
@@ -229,7 +254,8 @@ class ViewsModelSpec extends SparkSpec {
           val want = rollup(model)
           ok = ok && viewState(dv, minmax = false) == zeroMinMax(want) &&
             viewState(mm, minmax = true) == want &&
-            quantileState(qv) == quantileRollup(model)
+            quantileState(qv) == quantileRollup(model) &&
+            varState(dv) == varRollup(model)
       }
       ok
     }

@@ -550,6 +550,51 @@ class ViewsSpec extends SparkSpec {
       "b" -> ((2L, want(("b", 0.5)), want(("b", 0.95))))))
   }
 
+  test("variance columns: delete-bearing windows stay on the delta path (source deleted)") {
+    val src = tmp("vsrc"); val mv = tmp("vmv")
+    Snapshots.commit(spark,
+      rows((1, "a", 3), (2, "a", 7), (3, "a", 12), (4, "b", 100),
+        (5, "b", 200)), src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"),
+      varCols = Seq("v"))
+    Snapshots.merge(spark, src, rows((6, "a", 9), (7, "b", 50)),
+      Seq("id"), recordChanges = true, preImages = true)
+    Snapshots.delete(spark, src, col("id").isin(2, 4),
+      recordChanges = true)
+    // expected via the SAME serve expression over the final state
+    val fin = Snapshots.read(spark, src).collect()
+      .map(r => r.getString(r.fieldIndex("grp")) ->
+        r.getLong(r.fieldIndex("v")))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSeq }
+    def rd4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def varStd(vs: Seq[Long]): (Double, Double) = {
+      val n = vs.size.toDouble
+      val m = vs.sum.toDouble / n
+      val v0 = vs.map(x => BigInt(x) * BigInt(x)).sum.toDouble / n - m * m
+      (rd4(v0), rd4(math.sqrt(math.max(v0, 0.0))))
+    }
+    // the money pin: remove every source data file — variance sums
+    // subtract exactly, so even the delete wave refreshes with zero
+    // source reads (min/max/HLL would rescan here)
+    val dir = new java.io.File(src)
+    dir.listFiles().filter(_.getName.startsWith("snap-")).foreach { sd =>
+      sd.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.delete(), s"could not delete $f"))
+    }
+    Views.refreshView(spark, src, mv)
+    val got = Views.readView(spark, mv).collect().map { r =>
+      r.getString(r.fieldIndex("grp")) ->
+        ((r.getLong(r.fieldIndex("n_rows")),
+          r.getDouble(r.fieldIndex("var_v")),
+          r.getDouble(r.fieldIndex("std_v"))))
+    }.toMap
+    assert(got === Map(
+      "a" -> ((3L, varStd(fin("a"))._1, varStd(fin("a"))._2)),
+      "b" -> ((2L, varStd(fin("b"))._1, varStd(fin("b"))._2))))
+  }
+
   test("quantile columns: a group emptied by deletes vanishes; re-created groups restart") {
     val src = tmp("qesrc"); val mv = tmp("qemv")
     Snapshots.commit(spark, rows((1, "a", 5), (2, "b", 20)), src)
