@@ -659,6 +659,21 @@ object Sketches {
   val CmRows = 4
   val CmWidth = 1024
 
+  /** The 4 FLATTENED cell keys (`i·1024 + j`) a value hashes to —
+    * the same md5-60 / four-10-bit-projection law as [[cmCounters]]
+    * and [[cmEstimates]], exposed so the view layer's `cm_<c>` cell
+    * maps share ONE arithmetic definition with the sketch family
+    * (a drift between two spellings would silently break the DuckDB
+    * oracle's replay). */
+  private[graft] def cmCellKeys(value: Column): Column = {
+    val h = conv(substring(md5(value.cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    array((0 until CmRows).map { i =>
+      shiftright(h, 10 * i).bitwiseAND(lit((CmWidth - 1).toLong)) +
+        lit(i.toLong * CmWidth)
+    }: _*)
+  }
+
   /** Sparse count-min counters: one row per non-empty cell,
     * `(groupCols…, i, j, cnt)`. */
   def cmCounters(

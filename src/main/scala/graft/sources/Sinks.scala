@@ -108,6 +108,8 @@ object Sinks {
   private lazy val mvQhViewDir: String = scratch("graft-mv-qh-view")
   private lazy val mvVrSrcDir: String = scratch("graft-mv-vr-src")
   private lazy val mvVrViewDir: String = scratch("graft-mv-vr-view")
+  private lazy val mvTkSrcDir: String = scratch("graft-mv-tk-src")
+  private lazy val mvTkViewDir: String = scratch("graft-mv-tk-view")
   private lazy val mvJdOrdDir: String = scratch("graft-mv-jd-ord")
   private lazy val mvJdLiDir: String = scratch("graft-mv-jd-li")
   private lazy val mvJdViewDir: String = scratch("graft-mv-jd-view")
@@ -1490,8 +1492,16 @@ object Sinks {
     clearDir(s, mvStCkptDir)
     val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
     Snapshots.commit(s, docs.limit(0), mvStSrcDir)
+    // r16: the view carries MIN/MAX — the aggregates a delta cannot
+    // invert. The drain's retraction-bearing micro-batch routes
+    // through the maintainer's IN-STREAM touched-group rescan (the
+    // same algebra as batch refreshView, tip pinned at the batch's
+    // window end) instead of the pre-r16 loud refusal; the update
+    // wave's +1000 bumps and the delete wave mean per-group extrema
+    // must MOVE through the drain, which only a recompute can serve.
     Views.createView(s, mvStSrcDir, mvStViewDir, Seq("lang"),
-      sumCols = Seq("n_chars"))
+      sumCols = Seq("n_chars"),
+      minCols = Seq("n_chars"), maxCols = Seq("n_chars"))
     Snapshots.merge(s, mvStSrcDir, docs.filter(col("doc_id") < 300),
       Seq("doc_id"), recordChanges = true, preImages = true)
     Snapshots.merge(s, mvStSrcDir,
@@ -1505,7 +1515,9 @@ object Sinks {
     val ok = if (Views.staleness(s, mvStSrcDir, mvStViewDir) == 0L) 1L else 0L
     Views.readView(s, mvStViewDir)
       .select(col("lang"), col("n_rows").as("n_docs"),
-        col("sum_n_chars").as("sum_chars"))
+        col("sum_n_chars").as("sum_chars"),
+        col("min_n_chars").as("min_chars"),
+        col("max_n_chars").as("max_chars"))
       .withColumn("stream_ok", lit(ok))
       .orderBy("lang")
   }
@@ -1735,28 +1747,38 @@ object Sinks {
     val ok =
       if (v == 3L && Views.staleness(s, mvQhSrcDir, mvQhViewDir) == 0L) 1L
       else 0L
-    Views.readView(s, mvQhViewDir)
+    // r16: quantiles are a READ parameter — the maintained histogram
+    // serves ANY q in (0,1); p99 rides the same one-sort-one-total
+    // fold as the p50/p95 defaults
+    Views.readView(s, mvQhViewDir, quantiles = Seq(0.5, 0.95, 0.99))
       .select(col("lang"), col("n_rows").as("n_docs"),
         col("sum_n_chars").as("sum_chars"),
-        col("p50_n_chars"), col("p95_n_chars"))
+        col("p50_n_chars"), col("p95_n_chars"), col("p99_n_chars"))
       .withColumn("delta_ok", lit(ok))
       .orderBy("lang")
   }
 
   /** Exact VARIANCE/STDDEV view columns — the other delta-invertible
     * family (besides the quantile histogram): the view row carries
-    * per-group (Σx as LONG, Σx² as DECIMAL(38,0)) and signed deltas
-    * subtract BOTH exactly, so like `q_snapshot_mv_quantile` the
-    * DELETE wave refreshes on the zero-source-read delta path (pinned
-    * in ViewsSpec by deleting the source files; min/max/HLL would
-    * rescan). Served at read as population var/std: exact integers
-    * cast once to double, one fixed IEEE expression both engines
-    * spell identically, rounded to 4 — the oracle recomputes n, Σx,
-    * Σx² in HUGEINT and must hash-match the doubles bit-for-bit.
+    * per-group (Σx as LONG, Σx² as DECIMAL(38,0), and r16's
+    * per-measure NON-NULL count `cnt_<c>`) and signed deltas subtract
+    * ALL THREE exactly, so like `q_snapshot_mv_quantile` the DELETE
+    * wave refreshes on the zero-source-read delta path (pinned in
+    * ViewsSpec by deleting the source files; min/max/HLL would
+    * rescan). The measure is deliberately NULL-BEARING (every
+    * doc_id % 7 == 3 row), and the oracle is DuckDB's NATIVE
+    * AVG/VAR_POP/STDDEV_POP — SQL excludes NULL rows from the
+    * denominator, which the pre-r16 n_rows division got wrong; the
+    * served avg/var/std now divide by cnt and must hash-match the
+    * native aggregates bit-for-bit (exact integer sums, one IEEE
+    * division each, round 4 on var/std).
     */
   private def snapshotMvVar(s: SparkSession, d: String): DataFrame = {
     clearDir(s, mvVrSrcDir); clearDir(s, mvVrViewDir)
     val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+      .withColumn("n_chars",
+        when(col("doc_id") % 7 === 3, lit(null).cast("long"))
+          .otherwise(col("n_chars").cast("long")))
     Snapshots.commit(s, docs.filter(col("doc_id") < 400), mvVrSrcDir,
       statsColumns = Seq("doc_id"))
     Views.createView(s, mvVrSrcDir, mvVrViewDir, Seq("lang"),
@@ -1771,12 +1793,61 @@ object Sinks {
     val ok =
       if (v == 3L && Views.staleness(s, mvVrSrcDir, mvVrViewDir) == 0L) 1L
       else 0L
-    Views.readView(s, mvVrViewDir)
+    Views.readView(s, mvVrViewDir, withAvg = true)
       .select(col("lang"), col("n_rows").as("n_docs"),
-        col("sum_n_chars").as("sum_chars"),
-        col("var_n_chars"), col("std_n_chars"))
+        col("cnt_n_chars"), col("sum_n_chars").as("sum_chars"),
+        col("avg_n_chars"), col("var_n_chars"), col("std_n_chars"))
       .withColumn("delta_ok", lit(ok))
       .orderBy("lang")
+  }
+
+  /** HEAVY-HITTER view columns — the THIRD delta-invertible family:
+    * the view row carries per-group count-min cell maps (`cm_<c>`,
+    * the sketch family's md5-60/4×1024 law — ONE arithmetic
+    * definition via Sketches.cmCellKeys) plus the candidate union
+    * (`cmc_<c>`, each window's per-group top-16 values by exact
+    * count). Signed deltas add AND subtract cell counts exactly, so
+    * the DELETE wave stays on the ZERO-SOURCE-READ delta path
+    * (ViewsSpec pins it by deleting the source files) — candidates
+    * stay put and the retracted value's estimate shrinks until the
+    * read-time re-ranking drops it. Served via [[Views.topkValues]]:
+    * candidates re-ranked by the count-min estimate (min over the
+    * value's 4 cells). The value domain (`n_chars % 16`) keeps every
+    * window's distinct set within the candidate cap, so the oracle
+    * replays candidates as plain DISTINCT and the estimates
+    * all-integer — hash-compared exactly; `ok` pins the count-min law
+    * (estimate ≥ true count, always).
+    */
+  private def snapshotMvTopk(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvTkSrcDir); clearDir(s, mvTkViewDir)
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+      .withColumn("len_bucket", (col("n_chars") % 16).cast("long"))
+    Snapshots.commit(s, docs.filter(col("doc_id") < 400), mvTkSrcDir,
+      statsColumns = Seq("doc_id"))
+    Views.createView(s, mvTkSrcDir, mvTkViewDir, Seq("lang"),
+      topkCols = Seq("len_bucket"))
+    Snapshots.append(s, mvTkSrcDir,
+      docs.filter(col("doc_id").between(400, 899)), Seq("doc_id"),
+      recordChanges = true)
+    Views.refreshView(s, mvTkSrcDir, mvTkViewDir) // inserts: +cells
+    Snapshots.delete(s, mvTkSrcDir, col("doc_id") % 10 === 7,
+      recordChanges = true)
+    val v = Views.refreshView(s, mvTkSrcDir, mvTkViewDir) // deletes: −cells
+    val fresh =
+      if (v == 3L && Views.staleness(s, mvTkSrcDir, mvTkViewDir) == 0L) 1L
+      else 0L
+    val exact = Snapshots.read(s, mvTkSrcDir)
+      .groupBy(col("lang"), col("len_bucket").cast("string").as("v"))
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumnRenamed("v", "top_len_bucket")
+    Views.topkValues(s, mvTkViewDir, "len_bucket", k = 3)
+      .join(exact, Seq("lang", "top_len_bucket"), "left")
+      .select(col("lang"), col("rk"), col("top_len_bucket"),
+        col("n_est"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        ((col("n_est") >= coalesce(col("n_exact"), lit(0L)))
+          .cast("long") * lit(fresh)).as("ok"))
+      .orderBy("lang", "rk")
   }
 
   /** HLL COUNT DISTINCT on the JOIN view ("distinct orders per
@@ -1907,6 +1978,7 @@ object Sinks {
     "q_snapshot_mv_distinct" -> (snapshotMvDistinct _),
     "q_snapshot_mv_quantile" -> (snapshotMvQuantile _),
     "q_snapshot_mv_var" -> (snapshotMvVar _),
+    "q_snapshot_mv_topk" -> (snapshotMvTopk _),
     "q_snapshot_mv_join_distinct" -> (snapshotMvJoinDistinct _),
     "q_mv_join_asof_sql" -> (mvJoinAsofSql _),
     "q_snapshot_mv_minmax" -> (snapshotMvMinmax _),
@@ -2107,7 +2179,8 @@ object Sinks {
         |  SELECT lang, b,
         |    SUM(cnt) OVER (PARTITION BY lang ORDER BY b) AS c
         |  FROM bc),
-        |qq AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q),
+        |qq AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE,
+        |  0.99::DOUBLE]) AS q),
         |tgt AS (
         |  SELECT lang, q, CAST(ceil(q * n) AS BIGINT) AS t
         |  FROM tot, qq),
@@ -2125,32 +2198,74 @@ object Sinks {
         |pv AS (
         |  SELECT lang,
         |    MAX(CASE WHEN q = 0.5 THEN n_est END) AS p50_n_chars,
-        |    MAX(CASE WHEN q = 0.95 THEN n_est END) AS p95_n_chars
+        |    MAX(CASE WHEN q = 0.95 THEN n_est END) AS p95_n_chars,
+        |    MAX(CASE WHEN q = 0.99 THEN n_est END) AS p99_n_chars
         |  FROM est GROUP BY lang)
         |SELECT base.lang, n_docs, sum_chars, p50_n_chars, p95_n_chars,
+        |  p99_n_chars,
         |  CAST(1 AS BIGINT) AS delta_ok
         |FROM base JOIN pv USING (lang) ORDER BY lang""".stripMargin,
-    // variance view columns: n/Σx/Σx² replayed exactly in HUGEINT,
-    // then the SAME fixed double expression as the serve — population
-    // var = Σx²/n − (Σx/n)², std = sqrt(max(var0, 0)), both rounded 4
+    // variance view columns over a NULL-BEARING measure: the oracle
+    // is DuckDB's NATIVE AVG/VAR_POP/STDDEV_POP — SQL excludes NULL
+    // rows from the denominator, and the served avg/var/std divide by
+    // the maintained non-null count cnt_<c>, so the numbers must
+    // hash-match the native aggregates (round 4 on var/std)
     "q_snapshot_mv_var" ->
       """WITH src AS (
-        |  SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
-        |  WHERE doc_id < 900 AND doc_id % 10 <> 7),
-        |agg AS (
-        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(v) AS BIGINT) AS s,
-        |    SUM(CAST(v AS HUGEINT) * v) AS sq
-        |  FROM src GROUP BY lang)
-        |SELECT lang, n_docs, s AS sum_chars,
-        |  round(CAST(sq AS DOUBLE) / n_docs
-        |    - (CAST(s AS DOUBLE) / n_docs) * (CAST(s AS DOUBLE) / n_docs),
-        |    4) AS var_n_chars,
-        |  round(sqrt(greatest(CAST(sq AS DOUBLE) / n_docs
-        |    - (CAST(s AS DOUBLE) / n_docs) * (CAST(s AS DOUBLE) / n_docs),
-        |    0.0)), 4) AS std_n_chars,
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 7 = 3 THEN NULL
+        |      ELSE CAST(n_chars AS BIGINT) END AS v
+        |  FROM documents WHERE doc_id < 900 AND doc_id % 10 <> 7)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(v) AS BIGINT) AS cnt_n_chars,
+        |  CAST(SUM(v) AS BIGINT) AS sum_chars,
+        |  AVG(v) AS avg_n_chars,
+        |  round(VAR_POP(v), 4) AS var_n_chars,
+        |  round(STDDEV_POP(v), 4) AS std_n_chars,
         |  CAST(1 AS BIGINT) AS delta_ok
-        |FROM agg ORDER BY lang""".stripMargin,
+        |FROM src GROUP BY lang ORDER BY lang""".stripMargin,
+    // heavy-hitter view columns: candidates replay as plain DISTINCT
+    // (the %16 domain keeps every window inside the candidate cap),
+    // estimates replay the all-integer count-min arithmetic over the
+    // FINAL state's cells, ranked (estimate desc, value asc); ok pins
+    // the count-min law (never under the true count)
+    "q_snapshot_mv_topk" ->
+      """WITH src AS (
+        |  SELECT lang, CAST(n_chars % 16 AS VARCHAR) AS v, doc_id
+        |  FROM documents WHERE doc_id < 900),
+        |fin AS (SELECT lang, v FROM src WHERE doc_id % 10 <> 7),
+        |h AS (
+        |  SELECT lang, v,
+        |    ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+        |  FROM fin),
+        |cells AS (
+        |  SELECT lang, i, (h >> (10*i)) & 1023 AS j, COUNT(*) AS cnt
+        |  FROM h, (SELECT unnest([0,1,2,3]) AS i) GROUP BY 1, 2, 3),
+        |cand AS (SELECT DISTINCT lang, v FROM src),
+        |pc AS (
+        |  SELECT lang, v,
+        |    ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+        |  FROM cand),
+        |pcells AS (
+        |  SELECT lang, v, i, (h >> (10*i)) & 1023 AS j
+        |  FROM pc, (SELECT unnest([0,1,2,3]) AS i)),
+        |est AS (
+        |  SELECT pcells.lang, pcells.v,
+        |    MIN(COALESCE(cells.cnt, 0)) AS n_est
+        |  FROM pcells LEFT JOIN cells USING (lang, i, j)
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT lang, v, COUNT(*) AS n_exact FROM fin GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT est.lang, est.v, est.n_est,
+        |    COALESCE(ex.n_exact, 0) AS n_exact,
+        |    row_number() OVER (
+        |      PARTITION BY est.lang ORDER BY est.n_est DESC, est.v) AS rk
+        |  FROM est LEFT JOIN ex USING (lang, v))
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, v AS top_len_bucket,
+        |  CAST(n_est AS BIGINT) AS n_est,
+        |  CAST(n_exact AS BIGINT) AS n_exact,
+        |  CASE WHEN n_est >= n_exact THEN 1 ELSE 0 END::BIGINT AS ok
+        |FROM rk WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
     // HLL distinct on the JOIN view: orders = thirds 0∪1 minus the
     // %10=7 deletes, lineitem = thirds 0∪1; the estimator is replayed
     // exactly over the joined keys (hashed as VARCHAR), the exact
@@ -2230,14 +2345,21 @@ object Sinks {
         |FROM final WHERE n_chars <= 1400
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // streamed maintenance equals the whole-history recompute: inserts
-    // <300, bump [200,499] (inserting 300-499), delete doc_id%10=3
+    // <300, bump [200,499] (inserting 300-499), delete doc_id%10=3 —
+    // now with MIN/MAX riding the drain (r16): the retraction wave
+    // digests through the maintainer's in-stream touched-group rescan,
+    // so per-group extrema must equal the final-state recompute
     "q_snapshot_mv_stream" ->
-      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(CASE WHEN doc_id >= 200 THEN n_chars + 1000
-        |    ELSE n_chars END) AS BIGINT) AS sum_chars,
+      """WITH fin AS (
+        |  SELECT lang, CASE WHEN doc_id >= 200 THEN n_chars + 1000
+        |    ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id < 500 AND doc_id % 10 <> 3)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
         |  CAST(1 AS BIGINT) AS stream_ok
-        |FROM documents WHERE doc_id < 500 AND doc_id % 10 <> 3
-        |GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
     "q_incremental_rollup" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_orders,

@@ -77,10 +77,15 @@ object Views {
     * (min/max lose their extremum, HLL registers cannot forget a
     * value) — such views delta-refresh only under insert-only windows
     * and rescan otherwise. Quantile columns (`qh_<c>` log-bucket
-    * count maps) and variance columns (`vsum_<c>`/`vsq_<c>` exact
-    * sums and sums-of-squares) are deliberately NOT rescan
-    * aggregates: counts and sums add AND subtract exactly, so both
-    * keep DELETE-bearing windows on the zero-source-read delta path.
+    * count maps), variance columns (`vsum_<c>`/`vsq_<c>` exact
+    * sums and sums-of-squares), and heavy-hitter columns (`cm_<c>`
+    * count-min cell maps) are deliberately NOT rescan aggregates:
+    * counts and sums add AND subtract exactly, so all three keep
+    * DELETE-bearing windows on the zero-source-read delta path.
+    * `cntCols` are per-measure NON-NULL counts (`cnt_<c>`) riding
+    * beside every sum/var column — the SQL-faithful denominator for
+    * the served `avg_`/`var_`/`std_` (SQL AVG/VAR_POP exclude NULL
+    * rows; `n_rows` does not). Signed deltas subtract them exactly.
     */
   case class MvDef(
       groupCols: Seq[String],
@@ -90,6 +95,8 @@ object Views {
       distinctCols: Seq[String],
       quantileCols: Seq[String],
       varCols: Seq[String],
+      cntCols: Seq[String],
+      topkCols: Seq[String],
       types: Map[String, DataType]) {
     def hasRescanAggs: Boolean =
       minCols.nonEmpty || maxCols.nonEmpty || distinctCols.nonEmpty
@@ -108,6 +115,14 @@ object Views {
       types(c).isInstanceOf[org.apache.spark.sql.types.MapType]
     def isQh(c: String) = c.startsWith("qh_") &&
       types(c).isInstanceOf[org.apache.spark.sql.types.MapType]
+    // heavy-hitter state: the count-min cell map plus its candidate
+    // array, the latter recognized only as a PAIR with the map
+    def isCm(c: String) = c.startsWith("cm_") &&
+      types(c).isInstanceOf[org.apache.spark.sql.types.MapType]
+    val topkCols = names.filter(isCm).map(_.stripPrefix("cm_"))
+    def isCmc(c: String) = c.startsWith("cmc_") &&
+      types(c).isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+      topkCols.contains(c.stripPrefix("cmc_"))
     // variance state: the sum-of-squares column is DecimalType (no
     // group column can be — same legacy-name defense as the maps),
     // and its vsum_ sibling is recognized only as a PAIR
@@ -116,18 +131,30 @@ object Views {
     val varCols = names.filter(isVsq).map(_.stripPrefix("vsq_"))
     def isVsum(c: String) = c.startsWith("vsum_") &&
       varCols.contains(c.stripPrefix("vsum_"))
+    val sumCols =
+      names.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_"))
+    // non-null-count state: recognized only as a PAIR with a
+    // maintained sum/var measure AND by LongType — a legacy view's
+    // scalar group column that happens to start with cnt_ but names
+    // no measure stays a group column
+    def isCnt(c: String) = c.startsWith("cnt_") &&
+      types(c) == LongType &&
+      (sumCols ++ varCols).contains(c.stripPrefix("cnt_"))
     MvDef(
       groupCols = names.filterNot(c => c == "n_rows" ||
         c.startsWith("sum_") || c.startsWith("min_") ||
         c.startsWith("max_") || isHll(c) || isQh(c) ||
+        isCm(c) || isCmc(c) || isCnt(c) ||
         isVsq(c) || isVsum(c) ||
         c.startsWith("_mv_")),
-      sumCols = names.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_")),
+      sumCols = sumCols,
       minCols = names.filter(_.startsWith("min_")).map(_.stripPrefix("min_")),
       maxCols = names.filter(_.startsWith("max_")).map(_.stripPrefix("max_")),
       distinctCols = names.filter(isHll).map(_.stripPrefix("hll_")),
       quantileCols = names.filter(isQh).map(_.stripPrefix("qh_")),
       varCols = varCols,
+      cntCols = names.filter(isCnt).map(_.stripPrefix("cnt_")),
+      topkCols = topkCols,
       types = types)
   }
 
@@ -214,36 +241,52 @@ object Views {
       .agg(map_from_entries(sort_array(
         collect_list(struct(col("b"), col("cnt"))))).as(s"qh_$c"))
 
-  /** Serve the p50/p95 estimates from a bucket-count map column: for
+  /** The served name of quantile `q` over measure `c`: `p50_<c>`,
+    * `p95_<c>`, `p99_<c>`, `p99_9_<c>` — decimal-string arithmetic so
+    * 0.99 names p99, not p98_999…; rejects anything outside (0, 1). */
+  private[graft] def quantileName(q: Double, c: String): String = {
+    require(q > 0.0 && q < 1.0, s"quantile must be in (0, 1), got $q")
+    val pct = (BigDecimal(q.toString) * 100)
+      .bigDecimal.stripTrailingZeros.toPlainString
+    s"p${pct.replace(".", "_")}_$c"
+  }
+
+  /** Serve quantile estimates from a bucket-count map column: for
     * each q, the representative of the first bucket whose cumulative
     * count reaches `ceil(q·n)` — the same rank law as
     * [[graft.operators.Sketches.qhEstimate]], evaluated as one
     * deterministic fold over the sorted entries (a map has at most
     * 16·octaves ≈ a few hundred). The sort and the total-count fold
-    * run ONCE and feed both quantiles. NULL when the group holds no
-    * values. */
-  private def withQuantileCols(df: DataFrame, c: String): DataFrame = {
+    * run ONCE and feed every requested quantile — |qs| is free. NULL
+    * when the group holds no values. Temp columns use the `_mv_`
+    * namespace, which no group column can occupy ([[
+    * reservedGroupNames]]) — the pre-r16 `_qe`/`_qn`/`_qb50` temps
+    * could clobber a same-named group column at read time. */
+  private def withQuantileCols(
+      df: DataFrame, c: String, qs: Seq[Double]): DataFrame = {
     val entries = s"sort_array(map_entries(coalesce(`qh_$c`, " +
       "cast(map() as map<bigint,bigint>))))"
     def rankFold(q: Double): String =
-      "aggregate(_qe, named_struct('c', CAST(0 AS BIGINT), " +
+      "aggregate(_mv_qe, named_struct('c', CAST(0 AS BIGINT), " +
         "'f', CAST(-1 AS BIGINT)), " +
         "(a, e) -> IF(a.f >= 0, a, named_struct(" +
         "'c', a.c + e.value, " +
-        s"'f', IF(a.c + e.value >= CAST(ceil($q * _qn) AS BIGINT), " +
+        s"'f', IF(a.c + e.value >= CAST(ceil($q * _mv_qn) AS BIGINT), " +
         "e.key, CAST(-1 AS BIGINT)))), " +
         "a -> a.f)"
     def served(b: String): Column =
-      when(col("_qn") === 0, lit(null).cast(LongType))
+      when(col("_mv_qn") === 0, lit(null).cast(LongType))
         .otherwise(expr(graft.operators.Sketches.qhRep(b)))
-    df.withColumn("_qe", expr(entries))
-      .withColumn("_qn",
-        expr("aggregate(_qe, CAST(0 AS BIGINT), (a, e) -> a + e.value)"))
-      .withColumn("_qb50", expr(rankFold(0.5)))
-      .withColumn("_qb95", expr(rankFold(0.95)))
-      .withColumn(s"p50_$c", served("_qb50"))
-      .withColumn(s"p95_$c", served("_qb95"))
-      .drop("_qe", "_qn", "_qb50", "_qb95")
+    val tmp = qs.indices.map(i => s"_mv_qb_$i")
+    val folded = qs.zip(tmp).foldLeft(
+      df.withColumn("_mv_qe", expr(entries))
+        .withColumn("_mv_qn", expr(
+          "aggregate(_mv_qe, CAST(0 AS BIGINT), (a, e) -> a + e.value)"))) {
+      case (acc, (q, t)) => acc.withColumn(t, expr(rankFold(q)))
+    }
+    qs.zip(tmp).foldLeft(folded) { case (acc, (q, t)) =>
+      acc.withColumn(quantileName(q, c), served(t))
+    }.drop("_mv_qe" +: "_mv_qn" +: tmp: _*)
   }
 
   /** The served estimate over a register-map column — the exact
@@ -296,6 +339,101 @@ object Views {
       col(c).cast(org.apache.spark.sql.types.DecimalType(19, 0)),
       lit(0L).cast(VarDec)).cast(VarDec)
 
+  // ---------- loud overflow guards ----------
+  //
+  // The view layer raises on every other contract breach (negative
+  // counts, min/max retraction, negative buckets); arithmetic
+  // overflow gets the same treatment instead of Spark's silent
+  // non-ANSI behavior (long sums WRAP, decimal sums go NULL). Sums
+  // are computed WIDE — DECIMAL(38,0), exact for any realistic input
+  // — and narrowed back to the stored LONG through a guarded cast:
+  // a sum past either bound raises at refresh/create time, never
+  // serving a wrapped or silently-NULL number.
+
+  /** Narrow a wide (DECIMAL(38,0)) sum to the stored LONG, raising
+    * loudly when the value left LONG range (narrow cast → NULL under
+    * non-ANSI) or the wide sum itself overflowed (wide IS NULL —
+    * inputs are coalesced non-null, so NULL proves overflow). */
+  private def longFromWide(wide: Column, what: String): Column = {
+    val narrowed = wide.cast(LongType)
+    when(wide.isNull || narrowed.isNull,
+      raise_error(lit(s"view state overflow: $what left LONG range — " +
+        "the exact-delta contract cannot hold; drop the column or " +
+        "pre-scale the measure")).cast(LongType))
+      .otherwise(narrowed)
+  }
+
+  /** Guard a DECIMAL(38,0) sum/fold result: inputs are coalesced
+    * non-null, so a NULL result proves the non-ANSI decimal sum
+    * overflowed past 10^38 — raise instead of serving NULL var/std. */
+  private def decGuarded(d: Column, tpe: DataType, what: String): Column =
+    when(d.isNull,
+      raise_error(lit(s"view state overflow: $what exceeded " +
+        "DECIMAL(38,0) — the exact sum-of-squares contract cannot " +
+        "hold; drop the column or pre-scale the measure")).cast(tpe))
+      .otherwise(d.cast(tpe))
+
+  // ---------- heavy-hitter columns (count-min cell maps) ----------
+  //
+  // The THIRD delta-invertible family (after quantile histograms and
+  // variance sums): count-min cell counts ADD AND SUBTRACT exactly —
+  // insert rows +1 their 4 cells, delete/pre-image rows −1 them — so
+  // `cm_<c>: map<bigint,bigint>` (flattened cell i·1024+j → count)
+  // stays on the ZERO-SOURCE-READ delta path under delete-bearing
+  // windows, like count/sum and unlike min/max/HLL. The same
+  // md5-60/4×1024 arithmetic as [[graft.operators.Sketches]] (ONE
+  // hash law via [[graft.operators.Sketches.cmCellKeys]]), values
+  // hashed as STRINGS, NULLs contributing nothing — so the DuckDB
+  // oracle replays every estimate exactly, and the count-min law
+  // (estimate ≥ true count, always) gates alongside.
+  //
+  // Serving "top values per group" needs a CANDIDATE set beside the
+  // counts (a count-min map cannot enumerate its keys) — the standard
+  // companion the CM index family already keeps: `cmc_<c>:
+  // array<string>`, each refresh window's per-group top-[[CmCandK]]
+  // values by exact batch count, union-merged (sorted, deterministic).
+  // A global heavy hitter is heavy in some batch, so the union is a
+  // conservative superset re-ranked by the maintained counts at read
+  // ([[topkValues]]); DELETE windows leave candidates in place — a
+  // retracted value's estimate shrinks and it falls out of the
+  // re-ranking naturally, which is also why deletes never force a
+  // rescan here.
+
+  private val CmCandK = 16
+
+  /** Per-group count-min cell map of `c`'s values: `(groupCols…,
+    * cm_<c>)`. Groups none of whose rows carry a non-null `c` are
+    * absent — callers left-join and read null as the empty sketch. */
+  private def cmMapOf(
+      df: DataFrame, groupCols: Seq[String], c: String): DataFrame =
+    df.filter(col(c).isNotNull)
+      .select(groupCols.map(col) :+ explode(
+        graft.operators.Sketches.cmCellKeys(col(c).cast("string")))
+        .as("_mv_ck"): _*)
+      .groupBy((groupCols :+ "_mv_ck").map(col): _*)
+      .agg(count(lit(1)).as("_mv_cc"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("_mv_ck"), col("_mv_cc"))))).as(s"cm_$c"))
+
+  /** Per-group top-[[CmCandK]] candidate values of `c` by exact batch
+    * count (deterministic — rank ties break on the value itself),
+    * collected sorted: `(groupCols…, cmc_<c>)`. */
+  private def cmcArrayOf(
+      df: DataFrame, groupCols: Seq[String], c: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.filter(col(c).isNotNull)
+      .select(groupCols.map(col) :+ col(c).cast("string").as("_mv_v"): _*)
+      .groupBy((groupCols :+ "_mv_v").map(col): _*)
+      .agg(count(lit(1)).as("_mv_cc"))
+      .withColumn("_mv_rk", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("_mv_cc").desc, col("_mv_v"))))
+      .filter(col("_mv_rk") <= CmCandK)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("_mv_v"))).as(s"cmc_$c"))
+  }
+
   /** Group-column names that collide with the view's aggregate naming
     * contract — the definition is parsed back from the rows table's
     * own schema, so such a column would silently reclassify on
@@ -305,33 +443,58 @@ object Views {
     groupCols.filter(c => c == "n_rows" ||
       c.startsWith("sum_") || c.startsWith("min_") ||
       c.startsWith("max_") || c.startsWith("hll_") ||
-      c.startsWith("qh_") || c.startsWith("p50_") ||
-      c.startsWith("p95_") ||
+      c.startsWith("qh_") || c.startsWith("cm_") ||
+      c.startsWith("cmc_") || c.startsWith("cnt_") ||
+      c.startsWith("avg_") || c.startsWith("top_") ||
+      // any parametric quantile serve name (p50_, p95_, p99_, p99_9_)
+      c.matches("p\\d+(_\\d+)?_.*") ||
       c.startsWith("vsum_") || c.startsWith("vsq_") ||
       c.startsWith("var_") || c.startsWith("std_") ||
       c.startsWith("distinct_") || c.startsWith("_mv_"))
 
-  /** One aggregation pass under the view's column-naming contract. */
+  /** One aggregation pass under the view's column-naming contract.
+    * Sums are computed WIDE (DECIMAL(38,0)) and narrowed through the
+    * guarded cast, so a create/rescan over inputs whose sum leaves
+    * LONG range raises instead of wrapping. */
   private def aggregate(df: DataFrame, groupCols: Seq[String],
       sumCols: Seq[String], minCols: Seq[String],
       maxCols: Seq[String], distinctCols: Seq[String] = Nil,
       quantileCols: Seq[String] = Nil,
-      varCols: Seq[String] = Nil): DataFrame = {
+      varCols: Seq[String] = Nil,
+      cntCols: Seq[String] = Nil,
+      topkCols: Seq[String] = Nil): DataFrame = {
+    def wideSum(c: String): Column =
+      sum(coalesce(col(c).cast(LongType), lit(0L)).cast(VarDec))
     val aggs: Seq[Column] =
       count(lit(1)).as("n_rows") +:
-        (sumCols.map(c =>
-          sum(coalesce(col(c).cast(LongType), lit(0L))).as(s"sum_$c")) ++
+        (cntCols.map(c => count(col(c)).as(s"cnt_$c")) ++
+          sumCols.map(c => wideSum(c).as(s"_mv_wsum_$c")) ++
           minCols.map(c => min(col(c)).as(s"min_$c")) ++
           maxCols.map(c => max(col(c)).as(s"max_$c")) ++
           varCols.flatMap(c => Seq(
-            sum(coalesce(col(c).cast(LongType), lit(0L)))
-              .as(s"vsum_$c"),
-            sum(squareOf(c)).cast(VarDec).as(s"vsq_$c"))))
-    val base = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    joinMapCols(
+            wideSum(c).as(s"_mv_wvsum_$c"),
+            sum(squareOf(c)).as(s"_mv_wvsq_$c"))))
+    val base = df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((groupCols.map(col) ++
+        Seq(col("n_rows")) ++
+        cntCols.map(c => col(s"cnt_$c")) ++
+        sumCols.map(c =>
+          longFromWide(col(s"_mv_wsum_$c"), s"sum_$c").as(s"sum_$c")) ++
+        minCols.map(c => col(s"min_$c")) ++
+        maxCols.map(c => col(s"max_$c")) ++
+        varCols.flatMap(c => Seq(
+          longFromWide(col(s"_mv_wvsum_$c"), s"vsum_$c").as(s"vsum_$c"),
+          decGuarded(col(s"_mv_wvsq_$c"), VarDec, s"vsq_$c")
+            .as(s"vsq_$c")))): _*)
+    val withSketches = joinMapCols(
       joinMapCols(base, df, groupCols, distinctCols, hllMapOf,
         c => s"hll_$c"),
       df, groupCols, quantileCols, qhMapOf, c => s"qh_$c")
+    joinMapCols(
+      joinMapCols(withSketches, df, groupCols, topkCols, cmMapOf,
+        c => s"cm_$c"),
+      df, groupCols, topkCols, cmcArrayOf, c => s"cmc_$c")
   }
 
   /** Stamp bookkeeping columns and append the sentinel row. */
@@ -343,6 +506,7 @@ object Views {
     val sentinel = spark.range(1).select(
       (d.groupCols.map(c => lit(null).cast(d.types(c)).as(c)) ++
         Seq(lit(0L).as("n_rows")) ++
+        d.cntCols.map(c => lit(0L).as(s"cnt_$c")) ++
         d.sumCols.map(c => lit(0L).as(s"sum_$c")) ++
         d.minCols.map(c => lit(null).cast(d.types(s"min_$c")).as(s"min_$c")) ++
         d.maxCols.map(c => lit(null).cast(d.types(s"max_$c")).as(s"max_$c")) ++
@@ -350,6 +514,9 @@ object Views {
           lit(null).cast(d.types(s"hll_$c")).as(s"hll_$c")) ++
         d.quantileCols.map(c =>
           lit(null).cast(d.types(s"qh_$c")).as(s"qh_$c")) ++
+        d.topkCols.flatMap(c => Seq(
+          lit(null).cast(d.types(s"cm_$c")).as(s"cm_$c"),
+          lit(null).cast(d.types(s"cmc_$c")).as(s"cmc_$c"))) ++
         d.varCols.flatMap(c => Seq(
           lit(0L).as(s"vsum_$c"),
           lit(0L).cast(d.types(s"vsq_$c")).as(s"vsq_$c"))) ++
@@ -378,7 +545,8 @@ object Views {
       maxCols: Seq[String] = Nil,
       distinctCols: Seq[String] = Nil,
       quantileCols: Seq[String] = Nil,
-      varCols: Seq[String] = Nil): Long = {
+      varCols: Seq[String] = Nil,
+      topkCols: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "a view needs at least one group column")
     require(Snapshots.version(spark, viewDir) == 0L,
       s"$viewDir already holds a committed view")
@@ -394,7 +562,7 @@ object Views {
     require(badSum.isEmpty,
       s"sum columns must be integral (exact delta maintenance): " +
         s"${badSum.mkString(", ")}")
-    val missing = (distinctCols ++ quantileCols ++ varCols)
+    val missing = (distinctCols ++ quantileCols ++ varCols ++ topkCols)
       .filterNot(srcT.contains)
     require(missing.isEmpty,
       s"sketch columns absent from the source: ${missing.mkString(", ")}")
@@ -416,7 +584,8 @@ object Views {
       !Seq("gen", "v", "b", "cnt").contains(c)),
       s"group columns collide with sketch bucket columns: $groupCols")
     val rows = aggregate(cur, groupCols, sumCols, minCols, maxCols,
-      distinctCols, quantileCols, varCols)
+      distinctCols, quantileCols, varCols,
+      cntCols = (sumCols ++ varCols).distinct, topkCols = topkCols)
     val d = parseDef(rows)
     Snapshots.commit(spark, withMeta(spark, rows, d, srcV, -1L), viewDir,
       statsColumns = groupCols)
@@ -429,39 +598,72 @@ object Views {
     * derived `avg_<c>` (double) for every maintained sum column —
     * AVG is not delta-maintained state, it is sum/count AT READ TIME,
     * which is both exact and free; materializing it would only invite
-    * drift. */
+    * drift. `quantiles` picks the served quantiles of every `qh_`
+    * column (any q in (0,1) — the maintained histogram supports all
+    * of them; |quantiles| costs nothing extra, one sort + one total
+    * fold per column either way).
+    *
+    * SQL fidelity: `avg_`/`var_`/`std_` divide by the measure's
+    * NON-NULL count (the maintained `cnt_<c>` — SQL AVG/VAR_POP
+    * exclude NULL rows) and serve NULL for a group with no non-null
+    * values, exactly like SQL over an empty set. Views created before
+    * cnt_ columns existed fall back to the old n_rows denominator.
+    * A NULL `vsq_<c>` on a populated group proves decimal overflow
+    * (the fold guards every sum; this is the serve-time backstop for
+    * legacy state) — raised loudly, never served as NULL. */
   def readView(spark: SparkSession, viewDir: String,
-      asOf: Option[Long] = None, withAvg: Boolean = false): DataFrame = {
+      asOf: Option[Long] = None, withAvg: Boolean = false,
+      quantiles: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
     val raw = dropMeta((asOf match {
       case Some(v) => Snapshots.readVersion(spark, viewDir, v)
       case None => Snapshots.read(spark, viewDir)
     }).filter(col("n_rows") > 0))
     val d = parseDef(raw)
-    // register/bucket maps are maintenance STATE, not the product:
-    // serve the estimates (`distinct_<c>` via the exact-arithmetic
-    // HLL estimator; `p50_<c>`/`p95_<c>` via the rank fold) and keep
-    // the sketches internal
+    // the SQL denominator: the measure's non-null count when the view
+    // maintains it, the group's row count for legacy views
+    def denom(c: String): Column =
+      if (d.cntCols.contains(c)) col(s"cnt_$c") else col("n_rows")
+    // register/bucket/cell maps are maintenance STATE, not the
+    // product: serve the estimates (`distinct_<c>` via the
+    // exact-arithmetic HLL estimator; `p<q>_<c>` via the rank fold)
+    // and keep the sketches internal — heavy-hitter candidates serve
+    // through [[topkValues]] (per-group top rows do not fit a
+    // one-row-per-group frame)
     val rows0 = d.distinctCols.foldLeft(raw)((df, c) =>
       df.withColumn(s"distinct_$c", hllEstimateOf(s"hll_$c"))
         .drop(s"hll_$c"))
     val rows1 = d.quantileCols.foldLeft(rows0)((df, c) =>
-      withQuantileCols(df, c).drop(s"qh_$c"))
+      withQuantileCols(df, c, quantiles).drop(s"qh_$c"))
+    val rows2 = d.topkCols.foldLeft(rows1)((df, c) =>
+      df.drop(s"cm_$c", s"cmc_$c"))
     // variance state serves as var/std AT READ: population variance
-    // Σx²/n − (Σx/n)², every operand an exact integer cast once to
-    // double, one fixed IEEE expression (both engines spell it
-    // identically), rounded to 4 — never materialized fp state
-    val rows = d.varCols.foldLeft(rows1) { (df, c) =>
-      val n = col("n_rows").cast("double")
+    // Σx²/n − (Σx/n)² over the NON-NULL count, every operand an exact
+    // integer cast once to double, one fixed IEEE expression (both
+    // engines spell it identically), rounded to 4 — never
+    // materialized fp state
+    val rows = d.varCols.foldLeft(rows2) { (df, c) =>
+      val vsq = when(col(s"vsq_$c").isNull && col("n_rows") > 0,
+        raise_error(lit(s"view state overflow: vsq_$c is NULL on a " +
+          "populated group — Σx² exceeded DECIMAL(38,0)"))
+          .cast(d.types(s"vsq_$c")))
+        .otherwise(col(s"vsq_$c"))
+      val n = denom(c).cast("double")
       val m = col(s"vsum_$c").cast("double") / n
-      val v0 = col(s"vsq_$c").cast("double") / n - m * m
-      df.withColumn(s"var_$c", round(v0, 4))
-        .withColumn(s"std_$c", round(sqrt(greatest(v0, lit(0.0))), 4))
+      val v0 = vsq.cast("double") / n - m * m
+      df.withColumn(s"var_$c",
+          when(denom(c) === 0, lit(null).cast("double"))
+            .otherwise(round(v0, 4)))
+        .withColumn(s"std_$c",
+          when(denom(c) === 0, lit(null).cast("double"))
+            .otherwise(round(sqrt(greatest(v0, lit(0.0))), 4)))
         .drop(s"vsum_$c", s"vsq_$c")
     }
     if (!withAvg) rows
     else d.sumCols.foldLeft(rows)((df, c) =>
       df.withColumn(s"avg_$c",
-        col(s"sum_$c").cast("double") / col("n_rows").cast("double")))
+        when(denom(c) === 0, lit(null).cast("double"))
+          .otherwise(
+            col(s"sum_$c").cast("double") / denom(c).cast("double"))))
   }
 
   /** The maintained histogram of a quantile view column, exposed as
@@ -486,6 +688,47 @@ object Views {
         explode(map_entries(col(s"qh_$c"))).as("e"): _*)
       .select(d.groupCols.map(col) :+ col("e.key").as("b")
         :+ col("e.value").as("cnt"): _*)
+  }
+
+  /** The served HEAVY HITTERS of a topk view column: every maintained
+    * candidate of `cmc_<c>` re-ranked by its count-min estimate from
+    * the maintained `cm_<c>` cell map (min over the value's 4 cells —
+    * the same law as [[graft.operators.Sketches.cmEstimates]], so the
+    * DuckDB oracle replays `n_est` exactly; the count-min law
+    * guarantees `n_est ≥` the value's true count). Output one row per
+    * served value: `(groupCols…, rk, top_<c>, n_est)`, `rk ≤ k` per
+    * group, ranked by estimate descending with ties broken on the
+    * value (deterministic). `asOf` pins a committed view version.
+    * Candidates are the union of each refresh window's per-group
+    * top-[[CmCandK]] values by exact window count — the standard
+    * count-min companion set (a global heavy hitter is heavy in some
+    * window); a value never inserted is never served, and a deleted
+    * value's estimate shrinks until the ranking drops it. */
+  def topkValues(spark: SparkSession, viewDir: String, c: String,
+      k: Int, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val raw = dropMeta((asOf match {
+      case Some(v) => Snapshots.readVersion(spark, viewDir, v)
+      case None => Snapshots.read(spark, viewDir)
+    }).filter(col("n_rows") > 0))
+    val d = parseDef(raw)
+    require(d.topkCols.contains(c),
+      s"$viewDir maintains no heavy-hitter column cm_$c " +
+        s"(has: ${d.topkCols.mkString(", ")})")
+    val keys = graft.operators.Sketches.cmCellKeys(col("_mv_v"))
+    val est = least((0 until graft.operators.Sketches.CmRows).map(i =>
+      coalesce(element_at(col(s"cm_$c"), element_at(keys, i + 1)),
+        lit(0L))): _*)
+    raw.select(d.groupCols.map(col) :+ col(s"cm_$c")
+        :+ explode(col(s"cmc_$c")).as("_mv_v"): _*)
+      .withColumn("n_est", est)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(d.groupCols.map(col): _*)
+          .orderBy(col("n_est").desc, col("_mv_v"))))
+      .filter(col("rk") <= k)
+      .select(d.groupCols.map(col) :+ col("rk").cast(LongType).as("rk")
+        :+ col("_mv_v").as(s"top_$c") :+ col("n_est"): _*)
   }
 
   /** The source version the view currently reflects. */
@@ -541,24 +784,33 @@ object Views {
       else min(sign).as("_dsgn") +:
         (d.minCols.map(c => min(col(c)).as(s"_dmin_$c")) ++
           d.maxCols.map(c => max(col(c)).as(s"_dmax_$c")))
-    // variance deltas are plain signed sums too: the retraction
-    // subtracts the row's value AND its square exactly
+    // signed LONG products cannot overflow (|x| ≤ Long.Max, sign ±1);
+    // the SUM over them can — so every sum delta is accumulated WIDE
+    // (DECIMAL(38,0), exact) and the fold below narrows through the
+    // guarded cast. Variance deltas are plain signed sums too: the
+    // retraction subtracts the row's value AND its square exactly.
+    // cnt deltas are signed NON-NULL indicators — the SQL AVG/VAR
+    // denominator, subtracting exactly under deletes.
+    def wideSigned(c: String): Column =
+      sum((sign * coalesce(col(c).cast(LongType), lit(0L))).cast(VarDec))
     val varNames: Seq[String] =
       d.varCols.flatMap(c => Seq(s"_dvsum_$c", s"_dvsq_$c"))
+    val cntNames: Seq[String] = d.cntCols.map(c => s"_dcnt_$c")
     val deltaAggs: Seq[Column] =
       (sum(sign).as("_dn") +:
-        (d.sumCols.map(c => sum(sign *
-          coalesce(col(c).cast(LongType), lit(0L))).as(s"_dsum_$c")) ++
+        (d.cntCols.map(c => sum(sign *
+          col(c).isNotNull.cast(LongType)).as(s"_dcnt_$c")) ++
+          d.sumCols.map(c => wideSigned(c).as(s"_dsum_$c")) ++
           d.varCols.flatMap(c => Seq(
-            sum(sign * coalesce(col(c).cast(LongType), lit(0L)))
-              .as(s"_dvsum_$c"),
+            wideSigned(c).as(s"_dvsum_$c"),
             sum(sign.cast(org.apache.spark.sql.types.DecimalType(1, 0)) *
               squareOf(c)).cast(VarDec).as(s"_dvsq_$c"))))) ++
         mmCols
     val deltas = feed
       .groupBy(d.groupCols.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
       .select((d.groupCols.map(c => col(c).as(s"_d_$c")) ++
-        (col("_dn") +: (d.sumCols.map(c => col(s"_dsum_$c")) ++
+        (col("_dn") +: (cntNames.map(col) ++
+          d.sumCols.map(c => col(s"_dsum_$c")) ++
           varNames.map(col))) ++
         mmNames.map(col)): _*)
     // per-group delta register maps ride the same full-outer join:
@@ -599,8 +851,42 @@ object Views {
           .reduce(_ && _), "left")
         .drop(d.groupCols.map(cc => s"_dq_$cc"): _*)
     }
+    // per-group SIGNED count-min cell deltas (the heavy-hitter
+    // family): insert rows +1 their 4 cells, retraction rows −1 them
+    // — exact inverses, so cm_ columns never leave the delta path.
+    // The candidate union takes only the window's POST-state rows
+    // (inserts/post-images): a delete adds no candidate, it just
+    // shrinks the retracted value's estimate until the read-time
+    // re-ranking drops it.
+    val deltas4 = d.topkCols.foldLeft(deltas3) { (acc, c) =>
+      val m = feed.filter(col(c).isNotNull)
+        .select(d.groupCols.map(col) :+ sign.as("_sg") :+ explode(
+          graft.operators.Sketches.cmCellKeys(col(c).cast("string")))
+          .as("_mv_ck"): _*)
+        .groupBy((d.groupCols :+ "_mv_ck").map(col): _*)
+        .agg(sum(col("_sg")).as("_mv_cc"))
+        .filter(col("_mv_cc") =!= 0)
+        .groupBy(d.groupCols.map(col): _*)
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("_mv_ck"), col("_mv_cc"))))).as(s"_dcm_$c"))
+        .select(d.groupCols.map(cc => col(cc).as(s"_dc_$cc"))
+          :+ col(s"_dcm_$c"): _*)
+      val cands = cmcArrayOf(
+        feed.filter(col("change_type").isin("insert", "update_postimage")),
+        d.groupCols, c)
+        .select(d.groupCols.map(cc => col(cc).as(s"_dk_$cc"))
+          :+ col(s"cmc_$c").as(s"_dcmc_$c"): _*)
+      acc.join(m,
+        d.groupCols.map(cc => col(s"_d_$cc") <=> col(s"_dc_$cc"))
+          .reduce(_ && _), "left")
+        .drop(d.groupCols.map(cc => s"_dc_$cc"): _*)
+        .join(cands,
+          d.groupCols.map(cc => col(s"_d_$cc") <=> col(s"_dk_$cc"))
+            .reduce(_ && _), "left")
+        .drop(d.groupCols.map(cc => s"_dk_$cc"): _*)
+    }
     val joined =
-      aggRows.join(deltas3, keyCond(d.groupCols, "_d_"), "full_outer")
+      aggRows.join(deltas4, keyCond(d.groupCols, "_d_"), "full_outer")
     val n2 = coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L))
     // a min/max delta batch containing any retraction (sign < 1) is
     // unsound — refuse at evaluation, pointing at the rescan route
@@ -609,22 +895,40 @@ object Views {
         "min/max delta maintenance is insert-only: this feed window " +
           "carries deletes/updates — run batch refreshView (touched-" +
           "group rescan)")).cast(tpe)).otherwise(c)
+    // a delta sum that went NULL while the group HAS delta rows (_dn
+    // non-null) proves the wide decimal sum overflowed — inputs are
+    // coalesced non-null, so NULL has exactly one cause
+    def dWide(name: String, what: String): Column =
+      when(col("_dn").isNotNull && col(name).isNull,
+        raise_error(lit(s"view state overflow: $what exceeded " +
+          "DECIMAL(38,0) in the feed window")).cast(VarDec))
+        .otherwise(coalesce(col(name), lit(0L).cast(VarDec)))
+    def negGuard(c: Column, what: String): Column =
+      when(c < 0, raise_error(lit(
+        s"view $what went negative: feed window does not match the " +
+          "view's applied source version")).cast(LongType))
+        .otherwise(c)
     joined.select(
       (d.groupCols.map(c => coalesce(col(c), col(s"_d_$c")).as(c)) ++
-        Seq(when(n2 < 0, raise_error(lit(
-          "view count went negative: feed window does not match the " +
-            "view's applied source version")).cast(LongType))
-          .otherwise(n2).as("n_rows")) ++
-        d.sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
-          coalesce(col(s"_dsum_$c"), lit(0L))).as(s"sum_$c")) ++
+        Seq(negGuard(n2, "count").as("n_rows")) ++
+        d.cntCols.map(c => negGuard(
+          coalesce(col(s"cnt_$c"), lit(0L)) +
+            coalesce(col(s"_dcnt_$c"), lit(0L)), s"non-null count cnt_$c")
+          .as(s"cnt_$c")) ++
+        d.sumCols.map(c => longFromWide(
+          coalesce(col(s"sum_$c"), lit(0L)).cast(VarDec) +
+            dWide(s"_dsum_$c", s"sum_$c"), s"sum_$c").as(s"sum_$c")) ++
         d.varCols.flatMap { c =>
           val zero = lit(0L).cast(d.types(s"vsq_$c"))
           Seq(
-            (coalesce(col(s"vsum_$c"), lit(0L)) +
-              coalesce(col(s"_dvsum_$c"), lit(0L))).as(s"vsum_$c"),
-            (coalesce(col(s"vsq_$c"), zero) +
-              coalesce(col(s"_dvsq_$c"), zero)).cast(d.types(s"vsq_$c"))
-              .as(s"vsq_$c"))
+            longFromWide(
+              coalesce(col(s"vsum_$c"), lit(0L)).cast(VarDec) +
+                dWide(s"_dvsum_$c", s"vsum_$c"), s"vsum_$c")
+              .as(s"vsum_$c"),
+            decGuarded(
+              coalesce(col(s"vsq_$c"), zero) +
+                dWide(s"_dvsq_$c", s"vsq_$c"),
+              d.types(s"vsq_$c"), s"vsq_$c").as(s"vsq_$c"))
         } ++
         d.minCols.map(c => mmGuard(least(col(s"min_$c"), col(s"_dmin_$c")),
           d.types(s"min_$c")).as(s"min_$c")) ++
@@ -657,6 +961,27 @@ object Views {
               .cast(d.types(s"qh_$c")))
             .otherwise(map_filter(summed, (_, v) => v =!= 0))
           merged.as(s"qh_$c")
+        } ++
+        d.topkCols.flatMap { c =>
+          // cell-count ADD (signed deltas subtract exactly — no
+          // insert-only guard, by design, same as qh_); candidates
+          // union-merge sorted (deterministic state)
+          val empty = expr("cast(map() as map<bigint,bigint>)")
+          val summed = map_zip_with(
+            coalesce(col(s"cm_$c"), empty),
+            coalesce(col(s"_dcm_$c"), empty),
+            (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L)))
+          val merged = when(
+            exists(map_values(summed), v => v < 0), raise_error(lit(
+              "view cell count went negative: feed window does not " +
+                "match the view's applied source version"))
+              .cast(d.types(s"cm_$c")))
+            .otherwise(map_filter(summed, (_, v) => v =!= 0))
+          val emptyA = expr("cast(array() as array<string>)")
+          val mergedC = array_sort(array_distinct(concat(
+            coalesce(col(s"cmc_$c"), emptyA),
+            coalesce(col(s"_dcmc_$c"), emptyA))))
+          Seq(merged.as(s"cm_$c"), mergedC.as(s"cmc_$c"))
         }): _*)
       .filter(col("n_rows") > 0)
   }
@@ -756,7 +1081,7 @@ object Views {
     val recomputed = aggregate(
       srcTip.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi"),
       d.groupCols, d.sumCols, d.minCols, d.maxCols, d.distinctCols,
-      d.quantileCols, d.varCols)
+      d.quantileCols, d.varCols, d.cntCols, d.topkCols)
     val untouched = aggRows
       .join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
     untouched.unionByName(recomputed)
@@ -838,10 +1163,13 @@ object Views {
 
   /** Continuous maintenance: drain the source's write-time change feed
     * through a checkpointed stream and fold each micro-batch into the
-    * view. Count/sum views under any feed; min/max views under
-    * APPEND-ONLY sources (inserts only extend extrema — the first
-    * retracting batch fails loudly; run batch [[refreshView]]'s rescan
-    * on a cadence for such sources instead). Safe under every
+    * view — GENERAL feeds: delta-invertible views (count/sum/
+    * quantile/var/cm) under any window; min/max/HLL views fold
+    * insert-only micro-batches as deltas and route retraction-bearing
+    * ones through the same touched-group rescan the batch refresh
+    * runs, with the tip pinned at the batch's window end (only
+    * post-only `update` rows refuse — record merges with
+    * `preImages = true`). Safe under every
     * failure mode the file-source contract allows: versions already
     * applied at view-create time are filtered (`version > applied`), a
     * replayed micro-batch is detected by the sentinel's `_mv_batch_id`
@@ -864,7 +1192,7 @@ object Views {
       : org.apache.spark.sql.streaming.StreamingQuery =
     Snapshots.changesStream(spark, srcDir).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyStreamBatch(spark, viewDir, batch, batchId)
+        applyStreamBatch(spark, viewDir, srcDir, batch, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -933,7 +1261,8 @@ object Views {
       maxCols: Seq[String] = Nil,
       distinctCols: Seq[String] = Nil,
       quantileCols: Seq[String] = Nil,
-      varCols: Seq[String] = Nil): Long = {
+      varCols: Seq[String] = Nil,
+      topkCols: Seq[String] = Nil): Long = {
     import spark.implicits._
     require(joinKeys.nonEmpty && groupCols.nonEmpty,
       "a join view needs join keys and at least one group column")
@@ -958,7 +1287,7 @@ object Views {
     require(badSum.isEmpty,
       s"sum columns must be integral (exact delta maintenance): " +
         s"${badSum.mkString(", ")}")
-    val missing = (distinctCols ++ quantileCols ++ varCols)
+    val missing = (distinctCols ++ quantileCols ++ varCols ++ topkCols)
       .filterNot(jT.contains)
     require(missing.isEmpty,
       s"sketch columns absent from the join schema: ${missing.mkString(", ")}")
@@ -983,7 +1312,8 @@ object Views {
           "sum_cols"),
       s"$viewDir/params")
     val rows = aggregate(l.join(r, joinKeys), groupCols, sumCols,
-      minCols, maxCols, distinctCols, quantileCols, varCols)
+      minCols, maxCols, distinctCols, quantileCols, varCols,
+      cntCols = (sumCols ++ varCols).distinct, topkCols = topkCols)
     val d = parseDef(rows)
     Snapshots.commit(spark,
       withMetaCols(spark, rows, d,
@@ -998,8 +1328,10 @@ object Views {
     * that refresh applied) — the same passthrough [[readView]] always
     * had, now exposed on the join wrapper too. */
   def readJoinView(spark: SparkSession, viewDir: String,
-      asOf: Option[Long] = None, withAvg: Boolean = false): DataFrame =
-    readView(spark, s"$viewDir/rows", asOf = asOf, withAvg = withAvg)
+      asOf: Option[Long] = None, withAvg: Boolean = false,
+      quantiles: Seq[Double] = Seq(0.5, 0.95)): DataFrame =
+    readView(spark, s"$viewDir/rows", asOf = asOf, withAvg = withAvg,
+      quantiles = quantiles)
 
   /** The touched-group RESCAN for a join view — shared by the batch
     * refresh and the streaming maintainer's retraction route. Any
@@ -1074,7 +1406,7 @@ object Views {
         if (lHasGroups) joined
         else joined.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_semi"),
         d.groupCols, d.sumCols, d.minCols, d.maxCols,
-        d.distinctCols, d.quantileCols, d.varCols)
+        d.distinctCols, d.quantileCols, d.varCols, d.cntCols, d.topkCols)
       (aggRows.join(tKeyed, keyCond(d.groupCols, "_t_"), "left_anti")
         .unionByName(recomputed), touched)
     } catch {
@@ -1377,7 +1709,7 @@ object Views {
   }
 
   private def applyStreamBatch(spark: SparkSession, viewDir: String,
-      batch: DataFrame, batchId: Long): Unit = {
+      srcDir: String, batch: DataFrame, batchId: Long): Unit = {
     batch.persist()
     try {
       var attempt = 0
@@ -1386,20 +1718,43 @@ object Views {
         val base = Snapshots.version(spark, viewDir)
         val mv = Snapshots.readVersion(spark, viewDir, base)
         val d = parseDef(mv.drop(MetaCols: _*))
-        // min/max views stream fine over APPEND-ONLY sources (inserts
-        // only extend extrema; least/greatest are split-invariant);
-        // applyDeltas raises loudly on the first retracting batch,
-        // pointing at batch refreshView's rescan route
         val (applied, lastBatch) = sentinelMeta(mv)
         if (batchId <= lastBatch) return // replayed batch: already folded
         val fresh = batch.filter(col("version") > applied)
         val maxV = fresh.agg(max("version")).head()
         if (maxV.isNullAt(0)) return // nothing unapplied in this batch
+        val tip = maxV.getLong(0)
         val aggRows = mv.filter(col("n_rows") > 0).drop(MetaCols: _*)
-        val next = applyDeltas(aggRows, fresh.drop("version"), d)
+        // the same routing as batch refreshView: delta-invertible
+        // views (and insert-only windows of rescan-agg views) fold as
+        // pure deltas; a RETRACTION-bearing micro-batch on a
+        // min/max/HLL view routes through the touched-group rescan
+        // with the source tip pinned at the batch's own window end —
+        // exactly-once is preserved because the commit rides the same
+        // CAS + batch-id sentinel either way (mirrors what the JOIN
+        // maintainer's applyJoinStreamBatch does). Only post-only
+        // `update` rows refuse (the row's previous group is genuinely
+        // unrecoverable — record merges with preImages = true).
+        val next =
+          if (!d.hasRescanAggs)
+            applyDeltas(aggRows, fresh.drop("version"), d)
+          else {
+            val kinds = fresh.select("change_type").distinct()
+              .collect().map(_.getString(0)).toSet
+            if (kinds.subsetOf(Set("insert")))
+              applyDeltas(aggRows, fresh.drop("version"), d)
+            else {
+              require(!kinds.contains("update"),
+                "streaming min/max view maintenance needs invertible " +
+                  "feeds: a post-only 'update' row hides the row's " +
+                  "previous group — record merges with preImages = true")
+              rescanTouched(aggRows, fresh.drop("version"),
+                readMatching(spark, srcDir, tip, fresh, d.groupCols,
+                  nullSafe = true), d)
+            }
+          }
         done = Snapshots.commitIfVersion(spark,
-          withMeta(spark, next, d, math.max(applied, maxV.getLong(0)),
-            batchId),
+          withMeta(spark, next, d, math.max(applied, tip), batchId),
           viewDir, base, statsColumns = d.groupCols).nonEmpty
         if (!done) attempt += 1
       }

@@ -231,7 +231,7 @@ class ViewsSpec extends SparkSpec {
     assert(viewMap(mv) === Map("a" -> ((1L, 30L)), "b" -> ((1L, 200L))))
   }
 
-  test("streaming min/max: append-only feeds extend extrema; retraction fails loudly") {
+  test("streaming min/max: inserts extend extrema; retraction digests via rescan") {
     val src = tmp("smmsrc"); val mv = tmp("smmmv"); val ckpt = tmp("smmckpt")
     Snapshots.commit(spark, rows().limit(0), src)
     Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"),
@@ -241,21 +241,33 @@ class ViewsSpec extends SparkSpec {
     Snapshots.merge(spark, src, rows((3, "a", 20), (4, "b", 7)),
       Seq("id"), recordChanges = true, preImages = true)
     Views.streamRefreshView(spark, src, mv, ckpt).awaitTermination()
-    val got = Views.readView(spark, mv).collect()
+    def got: Map[String, (Long, Long)] = Views.readView(spark, mv).collect()
       .map(r => r.getString(r.fieldIndex("grp")) ->
         (r.getLong(r.fieldIndex("n_rows")),
           r.getLong(r.fieldIndex("max_v")))).toMap
     // the second batch's 20 must NOT shrink a's max (greatest-merge)
     assert(got === Map("a" -> ((3L, 30L)), "b" -> ((1L, 7L))))
-    // a delete reaches the maintainer: the min/max delta is unsound
-    // there and must fail loudly, pointing at the batch rescan route
+    // a delete of the current max reaches the maintainer: the
+    // retraction-bearing micro-batch routes through the touched-group
+    // rescan IN-STREAM (pre-r16 this refused loudly) — a's max must
+    // SHRINK to the runner-up, which no delta can produce, and the
+    // untouched group must carry over
     Snapshots.delete(spark, src, col("id") === 2, recordChanges = true)
+    Views.streamRefreshView(spark, src, mv, ckpt).awaitTermination()
+    assert(got === Map("a" -> ((2L, 20L)), "b" -> ((1L, 7L))))
+    // the maintainer left nothing behind: batch refresh is a no-op
+    val v = Snapshots.version(spark, mv)
+    assert(Views.refreshView(spark, src, mv) === v)
+    // post-only update rows STILL refuse (the row's previous group is
+    // genuinely unrecoverable) — the refusal survives only for them
+    Snapshots.merge(spark, src, rows((3, "a", 999)), Seq("id"),
+      recordChanges = true)
     val e = intercept[Exception](
       Views.streamRefreshView(spark, src, mv, ckpt).awaitTermination())
     def msgs(t: Throwable): String =
       if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
-    assert(msgs(e).contains("insert-only"),
-      s"expected the insert-only refusal, got: ${msgs(e)}")
+    assert(msgs(e).contains("preImages"),
+      s"expected the post-only-update refusal, got: ${msgs(e)}")
   }
 
   test("join view: bilinear refresh equals recompute across asymmetric appends") {
@@ -848,5 +860,178 @@ class ViewsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Views.createView(spark, src, tmp("v2"), Seq("grp"),
         sumCols = Seq("f")))
+    // r16 reservations: the cnt_ state prefix, the derived avg_/top_
+    // names, and ANY parametric quantile serve name (p<digits>_)
+    val more = Seq((1L, 2L, 3L, 4L)).toDF("cnt_v", "avg_v", "p99_v", "v")
+    val src2 = tmp("vsrc2")
+    Snapshots.commit(spark, more, src2)
+    for (bad <- Seq("cnt_v", "avg_v", "p99_v"))
+      intercept[IllegalArgumentException](
+        Views.createView(spark, src2, tmp(s"vbad-$bad"), Seq(bad),
+          sumCols = Seq("v")))
+  }
+
+  test("avg/var/std divide by the measure's NON-NULL count (SQL fidelity)") {
+    import spark.implicits._
+    // v is NULL-bearing: SQL AVG/VAR_POP exclude NULL rows from the
+    // denominator — served numbers must match Spark's own avg/var_pop
+    // over the final state, through a delete wave that stays on the
+    // delta path (cnt deltas subtract exactly)
+    val src = tmp("cnsrc"); val mv = tmp("cnmv")
+    val data = Seq(
+      (1L, "a", Option(10L)), (2L, "a", Option.empty[Long]),
+      (3L, "a", Option(20L)), (4L, "b", Option(5L)),
+      (5L, "b", Option.empty[Long]), (6L, "b", Option(11L)))
+      .toDF("id", "grp", "v")
+    Snapshots.commit(spark, data, src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"),
+      varCols = Seq("v"))
+    // delete one NULL row and one non-null row: both cnt and n_rows
+    // must fall by exactly what SQL says
+    Snapshots.delete(spark, src, col("id").isin(2L, 3L),
+      recordChanges = true)
+    Views.refreshView(spark, src, mv)
+    def rd4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val want = Snapshots.read(spark, src).groupBy("grp")
+      .agg(count(col("v")).as("cnt"), avg(col("v")).as("a"),
+        var_pop(col("v")).as("vp"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), rd4(r.getDouble(3))))).toMap
+    val got = Views.readView(spark, mv, withAvg = true).collect().map { r =>
+      r.getString(r.fieldIndex("grp")) ->
+        ((r.getLong(r.fieldIndex("cnt_v")),
+          r.getDouble(r.fieldIndex("avg_v")),
+          r.getDouble(r.fieldIndex("var_v"))))
+    }.toMap
+    assert(got === want)
+    // a group whose values are ALL NULL serves NULL avg/var/std, like
+    // SQL over an empty set — not 0, not NaN
+    val src2 = tmp("cnsrc2"); val mv2 = tmp("cnmv2")
+    Snapshots.commit(spark,
+      Seq((1L, "z", Option.empty[Long])).toDF("id", "grp", "v"), src2)
+    Views.createView(spark, src2, mv2, Seq("grp"), sumCols = Seq("v"),
+      varCols = Seq("v"))
+    val r0 = Views.readView(spark, mv2, withAvg = true).head()
+    assert(r0.isNullAt(r0.fieldIndex("avg_v")))
+    assert(r0.isNullAt(r0.fieldIndex("var_v")))
+    assert(r0.isNullAt(r0.fieldIndex("std_v")))
+    assert(r0.getLong(r0.fieldIndex("cnt_v")) === 0L)
+  }
+
+  test("overflow raises loudly: long sums and decimal sums-of-squares") {
+    import spark.implicits._
+    // Σx past LONG range at create time: the wide sum narrows through
+    // the guarded cast and must raise, not wrap
+    val src = tmp("ofsrc")
+    Snapshots.commit(spark, Seq(
+      (1L, "a", Long.MaxValue), (2L, "a", Long.MaxValue))
+      .toDF("id", "grp", "v"), src)
+    val e1 = intercept[Exception](
+      Views.createView(spark, src, tmp("ofmv"), Seq("grp"),
+        sumCols = Seq("v")))
+    assert(e1.getMessage.contains("overflow"),
+      s"expected the overflow raise, got: ${e1.getMessage}")
+    // Σx wrapping through a DELTA refresh: create near the edge, then
+    // feed the straw — the fold must raise, not serve a wrapped sum
+    val src2 = tmp("ofsrc2"); val mv2 = tmp("ofmv2")
+    Snapshots.commit(spark,
+      Seq((1L, "a", Long.MaxValue - 5L)).toDF("id", "grp", "v"), src2)
+    Views.createView(spark, src2, mv2, Seq("grp"), sumCols = Seq("v"))
+    Snapshots.merge(spark, src2, Seq((2L, "a", 100L)).toDF("id", "grp", "v"),
+      Seq("id"), recordChanges = true, preImages = true)
+    val e2 = intercept[Exception](Views.refreshView(spark, src2, mv2))
+    assert(e2.getMessage.contains("overflow"),
+      s"expected the overflow raise, got: ${e2.getMessage}")
+    // Σx² past DECIMAL(38,0): two near-Long.Max squares sum to
+    // ~1.7e38 > 10^38 — must raise at create, never serve NULL var
+    val src3 = tmp("ofsrc3")
+    Snapshots.commit(spark, Seq(
+      (1L, "a", Long.MaxValue - 1L), (2L, "a", Long.MaxValue - 2L))
+      .toDF("id", "grp", "v"), src3)
+    val e3 = intercept[Exception](
+      Views.createView(spark, src3, tmp("ofmv3"), Seq("grp"),
+        varCols = Seq("v")))
+    assert(e3.getMessage.contains("overflow"),
+      s"expected the vsq overflow raise, got: ${e3.getMessage}")
+    // and through a delta refresh: start with one big square, add one
+    val src4 = tmp("ofsrc4"); val mv4 = tmp("ofmv4")
+    Snapshots.commit(spark,
+      Seq((1L, "a", Long.MaxValue - 1L)).toDF("id", "grp", "v"), src4)
+    Views.createView(spark, src4, mv4, Seq("grp"), varCols = Seq("v"))
+    Snapshots.merge(spark, src4,
+      Seq((2L, "a", Long.MaxValue - 2L)).toDF("id", "grp", "v"),
+      Seq("id"), recordChanges = true, preImages = true)
+    val e4 = intercept[Exception](Views.refreshView(spark, src4, mv4))
+    assert(e4.getMessage.contains("overflow"),
+      s"expected the vsq fold overflow raise, got: ${e4.getMessage}")
+  }
+
+  test("parametric quantiles: any q in (0,1) serves from the same state") {
+    val src = tmp("pqsrc"); val mv = tmp("pqmv")
+    // values below 16 sit in exact buckets, so every served quantile
+    // is the exact rank statistic — assertable without the estimator
+    Snapshots.commit(spark,
+      rows((1, "a", 1), (2, "a", 2), (3, "a", 3), (4, "a", 4),
+        (5, "a", 5), (6, "a", 6), (7, "a", 7), (8, "a", 8),
+        (9, "a", 9), (10, "a", 10)), src)
+    Views.createView(spark, src, mv, Seq("grp"), quantileCols = Seq("v"))
+    val r = Views.readView(spark, mv,
+      quantiles = Seq(0.5, 0.9, 0.99, 0.999)).head()
+    assert(r.getLong(r.fieldIndex("p50_v")) === 5L)
+    assert(r.getLong(r.fieldIndex("p90_v")) === 9L)
+    assert(r.getLong(r.fieldIndex("p99_v")) === 10L)
+    assert(r.getLong(r.fieldIndex("p99_9_v")) === 10L)
+    // the defaults stay p50/p95
+    val cols = Views.readView(spark, mv).columns.toSet
+    assert(cols.contains("p50_v") && cols.contains("p95_v"))
+    intercept[IllegalArgumentException](
+      Views.readView(spark, mv, quantiles = Seq(1.5)).head())
+    assert(Views.quantileName(0.999, "x") === "p99_9_x")
+  }
+
+  test("heavy-hitter columns: delete-bearing windows stay on the delta path (source deleted)") {
+    val src = tmp("cmsrc"); val mv = tmp("cmmv")
+    // duplicated values per group: 7×3 + 5×2 + 9×1 in a; b gets 2×2+4
+    Snapshots.commit(spark,
+      rows((1, "a", 7), (2, "a", 7), (3, "a", 5), (4, "a", 9),
+        (5, "b", 2), (6, "b", 2), (7, "b", 4)), src)
+    Views.createView(spark, src, mv, Seq("grp"), topkCols = Seq("v"))
+    // insert wave: +counts, candidates union
+    Snapshots.merge(spark, src, rows((8, "a", 7), (9, "a", 5)),
+      Seq("id"), recordChanges = true, preImages = true)
+    // delete wave: −counts, exact inverses
+    Snapshots.delete(spark, src, col("id").isin(4, 7),
+      recordChanges = true)
+    // the money pin: remove every source data file — count-min cell
+    // counts subtract exactly, so even the delete wave refreshes with
+    // zero source reads (min/max/HLL would rescan here)
+    val dir = new java.io.File(src)
+    dir.listFiles().filter(_.getName.startsWith("snap-")).foreach { sd =>
+      sd.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.delete(), s"could not delete $f"))
+    }
+    Views.refreshView(spark, src, mv)
+    // final state: a = {7×3, 5×2}, b = {2×2}; the count-min law says
+    // n_est ≥ true count, and with this tiny domain the estimates are
+    // exact (no cell collisions among 4 values)
+    val got = Views.topkValues(spark, mv, "v", k = 2).collect()
+      .map(r => (r.getString(r.fieldIndex("grp")),
+        r.getLong(r.fieldIndex("rk"))) ->
+        ((r.getString(r.fieldIndex("top_v")),
+          r.getLong(r.fieldIndex("n_est"))))).toMap
+    assert(got(("a", 1L)) === (("7", 3L)))
+    assert(got(("a", 2L)) === (("5", 2L)))
+    assert(got(("b", 1L)) === (("2", 2L)))
+    // the deleted-away value 4 fell out of b's ranking (estimate 0);
+    // it may remain a CANDIDATE but must rank below the live value
+    assert(got.get(("b", 2L)).forall(_._2 === 0L))
+    // readView keeps the sketch state internal
+    val served = Views.readView(spark, mv).columns.toSet
+    assert(!served.exists(c => c.startsWith("cm_") || c.startsWith("cmc_")))
+    intercept[IllegalArgumentException](
+      Views.topkValues(spark, mv, "nope", 1))
   }
 }
