@@ -389,7 +389,7 @@ object Sketches {
       carryCols: Seq[String] = Nil): DataFrame = {
     require(carryCols.forall(c =>
       !(Seq("gen", "b", "cnt", "v", "q", "c", "t", "n",
-        "n_le", "n_le0", "n_total", "pct", "_pb") ++ groupCols)
+        "n_le", "n_le0", "n_total", "pct", "_pb", "_pbn") ++ groupCols)
         .contains(c)),
       s"carry columns collide with sketch/probe columns: $carryCols")
     val keyCols = groupCols ++ carryCols
@@ -405,11 +405,31 @@ object Sketches {
         raise_error(concat(lit("quantile sketch value must be >= 0, got "),
           col("v").cast("string")))))
       .withColumn("_pb", expr(qhBucket))
+    // the carry contract is one output row PER PROBE ROW — which only
+    // holds when the carry columns IDENTIFY probe rows. A caller whose
+    // rows legitimately repeat on (groupCols, carryCols, v) would have
+    // them silently collapse below; fail loudly instead (the cure is a
+    // unique id per probe row, which every current caller carries)
+    val guarded =
+      if (carryCols.isEmpty) keyed
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy((keyCols :+ "v").map(col): _*)
+        keyed.withColumn("_pbn", count(lit(1)).over(w))
+          .withColumn("v",
+            when(col("_pbn") > 1, raise_error(lit(
+              "qhCdfProbe carry columns must identify probe rows: " +
+                "duplicate rows on (groupCols, carryCols, value) would " +
+                "collapse to one output row — carry a unique id per " +
+                "probe row")).cast("long"))
+              .otherwise(col("v")))
+          .drop("_pbn")
+      }
     // ALWAYS de-duplicate on the full output key: the bucket join
     // fans each probe row out to its group's bucket rows and the
     // groupBy below sums cnt once per (probe row × bucket row) pair,
     // so a duplicated probe row would double every count it touches
-    val pv = keyed.distinct()
+    val pv = guarded.distinct()
     pv.join(collapsed, groupCols.toSeq, "left")
       .groupBy((keyCols :+ "v" :+ "_pb").map(col): _*)
       .agg(sum(when(col("b") <= col("_pb"), col("cnt")).otherwise(0L))

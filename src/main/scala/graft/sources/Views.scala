@@ -1181,6 +1181,16 @@ object Views {
     * work (restarting the SAME checkpoint is fine — that is the replay
     * the guard exists for). Pass `Trigger.AvailableNow` for the
     * catch-up-and-stop cadence.
+    *
+    * `maintainEvery > 0` closes the retention loop: every N folded
+    * micro-batches the maintainer itself runs the standing repair —
+    * [[compactView]] + [[expireView]](`keepVersions`) — post-commit
+    * and BEST-EFFORT (never inside the CAS retry loop; a failed
+    * repair never fails the fold, the next cadence point retries).
+    * Without it a continuously-maintained view accumulates a version
+    * per micro-batch forever. `keepVersions = 1` is safe (maintenance
+    * only reads the tip); the price is as-of reads older than the
+    * window.
     */
   def streamRefreshView(
       spark: SparkSession,
@@ -1188,15 +1198,34 @@ object Views {
       viewDir: String,
       checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maintainEvery: Int = 0,
+      keepVersions: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     Snapshots.changesStream(spark, srcDir).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyStreamBatch(spark, viewDir, srcDir, batch, batchId)
+        maybeMaintain(spark, viewDir, batchId, maintainEvery, keepVersions)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** The streaming maintainers' retention cadence: every
+    * `maintainEvery` batches, bin-pack the tip and expire history —
+    * best-effort, after the batch's commit already landed (a repair
+    * failure must never fail the fold; the next cadence point
+    * retries, and batch ids are monotone so the cadence survives
+    * restarts). */
+  private def maybeMaintain(spark: SparkSession, viewDir: String,
+      batchId: Long, maintainEvery: Int, keepVersions: Int): Unit =
+    if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+      try {
+        compactView(spark, viewDir)
+        expireView(spark, viewDir, keepVersions)
+      } catch {
+        case scala.util.control.NonFatal(_) => // retried next cadence
+      }
 
   // ---------- join views (append-only sources) ----------
   //
@@ -1553,7 +1582,9 @@ object Views {
       viewDir: String,
       checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maintainEvery: Int = 0,
+      keepVersions: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val p = Snapshots.read(spark, s"$viewDir/params").collect().head
     val leftDir = p.getAs[String]("left_dir")
@@ -1569,6 +1600,7 @@ object Views {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyJoinStreamBatch(spark, viewDir, leftDir, rightDir, joinKeys,
           batch, batchId)
+        maybeMaintain(spark, viewDir, batchId, maintainEvery, keepVersions)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -385,7 +385,7 @@ class SketchesSpec extends SparkSpec {
     assert(served(inc) == want)
   }
 
-  test("qhCdfProbe: duplicated probe rows collapse instead of doubling counts") {
+  test("qhCdfProbe: carry columns must identify probe rows — dups raise") {
     import spark.implicits._
     val buckets = Sketches.qhBuckets(
       (1L to 100L).map(("g", _)).toDF("g", "x"), Seq("g"), col("x"))
@@ -395,16 +395,25 @@ class SketchesSpec extends SparkSpec {
         carryCols = Seq("id")).collect()
     val single = probe(("g", "d1", 50L))
     assert(single.length == 1)
-    val dup = probe(("g", "d1", 50L), ("g", "d1", 50L))
-    // identical (group, carry, value) rows are ONE probe, not two —
-    // the bucket join's sum is not duplicate-idempotent and doubled
-    // n_le/pct before the pre-distinct
-    assert(dup.length == 1)
-    assert(dup.head.getAs[Long]("n_le") == single.head.getAs[Long]("n_le"))
-    assert(dup.head.getAs[Long]("n_total") == 100L)
-    assert(dup.head.getAs[Double]("pct") == single.head.getAs[Double]("pct"))
+    assert(single.head.getAs[Long]("n_total") == 100L)
     assert(single.head.getAs[Double]("pct") > 0.3 &&
       single.head.getAs[Double]("pct") < 0.7)
+    // two probe rows with DISTINCT carry ids and the same value are
+    // two output rows (the one-row-per-probe-row contract)
+    val two = probe(("g", "d1", 50L), ("g", "d2", 50L))
+    assert(two.length == 2)
+    assert(two.map(_.getAs[Long]("n_le")).distinct.length == 1)
+    // identical (group, carry, value) rows are a CONTRACT BREACH: the
+    // bucket-join sum is not duplicate-idempotent, and pre-r16 such
+    // rows silently collapsed to one output row (losing a probe). Now
+    // they fail loudly, pointing at the unique-id cure.
+    val e = intercept[Exception](probe(("g", "d1", 50L), ("g", "d1", 50L)))
+    assert(e.getMessage.contains("unique id"),
+      s"expected the carry-uniqueness raise, got: ${e.getMessage}")
+    // the no-carry spelling keeps its distinct-values semantics
+    val plain = Sketches.qhCdfProbe(buckets, Seq("g"),
+      Seq(("g", 50L), ("g", 50L)).toDF("g", "x"), col("x")).collect()
+    assert(plain.length == 1)
   }
 
   test("as-of pins the registers snapshot") {

@@ -452,6 +452,37 @@ class ViewsSpec extends SparkSpec {
       got.head.getLong(got.head.fieldIndex("sum_v")) === 15L)
   }
 
+  test("streaming auto-maintenance: versions stay bounded across a long drain") {
+    val src = tmp("amsrc"); val mv = tmp("ammv"); val ckpt = tmp("amckpt")
+    Snapshots.commit(spark, rows().limit(0), src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"))
+    // 6 waves, each drained separately through the SAME checkpoint
+    // (batch ids 0..5); every 2nd batch the maintainer itself compacts
+    // the tip and expires history to keepVersions — the closed loop a
+    // continuously-maintained view needs (pre-r16 the repair was
+    // manual and versions accumulated one per micro-batch forever)
+    (1 to 6).foreach { i =>
+      Snapshots.merge(spark, src, rows((i.toLong, "a", i.toLong * 10)),
+        Seq("id"), recordChanges = true, preImages = true)
+      Views.streamRefreshView(spark, src, mv, ckpt,
+        maintainEvery = 2, keepVersions = 1).awaitTermination()
+      // serves stay green mid-repair, after every wave
+      assert(viewMap(mv)("a")._1 === i.toLong)
+    }
+    assert(viewMap(mv) === Map("a" -> ((6L, 210L))))
+    // without maintenance: create + 6 folds = 7 snap dirs (plus the
+    // repair commits). With keepVersions=1 and the last cadence point
+    // at batch 5, at most the post-repair tail survives.
+    val snapDirs = new java.io.File(mv).listFiles()
+      .count(_.getName.startsWith("snap-"))
+    assert(snapDirs <= 3, s"expected bounded version history, got $snapDirs")
+    // maintenance continues after the reclaim
+    Snapshots.merge(spark, src, rows((99, "b", 1)), Seq("id"),
+      recordChanges = true, preImages = true)
+    Views.streamRefreshView(spark, src, mv, ckpt).awaitTermination()
+    assert(viewMap(mv)("b") === ((1L, 1L)))
+  }
+
   test("join view general changes: deletes and updates via touched-group rescan") {
     import spark.implicits._
     val l = tmp("dl"); val r = tmp("dr"); val v = tmp("dv")
