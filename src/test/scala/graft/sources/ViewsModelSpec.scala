@@ -41,10 +41,38 @@ class ViewsModelSpec extends SparkSpec {
 
   // grp derives from v, so an UPDATE can move a row between groups —
   // the pre-image must leave the old group and the post-image land in
-  // the new one
+  // the new one. `w` is a NULL-BEARING second measure (NULL whenever
+  // v % 4 == 0, else 2v — derived, so pre/post images stay coherent):
+  // the SQL-fidelity law for cnt_/avg_ needs NULLs in the measure.
   private def toDf(rows: Map[Long, Long]) =
     rows.toSeq.sortBy(_._1).toDF("id", "v")
       .withColumn("grp", concat(lit("g"), col("v") % 3))
+      .withColumn("w",
+        when(col("v") % 4 === 0, lit(null).cast("long"))
+          .otherwise(col("v") * 2))
+
+  private def wOf(v: Long): Option[Long] =
+    if (v % 4 == 0) None else Some(v * 2)
+
+  // SQL AVG law: sum over non-null w divided by COUNT(w), NULL when
+  // the group holds no non-null w — exactly what readView serves from
+  // (sum_w, cnt_w)
+  private def avgRollup(model: Map[Long, Long])
+      : Map[String, (Long, Option[Double])] =
+    model.values.groupBy(v => s"g${v % 3}").map { case (g, vs) =>
+      val ws = vs.flatMap(wOf(_))
+      g -> ((ws.size.toLong,
+        if (ws.isEmpty) None
+        else Some(ws.sum.toDouble / ws.size.toDouble)))
+    }
+
+  private def avgState(dir: String): Map[String, (Long, Option[Double])] =
+    Views.readView(spark, dir, withAvg = true).collect().map { r =>
+      r.getString(r.fieldIndex("grp")) ->
+        ((r.getLong(r.fieldIndex("cnt_w")),
+          if (r.isNullAt(r.fieldIndex("avg_w"))) None
+          else Some(r.getDouble(r.fieldIndex("avg_w")))))
+    }.toMap
 
   private def rollup(model: Map[Long, Long])
       : Map[String, (Long, Long, Long, Long)] =
@@ -127,6 +155,36 @@ class ViewsModelSpec extends SparkSpec {
         ((r.getDouble(r.fieldIndex("var_v")),
           r.getDouble(r.fieldIndex("std_v"))))
     }.toMap
+
+  // ---- heavy-hitter (count-min) law: every served candidate's
+  // estimate equals the model's exact count of that value (signed
+  // cell deltas track arbitrary insert/update/delete interleavings),
+  // served in (n_est desc, value asc) rank order. Candidate coverage
+  // is the family's heuristic (per-window top-16) and is not modeled;
+  // what IS exact — and what r16 claims — is the maintained counts. ----
+
+  private def topkLaw(dir: String, model: Map[Long, Long]): Boolean = {
+    val counts = model.values.groupBy(v => (s"g${v % 3}", v.toString))
+      .map { case (k, vs) => k -> vs.size.toLong }
+    val rows = Views.topkValues(spark, dir, "v", k = Int.MaxValue)
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("grp")),
+        r.getLong(r.fieldIndex("rk")),
+        r.getString(r.fieldIndex("top_v")),
+        r.getLong(r.fieldIndex("n_est"))))
+    val exact = rows.forall { case (g, _, v, est) =>
+      est == counts.getOrElse((g, v), 0L) }
+    val ranked = rows.groupBy(_._1).values.forall { grp =>
+      val sorted = grp.sortBy(_._2)
+      sorted.map(_._2).toSeq == (1L to grp.length.toLong) &&
+        sorted.sliding(2).forall {
+          case Array((_, _, v1, e1), (_, _, v2, e2)) =>
+            e1 > e2 || (e1 == e2 && v1 < v2)
+          case _ => true
+        }
+    }
+    exact && ranked
+  }
 
   // ---- join-view model: aggregates over left(id, grp) ⋈ right(rid, id, v) ----
 
@@ -225,18 +283,24 @@ class ViewsModelSpec extends SparkSpec {
       val dv = Files.createTempDirectory("graft-vm-delta").toString
       val mm = Files.createTempDirectory("graft-vm-minmax").toString
       val qv = Files.createTempDirectory("graft-vm-quantile").toString
+      val tv = Files.createTempDirectory("graft-vm-topk").toString
       var model = Map(0L -> 0L)
       Snapshots.commit(spark, toDf(model), src)
       // the delta view also carries VARIANCE state (sum + exact
-      // decimal sum-of-squares) — delta-invertible like its sums
-      Views.createView(spark, src, dv, Seq("grp"), sumCols = Seq("v"),
-        varCols = Seq("v"))
+      // decimal sum-of-squares) — delta-invertible like its sums —
+      // and the NULL-bearing measure w, whose served avg_ must divide
+      // by the maintained non-null count cnt_w (SQL AVG)
+      Views.createView(spark, src, dv, Seq("grp"),
+        sumCols = Seq("v", "w"), varCols = Seq("v"))
       Views.createView(spark, src, mm, Seq("grp"), sumCols = Seq("v"),
         minCols = Seq("v"), maxCols = Seq("v"))
       // the quantile view is PURE DELTA like dv — bucket counts
       // subtract exactly, so deletes never trigger a rescan
       Views.createView(spark, src, qv, Seq("grp"),
         quantileCols = Seq("v"))
+      // the heavy-hitter view is PURE DELTA too — count-min cell
+      // counts subtract exactly
+      Views.createView(spark, src, tv, Seq("grp"), topkCols = Seq("v"))
       var ok = true
       (ops :+ RefreshOp).foreach {
         case MergeOp(rows) =>
@@ -251,11 +315,14 @@ class ViewsModelSpec extends SparkSpec {
           Views.refreshView(spark, src, dv)
           Views.refreshView(spark, src, mm)
           Views.refreshView(spark, src, qv)
+          Views.refreshView(spark, src, tv)
           val want = rollup(model)
           ok = ok && viewState(dv, minmax = false) == zeroMinMax(want) &&
             viewState(mm, minmax = true) == want &&
             quantileState(qv) == quantileRollup(model) &&
-            varState(dv) == varRollup(model)
+            varState(dv) == varRollup(model) &&
+            avgState(dv) == avgRollup(model) &&
+            topkLaw(tv, model)
       }
       ok
     }
