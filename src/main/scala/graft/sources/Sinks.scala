@@ -1581,11 +1581,18 @@ object Sinks {
     * retraction-bearing window routes through the maintainer's
     * touched-group rescan — the same algebra as the batch refresh,
     * inside foreachBatch, both side reads pruned — instead of the
-    * pre-r15 loud refusal. The oracle is the whole-table join
-    * recompute over the final state (deletes applied), so a hash
-    * match certifies general-feed streaming maintenance equals the
-    * full join — the streaming sibling of `q_snapshot_mv_join` +
-    * `q_snapshot_mv_join_rescan` in one drain. (Checkpoint RESUME —
+    * pre-r15 loud refusal. An UPSERT wave (r16) lands on the lineitem
+    * side as a post-only merge (no pre-images): digestible through
+    * the same rescan because the declared merge key is the join key
+    * and no group column is resident on that side, so the post-image
+    * provably determines the touched groups — the documented upsert
+    * contract, with the refusal preserved for undeclared or
+    * underdetermined feeds (ViewsSpec pins both refusals). The oracle
+    * is the whole-table join recompute over the final state (deletes
+    * and upserts applied), so a hash match certifies general-feed
+    * streaming maintenance equals the full join — the streaming
+    * sibling of `q_snapshot_mv_join` + `q_snapshot_mv_join_rescan`
+    * in one drain. (Checkpoint RESUME —
     * a second drain folding only unseen versions — is ViewsSpec's
     * pin; paying a second streaming-query startup in-entry added
     * ~3 s of pure fixed cost for no extra oracle coverage.)
@@ -1620,7 +1627,19 @@ object Sinks {
     // in-stream touched-group rescan (pre-r15 this refused loudly)
     Snapshots.delete(s, mvJsOrdDir, col("o_orderkey") % 10 === 7,
       recordChanges = true)
-    Views.streamRefreshJoinView(s, mvJsViewDir, mvJsCkptDir)
+    // the UPSERT wave (r16): a post-only merge on the lineitem side —
+    // the %10=3 band's quantities bumped by +50, recorded WITHOUT
+    // pre-images (the compact feed). Digestible because the declared
+    // merge key IS the join key and no group column lives on the
+    // right: the post-image provably determines the touched groups
+    // ([[graft.sources.Views]] upsert contract); without the declared
+    // key the maintainer still refuses loudly
+    Snapshots.merge(s, mvJsLiDir,
+      li.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("qty", col("qty") + 50),
+      Seq("o_orderkey"), recordChanges = true)
+    Views.streamRefreshJoinView(s, mvJsViewDir, mvJsCkptDir,
+      upsertKeyRight = Seq("o_orderkey"))
       .awaitTermination()
     val ver = Snapshots.version(s, s"$mvJsViewDir/rows")
     val ok =
@@ -2050,12 +2069,16 @@ object Sinks {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // streaming maintenance equals the full join recompute over the
     // final state: every key-third of both inputs lands through the
-    // maintainer AND the %10=7 delete wave retracts through the
-    // in-stream touched-group rescan
+    // maintainer, the %10=7 delete wave retracts through the in-stream
+    // touched-group rescan, AND the %10=3 post-only upsert wave
+    // (lineitem quantities +50, no pre-images) digests under the
+    // declared merge-key contract
     "q_snapshot_mv_join_stream" ->
       """SELECT o_orderpriority,
         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
-        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) +
+        |    CASE WHEN l_orderkey % 10 = 3 THEN 50 ELSE 0 END)
+        |    AS BIGINT) AS sum_qty,
         |  CAST(1 AS BIGINT) AS stream_ok
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderkey < 60000 AND o_orderkey % 10 <> 7

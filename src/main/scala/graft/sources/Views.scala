@@ -751,6 +751,42 @@ object Views {
   private def keyCond(groupCols: Seq[String], rightPrefix: String): Column =
     groupCols.map(c => col(c) <=> col(s"$rightPrefix$c")).reduce(_ && _)
 
+  /** The documented UPSERT CONTRACT that lets a refresh digest
+    * post-only `update` rows (a `Snapshots.merge` recorded WITHOUT
+    * `preImages` — the compact feed) through the touched-group rescan:
+    * the caller DECLARES the merge key its upserts used, and this
+    * check verifies the declaration determines the hidden pre-image's
+    * touched groups from the post-image alone. A merge on key K
+    * replaces the row matching on K, so pre- and post-image agree
+    * bitwise on every column of K; when every column the touched-set
+    * derivation consults (`needed` — the view's group columns for a
+    * single-table view, the join keys plus the side's RESIDENT group
+    * columns for a join view) is part of K, the post-image names
+    * exactly the groups the vanished pre-image could have lived in,
+    * and the rescan's conservative-superset argument goes through
+    * unchanged. The declaration itself is the trust boundary — the
+    * feed does not record which key a merge used — so it is an
+    * explicit refresh argument, never inferred; with no declaration
+    * (the default) or a key that leaves a needed column loose, the
+    * refresh refuses exactly as before: an upsert that moved a row
+    * across groups would silently strand the old group's aggregates.
+    */
+  private def upsertDetermined(
+      upsertKey: Seq[String], needed: Seq[String], what: String): Unit = {
+    require(upsertKey.nonEmpty,
+      s"$what needs invertible feeds: a post-only 'update' row hides " +
+        "the retracted row — record merges with preImages = true, or " +
+        "declare the merge key (upsertKey) so the rescan can prove the " +
+        "post-image determines the touched groups")
+    val loose = needed.filterNot(upsertKey.contains)
+    require(loose.isEmpty,
+      s"$what: upsert contract underdetermined — columns " +
+        s"${loose.mkString(", ")} are not part of the declared merge " +
+        s"key ${upsertKey.mkString(", ")}, so a post-only 'update' row " +
+        "may have moved the row across groups; record merges with " +
+        "preImages = true or merge on a key that pins them")
+  }
+
   /** Apply one batch of feed rows to the view's group rows as pure
     * deltas. Throws on a post-only `update` row (not invertible) and on
     * any group whose maintained count would go negative (a feed that
@@ -1102,7 +1138,8 @@ object Views {
       spark: SparkSession,
       srcDir: String,
       viewDir: String,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10,
+      upsertKey: Seq[String] = Nil): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = Snapshots.version(spark, viewDir)
@@ -1117,35 +1154,45 @@ object Views {
       if (tip == applied) return base
       val aggRows = mv.filter(col("n_rows") > 0).drop(MetaCols: _*)
       val feed = Snapshots.changesFeed(spark, srcDir, applied, tip)
-      val next =
-        if (d.hasRescanAggs) {
-          // classify the window (one O(|distinct change kinds|)
-          // action). An INSERT-ONLY window keeps min/max on the pure
-          // delta path — inserts only EXTEND extrema — so the
-          // append-only cadence refreshes with ZERO source reads.
-          // Retractions route through the rescan, which is only sound
-          // when the feed names EVERY touched group: a post-only
-          // 'update' row that moved a row across groups carries only
-          // the NEW group's key, so the old group would fall outside
-          // the touched set and go silently stale — refused loudly,
-          // same as the delta path and refreshJoinView.
-          val kinds = feed.select("change_type").distinct()
+      // classify the window (one O(|distinct change kinds|) action) —
+      // paid only when routing can depend on it: a rescan-agg view
+      // always needs it (INSERT-ONLY windows keep min/max on the pure
+      // delta path — inserts only EXTEND extrema — so the append-only
+      // cadence refreshes with ZERO source reads), and a declared
+      // upsert contract needs it to spot `update` rows before the
+      // delta fold meets them. A pure-delta view with no declared
+      // key keeps its classification-free fast path (applyDeltas
+      // itself refuses `update` rows at evaluation).
+      val kinds =
+        if (d.hasRescanAggs || upsertKey.nonEmpty)
+          feed.select("change_type").distinct()
             .collect().map(_.getString(0)).toSet
-          if (kinds.subsetOf(Set("insert"))) applyDeltas(aggRows, feed, d)
-          else {
-            require(!kinds.contains("update"),
-              "min/max view refresh needs invertible feeds: a post-only " +
-                "'update' row hides the row's previous group — record " +
-                "merges with preImages = true")
-            // the rescan's source read is bounded by the touched
-            // groups' key envelope: on a source clustered by the group
-            // columns it reads O(touched files), not O(table)
-            // (null-safe — a NULL touched key falls back to full)
-            rescanTouched(aggRows, feed,
-              readMatching(spark, srcDir, tip, feed, d.groupCols,
-                nullSafe = true), d)
-          }
-        } else applyDeltas(aggRows, feed, d)
+        else Set.empty[String]
+      val next =
+        if (kinds.contains("update")) {
+          // post-only `update` rows: digestible ONLY under the
+          // declared upsert contract ([[upsertDetermined]] — the
+          // merge key must pin every group column, so the post-image
+          // names the hidden pre-image's group); then the touched-
+          // group rescan recomputes from the tip exactly as it does
+          // for deletes — sound for EVERY aggregate family, delta-
+          // invertible or not, because the rescan never inverts.
+          upsertDetermined(upsertKey, d.groupCols, "view refresh")
+          rescanTouched(aggRows, feed,
+            readMatching(spark, srcDir, tip, feed, d.groupCols,
+              nullSafe = true), d)
+        } else if (!d.hasRescanAggs) applyDeltas(aggRows, feed, d)
+        else if (kinds.subsetOf(Set("insert")))
+          applyDeltas(aggRows, feed, d)
+        else {
+          // the rescan's source read is bounded by the touched
+          // groups' key envelope: on a source clustered by the group
+          // columns it reads O(touched files), not O(table)
+          // (null-safe — a NULL touched key falls back to full)
+          rescanTouched(aggRows, feed,
+            readMatching(spark, srcDir, tip, feed, d.groupCols,
+              nullSafe = true), d)
+        }
       // carry the sentinel's streaming batch id through batch commits
       // (mirrors refreshJoinView): a -1 reset would weaken the replay
       // guard for any maintainer stream interleaved with batch
@@ -1200,11 +1247,12 @@ object Views {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       maintainEvery: Int = 0,
-      keepVersions: Int = 1)
+      keepVersions: Int = 1,
+      upsertKey: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     Snapshots.changesStream(spark, srcDir).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyStreamBatch(spark, viewDir, srcDir, batch, batchId)
+        applyStreamBatch(spark, viewDir, srcDir, batch, batchId, upsertKey)
         maybeMaintain(spark, viewDir, batchId, maintainEvery, keepVersions)
       }
       .option("checkpointLocation", checkpointDir)
@@ -1466,7 +1514,9 @@ object Views {
   def refreshJoinView(
       spark: SparkSession,
       viewDir: String,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10,
+      upsertKeyLeft: Seq[String] = Nil,
+      upsertKeyRight: Seq[String] = Nil): Long = {
     val p = Snapshots.read(spark, s"$viewDir/params").collect().head
     val leftDir = p.getAs[String]("left_dir")
     val rightDir = p.getAs[String]("right_dir")
@@ -1495,15 +1545,27 @@ object Views {
         if (tipR == aR) None
         else Some(Snapshots.changesFeed(spark, rightDir, aR, tipR))
       // classify the window: one O(|distinct change kinds|) action per
-      // moved side — the price of picking the cheap route safely
-      val kinds = (dLfeed.toSeq ++ dRfeed.toSeq)
-        .map(_.select("change_type").distinct()
+      // moved side — the price of picking the cheap route safely.
+      // `update` rows are validated PER SIDE: the side that carried
+      // them must have a declared merge key pinning the join keys and
+      // that side's RESIDENT group columns ([[upsertDetermined]] — the
+      // post-image then finds the hidden pre-image's pairs through the
+      // same other-side joins the delete route uses); the other
+      // side's contract is never consulted for rows it didn't carry.
+      def kindsOf(f: Option[DataFrame]): Set[String] =
+        f.map(_.select("change_type").distinct()
           .collect().map(_.getString(0)).toSet)
-        .foldLeft(Set.empty[String])(_ ++ _)
-      require(!kinds.contains("update"),
-        "join-view refresh needs invertible feeds: a post-only " +
-          "'update' row hides the retracted pair's join key — record " +
-          "merges with preImages = true")
+          .getOrElse(Set.empty)
+      val (kindsL, kindsR) = (kindsOf(dLfeed), kindsOf(dRfeed))
+      val kinds = kindsL ++ kindsR
+      Seq((kindsL, dLfeed, upsertKeyLeft, "left"),
+        (kindsR, dRfeed, upsertKeyRight, "right")).foreach {
+        case (ks, f, key, side) => if (ks.contains("update"))
+          upsertDetermined(key,
+            (joinKeys ++ d.groupCols.filter(
+              f.get.columns.contains)).distinct,
+            s"join-view refresh ($side side)")
+      }
       val dL = dLfeed.map(_.drop("change_type", "version"))
       val dR = dRfeed.map(_.drop("change_type", "version"))
       // every "delta ⋈ other side" term reads the other side through
@@ -1584,7 +1646,9 @@ object Views {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       maintainEvery: Int = 0,
-      keepVersions: Int = 1)
+      keepVersions: Int = 1,
+      upsertKeyLeft: Seq[String] = Nil,
+      upsertKeyRight: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val p = Snapshots.read(spark, s"$viewDir/params").collect().head
     val leftDir = p.getAs[String]("left_dir")
@@ -1599,7 +1663,7 @@ object Views {
     feed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyJoinStreamBatch(spark, viewDir, leftDir, rightDir, joinKeys,
-          batch, batchId)
+          batch, batchId, upsertKeyLeft, upsertKeyRight)
         maybeMaintain(spark, viewDir, batchId, maintainEvery, keepVersions)
       }
       .option("checkpointLocation", checkpointDir)
@@ -1610,7 +1674,9 @@ object Views {
   private def applyJoinStreamBatch(
       spark: SparkSession, viewDir: String,
       leftDir: String, rightDir: String, joinKeys: Seq[String],
-      batch: DataFrame, batchId: Long): Unit = {
+      batch: DataFrame, batchId: Long,
+      upsertKeyLeft: Seq[String] = Nil,
+      upsertKeyRight: Seq[String] = Nil): Unit = {
     batch.persist()
     try {
       val rowsDir = s"$viewDir/rows"
@@ -1626,13 +1692,11 @@ object Views {
           col("version") > aL)
         val freshR = batch.filter(col("_side") === "R" &&
           col("version") > aR)
-        val kinds = freshL.unionByName(freshR)
-          .select("change_type").distinct()
-          .collect().map(_.getString(0)).toSet
-        require(!kinds.contains("update"),
-          "streaming join-view maintenance needs invertible feeds: a " +
-            "post-only 'update' row hides the retracted pair's join " +
-            "key — record merges with preImages = true")
+        def kindsOf(f: DataFrame): Set[String] =
+          f.select("change_type").distinct()
+            .collect().map(_.getString(0)).toSet
+        val (kindsL, kindsR) = (kindsOf(freshL), kindsOf(freshR))
+        val kinds = kindsL ++ kindsR
         val bounds = Seq(freshL, freshR).map(
           _.agg(max("version")).head() match {
             case r if r.isNullAt(0) => None
@@ -1642,6 +1706,17 @@ object Views {
         val (tL, tR) = (bounds(0).getOrElse(aL), bounds(1).getOrElse(aR))
         val lCols = Snapshots.readVersion(spark, leftDir, tL).columns.toSeq
         val rCols = Snapshots.readVersion(spark, rightDir, tR).columns.toSeq
+        // `update` rows validated per carrying side, same contract as
+        // the batch refresh ([[upsertDetermined]]): digestible through
+        // the rescan when the declared merge key pins the join keys
+        // and the side's resident group columns; refused otherwise
+        Seq((kindsL, lCols, upsertKeyLeft, "left"),
+          (kindsR, rCols, upsertKeyRight, "right")).foreach {
+          case (ks, cols, key, side) => if (ks.contains("update"))
+            upsertDetermined(key,
+              (joinKeys ++ d.groupCols.filter(cols.contains)).distinct,
+              s"streaming join-view maintenance ($side side)")
+        }
         val dL = bounds(0).map(_ => freshL.select(lCols.map(col): _*))
         val dR = bounds(1).map(_ => freshR.select(rCols.map(col): _*))
         val aggRows = dropMeta(mv.filter(col("n_rows") > 0))
@@ -1741,7 +1816,8 @@ object Views {
   }
 
   private def applyStreamBatch(spark: SparkSession, viewDir: String,
-      srcDir: String, batch: DataFrame, batchId: Long): Unit = {
+      srcDir: String, batch: DataFrame, batchId: Long,
+      upsertKey: Seq[String] = Nil): Unit = {
     batch.persist()
     try {
       var attempt = 0
@@ -1767,24 +1843,30 @@ object Views {
         // maintainer's applyJoinStreamBatch does). Only post-only
         // `update` rows refuse (the row's previous group is genuinely
         // unrecoverable — record merges with preImages = true).
-        val next =
-          if (!d.hasRescanAggs)
-            applyDeltas(aggRows, fresh.drop("version"), d)
-          else {
-            val kinds = fresh.select("change_type").distinct()
+        val kinds =
+          if (d.hasRescanAggs || upsertKey.nonEmpty)
+            fresh.select("change_type").distinct()
               .collect().map(_.getString(0)).toSet
-            if (kinds.subsetOf(Set("insert")))
-              applyDeltas(aggRows, fresh.drop("version"), d)
-            else {
-              require(!kinds.contains("update"),
-                "streaming min/max view maintenance needs invertible " +
-                  "feeds: a post-only 'update' row hides the row's " +
-                  "previous group — record merges with preImages = true")
-              rescanTouched(aggRows, fresh.drop("version"),
-                readMatching(spark, srcDir, tip, fresh, d.groupCols,
-                  nullSafe = true), d)
-            }
-          }
+          else Set.empty[String]
+        val next =
+          if (kinds.contains("update")) {
+            // post-only `update` rows digest under the declared
+            // upsert contract via the same rescan-at-window-end the
+            // delete route runs ([[upsertDetermined]]); undeclared or
+            // underdetermined feeds refuse exactly as before
+            upsertDetermined(upsertKey, d.groupCols,
+              "streaming view maintenance")
+            rescanTouched(aggRows, fresh.drop("version"),
+              readMatching(spark, srcDir, tip, fresh, d.groupCols,
+                nullSafe = true), d)
+          } else if (!d.hasRescanAggs)
+            applyDeltas(aggRows, fresh.drop("version"), d)
+          else if (kinds.subsetOf(Set("insert")))
+            applyDeltas(aggRows, fresh.drop("version"), d)
+          else
+            rescanTouched(aggRows, fresh.drop("version"),
+              readMatching(spark, srcDir, tip, fresh, d.groupCols,
+                nullSafe = true), d)
         done = Snapshots.commitIfVersion(spark,
           withMeta(spark, next, d, math.max(applied, tip), batchId),
           viewDir, base, statsColumns = d.groupCols).nonEmpty

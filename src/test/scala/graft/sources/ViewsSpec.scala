@@ -1065,4 +1065,120 @@ class ViewsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Views.topkValues(spark, mv, "nope", 1))
   }
+
+  test("upsert contract: post-only update rows digest when the merge key pins the group") {
+    val src = tmp("upsrc"); val mv = tmp("upmv")
+    Snapshots.commit(spark, rows((1, "a", 10), (2, "b", 5)), src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"),
+      maxCols = Seq("v"))
+    // merge on (id, grp): the post-image's group IS the pre-image's
+    // group by construction — the contract's premise. One window
+    // mixing an upsert (1,a: 10→100), a fresh insert and a delete.
+    Snapshots.merge(spark, src, rows((1, "a", 100), (3, "a", 7)),
+      Seq("id", "grp"), recordChanges = true)
+    Snapshots.delete(spark, src, col("id") === 2, recordChanges = true)
+    // undeclared: the refusal survives verbatim
+    val e0 = intercept[Exception](Views.refreshView(spark, src, mv))
+    assert(e0.getMessage.contains("preImages"), e0.getMessage)
+    // underdetermined: a declared key that leaves grp loose refuses
+    // with the contract's own diagnosis
+    val e1 = intercept[Exception](
+      Views.refreshView(spark, src, mv, upsertKey = Seq("id")))
+    assert(e1.getMessage.contains("underdetermined"), e1.getMessage)
+    // determined: digested through the touched-group rescan — the
+    // upserted row's max shrinks/extends correctly and the delete
+    // empties b out
+    Views.refreshView(spark, src, mv, upsertKey = Seq("id", "grp"))
+    val got = Views.readView(spark, mv).collect()
+      .map(r => r.getString(r.fieldIndex("grp")) ->
+        ((r.getLong(r.fieldIndex("n_rows")),
+          r.getLong(r.fieldIndex("sum_v")),
+          r.getAs[Long]("max_v")))).toMap
+    assert(got === Map("a" -> ((2L, 107L, 100L))))
+    assert(Views.staleness(spark, src, mv) === 0L)
+  }
+
+  test("upsert contract: pure-delta view routes updates through the rescan (not the fold)") {
+    val src = tmp("udsrc"); val mv = tmp("udmv")
+    Snapshots.commit(spark, rows((1, "a", 10), (2, "b", 5)), src)
+    // sum-only view: no rescan aggs, so without the contract the
+    // delta fold would meet the update row and refuse at evaluation
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"))
+    Snapshots.merge(spark, src, rows((1, "a", 42)), Seq("id", "grp"),
+      recordChanges = true)
+    Views.refreshView(spark, src, mv, upsertKey = Seq("id", "grp"))
+    assert(viewMap(mv) === Map("a" -> ((1L, 42L)), "b" -> ((1L, 5L))))
+  }
+
+  test("upsert contract: join view digests a per-side upsert wave, refuses the loose side") {
+    import spark.implicits._
+    val l = tmp("ujl"); val r = tmp("ujr"); val v = tmp("ujv")
+    def lrows(p: (Long, String)*) = p.toSeq.toDF("id", "grp")
+    def rrows(p: (Long, Long)*) = p.toSeq.toDF("id", "v")
+    Snapshots.commit(spark, lrows((1, "a"), (2, "b")), l)
+    Snapshots.commit(spark, rrows((1, 10), (2, 5)), r)
+    Views.createJoinView(spark, l, r, v, Seq("id"), Seq("grp"),
+      sumCols = Seq("v"))
+    def state = Views.readJoinView(spark, v).collect()
+      .map(x => x.getString(x.fieldIndex("grp")) ->
+        (x.getLong(x.fieldIndex("n_rows")),
+          x.getLong(x.fieldIndex("sum_v")))).toMap
+    assert(state === Map("a" -> ((1L, 10L)), "b" -> ((1L, 5L))))
+    // RIGHT-side upsert on the join key alone: grp lives on the left,
+    // so the right side's needed set is just the join key — the
+    // post-image finds the same left rows the pre-image paired with
+    Snapshots.merge(spark, r, rrows((1, 99)), Seq("id"),
+      recordChanges = true)
+    val e0 = intercept[Exception](Views.refreshJoinView(spark, v))
+    assert(e0.getMessage.contains("preImages"), e0.getMessage)
+    Views.refreshJoinView(spark, v, upsertKeyRight = Seq("id"))
+    assert(state === Map("a" -> ((1L, 99L)), "b" -> ((1L, 5L))))
+    // LEFT-side upsert: grp is resident on the left, so a merge key
+    // of just (id) is underdetermined — it could have moved the row's
+    // group; (id, grp) pins it and digests
+    Snapshots.merge(spark, l, lrows((2, "b")), Seq("id"),
+      recordChanges = true)
+    val e1 = intercept[Exception](
+      Views.refreshJoinView(spark, v, upsertKeyLeft = Seq("id")))
+    assert(e1.getMessage.contains("underdetermined"), e1.getMessage)
+    Views.refreshJoinView(spark, v, upsertKeyLeft = Seq("id", "grp"))
+    assert(state === Map("a" -> ((1L, 99L)), "b" -> ((1L, 5L))))
+  }
+
+  test("upsert contract: streaming maintainers digest upsert waves in-stream") {
+    import spark.implicits._
+    // single-table maintainer with a max column (rescan family)
+    val src = tmp("ussrc"); val mv = tmp("usmv")
+    val ckpt = tmp("usck")
+    Snapshots.commit(spark, rows((1, "a", 10), (2, "b", 5)), src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"),
+      maxCols = Seq("v"))
+    Snapshots.merge(spark, src, rows((1, "a", 3), (3, "b", 8)),
+      Seq("id", "grp"), recordChanges = true)
+    Views.streamRefreshView(spark, src, mv, ckpt,
+      upsertKey = Seq("id", "grp")).awaitTermination()
+    val got = Views.readView(spark, mv).collect()
+      .map(r => r.getString(r.fieldIndex("grp")) ->
+        ((r.getLong(r.fieldIndex("sum_v")),
+          r.getAs[Long]("max_v")))).toMap
+    // the upsert SHRANK a's max from 10 to 3: only the rescan can
+    assert(got === Map("a" -> ((3L, 3L)), "b" -> ((13L, 8L))))
+    // join maintainer: an upsert wave on the right (key = join key)
+    val l = tmp("usjl"); val r = tmp("usjr"); val v = tmp("usjv")
+    val jck = tmp("usjck")
+    def lrows(p: (Long, String)*) = p.toSeq.toDF("id", "grp")
+    def rrows(p: (Long, Long)*) = p.toSeq.toDF("id", "v")
+    Snapshots.commit(spark, lrows((1, "a"), (2, "b")), l)
+    Snapshots.commit(spark, rrows((1, 10), (2, 5)), r)
+    Views.createJoinView(spark, l, r, v, Seq("id"), Seq("grp"),
+      sumCols = Seq("v"))
+    Snapshots.merge(spark, r, rrows((1, 99), (3, 1)), Seq("id"),
+      recordChanges = true)
+    Views.streamRefreshJoinView(spark, v, jck,
+      upsertKeyRight = Seq("id")).awaitTermination()
+    val jgot = Views.readJoinView(spark, v).collect()
+      .map(x => x.getString(x.fieldIndex("grp")) ->
+        x.getLong(x.fieldIndex("sum_v"))).toMap
+    assert(jgot === Map("a" -> 99L, "b" -> 5L))
+  }
 }
