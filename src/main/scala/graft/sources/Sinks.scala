@@ -116,6 +116,8 @@ object Sinks {
   private lazy val mvJaOrdDir: String = scratch("graft-mv-ja-ord")
   private lazy val mvJaLiDir: String = scratch("graft-mv-ja-li")
   private lazy val mvJaViewDir: String = scratch("graft-mv-ja-view")
+  private lazy val mvUpSrcDir: String = scratch("graft-mv-up-src")
+  private lazy val mvUpViewDir: String = scratch("graft-mv-up-view")
   private lazy val appendSrcDir: String = scratch("graft-append-src")
   private lazy val appendViewDir: String = scratch("graft-append-view")
 
@@ -1403,6 +1405,55 @@ object Sinks {
       .orderBy("lang")
   }
 
+  /** The UPSERT CONTRACT on a single-table view (r16): a post-only
+    * merge — `recordChanges = true` WITHOUT pre-images, the compact
+    * feed every CDC producer emits by default — lands a wave of bare
+    * `update` rows that pre-r16 refused outright. Declaring the merge
+    * key the upserts used (`upsertKey = (doc_id, lang)`) lets the
+    * refresh PROVE the post-image determines the hidden pre-image's
+    * group (lang is part of the key, so pre and post agree on it
+    * bitwise) and digest the wave through the same touched-group
+    * rescan deletes take; the window here mixes the upsert wave with
+    * a delete wave, so one refresh exercises rescan-under-both. The
+    * view carries a MAX column deliberately: the upsert wave RAISES
+    * some group maxima and the delete wave can SHRINK them — states
+    * only a recompute route can reach. The oracle replays the final
+    * state in SQL (band %10=3 bumped, %10=7 deleted) and recomputes
+    * count/sum/max from scratch; `incremental_ok` pins that the whole
+    * lifecycle cost exactly one refresh commit and left zero
+    * staleness. ViewsSpec pins the refusals (undeclared and
+    * underdetermined keys) this entry's green path must not weaken.
+    */
+  private def snapshotMvUpsert(s: SparkSession, d: String): DataFrame = {
+    clearDir(s, mvUpSrcDir); clearDir(s, mvUpViewDir)
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .filter(col("doc_id") < 900)
+    Snapshots.commit(s, docs, mvUpSrcDir)
+    Views.createView(s, mvUpSrcDir, mvUpViewDir, Seq("lang"),
+      sumCols = Seq("n_chars"), maxCols = Seq("n_chars"))
+    // the upsert wave: %10=3 band re-merged with +500 chars, POST-ONLY
+    Snapshots.merge(s, mvUpSrcDir,
+      docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("n_chars", col("n_chars") + 500),
+      Seq("doc_id", "lang"), recordChanges = true)
+    // the delete wave in the SAME stale window
+    Snapshots.delete(s, mvUpSrcDir, col("doc_id") % 10 === 7,
+      recordChanges = true)
+    val v = Views.refreshView(s, mvUpSrcDir, mvUpViewDir,
+      upsertKey = Seq("doc_id", "lang"))
+    val ok =
+      if (v == 2L && Views.staleness(s, mvUpSrcDir, mvUpViewDir) == 0L) 1L
+      else 0L
+    Views.readView(s, mvUpViewDir)
+      .select(col("lang"), col("n_rows").as("n_docs"),
+        col("sum_n_chars").as("sum_chars"),
+        col("max_n_chars").as("max_chars"))
+      .withColumn("incremental_ok", lit(ok))
+      .orderBy("lang")
+  }
+
   /** Approximate COUNT DISTINCT as a maintained view column: the view
     * row carries per-group HLL register maps (the repo's md5-60/1024-
     * register arithmetic), merged as register-max deltas through an
@@ -1994,6 +2045,7 @@ object Sinks {
     "q_snapshot_mv_join_stream" -> (snapshotMvJoinStream _),
     "q_snapshot_mv_join_rescan" -> (snapshotMvJoinRescan _),
     "q_snapshot_mv_refresh" -> (snapshotMvRefresh _),
+    "q_snapshot_mv_upsert" -> (snapshotMvUpsert _),
     "q_snapshot_mv_distinct" -> (snapshotMvDistinct _),
     "q_snapshot_mv_quantile" -> (snapshotMvQuantile _),
     "q_snapshot_mv_var" -> (snapshotMvVar _),
@@ -2135,6 +2187,21 @@ object Sinks {
         |    ELSE n_chars END) AS BIGINT) AS sum_chars,
         |  CAST(1 AS BIGINT) AS incremental_ok
         |FROM documents WHERE doc_id < 600 AND doc_id % 10 <> 7
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the upsert contract end-to-end: a POST-ONLY merge (no
+    // pre-images) bumps the %10=3 band by +500 and a delete drops
+    // %10=7 in the same window; the declared merge key (doc_id, lang)
+    // lets the refresh digest both through the touched-group rescan —
+    // the oracle recomputes count/sum/MAX from the replayed final
+    // state (max pins the recompute route: deltas cannot shrink it)
+    "q_snapshot_mv_upsert" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars + CASE WHEN doc_id % 10 = 3 THEN 500
+        |    ELSE 0 END) AS BIGINT) AS sum_chars,
+        |  CAST(MAX(n_chars + CASE WHEN doc_id % 10 = 3 THEN 500
+        |    ELSE 0 END) AS BIGINT) AS max_chars,
+        |  CAST(1 AS BIGINT) AS incremental_ok
+        |FROM documents WHERE doc_id < 900 AND doc_id % 10 <> 7
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // HLL distinct columns on the view: the estimator is replayed
     // EXACTLY (same integer register arithmetic as the sketch family,
