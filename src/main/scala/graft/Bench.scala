@@ -146,6 +146,13 @@ object Bench {
     // one more run at the very end; whatever still exceeds the gate is
     // reported in-band under `vs_history` instead of masquerading as a
     // regression.
+    // 3-decimal values keep every emitted line compact, and
+    // Locale.ROOT keeps them valid JSON on comma-decimal locales
+    // (an f-interpolator would render 0,314 under de_DE and corrupt
+    // both the history file and the vs_history fragment)
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val histPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_HISTORY", "graft_bench_history.json")
     val history: Map[String, Double] =
@@ -184,7 +191,7 @@ object Bench {
         n -> s }
     val vsHistory = {
       val top = overHistory.sortBy(-_._2).take(5)
-        .map { case (n, s) => "\"" + n + "\":" + f"$s%.3f" }
+        .map { case (n, s) => "\"" + n + "\":" + fmt(s) }
         .mkString("{", ",", "}")
       s""""vs_history":{"n":${overHistory.size},"over":$top}"""
     }
@@ -198,16 +205,13 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(histPath),
       s"""{"sf":"$sfDir","queries":${mergedHist.map { case (n, s) =>
-        "\"" + n + "\":" + f"$s%.3f" }.mkString("{", ",", "}")}}""" + "\n")
+        "\"" + n + "\":" + fmt(s) }.mkString("{", ",", "}")}}""" + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] history write failed ($histPath): $e")
     }
-    // 3-decimal values keep the line compact: the driver captures only a
-    // bounded output tail, and r03's full-precision 66-entry line got its
-    // head truncated past the capture window -> unparseable bench.
-    def fmt(v: Double): String =
-      if (v < 0) "-1"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // (fmt hoisted above the history block: the driver captures only a
+    // bounded output tail, and r03's full-precision 66-entry line got
+    // its head truncated past the capture window -> unparseable bench)
     // one self-describing line per memoized build, ahead of the totals
     setups.foreach { case (name, sec) =>
       println(s"""{"metric":"$name","value":${fmt(sec)},"unit":"sec","sf":"$sfDir"}""")

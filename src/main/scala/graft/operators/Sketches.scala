@@ -679,32 +679,37 @@ object Sketches {
   val CmRows = 4
   val CmWidth = 1024
 
-  /** The 4 FLATTENED cell keys (`i·1024 + j`) a value hashes to —
-    * the same md5-60 / four-10-bit-projection law as [[cmCounters]]
-    * and [[cmEstimates]], exposed so the view layer's `cm_<c>` cell
-    * maps share ONE arithmetic definition with the sketch family
-    * (a drift between two spellings would silently break the DuckDB
-    * oracle's replay). */
-  private[graft] def cmCellKeys(value: Column): Column = {
-    val h = conv(substring(md5(value.cast("binary")), 1, 15), 16, 10)
+  /** The count-min hash: md5-60 as one long, four 10-bit projections
+    * below. EVERY spelling of the cell law derives from this pair of
+    * helpers — a drift between two spellings would silently break
+    * the DuckDB oracle's replay and the view layer's cell maps. */
+  private def cmHash(value: Column): Column =
+    conv(substring(md5(value.cast("binary")), 1, 15), 16, 10)
       .cast("long")
+
+  /** The 4 `(i, j)` cell structs a hashed value projects to. */
+  private def cmCellStructs(h: Column): Column =
     array((0 until CmRows).map { i =>
-      shiftright(h, 10 * i).bitwiseAND(lit((CmWidth - 1).toLong)) +
-        lit(i.toLong * CmWidth)
+      struct(lit(i).as("i"),
+        shiftright(h, 10 * i)
+          .bitwiseAND(lit((CmWidth - 1).toLong)).cast("int").as("j"))
     }: _*)
-  }
+
+  /** The 4 FLATTENED cell keys (`i·1024 + j`) a value hashes to —
+    * [[cmCellStructs]] flattened, exposed so the view layer's
+    * `cm_<c>` cell maps share the ONE arithmetic definition with
+    * [[cmCounters]] and [[cmEstimates]]. */
+  private[graft] def cmCellKeys(value: Column): Column =
+    transform(cmCellStructs(cmHash(value)),
+      c => c.getField("i").cast("long") * lit(CmWidth.toLong) +
+        c.getField("j").cast("long"))
 
   /** Sparse count-min counters: one row per non-empty cell,
     * `(groupCols…, i, j, cnt)`. */
   def cmCounters(
       df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
-    val h = conv(substring(md5(value.cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-    val cells = array((0 until CmRows).map { i =>
-      struct(lit(i).as("i"),
-        shiftright(col("h"), 10 * i)
-          .bitwiseAND(lit((CmWidth - 1).toLong)).cast("int").as("j"))
-    }: _*)
+    val h = cmHash(value)
+    val cells = cmCellStructs(col("h"))
     df.select(groupCols.map(col) :+ h.as("h"): _*)
       .select(groupCols.map(col) :+ explode(cells).as("c"): _*)
       .select(groupCols.map(col) :+ col("c.i") :+ col("c.j"): _*)
@@ -736,13 +741,8 @@ object Sketches {
     val collapsed = counters
       .groupBy((groupCols :+ "i" :+ "j").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
-    val h = conv(substring(md5(value.cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-    val cells = array((0 until CmRows).map { i =>
-      struct(lit(i).as("i"),
-        shiftright(col("h"), 10 * i)
-          .bitwiseAND(lit((CmWidth - 1).toLong)).cast("int").as("j"))
-    }: _*)
+    val h = cmHash(value)
+    val cells = cmCellStructs(col("h"))
     val keyed = probes
       .select(gcols :+ value.cast("string").as("v") :+ h.as("h"): _*)
     val deduped = if (carryCols.isEmpty) keyed.distinct() else keyed

@@ -136,7 +136,14 @@ object Views {
     // non-null-count state: recognized only as a PAIR with a
     // maintained sum/var measure AND by LongType — a legacy view's
     // scalar group column that happens to start with cnt_ but names
-    // no measure stays a group column
+    // no measure stays a group column. KNOWN RESIDUAL HAZARD: a
+    // pre-r16 view whose group column was literally `cnt_<m>` for a
+    // measure <m> it ALSO summed is indistinguishable from r16 state
+    // (same name, same LongType) and would reparse as the non-null
+    // count — no in-band marker can separate them after the fact.
+    // Such views must be rebuilt; every r16+ create refuses the name
+    // up front (reservedGroupNames), so the exposure is closed going
+    // forward.
     def isCnt(c: String) = c.startsWith("cnt_") &&
       types(c) == LongType &&
       (sumCols ++ varCols).contains(c.stripPrefix("cnt_"))
