@@ -124,6 +124,35 @@ object MvJoinSweep {
       println(f"n=$n%9d rescan_refresh=${rescanSec}%6.2f s" +
         f"  pruned_left=$prunedLeftFiles/$lTotal" +
         f"  pruned_right=$rescanRightFiles/${rightFiles + 1}")
+      // UPSERT WINDOW (r16) — post-only `update` rows on the RIGHT
+      // under the declared-key contract (the merge key IS the join
+      // key and no group column is resident on the right, so the
+      // post-image determines the touched groups). Replace the 4
+      // lines of 128 surviving trailing orders with v bumped +1000:
+      // the window digests through the SAME rescanJoinTouched route
+      // as the delete window above — flat across n while a recompute
+      // grows — and the sum moves by exactly 512·1000 (the pin that
+      // the old lines were RETRACTED, not double-counted).
+      val sumBefore = Views.readJoinView(spark, v)
+        .agg(sum("sum_v")).head().getLong(0)
+      Snapshots.merge(spark, r,
+        spark.range(4 * (n + 256), 4 * (n + 384)).select(
+          floor(col("id") / 4).cast("long").as("id"),
+          ((col("id") % 1000) + 1000L).as("v")).coalesce(1),
+        Seq("id"), recordChanges = true,
+        statsColumns = Seq("id"), scoped = true)
+      val (_, upsertSec) = timed(Views.refreshJoinView(spark, v,
+        upsertKeyRight = Seq("id")))
+      val rows3 = Views.readJoinView(spark, v)
+        .agg(sum("n_rows")).head().getLong(0)
+      require(rows3 == rows2,
+        s"upsert changed cardinality: $rows3 vs $rows2")
+      val sumAfter = Views.readJoinView(spark, v)
+        .agg(sum("sum_v")).head().getLong(0)
+      require(sumAfter - sumBefore == 512L * 1000L,
+        s"upsert sum drift: ${sumAfter - sumBefore} vs ${512L * 1000L}")
+      println(f"n=$n%9d upsert_refresh=${upsertSec}%6.2f s" +
+        "  (post-only updates via declared-key rescan)")
     }
     spark.stop()
   }
