@@ -1561,7 +1561,20 @@ object Sinks {
       Seq("doc_id"), recordChanges = true, preImages = true)
     Snapshots.delete(s, mvStSrcDir, col("doc_id") % 10 === 3,
       recordChanges = true)
-    Views.streamRefreshView(s, mvStSrcDir, mvStViewDir, mvStCkptDir)
+    // the UPSERT wave (r16): the %10=6 band re-merged with +77 chars,
+    // POST-ONLY (no pre-images — the compact CDC feed); digestible
+    // in-stream because the declared merge key (doc_id, lang) pins
+    // the group column, so the post-image names the hidden
+    // pre-image's group and the same rescan the delete wave takes
+    // covers it — the single-table streaming sibling of the join
+    // maintainer's upsert wave
+    Snapshots.merge(s, mvStSrcDir,
+      docs.filter(col("doc_id") < 500 && col("doc_id") % 10 === 6)
+        .withColumn("n_chars", col("n_chars") +
+          when(col("doc_id") >= 200, 1077L).otherwise(77L)),
+      Seq("doc_id", "lang"), recordChanges = true)
+    Views.streamRefreshView(s, mvStSrcDir, mvStViewDir, mvStCkptDir,
+      upsertKey = Seq("doc_id", "lang"))
       .awaitTermination()
     val ok = if (Views.staleness(s, mvStSrcDir, mvStViewDir) == 0L) 1L else 0L
     Views.readView(s, mvStViewDir)
@@ -2435,14 +2448,16 @@ object Sinks {
         |FROM final WHERE n_chars <= 1400
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // streamed maintenance equals the whole-history recompute: inserts
-    // <300, bump [200,499] (inserting 300-499), delete doc_id%10=3 —
-    // now with MIN/MAX riding the drain (r16): the retraction wave
-    // digests through the maintainer's in-stream touched-group rescan,
-    // so per-group extrema must equal the final-state recompute
+    // <300, bump [200,499] (inserting 300-499), delete doc_id%10=3,
+    // then a POST-ONLY upsert of the %10=6 band (+77, declared-key
+    // contract) — MIN/MAX ride the drain (r16): retraction AND upsert
+    // waves digest through the maintainer's in-stream touched-group
+    // rescan, so per-group extrema must equal the final-state recompute
     "q_snapshot_mv_stream" ->
       """WITH fin AS (
         |  SELECT lang, CASE WHEN doc_id >= 200 THEN n_chars + 1000
-        |    ELSE n_chars END AS n_chars
+        |    ELSE n_chars END +
+        |    CASE WHEN doc_id % 10 = 6 THEN 77 ELSE 0 END AS n_chars
         |  FROM documents WHERE doc_id < 500 AND doc_id % 10 <> 3)
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -9,7 +9,9 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 /** Model-based ScalaCheck law for incremental view maintenance: any
   * random interleaving of pre-imaged MERGEs (inserts AND updates —
   * updates that move rows between groups included, since grp derives
-  * from the updated value), range DELETEs, and REFRESHes against a
+  * from the updated value), POST-ONLY upserts under the r16
+  * declared-key contract (group-preserving by construction — the
+  * contract's premise), range DELETEs, and REFRESHes against a
   * snapshotted source must keep BOTH maintained views — the pure-delta
   * count/sum view and the touched-group-rescan min/max view — equal to
   * a trivial in-memory model's rollup at every refresh point. This is
@@ -24,6 +26,11 @@ class ViewsModelSpec extends SparkSpec {
 
   private sealed trait Op
   private case class MergeOp(rows: Map[Long, Long]) extends Op
+  // a POST-ONLY merge (no pre-images) on key (id, grp) — the r16
+  // upsert contract's model op; rows are re-aimed at apply time so an
+  // existing id keeps its group (the contract's premise: the merge
+  // key pins every group column, so pre and post agree on grp)
+  private case class UpsertOp(rows: Map[Long, Long]) extends Op
   private case class DeleteOp(lo: Long, hi: Long) extends Op
   private case object RefreshOp extends Op
 
@@ -35,6 +42,7 @@ class ViewsModelSpec extends SparkSpec {
 
   private val genOp: Gen[Op] = Gen.frequency(
     4 -> genRows.map(MergeOp),
+    2 -> genRows.map(UpsertOp),
     2 -> Gen.zip(Gen.chooseNum(0L, 25L), Gen.chooseNum(0L, 8L))
       .map { case (lo, w) => DeleteOp(lo, lo + w) },
     3 -> Gen.const(RefreshOp))
@@ -191,9 +199,21 @@ class ViewsModelSpec extends SparkSpec {
   private sealed trait JOp
   private case class MergeLeftOp(rows: Map[Long, Long]) extends JOp
   private case class MergeRightOp(rows: Map[Long, (Long, Long)]) extends JOp
+  // POST-ONLY right-side merge on key (rid, id) — the r16 upsert
+  // contract's join op: the merge key carries the join key, and no
+  // group column is resident on the right, so the post-image
+  // determines the touched groups; an existing rid keeps its id at
+  // apply time (the contract's premise)
+  private case class UpsertRightOp(rows: Map[Long, (Long, Long)]) extends JOp
   private case class DeleteLeftOp(lo: Long, hi: Long) extends JOp
   private case class DeleteRightOp(lo: Long, hi: Long) extends JOp
   private case object JRefreshOp extends JOp
+
+  private val genJRightRows: Gen[Map[Long, (Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 8)
+    trips <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 30L),
+      Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 99L)))
+  } yield trips.map { case (rid, id, v) => rid -> ((id, v)) }.toMap
 
   private val genJOp: Gen[JOp] = Gen.frequency(
     3 -> (for {
@@ -201,12 +221,8 @@ class ViewsModelSpec extends SparkSpec {
       pairs <- Gen.listOfN(n,
         Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 99L)))
     } yield MergeLeftOp(pairs.toMap)),
-    3 -> (for {
-      n <- Gen.chooseNum(1, 8)
-      trips <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 30L),
-        Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 99L)))
-    } yield MergeRightOp(
-      trips.map { case (rid, id, v) => rid -> ((id, v)) }.toMap)),
+    3 -> genJRightRows.map(MergeRightOp),
+    2 -> genJRightRows.map(UpsertRightOp),
     1 -> Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 4L))
       .map { case (lo, w) => DeleteLeftOp(lo, lo + w) },
     1 -> Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 8L))
@@ -251,6 +267,13 @@ class ViewsModelSpec extends SparkSpec {
           rm = rm ++ rows
           Snapshots.merge(spark, r, rDf(rows), Seq("rid"),
             recordChanges = true, preImages = true)
+        case UpsertRightOp(rows) =>
+          // an existing rid keeps its join key; fresh rids insert
+          val adj = rows.map { case (rid, (id, v)) =>
+            rid -> ((rm.get(rid).map(_._1).getOrElse(id), v)) }
+          rm = rm ++ adj
+          Snapshots.merge(spark, r, rDf(adj), Seq("rid", "id"),
+            recordChanges = true)
         case DeleteLeftOp(lo, hi) =>
           lm = lm.filterNot { case (id, _) => id >= lo && id <= hi }
           Snapshots.delete(spark, l, col("id").between(lo, hi),
@@ -260,7 +283,8 @@ class ViewsModelSpec extends SparkSpec {
           Snapshots.delete(spark, r, col("rid").between(lo, hi),
             recordChanges = true)
         case JRefreshOp =>
-          Views.refreshJoinView(spark, v)
+          Views.refreshJoinView(spark, v,
+            upsertKeyRight = Seq("rid", "id"))
           val got = Views.readJoinView(spark, v).collect().map { x =>
             x.getString(x.fieldIndex("grp")) ->
               ((x.getLong(x.fieldIndex("n_rows")),
@@ -307,15 +331,28 @@ class ViewsModelSpec extends SparkSpec {
           model = model ++ rows
           Snapshots.merge(spark, src, toDf(rows), Seq("id"),
             recordChanges = true, preImages = true)
+        case UpsertOp(rows) =>
+          // grp derives from v % 3, so keep an existing id's residue:
+          // the post-only feed then satisfies the declared-key
+          // contract (grp bitwise-equal between hidden pre and
+          // visible post), while fresh ids insert as-is
+          val adj = rows.map { case (id, v) =>
+            id -> model.get(id)
+              .map(old => v - (v % 3) + (old % 3)).getOrElse(v) }
+          model = model ++ adj
+          Snapshots.merge(spark, src, toDf(adj), Seq("id", "grp"),
+            recordChanges = true)
         case DeleteOp(lo, hi) =>
           model = model.filterNot { case (id, _) => id >= lo && id <= hi }
           Snapshots.delete(spark, src, col("id").between(lo, hi),
             recordChanges = true)
         case RefreshOp =>
-          Views.refreshView(spark, src, dv)
-          Views.refreshView(spark, src, mm)
-          Views.refreshView(spark, src, qv)
-          Views.refreshView(spark, src, tv)
+          // the declared key makes post-only upsert windows digest;
+          // windows without update rows route exactly as before
+          Views.refreshView(spark, src, dv, upsertKey = Seq("id", "grp"))
+          Views.refreshView(spark, src, mm, upsertKey = Seq("id", "grp"))
+          Views.refreshView(spark, src, qv, upsertKey = Seq("id", "grp"))
+          Views.refreshView(spark, src, tv, upsertKey = Seq("id", "grp"))
           val want = rollup(model)
           ok = ok && viewState(dv, minmax = false) == zeroMinMax(want) &&
             viewState(mm, minmax = true) == want &&
