@@ -602,6 +602,27 @@ object Snapshots {
     }
   }
 
+  /** The merge key version `v`'s post-only CDC merge recorded
+    * (`_update_key` sidecar, written by every `recordChanges` merge
+    * without pre-images since r16) -- ground truth for the Views
+    * upsert contract. None for commits that predate the sidecar or
+    * whose feeds cannot carry post-only `update` rows (pre-imaged
+    * merges, plain commits, deletes). */
+  private[sources] def recordedUpdateKey(
+      spark: SparkSession,
+      tableDir: String,
+      v: Long): Option[Seq[String]] = {
+    val ctx = fc(spark)
+    val p = new Path(s"$tableDir/snap-$v/_update_key")
+    if (!ctx.util().exists(p)) None
+    else {
+      val in = ctx.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .split(",").toSeq)
+      finally in.close()
+    }
+  }
+
   /** Present a physical-named frame under its logical names.
     * Order-preserving (columns keep the frame's order; unmapped columns
     * — feed markers, provenance columns, schema-evolution additions —
@@ -746,7 +767,12 @@ object Snapshots {
       columnMap: Option[DataFrame] = None,
       // override of the expectation list this snapshot publishes and
       // enforces; None = inherit the base's ([[dropExpectation]] sets it)
-      expectations: Option[Seq[(String, String)]] = None)
+      expectations: Option[Seq[(String, String)]] = None,
+      // the merge key a post-only CDC merge used (`_update_key`
+      // sidecar): ground truth for the Views upsert contract --
+      // downstream incremental consumers verify the key actually
+      // used instead of trusting a caller's declaration
+      updateKey: Option[Seq[String]] = None)
 
   /** A write whose staged rows violate a table expectation. The staging
     * directory is already cleaned up when this reaches the caller — a
@@ -1020,6 +1046,19 @@ object Snapshots {
           org.apache.hadoop.fs.CreateFlag.OVERWRITE))
       try out.write(commitMillis.getOrElse(System.currentTimeMillis())
         .toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // the merge key this commit's post-only `update` feed rows used
+    // (`_update_key` sidecar): tiny driver-side text write, atomic
+    // with the claim like every sidecar. Recorded under the LOGICAL
+    // names the merge was issued with (same space the consumer's
+    // group/join columns live in).
+    sidecars.updateKey.foreach { k =>
+      val ctx = fc(spark)
+      val out = ctx.create(new Path(stageDir, "_update_key"),
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(k.mkString(",").getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
     if (expectations.nonEmpty) {
@@ -2377,7 +2416,8 @@ object Snapshots {
       }
       if (!scoped) {
         val merged = cur.join(ups, key, "left_anti").unionByName(ups)
-        (merged, Sidecars(changes = feed))
+        (merged, Sidecars(changes = feed,
+          updateKey = if (recordChanges && !preImages) Some(key) else None))
       } else {
         val snapDir = s"$tableDir/snap-$base"
         require(fc(spark).util().exists(new Path(manifestDir(snapDir))),
@@ -2433,6 +2473,7 @@ object Snapshots {
             .getOrElse(cur.limit(0))
         val merged = touchedRows.join(updates, key, "left_anti").unionByName(updates)
         (merged, Sidecars(changes = feed,
+          updateKey = if (recordChanges && !preImages) Some(key) else None,
           refs = Some(untouchedSel.select(col("file").as("path"))),
           carriedManifest = Some(untouchedSel)))
       }

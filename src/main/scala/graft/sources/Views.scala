@@ -794,6 +794,43 @@ object Views {
         "preImages = true or merge on a key that pins them")
   }
 
+  /** [[upsertDetermined]] upgraded with GROUND TRUTH: since r16 every
+    * post-only `recordChanges` merge records the key it actually used
+    * (`Snapshots.recordedUpdateKey`, the `_update_key` sidecar), so
+    * for each window version carrying `update` rows the contract is
+    * checked against the RECORDED key — a declaration claiming more
+    * than the merge pinned is caught loudly instead of trusted.
+    * Feeds predating the sidecar fall back to the declared key (the
+    * original trust boundary, now confined to legacy commits). The
+    * declaration stays the OPT-IN either way: with none, the refusal
+    * is byte-for-byte the undeclared one — classification (and this
+    * check) are never paid on the undeclared fast path. */
+  private def upsertWindowVerified(
+      spark: SparkSession, srcDir: String, feed: DataFrame,
+      declared: Seq[String], needed: Seq[String], what: String): Unit = {
+    upsertDetermined(declared, Nil, what) // the opt-in gate
+    val vers = feed.filter(col("change_type") === "update")
+      .select("version").distinct().collect().map(_.getLong(0)).sorted
+    vers.foreach { v =>
+      Snapshots.recordedUpdateKey(spark, srcDir, v) match {
+        case Some(k) =>
+          val loose = needed.filterNot(k.contains)
+          require(loose.isEmpty,
+            s"$what: version $v of $srcDir merged on recorded key " +
+              s"${k.mkString(", ")}, which leaves " +
+              s"${loose.mkString(", ")} underdetermined (the declaration " +
+              s"${declared.mkString(", ")} does not override ground " +
+              "truth) — a post-only 'update' row may have moved the " +
+              "row across groups; record merges with preImages = true " +
+              "or merge on a key that pins them")
+        case None =>
+          upsertDetermined(declared, needed,
+            s"$what (version $v of $srcDir predates the recorded-" +
+              "merge-key sidecar; verifying the declaration instead)")
+      }
+    }
+  }
+
   /** Apply one batch of feed rows to the view's group rows as pure
     * deltas. Throws on a post-only `update` row (not invertible) and on
     * any group whose maintained count would go negative (a feed that
@@ -1178,13 +1215,15 @@ object Views {
       val next =
         if (kinds.contains("update")) {
           // post-only `update` rows: digestible ONLY under the
-          // declared upsert contract ([[upsertDetermined]] — the
-          // merge key must pin every group column, so the post-image
-          // names the hidden pre-image's group); then the touched-
-          // group rescan recomputes from the tip exactly as it does
-          // for deletes — sound for EVERY aggregate family, delta-
-          // invertible or not, because the rescan never inverts.
-          upsertDetermined(upsertKey, d.groupCols, "view refresh")
+          // declared upsert contract ([[upsertWindowVerified]] — the
+          // merge key, RECORDED ground truth where available, must
+          // pin every group column, so the post-image names the
+          // hidden pre-image's group); then the touched-group rescan
+          // recomputes from the tip exactly as it does for deletes —
+          // sound for EVERY aggregate family, delta-invertible or
+          // not, because the rescan never inverts.
+          upsertWindowVerified(spark, srcDir, feed, upsertKey,
+            d.groupCols, "view refresh")
           rescanTouched(aggRows, feed,
             readMatching(spark, srcDir, tip, feed, d.groupCols,
               nullSafe = true), d)
@@ -1565,10 +1604,10 @@ object Views {
           .getOrElse(Set.empty)
       val (kindsL, kindsR) = (kindsOf(dLfeed), kindsOf(dRfeed))
       val kinds = kindsL ++ kindsR
-      Seq((kindsL, dLfeed, upsertKeyLeft, "left"),
-        (kindsR, dRfeed, upsertKeyRight, "right")).foreach {
-        case (ks, f, key, side) => if (ks.contains("update"))
-          upsertDetermined(key,
+      Seq((kindsL, dLfeed, leftDir, upsertKeyLeft, "left"),
+        (kindsR, dRfeed, rightDir, upsertKeyRight, "right")).foreach {
+        case (ks, f, dir, key, side) => if (ks.contains("update"))
+          upsertWindowVerified(spark, dir, f.get, key,
             (joinKeys ++ d.groupCols.filter(
               f.get.columns.contains)).distinct,
             s"join-view refresh ($side side)")
@@ -1714,13 +1753,15 @@ object Views {
         val lCols = Snapshots.readVersion(spark, leftDir, tL).columns.toSeq
         val rCols = Snapshots.readVersion(spark, rightDir, tR).columns.toSeq
         // `update` rows validated per carrying side, same contract as
-        // the batch refresh ([[upsertDetermined]]): digestible through
-        // the rescan when the declared merge key pins the join keys
-        // and the side's resident group columns; refused otherwise
-        Seq((kindsL, lCols, upsertKeyLeft, "left"),
-          (kindsR, rCols, upsertKeyRight, "right")).foreach {
-          case (ks, cols, key, side) => if (ks.contains("update"))
-            upsertDetermined(key,
+        // the batch refresh ([[upsertWindowVerified]] — recorded keys
+        // are ground truth): digestible through the rescan when the
+        // merge key pins the join keys and the side's resident group
+        // columns; refused otherwise
+        Seq((kindsL, freshL, lCols, leftDir, upsertKeyLeft, "left"),
+          (kindsR, freshR, rCols, rightDir, upsertKeyRight, "right"))
+          .foreach {
+          case (ks, f, cols, dir, key, side) => if (ks.contains("update"))
+            upsertWindowVerified(spark, dir, f, key,
               (joinKeys ++ d.groupCols.filter(cols.contains)).distinct,
               s"streaming join-view maintenance ($side side)")
         }
@@ -1859,10 +1900,11 @@ object Views {
           if (kinds.contains("update")) {
             // post-only `update` rows digest under the declared
             // upsert contract via the same rescan-at-window-end the
-            // delete route runs ([[upsertDetermined]]); undeclared or
-            // underdetermined feeds refuse exactly as before
-            upsertDetermined(upsertKey, d.groupCols,
-              "streaming view maintenance")
+            // delete route runs ([[upsertWindowVerified]] — recorded
+            // keys are ground truth); undeclared or underdetermined
+            // feeds refuse exactly as before
+            upsertWindowVerified(spark, srcDir, fresh, upsertKey,
+              d.groupCols, "streaming view maintenance")
             rescanTouched(aggRows, fresh.drop("version"),
               readMatching(spark, srcDir, tip, fresh, d.groupCols,
                 nullSafe = true), d)

@@ -1077,18 +1077,14 @@ class ViewsSpec extends SparkSpec {
     Snapshots.merge(spark, src, rows((1, "a", 100), (3, "a", 7)),
       Seq("id", "grp"), recordChanges = true)
     Snapshots.delete(spark, src, col("id") === 2, recordChanges = true)
-    // undeclared: the refusal survives verbatim
+    // undeclared: the refusal survives verbatim (classification and
+    // the sidecar check are never paid without the opt-in)
     val e0 = intercept[Exception](Views.refreshView(spark, src, mv))
     assert(e0.getMessage.contains("preImages"), e0.getMessage)
-    // underdetermined: a declared key that leaves grp loose refuses
-    // with the contract's own diagnosis
-    val e1 = intercept[Exception](
-      Views.refreshView(spark, src, mv, upsertKey = Seq("id")))
-    assert(e1.getMessage.contains("underdetermined"), e1.getMessage)
-    // determined: digested through the touched-group rescan — the
-    // upserted row's max shrinks/extends correctly and the delete
-    // empties b out
-    Views.refreshView(spark, src, mv, upsertKey = Seq("id", "grp"))
+    // GROUND TRUTH: the merge RECORDED (id, grp), so even a narrower
+    // declaration digests — the recorded key, not the claim, is what
+    // the contract checks (post-sidecar feeds have no trust boundary)
+    Views.refreshView(spark, src, mv, upsertKey = Seq("id"))
     val got = Views.readView(spark, mv).collect()
       .map(r => r.getString(r.fieldIndex("grp")) ->
         ((r.getLong(r.fieldIndex("n_rows")),
@@ -1096,6 +1092,41 @@ class ViewsSpec extends SparkSpec {
           r.getAs[Long]("max_v")))).toMap
     assert(got === Map("a" -> ((2L, 107L, 100L))))
     assert(Views.staleness(spark, src, mv) === 0L)
+  }
+
+  test("upsert contract: a declaration cannot override recorded ground truth") {
+    val src = tmp("ulsrc"); val mv = tmp("ulmv")
+    Snapshots.commit(spark, rows((1, "a", 10), (2, "b", 5)), src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"))
+    // the merge ACTUALLY used key (id) — it could have moved the
+    // row's group — and recorded that; a declaration claiming
+    // (id, grp) is a lie the sidecar catches loudly
+    Snapshots.merge(spark, src, rows((1, "a", 42)), Seq("id"),
+      recordChanges = true)
+    val e = intercept[Exception](Views.refreshView(spark, src, mv,
+      upsertKey = Seq("id", "grp")))
+    assert(e.getMessage.contains("ground truth"), e.getMessage)
+    assert(e.getMessage.contains("preImages"), e.getMessage)
+  }
+
+  test("upsert contract: legacy feeds (no recorded key) fall back to the declaration") {
+    val src = tmp("uvsrc"); val mv = tmp("uvmv")
+    Snapshots.commit(spark, rows((1, "a", 10), (2, "b", 5)), src)
+    Views.createView(spark, src, mv, Seq("grp"), sumCols = Seq("v"))
+    Snapshots.merge(spark, src, rows((1, "a", 42)), Seq("id", "grp"),
+      recordChanges = true)
+    // simulate a pre-sidecar commit: physically remove the recorded
+    // key, leaving only the post-only feed
+    val v = Snapshots.version(spark, src)
+    val f = new java.io.File(s"$src/snap-$v/_update_key")
+    assert(f.exists() && f.delete(), s"could not delete $f")
+    // the declaration is now the only evidence: a loose one refuses
+    // with the underdetermined diagnosis, a pinning one digests
+    val e = intercept[Exception](Views.refreshView(spark, src, mv,
+      upsertKey = Seq("id")))
+    assert(e.getMessage.contains("underdetermined"), e.getMessage)
+    Views.refreshView(spark, src, mv, upsertKey = Seq("id", "grp"))
+    assert(viewMap(mv) === Map("a" -> ((1L, 42L)), "b" -> ((1L, 5L))))
   }
 
   test("upsert contract: pure-delta view routes updates through the rescan (not the fold)") {
@@ -1133,11 +1164,16 @@ class ViewsSpec extends SparkSpec {
     assert(e0.getMessage.contains("preImages"), e0.getMessage)
     Views.refreshJoinView(spark, v, upsertKeyRight = Seq("id"))
     assert(state === Map("a" -> ((1L, 99L)), "b" -> ((1L, 5L))))
-    // LEFT-side upsert: grp is resident on the left, so a merge key
-    // of just (id) is underdetermined — it could have moved the row's
-    // group; (id, grp) pins it and digests
-    Snapshots.merge(spark, l, lrows((2, "b")), Seq("id"),
+    // LEFT-side upsert: grp is resident on the left, so the merge
+    // key must pin it — merged on (id, grp), recorded. With the
+    // sidecar deleted (legacy simulation) a loose declaration
+    // refuses; with it present even a narrow declaration digests
+    // (ground truth)
+    Snapshots.merge(spark, l, lrows((2, "b")), Seq("id", "grp"),
       recordChanges = true)
+    val lv = Snapshots.version(spark, l)
+    val kf = new java.io.File(s"$l/snap-$lv/_update_key")
+    assert(kf.exists() && kf.delete(), s"could not delete $kf")
     val e1 = intercept[Exception](
       Views.refreshJoinView(spark, v, upsertKeyLeft = Seq("id")))
     assert(e1.getMessage.contains("underdetermined"), e1.getMessage)
