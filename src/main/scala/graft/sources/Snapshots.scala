@@ -611,14 +611,31 @@ object Snapshots {
   private[sources] def recordedUpdateKey(
       spark: SparkSession,
       tableDir: String,
-      v: Long): Option[Seq[String]] = {
+      v: Long,
+      presentAt: Long): Option[Seq[String]] = {
     val ctx = fc(spark)
     val p = new Path(s"$tableDir/snap-$v/_update_key")
     if (!ctx.util().exists(p)) None
     else {
       val in = ctx.open(p)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        .split(",").toSeq)
+      try Some {
+        val names = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          .split(",").toSeq
+        // recorded under version v's LOGICAL names; a rename inside
+        // the consumer's stale window would desynchronize the raw
+        // strings from its current columns, so present them the way
+        // [[changesFeed]] presents feed columns: logical@v ->
+        // physical -> logical@presentAt. A column dropped by
+        // presentAt keeps its physical name (it can then never match
+        // a needed column -- conservative refusal, never unsound).
+        val atV = mapAt(spark, tableDir, v)
+        val atP = mapAt(spark, tableDir, presentAt)
+        names.map { n =>
+          val ph = atV.flatMap(_.pairs.find(_._1 == n).map(_._2))
+            .getOrElse(n)
+          atP.flatMap(_.pairs.find(_._2 == ph).map(_._1)).getOrElse(ph)
+        }
+      }
       finally in.close()
     }
   }
@@ -2402,7 +2419,11 @@ object Snapshots {
         // downstream aggregate ([[Views.refreshView]]) subtracts the pre
         // row and adds the post row, so updates cost O(|changes|) with no
         // base re-read. Default stays the compact post-only `update` row.
-        val marked = cur.select(key.map(col): _*).withColumn("_graft_matched", lit(1))
+        // distinct: a non-unique-key base (several rows per key) must
+        // not fan each update row out per matching base row — the feed
+        // records what the MERGE wrote, once
+        val marked = cur.select(key.map(col): _*).distinct()
+          .withColumn("_graft_matched", lit(1))
         val post = ups.join(marked, key, "left")
           .withColumn("change_type",
             when(col("_graft_matched").isNull, lit("insert"))
@@ -2840,7 +2861,7 @@ object Snapshots {
       // a mergeOnRead inside a recorded window must not tear a hole in
       // the feed ([[changesFeed]] refuses gapped windows by design)
       val feed = if (!recordChanges) None else Some {
-        val marked = cur0.select(key.map(col): _*)
+        val marked = cur0.select(key.map(col): _*).distinct()
           .withColumn("_graft_matched", lit(1))
         ups.join(marked, key, "left")
           .withColumn("change_type",
@@ -2869,6 +2890,7 @@ object Snapshots {
           .distinct()
       (ups,
         Sidecars(changes = feed,
+          updateKey = if (recordChanges) Some(key) else None,
           refs = Some(rootRelativeFiles(spark, tableDir, base)),
           carriedManifest = carriedManifestOf(spark, tableDir, base),
           posDeletes = Some(dels)))

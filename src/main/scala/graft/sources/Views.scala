@@ -804,15 +804,30 @@ object Views {
     * original trust boundary, now confined to legacy commits). The
     * declaration stays the OPT-IN either way: with none, the refusal
     * is byte-for-byte the undeclared one — classification (and this
-    * check) are never paid on the undeclared fast path. */
+    * check) are never paid on the undeclared fast path. `vers` is the
+    * update-bearing version list from the window's ONE classification
+    * action ([[windowKinds]]); `presentAt` is the window-end version
+    * under whose logical names the recorded key is presented
+    * (rename-proof, like the feed itself). */
+  /** ONE action over a window's feed: the change kinds mapped to the
+    * versions that carried them. Replaces the former pair of jobs
+    * (kinds distinct + update-version distinct) — collect_set keeps
+    * the result window-version-sized, never row-sized. */
+  private def windowKinds(feed: DataFrame): Map[String, Seq[Long]] =
+    feed.groupBy("change_type")
+      .agg(collect_set(col("version")).as("vs"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](r.fieldIndex("vs")).sorted)
+      .toMap
+
   private def upsertWindowVerified(
-      spark: SparkSession, srcDir: String, feed: DataFrame,
-      declared: Seq[String], needed: Seq[String], what: String): Unit = {
+      spark: SparkSession, srcDir: String, vers: Seq[Long],
+      declared: Seq[String], needed: Seq[String], what: String,
+      presentAt: Long): Unit = {
     upsertDetermined(declared, Nil, what) // the opt-in gate
-    val vers = feed.filter(col("change_type") === "update")
-      .select("version").distinct().collect().map(_.getLong(0)).sorted
     vers.foreach { v =>
-      Snapshots.recordedUpdateKey(spark, srcDir, v) match {
+      Snapshots.recordedUpdateKey(spark, srcDir, v, presentAt) match {
         case Some(k) =>
           val loose = needed.filterNot(k.contains)
           require(loose.isEmpty,
@@ -1207,11 +1222,10 @@ object Views {
       // delta fold meets them. A pure-delta view with no declared
       // key keeps its classification-free fast path (applyDeltas
       // itself refuses `update` rows at evaluation).
-      val kinds =
-        if (d.hasRescanAggs || upsertKey.nonEmpty)
-          feed.select("change_type").distinct()
-            .collect().map(_.getString(0)).toSet
-        else Set.empty[String]
+      val kindVers =
+        if (d.hasRescanAggs || upsertKey.nonEmpty) windowKinds(feed)
+        else Map.empty[String, Seq[Long]]
+      val kinds = kindVers.keySet
       val next =
         if (kinds.contains("update")) {
           // post-only `update` rows: digestible ONLY under the
@@ -1222,8 +1236,8 @@ object Views {
           // recomputes from the tip exactly as it does for deletes —
           // sound for EVERY aggregate family, delta-invertible or
           // not, because the rescan never inverts.
-          upsertWindowVerified(spark, srcDir, feed, upsertKey,
-            d.groupCols, "view refresh")
+          upsertWindowVerified(spark, srcDir, kindVers("update"),
+            upsertKey, d.groupCols, "view refresh", tip)
           rescanTouched(aggRows, feed,
             readMatching(spark, srcDir, tip, feed, d.groupCols,
               nullSafe = true), d)
@@ -1598,19 +1612,17 @@ object Views {
       // post-image then finds the hidden pre-image's pairs through the
       // same other-side joins the delete route uses); the other
       // side's contract is never consulted for rows it didn't carry.
-      def kindsOf(f: Option[DataFrame]): Set[String] =
-        f.map(_.select("change_type").distinct()
-          .collect().map(_.getString(0)).toSet)
-          .getOrElse(Set.empty)
-      val (kindsL, kindsR) = (kindsOf(dLfeed), kindsOf(dRfeed))
-      val kinds = kindsL ++ kindsR
-      Seq((kindsL, dLfeed, leftDir, upsertKeyLeft, "left"),
-        (kindsR, dRfeed, rightDir, upsertKeyRight, "right")).foreach {
-        case (ks, f, dir, key, side) => if (ks.contains("update"))
-          upsertWindowVerified(spark, dir, f.get, key,
-            (joinKeys ++ d.groupCols.filter(
-              f.get.columns.contains)).distinct,
-            s"join-view refresh ($side side)")
+      val kvL = dLfeed.map(windowKinds).getOrElse(Map.empty)
+      val kvR = dRfeed.map(windowKinds).getOrElse(Map.empty)
+      val kinds = kvL.keySet ++ kvR.keySet
+      Seq((kvL, dLfeed, leftDir, tipL, upsertKeyLeft, "left"),
+        (kvR, dRfeed, rightDir, tipR, upsertKeyRight, "right")).foreach {
+        case (kv, f, dir, tip, key, side) =>
+          kv.get("update").foreach(vers =>
+            upsertWindowVerified(spark, dir, vers, key,
+              (joinKeys ++ d.groupCols.filter(
+                f.get.columns.contains)).distinct,
+              s"join-view refresh ($side side)", tip))
       }
       val dL = dLfeed.map(_.drop("change_type", "version"))
       val dR = dRfeed.map(_.drop("change_type", "version"))
@@ -1738,11 +1750,8 @@ object Views {
           col("version") > aL)
         val freshR = batch.filter(col("_side") === "R" &&
           col("version") > aR)
-        def kindsOf(f: DataFrame): Set[String] =
-          f.select("change_type").distinct()
-            .collect().map(_.getString(0)).toSet
-        val (kindsL, kindsR) = (kindsOf(freshL), kindsOf(freshR))
-        val kinds = kindsL ++ kindsR
+        val (kvL, kvR) = (windowKinds(freshL), windowKinds(freshR))
+        val kinds = kvL.keySet ++ kvR.keySet
         val bounds = Seq(freshL, freshR).map(
           _.agg(max("version")).head() match {
             case r if r.isNullAt(0) => None
@@ -1757,13 +1766,14 @@ object Views {
         // are ground truth): digestible through the rescan when the
         // merge key pins the join keys and the side's resident group
         // columns; refused otherwise
-        Seq((kindsL, freshL, lCols, leftDir, upsertKeyLeft, "left"),
-          (kindsR, freshR, rCols, rightDir, upsertKeyRight, "right"))
+        Seq((kvL, lCols, leftDir, tL, upsertKeyLeft, "left"),
+          (kvR, rCols, rightDir, tR, upsertKeyRight, "right"))
           .foreach {
-          case (ks, f, cols, dir, key, side) => if (ks.contains("update"))
-            upsertWindowVerified(spark, dir, f, key,
-              (joinKeys ++ d.groupCols.filter(cols.contains)).distinct,
-              s"streaming join-view maintenance ($side side)")
+          case (kv, cols, dir, tip, key, side) =>
+            kv.get("update").foreach(vers =>
+              upsertWindowVerified(spark, dir, vers, key,
+                (joinKeys ++ d.groupCols.filter(cols.contains)).distinct,
+                s"streaming join-view maintenance ($side side)", tip))
         }
         val dL = bounds(0).map(_ => freshL.select(lCols.map(col): _*))
         val dR = bounds(1).map(_ => freshR.select(rCols.map(col): _*))
@@ -1891,11 +1901,10 @@ object Views {
         // maintainer's applyJoinStreamBatch does). Only post-only
         // `update` rows refuse (the row's previous group is genuinely
         // unrecoverable — record merges with preImages = true).
-        val kinds =
-          if (d.hasRescanAggs || upsertKey.nonEmpty)
-            fresh.select("change_type").distinct()
-              .collect().map(_.getString(0)).toSet
-          else Set.empty[String]
+        val kindVers =
+          if (d.hasRescanAggs || upsertKey.nonEmpty) windowKinds(fresh)
+          else Map.empty[String, Seq[Long]]
+        val kinds = kindVers.keySet
         val next =
           if (kinds.contains("update")) {
             // post-only `update` rows digest under the declared
@@ -1903,8 +1912,8 @@ object Views {
             // delete route runs ([[upsertWindowVerified]] — recorded
             // keys are ground truth); undeclared or underdetermined
             // feeds refuse exactly as before
-            upsertWindowVerified(spark, srcDir, fresh, upsertKey,
-              d.groupCols, "streaming view maintenance")
+            upsertWindowVerified(spark, srcDir, kindVers("update"),
+              upsertKey, d.groupCols, "streaming view maintenance", tip)
             rescanTouched(aggRows, fresh.drop("version"),
               readMatching(spark, srcDir, tip, fresh, d.groupCols,
                 nullSafe = true), d)

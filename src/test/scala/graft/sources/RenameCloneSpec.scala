@@ -384,4 +384,29 @@ class RenameCloneSpec extends SparkSpec {
     assert(Snapshots.read(spark, dst).columns.toSeq == Seq("alpha", "beta"))
     assert(Snapshots.read(spark, src).columns.toSeq == Seq("alpha", "b"))
   }
+
+  test("recorded merge key presents under the window-end's logical names") {
+    val dir = Files.createTempDirectory("graft-upkey").toString
+    val rows = Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("id", "grp", "v")
+    Snapshots.commit(spark, rows, dir)
+    // a post-only merge records the key it used, under v2's logical
+    // names (id, grp)
+    Snapshots.merge(spark, dir,
+      Seq((1L, "a", 42L)).toDF("id", "grp", "v"),
+      Seq("id", "grp"), recordChanges = true)
+    assert(Snapshots.recordedUpdateKey(spark, dir, 2L, 2L) ===
+      Some(Seq("id", "grp")))
+    // rename grp -> category AFTER the merge: a consumer whose stale
+    // window spans the rename reads the key remapped to the window
+    // end's names — the same presentation law the feed itself gets
+    val v3 = Snapshots.renameColumn(spark, dir, "grp", "category")
+    assert(Snapshots.recordedUpdateKey(spark, dir, 2L, v3) ===
+      Some(Seq("id", "category")))
+    // pre-imaged merges and plain commits record nothing
+    Snapshots.merge(spark, dir,
+      Seq((2L, "b", 7L)).toDF("id", "category", "v"),
+      Seq("id"), recordChanges = true, preImages = true)
+    assert(Snapshots.recordedUpdateKey(spark, dir, 4L, 4L) === None)
+    assert(Snapshots.recordedUpdateKey(spark, dir, 1L, 4L) === None)
+  }
 }
