@@ -1,8 +1,10 @@
 package graft.sources
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the testdata star schema.
   *
@@ -27,52 +29,90 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * is insulated from testdata regeneration. TablesSpec pins the loaded
   * schema of every table so the next physical-type drift fails in exactly
   * one place instead of 26.
+  *
+  * SCHEMA MEMO (r16 optimization): `spark.read.parquet(path)` re-lists the
+  * path and re-infers the schema from a footer on EVERY call — measured at
+  * 84 ms/call vs 6 ms with a pinned schema (tools/ProfileTables), and the
+  * bench surface makes well over a thousand loader calls per run. The
+  * inferred RAW schema is therefore memoized per (dir, table): the files
+  * under a testdata dir are immutable for the life of a process, so the
+  * first call's footer is every call's footer. This caches *metadata*, not
+  * results — every query still computes from the parquet bytes. For
+  * `events` the memo also records which timestamp generation the footer
+  * declared, and re-asserts the nanos conf per session (the memo may
+  * outlive the session that populated it).
   */
 object Tables {
 
+  /** events.ts generation, decided once per (dir) from the raw footer. */
+  private sealed trait TsGen
+  private case object TsNanos extends TsGen // LongType under nanosAsLong
+  private case object TsNtz extends TsGen // TIMESTAMP(MICROS) → NTZ
+  private case object TsSession extends TsGen // already session-zoned
+
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** (dir, name) → raw parquet schema; events additionally (schema, gen). */
+  private val schemaMemo =
+    new ConcurrentHashMap[(String, String), StructType]()
+  private val eventsMemo =
+    new ConcurrentHashMap[String, (StructType, TsGen)]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // nanosAsLong is a session conf the DataFrameReader can't scope, and
-      // Spark's parquet source re-reads it from the SESSION at every
-      // action (buildReaderWithPartitionValues copies it into the task
-      // hadoopConf at plan time), so analysis-time scoping is not enough:
-      // a frame analyzed under the conf but EXECUTED after a restore
-      // would hit the vectorized reader's nanos rejection. The conf is
-      // therefore STICKY on detection: set it to probe the footer, and
-      //   - NANOS generation (ts resolves as Long): leave it set for the
-      //     session's lifetime, so every later action on this frame —
-      //     and every re-load — executes under the same resolution. The
-      //     session-wide effect is confined by construction: events is
-      //     the only nanos-typed source this engine reads, and for every
-      //     non-nanos file the conf is a no-op.
-      //   - MICROS generation (today's testdata): the probe was a no-op;
-      //     restore the prior value so the session is untouched.
-      // TablesSpec exercises BOTH generations end-to-end (action after
-      // the loader returns, synthetic TIMESTAMP(NANOS) footer for the
-      // nanos half).
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prior = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      val raw =
-        try spark.read.parquet(s"$dir/events.parquet")
-        catch { case e: Throwable => restore(spark, key, prior); throw e }
-      raw.schema("ts").dataType match {
-        case LongType => // TIMESTAMP(NANOS) generation: conf stays set
-          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        case TimestampNTZType => // TIMESTAMP(MICROS) generation
-          restore(spark, key, prior)
-          raw.withColumn("ts", col("ts").cast(TimestampType))
-        case TimestampType => // already session-zoned micros
-          restore(spark, key, prior)
-          raw
-        case other =>
-          restore(spark, key, prior)
-          throw new IllegalStateException(
-            s"events.ts resolved to unexpected type $other; " +
-              "extend the Tables loader for this testdata generation")
+      val (rawSchema, gen) = eventsMemo.computeIfAbsent(dir, _ =>
+        inferEvents(spark, dir))
+      gen match {
+        case TsNanos =>
+          // nanosAsLong is a session conf the DataFrameReader can't
+          // scope, and Spark's parquet source re-reads it from the
+          // SESSION at every action — so for a nanos generation it must
+          // be (re)asserted on whichever session is loading, for the
+          // session's lifetime (see the header note; events is the only
+          // nanos-typed source this engine reads, and for every
+          // non-nanos file the conf is a no-op).
+          spark.conf.set(NanosKey, "true")
+          spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
+            .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TsNtz =>
+          spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
+            .withColumn("ts", col("ts").cast(TimestampType))
+        case TsSession =>
+          spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
       }
     } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+      val schema = schemaMemo.computeIfAbsent((dir, name), _ =>
+        spark.read.parquet(s"$dir/$name.parquet").schema)
+      spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** One-time footer probe for the events generation: set the nanos
+    * conf, read the raw schema, classify `ts`, and restore the conf
+    * unless the footer really is nanos (sticky on detection — see the
+    * header note).
+    */
+  private def inferEvents(
+      spark: SparkSession, dir: String): (StructType, TsGen) = {
+    val prior = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    val raw =
+      try spark.read.parquet(s"$dir/events.parquet")
+      catch { case e: Throwable => restore(spark, NanosKey, prior); throw e }
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) generation: conf stays set
+        (raw.schema, TsNanos)
+      case TimestampNTZType => // TIMESTAMP(MICROS) generation
+        restore(spark, NanosKey, prior)
+        (raw.schema, TsNtz)
+      case TimestampType => // already session-zoned micros
+        restore(spark, NanosKey, prior)
+        (raw.schema, TsSession)
+      case other =>
+        restore(spark, NanosKey, prior)
+        throw new IllegalStateException(
+          s"events.ts resolved to unexpected type $other; " +
+            "extend the Tables loader for this testdata generation")
     }
   }
 
