@@ -789,7 +789,14 @@ object Snapshots {
       // sidecar): ground truth for the Views upsert contract --
       // downstream incremental consumers verify the key actually
       // used instead of trusting a caller's declaration
-      updateKey: Option[Seq[String]] = None)
+      updateKey: Option[Seq[String]] = None,
+      // small named text sidecars (name → content), written driver-side
+      // and atomic with the claim like `_commit_ts`: a consumer layer
+      // (e.g. Views' sentinel meta) can duplicate tiny per-version
+      // metadata here so its readers resolve it with one fs read
+      // instead of a Spark head() job per refresh. Names must start
+      // with "_" so data scans never see them.
+      notes: Seq[(String, String)] = Nil)
 
   /** A write whose staged rows violate a table expectation. The staging
     * directory is already cleaned up when this reaches the caller — a
@@ -881,7 +888,9 @@ object Snapshots {
       spark: SparkSession,
       stageDir: String,
       stagedSchema: org.apache.spark.sql.types.StructType,
-      statsColumns: Seq[String]): Option[DataFrame] = {
+      statsColumns: Seq[String])
+      : Option[(org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.Row])] = {
     import org.apache.spark.sql.types.{IntegerType => IntT, LongType => LongT, StringType => StrT}
     val typeOf = stagedSchema.map(f => f.name -> f.dataType).toMap
     val supported = statsColumns.forall(c => typeOf.get(c).exists {
@@ -956,10 +965,68 @@ object Snapshots {
         StructField(s"max_$c", typeOf(c)),
         StructField(s"nulls_$c", LongT))) :+
       StructField("size_bytes", LongT)
-    Some(spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
-      StructType(fields)))
+    Some((StructType(fields), rows.toSeq))
+  }
+
+  /** Driver-side single-leaf manifest write for the footer fast path:
+    * the manifest rows already live on the driver (O(commit's own
+    * files) by construction), so round-tripping them through a
+    * `coalesce(1).write.parquet` Spark job only pays ~0.15 s of
+    * scheduling per commit (measured: `commit(stats)` 0.41 s/2 jobs →
+    * 0.25 s/1 job with this path). The rows are written with
+    * parquet-mr's Group API under exactly the physical types Spark's
+    * own writer would produce (BINARY/UTF8, INT64, INT32 — the fast
+    * path admits only String/Long/Int stats columns plus the fixed
+    * file/n_rows/nulls/size longs), so `spark.read.parquet` infers the
+    * identical schema and every manifest consumer is none the wiser.
+    * Single-leaf semantics match [[writeManifest]]'s small branch: one
+    * data file, no `_root` (a one-leaf root prunes nothing).
+    */
+  private def writeManifestLocal(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row],
+      stageDir: String): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types => PTypes}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.spark.sql.types.{IntegerType => IntT, LongType => LongT, StringType => StrT}
+    val b0: PTypes.GroupBuilder[org.apache.parquet.schema.MessageType] =
+      PTypes.buildMessage()
+    val msg = schema.fields.foldLeft(b0) { (b, f) =>
+      f.dataType match {
+        case StrT => b.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case LongT => b.optional(PrimitiveTypeName.INT64).named(f.name)
+        case IntT => b.optional(PrimitiveTypeName.INT32).named(f.name)
+        case other => throw new IllegalStateException(
+          s"writeManifestLocal on unsupported type $other for ${f.name} " +
+            "— the footer fast path admits String/Long/Int only")
+      }
+    }.named("manifest")
+    val dir = new Path(manifestDir(stageDir))
+    fc(spark).mkdir(dir, null, true)
+    val writer = ExampleParquetWriter
+      .builder(new Path(dir, "part-00000-driver.snappy.parquet"))
+      .withConf(spark.sessionState.newHadoopConf())
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withType(msg).build()
+    val gf = new SimpleGroupFactory(msg)
+    try rows.foreach { r =>
+      val g = gf.newGroup()
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (!r.isNullAt(i)) f.dataType match {
+          case StrT => g.append(f.name, Binary.fromString(r.getString(i)))
+          case LongT => g.append(f.name, r.getLong(i))
+          case IntT => g.append(f.name, r.getInt(i))
+          case _ => () // unreachable: gated above
+        }
+      }
+      writer.write(g)
+    } finally writer.close()
   }
 
   private def stage(
@@ -1070,6 +1137,19 @@ object Snapshots {
     // with the claim like every sidecar. Recorded under the LOGICAL
     // names the merge was issued with (same space the consumer's
     // group/join columns live in).
+    // small named text sidecars (see [[Sidecars.notes]]): tiny
+    // driver-side writes, atomic with the claim like every sidecar
+    sidecars.notes.foreach { case (name, content) =>
+      require(name.startsWith("_"),
+        s"note sidecar name must start with '_' (got $name) — data " +
+          "scans must never see it")
+      val ctx = fc(spark)
+      val out = ctx.create(new Path(stageDir, name),
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     sidecars.updateKey.foreach { k =>
       val ctx = fc(spark)
       val out = ctx.create(new Path(stageDir, "_update_key"),
@@ -1139,7 +1219,11 @@ object Snapshots {
       val fastStats =
         if (bloomColumns.nonEmpty || specSet.nonEmpty) None
         else footerOwnStats(spark, stageDir, stagedSchema, statsColumns)
-      val own0 = fastStats.getOrElse {
+      val own0 = fastStats.map { case (sch, rows) =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
+      }.getOrElse {
       val data = spark.read.schema(stagedSchema).parquet(stageDir)
       val aggs: Seq[Column] = (count(lit(1)).as("n_rows") +:
         (statsColumns.flatMap(c =>
@@ -1218,7 +1302,18 @@ object Snapshots {
             u.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
           else u
         }
-      writeManifest(spark, full, stageDir)
+      val perLeaf = spark.conf.getOption(ManifestRowsPerLeafConf)
+        .map(_.toInt).getOrElse(ManifestRowsPerLeafDefault)
+      fastStats match {
+        // pure fast-path shape (driver rows, nothing carried, fits one
+        // leaf): write the single-leaf manifest driver-side — zero
+        // Spark jobs. Beyond one leaf [[writeManifest]] must cluster
+        // and publish a `_root`, so the distributed path keeps it.
+        case Some((sch, rows))
+            if sidecars.carriedManifest.isEmpty && rows.size <= perLeaf =>
+          writeManifestLocal(spark, sch, rows, stageDir)
+        case _ => writeManifest(spark, full, stageDir)
+      }
     } else sidecars.carriedManifest.foreach { c =>
       // a pure-reference commit (merge-on-read delete) with no manifest
       // config of its own still re-publishes the carried stats verbatim.
@@ -1356,7 +1451,8 @@ object Snapshots {
       bloomColumns: Seq[String] = Nil,
       addExpectations: Seq[(String, String)] = Nil,
       commitMillis: Option[Long] = None,
-      partitionSpec: Seq[Transform] = Nil): Long = {
+      partitionSpec: Seq[Transform] = Nil,
+      notes: Seq[(String, String)] = Nil): Long = {
     val ctx = fc(spark)
     var base = version(spark, tableDir)
     while (true) {
@@ -1374,7 +1470,7 @@ object Snapshots {
         if (base < 1) None else columnMapDfAt(spark, s"$tableDir/snap-$base")
       val baseMapFp = cmap.map(mapFingerprint)
       val staged = stage(spark, df, tableDir, statsColumns, bloomColumns,
-        Sidecars(columnMap = cmap), eff, commitMillis,
+        Sidecars(columnMap = cmap, notes = notes), eff, commitMillis,
         toPhysicalSpec(cmap.map(fromMapDf), partitionSpec))
       // claim: atomic no-overwrite rename — the commit point. Plain
       // commit publishes a FULL table state, so any free version is
@@ -1430,9 +1526,29 @@ object Snapshots {
       expectedBase: Long,
       statsColumns: Seq[String] = Nil,
       changes: Option[DataFrame] = None,
-      bloomColumns: Seq[String] = Nil): Option[Long] =
+      bloomColumns: Seq[String] = Nil,
+      notes: Seq[(String, String)] = Nil): Option[Long] =
     commitIfVersionWith(spark, df, tableDir, expectedBase, statsColumns,
-      bloomColumns, Sidecars(changes = changes))
+      bloomColumns, Sidecars(changes = changes, notes = notes))
+
+  /** A committed version's named note sidecar ([[Sidecars.notes]]):
+    * one driver-side fs read, None when the version never published
+    * it. The consumer owns the content format.
+    */
+  def noteAt(
+      spark: SparkSession,
+      tableDir: String,
+      v: Long,
+      name: String): Option[String] = {
+    val p = new Path(s"$tableDir/snap-$v/$name")
+    val ctx = fc(spark)
+    if (!ctx.util().exists(p)) None
+    else {
+      val in = ctx.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
 
   private def commitIfVersionWith(
       spark: SparkSession,

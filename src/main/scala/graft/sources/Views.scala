@@ -595,7 +595,7 @@ object Views {
       cntCols = (sumCols ++ varCols).distinct, topkCols = topkCols)
     val d = parseDef(rows)
     Snapshots.commit(spark, withMeta(spark, rows, d, srcV, -1L), viewDir,
-      statsColumns = groupCols)
+      statsColumns = groupCols, notes = metaNote(srcV, -1L))
   }
 
   /** The view's group rows (sentinel and bookkeeping filtered out);
@@ -739,8 +739,11 @@ object Views {
   }
 
   /** The source version the view currently reflects. */
-  def appliedSrcVersion(spark: SparkSession, viewDir: String): Long =
-    sentinelMeta(Snapshots.read(spark, viewDir))._1
+  def appliedSrcVersion(spark: SparkSession, viewDir: String): Long = {
+    val v = Snapshots.version(spark, viewDir)
+    noteMeta(spark, viewDir, v, 2).map(_.head)
+      .getOrElse(sentinelMeta(Snapshots.readVersion(spark, viewDir, v))._1)
+  }
 
   /** How many source commits the view is behind. */
   def staleness(spark: SparkSession, srcDir: String, viewDir: String): Long =
@@ -751,6 +754,62 @@ object Views {
       .select("_mv_src_version", "_mv_batch_id").head()
     (row.getLong(0), row.getLong(1))
   }
+
+  /** The sentinel meta duplicated as a `_mv_meta` note sidecar (r16
+    * optimization): every refresh/stream fold used to pay one Spark
+    * head() job just to learn the applied source version(s) + batch id
+    * it had itself committed — the same numbers now ride the commit as
+    * a tiny driver-side text note ([[Snapshots.Sidecars.notes]]), so
+    * readers resolve them with one fs read. The sentinel ROW stays the
+    * durable source of truth (it survives compaction rewrites and
+    * pre-note versions, where the note is absent and readers fall back
+    * to the head() job) — the note is a derived fast path, never a
+    * second authority: both are written by the same commit from the
+    * same values.
+    */
+  private val MvMetaNote = "_mv_meta"
+
+  private def metaNote(vals: Long*): Seq[(String, String)] =
+    Seq(MvMetaNote -> vals.mkString(","))
+
+  /** The join view's params row duplicated as a `_mv_params` note on
+    * the ROWS table (same rationale as [[MvMetaNote]]): the refresh
+    * loop used to pay one collect() job per call just to re-learn the
+    * immutable (left_dir, right_dir, join_keys) triple. The note is
+    * written by createJoinView's initial rows commit and copied
+    * forward by every refresh/stream fold; the params TABLE stays the
+    * durable source of truth — a rows version without the note (older
+    * views, compaction rewrites) falls back to the table read and the
+    * next refresh re-establishes the chain. Tab-separated (dir paths
+    * may themselves contain commas).
+    */
+  private val MvParamsNote = "_mv_params"
+
+  private def paramsNote(
+      leftDir: String, rightDir: String,
+      joinKeys: Seq[String]): (String, String) =
+    MvParamsNote -> Seq(leftDir, rightDir, joinKeys.mkString(","))
+      .mkString("\t")
+
+  private def joinViewParams(
+      spark: SparkSession, viewDir: String,
+      rowsTip: Long): (String, String, Seq[String]) =
+    Snapshots.noteAt(spark, s"$viewDir/rows", rowsTip, MvParamsNote) match {
+      case Some(s) if s.split("\t", -1).length == 3 =>
+        val a = s.split("\t", -1)
+        (a(0), a(1), a(2).split(",").toSeq)
+      case _ =>
+        val p = Snapshots.read(spark, s"$viewDir/params").collect().head
+        (p.getAs[String]("left_dir"), p.getAs[String]("right_dir"),
+          p.getAs[String]("join_keys").split(",").toSeq)
+    }
+
+  private def noteMeta(
+      spark: SparkSession, tableDir: String, v: Long,
+      n: Int): Option[Seq[Long]] =
+    Snapshots.noteAt(spark, tableDir, v, MvMetaNote)
+      .map(_.trim.split(",").map(_.toLong).toSeq)
+      .filter(_.length == n)
 
   /** Null-safe equi-join condition on the group columns (a NULL group
     * key is a legitimate group — a plain equi-join would orphan it).
@@ -1205,7 +1264,8 @@ object Views {
       require(base >= 1, s"no committed view in $viewDir")
       val mv = Snapshots.readVersion(spark, viewDir, base)
       val d = parseDef(mv.drop(MetaCols: _*))
-      val (applied, lastBatch) = sentinelMeta(mv)
+      val (applied, lastBatch) = noteMeta(spark, viewDir, base, 2)
+        .map(s => (s(0), s(1))).getOrElse(sentinelMeta(mv))
       val tip = Snapshots.version(spark, srcDir)
       require(tip >= applied,
         s"source $srcDir is at $tip, behind the view's applied $applied " +
@@ -1259,7 +1319,8 @@ object Views {
       // refreshes, should the version>applied filter ever loosen
       Snapshots.commitIfVersion(spark,
         withMeta(spark, next, d, tip, lastBatch),
-        viewDir, base, statsColumns = d.groupCols) match {
+        viewDir, base, statsColumns = d.groupCols,
+        notes = metaNote(tip, lastBatch)) match {
         case Some(v) => return v
         case None => attempt += 1
       }
@@ -1456,7 +1517,9 @@ object Views {
       withMetaCols(spark, rows, d,
         Seq("_mv_srcl_version" -> vL, "_mv_srcr_version" -> vR,
           "_mv_batch_id" -> -1L)),
-      s"$viewDir/rows", statsColumns = groupCols)
+      s"$viewDir/rows", statsColumns = groupCols,
+      notes = metaNote(vL, vR, -1L) :+
+        paramsNote(leftDir, rightDir, joinKeys))
   }
 
   /** The join view's group rows; `asOf` pins a committed view version
@@ -1577,11 +1640,9 @@ object Views {
       maxRetries: Int = 10,
       upsertKeyLeft: Seq[String] = Nil,
       upsertKeyRight: Seq[String] = Nil): Long = {
-    val p = Snapshots.read(spark, s"$viewDir/params").collect().head
-    val leftDir = p.getAs[String]("left_dir")
-    val rightDir = p.getAs[String]("right_dir")
-    val joinKeys = p.getAs[String]("join_keys").split(",").toSeq
     val rowsDir = s"$viewDir/rows"
+    val (leftDir, rightDir, joinKeys) =
+      joinViewParams(spark, viewDir, Snapshots.version(spark, rowsDir))
     var attempt = 0
     var released: Option[DataFrame] = None
     try while (attempt < maxRetries) {
@@ -1589,8 +1650,8 @@ object Views {
       require(base >= 1, s"no committed join view in $viewDir")
       val mv = Snapshots.readVersion(spark, rowsDir, base)
       val d = parseDef(mv)
-      val meta = joinSentinelMeta(mv)
-      val (aL, aR, lastBatch) = meta
+      val (aL, aR, lastBatch) = noteMeta(spark, rowsDir, base, 3)
+        .map(s => (s(0), s(1), s(2))).getOrElse(joinSentinelMeta(mv))
       val tipL = Snapshots.version(spark, leftDir)
       val tipR = Snapshots.version(spark, rightDir)
       require(tipL >= aL && tipR >= aR,
@@ -1651,7 +1712,9 @@ object Views {
         withMetaCols(spark, next, d,
           Seq("_mv_srcl_version" -> tipL, "_mv_srcr_version" -> tipR,
             "_mv_batch_id" -> lastBatch)),
-        rowsDir, base, statsColumns = d.groupCols)
+        rowsDir, base, statsColumns = d.groupCols,
+        notes = metaNote(tipL, tipR, lastBatch) :+
+          paramsNote(leftDir, rightDir, joinKeys))
       released.foreach(_.unpersist()); released = None
       committed match {
         case Some(v) => return v
@@ -1708,10 +1771,8 @@ object Views {
       upsertKeyLeft: Seq[String] = Nil,
       upsertKeyRight: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val p = Snapshots.read(spark, s"$viewDir/params").collect().head
-    val leftDir = p.getAs[String]("left_dir")
-    val rightDir = p.getAs[String]("right_dir")
-    val joinKeys = p.getAs[String]("join_keys").split(",").toSeq
+    val (leftDir, rightDir, joinKeys) = joinViewParams(spark, viewDir,
+      Snapshots.version(spark, s"$viewDir/rows"))
     val feed = Snapshots.changesStream(spark, leftDir)
       .withColumn("_side", lit("L"))
       .unionByName(
@@ -1744,7 +1805,8 @@ object Views {
         val base = Snapshots.version(spark, rowsDir)
         val mv = Snapshots.readVersion(spark, rowsDir, base)
         val d = parseDef(mv)
-        val (aL, aR, lastBatch) = joinSentinelMeta(mv)
+        val (aL, aR, lastBatch) = noteMeta(spark, rowsDir, base, 3)
+          .map(s => (s(0), s(1), s(2))).getOrElse(joinSentinelMeta(mv))
         if (batchId <= lastBatch) return // replayed batch: already folded
         val freshL = batch.filter(col("_side") === "L" &&
           col("version") > aL)
@@ -1783,7 +1845,9 @@ object Views {
             withMetaCols(spark, next, d,
               Seq("_mv_srcl_version" -> tL, "_mv_srcr_version" -> tR,
                 "_mv_batch_id" -> batchId)),
-            rowsDir, base, statsColumns = d.groupCols).nonEmpty
+            rowsDir, base, statsColumns = d.groupCols,
+            notes = metaNote(tL, tR, batchId) :+
+              paramsNote(leftDir, rightDir, joinKeys)).nonEmpty
         if (kinds.subsetOf(Set("insert"))) {
           val deltaRows = (dL.map(f => f.join(
             readMatching(spark, rightDir, tR, f, joinKeys), joinKeys)) ++
@@ -1884,7 +1948,8 @@ object Views {
         val base = Snapshots.version(spark, viewDir)
         val mv = Snapshots.readVersion(spark, viewDir, base)
         val d = parseDef(mv.drop(MetaCols: _*))
-        val (applied, lastBatch) = sentinelMeta(mv)
+        val (applied, lastBatch) = noteMeta(spark, viewDir, base, 2)
+          .map(s => (s(0), s(1))).getOrElse(sentinelMeta(mv))
         if (batchId <= lastBatch) return // replayed batch: already folded
         val fresh = batch.filter(col("version") > applied)
         val maxV = fresh.agg(max("version")).head()
@@ -1927,7 +1992,8 @@ object Views {
                 nullSafe = true), d)
         done = Snapshots.commitIfVersion(spark,
           withMeta(spark, next, d, math.max(applied, tip), batchId),
-          viewDir, base, statsColumns = d.groupCols).nonEmpty
+          viewDir, base, statsColumns = d.groupCols,
+          notes = metaNote(math.max(applied, tip), batchId)).nonEmpty
         if (!done) attempt += 1
       }
       if (!done) throw new IllegalStateException(
