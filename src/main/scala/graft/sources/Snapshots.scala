@@ -2525,34 +2525,55 @@ object Snapshots {
               else lit(null).cast((curT ++ updT)(c)).as(c)).toIndexedSeq: _*)
           (widen(cur0, curT), widen(updates, updT))
         }
-      val feed = if (!recordChanges) None else Some {
-        // what this MERGE writes, classified by whether the key existed:
-        // one left join of the updates against the base's key projection.
-        // With `preImages` (the Delta CDF spelling), matched keys record
-        // BOTH sides — the replaced base row as `update_preimage` and the
-        // incoming row as `update_postimage` — which is what makes the
-        // feed algebraically invertible: a consumer maintaining a
-        // downstream aggregate ([[Views.refreshView]]) subtracts the pre
-        // row and adds the post row, so updates cost O(|changes|) with no
-        // base re-read. Default stays the compact post-only `update` row.
-        // distinct: a non-unique-key base (several rows per key) must
-        // not fan each update row out per matching base row — the feed
-        // records what the MERGE wrote, once
-        val marked = cur.select(key.map(col): _*).distinct()
-          .withColumn("_graft_matched", lit(1))
-        val post = ups.join(marked, key, "left")
-          .withColumn("change_type",
-            when(col("_graft_matched").isNull, lit("insert"))
-              .otherwise(lit(if (preImages) "update_postimage" else "update")))
-          .select(col("change_type") +: ups.columns.toSeq.map(col): _*)
-        if (!preImages) post
-        else post.unionByName(
-          cur.join(ups.select(key.map(col): _*), key, "left_semi")
-            .select(lit("update_preimage").as("change_type") +:
-              ups.columns.toSeq.map(col): _*))
-      }
+      // what this MERGE writes, classified by whether the key existed:
+      // one left join of the updates against `probe`'s key projection.
+      // `probe` is the narrowest frame that provably holds every base
+      // row an update key could match: the full base for an unscoped
+      // merge (which rewrites it anyway), the manifest-pruned TOUCHED
+      // rows for a scoped merge — equality probes cannot match a file
+      // whose key envelope misses the update envelope, so classifying
+      // against the pruned scan is the same answer for O(touched) read
+      // instead of a second O(|table|) pass (r16: the feed was the one
+      // table-sized term left in the scoped-merge path).
+      // With `preImages` (the Delta CDF spelling), matched keys record
+      // BOTH sides — the replaced base row as `update_preimage` and the
+      // incoming row as `update_postimage` — which is what makes the
+      // feed algebraically invertible: a consumer maintaining a
+      // downstream aggregate ([[Views.refreshView]]) subtracts the pre
+      // row and adds the post row, so updates cost O(|changes|) with no
+      // base re-read. Default stays the compact post-only `update` row.
+      // distinct: a non-unique-key base (several rows per key) must
+      // not fan each update row out per matching base row — the feed
+      // records what the MERGE wrote, once
+      def feedOf(probe: DataFrame): Option[DataFrame] =
+        if (!recordChanges) None else Some {
+          val marked = probe.select(key.map(col): _*).distinct()
+            .withColumn("_graft_matched", lit(1))
+          val post = ups.join(marked, key, "left")
+            .withColumn("change_type",
+              when(col("_graft_matched").isNull, lit("insert"))
+                .otherwise(lit(if (preImages) "update_postimage" else "update")))
+            .select(col("change_type") +: ups.columns.toSeq.map(col): _*)
+          if (!preImages) post
+          else post.unionByName(
+            probe.join(ups.select(key.map(col): _*).distinct(), key,
+              "left_semi")
+              .select(lit("update_preimage").as("change_type") +:
+                ups.columns.toSeq.map(col): _*))
+        }
+      // the anti-join's probe side is the updates' DISTINCT KEY
+      // projection, not the full update rows (r16, guide §2.3/§3.1):
+      // semantically identical for a left_anti equi-join, but the
+      // narrower pre-aggregated side shuffles O(distinct keys × key
+      // width) instead of full rows, and AQE sees its true (small)
+      // materialized size and converts the join to broadcast-hash at
+      // runtime — measured 0.50 → 0.22 s per merge write at bench
+      // sizes (tools/ProfileMergeShape), with no forced broadcast, so
+      // an executor-sized batch still degrades gracefully to SMJ.
+      def upsKeys = ups.select(key.map(col): _*).distinct()
       if (!scoped) {
-        val merged = cur.join(ups, key, "left_anti").unionByName(ups)
+        val feed = feedOf(cur)
+        val merged = cur.join(upsKeys, key, "left_anti").unionByName(ups)
         (merged, Sidecars(changes = feed,
           updateKey = if (recordChanges && !preImages) Some(key) else None))
       } else {
@@ -2608,8 +2629,11 @@ object Snapshots {
             // before the logical-keyed anti-join
             .map(raw => mapLogical(raw, pairs))
             .getOrElse(cur.limit(0))
-        val merged = touchedRows.join(updates, key, "left_anti").unionByName(updates)
-        (merged, Sidecars(changes = feed,
+        val merged = touchedRows.join(upsKeys, key, "left_anti")
+          .unionByName(updates)
+        // feed classification probes only the TOUCHED rows — the same
+        // manifest-pruned scan the merge itself reads (see [[feedOf]])
+        (merged, Sidecars(changes = feedOf(touchedRows),
           updateKey = if (recordChanges && !preImages) Some(key) else None,
           refs = Some(untouchedSel.select(col("file").as("path"))),
           carriedManifest = Some(untouchedSel)))
@@ -2973,32 +2997,74 @@ object Snapshots {
           s"${updates.schema.simpleString}")
       // stage the updates in the TABLE's column order
       val ups = updates.select(cur0.columns.map(col).toIndexedSeq: _*)
-      // write-time CDF, same classification as the copy-on-write merge:
-      // a mergeOnRead inside a recorded window must not tear a hole in
-      // the feed ([[changesFeed]] refuses gapped windows by design)
+      // live base rows WITH file coordinates: raw scan + provenance
+      // columns, pending positional deletes applied on those columns,
+      // presented under logical names for the logical-keyed semi-join
+      // (provenance columns are unmapped and pass through).
+      //
+      // r16 PRUNED PROBE: the matched coordinates (and the feed's
+      // key-existence classification below) can only come from files
+      // whose per-key stats envelope intersects the update batch's —
+      // an equality probe cannot match a file the envelope rules out.
+      // With a manifest carrying every merge key's envelope the probe
+      // therefore reads O(touched files) instead of the whole table
+      // (the scoped merge's envelope rule applied to the MoR probe);
+      // tables without one keep the full-file probe. `None` means the
+      // probe is PROVABLY empty (no touched file, or no update row
+      // carries a complete key — an equi-join can match nothing).
+      val morMap = mapAt(spark, tableDir, base)
+      val pkeyM = key.map(k => physicalOf(morMap, k))
+      val probeRaw: Option[DataFrame] =
+        carriedManifestOf(spark, tableDir, base)
+          .filter(man => pkeyM.forall(pk =>
+            man.columns.contains(s"min_$pk") &&
+              man.columns.contains(s"max_$pk"))) match {
+          case None =>
+            Some(readParquetRaw(spark, morMap,
+              dataFiles(spark, tableDir, base)))
+          case Some(man) =>
+            val envAggs = key.flatMap(k => Seq(min(col(k)), max(col(k))))
+            val env = ups.agg(envAggs.head, envAggs.tail: _*).head()
+            val bounds = key.indices.map(i =>
+              (env.get(2 * i), env.get(2 * i + 1)))
+            if (bounds.exists(_._1 == null)) None
+            else {
+              val touchCond = pkeyM.zip(bounds).map { case (pk, (lo, hi)) =>
+                col(s"min_$pk").isNotNull && col(s"max_$pk").isNotNull &&
+                  col(s"max_$pk") >= lit(lo) && col(s"min_$pk") <= lit(hi)
+              }.reduce(_ && _)
+              prunedScan(spark, tableDir, snapDir, man.filter(touchCond),
+                morMap)
+            }
+        }
+      val live: Option[DataFrame] = probeRaw.map(raw =>
+        mapLogical(applyPosDeletes(spark, snapDir,
+          raw.withColumn("_graft_f", scanFileName)
+            .withColumn("_graft_i", col("_metadata.row_index"))),
+          morMap))
+      val matched = live
+        .map(_.join(ups.select(key.map(col): _*).distinct(), key,
+          "left_semi")
+          .select(col("_graft_f").as("file"), col("_graft_i").as("idx")))
+        .getOrElse(spark.range(0).select(
+          col("id").cast("string").as("file"), col("id").as("idx")))
+      // write-time CDF, same classification as the copy-on-write merge
+      // ([[feedOf]] there): a mergeOnRead inside a recorded window must
+      // not tear a hole in the feed ([[changesFeed]] refuses gapped
+      // windows by design). The existence probe is the same pruned
+      // live frame as the coordinates — a key outside every touched
+      // file's envelope classifies `insert`, which is exactly what the
+      // full probe would have concluded.
       val feed = if (!recordChanges) None else Some {
-        val marked = cur0.select(key.map(col): _*).distinct()
-          .withColumn("_graft_matched", lit(1))
+        val marked = live.map(_.select(key.map(col): _*))
+          .getOrElse(cur0.select(key.map(col): _*).limit(0))
+          .distinct().withColumn("_graft_matched", lit(1))
         ups.join(marked, key, "left")
           .withColumn("change_type",
             when(col("_graft_matched").isNull, lit("insert"))
               .otherwise(lit("update")))
           .select(col("change_type") +: ups.columns.toSeq.map(col): _*)
       }
-      // live base rows WITH file coordinates: raw scan (widened schema
-      // pinned) + provenance columns, pending positional deletes
-      // applied on those columns, presented under logical names for
-      // the logical-keyed semi-join (provenance columns are unmapped
-      // and pass through)
-      val morMap = mapAt(spark, tableDir, base)
-      val live = mapLogical(applyPosDeletes(spark, snapDir,
-        readParquetRaw(spark, morMap, dataFiles(spark, tableDir, base))
-          .withColumn("_graft_f", scanFileName)
-          .withColumn("_graft_i", col("_metadata.row_index"))),
-        morMap)
-      val matched = live
-        .join(ups.select(key.map(col): _*), key, "left_semi")
-        .select(col("_graft_f").as("file"), col("_graft_i").as("idx"))
       val pendingP = new Path(s"$snapDir/_pos_deletes")
       val dels =
         (if (!ctx.util().exists(pendingP)) matched
