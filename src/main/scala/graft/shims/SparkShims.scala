@@ -23,4 +23,18 @@ object GraftShims {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** InternalRow → external Row for a known schema — lets driver-side
+    * metadata fast paths (sidecar reads/writes that never touch the
+    * cluster) evaluate an already-local logical plan without a Spark
+    * job. `CatalystTypeConverters` is private[sql]; this is the one
+    * conversion the fast paths need.
+    */
+  def toExternalRows(
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): Seq[Row] = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(schema)
+    rows.map(r => conv(r).asInstanceOf[Row])
+  }
 }

@@ -1029,6 +1029,323 @@ object Snapshots {
     } finally writer.close()
   }
 
+  // ---- driver-local sidecar parquet I/O (r17) -------------------------
+  //
+  // The METADATA PLANE must not ride the cluster: every `spark.read
+  // .parquet` of a KB-sized sidecar pays a footer-sampling inference
+  // job at plan time, every `.collect()` of it another job, and every
+  // `coalesce(1).write.parquet` of a driver-resident frame a third —
+  // each ~30-80 ms of pure scheduling at local[*], and at production
+  // scale a cluster round-trip on the commit/refresh critical path.
+  // Real formats read and write their manifests driver-side (Iceberg's
+  // manifest I/O is plain parquet-mr) for exactly this reason. These
+  // helpers do the same for the engine's small flat sidecars, with the
+  // Spark path kept as the fallback for anything big or exotic —
+  // never a different answer, only a cheaper derivation of it.
+
+  /** Size guard for driver-side sidecar reads: beyond this many bytes
+    * the Spark reader keeps the job (a delete set or a carried manifest
+    * CAN be executor-sized at 100 TB — the fast path must not pull
+    * that onto the driver). A memory bound, not a core-count constant.
+    */
+  private[sources] val LocalSidecarBytesConf = "graft.sidecar.localBytesMax"
+  private val LocalSidecarBytesDefault: Long = 8L << 20
+
+  import org.apache.spark.sql.types.{DataType => SqlType,
+    BooleanType => BoolT, ByteType => ByteT, ShortType => ShortT,
+    IntegerType => IntT2, LongType => LongT2, FloatType => FloatT,
+    DoubleType => DoubleT, StringType => StrT2, BinaryType => BinT,
+    DateType => DateT, TimestampType => TsT}
+
+  /** Flat parquet field → Spark type for the shapes the engine's own
+    * writers produce; None on repeated/nested/exotic fields (caller
+    * falls back to the Spark reader).
+    */
+  private def sidecarFieldType(
+      f: org.apache.parquet.schema.Type): Option[SqlType] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    if (!f.isPrimitive ||
+        f.getRepetition == org.apache.parquet.schema.Type.Repetition.REPEATED)
+      return None
+    val p = f.asPrimitiveType()
+    val ann = p.getLogicalTypeAnnotation
+    p.getPrimitiveTypeName match {
+      case BOOLEAN => Some(BoolT)
+      case FLOAT => Some(FloatT)
+      case DOUBLE => Some(DoubleT)
+      case INT32 => ann match {
+        case null => Some(IntT2)
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some(DateT)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+            if i.isSigned && i.getBitWidth == 8 => Some(ByteT)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+            if i.isSigned && i.getBitWidth == 16 => Some(ShortT)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+            if i.isSigned && i.getBitWidth == 32 => Some(IntT2)
+        case _ => None
+      }
+      case INT64 => ann match {
+        case null => Some(LongT2)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+            if i.isSigned && i.getBitWidth == 64 => Some(LongT2)
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.isAdjustedToUTC &&
+              (t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS ||
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS) =>
+          Some(TsT)
+        case _ => None
+      }
+      case INT96 => Some(TsT)
+      case BINARY => ann match {
+        case null => Some(BinT)
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => Some(StrT2)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def micTs(micros: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  /** Driver-side read of a small flat parquet directory into a LOCAL
+    * relation: zero Spark jobs — no footer-sampling inference job, no
+    * collect job for driver-bound consumers, and a LocalRelation join
+    * side broadcasts without an exchange. None when the directory
+    * exceeds the size guard, holds no data file, or any column is
+    * non-flat; mixed per-file schemas also fall back.
+    */
+  private def readSidecarLocal(
+      spark: SparkSession, dir: String): Option[DataFrame] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val ctx = fc(spark)
+    val dirP = new Path(dir)
+    if (!ctx.util().exists(dirP)) return None
+    val files = ctx.util().listStatus(dirP).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.toSeq.sortBy(_.getPath.getName)
+    if (files.isEmpty) return None
+    val cap = spark.conf.getOption(LocalSidecarBytesConf)
+      .map(_.toLong).getOrElse(LocalSidecarBytesDefault)
+    if (files.map(_.getLen).sum > cap) return None
+    val conf = spark.sessionState.newHadoopConf()
+    var schema: org.apache.spark.sql.types.StructType = null
+    var msgStr: String = null
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    for (st <- files) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val footer = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter finally r.close()
+      }
+      val msg = footer.getFileMetaData.getSchema
+      if (msgStr == null) {
+        msgStr = msg.toString
+        val fields = new scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.types.StructField]
+        scala.jdk.CollectionConverters.ListHasAsScala(msg.getFields).asScala
+          .foreach { f =>
+            sidecarFieldType(f) match {
+              case Some(t) => fields +=
+                org.apache.spark.sql.types.StructField(f.getName, t)
+              case None => return None
+            }
+          }
+        schema = org.apache.spark.sql.types.StructType(fields.toSeq)
+      } else if (msgStr != msg.toString) return None
+      val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+        new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val vals = new Array[Any](schema.length)
+          var i = 0
+          while (i < schema.length) {
+            if (g.getFieldRepetitionCount(i) == 0) vals(i) = null
+            else {
+              val pf = msg.getFields.get(i).asPrimitiveType()
+              val ann = pf.getLogicalTypeAnnotation
+              vals(i) = pf.getPrimitiveTypeName match {
+                case PrimitiveTypeName.BOOLEAN => g.getBoolean(i, 0)
+                case PrimitiveTypeName.FLOAT => g.getFloat(i, 0)
+                case PrimitiveTypeName.DOUBLE => g.getDouble(i, 0)
+                case PrimitiveTypeName.INT32 => schema(i).dataType match {
+                  case DateT => java.sql.Date.valueOf(
+                    java.time.LocalDate.ofEpochDay(g.getInteger(i, 0).toLong))
+                  case ByteT => g.getInteger(i, 0).toByte
+                  case ShortT => g.getInteger(i, 0).toShort
+                  case _ => g.getInteger(i, 0)
+                }
+                case PrimitiveTypeName.INT64 => schema(i).dataType match {
+                  case TsT =>
+                    val t = ann.asInstanceOf[
+                      LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+                    val v = g.getLong(i, 0)
+                    micTs(if (t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS)
+                      Math.multiplyExact(v, 1000L) else v)
+                  case _ => g.getLong(i, 0)
+                }
+                case PrimitiveTypeName.INT96 =>
+                  val b = g.getInt96(i, 0).getBytes
+                  val bb = java.nio.ByteBuffer.wrap(b)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                  val nanosOfDay = bb.getLong
+                  val julianDay = bb.getInt
+                  micTs((julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L)
+                case PrimitiveTypeName.BINARY => schema(i).dataType match {
+                  case StrT2 => g.getBinary(i, 0).toStringUsingUTF8
+                  case _ => g.getBinary(i, 0).getBytes
+                }
+                case _ => return None // unreachable: gated in sidecarFieldType
+              }
+            }
+            i += 1
+          }
+          out += org.apache.spark.sql.Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    Some(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out.toSeq).asJava),
+      schema))
+  }
+
+  /** A sidecar directory as a DataFrame: driver-local when small and
+    * flat, the Spark reader otherwise. Drop-in for
+    * `spark.read.parquet(dir)` on sidecar paths.
+    */
+  private def readSidecar(spark: SparkSession, dir: String): DataFrame =
+    readSidecarLocal(spark, dir).getOrElse(spark.read.parquet(dir))
+
+  /** Rows of an already-driver-resident logical plan — a LocalRelation
+    * or a union of them (scoped-merge refs and carried manifests fold
+    * to exactly these shapes once sidecar READS are local) — with zero
+    * Spark jobs. None on any plan that might touch the cluster.
+    */
+  private def localPlanRows(df: DataFrame)
+      : Option[Seq[org.apache.spark.sql.Row]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Union}
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] = p match {
+      case lr: LocalRelation => Some(lr.data)
+      case u: Union =>
+        val parts = u.children.map(walk)
+        if (parts.forall(_.nonEmpty)) Some(parts.flatMap(_.get)) else None
+      case _ => None
+    }
+    walk(df.queryExecution.optimizedPlan).map(rows =>
+      org.apache.spark.sql.GraftShims.toExternalRows(
+        nullableSchema(df.schema), rows))
+  }
+
+  /** Driver-side parquet write of locally known rows — the write half
+    * of the fast path, generalizing [[writeManifestLocal]]'s type set.
+    * Returns false (wrote nothing) on an unsupported type; the caller
+    * keeps the Spark writer. Values land under the same logical types
+    * the Spark writer declares for these Spark types (strings as
+    * BINARY/UTF8, timestamps as INT64 micros UTC-adjusted, dates as
+    * INT32/date), so `spark.read.parquet` round-trips identically.
+    */
+  private def writeSidecarLocal(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row],
+      destDir: Path,
+      fileName: String = null): Boolean = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types => PTypes}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val b0: PTypes.GroupBuilder[org.apache.parquet.schema.MessageType] =
+      PTypes.buildMessage()
+    val msgOpt = schema.fields.foldLeft(
+      Option(b0)) { (bOpt, f) =>
+      bOpt.flatMap { b =>
+        f.dataType match {
+          case StrT2 => Some(b.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(f.name))
+          case BinT => Some(b.optional(PrimitiveTypeName.BINARY).named(f.name))
+          case LongT2 => Some(b.optional(PrimitiveTypeName.INT64).named(f.name))
+          case IntT2 => Some(b.optional(PrimitiveTypeName.INT32).named(f.name))
+          case BoolT => Some(b.optional(PrimitiveTypeName.BOOLEAN).named(f.name))
+          case FloatT => Some(b.optional(PrimitiveTypeName.FLOAT).named(f.name))
+          case DoubleT => Some(b.optional(PrimitiveTypeName.DOUBLE).named(f.name))
+          case DateT => Some(b.optional(PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.dateType()).named(f.name))
+          case TsT => Some(b.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timestampType(true,
+              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+          case _ => None
+        }
+      }
+    }
+    val msg = msgOpt match {
+      case Some(m) => m.named("sidecar")
+      case None => return false
+    }
+    val ctx = fc(spark)
+    ctx.mkdir(destDir, null, true)
+    val name =
+      if (fileName != null) fileName
+      else s"part-00000-${java.util.UUID.randomUUID()}.snappy.parquet"
+    val writer = ExampleParquetWriter
+      .builder(new Path(destDir, name))
+      .withConf(spark.sessionState.newHadoopConf())
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withType(msg).build()
+    val gf = new SimpleGroupFactory(msg)
+    try rows.foreach { r =>
+      val g = gf.newGroup()
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (!r.isNullAt(i)) f.dataType match {
+          case StrT2 => g.append(f.name, Binary.fromString(r.getString(i)))
+          case BinT => g.append(f.name,
+            Binary.fromConstantByteArray(r.getAs[Array[Byte]](i)))
+          case LongT2 => g.append(f.name, r.getLong(i))
+          case IntT2 => g.append(f.name, r.getInt(i))
+          case BoolT => g.append(f.name, r.getBoolean(i))
+          case FloatT => g.append(f.name, r.getFloat(i))
+          case DoubleT => g.append(f.name, r.getDouble(i))
+          case DateT => g.append(f.name,
+            r.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+          case TsT =>
+            val ts = r.getAs[java.sql.Timestamp](i)
+            g.append(f.name,
+              Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+          case _ => () // unreachable: gated above
+        }
+      }
+      writer.write(g)
+    } finally writer.close()
+    true
+  }
+
+  /** Write a small driver-resident frame as a one-file parquet sidecar
+    * without a Spark job, when the plan is provably local and the
+    * types serialize; false → caller falls back to the Spark writer.
+    */
+  private def trySidecarLocalWrite(
+      spark: SparkSession, df: DataFrame, destDir: Path): Boolean =
+    localPlanRows(df) match {
+      case Some(rows) =>
+        writeSidecarLocal(spark, nullableSchema(df.schema), rows, destDir)
+      case None => false
+    }
+
+  // ---- end driver-local sidecar I/O ----------------------------------
+
   private def stage(
       spark: SparkSession,
       df0: DataFrame,
@@ -2423,6 +2740,52 @@ object Snapshots {
     scanPartitioned(spark, tableDir, probes, v).filter(residual)
   }
 
+  /** Cap on the raw key rows a merge will pull to the driver to build
+    * the broadcast-local probe side (see [[mergeDerived]]). A memory
+    * bound, not a core-count constant: ≤ cap rows × key width live
+    * once on the driver and once per executor (the broadcast hash
+    * relation) — 1M narrow keys is tens of MB. Batches beyond the cap
+    * keep the shuffled shape, which is the correct degradation for
+    * executor-sized updates at any scale.
+    */
+  private[sources] val MergeLocalKeysConf = "graft.merge.localKeyRowsMax"
+  private val MergeLocalKeysDefault = 1000000
+
+  /** The update batch's key projection as a broadcast LOCAL relation,
+    * when provably small: ONE capped limit-collect job, `None` past
+    * the cap. `coalesce(1)` pins the take to a single task — the
+    * default executeTake escalation (1, then 4×… partitions) would
+    * spend 2-3 scheduling rounds on any multi-partition batch, which
+    * is exactly the fixed cost this path exists to remove — and the
+    * take's iterator early-aborts after cap+1 rows, so an over-cap
+    * batch costs O(cap) rows of serial read, never a full pass.
+    * Duplicate or null key tuples ride along untouched — an anti/semi
+    * equi-join's result is insensitive to build-side duplicates, and
+    * null keys match nothing on either shape, so the substitution is
+    * exact.
+    */
+  private def localKeyFrame(
+      spark: SparkSession,
+      ups: DataFrame,
+      key: Seq[String]): Option[DataFrame] = {
+    val cap = spark.conf.getOption(MergeLocalKeysConf)
+      .map(_.toInt).getOrElse(MergeLocalKeysDefault)
+    val proj = ups.select(key.map(col): _*)
+    // a batch that is ALREADY a local relation (Seq.toDF ingest, tiny
+    // derived frames the optimizer constant-folded) needs no collect
+    // at all — zero jobs, straight to the broadcast hint
+    proj.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        return if (lr.data.length > cap) None else Some(broadcast(proj))
+      case _ => ()
+    }
+    val rows = proj.coalesce(1).limit(cap + 1).collect()
+    if (rows.length > cap) None
+    else Some(broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(rows.distinct.toIndexedSeq: _*),
+      proj.schema)))
+  }
+
   /** Copy-on-write MERGE (the upsert half of `MERGE INTO`): rows of the
     * latest snapshot whose `key` matches a row in `updates` are
     * REPLACED by that row, unmatched update rows are INSERTED, and the
@@ -2545,9 +2908,18 @@ object Snapshots {
       // distinct: a non-unique-key base (several rows per key) must
       // not fan each update row out per matching base row — the feed
       // records what the MERGE wrote, once
+      // r17: when the batch keys collected to a local relation (see
+      // below), the feed's existence probe narrows the base side FIRST
+      // with a broadcast semi-join — the probe is never shuffled; the
+      // distinct runs over O(matched rows). Identical classification:
+      // an update row can only match its own key, so restricting the
+      // marked set to batch keys changes nothing.
+      val localKeys = localKeyFrame(spark, ups, key)
       def feedOf(probe: DataFrame): Option[DataFrame] =
         if (!recordChanges) None else Some {
-          val marked = probe.select(key.map(col): _*).distinct()
+          val probeN = localKeys
+            .map(lk => probe.join(lk, key, "left_semi")).getOrElse(probe)
+          val marked = probeN.select(key.map(col): _*).distinct()
             .withColumn("_graft_matched", lit(1))
           val post = ups.join(marked, key, "left")
             .withColumn("change_type",
@@ -2556,7 +2928,8 @@ object Snapshots {
             .select(col("change_type") +: ups.columns.toSeq.map(col): _*)
           if (!preImages) post
           else post.unionByName(
-            probe.join(ups.select(key.map(col): _*).distinct(), key,
+            probe.join(localKeys.getOrElse(
+                ups.select(key.map(col): _*).distinct()), key,
               "left_semi")
               .select(lit("update_preimage").as("change_type") +:
                 ups.columns.toSeq.map(col): _*))
@@ -2570,7 +2943,19 @@ object Snapshots {
       // runtime — measured 0.50 → 0.22 s per merge write at bench
       // sizes (tools/ProfileMergeShape), with no forced broadcast, so
       // an executor-sized batch still degrades gracefully to SMJ.
-      def upsKeys = ups.select(key.map(col): _*).distinct()
+      //
+      // r17 (guide §3.1, §2.4): when the batch's key projection is
+      // provably small — one capped limit-collect, early-exit on
+      // overflow ([[localKeyFrame]] above feedOf) — the keys become a
+      // broadcast LOCAL relation and the anti-join plans as a straight
+      // broadcast-hash join: the base side is never shuffled AT ALL
+      // (the r16 shape still paid the base-side exchange
+      // materialization before AQE's local read), and the write
+      // collapses to one stage. Over-cap batches keep the r16 shape —
+      // the guard that makes executor-sized updates degrade to a
+      // shuffle instead of an executor OOM.
+      def upsKeys = localKeys.getOrElse(
+        ups.select(key.map(col): _*).distinct())
       if (!scoped) {
         val feed = feedOf(cur)
         val merged = cur.join(upsKeys, key, "left_anti").unionByName(ups)
@@ -3042,8 +3427,14 @@ object Snapshots {
           raw.withColumn("_graft_f", scanFileName)
             .withColumn("_graft_i", col("_metadata.row_index"))),
           morMap))
+      // r17: same broadcast-local key probe as the copy-on-write merge
+      // ([[localKeyFrame]]) — the matched-coordinate semi-join and the
+      // feed's existence probe never shuffle the live side when the
+      // batch keys collect under the cap
+      val localKeys = localKeyFrame(spark, ups, key)
       val matched = live
-        .map(_.join(ups.select(key.map(col): _*).distinct(), key,
+        .map(_.join(localKeys.getOrElse(
+            ups.select(key.map(col): _*).distinct()), key,
           "left_semi")
           .select(col("_graft_f").as("file"), col("_graft_i").as("idx")))
         .getOrElse(spark.range(0).select(
@@ -3056,7 +3447,11 @@ object Snapshots {
       // file's envelope classifies `insert`, which is exactly what the
       // full probe would have concluded.
       val feed = if (!recordChanges) None else Some {
-        val marked = live.map(_.select(key.map(col): _*))
+        val marked = live.map { lv =>
+          val lvN = localKeys
+            .map(lk => lv.join(lk, key, "left_semi")).getOrElse(lv)
+          lvN.select(key.map(col): _*)
+        }
           .getOrElse(cur0.select(key.map(col): _*).limit(0))
           .distinct().withColumn("_graft_matched", lit(1))
         ups.join(marked, key, "left")
