@@ -140,14 +140,15 @@ object Snapshots {
     val p = new Path(s"$tableDir/snap-$ver/_partition_spec")
     if (ver < 1 || !fc(spark).util().exists(p)) (Nil, 0)
     else {
-      val df = spark.read.parquet(p.toString)
+      val df = readSidecar(spark, p.toString)
       if (!df.columns.contains("spec_id")) {
-        val ts = df.orderBy("pos").collect().toSeq.map(r =>
+        val ts = df.collect().toSeq.sortBy(_.getAs[Int]("pos")).map(r =>
           Transform.fromSpec(r.getAs[String]("kind"),
             r.getAs[String]("column"), r.getAs[Int]("param")))
         (Seq(0 -> ts), 0)
       } else {
-        val rows = df.orderBy("spec_id", "pos").collect().toSeq
+        val rows = df.collect().toSeq
+          .sortBy(r => (r.getAs[Int]("spec_id"), r.getAs[Int]("pos")))
         val specs = rows.groupBy(_.getAs[Int]("spec_id")).toSeq.sortBy(_._1)
           .map { case (id, rs) =>
             id -> rs.sortBy(_.getAs[Int]("pos")).map(r =>
@@ -273,6 +274,23 @@ object Snapshots {
     val ctx = fc(spark)
     val dir = manifestDir(stageDir)
     val build = s"$stageDir/_manifest_build"
+    // r17: a manifest whose rows are already driver-resident (footer
+    // fast-path own rows unioned with a locally read carried manifest
+    // — the scoped-merge/append shape) writes its single leaf with
+    // parquet-mr directly: zero Spark jobs instead of the
+    // coalesce(1)-write round-trip. Multi-leaf layouts keep the
+    // distributed writer (they need the range clustering + `_root`).
+    locally {
+      val perLeaf0 = spark.conf.getOption(ManifestRowsPerLeafConf)
+        .map(_.toInt).getOrElse(ManifestRowsPerLeafDefault)
+      localPlanRows(m) match {
+        case Some(rows) if rows.size <= perLeaf0 &&
+            writeSidecarLocal(spark, nullableSchema(m.schema), rows,
+              new Path(dir)) =>
+          return
+        case _ => ()
+      }
+    }
     m.coalesce(1).write.mode("overwrite").parquet(build)
     val perLeaf = spark.conf.getOption(ManifestRowsPerLeafConf)
       .map(_.toInt).getOrElse(ManifestRowsPerLeafDefault)
@@ -359,15 +377,15 @@ object Snapshots {
     val pruned =
       if (!fc(spark).util().exists(rootP)) None
       else {
-        val root = spark.read.parquet(rootP.toString)
+        val root = readSidecar(spark, rootP.toString)
         rootKeep(root).map { keep =>
           val surviving = root.filter(keep).select("mfile").collect()
             .map(r => s"$dir/${r.getString(0)}")
-          if (surviving.isEmpty) spark.read.parquet(dir).limit(0)
+          if (surviving.isEmpty) readSidecar(spark, dir).limit(0)
           else spark.read.parquet(surviving.toIndexedSeq: _*)
         }
       }
-    pruned.getOrElse(spark.read.parquet(dir))
+    pruned.getOrElse(readSidecar(spark, dir))
   }
 
   /** Total files in a snapshot, from the root list when present (one
@@ -376,8 +394,18 @@ object Snapshots {
   private def manifestTotal(spark: SparkSession, snapDir: String): Long = {
     val rootP = new Path(s"${manifestDir(snapDir)}/_root")
     if (fc(spark).util().exists(rootP))
-      spark.read.parquet(rootP.toString).agg(sum("n_files")).head().getLong(0)
-    else spark.read.parquet(manifestDir(snapDir)).count()
+      readSidecarLocal(spark, rootP.toString) match {
+        case Some(df) =>
+          val i = df.schema.fieldIndex("n_files")
+          df.collect().iterator
+            .map(r => if (r.isNullAt(i)) 0L else r.getLong(i)).sum
+        case None => spark.read.parquet(rootP.toString)
+          .agg(sum("n_files")).head().getLong(0)
+      }
+    else readSidecarLocal(spark, manifestDir(snapDir)) match {
+      case Some(df) => df.collect().length.toLong
+      case None => spark.read.parquet(manifestDir(snapDir)).count()
+    }
   }
 
   /** Root-list envelope condition for a range probe, when the root
@@ -489,7 +517,7 @@ object Snapshots {
       spark: SparkSession, snapDir: String): Option[DataFrame] = {
     val p = new Path(s"$snapDir/$ColumnMapName")
     if (!fc(spark).util().exists(p)) None
-    else Some(spark.read.parquet(p.toString))
+    else Some(readSidecar(spark, p.toString))
   }
 
   /** The column mapping a snapshot publishes; None when the table has
@@ -823,8 +851,9 @@ object Snapshots {
       v: Long): Seq[(String, String)] = {
     val p = new Path(s"$tableDir/snap-$v/_expectations")
     if (v < 1 || !ctx.util().exists(p)) Nil
-    else spark.read.parquet(p.toString).orderBy("name")
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    else readSidecar(spark, p.toString)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1).toSeq
   }
 
   /** Per-file bloom sizing: 64 Kibit (8 KiB) per sketch, expecting up
@@ -1232,7 +1261,7 @@ object Snapshots {
     * to exactly these shapes once sidecar READS are local) — with zero
     * Spark jobs. None on any plan that might touch the cluster.
     */
-  private def localPlanRows(df: DataFrame)
+  private[sources] def localPlanRows(df: DataFrame)
       : Option[Seq[org.apache.spark.sql.Row]] = {
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Union}
     def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -1405,7 +1434,19 @@ object Snapshots {
       else df.repartition(
         spark.sessionState.conf.numShufflePartitions,
         partitionSpec.map(t => t(col(t.column))): _*)
-    clustered.write.mode("overwrite").parquet(stageDir)
+    // r17: tiny driver-resident commits (params tables, version
+    // manifests, limit(0) truncations — all optimizer-folded to a
+    // LocalRelation) write their one data file with parquet-mr, no
+    // Spark job; everything cluster-sized keeps the Spark writer.
+    val wroteLocal = !sidecars.pureReference && partitionSpec.isEmpty &&
+      (localPlanRows(clustered) match {
+        case Some(rows) =>
+          writeSidecarLocal(spark, nullableSchema(clustered.schema), rows,
+            new Path(stageDir))
+        case None => false
+      })
+    if (!wroteLocal)
+      clustered.write.mode("overwrite").parquet(stageDir)
     // the staged files' schema, known WITHOUT a footer-sampling job:
     // every read-back below (stats, expectation check) passes it
     // explicitly — at ~50 ms per inference job this is a measurable
@@ -1427,14 +1468,17 @@ object Snapshots {
     }
     if (specSet.nonEmpty) {
       import spark.implicits._
-      specSet.flatMap { case (id, ts) =>
+      val specDf = specSet.flatMap { case (id, ts) =>
         ts.zipWithIndex.map { case (t, i) =>
           val (kind, param) = t.spec
           (id, i, kind, t.column, param, id == currentSpecId)
         }
       }.toDF("spec_id", "pos", "kind", "column", "param", "is_default")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$stageDir/_partition_spec")
+      // driver-resident rows: write the sidecar without a Spark job
+      if (!trySidecarLocalWrite(spark, specDf,
+          new Path(s"$stageDir/_partition_spec")))
+        specDf.coalesce(1)
+          .write.mode("overwrite").parquet(s"$stageDir/_partition_spec")
     }
     // commit timestamp, published by the same atomic claim as the data
     // (timestamp time travel resolves against THIS, not file mtimes —
@@ -1488,8 +1532,11 @@ object Snapshots {
       // the write tasks themselves (Delta's per-row invariant check)
       // and keeps this commit-point gate as the backstop.
       import spark.implicits._
-      expectations.toDF("name", "expr").coalesce(1)
-        .write.mode("overwrite").parquet(s"$stageDir/_expectations")
+      val expDf = expectations.toDF("name", "expr")
+      if (!trySidecarLocalWrite(spark, expDf,
+          new Path(s"$stageDir/_expectations")))
+        expDf.coalesce(1)
+          .write.mode("overwrite").parquet(s"$stageDir/_expectations")
       val checks = expectations.map { case (n, e) =>
         sum(when(coalesce(expr(e), lit(true)) === false, 1L).otherwise(0L)).as(n)
       }
@@ -1650,8 +1697,12 @@ object Snapshots {
     }
     // the column map this snapshot publishes (rename-without-rewrite):
     // tiny, rides the same atomic claim as everything else
-    sidecars.columnMap.foreach(_.coalesce(1)
-      .write.mode("overwrite").parquet(s"$stageDir/$ColumnMapName"))
+    sidecars.columnMap.foreach { cm =>
+      if (!trySidecarLocalWrite(spark, cm,
+          new Path(s"$stageDir/$ColumnMapName")))
+        cm.coalesce(1)
+          .write.mode("overwrite").parquet(s"$stageDir/$ColumnMapName")
+    }
     // write-time CDF: the change rows this commit applies, published by
     // the same atomic claim as the data (underscore dir → hidden from
     // data scans), so feed and snapshot can never disagree. Stored
@@ -1662,22 +1713,35 @@ object Snapshots {
     // unmap would mis-rename a physical column).
     sidecars.changes
       .map(c => if (sidecars.pureReference) c else unmapToPhysical(c, mapPairs))
-      .foreach(_.write.mode("overwrite").parquet(s"$stageDir/_changes"))
+      .foreach { ch =>
+        if (!trySidecarLocalWrite(spark, ch, new Path(s"$stageDir/_changes")))
+          ch.write.mode("overwrite").parquet(s"$stageDir/_changes")
+      }
     // merge-on-read delete set: key rows readers must anti-join away
     // (physical names — the anti-join runs against raw file scans; the
     // producer [[deleteMergeOnRead]] normalizes its own fresh keys, so
     // every morDeletes frame reaching here is physical already).
     // Deliberately NOT coalesced — a 100 TB table's delete batch can be
     // executor-sized even when the commit writes no data files.
-    sidecars.morDeletes.foreach(
-      _.write.mode("overwrite").parquet(s"$stageDir/_mor_deletes"))
+    sidecars.morDeletes.foreach { md =>
+      if (!trySidecarLocalWrite(spark, md,
+          new Path(s"$stageDir/_mor_deletes")))
+        md.write.mode("overwrite").parquet(s"$stageDir/_mor_deletes")
+    }
     // positional delete set: (file, idx) coordinates of superseded base
     // rows — the deletion-vector form that stays correct under
     // accumulation because positions are scoped to a single immutable file
-    sidecars.posDeletes.foreach(
-      _.write.mode("overwrite").parquet(s"$stageDir/_pos_deletes"))
-    sidecars.refs.foreach(_.select(col("path")).coalesce(1)
-      .write.mode("overwrite").parquet(s"$stageDir/_refs"))
+    sidecars.posDeletes.foreach { pd =>
+      if (!trySidecarLocalWrite(spark, pd,
+          new Path(s"$stageDir/_pos_deletes")))
+        pd.write.mode("overwrite").parquet(s"$stageDir/_pos_deletes")
+    }
+    sidecars.refs.foreach { r =>
+      val paths = r.select(col("path"))
+      if (!trySidecarLocalWrite(spark, paths, new Path(s"$stageDir/_refs")))
+        paths.coalesce(1)
+          .write.mode("overwrite").parquet(s"$stageDir/_refs")
+    }
     new Path(stageDir)
   }
 
@@ -2038,7 +2102,7 @@ object Snapshots {
       }.map(_.getPath.toString).toSeq
     val reused =
       if (!ctx.util().exists(new Path(s"$snapDir/_refs"))) Nil
-      else spark.read.parquet(s"$snapDir/_refs")
+      else readSidecar(spark, s"$snapDir/_refs")
         .collect().map(r => absoluteDataPath(tableDir, r.getString(0))).toSeq
     own ++ reused
   }
@@ -2076,7 +2140,7 @@ object Snapshots {
       // would land in the sidecar (and the change feed) yet stay
       // visible forever — the keyed delete must drop exactly the rows
       // whose key tuple null-safely equals a sidecar row's
-      val dels = spark.read.parquet(keyedP.toString)
+      val dels = readSidecar(spark, keyedP.toString)
       val renamed = dels.columns.foldLeft(dels)((d, c) =>
         d.withColumnRenamed(c, s"_graft_d_$c"))
       val cond = dels.columns.map(c =>
@@ -2093,7 +2157,7 @@ object Snapshots {
     val p = new Path(s"$snapDir/_pos_deletes")
     if (!fc(spark).util().exists(p)) withProv
     else withProv.join(
-      spark.read.parquet(p.toString)
+      readSidecar(spark, p.toString)
         .select(col("file").as("_graft_f"), col("idx").as("_graft_i")),
       Seq("_graft_f", "_graft_i"), "left_anti")
   }
@@ -2175,11 +2239,18 @@ object Snapshots {
         else {
           val rootP = new Path(s"${manifestDir(snapDir)}/_root")
           val src =
-            if (ctx.util().exists(rootP)) spark.read.parquet(rootP.toString)
-            else spark.read.parquet(manifestDir(snapDir))
+            if (ctx.util().exists(rootP)) readSidecar(spark, rootP.toString)
+            else readSidecar(spark, manifestDir(snapDir))
           if (!src.columns.contains("n_rows")) None
-          else Option(src.agg(sum("n_rows")).head().get(0))
-            .map(_.asInstanceOf[Long])
+          else localPlanRows(src) match {
+            // driver-resident manifest: sum without a Spark job
+            case Some(rows) =>
+              val i = src.schema.fieldIndex("n_rows")
+              val vs = rows.filterNot(_.isNullAt(i)).map(_.getLong(i))
+              if (vs.isEmpty) None else Some(vs.sum)
+            case None => Option(src.agg(sum("n_rows")).head().get(0))
+              .map(_.asInstanceOf[Long])
+          }
         }
       (v, ts, nFiles, nRows)
     }.toDF("version", "commit_ms", "n_files", "n_rows")
@@ -2339,7 +2410,7 @@ object Snapshots {
     val snapDir = s"$tableDir/snap-$ver"
     fc(spark).util().exists(new Path(manifestDir(snapDir))) && {
       val pairs = mapAt(spark, tableDir, ver)
-      val names = spark.read.parquet(manifestDir(snapDir))
+      val names = readSidecar(spark, manifestDir(snapDir))
         .schema.map(_.name).toSet
       cols.forall { c =>
         val ph = physicalOf(pairs, c)
@@ -2388,7 +2459,7 @@ object Snapshots {
       val rootP = new Path(s"${manifestDir(snapDir)}/_root")
       val root =
         if (!ctx.util().exists(rootP)) None
-        else Some(spark.read.parquet(rootP.toString))
+        else Some(readSidecar(spark, rootP.toString))
       val fromRoot = root.filter(r =>
         r.columns.contains("n_rows") &&
           cols.forall(c => r.columns.contains(s"lo_${phOf(c)}") &&
@@ -2400,7 +2471,7 @@ object Snapshots {
           r.agg(aggs.head, aggs.tail: _*)
         }
       fromRoot.getOrElse {
-        val m = spark.read.parquet(manifestDir(snapDir))
+        val m = readSidecar(spark, manifestDir(snapDir))
         if (!cols.forall(c => m.columns.contains(s"min_${phOf(c)}") &&
             m.columns.contains(s"max_${phOf(c)}")))
           scanAgg()
@@ -2499,7 +2570,7 @@ object Snapshots {
     val residual = col(colName) === lit(value)
     val manifest = new Path(manifestDir(s"$tableDir/snap-$ver"))
     val hasBloom = fc(spark).util().exists(manifest) &&
-      spark.read.parquet(manifest.toString).columns.contains(s"bloom_$ph")
+      readSidecar(spark, manifest.toString).columns.contains(s"bloom_$ph")
     if (!hasBloom) readVersion(spark, tableDir, ver).filter(residual)
     else prunedScan(spark, tableDir, s"$tableDir/snap-$ver",
         pointSelection(spark, tableDir, ver, ph, value), pairs)
@@ -3270,7 +3341,7 @@ object Snapshots {
       val dels =
         (if (!ctx.util().exists(pendingP)) fresh
          else fresh.unionByName(
-           mapLogical(spark.read.parquet(pendingP.toString), morMap)
+           mapLogical(readSidecar(spark, pendingP.toString), morMap)
              .select(key.map(col): _*)))
           .distinct()
       // a pending POSITIONAL sidecar must ride along — this commit
@@ -3279,7 +3350,7 @@ object Snapshots {
       val pendingPos = new Path(s"$snapDir/_pos_deletes")
       val posCarry =
         if (!ctx.util().exists(pendingPos)) None
-        else Some(spark.read.parquet(pendingPos.toString))
+        else Some(readSidecar(spark, pendingPos.toString))
       // normalize the fresh logical keys to physical HERE (stage treats
       // pure-reference sidecars as already-physical — carried sets must
       // not be re-unmapped under a freed-name-reuse map). The staged
@@ -3318,7 +3389,7 @@ object Snapshots {
     val ownDf = own.toDF("path")
     if (!ctx.util().exists(new Path(s"$snapDir/_refs"))) ownDf
     else ownDf.unionByName(
-      spark.read.parquet(s"$snapDir/_refs").select(col("path")))
+      readSidecar(spark, s"$snapDir/_refs").select(col("path")))
   }
 
   /** A version's stats manifest with its file paths rebased to
@@ -3330,7 +3401,7 @@ object Snapshots {
       spark: SparkSession, tableDir: String, v: Long): Option[DataFrame] = {
     val snapDir = s"$tableDir/snap-$v"
     if (!fc(spark).util().exists(new Path(manifestDir(snapDir)))) None
-    else Some(spark.read.parquet(manifestDir(snapDir))
+    else Some(readSidecar(spark, manifestDir(snapDir))
       .withColumn("file",
         when(col("file").contains("/"), col("file"))
           .otherwise(concat(lit(s"snap-$v/"), col("file")))))
@@ -3463,7 +3534,7 @@ object Snapshots {
       val pendingP = new Path(s"$snapDir/_pos_deletes")
       val dels =
         (if (!ctx.util().exists(pendingP)) matched
-         else matched.unionByName(spark.read.parquet(pendingP.toString)))
+         else matched.unionByName(readSidecar(spark, pendingP.toString)))
           .distinct()
       (ups,
         Sidecars(changes = feed,
@@ -3498,7 +3569,7 @@ object Snapshots {
     val snapDir = s"$tableDir/snap-$toVersion"
     def sidecar(name: String): Option[DataFrame] = {
       val p = new Path(s"$snapDir/$name")
-      if (!ctx.util().exists(p)) None else Some(spark.read.parquet(p.toString))
+      if (!ctx.util().exists(p)) None else Some(readSidecar(spark, p.toString))
     }
     occLoop(spark, tableDir, Nil, Nil, maxRetries, inheritSpec = false,
       specOverride = _ => partitionSpecs(spark, tableDir, toVersion)) { (base, _) =>
@@ -3605,7 +3676,7 @@ object Snapshots {
       // or write in a confusing place; refuse here with the cause
       val morP = new Path(s"$snapDir/_mor_deletes")
       if (ctx.util().exists(morP))
-        require(!spark.read.parquet(morP.toString).columns.contains(ph),
+        require(!readSidecar(spark, morP.toString).columns.contains(ph),
           s"cannot drop '$name': a pending merge-on-read delete set is " +
             "keyed by it — fold the deletes first (compact or rewrite)")
       val exps = loadExpectations(spark, ctx, tableDir, base)
@@ -3690,7 +3761,7 @@ object Snapshots {
           WidenOk.getOrElse(cur, Set.empty[String]).mkString(", "))
       val manifestP = new Path(manifestDir(snapDir))
       if (ctx.util().exists(manifestP))
-        require(!spark.read.parquet(manifestP.toString).columns
+        require(!readSidecar(spark, manifestP.toString).columns
             .contains(s"bloom_$ph"),
           s"cannot widen '$name': the manifest carries a bloom sketch " +
             "for it, and membership hashes are type-sensitive — wide " +
@@ -3765,7 +3836,7 @@ object Snapshots {
     def sidecar(name: String): Option[DataFrame] = {
       val p = new Path(s"$snapDir/$name")
       if (!ctx.util().exists(p)) None
-      else Some(spark.read.parquet(p.toString))
+      else Some(readSidecar(spark, p.toString))
     }
     val emptyFeed = raw.limit(0).select(
       lit("ddl").cast("string").as("change_type") +:
@@ -3851,7 +3922,7 @@ object Snapshots {
     def sidecar(name: String): Option[DataFrame] = {
       val p = new Path(s"$snapSrc/$name")
       if (!ctx.util().exists(p)) None
-      else Some(spark.read.parquet(p.toString))
+      else Some(readSidecar(spark, p.toString))
     }
     val absRefs = rootRelativeFiles(spark, srcTableDir, v)
       .withColumn("path",
@@ -3949,7 +4020,7 @@ object Snapshots {
       def sidecar(name: String): Option[DataFrame] = {
         val p = new Path(s"$snapDir/$name")
         if (!ctx.util().exists(p)) None
-        else Some(spark.read.parquet(p.toString))
+        else Some(readSidecar(spark, p.toString))
       }
       (rows.select(cur0.columns.map(col).toIndexedSeq: _*),
         Sidecars(
@@ -4256,8 +4327,13 @@ object Snapshots {
           org.apache.spark.sql.types.StructField("change_type",
             org.apache.spark.sql.types.StringType) +: ds.fields)
       }
-      sch.map(spark.read.schema(_)).getOrElse(spark.read)
-        .parquet(p).withColumn("version", lit(v))
+      // r17: small feed sidecars read driver-side (LocalRelation) —
+      // the whole window then folds locally, windowKinds needs no job,
+      // and delta applications broadcast without an exchange
+      readSidecarLocal(spark, p)
+        .getOrElse(sch.map(spark.read.schema(_)).getOrElse(spark.read)
+          .parquet(p))
+        .withColumn("version", lit(v))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     // feed rows are stored physical (like the data); present under the
     // window-end version's logical names — change_type/version pass
@@ -4483,7 +4559,7 @@ object Snapshots {
     val srcDir = s"$tableDir/snap-$src"
     def sidecar(name: String): Option[DataFrame] = {
       val p = new Path(s"$srcDir/$name")
-      if (!ctx.util().exists(p)) None else Some(spark.read.parquet(p.toString))
+      if (!ctx.util().exists(p)) None else Some(readSidecar(spark, p.toString))
     }
     val staged = stage(spark,
       readVersionRaw(spark, tableDir, src).limit(0), tableDir, Nil, Nil,
@@ -4632,7 +4708,7 @@ object Snapshots {
       (retained.map(v => s"snap-$v") ++ branchDirs).flatMap { d =>
         val refs = new Path(s"$tableDir/$d/_refs")
         if (!ctx.util().exists(refs)) Nil
-        else spark.read.parquet(refs.toString).collect()
+        else readSidecar(spark, refs.toString).collect()
           .map(r => r.getString(0).split("/").head).toSeq
       }
     val expired = all.filter(v => !needed(s"snap-$v"))

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object ProfileMergeJobs {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.find(!_.startsWith("-"))
+      .getOrElse("/root/testdata/sf0.1")
     val spark = ToolSession.local(cores = 32)
     val jobs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -35,7 +36,9 @@ object ProfileMergeJobs {
       })
       import spark.implicits._
       def df = (1L to 2000L).map(i => (i, i * 10)).toDF("id", "v")
-      def ups2 = (1000L to 3000L).map(i => (i, i * 11)).toDF("id", "v")
+      def ups2 = graft.sources.Tables(spark, sfDir, "lineitem").select(
+        col("l_orderkey").as("id"), col("l_quantity").cast("long").as("v"))
+        .filter(col("id") < 3000 && col("id") % 3 === 1)
       for (flavor <- Seq("unscoped", "recorded", "scoped")) {
         val d = java.nio.file.Files.createTempDirectory("graft-pmj-v").toString
         graft.sources.Snapshots.commit(spark, df, d,
